@@ -1,0 +1,64 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: 64-bit polynomial rolling hash over a
+  * string's UTF-8 bytes (`h = h * 31 + byte`, wrapping Long arithmetic).
+  *
+  * A document fingerprint for content-addressed dedup. Implemented as a
+  * custom `Expression` with `doGenCode` (not a Scala UDF) so it fuses into
+  * whole-stage codegen: on a 100 TB corpus this runs inside the generated
+  * loop with zero boxing/serialization overhead.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    RollingHash.hashBytes(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("rhBytes")
+      val i = ctx.freshName("rhI")
+      val h = ctx.freshName("rhH")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = $h * 31L + (long) ($bytes[$i] & 0xff);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_hash"
+}
+
+object RollingHash {
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 31L + (bytes(i) & 0xff)
+      i += 1
+    }
+    h
+  }
+
+  def fingerprint(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+  }
+}
