@@ -1,13 +1,517 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.etl.MusicKpis
+import graft.functions.Text
+import graft.operators.{Dedup, GroupTop, Similarity}
+import graft.quality.Checks
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one named query per implemented operator (SURVEY.md §2
+  * plus the training-data-pipeline extensions), each with a DuckDB oracle
+  * where the semantics are ANSI-SQL-expressible.
+  *
+  * Cross-engine determinism rules used throughout (so the driver's
+  * hash-compare is stable):
+  *  - every aggregate / computed column is aliased identically here and in
+  *    the oracle SQL;
+  *  - floating-point aggregates are rounded on BOTH sides (sum order differs
+  *    across engines by ~1 ulp; rounding absorbs it);
+  *  - every ranking is ordered by (rounded measure, id) — never by a raw
+  *    float alone.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** streams⋈songs⋈users stand-in over the testdata star schema:
+    * events ⋈ customer (user_id) ⋈ nation (c_nationkey), + date/hour. */
+  private def enrichedEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev   = Tables.events(s, dir)
+    val cust = Tables.customer(s, dir).withColumnRenamed("c_custkey", "user_id")
+    val nat  = Tables.nation(s, dir).withColumnRenamed("n_nationkey", "c_nationkey")
+    MusicKpis.enrich(ev, cust, "user_id", nat, "c_nationkey", "ts")
+  }
+
+  /** Flagship: the reference's genre-KPI pipeline shape on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("genre_kpis")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation core (A1a/A1b + partial agg at scale) ----
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          count(lit(1)).as("count_order"))),
+
+    // ---- J1+J2+P3+P4: two broadcast left joins + date/hour derivation ----
+    "enrich_events" -> ((s, dir) =>
+      enrichedEvents(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("c_name"), col("c_mktsegment"), col("n_name"), col("date"), col("hour"))),
+
+    // ---- reference parity: genre KPIs (count/avg/deterministic mode) ----
+    "genre_kpis" -> ((s, dir) =>
+      MusicKpis.genreKpis(
+          enrichedEvents(s, dir),
+          genreCol = "event_type", countCol = "event_id", avgCol = "value",
+          modeCol = "c_mktsegment", modeOut = "top_segment")
+        .select(
+          col("event_type"), col("date"), col("listen_count"),
+          round(col("avg_duration"), 6).as("avg_value"), col("top_segment"))),
+
+    // ---- reference parity: hourly KPIs (countDistinct/top-k/diversity) ----
+    "hourly_kpis" -> ((s, dir) =>
+      MusicKpis.hourlyKpis(enrichedEvents(s, dir),
+          userCol = "user_id", artistCol = "event_type", trackCol = "props", k = 3)
+        .select(
+          col("hour"), col("unique_listeners"),
+          concat_ws(",", col("top_artists")).as("top_types"),
+          round(col("track_diversity_index"), 6).as("diversity"))),
+
+    // ---- F-family as a query: single-pass conditional null audit ----
+    "null_audit" -> ((s, dir) =>
+      Checks.nullAudit(Tables.events(s, dir), Seq("user_id", "event_type", "value"))),
+
+    // ---- joins + agg over the star schema (broadcast dims) ----
+    "revenue_by_nation" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))),
+
+    // ---- ranking window ----
+    "orders_topn" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    // ---- analytic windows (lag + running sum): sessionization ----
+    "sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(byUser)))
+        .withColumn("is_new", when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum("is_new").over(byUser))
+        .select("user_id", "event_id", "session_id")
+    }),
+
+    // ---- projection + filter pushdown to the parquet scan ----
+    "parts_filter" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .filter(col("p_size") >= 25 && col("p_retailprice") > 950.0)
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")),
+
+    // ---- U1: union of shards ----
+    "events_union" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select("event_id", "user_id", "event_type")
+      val shard = (r: Int) => e.filter(pmod(col("event_id"), lit(3)) === r)
+      shard(0).unionByName(shard(1)).unionByName(shard(2))
+    }),
+
+    // ---- per-group mode / top-k kernels ----
+    "group_mode" -> ((s, dir) =>
+      GroupTop.mode(Tables.events(s, dir), Seq("event_type"), "props", "top_prop")),
+    "group_topk" -> ((s, dir) =>
+      GroupTop.topKConcat(Tables.events(s, dir), Seq("user_id"), "event_type", 2, "top_types")),
+
+    // ---- typed Aggregator forms of the same kernels (one-pass, SURVEY §2.12) ----
+    "group_mode_agg" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(graft.operators.Aggregates.mode_agg(col("props")).as("top_prop"))
+        .filter(col("top_prop").isNotNull)),
+    "group_topk_agg" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("user_id")
+        .agg(concat_ws(",", graft.operators.Aggregates.topk_agg(2)(col("event_type"))).as("top_types"))),
+
+    // ---- P5/P7: nullable casts + null normalization before a sink ----
+    "casts_for_load" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey").cast("long").as("orderkey"),
+          col("l_quantity").cast("double").as("quantity"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("shipdate_str"),
+          when(col("l_returnflag") === "", lit(null).cast("string"))
+            .otherwise(col("l_returnflag")).as("returnflag_norm"))
+        .filter(col("l_linenumber") === 1)),
+
+    // ---- event-time tumbling window (batch form of the streaming extension) ----
+    "hourly_windowed" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(
+          countDistinct("user_id").as("unique_listeners"),
+          count(lit(1)).as("listen_count"))
+        .select(col("window.start").as("hour_start"),
+          col("unique_listeners"), col("listen_count"))),
+
+    // ---- multimodal plumbing over synthetic binary payloads ----
+    "mm_payload_stats" -> ((s, dir) =>
+      graft.multimodal.Multimodal.payloadStats(
+          Tables.documents(s, dir)
+            .select(col("doc_id").as("asset_id"),
+              encode(col("text"), "UTF-8").as("payload")))
+        .select(col("asset_id"), col("n_bytes"), col("content_key"))),
+    "mm_sample_offsets" -> ((s, dir) =>
+      graft.multimodal.Multimodal.sampleOffsets(
+        Tables.documents(s, dir)
+          .select(col("doc_id").as("asset_id"), lit("text").as("modality"),
+            encode(col("text"), "UTF-8").as("payload")), k = 4)
+        .select(col("asset_id"), col("sample_idx"), col("byte_offset"))),
+
+    // ---- dedup family over documents ----
+    "dedup_exact_groups" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")),
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
+        .select("doc_id", "lang", "source", "n_chars")),
+    "jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.2)),
+    "minhash_lsh_pairs" -> ((s, dir) =>
+      Dedup.minHashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.35)),
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 7)),
+
+    // ---- similarity search over embeddings ----
+    "cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
+    }),
+    "lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, nBits = 8, k = 5)),
+    "ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nlist = 16, nprobe = 4, k = 5)),
+    "near_dup_embeddings" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.4)),
+
+    // ---- text analysis over documents ----
+    "doc_quality" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))),
+    "doc_lang" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
+    "doc_tokens" -> ((s, dir) =>
+      // tokenize ONCE into an attribute: inlining split() into the n-gram
+      // lambda is O(tokens²) interpreted work per doc (see Dedup.shingles)
+      graft.operators.Partitions.widen(
+          Tables.documents(s, dir).select("doc_id", "text"), col("doc_id"))
+        .select(col("doc_id"), Text.tokens(col("text")).as("__ws"))
+        .select(
+          col("doc_id"),
+          size(col("__ws")).cast("long").as("n_tokens"),
+          size(Text.nGramsFromTokens(col("__ws"), 3)).cast("long").as("n_grams3"))),
+    "doc_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | round(avg(l_extendedprice), 6) AS avg_price,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "enrich_events" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.value,
+        | c.c_name, c.c_mktsegment, n.n_name,
+        | CAST(e.ts AS DATE) AS date,
+        | CAST(EXTRACT(hour FROM e.ts) AS INTEGER) AS hour
+        |FROM events e
+        |LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+
+    "genre_kpis" ->
+      """WITH e AS (
+        |  SELECT ev.event_id, ev.event_type, CAST(ev.ts AS DATE) AS date, ev.value, c.c_mktsegment
+        |  FROM events ev LEFT JOIN customer c ON ev.user_id = c.c_custkey),
+        |base AS (
+        |  SELECT event_type, date, count(event_id) AS listen_count,
+        |         round(avg(value), 6) AS avg_value
+        |  FROM e GROUP BY event_type, date),
+        |m AS (
+        |  SELECT event_type, date, c_mktsegment AS top_segment FROM (
+        |    SELECT event_type, date, c_mktsegment,
+        |           row_number() OVER (PARTITION BY event_type, date
+        |                              ORDER BY count(*) DESC, c_mktsegment ASC) AS rn
+        |    FROM e WHERE c_mktsegment IS NOT NULL
+        |    GROUP BY event_type, date, c_mktsegment) WHERE rn = 1)
+        |SELECT b.event_type, b.date, b.listen_count, b.avg_value, m.top_segment
+        |FROM base b LEFT JOIN m ON b.event_type = m.event_type AND b.date = m.date""".stripMargin,
+
+    "hourly_kpis" ->
+      """WITH e AS (
+        |  SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour, user_id, event_type, props
+        |  FROM events),
+        |c AS (SELECT hour, event_type, count(*) AS cnt FROM e
+        |      WHERE event_type IS NOT NULL GROUP BY hour, event_type),
+        |r AS (SELECT hour, event_type,
+        |             row_number() OVER (PARTITION BY hour ORDER BY cnt DESC, event_type ASC) AS rn
+        |      FROM c),
+        |t AS (SELECT hour, string_agg(event_type, ',' ORDER BY rn) AS top_types
+        |      FROM r WHERE rn <= 3 GROUP BY hour),
+        |b AS (SELECT hour, count(DISTINCT user_id) AS unique_listeners,
+        |             round(CAST(count(DISTINCT props) AS DOUBLE) / count(*), 6) AS diversity
+        |      FROM e GROUP BY hour)
+        |SELECT b.hour, b.unique_listeners, t.top_types, b.diversity
+        |FROM b LEFT JOIN t ON b.hour = t.hour""".stripMargin,
+
+    "null_audit" ->
+      """SELECT count(*) AS n_rows,
+        | count(CASE WHEN user_id IS NULL THEN 1 END) AS null_user_id,
+        | count(CASE WHEN event_type IS NULL THEN 1 END) AS null_event_type,
+        | count(CASE WHEN value IS NULL THEN 1 END) AS null_value
+        |FROM events""".stripMargin,
+
+    "revenue_by_nation" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "orders_topn" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM x)
+        |SELECT user_id, event_id,
+        |       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM y""".stripMargin,
+
+    "parts_filter" ->
+      """SELECT p_partkey, p_name, p_size, p_retailprice FROM part
+        |WHERE p_size >= 25 AND p_retailprice > 950.0""".stripMargin,
+
+    "events_union" ->
+      """SELECT event_id, user_id, event_type FROM events WHERE event_id % 3 = 0
+        |UNION ALL
+        |SELECT event_id, user_id, event_type FROM events WHERE event_id % 3 = 1
+        |UNION ALL
+        |SELECT event_id, user_id, event_type FROM events WHERE event_id % 3 = 2""".stripMargin,
+
+    "group_mode" ->
+      """SELECT event_type, props AS top_prop FROM (
+        |  SELECT event_type, props,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY count(*) DESC, props ASC) AS rn
+        |  FROM events WHERE props IS NOT NULL
+        |  GROUP BY event_type, props) WHERE rn = 1""".stripMargin,
+
+    "group_topk" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt FROM events
+        |  WHERE event_type IS NOT NULL GROUP BY user_id, event_type),
+        |r AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+        |  FROM c)
+        |SELECT user_id, string_agg(event_type, ',' ORDER BY rn) AS top_types
+        |FROM r WHERE rn <= 2 GROUP BY user_id""".stripMargin,
+
+    // the typed-Aggregator forms must agree with the window forms exactly
+    "group_mode_agg" ->
+      """SELECT event_type, props AS top_prop FROM (
+        |  SELECT event_type, props,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY count(*) DESC, props ASC) AS rn
+        |  FROM events WHERE props IS NOT NULL
+        |  GROUP BY event_type, props) WHERE rn = 1""".stripMargin,
+
+    "group_topk_agg" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt FROM events
+        |  WHERE event_type IS NOT NULL GROUP BY user_id, event_type),
+        |r AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+        |  FROM c)
+        |SELECT e.user_id, coalesce(t.top_types, '') AS top_types
+        |FROM (SELECT DISTINCT user_id FROM events) e
+        |LEFT JOIN (SELECT user_id, string_agg(event_type, ',' ORDER BY rn) AS top_types
+        |           FROM r WHERE rn <= 2 GROUP BY user_id) t USING (user_id)""".stripMargin,
+
+    "casts_for_load" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+        | CAST(l_quantity AS DOUBLE) AS quantity,
+        | strftime(l_shipdate, '%Y-%m-%d') AS shipdate_str,
+        | CASE WHEN l_returnflag = '' THEN NULL ELSE l_returnflag END AS returnflag_norm
+        |FROM lineitem WHERE l_linenumber = 1""".stripMargin,
+
+    "hourly_windowed" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+        | count(DISTINCT user_id) AS unique_listeners,
+        | count(*) AS listen_count
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "mm_payload_stats" ->
+      """SELECT doc_id AS asset_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS content_key
+        |FROM documents""".stripMargin,
+
+    "mm_sample_offsets" ->
+      """SELECT doc_id AS asset_id, i AS sample_idx,
+        | CAST(floor(octet_length(encode(text)) * i / 4) AS BIGINT) AS byte_offset
+        |FROM documents, UNNEST([0, 1, 2, 3]) AS t(i)""".stripMargin,
+
+    "dedup_exact_groups" ->
+      """SELECT md5(text) AS content_key, min(doc_id) AS keeper_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    "jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT i.id_a, i.id_b,
+        |         round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+        |  FROM inter i
+        |  JOIN sizes sa ON i.id_a = sa.doc_id
+        |  JOIN sizes sb ON i.id_b = sb.doc_id)
+        |WHERE jaccard >= 0.2""".stripMargin,
+
+    "cosine_topk" ->
+      """WITH flat AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dp
+        |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(dp / (na.nrm * nb.nrm), 6) AS cosine_sim
+        |  FROM dots JOIN norms na ON query_id = na.vec_id
+        |            JOIN norms nb ON neighbor_id = nb.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS "rank"
+        |      FROM scored)
+        |SELECT query_id, neighbor_id, cosine_sim, "rank" FROM r WHERE "rank" <= 5""".stripMargin,
+
+    "near_dup_embeddings" ->
+      """WITH flat AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dp
+        |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id)
+        |SELECT id_a, id_b, cosine_sim FROM (
+        |  SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS cosine_sim
+        |  FROM dots JOIN norms na ON id_a = na.vec_id
+        |            JOIN norms nb ON id_b = nb.vec_id)
+        |WHERE cosine_sim >= 0.4""".stripMargin,
+
+    "doc_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ws,
+        |         CAST(length(text) AS DOUBLE) AS nchars
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, nchars, ws,
+        |         CAST(len(ws) AS DOUBLE) AS ntok,
+        |         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(
+        |    least(ntok / 100.0, 1.0) * 0.3
+        |    + (alpha / nchars) * 0.3
+        |    + (CASE WHEN (nchars - (ntok - 1)) / ntok BETWEEN 2.0 AND 12.0
+        |            THEN 1.0 ELSE 0.3 END) * 0.2
+        |    + (CASE WHEN len(list_intersect(ws,
+        |         ['the','a','an','and','of','to','in','is','it','that'])) > 0
+        |            THEN 1.0 ELSE 0.5 END) * 0.2,
+        |  6) AS quality
+        |FROM s""".stripMargin,
+
+    "doc_lang" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_intersect(ws, ['the','a','and','of','to','in','is','it','that','for','with','this'])) AS s_en,
+        |  len(list_intersect(ws, ['le','la','les','de','et','un','une','est','que','pour','dans','des'])) AS s_fr,
+        |  len(list_intersect(ws, ['el','la','los','las','de','y','un','una','es','que','por','para'])) AS s_es,
+        |  len(list_intersect(ws, ['der','die','das','und','ein','eine','ist','von','zu','mit','den','nicht'])) AS s_de,
+        |  len(list_intersect(ws, ['的','了','是','我','不','在','有','他','这','人','们','中'])) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, CASE
+        |  WHEN greatest(s_en, s_fr, s_es, s_de, s_zh) = 0 THEN 'und'
+        |  WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
+        |  WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+        |  WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+        |  WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+        |  ELSE 'zh' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "doc_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(CASE WHEN len(string_split(text, ' ')) >= 3
+        |      THEN len(list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+        |           for i in range(1, len(string_split(text, ' ')) - 1)]))
+        |      ELSE 0 END AS BIGINT) AS n_grams3
+        |FROM documents""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |       THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp
+        |FROM (
+        |  SELECT doc_id,
+        |         list_reduce(
+        |           list_prepend(0::HUGEINT,
+        |             [ord(c)::HUGEINT for c in regexp_extract_all(text, '.')]),
+        |           (acc, b) -> (acc * 31 + b) % 18446744073709551616::HUGEINT) AS h
+        |  FROM documents)""".stripMargin,
+  )
 }

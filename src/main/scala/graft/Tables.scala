@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Loaders for the driver-generated testdata tables (see TESTDATA.md).
   *
@@ -23,7 +24,20 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read it as raw nanos (legacy flag) and truncate to a
+    * microsecond timestamp — the same truncation DuckDB applies, so both
+    * engines see identical values. Integer `div` (not `/`) — ns since epoch
+    * exceeds 2^53, double division would lose precision. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

@@ -25,15 +25,23 @@ object Text {
 
   /** Distinct word n-gram shingles — the unit of Jaccard/MinHash dedup.
     * Implemented as slice+transform over the token array (no explode here;
-    * callers explode only when they need the (doc, gram) relation). */
-  def wordNGrams(text: Column, n: Int): Column = {
-    val ws = tokens(text)
+    * callers explode only when they need the (doc, gram) relation).
+    *
+    * NOTE for hot paths: this inlines the tokenizer into every reference,
+    * so feed it short texts or pre-tokenize — [[graft.operators.Dedup
+    * .shingles]] materializes the token array once and uses
+    * [[nGramsFromTokens]]. */
+  def wordNGrams(text: Column, n: Int): Column = nGramsFromTokens(tokens(text), n)
+
+  /** N-grams over an ALREADY-tokenized array column — `ws` should be a
+    * plain attribute (computed once per row), not an expression, or the
+    * per-position lambda re-evaluates it O(tokens) times. */
+  def nGramsFromTokens(ws: Column, n: Int): Column =
     when(size(ws) >= n,
       array_distinct(
         transform(sequence(lit(0), size(ws) - n),
-          i => concat_ws(" ", slice(ws, i + 1, n)))))
+          i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Heuristic document-quality score in [0,1]: blends token count (longer
     * is better up to a cap), mean token length sanity, alpha ratio, and

@@ -3,21 +3,23 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` / `array<double>` embedding columns,
-  * built from codegen'd higher-order functions (`zip_with`, `aggregate`) —
-  * no UDF serialization boundary, stays inside whole-stage codegen.
+/** Vector math over `array<float>` / `array<double>` embedding columns.
+  *
+  * The dot product — the only per-pair inner loop on the similarity path —
+  * is a custom codegen'd Catalyst expression ([[graft.functions.expressions
+  * .DotProduct]]): the higher-order `aggregate(zip_with(...))` form is
+  * CodegenFallback (interpreted, allocates an intermediate array per pair)
+  * and measured orders of magnitude slower on all-pairs workloads.
   *
   * Accumulation is a sequential left fold in double precision; the DuckDB
   * oracles mirror the same operation order so results are bit-comparable.
   */
 object Vectors {
 
-  /** Elementwise dot product in double precision. */
+  /** Elementwise dot product in double precision (codegen'd loop). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.functions.expressions.DotProduct(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

@@ -3,7 +3,7 @@ package graft.functions.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: 64-bit polynomial rolling hash over a
@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
 case class RollingHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  // No `inputTypes` override: AbstractDataType is private[sql] in Spark 4.1;
+  // checkInputDataTypes below enforces the same contract.
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

@@ -1,0 +1,50 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Overwrite-mode sinks mirroring the reference's full-refresh semantics:
+  * every hourly run drops + recreates its KPI tables and re-uploads the
+  * CSVs with replace=True (`/root/reference/dags/music_streaming_etl_dags
+  * .py:253-280`, `:317-329`). In Spark, `mode=Overwrite` subsumes the
+  * DROP/CREATE + COPY pair.
+  *
+  * KPI outputs are tiny (≈genres×dates rows / ≤24 hourly rows) so
+  * `singleFile` coalesces to 1 part to mirror the reference's one-CSV
+  * output; large fact sinks must leave it false (parallel writers).
+  */
+object Sinks {
+
+  /** CSV sink. `nullValue=""` round-trips NULLs the way the COPY options
+    * BLANKSASNULL/EMPTYASNULL expect them on re-load. */
+  def csv(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("nullValue", "")
+      .csv(path)
+
+  def parquet(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Warehouse table overwrite — the DROP IF EXISTS + CREATE + COPY
+    * sequence (`:253-280` + `:382-410`) as one saveAsTable. */
+  def table(df: DataFrame, name: String): Unit =
+    df.write.mode(SaveMode.Overwrite).saveAsTable(name)
+
+  /** Serialize an array column to its string form at the sink boundary
+    * (the reference stringifies `top_artists` via to_csv — a Python list
+    * repr; we keep the typed array internally and emit a stable
+    * comma-joined form, SURVEY.md §7.4.3). */
+  def serializeArray(df: DataFrame, colName: String): DataFrame =
+    df.withColumn(colName, concat_ws(",", transform(col(colName), _.cast("string"))))
+
+  /** Python-list-repr variant for byte-parity with the reference CSVs:
+    * `['a', 'b']`. */
+  def serializeArrayPyRepr(df: DataFrame, colName: String): DataFrame =
+    df.withColumn(colName,
+      concat(lit("["),
+        concat_ws(", ", transform(col(colName), v => concat(lit("'"), v.cast("string"), lit("'")))),
+        lit("]")))
+}

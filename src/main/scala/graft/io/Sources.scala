@@ -1,0 +1,87 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Source readers with declared schemas — no runtime inference on
+  * production paths (the reference re-infers CSV dtypes at every stage,
+  * its weakest point; see SURVEY.md §1.2).
+  *
+  * CSV option semantics mirror the reference's Redshift COPY options
+  * (`/root/reference/dags/music_streaming_etl_dags.py:83-92`):
+  * MAXERROR 0 → FAILFAST, BLANKSASNULL/EMPTYASNULL → nullValue "",
+  * IGNOREHEADER 1 → header true, TIMEFORMAT auto → timestampFormat default.
+  */
+object Sources {
+
+  /** users — reference DDL `/root/reference/sql/create_tables.sql:4-10`. */
+  val usersSchema: StructType = StructType(Seq(
+    StructField("user_id", IntegerType, nullable = false),
+    StructField("user_name", StringType),
+    StructField("user_age", IntegerType),
+    StructField("user_country", StringType),
+    StructField("created_at", DateType)))
+
+  /** songs — reference DDL `/root/reference/sql/create_tables.sql:15-52`
+    * (Spotify-tracks shape; CSV column `key` arrives renamed `song_key`,
+    * see [[renameColumns]]). */
+  val songsSchema: StructType = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("track_id", StringType),
+    StructField("artists", StringType),
+    StructField("album_name", StringType),
+    StructField("track_name", StringType),
+    StructField("popularity", IntegerType),
+    StructField("duration_ms", IntegerType),
+    StructField("explicit", BooleanType),
+    StructField("danceability", DoubleType),
+    StructField("energy", DoubleType),
+    StructField("song_key", IntegerType),
+    StructField("loudness", DoubleType),
+    StructField("mode", IntegerType),
+    StructField("speechiness", DoubleType),
+    StructField("acousticness", DoubleType),
+    StructField("instrumentalness", DoubleType),
+    StructField("liveness", DoubleType),
+    StructField("valence", DoubleType),
+    StructField("tempo", DoubleType),
+    StructField("time_signature", IntegerType),
+    StructField("track_genre", StringType)))
+
+  /** streams — header `/root/reference/data/streams/streams1.csv:1`,
+    * timestamp parse at `dags/music_streaming_etl_dags.py:118`. */
+  val streamsSchema: StructType = StructType(Seq(
+    StructField("user_id", IntegerType),
+    StructField("track_id", StringType),
+    StructField("listen_time", TimestampType)))
+
+  /** Strict CSV read: declared schema, FAILFAST on malformed rows
+    * (COPY MAXERROR 0), empty string → NULL (BLANKSASNULL/EMPTYASNULL).
+    * `paths` may be a glob or many shard paths — the multi-file union is
+    * the engine-native form of the reference's concat of 3 S3 objects
+    * (U1, `dags/music_streaming_etl_dags.py:113-120`). */
+  def csv(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .option("nullValue", "")
+      .schema(schema)
+      .csv(paths: _*)
+
+  /** Permissive dev-convenience variant (schema inference): NOT for
+    * production paths. */
+  def csvInferred(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(paths: _*)
+
+  def parquet(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.parquet(paths: _*)
+
+  /** Rename source columns to warehouse names (reference: CSV `key` →
+    * DB `song_key`, `sql/load_data_into_rds.ipynb` column_mappings). */
+  def renameColumns(df: DataFrame, mapping: (String, String)*): DataFrame =
+    mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+
+  def users(spark: SparkSession, path: String): DataFrame = csv(spark, usersSchema, path)
+  def songs(spark: SparkSession, path: String): DataFrame = csv(spark, songsSchema, path)
+  def streams(spark: SparkSession, paths: String*): DataFrame = csv(spark, streamsSchema, paths: _*)
+}

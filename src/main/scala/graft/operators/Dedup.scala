@@ -34,9 +34,19 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
-  /** The (id, shingle) relation: distinct word n-grams per document. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(Text.wordNGrams(col(textCol), n)).as("gram"))
+  /** The (id, shingle) relation: distinct word n-grams per document.
+    *
+    * Tokenizes ONCE into a named column before deriving grams — inlining
+    * `split` into the per-position gram lambda re-splits the text for
+    * every position (O(tokens²) interpreted work per doc; HOF lambdas are
+    * CodegenFallback). The [[Partitions.widen]] exchange also fans a
+    * small single-row-group scan out across the executors before the
+    * expensive stage. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__ws"))
+    Partitions.widen(toks, col(idCol))
+      .select(col(idCol), explode(Text.nGramsFromTokens(col("__ws"), n)).as("gram"))
+  }
 
   /** Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, similarity ≥
     * threshold). `maxGramFreq` drops shingles shared by more than that many
@@ -54,7 +64,11 @@ object Dedup {
           .filter(col("f") > maxGramFreq).select("gram")
         sh.join(broadcast(hot), Seq("gram"), "left_anti")
       }
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    // Sizes come from the SAME (possibly frequency-capped) relation as the
+    // intersection, so numerator and denominator see one shingle universe —
+    // capping then redefines Jaccard over the capped universe instead of
+    // silently underestimating it (one-sided bias otherwise).
+    val sizes = shCapped.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
     val inter = shCapped.as("a")
       .join(shCapped.as("b"),
         col("a.gram") === col("b.gram") && col(s"a.$idCol") < col(s"b.$idCol"))
@@ -123,14 +137,16 @@ object Dedup {
     * as 64 conditional-sum aggregates — fully codegen'd, map-side
     * combinable, one shuffle on id. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(Text.tokens(col(textCol))).as("w"))
+    val tok = Partitions.widen(
+        df.select(col(idCol), Text.tokens(col(textCol)).as("__ws")), col(idCol))
+      .select(col(idCol), explode(col("__ws")).as("w"))
       .withColumn("h", xxhash64(col("w")))
     val bitSums = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L) << i) =!= 0, 1).otherwise(-1)).as(s"b$i")
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i")
     }
     val agged = tok.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
     val simhash = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, lit(1L) << i).otherwise(0L))
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
       .reduce((a, b) => a.bitwiseOR(b))
     agged.select(col(idCol), simhash.as("simhash"))
   }

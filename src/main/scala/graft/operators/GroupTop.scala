@@ -68,5 +68,7 @@ object GroupTop {
     * reference stringifying its top_artists list at the CSV boundary). */
   def topKConcat(df: DataFrame, groupCols: Seq[String], valueCol: String, k: Int, out: String): DataFrame =
     topK(df, groupCols, valueCol, k, out)
-      .withColumn(out, concat_ws(",", col(out)))
+      // cast elements first: concat_ws on a non-string array (numeric
+      // valueCol) raises an AnalysisException otherwise
+      .withColumn(out, concat_ws(",", transform(col(out), v => v.cast("string"))))
 }

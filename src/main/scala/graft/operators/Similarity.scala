@@ -23,25 +23,49 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Hard cap on the corpus size the exact all-pairs operators will accept
+    * (override via spark.conf `graft.similarity.maxExactRows`). The
+    * brute-force paths are |Q|×|C| — correct as oracles, catastrophic as
+    * the default path at 100 TB; the gate makes the scale-out choice
+    * explicit instead of silent. */
+  private val MaxExactRowsKey = "graft.similarity.maxExactRows"
+  private val MaxExactRowsDefault = 100000L
+
+  private def gateExact(df: DataFrame, op: String): Unit = {
+    val max = df.sparkSession.conf.getOption(MaxExactRowsKey).map(_.toLong)
+      .getOrElse(MaxExactRowsDefault)
+    val n = df.limit((max + 1).toInt).count()
+    require(n <= max,
+      s"$op is an exact all-pairs operator and the corpus exceeds $max rows " +
+        s"(set $MaxExactRowsKey to raise, or use lshTopK/ivfTopK — the scale path)")
+  }
+
   /** Vectors with precomputed double-cast embedding and L2 norm — compute
-    * once, reuse across every pairwise comparison. */
+    * once, reuse across every pairwise comparison. Widened first: a small
+    * single-row-group embedding file scans as ONE task, which would
+    * serialize the entire pairwise stage on one core. */
   def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(
-      col(idCol),
-      col(vecCol).cast("array<double>").as("vec"),
-      Vectors.l2Norm(col(vecCol)).as("norm"))
+    Partitions.widen(df.select(col(idCol), col(vecCol)), col(idCol))
+      .select(
+        col(idCol),
+        col(vecCol).cast("array<double>").as("vec"),
+        Vectors.l2Norm(col(vecCol)).as("norm"))
 
   /** Exact cosine top-k neighbors for each query vector.
     * Output: (query_id, neighbor_id, cosine_sim, rank), rank 1..k by
     * (similarity DESC, neighbor_id ASC) — deterministic ties. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    gateExact(corpus, "bruteForceTopK")
     val q = withNorm(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
     val c = withNorm(corpus, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
+    // round(6) before ranking: float-sum order differs across engines by
+    // ~1 ulp; ranking on the rounded value + id tie-break makes the top-k
+    // set reproducible and oracle-comparable.
     val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine_sim",
-        Vectors.dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+        round(Vectors.dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -49,21 +73,26 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine_sim", "rank")
   }
 
-  /** Random-hyperplane signature: `nBits` sign bits of dot(vec, h_i), where
-    * hyperplane components are derived deterministically from xxhash64 —
-    * reproducible across runs with no stored model. */
+  /** Random-hyperplane signature: `nBits` sign bits of dot(vec, h_i).
+    * Hyperplane components are Rademacher ±1 values derived driver-side from
+    * a splitmix64-style mix of (bit, component) — reproducible across runs
+    * with no stored model, and baked into the plan as array literals so
+    * codegen folds them (no per-row hyperplane recomputation). */
+  private[operators] def rademacher(b: Int, dim: Int): Seq[Double] =
+    Seq.tabulate(dim) { j =>
+      var z = b.toLong * 0x9E3779B97F4A7C15L + j.toLong + 1L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      if ((z & 1L) == 0L) 1.0 else -1.0
+    }
+
   private def hyperplaneSig(vec: org.apache.spark.sql.Column, dim: Int, nBits: Int): org.apache.spark.sql.Column = {
     val bits = (0 until nBits).map { b =>
-      // h_b[j] in {-1,+1} from the parity of xxhash64(b, j): a cheap
-      // Rademacher hyperplane (standard SRP-LSH construction).
       val dotH = aggregate(
-        zip_with(
-          col("vec"),
-          transform(sequence(lit(0), lit(dim - 1)),
-            j => when(xxhash64(lit(b), j).bitwiseAND(1L) === 0L, 1.0).otherwise(-1.0)),
-          (x, h) => x * h),
+        zip_with(vec, typedlit(rademacher(b, dim)), (x, h) => x * h),
         lit(0.0), (acc, v) => acc + v)
-      when(dotH >= 0, lit(1L) << b).otherwise(0L)
+      when(dotH >= 0, lit(1L << b)).otherwise(0L)
     }
     bits.reduce((a, c) => a.bitwiseOR(c))
   }
@@ -80,14 +109,13 @@ object Similarity {
       col(idCol).as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"),
       explode(concat(
         array(col("bucket")),
-        transform(sequence(lit(0), lit(nBits - 1)),
-          b => col("bucket").bitwiseXOR(lit(1L) << b)))).as("bucket"))
+        array((0 until nBits).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*))).as("bucket"))
     val corpus = base.select(
       col(idCol).as("neighbor_id"), col("vec").as("cvec"), col("norm").as("cnorm"), col("bucket"))
     val scored = probes.join(corpus, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine_sim",
-        Vectors.dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+        round(Vectors.dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")), 6))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
     scored
@@ -120,7 +148,7 @@ object Similarity {
     val scored = probed.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine_sim",
-        Vectors.dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+        round(Vectors.dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")), 6))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -132,6 +160,7 @@ object Similarity {
     * cosine ≥ threshold. Exact form is an all-pairs comparison — callers
     * bound one side or use [[lshTopK]] at scale. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    gateExact(df, "embeddingNearDupPairs")
     val base = withNorm(df, idCol, vecCol)
     val a = base.select(col(idCol).as("id_a"), col("vec").as("va"), col("norm").as("na"))
     val b = base.select(col(idCol).as("id_b"), col("vec").as("vb"), col("norm").as("nb"))

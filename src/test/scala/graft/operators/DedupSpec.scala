@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps"),
+    (2L, "the quick brown fox jumps"),   // exact dup of 1
+    (3L, "the quick brown fox leaps"),   // near-dup of 1
+    (4L, "completely different text here entirely"),
+    (5L, "the quick brown fox jumps")    // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactGroups keeps min id and counts dups") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(g(1L) == 3)
+    assert(g(3L) == 1)
+    assert(g(4L) == 1)
+  }
+
+  test("exactDedup keeps exactly the min-id row per distinct text") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("jaccardPairs matches hand-computed trigram Jaccard") {
+    // doc1/doc3 trigrams: {tqb,qbf,bfj} vs {tqb,qbf,bfl} → inter 2, union 4 → 0.5
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val d13 = pairs.find(p => p._1 == 1L && p._2 == 3L)
+    assert(d13.exists(_._3 == 0.5))
+    // identical docs → jaccard 1.0
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    // doc4 shares no trigram with doc1
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
+  }
+
+  test("jaccardPairs maxGramFreq caps hot shingles consistently") {
+    // "the quick brown" appears in 4 docs; capping at 3 removes it from both
+    // numerator and denominator (same shingle universe both sides).
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.0, maxGramFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0) // identical docs still 1.0 on capped universe
+  }
+
+  test("minHash signature has requested width and identical docs agree") {
+    val sig = Dedup.minHashSignatures(docs, "doc_id", "text", n = 3, numHashes = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(1L).size == 16)
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(4L))
+  }
+
+  test("minHashLshPairs finds exact and near dups, estimates sensibly") {
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L))) // true jaccard 0.5 → est above 0.3 with 64 hashes
+  }
+
+  test("simHash of identical docs equal; simHashPairs finds them at distance 0") {
+    val sh = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs((2L, 5L)) == 0)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 unit-ish vectors in 4-d: v1≈v2, v3 orthogonal-ish, v4 opposite v1.
+  private def vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+    (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks nearest first with deterministic ties") {
+    val out = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(out((1L, 1)) == 2L) // v2 closest to v1
+    assert(out((2L, 1)) == 1L)
+    assert(out((4L, 2)) != 1L || out((4L, 1)) != 1L) // v1 is v4's worst match
+  }
+
+  test("bruteForceTopK cosine values match hand computation") {
+    val out = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected12 = 0.9 / math.sqrt(0.81 + 0.01)
+    assert(math.abs(out((1L, 2L)) - expected12) < 1e-5)
+    assert(out((1L, 3L)) == 0.0)
+    assert(out((1L, 4L)) == -1.0)
+  }
+
+  test("lshTopK achieves high recall vs brute force on clustered data") {
+    // 40 vectors in 8-d: 4 clusters of 10 near-identical vectors.
+    val data = (0 until 40).map { i =>
+      val c = i % 4
+      val base = Array.fill(8)(0.0f)
+      base(c * 2) = 1.0f
+      base((c * 2 + 1) % 8) = 0.3f + (i / 4) * 0.01f
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(data, data, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(data, "vec_id", "embedding", dim = 8, nBits = 6, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall was $recall")
+  }
+
+  test("ivfTopK finds within-cluster neighbors") {
+    val data = (0 until 24).map { i =>
+      val c = i % 3
+      val base = Array.fill(6)(0.0f)
+      base(c * 2) = 1.0f
+      base(c * 2 + 1) = 0.2f + (i / 3) * 0.01f
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(data, "vec_id", "embedding", nlist = 6, nprobe = 3, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every reported neighbor pair shares the same cluster (i % 3)
+    assert(out.nonEmpty)
+    assert(out.forall { case (q, n) => q % 3 == n % 3 })
+  }
+
+  test("embeddingNearDupPairs returns only pairs above threshold, id_a < id_b") {
+    val out = Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 2L)))
+  }
+
+  test("exact all-pairs operators refuse oversized corpora unless overridden") {
+    spark.conf.set("graft.similarity.maxExactRows", "3")
+    try {
+      val e = intercept[IllegalArgumentException](
+        Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 1).collect())
+      assert(e.getMessage.contains("lshTopK"))
+      intercept[IllegalArgumentException](
+        Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.5).collect())
+      spark.conf.set("graft.similarity.maxExactRows", "100")
+      assert(Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 1).count() > 0)
+    } finally spark.conf.unset("graft.similarity.maxExactRows")
+  }
+
+  test("rademacher hyperplanes are deterministic and balanced-ish") {
+    val h1 = Similarity.rademacher(3, 64)
+    val h2 = Similarity.rademacher(3, 64)
+    assert(h1 == h2)
+    val pos = h1.count(_ > 0)
+    assert(pos > 16 && pos < 48) // not degenerate
+  }
+}

@@ -1,0 +1,64 @@
+package graft.quality
+
+import graft.SparkSpec
+
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1, Some("a"), 5),
+    (2, None, 30),
+    (3, Some("c"), 10)
+  ).toDF("id", "name", "hour")
+
+  test("NotEmpty passes on non-empty, fails on empty") {
+    assert(Checks.run(df, Seq(NotEmpty)).passed)
+    assert(!Checks.run(df.filter($"id" > 99), Seq(NotEmpty)).passed)
+  }
+
+  test("NoNulls counts violations per column set") {
+    val r = Checks.run(df, Seq(NoNulls(Seq("id", "name"))))
+    assert(!r.passed)
+    assert(r.results.head.violations == 1)
+    assert(Checks.run(df, Seq(NoNulls(Seq("id", "hour")))).passed)
+  }
+
+  test("InRange flags out-of-range non-null values only") {
+    val r = Checks.run(df, Seq(InRange("hour", 0, 23)))
+    assert(r.results.head.violations == 1)
+    assert(Checks.run(df, Seq(InRange("hour", 0, 30))).passed)
+  }
+
+  test("Unique detects duplicate keys") {
+    val dup = df.union(df.filter($"id" === 1))
+    assert(!Checks.run(dup, Seq(Unique(Seq("id")))).passed)
+    assert(Checks.run(df, Seq(Unique(Seq("id")))).passed)
+  }
+
+  test("all scalar checks evaluate in one pass and report together") {
+    val r = Checks.run(df, Seq(NotEmpty, NoNulls(Seq("name")), InRange("hour", 0, 23)))
+    assert(r.results.size == 3)
+    assert(r.results.count(!_.passed) == 2)
+  }
+
+  test("enforce throws with every failing check named") {
+    val r = Checks.run(df, Seq(NoNulls(Seq("name")), InRange("hour", 0, 23)))
+    val e = intercept[IllegalStateException](r.enforce())
+    assert(e.getMessage.contains("no_nulls"))
+    assert(e.getMessage.contains("in_range"))
+  }
+
+  test("referentialIntegrity counts orphans, ignores null FKs") {
+    val fact = Seq(Some(1), Some(2), Some(9), None).toDF("fk")
+    val dim = Seq(1, 2, 3).toDF("pk")
+    val r = Checks.referentialIntegrity(fact, "fk", dim, "pk")
+    assert(r.violations == 1 && !r.passed)
+  }
+
+  test("nullAudit returns one row of per-column null counts") {
+    val row = Checks.nullAudit(df, Seq("id", "name")).collect().head
+    assert(row.getLong(0) == 3)      // n_rows
+    assert(row.getLong(1) == 0)      // null_id
+    assert(row.getLong(2) == 1)      // null_name
+  }
+}
