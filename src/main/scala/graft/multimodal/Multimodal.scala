@@ -89,6 +89,37 @@ object Multimodal {
     transform(counts, v => round(v / s, 6))
   }
 
+  /** The mapPartitions decode path — the deployment shape for a NATIVE
+    * codec (libjpeg/ffmpeg): the decoder context is initialized once per
+    * PARTITION and amortized across its rows, never per row. The decode
+    * itself is stubbed (no codec libraries in this environment) with a
+    * real byte-histogram feature computation over the payload, so the
+    * partitioning, schema evolution and batch shape are production-true
+    * and only `decodeOne`'s body changes at deployment. */
+  def decodePartitions(df: DataFrame, bins: Int = 64): DataFrame = {
+    val outSchema = df.schema.add("features", ArrayType(DoubleType, containsNull = false))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      // per-partition "codec init" (stub): one reusable histogram buffer
+      val buf = new Array[Long](bins)
+      def decodeOne(payload: Array[Byte]): Array[Double] = {
+        java.util.Arrays.fill(buf, 0L)
+        var i = 0
+        while (i < payload.length) { buf((payload(i) & 0xff) % bins) += 1; i += 1 }
+        val n = math.max(1, payload.length).toDouble
+        val out = new Array[Double](bins)
+        i = 0
+        while (i < bins) { out(i) = buf(i) / n; i += 1 }
+        out
+      }
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val feats = if (payload == null) new Array[Double](bins) else decodeOne(payload)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ feats.toSeq)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Frame/segment sampling plumbing: emit `k` logical sample offsets per
     * asset (time- or byte-based) as one row each — the fan-out a video
     * frame-sampler produces, without the codec. Downstream operators see

@@ -130,20 +130,33 @@ object Similarity {
     * nearest centroid; each query probes the `nprobe` nearest cells. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, nlist: Int, nprobe: Int, k: Int): DataFrame = {
     val base = withNorm(df, idCol, vecCol)
-    val centroids = base
+    // Centroids are collected driver-side ONCE (nlist rows — tiny by
+    // construction, like any trained IVF codebook) and re-enter the plan as
+    // a literal local relation: the assignment and probe joins each
+    // reference `centroids`, and leaving it as a subplan would re-execute
+    // the scan+sort+limit once per reference.
+    val centroidRows = base
       .withColumn("__h", xxhash64(col(idCol)))
       .orderBy("__h").limit(nlist)
-      .select(col(idCol).as("cell"), col("vec").as("centvec"), col("norm").as("centnorm"))
-    def nearestCells(v: DataFrame, n: Int, outPrefix: String): DataFrame = {
-      val scored = v.join(broadcast(centroids), lit(true))
-        .withColumn("__sim", Vectors.dot(col("vec"), col("centvec")) / (col("norm") * col("centnorm")))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cell").asc)
-      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n)
-        .select(col(idCol), col("vec"), col("norm"), col("cell"))
-    }
-    val assigned = nearestCells(base, 1, "c")
+      .select(col(idCol).cast("long").as("cell"), col("vec"), col("norm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toSeq
+    val session = df.sparkSession
+    import session.implicits._
+    val centroids = centroidRows.toDF("cell", "centvec", "centnorm")
+    // One centroid-scoring pass + one ranking window serves both roles:
+    // rank 1 = the vector's cell (assignment), rank ≤ nprobe = the cells
+    // it probes as a query.
+    val wCells = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cell").asc)
+    val ranked = base.join(broadcast(centroids), lit(true))
+      .withColumn("__sim", Vectors.dot(col("vec"), col("centvec")) / (col("norm") * col("centnorm")))
+      .withColumn("__rn", row_number().over(wCells))
+      .filter(col("__rn") <= math.max(1, nprobe))
+      .select(col(idCol), col("vec"), col("norm"), col("cell"), col("__rn"))
+    val assigned = ranked.filter(col("__rn") === 1)
       .select(col(idCol).as("neighbor_id"), col("vec").as("cvec"), col("norm").as("cnorm"), col("cell"))
-    val probed = nearestCells(base, nprobe, "q")
+    val probed = ranked
       .select(col(idCol).as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"), col("cell"))
     val scored = probed.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

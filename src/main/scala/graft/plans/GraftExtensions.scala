@@ -1,0 +1,50 @@
+package graft.plans
+
+import graft.functions.expressions.{DotProduct, RollingHash}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers graft's custom Catalyst expressions as SQL functions, so
+  * `spark.sql("SELECT rolling_hash(text) ...")` works exactly like the
+  * Column API.
+  *
+  * Two installation paths, same function list:
+  *  - builder-time (config `spark.sql.extensions=graft.plans.GraftExtensions`
+  *    or `SparkSession.builder.withExtensions(new GraftExtensions)`);
+  *  - [[GraftExtensions.install]] on an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val functions: Seq[FunctionDescription] = Seq(
+    (
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "rolling_hash(text) takes exactly 1 argument")
+        RollingHash(args.head)
+      }),
+    (
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product(a, b) takes exactly 2 arguments")
+        DotProduct(args(0), args(1))
+      }))
+
+  /** Register on a live session (extensions only apply at builder time). */
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    functions.foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
+  }
+}

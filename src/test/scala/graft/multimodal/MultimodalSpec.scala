@@ -40,6 +40,20 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(sum - 1.0) < 1e-3) // L1-normalized
   }
 
+  test("decodePartitions (mapPartitions codec shape) computes true byte histograms") {
+    val out = Multimodal.decodePartitions(assets, bins = 8).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        r.getAs[scala.collection.Seq[Double]]("features").toSeq).toMap
+    assert(out.values.forall(_.size == 8))
+    assert(out(1L) == out(2L))            // identical payloads
+    // asset 3 payload = six 0x09 bytes → all mass in bin 9 % 8 = 1
+    assert(out(3L)(1) == 1.0)
+    assert(out(3L).sum == 1.0)
+    // schema evolution preserved the original columns
+    val cols = Multimodal.decodePartitions(assets, 8).schema.fieldNames.toSeq
+    assert(cols == Seq("asset_id", "modality", "mime_type", "payload", "meta", "features"))
+  }
+
   test("sampleOffsets fans out k ordered offsets per asset") {
     val s = Multimodal.sampleOffsets(assets, k = 3)
       .collect().map(r => (r.getAs[Long]("asset_id"), r.getAs[Int]("sample_idx"), r.getAs[Long]("byte_offset")))

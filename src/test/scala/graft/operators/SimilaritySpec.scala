@@ -81,6 +81,16 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("graft.similarity.maxExactRows")
   }
 
+  test("Partitions.widen fans out narrow inputs and leaves wide ones alone") {
+    import org.apache.spark.sql.functions.col
+    val narrow = vecs.coalesce(1)
+    val widened = Partitions.widen(narrow, col("vec_id"))
+    assert(widened.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    val alreadyWide = vecs.repartition(spark.sparkContext.defaultParallelism)
+    val untouched = Partitions.widen(alreadyWide, col("vec_id"))
+    assert(untouched.rdd.getNumPartitions == alreadyWide.rdd.getNumPartitions)
+  }
+
   test("rademacher hyperplanes are deterministic and balanced-ish") {
     val h1 = Similarity.rademacher(3, 64)
     val h2 = Similarity.rademacher(3, 64)

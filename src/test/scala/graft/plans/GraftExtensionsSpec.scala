@@ -1,0 +1,44 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.expressions.{DotProduct, RollingHash}
+import org.apache.spark.sql.functions._
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("install registers rolling_hash and dot_product as SQL functions") {
+    val s = spark.newSession()
+    GraftExtensions.install(s)
+
+    val h = s.sql("SELECT rolling_hash('hello world') AS h").collect().head.getLong(0)
+    assert(h == RollingHash.hashBytes("hello world".getBytes("UTF-8")))
+
+    val d = s.sql(
+      "SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(d == 32.0)
+  }
+
+  test("SQL form matches the Column API form") {
+    val s = spark.newSession()
+    GraftExtensions.install(s)
+    import s.implicits._
+    Seq("a", "xyz", "").toDF("t").createOrReplaceTempView("tv")
+    val viaSql = s.sql("SELECT rolling_hash(t) FROM tv").as[Long].collect().toSeq
+    val viaCol = Seq("a", "xyz", "").toDF("t")
+      .select(graft.functions.Text.fingerprint(col("t"))).as[Long].collect().toSeq
+    assert(viaSql == viaCol)
+  }
+
+  test("dot_product handles empty arrays and mismatched use is type-checked") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq.empty[Double], Seq.empty[Double]),
+      (Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    val out = df.select(DotProduct(col("a"), col("b")).as("d")).as[Double].collect()
+    assert(out.toSeq == Seq(0.0, 11.0))
+    // wrong input type → analysis-time failure, not runtime garbage
+    val bad = Seq((1, 2)).toDF("a", "b")
+    intercept[Exception](bad.select(DotProduct(col("a"), col("b"))).collect())
+  }
+}
