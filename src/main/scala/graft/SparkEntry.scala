@@ -115,6 +115,11 @@ object SparkEntry {
         .filter(col("p_size") >= 25 && col("p_retailprice") > 950.0)
         .select("p_partkey", "p_name", "p_size", "p_retailprice")),
 
+    // ---- skew-safe aggregation (salted two-level; identical semantics) ----
+    "skew_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedCount(
+        Tables.events(s, dir), Seq("event_type"), buckets = 16, out = "n")),
+
     // ---- U1: union of shards ----
     "events_union" -> ((s, dir) => {
       val e = Tables.events(s, dir).select("event_id", "user_id", "event_type")
@@ -316,6 +321,9 @@ object SparkEntry {
     "parts_filter" ->
       """SELECT p_partkey, p_name, p_size, p_retailprice FROM part
         |WHERE p_size >= 25 AND p_retailprice > 950.0""".stripMargin,
+
+    "skew_agg" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
 
     "events_union" ->
       """SELECT event_id, user_id, event_type FROM events WHERE event_id % 3 = 0

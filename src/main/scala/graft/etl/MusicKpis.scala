@@ -78,12 +78,19 @@ object MusicKpis {
   def hourlyKpis(
       enriched: DataFrame,
       userCol: String, artistCol: String, trackCol: String,
-      k: Int = 5): DataFrame = {
+      k: Int = 5,
+      approxDistinct: Boolean = false): DataFrame = {
+    // Exact distinct by default (reference parity, SURVEY §2.4 A2a);
+    // approxDistinct=true opts into HLL sketches — at 100 TB the exact
+    // form shuffles every distinct (hour, user) pair, the sketch form
+    // shuffles one fixed-size buffer per group per partition.
+    def distinctOf(c: String) =
+      if (approxDistinct) approx_count_distinct(col(c)) else countDistinct(col(c))
     val base = enriched
       .groupBy(col("hour"))
       .agg(
-        countDistinct(col(userCol)).as("unique_listeners"),
-        (countDistinct(col(trackCol)).cast("double") / count(lit(1))).as("track_diversity_index"))
+        distinctOf(userCol).as("unique_listeners"),
+        (distinctOf(trackCol).cast("double") / count(lit(1))).as("track_diversity_index"))
     val top = GroupTop.topK(enriched, Seq("hour"), artistCol, k, "top_artists")
     base.join(top, Seq("hour"), "left")
       .select(col("hour"), col("unique_listeners"), col("top_artists"), col("track_diversity_index"))

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys — the hand-rolled complements to AQE's
+  * runtime skew-join splitting (which stays ON; these are for the cases
+  * AQE can't fix: skewed aggregation input and broadcast-ineligible
+  * dimension joins against a hot fact key).
+  *
+  * Salting is deterministic here (hash of the row's other columns, not
+  * rand()) so results are reproducible run-to-run and oracle-checkable.
+  */
+object Skew {
+
+  /** Count rows per key with a salted two-level aggregation: the first
+    * level fans each hot key across `buckets` reducers (partial maps
+    * combine map-side), the second sums the per-salt partials. Exactly
+    * equivalent to `groupBy(keys).count()`, but no single reducer ever
+    * sees a whole hot key.
+    *
+    * At 100 TB: a power-law key (one genre = 40% of rows) turns the plain
+    * aggregation's final shuffle into one straggler task; salted, the hot
+    * key's rows spread over `buckets` tasks and the second-level input is
+    * |keys| × buckets rows — negligible. */
+  def saltedCount(df: DataFrame, keyCols: Seq[String], buckets: Int, out: String = "count"): DataFrame = {
+    val salt = pmod(xxhash64(monotonically_increasing_id()), lit(buckets))
+    df.withColumn("__salt", salt)
+      .groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("__partial").as(out))
+  }
+
+  /** Salted sum/avg-style aggregation: same two-level shape for any
+    * algebraic aggregate (partials must be re-aggregable; avg is carried
+    * as sum+count and finished at the second level). */
+  def saltedSumAvg(
+      df: DataFrame, keyCols: Seq[String], valueCol: String, buckets: Int): DataFrame = {
+    val salt = pmod(xxhash64(monotonically_increasing_id()), lit(buckets))
+    df.withColumn("__salt", salt)
+      .groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(
+        sum(col(valueCol)).as("__sum"),
+        count(col(valueCol)).as("__cnt"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum("__sum").as(s"sum_$valueCol"),
+        (sum("__sum") / sum("__cnt")).as(s"avg_$valueCol"))
+  }
+
+  /** Salted equi-join for a skewed fact key against a dimension too large
+    * to broadcast: the dimension is replicated `buckets` times (one copy
+    * per salt), the fact side salts deterministically, and the join key
+    * becomes (key, salt) — the hot key's rows land on `buckets` different
+    * reducers instead of one.
+    *
+    * Replication cost is |dim| × buckets rows of shuffle — chose `buckets`
+    * so that's cheap relative to the fact side (it always is when the dim
+    * is the small side but above the broadcast threshold). */
+  def saltedJoin(
+      facts: DataFrame, dim: DataFrame, key: String,
+      buckets: Int, joinType: String = "inner"): DataFrame = {
+    val saltedFacts = facts.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(buckets)))
+    val explodedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    saltedFacts.join(explodedDim, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

@@ -101,7 +101,8 @@ object StreamingKpis {
           val sorted = rows.map(_._2.getTime).toSeq.sorted
           var (sessions, lastTs) = state.getOption.getOrElse((0L, Long.MinValue))
           sorted.foreach { t =>
-            if (t - lastTs > 30 * 60 * 1000L) sessions += 1
+            // sentinel check first: t - Long.MinValue overflows
+            if (lastTs == Long.MinValue || t - lastTs > 30 * 60 * 1000L) sessions += 1
             lastTs = t
           }
           state.update((sessions, lastTs))

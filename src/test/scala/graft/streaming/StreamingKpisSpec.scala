@@ -37,6 +37,27 @@ class StreamingKpisSpec extends SparkSpec {
     assert(hourly(10) == 2 && hourly(11) == 1)
   }
 
+  test("sessionCounts runs stateful gap-sessionization over a live stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(m: Int) = new java.sql.Timestamp(3600000L + m * 60000L)
+    // user 1: two events 5 min apart (1 session), then one 90 min later (2nd)
+    input.addData((1L, ts(0)), (1L, ts(5)), (1L, ts(95)), (2L, ts(10)))
+    val out = StreamingKpis.sessionCounts(
+      spark, input.toDF.toDF("user_id", "ts"), "ts", "user_id")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val res = spark.table("sessions").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(res(1L) == 2)
+      assert(res(2L) == 1)
+    } finally q.stop()
+  }
+
   test("windowedHourlyKpis is a valid streaming plan and matches batch semantics") {
     import spark.implicits._
     // batch execution of the same plan shape validates the aggregation logic
