@@ -205,6 +205,9 @@ object SparkEntry {
     "near_dup_embeddings" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.4)),
+    "near_dup_lsh" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, nBits = 10, threshold = 0.4)),
 
     // ---- text analysis over documents ----
     "doc_quality" -> ((s, dir) =>

@@ -169,9 +169,35 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine_sim", "rank")
   }
 
+  /** Scale path for embedding near-dup: LSH-bucketed candidate pairs
+    * (same sign-pattern bucket, or differing in exactly one bit via the
+    * corpus-side probe expansion), scored exactly, thresholded. Shuffle
+    * volume is linear in corpus size; recall loss is bounded by the
+    * bucket-collision probability at the chosen `nBits` (cos θ ≥ t pairs
+    * agree on a random hyperplane with prob 1 − θ/π). */
+  def lshNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int, threshold: Double): DataFrame = {
+    val base = withNorm(df, idCol, vecCol).withColumn("bucket", hyperplaneSig(col("vec"), dim, nBits))
+    // expand ONE side into Hamming-1 probes so near-boundary pairs meet
+    val probes = base.select(
+      col(idCol).as("id_a"), col("vec").as("va"), col("norm").as("na"),
+      explode(concat(
+        array(col("bucket")),
+        array((0 until nBits).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*))).as("bucket"))
+    val corpus = base.select(
+      col(idCol).as("id_b"), col("vec").as("vb"), col("norm").as("nb"), col("bucket"))
+    probes.join(corpus, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine_sim", round(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .select("id_a", "id_b", "cosine_sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs with
-    * cosine ≥ threshold. Exact form is an all-pairs comparison — callers
-    * bound one side or use [[lshTopK]] at scale. */
+    * cosine ≥ threshold. Exact form is an all-pairs comparison (size-gated)
+    * — the oracle for [[lshNearDupPairs]], the scale path. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     gateExact(df, "embeddingNearDupPairs")
     val base = withNorm(df, idCol, vecCol)

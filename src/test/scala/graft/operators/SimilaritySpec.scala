@@ -62,6 +62,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall { case (q, n) => q % 3 == n % 3 })
   }
 
+  test("lshNearDupPairs recovers the exact near-dup pairs on clustered data") {
+    val data = (0 until 30).map { i =>
+      val c = i % 3
+      val base = Array.fill(6)(0.0f)
+      base(c * 2) = 1.0f
+      base(c * 2 + 1) = 0.1f + (i / 3) * 0.005f
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.embeddingNearDupPairs(data, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshNearDupPairs(data, "vec_id", "embedding",
+      dim = 6, nBits = 6, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall was $recall")
+    assert((approx diff exact).isEmpty) // scoring is exact → no false positives
+  }
+
   test("embeddingNearDupPairs returns only pairs above threshold, id_a < id_b") {
     val out = Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
