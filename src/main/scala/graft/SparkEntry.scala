@@ -229,6 +229,30 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
+    "doc_redact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.redact(col("text")).as("clean"))),
+
+    // ---- deterministic sampling / dataset splits ----
+    "sample_docs" -> ((s, dir) =>
+      graft.operators.Sampling.hashSample(
+          Tables.documents(s, dir), "doc_id", fraction = 0.25)
+        .select("doc_id", "lang", "source")),
+    "train_split" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.operators.Sampling.splitColumn(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .groupBy("split").agg(count(lit(1)).as("n_docs"))),
+
+    // ---- corpus-level rollup over the text stack ----
+    "corpus_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(length(col("text"))), 4).as("avg_chars"),
+          round(avg(size(split(col("text"), " "))), 4).as("avg_tokens"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -512,6 +536,34 @@ object SparkEntry {
         |           for i in range(1, len(string_split(text, ' ')) - 1)]))
         |      ELSE 0 END AS BIGINT) AS n_grams3
         |FROM documents""".stripMargin,
+
+    "doc_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(
+        |   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean
+        |FROM documents""".stripMargin,
+
+    "sample_docs" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10000 < 2500""".stripMargin,
+
+    "train_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10000 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 8000 THEN 'train'
+        |            WHEN bucket < 9000 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs
+        |FROM b GROUP BY 1""".stripMargin,
+
+    "corpus_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | round(avg(length(text)), 4) AS avg_chars,
+        | round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+        |FROM documents GROUP BY lang, source""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT doc_id,

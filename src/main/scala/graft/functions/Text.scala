@@ -106,4 +106,15 @@ object Text {
   /** Cryptographic-strength content key for exact dedup at scale (md5 of
     * text); identical across Spark and DuckDB, usable as a shuffle key. */
   def contentKey(text: Column): Column = md5(text)
+
+  /** PII scrub: replace email addresses and long digit/phone runs with
+    * placeholder tokens. Patterns avoid backreferences/lookaround so the
+    * same regex runs identically under Java regex (Spark) and RE2
+    * (DuckDB) — keep it that way if extending. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
 }

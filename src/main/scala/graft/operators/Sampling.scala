@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and dataset splitting for
+  * training-data pipelines.
+  *
+  * All decisions derive from `md5(key)` — NOT `rand()` — so:
+  *  - results are identical run-to-run, across cluster sizes, and across
+  *    engines (the DuckDB oracles compute the same buckets);
+  *  - a document keeps its sample/split assignment as the corpus grows
+  *    (critical for train/val/test hygiene: re-running the pipeline on an
+  *    appended corpus never moves an old doc from val into train);
+  *  - no shuffle, no state: pure per-row projection, fully codegen'd.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets): first 24 bits of md5(key) mod buckets. */
+  def hashBucket(key: Column, buckets: Int = 10000): Column =
+    (conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long") % buckets)
+      .as("bucket")
+
+  /** Keep a deterministic ~`fraction` of rows, keyed by `keyCol`. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double, buckets: Int = 10000): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    df.filter(hashBucket(col(keyCol), buckets) < (fraction * buckets).toLong)
+  }
+
+  /** Assign each row a named split by hash range, e.g.
+    * `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`. Fractions must
+    * sum to 1 (±1e-9); ranges are cumulative and stable. */
+  def splitColumn(key: Column, splits: Seq[(String, Double)], buckets: Int = 10000): Column = {
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split fractions must sum to 1")
+    val b = hashBucket(key, buckets)
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(c => (c * buckets).toLong)
+    splits.map(_._1).zip(cuts).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, (name, cut)) =>
+        when(b < cut, lit(name)).otherwise(acc)
+      }
+  }
+
+  /** Stratified deterministic sample: per-class keep fractions (classes
+    * absent from the map use `defaultFraction`). The class column only
+    * selects the threshold — assignment still depends on the key hash
+    * alone. */
+  def stratifiedSample(
+      df: DataFrame, keyCol: String, classCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      buckets: Int = 10000): DataFrame = {
+    val threshold = fractions.foldLeft(lit((defaultFraction * buckets).toLong)) {
+      case (acc, (cls, f)) =>
+        when(col(classCol) === cls, lit((f * buckets).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), buckets) < threshold)
+  }
+}

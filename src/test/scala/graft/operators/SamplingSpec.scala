@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (1L to 1000L).map(i => (i, if (i % 4 == 0) "en" else "fr")).toDF("id", "lang")
+
+  test("hashSample is deterministic and near the requested fraction") {
+    val a = Sampling.hashSample(docs, "id", 0.3).select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs, "id", 0.3).select("id").as[Long].collect().toSet
+    assert(a == b)
+    assert(a.size > 230 && a.size < 370) // ~300 ± sampling noise
+  }
+
+  test("hashSample is append-stable: a kept row stays kept in a superset") {
+    val small = Sampling.hashSample(docs.filter($"id" <= 500), "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    val full = Sampling.hashSample(docs, "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(full))
+  }
+
+  test("splitColumn covers every row exactly once with stable assignment") {
+    val out = docs.select($"id", Sampling.splitColumn($"id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000)
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // re-evaluation gives identical assignment
+    val again = docs.select($"id", Sampling.splitColumn($"id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
+  test("splitColumn rejects fractions that do not sum to 1") {
+    intercept[IllegalArgumentException](
+      Sampling.splitColumn(col("id"), Seq("a" -> 0.5, "b" -> 0.4)))
+  }
+
+  test("stratifiedSample applies per-class fractions") {
+    val out = Sampling.stratifiedSample(docs, "id", "lang",
+      Map("en" -> 1.0), defaultFraction = 0.0)
+    val langs = out.select("lang").distinct().as[String].collect().toSet
+    assert(langs == Set("en"))
+    assert(out.count() == 250) // every en row kept, nothing else
+  }
+
+  test("redact scrubs emails and phone runs") {
+    import graft.functions.Text
+    val df = Seq(
+      (1, "contact john.doe+x@example.co.uk or call +1 (555) 123-4567 now"),
+      (2, "no pii here")).toDF("id", "text")
+    val out = df.select($"id", Text.redact($"text").as("c"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "contact <EMAIL> or call <PHONE> now")
+    assert(out(2) == "no pii here")
+  }
+}
