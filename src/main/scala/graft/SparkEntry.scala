@@ -88,6 +88,13 @@ object SparkEntry {
           round(sum("o_totalprice"), 2).as("revenue"),
           count(lit(1)).as("n_orders"))),
 
+    // ---- anti-join (referential-integrity shape, reference README.md:33) ----
+    "customers_without_orders" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")),
+
     // ---- ranking window ----
     "orders_topn" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderpriority")
@@ -322,6 +329,10 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)""".stripMargin,
 
     "orders_topn" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (

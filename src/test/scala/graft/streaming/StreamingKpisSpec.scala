@@ -58,6 +58,30 @@ class StreamingKpisSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedHourlyKpis emits finalized windows as the watermark advances") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Int, java.sql.Timestamp)]
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-06-25 $h%02d:$m%02d:00")
+    val out = StreamingKpis.windowedHourlyKpis(
+      input.toDF.toDF("user_id", "listen_time"), "listen_time", "user_id",
+      lateness = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("win_kpis")
+      .outputMode("append").start()
+    try {
+      input.addData((1, ts(10, 5)), (2, ts(10, 20)), (1, ts(10, 40)))
+      q.processAllAvailable()
+      // watermark still inside hour 10 → nothing finalized yet
+      assert(spark.table("win_kpis").count() == 0)
+      input.addData((3, ts(13, 1))) // advances watermark past hour 10
+      q.processAllAvailable()
+      val rows = spark.table("win_kpis").collect()
+        .map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows("2024-06-25 10:00:00.0") == ((2L, 3L))) // 2 users, 3 events
+    } finally q.stop()
+  }
+
   test("windowedHourlyKpis is a valid streaming plan and matches batch semantics") {
     import spark.implicits._
     // batch execution of the same plan shape validates the aggregation logic
