@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   *    linear in candidates — this is the 100 TB path;
   *  - SimHash near-dup uses the pigeonhole chunk trick so pairs within
   *    Hamming distance k are found with k+1 equi-joins, no cross join.
+  *
+  * Technique provenance (public literature): MinHash — Broder, "On the
+  * resemblance and containment of documents" (SEQUENCES 1997); LSH
+  * banding — Indyk & Motwani (STOC 1998) / Leskovec-Rajaraman-Ullman,
+  * "Mining of Massive Datasets" ch.3; SimHash — Charikar, "Similarity
+  * estimation techniques from rounding algorithms" (STOC 2002) and
+  * Manku et al., "Detecting near-duplicates for web crawling" (WWW 2007)
+  * for the pigeonhole chunk search.
   */
 object Dedup {
 

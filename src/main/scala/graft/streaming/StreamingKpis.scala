@@ -27,6 +27,9 @@ import org.apache.spark.sql.types.StructType
   * because exact distinct over an unbounded stream requires per-key value
   * state — the documented trade (reference is exact; parity mode 1 stays
   * exact because it recomputes from files).
+  *
+  * Model: Armbrust et al., "Structured Streaming: A Declarative API for
+  * Real-Time Applications in Apache Spark" (SIGMOD 2018).
   */
 object StreamingKpis {
 
