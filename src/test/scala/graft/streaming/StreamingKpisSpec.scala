@@ -37,6 +37,37 @@ class StreamingKpisSpec extends SparkSpec {
     assert(hourly(10) == 2 && hourly(11) == 1)
   }
 
+  test("typed aggregators run in streaming complete mode (mode/top-k per group)") {
+    // ranking windows are not expressible over a streaming aggregate —
+    // this is exactly what the one-pass Aggregator forms exist for
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    input.addData(("rock", "Song A"), ("rock", "Song A"), ("rock", "Song B"), ("jazz", "Song C"))
+    val agg = input.toDF.toDF("genre", "track")
+      .groupBy("genre")
+      .agg(
+        graft.operators.Aggregates.mode_agg(col("track")).as("top_track"),
+        graft.operators.Aggregates.topk_agg(2)(col("track")).as("top2"))
+    val q = agg.writeStream.format("memory").queryName("stream_mode")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val r1 = spark.table("stream_mode").collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getSeq[String](2).toSeq)).toMap
+      assert(r1("rock") == (("Song A", Seq("Song A", "Song B"))))
+      assert(r1("jazz") == (("Song C", Seq("Song C"))))
+      // incremental update flips the mode deterministically
+      input.addData(("rock", "Song B"), ("rock", "Song B"))
+      q.processAllAvailable()
+      val r2 = spark.table("stream_mode").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(r2("rock") == "Song B") // 3 > 2
+    } finally q.stop()
+  }
+
   test("sessionCounts runs stateful gap-sessionization over a live stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
