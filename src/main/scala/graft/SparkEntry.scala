@@ -217,9 +217,15 @@ object SparkEntry {
         dim = 64, nBits = 10, threshold = 0.4)),
 
     // ---- text analysis over documents ----
+    // quality emitted in integer micro-units: floor(x*1e6+0.5) is
+    // bit-identical IEEE arithmetic in both engines, whereas round(x, 6)
+    // differs at exact .5 boundaries (Spark BigDecimal HALF_UP vs DuckDB's
+    // scaled-double path — observed on 1 of 5000 docs at sf0.1)
     "doc_quality" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))),
+        .select(col("doc_id"),
+          floor(Text.qualityScoreRaw(col("text")) * 1e6 + 0.5).cast("long")
+            .as("quality_e6"))),
     "doc_lang" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
@@ -510,15 +516,14 @@ object SparkEntry {
         |         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
         |  FROM t)
         |SELECT doc_id,
-        |  round(
+        |  CAST(floor((
         |    least(ntok / 100.0, 1.0) * 0.3
         |    + (alpha / nchars) * 0.3
         |    + (CASE WHEN (nchars - (ntok - 1)) / ntok BETWEEN 2.0 AND 12.0
         |            THEN 1.0 ELSE 0.3 END) * 0.2
         |    + (CASE WHEN len(list_intersect(ws,
         |         ['the','a','an','and','of','to','in','is','it','that'])) > 0
-        |            THEN 1.0 ELSE 0.5 END) * 0.2,
-        |  6) AS quality
+        |            THEN 1.0 ELSE 0.5 END)* 0.2) * 1000000.0 + 0.5) AS BIGINT) AS quality_e6
         |FROM s""".stripMargin,
 
     "doc_lang" ->

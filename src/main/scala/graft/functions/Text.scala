@@ -47,7 +47,12 @@ object Text {
     * is better up to a cap), mean token length sanity, alpha ratio, and
     * stopword presence — the shape of a C4/Gopher-style quality filter,
     * kept deterministic and codegen-only. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
+
+  /** Unrounded score — use when the caller controls quantization (the
+    * oracle boundary quantizes to integer micro-units instead of round(),
+    * which differs between engines at exact .5 boundaries). */
+  def qualityScoreRaw(text: Column): Column = {
     val ws = tokens(text)
     val nTok = size(ws).cast("double")
     val alphaChars = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
@@ -59,10 +64,8 @@ object Text {
       when(meanTokLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.3))
     val stopwordScore =
       when(size(array_intersect(ws, StopwordsEn)) > 0, lit(1.0)).otherwise(lit(0.5))
-    round(
-      lengthScore * lit(0.3) + alphaRatio * lit(0.3) +
-        tokLenScore * lit(0.2) + stopwordScore * lit(0.2),
-      6)
+    lengthScore * lit(0.3) + alphaRatio * lit(0.3) +
+      tokLenScore * lit(0.2) + stopwordScore * lit(0.2)
   }
 
   private val StopwordsEn: Column =
