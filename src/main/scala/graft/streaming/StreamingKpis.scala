@@ -33,9 +33,18 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamingKpis {
 
-  /** File-source stream with a declared schema (no inference on streams). */
-  def fileStream(spark: SparkSession, schema: StructType, path: String, format: String = "csv"): DataFrame = {
-    val r = spark.readStream.schema(schema).option("maxFilesPerTrigger", "16")
+  /** File-source stream with a declared schema (no inference on streams).
+    *
+    * `maxFilesPerTrigger` bounds per-batch work for the incremental
+    * consumers (windowed/sessionized); leave it 0 (unbounded) when feeding
+    * [[foreachBatchOverwrite]] — full-refresh parity requires the whole
+    * available snapshot in ONE batch, or each batch would overwrite the
+    * sinks with only its own slice. */
+  def fileStream(spark: SparkSession, schema: StructType, path: String,
+      format: String = "csv", maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r0 = spark.readStream.schema(schema)
+    val r = if (maxFilesPerTrigger > 0)
+      r0.option("maxFilesPerTrigger", maxFilesPerTrigger.toString) else r0
     (format match {
       case "csv" => r.option("header", "true").option("nullValue", "").csv(path)
       case "parquet" => r.parquet(path)
