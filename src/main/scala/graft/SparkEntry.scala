@@ -242,6 +242,10 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
+    "dedup_by_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(Text.fingerprint(col("text")).as("fp"))
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_dups"))),
     "doc_redact" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.redact(col("text")).as("clean"))),
@@ -580,6 +584,20 @@ object SparkEntry {
         | round(avg(length(text)), 4) AS avg_chars,
         | round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
         |FROM documents GROUP BY lang, source""".stripMargin,
+
+    "dedup_by_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |               THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fp
+        |  FROM (
+        |    SELECT doc_id,
+        |           list_reduce(
+        |             list_prepend(0::HUGEINT,
+        |               [ord(c)::HUGEINT for c in regexp_extract_all(text, '.')]),
+        |             (acc, b) -> (acc * 31 + b) % 18446744073709551616::HUGEINT) AS h
+        |    FROM documents))
+        |SELECT fp, min(doc_id) AS keeper_id, count(*) AS n_dups FROM f GROUP BY fp""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT doc_id,

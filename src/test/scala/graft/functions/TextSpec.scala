@@ -60,6 +60,13 @@ class TextSpec extends SparkSpec {
     assert(out2 != expected)
   }
 
+  test("fingerprint propagates null input as null output") {
+    val df = Seq((1, Option("x")), (2, Option.empty[String])).toDF("id", "text")
+    val out = df.select(col("id"), Text.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getInt(0) -> r.isNullAt(1)).toMap
+    assert(!out(1) && out(2))
+  }
+
   test("fingerprint is order-sensitive") {
     val df = Seq((1, "ab"), (2, "ba")).toDF("id", "text")
     val out = df.select(Text.fingerprint(col("text"))).as[Long].collect()
