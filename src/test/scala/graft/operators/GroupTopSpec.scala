@@ -46,4 +46,15 @@ class GroupTopSpec extends SparkSpec {
     val r2 = GroupTop.mode(events, Seq("g"), "v", "m").collect().toSet
     assert(r1 == r2)
   }
+
+  test("mode and topK are invariant under arbitrary repartitioning") {
+    // shuffle arrival order must never influence tie-breaks or array order
+    val base = GroupTop.topKConcat(events, Seq("g"), "v", 3, "t").collect().toSet
+    val modeBase = GroupTop.mode(events, Seq("g"), "v", "m").collect().toSet
+    for (parts <- Seq(1, 3, 7)) {
+      val re = events.repartition(parts)
+      assert(GroupTop.topKConcat(re, Seq("g"), "v", 3, "t").collect().toSet == base)
+      assert(GroupTop.mode(re, Seq("g"), "v", "m").collect().toSet == modeBase)
+    }
+  }
 }
