@@ -22,6 +22,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // session contract for Tables.events (TIMESTAMP(NANOS) parquet) — see
+      // Tables.scala; harmless for every other source
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new graft.plans.GraftExtensions)
     if (shufflePartitions > 0) b.config("spark.sql.shuffle.partitions", shufflePartitions)
     else b

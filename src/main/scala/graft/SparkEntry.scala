@@ -23,6 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  // ---- ANN / probabilistic-dedup configurations ----
+  // Single source of truth for BOTH the registered query and its generated
+  // DuckDB oracle below — drift between the two is a silent hash-mismatch.
+  private val Dim = 64          // embedding dimensionality (TESTDATA.md)
+  private val AnnK = 5          // top-k for every ANN query
+  private val LshBits = 10      // lsh_topk: bits per hyperplane table
+  private val LshTables = 4     // lsh_topk: independent tables
+  private val NdBits = 10       // near_dup_lsh: bits per table
+  private val NdTables = 2      // near_dup_lsh: independent tables
+  private val NdThreshold = 0.4 // near_dup_lsh: cosine threshold
+  private val IvfNlist = 16     // ivf_topk: cells
+  private val IvfNprobe = 4     // ivf_topk: probed cells per query
+  private val MhHashes = 64     // minhash_lsh_pairs: signature length
+  private val MhBands = 16      // minhash_lsh_pairs: LSH bands
+  private val MhThreshold = 0.35
+  private val ShMaxHamming = 7  // simhash_pairs: Hamming radius
+  private val ShBlocks = 9      // simhash_pairs: block count (60-bit portable)
+  private val ShBlocksPerKey = 2 // simhash_pairs: blocks per join key
+
   /** streams⋈songs⋈users stand-in over the testdata star schema:
     * events ⋈ customer (user_id) ⋈ nation (c_nationkey), + date/hour. */
   private def enrichedEvents(s: SparkSession, dir: String): DataFrame = {
@@ -127,6 +146,15 @@ object SparkEntry {
       graft.operators.Skew.saltedCount(
         Tables.events(s, dir), Seq("event_type"), buckets = 16, out = "n")),
 
+    // ---- skew-safe join: salted fact×dim ≡ plain equi-join ----
+    "skew_join" -> ((s, dir) => {
+      val facts = Tables.events(s, dir).select("event_id", "user_id", "event_type")
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(facts, dim, "user_id", buckets = 8)
+        .select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
+    }),
+
     // ---- U1: union of shards ----
     "events_union" -> ((s, dir) => {
       val e = Tables.events(s, dir).select("event_id", "user_id", "event_type")
@@ -192,29 +220,39 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")),
     "jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.2)),
+    // portable (md5-family) configurations so the DuckDB oracles are exact;
+    // the xxhash64 default family remains the faster non-oracle path
     "minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.minHashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, numHashes = 64, bands = 16, threshold = 0.35)),
+        n = 3, numHashes = MhHashes, bands = MhBands, threshold = MhThreshold,
+        portable = true)),
+    // blocks=9 × blocksPerKey=2: the scale-safe geometry (≈13-bit join keys,
+    // C(9,2)=36 groups) — output identical to plain pigeonhole, see
+    // Dedup.simHashCandidates
     "simhash_pairs" -> ((s, dir) =>
-      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 7)),
+      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = ShMaxHamming, blocks = ShBlocks, blocksPerKey = ShBlocksPerKey,
+        portable = true)),
 
     // ---- similarity search over embeddings ----
     "cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
     }),
+    // multi-table configuration: tables decouple recall from bucket size
+    // (see Similarity.lshTopK scale notes)
     "lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        dim = 64, nBits = 8, k = 5)),
+        dim = Dim, nBits = LshBits, k = AnnK, tables = LshTables)),
     "ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        nlist = 16, nprobe = 4, k = 5)),
+        nlist = IvfNlist, nprobe = IvfNprobe, k = AnnK)),
     "near_dup_embeddings" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.4)),
     "near_dup_lsh" -> ((s, dir) =>
       Similarity.lshNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        dim = 64, nBits = 10, threshold = 0.4)),
+        dim = Dim, nBits = NdBits, threshold = NdThreshold, tables = NdTables)),
 
     // ---- text analysis over documents ----
     // quality emitted in integer micro-units: floor(x*1e6+0.5) is
@@ -272,7 +310,166 @@ object SparkEntry {
           round(avg(size(split(col("text"), " "))), 4).as("avg_tokens"))),
   )
 
+  // ---- generated oracle SQL for the hash-family queries ----
+  // These five oracles are BUILT programmatically from the same constants
+  // (and the same Rademacher hyperplane generator) as the Spark queries, so
+  // the two sides cannot drift: md5-derived 60-bit hashes are computed
+  // identically in both engines (PortableHash), hyperplanes enter the
+  // DuckDB plan as a literal VALUES relation.
+
+  /** DuckDB side of [[graft.functions.PortableHash.hash60]]. */
+  private def dh(e: String): String = graft.functions.PortableHash.duckdbSql(e)
+
+  private def minHashLshOracle: String = {
+    val rows = MhHashes / MhBands
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+       |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+       |mh AS (
+       |  SELECT doc_id, i, min(${dh("CAST(i AS VARCHAR) || ':' || gram")}) AS h
+       |  FROM grams, UNNEST(range(0, $MhHashes)) AS t(i) GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // $rows AS band,
+       |         string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bkey
+       |  FROM mh GROUP BY doc_id, i // $rows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |eq AS (
+       |  SELECT c.id_a, c.id_b, sum(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) AS n_eq
+       |  FROM cand c JOIN mh x ON x.doc_id = c.id_a
+       |              JOIN mh y ON y.doc_id = c.id_b AND y.i = x.i
+       |  GROUP BY c.id_a, c.id_b)
+       |SELECT id_a, id_b, est_jaccard FROM (
+       |  SELECT id_a, id_b, round(CAST(n_eq AS DOUBLE) / $MhHashes, 6) AS est_jaccard FROM eq)
+       |WHERE est_jaccard >= $MhThreshold""".stripMargin
+  }
+
+  private def simHashOracle: String = {
+    val bits = graft.operators.Dedup.simHashBits(portable = true)
+    val sums = (0 until bits)
+      .map(i => s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n    ")
+    val packed = (0 until bits)
+      .map(i => s"(CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+       |h AS (SELECT doc_id, ${dh("w")} AS h FROM tok),
+       |bits AS (SELECT doc_id,
+       |    $sums
+       |  FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $packed AS simhash FROM bits)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $ShMaxHamming""".stripMargin
+  }
+
+  /** Literal (tbl, bit, i, h) hyperplane relation — same Rademacher
+    * generator the Spark plan bakes in (Similarity.rademacher), 1-based
+    * dim index to match generate_subscripts. */
+  private def hyperplaneValues(nBits: Int, tables: Int): String =
+    (for {
+      t <- 0 until tables
+      b <- 0 until nBits
+      h = graft.operators.Similarity.rademacher(t * nBits + b, Dim)
+      j <- 0 until Dim
+    } yield s"($t,$b,${j + 1},${h(j).toInt})").mkString(",")
+
+  /** Shared CTE prefix: per-(vector, table) sign-pattern buckets plus the
+    * Hamming-1 multi-probe expansion. */
+  private def lshBucketCtes(nBits: Int, tables: Int): String =
+    s"""flat AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+       |hp(tbl, bit, i, h) AS (VALUES ${hyperplaneValues(nBits, tables)}),
+       |sig AS (
+       |  SELECT f.vec_id, hp.tbl, hp.bit,
+       |         CASE WHEN sum(f.x * hp.h) >= 0 THEN (1::BIGINT << hp.bit)
+       |              ELSE 0::BIGINT END AS bitval
+       |  FROM flat f JOIN hp ON f.i = hp.i GROUP BY f.vec_id, hp.tbl, hp.bit),
+       |buckets AS (SELECT vec_id, tbl, CAST(sum(bitval) AS BIGINT) AS bucket
+       |            FROM sig GROUP BY vec_id, tbl),
+       |probes AS (
+       |  SELECT vec_id, tbl, bucket FROM buckets
+       |  UNION ALL
+       |  SELECT vec_id, tbl, xor(bucket, (1::BIGINT << b))
+       |  FROM buckets, UNNEST(range(0, $nBits)) AS t(b)),""".stripMargin
+
+  /** Shared CTE suffix: exact cosine over the candidate pairs (same
+    * dots/norms shape as the proven cosine_topk oracle). */
+  private def pairScoreCtes(aCol: String, bCol: String): String =
+    s"""dots AS (
+       |  SELECT cd.$aCol, cd.$bCol, sum(fa.x * fb.x) AS dp
+       |  FROM cand cd JOIN flat fa ON fa.vec_id = cd.$aCol
+       |               JOIN flat fb ON fb.vec_id = cd.$bCol AND fb.i = fa.i
+       |  GROUP BY cd.$aCol, cd.$bCol),
+       |scored AS (
+       |  SELECT d.$aCol, d.$bCol, round(d.dp / (na.nrm * nb.nrm), 6) AS cosine_sim
+       |  FROM dots d JOIN norms na ON d.$aCol = na.vec_id
+       |              JOIN norms nb ON d.$bCol = nb.vec_id)""".stripMargin
+
+  private def lshTopKOracle: String =
+    s"""WITH ${lshBucketCtes(LshBits, LshTables)}
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM probes p JOIN buckets c
+       |    ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id <> c.vec_id),
+       |${pairScoreCtes("query_id", "neighbor_id")},
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS "rank"
+       |      FROM scored)
+       |SELECT query_id, neighbor_id, cosine_sim, "rank" FROM r WHERE "rank" <= $AnnK""".stripMargin
+
+  private def nearDupLshOracle: String =
+    s"""WITH ${lshBucketCtes(NdBits, NdTables)}
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM probes p JOIN buckets c
+       |    ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id < c.vec_id),
+       |${pairScoreCtes("id_a", "id_b")}
+       |SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= $NdThreshold""".stripMargin
+
+  private def ivfTopKOracle: String =
+    s"""WITH flat AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+       |cent AS (SELECT vec_id AS cell FROM embeddings
+       |         ORDER BY ${dh("CAST(vec_id AS VARCHAR)")} ASC LIMIT $IvfNlist),
+       |cdots AS (
+       |  SELECT f.vec_id, c.cell, sum(f.x * g.x) AS dp
+       |  FROM cent c JOIN flat g ON g.vec_id = c.cell JOIN flat f ON f.i = g.i
+       |  GROUP BY f.vec_id, c.cell),
+       |cranked AS (
+       |  SELECT d.vec_id, d.cell, round(d.dp / (nv.nrm * nc.nrm), 6) AS sim
+       |  FROM cdots d JOIN norms nv ON d.vec_id = nv.vec_id
+       |              JOIN norms nc ON d.cell = nc.vec_id),
+       |rr AS (SELECT vec_id, cell,
+       |              row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+       |       FROM cranked),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |  FROM (SELECT vec_id, cell FROM rr WHERE rn <= $IvfNprobe) p
+       |  JOIN (SELECT vec_id, cell FROM rr WHERE rn = 1) a
+       |    ON p.cell = a.cell AND p.vec_id <> a.vec_id),
+       |${pairScoreCtes("query_id", "neighbor_id")},
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS "rank"
+       |      FROM scored)
+       |SELECT query_id, neighbor_id, cosine_sim, "rank" FROM r WHERE "rank" <= $AnnK""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "minhash_lsh_pairs" -> minHashLshOracle,
+    "simhash_pairs" -> simHashOracle,
+    "lsh_topk" -> lshTopKOracle,
+    "near_dup_lsh" -> nearDupLshOracle,
+    "ivf_topk" -> ivfTopKOracle,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
@@ -372,6 +569,11 @@ object SparkEntry {
 
     "skew_agg" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+
+    // the oracle is the PLAIN join — proving salting changes nothing
+    "skew_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
 
     "events_union" ->
       """SELECT event_id, user_id, event_type FROM events WHERE event_id % 3 = 0

@@ -28,9 +28,19 @@ object Tables {
     * reader rejects; read it as raw nanos (legacy flag) and truncate to a
     * microsecond timestamp — the same truncation DuckDB applies, so both
     * engines see identical values. Integer `div` (not `/`) — ns since epoch
-    * exceeds 2^53, double division would lose precision. */
+    * exceeds 2^53, double division would lose precision.
+    *
+    * SESSION CONTRACT: `spark.sql.legacy.parquet.nanosAsLong=true` must be
+    * set for the session ([[GraftSession]] and the Verify/Bench mains set it
+    * at build time). It cannot be scoped to this read — Spark consults only
+    * the session conf for parquet schema conversion (a reader `.option` is
+    * ignored, verified empirically), and the returned DataFrame executes
+    * lazily long after this call returns. For sessions built without the
+    * factory we enforce the contract here once; the flag's only effect is on
+    * TIMESTAMP(NANOS) columns, which no other graft table carries. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

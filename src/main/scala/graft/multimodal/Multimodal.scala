@@ -69,25 +69,14 @@ object Multimodal {
   def decodeFeatures(df: DataFrame, bins: Int = 64): DataFrame =
     df.withColumn("features", byteHistogram(col("payload"), bins))
 
-  /** Deterministic payload → feature vector (the stubbed "decode"):
-    * bins the byte distribution with higher-order functions only, so the
-    * whole derivation stays in codegen. */
-  def byteHistogram(payload: Column, bins: Int): Column = {
-    // unbase64∘base64 round-trip keeps this pure-column; aggregate over the
-    // byte positions via transform on a 0..n-1 sequence indexing getbit-like
-    // extraction is not available on binary — use substring-based chunking.
-    val n = length(payload)
-    val counts = transform(
-      sequence(lit(0), lit(bins - 1)),
-      b => {
-        // count of bytes whose value falls in bin b: scan via positions
-        // array. For the stub we approximate with a hash-derived projection:
-        // deterministic, shape-correct, cheap.
-        (abs(xxhash64(payload, b)) % 1000).cast("double") / 1000.0
-      })
-    val s = aggregate(counts, lit(0.0), (acc, v) => acc + v)
-    transform(counts, v => round(v / s, 6))
-  }
+  /** Deterministic payload → feature vector (the stubbed "decode"): a REAL
+    * `bins`-bucket byte histogram, L1-normalized by payload length, computed
+    * by the codegen'd [[graft.functions.expressions.ByteHistogram]]
+    * expression — bit-identical to what [[decodePartitions]]' per-partition
+    * decoder produces (equivalence asserted in MultimodalSpec), so either
+    * decode path can serve the other as an oracle. */
+  def byteHistogram(payload: Column, bins: Int): Column =
+    graft.functions.expressions.ByteHistogram(payload, bins)
 
   /** The mapPartitions decode path — the deployment shape for a NATIVE
     * codec (libjpeg/ffmpeg): the decoder context is initialized once per

@@ -92,12 +92,21 @@ object Dedup {
   }
 
   /** MinHash signatures: array of `numHashes` minimum hash values over the
-    * document's shingle set. Hash family h_i(g) = xxhash64(i, g) — seeded by
-    * the leading literal, so each i is an independent 64-bit function.
+    * document's shingle set. Default hash family h_i(g) = xxhash64(i, g) —
+    * seeded by the leading literal, so each i is an independent 64-bit
+    * function. `portable = true` switches to the md5-derived 60-bit family
+    * ([[graft.functions.PortableHash]]) that DuckDB can reproduce — slower,
+    * identical semantics, used by the oracle-checked driver queries.
     * One shuffle (groupBy id), map-side combinable. */
-  def minHashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int, numHashes: Int): DataFrame = {
+  def minHashSignatures(
+      df: DataFrame, idCol: String, textCol: String, n: Int, numHashes: Int,
+      portable: Boolean = false): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("gram"))).as(s"h$i"))
+    val mins = (0 until numHashes).map { i =>
+      val h = if (portable) graft.functions.PortableHash.hash60(col("gram"), i)
+              else xxhash64(lit(i), col("gram"))
+      min(h).as(s"h$i")
+    }
     sh.groupBy(idCol)
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
@@ -106,19 +115,29 @@ object Dedup {
   /** MinHash + LSH candidate pairs with signature-estimated Jaccard.
     * `bands` × (numHashes/bands) banding; a pair becomes a candidate if any
     * band hashes equal; estimate = fraction of equal signature components.
-    * Candidate generation is an equi-join on (band, bandHash) — linear
-    * shuffle volume, the scale path for corpus dedup. */
+    * Candidate generation is an equi-join on (band, bandKey) — linear
+    * shuffle volume, the scale path for corpus dedup.
+    *
+    * Band key: default compresses each band to 8 bytes via xxhash64 (what
+    * you want at 100 TB — fixed-width shuffle key, collision odds 2⁻⁶⁴);
+    * `portable = true` joins on the exact comma-joined band values instead
+    * (strings, slightly wider shuffle) so the DuckDB oracle is exact — no
+    * cross-engine hash needed and no collision caveat. */
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String, n: Int,
-      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+      numHashes: Int, bands: Int, threshold: Double,
+      portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sig = minHashSignatures(df, idCol, textCol, n, numHashes)
+    val sig = minHashSignatures(df, idCol, textCol, n, numHashes, portable)
+    val bandKey = (b: org.apache.spark.sql.Column) => {
+      val bandVals = slice(col("signature"), b * rows + 1, lit(rows))
+      if (portable) array_join(transform(bandVals, v => v.cast("string")), ",")
+      else xxhash64(b, bandVals)
+    }
     val banded = sig.select(
       col(idCol), col("signature"),
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, slice(col("signature"), b * rows + 1, lit(rows))))))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bandKey)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
     val candidates = banded.as("a")
@@ -140,44 +159,68 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** 64-bit SimHash over word tokens: bit i of the result is 1 iff the sum
-    * of ±1 contributions (per-token xxhash64 bit i) is positive. Expressed
-    * as 64 conditional-sum aggregates — fully codegen'd, map-side
-    * combinable, one shuffle on id. */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash over word tokens: bit i of the result is 1 iff the sum of ±1
+    * contributions (per-token hash bit i) is positive. Expressed as one
+    * conditional-sum aggregate per bit — fully codegen'd, map-side
+    * combinable, one shuffle on id. Integer arithmetic throughout, so the
+    * fingerprint is bit-identical across engines and runs.
+    *
+    * Width follows the hash family: 64 bits on the default xxhash64 family,
+    * [[graft.functions.PortableHash.Bits]] (60) on the md5-derived portable
+    * family — use [[simHashBits]] when deriving block geometry. */
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
+    val bits = simHashBits(portable)
     val tok = Partitions.widen(
         df.select(col(idCol), Text.tokens(col(textCol)).as("__ws")), col(idCol))
       .select(col(idCol), explode(col("__ws")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { i =>
+      .withColumn("h",
+        if (portable) graft.functions.PortableHash.hash60(col("w")) else xxhash64(col("w")))
+    val bitSums = (0 until bits).map { i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"b$i")
     }
     val agged = tok.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64)
+    val simhash = (0 until bits)
       .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
       .reduce((a, b) => a.bitwiseOR(b))
     agged.select(col(idCol), simhash.as("simhash"))
   }
 
-  /** SimHash near-duplicate pairs within Hamming distance `maxHamming`.
-    * Pigeonhole: split 64 bits into maxHamming+1 chunks; any pair within
-    * distance k must agree exactly on ≥1 chunk → k+1 equi-joins on chunk
-    * value instead of a cross join. */
-  def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    val chunks = maxHamming + 1
-    val width = 64 / chunks
-    val sh = simHash(df, idCol, textCol)
-    val chunked = sh.select(
-      col(idCol), col("simhash"),
-      posexplode(array((0 until chunks).map { c =>
-        shiftright(col("simhash"), c * width)
-          .bitwiseAND(lit(if (width >= 64) -1L else (1L << width) - 1))
-      }: _*)))
-      .withColumnRenamed("pos", "chunk")
-      .withColumnRenamed("col", "chunk_val")
+  /** Fingerprint width of [[simHash]] for the given family. */
+  def simHashBits(portable: Boolean): Int =
+    if (portable) graft.functions.PortableHash.Bits else 64
+
+  /** Candidate generation + verification for SimHash near-dup over a
+    * precomputed (id, simhash) relation — the generalized permuted-block
+    * design of Manku, Jain & Sarma ("Detecting near-duplicates for web
+    * crawling", WWW 2007, §3), expressed as equi-joins.
+    *
+    * Split the `bits`-wide fingerprint into `blocks` contiguous blocks
+    * (widths as even as possible). A pair within Hamming distance k differs
+    * in at most k blocks, so it agrees EXACTLY on at least `blocks − k`.
+    * Build one join group per `blocksPerKey`-sized combination of blocks,
+    * keyed on the concatenated block values; completeness holds whenever
+    * `blocksPerKey ≤ blocks − maxHamming` (some combination then lies
+    * entirely inside the agreeing set) — enforced here, so the output is
+    * exactly all pairs with hamming ≤ maxHamming regardless of geometry.
+    *
+    * WHY the knobs matter at 100 TB: the plain pigeonhole (blocks = k+1,
+    * blocksPerKey = 1) gives keys of only bits/(k+1) bits — at k=7 that is
+    * 8-bit keys → 256 buckets → per-bucket candidate lists grow ~N/256 and
+    * the join degenerates quadratic. Raising `blocks`/`blocksPerKey` widens
+    * the key: e.g. bits=60, blocks=9, blocksPerKey=2 keeps k=7 complete
+    * with ~13-bit keys and C(9,2)=36 join groups — candidate volume per
+    * group drops by 2^6 while total fan-out grows only 4.5×, and every
+    * group is still an equi-join (linear shuffle). Expected random-collision
+    * candidates ≈ C(blocks, r) · N² / 2^keyBits — choose geometry so that
+    * stays ~O(N) at your corpus size. */
+  def simHashCandidates(
+      sig: DataFrame, idCol: String, maxHamming: Int, bits: Int = 64,
+      blocks: Int = 0, blocksPerKey: Int = 1): DataFrame = {
+    val chunked = candidateKeys(sig, idCol, maxHamming, bits, blocks, blocksPerKey)
     chunked.as("a")
       .join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.grp") === col("b.grp") && col("a.grp_key") === col("b.grp_key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(
         col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
@@ -185,4 +228,46 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** The exploded (id, simhash, grp, grp_key) relation [[simHashCandidates]]
+    * self-joins on (grp, grp_key). Exposed within graft so the scale spec
+    * can assert the candidate-join volume (Σ per-bucket n·(n−1)/2) of a
+    * geometry analytically, without materializing the join. */
+  private[graft] def candidateKeys(
+      sig: DataFrame, idCol: String, maxHamming: Int, bits: Int,
+      blocks: Int, blocksPerKey: Int): DataFrame = {
+    val m = if (blocks > 0) blocks else maxHamming + 1
+    require(m > maxHamming, s"need more than maxHamming=$maxHamming blocks, got $m")
+    require(blocksPerKey >= 1 && blocksPerKey <= m - maxHamming,
+      s"blocksPerKey must be in [1, blocks - maxHamming] for completeness " +
+        s"(got $blocksPerKey with blocks=$m, maxHamming=$maxHamming)")
+    // block j covers [offsets(j), offsets(j+1)) — widths differ by ≤1
+    val offsets = (0 to m).map(j => j * bits / m)
+    val width = (j: Int) => offsets(j + 1) - offsets(j)
+    val blockVal = (j: Int) =>
+      shiftright(col("simhash"), offsets(j)).bitwiseAND(lit((1L << width(j)) - 1))
+    // one packed long key per combination of blocks (total width ≤ 60 bits
+    // in any sane geometry; enforced)
+    val combos = (0 until m).combinations(blocksPerKey).toSeq
+    require(combos.forall(c => c.map(width).sum <= 60),
+      "combined key width exceeds 60 bits — lower blocksPerKey or raise blocks")
+    val keyExprs = combos.map(c =>
+      c.foldLeft(lit(0L): org.apache.spark.sql.Column)((acc, j) =>
+        shiftleft(acc, width(j)).bitwiseOR(blockVal(j))))
+    sig.select(
+      col(idCol), col("simhash"),
+      posexplode(array(keyExprs: _*)))
+      .withColumnRenamed("pos", "grp")
+      .withColumnRenamed("col", "grp_key")
+  }
+
+  /** SimHash near-duplicate pairs within Hamming distance `maxHamming`:
+    * [[simHash]] + [[simHashCandidates]]. Defaults reproduce the plain
+    * pigeonhole (blocks = maxHamming+1, one block per key); pass a wider
+    * geometry for corpus scale — see [[simHashCandidates]]. Output is the
+    * exact pair set either way. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int,
+      blocks: Int = 0, blocksPerKey: Int = 1, portable: Boolean = false): DataFrame =
+    simHashCandidates(simHash(df, idCol, textCol, portable), idCol, maxHamming,
+      simHashBits(portable), blocks, blocksPerKey)
 }

@@ -34,7 +34,9 @@ object Similarity {
   private def gateExact(df: DataFrame, op: String): Unit = {
     val max = df.sparkSession.conf.getOption(MaxExactRowsKey).map(_.toLong)
       .getOrElse(MaxExactRowsDefault)
-    val n = df.limit((max + 1).toInt).count()
+    // clamp: a cap configured at/above Int.MaxValue would overflow limit()'s
+    // Int argument — treat such caps as "gate disabled"
+    val n = df.limit(math.min(max + 1, Int.MaxValue.toLong).toInt).count()
     require(n <= max,
       s"$op is an exact all-pairs operator and the corpus exceeds $max rows " +
         s"(set $MaxExactRowsKey to raise, or use lshTopK/ivfTopK — the scale path)")
@@ -78,7 +80,7 @@ object Similarity {
     * a splitmix64-style mix of (bit, component) — reproducible across runs
     * with no stored model, and baked into the plan as array literals so
     * codegen folds them (no per-row hyperplane recomputation). */
-  private[operators] def rademacher(b: Int, dim: Int): Seq[Double] =
+  private[graft] def rademacher(b: Int, dim: Int): Seq[Double] =
     Seq.tabulate(dim) { j =>
       var z = b.toLong * 0x9E3779B97F4A7C15L + j.toLong + 1L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -87,36 +89,68 @@ object Similarity {
       if ((z & 1L) == 0L) 1.0 else -1.0
     }
 
-  private def hyperplaneSig(vec: org.apache.spark.sql.Column, dim: Int, nBits: Int): org.apache.spark.sql.Column = {
+  /** Sign-pattern bucket id from `nBits` hyperplane dots. `seedOffset`
+    * selects an independent hyperplane set per LSH table (table t passes
+    * t*nBits). The dot against each ±1 hyperplane literal runs through the
+    * codegen'd [[Vectors.dot]] expression — the HOF form
+    * (aggregate∘zip_with) is CodegenFallback and allocates per row. */
+  private def hyperplaneSig(
+      vec: org.apache.spark.sql.Column, dim: Int, nBits: Int,
+      seedOffset: Int = 0): org.apache.spark.sql.Column = {
     val bits = (0 until nBits).map { b =>
-      val dotH = aggregate(
-        zip_with(vec, typedlit(rademacher(b, dim)), (x, h) => x * h),
-        lit(0.0), (acc, v) => acc + v)
+      val dotH = Vectors.dot(vec, typedlit(rademacher(seedOffset + b, dim)))
       when(dotH >= 0, lit(1L << b)).otherwise(0L)
     }
     bits.reduce((a, c) => a.bitwiseOR(c))
   }
 
-  /** LSH-bucketed approximate top-k: queries score only corpus vectors in
-    * the same sign-pattern bucket (multi-probe: plus all buckets at Hamming
-    * distance 1, which bounds recall loss). Same output shape as
-    * [[bruteForceTopK]]; `rank` may have gaps vs exact when a true
-    * neighbor hashes far away — that is the documented accuracy trade. */
-  def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int, nBits: Int, k: Int): DataFrame = {
-    val base = withNorm(df, idCol, vecCol).withColumn("bucket", hyperplaneSig(col("vec"), dim, nBits))
+  /** (id, vec, norm, tbl, bucket) relation: each vector exploded into one
+    * row per LSH table, bucketed by that table's hyperplane set. */
+  private def bucketed(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int, tables: Int): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    val base = withNorm(df, idCol, vecCol)
+    val sigs = array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        hyperplaneSig(col("vec"), dim, nBits, t * nBits).as("bucket"))): _*)
+    base
+      .withColumn("__tb", explode(sigs))
+      .select(col(idCol), col("vec"), col("norm"),
+        col("__tb.tbl").as("tbl"), col("__tb.bucket").as("bucket"))
+  }
+
+  /** LSH-bucketed approximate top-k: queries score only corpus vectors
+    * sharing a sign-pattern bucket in at least one of `tables` independent
+    * hyperplane tables (multi-probe: plus, per table, all buckets at
+    * Hamming distance 1). Same output shape as [[bruteForceTopK]]; `rank`
+    * may have gaps vs exact when a true neighbor hashes far away in every
+    * table — that is the documented accuracy trade.
+    *
+    * The `tables` knob is what decouples recall from bucket size at corpus
+    * scale: raising `nBits` alone shrinks buckets (good — candidate lists
+    * stay bounded) but craters single-table recall; adding independent
+    * tables restores recall at cost linear in `tables` (the same trade the
+    * MinHash banding in [[Dedup]] makes). At 100 TB run nBits high enough
+    * that 2^nBits ≫ corpus/1000 and tables 4–8; candidate generation stays
+    * an equi-join on (tbl, bucket). */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int, nBits: Int, k: Int,
+      tables: Int = 1): DataFrame = {
+    val b = bucketed(df, idCol, vecCol, dim, nBits, tables)
     // multi-probe: each query also probes buckets differing in exactly 1 bit
-    val probes = base.select(
-      col(idCol).as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"),
+    val probes = b.select(
+      col(idCol).as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"), col("tbl"),
       explode(concat(
         array(col("bucket")),
-        array((0 until nBits).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*))).as("bucket"))
-    val corpus = base.select(
-      col(idCol).as("neighbor_id"), col("vec").as("cvec"), col("norm").as("cnorm"), col("bucket"))
-    val scored = probes.join(corpus, Seq("bucket"))
+        array((0 until nBits).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*))).as("bucket"))
+    val corpus = b.select(
+      col(idCol).as("neighbor_id"), col("vec").as("cvec"), col("norm").as("cnorm"),
+      col("tbl"), col("bucket"))
+    val scored = probes.join(corpus, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine_sim",
         round(Vectors.dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")), 6))
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -125,9 +159,13 @@ object Similarity {
   }
 
   /** IVF-style partitioned search with deterministic pseudo-centroids: the
-    * `nlist` corpus vectors with the smallest xxhash64(id) act as centroids
-    * (reproducible, model-free). Each corpus vector is assigned to its
-    * nearest centroid; each query probes the `nprobe` nearest cells. */
+    * `nlist` corpus vectors with the smallest portable hash of their id act
+    * as centroids (reproducible, model-free, and — because the hash is the
+    * md5-derived [[graft.functions.PortableHash]] family — reproducible by
+    * the DuckDB oracle too). Each corpus vector is assigned to its nearest
+    * centroid; each query probes the `nprobe` nearest cells. Centroid
+    * similarities are rounded to 6 decimals before ranking (ties broken by
+    * cell asc) so cell assignment is identical across engines. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, nlist: Int, nprobe: Int, k: Int): DataFrame = {
     val base = withNorm(df, idCol, vecCol)
     // Centroids are collected driver-side ONCE (nlist rows — tiny by
@@ -136,7 +174,7 @@ object Similarity {
     // reference `centroids`, and leaving it as a subplan would re-execute
     // the scan+sort+limit once per reference.
     val centroidRows = base
-      .withColumn("__h", xxhash64(col(idCol)))
+      .withColumn("__h", graft.functions.PortableHash.hash60(col(idCol)))
       .orderBy("__h").limit(nlist)
       .select(col(idCol).cast("long").as("cell"), col("vec"), col("norm"))
       .collect()
@@ -150,7 +188,8 @@ object Similarity {
     // it probes as a query.
     val wCells = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cell").asc)
     val ranked = base.join(broadcast(centroids), lit(true))
-      .withColumn("__sim", Vectors.dot(col("vec"), col("centvec")) / (col("norm") * col("centnorm")))
+      .withColumn("__sim",
+        round(Vectors.dot(col("vec"), col("centvec")) / (col("norm") * col("centnorm")), 6))
       .withColumn("__rn", row_number().over(wCells))
       .filter(col("__rn") <= math.max(1, nprobe))
       .select(col(idCol), col("vec"), col("norm"), col("cell"), col("__rn"))
@@ -177,17 +216,18 @@ object Similarity {
     * agree on a random hyperplane with prob 1 − θ/π). */
   def lshNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, nBits: Int, threshold: Double): DataFrame = {
-    val base = withNorm(df, idCol, vecCol).withColumn("bucket", hyperplaneSig(col("vec"), dim, nBits))
+      dim: Int, nBits: Int, threshold: Double, tables: Int = 1): DataFrame = {
+    val b = bucketed(df, idCol, vecCol, dim, nBits, tables)
     // expand ONE side into Hamming-1 probes so near-boundary pairs meet
-    val probes = base.select(
-      col(idCol).as("id_a"), col("vec").as("va"), col("norm").as("na"),
+    val probes = b.select(
+      col(idCol).as("id_a"), col("vec").as("va"), col("norm").as("na"), col("tbl"),
       explode(concat(
         array(col("bucket")),
-        array((0 until nBits).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*))).as("bucket"))
-    val corpus = base.select(
-      col(idCol).as("id_b"), col("vec").as("vb"), col("norm").as("nb"), col("bucket"))
-    probes.join(corpus, Seq("bucket"))
+        array((0 until nBits).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*))).as("bucket"))
+    val corpus = b.select(
+      col(idCol).as("id_b"), col("vec").as("vb"), col("norm").as("nb"),
+      col("tbl"), col("bucket"))
+    probes.join(corpus, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cosine_sim", round(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))

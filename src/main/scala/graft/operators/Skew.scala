@@ -8,10 +8,19 @@ import org.apache.spark.sql.functions._
   * AQE can't fix: skewed aggregation input and broadcast-ineligible
   * dimension joins against a hot fact key).
   *
-  * Salting is deterministic here (hash of the row's other columns, not
-  * rand()) so results are reproducible run-to-run and oracle-checkable.
+  * Salting is deterministic here — the salt is a hash of the FULL row
+  * content, so the salt a given row receives is invariant across runs,
+  * repartitionings and task retries (not rand(), and not
+  * monotonically_increasing_id(), which depends on partition layout).
+  * Identical duplicate rows co-locate on one salt; acceptable, because a
+  * hot KEY's rows almost always differ in their non-key columns, and that
+  * variation is what spreads them.
   */
 object Skew {
+
+  /** Layout-independent salt in [0, buckets): hash of every column. */
+  private def contentSalt(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(buckets))
 
   /** Count rows per key with a salted two-level aggregation: the first
     * level fans each hot key across `buckets` reducers (partial maps
@@ -24,8 +33,7 @@ object Skew {
     * key's rows spread over `buckets` tasks and the second-level input is
     * |keys| × buckets rows — negligible. */
   def saltedCount(df: DataFrame, keyCols: Seq[String], buckets: Int, out: String = "count"): DataFrame = {
-    val salt = pmod(xxhash64(monotonically_increasing_id()), lit(buckets))
-    df.withColumn("__salt", salt)
+    df.withColumn("__salt", contentSalt(df, buckets))
       .groupBy((keyCols :+ "__salt").map(col): _*)
       .agg(count(lit(1)).as("__partial"))
       .groupBy(keyCols.map(col): _*)
@@ -37,8 +45,7 @@ object Skew {
     * as sum+count and finished at the second level). */
   def saltedSumAvg(
       df: DataFrame, keyCols: Seq[String], valueCol: String, buckets: Int): DataFrame = {
-    val salt = pmod(xxhash64(monotonically_increasing_id()), lit(buckets))
-    df.withColumn("__salt", salt)
+    df.withColumn("__salt", contentSalt(df, buckets))
       .groupBy((keyCols :+ "__salt").map(col): _*)
       .agg(
         sum(col(valueCol)).as("__sum"),
@@ -61,8 +68,7 @@ object Skew {
   def saltedJoin(
       facts: DataFrame, dim: DataFrame, key: String,
       buckets: Int, joinType: String = "inner"): DataFrame = {
-    val saltedFacts = facts.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(buckets)))
+    val saltedFacts = facts.withColumn("__salt", contentSalt(facts, buckets))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(buckets - 1L))))
     saltedFacts.join(explodedDim, Seq(key, "__salt"), joinType).drop("__salt")

@@ -96,30 +96,76 @@ object StreamingKpis {
 
   /** Custom-state sessionization over a stream:
     * flatMapGroupsWithState-based gap sessions (30 min inactivity), the
-    * streaming analog of the batch `sessionize` query. State per user is
-    * one (sessionId, lastTs) pair — bounded, watermark-evicted. */
+    * streaming analog of the batch `sessionize` query.
+    *
+    * Correct under OUT-OF-ORDER arrival within the watermark: events are
+    * buffered in state until the watermark passes them, then folded into
+    * the finalized count in event-time order — an event delivered by a
+    * later micro-batch but earlier in event time sorts into place before
+    * it is ever counted, so cross-batch reordering cannot split or merge
+    * sessions incorrectly. Rows older than the watermark never reach the
+    * operator (Spark's late-row filter — the explicit lateness policy).
+    * Each emission is the count as if the stream ended now (finalized +
+    * provisional over the buffer).
+    *
+    * State per user is (finalized count, last finalized ts, pending times);
+    * pending is bounded by the watermark horizon. Eviction is real: the
+    * event-time timeout is re-armed every invocation to (newest event +
+    * gap); when it fires the remaining buffer is folded, a final count is
+    * emitted if the buffer held anything, and the state is removed. */
   def sessionCounts(spark: SparkSession, events: DataFrame, tsCol: String, userCol: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
+    val GapMs = 30 * 60 * 1000L
     val typed = events
       .select(col(userCol).cast("long").as("user"), col(tsCol).cast("timestamp").as("ts"))
       .withWatermark("ts", "1 hour")
       .as[(Long, java.sql.Timestamp)]
+    // fold ASCENDING event times into (sessions, lastTs); sentinel check
+    // first — t - Long.MinValue overflows
+    def fold(times: Seq[Long], s0: Long, last0: Long): (Long, Long) =
+      times.foldLeft((s0, last0)) { case ((s, last), t) =>
+        if (last == Long.MinValue || t - last > GapMs) (s + 1, t) else (s, t)
+      }
     typed
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long), (Long, Long)](
+      .flatMapGroupsWithState[(Long, Long, Seq[Long]), (Long, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (user, rows, state) =>
-          val sorted = rows.map(_._2.getTime).toSeq.sorted
-          var (sessions, lastTs) = state.getOption.getOrElse((0L, Long.MinValue))
-          sorted.foreach { t =>
-            // sentinel check first: t - Long.MinValue overflows
-            if (lastTs == Long.MinValue || t - lastTs > 30 * 60 * 1000L) sessions += 1
-            lastTs = t
+          val (sessions, lastTs, pending) =
+            state.getOption.getOrElse((0L, Long.MinValue, Seq.empty[Long]))
+          if (state.hasTimedOut) {
+            // watermark passed (newest + gap): fold what's left and evict
+            val (finalSessions, _) = fold(pending.sorted, sessions, lastTs)
+            state.remove()
+            if (pending.nonEmpty) Iterator.single((user, finalSessions)) else Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val buffered = pending ++ rows.map(_._2.getTime)
+            // the watermark has sealed everything ≤ wm: no future row can
+            // sort before these, so they are safe to finalize
+            val (ripe, hold) = buffered.partition(_ <= wm)
+            val (s1, l1) = fold(ripe.sorted, sessions, lastTs)
+            state.update((s1, l1, hold))
+            // newest event seen (hold is nonempty whenever l1 is the
+            // MinValue sentinel — a row is either ripe or held)
+            val newest = (hold :+ l1).max
+            state.setTimeoutTimestamp(math.max(newest + GapMs, wm + 1))
+            val (provisional, _) = fold(hold.sorted, s1, l1)
+            Iterator.single((user, provisional))
           }
-          state.update((sessions, lastTs))
-          Iterator.single((user, sessions))
       }
       .toDF("user_id", "n_sessions")
   }
+
+  /** Streaming exact dedup: `dropDuplicatesWithinWatermark` keyed on the
+    * given columns — the streaming face of [[graft.operators.Dedup]]'s
+    * exact dedup. A duplicate arriving within the watermark window is
+    * dropped even when it lands in a later micro-batch; per-key state is
+    * evicted as the watermark passes, so the state store stays bounded by
+    * the horizon rather than the (unbounded) keyspace — the reason this
+    * beats plain `dropDuplicates` on a 100 TB/day stream. */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      lateness: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark(keyCols)
 }

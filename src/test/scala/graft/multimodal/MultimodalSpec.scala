@@ -54,6 +54,25 @@ class MultimodalSpec extends SparkSpec {
     assert(cols == Seq("asset_id", "modality", "mime_type", "payload", "meta", "features"))
   }
 
+  test("decodeFeatures (column path) ≡ decodePartitions (mapPartitions path)") {
+    // the two decode paths must produce bit-identical features so either
+    // can serve as the other's oracle at deployment
+    for (bins <- Seq(8, 64)) {
+      val colPath = Multimodal.decodeFeatures(assets, bins).collect()
+        .map(r => r.getAs[Long]("asset_id") ->
+          r.getAs[scala.collection.Seq[Double]]("features").toSeq).toMap
+      val mpPath = Multimodal.decodePartitions(assets, bins).collect()
+        .map(r => r.getAs[Long]("asset_id") ->
+          r.getAs[scala.collection.Seq[Double]]("features").toSeq).toMap
+      assert(colPath == mpPath, s"decode paths diverged at bins=$bins")
+    }
+    // true histogram semantics on a known payload: six 0x09 bytes, bins=8
+    val f3 = Multimodal.decodeFeatures(assets, 8).collect()
+      .find(_.getAs[Long]("asset_id") == 3L).get
+      .getAs[scala.collection.Seq[Double]]("features")
+    assert(f3(1) == 1.0 && f3.sum == 1.0)
+  }
+
   test("sampleOffsets fans out k ordered offsets per asset") {
     val s = Multimodal.sampleOffsets(assets, k = 3)
       .collect().map(r => (r.getAs[Long]("asset_id"), r.getAs[Int]("sample_idx"), r.getAs[Long]("byte_offset")))

@@ -23,10 +23,14 @@ class AggregatesSpec extends SparkSpec {
     val m = modeAgg
     def buf(l: List[String]) = l.foldLeft(m.zero)(m.reduce)
     for (Seq(xs, ys, zs) <- samples(300).grouped(3).toSeq if Seq(xs, ys, zs).size == 3) {
-      val (bx, by, bz) = (buf(xs), buf(ys), buf(zs))
-      assert(m.finish(m.merge(bx, by)) == m.finish(m.merge(by, bx)))
-      assert(m.finish(m.merge(m.merge(bx, by), bz)) ==
-             m.finish(m.merge(bx, m.merge(by, bz))))
+      // merge MUTATES its arguments (allowed by Spark's
+      // TypedImperativeAggregate contract — partial buffers are owned by
+      // the aggregation), so each law evaluation gets fresh buffers; the
+      // laws are about merge's VALUE, not object purity
+      assert(m.finish(m.merge(buf(xs), buf(ys))) ==
+             m.finish(m.merge(buf(ys), buf(xs))))
+      assert(m.finish(m.merge(m.merge(buf(xs), buf(ys)), buf(zs))) ==
+             m.finish(m.merge(buf(xs), m.merge(buf(ys), buf(zs)))))
     }
   }
 

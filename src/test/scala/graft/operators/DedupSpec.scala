@@ -64,6 +64,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L))) // true jaccard 0.5 → est above 0.3 with 64 hashes
   }
 
+  test("simHashPairs output is invariant under block geometry") {
+    // completeness: every pair within the Hamming radius is found regardless
+    // of (blocks, blocksPerKey) — the geometry only changes JOIN volume
+    val defaults = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 7,
+      portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val wide = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 7,
+      blocks = 9, blocksPerKey = 2, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(defaults.nonEmpty)
+    assert(defaults == wide)
+  }
+
+  test("wider simhash block geometry bounds candidate volume at corpus scale") {
+    import org.apache.spark.sql.functions._
+    // 50k synthetic 60-bit fingerprints; candidate-join volume is measured
+    // analytically (Σ per-bucket n·(n−1)/2 over the key relation) so the
+    // quadratic geometry never has to be materialized
+    val n = 50000L
+    val sigs = spark.range(n).select(
+      col("id").as("doc_id"),
+      xxhash64(col("id")).bitwiseAND(lit((1L << 60) - 1)).as("simhash"))
+    def joinVolume(blocks: Int, blocksPerKey: Int): Long =
+      Dedup.candidateKeys(sigs, "doc_id", maxHamming = 7, bits = 60, blocks, blocksPerKey)
+        .groupBy("grp", "grp_key").count()
+        .agg(sum(col("count") * (col("count") - lit(1)))).head.getLong(0) / 2
+    val pigeonhole = joinVolume(8, 1) // plain: ~7-bit keys
+    val wide = joinVolume(9, 2)       // scale geometry: ~13-bit keys
+    assert(wide <= 200L * n, s"wide geometry volume $wide not O(N)")
+    assert(wide * 5 < pigeonhole,
+      s"wide geometry ($wide) should be far below plain pigeonhole ($pigeonhole)")
+  }
+
   test("simHash of identical docs equal; simHashPairs finds them at distance 0") {
     val sh = Dedup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

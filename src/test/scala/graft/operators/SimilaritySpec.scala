@@ -47,6 +47,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall was $recall")
   }
 
+  test("multi-table LSH decouples recall from bucket size at high nBits") {
+    // same clustered corpus as the recall test, but nBits=16 — far too many
+    // buckets for one table to keep recall; 4 independent tables restore it
+    val data = (0 until 40).map { i =>
+      val c = i % 4
+      val base = Array.fill(8)(0.0f)
+      base(c * 2) = 1.0f
+      base((c * 2 + 1) % 8) = 0.3f + (i / 4) * 0.01f
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(data, data, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(tables: Int): Double = {
+      val approx = Similarity.lshTopK(data, "vec_id", "embedding",
+        dim = 8, nBits = 16, k = 3, tables = tables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val multi = recall(4)
+    assert(multi >= 0.95, s"multi-table recall was $multi")
+    // table 0 of the multi-table run is exactly the single-table bucket set,
+    // so the candidate set is a superset and recall is monotone in tables
+    assert(multi >= recall(1))
+  }
+
   test("ivfTopK finds within-cluster neighbors") {
     val data = (0 until 24).map { i =>
       val c = i % 3

@@ -89,6 +89,76 @@ class StreamingKpisSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionCounts buffers within the watermark so out-of-order events count correctly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(m: Int) = new java.sql.Timestamp(3600000L + m * 60000L)
+    val out = StreamingKpis.sessionCounts(
+      spark, input.toDF.toDF("user_id", "ts"), "ts", "user_id")
+    val q = out.writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append").start()
+    try {
+      // batch 1: event at t=60min
+      input.addData((1L, ts(60)))
+      q.processAllAvailable()
+      // batch 2: an EARLIER event (t=5min) arrives late but within the 1h
+      // watermark — [5, 60] has a 55-min gap → 2 sessions, which a naive
+      // lastTs comparison would have merged into 1
+      input.addData((1L, ts(5)))
+      q.processAllAvailable()
+      val latest = spark.table("sessions_ooo").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(latest.last == ((1L, 2L)), s"got ${latest.toSeq}")
+    } finally q.stop()
+  }
+
+  test("sessionCounts evicts idle users via the event-time timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    def h(hh: Int, m: Int = 0) = new java.sql.Timestamp((hh * 60L + m) * 60000L)
+    val out = StreamingKpis.sessionCounts(
+      spark, input.toDF.toDF("user_id", "ts"), "ts", "user_id")
+    val q = out.writeStream.format("memory").queryName("sessions_evict")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, h(10))); q.processAllAvailable()
+      // other-user traffic advances the watermark past user 1's
+      // (newest + gap) timeout → user 1's buffered state finalizes + evicts
+      input.addData((2L, h(14))); q.processAllAvailable()
+      input.addData((2L, h(14, 1))); q.processAllAvailable()
+      input.addData((2L, h(14, 2))); q.processAllAvailable()
+      val user1Rows = spark.table("sessions_evict").collect()
+        .filter(_.getLong(0) == 1L).map(_.getLong(1)).toSeq
+      // provisional emission from batch 1 + the timeout's final emission
+      assert(user1Rows.size >= 2 && user1Rows.forall(_ == 1L), s"got $user1Rows")
+    } finally q.stop()
+  }
+
+  test("dedupStream drops an exact duplicate arriving in a later batch within the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(m: Int) = new java.sql.Timestamp(3600000L + m * 60000L)
+    val out = StreamingKpis.dedupStream(
+      input.toDF.toDF("content_key", "ts"), "ts", Seq("content_key"))
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(("k1", ts(0)), ("k2", ts(1)))
+      q.processAllAvailable()
+      // k1 again, later micro-batch, still within the 1h watermark → dropped
+      input.addData(("k1", ts(5)), ("k3", ts(6)))
+      q.processAllAvailable()
+      val keys = spark.table("dedup_stream").collect().map(_.getString(0)).toSeq
+      assert(keys.sorted == Seq("k1", "k2", "k3"), s"got $keys")
+    } finally q.stop()
+  }
+
   test("windowedHourlyKpis emits finalized windows as the watermark advances") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
