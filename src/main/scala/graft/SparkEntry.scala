@@ -322,13 +322,20 @@ object SparkEntry {
 
   private def minHashLshOracle: String = {
     val rows = MhHashes / MhBands
+    // (member index, multiplier) literal relation — the same multiply-shift
+    // family PortableHash.family60 derives from one md5 per gram
+    val mults = (0 until MhHashes)
+      .map(i => s"($i,${graft.functions.PortableHash.multiplier(i)})").mkString(",")
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |grams AS (
        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+       |gh AS (SELECT doc_id, ${dh("gram")} AS gh FROM grams),
+       |mm(i, m) AS (VALUES $mults),
        |mh AS (
-       |  SELECT doc_id, i, min(${dh("CAST(i AS VARCHAR) || ':' || gram")}) AS h
-       |  FROM grams, UNNEST(range(0, $MhHashes)) AS t(i) GROUP BY doc_id, i),
+       |  SELECT g.doc_id, mm.i,
+       |         min(${graft.functions.PortableHash.duckdbFamilySql("g.gh", "mm.m", "mm.i")}) AS h
+       |  FROM gh g CROSS JOIN mm GROUP BY g.doc_id, mm.i),
        |bands AS (
        |  SELECT doc_id, i // $rows AS band,
        |         string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bkey

@@ -33,6 +33,23 @@ object Sinks {
   def table(df: DataFrame, name: String): Unit =
     df.write.mode(SaveMode.Overwrite).saveAsTable(name)
 
+  /** JDBC warehouse sink — the reference's Redshift load (`dags/
+    * music_streaming_etl_dags.py:382-410`) is DROP + CREATE + COPY; in
+    * Spark that whole sequence is one `mode(Overwrite)` JDBC write (pass
+    * `truncate=true` in options to keep the DDL and only replace rows).
+    * Writes run one connection per partition — `coalesce` small KPI
+    * outputs first, repartition fact-sized ones to the DB's comfortable
+    * writer parallelism, and size `batchsize` (default 1000) up for bulk
+    * loads. */
+  def jdbc(df: DataFrame, url: String, table: String,
+      mode: SaveMode = SaveMode.Overwrite,
+      options: Map[String, String] = Map.empty): Unit =
+    options.foldLeft(
+        df.write.format("jdbc").option("url", url).option("dbtable", table)
+      ) { case (w, (k, v)) => w.option(k, v) }
+      .mode(mode)
+      .save()
+
   /** Serialize an array column to its string form at the sink boundary
     * (the reference stringifies `top_artists` via to_csv — a Python list
     * repr; we keep the typed array internally and emit a stable

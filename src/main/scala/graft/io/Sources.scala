@@ -84,4 +84,54 @@ object Sources {
   def users(spark: SparkSession, path: String): DataFrame = csv(spark, usersSchema, path)
   def songs(spark: SparkSession, path: String): DataFrame = csv(spark, songsSchema, path)
   def streams(spark: SparkSession, paths: String*): DataFrame = csv(spark, streamsSchema, paths: _*)
+
+  // ---- JDBC relational source (reference S1/S2: Postgres extract at
+  // `/root/reference/dags/music_streaming_etl_dags.py:96-102`, queries
+  // `:55-63`) ----
+  //
+  // Spark's JDBC source pushes filter predicates and column pruning into
+  // the database's SQL (visible as `PushedFilters` on the scan node —
+  // asserted against embedded Derby in IoSpec), so a filtered extract
+  // ships only matching rows over the wire, like the reference's
+  // WHERE-bearing extract queries.
+
+  /** Single-partition JDBC table read. Fine for dimension-sized tables;
+    * for anything fact-sized use [[jdbcPartitioned]] — one JDBC connection
+    * otherwise serializes the whole extract through a single task. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    options.foldLeft(
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+      ) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+
+  /** Parallel JDBC extract: `numPartitions` ranged queries over a numeric
+    * `partitionColumn` (each task reads `[lower, upper)` slices). This is
+    * the 100 TB-shaped extract — per-partition connections, and each
+    * ranged WHERE composes with pushed-down filters on the DB side. */
+  def jdbcPartitioned(spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, options: Map[String, String] = Map.empty): DataFrame =
+    options.foldLeft(
+        spark.read.format("jdbc")
+          .option("url", url)
+          .option("dbtable", table)
+          .option("partitionColumn", partitionColumn)
+          .option("lowerBound", lowerBound.toString)
+          .option("upperBound", upperBound.toString)
+          .option("numPartitions", numPartitions.toString)
+      ) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+
+  /** Whole-query pushdown: the query executes IN the database and Spark
+    * reads only its result — the engine-native form of the reference's
+    * DB-side validation aggregates (A3, `dags/music_streaming_etl_dags
+    * .py:65-80`, executed `:130`,`:141`). Use for small aggregate results,
+    * not bulk extract (single partition). */
+  def jdbcQuery(spark: SparkSession, url: String, query: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    options.foldLeft(
+        spark.read.format("jdbc").option("url", url).option("query", query)
+      ) { case (r, (k, v)) => r.option(k, v) }
+      .load()
 }

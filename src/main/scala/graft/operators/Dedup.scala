@@ -102,12 +102,18 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, n: Int, numHashes: Int,
       portable: Boolean = false): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
+    // portable path hashes each gram ONCE (md5 is the expensive step) and
+    // derives the family members by multiply-shift — 64 md5s per gram
+    // measured ~15× slower end-to-end at sf0.1
+    val base =
+      if (portable) sh.withColumn("__gh", graft.functions.PortableHash.hash60(col("gram")))
+      else sh
     val mins = (0 until numHashes).map { i =>
-      val h = if (portable) graft.functions.PortableHash.hash60(col("gram"), i)
+      val h = if (portable) graft.functions.PortableHash.family60(col("__gh"), i)
               else xxhash64(lit(i), col("gram"))
       min(h).as(s"h$i")
     }
-    sh.groupBy(idCol)
+    base.groupBy(idCol)
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
   }
