@@ -300,6 +300,56 @@ object SparkEntry {
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
         .groupBy("split").agg(count(lit(1)).as("n_docs"))),
 
+    // ---- as-of (point-in-time) join: each event sees the customer's
+    // latest order at event time ----
+    "asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val latest = graft.operators.AsOf.latestPerKeyTs(
+        Tables.orders(s, dir), "o_custkey", "o_orderdate",
+        tieBreak = "o_orderkey", vals = Seq("o_orderkey", "o_totalprice"))
+      graft.operators.AsOf.join(ev, latest, "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"))
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    }),
+
+    // ---- exact interpolated quantiles per group ----
+    "orders_quantiles" -> ((s, dir) =>
+      Tables.orders(s, dir).groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 6).as("q25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("q50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 6).as("q75"),
+          count(lit(1)).as("n"))),
+
+    // ---- rollup (grouping-sets family): subtotals + grand total ----
+    "revenue_rollup" -> ((s, dir) =>
+      Tables.orders(s, dir).rollup("o_orderpriority", "o_orderstatus")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))),
+
+    // ---- pivot: one column per event type ----
+    "events_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("date", to_date(col("ts")))
+        .groupBy("date")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()),
+
+    // ---- semi-structured: JSON field extraction from props ----
+    "props_extract" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // ---- multimodal: real byte-histogram features (codegen expression),
+    // exploded to rows so the oracle can hash-match them ----
+    "mm_byte_features" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id").as("asset_id"),
+          posexplode(graft.multimodal.Multimodal.byteHistogram(
+            encode(col("text"), "UTF-8"), bins = 16)))
+        .select(col("asset_id"), col("pos").as("bin"),
+          floor(col("col") * lit(1e6) + lit(0.5)).cast("long").as("freq_e6"))),
+
     // ---- corpus-level rollup over the text stack ----
     "corpus_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -576,6 +626,63 @@ object SparkEntry {
 
     "skew_agg" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+
+    // DuckDB's NATIVE ASOF JOIN is the oracle — a fully independent
+    // implementation of the same point-in-time semantics as AsOf.join's
+    // union+window formulation
+    "asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+        |         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts""".stripMargin,
+
+    "orders_quantiles" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.25), 6) AS q25,
+        | round(quantile_cont(o_totalprice, 0.5), 6) AS q50,
+        | round(quantile_cont(o_totalprice, 0.75), 6) AS q75,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "revenue_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin,
+
+    // absent (date, type) combos are NULL on both sides: Spark pivot+count
+    // yields NULL for empty cells, mirrored by sum(CASE ...) (not count)
+    "events_pivot" ->
+      """SELECT CAST(ts AS DATE) AS date,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "props_extract" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    "mm_byte_features" ->
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, CAST('0x' || substr(hx, CAST(2*i - 1 AS BIGINT), 2) AS INTEGER) % 16 AS bin
+        |  FROM p, UNNEST(range(1, len + 1)) AS t(i)),
+        |c AS (SELECT doc_id, bin, count(*) AS cnt FROM b GROUP BY doc_id, bin),
+        |g AS (SELECT p.doc_id, CAST(r.bin AS INTEGER) AS bin, p.len
+        |      FROM p, UNNEST(range(0, 16)) AS r(bin))
+        |SELECT g.doc_id AS asset_id, g.bin,
+        |       CAST(floor(CAST(COALESCE(c.cnt, 0) AS DOUBLE) / greatest(g.len, 1)
+        |                  * 1000000.0 + 0.5) AS BIGINT) AS freq_e6
+        |FROM g LEFT JOIN c ON g.doc_id = c.doc_id AND g.bin = c.bin""".stripMargin,
 
     // the oracle is the PLAIN join — proving salting changes nothing
     "skew_join" ->
