@@ -312,6 +312,13 @@ object SparkEntry {
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
     }),
 
+    // ---- interval (range) join: same-user event pairs within 30 min,
+    // bucketed-bin equi-join scale path, never a per-key product ----
+    "event_pairs_within" -> ((s, dir) =>
+      graft.operators.Interval.selfPairsWithin(
+        Tables.events(s, dir).select("user_id", "event_id", "ts"),
+        "user_id", "ts", "event_id", deltaMicros = 1800L * 1000000L)),
+
     // ---- exact interpolated quantiles per group ----
     "orders_quantiles" -> ((s, dir) =>
       Tables.orders(s, dir).groupBy("o_orderpriority")
@@ -638,6 +645,15 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts""".stripMargin,
+
+    // plain inequality join is the oracle — proving the bucketed-bin
+    // candidate generation loses no pairs and invents none
+    "event_pairs_within" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        | abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000""".stripMargin,
 
     "orders_quantiles" ->
       """SELECT o_orderpriority,
