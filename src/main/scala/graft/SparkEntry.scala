@@ -312,6 +312,23 @@ object SparkEntry {
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
     }),
 
+    // ---- benchmark decontamination: flag training docs sharing long
+    // shingles with a (deterministic 10%) benchmark split; bench grams
+    // broadcast, train corpus never shuffles for candidate discovery ----
+    "decontam_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Decontaminate.overlapReport(
+        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 5, minShared = 3)
+    }),
+    "decontam_clean" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Decontaminate.clean(
+        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 5, minShared = 3)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    }),
+
     // ---- interval (range) join: same-user event pairs within 30 min,
     // bucketed-bin equi-join scale path, never a per-key product ----
     "event_pairs_within" -> ((s, dir) =>
@@ -645,6 +662,30 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts""".stripMargin,
+
+    "decontam_report" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+        |      FROM t, UNNEST(range(1, len(ws) - 3)) AS r(i) WHERE len(ws) >= 5),
+        |tr AS (SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 10 != 0),
+        |be AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 10 = 0)
+        |SELECT train_id, bench_id, count(*) AS shared_grams
+        |FROM tr JOIN be USING (gram)
+        |GROUP BY train_id, bench_id HAVING count(*) >= 3""".stripMargin,
+
+    "decontam_clean" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+        |      FROM t, UNNEST(range(1, len(ws) - 3)) AS r(i) WHERE len(ws) >= 5),
+        |tr AS (SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 10 != 0),
+        |be AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 10 = 0),
+        |bad AS (SELECT DISTINCT train_id FROM (
+        |  SELECT train_id, bench_id FROM tr JOIN be USING (gram)
+        |  GROUP BY train_id, bench_id HAVING count(*) >= 3))
+        |SELECT lang, count(*) AS n_docs
+        |FROM documents
+        |WHERE doc_id % 10 != 0 AND doc_id NOT IN (SELECT train_id FROM bad)
+        |GROUP BY lang""".stripMargin,
 
     // plain inequality join is the oracle — proving the bucketed-bin
     // candidate generation loses no pairs and invents none
