@@ -312,6 +312,21 @@ object SparkEntry {
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
     }),
 
+    // ---- TF-IDF top terms per document (corpus-level term weighting) ----
+    "tfidf_top_terms" -> ((s, dir) =>
+      graft.operators.TermStats.topTerms(
+        Tables.documents(s, dir), "doc_id", "text", k = 5)),
+
+    // ---- Gopher-style duplicate-n-gram repetition signal ----
+    "doc_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("__ws"))
+        .select(col("doc_id"),
+          floor(Text.repetitionFromTokens(col("__ws"), 2) * 1e6 + 0.5)
+            .cast("long").as("rep2_e6"),
+          floor(Text.repetitionFromTokens(col("__ws"), 3) * 1e6 + 0.5)
+            .cast("long").as("rep3_e6"))),
+
     // ---- benchmark decontamination: flag training docs sharing long
     // shingles with a (deterministic 10%) benchmark split; bench grams
     // broadcast, train corpus never shuffles for candidate discovery ----
@@ -662,6 +677,40 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts""".stripMargin,
+
+    // ranking happens on the QUANTIZED integer score in both engines, so
+    // the top-k cutoff can't be flipped by libm ln() ulp differences
+    "tfidf_top_terms" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        CAST(floor(tf.tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0)
+        |                   * 1000000.0 + 0.5) AS BIGINT) AS score_e6
+        |      FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, score_e6 FROM (
+        |  SELECT s.*, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_e6 DESC, term ASC) AS rn FROM s)
+        |WHERE rn <= 5""".stripMargin,
+
+    // exact integer counts + one IEEE division — bit-identical cross-engine
+    "doc_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g2 AS (SELECT doc_id, count(DISTINCT array_to_string(ws[i:i+1], ' ')) AS d,
+        |              any_value(len(ws)) - 1 AS tot
+        |       FROM t, UNNEST(range(1, len(ws))) AS r(i) WHERE len(ws) >= 2
+        |       GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, count(DISTINCT array_to_string(ws[i:i+2], ' ')) AS d,
+        |              any_value(len(ws)) - 2 AS tot
+        |       FROM t, UNNEST(range(1, len(ws) - 1)) AS r(i) WHERE len(ws) >= 3
+        |       GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(floor(COALESCE((g2.tot - g2.d) * 1.0 / g2.tot, 0.0)
+        |             * 1000000.0 + 0.5) AS BIGINT) AS rep2_e6,
+        |  CAST(floor(COALESCE((g3.tot - g3.d) * 1.0 / g3.tot, 0.0)
+        |             * 1000000.0 + 0.5) AS BIGINT) AS rep3_e6
+        |FROM t LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)""".stripMargin,
 
     "decontam_report" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

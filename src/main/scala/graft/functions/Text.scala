@@ -43,6 +43,18 @@ object Text {
           i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
       .otherwise(array().cast("array<string>"))
 
+  /** Duplicate-n-gram fraction in [0,1] over an ALREADY-tokenized array:
+    * `(total n-grams − distinct n-grams) / total` — the Gopher-family
+    * repetition signal (high values mark boilerplate/spam docs a training
+    * pipeline should drop). 0 for docs shorter than n tokens. Built from
+    * exact integer counts and one IEEE double division, so the value is
+    * bit-identical on any engine (no transcendentals). */
+  def repetitionFromTokens(ws: Column, n: Int): Column = {
+    val total = (size(ws) - n + 1).cast("double")
+    val dist = size(nGramsFromTokens(ws, n)).cast("double")
+    when(total > 0, (total - dist) / total).otherwise(lit(0.0))
+  }
+
   /** Heuristic document-quality score in [0,1]: blends token count (longer
     * is better up to a cap), mean token length sanity, alpha ratio, and
     * stopword presence — the shape of a C4/Gopher-style quality filter,

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+class TermStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark spark spark catalyst"),
+    (2L, "spark flink trino"),
+    (3L, "catalyst optimizer rules")
+  ).toDF("doc_id", "text")
+
+  test("termFreq counts repeats; df counts docs not occurrences") {
+    val tf = TermStats.termFreq(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSet
+    assert(tf.contains((1L, "spark", 3L)))
+    assert(tf.contains((2L, "spark", 1L)))
+  }
+
+  test("topTerms ranks rare-but-frequent terms above ubiquitous ones") {
+    val top = TermStats.topTerms(docs, "doc_id", "text", k = 1)
+      .as[(Long, String, Long)].collect().map(t => t._1 -> t._2).toMap
+    // doc 1: spark has tf=3 but df=2; catalyst tf=1 df=2 → spark wins on tf
+    assert(top(1L) == "spark")
+    // doc 3: optimizer/rules (df=1) beat catalyst (df=2); tie broken by term asc
+    assert(top(3L) == "optimizer")
+  }
+
+  test("topTerms score matches hand computation in micro-units") {
+    // doc 2 "flink": tf=1, df=1, N=3 → (ln(4/2)+1) = ln(2)+1
+    val expected = math.floor((math.log(2.0) + 1.0) * 1e6 + 0.5).toLong
+    val score = TermStats.topTerms(docs, "doc_id", "text", k = 5)
+      .filter(col("doc_id") === 2L && col("term") === "flink")
+      .select("score_e6").as[Long].head()
+    assert(score == expected)
+  }
+
+  test("repetitionFromTokens measures duplicate-gram fraction exactly") {
+    val out = Seq(
+      (1L, "a a a a"),          // 2-grams: 3 total, 1 distinct → 2/3
+      (2L, "w x y z"),          // no repeats → 0
+      (3L, "w")                 // shorter than n → 0
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), Text.tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        floor(Text.repetitionFromTokens(col("ws"), 2) * 1e6 + 0.5).as("rep"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == 666667L)
+    assert(out(2L) == 0L)
+    assert(out(3L) == 0L)
+  }
+}
