@@ -312,6 +312,11 @@ object SparkEntry {
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
     }),
 
+    // ---- edit-distance near-dups: shingle candidates + levenshtein refine ----
+    "edit_dup_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
+        maxDist = 10, n = 5)),
+
     // ---- TF-IDF top terms per document (corpus-level term weighting) ----
     "tfidf_top_terms" -> ((s, dir) =>
       graft.operators.TermStats.topTerms(
@@ -677,6 +682,21 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts""".stripMargin,
+
+    // DuckDB levenshtein counts bytes, Spark counts chars — identical on
+    // this ASCII corpus (asserted: octet_length(encode(text)) = length(text))
+    "edit_dup_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+        |      FROM t, UNNEST(range(1, len(ws) - 3)) AS r(i) WHERE len(ws) >= 5),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id)
+        |SELECT c.id_a, c.id_b, levenshtein(da.text, db.text) AS dist
+        |FROM cand c
+        |JOIN documents da ON c.id_a = da.doc_id
+        |JOIN documents db ON c.id_b = db.doc_id
+        |WHERE abs(length(da.text) - length(db.text)) <= 10
+        |  AND levenshtein(da.text, db.text) <= 10""".stripMargin,
 
     // ranking happens on the QUANTIZED integer score in both engines, so
     // the top-k cutoff can't be flipped by libm ln() ulp differences

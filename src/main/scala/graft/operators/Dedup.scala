@@ -91,6 +91,49 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Edit-distance (Levenshtein) near-duplicate pairs: id_a < id_b with
+    * dist ≤ `maxDist`. Candidates come from the shared-shingle equi-join —
+    * LINEAR in shared-gram pairs, never |docs|² — then a cheap length-band
+    * filter (|len_a − len_b| ≤ maxDist is necessary for ed ≤ maxDist) gates
+    * the exact O(L·maxDist)-ish levenshtein refine.
+    *
+    * Losslessness: one character edit perturbs one word, which touches at
+    * most n word-n-grams (n+1 if the edit adds/removes a space), so any
+    * pair at distance ≤ maxDist whose docs carry more than maxDist·(n+1)
+    * distinct shingles MUST still share one — candidate generation misses
+    * nothing above that size floor. `maxGramFreq` caps hot-shingle fan-out
+    * at corpus scale (same skew guard as [[jaccardPairs]]).
+    *
+    * NOTE: Spark's `levenshtein` counts UTF-16 characters; engines that
+    * count bytes (e.g. DuckDB) agree only on ASCII text — normalize or
+    * transliterate first when comparing mixed-script corpora across
+    * engines. */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, textCol: String, maxDist: Int,
+      n: Int = 5, maxGramFreq: Int = Int.MaxValue): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val shCapped =
+      if (maxGramFreq == Int.MaxValue) sh
+      else {
+        val hot = sh.groupBy("gram").agg(count(lit(1)).as("f"))
+          .filter(col("f") > maxGramFreq).select("gram")
+        sh.join(broadcast(hot), Seq("gram"), "left_anti")
+      }
+    val cand = shCapped.as("a")
+      .join(shCapped.as("b"),
+        col("a.gram") === col("b.gram") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val txt = df.select(col(idCol), col(textCol))
+    cand
+      .join(txt.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
+      .join(txt.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** MinHash signatures: array of `numHashes` minimum hash values over the
     * document's shingle set. Default hash family h_i(g) = xxhash64(i, g) —
     * seeded by the leading literal, so each i is an independent 64-bit
