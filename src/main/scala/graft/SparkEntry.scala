@@ -370,6 +370,18 @@ object SparkEntry {
       Tables.orders(s, dir).rollup("o_orderpriority", "o_orderstatus")
         .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))),
 
+    // ---- cube + grouping sets (full grouping-id coverage) ----
+    "events_cube" -> ((s, dir) =>
+      Tables.events(s, dir).withColumn("date", to_date(col("ts")))
+        .cube("event_type", "date")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          grouping_id().as("gid"))),
+    "events_grouping_sets" -> ((s, dir) =>
+      Tables.events(s, dir).withColumn("date", to_date(col("ts")))
+        .groupingSets(Seq(Seq(col("event_type")), Seq(col("date"))),
+          col("event_type"), col("date"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))),
+
     // ---- pivot: one column per event type ----
     "events_pivot" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -777,6 +789,19 @@ object SparkEntry {
       """SELECT o_orderpriority, o_orderstatus,
         | round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin,
+
+    // DuckDB GROUPING uses the same bitmask convention as Spark's
+    // grouping_id (leftmost dimension = most significant bit)
+    "events_cube" ->
+      """SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n,
+        | round(sum(value), 2) AS sum_value,
+        | GROUPING(event_type, CAST(ts AS DATE)) AS gid
+        |FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))""".stripMargin,
+
+    "events_grouping_sets" ->
+      """SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n,
+        | GROUPING(event_type, CAST(ts AS DATE)) AS gid
+        |FROM events GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)))""".stripMargin,
 
     // absent (date, type) combos are NULL on both sides: Spark pivot+count
     // yields NULL for empty cells, mirrored by sum(CASE ...) (not count)
