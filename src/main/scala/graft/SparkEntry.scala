@@ -135,6 +135,15 @@ object SparkEntry {
         .select("user_id", "event_id", "session_id")
     }),
 
+    // ---- native session windows (the streaming-ready session operator,
+    // exercised in batch; oracle rebuilds sessions from first principles) ----
+    "session_windows" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))),
+
     // ---- projection + filter pushdown to the parquet scan ----
     "parts_filter" -> ((s, dir) =>
       Tables.part(s, dir)
@@ -311,6 +320,14 @@ object SparkEntry {
           Seq("o_orderkey", "o_totalprice"))
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
     }),
+
+    // ---- vector corpus statistics: centroids (long form) and L2 norms ----
+    "embedding_centroids" -> ((s, dir) =>
+      graft.operators.VectorAgg.centroids(
+        Tables.embeddings(s, dir), "label", "embedding")),
+    "embedding_norms" -> ((s, dir) =>
+      graft.operators.VectorAgg.norms(
+        Tables.embeddings(s, dir), "vec_id", "embedding")),
 
     // ---- edit-distance near-dups: shingle candidates + levenshtein refine ----
     "edit_dup_pairs" -> ((s, dir) =>
@@ -661,6 +678,29 @@ object SparkEntry {
         |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
 
+    // session_window merges events strictly closer than the gap, at MICROS
+    // precision (>= gap starts a new session); end = last event + gap
+    "session_windows" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM y)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |       CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+        |       count(*) AS n_events
+        |FROM z GROUP BY user_id, sid""".stripMargin,
+
     "sessionize" ->
       """WITH x AS (
         |  SELECT user_id, event_id, ts,
@@ -694,6 +734,21 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts""".stripMargin,
+
+    "embedding_centroids" ->
+      """WITH flat AS (
+        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+        |  FROM embeddings)
+        |SELECT label, pos, round(avg(x), 6) AS mean
+        |FROM flat GROUP BY label, pos""".stripMargin,
+
+    "embedding_norms" ->
+      """WITH flat AS (
+        |  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x
+        |  FROM embeddings)
+        |SELECT vec_id, round(sqrt(sum(x * x)), 6) AS l2
+        |FROM flat GROUP BY vec_id""".stripMargin,
 
     // DuckDB levenshtein counts bytes, Spark counts chars — identical on
     // this ASCII corpus (asserted: octet_length(encode(text)) = length(text))
