@@ -28,6 +28,41 @@ object Sinks {
     (if (singleFile) df.coalesce(1) else df)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Partition-pruned fact layout — THE write-side decision that matters at
+    * 100 TB: `partitionBy` turns predicate columns into directory pruning
+    * (a date-filtered read opens only matching partitions — asserted in
+    * LayoutSpec via the scan's selected-partition count), `sortBy`-less
+    * `sortWithinPartitions` clusters rows for row-group min/max skipping
+    * WITHOUT an extra shuffle (it sorts the partition the writer already
+    * holds), and `maxRecordsPerFile` bounds file size so a hot partition
+    * can't produce one unsplittable multi-GB file.
+    *
+    * Choose low-cardinality, always-filtered columns (date, region) for
+    * `partitionCols`; high-cardinality keys belong in `sortCols` (or
+    * bucketing, see [[Bucketing]]), never in partitionBy — millions of tiny
+    * directories kill the file index. */
+  def partitionedParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String], sortCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    val sorted =
+      if (sortCols.isEmpty) df
+      else df.sortWithinPartitions(sortCols.map(col): _*)
+    val w = sorted.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(path)
+  }
+
+  /** ORC sink (columnar sibling of [[parquet]]). */
+  def orc(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode(SaveMode.Overwrite).orc(path)
+
+  /** JSON-lines sink. */
+  def json(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode(SaveMode.Overwrite).json(path)
+
   /** Warehouse table overwrite — the DROP IF EXISTS + CREATE + COPY
     * sequence (`:253-280` + `:382-410`) as one saveAsTable. */
   def table(df: DataFrame, name: String): Unit =

@@ -76,6 +76,20 @@ object Sources {
   def parquet(spark: SparkSession, paths: String*): DataFrame =
     spark.read.parquet(paths: _*)
 
+  /** Strict JSON-lines read: declared schema (inference would scan the
+    * data twice — never at 100 TB), FAILFAST on malformed records. Glob /
+    * multi-path like [[csv]]. */
+  def json(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
+    spark.read
+      .option("mode", "FAILFAST")
+      .schema(schema)
+      .json(paths: _*)
+
+  /** ORC read — columnar like parquet: filter pushdown and column pruning
+    * reach the scan the same way. */
+  def orc(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.orc(paths: _*)
+
   /** Rename source columns to warehouse names (reference: CSV `key` →
     * DB `song_key`, `sql/load_data_into_rds.ipynb` column_mappings). */
   def renameColumns(df: DataFrame, mapping: (String, String)*): DataFrame =
