@@ -168,4 +168,28 @@ object StreamingKpis {
   def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
       lateness: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-stream interval join — the streaming face of
+    * [[graft.operators.Interval.joinWithin]]: rows join when keys match AND
+    * the right timestamp lies within ±`delta` of the left one. Both sides
+    * carry watermarks and the join condition brackets the right timestamp
+    * with BOTH bounds, which is what lets Spark derive a state-eviction
+    * horizon: buffered rows older than watermark + delta are dropped, so
+    * join state is bounded by the (watermark + delta) window instead of
+    * growing with the stream. Without the two-sided time bound a
+    * stream-stream inner join must keep EVERY past row — unrunnable on an
+    * unbounded stream; this operator makes the bound part of the API.
+    *
+    * Column names must be disjoint between the sides (rename before
+    * joining); `delta` and `lateness` are SQL interval strings. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      delta: String = "30 minutes", lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r, expr(
+      s"""$leftKey = $rightKey AND
+         |$rightTs BETWEEN $leftTs - INTERVAL $delta AND $leftTs + INTERVAL $delta
+         |""".stripMargin))
+  }
 }

@@ -197,4 +197,32 @@ class StreamingKpisSpec extends SparkSpec {
     assert(out("2024-06-25 10:00:00.0") == ((2L, 2L)))
     assert(out("2024-06-25 11:00:00.0") == ((1L, 1L)))
   }
+
+  test("intervalJoinStream joins two live streams within the time bound across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-06-25 10:$m%02d:00")
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamingKpis.intervalJoinStream(
+      clicks.toDF.toDF("c_user", "c_ts"), buys.toDF.toDF("b_user", "b_ts"),
+      "c_user", "b_user", "c_ts", "b_ts", delta = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("stream_ij")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0)), (1L, ts(30)), (2L, ts(5)))
+      buys.addData((1L, ts(8))) // within 10m of click@0, not of click@30
+      q.processAllAvailable()
+      // a later micro-batch joins against buffered left state
+      buys.addData((1L, ts(25)), (2L, ts(45))) // 25 within 10m of 30; 45 matches nothing
+      q.processAllAvailable()
+      val rows = spark.table("stream_ij").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString.substring(11, 16),
+          r.getTimestamp(3).toString.substring(11, 16))).toSet
+      assert(rows == Set(
+        (1L, "10:00", "10:08"),
+        (1L, "10:30", "10:25")))
+    } finally q.stop()
+  }
 }
