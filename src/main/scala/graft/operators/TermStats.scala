@@ -31,12 +31,21 @@ object TermStats {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
 
   /** Top-`k` terms per document by smoothed TF-IDF.
-    * Output: idCol, term, score_e6 (ties broken by term ascending). */
+    * Output: idCol, term, score_e6 (ties broken by term ascending).
+    *
+    * Document frequency comes from a COUNT window over the term partition
+    * of the tf relation — not a separate aggregate joined back. The join
+    * formulation recomputes the whole tokenize+count subtree for its
+    * second branch (Catalyst doesn't CSE across join inputs), i.e. it
+    * scans and tokenizes the corpus TWICE; the window form scans once and
+    * replaces the join shuffle with the same single shuffle on term. The
+    * corpus size N is the only second read, and it prunes to the id
+    * column. */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val terms = termFreq(docs, idCol, textCol)
-    val dfreq = terms.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count_distinct(col(idCol)).as("n"))
-    val scored = terms.join(dfreq, "term")
+    val scored = terms
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(n))
       .withColumn("score_e6",
         floor((col("tf") * (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + lit(1.0)))
