@@ -321,6 +321,17 @@ object SparkEntry {
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
     }),
 
+    // ---- forward as-of: each event sees the customer's NEXT order ----
+    "asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val latest = graft.operators.AsOf.latestPerKeyTs(
+        Tables.orders(s, dir), "o_custkey", "o_orderdate",
+        tieBreak = "o_orderkey", vals = Seq("o_orderkey", "o_totalprice"))
+      graft.operators.AsOf.join(ev, latest, "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"), direction = "forward")
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    }),
+
     // ---- vector corpus statistics: centroids (long form) and L2 norms ----
     "embedding_centroids" -> ((s, dir) =>
       graft.operators.VectorAgg.centroids(
@@ -734,6 +745,15 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts""".stripMargin,
+
+    "asof_forward" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+        |         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND r.o_orderdate >= e.ts""".stripMargin,
 
     "embedding_centroids" ->
       """WITH flat AS (

@@ -1,29 +1,31 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 /** As-of (point-in-time) join: for every left row, attach the single right
-  * row with the GREATEST right timestamp ≤ the left timestamp, per key —
-  * the temporal primitive for feature lookup ("the customer's latest order
-  * when this event happened") that an equi-join can't express and a naive
-  * inequality join turns into a per-key interval product.
+  * row temporally closest to it, per key — the temporal primitive for
+  * feature lookup ("the customer's latest order when this event happened")
+  * that an equi-join can't express and a naive inequality join turns into a
+  * per-key interval product.
+  *
+  * Directions (pandas merge_asof's surface, DuckDB ASOF's semantics):
+  *  - `backward` (default): greatest right ts ≤ left ts — inclusive;
+  *  - `forward`: smallest right ts ≥ left ts — inclusive;
+  *  - `nearest`: smaller absolute gap of the two; exact ties go backward.
+  * An optional `toleranceMicros` nulls the match when the gap exceeds it
+  * (left rows always survive; left-join shape).
   *
   * Implemented by composing existing operators (the preferred tier before
-  * custom plans): tag both sides, union, and carry the last non-null right
-  * value forward over a (key, time)-ordered window. Cost is ONE hash
-  * shuffle on the key plus one sort — linear at 100 TB, no range fan-out,
-  * and the window is rows-bounded (running last), so Spark streams it
-  * without buffering partitions.
+  * custom plans): tag both sides, union, and carry the adjacent right
+  * values across a (key, time)-ordered window. Cost is ONE hash shuffle on
+  * the key plus a sort per needed direction (two for `nearest`) — linear at
+  * 100 TB, no range fan-out, and the frames are rows-bounded running
+  * last/first, so Spark streams them without buffering partitions.
   *
-  * Semantics:
-  *  - inclusive: a right row exactly AT the left timestamp is visible
-  *    (right sorts before left on ties);
-  *  - left rows with no earlier right row get NULLs (left-join shape);
-  *  - right must be UNIQUE per (key, ts) — otherwise which same-timestamp
-  *    row wins would depend on sort ties. Dedupe with [[latestPerKeyTs]]
-  *    (deterministic max_by) first.
+  * Right must be UNIQUE per (key, ts) — dedupe with [[latestPerKeyTs]]
+  * (deterministic max_by) first.
   */
 object AsOf {
 
@@ -39,28 +41,75 @@ object AsOf {
     * all left columns + rightVals (names must not collide). */
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String], direction: String = "backward",
+      toleranceMicros: Long = Long.MaxValue): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    require(toleranceMicros > 0, "tolerance must be positive")
     val leftCols = left.columns.toSeq
     require(rightVals.forall(!leftCols.contains(_)),
       s"rightVals ${rightVals.intersect(leftCols)} collide with left columns — alias first")
+
+    // carried payload = rightVals plus the matched right timestamp (needed
+    // for nearest's gap comparison and for tolerance)
     val l = left.select(
       col(leftKey).as("__key") +: col(leftTs).cast("timestamp").as("__ts") +:
         lit(1).as("__side") +:
         (leftCols.map(col) ++
-          rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(v))): _*)
+          rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(v)) :+
+          lit(null).cast("timestamp").as("__rts")): _*)
     val r = right.select(
       col(rightKey).as("__key") +: col(rightTs).cast("timestamp").as("__ts") +:
         lit(0).as("__side") +:
         (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          rightVals.map(col)): _*)
-    // right before left on equal timestamps → inclusive as-of
-    val w = Window.partitionBy("__key")
+          rightVals.map(col) :+ col(rightTs).cast("timestamp").as("__rts")): _*)
+    val unioned = l.unionByName(r)
+    val carryCols = rightVals :+ "__rts"
+
+    // right before left on equal timestamps → inclusive backward
+    val wBack = Window.partitionBy("__key")
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(l.unionByName(r)) { (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    // left before right on equal timestamps → inclusive forward
+    val wFwd = Window.partitionBy("__key")
+      .orderBy(col("__ts").asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    def carry(df: DataFrame, w: WindowSpec, suffix: String, fwd: Boolean): DataFrame =
+      carryCols.foldLeft(df) { (d, v) =>
+        d.withColumn(v + suffix,
+          if (fwd) first(col(v), ignoreNulls = true).over(w)
+          else last(col(v), ignoreNulls = true).over(w))
+      }
+
+    val gapUs: (Column, Column) => Column = (ts, rts) =>
+      abs(unix_micros(ts) - unix_micros(rts))
+
+    val matched = direction match {
+      case "backward" => carry(unioned, wBack, "", fwd = false)
+      case "forward"  => carry(unioned, wFwd, "", fwd = true)
+      case "nearest" =>
+        // two sorts, one shuffle (same partitioning); backward wins ties
+        val both = carry(carry(unioned, wBack, "__b", fwd = false), wFwd, "__f", fwd = true)
+        val useBack = col("__rts__f").isNull ||
+          (col("__rts__b").isNotNull &&
+            gapUs(col("__ts"), col("__rts__b")) <= gapUs(col("__ts"), col("__rts__f")))
+        carryCols.foldLeft(both) { (d, v) =>
+          d.withColumn(v, when(useBack, col(v + "__b")).otherwise(col(v + "__f")))
+        }
     }
-    carried.filter(col("__side") === 1)
+
+    val withinTol =
+      if (toleranceMicros == Long.MaxValue) matched
+      else {
+        val ok = col("__rts").isNotNull &&
+          gapUs(col("__ts"), col("__rts")) <= toleranceMicros
+        rightVals.foldLeft(matched) { (d, v) =>
+          d.withColumn(v, when(ok, col(v)).otherwise(lit(null)))
+        }
+      }
+
+    withinTol.filter(col("__side") === 1)
       .select((leftCols ++ rightVals).map(col): _*)
   }
 }

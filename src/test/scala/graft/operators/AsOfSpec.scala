@@ -64,4 +64,40 @@ class AsOfSpec extends SparkSpec {
       AsOf.join(left.withColumnRenamed("tag", "rid"), right, "key", "key", "lts", "rts", Seq("rid"))
     }
   }
+
+  private def rid(df: org.apache.spark.sql.DataFrame): Map[String, Option[Long]] =
+    df.collect().map(r => r.getAs[String]("tag") ->
+      (if (r.isNullAt(r.fieldIndex("rid"))) None else Some(r.getAs[Long]("rid")))).toMap
+
+  test("forward direction picks the smallest right ts >= left ts, inclusive") {
+    val out = rid(AsOf.join(left, right, "key", "key", "lts", "rts",
+      Seq("rid", "rval"), direction = "forward"))
+    assert(out("before-any").contains(100L)) // t=5 → next is t=10
+    assert(out("at-first").contains(100L))   // inclusive at equal ts
+    assert(out("between").contains(101L))    // t=20 → next is t=30
+    assert(out("after-last").isEmpty)        // nothing after t=99
+    assert(out("no-right").isEmpty)
+  }
+
+  test("nearest picks the smaller gap; exact ties go backward") {
+    val out = rid(AsOf.join(left, right, "key", "key", "lts", "rts",
+      Seq("rid", "rval"), direction = "nearest"))
+    assert(out("before-any").contains(100L)) // only forward exists
+    assert(out("at-first").contains(100L))   // gap 0
+    assert(out("between").contains(100L))    // tie 10 vs 10 → backward
+    assert(out("after-last").contains(101L)) // only backward exists
+    val nearer = rid(AsOf.join(
+      Seq((1L, ts(26), "x")).toDF("key", "lts", "tag"),
+      right, "key", "key", "lts", "rts", Seq("rid"), direction = "nearest"))
+    assert(nearer("x").contains(101L)) // 4 min forward beats 16 min back
+  }
+
+  test("tolerance nulls matches whose gap exceeds it, keeping left rows") {
+    val out = rid(AsOf.join(left, right, "key", "key", "lts", "rts",
+      Seq("rid", "rval"), toleranceMicros = 5L * 60 * 1000000L)) // 5 min
+    assert(out("at-first").contains(100L))   // gap 0
+    assert(out("between").isEmpty)           // 10 min back — too far
+    assert(out("after-last").isEmpty)        // 69 min back
+    assert(out.size == 5)                    // all left rows survive
+  }
 }
