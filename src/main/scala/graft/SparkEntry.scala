@@ -321,6 +321,28 @@ object SparkEntry {
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
     }),
 
+    // ---- three-table join + aggregate (TPC-H Q3 shape, adapted to the
+    // generated schema): no broadcast hints — customer is NOT small at
+    // real scale; AQE picks the strategy per actual sizes ----
+    "q3_shipping" -> ((s, dir) => {
+      val cutoff = lit("1995-03-15").cast("date")
+      Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+        .join(Tables.orders(s, dir).filter(col("o_orderdate") < cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    // ---- per-domain quota sampling: best-N docs per language ----
+    "quota_sample" -> ((s, dir) =>
+      graft.operators.Sampling.quotaSample(
+        Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+        groupCol = "lang", scoreCol = "n_chars", keyCol = "doc_id",
+        quotas = Map("en" -> 30), defaultQuota = 15)),
+
     // ---- forward as-of: each event sees the customer's NEXT order ----
     "asof_forward" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
@@ -745,6 +767,24 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > DATE '1995-03-15'
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "quota_sample" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= CASE WHEN lang = 'en' THEN 30 ELSE 15 END""".stripMargin,
 
     "asof_forward" ->
       """WITH r AS (

@@ -55,4 +55,27 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol), buckets) < threshold)
   }
+
+  /** Per-group quota: keep the top `quotas(group)` rows by `scoreCol`
+    * descending (ties broken by `keyCol` ascending — fully deterministic),
+    * groups absent from the map use `defaultQuota`. The domain-capping
+    * primitive of corpus assembly ("at most N docs per source/domain, best
+    * first"): bounds any single domain's contribution regardless of its
+    * raw size, where a fraction-based sample would still let a huge domain
+    * dominate. row_number ranking gets WindowGroupLimit pushdown — each
+    * partition retains only its running top quota before the final sort,
+    * so the shuffle carries candidates, not the domain's full row set. */
+  def quotaSample(df: DataFrame, groupCol: String, scoreCol: String,
+      keyCol: String, quotas: Map[String, Int],
+      defaultQuota: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(keyCol).asc)
+    val quotaCol = quotas.foldLeft(lit(defaultQuota)) {
+      case (acc, (g, q)) => when(col(groupCol) === g, lit(q)).otherwise(acc)
+    }
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quotaCol)
+      .drop("__rn")
+  }
 }

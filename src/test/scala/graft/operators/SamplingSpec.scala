@@ -50,6 +50,17 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() == 250) // every en row kept, nothing else
   }
 
+  test("quotaSample caps each group at its quota, best-score-first, deterministic ties") {
+    val df = (1 to 10).map(i => (i.toLong, "a", i * 10)) ++
+      Seq((11L, "a", 100), (20L, "b", 5), (21L, "b", 5)) // 11 ties id 10's score
+    val out = Sampling.quotaSample(df.toDF("id", "grp", "score"),
+      "grp", "score", "id", quotas = Map("a" -> 3), defaultQuota = 1)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id"))).toSet
+    // group a: top-3 by score desc = score 100 twice (ids 10, 11 — id asc
+    // keeps both via ranks 1,2) then score 90 (id 9)
+    assert(out == Set(("a", 10L), ("a", 11L), ("a", 9L), ("b", 20L)))
+  }
+
   test("redact scrubs emails and phone runs") {
     import graft.functions.Text
     val df = Seq(
