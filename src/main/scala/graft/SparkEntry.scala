@@ -321,6 +321,19 @@ object SparkEntry {
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
     }),
 
+    // ---- CDC merge: apply an orders-derived changelog to the customer
+    // snapshot (latest change per key wins; final-status rows delete) ----
+    "cdc_apply" -> ((s, dir) => {
+      val base = Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal")
+      val changes = Tables.orders(s, dir).select(
+        col("o_custkey").as("c_custkey"),
+        concat(lit("cust-"), col("o_custkey")).as("c_name"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderkey").as("version"),
+        when(col("o_orderstatus") === "F", lit("d")).otherwise(lit("u")).as("op"))
+      graft.operators.Cdc.applyChanges(base, changes, Seq("c_custkey"), "version", "op")
+    }),
+
     // ---- three-table join + aggregate (TPC-H Q3 shape, adapted to the
     // generated schema): no broadcast hints — customer is NOT small at
     // real scale; AQE picks the strategy per actual sizes ----
@@ -767,6 +780,22 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts""".stripMargin,
+
+    "cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         'cust-' || o_custkey AS c_name,
+        |         o_totalprice AS c_acctbal,
+        |         o_orderkey AS version,
+        |         CASE WHEN o_orderstatus = 'F' THEN 'd' ELSE 'u' END AS op,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders),
+        |latest AS (SELECT * FROM ch WHERE rn = 1)
+        |SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op = 'u'""".stripMargin,
 
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
