@@ -321,6 +321,19 @@ object SparkEntry {
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
     }),
 
+    // ---- schema-evolution union: old shards lack columns newer ones
+    // carry; unionByName(allowMissingColumns) null-fills — the shard-drift
+    // case a positional union silently corrupts ----
+    "schema_evolution_union" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_id") % 2 === 0)
+        .select("event_id", "user_id", "event_type")
+        .unionByName(
+          ev.filter(col("event_id") % 2 === 1)
+            .select("event_id", "user_id", "event_type", "value"),
+          allowMissingColumns = true)
+    }),
+
     // ---- CDC merge: apply an orders-derived changelog to the customer
     // snapshot (latest change per key wins; final-status rows delete) ----
     "cdc_apply" -> ((s, dir) => {
@@ -780,6 +793,13 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts""".stripMargin,
+
+    "schema_evolution_union" ->
+      """SELECT event_id, user_id, event_type, NULL AS value
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id % 2 = 1""".stripMargin,
 
     "cdc_apply" ->
       """WITH ch AS (
