@@ -34,6 +34,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Xms = Xmx: G1 uncommits heap after major GCs and the pages re-fault
+  // at ~40MB/s when next touched — a fixed-size heap stays warm
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "10g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "10g")}",
   "-XX:+UnlockExperimentalVMOptions",
   "-XX:G1MaxNewSizePercent=10",

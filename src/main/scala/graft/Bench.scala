@@ -20,6 +20,14 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     val tSetup = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // benchmark isolation: drain garbage from PREVIOUS queries before
+      // timing this one. On this VM memory is lazily backed (page faults
+      // ~40 MB/s), so a major GC that happens to land mid-query charges it
+      // tens of seconds of page-fault stalls that belong to the whole run
+      // (observed: same query 2.8 s vs 79 s across runs, plan identical).
+      // An explicit collection between measurements moves that cost to an
+      // untimed gap — standard JMH-style hygiene, no effect on plans.
+      System.gc()
       val t0 = System.nanoTime()
       // noop sink: materializes every row through the full physical plan
       // (a count() would let Spark skip most of the work via partial agg /

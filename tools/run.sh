@@ -18,8 +18,12 @@ done
 # AlwaysPreTouch is NOT the answer — pretouching 12g took 5 minutes.
 # Bounding the young gen keeps the touched working set small and reused.
 MEM="${SPARK_DRIVER_MEM:-10g}"
+# -Xms = -Xmx: G1 otherwise UNCOMMITS heap after major collections, and the
+# uncommitted pages re-fault at 40MB/s the next time a query touches them
+# (observed as tens-of-seconds swings on identical queries across runs).
+# A fixed-size heap never returns pages, so once faulted-in they stay warm.
 exec java $ADD_OPENS \
-  -Xmx"$MEM" -XX:+UnlockExperimentalVMOptions -XX:G1MaxNewSizePercent=10 -XX:MaxGCPauseMillis=100 \
+  -Xms"$MEM" -Xmx"$MEM" -XX:+UnlockExperimentalVMOptions -XX:G1MaxNewSizePercent=10 -XX:MaxGCPauseMillis=100 \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   "$MAIN" "$@"
