@@ -321,6 +321,19 @@ object SparkEntry {
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
     }),
 
+    // ---- one-pass column profile (nulls/distinct/min/max, long format) ----
+    "profile_orders" -> ((s, dir) =>
+      graft.quality.Profiler.profile(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+
+    // ---- Z-order (Morton) clustering keys via the codegen expression ----
+    "zorder_keys" -> ((s, dir) =>
+      Tables.orders(s, dir).select(col("o_orderkey"),
+        graft.io.Layout.zorder(
+          graft.io.Layout.bucketize(col("o_totalprice"), 0.0, 600000.0, bits = 10),
+          graft.io.Layout.bucketize(col("o_custkey"), 0.0, 20000.0, bits = 10))
+          .as("zkey"))),
+
     // ---- schema-evolution union: old shards lack columns newer ones
     // carry; unionByName(allowMissingColumns) null-fills — the shard-drift
     // case a positional union silently corrupts ----
@@ -358,8 +371,15 @@ object SparkEntry {
         .join(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"),
           col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        // price/discount are DOUBLES holding exact 2-decimal values, so
+        // ep*(1-disc) is an exact 4-decimal number — which makes any
+        // round(...,2) land on a half-cent tie every ~10th group (observed
+        // hash-mismatch at sf0.1). Recover the integers (×100 is exact in
+        // doubles at this magnitude) and sum in PURE INTEGER units of
+        // 1e-4 dollars: no summation-order ulps, no tie rounding, ever.
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("revenue_e4"))
     }),
 
     // ---- per-domain quota sampling: best-N docs per language ----
@@ -794,6 +814,38 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts""".stripMargin,
 
+    "profile_orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .map(c =>
+        s"""SELECT '$c' AS "column",
+           | sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_value,
+           | CAST(max($c) AS VARCHAR) AS max_value
+           |FROM orders""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+
+    // the mask-shift Morton construction replayed as sequential CTEs;
+    // bucketize is pure IEEE arithmetic on identical literals → exact
+    "zorder_keys" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    CAST(least(1023, greatest(0,
+        |      floor((o_totalprice - 0.0) / 600000.0 * 1023))) AS BIGINT) AS x,
+        |    CAST(least(1023, greatest(0,
+        |      floor((o_custkey - 0.0) / 20000.0 * 1023))) AS BIGINT) AS y
+        |  FROM orders),
+        |s1 AS (SELECT o_orderkey, (x | (x << 16)) & 281470681808895 AS x,
+        |                          (y | (y << 16)) & 281470681808895 AS y FROM b),
+        |s2 AS (SELECT o_orderkey, (x | (x << 8)) & 71777214294589695 AS x,
+        |                          (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+        |s3 AS (SELECT o_orderkey, (x | (x << 4)) & 1085102592571150095 AS x,
+        |                          (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+        |s4 AS (SELECT o_orderkey, (x | (x << 2)) & 3689348814741910323 AS x,
+        |                          (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+        |s5 AS (SELECT o_orderkey, (x | (x << 1)) & 6148914691236517205 AS x,
+        |                          (y | (y << 1)) & 6148914691236517205 AS y FROM s4)
+        |SELECT o_orderkey, x | (y << 1) AS zkey FROM s5""".stripMargin,
+
     "schema_evolution_union" ->
       """SELECT event_id, user_id, event_type, NULL AS value
         |FROM events WHERE event_id % 2 = 0
@@ -819,7 +871,8 @@ object SparkEntry {
 
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |     (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
         |  AND l_orderkey = o_orderkey
