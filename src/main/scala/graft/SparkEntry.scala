@@ -321,6 +321,30 @@ object SparkEntry {
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
     }),
 
+    // ---- text normalization: lowercase, strip non-alnum, collapse
+    // whitespace — the canonical-form step before exact dedup ----
+    "doc_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm_text"))),
+
+    // ---- distribution windows: quartile bucket + percent rank ----
+    "orders_ntile" -> ((s, dir) =>
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)).as("quartile"),
+        floor(percent_rank().over(Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)) * 1e6 + 0.5)
+          .cast("long").as("pct_rank_e6"))),
+
+    // ---- equi-width histogram over order values ----
+    "orders_histogram" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(least(lit(19L), greatest(lit(0L),
+          floor(col("o_totalprice") / 30000.0))).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))),
+
     // ---- one-pass column profile (nulls/distinct/min/max, long format) ----
     "profile_orders" -> ((s, dir) =>
       graft.quality.Profiler.profile(Tables.orders(s, dir),
@@ -813,6 +837,30 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts""".stripMargin,
+
+    // simple character-class + quantifier regexes only — the subset where
+    // Java (Spark) and RE2 (DuckDB) semantics coincide
+    "doc_normalize" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(lower(text),
+        |   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
+
+    // percent_rank emitted as quantized integers; ORDER BY includes the
+    // unique key so both engines rank identical total orders
+    "orders_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | ntile(4) OVER (PARTITION BY o_orderpriority
+        |                ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile,
+        | CAST(floor(percent_rank() OVER (PARTITION BY o_orderpriority
+        |                ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |            * 1000000.0 + 0.5) AS BIGINT) AS pct_rank_e6
+        |FROM orders""".stripMargin,
+
+    "orders_histogram" ->
+      """SELECT CAST(least(19, greatest(0, floor(o_totalprice / 30000.0))) AS BIGINT) AS bin,
+        | count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "profile_orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
       .map(c =>
