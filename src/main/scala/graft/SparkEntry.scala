@@ -321,6 +321,12 @@ object SparkEntry {
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
     }),
 
+    // ---- C4-style global boilerplate removal (10-word chunks repeated
+    // across >2 docs are dropped, survivors reassembled in order) ----
+    "doc_deboilerplate" -> ((s, dir) =>
+      Dedup.removeBoilerplate(Tables.documents(s, dir), "doc_id", "text",
+        window = 10, maxDocFreq = 2)),
+
     // ---- text normalization: lowercase, strip non-alnum, collapse
     // whitespace — the canonical-form step before exact dedup ----
     "doc_normalize" -> ((s, dir) =>
@@ -837,6 +843,17 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts""".stripMargin,
+
+    "doc_deboilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |             array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS chunk
+        |      FROM t, UNNEST(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS r(i)),
+        |hot AS (SELECT chunk FROM c GROUP BY chunk
+        |        HAVING count(DISTINCT doc_id) > 2),
+        |kept AS (SELECT * FROM c WHERE chunk NOT IN (SELECT chunk FROM hot))
+        |SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+        |FROM kept GROUP BY doc_id""".stripMargin,
 
     // simple character-class + quantifier regexes only — the subset where
     // Java (Spark) and RE2 (DuckDB) semantics coincide

@@ -134,6 +134,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Global boilerplate removal (the C4-style cleanup): split every
+    * document into consecutive `window`-word chunks, count each distinct
+    * chunk's DOCUMENT frequency corpus-wide, drop chunks appearing in more
+    * than `maxDocFreq` documents (navigation bars, license footers, cookie
+    * banners — content repeated verbatim across unrelated pages), and
+    * reassemble the survivors in original order.
+    *
+    * Scale shape: chunking is a per-row transform (no shuffle); the
+    * frequency count is one hash aggregation on the chunk; the hot set —
+    * by construction the globally-REPEATED chunks, a tiny fraction of the
+    * corpus — broadcasts into a left-anti join, so the corpus-sized chunk
+    * relation never shuffles for the filter; reassembly is one aggregation
+    * on the doc id. Documents whose every chunk was boilerplate drop out
+    * of the result (callers wanting empty rows can left-join back).
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      window: Int, maxDocFreq: Long): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__ws"))
+    val chunkArr = when(size(col("__ws")) > 0,
+      transform(
+        sequence(lit(0), ceil(size(col("__ws")) / lit(window.toDouble)).cast("int") - 1),
+        i => concat_ws(" ", slice(col("__ws"), i * window + 1, lit(window)))))
+      .otherwise(array().cast("array<string>"))
+    val chunks = Partitions.widen(toks, col(idCol))
+      .select(col(idCol), posexplode(chunkArr).as(Seq("pos", "chunk")))
+    val hot = chunks.groupBy("chunk")
+      .agg(count_distinct(col(idCol)).as("df"))
+      .filter(col("df") > maxDocFreq).select("chunk")
+    chunks.join(broadcast(hot), Seq("chunk"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          x => x("chunk")), " ").as("clean_text"))
+  }
+
   /** MinHash signatures: array of `numHashes` minimum hash values over the
     * document's shingle set. Default hash family h_i(g) = xxhash64(i, g) —
     * seeded by the leading literal, so each i is an independent 64-bit

@@ -30,6 +30,35 @@ class EditDistanceSpec extends SparkSpec {
     assert(pairs == Set((4L, 5L, 0)))
   }
 
+  test("removeBoilerplate drops corpus-repeated chunks, keeps unique content in order") {
+    // window=2: "COOKIE BANNER" appears in 3 docs → boilerplate at
+    // maxDocFreq=2; unique content survives in original order
+    val docs = Seq(
+      (1L, "COOKIE BANNER alpha beta gamma delta"),
+      (2L, "COOKIE BANNER epsilon zeta eta theta"),
+      (3L, "COOKIE BANNER iota kappa lambda mu"),
+      (4L, "completely unique document four text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(docs, "doc_id", "text",
+        window = 2, maxDocFreq = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "alpha beta gamma delta")
+    assert(out(2L) == "epsilon zeta eta theta")
+    assert(out(3L) == "iota kappa lambda mu")
+    assert(out(4L) == "completely unique document four text")
+  }
+
+  test("removeBoilerplate drops a fully-boilerplate doc from the result") {
+    val docs = Seq(
+      (1L, "SAME SAME"), (2L, "SAME SAME"), (3L, "SAME SAME"),
+      (4L, "real content here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(docs, "doc_id", "text",
+        window = 2, maxDocFreq = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(4L -> "real content here now"))
+  }
+
   test("matches a brute-force all-pairs levenshtein on candidate-covered pairs") {
     val maxDist = 5
     val fast = Dedup.editDistancePairs(docs, "doc_id", "text", maxDist, n = 3)
