@@ -321,6 +321,14 @@ object SparkEntry {
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
     }),
 
+    // ---- duplicate FAMILIES: connected components over near-dup pairs
+    // (pairwise evidence A~B, B~C clustered into {A,B,C}) ----
+    "dedup_clusters" -> ((s, dir) =>
+      graft.operators.Components.connectedComponents(
+        Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.2),
+        "id_a", "id_b")),
+
     // ---- C4-style global boilerplate removal (10-word chunks repeated
     // across >2 docs are dropped, survivors reassembled in order) ----
     "doc_deboilerplate" -> ((s, dir) =>
@@ -843,6 +851,36 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts""".stripMargin,
+
+    // an independent implementation of the same fixpoint: DuckDB's
+    // recursive CTE reaches every vertex from every vertex, min labels
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |p AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT i.id_a, i.id_b,
+        |           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS j
+        |    FROM inter i
+        |    JOIN sizes sa ON i.id_a = sa.doc_id
+        |    JOIN sizes sb ON i.id_b = sb.doc_id)
+        |  WHERE round(j, 6) >= 0.2),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |v AS (SELECT DISTINCT src AS id FROM e),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM v
+        |  UNION
+        |  SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id)
+        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
 
     "doc_deboilerplate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
