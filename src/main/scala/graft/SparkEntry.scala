@@ -329,6 +329,19 @@ object SparkEntry {
           n = 3, threshold = 0.2),
         "id_a", "id_b")),
 
+    // ---- near-dup dedup END-TO-END: drop every non-keeper family member
+    // (keeper = min doc_id per connected component) ----
+    "dedup_near_keepers" -> ((s, dir) => {
+      val clusters = graft.operators.Components.connectedComponents(
+        Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.2),
+        "id_a", "id_b")
+      val losers = clusters.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      Tables.documents(s, dir).join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // ---- C4-style global boilerplate removal (10-word chunks repeated
     // across >2 docs are dropped, survivors reassembled in order) ----
     "doc_deboilerplate" -> ((s, dir) =>
@@ -851,6 +864,37 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts""".stripMargin,
+
+    "dedup_near_keepers" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |p AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT i.id_a, i.id_b,
+        |           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS j
+        |    FROM inter i
+        |    JOIN sizes sa ON i.id_a = sa.doc_id
+        |    JOIN sizes sb ON i.id_b = sb.doc_id)
+        |  WHERE round(j, 6) >= 0.2),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |v AS (SELECT DISTINCT src AS id FROM e),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM v
+        |  UNION
+        |  SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id),
+        |losers AS (
+        |  SELECT id FROM reach GROUP BY id HAVING id != min(r))
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
     // an independent implementation of the same fixpoint: DuckDB's
     // recursive CTE reaches every vertex from every vertex, min labels
