@@ -309,6 +309,21 @@ object SparkEntry {
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
         .groupBy("split").agg(count(lit(1)).as("n_docs"))),
 
+    // ---- source-mixture rebalancing: thin dominant sources to an equal
+    // share (deterministic portable-hash acceptance) ----
+    "source_mix" -> ((s, dir) =>
+      graft.operators.Sampling.balancedSample(
+          Tables.documents(s, dir).select("doc_id", "source", "lang"),
+          "source", "doc_id")
+        .select("doc_id", "source", "lang")),
+
+    // ---- concat-and-chunk packing plan: global token offsets and the
+    // fixed-length training sequences each document spans ----
+    "pack_chunks" -> ((s, dir) =>
+      graft.operators.Packing.chunkPlan(
+        Tables.documents(s, dir).select("doc_id", "source", "text"),
+        "doc_id", "source", Text.tokenCount(col("text")), seqLen = 2048L)),
+
     // ---- as-of (point-in-time) join: each event sees the customer's
     // latest order at event time ----
     "asof_join" -> ((s, dir) => {
@@ -1409,6 +1424,35 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |       count(*) AS n_docs
         |FROM b GROUP BY 1""".stripMargin,
+
+    "source_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |t AS (SELECT source, n,
+        |        least(n, CAST(sum(n) OVER () AS BIGINT) // CAST(count(*) OVER () AS BIGINT)) AS tgt
+        |      FROM c)
+        |SELECT d.doc_id, d.source, d.lang
+        |FROM documents d JOIN t USING (source)
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % t.n < t.tgt""".stripMargin,
+
+    "pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, n_tokens, n_tokens + 1 AS len,
+        |         CAST(sum(n_tokens + 1) OVER (PARTITION BY source ORDER BY doc_id
+        |             ROWS UNBOUNDED PRECEDING) AS BIGINT) - (n_tokens + 1) AS in_off
+        |  FROM t),
+        |b AS (SELECT source, sum(n_tokens + 1) AS tot FROM t GROUP BY source),
+        |o AS (SELECT source, CAST(COALESCE(sum(tot) OVER (ORDER BY source
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+        |      FROM b)
+        |SELECT g.doc_id, g.source, g.n_tokens,
+        |       o.base + g.in_off AS start_off,
+        |       (o.base + g.in_off) // 2048 AS first_seq,
+        |       ((o.base + g.in_off + g.len - 1) // 2048) - ((o.base + g.in_off) // 2048) + 1 AS n_seqs
+        |FROM g JOIN o USING (source)""".stripMargin,
 
     "corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,

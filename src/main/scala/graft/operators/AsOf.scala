@@ -70,27 +70,32 @@ object AsOf {
     val wBack = Window.partitionBy("__key")
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // left before right on equal timestamps → inclusive forward
+    // forward = running last over the REVERSED sort. The direct encoding
+    // (first over CURRENT ROW .. UNBOUNDED FOLLOWING) hits Spark's
+    // UnboundedFollowingWindowFunctionFrame, which re-evaluates the
+    // aggregate from the current row to partition end for EVERY row —
+    // O(n²) per (key) partition, a real cliff on hot keys at scale. The
+    // descending running frame is the streaming O(n) equivalent: at equal
+    // timestamps the right row (side 0) sorts first so it is already in
+    // the left row's frame → inclusive forward.
     val wFwd = Window.partitionBy("__key")
-      .orderBy(col("__ts").asc, col("__side").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__ts").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    def carry(df: DataFrame, w: WindowSpec, suffix: String, fwd: Boolean): DataFrame =
+    def carry(df: DataFrame, w: WindowSpec, suffix: String): DataFrame =
       carryCols.foldLeft(df) { (d, v) =>
-        d.withColumn(v + suffix,
-          if (fwd) first(col(v), ignoreNulls = true).over(w)
-          else last(col(v), ignoreNulls = true).over(w))
+        d.withColumn(v + suffix, last(col(v), ignoreNulls = true).over(w))
       }
 
     val gapUs: (Column, Column) => Column = (ts, rts) =>
       abs(unix_micros(ts) - unix_micros(rts))
 
     val matched = direction match {
-      case "backward" => carry(unioned, wBack, "", fwd = false)
-      case "forward"  => carry(unioned, wFwd, "", fwd = true)
+      case "backward" => carry(unioned, wBack, "")
+      case "forward"  => carry(unioned, wFwd, "")
       case "nearest" =>
         // two sorts, one shuffle (same partitioning); backward wins ties
-        val both = carry(carry(unioned, wBack, "__b", fwd = false), wFwd, "__f", fwd = true)
+        val both = carry(carry(unioned, wBack, "__b"), wFwd, "__f")
         val useBack = col("__rts__f").isNull ||
           (col("__rts__b").isNotNull &&
             gapUs(col("__ts"), col("__rts__b")) <= gapUs(col("__ts"), col("__rts__f")))

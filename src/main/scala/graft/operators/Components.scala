@@ -44,17 +44,17 @@ object Components {
         .join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("nid"))
         .agg(min(col("cluster_id")).as("neighbor_min"))
+      // carry the previous label through the update so convergence is a
+      // filter-count over the (already materialized) checkpoint, not
+      // another join against the old labels
       val updated = labels
         .join(neighborMin, labels("id") === col("nid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster_id").as("__old"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), col("u.id") === col("l.id"))
-        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
-        .count()
-      labels = updated
+      val changed = updated.filter(col("cluster_id") =!= col("__old")).count()
+      labels = updated.select("id", "cluster_id")
       converged = changed == 0
       iter += 1
     }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling and dataset splitting for
@@ -65,6 +66,27 @@ object Sampling {
     * dominate. row_number ranking gets WindowGroupLimit pushdown — each
     * partition retains only its running top quota before the final sort,
     * so the shuffle carries candidates, not the domain's full row set. */
+  /** Deterministic mixture rebalancing: downsample every group toward the
+    * balanced target `T = total div #groups`, so each group keeps an
+    * expected `min(n_g, T)` rows — the "flatten the source distribution"
+    * step of corpus mixing (small sources survive whole; dominant sources
+    * are thinned to an equal share). Acceptance is per-row from the 60-bit
+    * portable hash (`hash(key) mod n_g < T`), so decisions are
+    * reproducible across runs, engines, and cluster layouts. Group stats
+    * are one row per group, computed by a tiny aggregate and broadcast
+    * back — no extra shuffle of the data itself. */
+  def balancedSample(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val wAll = Window.partitionBy(lit(0))
+    val stats = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__total", sum("__n").over(wAll))
+      .withColumn("__k", count(lit(1)).over(wAll))
+      .withColumn("__tgt", least(col("__n"), expr("__total div __k")))
+      .select(col(groupCol), col("__n"), col("__tgt"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .filter(pmod(graft.functions.PortableHash.hash60(col(keyCol)), col("__n")) < col("__tgt"))
+      .drop("__n", "__tgt")
+  }
+
   def quotaSample(df: DataFrame, groupCol: String, scoreCol: String,
       keyCol: String, quotas: Map[String, Int],
       defaultQuota: Int): DataFrame = {

@@ -61,6 +61,19 @@ class SamplingSpec extends SparkSpec {
     assert(out == Set(("a", 10L), ("a", 11L), ("a", 9L), ("b", 20L)))
   }
 
+  test("balancedSample thins dominant groups to an equal share, deterministically") {
+    // 250 en / 750 fr, k=2 → target 500: en survives whole, fr is thinned
+    val out = Sampling.balancedSample(docs, "lang", "id")
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en") == 250)
+    assert(counts("fr") > 400 && counts("fr") < 600) // ~500 ± hash noise
+    val kept = out.select("id").as[Long].collect().toSet
+    val again = Sampling.balancedSample(docs.repartition(13), "lang", "id")
+      .select("id").as[Long].collect().toSet
+    assert(again == kept) // layout-independent acceptance
+  }
+
   test("redact scrubs emails and phone runs") {
     import graft.functions.Text
     val df = Seq(
