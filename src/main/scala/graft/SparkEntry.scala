@@ -309,6 +309,38 @@ object SparkEntry {
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
         .groupBy("split").agg(count(lit(1)).as("n_docs"))),
 
+    // ---- bloom-pruned shuffle join: fact rows filtered by a dim-key
+    // bloom sketch BEFORE the exchange; plain-join oracle proves exactness ----
+    "bloom_prune_join" -> ((s, dir) => {
+      val dim = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 400000.0)
+        .select("o_orderkey", "o_orderpriority")
+      val fact = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      graft.operators.BloomJoin.pruneJoin(
+          fact, dim, "l_orderkey", "o_orderkey", expectedItems = 1L << 20)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("revenue_e4"))
+    }),
+
+    // ---- incremental aggregate maintenance: snapshot(old) ⊕ partials(new)
+    // ≡ full recompute (the oracle aggregates everything directly) ----
+    "incr_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("ts"),
+          round(col("value") * 100).cast("long").as("v"))
+      val cutoff = lit("2024-01-20").cast("timestamp")
+      val old = graft.operators.Incremental.partials(
+        ev.filter(col("ts") < cutoff), Seq("event_type"), col("v"))
+      val delta = graft.operators.Incremental.partials(
+        ev.filter(col("ts") >= cutoff), Seq("event_type"), col("v"))
+      graft.operators.Incremental.withAvg(
+        graft.operators.Incremental.merge(Seq(old, delta), Seq("event_type")))
+    }),
+
     // ---- source-mixture rebalancing: thin dominant sources to an equal
     // share (deterministic portable-hash acceptance) ----
     "source_mix" -> ((s, dir) =>
@@ -1424,6 +1456,22 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |       count(*) AS n_docs
         |FROM b GROUP BY 1""".stripMargin,
+
+    "bloom_prune_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY 1""".stripMargin,
+
+    "incr_agg" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events)
+        |SELECT event_type, count(*) AS n, sum(v) AS sum_v,
+        |       min(v) AS min_v, max(v) AS max_v,
+        |       CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_v
+        |FROM q GROUP BY 1""".stripMargin,
 
     "source_mix" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
