@@ -458,6 +458,18 @@ object SparkEntry {
       graft.operators.Cdc.applyChanges(base, changes, Seq("c_custkey"), "version", "op")
     }),
 
+    // ---- SCD2 history build from the same changelog: interval rows in
+    // version order, deletes close intervals without emitting rows ----
+    "scd2_history" -> ((s, dir) => {
+      val changes = Tables.orders(s, dir).select(
+        col("o_custkey").as("c_custkey"),
+        concat(lit("cust-"), col("o_custkey")).as("c_name"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderkey").as("version"),
+        when(col("o_orderstatus") === "F", lit("d")).otherwise(lit("u")).as("op"))
+      graft.operators.Cdc.scd2History(changes, Seq("c_custkey"), "version", "op")
+    }),
+
     // ---- three-table join + aggregate (TPC-H Q3 shape, adapted to the
     // generated schema): no broadcast hints — customer is NOT small at
     // real scale; AQE picks the strategy per actual sizes ----
@@ -1062,6 +1074,20 @@ object SparkEntry {
         |WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
         |UNION ALL
         |SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op = 'u'""".stripMargin,
+
+    "scd2_history" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         'cust-' || o_custkey AS c_name,
+        |         o_totalprice AS c_acctbal,
+        |         o_orderkey AS version,
+        |         CASE WHEN o_orderstatus = 'F' THEN 'd' ELSE 'u' END AS op,
+        |         lead(o_orderkey) OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_orderkey) AS valid_to
+        |  FROM orders)
+        |SELECT c_custkey, c_name, c_acctbal, version AS valid_from, valid_to,
+        |       valid_to IS NULL AS is_current
+        |FROM ch WHERE op = 'u'""".stripMargin,
 
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -44,4 +44,27 @@ object Cdc {
       .select(base.columns.map(col).toSeq: _*)
     untouched.unionByName(upserts)
   }
+
+  /** Slowly-changing-dimension type-2 history from the same changelog
+    * shape: one row per upsert, valid over `[valid_from, valid_to)` in
+    * version order; `valid_to` null = still open. A delete emits no row
+    * but CLOSES its predecessor's interval (the `lead` runs over all
+    * changes before tombstones are dropped). `is_current` marks open
+    * upserts — the current snapshot is exactly `is_current`, so
+    * [[applyChanges]] over an empty base agrees with this view.
+    *
+    * One key-partitioned window + one filter: linear, no self-join, the
+    * standard SCD2 build at any scale. */
+  def scd2History(changes: DataFrame, keyCols: Seq[String],
+      versionCol: String, opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).asc)
+    changes
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .filter(col(opCol) === "u")
+      .withColumn("is_current", col("valid_to").isNull)
+      .withColumnRenamed(versionCol, "valid_from")
+      .drop(opCol)
+  }
 }

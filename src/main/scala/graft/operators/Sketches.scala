@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches (Apache DataSketches HLL, via Spark's
+  * built-in `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`).
+  *
+  * At 100 TB, exact `countDistinct` of a high-cardinality column costs a
+  * full shuffle of every distinct value; an HLL sketch is a fixed-size
+  * state (KBs) with bounded relative error, and — the property this module
+  * exists for — sketches MERGE: the sketch of a union is computable from
+  * the sketches of the parts. That makes approximate distinct counts
+  * compatible with [[Incremental]]-style snapshot maintenance (store a
+  * sketch per key per day; any rollup is a union of sketches, never a
+  * rescan) and with map-side partial aggregation (Spark merges the same
+  * way internally).
+  *
+  * Determinism caveat (measured, not just theoretical): dense HLL register
+  * state is a per-register max and thus merge-order independent, but
+  * DataSketches promotes sparse (LIST/SET) sketches to dense at
+  * merge-path-dependent points, so estimates may differ by a few counts
+  * across partition layouts or merge trees. The guaranteed property — what
+  * the spec asserts — is that every path's estimate stays within the
+  * configured error bound of the exact count. Consequently no DuckDB
+  * oracle is registered for sketch queries (DuckDB's approx_count_distinct
+  * is a different HLL with different registers; cross-engine hash-matching
+  * is impossible by construction) and sketch columns must not feed
+  * hash-compared outputs.
+  */
+object Sketches {
+
+  /** Per-key HLL sketch of `valueCol` (lgConfigK 12 ≈ 2.2% rel. error). */
+  def distinctSketch(df: DataFrame, keys: Seq[String], valueCol: String,
+      lgConfigK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgConfigK)).as("sketch"))
+
+  /** Merge sketch snapshots (same shape as [[Incremental.merge]]). */
+  def mergeSketches(snapshots: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(snapshots.nonEmpty, "nothing to merge")
+    snapshots.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("sketch")).as("sketch"))
+  }
+
+  /** Read the estimate off a sketch snapshot. */
+  def withEstimate(snapshot: DataFrame): DataFrame =
+    snapshot.withColumn("n_distinct_est", hll_sketch_estimate(col("sketch")))
+}

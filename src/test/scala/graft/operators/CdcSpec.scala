@@ -44,6 +44,31 @@ class CdcSpec extends SparkSpec {
     assert(bad.getMessage.contains("name"))
   }
 
+  test("scd2History builds closed intervals, deletes close but emit nothing") {
+    val ch = Seq(
+      (1L, "a", 1.0, 10L, "u"), (1L, "b", 2.0, 20L, "u"), (1L, "c", 3.0, 30L, "d"),
+      (2L, "x", 5.0, 15L, "u")
+    ).toDF("id", "name", "bal", "version", "op")
+    val out = Cdc.scd2History(ch, Seq("id"), "version", "op")
+      .select("id", "name", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toSet
+    assert(out == Set(
+      (1L, "a", 10L, Some(20L), false),
+      (1L, "b", 20L, Some(30L), false), // closed by the delete tombstone
+      (2L, "x", 15L, None, true)))
+  }
+
+  test("scd2History current rows agree with applyChanges over an empty base") {
+    val empty = base.limit(0)
+    val snapshot = Cdc.applyChanges(empty, changes, Seq("id"), "version", "op")
+      .collect().map(_.toSeq).toSet
+    val current = Cdc.scd2History(changes, Seq("id"), "version", "op")
+      .filter($"is_current").select("id", "name", "bal")
+      .collect().map(_.toSeq).toSet
+    assert(current == snapshot)
+  }
+
   test("idempotent: applying the same changelog twice yields the same snapshot") {
     val once = Cdc.applyChanges(base, changes, Seq("id"), "version", "op")
     val twice = Cdc.applyChanges(once, changes, Seq("id"), "version", "op")
