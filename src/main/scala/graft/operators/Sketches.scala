@@ -47,4 +47,24 @@ object Sketches {
   /** Read the estimate off a sketch snapshot. */
   def withEstimate(snapshot: DataFrame): DataFrame =
     snapshot.withColumn("n_distinct_est", hll_sketch_estimate(col("sketch")))
+
+  /** Count-Min sketch of `valueCol`'s frequency distribution — approximate
+    * heavy-hitters over streams/shards too hot to count exactly. The
+    * sketch aggregates distributed (Spark's codegen `count_min_sketch`
+    * aggregate), and only the fixed-size counter array reaches the driver.
+    * Unlike HLL's promotion states, CMS is a plain counter matrix: merging
+    * is elementwise addition, so merged estimates are EXACTLY the
+    * whole-input estimates, independent of partitioning or merge order
+    * (asserted in spec). Estimates overcount only: true ≤ est ≤ true+εN
+    * with probability ≥ confidence (Cormode & Muthukrishnan 2005). */
+  def countMin(df: DataFrame, valueCol: String,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42)
+      : org.apache.spark.util.sketch.CountMinSketch = {
+    val bytes = df.select(
+        count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
+          .as("cms"))
+      .head().getAs[Array[Byte]]("cms")
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
 }

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(Long, Long)], iters: Int = 20): Map[Long, Double] =
+    PageRank.run(edges.toDF("s", "d"), "s", "d", iterations = iters)
+      .as[(Long, Double)].collect().toMap
+
+  test("ring graph converges to uniform ranks that sum to 1") {
+    val n = 6
+    val ring = (0L until n).map(i => (i, (i + 1) % n))
+    val r = ranksOf(ring)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    r.values.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-6))
+  }
+
+  test("star graph ranks the hub highest; dangling hub mass is redistributed") {
+    // 1..5 all link to 0; 0 links nowhere (dangling)
+    val star = (1L to 5L).map(i => (i, 0L))
+    val r = ranksOf(star)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r(0L) > 0.5, s"hub rank ${r(0L)}")
+    (1L to 5L).foreach(i => assert(r(i) < r(0L)))
+    // spokes are symmetric → equal ranks
+    assert((1L to 5L).map(r).distinct.size == 1)
+  }
+
+  test("rank order matches link structure on an asymmetric graph") {
+    // 2 cites 1 fully, 3 splits between 1 and 2, nobody cites 3:
+    // in-mass strictly orders 1 > 2 > 3
+    val g = Seq((2L, 1L), (3L, 1L), (3L, 2L))
+    val r = ranksOf(g)
+    assert(r(1L) > r(2L) && r(2L) > r(3L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+}

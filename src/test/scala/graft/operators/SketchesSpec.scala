@@ -41,6 +41,21 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("count-min: overcount-only bound and EXACT merge/layout independence") {
+    val df = batch(1 to 2000) // value i%500: each value ~4 occurrences
+    val cms = Sketches.countMin(df, "v")
+    val exact = df.groupBy("v").count().as[(Int, Long)].collect().toMap
+    exact.foreach { case (v, n) =>
+      val est = cms.estimateCount(v)
+      assert(est >= n, s"CMS undercounted $v")       // never undercounts
+      assert(est <= n + (0.001 * 2000).ceil.toLong + 1, s"$v: $est vs $n")
+    }
+    // counter matrices add elementwise → layout cannot change estimates
+    val relaid = Sketches.countMin(df.repartition(13), "v")
+    exact.keys.foreach(v =>
+      assert(relaid.estimateCount(v) == cms.estimateCount(v)))
+  }
+
   test("sketch estimates stay within bounds across partition layouts") {
     def run(parts: Int) = Sketches.withEstimate(
         Sketches.distinctSketch(batch(1 to 1500).repartition(parts), Seq("g"), "v"))
