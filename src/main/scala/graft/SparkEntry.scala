@@ -124,6 +124,30 @@ object SparkEntry {
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
     }),
 
+    // ---- GLOBAL top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    // per-partition heaps + a k-row driver merge, never a full sort ----
+    "orders_top100" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // ---- analytic window-function suite: offsets, positional, and
+    // distribution functions over one (key, order) spec ----
+    "orders_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderkey").asc)
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        first("o_totalprice").over(w).as("first_price"),
+        // percent_rank/cume_dist: exact integer ratios + one IEEE division
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        // default running frame in BOTH engines: rows before the 2nd see null
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+    }),
+
     // ---- analytic windows (lag + running sum): sessionization ----
     "sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
@@ -866,6 +890,21 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY o_orderpriority
         |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "orders_top100" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "orders_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       first_value(o_totalprice) OVER w AS first_price,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume,
+        |       nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC)""".stripMargin,
 
     // session_window merges events strictly closer than the gap, at MICROS
     // precision (>= gap starts a new session); end = last event + gap
