@@ -124,6 +124,30 @@ object SparkEntry {
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
     }),
 
+    // ---- SQL surface parity: correlated EXISTS through spark.sql over
+    // temp views — Catalyst rewrites it to the same left-semi HashJoin the
+    // DataFrame API would produce ----
+    "sql_exists" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("graft_sql_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_sql_orders")
+      s.sql("""SELECT c_custkey, c_name FROM graft_sql_customer c
+               WHERE EXISTS (SELECT 1 FROM graft_sql_orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 450000)""")
+    }),
+
+    // ---- full outer join of two aggregates with disjoint key ranges:
+    // preserved rows on BOTH sides ----
+    "activity_full_outer" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val ord = Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      ev.join(ord, ev("user_id") === ord("o_custkey"), "full_outer")
+        .select(coalesce(ev("user_id"), ord("o_custkey")).as("party_id"),
+          col("n_events"), col("n_orders"))
+    }),
+
     // ---- GLOBAL top-k: orderBy+limit compiles to TakeOrderedAndProject —
     // per-partition heaps + a k-row driver merge, never a full sort ----
     "orders_top100" -> ((s, dir) =>
@@ -890,6 +914,20 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY o_orderpriority
         |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "sql_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 450000)""".stripMargin,
+
+    "activity_full_outer" ->
+      """SELECT COALESCE(e.user_id, o.o_custkey) AS party_id,
+        |       e.n_events, o.n_orders
+        |FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1) e
+        |FULL OUTER JOIN
+        |     (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
+        |  ON e.user_id = o.o_custkey""".stripMargin,
 
     "orders_top100" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
