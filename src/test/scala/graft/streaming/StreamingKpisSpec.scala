@@ -37,6 +37,39 @@ class StreamingKpisSpec extends SparkSpec {
     assert(hourly(10) == 2 && hourly(11) == 1)
   }
 
+  test("incrementalSnapshot merges per-batch partials into a full-history-equivalent snapshot") {
+    val dir = Files.createTempDirectory("graft-incr")
+    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+    def shard(name: String, rows: String): Unit =
+      Files.writeString(inDir.resolve(name),
+        "user_id,track_id,listen_time\n" + rows)
+    shard("a.csv",
+      """1,t1,2024-06-25T10:00:00.000Z
+        |2,t1,2024-06-25T10:10:00.000Z
+        |""".stripMargin)
+    shard("b.csv",
+      """1,t2,2024-06-25T11:00:00.000Z
+        |3,t1,2024-06-25T11:30:00.000Z
+        |""".stripMargin)
+    shard("c.csv", "2,t2,2024-06-25T12:00:00.000Z\n")
+    import org.apache.spark.sql.functions._
+    // one file per micro-batch → three separate merge cycles
+    val stream = StreamingKpis.fileStream(spark, Sources.streamsSchema,
+        inDir.toString, maxFilesPerTrigger = 1)
+      .withColumn("v", length(col("track_id")).cast("long"))
+    val snap = dir.resolve("snap").toString
+    val q = StreamingKpis.incrementalSnapshot(stream, Seq("user_id"), "v",
+      snap, dir.resolve("ckpt").toString).start()
+    q.awaitTermination(60000)
+
+    val got = spark.read.parquet(snap)
+      .selectExpr("user_id", "n", "sum_v").collect()
+      .map(r => (r.getAs[Number]("user_id").longValue(),
+        r.getAs[Long]("n"), r.getAs[Long]("sum_v"))).toSet
+    // full recompute over all five rows: user 1 → 2 plays, user 2 → 2, 3 → 1
+    assert(got == Set((1L, 2L, 4L), (2L, 2L, 4L), (3L, 1L, 2L)))
+  }
+
   test("typed aggregators run in streaming complete mode (mode/top-k per group)") {
     // ranking windows are not expressible over a streaming aggregate —
     // this is exactly what the one-pass Aggregator forms exist for
