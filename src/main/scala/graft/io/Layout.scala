@@ -46,4 +46,25 @@ object Layout {
     ranged.sortWithinPartitions("__z").drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Compact a directory of many small parquet files into `numFiles`
+    * larger ones — the small-file pathology killer: every file costs a
+    * scheduler task, an open, and a footer read, so a 100 TB table written
+    * by thousands of streaming micro-batches can spend more time on
+    * metadata than data. `coalesce` (not `repartition`) merges without a
+    * shuffle; the rewrite goes to a tmp directory and swaps in, so the
+    * lazy read never consumes files the write just deleted. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      numFiles: Int): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    val tmp = dir + ".compact-tmp"
+    spark.read.parquet(dir).coalesce(numFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(dir))
+    ()
+  }
 }

@@ -15,8 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - [[GraftExtensions.install]] on an already-running session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => ApproxDistinctRewrite())
+  }
 }
 
 object GraftExtensions {
@@ -40,11 +42,16 @@ object GraftExtensions {
         DotProduct(args(0), args(1))
       }))
 
-  /** Register on a live session (extensions only apply at builder time). */
+  /** Register on a live session (extensions only apply at builder time).
+    * Optimizer rules go through `experimental.extraOptimizations` on this
+    * path; guarded for idempotence. */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     functions.foreach { case (id, info, builder) =>
       reg.registerFunction(id, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[ApproxDistinctRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ApproxDistinctRewrite()
   }
 }

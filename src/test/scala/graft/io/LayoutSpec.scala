@@ -79,4 +79,16 @@ class LayoutSpec extends SparkSpec {
     }.head
     assert(scan.metadata("PushedFilters").contains("kind"))
   }
+
+  test("compact merges a many-small-file directory, preserving data exactly") {
+    val path = tmp("layout-compact")
+    def partFiles = new java.io.File(path).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    sampleEvents.repartition(20).write.mode("overwrite").parquet(path)
+    assert(partFiles == 20)
+    val before = spark.read.parquet(path).collect().map(_.toSeq).toSet
+    Layout.compact(spark, path, numFiles = 2)
+    assert(partFiles <= 2 && partFiles >= 1)
+    assert(spark.read.parquet(path).collect().map(_.toSeq).toSet == before)
+  }
 }

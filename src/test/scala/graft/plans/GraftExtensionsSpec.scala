@@ -19,6 +19,37 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(d == 32.0)
   }
 
+  test("approx-distinct rewrite: off by default (exact), sketch plan + bounded error when enabled") {
+    val s = spark.newSession()
+    GraftExtensions.install(s)
+    import s.implicits._
+    val df = (1 to 3000).map(i => (s"g${i % 3}", i % 500)).toDF("g", "v")
+
+    def planOf(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.optimizedPlan.toString.toLowerCase
+
+    // default: flag unset → exact count-distinct, no sketch in the plan
+    val exactQ = df.groupBy("g").agg(countDistinct("v").as("nd"))
+    assert(!planOf(exactQ).contains("hll"))
+    val exact = exactQ.as[(String, Long)].collect().toMap
+    assert(exact.values.forall(_ == 500))
+
+    s.conf.set("graft.approxDistinct.enabled", "true")
+    try {
+      val approxQ = df.groupBy("g").agg(countDistinct("v").as("nd"))
+      assert(planOf(approxQ).contains("hll_sketch"), planOf(approxQ))
+      val approx = approxQ.as[(String, Long)].collect().toMap
+      exact.foreach { case (g, n) =>
+        assert(math.abs(approx(g) - n).toDouble / n < 0.1, s"$g: ${approx(g)} vs $n")
+      }
+      // guarded scope: a FILTER clause keeps exact semantics
+      val filtered = df.groupBy("g")
+        .agg(expr("count(DISTINCT v) FILTER (WHERE v < 100)").as("nd"))
+      assert(!planOf(filtered).contains("hll_sketch"))
+      assert(filtered.as[(String, Long)].collect().toMap.values.forall(_ == 100))
+    } finally s.conf.set("graft.approxDistinct.enabled", "false")
+  }
+
   test("SQL form matches the Column API form") {
     val s = spark.newSession()
     GraftExtensions.install(s)
