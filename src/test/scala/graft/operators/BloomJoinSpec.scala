@@ -27,6 +27,37 @@ class BloomJoinSpec extends SparkSpec {
     assert(Set(3L, 97L, 500L, 999L).subsetOf(kept))
   }
 
+  test("pruning filter is applied below any exchange (scan-side, pre-shuffle)") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // a Range-backed fact: a LocalRelation fixture would be constant-folded
+    // by ConvertToLocalRelation and leave no FilterExec to assert on
+    val rangeFact = spark.range(1, 1001)
+      .select($"id".as("fk"), ($"id" % 97).as("payload"))
+    val out = BloomJoin.pruneJoin(rangeFact, dim, "fk", "dk", expectedItems = 16)
+    out.collect()
+    // AQE wrappers (AdaptiveSparkPlanExec, QueryStageExec) are tree LEAVES
+    // — plain collect() never descends into their .executedPlan/.plan, so
+    // flatten through them explicitly
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val nodes = flatten(out.queryExecution.executedPlan)
+    val pruneFilters = nodes.collect {
+      case f: FilterExec if f.condition.toString.contains("might_contain") => f
+    }
+    assert(pruneFilters.nonEmpty, "no might_contain filter in executed plan")
+    // nothing shuffles beneath the pruning filter: rows are dropped at the
+    // scan side, before any exchange the join introduces
+    pruneFilters.foreach { f =>
+      assert(flatten(f).collect { case e: ShuffleExchangeExec => e }.isEmpty)
+    }
+  }
+
   test("empty dimension yields an empty inner join, not a crash") {
     val out = BloomJoin.pruneJoin(fact, dim.filter($"dk" < 0), "fk", "dk")
     assert(out.count() == 0)
