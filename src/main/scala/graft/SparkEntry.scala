@@ -389,13 +389,32 @@ object SparkEntry {
         graft.operators.Incremental.merge(Seq(old, delta), Seq("event_type")))
     }),
 
-    // ---- source-mixture rebalancing: thin dominant sources to an equal
-    // share (deterministic portable-hash acceptance) ----
+    // ---- corpus-mixture rebalancing: thin dominant groups to an equal
+    // share (deterministic portable-hash acceptance). Grouped on `lang` —
+    // the synthetic corpus's skewed dimension (en ≈ 2.5× the others;
+    // `source` is uniform and would thin nothing) ----
     "source_mix" -> ((s, dir) =>
       graft.operators.Sampling.balancedSample(
           Tables.documents(s, dir).select("doc_id", "source", "lang"),
-          "source", "doc_id")
+          "lang", "doc_id")
         .select("doc_id", "source", "lang")),
+
+    // ---- explicit-share mixture: en capped at 20% of the corpus, rest
+    // keep everything ----
+    "lang_mix_weighted" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+          Tables.documents(s, dir).select("doc_id", "lang"),
+          "lang", "doc_id", Map("en" -> 0.2))
+        .select("doc_id", "lang")),
+
+    // ---- set operations: INTERSECT / EXCEPT (distinct semantics) over
+    // the event-user and order-customer id sets ----
+    "user_set_ops" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id")).distinct()
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("user_id")).distinct()
+      e.intersect(o).agg(count(lit(1)).as("n_intersect"))
+        .crossJoin(e.except(o).agg(count(lit(1)).as("n_except")))
+    }),
 
     // ---- concat-and-chunk packing plan: global token offsets and the
     // fixed-length training sequences each document spans ----
@@ -1577,13 +1596,32 @@ object SparkEntry {
         |FROM q GROUP BY 1""".stripMargin,
 
     "source_mix" ->
-      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-        |t AS (SELECT source, n,
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT lang, n,
         |        least(n, CAST(sum(n) OVER () AS BIGINT) // CAST(count(*) OVER () AS BIGINT)) AS tgt
         |      FROM c)
         |SELECT d.doc_id, d.source, d.lang
-        |FROM documents d JOIN t USING (source)
+        |FROM documents d JOIN t USING (lang)
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % t.n < t.tgt""".stripMargin,
+
+    "lang_mix_weighted" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT lang, n,
+        |        least(n, CAST(floor(CAST(sum(n) OVER () AS DOUBLE) *
+        |          CASE WHEN lang = 'en' THEN 0.2 ELSE 1.0 END) AS BIGINT)) AS tgt
+        |      FROM c)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN t USING (lang)
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % t.n < t.tgt""".stripMargin,
+
+    "user_set_ops" ->
+      """SELECT
+        |  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events
+        |                         INTERSECT
+        |                         SELECT DISTINCT o_custkey FROM orders)) AS n_intersect,
+        |  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events
+        |                         EXCEPT
+        |                         SELECT DISTINCT o_custkey FROM orders)) AS n_except""".stripMargin,
 
     "pack_chunks" ->
       """WITH t AS (

@@ -87,6 +87,26 @@ object Sampling {
       .drop("__n", "__tgt")
   }
 
+  /** [[balancedSample]] generalized to explicit target shares: group `g`
+    * keeps `min(n_g, floor(total · weights(g)))` rows in expectation
+    * (groups absent from the map keep everything). The corpus-mixing dial:
+    * "40% web, 20% books, …" as one deterministic pass. */
+  def weightedSample(df: DataFrame, groupCol: String, keyCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w <= 1), "weights must be in [0,1]")
+    val wAll = Window.partitionBy(lit(0))
+    val weightCol = weights.foldLeft(lit(1.0)) { case (acc, (g, w)) =>
+      when(col(groupCol) === g, lit(w)).otherwise(acc)
+    }
+    val stats = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__tgt",
+        least(col("__n"), floor(sum("__n").over(wAll) * weightCol).cast("long")))
+      .select(col(groupCol), col("__n"), col("__tgt"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .filter(pmod(graft.functions.PortableHash.hash60(col(keyCol)), col("__n")) < col("__tgt"))
+      .drop("__n", "__tgt")
+  }
+
   def quotaSample(df: DataFrame, groupCol: String, scoreCol: String,
       keyCol: String, quotas: Map[String, Int],
       defaultQuota: Int): DataFrame = {

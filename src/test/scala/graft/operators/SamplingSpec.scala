@@ -74,6 +74,18 @@ class SamplingSpec extends SparkSpec {
     assert(again == kept) // layout-independent acceptance
   }
 
+  test("weightedSample caps listed groups at their share, keeps the rest whole") {
+    // fr capped at 20% of 1000 = 200 expected; en (unlisted) survives whole
+    val out = Sampling.weightedSample(docs, "lang", "id", Map("fr" -> 0.2))
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en") == 250)
+    assert(counts("fr") > 140 && counts("fr") < 260) // ~200 ± hash noise
+    val again = Sampling.weightedSample(docs.repartition(7), "lang", "id", Map("fr" -> 0.2))
+    assert(again.select("id").as[Long].collect().toSet ==
+      out.select("id").as[Long].collect().toSet)
+  }
+
   test("redact scrubs emails and phone runs") {
     import graft.functions.Text
     val df = Seq(
