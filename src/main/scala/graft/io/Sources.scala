@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Source readers with declared schemas — no runtime inference on
@@ -72,6 +73,34 @@ object Sources {
     * production paths. */
   def csvInferred(spark: SparkSession, paths: String*): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(paths: _*)
+
+  /** Quarantining CSV read — the third failure policy, between FAILFAST
+    * (one bad row kills a 100 TB load) and silent PERMISSIVE (bad rows
+    * become nulls and vanish): malformed lines are routed to
+    * `quarantineDir` as raw text for later triage/replay, clean rows flow
+    * on with the declared schema. Returns the clean rows.
+    *
+    * The `.cache()` is REQUIRED, not an optimization: Spark refuses
+    * filters on the internal corrupt-record column over a lazy CSV scan
+    * (the parser would have to run twice with diverging results), so the
+    * parsed batch is pinned before the two filters split it. Size the
+    * batch (one partition/day/shard per call) accordingly. */
+  def csvQuarantine(spark: SparkSession, schema: StructType,
+      quarantineDir: String, paths: String*): DataFrame = {
+    val corrupt = "_graft_corrupt"
+    val parsed = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .option("nullValue", "")
+      .schema(schema.add(corrupt, StringType))
+      .csv(paths: _*)
+      .cache()
+    parsed.filter(col(corrupt).isNotNull)
+      .select(col(corrupt))
+      .write.mode(SaveMode.Append).text(quarantineDir)
+    parsed.filter(col(corrupt).isNull).drop(corrupt)
+  }
 
   def parquet(spark: SparkSession, paths: String*): DataFrame =
     spark.read.parquet(paths: _*)

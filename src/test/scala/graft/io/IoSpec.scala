@@ -35,6 +35,26 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("csvQuarantine routes malformed rows aside and parses the rest") {
+    val dir = Files.createTempDirectory("graft-io-quar")
+    Files.writeString(dir.resolve("users.csv"),
+      """user_id,user_name,user_age,user_country,created_at
+        |1,Ann,30,US,2024-01-01
+        |not_an_int,Bob,25,FR,2024-01-02
+        |3,Cid,junk_age,DE,2024-01-03
+        |4,Dee,40,JP,2024-01-04
+        |""".stripMargin)
+    val quar = dir.resolve("quarantine").toString
+    val clean = Sources.csvQuarantine(spark, Sources.usersSchema, quar,
+      dir.resolve("users.csv").toString)
+    assert(clean.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 4))
+    assert(clean.columns.forall(!_.contains("corrupt")))
+    val quarantined = spark.read.text(quar).collect().map(_.getString(0)).sorted
+    assert(quarantined.length == 2)
+    assert(quarantined.exists(_.startsWith("not_an_int")))
+    assert(quarantined.exists(_.contains("junk_age")))
+  }
+
   test("renameColumns bridges source names to warehouse names") {
     import spark.implicits._
     val df = Seq((1, 2)).toDF("key", "mode")
