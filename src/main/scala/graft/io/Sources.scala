@@ -84,7 +84,10 @@ object Sources {
     * filters on the internal corrupt-record column over a lazy CSV scan
     * (the parser would have to run twice with diverging results), so the
     * parsed batch is pinned before the two filters split it. Size the
-    * batch (one partition/day/shard per call) accordingly. */
+    * batch (one partition/day/shard per call) accordingly, and release the
+    * pin with `spark.catalog.clearCache()` (or sink the returned frame and
+    * drop it) once the load lands — the pinned parse otherwise lives for
+    * the session. */
   def csvQuarantine(spark: SparkSession, schema: StructType,
       quarantineDir: String, paths: String*): DataFrame = {
     val corrupt = "_graft_corrupt"
