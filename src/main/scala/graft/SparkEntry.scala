@@ -416,6 +416,18 @@ object SparkEntry {
         .crossJoin(e.except(o).agg(count(lit(1)).as("n_except")))
     }),
 
+    // ---- power-of-two token-length bucketing: the batch-shaping
+    // histogram (pad-to-bucket batching wastes ≤2× on the worst doc).
+    // bucket_id = floor(log2(n))+1 computed as length(bin(n)) — exact
+    // integer bit-length in BOTH engines, no float log2 boundary risk ----
+    "length_buckets" -> ((s, dir) =>
+      graft.operators.Partitions.widen(
+          Tables.documents(s, dir).select("doc_id", "text"), col("doc_id"))
+        .select(length(bin(Text.tokenCount(col("text")).cast("long")))
+          .as("bucket_id"))
+        .groupBy("bucket_id")
+        .agg(count(lit(1)).as("n_docs"))),
+
     // ---- concat-and-chunk packing plan: global token offsets and the
     // fixed-length training sequences each document spans ----
     "pack_chunks" -> ((s, dir) =>
@@ -1622,6 +1634,11 @@ object SparkEntry {
         |  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events
         |                         EXCEPT
         |                         SELECT DISTINCT o_custkey FROM orders)) AS n_except""".stripMargin,
+
+    "length_buckets" ->
+      """SELECT CAST(length(bin(CAST(len(string_split(text, ' ')) AS BIGINT))) AS INT) AS bucket_id,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "pack_chunks" ->
       """WITH t AS (
