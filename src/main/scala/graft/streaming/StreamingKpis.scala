@@ -209,6 +209,91 @@ object StreamingKpis {
       lateness: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming as-of enrichment — the streaming face of
+    * [[graft.operators.AsOf]]'s backward join: each EVENT is matched with
+    * its key's latest UPDATE at-or-before the event's time (temporal
+    * "state of the dimension when this happened"). A plain stream-stream
+    * join cannot express this (the match is an argmax over time, not a
+    * bracket), and a static-table join would freeze the dimension.
+    *
+    * Same tag-union trick as the batch operator, then per-key
+    * flatMapGroupsWithState: both sides buffer in state until the
+    * WATERMARK passes an event's timestamp — at that point every update
+    * at-or-before that event has either arrived or is late beyond the
+    * horizon, so the emitted match is FINAL and deterministic under
+    * arbitrary within-watermark reordering (a late-but-in-horizon update
+    * arriving after the event still wins — spec'd). Late-beyond-watermark
+    * rows are dropped by Spark's filter: the explicit lateness policy.
+    *
+    * State is bounded two ways: events are held at most the watermark
+    * horizon; updates COMPACT to one anchor at-or-below the watermark
+    * (older ones can never win another match) plus those above it. The
+    * event-time timeout re-arms at wm+1 so a key with no new traffic
+    * still flushes as the watermark advances, and state is removed once
+    * both buffers drain. Updates must be unique per (key, ts) — on
+    * collision the greater value wins (deterministic), matching
+    * [[graft.operators.AsOf.latestPerKeyTs]] discipline.
+    *
+    * Watermarks must already be set on BOTH inputs (per-input watermarks
+    * make the stateful operator use their MIN, so one fast side cannot
+    * fast-forward drops on the slow side). Expected columns:
+    * events(key, ts, event_id), updates(key, ts, value). */
+  def asOfEnrichStream(spark: SparkSession,
+      events: DataFrame, updates: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    // NOTE: `ts` passes through UNCAST — a cast would strip the eventTime
+    // watermark metadata and EventTimeTimeout would refuse the plan
+    val tagged = events
+      .select(col("key").cast("long"), col("ts"),
+        lit(0).as("side"), col("event_id").cast("long"),
+        lit(0.0).as("value"))
+      .unionByName(updates.select(col("key").cast("long"),
+        col("ts"), lit(1).as("side"),
+        lit(0L).as("event_id"), col("value").cast("double")))
+      .as[(Long, java.sql.Timestamp, Int, Long, Double)]
+    // state: (event buffer (ts,id), update buffer (ts,value))
+    tagged
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Seq[(Long, Long)], Seq[(Long, Double)]),
+        (Long, Long, Long, Option[Double])](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state) =>
+          val (ev0, up0) = state.getOption.getOrElse(
+            (Seq.empty[(Long, Long)], Seq.empty[(Long, Double)]))
+          // fold new arrivals in (updates dedupe per ts, greater value wins)
+          var ev = ev0
+          var upMap = up0.toMap
+          rows.foreach { case (_, ts, side, id, v) =>
+            if (side == 0) ev = ev :+ (ts.getTime, id)
+            else upMap += (ts.getTime ->
+              math.max(v, upMap.getOrElse(ts.getTime, Double.NegativeInfinity)))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val ups = upMap.toSeq.sortBy(_._1)
+          // events sealed by the watermark: their match set is complete
+          val (ripe, hold) = ev.partition(_._1 <= wm)
+          val out = ripe.sortBy(e => (e._1, e._2)).map { case (t, id) =>
+            val m = ups.takeWhile(_._1 <= t).lastOption
+            (key, id, t, m.map(_._2))
+          }
+          // compact updates: newest anchor ≤ wm + everything above it
+          val anchor = ups.takeWhile(_._1 <= wm).lastOption
+          val kept = anchor.toSeq ++ ups.dropWhile(_._1 <= wm)
+          if (hold.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update((hold, kept))
+            state.setTimeoutTimestamp(wm + 1) // flush as the watermark moves
+          }
+          out.iterator
+      }
+      .map { (r: (Long, Long, Long, Option[Double])) =>
+        (r._1, r._2, new java.sql.Timestamp(r._3),
+          r._4.getOrElse(Double.NaN), r._4.isDefined) }
+      .toDF("key", "event_id", "ts", "value", "matched")
+  }
+
   /** Stream-stream interval join — the streaming face of
     * [[graft.operators.Interval.joinWithin]]: rows join when keys match AND
     * the right timestamp lies within ±`delta` of the left one. Both sides

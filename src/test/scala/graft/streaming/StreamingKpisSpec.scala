@@ -101,6 +101,47 @@ class StreamingKpisSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asOfEnrichStream finalizes temporal matches only once the watermark seals them") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val upIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def t(m: Int) = new java.sql.Timestamp(3600000L + m * 60000L)
+    val evDf = evIn.toDF.toDF("key", "ts", "event_id").withWatermark("ts", "1 hour")
+    val upDf = upIn.toDF.toDF("key", "ts", "value").withWatermark("ts", "1 hour")
+    val out = StreamingKpis.asOfEnrichStream(spark, evDf, upDf)
+    val q = out.writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: updates at 0 (v=1.0) and 60 (v=2.0); events at 30, 70; a
+      // key-2 event that will never match
+      upIn.addData((1L, t(0), 1.0), (1L, t(60), 2.0))
+      evIn.addData((1L, t(30), 101L), (1L, t(70), 102L), (2L, t(30), 201L))
+      q.processAllAvailable()
+      // batch 2: OUT-OF-ORDER update at 40 (v=1.5) lands after the event
+      // at 45 was... before any event is sealed — both within the horizon
+      upIn.addData((1L, t(40), 1.5))
+      evIn.addData((1L, t(45), 103L))
+      q.processAllAvailable()
+      // nothing is sealed yet (watermark still behind the events)
+      assert(spark.table("asof_stream").isEmpty)
+      // advance both sides' event time so the watermark seals 0..140
+      upIn.addData((1L, t(200), 9.0)); evIn.addData((1L, t(200), 999L))
+      q.processAllAvailable()
+      upIn.addData((1L, t(400), 10.0)); evIn.addData((1L, t(400), 1000L))
+      q.processAllAvailable()
+      val res = spark.table("asof_stream").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Double]("value"), r.getAs[Boolean]("matched"))).toMap
+      assert(res(101L) == ((1.0, true)))  // latest ≤ 30 is the update at 0
+      assert(res(102L) == ((2.0, true)))  // update at 60 wins over 40
+      assert(res(103L)._1 == 1.5)         // the LATE update at 40 still wins
+      assert(!res(201L)._2)               // no update for key 2 → unmatched
+      assert(res(999L) == ((9.0, true)))  // sealed by the timeout-driven flush
+    } finally q.stop()
+  }
+
   test("sessionCounts runs stateful gap-sessionization over a live stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
