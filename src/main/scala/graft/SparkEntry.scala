@@ -316,6 +316,27 @@ object SparkEntry {
     // bit-identical IEEE arithmetic in both engines, whereas round(x, 6)
     // differs at exact .5 boundaries (Spark BigDecimal HALF_UP vs DuckDB's
     // scaled-double path — observed on 1 of 5000 docs at sf0.1)
+    // ---- END-TO-END corpus curation: quality floor + repetition cap +
+    // exact-dedup keeper + deterministic 50% downsample, as ONE
+    // declarative plan over one scan — the full filter chain a training
+    // pipeline runs, each stage the operator registered individually ----
+    "corpus_curate" -> ((s, dir) => {
+      val docs = graft.operators.Partitions.widen(
+        Tables.documents(s, dir).select("doc_id", "text", "lang", "source"),
+        col("doc_id"))
+      val scored = docs
+        .withColumn("__ws", Text.tokens(col("text")))
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          floor(Text.qualityScoreRaw(col("text")) * 1e6 + 0.5).cast("long")
+            .as("quality_e6"),
+          floor(Text.repetitionFromTokens(col("__ws"), 3) * 1e6 + 0.5).cast("long")
+            .as("rep3_e6"))
+        .filter(col("quality_e6") >= 800000L && col("rep3_e6") <= 10000L)
+      val deduped = Dedup.exactDedup(scored, "doc_id", "text")
+      graft.operators.Sampling.hashSample(deduped, "doc_id", fraction = 0.5)
+        .select("doc_id", "lang", "source", "quality_e6", "rep3_e6")
+    }),
+
     "doc_quality" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1520,6 +1541,43 @@ object SparkEntry {
         |  FROM dots JOIN norms na ON id_a = na.vec_id
         |            JOIN norms nb ON id_b = nb.vec_id)
         |WHERE cosine_sim >= 0.4""".stripMargin,
+
+    "corpus_curate" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, lang, source, string_split(text, ' ') AS ws,
+        |         CAST(length(text) AS DOUBLE) AS nchars
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text, lang, source, ws, nchars,
+        |         CAST(len(ws) AS DOUBLE) AS ntok,
+        |         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, text, lang, source, ws,
+        |    CAST(floor((
+        |      least(ntok / 100.0, 1.0) * 0.3
+        |      + (alpha / nchars) * 0.3
+        |      + (CASE WHEN (nchars - (ntok - 1)) / ntok BETWEEN 2.0 AND 12.0
+        |              THEN 1.0 ELSE 0.3 END) * 0.2
+        |      + (CASE WHEN len(list_intersect(ws,
+        |           ['the','a','an','and','of','to','in','is','it','that'])) > 0
+        |              THEN 1.0 ELSE 0.5 END) * 0.2) * 1000000.0 + 0.5) AS BIGINT) AS quality_e6
+        |  FROM s),
+        |g3 AS (SELECT doc_id, count(DISTINCT array_to_string(ws[i:i+2], ' ')) AS d,
+        |              any_value(len(ws)) - 2 AS tot
+        |       FROM t, UNNEST(range(1, len(ws) - 1)) AS r(i) WHERE len(ws) >= 3
+        |       GROUP BY doc_id),
+        |r AS (SELECT q.doc_id, q.text, q.lang, q.source, q.quality_e6,
+        |        CAST(floor(COALESCE((g3.tot - g3.d) * 1.0 / g3.tot, 0.0)
+        |                   * 1000000.0 + 0.5) AS BIGINT) AS rep3_e6
+        |      FROM q LEFT JOIN g3 USING (doc_id)),
+        |f AS (SELECT * FROM r WHERE quality_e6 >= 800000 AND rep3_e6 <= 10000),
+        |k AS (SELECT doc_id, lang, source, quality_e6, rep3_e6, text,
+        |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+        |      FROM f)
+        |SELECT doc_id, lang, source, quality_e6, rep3_e6 FROM k
+        |WHERE rn = 1
+        |  AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10000 < 5000""".stripMargin,
 
     "doc_quality" ->
       """WITH t AS (
