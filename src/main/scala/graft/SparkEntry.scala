@@ -311,6 +311,20 @@ object SparkEntry {
       Similarity.lshNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         dim = Dim, nBits = NdBits, threshold = NdThreshold, tables = NdTables)),
 
+    // ---- embedding-modality END-TO-END dedup: cosine pairs → connected
+    // components → drop every non-keeper family member (mirror of
+    // dedup_near_keepers in the vector modality) ----
+    "dedup_embed_keepers" -> ((s, dir) => {
+      val pairs = Similarity.embeddingNearDupPairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4)
+      val clusters = graft.operators.Components.connectedComponents(
+        pairs.select("id_a", "id_b"), "id_a", "id_b")
+      val losers = clusters.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("vec_id"))
+      Tables.embeddings(s, dir).join(losers, Seq("vec_id"), "left_anti")
+        .select("vec_id", "label")
+    }),
+
     // ---- text analysis over documents ----
     // quality emitted in integer micro-units: floor(x*1e6+0.5) is
     // bit-identical IEEE arithmetic in both engines, whereas round(x, 6)
@@ -1541,6 +1555,33 @@ object SparkEntry {
         |  FROM dots JOIN norms na ON id_a = na.vec_id
         |            JOIN norms nb ON id_b = nb.vec_id)
         |WHERE cosine_sim >= 0.4""".stripMargin,
+
+    "dedup_embed_keepers" ->
+      """WITH RECURSIVE flat AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dp
+        |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id),
+        |p AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS cosine_sim
+        |    FROM dots JOIN norms na ON id_a = na.vec_id
+        |              JOIN norms nb ON id_b = nb.vec_id)
+        |  WHERE cosine_sim >= 0.4),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |v AS (SELECT DISTINCT src AS id FROM e),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM v
+        |  UNION
+        |  SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id),
+        |losers AS (SELECT id FROM reach GROUP BY id HAVING id != min(r))
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
     "corpus_curate" ->
       """WITH t AS (
