@@ -148,6 +148,29 @@ object SparkEntry {
           col("n_events"), col("n_orders"))
     }),
 
+    // ---- calendar scalar suite: the date-dimension derivations of any
+    // warehouse load. Spark dayofweek is 1=Sunday; DuckDB's is 0=Sunday —
+    // the oracle adds 1 (semantic mirror, not a fudge) ----
+    "events_calendar" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        year(col("ts")).as("y"), quarter(col("ts")).as("q"),
+        month(col("ts")).as("mo"), dayofmonth(col("ts")).as("d"),
+        hour(col("ts")).as("h"), minute(col("ts")).as("mi"),
+        dayofweek(col("ts")).as("dow"), dayofyear(col("ts")).as("doy"))),
+
+    // ---- null-safe equality join (<=>): NULL keys MATCH each other,
+    // where an equi-join would drop them ('click' → NULL makes ~20% of
+    // keys null) ----
+    "null_safe_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(nullif(col("event_type"), lit("click")).as("k"), col("value"))
+      val totals = ev.groupBy("k").agg(count(lit(1)).as("n_k"))
+      ev.alias("e").join(totals.alias("t"), col("e.k") <=> col("t.k"))
+        .groupBy(col("t.k").as("kind"))
+        .agg(count(lit(1)).as("n_rows"), max("n_k").as("n_k"))
+    }),
+
     // ---- GLOBAL top-k: orderBy+limit compiles to TakeOrderedAndProject —
     // per-partition heaps + a k-row driver merge, never a full sort ----
     "orders_top100" -> ((s, dir) =>
@@ -994,6 +1017,19 @@ object SparkEntry {
         |FULL OUTER JOIN
         |     (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
         |  ON e.user_id = o.o_custkey""".stripMargin,
+
+    "events_calendar" ->
+      """SELECT event_id, year(ts) AS y, quarter(ts) AS q, month(ts) AS mo,
+        |       day(ts) AS d, hour(ts) AS h, minute(ts) AS mi,
+        |       dayofweek(ts) + 1 AS dow, dayofyear(ts) AS doy
+        |FROM events""".stripMargin,
+
+    "null_safe_join" ->
+      """WITH ev AS (SELECT nullif(event_type, 'click') AS k, value FROM events),
+        |t AS (SELECT k, count(*) AS n_k FROM ev GROUP BY k)
+        |SELECT t.k AS kind, count(*) AS n_rows, max(t.n_k) AS n_k
+        |FROM ev JOIN t ON ev.k IS NOT DISTINCT FROM t.k
+        |GROUP BY t.k""".stripMargin,
 
     "orders_top100" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
