@@ -41,12 +41,25 @@ object Bench {
       // a failed query contributes nothing to the total
       name -> (if (ok) dt else -1.0)
     }
-    System.err.println(f"[bench] loop wall total ${(System.nanoTime() - tSetup) / 1e9}%.1fs")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal times keep the one-line JSON well inside any tail-capture
+    // window (~20 bytes/query instead of a full double's 17+ digits); the
+    // JSON goes to stdout FIRST (before the stderr wall-total line) and is
+    // also persisted to bench.json so a truncated console capture can never
+    // lose the round's number again.
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(json)
+    Console.out.flush()
+    try {
+      val p = java.nio.file.Paths.get("bench.json")
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
+    System.err.println(f"[bench] loop wall total ${(System.nanoTime() - tSetup) / 1e9}%.1fs")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

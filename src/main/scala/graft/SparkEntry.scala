@@ -629,6 +629,38 @@ object SparkEntry {
           .as("revenue_e4"))
     }),
 
+    // ---- six-table join + aggregate (TPC-H Q5 shape): the widest join
+    // tree in the suite, here specifically to exercise join ORDERING. The
+    // plan is declared dims-last and unhinted except for the two
+    // guaranteed-tiny dims (nation/region: 25/5 rows at ANY scale —
+    // broadcasting those is correct at 100 TB, not just in tests); for
+    // customer/supplier AQE picks broadcast-vs-shuffle from actual
+    // post-filter sizes at runtime. The c_nationkey = s_nationkey residual
+    // (customer and supplier co-national) rides on the supplier join ----
+    "q5_region_revenue" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        // integer 1e-4-dollar units — same exactness rationale as q3
+        .agg(
+          sum(round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("revenue_e4"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // ---- per-domain quota sampling: best-N docs per language ----
     "quota_sample" -> ((s, dir) =>
       graft.operators.Sampling.quotaSample(
@@ -879,7 +911,7 @@ object SparkEntry {
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS "rank"
        |      FROM scored)
-       |SELECT query_id, neighbor_id, cosine_sim, "rank" FROM r WHERE "rank" <= $AnnK""".stripMargin
+       |SELECT query_id, neighbor_id, cosine_sim, CAST("rank" AS INTEGER) AS "rank" FROM r WHERE "rank" <= $AnnK""".stripMargin
 
   private def nearDupLshOracle: String =
     s"""WITH ${lshBucketCtes(NdBits, NdTables)}
@@ -918,7 +950,7 @@ object SparkEntry {
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS "rank"
        |      FROM scored)
-       |SELECT query_id, neighbor_id, cosine_sim, "rank" FROM r WHERE "rank" <= $AnnK""".stripMargin
+       |SELECT query_id, neighbor_id, cosine_sim, CAST("rank" AS INTEGER) AS "rank" FROM r WHERE "rank" <= $AnnK""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "minhash_lsh_pairs" -> minHashLshOracle,
@@ -998,7 +1030,7 @@ object SparkEntry {
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)""".stripMargin,
 
     "orders_topn" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |         row_number() OVER (PARTITION BY o_orderpriority
         |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -1019,9 +1051,12 @@ object SparkEntry {
         |  ON e.user_id = o.o_custkey""".stripMargin,
 
     "events_calendar" ->
-      """SELECT event_id, year(ts) AS y, quarter(ts) AS q, month(ts) AS mo,
-        |       day(ts) AS d, hour(ts) AS h, minute(ts) AS mi,
-        |       dayofweek(ts) + 1 AS dow, dayofyear(ts) AS doy
+      """SELECT event_id,
+        |  CAST(year(ts) AS INTEGER) AS y, CAST(quarter(ts) AS INTEGER) AS q,
+        |  CAST(month(ts) AS INTEGER) AS mo, CAST(day(ts) AS INTEGER) AS d,
+        |  CAST(hour(ts) AS INTEGER) AS h, CAST(minute(ts) AS INTEGER) AS mi,
+        |  CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+        |  CAST(dayofyear(ts) AS INTEGER) AS doy
         |FROM events""".stripMargin,
 
     "null_safe_join" ->
@@ -1187,8 +1222,8 @@ object SparkEntry {
     // unique key so both engines rank identical total orders
     "orders_ntile" ->
       """SELECT o_orderkey, o_orderpriority,
-        | ntile(4) OVER (PARTITION BY o_orderpriority
-        |                ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile,
+        | CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |                ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER) AS quartile,
         | CAST(floor(percent_rank() OVER (PARTITION BY o_orderpriority
         |                ORDER BY o_totalprice ASC, o_orderkey ASC)
         |            * 1000000.0 + 0.5) AS BIGINT) AS pct_rank_e6
@@ -1202,7 +1237,7 @@ object SparkEntry {
     "profile_orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
       .map(c =>
         s"""SELECT '$c' AS "column",
-           | sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            | count(DISTINCT $c) AS n_distinct,
            | CAST(min($c) AS VARCHAR) AS min_value,
            | CAST(max($c) AS VARCHAR) AS max_value
@@ -1270,14 +1305,28 @@ object SparkEntry {
 
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        | sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-        |     (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |     (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
         |  AND l_orderkey = o_orderkey
         |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
         |  AND l_shipdate > DATE '1995-03-15'
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |     (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        | count(*) AS n_items
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
 
     "quota_sample" ->
       """SELECT doc_id, lang, n_chars FROM (
@@ -1301,7 +1350,7 @@ object SparkEntry {
         |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
         |         CAST(UNNEST(embedding) AS DOUBLE) AS x
         |  FROM embeddings)
-        |SELECT label, pos, round(avg(x), 6) AS mean
+        |SELECT label, CAST(pos AS INTEGER) AS pos, round(avg(x), 6) AS mean
         |FROM flat GROUP BY label, pos""".stripMargin,
 
     "embedding_norms" ->
@@ -1319,7 +1368,7 @@ object SparkEntry {
         |      FROM t, UNNEST(range(1, len(ws) - 3)) AS r(i) WHERE len(ws) >= 5),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |         FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id)
-        |SELECT c.id_a, c.id_b, levenshtein(da.text, db.text) AS dist
+        |SELECT c.id_a, c.id_b, CAST(levenshtein(da.text, db.text) AS INTEGER) AS dist
         |FROM cand c
         |JOIN documents da ON c.id_a = da.doc_id
         |JOIN documents db ON c.id_b = db.doc_id
@@ -1574,7 +1623,7 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS "rank"
         |      FROM scored)
-        |SELECT query_id, neighbor_id, cosine_sim, "rank" FROM r WHERE "rank" <= 5""".stripMargin,
+        |SELECT query_id, neighbor_id, cosine_sim, CAST("rank" AS INTEGER) AS "rank" FROM r WHERE "rank" <= 5""".stripMargin,
 
     "near_dup_embeddings" ->
       """WITH flat AS (
@@ -1728,8 +1777,8 @@ object SparkEntry {
 
     "bloom_prune_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000
         |GROUP BY 1""".stripMargin,
@@ -1737,7 +1786,7 @@ object SparkEntry {
     "incr_agg" ->
       """WITH q AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events)
-        |SELECT event_type, count(*) AS n, sum(v) AS sum_v,
+        |SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
         |       min(v) AS min_v, max(v) AS max_v,
         |       CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_v
         |FROM q GROUP BY 1""".stripMargin,

@@ -25,29 +25,32 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos (legacy flag) and truncate to a
-    * microsecond timestamp — the same truncation DuckDB applies, so both
-    * engines see identical values. Integer `div` (not `/`) — ns since epoch
-    * exceeds 2^53, double division would lose precision.
+    * reader rejects during schema inference (PARQUET_TYPE_ILLEGAL) unless the
+    * session-wide `spark.sql.legacy.parquet.nanosAsLong` flag is set. We
+    * avoid the session conf entirely: declaring the schema explicitly (with
+    * `ts` as LONG) skips inference, and the execution-time reader happily
+    * decodes the INT64 nanos into the requested LongType — verified with the
+    * session flag unset. The raw nanos are then truncated to a microsecond
+    * timestamp — the same truncation DuckDB applies, so both engines see
+    * identical values. Integer `div` (not `/`) — ns since epoch exceeds
+    * 2^53, double division would lose precision.
     *
-    * SESSION CONTRACT: `spark.sql.legacy.parquet.nanosAsLong=true` must be
-    * set for the session ([[GraftSession]] and the Verify/Bench mains set it
-    * at build time). It cannot be scoped to this read — Spark consults only
-    * the session conf for parquet schema conversion (a reader `.option` is
-    * ignored, verified empirically), and the returned DataFrame executes
-    * lazily long after this call returns. For sessions built without the
-    * factory we enforce the contract here once; the flag's only effect is on
-    * TIMESTAMP(NANOS) columns, which no other graft table carries. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = apply(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    * The schema is the generator's fixed contract (TESTDATA.md); no other
+    * graft table carries TIMESTAMP(NANOS), so only this loader needs it. */
+  private val eventsRawSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // physical TIMESTAMP(NANOS) read as raw nanos
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
   }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

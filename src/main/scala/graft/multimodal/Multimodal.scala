@@ -7,8 +7,9 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing for a training-data pipeline: image/audio/
   * video payloads ride as opaque `binary` columns with a typed metadata
   * struct; the engine provides real Spark-side schema, partitioning and
-  * batch plumbing while the codec step itself is a clearly-marked stub
-  * (no image/audio libraries ship in this environment).
+  * batch plumbing, plus a real pure-JVM codec tier ([[ImageCodec]]: PPM
+  * P6 + uncompressed BMP) — heavier codecs (JPEG/ffmpeg) slot into the
+  * same per-partition seam via a native library at deployment.
   *
   * Design for 100 TB: payload bytes never shuffle — every operator here
   * either (a) derives bounded-size features in a narrow map (no exchange),
@@ -60,42 +61,52 @@ object Multimodal {
     df.join(keepers, Seq("asset_id"), "left_semi")
   }
 
-  /** STUB — codec decode. A real deployment maps payload → decoded tensor
-    * via a native library (libjpeg/ffmpeg) inside `mapPartitions` (one
-    * codec init per partition, not per row). Here: a deterministic fake
-    * "decode" that derives a byte-histogram feature vector (256 bins,
-    * L1-normalized) directly from the payload — real data flow, fake
-    * codec. Replace `byteHistogram` with the native call at deployment. */
+  /** Cheap column-path features over RAW payload bytes — no decode, fully
+    * codegen'd, the pre-decode signal (container fingerprinting, corrupt-
+    * blob triage, cheap near-dup) that runs before any codec is paid for.
+    * For payloads a codec can't parse this is also exactly what
+    * [[decodePartitions]] falls back to (equivalence asserted in
+    * MultimodalSpec), so either path can serve the other as an oracle. */
   def decodeFeatures(df: DataFrame, bins: Int = 64): DataFrame =
     df.withColumn("features", byteHistogram(col("payload"), bins))
 
-  /** Deterministic payload → feature vector (the stubbed "decode"): a REAL
-    * `bins`-bucket byte histogram, L1-normalized by payload length, computed
-    * by the codegen'd [[graft.functions.expressions.ByteHistogram]]
-    * expression — bit-identical to what [[decodePartitions]]' per-partition
-    * decoder produces (equivalence asserted in MultimodalSpec), so either
-    * decode path can serve the other as an oracle. */
+  /** Deterministic bytes → feature vector: a `bins`-bucket byte histogram,
+    * L1-normalized by length, computed by the codegen'd
+    * [[graft.functions.expressions.ByteHistogram]] expression. */
   def byteHistogram(payload: Column, bins: Int): Column =
     graft.functions.expressions.ByteHistogram(payload, bins)
 
-  /** The mapPartitions decode path — the deployment shape for a NATIVE
-    * codec (libjpeg/ffmpeg): the decoder context is initialized once per
-    * PARTITION and amortized across its rows, never per row. The decode
-    * itself is stubbed (no codec libraries in this environment) with a
-    * real byte-histogram feature computation over the payload, so the
-    * partitioning, schema evolution and batch shape are production-true
-    * and only `decodeOne`'s body changes at deployment. */
+  /** Nullable decode-result struct appended by [[decodePartitions]]:
+    * null when the payload parsed as no supported format. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType)))
+
+  /** The mapPartitions decode path — decoder state is initialized once per
+    * PARTITION and amortized across its rows, never per row. The codec is
+    * REAL for the trivially-parseable raster formats ([[ImageCodec]]: PPM
+    * "P6" and uncompressed 24/32-bpp BMP): header → (width, height,
+    * channels) in the appended `decoded` struct, and `features` is the
+    * byte histogram of the DECODED PIXEL bytes (padding and header
+    * stripped). Payloads no codec recognizes keep `decoded = null` and
+    * fall back to the raw-payload histogram — bit-identical to
+    * [[decodeFeatures]], so the cheap column path remains the oracle for
+    * the fallback tier. Heavier formats (JPEG/ffmpeg) plug into the same
+    * per-partition seam at deployment; nothing else changes shape. */
   def decodePartitions(df: DataFrame, bins: Int = 64): DataFrame = {
-    val outSchema = df.schema.add("features", ArrayType(DoubleType, containsNull = false))
+    val outSchema = df.schema
+      .add("decoded", decodedSchema)
+      .add("features", ArrayType(DoubleType, containsNull = false))
     val payloadIdx = df.schema.fieldIndex("payload")
     df.mapPartitions { rows =>
-      // per-partition "codec init" (stub): one reusable histogram buffer
+      // per-partition decoder state: one reusable histogram buffer
       val buf = new Array[Long](bins)
-      def decodeOne(payload: Array[Byte]): Array[Double] = {
+      def histogram(bytes: Array[Byte]): Array[Double] = {
         java.util.Arrays.fill(buf, 0L)
         var i = 0
-        while (i < payload.length) { buf((payload(i) & 0xff) % bins) += 1; i += 1 }
-        val n = math.max(1, payload.length).toDouble
+        while (i < bytes.length) { buf((bytes(i) & 0xff) % bins) += 1; i += 1 }
+        val n = math.max(1, bytes.length).toDouble
         val out = new Array[Double](bins)
         i = 0
         while (i < bins) { out(i) = buf(i) / n; i += 1 }
@@ -103,8 +114,15 @@ object Multimodal {
       }
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val feats = if (payload == null) new Array[Double](bins) else decodeOne(payload)
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ feats.toSeq)
+        val (decoded, feats) =
+          if (payload == null) (null, new Array[Double](bins))
+          else ImageCodec.decode(payload) match {
+            case Some(img) =>
+              (org.apache.spark.sql.Row(img.width, img.height, img.channels),
+                histogram(img.pixels))
+            case None => (null, histogram(payload))
+          }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ decoded :+ feats.toSeq)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

@@ -50,15 +50,24 @@ object AsOf {
     require(rightVals.forall(!leftCols.contains(_)),
       s"rightVals ${rightVals.intersect(leftCols)} collide with left columns — alias first")
 
+    // NULL keys never match (DuckDB ASOF / pandas merge_asof equality
+    // semantics). Window.partitionBy would group all nulls into one
+    // partition and happily pair them, so null-key left rows are set aside
+    // (they survive unmatched — left-join shape) and null-key right rows
+    // are dropped before the union+window.
+    val leftNullKeys = left.filter(col(leftKey).isNull)
+    val left0 = left.filter(col(leftKey).isNotNull)
+    val right0 = right.filter(col(rightKey).isNotNull)
+
     // carried payload = rightVals plus the matched right timestamp (needed
     // for nearest's gap comparison and for tolerance)
-    val l = left.select(
+    val l = left0.select(
       col(leftKey).as("__key") +: col(leftTs).cast("timestamp").as("__ts") +:
         lit(1).as("__side") +:
         (leftCols.map(col) ++
           rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(v)) :+
           lit(null).cast("timestamp").as("__rts")): _*)
-    val r = right.select(
+    val r = right0.select(
       col(rightKey).as("__key") +: col(rightTs).cast("timestamp").as("__ts") +:
         lit(0).as("__side") +:
         (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
@@ -114,7 +123,10 @@ object AsOf {
         }
       }
 
-    withinTol.filter(col("__side") === 1)
+    val matchedOut = withinTol.filter(col("__side") === 1)
       .select((leftCols ++ rightVals).map(col): _*)
+    matchedOut.unionByName(leftNullKeys.select(
+      leftCols.map(col) ++
+        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(v)): _*))
   }
 }

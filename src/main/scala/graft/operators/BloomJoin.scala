@@ -57,6 +57,8 @@ object BloomJoin {
       else fact.filter(ColumnBridge.column(BloomFilterMightContain(
         Literal.create(bloom, BinaryType),
         ColumnBridge.expression(xxhash64(col(factKey))))))
-    pruned.join(dim, col(factKey) === col(dimKey), joinType)
+    // dataframe-qualified refs: bare col() is ambiguous when the fact and
+    // dim key columns share a name (AnalysisException on a documented use)
+    pruned.join(dim, pruned(factKey) === dim(dimKey), joinType)
   }
 }

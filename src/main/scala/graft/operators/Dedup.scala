@@ -329,12 +329,19 @@ object Dedup {
     // block j covers [offsets(j), offsets(j+1)) — widths differ by ≤1
     val offsets = (0 to m).map(j => j * bits / m)
     val width = (j: Int) => offsets(j + 1) - offsets(j)
-    val blockVal = (j: Int) =>
-      shiftright(col("simhash"), offsets(j)).bitwiseAND(lit((1L << width(j)) - 1))
+    val blockVal = (j: Int) => {
+      // (1L << 64) wraps to 1L in JVM shift semantics, so a full-width
+      // block (maxHamming=0 with the 64-bit family) needs an explicit
+      // all-ones mask
+      val mask = if (width(j) >= 64) -1L else (1L << width(j)) - 1L
+      shiftright(col("simhash"), offsets(j)).bitwiseAND(lit(mask))
+    }
     // one packed long key per combination of blocks (total width ≤ 60 bits
-    // in any sane geometry; enforced)
+    // in any sane multi-block geometry; a single-block key is the block
+    // value itself, so it may occupy the full 64 bits — maxHamming=0 over
+    // the 64-bit family is exactly that case)
     val combos = (0 until m).combinations(blocksPerKey).toSeq
-    require(combos.forall(c => c.map(width).sum <= 60),
+    require(combos.forall(c => c.size == 1 || c.map(width).sum <= 60),
       "combined key width exceeds 60 bits — lower blocksPerKey or raise blocks")
     val keyExprs = combos.map(c =>
       c.foldLeft(lit(0L): org.apache.spark.sql.Column)((acc, j) =>

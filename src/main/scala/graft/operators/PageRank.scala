@@ -39,9 +39,13 @@ object PageRank {
     var ranks = vertices.withColumn("rank", lit(1.0 / nV))
     for (_ <- 1 to iterations) {
       val withDeg = ranks.join(outDeg, ranks("id") === outDeg("src"), "left")
-      // mass of dangling vertices, redistributed uniformly
-      val danglingMass = withDeg.filter(col("out_deg").isNull)
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      // mass of dangling vertices, redistributed uniformly. Kept INSIDE the
+      // plan as a one-row aggregate broadcast-joined into the update — a
+      // driver-side head() here would launch a second job per iteration
+      // (the eager localCheckpoint below is already one); folding it in
+      // halves the job count and the driver still never sees row data.
+      val dangling = withDeg.filter(col("out_deg").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dangling_mass"))
       val contribs = withDeg.filter(col("out_deg").isNotNull)
         .select(col("id"), (col("rank") / col("out_deg")).as("share"))
         .join(e, col("id") === e("src"))
@@ -49,10 +53,11 @@ object PageRank {
         .agg(sum("share").as("in_mass"))
       ranks = vertices
         .join(contribs, vertices("id") === col("vid"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit((1.0 - damping) / nV) +
             lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
-              lit(danglingMass / nV))).as("rank"))
+              col("__dangling_mass") / nV)).as("rank"))
         .localCheckpoint()
     }
     ranks

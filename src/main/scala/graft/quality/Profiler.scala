@@ -22,19 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object Profiler {
 
+  // column names end up in generated SQL (stack args) and in attribute
+  // references (functions.col parses backticks!) — escape both forms so a
+  // name containing a quote or backtick can't break or inject into either.
+  // Backticks double inside quoted identifiers; quotes/backslashes escape
+  // inside string literals.
+  private def sqlLit(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+  private def sqlId(s: String) = "`" + s.replace("`", "``") + "`"
+
   /** Output: (column, n_nulls, n_distinct, min_value, max_value). */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
     val aggs = cols.flatMap { c =>
+      val qc = col(sqlId(c))
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        count_distinct(col(c)).as(s"__distinct_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        sum(when(qc.isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        count_distinct(qc).as(s"__distinct_$c"),
+        min(qc).cast("string").as(s"__min_$c"),
+        max(qc).cast("string").as(s"__max_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map { c =>
-      s"'$c', `__nulls_$c`, `__distinct_$c`, `__min_$c`, `__max_$c`"
+      s"${sqlLit(c)}, ${sqlId(s"__nulls_$c")}, ${sqlId(s"__distinct_$c")}, " +
+        s"${sqlId(s"__min_$c")}, ${sqlId(s"__max_$c")}"
     }.mkString(", ")
     one.selectExpr(
       s"stack(${cols.length}, $stackArgs) AS (column, n_nulls, n_distinct, min_value, max_value)")

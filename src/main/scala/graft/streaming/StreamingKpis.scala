@@ -85,12 +85,24 @@ object StreamingKpis {
     * reference's full-recompute parity mode; this is the form that
     * survives a 100 TB history with a 1 GB day.
     *
-    * The refresh cycle is write-tmp → delete → rename, so the merged
+    * The refresh cycle is write-tmp → rename-aside → rename, so the merged
     * output is fully materialized before the files it was read from
-    * disappear (overwriting in place would delete its own lazy input).
+    * disappear (overwriting in place would delete its own lazy input), and
+    * a crash at ANY point leaves a live snapshot (either the old one, the
+    * `.old` aside, or the new one — recovery at batch start restores the
+    * aside if the final rename never ran).
+    *
+    * Idempotent under micro-batch replay: foreachBatch runs with
+    * at-least-once semantics — if the job dies after the swap but before
+    * the checkpoint commits, the SAME batchId is re-delivered on restart.
+    * The snapshot therefore carries the id of the last batch merged into
+    * it (a `_LAST_BATCH` marker written inside the tmp dir, so it travels
+    * with the data through the swap); a batch whose id is already recorded
+    * is skipped instead of double-counted.
+    *
     * Plain-filesystem rename is not atomic-visible to concurrent readers;
     * a production deployment points this at a transactional table format
-    * and replaces the last two lines with its MERGE/replace commit. */
+    * and replaces the swap with its MERGE/replace commit. */
   def incrementalSnapshot(events: DataFrame, keys: Seq[String],
       valueCol: String, snapshotDir: String, checkpoint: String)
       : DataStreamWriter[org.apache.spark.sql.Row] =
@@ -98,22 +110,43 @@ object StreamingKpis {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(snapshotDir), spark.sparkContext.hadoopConfiguration)
         val snapPath = new org.apache.hadoop.fs.Path(snapshotDir)
-        val partial = graft.operators.Incremental.partials(
-          batch, keys, col(valueCol))
-        val merged =
-          if (fs.exists(snapPath))
-            graft.operators.Incremental.merge(
-              Seq(spark.read.parquet(snapshotDir), partial), keys)
-          else partial
+        val oldPath = new org.apache.hadoop.fs.Path(snapshotDir + ".old")
         val tmpPath = new org.apache.hadoop.fs.Path(snapshotDir + ".tmp")
-        merged.write.mode("overwrite").parquet(tmpPath.toString)
-        fs.delete(snapPath, true)
-        fs.rename(tmpPath, snapPath)
+        val marker = "_LAST_BATCH" // leading underscore: invisible to parquet reads
+        // crash recovery: a crash between (snapshot → .old) and
+        // (.tmp → snapshot) leaves only the aside live — restore it first
+        if (!fs.exists(snapPath) && fs.exists(oldPath)) fs.rename(oldPath, snapPath)
+        fs.delete(tmpPath, true) // stale tmp from a crashed attempt
+        def lastApplied: Long = {
+          val f = new org.apache.hadoop.fs.Path(snapPath, marker)
+          if (!fs.exists(f)) -1L
+          else {
+            val in = fs.open(f)
+            try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+            finally in.close()
+          }
+        }
+        if (!(fs.exists(snapPath) && lastApplied >= batchId)) {
+          val partial = graft.operators.Incremental.partials(
+            batch, keys, col(valueCol))
+          val merged =
+            if (fs.exists(snapPath))
+              graft.operators.Incremental.merge(
+                Seq(spark.read.parquet(snapshotDir), partial), keys)
+            else partial
+          merged.write.mode("overwrite").parquet(tmpPath.toString)
+          val out = fs.create(new org.apache.hadoop.fs.Path(tmpPath, marker), true)
+          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+          fs.delete(oldPath, true)
+          if (fs.exists(snapPath)) fs.rename(snapPath, oldPath)
+          fs.rename(tmpPath, snapPath)
+          fs.delete(oldPath, true)
+        }
         ()
       }
 

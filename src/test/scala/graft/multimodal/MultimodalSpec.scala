@@ -29,7 +29,7 @@ class MultimodalSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
-  test("decodeFeatures (stubbed codec) yields normalized fixed-width vectors") {
+  test("decodeFeatures (raw-byte column path) yields normalized fixed-width vectors") {
     val f = Multimodal.decodeFeatures(assets, bins = 16).collect()
       .map(r => r.getAs[Long]("asset_id") ->
         r.getAs[scala.collection.Seq[Double]]("features").toSeq).toMap
@@ -51,7 +51,10 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).sum == 1.0)
     // schema evolution preserved the original columns
     val cols = Multimodal.decodePartitions(assets, 8).schema.fieldNames.toSeq
-    assert(cols == Seq("asset_id", "modality", "mime_type", "payload", "meta", "features"))
+    assert(cols == Seq("asset_id", "modality", "mime_type", "payload", "meta", "decoded", "features"))
+    // none of these synthetic payloads parse as an image
+    assert(Multimodal.decodePartitions(assets, 8).collect()
+      .forall(_.getAs[Row]("decoded") == null))
   }
 
   test("decodeFeatures (column path) ≡ decodePartitions (mapPartitions path)") {
@@ -71,6 +74,78 @@ class MultimodalSpec extends SparkSpec {
       .find(_.getAs[Long]("asset_id") == 3L).get
       .getAs[scala.collection.Seq[Double]]("features")
     assert(f3(1) == 1.0 && f3.sum == 1.0)
+  }
+
+  // ---- real codec tier: PPM P6 + uncompressed BMP ----
+
+  private val ppmPixels = Array.tabulate[Byte](12)(_.toByte) // 2x2 RGB
+  private def ppmPayload: Array[Byte] =
+    "P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++ ppmPixels
+
+  private def le32(v: Int) = Array[Byte](
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  // 3x2 24-bpp bottom-up BMP: rows are 9 pixel bytes + 3 pad bytes
+  private val bmpTopRow = Array.tabulate[Byte](9)(i => (10 + i).toByte)
+  private val bmpBottomRow = Array.tabulate[Byte](9)(i => (20 + i).toByte)
+  private def bmpPayload: Array[Byte] = {
+    val pad = Array[Byte](0, 0, 0)
+    val raster = (bmpBottomRow ++ pad) ++ (bmpTopRow ++ pad) // bottom-up storage
+    ("BM".getBytes("US-ASCII") ++ le32(54 + raster.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(3) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(raster.length) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)) ++ raster
+  }
+
+  test("ImageCodec parses the PPM P6 header (comments included) and raster") {
+    val img = ImageCodec.decode(ppmPayload).get
+    assert(img.width == 2 && img.height == 2 && img.channels == 3)
+    assert(img.pixels.sameElements(ppmPixels))
+    // corrupt: truncated raster → no decode (never a partial image)
+    assert(ImageCodec.decode(ppmPayload.dropRight(1)).isEmpty)
+    assert(ImageCodec.decode("P6 2 2 70000 ".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("ImageCodec decodes bottom-up 24-bpp BMP, stripping row padding") {
+    val img = ImageCodec.decode(bmpPayload).get
+    assert(img.width == 3 && img.height == 2 && img.channels == 3)
+    // emitted top-to-bottom despite bottom-up storage; pad bytes gone
+    assert(img.pixels.sameElements(bmpTopRow ++ bmpBottomRow))
+    // compressed (BI_RLE8=1) must be rejected, not mis-decoded
+    val compressed = bmpPayload.clone(); compressed(30) = 1
+    assert(ImageCodec.decode(compressed).isEmpty)
+  }
+
+  private def imageAssets = {
+    val rows = Seq(
+      Row(1L, "image", "image/x-portable-pixmap", ppmPayload, Row(null, null, null, null)),
+      Row(2L, "image", "image/bmp", bmpPayload, Row(null, null, null, null)),
+      Row(3L, "image", "application/octet-stream", Array[Byte](7, 7, 7, 7), Row(null, null, null, null)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), Multimodal.assetSchema)
+  }
+
+  test("decodePartitions real codec: header dims + pixel-byte histogram ≡ ByteHistogram over the pixels") {
+    val out = Multimodal.decodePartitions(imageAssets, bins = 8).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        (r.getAs[Row]("decoded"), r.getAs[scala.collection.Seq[Double]]("features").toSeq)).toMap
+    assert(out(1L)._1 == Row(2, 2, 3))
+    assert(out(2L)._1 == Row(3, 2, 3))
+    assert(out(3L)._1 == null) // unparseable → no decode claim
+    // oracle: the codegen'd ByteHistogram over a payload that IS the pixel
+    // bytes must equal the decoded-pixel histogram exactly
+    val pixelOracle = Seq(
+      (1L, ppmPixels), (2L, bmpTopRow ++ bmpBottomRow),
+      (3L, Array[Byte](7, 7, 7, 7))) // fallback tier: raw payload bytes
+    val oracleDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(pixelOracle.map { case (id, px) =>
+        Row(id, "image", "x", px, Row(null, null, null, null)) }),
+      Multimodal.assetSchema)
+    val expected = Multimodal.decodeFeatures(oracleDf, bins = 8).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        r.getAs[scala.collection.Seq[Double]]("features").toSeq).toMap
+    for (id <- Seq(1L, 2L, 3L))
+      assert(out(id)._2 == expected(id), s"pixel histogram diverged for asset $id")
   }
 
   test("sampleOffsets fans out k ordered offsets per asset") {

@@ -51,6 +51,26 @@ class AsOfSpec extends SparkSpec {
     assert(out(ts(20)) == ((5L, 5.0)))
   }
 
+  test("null keys never match; null-key left rows survive unmatched") {
+    // DuckDB ASOF / pandas merge_asof equality semantics: NULL ≠ NULL.
+    // A window partitionBy would group nulls together and pair them —
+    // regression for exactly that.
+    val l = Seq(
+      (Option(1L), ts(20), "real-key"),
+      (Option.empty[Long], ts(20), "null-key")
+    ).toDF("key", "lts", "tag")
+    val r = Seq(
+      (Option(1L), ts(10), 100L),
+      (Option.empty[Long], ts(10), 666L) // must never be picked up
+    ).toDF("key", "rts", "rid")
+    val out = AsOf.join(l, r, "key", "key", "lts", "rts", Seq("rid"))
+      .collect().map(row => row.getAs[String]("tag") ->
+        (if (row.isNullAt(row.fieldIndex("rid"))) None else Some(row.getAs[Long]("rid")))).toMap
+    assert(out.size == 2) // left-join shape: both rows survive
+    assert(out("real-key").contains(100L))
+    assert(out("null-key").isEmpty)
+  }
+
   test("result is invariant under input repartitioning (window is key-partitioned)") {
     val a = AsOf.join(left.repartition(7), right.repartition(3), "key", "key", "lts", "rts", Seq("rid"))
       .collect().map(r => (r.getAs[String]("tag"), Option(r.get(r.fieldIndex("rid"))))).toSet

@@ -27,6 +27,16 @@ class BloomJoinSpec extends SparkSpec {
     assert(Set(3L, 97L, 500L, 999L).subsetOf(kept))
   }
 
+  test("fact and dim sharing the key column name joins without ambiguity") {
+    // regression: bare col() refs threw AnalysisException when both sides
+    // named the key identically — a documented inner-join use case
+    val out = BloomJoin.pruneJoin(
+      fact.withColumnRenamed("fk", "k"), dim.withColumnRenamed("dk", "k"),
+      "k", "k", expectedItems = 16)
+      .select("payload", "name").collect()
+    assert(out.length == 4)
+  }
+
   test("pruning filter is applied below any exchange (scan-side, pre-shuffle)") {
     import org.apache.spark.sql.execution.FilterExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -97,6 +97,17 @@ class DedupSpec extends SparkSpec {
       s"wide geometry ($wide) should be far below plain pigeonhole ($pigeonhole)")
   }
 
+  test("simHashPairs supports maxHamming=0 over the full 64-bit family (single-block key)") {
+    // exact-fingerprint dedup geometry: one block of width 64 — the key is
+    // the whole fingerprint (regression: the packed-key width cap used to
+    // reject this, and a (1L << 64) mask would wrap to 1L)
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.nonEmpty)
+    assert(pairs.values.forall(_ == 0))
+    assert(pairs.contains((1L, 2L))) // identical docs
+  }
+
   test("simHash of identical docs equal; simHashPairs finds them at distance 0") {
     val sh = Dedup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

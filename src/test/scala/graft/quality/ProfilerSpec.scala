@@ -17,6 +17,17 @@ class ProfilerSpec extends SparkSpec {
     assert(out("tag") == ((1L, 2L, "a", "b")))
   }
 
+  test("profile survives column names containing quotes and backticks") {
+    // names are interpolated into generated stack() SQL — regression for
+    // injection/breakage via metacharacters in a column name
+    val df = Seq((Some(1L), Some("x")), (None, Some("y")))
+      .toDF("weird`col", "it's quoted")
+    val out = Profiler.profile(df, Seq("weird`col", "it's quoted"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("weird`col") == 1L)
+    assert(out("it's quoted") == 0L)
+  }
+
   test("profile reads the input exactly once (single scan in the plan)") {
     val df = Seq((1L, "x")).toDF("id", "tag")
     val plan = Profiler.profile(df, Seq("id", "tag"))

@@ -70,6 +70,40 @@ class StreamingKpisSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 4L), (2L, 2L, 4L), (3L, 1L, 2L)))
   }
 
+  test("incrementalSnapshot replay of already-applied batches is a no-op (idempotent merge)") {
+    val dir = Files.createTempDirectory("graft-incr-replay")
+    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+    Files.writeString(inDir.resolve("a.csv"),
+      """user_id,track_id,listen_time
+        |1,t1,2024-06-25T10:00:00.000Z
+        |1,t2,2024-06-25T11:00:00.000Z
+        |2,t1,2024-06-25T12:00:00.000Z
+        |""".stripMargin)
+    import org.apache.spark.sql.functions._
+    def stream = StreamingKpis.fileStream(spark, Sources.streamsSchema,
+        inDir.toString, maxFilesPerTrigger = 1)
+      .withColumn("v", length(col("track_id")).cast("long"))
+    val snap = dir.resolve("snap").toString
+    StreamingKpis.incrementalSnapshot(stream, Seq("user_id"), "v",
+      snap, dir.resolve("ckpt1").toString).start().awaitTermination(60000)
+    def read() = spark.read.parquet(snap)
+      .selectExpr("user_id", "n", "sum_v").collect()
+      .map(r => (r.getAs[Number]("user_id").longValue(),
+        r.getAs[Long]("n"), r.getAs[Long]("sum_v"))).toSet
+    val first = read()
+    assert(first == Set((1L, 2L, 4L), (2L, 1L, 2L)))
+    // re-deliver the SAME batch against the existing snapshot (a fresh
+    // checkpoint restarts batchIds at 0 — exactly what a foreachBatch
+    // replay after a crash-before-checkpoint-commit looks like). The
+    // snapshot records the last-applied batchId, so nothing double-counts.
+    StreamingKpis.incrementalSnapshot(stream, Seq("user_id"), "v",
+      snap, dir.resolve("ckpt2").toString).start().awaitTermination(60000)
+    assert(read() == first, "replayed batch was merged twice")
+    // the swap never leaves working dirs behind
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(snap + ".tmp")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(snap + ".old")))
+  }
+
   test("typed aggregators run in streaming complete mode (mode/top-k per group)") {
     // ranking windows are not expressible over a streaming aggregate —
     // this is exactly what the one-pass Aggregator forms exist for

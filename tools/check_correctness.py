@@ -59,6 +59,18 @@ def main(sf_dir, out_dir):
             print(f"{name:24s} SCHEMA MISMATCH spark={scols} oracle={ocols}")
             failures += 1
             continue
+        # Dtype parity: a DuckDB HUGEINT (int128) sum comes back from
+        # fetchdf() as float64 while Spark's int64 stays int64; the value
+        # canonicalizer may collapse the two, but the DRIVER's hasher does
+        # not — so any pandas-dtype divergence is a failure here, loudly,
+        # even when the value hashes happen to agree.
+        dtype_mismatch = [
+            (c, str(sdf[c].dtype), str(odf[c].dtype))
+            for c in scols if str(sdf[c].dtype) != str(odf[c].dtype)]
+        if dtype_mismatch:
+            print(f"{name:24s} DTYPE MISMATCH {dtype_mismatch}")
+            failures += 1
+            continue
         srows, orows = len(sdf), len(odf)
         sh = canon(sdf[scols].itertuples(index=False, name=None))
         oh = canon(odf[ocols].itertuples(index=False, name=None))
