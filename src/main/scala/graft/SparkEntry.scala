@@ -661,6 +661,25 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    // ---- event-time RANGE frame: per-customer rolling 30-day revenue.
+    // RANGE (value-based) frames are the one window-frame family nothing
+    // else exercises: the frame is [ts-30d, ts], includes ALL timestamp
+    // peers (deterministic under ties, unlike a ROWS frame), and Spark
+    // evaluates it streaming per partition — no per-row rescan. Cents
+    // units: order-independent integer sums ----
+    "orders_rolling_30d" -> ((s, dir) => {
+      // NTZ → timestamp (session tz is UTC, same wall-clock DuckDB's
+      // epoch() assumes) → long seconds; NTZ has no direct long cast
+      val secs = col("o_orderdate").cast("timestamp").cast("long")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(secs)                 // seconds since epoch
+        .rangeBetween(-2592000L, 0L)   // 30 days, inclusive
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        sum(round(col("o_totalprice") * 100).cast("long")).over(w).as("roll_cents"),
+        count(lit(1)).over(w).as("roll_n"))
+    }),
+
     // ---- per-domain quota sampling: best-N docs per language ----
     "quota_sample" -> ((s, dir) =>
       graft.operators.Sampling.quotaSample(
@@ -1327,6 +1346,16 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin,
+
+    "orders_rolling_30d" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |   PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents,
+        | CAST(count(*) OVER (
+        |   PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_n
+        |FROM orders""".stripMargin,
 
     "quota_sample" ->
       """SELECT doc_id, lang, n_chars FROM (

@@ -3,9 +3,10 @@ package graft.multimodal
 /** Pure-JVM decoders for two trivially-parseable raster formats — the REAL
   * codec step of the multimodal pipeline (no native libraries required):
   *
-  *  - PPM "P6" (Netpbm binary RGB): ASCII header `P6 <w> <h> <maxval>`
-  *    (whitespace-separated, `#` comments allowed) followed by a single
-  *    whitespace byte and `w*h*3` raw RGB bytes (maxval < 256).
+  *  - Netpbm binary: PPM "P6" (RGB) and PGM "P5" (grayscale) — ASCII
+  *    header `P6|P5 <w> <h> <maxval>` (whitespace-separated, `#` comments
+  *    allowed) followed by a single whitespace byte and `w*h*channels`
+  *    raw sample bytes (maxval < 256).
   *  - BMP (Windows BITMAPINFOHEADER, uncompressed BI_RGB, 24 or 32 bpp):
   *    fixed little-endian header offsets; rows padded to 4 bytes and
   *    stored bottom-up unless height is negative.
@@ -32,13 +33,14 @@ object ImageCodec {
 
   def decode(payload: Array[Byte]): Option[DecodedImage] =
     if (payload == null || payload.length < 2) None
-    else if (payload(0) == 'P' && payload(1) == '6') decodePpm(payload)
+    else if (payload(0) == 'P' && payload(1) == '6') decodeNetpbm(payload, channels = 3)
+    else if (payload(0) == 'P' && payload(1) == '5') decodeNetpbm(payload, channels = 1)
     else if (payload(0) == 'B' && payload(1) == 'M') decodeBmp(payload)
     else None
 
-  // ---------------------------------------------------------------- PPM P6
+  // ----------------------------------------- Netpbm binary (P6 RGB, P5 gray)
 
-  private def decodePpm(b: Array[Byte]): Option[DecodedImage] = {
+  private def decodeNetpbm(b: Array[Byte], channels: Int): Option[DecodedImage] = {
     var pos = 2 // past "P6"
     def isWs(c: Byte) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
     // skip whitespace and '#'-to-EOL comments
@@ -69,9 +71,10 @@ object ImageCodec {
     // exactly ONE whitespace byte separates the header from the raster
     if (pos >= b.length || !isWs(b(pos))) return None
     pos += 1
-    val nPix = w.toLong * h * 3
+    val nPix = w.toLong * h * channels
     if (nPix > MaxPixelBytes || b.length - pos < nPix) return None
-    Some(DecodedImage(w, h, 3, java.util.Arrays.copyOfRange(b, pos, pos + nPix.toInt)))
+    Some(DecodedImage(w, h, channels,
+      java.util.Arrays.copyOfRange(b, pos, pos + nPix.toInt)))
   }
 
   // ------------------------------------------------------------------- BMP

@@ -48,6 +48,26 @@ object Sketches {
   def withEstimate(snapshot: DataFrame): DataFrame =
     snapshot.withColumn("n_distinct_est", hll_sketch_estimate(col("sketch")))
 
+  /** Per-key approximate percentiles via Spark's `percentile_approx`
+    * (Greenwald–Khanna style quantile summaries): the third sketch family
+    * after distinct-count (HLL) and frequency (CMS). The summary is
+    * fixed-size state that Spark merges map-side like any partial
+    * aggregate, so the full value set never shuffles — exact per-group
+    * `percentile` sorts every group's values through the exchange, which
+    * is the cost this avoids at 100 TB. Guarantee: each returned value's
+    * RANK error is bounded by n/accuracy (so accuracy=10000 → ±0.01% of
+    * rows), spec-asserted against exact percentiles and under
+    * repartitioning. Same no-oracle policy as HLL: summaries are
+    * merge-path-dependent within the rank bound, so estimates must not
+    * feed hash-compared outputs. */
+  def quantileSummary(df: DataFrame, keys: Seq[String], valueCol: String,
+      percentages: Seq[Double], accuracy: Int = 10000): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(percentile_approx(
+        col(valueCol),
+        array(percentages.map(lit): _*),
+        lit(accuracy)).as("quantiles_approx"))
+
   /** Count-Min sketch of `valueCol`'s frequency distribution — approximate
     * heavy-hitters over streams/shards too hot to count exactly. The
     * sketch aggregates distributed (Spark's codegen `count_min_sketch`

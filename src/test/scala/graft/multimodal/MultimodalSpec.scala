@@ -105,6 +105,12 @@ class MultimodalSpec extends SparkSpec {
     // corrupt: truncated raster → no decode (never a partial image)
     assert(ImageCodec.decode(ppmPayload.dropRight(1)).isEmpty)
     assert(ImageCodec.decode("P6 2 2 70000 ".getBytes("US-ASCII")).isEmpty)
+    // P5 grayscale: same header family, one sample per pixel
+    val gray = Array[Byte](40, 41, 42, 43, 44, 45)
+    val pgm = "P5\n3 2\n255\n".getBytes("US-ASCII") ++ gray
+    val g = ImageCodec.decode(pgm).get
+    assert(g.width == 3 && g.height == 2 && g.channels == 1)
+    assert(g.pixels.sameElements(gray))
   }
 
   test("ImageCodec decodes bottom-up 24-bpp BMP, stripping row padding") {

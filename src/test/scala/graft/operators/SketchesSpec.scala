@@ -41,6 +41,28 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("quantile summary: rank error bounded vs exact percentiles, under any layout") {
+    // per group: values are i % 500 → known distribution of ~1000 rows
+    val df = batch(1 to 3000)
+    val pcts = Seq(0.1, 0.5, 0.9)
+    def ranks(g: String) = df.filter($"g" === g).select("v").as[Int].collect().sorted
+    for (reparted <- Seq(df, df.repartition(7))) {
+      val approx = Sketches.quantileSummary(reparted, Seq("g"), "v", pcts, accuracy = 1000)
+        .select("g", "quantiles_approx").as[(String, Seq[Int])].collect().toMap
+      for (g <- Seq("g0", "g1", "g2"); (p, got) <- pcts.zip(approx(g))) {
+        val sorted = ranks(g)
+        val n = sorted.length
+        // rank of the returned value must be within n/accuracy + 1 of p*n
+        val lo = sorted.indexWhere(_ >= got)
+        val hi = sorted.lastIndexWhere(_ <= got) + 1
+        val target = p * n
+        val tol = n.toDouble / 1000 + 2
+        assert(lo - tol <= target && target <= hi + tol,
+          s"group $g p=$p: value $got has rank [$lo,$hi], target $target ± $tol")
+      }
+    }
+  }
+
   test("count-min: overcount-only bound and EXACT merge/layout independence") {
     val df = batch(1 to 2000) // value i%500: each value ~4 occurrences
     val cms = Sketches.countMin(df, "v")
