@@ -680,6 +680,26 @@ object SparkEntry {
         count(lit(1)).over(w).as("roll_n"))
     }),
 
+    // ---- time-grid resample + forward fill (pandas resample().ffill()
+    // parity): dense per-user hourly series from sparse events — zero-fill
+    // the event counter on gap hours, carry the last observed cents sum
+    // forward. Spine join is one (user, hour) hash shuffle; the fill is a
+    // streaming running frame on the same partitioning ----
+    "events_resampled" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      graft.operators.Resample.gapFill(
+          hourly, key = "user_id", bucketCol = "hour",
+          step = expr("interval 1 hour"),
+          zeroFill = Map("n_events" -> lit(0L)),
+          ffill = Seq("cents"))
+        .select(col("user_id"), col("hour"), col("n_events"),
+          col("cents").as("filled_cents"))
+    }),
+
     // ---- per-domain quota sampling: best-N docs per language ----
     "quota_sample" -> ((s, dir) =>
       graft.operators.Sampling.quotaSample(
@@ -1346,6 +1366,22 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin,
+
+    "events_resampled" ->
+      """WITH agg AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM agg GROUP BY 1),
+        |spine AS (SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |          FROM b),
+        |j AS (SELECT s.user_id, s.hour, coalesce(a.n_events, 0) AS n_events, a.cents
+        |      FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.hour = a.hour)
+        |SELECT user_id, hour, CAST(n_events AS BIGINT) AS n_events,
+        |       CAST(last_value(cents IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY hour
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS filled_cents
+        |FROM j""".stripMargin,
 
     "orders_rolling_30d" ->
       """SELECT o_orderkey, o_custkey,
