@@ -680,6 +680,20 @@ object SparkEntry {
         count(lit(1)).over(w).as("roll_n"))
     }),
 
+    // ---- sliding event-time windows (2h duration, 1h slide): each event
+    // lands in exactly duration/slide = 2 overlapping windows — Spark
+    // expands the window assignment inline (no self-union, no second
+    // scan) and aggregates once. The batch form of the streaming sliding
+    // KPI; tumbling is hourly_windowed ----
+    "events_sliding" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("unique_users"))
+        .select(col("window.start").as("w_start"),
+          col("n_events"), col("unique_users"))),
+
     // ---- time-grid resample + forward fill (pandas resample().ffill()
     // parity): dense per-user hourly series from sparse events — zero-fill
     // the event counter on gap hours, carry the last observed cents sum
@@ -1366,6 +1380,15 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin,
+
+    "events_sliding" ->
+      """WITH w AS (
+        |  SELECT date_trunc('hour', ts) AS w_start, user_id FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, user_id FROM events)
+        |SELECT w_start, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
+        |FROM w GROUP BY 1""".stripMargin,
 
     "events_resampled" ->
       """WITH agg AS (
