@@ -34,10 +34,18 @@ object Resample {
     * @param step      spine stride, e.g. `expr("interval 1 hour")`
     * @param zeroFill  columns reset to a constant on gap rows (counters)
     * @param ffill     columns carried forward from the last observed row
+    * @param bfill     columns carried BACKWARD from the next observed row
+    *                  (applied after ffill: a column in both gets ffill
+    *                  first, then bfill patches the leading gap — pandas'
+    *                  `.ffill().bfill()` composition). The backward carry
+    *                  is a running frame over the DESCENDING bucket order
+    *                  — same key partitioning, still streaming; never the
+    *                  per-row-re-evaluated UnboundedFollowing frame.
     */
   def gapFill(df: DataFrame, key: String, bucketCol: String, step: Column,
       zeroFill: Map[String, Column] = Map.empty,
-      ffill: Seq[String] = Nil): DataFrame = {
+      ffill: Seq[String] = Nil,
+      bfill: Seq[String] = Nil): DataFrame = {
     val bounds = df.groupBy(col(key))
       .agg(min(col(bucketCol)).as("__b0"), max(col(bucketCol)).as("__b1"))
     val spine = bounds.select(
@@ -48,8 +56,13 @@ object Resample {
     }
     val w = Window.partitionBy(col(key)).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ffill.foldLeft(zeroed) { (d, c) =>
+    val filled = ffill.foldLeft(zeroed) { (d, c) =>
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    val wDesc = Window.partitionBy(col(key)).orderBy(col(bucketCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bfill.foldLeft(filled) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(wDesc))
     }
   }
 }

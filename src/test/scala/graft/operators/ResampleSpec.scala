@@ -37,6 +37,22 @@ class ResampleSpec extends SparkSpec {
     assert(run(observed) == run(observed.repartition(7)))
   }
 
+  test("bfill patches the leading gap after ffill (pandas ffill().bfill() composition)") {
+    // key "c": first observation NOT at its min bucket — build that by
+    // giving it rows at hours 5 (null v) and 7 (v=50): after the grid is
+    // complete, hours 5 and 6 have no carry source for ffill
+    val withLeadingGap = observed.union(Seq(
+      ("c", h(5), 1L, null.asInstanceOf[java.lang.Long]),
+      ("c", h(7), 1L, java.lang.Long.valueOf(50L))
+    ).toDF("k", "hour", "n", "v"))
+    val out = Resample.gapFill(withLeadingGap, "k", "hour", expr("interval 1 hour"),
+        zeroFill = Map("n" -> lit(0L)), ffill = Seq("v"), bfill = Seq("v"))
+      .filter($"k" === "c")
+      .collect().map(r => r.getTimestamp(1).getTime / 3600000L -> r.getLong(3)).toMap
+    // hours 5, 6 have nothing before them → backward carry from hour 7
+    assert(out == Map(5L -> 50L, 6L -> 50L, 7L -> 50L))
+  }
+
   test("no zeroFill/ffill: pure grid completion leaves gap rows null") {
     val out = Resample.gapFill(observed, "k", "hour", expr("interval 1 hour"))
       .filter($"k" === "a").collect()
