@@ -714,6 +714,19 @@ object SparkEntry {
           col("cents").as("filled_cents"))
     }),
 
+    // ---- linear interpolation over the resampled grid (pandas
+    // interpolate(method='time') in floor-integer form): gap hours get
+    // v0 + (v1-v0)*(t-t0) floor-div (t1-t0) — pure int64 end to end, so
+    // the oracle is hash-exact with no IEEE caveats ----
+    "events_interpolated" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      graft.operators.Resample.interpolate(
+          hourly, "user_id", "hour", expr("interval 1 hour"), "cents")
+        .select(col("user_id"), col("hour"), col("cents").as("cents_interp"))
+    }),
+
     // ---- per-domain quota sampling: best-N docs per language ----
     "quota_sample" -> ((s, dir) =>
       graft.operators.Sampling.quotaSample(
@@ -1380,6 +1393,36 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin,
+
+    "events_interpolated" ->
+      """WITH agg AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM agg GROUP BY 1),
+        |spine AS (SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |          FROM b),
+        |j AS (SELECT s.user_id, s.hour, a.cents
+        |      FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.hour = a.hour),
+        |c AS (SELECT user_id, hour, cents,
+        |  last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+        |  last_value(CASE WHEN cents IS NOT NULL THEN hour END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+        |  last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v1,
+        |  last_value(CASE WHEN cents IS NOT NULL THEN hour END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY hour DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t1
+        |FROM j)
+        |SELECT user_id, hour,
+        |  CAST(CASE WHEN cents IS NOT NULL THEN cents
+        |       WHEN v0 IS NOT NULL AND v1 IS NOT NULL THEN
+        |         v0 + ((v1 - v0) * (epoch_us(hour) - epoch_us(t0)))
+        |              // (epoch_us(t1) - epoch_us(t0))
+        |       END AS BIGINT) AS cents_interp
+        |FROM c""".stripMargin,
 
     "events_sliding" ->
       """WITH w AS (

@@ -65,4 +65,47 @@ object Resample {
       d.withColumn(c, last(col(c), ignoreNulls = true).over(wDesc))
     }
   }
+
+  /** Gap completion + LINEAR interpolation of an integer value column —
+    * pandas `interpolate(method="time")` in integer form: a gap row
+    * between observations (t₀,v₀) and (t₁,v₁) gets
+    * `v₀ + (v₁−v₀)·(t−t₀) div (t₁−t₀)` — truncating int64 division
+    * (Spark `div` and DuckDB `//` share truncate-toward-zero semantics,
+    * verified on negative numerators). Keeping every step in int64 makes
+    * the result bit-exact across engines — no IEEE summation-order or
+    * rounding caveats, which is what lets the registered query carry a
+    * hash-compared oracle. Leading/trailing gaps (no observation on one
+    * side) stay null; chain [[gapFill]]'s ffill/bfill after if clamping
+    * is wanted.
+    *
+    * Same plan shape as [[gapFill]]: spine join plus two streaming
+    * running frames (ascending carry of (t₀,v₀), descending carry of
+    * (t₁,v₁)) over one key partitioning. */
+  def interpolate(df: DataFrame, key: String, bucketCol: String, step: Column,
+      valueCol: String): DataFrame = {
+    val completed = gapFill(df, key, bucketCol, step)
+    val secs = (c: Column) => c.cast("timestamp").cast("long")
+    val obsT = when(col(valueCol).isNotNull, col(bucketCol))
+    val wAsc = Window.partitionBy(col(key)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(col(key)).orderBy(col(bucketCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = completed
+      .withColumn("__v0", last(col(valueCol), ignoreNulls = true).over(wAsc))
+      .withColumn("__t0", last(obsT, ignoreNulls = true).over(wAsc))
+      .withColumn("__v1", last(col(valueCol), ignoreNulls = true).over(wDesc))
+      .withColumn("__t1", last(obsT, ignoreNulls = true).over(wDesc))
+      .withColumn("__num",
+        (col("__v1") - col("__v0")) * (secs(col(bucketCol)) - secs(col("__t0"))))
+      .withColumn("__den", secs(col("__t1")) - secs(col("__t0")))
+    // pure-int64 truncating division — same toward-zero semantics in
+    // Spark (`div`) and DuckDB (`//`), checked on negative numerators
+    // (declining series), so gap values are engine-identical
+    carried
+      .withColumn(valueCol,
+        when(col(valueCol).isNotNull, col(valueCol))
+          .otherwise(when(col("__v0").isNotNull && col("__v1").isNotNull,
+            col("__v0") + expr("__num div __den"))))
+      .drop("__v0", "__t0", "__v1", "__t1", "__num", "__den")
+  }
 }

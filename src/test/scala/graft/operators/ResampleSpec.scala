@@ -53,6 +53,32 @@ class ResampleSpec extends SparkSpec {
     assert(out == Map(5L -> 50L, 6L -> 50L, 7L -> 50L))
   }
 
+  test("interpolate fills gaps linearly in integer arithmetic; edges stay null") {
+    // key "a": v 100@h1 → 70@h4. Slope −10/hour: h2 → 90, h3 → 80
+    val out = Resample.interpolate(
+        observed.select($"k", $"hour", $"v"), "k", "hour", expr("interval 1 hour"), "v")
+      .filter($"k" === "a")
+      .collect().map(r => r.getTimestamp(1).getTime / 3600000L -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 100L, 2L -> 90L, 3L -> 80L, 4L -> 70L))
+    // non-exact NEGATIVE slope locks the division semantics: 100@h1 →
+    // 90@h4 is −10/3 per hour; truncation (Spark div ≡ DuckDB //) gives
+    // h2 = 100 + trunc(−3.33) = 97, h3 = 100 + trunc(−6.67) = 94
+    // (floor semantics would give 96 and 93)
+    val decl = Seq(("d", h(1), 100L), ("d", h(4), 90L)).toDF("k", "hour", "v")
+    val out2 = Resample.interpolate(decl, "k", "hour", expr("interval 1 hour"), "v")
+      .collect().map(r => r.getTimestamp(1).getTime / 3600000L -> r.getLong(2)).toMap
+    assert(out2 == Map(1L -> 100L, 2L -> 97L, 3L -> 94L, 4L -> 90L))
+    // leading gap: key "c" with null-valued first bucket has no left anchor
+    val lead = Seq(
+      ("c", h(5), null.asInstanceOf[java.lang.Long]),
+      ("c", h(7), java.lang.Long.valueOf(50L))
+    ).toDF("k", "hour", "v")
+    val edges = Resample.interpolate(lead, "k", "hour", expr("interval 1 hour"), "v")
+      .collect().map(r => r.getTimestamp(1).getTime / 3600000L ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(edges == Map(5L -> None, 6L -> None, 7L -> Some(50L)))
+  }
+
   test("no zeroFill/ffill: pure grid completion leaves gap rows null") {
     val out = Resample.gapFill(observed, "k", "hour", expr("interval 1 hour"))
       .filter($"k" === "a").collect()
