@@ -837,6 +837,19 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
+    // ---- semi-structured via VariantType (Spark 4): parse once into the
+    // binary variant encoding, then typed path extraction — the
+    // open-schema form that scales to ragged JSON where a fixed
+    // from_json StructType can't. Aggregation proves the extracted
+    // values behave as native longs downstream ----
+    "props_variant" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"))),
+
     // ---- multimodal: real byte-histogram features (codegen expression),
     // exploded to rows so the oracle can hash-match them ----
     "mm_byte_features" -> ((s, dir) =>
@@ -1393,6 +1406,12 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin,
+
+    "props_variant" ->
+      """WITH x AS (SELECT CAST(props ->> 'k' AS BIGINT) AS k FROM events)
+        |SELECT k % 10 AS k_mod, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM x GROUP BY 1""".stripMargin,
 
     "events_interpolated" ->
       """WITH agg AS (
