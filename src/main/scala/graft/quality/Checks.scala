@@ -38,33 +38,69 @@ final case class QualityReport(results: Seq[CheckResult]) {
 
 object Checks {
 
-  /** Evaluate all scalar checks in ONE aggregation pass; Unique checks each
-    * add one extra aggregation (they need a group-by). */
-  def run(df: DataFrame, checks: Seq[Check]): QualityReport = {
-    val scalar = checks.collect {
+  private def scalarAggs(checks: Seq[Check]): Seq[(String, Column)] =
+    checks.collect {
       case NotEmpty         => NotEmpty.name -> count(lit(1))
       case c @ NoNulls(cols) =>
         c.name -> cols.map(n => count(when(col(n).isNull, 1))).reduce(_ + _)
       case c @ InRange(name, lo, hi) =>
         c.name -> count(when(col(name).isNotNull && !col(name).between(lo, hi), 1))
     }
+
+  private def toResult(name: String, v: Long): CheckResult =
+    if (name == NotEmpty.name) CheckResult(name, if (v == 0) 1 else 0, v > 0)
+    else CheckResult(name, v, v == 0)
+
+  /** Evaluate all scalar checks in ONE aggregation pass; Unique checks each
+    * add one extra aggregation (they need a group-by). */
+  def run(df: DataFrame, checks: Seq[Check]): QualityReport = {
+    val scalar = scalarAggs(checks)
     val scalarResults: Seq[CheckResult] =
       if (scalar.isEmpty) Nil
       else {
         val row = df.agg(scalar.head._2.as("c0"), scalar.tail.zipWithIndex.map {
           case ((_, c), i) => c.as(s"c${i + 1}")
         }: _*).head()
-        scalar.zipWithIndex.map { case ((name, _), i) =>
-          val v = row.getLong(i)
-          if (name == NotEmpty.name) CheckResult(name, if (v == 0) 1 else 0, v > 0)
-          else CheckResult(name, v, v == 0)
-        }
+        scalar.zipWithIndex.map { case ((name, _), i) => toResult(name, row.getLong(i)) }
       }
     val uniqueResults = checks.collect { case c @ Unique(cols) =>
       val dups = df.groupBy(cols.map(col): _*).count().filter(col("count") > 1).count()
       CheckResult(c.name, dups, dups == 0)
     }
     QualityReport(scalarResults ++ uniqueResults)
+  }
+
+  /** Piggyback the scalar checks on an EXISTING action via `df.observe` —
+    * ZERO extra scans. [[run]] costs one aggregation job per table; at
+    * 100 TB even that doubles the read when the pipeline already scans the
+    * data to write it. This form attaches the same counters to the
+    * pipeline's own write/count: Spark accumulates them during that
+    * action, and [[reportFrom]] decodes the metrics afterward. `Unique`
+    * checks need a group-by and cannot ride an observe — evaluate those
+    * via [[run]].
+    *
+    * Usage: `val (instrumented, obs) = Checks.observed(df, checks)`,
+    * run your action on `instrumented`, then
+    * `Checks.reportFrom(obs, checks).enforce()`. */
+  def observed(df: DataFrame, checks: Seq[Check], name: String = "graft_quality")
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val scalar = scalarAggs(checks)
+    require(scalar.nonEmpty, "observed() needs at least one scalar check")
+    require(!checks.exists(_.isInstanceOf[Unique]),
+      "Unique checks need a group-by — use Checks.run for those")
+    val obs = org.apache.spark.sql.Observation(name)
+    val named = scalar.zipWithIndex.map { case ((_, c), i) => c.as(s"c$i") }
+    (df.observe(obs, named.head, named.tail: _*), obs)
+  }
+
+  /** Decode [[observed]]'s metrics into a report. Blocks until the action
+    * on the instrumented DataFrame has completed. */
+  def reportFrom(obs: org.apache.spark.sql.Observation, checks: Seq[Check])
+      : QualityReport = {
+    val metrics = obs.get
+    QualityReport(scalarAggs(checks).zipWithIndex.map { case ((name, _), i) =>
+      toResult(name, metrics(s"c$i").asInstanceOf[Long])
+    })
   }
 
   /** Referential integrity: count of `fk` values in `fact` with no match in

@@ -35,6 +35,21 @@ class ChecksSpec extends SparkSpec {
     assert(Checks.run(df, Seq(Unique(Seq("id")))).passed)
   }
 
+  test("observed() rides the pipeline's own action — same report, zero extra scans") {
+    val checks = Seq(NotEmpty, NoNulls(Seq("name")), InRange("hour", 0, 23))
+    val (instrumented, obs) = Checks.observed(df, checks)
+    // the pipeline's OWN action (here a write) drives the counters
+    instrumented.write.format("noop").mode("overwrite").save()
+    val viaObserve = Checks.reportFrom(obs, checks)
+    val viaRun = Checks.run(df, checks)
+    assert(viaObserve.results == viaRun.results)
+    assert(!viaObserve.passed) // the null name + hour 30 violations
+    // Unique is rejected (needs a group-by, can't ride an observe)
+    intercept[IllegalArgumentException] {
+      Checks.observed(df, Seq(Unique(Seq("id"))) ++ checks)
+    }
+  }
+
   test("all scalar checks evaluate in one pass and report together") {
     val r = Checks.run(df, Seq(NotEmpty, NoNulls(Seq("name")), InRange("hour", 0, 23)))
     assert(r.results.size == 3)
