@@ -38,7 +38,7 @@ final case class QualityReport(results: Seq[CheckResult]) {
 
 object Checks {
 
-  private def scalarAggs(checks: Seq[Check]): Seq[(String, Column)] =
+  private[graft] def scalarAggs(checks: Seq[Check]): Seq[(String, Column)] =
     checks.collect {
       case NotEmpty         => NotEmpty.name -> count(lit(1))
       case c @ NoNulls(cols) =>
@@ -47,7 +47,7 @@ object Checks {
         c.name -> count(when(col(name).isNotNull && !col(name).between(lo, hi), 1))
     }
 
-  private def toResult(name: String, v: Long): CheckResult =
+  private[graft] def toResult(name: String, v: Long): CheckResult =
     if (name == NotEmpty.name) CheckResult(name, if (v == 0) 1 else 0, v > 0)
     else CheckResult(name, v, v == 0)
 
@@ -102,6 +102,35 @@ object Checks {
       toResult(name, metrics(s"c$i").asInstanceOf[Long])
     })
   }
+
+  /** STREAMING form of [[observed]]: `Observation` objects reject
+    * streaming Datasets, so attach the counters under a string metric
+    * name — Spark surfaces them PER MICRO-BATCH in
+    * `StreamingQueryProgress.observedMetrics`, the hook a production
+    * stream's monitoring alerts on (per-batch null spikes, range drift)
+    * at zero extra cost to the batch itself. Decode each progress with
+    * [[reportFromProgress]]. */
+  def observedStream(df: DataFrame, checks: Seq[Check],
+      name: String = "graft_quality"): DataFrame = {
+    val scalar = scalarAggs(checks)
+    require(scalar.nonEmpty, "observedStream() needs at least one scalar check")
+    require(!checks.exists(_.isInstanceOf[Unique]),
+      "Unique checks need a group-by — use Checks.run for those")
+    val named = scalar.zipWithIndex.map { case ((_, c), i) => c.as(s"c$i") }
+    df.observe(name, named.head, named.tail: _*)
+  }
+
+  /** Read one micro-batch's quality report off a streaming progress
+    * event; None when this progress carries no metrics under `name`
+    * (e.g. an empty no-data trigger). */
+  def reportFromProgress(
+      progress: org.apache.spark.sql.streaming.StreamingQueryProgress,
+      checks: Seq[Check], name: String = "graft_quality"): Option[QualityReport] =
+    Option(progress.observedMetrics.get(name)).map { row =>
+      QualityReport(scalarAggs(checks).zipWithIndex.map { case ((n, _), i) =>
+        toResult(n, row.getLong(row.fieldIndex(s"c$i")))
+      })
+    }
 
   /** Referential integrity: count of `fk` values in `fact` with no match in
     * `dim.pk` — expressed as a left anti-join (nulls in fk are not

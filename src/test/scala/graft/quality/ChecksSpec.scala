@@ -50,6 +50,25 @@ class ChecksSpec extends SparkSpec {
     }
   }
 
+  test("observedStream surfaces per-micro-batch quality metrics in streaming progress") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Int, Option[String], Int)]
+    val checks = Seq(NotEmpty, NoNulls(Seq("name")), InRange("hour", 0, 23))
+    val stream = Checks.observedStream(input.toDF.toDF("id", "name", "hour"), checks)
+    val q = stream.writeStream.format("noop").start()
+    try {
+      input.addData((1, Some("a"), 5), (2, None, 30))
+      q.processAllAvailable()
+      val report = q.recentProgress.toSeq
+        .flatMap(p => Checks.reportFromProgress(p, checks)).lastOption
+      assert(report.isDefined, "no observed metrics in any progress event")
+      // one null name + one out-of-range hour in the batch
+      assert(report.get.results.map(_.violations) == Seq(0L, 1L, 1L))
+      assert(!report.get.passed)
+    } finally q.stop()
+  }
+
   test("all scalar checks evaluate in one pass and report together") {
     val r = Checks.run(df, Seq(NotEmpty, NoNulls(Seq("name")), InRange("hour", 0, 23)))
     assert(r.results.size == 3)
