@@ -837,6 +837,41 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
+    // ---- ordered funnel (view → click → purchase): earliest timestamp
+    // per step per user in ONE conditional-min pass (no per-step joins,
+    // no sequence window), then strict-order comparisons. One shuffle on
+    // user_id; at 100 TB this beats the N-way self-join funnel by N
+    // scans ----
+    "event_funnel" -> ((s, dir) => {
+      val firstTs = (t: String) =>
+        min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(col("t_view")).as("step_view"),
+          count(when(col("t_click") > col("t_view"), 1)).as("step_click"),
+          count(when(col("t_purchase") > col("t_click") &&
+            col("t_click") > col("t_view"), 1)).as("step_buy"))
+    }),
+
+    // ---- cohort retention matrix: first-seen day per user (the cohort),
+    // then distinct-active (user, day) pairs bucketed by day offset — the
+    // standard retention triangle. Two hash shuffles (per-user min, then
+    // (cohort, offset) agg); the self-derived dimension (firstseen) joins
+    // on user_id so AQE broadcast-sizes it against the activity side ----
+    "user_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      val firstSeen = ev.groupBy("user_id").agg(min("day").as("cohort"))
+      ev.distinct()
+        .join(firstSeen, Seq("user_id"))
+        .groupBy(col("cohort"),
+          datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // ---- semi-structured via VariantType (Spark 4): parse once into the
     // binary variant encoding, then typed path extraction — the
     // open-schema form that scales to ragged JSON where a fixed
@@ -1406,6 +1441,30 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin,
+
+    "event_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(count(t_view) AS BIGINT) AS step_view,
+        |       CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS step_click,
+        |       CAST(count(CASE WHEN t_buy > t_click AND t_click > t_view THEN 1 END)
+        |            AS BIGINT) AS step_buy
+        |FROM f""".stripMargin,
+
+    "user_retention" ->
+      """WITH firstseen AS (
+        |  SELECT user_id, min(date_trunc('day', ts)) AS cohort FROM events GROUP BY 1),
+        |activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+        |SELECT f.cohort, CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS day_offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM activity a JOIN firstseen f ON a.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "props_variant" ->
       """WITH x AS (SELECT CAST(props ->> 'k' AS BIGINT) AS k FROM events)
