@@ -837,6 +837,21 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
+    // ---- event transition matrix (first-order Markov counts): lead over
+    // the per-user timeline, tie-broken on event_id for determinism, then
+    // count (from, to) pairs. One shuffle + one per-partition sort; the
+    // transition relation is |types|² rows regardless of data scale ----
+    "event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // ---- ordered funnel (view → click → purchase): earliest timestamp
     // per step per user in ONE conditional-min pass (no per-step joins,
     // no sequence window), then strict-order comparisons. One shuffle on
@@ -1441,6 +1456,15 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin,
+
+    "event_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     "event_funnel" ->
       """WITH f AS (
