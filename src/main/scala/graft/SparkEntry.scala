@@ -837,6 +837,16 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
+    // ---- peak concurrency via DISTRIBUTED sweep-line: each event is a
+    // 30-min activity interval; SweepLine's two-phase prefix sum keeps
+    // the endpoint sort day-partitioned (parallel) with a bounded
+    // per-day offset pass — the oracle's global-ORDER-BY cumsum form is
+    // exactly the single-task sort this avoids at 100 TB ----
+    "peak_concurrency" -> ((s, dir) =>
+      graft.operators.SweepLine.peakConcurrent(
+        Tables.events(s, dir),
+        col("ts"), col("ts") + expr("interval 30 minutes"))),
+
     // ---- event transition matrix (first-order Markov counts): lead over
     // the per-user timeline, tie-broken on event_id for determinism, then
     // count (from, to) pairs. One shuffle + one per-partition sort; the
@@ -1456,6 +1466,17 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin,
+
+    "peak_concurrency" ->
+      """WITH pts AS (
+        |  SELECT ts AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT ts + INTERVAL 30 MINUTE AS t, -1 AS delta FROM events),
+        |sweep AS (
+        |  SELECT sum(delta) OVER (ORDER BY t, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+        |  FROM pts)
+        |SELECT CAST(max(live) AS BIGINT) AS peak_concurrent FROM sweep""".stripMargin,
 
     "event_transitions" ->
       """WITH s AS (
