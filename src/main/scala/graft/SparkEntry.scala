@@ -837,6 +837,23 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
+    // ---- higher-order array pipeline: per-user event-type histogram as
+    // ONE canonical string — collect_list of (type, n) structs,
+    // array_sort (struct order = field order, so type asc), transform to
+    // "type:n", array_join. The collect_list is per (user, type) AGGREGATED
+    // counts (≤ |types| elements), never raw events; at 100 TB the array
+    // stays bounded while the string form stays engine-portable ----
+    "user_type_profile" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("event_type"), col("n")))),
+            x => concat(x.getField("event_type"), lit(":"), x.getField("n"))),
+          ",").as("type_profile"))),
+
     // ---- peak concurrency via DISTRIBUTED sweep-line: each event is a
     // 30-min activity interval; SweepLine's two-phase prefix sum keeps
     // the endpoint sort day-partitioned (parallel) with a bounded
@@ -1466,6 +1483,14 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin,
+
+    "user_type_profile" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |       string_agg(event_type || ':' || n, ',' ORDER BY event_type) AS type_profile
+        |FROM c GROUP BY 1""".stripMargin,
 
     "peak_concurrency" ->
       """WITH pts AS (
