@@ -837,6 +837,28 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
+    // ---- IQR (Tukey-fence) outlier counts per group: exact per-group
+    // quartiles (interpolated percentile — dyadic quarter fractions, so
+    // the arithmetic is IEEE-exact and engine-identical), broadcast of
+    // the |groups|-row stats relation back onto the data, strict fence
+    // comparisons. The stats side is guaranteed tiny → broadcast is
+    // correct at any scale ----
+    "value_outliers" -> ((s, dir) => {
+      val cents = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      val stats = cents.groupBy("event_type").agg(
+        percentile(col("cents"), lit(0.25)).as("q1"),
+        percentile(col("cents"), lit(0.75)).as("q3"))
+      val fence = col("q3") - col("q1")
+      cents.join(broadcast(stats), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(
+          count(when(col("cents") > col("q3") + lit(1.5) * fence, 1)).as("n_high"),
+          count(when(col("cents") < col("q1") - lit(1.5) * fence, 1)).as("n_low"),
+          count(lit(1)).as("n"))
+    }),
+
     // ---- higher-order array pipeline: per-user event-type histogram as
     // ONE canonical string — collect_list of (type, n) structs,
     // array_sort (struct order = field order, so type asc), transform to
@@ -1482,6 +1504,24 @@ object SparkEntry {
         |  AND r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "value_outliers" ->
+      """WITH cents AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE value IS NOT NULL),
+        |stats AS (
+        |  SELECT event_type,
+        |         quantile_cont(cents, 0.25) AS q1,
+        |         quantile_cont(cents, 0.75) AS q3
+        |  FROM cents GROUP BY 1)
+        |SELECT c.event_type,
+        |       CAST(count(CASE WHEN c.cents > s.q3 + 1.5 * (s.q3 - s.q1)
+        |                       THEN 1 END) AS BIGINT) AS n_high,
+        |       CAST(count(CASE WHEN c.cents < s.q1 - 1.5 * (s.q3 - s.q1)
+        |                       THEN 1 END) AS BIGINT) AS n_low,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM cents c JOIN stats s ON c.event_type = s.event_type
         |GROUP BY 1""".stripMargin,
 
     "user_type_profile" ->
