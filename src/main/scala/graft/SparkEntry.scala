@@ -837,6 +837,39 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
+    // ---- market-basket co-occurrence: event types seen together in the
+    // same (user, hour) basket. Distinct first (baskets, not raw rows),
+    // then a self equi-join on the basket key with a strict type order —
+    // per-basket fan-out is bounded by |types|², output by |types|²
+    // total. The basket relation shuffles once and joins to itself on
+    // the same partitioning ----
+    "type_cooccurrence" -> ((s, dir) => {
+      val b = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"),
+          col("event_type"))
+        .distinct()
+      b.as("a").join(b.as("b2"),
+          col("a.user_id") === col("b2.user_id") &&
+            col("a.hour") === col("b2.hour") &&
+            col("a.event_type") < col("b2.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b2.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_baskets"))
+    }),
+
+    // ---- inter-purchase gap: lag per customer, then one exact global
+    // median (×4 keeps the interpolated midpoint integer — dyadic, so
+    // engine-exact) ----
+    "order_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+        .agg(
+          (percentile(datediff(col("o_orderdate"), col("prev")), lit(0.5)) * 4)
+            .cast("long").as("median_gap_x4"),
+          count(when(col("prev").isNotNull, 1)).as("n_gaps"))
+    }),
+
     // ---- IQR (Tukey-fence) outlier counts per group: exact per-group
     // quartiles (interpolated percentile — dyadic quarter fractions, so
     // the arithmetic is IEEE-exact and engine-identical), broadcast of
@@ -1505,6 +1538,27 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin,
+
+    "type_cooccurrence" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour, event_type
+        |  FROM events)
+        |SELECT a.event_type AS type_a, b2.event_type AS type_b,
+        |       CAST(count(*) AS BIGINT) AS n_baskets
+        |FROM b a JOIN b b2 ON a.user_id = b2.user_id AND a.hour = b2.hour
+        |                   AND a.event_type < b2.event_type
+        |GROUP BY 1, 2""".stripMargin,
+
+    "order_gaps" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate,
+        |         lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders)
+        |SELECT CAST(quantile_cont(date_diff('day', prev, o_orderdate), 0.5) * 4
+        |            AS BIGINT) AS median_gap_x4,
+        |       CAST(count(CASE WHEN prev IS NOT NULL THEN 1 END) AS BIGINT) AS n_gaps
+        |FROM o""".stripMargin,
 
     "value_outliers" ->
       """WITH cents AS (
