@@ -83,6 +83,14 @@ object Resample {
     * (t₁,v₁)) over one key partitioning. */
   def interpolate(df: DataFrame, key: String, bucketCol: String, step: Column,
       valueCol: String): DataFrame = {
+    // the whole exactness contract rests on int64 arithmetic — a float
+    // value column would silently fall back to fractional `div` semantics
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+        .contains(df.schema(valueCol).dataType),
+      s"interpolate needs an integral value column (quantize first); " +
+        s"$valueCol is ${df.schema(valueCol).dataType.simpleString}")
     val completed = gapFill(df, key, bucketCol, step)
     val secs = (c: Column) => c.cast("timestamp").cast("long")
     val obsT = when(col(valueCol).isNotNull, col(bucketCol))

@@ -79,6 +79,14 @@ class ResampleSpec extends SparkSpec {
     assert(edges == Map(5L -> None, 6L -> None, 7L -> Some(50L)))
   }
 
+  test("interpolate rejects non-integral value columns (exactness contract)") {
+    val floats = Seq(("a", h(1), 1.5), ("a", h(3), 2.5)).toDF("k", "hour", "v")
+    val e = intercept[IllegalArgumentException] {
+      Resample.interpolate(floats, "k", "hour", expr("interval 1 hour"), "v")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("no zeroFill/ffill: pure grid completion leaves gap rows null") {
     val out = Resample.gapFill(observed, "k", "hour", expr("interval 1 hour"))
       .filter($"k" === "a").collect()
