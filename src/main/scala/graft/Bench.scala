@@ -46,7 +46,9 @@ object Bench {
     // JSON goes to stdout FIRST (before the stderr wall-total line) and is
     // also persisted to bench.json so a truncated console capture can never
     // lose the round's number again.
-    def f3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, which on a
+    // comma-decimal JVM (de_DE, fr_FR) would emit "0,123" — invalid JSON
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

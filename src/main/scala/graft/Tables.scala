@@ -48,9 +48,45 @@ object Tables {
       StructField("props", StringType)))
   }
 
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** True iff the parquet file(s) at `path` declare `ts` as
+    * TIMESTAMP(NANOS). Reads ONE footer on the driver (no Spark job, no
+    * schema-inference error noise); probe failures default to true so the
+    * known generator layout keeps working. */
+  private def tsIsNanos(spark: SparkSession, path: String): Boolean =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .filter(f => f.getName.endsWith(".parquet")).head
+        else p
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFileMetaData.getSchema
+        val ann = schema.getType(schema.getFieldIndex("ts"))
+          .asPrimitiveType().getLogicalTypeAnnotation
+        ann match {
+          case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        }
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => true }
+
+  /** Type guard: the nanos treatment (declared LONG schema + div-1000
+    * truncation) applies only when the file actually carries
+    * TIMESTAMP(NANOS) — a regenerated micros file reads plainly, instead
+    * of being silently divided by 1000. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    if (tsIsNanos(spark, path))
+      spark.read.schema(eventsRawSchema).parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else spark.read.parquet(path)
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

@@ -36,8 +36,16 @@ object SweepLine {
     * sort (default: calendar day). */
   def peakConcurrent(df: DataFrame, start: Column, end: Column,
       segment: Column => Column = date_trunc("day", _)): DataFrame = {
-    val pts = df.select(start.as("t"), lit(1L).as("delta"))
-      .unionAll(df.select(end.as("t"), lit(-1L).as("delta")))
+    // both endpoints come out of ONE pass over each input row (explode of
+    // a 2-element array) — a unionAll of two selects would scan `df` once
+    // per branch, and with two consumers below (the window and the totals
+    // aggregate) that compounds to 4 scans of the source where this shape
+    // costs 2
+    val pts = df
+      .select(explode(array(
+        struct(start.as("t"), lit(1L).as("delta")),
+        struct(end.as("t"), lit(-1L).as("delta")))).as("p"))
+      .select(col("p.t").as("t"), col("p.delta").as("delta"))
       .withColumn("seg", segment(col("t")))
     val wIn = Window.partitionBy("seg")
       .orderBy(col("t").asc, col("delta").asc) // −1 first: [start, end)

@@ -92,13 +92,21 @@ object StreamingKpis {
     * `.old` aside, or the new one — recovery at batch start restores the
     * aside if the final rename never ran).
     *
-    * Idempotent under micro-batch replay: foreachBatch runs with
-    * at-least-once semantics — if the job dies after the swap but before
-    * the checkpoint commits, the SAME batchId is re-delivered on restart.
-    * The snapshot therefore carries the id of the last batch merged into
-    * it (a `_LAST_BATCH` marker written inside the tmp dir, so it travels
-    * with the data through the swap); a batch whose id is already recorded
-    * is skipped instead of double-counted.
+    * Idempotent under micro-batch replay WITHIN a checkpoint lineage:
+    * foreachBatch runs with at-least-once semantics — if the job dies
+    * after the swap but before the checkpoint commits, the SAME batchId
+    * is re-delivered on restart. The snapshot therefore records
+    * `<checkpointTag>:<batchId>` of the last merge (a `_LAST_BATCH`
+    * marker written inside the tmp dir, so it travels with the data
+    * through the swap); a batch already recorded FOR THE SAME CHECKPOINT
+    * is skipped instead of double-counted. The tag matters: batchIds are
+    * only meaningful within one checkpoint lineage — a re-pointed or
+    * rebuilt checkpoint restarts them at 0, and skipping those batches
+    * on id alone would silently drop whatever NEW data they carry. After
+    * a lineage reset the guarantee is therefore at-least-once (already-
+    * merged rows in re-delivered batches merge again); keep the
+    * checkpoint alongside the snapshot to stay in the exactly-once
+    * regime.
     *
     * Plain-filesystem rename is not atomic-visible to concurrent readers;
     * a production deployment points this at a transactional table format
@@ -111,44 +119,62 @@ object StreamingKpis {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(snapshotDir), spark.sparkContext.hadoopConfiguration)
-        val snapPath = new org.apache.hadoop.fs.Path(snapshotDir)
-        val oldPath = new org.apache.hadoop.fs.Path(snapshotDir + ".old")
-        val tmpPath = new org.apache.hadoop.fs.Path(snapshotDir + ".tmp")
-        val marker = "_LAST_BATCH" // leading underscore: invisible to parquet reads
-        // crash recovery: a crash between (snapshot → .old) and
-        // (.tmp → snapshot) leaves only the aside live — restore it first
-        if (!fs.exists(snapPath) && fs.exists(oldPath)) fs.rename(oldPath, snapPath)
-        fs.delete(tmpPath, true) // stale tmp from a crashed attempt
-        def lastApplied: Long = {
-          val f = new org.apache.hadoop.fs.Path(snapPath, marker)
-          if (!fs.exists(f)) -1L
-          else {
-            val in = fs.open(f)
-            try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-            finally in.close()
-          }
-        }
-        if (!(fs.exists(snapPath) && lastApplied >= batchId)) {
-          val partial = graft.operators.Incremental.partials(
-            batch, keys, col(valueCol))
-          val merged =
-            if (fs.exists(snapPath))
-              graft.operators.Incremental.merge(
-                Seq(spark.read.parquet(snapshotDir), partial), keys)
-            else partial
-          merged.write.mode("overwrite").parquet(tmpPath.toString)
-          val out = fs.create(new org.apache.hadoop.fs.Path(tmpPath, marker), true)
-          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-          fs.delete(oldPath, true)
-          if (fs.exists(snapPath)) fs.rename(snapPath, oldPath)
-          fs.rename(tmpPath, snapPath)
-          fs.delete(oldPath, true)
-        }
-        ()
+        mergeBatchIntoSnapshot(batch, keys, valueCol, snapshotDir,
+          checkpointTag = checkpoint, batchId = batchId)
       }
+
+  /** One [[incrementalSnapshot]] merge cycle — exposed within graft so the
+    * replay/crash-recovery semantics are directly testable without
+    * contriving a real foreachBatch redelivery. */
+  private[graft] def mergeBatchIntoSnapshot(batch: DataFrame, keys: Seq[String],
+      valueCol: String, snapshotDir: String, checkpointTag: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(snapshotDir), spark.sparkContext.hadoopConfiguration)
+    val snapPath = new org.apache.hadoop.fs.Path(snapshotDir)
+    val oldPath = new org.apache.hadoop.fs.Path(snapshotDir + ".old")
+    val tmpPath = new org.apache.hadoop.fs.Path(snapshotDir + ".tmp")
+    val marker = "_LAST_BATCH" // leading underscore: invisible to parquet reads
+    // crash recovery: a crash between (snapshot → .old) and
+    // (.tmp → snapshot) leaves only the aside live — restore it first
+    if (!fs.exists(snapPath) && fs.exists(oldPath)) fs.rename(oldPath, snapPath)
+    fs.delete(tmpPath, true) // stale tmp from a crashed attempt
+    // stale aside from a crash between the final rename and its delete
+    // — cleaned here (not only in the merge branch) so a skipped
+    // replay doesn't leave a snapshot-sized orphan behind
+    if (fs.exists(snapPath)) fs.delete(oldPath, true)
+    // (tag, batchId) of the last merge; tag mismatch = different
+    // checkpoint lineage = never skip
+    def lastApplied: (String, Long) = {
+      val f = new org.apache.hadoop.fs.Path(snapPath, marker)
+      if (!fs.exists(f)) ("", -1L)
+      else {
+        val in = fs.open(f)
+        val s = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        val cut = s.lastIndexOf(':')
+        if (cut < 0) ("", -1L) else (s.substring(0, cut), s.substring(cut + 1).toLong)
+      }
+    }
+    val (tag, lastId) = if (fs.exists(snapPath)) lastApplied else ("", -1L)
+    if (!(tag == checkpointTag && lastId >= batchId)) {
+      val partial = graft.operators.Incremental.partials(
+        batch, keys, col(valueCol))
+      val merged =
+        if (fs.exists(snapPath))
+          graft.operators.Incremental.merge(
+            Seq(spark.read.parquet(snapshotDir), partial), keys)
+        else partial
+      merged.write.mode("overwrite").parquet(tmpPath.toString)
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmpPath, marker), true)
+      try out.write(s"$checkpointTag:$batchId".getBytes("UTF-8")) finally out.close()
+      fs.delete(oldPath, true)
+      if (fs.exists(snapPath)) fs.rename(snapPath, oldPath)
+      fs.rename(tmpPath, snapPath)
+      fs.delete(oldPath, true)
+    }
+  }
 
   /** Idiomatic extension: tumbling 1h event-time window + watermark.
     * Emits (window, unique_listeners≈, listen_count) per hour once the

@@ -70,7 +70,7 @@ class StreamingKpisSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 4L), (2L, 2L, 4L), (3L, 1L, 2L)))
   }
 
-  test("incrementalSnapshot replay of already-applied batches is a no-op (idempotent merge)") {
+  test("incrementalSnapshot same-lineage replay is a no-op; a lineage reset re-merges") {
     val dir = Files.createTempDirectory("graft-incr-replay")
     val inDir = dir.resolve("in"); Files.createDirectories(inDir)
     Files.writeString(inDir.resolve("a.csv"),
@@ -80,28 +80,38 @@ class StreamingKpisSpec extends SparkSpec {
         |2,t1,2024-06-25T12:00:00.000Z
         |""".stripMargin)
     import org.apache.spark.sql.functions._
-    def stream = StreamingKpis.fileStream(spark, Sources.streamsSchema,
+    val stream = StreamingKpis.fileStream(spark, Sources.streamsSchema,
         inDir.toString, maxFilesPerTrigger = 1)
       .withColumn("v", length(col("track_id")).cast("long"))
     val snap = dir.resolve("snap").toString
-    StreamingKpis.incrementalSnapshot(stream, Seq("user_id"), "v",
-      snap, dir.resolve("ckpt1").toString).start().awaitTermination(60000)
+    val ckpt = dir.resolve("ckpt1").toString
+    StreamingKpis.incrementalSnapshot(stream, Seq("user_id"), "v", snap, ckpt)
+      .start().awaitTermination(60000)
     def read() = spark.read.parquet(snap)
       .selectExpr("user_id", "n", "sum_v").collect()
       .map(r => (r.getAs[Number]("user_id").longValue(),
         r.getAs[Long]("n"), r.getAs[Long]("sum_v"))).toSet
     val first = read()
     assert(first == Set((1L, 2L, 4L), (2L, 1L, 2L)))
-    // re-deliver the SAME batch against the existing snapshot (a fresh
-    // checkpoint restarts batchIds at 0 — exactly what a foreachBatch
-    // replay after a crash-before-checkpoint-commit looks like). The
-    // snapshot records the last-applied batchId, so nothing double-counts.
-    StreamingKpis.incrementalSnapshot(stream, Seq("user_id"), "v",
-      snap, dir.resolve("ckpt2").toString).start().awaitTermination(60000)
-    assert(read() == first, "replayed batch was merged twice")
+    // same-lineage replay: re-deliver batchId 0 under the SAME checkpoint
+    // tag — exactly what foreachBatch does after a crash between the swap
+    // and the checkpoint commit. Must be skipped, not double-counted.
+    val batchDf = spark.read.schema(Sources.streamsSchema)
+      .option("header", "true").csv(inDir.toString)
+      .withColumn("v", length(col("track_id")).cast("long"))
+    StreamingKpis.mergeBatchIntoSnapshot(batchDf, Seq("user_id"), "v", snap,
+      checkpointTag = ckpt, batchId = 0L)
+    assert(read() == first, "same-lineage replayed batch was merged twice")
     // the swap never leaves working dirs behind
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(snap + ".tmp")))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(snap + ".old")))
+    // lineage reset: a DIFFERENT checkpoint tag with restarted batchIds is
+    // NOT a replay — batchId 0 may now carry never-seen data, so it merges
+    // (at-least-once across resets; skipping on id alone would lose data)
+    StreamingKpis.mergeBatchIntoSnapshot(batchDf, Seq("user_id"), "v", snap,
+      checkpointTag = dir.resolve("ckpt2").toString, batchId = 0L)
+    assert(read() == Set((1L, 4L, 8L), (2L, 2L, 4L)),
+      "lineage-reset batch should have merged")
   }
 
   test("typed aggregators run in streaming complete mode (mode/top-k per group)") {
