@@ -837,6 +837,17 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
+    // ---- RAG-style overlapping chunking: 50-token windows, stride 40
+    // (10-token overlap), md5 per chunk for a compact oracle surface.
+    // Shuffle-free narrow plan (ChunkingSpec asserts no Exchange) ----
+    "doc_chunks" -> ((s, dir) =>
+      graft.operators.Chunking.tokenChunks(
+          Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 50, stride = 40)
+        .select(col("doc_id"), col("chunk_idx"),
+          size(split(col("chunk"), " ")).cast("long").as("n_tokens"),
+          md5(col("chunk")).as("chunk_md5"))),
+
     // ---- market-basket co-occurrence: event types seen together in the
     // same (user, hour) basket. Distinct first (baskets, not raw rows),
     // then a self equi-join on the basket key with a strict type order —
@@ -1538,6 +1549,24 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin,
+
+    "doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |         CASE WHEN n <= 50 THEN 1 ELSE (n - 50 + 39) // 40 + 1 END AS n_chunks
+        |  FROM t),
+        |e AS (
+        |  SELECT t.doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |         array_to_string(t.ws[(i*40 + 1):(i*40 + 50)], ' ') AS chunk
+        |  FROM t JOIN c ON t.doc_id = c.doc_id, UNNEST(range(0, c.n_chunks)) AS r(i))
+        |SELECT doc_id, chunk_idx,
+        |       CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+        |       md5(chunk) AS chunk_md5
+        |FROM e""".stripMargin,
 
     "type_cooccurrence" ->
       """WITH b AS (
