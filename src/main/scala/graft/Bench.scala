@@ -56,13 +56,21 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)
-    Console.out.flush()
     try {
       val p = java.nio.file.Paths.get("bench.json")
       java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
     System.err.println(f"[bench] loop wall total ${(System.nanoTime() - tSetup) / 1e9}%.1fs")
     spark.stop()
+    // Compact total-only summary (<120 bytes) printed as the very LAST
+    // stdout line, after spark.stop() and the stderr wall-total, so a
+    // consumer that only captures the tail of the console still gets a
+    // parseable number even when the full per-query JSON above scrolls out
+    // of its window. The full detail lives in the first line + bench.json.
+    val compact =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"errors":${failed.mkString("[", ",", "]")}}"""
+    println(compact)
+    Console.out.flush()
     if (failed.nonEmpty) sys.exit(1)
   }
 }

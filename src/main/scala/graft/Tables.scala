@@ -50,17 +50,32 @@ object Tables {
 
   /** True iff the parquet file(s) at `path` declare `ts` as
     * TIMESTAMP(NANOS). Reads ONE footer on the driver (no Spark job, no
-    * schema-inference error noise); probe failures default to true so the
-    * known generator layout keeps working. */
+    * schema-inference error noise). Directory inputs are searched
+    * recursively for the first leaf `*.parquet` file, so partitioned
+    * layouts (`date=…/part-….parquet`) probe correctly.
+    *
+    * Probe failures default to FALSE (plain read): on a real
+    * TIMESTAMP(MICROS) file the nanos treatment would silently divide `ts`
+    * by 1000 — exactly the corruption this guard exists to prevent — while
+    * the false-on-nanos direction merely fails loudly at read time
+    * (PARQUET_TYPE_ILLEGAL), which is recoverable and visible. */
   private def tsIsNanos(spark: SparkSession, path: String): Boolean =
     try {
       val conf = spark.sessionState.newHadoopConf()
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
+      def findLeaf(dir: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+        val entries = fs.listStatus(dir).sortBy(_.getPath.getName)
+        entries.collectFirst {
+          case e if e.isFile && e.getPath.getName.endsWith(".parquet") => e.getPath
+        }.orElse(
+          entries.iterator.filter(_.isDirectory)
+            .flatMap(e => findLeaf(e.getPath)).nextOption())
+      }
       val file =
         if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).map(_.getPath)
-            .filter(f => f.getName.endsWith(".parquet")).head
+          findLeaf(p).getOrElse(
+            throw new java.io.FileNotFoundException(s"no *.parquet leaf under $path"))
         else p
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
@@ -74,7 +89,12 @@ object Tables {
           case _ => false
         }
       } finally reader.close()
-    } catch { case scala.util.control.NonFatal(_) => true }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"ts-unit probe failed for $path; assuming non-nanos (plain read): $e")
+        false
+    }
 
   /** Type guard: the nanos treatment (declared LONG schema + div-1000
     * truncation) applies only when the file actually carries

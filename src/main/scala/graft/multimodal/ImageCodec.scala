@@ -11,15 +11,23 @@ package graft.multimodal
   *    fixed little-endian header offsets; rows padded to 4 bytes and
   *    stored bottom-up unless height is negative.
   *
-  * Both decode to (width, height, channels, pixels) with pixels in
+  * Compressed raster formats (JPEG, PNG, GIF) decode through the JDK's
+  * `javax.imageio` — still zero native dependencies. Their byte streams
+  * are sniffed by magic number (FF D8 FF / ‰PNG / GIF8) and routed to an
+  * [[decodeImageIO]] path that checks header dimensions against
+  * [[MaxPixelBytes]] BEFORE paying for the full pixel decode, then
+  * flattens to the same interleaved layout (alpha dropped, grayscale kept
+  * 1-channel).
+  *
+  * All paths decode to (width, height, channels, pixels) with pixels in
   * top-to-bottom row order and row padding stripped — so downstream
   * feature extraction sees exactly the image's sample bytes, nothing
   * else. Formats that don't parse return None; the caller decides the
   * fallback (graft keeps the raw-byte feature path for those).
   *
-  * Heavier formats (JPEG/PNG/audio/video) plug in at the same seam with a
-  * native library; the per-partition init/decode shape in
-  * [[Multimodal.decodePartitions]] does not change.
+  * Audio/video containers plug in at the same seam with a native library;
+  * the per-partition init/decode shape in [[Multimodal.decodePartitions]]
+  * does not change.
   */
 object ImageCodec {
 
@@ -32,11 +40,19 @@ object ImageCodec {
   val MaxPixelBytes: Int = 1 << 28 // 256 MB
 
   def decode(payload: Array[Byte]): Option[DecodedImage] =
-    if (payload == null || payload.length < 2) None
+    if (payload == null || payload.length < 4) None
     else if (payload(0) == 'P' && payload(1) == '6') decodeNetpbm(payload, channels = 3)
     else if (payload(0) == 'P' && payload(1) == '5') decodeNetpbm(payload, channels = 1)
     else if (payload(0) == 'B' && payload(1) == 'M') decodeBmp(payload)
+    else if (isJpeg(payload) || isPng(payload) || isGif(payload)) decodeImageIO(payload)
     else None
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
+  private def isPng(b: Array[Byte]): Boolean =
+    (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+  private def isGif(b: Array[Byte]): Boolean =
+    b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
 
   // ----------------------------------------- Netpbm binary (P6 RGB, P5 gray)
 
@@ -97,8 +113,12 @@ object ImageCodec {
     if (dibSize < 40 || planes != 1 || compression != 0) return None
     if (bpp != 24 && bpp != 32) return None
     val topDown = rawHeight < 0
+    // Int.MinValue survives math.abs still negative — reject it explicitly,
+    // or the negative value sails through every bound below and blows up in
+    // the array allocation on a corrupt/adversarial blob
+    if (width <= 0 || rawHeight == Int.MinValue) return None
     val height = math.abs(rawHeight)
-    if (width <= 0 || height == 0) return None
+    if (height == 0) return None
     val channels = bpp / 8
     val rowBytes = width.toLong * channels
     val rowStride = (rowBytes + 3) / 4 * 4 // rows pad to 4-byte boundaries
@@ -116,4 +136,54 @@ object ImageCodec {
     }
     Some(DecodedImage(width, height, channels, out))
   }
+
+  // ------------------------------------------- JPEG / PNG / GIF via ImageIO
+
+  /** Decode a compressed raster through `javax.imageio` (pure JVM).
+    * Header dimensions are read from the format reader BEFORE the pixel
+    * decode and checked against [[MaxPixelBytes]], so a corrupt or
+    * adversarial header cannot OOM the executor. Pixels flatten to the
+    * Netpbm layout: interleaved RGB top-to-bottom (alpha dropped), or
+    * 1-channel for grayscale color models. Any reader exception — truncated
+    * stream, bad Huffman tables, unsupported subformat — returns None. */
+  private def decodeImageIO(b: Array[Byte]): Option[DecodedImage] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          // dims come from the header only — no pixel decode yet
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h * 3 > MaxPixelBytes) return None
+          val img = reader.read(0)
+          val gray = img.getColorModel.getNumColorComponents == 1
+          val channels = if (gray) 1 else 3
+          val out = new Array[Byte](w * h * channels)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val argb = row(x)
+              val o = (y * w + x) * channels
+              if (gray) out(o) = (argb & 0xff).toByte // r==g==b for gray models
+              else {
+                out(o) = ((argb >> 16) & 0xff).toByte
+                out(o + 1) = ((argb >> 8) & 0xff).toByte
+                out(o + 2) = (argb & 0xff).toByte
+              }
+              x += 1
+            }
+            y += 1
+          }
+          Some(DecodedImage(w, h, channels, out))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -7,9 +7,10 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing for a training-data pipeline: image/audio/
   * video payloads ride as opaque `binary` columns with a typed metadata
   * struct; the engine provides real Spark-side schema, partitioning and
-  * batch plumbing, plus a real pure-JVM codec tier ([[ImageCodec]]: PPM
-  * P6 + uncompressed BMP) — heavier codecs (JPEG/ffmpeg) slot into the
-  * same per-partition seam via a native library at deployment.
+  * batch plumbing, plus a real pure-JVM codec tier ([[ImageCodec]]: PPM/
+  * PGM + uncompressed BMP parsed directly, JPEG/PNG/GIF via the JDK's
+  * ImageIO) — audio/video codecs (ffmpeg) slot into the same
+  * per-partition seam via a native library at deployment.
   *
   * Design for 100 TB: payload bytes never shuffle — every operator here
   * either (a) derives bounded-size features in a narrow map (no exchange),
@@ -85,15 +86,16 @@ object Multimodal {
 
   /** The mapPartitions decode path — decoder state is initialized once per
     * PARTITION and amortized across its rows, never per row. The codec is
-    * REAL for the trivially-parseable raster formats ([[ImageCodec]]: PPM
-    * "P6" and uncompressed 24/32-bpp BMP): header → (width, height,
-    * channels) in the appended `decoded` struct, and `features` is the
-    * byte histogram of the DECODED PIXEL bytes (padding and header
-    * stripped). Payloads no codec recognizes keep `decoded = null` and
-    * fall back to the raw-payload histogram — bit-identical to
-    * [[decodeFeatures]], so the cheap column path remains the oracle for
-    * the fallback tier. Heavier formats (JPEG/ffmpeg) plug into the same
-    * per-partition seam at deployment; nothing else changes shape. */
+    * REAL for the raster formats ([[ImageCodec]]: PPM "P6"/PGM "P5" and
+    * uncompressed 24/32-bpp BMP parsed directly; JPEG, PNG and GIF through
+    * the JDK's ImageIO): header → (width, height, channels) in the
+    * appended `decoded` struct, and `features` is the byte histogram of
+    * the DECODED PIXEL bytes (padding and header stripped). Payloads no
+    * codec recognizes keep `decoded = null` and fall back to the
+    * raw-payload histogram — bit-identical to [[decodeFeatures]], so the
+    * cheap column path remains the oracle for the fallback tier. Audio/
+    * video codecs (ffmpeg) plug into the same per-partition seam at
+    * deployment; nothing else changes shape. */
   def decodePartitions(df: DataFrame, bins: Int = 64): DataFrame = {
     val outSchema = df.schema
       .add("decoded", decodedSchema)
@@ -112,11 +114,16 @@ object Multimodal {
         while (i < bins) { out(i) = buf(i) / n; i += 1 }
         out
       }
+      // defense in depth: a codec bug on one corrupt blob must degrade that
+      // ROW to the raw-byte fallback, not kill the whole partition's task
+      def safeDecode(p: Array[Byte]): Option[ImageCodec.DecodedImage] =
+        try ImageCodec.decode(p)
+        catch { case scala.util.control.NonFatal(_) => None }
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val (decoded, feats) =
           if (payload == null) (null, new Array[Double](bins))
-          else ImageCodec.decode(payload) match {
+          else safeDecode(payload) match {
             case Some(img) =>
               (org.apache.spark.sql.Row(img.width, img.height, img.channels),
                 histogram(img.pixels))

@@ -154,6 +154,76 @@ class MultimodalSpec extends SparkSpec {
       assert(out(id)._2 == expected(id), s"pixel histogram diverged for asset $id")
   }
 
+  test("ImageCodec rejects a BMP whose stored height is Int.MinValue") {
+    // math.abs(Int.MinValue) is still negative: a corrupt/adversarial blob
+    // must decode to None, never throw NegativeArraySizeException
+    val corrupt = bmpPayload.clone()
+    corrupt(22) = 0; corrupt(23) = 0; corrupt(24) = 0; corrupt(25) = 0x80.toByte
+    assert(ImageCodec.decode(corrupt).isEmpty)
+  }
+
+  // ---- compressed raster tier: JPEG / PNG / GIF via JDK ImageIO ----
+
+  private val pngW = 4; private val pngH = 3
+  private val pngRgb: Array[Byte] = Array.tabulate[Byte](pngW * pngH * 3)(i => (i * 5 + 3).toByte)
+  private def encode(format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      pngW, pngH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until pngH; x <- 0 until pngW) {
+      val o = (y * pngW + x) * 3
+      img.setRGB(x, y,
+        ((pngRgb(o) & 0xff) << 16) | ((pngRgb(o + 1) & 0xff) << 8) | (pngRgb(o + 2) & 0xff))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  test("ImageCodec decodes PNG losslessly through ImageIO") {
+    val png = encode("png")
+    assert(png(0) == 0x89.toByte && png(1) == 'P') // really a PNG container
+    val img = ImageCodec.decode(png).get
+    assert(img.width == pngW && img.height == pngH && img.channels == 3)
+    assert(img.pixels.sameElements(pngRgb)) // PNG is lossless: exact round-trip
+    // truncated stream → None, never a partial image or an exception
+    assert(ImageCodec.decode(png.take(png.length / 2)).isEmpty)
+  }
+
+  test("ImageCodec decodes JPEG and GIF headers + rasters through ImageIO") {
+    val jpg = encode("jpg")
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+    val j = ImageCodec.decode(jpg).get
+    // JPEG is lossy: dims and shape are exact, pixels only approximate
+    assert(j.width == pngW && j.height == pngH && j.channels == 3)
+    assert(j.pixels.length == pngW * pngH * 3)
+    val gif = encode("gif")
+    val g = ImageCodec.decode(gif).get
+    assert(g.width == pngW && g.height == pngH && g.channels == 3)
+    // deterministic: same payload decodes to the same bytes every time
+    assert(ImageCodec.decode(jpg).get.pixels.sameElements(j.pixels))
+  }
+
+  test("decodePartitions routes compressed formats through the real codec") {
+    val png = encode("png")
+    val rows = Seq(
+      Row(1L, "image", "image/png", png, Row(null, null, null, null)),
+      Row(2L, "image", "application/octet-stream", Array[Byte](7, 7, 7, 7), Row(null, null, null, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.assetSchema)
+    val out = Multimodal.decodePartitions(df, bins = 8).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        (r.getAs[Row]("decoded"), r.getAs[scala.collection.Seq[Double]]("features").toSeq)).toMap
+    assert(out(1L)._1 == Row(pngW, pngH, 3))
+    assert(out(2L)._1 == null)
+    // histogram oracle: ByteHistogram over the known PIXEL bytes must match
+    val oracleDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "image", "x", pngRgb, Row(null, null, null, null)))),
+      Multimodal.assetSchema)
+    val expected = Multimodal.decodeFeatures(oracleDf, bins = 8).collect()
+      .head.getAs[scala.collection.Seq[Double]]("features").toSeq
+    assert(out(1L)._2 == expected)
+  }
+
   test("sampleOffsets fans out k ordered offsets per asset") {
     val s = Multimodal.sampleOffsets(assets, k = 3)
       .collect().map(r => (r.getAs[Long]("asset_id"), r.getAs[Int]("sample_idx"), r.getAs[Long]("byte_offset")))
