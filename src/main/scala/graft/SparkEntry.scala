@@ -447,6 +447,31 @@ object SparkEntry {
         graft.operators.Incremental.merge(Seq(old, delta), Seq("event_type")))
     }),
 
+    // ---- streaming snapshot maintenance, batch-replay form: drive the
+    // REAL foreachBatch merge cycle (write-tmp → swap, replay-skip marker)
+    // over 3 deterministic micro-batches — batch 1 delivered TWICE to
+    // exercise the at-least-once redelivery skip — and return the final
+    // snapshot. Oracle: a full recompute over all events, which the
+    // monoid merge law guarantees is identical ----
+    "incr_snapshot_replay" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("v"))
+      val snapDir = java.nio.file.Files.createTempDirectory("graft-snap")
+        .toString + "/snapshot"
+      val tag = "replay-lineage"
+      for (b <- 0L until 3L) {
+        val batch = ev.filter(pmod(col("event_id"), lit(3)) === b)
+        graft.streaming.StreamingKpis.mergeBatchIntoSnapshot(
+          batch, Seq("event_type"), "v", snapDir, tag, b)
+        // foreachBatch is at-least-once: the same (tag, batchId) arriving
+        // again must be skipped, not double-counted
+        if (b == 1L) graft.streaming.StreamingKpis.mergeBatchIntoSnapshot(
+          batch, Seq("event_type"), "v", snapDir, tag, b)
+      }
+      s.read.parquet(snapDir).select("event_type", "n", "sum_v", "min_v", "max_v")
+    }),
+
     // ---- corpus-mixture rebalancing: thin dominant groups to an equal
     // share (deterministic portable-hash acceptance). Grouped on `lang` —
     // the synthetic corpus's skewed dimension (en ≈ 2.5× the others;
@@ -2191,6 +2216,13 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
         |       min(v) AS min_v, max(v) AS max_v,
         |       CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_v
+        |FROM q GROUP BY 1""".stripMargin,
+
+    "incr_snapshot_replay" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events)
+        |SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
+        |       min(v) AS min_v, max(v) AS max_v
         |FROM q GROUP BY 1""".stripMargin,
 
     "source_mix" ->
