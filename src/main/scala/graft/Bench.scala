@@ -18,6 +18,29 @@ object Bench {
     Tables.lineitem(spark, sfDir).limit(1000)
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
+    // same hygiene for the text/vector expression stacks: their one-time
+    // codegen + JIT constant (~5 s) otherwise lands on whichever text-heavy
+    // query sorts first (measured: corpus_curate 7.4 s cold vs 1.9 s warm
+    // on the identical plan; decontam_clean right after it is already
+    // warm). A 500-doc slice touches the HOF n-gram lambdas, regex quality
+    // heuristics, md5 keys, the RollingHash codegen expression, and the
+    // vector dot-product kernel — all untimed, all data-independent.
+    locally {
+      import org.apache.spark.sql.functions._
+      import graft.functions.{Text, Vectors}
+      Tables.documents(spark, sfDir).limit(500)
+        .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__ws"))
+        .select(col("doc_id"),
+          size(Text.nGramsFromTokens(col("__ws"), 3)).as("g"),
+          floor(Text.qualityScoreRaw(col("text")) * 1e6 + 0.5).as("q"),
+          md5(col("text")).as("k"),
+          Text.fingerprint(col("text")).as("fp"))
+        .groupBy("g").count()
+        .write.format("noop").mode("overwrite").save()
+      Tables.embeddings(spark, sfDir).limit(200)
+        .select(Vectors.dot(col("embedding"), col("embedding")).as("d"))
+        .write.format("noop").mode("overwrite").save()
+    }
     val tSetup = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // benchmark isolation: drain garbage from PREVIOUS queries before
