@@ -4,9 +4,20 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for hot keys — the hand-rolled complements to AQE's
-  * runtime skew-join splitting (which stays ON; these are for the cases
-  * AQE can't fix: skewed aggregation input and broadcast-ineligible
-  * dimension joins against a hot fact key).
+  * runtime skew-join splitting (which stays ON; SkewSpec proves
+  * `OptimizeSkewedJoin` fires under this engine's session shape).
+  *
+  * When is manual salting still REQUIRED, given AQE? AQE's skew handling
+  * splits only the partitions of a sort-merge/shuffled-hash JOIN. It does
+  * nothing for:
+  *  - **skewed aggregations** — a `groupBy` whose hot key funnels into one
+  *    reducer is not a join; use [[saltedCount]]/[[saltedSumAvg]]'s
+  *    two-level shape;
+  *  - **joins AQE won't split** — e.g. when the skewed shuffle feeds
+  *    another operator that pins the partitioning (a window over the same
+  *    key), or when a required distribution makes the split invalid; use
+  *    [[saltedJoin]], which bakes the fan-out into the plan
+  *    deterministically instead of relying on runtime stats.
   *
   * Salting is deterministic here — the salt is a hash of the FULL row
   * content, so the salt a given row receives is invariant across runs,
