@@ -28,6 +28,15 @@ object Resample {
 
   /** Complete each key's bucket grid and fill gaps.
     *
+    * The spine is anchored at each key's MIN bucket, so every observation
+    * must sit exactly on that min-anchored step grid (i.e. inputs are
+    * pre-truncated with the same `date_trunc` the caller aggregated on).
+    * An off-grid observation — say a `:30` row under a 1-hour step — is
+    * NOT silently dropped: the spine join keeps it (full outer, same
+    * shuffle as the left join it replaces) and a `raise_error` guard fails
+    * the job naming the offending (key, bucket). Zero extra actions, zero
+    * cost on aligned data.
+    *
     * @param df        one row per (key, bucket)
     * @param key       entity column
     * @param bucketCol time-bucket column (timestamp; pre-truncated)
@@ -49,8 +58,21 @@ object Resample {
     val bounds = df.groupBy(col(key))
       .agg(min(col(bucketCol)).as("__b0"), max(col(bucketCol)).as("__b1"))
     val spine = bounds.select(
-      col(key), explode(sequence(col("__b0"), col("__b1"), step)).as(bucketCol))
-    val joined = spine.join(df, Seq(key, bucketCol), "left")
+        col(key), explode(sequence(col("__b0"), col("__b1"), step)).as(bucketCol))
+      .withColumn("__grid", lit(true))
+    // full outer (not left): an observation OFF the min-anchored grid
+    // surfaces as a spine-less row instead of vanishing. The guard is
+    // folded into bucketCol — a column every downstream plan keeps — so
+    // column pruning can never optimize the validation away.
+    val joined = spine.join(df, Seq(key, bucketCol), "full_outer")
+      .withColumn(bucketCol,
+        when(col("__grid").isNull,
+          raise_error(concat(
+            lit("gapFill: observation off the min-anchored step grid: key="),
+            col(key).cast("string"), lit(" bucket="), col(bucketCol).cast("string"),
+            lit(" — pre-truncate buckets to the step before calling"))))
+          .otherwise(col(bucketCol)))
+      .drop("__grid")
     val zeroed = zeroFill.foldLeft(joined) { case (d, (c, z)) =>
       d.withColumn(c, coalesce(col(c), z))
     }

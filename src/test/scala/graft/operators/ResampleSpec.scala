@@ -53,6 +53,22 @@ class ResampleSpec extends SparkSpec {
     assert(out == Map(5L -> 50L, 6L -> 50L, 7L -> 50L))
   }
 
+  test("gapFill fails loudly on an observation off the min-anchored step grid") {
+    // a :30 observation under a 1-hour step sits on no spine bucket — it
+    // must raise (naming key and bucket), never silently vanish
+    val offGrid = observed.union(Seq(
+      ("a", new Timestamp(2 * 3600000L + 1800000L), 1L, 5L)
+    ).toDF("k", "hour", "n", "v"))
+    val e = intercept[Exception] {
+      Resample.gapFill(offGrid, "k", "hour", expr("interval 1 hour"),
+        zeroFill = Map("n" -> lit(0L)), ffill = Seq("v")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("off the min-anchored step grid")),
+      s"expected the grid-alignment error, got: $e")
+  }
+
   test("interpolate fills gaps linearly in integer arithmetic; edges stay null") {
     // key "a": v 100@h1 → 70@h4. Slope −10/hour: h2 → 90, h3 → 80
     val out = Resample.interpolate(
