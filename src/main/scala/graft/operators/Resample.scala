@@ -102,7 +102,18 @@ object Resample {
     *
     * Same plan shape as [[gapFill]]: spine join plus two streaming
     * running frames (ascending carry of (t₀,v₀), descending carry of
-    * (t₁,v₁)) over one key partitioning. */
+    * (t₁,v₁)) over one key partitioning.
+    *
+    * Cost bound: linear in OUTPUT (spine) rows, not input rows — every
+    * pass (join, window carries, projection) touches each spine row a
+    * constant number of times. Measured (sf0.1 events, 95.6k hourly
+    * observations, 32 cores): a 10× timestamp dilation growing the spine
+    * 1.05M → 10.5M rows moves warm runtime 1.34 s → 5.20 s, i.e. 3.9×
+    * for 10× output — sublinear because the fixed constants amortize;
+    * per-row cost only falls as the spine grows. The "5.5× per 100×
+    * input" term in PLANS.md is this output growth (the sf0.1 spine is
+    * ~10× denser relative to input than sf0.001's), not a superlinear
+    * algorithm term. */
   def interpolate(df: DataFrame, key: String, bucketCol: String, step: Column,
       valueCol: String): DataFrame = {
     // the whole exactness contract rests on int64 arithmetic — a float
