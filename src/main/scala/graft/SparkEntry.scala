@@ -472,6 +472,28 @@ object SparkEntry {
       s.read.parquet(snapDir).select("event_type", "n", "sum_v", "min_v", "max_v")
     }),
 
+    // ---- same replay cycle through the reader-atomic VERSIONED snapshot
+    // (pointer-file commit instead of dir rename-swap) — proves the
+    // transactional publish path end-to-end against the same full-recompute
+    // oracle ----
+    "incr_snapshot_versioned" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("v"))
+      val base = java.nio.file.Files.createTempDirectory("graft-vsnap")
+        .toString + "/snapshot"
+      val tag = "versioned-lineage"
+      for (b <- 0L until 3L) {
+        val batch = ev.filter(pmod(col("event_id"), lit(3)) === b)
+        graft.streaming.VersionedSnapshot.mergeBatch(
+          batch, Seq("event_type"), "v", base, tag, b)
+        if (b == 1L) graft.streaming.VersionedSnapshot.mergeBatch(
+          batch, Seq("event_type"), "v", base, tag, b)
+      }
+      graft.streaming.VersionedSnapshot.read(s, base).get
+        .select("event_type", "n", "sum_v", "min_v", "max_v")
+    }),
+
     // ---- corpus-mixture rebalancing: thin dominant groups to an equal
     // share (deterministic portable-hash acceptance). Grouped on `lang` —
     // the synthetic corpus's skewed dimension (en ≈ 2.5× the others;
@@ -2216,6 +2238,13 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
         |       min(v) AS min_v, max(v) AS max_v,
         |       CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_v
+        |FROM q GROUP BY 1""".stripMargin,
+
+    "incr_snapshot_versioned" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events)
+        |SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
+        |       min(v) AS min_v, max(v) AS max_v
         |FROM q GROUP BY 1""".stripMargin,
 
     "incr_snapshot_replay" ->

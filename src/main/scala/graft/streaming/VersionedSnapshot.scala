@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+/** Reader-atomic, multi-version snapshot publication — the transactional
+  * upgrade of [[StreamingKpis.incrementalSnapshot]]'s rename-swap (whose
+  * scaladoc documents exactly this seam).
+  *
+  * Layout (a poor-man's table format, pure Hadoop FS API, no table-format
+  * dependency):
+  * {{{
+  *   base/
+  *     _CURRENT        # pointer file: "37" — the committed version
+  *     v00036/ …parquet + _LAST_BATCH
+  *     v00037/ …parquet + _LAST_BATCH
+  * }}}
+  *
+  * Why this beats the rename-swap:
+  *  - **Reader atomicity.** The swap has a window where the snapshot path
+  *    does not exist (between `snap→.old` and `.tmp→snap`), and rename
+  *    visibility is not atomic on object stores at all. Here a reader
+  *    resolves `_CURRENT` once and reads an immutable version directory;
+  *    the pointer flip is a single-file atomic rename
+  *    (`FileContext.rename(OVERWRITE)`), so every reader sees exactly the
+  *    old or exactly the new version — never a mix, never an absent path.
+  *  - **Concurrent-reader grace.** Old versions survive until `retain`
+  *    more publishes, so a reader that resolved the pointer just before a
+  *    flip keeps a complete, immutable input for its whole query.
+  *  - **Crash safety.** A crash mid-write leaves a version directory with
+  *    no pointer to it — invisible garbage, pruned on the next publish.
+  *    A crash after the flip leaves extra old versions — pruned likewise.
+  *    There is no recovery dance at batch start (the rename-swap needs
+  *    one); the pointer IS the commit.
+  *
+  * Single-writer assumption: one publishing query per base dir (which
+  * Structured Streaming's one-active-query-per-checkpoint already
+  * enforces); concurrent writers would race the version counter.
+  *
+  * On a real table format (Delta/Iceberg) `publish` collapses to that
+  * format's MERGE/replace commit — the call sites do not change shape.
+  */
+object VersionedSnapshot {
+
+  private val PointerName = "_CURRENT"
+  private val MarkerName = "_LAST_BATCH" // leading _: invisible to parquet reads
+
+  private def fmtVersion(v: Long): String =
+    "v" + "%05d".formatLocal(java.util.Locale.ROOT, v)
+  private def versionPath(base: Path, v: Long): Path = new Path(base, fmtVersion(v))
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The committed version number, if any publish has completed. */
+  def currentVersion(spark: SparkSession, baseDir: String): Option[Long] = {
+    val f = fs(spark, baseDir)
+    val ptr = new Path(baseDir, PointerName)
+    if (!f.exists(ptr)) None
+    else {
+      val in = f.open(ptr)
+      val s = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      s.toLongOption
+    }
+  }
+
+  /** Read the committed snapshot (None before the first publish). The
+    * returned frame is bound to an immutable version directory, so it
+    * stays consistent for the whole downstream query even if publishes
+    * continue concurrently. */
+  def read(spark: SparkSession, baseDir: String): Option[DataFrame] =
+    currentVersion(spark, baseDir).map { v =>
+      spark.read.parquet(versionPath(new Path(baseDir), v).toString)
+    }
+
+  /** (tag, batchId) recorded by the last publish; ("", -1) if none. */
+  private[graft] def lastApplied(spark: SparkSession, baseDir: String): (String, Long) =
+    currentVersion(spark, baseDir).map { v =>
+      val f = fs(spark, baseDir)
+      val m = new Path(versionPath(new Path(baseDir), v), MarkerName)
+      if (!f.exists(m)) ("", -1L)
+      else {
+        val in = f.open(m)
+        val s = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+        val cut = s.lastIndexOf(':')
+        if (cut < 0) ("", -1L) else (s.substring(0, cut), s.substring(cut + 1).toLong)
+      }
+    }.getOrElse(("", -1L))
+
+  /** Write `df` as the next version and atomically flip the pointer to
+    * it. Returns the published version number. `retain` is the number of
+    * versions kept INCLUDING the new one (min 1). */
+  def publish(df: DataFrame, baseDir: String, marker: String, retain: Int = 2): Long = {
+    require(retain >= 1, "retain must keep at least the current version")
+    val spark = df.sparkSession
+    val f = fs(spark, baseDir)
+    val base = new Path(baseDir)
+    f.mkdirs(base)
+    val current = currentVersion(spark, baseDir).getOrElse(-1L)
+    def versionOf(name: String): Option[Long] =
+      if (name.length == 6 && name.startsWith("v")) name.drop(1).toLongOption else None
+    val existing = f.listStatus(base).toSeq
+      .flatMap(st => versionOf(st.getPath.getName).map(_ -> st.getPath))
+    // uncommitted leftovers from crashed publishes sit ABOVE the pointer;
+    // never reuse their numbers (a half-written dir must not become the
+    // commit target), just clear them
+    existing.filter(_._1 > current).foreach { case (_, p) => f.delete(p, true) }
+    val next = math.max(current, existing.map(_._1).maxOption.getOrElse(-1L)) + 1
+    val target = versionPath(base, next)
+    df.write.mode("overwrite").parquet(target.toString)
+    val out = f.create(new Path(target, MarkerName), true)
+    try out.write(marker.getBytes("UTF-8")) finally out.close()
+    // the commit: single-file atomic rename-with-overwrite onto _CURRENT
+    val tmpPtr = new Path(base, PointerName + ".tmp")
+    val ptrOut = f.create(tmpPtr, true)
+    try ptrOut.write(next.toString.getBytes("UTF-8")) finally ptrOut.close()
+    FileContext.getFileContext(base.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmpPtr, new Path(base, PointerName), Options.Rename.OVERWRITE)
+    // retention: drop committed versions older than the newest `retain`
+    existing.filter { case (v, _) => v <= current && v <= next - retain }
+      .foreach { case (_, p) => f.delete(p, true) }
+    next
+  }
+
+  /** One merge cycle against the versioned snapshot — the
+    * [[StreamingKpis.mergeBatchIntoSnapshot]] logic (mergeable
+    * (count,sum,min,max) partials, checkpoint-lineage-scoped replay skip)
+    * re-based on [[publish]]'s pointer commit. */
+  private[graft] def mergeBatch(batch: DataFrame, keys: Seq[String],
+      valueCol: String, baseDir: String, checkpointTag: String,
+      batchId: Long, retain: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    val (tag, lastId) = lastApplied(spark, baseDir)
+    if (!(tag == checkpointTag && lastId >= batchId)) {
+      val partial = graft.operators.Incremental.partials(batch, keys, col(valueCol))
+      val merged = read(spark, baseDir) match {
+        case Some(snap) => graft.operators.Incremental.merge(Seq(snap, partial), keys)
+        case None => partial
+      }
+      publish(merged, baseDir, s"$checkpointTag:$batchId", retain)
+    }
+  }
+
+  /** Streaming sink: maintain the versioned snapshot from a stream of new
+    * rows — [[StreamingKpis.incrementalSnapshot]] with the pointer commit
+    * in place of the rename-swap. */
+  def sink(events: DataFrame, keys: Seq[String], valueCol: String,
+      baseDir: String, checkpoint: String, retain: Int = 2)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, keys, valueCol, baseDir,
+          checkpointTag = checkpoint, batchId = batchId, retain = retain)
+      }
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.io.Sources
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class VersionedSnapshotSpec extends SparkSpec {
+
+  test("versioned sink merges per-batch partials into a full-history-equivalent snapshot") {
+    val dir = Files.createTempDirectory("graft-vsnap")
+    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+    def shard(name: String, rows: String): Unit =
+      Files.writeString(inDir.resolve(name),
+        "user_id,track_id,listen_time\n" + rows)
+    shard("a.csv",
+      """1,t1,2024-06-25T10:00:00.000Z
+        |2,t1,2024-06-25T10:10:00.000Z
+        |""".stripMargin)
+    shard("b.csv",
+      """1,t2,2024-06-25T11:00:00.000Z
+        |3,t1,2024-06-25T11:30:00.000Z
+        |""".stripMargin)
+    shard("c.csv", "2,t2,2024-06-25T12:00:00.000Z\n")
+    val stream = StreamingKpis.fileStream(spark, Sources.streamsSchema,
+        inDir.toString, maxFilesPerTrigger = 1)
+      .withColumn("v", length(col("track_id")).cast("long"))
+    val base = dir.resolve("snap").toString
+    VersionedSnapshot.sink(stream, Seq("user_id"), "v",
+      base, dir.resolve("ckpt").toString).start().awaitTermination(60000)
+    val got = VersionedSnapshot.read(spark, base).get
+      .selectExpr("user_id", "n", "sum_v").collect()
+      .map(r => (r.getAs[Number]("user_id").longValue(),
+        r.getAs[Long]("n"), r.getAs[Long]("sum_v"))).toSet
+    assert(got == Set((1L, 2L, 4L), (2L, 2L, 4L), (3L, 1L, 2L)))
+    // three merge cycles ran, but retain=2 keeps exactly two version dirs
+    val versions = new java.io.File(base).listFiles()
+      .map(_.getName).filter(_.startsWith("v")).sorted.toSeq
+    assert(versions.size == 2, s"retention should keep 2 versions, saw $versions")
+  }
+
+  test("pointer flip is the commit: old version survives one publish; replay skips; resets merge") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-vsnap2").resolve("snap").toString
+    val batch = Seq((1L, 2L), (2L, 3L)).toDF("k", "v")
+    VersionedSnapshot.mergeBatch(batch, Seq("k"), "v", base, "ck1", 0L)
+    val v1 = VersionedSnapshot.currentVersion(spark, base).get
+    // a reader bound to v1's directory BEFORE the next publish…
+    val v1Dir = new java.io.File(base, f"v$v1%05d")
+    assert(v1Dir.exists)
+    VersionedSnapshot.mergeBatch(batch, Seq("k"), "v", base, "ck1", 1L)
+    val v2 = VersionedSnapshot.currentVersion(spark, base).get
+    assert(v2 == v1 + 1)
+    // …still has its complete immutable input after the flip (retain=2)
+    assert(v1Dir.exists, "previous version must survive one publish for in-flight readers")
+    def state() = VersionedSnapshot.read(spark, base).get
+      .selectExpr("k", "n", "sum_v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(state() == Set((1L, 2L, 4L), (2L, 2L, 6L)))
+    // same-lineage replay of batch 1 — skipped, pointer unmoved
+    VersionedSnapshot.mergeBatch(batch, Seq("k"), "v", base, "ck1", 1L)
+    assert(VersionedSnapshot.currentVersion(spark, base).get == v2)
+    assert(state() == Set((1L, 2L, 4L), (2L, 2L, 6L)))
+    // lineage reset: same batchId under a new tag carries unseen data → merges
+    VersionedSnapshot.mergeBatch(batch, Seq("k"), "v", base, "ck2", 1L)
+    assert(state() == Set((1L, 3L, 6L), (2L, 3L, 9L)))
+  }
+
+  test("a crashed publish's uncommitted version dir is cleared, never committed or reused") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-vsnap3").resolve("snap").toString
+    val batch = Seq((1L, 5L)).toDF("k", "v")
+    VersionedSnapshot.mergeBatch(batch, Seq("k"), "v", base, "ck", 0L)
+    val v = VersionedSnapshot.currentVersion(spark, base).get
+    // simulate a crash mid-write of a LATER version: dir exists, pointer not flipped
+    val orphan = new java.io.File(base, f"v${v + 7}%05d")
+    Files.createDirectories(orphan.toPath)
+    Files.writeString(orphan.toPath.resolve("part-garbage.parquet"), "not parquet")
+    VersionedSnapshot.mergeBatch(batch, Seq("k"), "v", base, "ck", 1L)
+    assert(!orphan.exists, "uncommitted orphan version must be pruned")
+    // the new commit must not have landed on the orphan's half-written number
+    assert(VersionedSnapshot.currentVersion(spark, base).get > v + 7)
+    val got = VersionedSnapshot.read(spark, base).get
+      .selectExpr("k", "n", "sum_v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 10L)))
+  }
+
+  test("read before any publish is None; retain=1 keeps only the current version") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-vsnap4").resolve("snap").toString
+    assert(VersionedSnapshot.read(spark, base).isEmpty)
+    val batch = Seq((9L, 1L)).toDF("k", "v")
+    VersionedSnapshot.mergeBatch(batch, Seq("k"), "v", base, "ck", 0L, retain = 1)
+    VersionedSnapshot.mergeBatch(batch, Seq("k"), "v", base, "ck", 1L, retain = 1)
+    val versions = new java.io.File(base).listFiles()
+      .map(_.getName).filter(_.startsWith("v")).toSeq
+    assert(versions.size == 1, s"retain=1 should keep one version, saw $versions")
+  }
+}
