@@ -494,6 +494,26 @@ object SparkEntry {
         .select("event_type", "n", "sum_v", "min_v", "max_v")
     }),
 
+    // ---- streaming dedup, batch-replay form: the state-store discipline
+    // of dedupStream (keep the FIRST row per key, drop every later
+    // arrival) replayed over 3 deterministic micro-batches — each batch
+    // dedups internally (min event_id), then anti-joins the accumulated
+    // kept-set exactly as dropDuplicatesWithinWatermark's state store
+    // does. Oracle: argmin over the (batch, event_id) arrival order ----
+    "dedup_stream_replay" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+      val batches = (0L until 3L).map(b =>
+        ev.filter(pmod(col("event_id"), lit(3)) === b)
+          .groupBy("user_id", "event_type")
+          .agg(min("event_id").as("event_id")))
+      batches.reduceLeft { (seen, batch) =>
+        seen.unionByName(
+          batch.join(seen.select("user_id", "event_type"),
+            Seq("user_id", "event_type"), "left_anti"))
+      }
+    }),
+
     // ---- corpus-mixture rebalancing: thin dominant groups to an equal
     // share (deterministic portable-hash acceptance). Grouped on `lang` —
     // the synthetic corpus's skewed dimension (en ≈ 2.5× the others;
@@ -2239,6 +2259,14 @@ object SparkEntry {
         |       min(v) AS min_v, max(v) AS max_v,
         |       CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_v
         |FROM q GROUP BY 1""".stripMargin,
+
+    "dedup_stream_replay" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY event_id % 3, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1""".stripMargin,
 
     "incr_snapshot_versioned" ->
       """WITH q AS (
