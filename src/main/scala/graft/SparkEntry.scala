@@ -41,6 +41,10 @@ object SparkEntry {
   private val ShMaxHamming = 7  // simhash_pairs: Hamming radius
   private val ShBlocks = 9      // simhash_pairs: block count (60-bit portable)
   private val ShBlocksPerKey = 2 // simhash_pairs: blocks per join key
+  private val SemNlist = 16     // semantic_dedup_*: codebook cells (= IvfNlist codebook)
+  private val SemThreshold = 0.4 // semantic_dedup_*: within-cell cosine threshold
+  private val SubK = 6          // substring_dup_*: token-window length
+  private val BpeTopK = 20      // bpe_pair_stats: merge candidates kept
 
   /** streams⋈songs⋈users stand-in over the testdata star schema:
     * events ⋈ customer (user_id) ⋈ nation (c_nationkey), + date/hour. */
@@ -347,6 +351,33 @@ object SparkEntry {
       Tables.embeddings(s, dir).join(losers, Seq("vec_id"), "left_anti")
         .select("vec_id", "label")
     }),
+
+    // ---- exact-substring (span-level) duplication, Lee et al. 2022 shape ----
+    "substring_dup_spans" -> ((s, dir) =>
+      graft.operators.SubstringDedup.dupSpans(
+        Tables.documents(s, dir), "doc_id", "text", k = SubK)),
+    "doc_dup_stats" -> ((s, dir) =>
+      graft.operators.SubstringDedup.dupStats(
+        Tables.documents(s, dir), "doc_id", "text", k = SubK)),
+
+    // ---- tokenizer-training statistics (BPE merge step) ----
+    "bpe_pair_stats" -> ((s, dir) =>
+      graft.operators.TermStats.topAdjacentPairs(
+        Tables.documents(s, dir), "doc_id", "text", k = BpeTopK)),
+
+    // ---- unigram corpus-frequency scoring (exact-integer LM surrogate) ----
+    "doc_token_freq" -> ((s, dir) =>
+      graft.operators.TermStats.corpusFrequencyScores(
+        Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- semantic dedup (SemDeDup): within-centroid-cell cosine pairs ----
+    "semantic_dedup_pairs" -> ((s, dir) =>
+      Similarity.semanticNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nlist = SemNlist, threshold = SemThreshold)),
+    "semantic_dedup_keepers" -> ((s, dir) =>
+      Similarity.semanticDedupKeepers(Tables.embeddings(s, dir), "vec_id", "embedding",
+          nlist = SemNlist, threshold = SemThreshold)
+        .select("vec_id", "label")),
 
     // ---- text analysis over documents ----
     // quality emitted in integer micro-units: floor(x*1e6+0.5) is
@@ -1241,12 +1272,124 @@ object SparkEntry {
        |      FROM scored)
        |SELECT query_id, neighbor_id, cosine_sim, CAST("rank" AS INTEGER) AS "rank" FROM r WHERE "rank" <= $AnnK""".stripMargin
 
+  /** Shared CTE chain for the substring-duplication oracles: the k-token
+    * window relation, cross-document duplicate windows, and gaps-and-islands
+    * span merging — parameterized by the same [[SubK]] the Spark side uses. */
+  private def substringCtes: String = {
+    val k = SubK
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |w AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |         md5(array_to_string(ws[i:i+${k - 1}], ' ')) AS whash
+       |  FROM toks, UNNEST(range(1, len(ws) - ${k - 2})) AS t(i) WHERE len(ws) >= $k),
+       |dup AS (SELECT whash FROM w GROUP BY whash HAVING count(DISTINCT doc_id) > 1),
+       |dw AS (SELECT doc_id, pos FROM w WHERE whash IN (SELECT whash FROM dup)),
+       |m AS (SELECT doc_id, pos,
+       |        max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + ${k - 1} AS prev_end
+       |      FROM dw),
+       |f AS (SELECT doc_id, pos,
+       |        CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS nw FROM m),
+       |isl AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM f)""".stripMargin
+  }
+
+  private def substringSpansOracle: String =
+    s"""WITH $substringCtes
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + ${SubK - 1} AS span_end,
+       |       max(pos) + ${SubK - 1} - min(pos) + 1 AS span_tokens, count(*) AS n_windows
+       |FROM isl GROUP BY doc_id, island""".stripMargin
+
+  private def substringStatsOracle: String =
+    s"""WITH $substringCtes,
+       |spans AS (SELECT doc_id, max(pos) + ${SubK - 1} - min(pos) + 1 AS span_tokens
+       |          FROM isl GROUP BY doc_id, island),
+       |agg AS (SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+       |        FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |  COALESCE(a.dup_tokens, 0) AS dup_tokens,
+       |  CAST(floor(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE)
+       |             / CAST(len(string_split(d.text, ' ')) AS DOUBLE)
+       |             * 1000000.0 + 0.5) AS BIGINT) AS dup_frac_e6
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** Centroid-cell assignment + within-cell candidate pairs for the
+    * semantic-dedup oracles — same codebook rule (smallest portable hash of
+    * the id) and the same round-6/cell-asc ranking as the Spark side. */
+  private def semanticAssignCtes: String =
+    s"""flat AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+       |cent AS (SELECT vec_id AS cell FROM embeddings
+       |         ORDER BY ${dh("CAST(vec_id AS VARCHAR)")} ASC LIMIT $SemNlist),
+       |cdots AS (
+       |  SELECT f.vec_id, c.cell, sum(f.x * g.x) AS dp
+       |  FROM cent c JOIN flat g ON g.vec_id = c.cell JOIN flat f ON f.i = g.i
+       |  GROUP BY f.vec_id, c.cell),
+       |cranked AS (
+       |  SELECT d.vec_id, d.cell, round(d.dp / (nv.nrm * nc.nrm), 6) AS sim
+       |  FROM cdots d JOIN norms nv ON d.vec_id = nv.vec_id
+       |              JOIN norms nc ON d.cell = nc.vec_id),
+       |assign AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+       |  FROM cranked) WHERE rn = 1),
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |${pairScoreCtes("id_a", "id_b")}""".stripMargin
+
+  private def semanticPairsOracle: String =
+    s"""WITH $semanticAssignCtes
+       |SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= $SemThreshold""".stripMargin
+
+  private def semanticKeepersOracle: String =
+    s"""WITH RECURSIVE $semanticAssignCtes,
+       |p AS (SELECT id_a, id_b FROM scored WHERE cosine_sim >= $SemThreshold),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION SELECT id_b, id_a FROM p),
+       |v AS (SELECT DISTINCT src AS id FROM e),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM v
+       |  UNION
+       |  SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id),
+       |losers AS (SELECT id FROM reach GROUP BY id HAVING id != min(r))
+       |SELECT vec_id, label FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM losers)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "minhash_lsh_pairs" -> minHashLshOracle,
     "simhash_pairs" -> simHashOracle,
     "lsh_topk" -> lshTopKOracle,
     "near_dup_lsh" -> nearDupLshOracle,
     "ivf_topk" -> ivfTopKOracle,
+    "substring_dup_spans" -> substringSpansOracle,
+    "doc_dup_stats" -> substringStatsOracle,
+    "semantic_dedup_pairs" -> semanticPairsOracle,
+    "semantic_dedup_keepers" -> semanticKeepersOracle,
+    "bpe_pair_stats" ->
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |p AS (SELECT ws[i] AS "left", ws[i+1] AS "right"
+         |      FROM toks, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+         |c AS (SELECT "left", "right", count(*) AS n_pairs FROM p GROUP BY 1, 2),
+         |r AS (SELECT "left", "right", n_pairs,
+         |        row_number() OVER (ORDER BY n_pairs DESC, "left" ASC, "right" ASC) AS "rank"
+         |      FROM c)
+         |SELECT "left", "right", n_pairs, CAST("rank" AS INTEGER) AS "rank"
+         |FROM r WHERE "rank" <= $BpeTopK""".stripMargin,
+    "doc_token_freq" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+        |dc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |g AS (SELECT doc_id, tf, CAST(sum(tf) OVER (PARTITION BY term) AS BIGINT) AS gtf FROM dc)
+        |SELECT doc_id,
+        |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(min(gtf) AS BIGINT) AS min_tf,
+        |  CAST(sum(tf * gtf) AS BIGINT) AS sum_tf,
+        |  CAST(floor(CAST(sum(tf * gtf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)
+        |             * 1000000.0 + 0.5) AS BIGINT) AS mean_tf_e6
+        |FROM g GROUP BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -167,32 +167,7 @@ object Similarity {
     * similarities are rounded to 6 decimals before ranking (ties broken by
     * cell asc) so cell assignment is identical across engines. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, nlist: Int, nprobe: Int, k: Int): DataFrame = {
-    val base = withNorm(df, idCol, vecCol)
-    // Centroids are collected driver-side ONCE (nlist rows — tiny by
-    // construction, like any trained IVF codebook) and re-enter the plan as
-    // a literal local relation: the assignment and probe joins each
-    // reference `centroids`, and leaving it as a subplan would re-execute
-    // the scan+sort+limit once per reference.
-    val centroidRows = base
-      .withColumn("__h", graft.functions.PortableHash.hash60(col(idCol)))
-      .orderBy("__h").limit(nlist)
-      .select(col(idCol).cast("long").as("cell"), col("vec"), col("norm"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-      .toSeq
-    val session = df.sparkSession
-    import session.implicits._
-    val centroids = centroidRows.toDF("cell", "centvec", "centnorm")
-    // One centroid-scoring pass + one ranking window serves both roles:
-    // rank 1 = the vector's cell (assignment), rank ≤ nprobe = the cells
-    // it probes as a query.
-    val wCells = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cell").asc)
-    val ranked = base.join(broadcast(centroids), lit(true))
-      .withColumn("__sim",
-        round(Vectors.dot(col("vec"), col("centvec")) / (col("norm") * col("centnorm")), 6))
-      .withColumn("__rn", row_number().over(wCells))
-      .filter(col("__rn") <= math.max(1, nprobe))
-      .select(col(idCol), col("vec"), col("norm"), col("cell"), col("__rn"))
+    val ranked = centroidRanked(df, idCol, vecCol, nlist, maxRank = math.max(1, nprobe))
     val assigned = ranked.filter(col("__rn") === 1)
       .select(col(idCol).as("neighbor_id"), col("vec").as("cvec"), col("norm").as("cnorm"), col("cell"))
     val probed = ranked
@@ -206,6 +181,85 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
+
+  /** (id, vec, norm, cell, __rn) — every vector scored against the
+    * broadcast pseudo-centroid codebook, keeping its `maxRank` nearest
+    * cells (rank 1 = the vector's own cell). Shared by [[ivfTopK]] (probe
+    * ranks) and [[semanticNearDupPairs]] (assignment only).
+    *
+    * Centroids are collected driver-side ONCE (nlist rows — tiny by
+    * construction, like any trained IVF codebook) and re-enter the plan as
+    * a literal local relation: the assignment and probe joins each
+    * reference `centroids`, and leaving it as a subplan would re-execute
+    * the scan+sort+limit once per reference. Centroid similarities are
+    * rounded to 6 decimals before ranking (ties broken by cell asc) so
+    * the cell assignment is identical across engines. */
+  private def centroidRanked(
+      df: DataFrame, idCol: String, vecCol: String, nlist: Int, maxRank: Int): DataFrame = {
+    val base = withNorm(df, idCol, vecCol)
+    val centroidRows = base
+      .withColumn("__h", graft.functions.PortableHash.hash60(col(idCol)))
+      .orderBy("__h").limit(nlist)
+      .select(col(idCol).cast("long").as("cell"), col("vec"), col("norm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toSeq
+    val session = df.sparkSession
+    import session.implicits._
+    val centroids = centroidRows.toDF("cell", "centvec", "centnorm")
+    val wCells = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cell").asc)
+    base.join(broadcast(centroids), lit(true))
+      .withColumn("__sim",
+        round(Vectors.dot(col("vec"), col("centvec")) / (col("norm") * col("centnorm")), 6))
+      .withColumn("__rn", row_number().over(wCells))
+      .filter(col("__rn") <= maxRank)
+      .select(col(idCol), col("vec"), col("norm"), col("cell"), col("__rn"))
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * arXiv 2303.09540): assign every vector to its nearest pseudo-centroid
+    * cell, then score ONLY within-cell pairs — the all-pairs comparison
+    * becomes an equi-join on the cell id, so cost is Σ|cell|², bounded by
+    * the codebook size choice (nlist ∝ corpus/target-cell-size), never
+    * |corpus|². Pairs whose members straddle a cell boundary are missed —
+    * that is SemDeDup's documented recall trade (near-identical vectors
+    * share a nearest centroid with overwhelming probability).
+    *
+    * The assignment subtree feeds both join sides, so Catalyst plans the
+    * centroid-scoring pass twice — at production scale materialize the
+    * assignment (persist/checkpoint or a staging write) between the two
+    * reads; the declarative form here keeps the operator oracle-checkable.
+    * Output: (id_a, id_b, cosine_sim), id_a < id_b, cosine ≥ threshold. */
+  def semanticNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, threshold: Double): DataFrame = {
+    val assigned = centroidRanked(df, idCol, vecCol, nlist, maxRank = 1)
+    val a = assigned.select(
+      col(idCol).as("id_a"), col("vec").as("va"), col("norm").as("na"), col("cell"))
+    val b = assigned.select(
+      col(idCol).as("id_b"), col("vec").as("vb"), col("norm").as("nb"), col("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim",
+        round(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .select("id_a", "id_b", "cosine_sim")
+  }
+
+  /** End-to-end semantic dedup: [[semanticNearDupPairs]] → connected
+    * components → keep the minimum-id member of every semantic-duplicate
+    * family (the keeper convention used across graft's dedup stack). */
+  def semanticDedupKeepers(
+      df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, threshold: Double): DataFrame = {
+    val pairs = semanticNearDupPairs(df, idCol, vecCol, nlist, threshold)
+    val clusters = Components.connectedComponents(
+      pairs.select("id_a", "id_b"), "id_a", "id_b")
+    val losers = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Scale path for embedding near-dup: LSH-bucketed candidate pairs

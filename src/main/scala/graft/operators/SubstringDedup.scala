@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-substring duplicate detection: find runs of `k` consecutive tokens
+  * whose content appears in MORE THAN ONE document, and merge the hits into
+  * maximal per-document spans. This is the span-level complement of
+  * document-level dedup ([[Dedup]]): two documents can be globally distinct
+  * yet share a paragraph (quoted boilerplate, syndicated text, license
+  * blocks) that a training pipeline wants to locate — and optionally cut —
+  * rather than dropping either document whole. Technique shape follows Lee
+  * et al., "Deduplicating Training Data Makes Language Models Better"
+  * (ACL 2022), re-expressed relationally: their suffix-array substring scan
+  * becomes a token-window fingerprint equi-join, which is the form that
+  * shards over a cluster.
+  *
+  * Scale notes:
+  *  - the window relation carries (id, pos, 16-byte md5) — window TEXT
+  *    never shuffles, same discipline as [[Dedup.exactGroups]];
+  *  - duplicate detection is one hash aggregation on the window key with a
+  *    map-side-combinable `count(distinct id) > 1` test, then a semi-join
+  *    back — both key-partitioned shuffles, no pairwise comparison anywhere
+  *    (a window shared by 10k documents costs its row count, not 10k²);
+  *  - span merging is a per-document gaps-and-islands window pass — one
+  *    shuffle on the document id, state bounded by dup windows per doc.
+  */
+object SubstringDedup {
+
+  /** The (id, pos, whash) token-window fingerprint relation: one row per
+    * `k`-token window at 0-based token offset pos. Tokenizes ONCE into an
+    * attribute before the per-position lambda (see [[Dedup.shingles]] for
+    * why), and widens the scan so a single-row-group parquet file fans out
+    * before the explode. */
+  def windowFingerprints(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"window size k must be >= 2, got $k")
+    val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__ws"))
+    Partitions.widen(toks, col(idCol))
+      .filter(size(col("__ws")) >= k)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0), size(col("__ws")) - k),
+          i => struct(i.cast("long").as("pos"),
+            md5(concat_ws(" ", slice(col("__ws"), i + 1, lit(k)))).as("whash"))))
+          .as("__w"))
+      .select(col(idCol), col("__w.pos").as("pos"), col("__w.whash").as("whash"))
+  }
+
+  /** Window positions whose content occurs in more than one document.
+    * Output: (id, pos), distinct by construction. */
+  def crossDocDupWindows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val w = windowFingerprints(df, idCol, textCol, k)
+    val dup = w.groupBy("whash")
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select("whash")
+    w.join(dup, Seq("whash"), "left_semi").select(col(idCol), col("pos"))
+  }
+
+  /** Maximal duplicated token spans per document: overlapping or adjacent
+    * duplicated `k`-windows merge into one span. Output: (id, span_start,
+    * span_end, span_tokens, n_windows) with token offsets 0-based inclusive.
+    *
+    * Islands form with the classic running-max trick: a window starts a new
+    * span iff its offset clears the furthest end seen so far by more than
+    * one token (strictly-after-adjacent ⇒ a gap of uncovered tokens). */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val dup = crossDocDupWindows(df, idCol, textCol, k)
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos"))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1)) + lit(k - 1)
+    val flagged = dup
+      .withColumn("__new",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(byPos))
+    flagged.groupBy(col(idCol), col("__island"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
+  }
+
+  /** Per-document duplication profile: total tokens, tokens covered by
+    * cross-document duplicated spans, and the duplicated fraction in
+    * integer micro-units (exact IEEE division of two integers — engine
+    * portable, same quantization as the quality/repetition scores).
+    * Every input document appears (zero-duplication docs report 0). */
+  def dupStats(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val perDoc = dupSpans(df, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_tokens")).as("__dup"))
+    df.select(col(idCol), size(Text.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__dup"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_frac_e6",
+        floor(col("dup_tokens").cast("double") / col("n_tokens").cast("double")
+          * 1e6 + 0.5).cast("long"))
+  }
+}

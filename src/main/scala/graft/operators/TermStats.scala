@@ -30,6 +30,67 @@ object TermStats {
       .select(col(idCol), explode(col("__ws")).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
 
+  /** Adjacent-token pair counts — the statistic behind one BPE merge step
+    * (Sennrich et al., "Neural Machine Translation of Rare Words with
+    * Subword Units", ACL 2016, at token rather than byte granularity): the
+    * most frequent adjacent pair is the next merge a tokenizer trainer
+    * would pick. Output: the top `k` pairs as (left, right, n_pairs, rank),
+    * rank by (count DESC, left ASC, right ASC) — fully deterministic.
+    *
+    * Scale shape: pair generation is a per-row lambda over the token array
+    * (no join), the count is one map-side-combinable hash aggregation on
+    * the pair, and the global top-k is a TakeOrderedAndProject — the
+    * driver receives k rows, never the pair distribution. One full BPE
+    * training run is this operator iterated with re-tokenization between
+    * merges; each iteration is the same linear pass. */
+  def topAdjacentPairs(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol), Text.tokens(col(textCol)).as("__ws"))
+    val pairs = Partitions.widen(toks, col(idCol))
+      .filter(size(col("__ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__ws")) - 2),
+        i => struct(
+          element_at(col("__ws"), i + 1).as("left"),
+          element_at(col("__ws"), i + 2).as("right")))).as("__p"))
+      .select(col("__p.left").as("left"), col("__p.right").as("right"))
+    pairs.groupBy("left", "right")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("left").asc, col("right").asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(
+          col("n_pairs").desc, col("left").asc, col("right").asc)))
+  }
+
+  /** Corpus-frequency document scores — the exact-integer surrogate for
+    * unigram language-model scoring: per document, the total token count,
+    * the global frequency of its RAREST token, and the mean global token
+    * frequency in micro-units. Rare-token documents (low min_tf) are
+    * gibberish/OCR-noise candidates; very-common-token documents (high
+    * mean_tf) are boilerplate candidates. All-integer arithmetic until one
+    * final IEEE division, so the scores are bit-identical across engines
+    * (a true log-prob LM score would hang portability on libm ulps).
+    *
+    * Scale shape: tokens pre-aggregate to (doc, term, tf) BEFORE the
+    * vocabulary join — fan-out is bounded by distinct terms per doc, not
+    * occurrences — and the global frequencies come from a COUNT window
+    * over the term partition of that same relation (one scan; a joined-
+    * back aggregate would tokenize the corpus twice — same reasoning as
+    * [[topTerms]]). Hot terms ("the") skew the term shuffle; AQE's skew
+    * handling or salting the window key covers that at 100 TB. */
+  def corpusFrequencyScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFreq(docs, idCol, textCol)
+    val withGlobal = tf.withColumn("__gtf",
+      sum(col("tf")).over(Window.partitionBy("term")))
+    withGlobal.groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        min(col("__gtf")).as("min_tf"),
+        sum(col("tf") * col("__gtf")).as("sum_tf"))
+      .withColumn("mean_tf_e6",
+        floor(col("sum_tf").cast("double") / col("n_tokens").cast("double")
+          * 1e6 + 0.5).cast("long"))
+  }
+
   /** Top-`k` terms per document by smoothed TF-IDF.
     * Output: idCol, term, score_e6 (ties broken by term ascending).
     *

@@ -142,4 +142,43 @@ class SimilaritySpec extends SparkSpec {
     val pos = h1.count(_ > 0)
     assert(pos > 16 && pos < 48) // not degenerate
   }
+
+  // 3 tight semantic clusters of 3 + one singleton, 8-d
+  private def clustered = (0 until 10).map { i =>
+    val c = i % 3
+    val base = Array.fill(8)(0.0f)
+    if (i == 9) { base(7) = 1.0f }
+    else { base(c * 2) = 1.0f; base(c * 2 + 1) = 0.05f * (i / 3) }
+    (i.toLong, base.toSeq)
+  }.toDF("vec_id", "embedding")
+
+  test("semanticNearDupPairs finds within-cluster pairs and is a subset of exact pairs") {
+    val sem = Similarity.semanticNearDupPairs(clustered, "vec_id", "embedding",
+      nlist = 4, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.embeddingNearDupPairs(clustered, "vec_id", "embedding",
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(exact)) // cell partitioning can only DROP pairs
+    assert(sem.nonEmpty)
+    // members of the same tight cluster score ≥ .9 and share a centroid
+    assert(sem.exists { case (a, b) => a % 3 == b % 3 })
+    assert(!sem.exists { case (a, b) => a == 9L || b == 9L }) // singleton clean
+  }
+
+  test("semanticDedupKeepers keeps the min id per semantic family") {
+    val kept = Similarity.semanticDedupKeepers(clustered, "vec_id", "embedding",
+        nlist = 4, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    // every family keeper is its minimum member; singleton survives
+    assert(kept.contains(9L))
+    val sem = Similarity.semanticNearDupPairs(clustered, "vec_id", "embedding",
+      nlist = 4, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    import org.apache.spark.sql.functions.col
+    val losers = Components.connectedComponents(
+        sem.toSeq.toDF("id_a", "id_b"), "id_a", "id_b")
+      .filter(col("id") =!= col("cluster_id")).select("id").as[Long].collect().toSet
+    assert(kept == (0L to 9L).toSet -- losers)
+  }
 }

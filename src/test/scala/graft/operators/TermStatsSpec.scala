@@ -38,6 +38,33 @@ class TermStatsSpec extends SparkSpec {
     assert(score == expected)
   }
 
+  test("topAdjacentPairs counts BPE merge candidates with deterministic rank") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    // pairs: (a,b)×3, (b,a)×1, (b,c)×1, (b,x)×1
+    val out = TermStats.topAdjacentPairs(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 3L, 1),
+      ("b", "a", 1L, 2),   // count tie broken by (left, right) ascending
+      ("b", "c", 1L, 3)))
+  }
+
+  test("topAdjacentPairs ignores single-token docs") {
+    val docs = Seq((1L, "solo"), (2L, "x y")).toDF("doc_id", "text")
+    val out = TermStats.topAdjacentPairs(docs, "doc_id", "text", k = 10).collect()
+    assert(out.length == 1 && out.head.getString(0) == "x")
+  }
+
+  test("corpusFrequencyScores computes exact global-frequency statistics") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // global: a=3, b=1, c=1
+    val out = TermStats.corpusFrequencyScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((3L, 1L, 2L * 3L + 1L, math.floor(7.0 / 3.0 * 1e6 + 0.5).toLong)))
+    assert(out(2L) == ((2L, 1L, 3L + 1L, 2000000L)))
+  }
+
   test("repetitionFromTokens measures duplicate-gram fraction exactly") {
     val out = Seq(
       (1L, "a a a a"),          // 2-grams: 3 total, 1 distinct → 2/3
