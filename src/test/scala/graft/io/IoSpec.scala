@@ -142,4 +142,45 @@ class IoSpec extends SparkSpec {
     assert(Sinks.serializeArray(df, "arr").select("arr").as[String].head() == "a,b")
     assert(Sinks.serializeArrayPyRepr(df, "arr").select("arr").as[String].head() == "['a', 'b']")
   }
+
+  test("ORC round-trips and pushes filters + pruning into the scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = (1 to 50).map(i => (i.toLong, s"name$i", i * 2.5)).toDF("id", "name", "score")
+    Sinks.orc(df, dir)
+    val back = Sources.orc(spark, dir)
+    // file sources read back nullable — compare names/types, not nullability
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // filter + projection must reach the columnar scan, exactly like parquet
+    val filtered = back.filter(col("id") > 40L).select("id", "name")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,40)"),
+      s"filter not pushed to ORC scan:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("score"),
+      s"unused column not pruned from ORC scan:\n$plan")
+    assert(filtered.count() == 10)
+  }
+
+  test("JSON-lines round-trips under a declared schema and FAILFAST rejects garbage") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val df = Seq((1L, "a", true), (2L, "b", false)).toDF("id", "v", "flag")
+    Sinks.json(df, dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("flag", BooleanType)))
+    val back = Sources.json(spark, schema, dir)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // FAILFAST: a malformed line is an error, not a silent null row
+    val badDir = java.nio.file.Files.createTempDirectory("graft_json_bad").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(badDir, "bad.json"),
+      "{\"id\": 1, \"v\": \"ok\", \"flag\": true}\nnot json at all\n".getBytes("UTF-8"))
+    intercept[org.apache.spark.SparkException] {
+      Sources.json(spark, schema, badDir).collect()
+    }
+  }
 }
