@@ -359,6 +359,9 @@ object SparkEntry {
     "doc_dup_stats" -> ((s, dir) =>
       graft.operators.SubstringDedup.dupStats(
         Tables.documents(s, dir), "doc_id", "text", k = SubK)),
+    "doc_cut_dup_spans" -> ((s, dir) =>
+      graft.operators.SubstringDedup.cutDupSpans(
+        Tables.documents(s, dir), "doc_id", "text", k = SubK)),
 
     // ---- tokenizer-training statistics (BPE merge step) ----
     "bpe_pair_stats" -> ((s, dir) =>
@@ -1313,6 +1316,49 @@ object SparkEntry {
        |             * 1000000.0 + 0.5) AS BIGINT) AS dup_frac_e6
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Keep-one-copy substring cut: non-canonical window occurrences (every
+    * occurrence of a window's content except the smallest (doc_id, pos))
+    * merge into spans; the text is rebuilt from the tokens outside them.
+    * The rebuild here explodes the token relation and anti-joins the cut
+    * positions — plain SQL with no nested lambdas, equivalent to the Spark
+    * side's index-aware array filter. */
+  private def cutSpansOracle: String = {
+    val k = SubK
+    s"""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+       |w AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |         md5(array_to_string(ws[i:i+${k - 1}], ' ')) AS whash
+       |  FROM toks, UNNEST(range(1, len(ws) - ${k - 2})) AS t(i) WHERE len(ws) >= $k),
+       |dw AS (SELECT doc_id, pos FROM (
+       |         SELECT doc_id, pos,
+       |                row_number() OVER (PARTITION BY whash ORDER BY doc_id, pos) AS rn
+       |         FROM w) WHERE rn > 1),
+       |m AS (SELECT doc_id, pos,
+       |        max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + ${k - 1} AS prev_end
+       |      FROM dw),
+       |f AS (SELECT doc_id, pos,
+       |        CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS nw FROM m),
+       |isl AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM f),
+       |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + ${k - 1} AS e
+       |          FROM isl GROUP BY doc_id, island),
+       |sp AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_cut FROM spans GROUP BY doc_id),
+       |tokrel AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS tok
+       |           FROM toks, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+       |cut AS (SELECT DISTINCT tr.doc_id, tr.pos
+       |        FROM tokrel tr JOIN spans s
+       |          ON tr.doc_id = s.doc_id AND tr.pos BETWEEN s.s AND s.e),
+       |kept AS (SELECT t.doc_id, t.pos, t.tok
+       |         FROM tokrel t LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |         WHERE c.pos IS NULL),
+       |rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |            FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CASE WHEN sp.doc_id IS NULL THEN t.text ELSE COALESCE(r.clean_text, '') END AS clean_text,
+       |  COALESCE(sp.n_cut, 0) AS n_cut_tokens
+       |FROM toks t LEFT JOIN sp USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+  }
+
   /** Centroid-cell assignment + within-cell candidate pairs for the
     * semantic-dedup oracles — same codebook rule (smallest portable hash of
     * the id) and the same round-6/cell-asc ranking as the Spark side. */
@@ -1367,6 +1413,7 @@ object SparkEntry {
     "ivf_topk" -> ivfTopKOracle,
     "substring_dup_spans" -> substringSpansOracle,
     "doc_dup_stats" -> substringStatsOracle,
+    "doc_cut_dup_spans" -> cutSpansOracle,
     "semantic_dedup_pairs" -> semanticPairsOracle,
     "semantic_dedup_keepers" -> semanticKeepersOracle,
     "bpe_pair_stats" ->

@@ -58,15 +58,15 @@ object SubstringDedup {
     w.join(dup, Seq("whash"), "left_semi").select(col(idCol), col("pos"))
   }
 
-  /** Maximal duplicated token spans per document: overlapping or adjacent
-    * duplicated `k`-windows merge into one span. Output: (id, span_start,
-    * span_end, span_tokens, n_windows) with token offsets 0-based inclusive.
+  /** Gaps-and-islands merge of a (id, pos) window relation into maximal
+    * spans: overlapping or adjacent `k`-windows coalesce. Output: (id,
+    * span_start, span_end, span_tokens, n_windows), token offsets 0-based
+    * inclusive.
     *
     * Islands form with the classic running-max trick: a window starts a new
     * span iff its offset clears the furthest end seen so far by more than
     * one token (strictly-after-adjacent ⇒ a gap of uncovered tokens). */
-  def dupSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val dup = crossDocDupWindows(df, idCol, textCol, k)
+  private def mergeWindows(dup: DataFrame, idCol: String, k: Int): DataFrame = {
     val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val prevEnd = max(col("pos"))
       .over(byPos.rowsBetween(Window.unboundedPreceding, -1)) + lit(k - 1)
@@ -82,6 +82,59 @@ object SubstringDedup {
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_windows"))
+  }
+
+  /** Maximal cross-document duplicated token spans per document. */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    mergeWindows(crossDocDupWindows(df, idCol, textCol, k), idCol, k)
+
+  /** Window occurrences that are NOT the canonical (first) copy of their
+    * content: for each distinct window text, the occurrence with the
+    * smallest (id, pos) is kept; every other occurrence — in other docs OR
+    * repeated within the same doc — is emitted as a cut candidate. This is
+    * Lee et al.'s keep-one-copy policy at window granularity. One ranking
+    * window keyed on the 16-byte hash — the same single-shuffle shape as
+    * the dup test. */
+  def keepOneDupWindows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val w = windowFingerprints(df, idCol, textCol, k)
+    val byHash = Window.partitionBy(col("whash"))
+      .orderBy(col(idCol).asc, col("pos").asc)
+    w.withColumn("__rn", row_number().over(byHash))
+      .filter(col("__rn") > 1)
+      .select(col(idCol), col("pos"))
+  }
+
+  /** Cut duplicated substrings out of the corpus, keeping exactly one copy
+    * of every duplicated `k`-token window (the occurrence with the
+    * smallest (id, pos)): non-canonical occurrences merge into maximal
+    * spans, and each document's text is rebuilt without the tokens those
+    * spans cover. Documents with nothing to cut pass through verbatim.
+    * Output: (id, clean_text, n_cut_tokens).
+    *
+    * The rebuild joins each doc's span LIST (collect_list per doc — size
+    * bounded by dup spans per doc, not corpus) back on the id and filters
+    * the token array with an index-aware HOF — no explode of the token
+    * relation, no non-equi join. Text crosses the wire exactly once (the
+    * spans side carries only integers). */
+  def cutDupSpans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val spans = mergeWindows(keepOneDupWindows(df, idCol, textCol, k), idCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("__spans"))
+    val toks = df.select(col(idCol), col(textCol), Text.tokens(col(textCol)).as("__ws"))
+    toks.join(spans, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ",
+            filter(col("__ws"), (tok, i) =>
+              !exists(col("__spans"),
+                s => i.cast("long").between(s.getField("s"), s.getField("e"))))))
+          .as("clean_text"),
+        coalesce(
+          aggregate(col("__spans"), lit(0L),
+            (acc, s) => acc + s.getField("e") - s.getField("s") + 1L),
+          lit(0L)).as("n_cut_tokens"))
   }
 
   /** Per-document duplication profile: total tokens, tokens covered by

@@ -53,6 +53,28 @@ class SubstringDedupSpec extends SparkSpec {
     assert(!spans.exists(_._1 == 3L))
   }
 
+  test("keepOneDupWindows keeps the smallest (id, pos) occurrence, cuts the rest") {
+    val cut = SubstringDedup.keepOneDupWindows(docs, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 1 is canonical for the run it shares with doc 2 → doc 2's copies cut
+    assert(!cut.exists(_._1 == 1L))
+    assert((0L to 4L).forall(p => cut.contains((2L, p))))
+    // doc 6's SECOND internal occurrence of "p1 p2 p3 p4" (pos 4) is cut
+    assert(cut.contains((6L, 4L)))
+    assert(!cut.contains((6L, 0L)))
+  }
+
+  test("cutDupSpans rebuilds text with one surviving copy per duplicated window") {
+    val out = SubstringDedup.cutDupSpans(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("x1 x2 a b c d e f g h y1 y2", 0L))) // canonical copy intact
+    assert(out(2L) == (("z1 z2 z3", 8L)))                    // shared run removed
+    assert(out(3L) == (("q r s t u v w", 0L)))               // clean doc untouched
+    assert(out(5L) == (("w1 w2 w3", 9L)))                    // both shared runs removed
+    assert(out(6L) == (("p1 p2 p3 p4", 4L)))                 // self-repeat halved
+    assert(out.size == 6)
+  }
+
   test("dupStats reports every doc with exact duplicated-token fractions") {
     val stats = SubstringDedup.dupStats(docs, "doc_id", "text", k = 4)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
