@@ -363,6 +363,16 @@ object SparkEntry {
       graft.operators.SubstringDedup.cutDupSpans(
         Tables.documents(s, dir), "doc_id", "text", k = SubK)),
 
+    // ---- contiguous global index without a single-task window: ordering
+    // by the portable hash = deterministic epoch shuffle (reproducible
+    // permutation, no stored shuffle file, no global sort on one node) ----
+    "doc_shuffle_index" -> ((s, dir) =>
+      graft.operators.GlobalIndex.withGlobalIndex(
+          Tables.documents(s, dir).select(col("doc_id"),
+            graft.functions.PortableHash.hash60(col("doc_id")).as("__h")),
+          "shuffle_idx", col("__h"), col("doc_id"))
+        .select("doc_id", "shuffle_idx")),
+
     // ---- tokenizer-training statistics (BPE merge step) ----
     "bpe_pair_stats" -> ((s, dir) =>
       graft.operators.TermStats.topAdjacentPairs(
@@ -372,6 +382,13 @@ object SparkEntry {
     "doc_token_freq" -> ((s, dir) =>
       graft.operators.TermStats.corpusFrequencyScores(
         Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- int8 scalar quantization of embeddings (ANN index compression;
+    // per-element IEEE arithmetic → bit-identical codes on any engine) ----
+    "embedding_quantize" -> ((s, dir) =>
+      graft.operators.Quantize.int8(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), col("q_lo"), col("q_hi"),
+          concat_ws(",", col("qvec")).as("qvec_csv"))),
 
     // ---- semantic dedup (SemDeDup): within-centroid-cell cosine pairs ----
     "semantic_dedup_pairs" -> ((s, dir) =>
@@ -1414,6 +1431,22 @@ object SparkEntry {
     "substring_dup_spans" -> substringSpansOracle,
     "doc_dup_stats" -> substringStatsOracle,
     "doc_cut_dup_spans" -> cutSpansOracle,
+    "embedding_quantize" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |           FROM embeddings),
+        |b AS (SELECT vec_id, vv, list_min(vv) AS q_lo, list_max(vv) AS q_hi FROM v)
+        |SELECT vec_id, q_lo, q_hi,
+        |  CASE WHEN q_hi = q_lo
+        |       THEN array_to_string(list_transform(vv, x -> 0), ',')
+        |       ELSE array_to_string(list_transform(vv, x ->
+        |              CAST(floor((x - q_lo) / (q_hi - q_lo) * 255.0 + 0.5) AS INTEGER)), ',')
+        |  END AS qvec_csv
+        |FROM b""".stripMargin,
+    "doc_shuffle_index" ->
+      s"""SELECT doc_id,
+         | CAST(row_number() OVER (ORDER BY ${dh("CAST(doc_id AS VARCHAR)")}, doc_id) - 1
+         |      AS BIGINT) AS shuffle_idx
+         |FROM documents""".stripMargin,
     "semantic_dedup_pairs" -> semanticPairsOracle,
     "semantic_dedup_keepers" -> semanticKeepersOracle,
     "bpe_pair_stats" ->
