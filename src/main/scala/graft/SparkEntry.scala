@@ -45,6 +45,7 @@ object SparkEntry {
   private val SemThreshold = 0.4 // semantic_dedup_*: within-cell cosine threshold
   private val SubK = 6          // substring_dup_*: token-window length
   private val BpeTopK = 20      // bpe_pair_stats: merge candidates kept
+  private val CtPool = 32       // contrastive_triplets: negative-pool size
 
   /** streams⋈songs⋈users stand-in over the testdata star schema:
     * events ⋈ customer (user_id) ⋈ nation (c_nationkey), + date/hour. */
@@ -382,6 +383,15 @@ object SparkEntry {
     "doc_token_freq" -> ((s, dir) =>
       graft.operators.TermStats.corpusFrequencyScores(
         Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- contrastive triplets: near-dup pairs (LSH scale path) as
+    // positives, deterministic pool-hash negatives ----
+    "contrastive_triplets" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+        dim = Dim, nBits = NdBits, threshold = NdThreshold, tables = NdTables)
+      graft.operators.Contrastive.triplets(pairs, emb, "vec_id", poolSize = CtPool)
+    }),
 
     // ---- int8 scalar quantization of embeddings (ANN index compression;
     // per-element IEEE arithmetic → bit-identical codes on any engine) ----
@@ -1404,6 +1414,32 @@ object SparkEntry {
        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id),
        |${pairScoreCtes("id_a", "id_b")}""".stripMargin
 
+  /** Same LSH candidate + exact-scoring CTEs as the near_dup_lsh oracle,
+    * extended with the deterministic pool-hash negative selection. */
+  private def contrastiveOracle: String = {
+    val tripletKey = dh("CAST(anchor_id AS VARCHAR) || ':' || CAST(pos_id AS VARCHAR) || ':' || CAST(neg_id AS VARCHAR)")
+    s"""WITH ${lshBucketCtes(NdBits, NdTables)}
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM probes p JOIN buckets c
+       |    ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id < c.vec_id),
+       |${pairScoreCtes("id_a", "id_b")},
+       |p AS (SELECT id_a, id_b FROM scored WHERE cosine_sim >= $NdThreshold),
+       |anch AS (SELECT id_a AS anchor_id, id_b AS pos_id FROM p
+       |         UNION ALL SELECT id_b, id_a FROM p),
+       |pool AS (SELECT vec_id AS neg_id FROM embeddings
+       |         ORDER BY ${dh("CAST(vec_id AS VARCHAR)")} ASC LIMIT $CtPool),
+       |c2 AS (SELECT a.anchor_id, a.pos_id, pl.neg_id
+       |       FROM anch a JOIN pool pl ON pl.neg_id <> a.anchor_id
+       |       WHERE NOT EXISTS (SELECT 1 FROM anch x
+       |                         WHERE x.anchor_id = a.anchor_id AND x.pos_id = pl.neg_id)),
+       |r AS (SELECT anchor_id, pos_id, neg_id,
+       |        row_number() OVER (PARTITION BY anchor_id, pos_id
+       |                           ORDER BY $tripletKey ASC, neg_id ASC) AS rn
+       |      FROM c2)
+       |SELECT anchor_id, pos_id, neg_id FROM r WHERE rn = 1""".stripMargin
+  }
+
   private def semanticPairsOracle: String =
     s"""WITH $semanticAssignCtes
        |SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= $SemThreshold""".stripMargin
@@ -1449,6 +1485,7 @@ object SparkEntry {
          |FROM documents""".stripMargin,
     "semantic_dedup_pairs" -> semanticPairsOracle,
     "semantic_dedup_keepers" -> semanticKeepersOracle,
+    "contrastive_triplets" -> contrastiveOracle,
     "bpe_pair_stats" ->
       s"""WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
          |p AS (SELECT ws[i] AS "left", ws[i+1] AS "right"
