@@ -42,6 +42,15 @@ object Similarity {
         s"(set $MaxExactRowsKey to raise, or use lshTopK/ivfTopK — the scale path)")
   }
 
+  /** Rounded cosine with a zero-norm guard: a zero embedding (they exist
+    * in real corpora — empty inputs, dead encoder rows) yields NULL
+    * similarity instead of an ANSI DIVIDE_BY_ZERO task failure. NULL
+    * never passes a `>= threshold` filter and sorts last in the ranking
+    * windows, so zero vectors simply match nothing. */
+  private def cosineSim(dotC: org.apache.spark.sql.Column,
+      normProd: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(normProd =!= 0.0, round(dotC / normProd, 6))
+
   /** Vectors with precomputed double-cast embedding and L2 norm — compute
     * once, reuse across every pairwise comparison. Widened first: a small
     * single-row-group embedding file scans as ONE task, which would
@@ -67,7 +76,7 @@ object Similarity {
     // set reproducible and oracle-comparable.
     val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine_sim",
-        round(Vectors.dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")), 6))
+        cosineSim(Vectors.dot(col("qvec"), col("cvec")), col("qnorm") * col("cnorm")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -150,7 +159,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine_sim",
-        round(Vectors.dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")), 6))
+        cosineSim(Vectors.dot(col("qvec"), col("cvec")), col("qnorm") * col("cnorm")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -175,7 +184,7 @@ object Similarity {
     val scored = probed.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine_sim",
-        round(Vectors.dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")), 6))
+        cosineSim(Vectors.dot(col("qvec"), col("cvec")), col("qnorm") * col("cnorm")))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -205,13 +214,23 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .toSeq
+    centroidRankedWith(df, idCol, vecCol, centroidRows, maxRank)
+  }
+
+  /** [[centroidRanked]] against a CALLER-SUPPLIED codebook — e.g. one
+    * trained by [[KMeans.train]] (`(cell, centroid)` pairs; norms are
+    * derived here, driver-side, from the handful of codebook rows). */
+  private def centroidRankedWith(
+      df: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[(Long, Seq[Double], Double)], maxRank: Int): DataFrame = {
+    val base = withNorm(df, idCol, vecCol)
     val session = df.sparkSession
     import session.implicits._
-    val centroids = centroidRows.toDF("cell", "centvec", "centnorm")
+    val centroids = codebook.toDF("cell", "centvec", "centnorm")
     val wCells = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cell").asc)
     base.join(broadcast(centroids), lit(true))
       .withColumn("__sim",
-        round(Vectors.dot(col("vec"), col("centvec")) / (col("norm") * col("centnorm")), 6))
+        cosineSim(Vectors.dot(col("vec"), col("centvec")), col("norm") * col("centnorm")))
       .withColumn("__rn", row_number().over(wCells))
       .filter(col("__rn") <= maxRank)
       .select(col(idCol), col("vec"), col("norm"), col("cell"), col("__rn"))
@@ -234,8 +253,12 @@ object Similarity {
     * Output: (id_a, id_b, cosine_sim), id_a < id_b, cosine ≥ threshold. */
   def semanticNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, threshold: Double): DataFrame = {
-    val assigned = centroidRanked(df, idCol, vecCol, nlist, maxRank = 1)
+      nlist: Int, threshold: Double): DataFrame =
+    withinCellPairs(centroidRanked(df, idCol, vecCol, nlist, maxRank = 1), idCol, threshold)
+
+  /** Within-cell exact-scored pairs over an assignment from
+    * [[centroidRanked]]/[[centroidRankedWith]]. */
+  private def withinCellPairs(assigned: DataFrame, idCol: String, threshold: Double): DataFrame = {
     val a = assigned.select(
       col(idCol).as("id_a"), col("vec").as("va"), col("norm").as("na"), col("cell"))
     val b = assigned.select(
@@ -243,9 +266,24 @@ object Similarity {
     a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine_sim",
-        round(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        cosineSim(Vectors.dot(col("va"), col("vb")), col("na") * col("nb")))
       .filter(col("cosine_sim") >= threshold)
       .select("id_a", "id_b", "cosine_sim")
+  }
+
+  /** [[semanticNearDupPairs]] with a TRAINED codebook — `(cell, centroid)`
+    * rows as produced by [[KMeans.train]] — instead of the hash-sampled
+    * pseudo-centroids. Better-fitting cells cut the boundary-straddle
+    * recall loss; the plan shape (broadcast codebook, equi-join on cell)
+    * is identical. */
+  def semanticNearDupPairsWith(
+      df: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[(Long, Seq[Double])], threshold: Double): DataFrame = {
+    val withNorms = codebook.map { case (cell, c) =>
+      (cell, c, math.sqrt(c.map(x => x * x).sum))
+    }
+    withinCellPairs(
+      centroidRankedWith(df, idCol, vecCol, withNorms, maxRank = 1), idCol, threshold)
   }
 
   /** End-to-end semantic dedup: [[semanticNearDupPairs]] → connected
@@ -284,7 +322,7 @@ object Similarity {
     probes.join(corpus, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine_sim", round(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("cosine_sim", cosineSim(Vectors.dot(col("va"), col("vb")), col("na") * col("nb")))
       .filter(col("cosine_sim") >= threshold)
       .select("id_a", "id_b", "cosine_sim")
   }
@@ -298,7 +336,7 @@ object Similarity {
     val a = base.select(col(idCol).as("id_a"), col("vec").as("va"), col("norm").as("na"))
     val b = base.select(col(idCol).as("id_b"), col("vec").as("vb"), col("norm").as("nb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cosine_sim", round(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("cosine_sim", cosineSim(Vectors.dot(col("va"), col("vb")), col("na") * col("nb")))
       .filter(col("cosine_sim") >= threshold)
       .select("id_a", "id_b", "cosine_sim")
   }

@@ -19,11 +19,15 @@ class KMeansSpec extends SparkSpec {
 
   private val offsets = Seq((0f, 0f), (0f, 2f), (2f, 0f), (2f, 2f))
 
-  private def twoClusters = {
+  private def clusterIds = {
     val ranked = hashRankedIds(8)
-    val (seedA, seedB) = (ranked(0), ranked(1))
-    val aIds = seedA +: ranked.drop(2).take(3)
-    val bIds = seedB +: ranked.drop(5)
+    val aIds = ranked(0) +: ranked.drop(2).take(3)
+    val bIds = ranked(1) +: ranked.drop(5)
+    (aIds, bIds)
+  }
+
+  private def twoClusters = {
+    val (aIds, bIds) = clusterIds
     val rows =
       aIds.zip(offsets).map { case (id, (x, y)) => (id, Seq(x, y)) } ++
       bIds.zip(offsets).map { case (id, (x, y)) => (id, Seq(100f + x, 100f + y)) }
@@ -52,6 +56,30 @@ class KMeansSpec extends SparkSpec {
       KMeans.train(twoClusters.repartition(parts), "vec_id", "embedding", k = 2, iters = 3)
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2))).toSeq
     assert(run(2) == run(7))
+  }
+
+  test("trained codebook drives semantic dedup end-to-end") {
+    // DIRECTION-separated clusters (cosine cells assign by direction, so a
+    // magnitude-only split would collapse into one cell): A along e0,
+    // B along e1, offsets exactly representable so means are exact.
+    val (aIds, bIds) = clusterIds
+    val dirOffsets = Seq(0.0f, 0.25f, 0.5f, 0.75f)
+    val dirClusters = (
+      aIds.zip(dirOffsets).map { case (id, o) => (id, Seq(8.0f, o)) } ++
+      bIds.zip(dirOffsets).map { case (id, o) => (id, Seq(o, 8.0f)) }
+    ).toDF("vec_id", "embedding")
+    val trained = KMeans.train(dirClusters, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val sem = Similarity.semanticNearDupPairsWith(
+        dirClusters, "vec_id", "embedding", trained, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.embeddingNearDupPairs(dirClusters, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.nonEmpty && sem.subsetOf(exact))
+    // pairs stay within a direction cluster — the SemDeDup locality behavior
+    assert(sem.forall { case (x, y) =>
+      (aIds.contains(x) && aIds.contains(y)) || (bIds.contains(x) && bIds.contains(y))
+    })
   }
 
   test("trained centroids slot into the IVF codebook contract") {

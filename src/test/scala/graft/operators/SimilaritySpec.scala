@@ -166,6 +166,19 @@ class SimilaritySpec extends SparkSpec {
     assert(!sem.exists { case (a, b) => a == 9L || b == 9L }) // singleton clean
   }
 
+  test("zero-norm vectors match nothing instead of failing the job") {
+    import org.apache.spark.sql.functions.col
+    val withZero = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.01f)), (3L, Seq(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(withZero, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // the zero vector pairs with nothing
+    val topk = Similarity.bruteForceTopK(withZero, withZero, "vec_id", "embedding", k = 2)
+    assert(topk.filter(col("query_id") === 3L)
+      .select("cosine_sim").collect().forall(_.isNullAt(0)))
+  }
+
   test("semanticDedupKeepers keeps the min id per semantic family") {
     val kept = Similarity.semanticDedupKeepers(clustered, "vec_id", "embedding",
         nlist = 4, threshold = 0.9)
