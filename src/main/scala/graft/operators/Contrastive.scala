@@ -37,8 +37,13 @@ object Contrastive {
     require(poolSize >= 2, s"poolSize must be >= 2, got $poolSize")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val anchors = pairs.select(col("id_a").as("anchor_id"), col("id_b").as("pos_id"))
-      .union(pairs.select(col("id_b").as("anchor_id"), col("id_a").as("pos_id")))
+    // materialize ONCE: the pairs subtree feeds both union branches AND the
+    // partner-exclusion anti-join — left lazy, an expensive candidate
+    // generator (the LSH stack) would be planned and executed three times
+    // (measured 2× the operator's cost; same reasoning as Components' edges)
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val anchors = p.select(col("id_a").as("anchor_id"), col("id_b").as("pos_id"))
+      .union(p.select(col("id_b").as("anchor_id"), col("id_a").as("pos_id")))
     // driver-collected literal pool (poolSize rows) — like the IVF codebook,
     // a subplan here would re-execute the scan+sort+limit per reference and
     // its broadcast would not satisfy the bounded-BNLJ plan lint
