@@ -379,6 +379,11 @@ object SparkEntry {
       graft.operators.TermStats.topAdjacentPairs(
         Tables.documents(s, dir), "doc_id", "text", k = BpeTopK)),
 
+    // ---- n-gram novelty (inverse of dup stats: grams unique corpus-wide) ----
+    "doc_novelty" -> ((s, dir) =>
+      graft.operators.TermStats.gramNovelty(
+        Tables.documents(s, dir), "doc_id", "text", n = 3)),
+
     // ---- unigram corpus-frequency scoring (exact-integer LM surrogate) ----
     "doc_token_freq" -> ((s, dir) =>
       graft.operators.TermStats.corpusFrequencyScores(
@@ -1496,6 +1501,22 @@ object SparkEntry {
          |      FROM c)
          |SELECT "left", "right", n_pairs, CAST("rank" AS INTEGER) AS "rank"
          |FROM r WHERE "rank" <= $BpeTopK""".stripMargin,
+    "doc_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |dfreq AS (SELECT doc_id, count(*) OVER (PARTITION BY gram) AS df FROM grams),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams
+        |        FROM dfreq GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_grams, 0) AS n_grams,
+        |  COALESCE(a.novel_grams, 0) AS novel_grams,
+        |  CAST(CASE WHEN COALESCE(a.n_grams, 0) = 0 THEN 0
+        |       ELSE floor(CAST(a.novel_grams AS DOUBLE) / a.n_grams * 1000000.0 + 0.5)
+        |       END AS BIGINT) AS novelty_e6
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "doc_token_freq" ->
       """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
         |dc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),

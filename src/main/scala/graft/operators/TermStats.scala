@@ -91,6 +91,37 @@ object TermStats {
           * 1e6 + 0.5).cast("long"))
   }
 
+  /** N-gram novelty scores — the inverse signal of substring duplication:
+    * per document, how many of its distinct word n-grams appear NOWHERE
+    * else in the corpus. Low novelty marks templated/syndicated text even
+    * when no single span crosses the dup threshold; high novelty is the
+    * "unique content" side of a curation mix. Exact integers + one IEEE
+    * division (micro-units), engine-portable.
+    *
+    * Scale shape: the (doc, gram) relation from [[Dedup.shingles]]
+    * (distinct per doc, text never shuffles beyond the gram strings), gram
+    * document-frequency via a count window over the gram partition — the
+    * same one-scan discipline as [[topTerms]] — then one aggregation back
+    * to the doc. Every document appears; gram-less docs (< n tokens)
+    * report 0/0/0. */
+  def gramNovelty(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = Dedup.shingles(docs, idCol, textCol, n)
+    val withDf = sh.withColumn("__df", count(lit(1)).over(Window.partitionBy("gram")))
+    val agg = withDf.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("novel_grams"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
+      .withColumn("novelty_e6",
+        when(col("n_grams") === 0, 0L)
+          .otherwise(floor(col("novel_grams").cast("double") / col("n_grams").cast("double")
+            * 1e6 + 0.5).cast("long")))
+  }
+
   /** Top-`k` terms per document by smoothed TF-IDF.
     * Output: idCol, term, score_e6 (ties broken by term ascending).
     *

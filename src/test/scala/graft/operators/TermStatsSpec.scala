@@ -65,6 +65,20 @@ class TermStatsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1L, 3L + 1L, 2000000L)))
   }
 
+  test("gramNovelty counts corpus-unique grams per doc, keeps gram-less docs") {
+    val docs = Seq(
+      (1L, "a b c d"),   // grams: abc, bcd
+      (2L, "a b c e"),   // grams: abc, bce — shares abc with doc 1
+      (3L, "x y")        // too short for trigrams
+    ).toDF("doc_id", "text")
+    val out = TermStats.gramNovelty(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 500000L))) // bcd unique, abc shared
+    assert(out(2L) == ((2L, 1L, 500000L)))
+    assert(out(3L) == ((0L, 0L, 0L)))
+  }
+
   test("repetitionFromTokens measures duplicate-gram fraction exactly") {
     val out = Seq(
       (1L, "a a a a"),          // 2-grams: 3 total, 1 distinct → 2/3
