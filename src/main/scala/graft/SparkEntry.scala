@@ -364,6 +364,28 @@ object SparkEntry {
       graft.operators.SubstringDedup.cutDupSpans(
         Tables.documents(s, dir), "doc_id", "text", k = SubK)),
 
+    // ---- E2E curation v2: substring surgery BEFORE the quality chain —
+    // cut keep-one dup spans, rescore the cleaned text, exact-dedup on
+    // cleaned text, deterministic 50% sample. Empty post-cut docs drop
+    // before scoring (quality of "" divides by zero in both engines). ----
+    "corpus_curate2" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "lang", "source")
+      val cut = graft.operators.SubstringDedup.cutDupSpans(docs, "doc_id", "text", k = SubK)
+        .withColumnRenamed("clean_text", "ctext")
+      val base = docs.select(col("doc_id"), col("lang"), col("source"))
+        .join(cut, Seq("doc_id"))
+        .filter(length(col("ctext")) > 0)
+      val scored = base
+        .withColumn("__ws", Text.tokens(col("ctext")))
+        .select(col("doc_id"), col("lang"), col("source"), col("ctext"), col("n_cut_tokens"),
+          floor(Text.qualityScoreRaw(col("ctext")) * 1e6 + 0.5).cast("long").as("quality_e6"),
+          floor(Text.repetitionFromTokens(col("__ws"), 3) * 1e6 + 0.5).cast("long").as("rep3_e6"))
+        .filter(col("quality_e6") >= 800000L && col("rep3_e6") <= 10000L)
+      val deduped = Dedup.exactDedup(scored, "doc_id", "ctext")
+      graft.operators.Sampling.hashSample(deduped, "doc_id", fraction = 0.5)
+        .select("doc_id", "lang", "source", "quality_e6", "rep3_e6", "n_cut_tokens")
+    }),
+
     // ---- contiguous global index without a single-task window: ordering
     // by the portable hash = deterministic epoch shuffle (reproducible
     // permutation, no stored shuffle file, no global sort on one node) ----
@@ -1354,9 +1376,15 @@ object SparkEntry {
     * The rebuild here explodes the token relation and anti-joins the cut
     * positions — plain SQL with no nested lambdas, equivalent to the Spark
     * side's index-aware array filter. */
-  private def cutSpansOracle: String = {
+  private def cutSpansOracle: String =
+    s"""WITH $cutSpansCtes
+       |SELECT doc_id, clean_text, n_cut_tokens FROM cutres""".stripMargin
+
+  /** CTE chain ending in `cutres(doc_id, clean_text, n_cut_tokens)` —
+    * shared by [[cutSpansOracle]] and the curate-v2 composition. */
+  private def cutSpansCtes: String = {
     val k = SubK
-    s"""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+    s"""toks AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
        |w AS (
        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
        |         md5(array_to_string(ws[i:i+${k - 1}], ' ')) AS whash
@@ -1384,12 +1412,59 @@ object SparkEntry {
        |         FROM tokrel t LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos
        |         WHERE c.pos IS NULL),
        |rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
-       |            FROM kept GROUP BY doc_id)
-       |SELECT t.doc_id,
-       |  CASE WHEN sp.doc_id IS NULL THEN t.text ELSE COALESCE(r.clean_text, '') END AS clean_text,
-       |  COALESCE(sp.n_cut, 0) AS n_cut_tokens
-       |FROM toks t LEFT JOIN sp USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+       |            FROM kept GROUP BY doc_id),
+       |cutres AS (
+       |  SELECT t.doc_id,
+       |    CASE WHEN sp.doc_id IS NULL THEN t.text ELSE COALESCE(r.clean_text, '') END AS clean_text,
+       |    COALESCE(sp.n_cut, 0) AS n_cut_tokens
+       |  FROM toks t LEFT JOIN sp USING (doc_id) LEFT JOIN rebuilt r USING (doc_id))""".stripMargin
   }
+
+  /** Curation v2: span-level cut feeding quality/repetition rescoring on
+    * the CLEANED text, exact dedup on the cleaned text, and the
+    * deterministic downsample — the corpus_curate chain upgraded with
+    * substring surgery. Empty post-cut docs are dropped BEFORE scoring
+    * (quality on "" would divide by zero in both engines). */
+  private def corpusCurate2Oracle: String =
+    s"""WITH $cutSpansCtes,
+       |base AS (
+       |  SELECT d.doc_id, d.lang, d.source, c.clean_text AS ctext, c.n_cut_tokens
+       |  FROM documents d JOIN cutres c USING (doc_id)
+       |  WHERE length(c.clean_text) > 0),
+       |t2 AS (SELECT doc_id, lang, source, n_cut_tokens, ctext,
+       |              string_split(ctext, ' ') AS ws2,
+       |              CAST(length(ctext) AS DOUBLE) AS nchars
+       |       FROM base),
+       |s2 AS (SELECT doc_id, lang, source, n_cut_tokens, ctext, ws2, nchars,
+       |              CAST(len(ws2) AS DOUBLE) AS ntok,
+       |              CAST(length(regexp_replace(ctext, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
+       |       FROM t2),
+       |q2 AS (
+       |  SELECT doc_id, lang, source, n_cut_tokens, ctext, ws2,
+       |    CAST(floor((
+       |      least(ntok / 100.0, 1.0) * 0.3
+       |      + (alpha / nchars) * 0.3
+       |      + (CASE WHEN (nchars - (ntok - 1)) / ntok BETWEEN 2.0 AND 12.0
+       |              THEN 1.0 ELSE 0.3 END) * 0.2
+       |      + (CASE WHEN len(list_intersect(ws2,
+       |           ['the','a','an','and','of','to','in','is','it','that'])) > 0
+       |              THEN 1.0 ELSE 0.5 END) * 0.2) * 1000000.0 + 0.5) AS BIGINT) AS quality_e6
+       |  FROM s2),
+       |g32 AS (SELECT doc_id, count(DISTINCT array_to_string(ws2[i:i+2], ' ')) AS d,
+       |               any_value(len(ws2)) - 2 AS tot
+       |        FROM t2, UNNEST(range(1, len(ws2) - 1)) AS r(i) WHERE len(ws2) >= 3
+       |        GROUP BY doc_id),
+       |r2 AS (SELECT q2.doc_id, q2.lang, q2.source, q2.n_cut_tokens, q2.ctext, q2.quality_e6,
+       |         CAST(floor(COALESCE((g32.tot - g32.d) * 1.0 / g32.tot, 0.0)
+       |                    * 1000000.0 + 0.5) AS BIGINT) AS rep3_e6
+       |       FROM q2 LEFT JOIN g32 USING (doc_id)),
+       |f2 AS (SELECT * FROM r2 WHERE quality_e6 >= 800000 AND rep3_e6 <= 10000),
+       |k2 AS (SELECT doc_id, lang, source, quality_e6, rep3_e6, n_cut_tokens,
+       |         row_number() OVER (PARTITION BY md5(ctext) ORDER BY doc_id ASC) AS rn
+       |       FROM f2)
+       |SELECT doc_id, lang, source, quality_e6, rep3_e6, n_cut_tokens FROM k2
+       |WHERE rn = 1
+       |  AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10000 < 5000""".stripMargin
 
   /** Centroid-cell assignment + within-cell candidate pairs for the
     * semantic-dedup oracles — same codebook rule (smallest portable hash of
@@ -1472,6 +1547,7 @@ object SparkEntry {
     "substring_dup_spans" -> substringSpansOracle,
     "doc_dup_stats" -> substringStatsOracle,
     "doc_cut_dup_spans" -> cutSpansOracle,
+    "corpus_curate2" -> corpusCurate2Oracle,
     "embedding_quantize" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
         |           FROM embeddings),
