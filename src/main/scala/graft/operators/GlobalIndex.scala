@@ -40,7 +40,12 @@ object GlobalIndex {
     * re-shuffle the whole dataset by pid even though each range partition
     * already holds exactly one pid). The id expression is nondeterministic
     * to Catalyst, which is what stops it being pushed below the sort. The
-    * only full-data movement is the range repartition itself. */
+    * only full-data movement is the range repartition itself.
+    *
+    * Bound: the id encoding caps a single partition at 2^33 (~8.6 B) rows
+    * — size `spark.sql.shuffle.partitions` so no range partition
+    * approaches that (at 100 TB / 10k partitions that is ~10 GB of rows
+    * per partition, three orders of magnitude inside the bound). */
   def withGlobalIndex(df: DataFrame, idxName: String, order: Column*): DataFrame = {
     require(order.nonEmpty, "withGlobalIndex needs at least one ordering column")
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
