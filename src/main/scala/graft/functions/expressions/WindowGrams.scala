@@ -1,0 +1,70 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst GENERATOR: (pos, gram) for every `k`-token window of a
+  * token array — the streaming replacement for
+  * `explode(transform(sequence(...), i => struct(i, concat_ws(...))))`.
+  *
+  * The HOF form materializes the ENTIRE window array per input row before
+  * the explode — O(tokens · k) string bytes held at once, which for a
+  * book-length document is tens of MB of transient garbage per row, and
+  * the per-position lambda is interpreted (CodegenFallback) with a closure
+  * allocation per element. This generator yields windows one at a time
+  * through `GenerateExec`'s iterator protocol: peak memory per row is ONE
+  * window, no lambda closures, no intermediate array.
+  *
+  * Output gram text is identical to the HOF form (`concat_ws(" ", ...)`
+  * semantics, null tokens skipped by `UTF8String.concatWs`), so operators
+  * can switch construction without touching their oracles. */
+case class WindowGrams(child: Expression, k: Int)
+  extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("gram", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k >= 2 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"window_grams requires k >= 2, got $k")
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"window_grams requires array<string>, got ${other.catalogString}")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null || arr.numElements() < k) Iterator.empty
+    else {
+      val n = arr.numElements()
+      Iterator.tabulate(n - k + 1) { i =>
+        val parts = new Array[UTF8String](k)
+        var j = 0
+        while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        InternalRow(i.toLong, UTF8String.concatWs(WindowGrams.Space, parts: _*))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WindowGrams =
+    copy(child = newChild)
+  override def prettyName: String = "window_grams"
+}
+
+object WindowGrams {
+  private val Space = UTF8String.fromString(" ")
+
+  /** (pos long, gram string) generator column over a token-array column. */
+  def windows(tokens: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(WindowGrams(ColumnBridge.expression(tokens), k))
+  }
+}

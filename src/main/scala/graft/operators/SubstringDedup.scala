@@ -31,20 +31,20 @@ object SubstringDedup {
 
   /** The (id, pos, whash) token-window fingerprint relation: one row per
     * `k`-token window at 0-based token offset pos. Tokenizes ONCE into an
-    * attribute before the per-position lambda (see [[Dedup.shingles]] for
-    * why), and widens the scan so a single-row-group parquet file fans out
-    * before the explode. */
+    * attribute (see [[Dedup.shingles]] for why), widens the scan so a
+    * single-row-group parquet file fans out, and generates windows with
+    * the native [[graft.functions.expressions.WindowGrams]] GENERATOR —
+    * which streams one window at a time instead of materializing the full
+    * per-document window array the `explode(transform(...))` HOF form
+    * builds (O(tokens·k) transient bytes per row — real memory on
+    * book-length documents). */
   def windowFingerprints(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"window size k must be >= 2, got $k")
     val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__ws"))
     Partitions.widen(toks, col(idCol))
-      .filter(size(col("__ws")) >= k)
       .select(col(idCol),
-        explode(transform(sequence(lit(0), size(col("__ws")) - k),
-          i => struct(i.cast("long").as("pos"),
-            md5(concat_ws(" ", slice(col("__ws"), i + 1, lit(k)))).as("whash"))))
-          .as("__w"))
-      .select(col(idCol), col("__w.pos").as("pos"), col("__w.whash").as("whash"))
+        graft.functions.expressions.WindowGrams.windows(col("__ws"), k).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), md5(col("gram")).as("whash"))
   }
 
   /** Window positions whose content occurs in more than one document.

@@ -34,6 +34,21 @@ class SubstringPropertiesSpec extends SparkSpec {
     docs.toDF("doc_id", "text")
   }
 
+  test("generator window relation ≡ the HOF explode(transform) construction") {
+    val hof = corpus
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("__ws"))
+      .filter(size(col("__ws")) >= K)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("__ws")) - K),
+          i => struct(i.cast("long").as("pos"),
+            md5(concat_ws(" ", slice(col("__ws"), i + 1, lit(K)))).as("whash")))).as("__w"))
+      .select(col("doc_id"), col("__w.pos"), col("__w.whash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val gen = SubstringDedup.windowFingerprints(corpus, "doc_id", "text", K)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(gen == hof)
+  }
+
   test("dupStats totals equal the sum of merged span lengths") {
     val spans = SubstringDedup.dupSpans(corpus, "doc_id", "text", K)
       .groupBy("doc_id").agg(sum("span_tokens").as("s"))
