@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{DotProduct, RollingHash}
+import graft.functions.expressions.{DotProduct, RollingHash, WindowGrams}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -40,6 +40,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_product(a, b) takes exactly 2 arguments")
         DotProduct(args(0), args(1))
+      }),
+    (
+      FunctionIdentifier("window_grams"),
+      new ExpressionInfo(classOf[WindowGrams].getName, "window_grams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "window_grams(tokens, k) takes exactly 2 arguments")
+        require(args(1).foldable, "window_grams k must be a literal")
+        WindowGrams(args(0), args(1).eval().asInstanceOf[Number].intValue())
       }))
 
   /** Register on a live session (extensions only apply at builder time).

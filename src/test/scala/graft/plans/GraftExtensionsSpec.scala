@@ -17,6 +17,12 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
       .collect().head.getDouble(0)
     assert(d == 32.0)
+
+    // generator function in the LATERAL VIEW / SELECT-generator position
+    val w = s.sql(
+      "SELECT pos, gram FROM (SELECT window_grams(array('a','b','c','d'), 3) AS (pos, gram))")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(w == Set((0L, "a b c"), (1L, "b c d")))
   }
 
   test("approx-distinct rewrite: off by default (exact), sketch plan + bounded error when enabled") {
