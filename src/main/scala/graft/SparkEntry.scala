@@ -2506,14 +2506,14 @@ object SparkEntry {
         |  FROM t),
         |q AS (
         |  SELECT doc_id, text, lang, source, ws,
-        |    CAST(floor((
+        |    CAST(CASE WHEN nchars = 0 THEN 0 ELSE floor((
         |      least(ntok / 100.0, 1.0) * 0.3
         |      + (alpha / nchars) * 0.3
         |      + (CASE WHEN (nchars - (ntok - 1)) / ntok BETWEEN 2.0 AND 12.0
         |              THEN 1.0 ELSE 0.3 END) * 0.2
         |      + (CASE WHEN len(list_intersect(ws,
         |           ['the','a','an','and','of','to','in','is','it','that'])) > 0
-        |              THEN 1.0 ELSE 0.5 END) * 0.2) * 1000000.0 + 0.5) AS BIGINT) AS quality_e6
+        |              THEN 1.0 ELSE 0.5 END) * 0.2) * 1000000.0 + 0.5) END AS BIGINT) AS quality_e6
         |  FROM s),
         |g3 AS (SELECT doc_id, count(DISTINCT array_to_string(ws[i:i+2], ' ')) AS d,
         |              any_value(len(ws)) - 2 AS tot
@@ -2542,14 +2542,14 @@ object SparkEntry {
         |         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
         |  FROM t)
         |SELECT doc_id,
-        |  CAST(floor((
+        |  CAST(CASE WHEN nchars = 0 THEN 0 ELSE floor((
         |    least(ntok / 100.0, 1.0) * 0.3
         |    + (alpha / nchars) * 0.3
         |    + (CASE WHEN (nchars - (ntok - 1)) / ntok BETWEEN 2.0 AND 12.0
         |            THEN 1.0 ELSE 0.3 END) * 0.2
         |    + (CASE WHEN len(list_intersect(ws,
         |         ['the','a','an','and','of','to','in','is','it','that'])) > 0
-        |            THEN 1.0 ELSE 0.5 END)* 0.2) * 1000000.0 + 0.5) AS BIGINT) AS quality_e6
+        |            THEN 1.0 ELSE 0.5 END)* 0.2) * 1000000.0 + 0.5) END AS BIGINT) AS quality_e6
         |FROM s""".stripMargin,
 
     "doc_lang" ->

@@ -63,7 +63,10 @@ object Text {
 
   /** Unrounded score — use when the caller controls quantization (the
     * oracle boundary quantizes to integer micro-units instead of round(),
-    * which differs between engines at exact .5 boundaries). */
+    * which differs between engines at exact .5 boundaries). Empty text
+    * scores 0 — the alpha-ratio term would otherwise divide by zero,
+    * which Spark's ANSI mode turns into a task failure (same hazard class
+    * as zero-norm embeddings in the cosine stack). */
   def qualityScoreRaw(text: Column): Column = {
     val ws = tokens(text)
     val nTok = size(ws).cast("double")
@@ -76,8 +79,10 @@ object Text {
       when(meanTokLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.3))
     val stopwordScore =
       when(size(array_intersect(ws, StopwordsEn)) > 0, lit(1.0)).otherwise(lit(0.5))
-    lengthScore * lit(0.3) + alphaRatio * lit(0.3) +
-      tokLenScore * lit(0.2) + stopwordScore * lit(0.2)
+    when(nChars > 0,
+      lengthScore * lit(0.3) + alphaRatio * lit(0.3) +
+        tokLenScore * lit(0.2) + stopwordScore * lit(0.2))
+      .otherwise(lit(0.0))
   }
 
   private val StopwordsEn: Column =

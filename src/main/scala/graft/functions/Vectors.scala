@@ -27,5 +27,11 @@ object Vectors {
   /** Cosine similarity = dot(a,b) / (||a|| * ||b||).
     * For pairwise workloads prefer precomputing norms once per vector
     * (see [[graft.operators.Similarity]]) — this form recomputes them. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** NULL when either vector has zero norm — matching the guarded cosine
+    * in the Similarity operators (ANSI mode would otherwise fail the task
+    * on a zero embedding). */
+  def cosine(a: Column, b: Column): Column = {
+    val prod = l2Norm(a) * l2Norm(b)
+    when(prod =!= 0.0, dot(a, b) / prod)
+  }
 }

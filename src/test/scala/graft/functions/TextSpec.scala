@@ -32,6 +32,13 @@ class TextSpec extends SparkSpec {
     assert(out(1) > out(2))
   }
 
+  test("qualityScore of empty text is 0, not a divide-by-zero failure") {
+    val out = Seq((1, "")).toDF("id", "text")
+      .select(Text.qualityScore(col("text")).as("q"))
+      .collect().head.getDouble(0)
+    assert(out == 0.0)
+  }
+
   test("langId identifies stopword-rich languages, und for gibberish") {
     val df = Seq(
       (1, "the cat is in the house and it is warm"),
