@@ -46,6 +46,7 @@ object VersionedSnapshot {
 
   private val PointerName = "_CURRENT"
   private val MarkerName = "_LAST_BATCH" // leading _: invisible to parquet reads
+  private val ManifestName = "_MANIFEST" // data-file inventory, written pre-commit
 
   private def fmtVersion(v: Long): String =
     "v" + "%05d".formatLocal(java.util.Locale.ROOT, v)
@@ -89,6 +90,43 @@ object VersionedSnapshot {
       }
     }.getOrElse(("", -1L))
 
+  /** Data-file inventory (`name:bytes` per line, sorted) written BEFORE
+    * the pointer flip, so every committed version carries its own
+    * integrity record. A replicated or promoted version directory is
+    * checked with [[validateCurrent]] — missing, truncated, or stray data
+    * files (the classic partial-copy failure on object stores) are
+    * detected from listings alone, no file contents read. */
+  private def writeManifest(f: FileSystem, dir: Path): Unit = {
+    val entries = dataFiles(f, dir).map { case (name, len) => s"$name:$len" }
+    val out = f.create(new Path(dir, ManifestName), true)
+    try out.write(entries.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  private def dataFiles(f: FileSystem, dir: Path): Seq[(String, Long)] =
+    f.listStatus(dir).toSeq
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.getName, st.getLen))
+      .sortBy(_._1)
+
+  /** True iff the committed version's data files exactly match its
+    * manifest (same names, same byte lengths, nothing extra). False when
+    * no version or no manifest exists. */
+  def validateCurrent(spark: SparkSession, baseDir: String): Boolean =
+    currentVersion(spark, baseDir).exists { v =>
+      val f = fs(spark, baseDir)
+      val dir = versionPath(new Path(baseDir), v)
+      val m = new Path(dir, ManifestName)
+      f.exists(m) && {
+        val in = f.open(m)
+        val listed = try scala.io.Source.fromInputStream(in).getLines().toSeq finally in.close()
+        val expected = listed.filter(_.nonEmpty).map { line =>
+          val cut = line.lastIndexOf(':')
+          (line.substring(0, cut), line.substring(cut + 1).toLong)
+        }
+        expected == dataFiles(f, dir)
+      }
+    }
+
   /** Write `df` as the next version and atomically flip the pointer to
     * it. Returns the published version number. `retain` is the number of
     * versions kept INCLUDING the new one (min 1). */
@@ -112,6 +150,7 @@ object VersionedSnapshot {
     df.write.mode("overwrite").parquet(target.toString)
     val out = f.create(new Path(target, MarkerName), true)
     try out.write(marker.getBytes("UTF-8")) finally out.close()
+    writeManifest(f, target)
     // the commit: single-file atomic rename-with-overwrite onto _CURRENT
     val tmpPtr = new Path(base, PointerName + ".tmp")
     val ptrOut = f.create(tmpPtr, true)

@@ -86,6 +86,30 @@ class VersionedSnapshotSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 10L)))
   }
 
+  test("manifest validates a committed version and catches partial copies") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-vsnap5").resolve("snap").toString
+    val df = (1L to 100L).map(i => (i, i * 2)).toDF("k", "v").repartition(3)
+    val v = VersionedSnapshot.publish(df, base, marker = "ck:0")
+    assert(VersionedSnapshot.validateCurrent(spark, base))
+    // truncate one data file → length mismatch detected
+    val dir = new java.io.File(base, "v%05d".format(v))
+    val part = dir.listFiles().filter(f =>
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")).head
+    val ch = new java.io.RandomAccessFile(part, "rw")
+    try ch.setLength(part.length() - 1) finally ch.close()
+    assert(!VersionedSnapshot.validateCurrent(spark, base))
+    ch.close()
+    // restore length won't restore content, but the manifest check is
+    // listing-based: a STRAY file must also fail validation
+    val ra = new java.io.RandomAccessFile(part, "rw")
+    try ra.setLength(part.length() + 1) finally ra.close()
+    val stray = new java.io.File(dir, "stray.parquet")
+    assert(stray.createNewFile())
+    assert(!VersionedSnapshot.validateCurrent(spark, base))
+    assert(stray.delete())
+  }
+
   test("read before any publish is None; retain=1 keeps only the current version") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-vsnap4").resolve("snap").toString
