@@ -296,6 +296,26 @@ object SparkEntry {
           .select(col("doc_id").as("asset_id"), lit("text").as("modality"),
             encode(col("text"), "UTF-8").as("payload")), k = 4)
         .select(col("asset_id"), col("sample_idx"), col("byte_offset"))),
+    // audio round-trip: deterministic WAV geometry from doc fields →
+    // real bytes (encodeWav) → header parse (decodeAudioPartitions);
+    // the oracle predicts the decoded metadata arithmetically, so any
+    // codec bug breaks the hash
+    "mm_audio_meta" -> ((s, dir) =>
+      graft.multimodal.Multimodal.decodeAudioPartitions(
+          graft.multimodal.Multimodal.synthesizeWavPayload(
+            Tables.documents(s, dir).select(
+              col("doc_id").as("asset_id"),
+              (lit(8000) + (col("doc_id") % 5) * 2000).cast("int").as("sample_rate"),
+              (lit(1) + col("doc_id") % 2).cast("int").as("channels"),
+              (lit(8) * (lit(1) + col("doc_id") % 2)).cast("int").as("bits_per_sample"),
+              (col("n_chars") % 1000 + 1).cast("int").as("n_frames")))
+            .select("asset_id", "payload"))
+        .select(col("asset_id"),
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.channels").as("channels"),
+          col("audio.bits_per_sample").as("bits_per_sample"),
+          col("audio.n_frames").as("n_frames"),
+          col("audio.duration_ms").as("duration_ms"))),
 
     // ---- dedup family over documents ----
     "dedup_exact_groups" -> ((s, dir) =>
@@ -2402,6 +2422,17 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, i AS sample_idx,
         | CAST(floor(octet_length(encode(text)) * i / 4) AS BIGINT) AS byte_offset
         |FROM documents, UNNEST([0, 1, 2, 3]) AS t(i)""".stripMargin,
+
+    // predicts what decodeWav must recover from the synthesized bytes;
+    // duration uses truncating integer division on both engines
+    "mm_audio_meta" ->
+      """SELECT doc_id AS asset_id,
+        | CAST(8000 + (doc_id % 5) * 2000 AS INTEGER) AS sample_rate,
+        | CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        | CAST(8 * (1 + doc_id % 2) AS INTEGER) AS bits_per_sample,
+        | CAST(n_chars % 1000 + 1 AS BIGINT) AS n_frames,
+        | CAST((n_chars % 1000 + 1) * 1000 // (8000 + (doc_id % 5) * 2000) AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
 
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS keeper_id, count(*) AS n_dups

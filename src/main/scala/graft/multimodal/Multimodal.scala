@@ -134,6 +134,57 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Nullable audio-decode struct appended by [[decodeAudioPartitions]]. */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_ms", LongType)))
+
+  /** Synthesis side of the audio round-trip: append a deterministic PCM
+    * WAV `payload` built per row from integer geometry columns
+    * (`sample_rate`, `channels`, `bits_per_sample`, `n_frames`). Used by
+    * the oracle-backed `mm_audio_meta` query so the decode path is
+    * exercised over real bytes while DuckDB predicts the metadata
+    * arithmetically. */
+  def synthesizeWavPayload(df: DataFrame): DataFrame = {
+    val outSchema = df.schema.add("payload", org.apache.spark.sql.types.BinaryType)
+    val sr = df.schema.fieldIndex("sample_rate")
+    val ch = df.schema.fieldIndex("channels")
+    val bits = df.schema.fieldIndex("bits_per_sample")
+    val fr = df.schema.fieldIndex("n_frames")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = AudioCodec.encodeWav(r.getInt(sr), r.getInt(ch), r.getInt(bits), r.getInt(fr))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Audio counterpart of [[decodePartitions]]: parse RIFF/WAVE headers
+    * per partition ([[AudioCodec]]) into an appended nullable `audio`
+    * struct; payloads that aren't valid WAV keep `audio = null`.
+    * Compressed codecs plug into the same seam at deployment. */
+  def decodeAudioPartitions(df: DataFrame): DataFrame = {
+    val outSchema = df.schema.add("audio", audioSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      def safeDecode(p: Array[Byte]): Option[AudioCodec.WavMeta] =
+        try AudioCodec.decodeWav(p)
+        catch { case scala.util.control.NonFatal(_) => None }
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val decoded = safeDecode(payload) match {
+          case Some(m) => org.apache.spark.sql.Row(
+            m.sampleRate, m.channels, m.bitsPerSample, m.nFrames, m.durationMs)
+          case None => null
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ decoded)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Frame/segment sampling plumbing: emit `k` logical sample offsets per
     * asset (time- or byte-based) as one row each — the fan-out a video
     * frame-sampler produces, without the codec. Downstream operators see

@@ -241,6 +241,23 @@ class MultimodalSpec extends SparkSpec {
     assert(back.filter(org.apache.spark.sql.functions.col("modality") === "audio").count() == 1)
   }
 
+  test("decodeAudioPartitions parses WAV payloads, nulls everything else") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, AudioCodec.encodeWav(16000, 1, 16, 1600)),
+        Row(2L, Array[Byte](9, 9, 9, 9)))),
+      StructType(Seq(
+        StructField("asset_id", LongType), StructField("payload", BinaryType))))
+    val out = Multimodal.decodeAudioPartitions(df)
+      .select(col("asset_id"), col("audio")).collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    val a = out(1L).get
+    assert((a.getInt(0), a.getInt(1), a.getInt(2), a.getLong(3), a.getLong(4)) ==
+      ((16000, 1, 16, 1600L, 100L)))
+    assert(out(2L).isEmpty)
+  }
+
   test("fromBinaryFiles wraps binaryFile-shaped input into the asset schema") {
     val raw = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row("/data/a.png", Array[Byte](1, 2)))),
