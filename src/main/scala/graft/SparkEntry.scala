@@ -316,6 +316,26 @@ object SparkEntry {
           col("audio.bits_per_sample").as("bits_per_sample"),
           col("audio.n_frames").as("n_frames"),
           col("audio.duration_ms").as("duration_ms"))),
+    // video round-trip, same shape as mm_audio_meta: deterministic MP4
+    // container geometry → real ISO-BMFF bytes → box-walk parse
+    "mm_video_meta" -> ((s, dir) =>
+      graft.multimodal.Multimodal.decodeVideoPartitions(
+          graft.multimodal.Multimodal.synthesizeMp4Payload(
+            Tables.documents(s, dir).select(
+              col("doc_id").as("asset_id"),
+              (lit(600) * (lit(1) + col("doc_id") % 3)).cast("int").as("timescale"),
+              (col("n_chars") % 5000 + 600).cast("int").as("duration_ticks"),
+              (lit(1) + col("doc_id") % 2).cast("int").as("n_tracks"),
+              (lit(320) * (lit(1) + col("doc_id") % 4)).cast("int").as("width"),
+              (lit(240) * (lit(1) + col("doc_id") % 4)).cast("int").as("height")))
+            .select("asset_id", "payload"))
+        .select(col("asset_id"),
+          col("video.timescale").as("timescale"),
+          col("video.duration_ticks").as("duration_ticks"),
+          col("video.n_tracks").as("n_tracks"),
+          col("video.width").as("width"),
+          col("video.height").as("height"),
+          col("video.duration_ms").as("duration_ms"))),
 
     // ---- dedup family over documents ----
     "dedup_exact_groups" -> ((s, dir) =>
@@ -2432,6 +2452,16 @@ object SparkEntry {
         | CAST(8 * (1 + doc_id % 2) AS INTEGER) AS bits_per_sample,
         | CAST(n_chars % 1000 + 1 AS BIGINT) AS n_frames,
         | CAST((n_chars % 1000 + 1) * 1000 // (8000 + (doc_id % 5) * 2000) AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "mm_video_meta" ->
+      """SELECT doc_id AS asset_id,
+        | CAST(600 * (1 + doc_id % 3) AS BIGINT) AS timescale,
+        | CAST(n_chars % 5000 + 600 AS BIGINT) AS duration_ticks,
+        | CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks,
+        | CAST(320 * (1 + doc_id % 4) AS INTEGER) AS width,
+        | CAST(240 * (1 + doc_id % 4) AS INTEGER) AS height,
+        | CAST((n_chars % 5000 + 600) * 1000 // (600 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
 
     "dedup_exact_groups" ->

@@ -185,6 +185,57 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Nullable video-decode struct appended by [[decodeVideoPartitions]]. */
+  val videoSchema: StructType = StructType(Seq(
+    StructField("timescale", LongType),
+    StructField("duration_ticks", LongType),
+    StructField("n_tracks", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Video counterpart of [[decodePartitions]]: parse ISO-BMFF (MP4)
+    * container metadata per partition ([[VideoCodec]]) into an appended
+    * nullable `video` struct; payloads that aren't well-formed MP4 keep
+    * `video = null`. Frame-level codecs plug into the same seam. */
+  def decodeVideoPartitions(df: DataFrame): DataFrame = {
+    val outSchema = df.schema.add("video", videoSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      def safeDecode(p: Array[Byte]): Option[VideoCodec.Mp4Meta] =
+        try VideoCodec.decodeMp4(p)
+        catch { case scala.util.control.NonFatal(_) => None }
+      rows.map { r =>
+        val decoded = safeDecode(r.getAs[Array[Byte]](payloadIdx)) match {
+          case Some(m) => org.apache.spark.sql.Row(
+            m.timescale, m.durationTicks, m.nTracks, m.width, m.height, m.durationMs)
+          case None => null
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ decoded)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Synthesis side of the video round-trip (see [[synthesizeWavPayload]]):
+    * append a deterministic MP4 `payload` built per row from integer
+    * geometry columns (`timescale`, `duration_ticks`, `n_tracks`,
+    * `width`, `height`). */
+  def synthesizeMp4Payload(df: DataFrame): DataFrame = {
+    val outSchema = df.schema.add("payload", org.apache.spark.sql.types.BinaryType)
+    val ts = df.schema.fieldIndex("timescale")
+    val du = df.schema.fieldIndex("duration_ticks")
+    val nt = df.schema.fieldIndex("n_tracks")
+    val w = df.schema.fieldIndex("width")
+    val h = df.schema.fieldIndex("height")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = VideoCodec.encodeMp4(
+          r.getInt(ts), r.getInt(du), r.getInt(nt), r.getInt(w), r.getInt(h))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Frame/segment sampling plumbing: emit `k` logical sample offsets per
     * asset (time- or byte-based) as one row each — the fan-out a video
     * frame-sampler produces, without the codec. Downstream operators see

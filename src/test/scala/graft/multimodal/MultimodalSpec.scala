@@ -258,6 +258,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).isEmpty)
   }
 
+  test("decodeVideoPartitions parses MP4 payloads, nulls everything else") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, VideoCodec.encodeMp4(30000, 90000, 2, 1920, 1080)),
+        Row(2L, Array[Byte](0, 0, 0, 0, 1, 2, 3, 4)))),
+      StructType(Seq(
+        StructField("asset_id", LongType), StructField("payload", BinaryType))))
+    val out = Multimodal.decodeVideoPartitions(df)
+      .select(col("asset_id"), col("video")).collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    val v = out(1L).get
+    assert((v.getLong(0), v.getLong(1), v.getInt(2), v.getInt(3), v.getInt(4), v.getLong(5)) ==
+      ((30000L, 90000L, 2, 1920, 1080, 3000L)))
+    assert(out(2L).isEmpty)
+  }
+
   test("fromBinaryFiles wraps binaryFile-shaped input into the asset schema") {
     val raw = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row("/data/a.png", Array[Byte](1, 2)))),

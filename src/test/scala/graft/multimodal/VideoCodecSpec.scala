@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class VideoCodecSpec extends AnyFunSuite {
+
+  test("decodes encoded MP4 metadata exactly") {
+    val m = VideoCodec.decodeMp4(VideoCodec.encodeMp4(30000, 90000, 2, 1920, 1080)).get
+    assert(m == VideoCodec.Mp4Meta(30000L, 90000L, 2, 1920, 1080))
+    assert(m.durationMs == 3000L)
+  }
+
+  test("audio-shaped extra tracks don't override the display geometry") {
+    val m = VideoCodec.decodeMp4(VideoCodec.encodeMp4(1000, 500, 3, 640, 480)).get
+    assert(m.nTracks == 3 && m.width == 640 && m.height == 480)
+  }
+
+  test("tolerates a free box and an mdat between ftyp and moov") {
+    val base = VideoCodec.encodeMp4(600, 1200, 1, 320, 240)
+    val ftypLen = java.nio.ByteBuffer.wrap(base, 0, 4).getInt
+    def box(tp: String, n: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + n)
+      bb.putInt(8 + n).put(tp.getBytes("US-ASCII")).put(new Array[Byte](n))
+      bb.array()
+    }
+    val spliced = base.take(ftypLen) ++ box("free", 12) ++ box("mdat", 40) ++ base.drop(ftypLen)
+    val m = VideoCodec.decodeMp4(spliced).get
+    assert(m.timescale == 600L && m.durationTicks == 1200L && m.width == 320)
+  }
+
+  test("corrupt inputs return None, never throw") {
+    val good = VideoCodec.encodeMp4(1000, 1000, 1, 320, 240)
+    assert(VideoCodec.decodeMp4(null).isEmpty)
+    assert(VideoCodec.decodeMp4(Array.empty[Byte]).isEmpty)
+    assert(VideoCodec.decodeMp4("plain text bytes, definitely not a movie".getBytes).isEmpty)
+    assert(VideoCodec.decodeMp4(good.take(20)).isEmpty)           // truncated moov
+    val badSize = good.clone()
+    // corrupt the moov box size to a value larger than the payload
+    val ftypLen = java.nio.ByteBuffer.wrap(good, 0, 4).getInt
+    java.nio.ByteBuffer.wrap(badSize, ftypLen, 4).putInt(Int.MaxValue)
+    assert(VideoCodec.decodeMp4(badSize).isEmpty)
+    val tinyBox = good.clone()
+    java.nio.ByteBuffer.wrap(tinyBox, ftypLen, 4).putInt(4)       // size < 8
+    assert(VideoCodec.decodeMp4(tinyBox).isEmpty)
+  }
+
+  test("version-1 mvhd (64-bit duration) parses") {
+    // hand-build moov(mvhd v1): 8+8 timestamps, u32 timescale, u64 duration
+    def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tp.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(112)
+      bb.putInt(0x01000000)            // version 1
+      bb.position(20); bb.putInt(90000) // timescale after two u64 timestamps
+      bb.putLong(0x100000000L)          // duration > 32 bits
+      bb.array()
+    }
+    val trak = box("trak", box("tkhd", new Array[Byte](84)))
+    val ftyp = box("ftyp", "isomiso2".getBytes("US-ASCII"))
+    val m = VideoCodec.decodeMp4(ftyp ++ box("moov", box("mvhd", mvhd.toArray) ++ trak)).get
+    assert(m.timescale == 90000L && m.durationTicks == 0x100000000L)
+    assert(m.width == 0 && m.height == 0)
+  }
+
+  test("encodeMp4 rejects invalid geometry") {
+    intercept[IllegalArgumentException](VideoCodec.encodeMp4(0, 10, 1, 320, 240))
+    intercept[IllegalArgumentException](VideoCodec.encodeMp4(1000, 10, 0, 320, 240))
+    intercept[IllegalArgumentException](VideoCodec.encodeMp4(1000, 10, 1, 40000, 240))
+  }
+}
