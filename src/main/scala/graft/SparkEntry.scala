@@ -2,7 +2,7 @@ package graft
 
 import graft.etl.MusicKpis
 import graft.functions.Text
-import graft.operators.{Dedup, GroupTop, Similarity}
+import graft.operators.{Dedup, GroupTop, Mixture, Similarity}
 import graft.quality.Checks
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -336,6 +336,17 @@ object SparkEntry {
           col("video.width").as("width"),
           col("video.height").as("height"),
           col("video.duration_ms").as("duration_ms"))),
+
+    // deterministic weighted source interleave (stride scheduling) —
+    // the training-order "data mixing" step; scale-safe via GlobalIndex,
+    // no per-source window
+    "corpus_mix_order" -> ((s, dir) =>
+      Mixture.interleave(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          id = "doc_id", source = "source",
+          weight = expr("1 + cast(substring(source, 4) as int) % 4"),
+          strideLcm = 12)
+        .select(col("doc_id"), col("source"), col("wt"), col("mix_pos"))),
 
     // ---- dedup family over documents ----
     "dedup_exact_groups" -> ((s, dir) =>
@@ -2463,6 +2474,17 @@ object SparkEntry {
         | CAST(240 * (1 + doc_id % 4) AS INTEGER) AS height,
         | CAST((n_chars % 5000 + 600) * 1000 // (600 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
+
+    // same stride key, same (key, source, id) tie-break as the operator
+    "corpus_mix_order" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |         1 + CAST(substr(source, 4) AS INTEGER) % 4 AS wt,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS k
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(wt AS INTEGER) AS wt,
+        | CAST(row_number() OVER (ORDER BY (2*k - 1) * (12 // wt), source, doc_id) - 1 AS BIGINT) AS mix_pos
+        |FROM w""".stripMargin,
 
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS keeper_id, count(*) AS n_dups
