@@ -348,6 +348,16 @@ object SparkEntry {
           strideLcm = 12)
         .select(col("doc_id"), col("source"), col("wt"), col("mix_pos"))),
 
+    // budgeted corpus selection: take documents best-first (longest here)
+    // until the char budget is spent — running total via PrefixSum's
+    // two-phase scan, NOT a single-task global window
+    "corpus_budget_select" -> ((s, dir) =>
+      graft.operators.PrefixSum.runningTotal(
+          Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+          "cum_chars", col("n_chars"), col("n_chars").desc, col("doc_id").asc)
+        .filter(col("cum_chars") <= 100000L)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("cum_chars"))),
+
     // ---- dedup family over documents ----
     "dedup_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")),
@@ -2474,6 +2484,15 @@ object SparkEntry {
         | CAST(240 * (1 + doc_id % 4) AS INTEGER) AS height,
         | CAST((n_chars % 5000 + 600) * 1000 // (600 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
+
+    // total order (n_chars DESC, doc_id) has no peers, so the window's
+    // default RANGE frame equals the operator's ROWS semantics
+    "corpus_budget_select" ->
+      """SELECT doc_id, source, n_chars, cum_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_chars
+        |  FROM documents)
+        |WHERE cum_chars <= 100000""".stripMargin,
 
     // same stride key, same (key, source, id) tie-break as the operator
     "corpus_mix_order" ->

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Distributed running total (inclusive prefix sum) under a global total
+  * order — the scan primitive behind budgeted corpus selection ("take
+  * documents best-first until the token budget is spent"), cumulative
+  * mixture curves, and quota lines.
+  *
+  * The naive form — `sum(v).over(Window.orderBy(keys))` with no partition
+  * clause — funnels every row through ONE task, the same impossibility
+  * [[GlobalIndex]] documents for global ranks. Same cure, adapted to
+  * sums (two-phase scan):
+  *
+  *  1. range-repartition by the order keys and sort within partitions —
+  *     partition i holds keys strictly before partition i+1's;
+  *  2. one in-order pass per partition (`mapPartitions` — per-partition
+  *     imperative logic is exactly what it is for) accumulates the LOCAL
+  *     running sum, needing no window and no extra exchange; the
+  *     partition tag comes from the `spark_partition_id()` EXPRESSION,
+  *     never `TaskContext.getPartitionId()` — an expression is
+  *     initialized with its own RDD's split index, which survives a
+  *     downstream `coalesce(1)` (e.g. a single-file write), while the
+  *     TaskContext id is the MERGED task's index: every pre-coalesce
+  *     partition would report pid 0, silently matching offset 0;
+  *  3. per-partition totals (one row per partition) are prefix-summed
+  *     into starting offsets — the only unpartitioned window runs over
+  *     |partitions| rows — and broadcast back; global running total =
+  *     partition offset + local running sum.
+  *
+  * The scanned frame feeds both the totals aggregate and the final join;
+  * the range exchange below them is deterministic and AQE reuses it as a
+  * single shuffle stage (verified on the sibling GlobalIndex shape), so
+  * the input is scanned and shuffled once, with only the cheap in-order
+  * pass above the exchange running per consumer.
+  */
+object PrefixSum {
+
+  /** (input columns…, `totalName`) with `totalName` = inclusive running
+    * total of `value` under `order`. Pass a TOTAL order (include a unique
+    * id as the last key) — with ties the result would depend on partition
+    * placement. Null `value`s count as 0. */
+  def runningTotal(df: DataFrame, totalName: String, value: Column, order: Column*): DataFrame = {
+    require(order.nonEmpty, "runningTotal needs at least one ordering column")
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val withV = df.withColumn("__v", coalesce(value.cast("long"), lit(0L)))
+    val vIdx = withV.schema.fieldIndex("__v")
+    // spark_partition_id() is nondeterministic to Catalyst, which also
+    // pins it above the range exchange + sort
+    val sorted = withV.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val outSchema = sorted.schema.add("__run", LongType)
+    val scanned = sorted.mapPartitions { rows =>
+      var acc = 0L
+      rows.map { r =>
+        acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    // partition total from the values, not max(__run) — negative deltas
+    // (sweep-line style) make the last running sum ≠ the max
+    val offsets = scanned.groupBy(col("__pid")).agg(sum(col("__v")).as("__total"))
+      .withColumn("__offset",
+        coalesce(
+          sum(col("__total")).over(
+            Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    scanned.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(totalName, col("__run") + col("__offset"))
+      .drop("__v", "__pid", "__run", "__offset")
+  }
+}

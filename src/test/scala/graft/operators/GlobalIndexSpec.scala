@@ -35,6 +35,16 @@ class GlobalIndexSpec extends SparkSpec {
     assert(p1.count { case (id, idx) => idx == id - 1 } < 50) // and actually shuffled
   }
 
+  test("indexes survive a downstream coalesce(1)") {
+    // regression guard: monotonically_increasing_id is initialized from
+    // its own RDD's split index, so a single-file write's coalesce must
+    // not collapse the partition component (a TaskContext-based tag
+    // would — see PrefixSumSpec's twin test)
+    val idx = GlobalIndex.withGlobalIndex(rows.repartition(7), "idx", col("id"))
+      .coalesce(1).select("id", "idx").as[(Long, Long)].collect().toMap
+    assert(idx == (1L to 500L).map(i => i -> (i - 1)).toMap)
+  }
+
   test("the plan range-partitions instead of collapsing to one task") {
     val plan = GlobalIndex.withGlobalIndex(rows.repartition(8), "idx", col("id"))
       .queryExecution.executedPlan.toString.toLowerCase
