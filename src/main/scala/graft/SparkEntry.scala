@@ -358,6 +358,54 @@ object SparkEntry {
         .filter(col("cum_chars") <= 100000L)
         .select(col("doc_id"), col("source"), col("n_chars"), col("cum_chars"))),
 
+    // cross-source duplication matrix: which source pairs share document
+    // openings (first-5-token shingle — exact-dup keys find nothing in a
+    // deduped crawl; shared openings expose templated boilerplate) —
+    // per-source distinct keys, then a self equi-join on the key (never
+    // on source), so candidate volume is linear in shared keys
+    "source_overlap_matrix" -> ((s, dir) => {
+      val f = Tables.documents(s, dir)
+        .select(col("source"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("k"))
+        .distinct()
+      f.as("a").join(f.as("b"),
+          col("a.k") === col("b.k") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
+    // incremental-crawl dedup: keep only new-batch docs whose content key
+    // is absent from the historical corpus — an anti-join on the key; at
+    // deployment the historical side is the precomputed fingerprint
+    // table, so the old corpus text never moves
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val hist = docs.filter(col("doc_id") % 10 >= 2)
+        .select(md5(col("text")).as("k")).distinct()
+      docs.filter(col("doc_id") % 10 < 2)
+        .withColumn("k", md5(col("text")))
+        .join(hist, Seq("k"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // per-language quality calibration: min-max normalize the quality
+    // score within each language (cross-lingual thresholds are not
+    // comparable raw) — a |langs|-row aggregate broadcast back, all
+    // arithmetic in exact integers
+    "quality_norm_by_lang" -> ((s, dir) => {
+      val q = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          floor(Text.qualityScoreRaw(col("text")) * 1e6 + 0.5).cast("long")
+            .as("quality_e6"))
+      val stats = q.groupBy("lang")
+        .agg(min("quality_e6").as("__qmin"), max("quality_e6").as("__qmax"))
+      q.join(broadcast(stats), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("quality_e6"),
+          when(col("__qmax") === col("__qmin"), lit(0L))
+            .otherwise(expr("(quality_e6 - __qmin) * 1000000 div (__qmax - __qmin)"))
+            .as("norm_e6"))
+    }),
+
     // ---- dedup family over documents ----
     "dedup_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")),
@@ -2504,6 +2552,50 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(wt AS INTEGER) AS wt,
         | CAST(row_number() OVER (ORDER BY (2*k - 1) * (12 // wt), source, doc_id) - 1 AS BIGINT) AS mix_pos
         |FROM w""".stripMargin,
+
+    "source_overlap_matrix" ->
+      """WITH f AS (SELECT DISTINCT source,
+        |  array_to_string(string_split(text, ' ')[1:5], ' ') AS k FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM f a JOIN f b ON a.k = b.k AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+
+    "dedup_incremental" ->
+      """SELECT d.doc_id, d.source, d.n_chars FROM documents d
+        |WHERE d.doc_id % 10 < 2 AND NOT EXISTS (
+        |  SELECT 1 FROM documents h
+        |  WHERE h.doc_id % 10 >= 2 AND md5(h.text) = md5(d.text))""".stripMargin,
+
+    // same quality formula as doc_quality, then exact-integer min-max
+    // normalization per language; // and div both truncate, operands
+    // are non-negative so floor == trunc on both engines
+    "quality_norm_by_lang" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS ws,
+        |         CAST(length(text) AS DOUBLE) AS nchars
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, nchars, ws,
+        |         CAST(len(ws) AS DOUBLE) AS ntok,
+        |         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN nchars = 0 THEN 0 ELSE floor((
+        |      least(ntok / 100.0, 1.0) * 0.3
+        |      + (alpha / nchars) * 0.3
+        |      + (CASE WHEN (nchars - (ntok - 1)) / ntok BETWEEN 2.0 AND 12.0
+        |              THEN 1.0 ELSE 0.3 END) * 0.2
+        |      + (CASE WHEN len(list_intersect(ws,
+        |           ['the','a','an','and','of','to','in','is','it','that'])) > 0
+        |              THEN 1.0 ELSE 0.5 END)* 0.2) * 1000000.0 + 0.5) END AS BIGINT) AS quality_e6
+        |  FROM s),
+        |m AS (SELECT lang, min(quality_e6) AS qmin, max(quality_e6) AS qmax FROM q GROUP BY lang)
+        |SELECT q.doc_id, q.lang, q.quality_e6,
+        |  CAST(CASE WHEN m.qmax = m.qmin THEN 0
+        |       ELSE (q.quality_e6 - m.qmin) * 1000000 // (m.qmax - m.qmin) END AS BIGINT) AS norm_e6
+        |FROM q JOIN m ON q.lang = m.lang""".stripMargin,
 
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS keeper_id, count(*) AS n_dups
