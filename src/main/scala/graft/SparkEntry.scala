@@ -406,6 +406,17 @@ object SparkEntry {
             .as("norm_e6"))
     }),
 
+    // per-source budget spend: each source keeps its own best-first docs
+    // until ITS budget is exhausted — grouped two-phase scan, never a
+    // per-source window (a huge source would collapse to one task)
+    "corpus_budget_per_source" -> ((s, dir) =>
+      graft.operators.PrefixSum.runningTotalByGroup(
+          Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+          "cum_chars", col("n_chars"), col("source"),
+          col("n_chars").desc, col("doc_id").asc)
+        .filter(col("cum_chars") <= 5000L)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("cum_chars"))),
+
     // ---- dedup family over documents ----
     "dedup_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")),
@@ -2552,6 +2563,14 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(wt AS INTEGER) AS wt,
         | CAST(row_number() OVER (ORDER BY (2*k - 1) * (12 // wt), source, doc_id) - 1 AS BIGINT) AS mix_pos
         |FROM w""".stripMargin,
+
+    "corpus_budget_per_source" ->
+      """SELECT doc_id, source, n_chars, cum_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(sum(n_chars) OVER (PARTITION BY source
+        |           ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_chars
+        |  FROM documents)
+        |WHERE cum_chars <= 5000""".stripMargin,
 
     "source_overlap_matrix" ->
       """WITH f AS (SELECT DISTINCT source,

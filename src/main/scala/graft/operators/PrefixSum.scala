@@ -73,4 +73,54 @@ object PrefixSum {
       .withColumn(totalName, col("__run") + col("__offset"))
       .drop("__v", "__pid", "__run", "__offset")
   }
+
+  /** Per-group running total under a per-group order — "spend each
+    * source's budget best-first" — without `Window.partitionBy(group)`,
+    * which would collapse a 100 TB source into one task. Same two-phase
+    * scan as [[runningTotal]] with the group prepended to the range
+    * keys: groups are contiguous within and ACROSS partitions, the
+    * in-order pass resets its accumulator at group changes, and the
+    * offset table becomes one row per (partition, group-slice) — bounded
+    * by partitions + groups, prefix-summed per group over partition ids.
+    * `order` must be total within a group (end with a unique id). */
+  def runningTotalByGroup(df: DataFrame, totalName: String, value: Column,
+      group: Column, order: Column*): DataFrame = {
+    require(order.nonEmpty, "runningTotalByGroup needs at least one ordering column")
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val withV = df.withColumn("__v", coalesce(value.cast("long"), lit(0L)))
+      .withColumn("__g", group)
+    val vIdx = withV.schema.fieldIndex("__v")
+    val gIdx = withV.schema.fieldIndex("__g")
+    val keys = (col("__g") +: order).toSeq
+    val sorted = withV.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val outSchema = sorted.schema.add("__run", LongType)
+    val scanned = sorted.mapPartitions { rows =>
+      var acc = 0L
+      var cur: Any = null
+      var first = true
+      rows.map { r =>
+        val g = r.get(gIdx)
+        if (first || !java.util.Objects.equals(cur, g)) { acc = 0L; cur = g; first = false }
+        acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    // one row per (partition, group-slice); a group spanning p partitions
+    // contributes p rows — the whole table is ≤ partitions + groups rows
+    val offsets = scanned.groupBy(col("__pid"), col("__g").as("__og"))
+      .agg(sum(col("__v")).as("__total"))
+      .withColumn("__offset",
+        coalesce(
+          sum(col("__total")).over(
+            Window.partitionBy(col("__og")).orderBy(col("__pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__og"), col("__offset"))
+    scanned.join(broadcast(offsets),
+        scanned("__pid") === offsets("__pid") && scanned("__g") <=> col("__og"))
+      .drop(offsets("__pid"))
+      .withColumn(totalName, col("__run") + col("__offset"))
+      .drop("__v", "__g", "__pid", "__run", "__og", "__offset")
+  }
 }

@@ -50,6 +50,26 @@ class PrefixSumSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("grouped running total matches the per-group window, groups spanning partitions") {
+    // 3 groups × 80 rows over 4 shuffle partitions forces every group
+    // across partition boundaries
+    val rows = for (g <- Seq("a", "b", "c"); i <- 1L to 80L)
+      yield Row(g.hashCode * 1000L + i, g, i % 17)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 7),
+      StructType(Seq(StructField("id", LongType), StructField("g", StringType),
+        StructField("v", LongType))))
+    val got = PrefixSum.runningTotalByGroup(df, "cum", col("v"), col("g"),
+        col("id").asc)
+      .coalesce(1).select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = (for (g <- Seq("a", "b", "c")) yield {
+      var acc = 0L
+      (1L to 80L).map { i => acc += i % 17; (g.hashCode * 1000L + i) -> acc }
+    }).flatten.toMap
+    assert(got == ref)
+  }
+
   test("null values count as zero") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(1L, java.lang.Long.valueOf(10L)), Row(2L, null), Row(3L, java.lang.Long.valueOf(5L)))),
