@@ -49,6 +49,21 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(hugeChunk.nonEmpty)
   }
 
+  test("fuzz: random and bit-flipped blobs never throw") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val blob = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(blob)
+      AudioCodec.decodeWav(blob) // must not throw; result is irrelevant
+    }
+    val good = wav(16000, 2, 16, 50)
+    for (_ <- 1 to 500) {
+      val mutated = good.clone()
+      mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      AudioCodec.decodeWav(mutated)
+    }
+  }
+
   test("truncated data chunk reports the frames actually present") {
     val full = wav(8000, 1, 16, 100) // declares 200 data bytes
     val cut = full.take(44 + 50)     // only 25 frames really present

@@ -44,6 +44,21 @@ class VideoCodecSpec extends AnyFunSuite {
     assert(VideoCodec.decodeMp4(tinyBox).isEmpty)
   }
 
+  test("fuzz: random and bit-flipped blobs never throw") {
+    val rnd = new scala.util.Random(43)
+    for (_ <- 1 to 500) {
+      val blob = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(blob)
+      VideoCodec.decodeMp4(blob) // must not throw; result is irrelevant
+    }
+    val good = VideoCodec.encodeMp4(30000, 90000, 2, 1920, 1080)
+    for (_ <- 1 to 500) {
+      val mutated = good.clone()
+      mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      VideoCodec.decodeMp4(mutated)
+    }
+  }
+
   test("version-1 mvhd (64-bit duration) parses") {
     // hand-build moov(mvhd v1): 8+8 timestamps, u32 timescale, u64 duration
     def box(tp: String, payload: Array[Byte]): Array[Byte] = {
