@@ -417,6 +417,16 @@ object SparkEntry {
         .filter(col("cum_chars") <= 5000L)
         .select(col("doc_id"), col("source"), col("n_chars"), col("cum_chars"))),
 
+    // padding-efficient batching: same-length-bucket docs share a batch;
+    // within-bucket numbering via GlobalIndex + count prefix sum, never
+    // a per-bucket window
+    "length_batch_assign" -> ((s, dir) =>
+      graft.operators.Batching.lengthGrouped(
+          Tables.documents(s, dir).select("doc_id", "n_chars"),
+          "doc_id", col("n_chars"), bucketWidth = 100, batchSize = 32)
+        .select(col("doc_id"), col("n_chars"), col("bucket"),
+          col("batch_in_bucket"), col("pos_in_batch"))),
+
     // ---- dedup family over documents ----
     "dedup_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")),
@@ -2563,6 +2573,17 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(wt AS INTEGER) AS wt,
         | CAST(row_number() OVER (ORDER BY (2*k - 1) * (12 // wt), source, doc_id) - 1 AS BIGINT) AS mix_pos
         |FROM w""".stripMargin,
+
+    "length_batch_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars, n_chars // 100 AS bucket,
+        |         row_number() OVER (PARTITION BY n_chars // 100
+        |                            ORDER BY doc_id) - 1 AS k
+        |  FROM documents)
+        |SELECT doc_id, n_chars, CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(k // 32 AS BIGINT) AS batch_in_bucket,
+        |       CAST(k % 32 AS INTEGER) AS pos_in_batch
+        |FROM b""".stripMargin,
 
     "corpus_budget_per_source" ->
       """SELECT doc_id, source, n_chars, cum_chars FROM (

@@ -224,6 +224,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L)._2 == expected)
   }
 
+  test("ImageCodec fuzz: random and bit-flipped blobs never throw") {
+    val rnd = new scala.util.Random(44)
+    for (_ <- 1 to 500) {
+      val blob = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(blob)
+      ImageCodec.decode(blob) // must not throw; result is irrelevant
+    }
+    // mutate a valid P6 header+raster — magic bytes often survive, so
+    // this walks the parser deeper than pure-random input does
+    val ppm = ("P6\n4 3\n255\n").getBytes("US-ASCII") ++ Array.fill(36)(7.toByte)
+    for (_ <- 1 to 500) {
+      val mutated = ppm.clone()
+      mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      ImageCodec.decode(mutated)
+    }
+  }
+
   test("sampleOffsets fans out k ordered offsets per asset") {
     val s = Multimodal.sampleOffsets(assets, k = 3)
       .collect().map(r => (r.getAs[Long]("asset_id"), r.getAs[Int]("sample_idx"), r.getAs[Long]("byte_offset")))
