@@ -46,6 +46,7 @@ object SparkEntry {
   private val SubK = 6          // substring_dup_*: token-window length
   private val BpeTopK = 20      // bpe_pair_stats: merge candidates kept
   private val CtPool = 32       // contrastive_triplets: negative-pool size
+  private val DsirBuckets = 256 // dsir_weights: hashed-feature buckets
 
   /** streams⋈songs⋈users stand-in over the testdata star schema:
     * events ⋈ customer (user_id) ⋈ nation (c_nationkey), + date/hour. */
@@ -540,6 +541,15 @@ object SparkEntry {
     "doc_token_freq" -> ((s, dir) =>
       graft.operators.TermStats.corpusFrequencyScores(
         Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- bigram-LM perplexity scoring (CCNet-style filter): model trained
+    // on the deterministic hash-half reference corpus, every doc scored ----
+    "doc_lm_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ref = docs.filter(
+        graft.functions.PortableHash.hash60(col("doc_id")) % 2 === 0)
+      graft.operators.LangModel.bigramNll(ref, docs, "doc_id", "text")
+    }),
 
     // ---- contrastive triplets: near-dup pairs (LSH scale path) as
     // positives, deterministic pool-hash negatives ----
@@ -1723,6 +1733,38 @@ object SparkEntry {
         |       ELSE floor(CAST(a.novel_grams AS DOUBLE) / a.n_grams * 1000000.0 + 0.5)
         |       END AS BIGINT) AS novelty_e6
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // Bigram-LM scoring: same hash-half reference split, same add-one
+    // smoothing, per-DISTINCT-bigram e6 quantization BEFORE the doc sum so
+    // the comparison never rides on float-summation order.
+    "doc_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tr AS (SELECT ws FROM toks WHERE ${dh("CAST(doc_id AS VARCHAR)")} % 2 = 0),
+         |trb AS (SELECT ws[i] AS l, ws[i+1] AS r
+         |        FROM tr, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+         |cb AS (SELECT l, r, CAST(count(*) AS BIGINT) AS cb FROM trb GROUP BY 1, 2),
+         |cl AS (SELECT l, CAST(count(*) AS BIGINT) AS cl FROM trb GROUP BY 1),
+         |v AS (SELECT count(DISTINCT term) AS v
+         |      FROM (SELECT UNNEST(ws) AS term FROM tr)),
+         |db AS (SELECT doc_id, ws[i] AS l, ws[i+1] AS r
+         |       FROM toks, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+         |dbt AS (SELECT doc_id, l, r, count(*) AS tf FROM db GROUP BY 1, 2, 3),
+         |sc AS (SELECT d.doc_id, d.tf,
+         |         CAST(floor(-ln((COALESCE(cb.cb, 0) + 1.0) /
+         |                        (COALESCE(cl.cl, 0) + v.v)) * 1000000.0 + 0.5)
+         |              AS BIGINT) AS nll
+         |       FROM dbt d LEFT JOIN cb ON d.l = cb.l AND d.r = cb.r
+         |                  LEFT JOIN cl ON d.l = cl.l
+         |                  CROSS JOIN v),
+         |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |               CAST(sum(tf * nll) AS BIGINT) AS nll_e6
+         |        FROM sc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(a.nll_e6, 0) AS nll_e6,
+         |  CAST(CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0
+         |       ELSE floor(CAST(a.nll_e6 AS DOUBLE) / a.n_bigrams + 0.5)
+         |       END AS BIGINT) AS avg_nll_e6
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "doc_token_freq" ->
       """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
         |dc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Statistical language-model scoring for corpus curation — the
+  * perplexity-filter stage of a web-scale training-data pipeline (CCNet:
+  * Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets from
+  * Web Crawl Data", LREC 2020, which ranks Common Crawl documents by the
+  * perplexity of a KenLM model trained on a clean reference corpus).
+  *
+  * This is the n-gram-count core of that idea, in-engine: train an
+  * add-one-smoothed bigram model on a reference corpus (any DataFrame — a
+  * curated subset, a prior snapshot, a different source), then score every
+  * document by its total and per-token negative log-likelihood. High
+  * `avg_nll_e6` = far from the reference distribution = gibberish / OCR
+  * noise / wrong-language candidates; the score is the ranking key a
+  * curation pipeline thresholds or quota-samples on.
+  *
+  * Engine portability: each bigram's `-ln((c_bigram + 1) / (c_left + V))`
+  * is quantized to integer micro-units BEFORE the per-document sum, so the
+  * document score is a sum of integers — order-independent and identical
+  * across engines regardless of float-summation order (`ln` ulp differences
+  * are absorbed by the quantization, the discipline proven by
+  * [[TermStats.topTerms]]).
+  *
+  * Scale shape: the model IS two hash aggregations over the reference
+  * corpus ((left,right) counts and left-history counts) — no driver-side
+  * state, no collected vocabulary; the vocabulary size V rides along as a
+  * broadcast single-row frame. Scoring pre-aggregates each document to
+  * (doc, left, right, tf) so the model join fans out per DISTINCT bigram,
+  * not per occurrence, then joins the count relations on their natural
+  * keys (both shuffle equi-joins; the model side is NOT assumed
+  * broadcastable — at 100 TB a bigram table isn't). Hot bigrams ("of the")
+  * skew the join key; AQE skew-join handles that split, same as the term
+  * join in [[TermStats]].
+  */
+object LangModel {
+
+  /** (idCol, left, right) adjacent-token pairs, repeats kept — one row per
+    * bigram OCCURRENCE. Per-row lambda over the token array; no join. */
+  def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), Text.tokens(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(0), size(col("__ws")) - 2),
+        i => struct(
+          element_at(col("__ws"), i + 1).as("left"),
+          element_at(col("__ws"), i + 2).as("right")))).as("__p"))
+      .select(col(idCol), col("__p.left").as("left"), col("__p.right").as("right"))
+
+  /** Score every row of `docs` under an add-one-smoothed bigram model
+    * trained on `train`.
+    *
+    * Output: (idCol, n_bigrams, nll_e6, avg_nll_e6) — total bigram count,
+    * total negative log-likelihood in micro-units, and its per-bigram mean.
+    * Documents with fewer than 2 tokens score (0, 0, 0): no evidence, no
+    * penalty — callers filter on `n_bigrams` if they want them gone. */
+  def bigramNll(train: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val trainBigrams = bigrams(train, idCol, textCol).select("left", "right")
+    val bigramCounts = trainBigrams.groupBy("left", "right").agg(count(lit(1)).as("__cb"))
+    val historyCounts = trainBigrams.groupBy("left").agg(count(lit(1)).as("__cl"))
+    val vocab = train.select(explode(Text.tokens(col(textCol))).as("__term"))
+      .agg(count_distinct(col("__term")).as("__v"))
+
+    val docBigrams = Partitions.widen(bigrams(docs, idCol, textCol), col(idCol))
+      .groupBy(col(idCol), col("left"), col("right")).agg(count(lit(1)).as("__tf"))
+
+    // -ln of the smoothed conditional, quantized per DISTINCT bigram, then
+    // weighted by tf — the sum over quantized integers is order-independent
+    val scored = docBigrams
+      .join(bigramCounts, Seq("left", "right"), "left")
+      .join(historyCounts, Seq("left"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__nll_e6",
+        floor(-log((coalesce(col("__cb"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("__cl"), lit(0L)).cast("double") + col("__v").cast("double")))
+          * lit(1e6) + lit(0.5)).cast("long"))
+
+    val agg = scored.groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_bigrams"),
+        sum(col("__tf") * col("__nll_e6")).as("nll_e6"))
+
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_e6"), lit(0L)).as("nll_e6"))
+      .withColumn("avg_nll_e6",
+        when(col("n_bigrams") === 0, 0L)
+          .otherwise(floor(col("nll_e6").cast("double") / col("n_bigrams").cast("double")
+            + lit(0.5)).cast("long")))
+  }
+}

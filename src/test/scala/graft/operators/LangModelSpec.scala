@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def train = Seq(
+    (1L, "the cat sat"),
+    (2L, "the cat ran"),
+    (3L, "a dog ran")
+  ).toDF("doc_id", "text")
+
+  // train stats: bigrams = (the,cat)x2 (cat,sat) (cat,ran) (a,dog) (dog,ran)
+  // histories: the=2 cat=2 a=1 dog=1; vocab V = {the,cat,sat,ran,a,dog} = 6
+  private def nll(cb: Long, cl: Long): Long =
+    math.floor(-math.log((cb + 1.0) / (cl + 6.0)) * 1e6 + 0.5).toLong
+
+  test("bigramNll matches hand computation, seen and unseen paths") {
+    val docs = Seq(
+      (10L, "the cat sat"),      // seen bigrams: (the,cat) cb=2 cl=2; (cat,sat) cb=1 cl=2
+      (11L, "the zebra"),        // unseen right: (the,zebra) cb=0 cl=2
+      (12L, "zebra quux"),       // unseen history: cb=0 cl=0
+      (13L, "one")               // < 2 tokens → zero row
+    ).toDF("doc_id", "text")
+    val out = LangModel.bigramNll(train, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+    assert(out(10L)._2 == 2L)
+    assert(out(10L)._3 == nll(2, 2) + nll(1, 2))
+    assert(out(11L)._3 == nll(0, 2))
+    assert(out(12L)._3 == nll(0, 0))
+    assert(out(13L) == ((13L, 0L, 0L, 0L)))
+  }
+
+  test("avg is the integer-rounded mean; repeats weight by tf") {
+    val docs = Seq((20L, "the cat the cat")).toDF("doc_id", "text")
+    // bigrams: (the,cat)x2, (cat,the)x1 → n=3
+    val expSum = 2 * nll(2, 2) + nll(0, 2)
+    val row = LangModel.bigramNll(train, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].head()
+    assert(row._2 == 3L)
+    assert(row._3 == expSum)
+    assert(row._4 == math.floor(expSum.toDouble / 3.0 + 0.5).toLong)
+  }
+
+  test("in-distribution text scores lower than out-of-distribution text") {
+    val docs = Seq(
+      (30L, "the cat sat"),
+      (31L, "zz qq ww xx")
+    ).toDF("doc_id", "text")
+    val avg = LangModel.bigramNll(train, docs, "doc_id", "text")
+      .select(col("doc_id"), col("avg_nll_e6")).as[(Long, Long)].collect().toMap
+    assert(avg(30L) < avg(31L))
+  }
+
+  test("every input doc appears exactly once") {
+    val docs = Seq((40L, ""), (41L, "the"), (42L, "the cat")).toDF("doc_id", "text")
+    val out = LangModel.bigramNll(train, docs, "doc_id", "text")
+    assert(out.count() == 3L)
+    assert(out.select("doc_id").distinct().count() == 3L)
+  }
+}
