@@ -551,6 +551,15 @@ object SparkEntry {
       graft.operators.LangModel.bigramNll(ref, docs, "doc_id", "text")
     }),
 
+    // ---- DSIR importance weights: target = English docs, raw = all;
+    // hashed-unigram bucket model broadcasts, corpus never key-shuffles ----
+    "dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Importance.dsirWeights(
+        docs.filter(col("lang") === "en"), docs, docs,
+        "doc_id", "text", buckets = DsirBuckets)
+    }),
+
     // ---- contrastive triplets: near-dup pairs (LSH scale path) as
     // positives, deterministic pool-hash negatives ----
     "contrastive_triplets" -> ((s, dir) => {
@@ -1764,6 +1773,38 @@ object SparkEntry {
          |  CAST(CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0
          |       ELSE floor(CAST(a.nll_e6 AS DOUBLE) / a.n_bigrams + 0.5)
          |       END AS BIGINT) AS avg_nll_e6
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // DSIR: same bucket hash (portable md5 family), same smoothing, same
+    // expression shape — (ct+1)/(cr+1) * (crt+B)/(ctt+B) — so the IEEE
+    // operand reaching ln is bit-identical before quantization.
+    "dsir_weights" ->
+      s"""WITH tok AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS term
+         |            FROM documents),
+         |tb AS (SELECT doc_id, lang,
+         |              CAST(${dh("term")} % $DsirBuckets AS BIGINT) AS b FROM tok),
+         |spine AS (SELECT UNNEST(range(0, $DsirBuckets)) AS b),
+         |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb
+         |       WHERE lang = 'en' GROUP BY b),
+         |cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tb GROUP BY b),
+         |tots AS (SELECT CAST(sum(COALESCE(ct.ct, 0)) AS BIGINT) AS ctt,
+         |                CAST(sum(COALESCE(cr.cr, 0)) AS BIGINT) AS crt
+         |         FROM spine s LEFT JOIN ct ON s.b = ct.b LEFT JOIN cr ON s.b = cr.b),
+         |stats AS (SELECT s.b,
+         |    CAST(floor(ln(((COALESCE(ct.ct, 0) + 1.0) / (COALESCE(cr.cr, 0) + 1.0))
+         |               * ((t.crt + $DsirBuckets.0) / (t.ctt + $DsirBuckets.0)))
+         |         * 1000000.0 + 0.5) AS BIGINT) AS lr
+         |  FROM spine s LEFT JOIN ct ON s.b = ct.b LEFT JOIN cr ON s.b = cr.b
+         |       CROSS JOIN tots t),
+         |db AS (SELECT doc_id, b, count(*) AS tf FROM tb GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |               CAST(sum(tf * lr) AS BIGINT) AS logratio_e6
+         |        FROM db JOIN stats USING (b) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_tokens, 0) AS n_tokens,
+         |  COALESCE(a.logratio_e6, 0) AS logratio_e6,
+         |  CAST(CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0
+         |       ELSE floor(CAST(a.logratio_e6 AS DOUBLE) / a.n_tokens + 0.5)
+         |       END AS BIGINT) AS avg_logratio_e6
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "doc_token_freq" ->
       """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
