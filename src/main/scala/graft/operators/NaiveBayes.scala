@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes text classification, trained and applied
+  * in-engine — the classifier-filter stage of a curation pipeline (the
+  * role fastText's linear classifier plays in CCNet/LLaMA-style quality
+  * and language filtering; McCallum & Nigam, "A Comparison of Event Models
+  * for Naive Bayes Text Classification", AAAI-98 workshop). NB is the one
+  * classic text classifier whose TRAINING is closed-form aggregation — two
+  * hash aggs build the model, no gradient loop — so the whole
+  * train-then-classify pipeline stays a single declarative plan.
+  *
+  * score(d, c) = ln P(c) + Σ_tokens tf·ln((n_{t,c} + 1) / (N_c + V))
+  * (add-one smoothing). Every log term is quantized to integer micro-units
+  * before the sums, so document scores are integer sums — argmax and
+  * tie-breaks identical on every engine (discipline of [[LangModel]]).
+  *
+  * Scale shape: the model is two hash aggregations over the training
+  * corpus — (term, class) counts (the big relation: kept distributed,
+  * joined on its natural key, never collected) and per-class totals +
+  * priors + vocabulary size (|classes| rows — broadcast). Scoring
+  * pre-aggregates each document to (doc, term, tf), fans out by the
+  * |classes|-row broadcast (bounded: distinct-terms × classes), left-joins
+  * the count relation on (term, class), and aggregates back to (doc,
+  * class) → one row_number argmax per doc. Hot terms skew the (term,
+  * class) join; AQE skew-join splits them, as with every term join in
+  * graft. */
+object NaiveBayes {
+
+  /** Train on `train` (labels in `labelCol`), classify every row of `docs`.
+    * Output: (idCol, pred_label, score_e6) — the argmax class and its
+    * quantized joint log-likelihood (ties broken by label ascending). */
+  def classify(train: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, labelCol: String): DataFrame = {
+    val trTokens = train.select(col(labelCol).as("__lab"),
+      explode(Text.tokens(col(textCol))).as("__term"))
+
+    val classCounts = train.groupBy(col(labelCol).as("__lab")).agg(count(lit(1)).as("__nd"))
+    val trainDocs = train.agg(count(lit(1)).as("__ndt"))
+    val termClassCounts = trTokens.groupBy("__term", "__lab").agg(count(lit(1)).as("__n"))
+    val tokensPerClass = trTokens.groupBy("__lab").agg(count(lit(1)).as("__nc"))
+    val vocab = trTokens.agg(count_distinct(col("__term")).as("__v"))
+
+    // |classes| rows: prior + smoothing denominator inputs, broadcast
+    val classModel = classCounts
+      .crossJoin(broadcast(trainDocs))
+      .join(tokensPerClass, Seq("__lab"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__prior_e6",
+        floor(log(col("__nd").cast("double") / col("__ndt").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .select("__lab", "__prior_e6", "__nc", "__v")
+
+    val docTerms = Partitions.widen(
+        docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("__term")), col(idCol))
+      .groupBy(col(idCol), col("__term")).agg(count(lit(1)).as("__tf"))
+
+    val scored = docTerms
+      .crossJoin(broadcast(classModel))
+      .join(termClassCounts, Seq("__term", "__lab"), "left")
+      .withColumn("__lp_e6",
+        floor(log((coalesce(col("__n"), lit(0L)) + lit(1.0)) /
+            (col("__nc").cast("double") + col("__v").cast("double")))
+          * lit(1e6) + lit(0.5)).cast("long"))
+
+    val perClass = scored.groupBy(col(idCol), col("__lab"))
+      .agg((min(col("__prior_e6")) + sum(col("__tf") * col("__lp_e6"))).as("score_e6"))
+
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score_e6").desc, col("__lab").asc)
+    perClass
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__lab").as("pred_label"), col("score_e6"))
+  }
+}
