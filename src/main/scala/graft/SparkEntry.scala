@@ -47,6 +47,8 @@ object SparkEntry {
   private val BpeTopK = 20      // bpe_pair_stats: merge candidates kept
   private val CtPool = 32       // contrastive_triplets: negative-pool size
   private val DsirBuckets = 256 // dsir_weights: hashed-feature buckets
+  private val PqM = 8           // pq_topk: subspaces (64-dim → 8×8)
+  private val PqK = 16          // pq_topk: codewords per subspace
 
   /** streams⋈songs⋈users stand-in over the testdata star schema:
     * events ⋈ customer (user_id) ⋈ nation (c_nationkey), + date/hour. */
@@ -463,6 +465,11 @@ object SparkEntry {
     "ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         nlist = IvfNlist, nprobe = IvfNprobe, k = AnnK)),
+    // product-quantized ADC search: 64× compressed codes, integer
+    // distance arithmetic end-to-end (see Quantize PQ scale notes)
+    "pq_topk" -> ((s, dir) =>
+      graft.operators.Quantize.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        m = PqM, codebookK = PqK, k = AnnK)),
     "near_dup_embeddings" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.4)),
@@ -1727,6 +1734,45 @@ object SparkEntry {
          | CAST(row_number() OVER (ORDER BY ${dh("CAST(doc_id AS VARCHAR)")}, doc_id) - 1
          |      AS BIGINT) AS shuffle_idx
          |FROM documents""".stripMargin,
+    // PQ/ADC: same hash-sampled codebook rule, same subspace split
+    // ((i-1)//subDim), distances e6-quantized at the lookup-table boundary
+    // so codes and ADC sums are integer-exact in both engines.
+    "pq_topk" -> {
+      val subDim = Dim / PqM
+      s"""WITH flat AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |sub AS (SELECT vec_id, CAST((i - 1) // $subDim AS INTEGER) AS s,
+         |               (i - 1) % $subDim AS di, x
+         |        FROM flat),
+         |cbids AS (SELECT vec_id AS cb_vec, CAST(rn - 1 AS INTEGER) AS j FROM (
+         |  SELECT vec_id, row_number() OVER (
+         |    ORDER BY ${dh("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS rn
+         |  FROM embeddings) WHERE rn <= $PqK),
+         |cb AS (SELECT c.j, s.s, s.di, s.x
+         |       FROM cbids c JOIN sub s ON s.vec_id = c.cb_vec),
+         |dists AS (SELECT v.vec_id, v.s, c.j,
+         |    CAST(floor(sum((v.x - c.x) * (v.x - c.x)) * 1000000.0 + 0.5)
+         |         AS BIGINT) AS d
+         |  FROM sub v JOIN cb c ON v.s = c.s AND v.di = c.di
+         |  GROUP BY v.vec_id, v.s, c.j),
+         |codes AS (SELECT vec_id, s, j FROM (
+         |  SELECT vec_id, s, j, row_number() OVER (
+         |    PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+         |  FROM dists) WHERE rn = 1),
+         |adc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |               CAST(sum(q.d) AS BIGINT) AS dist_e6
+         |        FROM codes c JOIN dists q ON q.s = c.s AND q.j = c.j
+         |                                  AND q.vec_id <> c.vec_id
+         |        GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, dist_e6,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY dist_e6 ASC, neighbor_id ASC) AS "rank"
+         |      FROM adc)
+         |SELECT query_id, neighbor_id, dist_e6, CAST("rank" AS INTEGER) AS "rank"
+         |FROM r WHERE "rank" <= $AnnK""".stripMargin
+    },
     "semantic_dedup_pairs" -> semanticPairsOracle,
     "semantic_dedup_keepers" -> semanticKeepersOracle,
     "contrastive_triplets" -> contrastiveOracle,

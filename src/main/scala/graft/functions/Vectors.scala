@@ -24,6 +24,12 @@ object Vectors {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Squared L2 distance Σ(a_i−b_i)² (codegen'd loop — the PQ inner
+    * kernel; see [[graft.functions.expressions.L2Squared]]). */
+  def l2Squared(a: Column, b: Column): Column =
+    graft.functions.expressions.L2Squared(
+      a.cast("array<double>"), b.cast("array<double>"))
+
   /** Cosine similarity = dot(a,b) / (||a|| * ||b||).
     * For pairwise workloads prefer precomputing norms once per vector
     * (see [[graft.operators.Similarity]]) — this form recomputes them. */

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import graft.functions.{PortableHash, Vectors}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scalar (per-vector min/max) int8 quantization of an embedding column —
@@ -39,4 +41,146 @@ object Quantize {
     df.withColumn("dequant",
       transform(col(qCol), q =>
         col(loCol) + q.cast("double") / 255.0 * (col(hiCol) - col(loCol))))
+
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid, "Product Quantization
+  // for Nearest Neighbor Search", IEEE TPAMI 2011): split each vector
+  // into `m` subvectors, quantize each against a per-subspace codebook of
+  // `k` codewords → m log2(k) bits per vector (m=8, k=16 → 4 bytes for a
+  // 64-dim float vector, 64×). Search uses ADC (asymmetric distance): per
+  // query, an m×k lookup table of subspace distances; a corpus vector's
+  // approximate distance is m table lookups + a sum — no float math per
+  // candidate. This is the compression tier FAISS's IVF*,PQ* indexes run
+  // at billion-vector scale.
+  //
+  // Codebook here = the subvectors of the `k` corpus vectors with the
+  // smallest portable hash of their id — the deterministic sampled-init
+  // convention shared with ivf_topk/semantic dedup, reproducible by the
+  // SQL oracle. A k-means-trained codebook (per-subspace
+  // [[KMeans.train]]) drops reconstruction error further; the plan shape
+  // downstream is identical (see QuantizeSpec's trained-codebook test).
+  //
+  // Engine portability: subspace distances quantize to e6 integers at the
+  // lookup-table boundary, so codes (argmin of an integer array, ties →
+  // lowest codeword) and ADC distances (sums of integers) are exact.
+  //
+  // Scale shape: the codebook is m·k subvectors (driver-collected like
+  // any trained ANN model, re-entering the plan as literals folded into
+  // codegen) — encoding is a PURE MAP over the corpus: no join, no
+  // shuffle, each vector leaves as m small integers. ADC scoring shuffles
+  // only (id, s, code) triples — never raw vectors; the per-query lookup
+  // table relation is Q·m·k rows and BROADCASTS for a bounded query
+  // batch (the registered query scores corpus-as-queries, the
+  // oracle-checkable form, so it joins instead).
+  // ------------------------------------------------------------------
+
+  /** Deterministic hash-sampled PQ codebook: (subspace, codeword, subvec)
+    * for s in 0..m-1, j in 0..k-1. Driver-side by construction (m·k rows
+    * — the model an ANN system would persist). */
+  def pqCodebook(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int): Seq[(Int, Int, Seq[Double])] = {
+    val rows = df
+      .withColumn("__h", PortableHash.hash60(col(idCol)))
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toIndexedSeq)
+    require(rows.nonEmpty, "pqCodebook: empty input")
+    val dim = rows.head.size
+    require(dim % m == 0, s"pqCodebook: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    for { s <- 0 until m; j <- rows.indices }
+      yield (s, j, rows(j).slice(s * sub, (s + 1) * sub))
+  }
+
+  private def subvec(v: Column, s: Int, subDim: Int): Column =
+    slice(v, s * subDim + 1, subDim)
+
+  /** Quantized e6 distance of row-vector subspace `s` to codeword `cw`. */
+  private def dE6(v: Column, s: Int, subDim: Int, cw: Seq[Double]): Column =
+    floor(Vectors.l2Squared(subvec(v, s, subDim), typedlit(cw)) * lit(1e6) + lit(0.5))
+      .cast("long")
+
+  /** PQ codes: (idCol, s, code) — one row per (vector, subspace), `code`
+    * the argmin codeword (ties → lowest codeword id). Map-side only: the
+    * argmin runs over a literal struct array, no join, no shuffle. */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    val byS = codebook.groupBy(_._1)
+    val m = byS.size
+    val subDim = codebook.head._3.size
+    val base = Partitions.widen(
+      df.select(col(idCol), col(vecCol).cast("array<double>").as("__v")), col(idCol))
+    val codeStructs = (0 until m).map { s =>
+      val pairs = array(byS(s).sortBy(_._2).map { case (_, j, cw) =>
+        struct(dE6(col("__v"), s, subDim, cw).as("d"), lit(j).as("j"))
+      }: _*)
+      // struct ordering is lexicographic (d, then j) → deterministic argmin
+      struct(lit(s).as("s"), array_min(pairs).getField("j").cast("int").as("code"))
+    }
+    base.select(col(idCol), explode(array(codeStructs: _*)).as("__c"))
+      .select(col(idCol), col("__c.s").as("s"), col("__c.code").as("code"))
+  }
+
+  /** Per-query ADC lookup-table relation: (idCol, s, j, d_e6) — the
+    * quantized distance from each query's subspace-`s` subvector to every
+    * codeword `j`. Map-side explode, m·k rows per query. */
+  def pqQueryDistances(df: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    val subDim = codebook.head._3.size
+    val base = Partitions.widen(
+      df.select(col(idCol), col(vecCol).cast("array<double>").as("__v")), col(idCol))
+    val entries = codebook.map { case (s, j, cw) =>
+      struct(lit(s).as("s"), lit(j).as("j"), dE6(col("__v"), s, subDim, cw).as("d"))
+    }
+    base.select(col(idCol), explode(array(entries: _*)).as("__e"))
+      .select(col(idCol), col("__e.s").as("s"), col("__e.j").as("j"), col("__e.d").as("d_e6"))
+  }
+
+  /** K-means-trained PQ codebook: an independent [[KMeans.train]] per
+    * subspace over the sliced corpus (the construction in Jégou et al.
+    * §III.A). Same shape as [[pqCodebook]]; lower reconstruction error
+    * (QuantizeSpec pins trained ≤ sampled on the test corpus). Training
+    * cost is m short k-means runs — each a broadcast-assign + long-form
+    * aggregate per iteration, nothing driver-side beyond the k·subDim
+    * centroid table. */
+  def pqCodebookTrained(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): Seq[(Int, Int, Seq[Double])] = {
+    val base = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val dim = base.select(size(col("__v"))).limit(1).collect()(0).getInt(0)
+    require(dim % m == 0, s"pqCodebookTrained: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    (0 until m).flatMap { s =>
+      val sliced = base.select(col(idCol), subvec(col("__v"), s, subDim).as("__sv"))
+      KMeans.train(sliced, idCol, "__sv", k, iters)
+        .select(col("cell"), col("centroid"))
+        .collect()
+        .map(r => (s, r.getLong(0).toInt, r.getSeq[Double](1).toIndexedSeq: Seq[Double]))
+    }
+  }
+
+  /** PQ/ADC approximate top-k: every vector queries the PQ-coded corpus
+    * (self excluded). Output: (query_id, neighbor_id, dist_e6, rank),
+    * rank 1..k by (ADC distance asc, neighbor asc). */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, codebookK: Int, k: Int): DataFrame =
+    pqTopKWith(df, idCol, vecCol, pqCodebook(df, idCol, vecCol, m, codebookK), k)
+
+  /** [[pqTopK]] against a caller-supplied codebook (e.g. from
+    * [[pqCodebookTrained]]). */
+  def pqTopKWith(df: DataFrame, idCol: String, vecCol: String,
+      cb: Seq[(Int, Int, Seq[Double])], k: Int): DataFrame = {
+    val codes = pqCodes(df, idCol, vecCol, cb)
+      .select(col(idCol).as("neighbor_id"), col("s"), col("code").as("j"))
+    val qdist = pqQueryDistances(df, idCol, vecCol, cb)
+      .select(col(idCol).as("query_id"), col("s"), col("j"), col("d_e6"))
+    val adc = codes.join(qdist, Seq("s", "j"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("d_e6")).as("dist_e6"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist_e6").asc, col("neighbor_id").asc)
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dist_e6", "rank")
+  }
 }
