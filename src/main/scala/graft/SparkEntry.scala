@@ -49,6 +49,9 @@ object SparkEntry {
   private val DsirBuckets = 256 // dsir_weights: hashed-feature buckets
   private val PqM = 8           // pq_topk: subspaces (64-dim → 8×8)
   private val PqK = 16          // pq_topk: codewords per subspace
+  // doc_blocklist: stand-in unsafe-term list (real deployments load 10²-10⁵
+  // terms; these exist in the synthetic vocabulary so the filter bites)
+  private val BlockTerms = Seq("slow", "stream", "batch")
 
   /** streams⋈songs⋈users stand-in over the testdata star schema:
     * events ⋈ customer (user_id) ⋈ nation (c_nationkey), + date/hour. */
@@ -543,6 +546,16 @@ object SparkEntry {
     "doc_novelty" -> ((s, dir) =>
       graft.operators.TermStats.gramNovelty(
         Tables.documents(s, dir), "doc_id", "text", n = 3)),
+
+    // ---- token-distribution entropy (diversity tail filter) ----
+    "doc_entropy" -> ((s, dir) =>
+      graft.operators.TermStats.tokenEntropy(
+        Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- blocklist screening (term-level unsafe-content filter) ----
+    "doc_blocklist" -> ((s, dir) =>
+      graft.operators.TermStats.blocklistHits(
+        Tables.documents(s, dir), "doc_id", "text", BlockTerms)),
 
     // ---- unigram corpus-frequency scoring (exact-integer LM surrogate) ----
     "doc_token_freq" -> ((s, dir) =>
@@ -1900,6 +1913,32 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang, r.lab AS pred_lang, r.score_e6,
          |  CAST(CASE WHEN r.lab = d.lang THEN 1 ELSE 0 END AS INTEGER) AS correct
          |FROM documents d JOIN r ON d.doc_id = r.doc_id AND r.rn = 1""".stripMargin,
+    // entropy: tf·ln(tf) quantized per term BEFORE the doc sum; H assembled
+    // from two quantized integers (no float crosses an aggregation).
+    "doc_entropy" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT doc_id,
+        |          CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |          CAST(count(*) AS BIGINT) AS n_types,
+        |          CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))
+        |                              * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+        |        FROM tf GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types,
+        |  CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |    - CAST(floor(CAST(s AS DOUBLE) / n_tokens + 0.5) AS BIGINT) AS entropy_e6
+        |FROM agg""".stripMargin,
+    "doc_blocklist" ->
+      s"""WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |h AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_hits, min(term) AS first_hit
+         |      FROM tf WHERE term IN (${BlockTerms.map(t => s"'$t'").mkString(", ")})
+         |      GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(h.n_hits, 0) AS n_hits,
+         |  h.first_hit,
+         |  COALESCE(h.n_hits, 0) > 0 AS blocked
+         |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin,
     "doc_token_freq" ->
       """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
         |dc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),

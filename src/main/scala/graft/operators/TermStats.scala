@@ -122,6 +122,63 @@ object TermStats {
             * 1e6 + 0.5).cast("long")))
   }
 
+  /** Token-distribution Shannon entropy per document — the diversity
+    * signal complementary to [[gramNovelty]] and the repetition fraction:
+    * H = ln(n) − (Σ_t tf·ln(tf))/n over the document's token counts.
+    * Near-zero entropy = a few tokens repeated (keyword-stuffing, menu
+    * boilerplate, degenerate generations); high entropy = diverse
+    * vocabulary. A Gopher-style curation mix thresholds both tails.
+    *
+    * Portability: each term's tf·ln(tf) is quantized to e6 integers before
+    * the doc sum (ln of an exact integer — same operand both engines), and
+    * the final H assembles from two quantized integers; no float ever
+    * crosses an aggregation boundary.
+    *
+    * Scale shape: one (doc, term, tf) pre-aggregation (map-side
+    * combinable) and one aggregation back to the doc — no joins, no
+    * windows, no vocabulary relation. */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFreq(Partitions.widen(docs, col(idCol)), idCol, textCol)
+    tf.groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(floor(col("tf").cast("double") * log(col("tf").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long")).as("__s"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        (floor(log(col("n_tokens").cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+          - floor(col("__s").cast("double") / col("n_tokens").cast("double") + lit(0.5)).cast("long"))
+          .as("entropy_e6"))
+  }
+
+  /** Blocklist screening — the term-level unsafe-content filter of a
+    * curation pipeline: per document, how many token occurrences hit the
+    * blocklist and the lexicographically-first hit (deterministic
+    * evidence column); `blocked` = any hit. Matching is exact on
+    * whitespace tokens — the word-boundary semantics regex blocklists get
+    * wrong ("class" ≠ "ass").
+    *
+    * Scale shape: the blocklist joins as a BROADCAST relation against the
+    * (doc, term, tf) pre-aggregation (real blocklists are 10²–10⁵ terms —
+    * always the small side); docs with no hits rejoin via the id-only
+    * left join, so text shuffles nowhere. */
+  def blocklistHits(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val block = terms.toDF("term")
+    val hits = termFreq(Partitions.widen(docs, col(idCol)), idCol, textCol)
+      .join(broadcast(block), Seq("term"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_hits"), min(col("term")).as("first_hit"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("first_hit"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("blocked"))
+  }
+
   /** Top-`k` terms per document by smoothed TF-IDF.
     * Output: idCol, term, score_e6 (ties broken by term ascending).
     *

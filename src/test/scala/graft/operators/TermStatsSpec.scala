@@ -93,4 +93,37 @@ class TermStatsSpec extends SparkSpec {
     assert(out(2L) == 0L)
     assert(out(3L) == 0L)
   }
+
+  test("tokenEntropy: uniform max, degenerate zero, mixed hand value") {
+    def eTerm(tf: Long): Long =
+      math.floor(tf.toDouble * math.log(tf.toDouble) * 1e6 + 0.5).toLong
+    def h(n: Long, s: Long): Long =
+      math.floor(math.log(n.toDouble) * 1e6 + 0.5).toLong -
+        math.floor(s.toDouble / n + 0.5).toLong
+    val out = Seq(
+      (1L, "a b c d"),      // uniform: H = ln(4)
+      (2L, "a a a a"),      // degenerate: H = 0
+      (3L, "a a b")         // mixed: ln(3) − (2ln2)/3
+    ).toDF("doc_id", "text")
+    val got = TermStats.tokenEntropy(out, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 4L, h(4, 0))))
+    assert(got(1L)._4 == math.floor(math.log(4.0) * 1e6 + 0.5).toLong)
+    assert(got(2L) == ((2L, 4L, 1L, h(4, eTerm(4)))))
+    assert(got(2L)._4 == 0L)
+    assert(got(3L) == ((3L, 3L, 2L, h(3, eTerm(2)))))
+  }
+
+  test("blocklistHits: tf-weighted counts, deterministic first hit, clean docs pass") {
+    val docs2 = Seq(
+      (1L, "bad worse bad fine"),
+      (2L, "all clean words"),
+      (3L, "worse")
+    ).toDF("doc_id", "text")
+    val out = TermStats.blocklistHits(docs2, "doc_id", "text", Seq("bad", "worse"))
+      .as[(Long, Long, Option[String], Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, Some("bad"), true)))
+    assert(out(2L) == ((2L, 0L, None, false)))
+    assert(out(3L) == ((3L, 1L, Some("worse"), true)))
+  }
 }
