@@ -52,6 +52,11 @@ object SparkEntry {
   // doc_blocklist: stand-in unsafe-term list (real deployments load 10²-10⁵
   // terms; these exist in the synthetic vocabulary so the filter bites)
   private val BlockTerms = Seq("slow", "stream", "batch")
+  // corpus_curate3 thresholds, set from the sf0.001/sf0.01 score
+  // distributions so EVERY stage removes documents at every SF:
+  private val C3MaxHits = 4L        // blocklist cap (median n_hits = 5)
+  private val C3MaxNll = 3430000L   // LM perplexity ceiling (~p70)
+  private val C3MinLr = -16000L     // DSIR weight floor (~median)
 
   /** streams⋈songs⋈users stand-in over the testdata star schema:
     * events ⋈ customer (user_id) ⋈ nation (c_nationkey), + date/hour. */
@@ -525,6 +530,28 @@ object SparkEntry {
       val deduped = Dedup.exactDedup(scored, "doc_id", "ctext")
       graft.operators.Sampling.hashSample(deduped, "doc_id", fraction = 0.5)
         .select("doc_id", "lang", "source", "quality_e6", "rep3_e6", "n_cut_tokens")
+    }),
+
+    // ---- END-TO-END curation v3: the MODEL-FILTER chain — blocklist
+    // screen + bigram-LM perplexity ceiling + DSIR importance floor, the
+    // three model stages composed as one declarative plan (complements
+    // corpus_curate's heuristic chain and corpus_curate2's span surgery) ----
+    "corpus_curate3" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bl = graft.operators.TermStats.blocklistHits(docs, "doc_id", "text", BlockTerms)
+      val ref = docs.filter(
+        graft.functions.PortableHash.hash60(col("doc_id")) % 2 === 0)
+      val lm = graft.operators.LangModel.bigramNll(ref, docs, "doc_id", "text")
+      val ds = graft.operators.Importance.dsirWeights(
+        docs.filter(col("lang") === "en"), docs, docs, "doc_id", "text", DsirBuckets)
+      docs.select(col("doc_id"), col("lang"), col("source"))
+        .join(bl.select(col("doc_id"), col("n_hits")), Seq("doc_id"))
+        .join(lm.select(col("doc_id"), col("n_bigrams"), col("avg_nll_e6")), Seq("doc_id"))
+        .join(ds.select(col("doc_id"), col("avg_logratio_e6")), Seq("doc_id"))
+        .filter(col("n_hits") <= C3MaxHits &&
+          col("n_bigrams") > 0 && col("avg_nll_e6") <= C3MaxNll &&
+          col("avg_logratio_e6") >= C3MinLr)
+        .select("doc_id", "lang", "source", "n_hits", "avg_nll_e6", "avg_logratio_e6")
     }),
 
     // ---- contiguous global index without a single-task window: ordering
@@ -1721,6 +1748,93 @@ object SparkEntry {
        |SELECT vec_id, label FROM embeddings
        |WHERE vec_id NOT IN (SELECT id FROM losers)""".stripMargin
 
+  private def docLmScoreOracle: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |tr AS (SELECT ws FROM toks WHERE ${dh("CAST(doc_id AS VARCHAR)")} % 2 = 0),
+       |trb AS (SELECT ws[i] AS l, ws[i+1] AS r
+       |        FROM tr, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+       |cb AS (SELECT l, r, CAST(count(*) AS BIGINT) AS cb FROM trb GROUP BY 1, 2),
+       |cl AS (SELECT l, CAST(count(*) AS BIGINT) AS cl FROM trb GROUP BY 1),
+       |v AS (SELECT count(DISTINCT term) AS v
+       |      FROM (SELECT UNNEST(ws) AS term FROM tr)),
+       |db AS (SELECT doc_id, ws[i] AS l, ws[i+1] AS r
+       |       FROM toks, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+       |dbt AS (SELECT doc_id, l, r, count(*) AS tf FROM db GROUP BY 1, 2, 3),
+       |sc AS (SELECT d.doc_id, d.tf,
+       |         CAST(floor(-ln((COALESCE(cb.cb, 0) + 1.0) /
+       |                        (COALESCE(cl.cl, 0) + v.v)) * 1000000.0 + 0.5)
+       |              AS BIGINT) AS nll
+       |       FROM dbt d LEFT JOIN cb ON d.l = cb.l AND d.r = cb.r
+       |                  LEFT JOIN cl ON d.l = cl.l
+       |                  CROSS JOIN v),
+       |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |               CAST(sum(tf * nll) AS BIGINT) AS nll_e6
+       |        FROM sc GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(a.nll_e6, 0) AS nll_e6,
+       |  CAST(CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0
+       |       ELSE floor(CAST(a.nll_e6 AS DOUBLE) / a.n_bigrams + 0.5)
+       |       END AS BIGINT) AS avg_nll_e6
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  private def dsirWeightsOracle: String =
+    s"""WITH tok AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS term
+       |            FROM documents),
+       |tb AS (SELECT doc_id, lang,
+       |              CAST(${dh("term")} % $DsirBuckets AS BIGINT) AS b FROM tok),
+       |spine AS (SELECT UNNEST(range(0, $DsirBuckets)) AS b),
+       |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb
+       |       WHERE lang = 'en' GROUP BY b),
+       |cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tb GROUP BY b),
+       |tots AS (SELECT CAST(sum(COALESCE(ct.ct, 0)) AS BIGINT) AS ctt,
+       |                CAST(sum(COALESCE(cr.cr, 0)) AS BIGINT) AS crt
+       |         FROM spine s LEFT JOIN ct ON s.b = ct.b LEFT JOIN cr ON s.b = cr.b),
+       |stats AS (SELECT s.b,
+       |    CAST(floor(ln(((COALESCE(ct.ct, 0) + 1.0) / (COALESCE(cr.cr, 0) + 1.0))
+       |               * ((t.crt + $DsirBuckets.0) / (t.ctt + $DsirBuckets.0)))
+       |         * 1000000.0 + 0.5) AS BIGINT) AS lr
+       |  FROM spine s LEFT JOIN ct ON s.b = ct.b LEFT JOIN cr ON s.b = cr.b
+       |       CROSS JOIN tots t),
+       |db AS (SELECT doc_id, b, count(*) AS tf FROM tb GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |               CAST(sum(tf * lr) AS BIGINT) AS logratio_e6
+       |        FROM db JOIN stats USING (b) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(a.n_tokens, 0) AS n_tokens,
+       |  COALESCE(a.logratio_e6, 0) AS logratio_e6,
+       |  CAST(CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0
+       |       ELSE floor(CAST(a.logratio_e6 AS DOUBLE) / a.n_tokens + 0.5)
+       |       END AS BIGINT) AS avg_logratio_e6
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  private def blocklistOracle: String =
+    s"""WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |h AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_hits, min(term) AS first_hit
+       |      FROM tf WHERE term IN (${BlockTerms.map(t => s"'$t'").mkString(", ")})
+       |      GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(h.n_hits, 0) AS n_hits,
+       |  h.first_hit,
+       |  COALESCE(h.n_hits, 0) > 0 AS blocked
+       |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin
+
+  /** Composed model-filter curation oracle: the three stage oracles nested
+    * verbatim as derived tables, so the composition cannot drift from the
+    * individually-registered queries. */
+  private def curate3Oracle: String =
+    s"""WITH bl AS (SELECT * FROM ($blocklistOracle)),
+       |lm AS (SELECT * FROM ($docLmScoreOracle)),
+       |ds AS (SELECT * FROM ($dsirWeightsOracle))
+       |SELECT d.doc_id, d.lang, d.source,
+       |       bl.n_hits, lm.avg_nll_e6, ds.avg_logratio_e6
+       |FROM documents d
+       |JOIN bl USING (doc_id) JOIN lm USING (doc_id) JOIN ds USING (doc_id)
+       |WHERE bl.n_hits <= $C3MaxHits
+       |  AND lm.n_bigrams > 0 AND lm.avg_nll_e6 <= $C3MaxNll
+       |  AND ds.avg_logratio_e6 >= $C3MinLr""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "minhash_lsh_pairs" -> minHashLshOracle,
     "simhash_pairs" -> simHashOracle,
@@ -1818,67 +1932,11 @@ object SparkEntry {
     // Bigram-LM scoring: same hash-half reference split, same add-one
     // smoothing, per-DISTINCT-bigram e6 quantization BEFORE the doc sum so
     // the comparison never rides on float-summation order.
-    "doc_lm_score" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |tr AS (SELECT ws FROM toks WHERE ${dh("CAST(doc_id AS VARCHAR)")} % 2 = 0),
-         |trb AS (SELECT ws[i] AS l, ws[i+1] AS r
-         |        FROM tr, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
-         |cb AS (SELECT l, r, CAST(count(*) AS BIGINT) AS cb FROM trb GROUP BY 1, 2),
-         |cl AS (SELECT l, CAST(count(*) AS BIGINT) AS cl FROM trb GROUP BY 1),
-         |v AS (SELECT count(DISTINCT term) AS v
-         |      FROM (SELECT UNNEST(ws) AS term FROM tr)),
-         |db AS (SELECT doc_id, ws[i] AS l, ws[i+1] AS r
-         |       FROM toks, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
-         |dbt AS (SELECT doc_id, l, r, count(*) AS tf FROM db GROUP BY 1, 2, 3),
-         |sc AS (SELECT d.doc_id, d.tf,
-         |         CAST(floor(-ln((COALESCE(cb.cb, 0) + 1.0) /
-         |                        (COALESCE(cl.cl, 0) + v.v)) * 1000000.0 + 0.5)
-         |              AS BIGINT) AS nll
-         |       FROM dbt d LEFT JOIN cb ON d.l = cb.l AND d.r = cb.r
-         |                  LEFT JOIN cl ON d.l = cl.l
-         |                  CROSS JOIN v),
-         |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-         |               CAST(sum(tf * nll) AS BIGINT) AS nll_e6
-         |        FROM sc GROUP BY 1)
-         |SELECT d.doc_id,
-         |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
-         |  COALESCE(a.nll_e6, 0) AS nll_e6,
-         |  CAST(CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0
-         |       ELSE floor(CAST(a.nll_e6 AS DOUBLE) / a.n_bigrams + 0.5)
-         |       END AS BIGINT) AS avg_nll_e6
-         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "doc_lm_score" -> docLmScoreOracle,
     // DSIR: same bucket hash (portable md5 family), same smoothing, same
     // expression shape — (ct+1)/(cr+1) * (crt+B)/(ctt+B) — so the IEEE
     // operand reaching ln is bit-identical before quantization.
-    "dsir_weights" ->
-      s"""WITH tok AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS term
-         |            FROM documents),
-         |tb AS (SELECT doc_id, lang,
-         |              CAST(${dh("term")} % $DsirBuckets AS BIGINT) AS b FROM tok),
-         |spine AS (SELECT UNNEST(range(0, $DsirBuckets)) AS b),
-         |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb
-         |       WHERE lang = 'en' GROUP BY b),
-         |cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tb GROUP BY b),
-         |tots AS (SELECT CAST(sum(COALESCE(ct.ct, 0)) AS BIGINT) AS ctt,
-         |                CAST(sum(COALESCE(cr.cr, 0)) AS BIGINT) AS crt
-         |         FROM spine s LEFT JOIN ct ON s.b = ct.b LEFT JOIN cr ON s.b = cr.b),
-         |stats AS (SELECT s.b,
-         |    CAST(floor(ln(((COALESCE(ct.ct, 0) + 1.0) / (COALESCE(cr.cr, 0) + 1.0))
-         |               * ((t.crt + $DsirBuckets.0) / (t.ctt + $DsirBuckets.0)))
-         |         * 1000000.0 + 0.5) AS BIGINT) AS lr
-         |  FROM spine s LEFT JOIN ct ON s.b = ct.b LEFT JOIN cr ON s.b = cr.b
-         |       CROSS JOIN tots t),
-         |db AS (SELECT doc_id, b, count(*) AS tf FROM tb GROUP BY 1, 2),
-         |agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-         |               CAST(sum(tf * lr) AS BIGINT) AS logratio_e6
-         |        FROM db JOIN stats USING (b) GROUP BY 1)
-         |SELECT d.doc_id,
-         |  COALESCE(a.n_tokens, 0) AS n_tokens,
-         |  COALESCE(a.logratio_e6, 0) AS logratio_e6,
-         |  CAST(CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0
-         |       ELSE floor(CAST(a.logratio_e6 AS DOUBLE) / a.n_tokens + 0.5)
-         |       END AS BIGINT) AS avg_logratio_e6
-         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "dsir_weights" -> dsirWeightsOracle,
     // NB: same hash-half split, add-one smoothing, per-term e6 quantization
     // before the per-(doc,class) integer sum; argmax tie-break = label asc.
     "nb_lang_classify" ->
@@ -1928,17 +1986,8 @@ object SparkEntry {
         |  CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
         |    - CAST(floor(CAST(s AS DOUBLE) / n_tokens + 0.5) AS BIGINT) AS entropy_e6
         |FROM agg""".stripMargin,
-    "doc_blocklist" ->
-      s"""WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |h AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_hits, min(term) AS first_hit
-         |      FROM tf WHERE term IN (${BlockTerms.map(t => s"'$t'").mkString(", ")})
-         |      GROUP BY 1)
-         |SELECT d.doc_id,
-         |  COALESCE(h.n_hits, 0) AS n_hits,
-         |  h.first_hit,
-         |  COALESCE(h.n_hits, 0) > 0 AS blocked
-         |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin,
+    "doc_blocklist" -> blocklistOracle,
+    "corpus_curate3" -> curate3Oracle,
     "doc_token_freq" ->
       """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
         |dc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
