@@ -621,6 +621,14 @@ object SparkEntry {
             .cast("int").as("correct"))
     }),
 
+    // ---- classifier evaluation: full confusion matrix (the
+    // train-side-signal report a curation team reads before trusting a
+    // model filter) ----
+    "nb_confusion" -> ((s, dir) =>
+      queries("nb_lang_classify")(s, dir)
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))),
+
     // ---- contrastive triplets: near-dup pairs (LSH scale path) as
     // positives, deterministic pool-hash negatives ----
     "contrastive_triplets" -> ((s, dir) => {
@@ -1808,6 +1816,39 @@ object SparkEntry {
        |       END AS BIGINT) AS avg_logratio_e6
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  private def nbLangOracle: String =
+    s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       |tr AS (SELECT * FROM toks WHERE ${dh("CAST(doc_id AS VARCHAR)")} % 2 = 0),
+       |trtok AS (SELECT doc_id, lang, UNNEST(ws) AS term FROM tr),
+       |cls AS (SELECT lang AS lab, CAST(count(*) AS BIGINT) AS nd FROM tr GROUP BY 1),
+       |ndt AS (SELECT CAST(count(*) AS BIGINT) AS ndt FROM tr),
+       |tcc AS (SELECT term, lang AS lab, CAST(count(*) AS BIGINT) AS n
+       |        FROM trtok GROUP BY 1, 2),
+       |tpc AS (SELECT lang AS lab, CAST(count(*) AS BIGINT) AS nc FROM trtok GROUP BY 1),
+       |v AS (SELECT count(DISTINCT term) AS v FROM trtok),
+       |model AS (SELECT c.lab,
+       |    CAST(floor(ln(CAST(c.nd AS DOUBLE) / d.ndt) * 1000000.0 + 0.5)
+       |         AS BIGINT) AS prior_e6,
+       |    t.nc, vv.v
+       |  FROM cls c CROSS JOIN ndt d JOIN tpc t ON c.lab = t.lab CROSS JOIN v vv),
+       |dt AS (SELECT doc_id, UNNEST(ws) AS term FROM toks),
+       |dtf AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY 1, 2),
+       |sc AS (SELECT g.doc_id, m.lab, m.prior_e6, g.tf,
+       |         CAST(floor(ln((COALESCE(t.n, 0) + 1.0) / (m.nc + m.v))
+       |              * 1000000.0 + 0.5) AS BIGINT) AS lp
+       |       FROM dtf g CROSS JOIN model m
+       |            LEFT JOIN tcc t ON g.term = t.term AND m.lab = t.lab),
+       |tot AS (SELECT doc_id, lab,
+       |          CAST(min(prior_e6) + sum(tf * lp) AS BIGINT) AS score_e6
+       |        FROM sc GROUP BY 1, 2),
+       |r AS (SELECT doc_id, lab, score_e6,
+       |        row_number() OVER (PARTITION BY doc_id
+       |                           ORDER BY score_e6 DESC, lab ASC) AS rn
+       |      FROM tot)
+       |SELECT d.doc_id, d.lang, r.lab AS pred_lang, r.score_e6,
+       |  CAST(CASE WHEN r.lab = d.lang THEN 1 ELSE 0 END AS INTEGER) AS correct
+       |FROM documents d JOIN r ON d.doc_id = r.doc_id AND r.rn = 1""".stripMargin
+
   private def blocklistOracle: String =
     s"""WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -1939,38 +1980,11 @@ object SparkEntry {
     "dsir_weights" -> dsirWeightsOracle,
     // NB: same hash-half split, add-one smoothing, per-term e6 quantization
     // before the per-(doc,class) integer sum; argmax tie-break = label asc.
-    "nb_lang_classify" ->
-      s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
-         |tr AS (SELECT * FROM toks WHERE ${dh("CAST(doc_id AS VARCHAR)")} % 2 = 0),
-         |trtok AS (SELECT doc_id, lang, UNNEST(ws) AS term FROM tr),
-         |cls AS (SELECT lang AS lab, CAST(count(*) AS BIGINT) AS nd FROM tr GROUP BY 1),
-         |ndt AS (SELECT CAST(count(*) AS BIGINT) AS ndt FROM tr),
-         |tcc AS (SELECT term, lang AS lab, CAST(count(*) AS BIGINT) AS n
-         |        FROM trtok GROUP BY 1, 2),
-         |tpc AS (SELECT lang AS lab, CAST(count(*) AS BIGINT) AS nc FROM trtok GROUP BY 1),
-         |v AS (SELECT count(DISTINCT term) AS v FROM trtok),
-         |model AS (SELECT c.lab,
-         |    CAST(floor(ln(CAST(c.nd AS DOUBLE) / d.ndt) * 1000000.0 + 0.5)
-         |         AS BIGINT) AS prior_e6,
-         |    t.nc, vv.v
-         |  FROM cls c CROSS JOIN ndt d JOIN tpc t ON c.lab = t.lab CROSS JOIN v vv),
-         |dt AS (SELECT doc_id, UNNEST(ws) AS term FROM toks),
-         |dtf AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY 1, 2),
-         |sc AS (SELECT g.doc_id, m.lab, m.prior_e6, g.tf,
-         |         CAST(floor(ln((COALESCE(t.n, 0) + 1.0) / (m.nc + m.v))
-         |              * 1000000.0 + 0.5) AS BIGINT) AS lp
-         |       FROM dtf g CROSS JOIN model m
-         |            LEFT JOIN tcc t ON g.term = t.term AND m.lab = t.lab),
-         |tot AS (SELECT doc_id, lab,
-         |          CAST(min(prior_e6) + sum(tf * lp) AS BIGINT) AS score_e6
-         |        FROM sc GROUP BY 1, 2),
-         |r AS (SELECT doc_id, lab, score_e6,
-         |        row_number() OVER (PARTITION BY doc_id
-         |                           ORDER BY score_e6 DESC, lab ASC) AS rn
-         |      FROM tot)
-         |SELECT d.doc_id, d.lang, r.lab AS pred_lang, r.score_e6,
-         |  CAST(CASE WHEN r.lab = d.lang THEN 1 ELSE 0 END AS INTEGER) AS correct
-         |FROM documents d JOIN r ON d.doc_id = r.doc_id AND r.rn = 1""".stripMargin,
+    "nb_lang_classify" -> nbLangOracle,
+    "nb_confusion" ->
+      s"""WITH nb AS (SELECT * FROM ($nbLangOracle))
+         |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM nb GROUP BY 1, 2""".stripMargin,
     // entropy: tf·ln(tf) quantized per term BEFORE the doc sum; H assembled
     // from two quantized integers (no float crosses an aggregation).
     "doc_entropy" ->
