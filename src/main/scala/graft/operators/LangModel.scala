@@ -67,15 +67,21 @@ object LangModel {
       .groupBy(col(idCol), col("left"), col("right")).agg(count(lit(1)).as("__tf"))
 
     // -ln of the smoothed conditional, quantized per DISTINCT bigram, then
-    // weighted by tf — the sum over quantized integers is order-independent
+    // weighted by tf — the sum over quantized integers is order-independent.
+    // V = 0 (empty/token-less reference corpus) would make the smoothing
+    // denominator 0 for unseen histories — an ANSI DIVIDE_BY_ZERO task
+    // failure at runtime; the guard NULLs the per-bigram term, which the
+    // final coalesce turns into all-zero scores (no evidence, no penalty),
+    // pinned by LangModelSpec.
     val scored = docBigrams
       .join(bigramCounts, Seq("left", "right"), "left")
       .join(historyCounts, Seq("left"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("__nll_e6",
-        floor(-log((coalesce(col("__cb"), lit(0L)) + lit(1.0)) /
-            (coalesce(col("__cl"), lit(0L)).cast("double") + col("__v").cast("double")))
-          * lit(1e6) + lit(0.5)).cast("long"))
+        when(col("__v") > 0,
+          floor(-log((coalesce(col("__cb"), lit(0L)) + lit(1.0)) /
+              (coalesce(col("__cl"), lit(0L)).cast("double") + col("__v").cast("double")))
+            * lit(1e6) + lit(0.5)).cast("long")))
 
     val agg = scored.groupBy(col(idCol))
       .agg(sum(col("__tf")).as("n_bigrams"),

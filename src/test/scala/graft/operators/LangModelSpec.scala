@@ -55,6 +55,14 @@ class LangModelSpec extends SparkSpec {
     assert(avg(30L) < avg(31L))
   }
 
+  test("empty reference corpus degrades to zero scores, not a task failure") {
+    val docs = Seq((50L, "the cat")).toDF("doc_id", "text")
+    val emptyTrain = train.filter(col("doc_id") < 0)
+    val row = LangModel.bigramNll(emptyTrain, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].head()
+    assert(row == ((50L, 1L, 0L, 0L)))
+  }
+
   test("every input doc appears exactly once") {
     val docs = Seq((40L, ""), (41L, "the"), (42L, "the cat")).toDF("doc_id", "text")
     val out = LangModel.bigramNll(train, docs, "doc_id", "text")
