@@ -478,6 +478,11 @@ object SparkEntry {
     "pq_topk" -> ((s, dir) =>
       graft.operators.Quantize.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         m = PqM, codebookK = PqK, k = AnnK)),
+    // IVF+PQ residual index: coarse cells prune candidates, PQ codes the
+    // residuals, per-probed-cell ADC tables (the FAISS IVFx,PQy shape)
+    "ivfpq_topk" -> ((s, dir) =>
+      graft.operators.Quantize.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nlist = IvfNlist, nprobe = IvfNprobe, m = PqM, codebookK = PqK, k = AnnK)),
     "near_dup_embeddings" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.4)),
@@ -1933,6 +1938,77 @@ object SparkEntry {
          |               CAST(sum(q.d) AS BIGINT) AS dist_e6
          |        FROM codes c JOIN dists q ON q.s = c.s AND q.j = c.j
          |                                  AND q.vec_id <> c.vec_id
+         |        GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, dist_e6,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY dist_e6 ASC, neighbor_id ASC) AS "rank"
+         |      FROM adc)
+         |SELECT query_id, neighbor_id, dist_e6, CAST("rank" AS INTEGER) AS "rank"
+         |FROM r WHERE "rank" <= $AnnK""".stripMargin
+    },
+    // IVF+PQ: same coarse/codebook hash rules, residual arithmetic per
+    // element (exact IEEE subtract), per-probed-cell ADC tables; every
+    // distance e6-quantized at the table boundary → integer ADC sums.
+    "ivfpq_topk" -> {
+      val subDim = Dim / PqM
+      s"""WITH flat AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+         |  FROM embeddings),
+         |centids AS (SELECT vec_id AS c_vec, CAST(rn - 1 AS INTEGER) AS cell FROM (
+         |  SELECT vec_id, row_number() OVER (
+         |    ORDER BY ${dh("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS rn
+         |  FROM embeddings) WHERE rn <= $IvfNlist),
+         |centflat AS (SELECT c.cell, f.i, f.x
+         |             FROM centids c JOIN flat f ON f.vec_id = c.c_vec),
+         |adist AS (SELECT v.vec_id, c.cell,
+         |    CAST(floor(sum((v.x - c.x) * (v.x - c.x)) * 1000000.0 + 0.5)
+         |         AS BIGINT) AS d
+         |  FROM flat v JOIN centflat c ON v.i = c.i
+         |  GROUP BY 1, 2),
+         |arank AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+         |  FROM adist),
+         |assign AS (SELECT vec_id, cell FROM arank WHERE rn = 1),
+         |probe AS (SELECT vec_id, cell FROM arank WHERE rn <= $IvfNprobe),
+         |rflat AS (SELECT v.vec_id, v.i, v.x - c.x AS x
+         |          FROM flat v JOIN assign a ON a.vec_id = v.vec_id
+         |               JOIN centflat c ON c.cell = a.cell AND c.i = v.i),
+         |cbids AS (SELECT vec_id AS cb_vec, CAST(rn - 1 AS INTEGER) AS j FROM (
+         |  SELECT vec_id, row_number() OVER (
+         |    ORDER BY ${dh("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS rn
+         |  FROM embeddings) WHERE rn <= $PqK),
+         |cbsub AS (SELECT cb.j, CAST((r.i - 1) // $subDim AS INTEGER) AS s,
+         |                 (r.i - 1) % $subDim AS di, r.x
+         |          FROM cbids cb JOIN rflat r ON r.vec_id = cb.cb_vec),
+         |rsub AS (SELECT vec_id, CAST((i - 1) // $subDim AS INTEGER) AS s,
+         |                (i - 1) % $subDim AS di, x
+         |         FROM rflat),
+         |cdist AS (SELECT r.vec_id, r.s, c.j,
+         |    CAST(floor(sum((r.x - c.x) * (r.x - c.x)) * 1000000.0 + 0.5)
+         |         AS BIGINT) AS d
+         |  FROM rsub r JOIN cbsub c ON r.s = c.s AND r.di = c.di
+         |  GROUP BY 1, 2, 3),
+         |codes AS (SELECT cd.vec_id, a.cell, cd.s, cd.j FROM (
+         |    SELECT vec_id, s, j,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+         |    FROM cdist) cd JOIN assign a ON a.vec_id = cd.vec_id
+         |  WHERE cd.rn = 1),
+         |qrflat AS (SELECT v.vec_id, p.cell, v.i, v.x - c.x AS x
+         |           FROM flat v JOIN probe p ON p.vec_id = v.vec_id
+         |                JOIN centflat c ON c.cell = p.cell AND c.i = v.i),
+         |qsub AS (SELECT vec_id, cell, CAST((i - 1) // $subDim AS INTEGER) AS s,
+         |                (i - 1) % $subDim AS di, x
+         |         FROM qrflat),
+         |qdist AS (SELECT q.vec_id, q.cell, q.s, c.j,
+         |    CAST(floor(sum((q.x - c.x) * (q.x - c.x)) * 1000000.0 + 0.5)
+         |         AS BIGINT) AS d
+         |  FROM qsub q JOIN cbsub c ON q.s = c.s AND q.di = c.di
+         |  GROUP BY 1, 2, 3, 4),
+         |adc AS (SELECT q.vec_id AS query_id, k2.vec_id AS neighbor_id,
+         |               CAST(sum(q.d) AS BIGINT) AS dist_e6
+         |        FROM codes k2 JOIN qdist q ON q.cell = k2.cell AND q.s = k2.s
+         |                                   AND q.j = k2.j AND q.vec_id <> k2.vec_id
          |        GROUP BY 1, 2),
          |r AS (SELECT query_id, neighbor_id, dist_e6,
          |        row_number() OVER (PARTITION BY query_id

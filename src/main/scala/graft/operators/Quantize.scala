@@ -166,6 +166,121 @@ object Quantize {
       m: Int, codebookK: Int, k: Int): DataFrame =
     pqTopKWith(df, idCol, vecCol, pqCodebook(df, idCol, vecCol, m, codebookK), k)
 
+  // ------------------------------------------------------------------
+  // IVF + PQ with residual encoding — the composition FAISS ships as
+  // `IVFx,PQy` and runs at billion-vector scale (Jégou et al. §IV: coarse
+  // quantizer partitions the space; PQ encodes the RESIDUAL vec − centroid,
+  // whose energy is far lower than the raw vector's, so the same code
+  // budget buys much finer resolution). Search probes `nprobe` cells; the
+  // query's residual — and therefore its ADC lookup table — is computed
+  // PER PROBED CELL, and a candidate is scored only through its own cell's
+  // table.
+  //
+  // Scale shape: candidates come from an equi-join on (cell, subspace,
+  // codeword) — a vector participates only where its cell is probed, the
+  // IVF pruning. Raw vectors appear in exactly two map-side passes
+  // (assignment, residual encode); everything downstream moves (id, cell,
+  // s, code) integers. Both codebooks are driver-held literals (the
+  // persisted index model); the per-query table is nprobe·m·k rows.
+  // ------------------------------------------------------------------
+
+  /** Coarse codebook: the `nlist` vectors with the smallest portable hash
+    * (deterministic sampled init, same rule as every graft codebook).
+    * Returns (cell = rank 0.., centroid). */
+  def coarseCodebook(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Seq[(Int, Seq[Double])] =
+    df.withColumn("__h", PortableHash.hash60(col(idCol)))
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .limit(nlist)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+      .toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toIndexedSeq: Seq[Double]) }
+
+  /** Driver-side mirror of the engine's quantized L2² (sequential fold,
+    * identical operand order to [[graft.functions.expressions.L2Squared]]). */
+  private def dE6Driver(a: Seq[Double], b: Seq[Double]): Long = {
+    var s = 0.0; var i = 0
+    while (i < math.min(a.size, b.size)) { val d = a(i) - b(i); s += d * d; i += 1 }
+    math.floor(s * 1e6 + 0.5).toLong
+  }
+
+  /** IVF+PQ/ADC approximate top-k over residual codes. Every vector
+    * queries the index (self excluded); candidates are vectors whose
+    * assigned cell is among the query's `nprobe` nearest. Output shape =
+    * [[pqTopK]]. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, nprobe: Int, m: Int, codebookK: Int, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val coarse = coarseCodebook(df, idCol, vecCol, nlist)
+
+    val base = Partitions.widen(
+      df.select(col(idCol), col(vecCol).cast("array<double>").as("__v")), col(idCol))
+    // (cell-distance, cell) structs sorted lexicographically = rank by
+    // (d_e6 asc, cell asc); argmin = head, probes = first nprobe
+    val cellDists = array_sort(array(coarse.map { case (cell, cv) =>
+      struct(floor(Vectors.l2Squared(col("__v"), typedlit(cv)) * lit(1e6) + lit(0.5))
+        .cast("long").as("d"), lit(cell).as("cell"))
+    }: _*))
+    val withCells = base.withColumn("__cells", cellDists)
+
+    val centroids = coarse.toDF("cell", "__cent")
+    // corpus side: assigned cell + residual
+    val assigned = withCells
+      .select(col(idCol), col("__v"), col("__cells").getItem(0).getField("cell").as("cell"))
+      .join(broadcast(centroids), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        zip_with(col("__v"), col("__cent"), (a, b) => a - b).as("__r"))
+
+    // residual PQ codebook: hash-sampled rows, assignment + residual done
+    // driver-side with the identical quantized metric
+    val sampled = df.withColumn("__h", PortableHash.hash60(col(idCol)))
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .limit(codebookK)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toIndexedSeq)
+    val resRows = sampled.map { v =>
+      val best = coarse.minBy { case (cell, cv) => (dE6Driver(v, cv), cell) }
+      v.zip(best._2).map { case (a, b) => a - b }: Seq[Double]
+    }
+    require(resRows.nonEmpty, "ivfPqTopK: empty input")
+    val dim = resRows.head.size
+    require(dim % m == 0, s"ivfPqTopK: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val resCb = for { s <- 0 until m; j <- resRows.indices }
+      yield (s, j, resRows(j).slice(s * subDim, (s + 1) * subDim))
+
+    val codes = pqCodes(assigned.select(col(idCol), col("__r")), idCol, "__r", resCb)
+      .join(assigned.select(col(idCol), col("cell")), Seq(idCol))
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("s"), col("code").as("j"))
+
+    // query side: one residual — and one ADC table — PER PROBED CELL
+    val probes = withCells
+      .select(col(idCol).as("query_id"),  col("__v"),
+        explode(slice(col("__cells"), 1, nprobe)).as("__pc"))
+      .select(col("query_id"), col("__v"), col("__pc").getField("cell").as("cell"))
+      .join(broadcast(centroids), Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        zip_with(col("__v"), col("__cent"), (a, b) => a - b).as("__qr"))
+    val qdist = probes.select(col("query_id"), col("cell"),
+        explode(array(resCb.map { case (s, j, cw) =>
+          struct(lit(s).as("s"), lit(j).as("j"), dE6(col("__qr"), s, subDim, cw).as("d"))
+        }: _*)).as("__e"))
+      .select(col("query_id"), col("cell"),
+        col("__e.s").as("s"), col("__e.j").as("j"), col("__e.d").as("d_e6"))
+
+    val adc = codes.join(qdist, Seq("cell", "s", "j"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("d_e6")).as("dist_e6"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist_e6").asc, col("neighbor_id").asc)
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dist_e6", "rank")
+  }
+
   /** [[pqTopK]] against a caller-supplied codebook (e.g. from
     * [[pqCodebookTrained]]). */
   def pqTopKWith(df: DataFrame, idCol: String, vecCol: String,

@@ -90,6 +90,54 @@ class QuantizeSpec extends SparkSpec {
     assert(recall > 0.05, s"recall@5 $recall")
   }
 
+  test("ivfPqTopK: ranks well-formed; candidates only from probed cells") {
+    val emb = realEmb
+    val out = Quantize.ivfPqTopK(emb, "vec_id", "embedding",
+      nlist = 16, nprobe = 4, m = 8, codebookK = 16, k = 5)
+    val rows = out.as[(Long, Long, Long, Int)].collect()
+    assert(rows.forall(r => r._1 != r._2))
+    rows.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= 5)
+    }
+    // IVF pruning invariant: each neighbor's assigned cell ∈ query's probes
+    val coarse = Quantize.coarseCodebook(emb, "vec_id", "embedding", 16)
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def d2e6(a: Seq[Double], b: Seq[Double]): Long = {
+      var s = 0.0; var i = 0
+      while (i < a.size) { val d = a(i) - b(i); s += d * d; i += 1 }
+      math.floor(s * 1e6 + 0.5).toLong
+    }
+    def cellRank(v: Seq[Double]): Seq[Int] =
+      coarse.map { case (c, cv) => (d2e6(v, cv), c) }.sorted.map(_._2)
+    rows.foreach { case (q, n, _, _) =>
+      val probed = cellRank(vecs(q)).take(4).toSet
+      assert(probed.contains(cellRank(vecs(n)).head), s"($q,$n) outside probed cells")
+    }
+    // on structureless random vectors recall ≈ pq-recall × nprobe/nlist —
+    // measured 0.035 vs 0.01 chance; the clustered test below is the
+    // design point. This bound only catches a broken ADC/cell join.
+  }
+
+  test("ivfPqTopK recovers cluster neighbors on clustered data") {
+    // 4 tight clusters of 25 vectors in 8-dim: IVF's design point. With
+    // nlist=4/nprobe=2 the true nearest neighbors share the query's cell.
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 100).map { i =>
+      val c = i % 4
+      val center = Seq.tabulate(8)(d => if (d % 4 == c) 10.0f else 0.0f)
+      (i.toLong, center.map(x => x + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val out = Quantize.ivfPqTopK(data, "vec_id", "embedding",
+      nlist = 4, nprobe = 2, m = 4, codebookK = 8, k = 3)
+      .as[(Long, Long, Long, Int)].collect()
+    // every returned neighbor is from the query's own cluster
+    val sameCluster = out.count { case (q, n, _, _) => q % 4 == n % 4 }
+    assert(sameCluster.toDouble / out.length > 0.95,
+      s"only $sameCluster/${out.length} neighbors in-cluster")
+  }
+
   test("k-means-trained codebook cuts reconstruction error vs hash-sampled") {
     val emb = realEmb
     def reconErr(cb: Seq[(Int, Int, Seq[Double])]): Double = {
