@@ -446,6 +446,14 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")),
     "jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.2)),
+    // asymmetric containment: catches short-doc-inside-long-doc dups that
+    // Jaccard's union denominator hides (quotes, aggregators)
+    "containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5)),
+    // per-dimension embedding health report (dead dims, range outliers)
+    "embedding_dim_stats" -> ((s, dir) =>
+      graft.operators.VectorAgg.dimStats(Tables.embeddings(s, dir), "embedding")),
     // portable (md5-family) configurations so the DuckDB oracles are exact;
     // the xxhash64 default family remains the faster non-oracle path
     "minhash_lsh_pairs" -> ((s, dir) =>
@@ -3019,6 +3027,36 @@ object SparkEntry {
         |  JOIN sizes sa ON i.id_a = sa.doc_id
         |  JOIN sizes sb ON i.id_b = sb.doc_id)
         |WHERE jaccard >= 0.2""".stripMargin,
+    "containment_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, containment_a, containment_b FROM (
+        |  SELECT i.id_a, i.id_b,
+        |         round(CAST(i.n_inter AS DOUBLE) / sa.n, 6) AS containment_a,
+        |         round(CAST(i.n_inter AS DOUBLE) / sb.n, 6) AS containment_b
+        |  FROM inter i
+        |  JOIN sizes sa ON i.id_a = sa.doc_id
+        |  JOIN sizes sb ON i.id_b = sb.doc_id)
+        |WHERE containment_a >= 0.5 OR containment_b >= 0.5""".stripMargin,
+    "embedding_dim_stats" ->
+      """WITH flat AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+        |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+        |  FROM embeddings)
+        |SELECT CAST(pos AS INTEGER) AS pos,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  min(x) AS min_x, max(x) AS max_x,
+        |  CAST(floor(CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |             / count(*) + 0.5) AS BIGINT) AS mean_e6
+        |FROM flat GROUP BY pos""".stripMargin,
 
     "cosine_topk" ->
       """WITH flat AS (

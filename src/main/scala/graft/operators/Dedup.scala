@@ -91,6 +91,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** N-gram CONTAINMENT pairs — the asymmetric cousin of [[jaccardPairs]]:
+    * containment(A→B) = |A∩B| / |A| (Broder's "resemblance vs containment"
+    * split, 1997). Jaccard misses the quote/aggregator pattern — a short
+    * document wholly embedded in a much longer one scores near-zero
+    * Jaccard (union is huge) but containment 1.0 from the short side.
+    * Output: (id_a, id_b, containment_a, containment_b) with id_a < id_b,
+    * kept when EITHER direction ≥ threshold.
+    *
+    * Scale shape: identical to [[jaccardPairs]] — one shingle equi-join
+    * for candidates (linear in shared-gram pairs, hot shingles capped),
+    * sizes from the same capped relation so both directions see one
+    * shingle universe. */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, maxGramFreq: Int = Int.MaxValue): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val shCapped =
+      if (maxGramFreq == Int.MaxValue) sh
+      else {
+        val hot = sh.groupBy("gram").agg(count(lit(1)).as("f"))
+          .filter(col("f") > maxGramFreq).select("gram")
+        sh.join(broadcast(hot), Seq("gram"), "left_anti")
+      }
+    val sizes = shCapped.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val inter = shCapped.as("a")
+      .join(shCapped.as("b"),
+        col("a.gram") === col("b.gram") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n_grams").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_grams").as("n_b")), "id_b")
+      .withColumn("containment_a",
+        round(col("n_inter").cast("double") / col("n_a"), 6))
+      .withColumn("containment_b",
+        round(col("n_inter").cast("double") / col("n_b"), 6))
+      .filter(col("containment_a") >= threshold || col("containment_b") >= threshold)
+      .select("id_a", "id_b", "containment_a", "containment_b")
+  }
+
   /** Edit-distance (Levenshtein) near-duplicate pairs: id_a < id_b with
     * dist ≤ `maxDist`. Candidates come from the shared-shingle equi-join —
     * LINEAR in shared-gram pairs, never |docs|² — then a cheap length-band

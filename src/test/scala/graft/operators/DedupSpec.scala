@@ -117,4 +117,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 0)
     assert(pairs((2L, 5L)) == 0)
   }
+
+  test("containmentPairs catches short-in-long embedding that Jaccard misses") {
+    val spark2 = spark
+    import spark2.implicits._
+    val short = "the quick brown fox jumps"
+    val long = short + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, "totally different words here now")).toDF("doc_id", "text")
+    // doc 1: 3 trigrams, all inside doc 2 → containment_a = 1.0; doc 2 has
+    // 43 trigrams → jaccard = 3/43 ≈ 0.07, far below any useful threshold
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5).count()
+    assert(jac == 0L)
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cont.length == 1)
+    assert(cont.head._1 == 1L && cont.head._2 == 2L)
+    assert(cont.head._3 == 1.0)
+    assert(cont.head._4 < 0.1)
+  }
 }
