@@ -451,6 +451,13 @@ object SparkEntry {
     "containment_pairs" -> ((s, dir) =>
       Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5)),
+    // temperature-flattened lang mix (share ∝ n^α — the multilingual
+    // pretraining rebalance; α=0.5 halves the head/tail imbalance)
+    "temperature_mix" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureSample(
+          Tables.documents(s, dir).select("doc_id", "lang"),
+          "lang", "doc_id", alpha = 0.5, totalRows = 250L)
+        .select("doc_id", "lang")),
     // per-dimension embedding health report (dead dims, range outliers)
     "embedding_dim_stats" -> ((s, dir) =>
       graft.operators.VectorAgg.dimStats(Tables.embeddings(s, dir), "embedding")),
@@ -3284,6 +3291,19 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN t USING (lang)
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % t.n < t.tgt""".stripMargin,
+
+    "temperature_mix" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+         |p AS (SELECT lang, n,
+         |        CAST(floor(pow(CAST(n AS DOUBLE), 0.5) * 1000000.0 + 0.5) AS BIGINT) AS p
+         |      FROM c),
+         |t AS (SELECT lang, n,
+         |        least(n, CAST(floor(250.0 *
+         |          (CAST(p AS DOUBLE) / CAST(sum(p) OVER () AS DOUBLE))) AS BIGINT)) AS tgt
+         |      FROM p)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN t USING (lang)
+         |WHERE ${dh("CAST(d.doc_id AS VARCHAR)")} % t.n < t.tgt""".stripMargin,
 
     "user_set_ops" ->
       """SELECT

@@ -107,6 +107,35 @@ object Sampling {
       .drop("__n", "__tgt")
   }
 
+  /** Temperature-flattened resampling — the multilingual mixing recipe
+    * (share ∝ n^α, α < 1 upsamples the tail relative to the head; the
+    * `p_l ∝ |D_l|^α` rule of multilingual pretraining, e.g. XLM-R,
+    * Conneau et al. 2020): resample to ~`totalRows` rows with group g
+    * keeping min(n_g, ⌊totalRows · n_g^α / Σ n^α⌋).
+    *
+    * Portability: each group's n^α is quantized to e6 integers before the
+    * cross-group sum (float-sum order never reaches the comparison; same
+    * discipline as every ln in graft), and acceptance is the exact-integer
+    * `hash mod n < tgt` shared by the whole sampling family.
+    *
+    * Scale shape: one |groups|-row aggregate broadcast back; no shuffle of
+    * the data itself. */
+  def temperatureSample(df: DataFrame, groupCol: String, keyCol: String,
+      alpha: Double, totalRows: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val wAll = Window.partitionBy(lit(0))
+    val stats = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__p",
+        floor(pow(col("__n").cast("double"), lit(alpha)) * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("__tgt", least(col("__n"),
+        floor(lit(totalRows.toDouble)
+          * (col("__p").cast("double") / sum("__p").over(wAll).cast("double"))).cast("long")))
+      .select(col(groupCol), col("__n"), col("__tgt"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .filter(pmod(graft.functions.PortableHash.hash60(col(keyCol)), col("__n")) < col("__tgt"))
+      .drop("__n", "__tgt")
+  }
+
   def quotaSample(df: DataFrame, groupCol: String, scoreCol: String,
       keyCol: String, quotas: Map[String, Int],
       defaultQuota: Int): DataFrame = {

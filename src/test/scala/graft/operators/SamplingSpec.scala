@@ -86,6 +86,30 @@ class SamplingSpec extends SparkSpec {
       out.select("id").as[Long].collect().toSet)
   }
 
+  test("temperatureSample flattens head/tail shares toward n^alpha targets") {
+    // groups: a=400, b=100, c=25 rows. α=0.5 → p ∝ 20/10/5 → with T=200:
+    // targets 114/57/28→capped 25. Exact: p_e6 = floor(sqrt(n)*1e6+0.5)
+    val df = (
+      (1 to 400).map(i => (i.toLong, "a")) ++
+      (401 to 500).map(i => (i.toLong, "b")) ++
+      (501 to 525).map(i => (i.toLong, "c"))
+    ).toDF("id", "grp")
+    val out = Sampling.temperatureSample(df, "grp", "id", alpha = 0.5, totalRows = 200L)
+    val got = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    def pe6(n: Long): Long = math.floor(math.pow(n, 0.5) * 1e6 + 0.5).toLong
+    val s = pe6(400) + pe6(100) + pe6(25)
+    def tgt(n: Long): Long = math.min(n, math.floor(200.0 * (pe6(n).toDouble / s)).toLong)
+    // acceptance keeps ~tgt of each group (hash-uniform, not exact counts);
+    // the flattening property is what matters: raw 16:1 head/tail becomes ≤ 5:1
+    assert(got("c").toDouble >= tgt(25) * 0.5)
+    assert(got("a").toDouble / got("c") < 5.0,
+      s"head/tail ${got("a")}/${got("c")} not flattened")
+    // determinism
+    val again = Sampling.temperatureSample(df, "grp", "id", 0.5, 200L)
+    assert(again.select("id").as[Long].collect().toSet ==
+      out.select("id").as[Long].collect().toSet)
+  }
+
   test("redact scrubs emails and phone runs") {
     import graft.functions.Text
     val df = Seq(
