@@ -49,6 +49,25 @@ object LangModel {
           element_at(col("__ws"), i + 2).as("right")))).as("__p"))
       .select(col(idCol), col("__p.left").as("left"), col("__p.right").as("right"))
 
+  /** The trained model relations: ((left,right)→count, left→count,
+    * 1-row vocabulary size) — two hash aggs + a scalar, shared by the
+    * batch and streaming scoring paths. */
+  private def model(train: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val trainBigrams = bigrams(train, idCol, textCol).select("left", "right")
+    val bigramCounts = trainBigrams.groupBy("left", "right").agg(count(lit(1)).as("__cb"))
+    val historyCounts = trainBigrams.groupBy("left").agg(count(lit(1)).as("__cl"))
+    val vocab = train.select(explode(Text.tokens(col(textCol))).as("__term"))
+      .agg(count_distinct(col("__term")).as("__v"))
+    (bigramCounts, historyCounts, vocab)
+  }
+
+  private def nllE6(cb: org.apache.spark.sql.Column, cl: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(v > 0,
+      floor(-log((coalesce(cb, lit(0L)) + lit(1.0)) /
+          (coalesce(cl, lit(0L)).cast("double") + v.cast("double")))
+        * lit(1e6) + lit(0.5)).cast("long"))
+
   /** Score every row of `docs` under an add-one-smoothed bigram model
     * trained on `train`.
     *
@@ -57,11 +76,7 @@ object LangModel {
     * Documents with fewer than 2 tokens score (0, 0, 0): no evidence, no
     * penalty — callers filter on `n_bigrams` if they want them gone. */
   def bigramNll(train: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val trainBigrams = bigrams(train, idCol, textCol).select("left", "right")
-    val bigramCounts = trainBigrams.groupBy("left", "right").agg(count(lit(1)).as("__cb"))
-    val historyCounts = trainBigrams.groupBy("left").agg(count(lit(1)).as("__cl"))
-    val vocab = train.select(explode(Text.tokens(col(textCol))).as("__term"))
-      .agg(count_distinct(col("__term")).as("__v"))
+    val (bigramCounts, historyCounts, vocab) = model(train, idCol, textCol)
 
     val docBigrams = Partitions.widen(bigrams(docs, idCol, textCol), col(idCol))
       .groupBy(col(idCol), col("left"), col("right")).agg(count(lit(1)).as("__tf"))
@@ -77,11 +92,7 @@ object LangModel {
       .join(bigramCounts, Seq("left", "right"), "left")
       .join(historyCounts, Seq("left"), "left")
       .crossJoin(broadcast(vocab))
-      .withColumn("__nll_e6",
-        when(col("__v") > 0,
-          floor(-log((coalesce(col("__cb"), lit(0L)) + lit(1.0)) /
-              (coalesce(col("__cl"), lit(0L)).cast("double") + col("__v").cast("double")))
-            * lit(1e6) + lit(0.5)).cast("long")))
+      .withColumn("__nll_e6", nllE6(col("__cb"), col("__cl"), col("__v")))
 
     val agg = scored.groupBy(col(idCol))
       .agg(sum(col("__tf")).as("n_bigrams"),
@@ -96,5 +107,34 @@ object LangModel {
         when(col("n_bigrams") === 0, 0L)
           .otherwise(floor(col("nll_e6").cast("double") / col("n_bigrams").cast("double")
             + lit(0.5)).cast("long")))
+  }
+
+  /** Streaming form: score a LIVE document stream against a model trained
+    * on a STATIC reference corpus — the "filter the incoming crawl with
+    * last snapshot's model" deployment shape. The model relations join
+    * stream-static (Spark keeps the static side as a plain batch lookup);
+    * scoring is restructured to ONE streaming aggregation (per-occurrence
+    * join, no (doc,bigram,tf) pre-agg — streams allow a single agg), so it
+    * runs in update/complete mode. The vocabulary scalar joins on a
+    * constant key — stream-static equi-join, where a crossJoin would be an
+    * unsupported streaming cartesian.
+    *
+    * Output: (idCol, n_bigrams, nll_e6) per document seen so far —
+    * documents with < 2 tokens never enter the state (no bigrams), unlike
+    * the batch form's explicit zero rows. `avg` is left to the consumer:
+    * deriving it inside would need a second projection over an
+    * aggregation output, which complete-mode sinks handle but update-mode
+    * row stores typically recompute anyway. */
+  def bigramNllStream(train: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (bigramCounts, historyCounts, vocab) = model(train, idCol, textCol)
+    val occurrences = bigrams(docs, idCol, textCol)
+      .withColumn("__one", lit(1))
+    occurrences
+      .join(bigramCounts, Seq("left", "right"), "left")
+      .join(historyCounts, Seq("left"), "left")
+      .join(vocab.withColumn("__one", lit(1)), Seq("__one"))
+      .withColumn("__nll_e6", nllE6(col("__cb"), col("__cl"), col("__v")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll_e6")).as("nll_e6"))
   }
 }

@@ -63,6 +63,33 @@ class LangModelSpec extends SparkSpec {
     assert(row == ((50L, 1L, 0L, 0L)))
   }
 
+  test("streaming scores equal batch scores across incremental batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = LangModel.bigramNllStream(
+      train, input.toDF.toDF("doc_id", "text"), "doc_id", "text")
+    val q = stream.writeStream.format("memory").queryName("lm_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData((10L, "the cat sat"), (11L, "the zebra"))
+      q.processAllAvailable()
+      input.addData((12L, "zebra quux"), (13L, "one"))
+      q.processAllAvailable()
+      val got = spark.table("lm_stream")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      val batch = LangModel.bigramNll(train,
+          Seq((10L, "the cat sat"), (11L, "the zebra"), (12L, "zebra quux"), (13L, "one"))
+            .toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      // doc 13 has no bigrams → absent from the stream state (documented)
+      assert(got.keySet == Set(10L, 11L, 12L))
+      got.foreach { case (id, (_, n, s)) =>
+        assert(n == batch(id)._2 && s == batch(id)._3, s"doc $id")
+      }
+    } finally q.stop()
+  }
+
   test("every input doc appears exactly once") {
     val docs = Seq((40L, ""), (41L, "the"), (42L, "the cat")).toDF("doc_id", "text")
     val out = LangModel.bigramNll(train, docs, "doc_id", "text")
