@@ -641,6 +641,23 @@ object SparkEntry {
             .cast("int").as("correct"))
     }),
 
+    // ---- pseudo-labeled QUALITY classifier (the fastText-filter recipe:
+    // heuristic score labels a train half, NB learns the label from raw
+    // tokens, the model generalizes past the heuristic's feature set) ----
+    "nb_quality_classify" -> ((s, dir) => {
+      val labeled = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+        when(floor(graft.functions.Text.qualityScoreRaw(col("text")) * lit(1e6) + lit(0.5))
+          .cast("long") >= 800000L, "hi").otherwise("lo").as("__qlab"))
+      val train = labeled.filter(
+        graft.functions.PortableHash.hash60(col("doc_id")) % 2 === 0)
+      graft.operators.NaiveBayes.classify(train, labeled, "doc_id", "text", "__qlab")
+        .join(labeled.select(col("doc_id"), col("__qlab")), Seq("doc_id"))
+        .select(col("doc_id"), col("__qlab").as("qlabel"),
+          col("pred_label").as("pred_qlabel"), col("score_e6"),
+          when(col("pred_label") === col("__qlab"), 1).otherwise(0)
+            .cast("int").as("correct"))
+    }),
+
     // ---- classifier evaluation: full confusion matrix (the
     // train-side-signal report a curation team reads before trusting a
     // model filter) ----
@@ -1836,8 +1853,12 @@ object SparkEntry {
        |       END AS BIGINT) AS avg_logratio_e6
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
-  private def nbLangOracle: String =
-    s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+  /** Multinomial-NB oracle over any labeled `toks` CTE chain ending in
+    * `toks(doc_id, lang, ws)` — instantiated for the lang classifier and
+    * the pseudo-labeled quality classifier so the model SQL cannot drift
+    * between them. */
+  private def nbOracleBody(toksCtes: String, actualAlias: String, predAlias: String): String =
+    s"""WITH $toksCtes,
        |tr AS (SELECT * FROM toks WHERE ${dh("CAST(doc_id AS VARCHAR)")} % 2 = 0),
        |trtok AS (SELECT doc_id, lang, UNNEST(ws) AS term FROM tr),
        |cls AS (SELECT lang AS lab, CAST(count(*) AS BIGINT) AS nd FROM tr GROUP BY 1),
@@ -1865,9 +1886,42 @@ object SparkEntry {
        |        row_number() OVER (PARTITION BY doc_id
        |                           ORDER BY score_e6 DESC, lab ASC) AS rn
        |      FROM tot)
-       |SELECT d.doc_id, d.lang, r.lab AS pred_lang, r.score_e6,
-       |  CAST(CASE WHEN r.lab = d.lang THEN 1 ELSE 0 END AS INTEGER) AS correct
-       |FROM documents d JOIN r ON d.doc_id = r.doc_id AND r.rn = 1""".stripMargin
+       |SELECT dl.doc_id, dl.lang AS $actualAlias, r.lab AS $predAlias, r.score_e6,
+       |  CAST(CASE WHEN r.lab = dl.lang THEN 1 ELSE 0 END AS INTEGER) AS correct
+       |FROM (SELECT doc_id, lang FROM toks) dl
+       |JOIN r ON dl.doc_id = r.doc_id AND r.rn = 1""".stripMargin
+
+  private def nbLangOracle: String = nbOracleBody(
+    "toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)",
+    "lang", "pred_lang")
+
+  /** Pseudo-labeled quality classifier: the label CTE chain inlines the
+    * doc_quality formula (kept textually identical to that oracle), then
+    * the shared NB body learns hi/lo from tokens. */
+  private def nbQualityOracle: String = nbOracleBody(
+    s"""qsrc AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS ws,
+       |         CAST(length(text) AS DOUBLE) AS nchars
+       |  FROM documents),
+       |qs AS (
+       |  SELECT doc_id, ws, nchars,
+       |         CAST(len(ws) AS DOUBLE) AS ntok,
+       |         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
+       |  FROM qsrc),
+       |qsc AS (SELECT doc_id, ws,
+       |  CAST(CASE WHEN nchars = 0 THEN 0 ELSE floor((
+       |    least(ntok / 100.0, 1.0) * 0.3
+       |    + (alpha / nchars) * 0.3
+       |    + (CASE WHEN (nchars - (ntok - 1)) / ntok BETWEEN 2.0 AND 12.0
+       |            THEN 1.0 ELSE 0.3 END) * 0.2
+       |    + (CASE WHEN len(list_intersect(ws,
+       |         ['the','a','an','and','of','to','in','is','it','that'])) > 0
+       |            THEN 1.0 ELSE 0.5 END)* 0.2) * 1000000.0 + 0.5) END AS BIGINT) AS quality_e6
+       |  FROM qs),
+       |toks AS (SELECT doc_id,
+       |           CASE WHEN quality_e6 >= 800000 THEN 'hi' ELSE 'lo' END AS lang, ws
+       |         FROM qsc)""".stripMargin,
+    "qlabel", "pred_qlabel")
 
   private def blocklistOracle: String =
     s"""WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
@@ -2072,6 +2126,7 @@ object SparkEntry {
     // NB: same hash-half split, add-one smoothing, per-term e6 quantization
     // before the per-(doc,class) integer sum; argmax tie-break = label asc.
     "nb_lang_classify" -> nbLangOracle,
+    "nb_quality_classify" -> nbQualityOracle,
     "nb_confusion" ->
       s"""WITH nb AS (SELECT * FROM ($nbLangOracle))
          |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
