@@ -1168,6 +1168,21 @@ object SparkEntry {
       Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
         maxDist = 10, n = 5)),
 
+    // ---- Vocabulary coverage: per-doc OOV rate under a top-16 corpus
+    // vocab (tokenizer-design statistic; vocab re-enters broadcast) ----
+    "vocab_oov" -> ((s, dir) =>
+      graft.operators.TermStats.vocabCoverage(
+        Tables.documents(s, dir), "doc_id", "text", v = 16)),
+
+    // ---- BM25 retrieval: inverted-index top-k (sparse leg of hybrid RAG
+    // retrieval; every 100th doc plays the query role) ----
+    "bm25_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Retrieval.bm25TopK(
+        docs, docs.where(col("doc_id") % 100 === 0),
+        "doc_id", "text", "doc_id", "text", k = AnnK)
+    }),
+
     // ---- TF-IDF top terms per document (corpus-level term weighting) ----
     "tfidf_top_terms" -> ((s, dir) =>
       graft.operators.TermStats.topTerms(
@@ -2755,6 +2770,53 @@ object SparkEntry {
         |JOIN documents db ON c.id_b = db.doc_id
         |WHERE abs(length(da.text) - length(db.text)) <= 10
         |  AND levenshtein(da.text, db.text) <= 10""".stripMargin,
+
+    // exact integer counts + one IEEE division; top-16 vocab is fully
+    // determined by (cf DESC, term ASC) so the cutoff can't drift
+    "vocab_oov" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+        |v AS (SELECT term FROM (
+        |        SELECT term, row_number() OVER (ORDER BY cf DESC, term ASC) AS rn FROM cf)
+        |      WHERE rn <= 16),
+        |d AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |        CAST(sum(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END) AS BIGINT) AS oov_tokens
+        |      FROM tf LEFT JOIN v ON tf.term = v.term GROUP BY tf.doc_id)
+        |SELECT doc_id, n_tokens, oov_tokens,
+        |  CAST(floor(oov_tokens * 1.0 / n_tokens * 1000000.0 + 0.5) AS BIGINT) AS oov_e6
+        |FROM d""".stripMargin,
+
+    // BM25: the only ln() is quantized per DISTINCT TERM (idf_e6); the
+    // per-pair contribution is pure IEEE arithmetic over exact integers
+    // with the same literal/association shape as the Spark plan, floored
+    // to an integer BEFORE the sum — so scores and ranks are bit-stable
+    "bm25_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |                  len(string_split(text, ' ')) AS dl FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+        |       FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl
+        |       FROM (SELECT doc_id, any_value(dl) AS dl FROM t GROUP BY doc_id)),
+        |idf AS (SELECT term, CAST(floor(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+        |                               * 1000000.0 + 0.5) AS BIGINT) AS idf_e6
+        |        FROM df CROSS JOIN st),
+        |q AS (SELECT DISTINCT doc_id AS query_id, term FROM t WHERE doc_id % 100 = 0),
+        |c AS (SELECT q.query_id, tf.doc_id,
+        |        CAST(floor(idf.idf_e6 *
+        |          (tf.tf * (1.2 + 1.0) /
+        |            (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl * st.n / st.sum_dl)))
+        |          + 0.5) AS BIGINT) AS c_e6
+        |      FROM q JOIN tf USING (term) JOIN idf USING (term) CROSS JOIN st
+        |      WHERE q.query_id != tf.doc_id),
+        |s AS (SELECT query_id, doc_id, CAST(sum(c_e6) AS BIGINT) AS score_e6
+        |      FROM c GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score_e6, rank FROM (
+        |  SELECT s.*, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score_e6 DESC, doc_id ASC) AS INTEGER) AS rank
+        |  FROM s)
+        |WHERE rank <= 5""".stripMargin,
 
     // ranking happens on the QUANTIZED integer score in both engines, so
     // the top-k cutoff can't be flipped by libm ln() ulp differences

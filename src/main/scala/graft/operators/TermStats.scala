@@ -91,6 +91,42 @@ object TermStats {
           * 1e6 + 0.5).cast("long"))
   }
 
+  /** Vocabulary coverage / out-of-vocabulary rate — the statistic a
+    * tokenizer designer reads before fixing a vocab size: build the top-`v`
+    * corpus vocabulary (by total occurrences, ties broken by term ASC) and
+    * report, per document, how many tokens fall outside it. High OOV rate
+    * under a candidate vocab means UNK-flooding at training time; the same
+    * scan also powers coverage-vs-size curves (run with several `v`).
+    *
+    * Output: (id, n_tokens, oov_tokens, oov_e6) — oov_e6 is the OOV
+    * fraction in integer micro-units (exact integers + one IEEE division,
+    * engine-portable; n_tokens ≥ 1 always, whitespace split of "" is [""]).
+    *
+    * Scale shape: one (doc, term, tf) hash aggregation (map-side
+    * combinable — tokens never shuffle individually, only per-doc term
+    * counts), a term-level rollup for the corpus frequencies, and the
+    * top-`v` vocab re-enters as a BROADCAST side (v rows by construction —
+    * this join is broadcastable no matter the corpus size, unlike the
+    * general term join in [[topTerms]]). */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String, v: Int): DataFrame = {
+    require(v > 0, "vocab size must be positive")
+    val tf = termFreq(docs, idCol, textCol)
+    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    // orderBy+limit → TakeOrderedAndProject: each partition keeps v rows,
+    // the driver merges v — no global sort, no single-partition window.
+    val vocab = cf
+      .orderBy(col("cf").desc, col("term").asc).limit(v)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    tf.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, col("tf")).otherwise(lit(0L))).as("oov_tokens"))
+      .withColumn("oov_e6",
+        floor(col("oov_tokens") * lit(1.0) / col("n_tokens") * lit(1e6) + lit(0.5))
+          .cast("long"))
+  }
+
   /** N-gram novelty scores — the inverse signal of substring duplication:
     * per document, how many of its distinct word n-grams appear NOWHERE
     * else in the corpus. Low novelty marks templated/syndicated text even

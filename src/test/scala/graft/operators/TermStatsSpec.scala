@@ -126,4 +126,26 @@ class TermStatsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 0L, None, false)))
     assert(out(3L) == ((3L, 1L, Some("worse"), true)))
   }
+
+  test("vocabCoverage: top-v by corpus frequency, tf-weighted OOV, term-asc ties") {
+    val docs2 = Seq(
+      (1L, "a a a b b c"),   // cf: a=3(+1 below)=4, b=3, c=2, d=1
+      (2L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = TermStats.vocabCoverage(docs2, "doc_id", "text", v = 2)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // vocab = {a, b}; doc 1: 6 tokens, oov = c(1) = 1; doc 2: oov = c+d = 2
+    assert(out(1L) == ((1L, 6L, 1L, math.floor(1.0 / 6 * 1e6 + 0.5).toLong)))
+    assert(out(2L) == ((2L, 4L, 2L, 500000L)))
+  }
+
+  test("vocabCoverage: cf ties break by term ASC; full vocab means zero OOV") {
+    val docs2 = Seq((1L, "x y")).toDF("doc_id", "text") // cf: x=1, y=1 tie
+    val one = TermStats.vocabCoverage(docs2, "doc_id", "text", v = 1)
+      .as[(Long, Long, Long, Long)].head()
+    assert(one == ((1L, 2L, 1L, 500000L))) // vocab = {x} (tie → term asc)
+    val all = TermStats.vocabCoverage(docs2, "doc_id", "text", v = 5)
+      .as[(Long, Long, Long, Long)].head()
+    assert(all == ((1L, 2L, 0L, 0L)))
+  }
 }
