@@ -1124,6 +1124,17 @@ object SparkEntry {
           col("cents").as("filled_cents"))
     }),
 
+    // ---- EWMA trend smoothing (decay ½, 10-day horizon) over daily
+    // per-type counts: dyadic integer weights, zero transcendentals ----
+    "events_ewma" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.operators.Resample.ewmaHalving(
+        daily, keys = Seq("event_type"), dateCol = "d",
+        valueCol = "n_events", window = 10)
+    }),
+
     // ---- linear interpolation over the resampled grid (pandas
     // interpolate(method='time') in floor-integer form): gap hours get
     // v0 + (v1-v0)*(t-t0) floor-div (t1-t0) — pure int64 end to end, so
@@ -1167,6 +1178,18 @@ object SparkEntry {
     "edit_dup_pairs" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
         maxDist = 10, n = 5)),
+
+    // ---- k-anonymity audit: quasi-identifier classes smaller than k are
+    // re-identifiable; one hash aggregation, no joins ----
+    "k_anon_risk" -> ((s, dir) =>
+      graft.quality.Privacy.kAnonymityRisk(
+        Tables.customer(s, dir), Seq("c_mktsegment", "c_nationkey"), k = 5)),
+
+    // ---- ε-DP noisy counts (Laplace mechanism, seeded portable-hash
+    // noise so the release is reproducible and oracle-checkable) ----
+    "dp_group_counts" -> ((s, dir) =>
+      graft.quality.Privacy.dpNoisyCounts(
+        Tables.events(s, dir), Seq("event_type"), eps = 1.0, seed = 17)),
 
     // ---- Vocabulary coverage: per-doc OOV rate under a top-16 corpus
     // vocab (tokenizer-design statistic; vocab re-enters broadcast) ----
@@ -2698,6 +2721,22 @@ object SparkEntry {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
         |FROM w GROUP BY 1""".stripMargin,
 
+    // weights are exact powers of two, sums exact integers, one IEEE
+    // division at the end — no pow()/libm anywhere
+    "events_ewma" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |c AS (SELECT e.event_type, e.d + CAST(r.i AS INTEGER) AS ad,
+        |             (1 << (9 - CAST(r.i AS INTEGER))) * e.n_events AS wx,
+        |             (1 << (9 - CAST(r.i AS INTEGER))) AS w
+        |      FROM e, UNNEST(range(0, 10)) AS r(i)),
+        |a AS (SELECT event_type, ad, CAST(sum(wx) AS BIGINT) AS num,
+        |             CAST(sum(w) AS BIGINT) AS den
+        |      FROM c GROUP BY 1, 2)
+        |SELECT e.event_type, e.d, e.n_events,
+        |  CAST(floor(num * 1.0 / den * 1000000.0 + 0.5) AS BIGINT) AS ewma_e6
+        |FROM e JOIN a ON e.event_type = a.event_type AND e.d = a.ad""".stripMargin,
+
     "events_resampled" ->
       """WITH agg AS (
         |  SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events,
@@ -2770,6 +2809,26 @@ object SparkEntry {
         |JOIN documents db ON c.id_b = db.doc_id
         |WHERE abs(length(da.text) - length(db.text)) <= 10
         |  AND levenshtein(da.text, db.text) <= 10""".stripMargin,
+
+    "k_anon_risk" ->
+      """SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS group_n,
+        |       count(*) < 5 AS at_risk
+        |FROM customer GROUP BY c_mktsegment, c_nationkey""".stripMargin,
+
+    // the seeded Laplace draw: same md5-derived uniform, same inverse-CDF
+    // expression shape; the one ln() per group is quantized to e6 so the
+    // released integer is bit-identical cross-engine
+    "dp_group_counts" ->
+      """WITH g AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+        |h AS (SELECT event_type, n,
+        |        greatest(CAST(('0x' || substr(md5('17:' || CAST(event_type AS VARCHAR)), 1, 15)) AS BIGINT), 1) AS h
+        |      FROM g),
+        |u AS (SELECT event_type, n, h / 1152921504606846976.0 - 0.5 AS u FROM h)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS BIGINT) * 1000000 +
+        |    CAST(floor(-1.0 * 1.0 * sign(u) * ln(1.0 - 2.0 * abs(u))
+        |               * 1000000.0 + 0.5) AS BIGINT) AS noisy_n_e6
+        |FROM u""".stripMargin,
 
     // exact integer counts + one IEEE division; top-16 vocab is fully
     // determined by (cf DESC, term ASC) so the cutoff can't drift

@@ -149,4 +149,54 @@ object Resample {
             col("__v0") + expr("__num div __den"))))
       .drop("__v0", "__t0", "__v1", "__t1", "__num", "__den")
   }
+
+  /** Exponentially-weighted moving average over a daily series with decay
+    * ½ per step — the trend-smoothing statistic of a metrics pipeline
+    * (pandas' `ewm(halflife=1)` restricted to a finite `window`).
+    *
+    * The halving decay is chosen deliberately: every weight is the exact
+    * dyadic integer 2^(window−1−diff), so numerator and denominator are
+    * EXACT integer sums (no pow(), no float accumulation order effects) and
+    * the single IEEE division at the end is bit-identical on any engine —
+    * the same determinism discipline as the quantized-ln operators, but
+    * with zero transcendental sites. Terms older than `window` days carry
+    * weight < 2^-window of the newest and are truncated (window 10 ≈
+    * everything below 0.1%).
+    *
+    * Scale shape: NO self-join — each observation EXPLODES into the ≤
+    * `window` future anchor dates it contributes to (posexplode of a
+    * window-sized literal weight array), then one hash aggregation on
+    * (keys, anchor) and one equi-join back to the observed rows (EWMA is
+    * reported at observed dates only). Cost is window × |rows| map-side,
+    * independent of per-key history length — the banded-self-join
+    * alternative is per-key quadratic when a key's dates cluster.
+    *
+    * Output: input keys + (dateCol, valueCol passthrough) + `ewma_e6`
+    * (micro-units). `valueCol` must be integral (counts/cents).
+    */
+  def ewmaHalving(df: DataFrame, keys: Seq[String], dateCol: String,
+      valueCol: String, window: Int): DataFrame = {
+    require(window >= 1 && window <= 62, "window must be in [1, 62] (dyadic weights fit a long)")
+    val kcols = keys.map(col)
+    // weights[diff] = 2^(window-1-diff); posexplode gives (diff, weight)
+    val wArr = array((0 until window).map(d => lit(1L << (window - 1 - d))): _*)
+    val contrib = df
+      .select(kcols :+ col(dateCol) :+ col(valueCol).as("__x") :+
+        posexplode(wArr).as(Seq("__diff", "__w")): _*)
+      .select(kcols :+ date_add(col(dateCol), col("__diff")).as("__anchor") :+
+        (col("__x") * col("__w")).as("__wx") :+ col("__w"): _*)
+    // prefix the aggregate side's keys: `agg` shares df's lineage, so a
+    // bare-name join condition would be an ambiguous self-join reference
+    val agg = contrib
+      .groupBy(kcols :+ col("__anchor"): _*)
+      .agg(sum(col("__wx")).as("__num"), sum(col("__w")).as("__den"))
+      .select(keys.map(k => col(k).as(s"__k_$k")) ++
+        Seq(col("__anchor"), col("__num"), col("__den")): _*)
+    df.join(agg,
+        keys.map(k => col(k) === col(s"__k_$k")).reduce(_ && _) &&
+          col(dateCol) === col("__anchor"))
+      .select(df("*"),
+        floor(col("__num") * lit(1.0) / col("__den") * lit(1e6) + lit(0.5))
+          .cast("long").as("ewma_e6"))
+  }
 }

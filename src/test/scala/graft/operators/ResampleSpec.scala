@@ -109,4 +109,38 @@ class ResampleSpec extends SparkSpec {
     assert(out.length == 4)
     assert(out.count(_.isNullAt(2)) == 2) // hours 2, 3 unobserved
   }
+
+  private def d(day: Int) = java.sql.Date.valueOf(f"2024-01-$day%02d")
+
+  test("ewmaHalving matches the hand-computed dyadic average") {
+    val daily = Seq(("a", d(1), 10L), ("a", d(2), 20L), ("a", d(3), 40L))
+      .toDF("k", "day", "x")
+    val got = Resample.ewmaHalving(daily, Seq("k"), "day", "x", window = 2)
+      .select($"day", $"ewma_e6").as[(java.sql.Date, Long)].collect().toMap
+    // window 2 → weights newest=2, prev=1
+    assert(got(d(1)) == 10000000L)                              // 10·2/2
+    assert(got(d(2)) == math.floor((20.0 * 2 + 10) / 3 * 1e6 + 0.5).toLong)
+    assert(got(d(3)) == math.floor((40.0 * 2 + 20) / 3 * 1e6 + 0.5).toLong)
+  }
+
+  test("ewmaHalving: observations older than the window do not contribute") {
+    val daily = Seq(("a", d(1), 1000L), ("a", d(12), 8L)).toDF("k", "day", "x")
+    val got = Resample.ewmaHalving(daily, Seq("k"), "day", "x", window = 10)
+      .select($"day", $"ewma_e6").as[(java.sql.Date, Long)].collect().toMap
+    // d(12) is 11 days after d(1) — outside the 10-day horizon entirely
+    assert(got(d(12)) == 8000000L)
+    assert(got(d(1)) == 1000000000L)
+  }
+
+  test("ewmaHalving: gaps shift weights; keys independent; observed dates only") {
+    val daily = Seq(("a", d(1), 4L), ("a", d(3), 8L), ("b", d(3), 100L))
+      .toDF("k", "day", "x")
+    val out = Resample.ewmaHalving(daily, Seq("k"), "day", "x", window = 3)
+      .select($"k", $"day", $"ewma_e6").as[(String, java.sql.Date, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.size == 3) // no rows for unobserved d(2)
+    // at a/d3: newest weight 4 on x=8, diff=2 weight 1 on x=4 → 36/5
+    assert(out(("a", d(3))) == math.floor(36.0 / 5 * 1e6 + 0.5).toLong)
+    assert(out(("b", d(3))) == 100000000L) // b unaffected by a's history
+  }
 }
