@@ -1198,11 +1198,13 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", v = 16)),
 
     // ---- BM25 retrieval: inverted-index top-k (sparse leg of hybrid RAG
-    // retrieval; every 100th doc plays the query role) ----
+    // retrieval; every 1000th doc plays the query role — the synthetic
+    // corpus has NO rare terms, so each query touches ~every posting and
+    // query density IS the cost knob) ----
     "bm25_topk" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       graft.operators.Retrieval.bm25TopK(
-        docs, docs.where(col("doc_id") % 100 === 0),
+        docs, docs.where(col("doc_id") % 1000 === 0),
         "doc_id", "text", "doc_id", "text", k = AnnK)
     }),
 
@@ -2861,7 +2863,7 @@ object SparkEntry {
         |idf AS (SELECT term, CAST(floor(ln(1.0 + (n - df + 0.5) / (df + 0.5))
         |                               * 1000000.0 + 0.5) AS BIGINT) AS idf_e6
         |        FROM df CROSS JOIN st),
-        |q AS (SELECT DISTINCT doc_id AS query_id, term FROM t WHERE doc_id % 100 = 0),
+        |q AS (SELECT DISTINCT doc_id AS query_id, term FROM t WHERE doc_id % 1000 = 0),
         |c AS (SELECT q.query_id, tf.doc_id,
         |        CAST(floor(idf.idf_e6 *
         |          (tf.tf * (1.2 + 1.0) /
