@@ -1208,6 +1208,22 @@ object SparkEntry {
         "doc_id", "text", "doc_id", "text", k = AnnK)
     }),
 
+    // ---- Hybrid retrieval: RRF fusion of the BM25 (sparse) and exact
+    // cosine (dense) legs over the same query set; fused score is pure
+    // integer arithmetic — no calibration, no floats ----
+    "hybrid_rrf_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sparse = graft.operators.Retrieval.bm25TopK(
+          docs, docs.where(col("doc_id") % 1000 === 0),
+          "doc_id", "text", "doc_id", "text", k = AnnK)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val dense = Similarity.bruteForceTopK(
+          emb.where(col("vec_id") % 1000 === 0), emb, "vec_id", "embedding", k = AnnK)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), k = AnnK)
+    }),
+
     // ---- TF-IDF top terms per document (corpus-level term weighting) ----
     "tfidf_top_terms" -> ((s, dir) =>
       graft.operators.TermStats.topTerms(
@@ -2877,6 +2893,64 @@ object SparkEntry {
         |  SELECT s.*, CAST(row_number() OVER (
         |    PARTITION BY query_id ORDER BY score_e6 DESC, doc_id ASC) AS INTEGER) AS rank
         |  FROM s)
+        |WHERE rank <= 5""".stripMargin,
+
+    // RRF fusion: both legs' oracles inlined as derived tables (same CTE
+    // bodies as bm25_topk / cosine_topk, dense leg filtered to the query
+    // set); contributions are integer `1000000 // (60+rank)` so the fused
+    // ranking has zero float sites
+    "hybrid_rrf_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |                  len(string_split(text, ' ')) AS dl FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+        |       FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl
+        |       FROM (SELECT doc_id, any_value(dl) AS dl FROM t GROUP BY doc_id)),
+        |idf AS (SELECT term, CAST(floor(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+        |                               * 1000000.0 + 0.5) AS BIGINT) AS idf_e6
+        |        FROM df CROSS JOIN st),
+        |q AS (SELECT DISTINCT doc_id AS query_id, term FROM t WHERE doc_id % 1000 = 0),
+        |c AS (SELECT q.query_id, tf.doc_id,
+        |        CAST(floor(idf.idf_e6 *
+        |          (tf.tf * (1.2 + 1.0) /
+        |            (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl * st.n / st.sum_dl)))
+        |          + 0.5) AS BIGINT) AS c_e6
+        |      FROM q JOIN tf USING (term) JOIN idf USING (term) CROSS JOIN st
+        |      WHERE q.query_id != tf.doc_id),
+        |sbm AS (SELECT query_id, doc_id, CAST(sum(c_e6) AS BIGINT) AS score_e6
+        |        FROM c GROUP BY 1, 2),
+        |sr AS (SELECT query_id, doc_id, rnk FROM (
+        |         SELECT sbm.*, row_number() OVER (
+        |           PARTITION BY query_id ORDER BY score_e6 DESC, doc_id ASC) AS rnk
+        |         FROM sbm)
+        |       WHERE rnk <= 5),
+        |flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                CAST(UNNEST(embedding) AS DOUBLE) AS x
+        |         FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+        |dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dp
+        |         FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |         WHERE a.vec_id % 1000 = 0
+        |         GROUP BY a.vec_id, b.vec_id),
+        |scored AS (SELECT query_id, neighbor_id,
+        |                  round(dp / (na.nrm * nb.nrm), 6) AS cosine_sim
+        |           FROM dots JOIN norms na ON query_id = na.vec_id
+        |                     JOIN norms nb ON neighbor_id = nb.vec_id),
+        |dr AS (SELECT query_id, neighbor_id AS doc_id, rnk FROM (
+        |         SELECT scored.*, row_number() OVER (
+        |           PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+        |         FROM scored)
+        |       WHERE rnk <= 5),
+        |u AS (SELECT query_id, doc_id, 1000000 // (60 + rnk) AS cc FROM sr
+        |      UNION ALL
+        |      SELECT query_id, doc_id, 1000000 // (60 + rnk) FROM dr),
+        |f AS (SELECT query_id, doc_id, CAST(sum(cc) AS BIGINT) AS rrf_e6
+        |      FROM u GROUP BY 1, 2)
+        |SELECT query_id, doc_id, rrf_e6, rank FROM (
+        |  SELECT f.*, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf_e6 DESC, doc_id ASC) AS INTEGER) AS rank
+        |  FROM f)
         |WHERE rank <= 5""".stripMargin,
 
     // ranking happens on the QUANTIZED integer score in both engines, so

@@ -124,4 +124,39 @@ object Retrieval {
       .where(col("rank") <= k)
       .select(col("query_id"), col("doc_id_m").as("doc_id"), col("score_e6"), col("rank"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
+    * the standard way to combine a sparse (BM25) and a dense (embedding
+    * ANN) retrieval leg into one hybrid ranking without score calibration:
+    * each leg contributes `1/(c + rank)` per (query, doc), summed across
+    * legs; `c = 60` is the paper's constant, damping the head so one leg's
+    * rank-1 can't drown the other leg's consensus.
+    *
+    * Every input must carry (query_id, doc_id, rank). Contributions are
+    * the exact integers `1000000 div (c + rank)` — integer division
+    * truncates identically on any engine (both operands positive), so the
+    * fused score has NO floating point at all.
+    *
+    * Scale shape: the legs have already reduced the corpus to queries×k
+    * rows each; fusion is a union + one hash aggregation + a per-query
+    * window — negligible next to either leg. At 100 TB the legs are the
+    * scale problem (see [[bm25TopK]] / [[Similarity.lshTopK]]); fusion
+    * composes whatever tier of each the deployment picked.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k > 0 && c >= 0, "k must be positive, c non-negative")
+    val contribs = rankings.map(_.select(
+      col("query_id"), col("doc_id"),
+      expr(s"CAST(1000000 div ($c + rank) AS BIGINT)").as("__c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("rrf_e6"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_e6").desc, col("doc_id").asc)
+    fused
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+  }
 }

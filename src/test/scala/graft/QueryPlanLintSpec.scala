@@ -37,7 +37,8 @@ class QueryPlanLintSpec extends SparkSpec {
   private val exactAnnAllowlist: Set[String] = Set(
     "cosine_topk",          // brute-force oracle tier: gated all-pairs
     "near_dup_embeddings",  // exact cosine pairs: gated all-pairs
-    "dedup_embed_keepers")  // consumes the exact-pair tier above
+    "dedup_embed_keepers",  // consumes the exact-pair tier above
+    "hybrid_rrf_topk")      // dense leg = the same gated bruteForceTopK tier
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)

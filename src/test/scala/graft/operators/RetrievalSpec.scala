@@ -53,6 +53,29 @@ class RetrievalSpec extends SparkSpec {
     assert(r.map(_._2).toSet == Set(4L, 2L))
   }
 
+  test("rrfFuse: consensus across legs beats a single leg's rank-1") {
+    val sparse = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 20L, 1), (1L, 30L, 2), (1L, 40L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(sparse, dense), k = 4)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    def c(r: Int) = 1000000L / (60 + r)
+    // doc 20: ranks 2+1 → both legs; beats doc 10 (sparse rank-1 only)
+    assert(out.head._2 == 20L && out.head._3 == c(2) + c(1))
+    assert(out.map(_._2).toSeq == Seq(20L, 30L, 10L, 40L))
+    assert(out.find(_._2 == 10L).get._3 == c(1))
+  }
+
+  test("rrfFuse: equal contributions tie-break by doc_id ascending") {
+    val a = Seq((1L, 7L, 1), (1L, 3L, 1)).toDF("query_id", "doc_id", "rank")
+    // same rank in the same leg twice (two queries' legs concatenated is
+    // the realistic shape; here both rows are rank 1 → equal scores)
+    val out = Retrieval.rrfFuse(Seq(a), k = 2)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(out.map(_._2).toSeq == Seq(3L, 7L))
+  }
+
   test("empty query set returns an empty frame with the contract schema") {
     val out = Retrieval.bm25TopK(docs, docs.where(col("doc_id") === -1),
       "doc_id", "text", "doc_id", "text", k = 3)
