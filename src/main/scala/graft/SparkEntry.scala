@@ -1191,6 +1191,13 @@ object SparkEntry {
       graft.quality.Privacy.dpNoisyCounts(
         Tables.events(s, dir), Seq("event_type"), eps = 1.0, seed = 17)),
 
+    // ---- Content-defined chunking: rolling-hash boundaries (w=4 window,
+    // 1/16 cut rate → ~16-token chunks); the dedup splitter — boundaries
+    // re-synchronize across insertions, unlike fixed windows ----
+    "content_chunks" -> ((s, dir) =>
+      graft.operators.Chunking.contentDefinedChunks(
+        Tables.documents(s, dir), "doc_id", "text", w = 4, divisor = 16)),
+
     // ---- Vocabulary coverage: per-doc OOV rate under a top-16 corpus
     // vocab (tokenizer-design statistic; vocab re-enters broadcast) ----
     "vocab_oov" -> ((s, dir) =>
@@ -2827,6 +2834,26 @@ object SparkEntry {
         |JOIN documents db ON c.id_b = db.doc_id
         |WHERE abs(length(da.text) - length(db.text)) <= 10
         |  AND levenshtein(da.text, db.text) <= 10""".stripMargin,
+
+    // every cut reproduced from the same md5-derived 60-bit window hash;
+    // chunk content compared as md5 fingerprints
+    "content_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, ws, CAST(r.i AS INTEGER) AS i
+        |      FROM t, UNNEST(range(1, len(ws) + 1)) AS r(i)),
+        |b AS (SELECT doc_id, i, ws[i] AS tok,
+        |        CASE WHEN i >= 4 AND
+        |          CAST(('0x' || substr(md5(array_to_string(ws[i-3:i], ' ')), 1, 15)) AS BIGINT)
+        |            % 16 = 0
+        |          THEN 1 ELSE 0 END AS isb
+        |      FROM p),
+        |c AS (SELECT doc_id, i, tok,
+        |        CAST(coalesce(sum(isb) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS chunk_idx
+        |      FROM b)
+        |SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_toks,
+        |       md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
+        |FROM c GROUP BY doc_id, chunk_idx""".stripMargin,
 
     "k_anon_risk" ->
       """SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS group_n,

@@ -39,4 +39,60 @@ object Chunking {
         " "))
       .drop("__ws")
   }
+
+  /** Content-defined chunking — boundaries decided by the CONTENT, not by
+    * position (Muth-Manber anchoring as used by LBFS/rsync/FastCDC, at
+    * token granularity): cut after token `i` whenever the rolling
+    * `w`-token window ending at `i` hashes to `0 mod divisor`. Insert or
+    * delete one token and only the chunks around the edit change — every
+    * other boundary re-synchronizes, which is what makes CDC the right
+    * chunker for dedup of SHIFTED content (fixed windows misalign the
+    * whole tail; [[tokenChunks]] is the retrieval splitter, this is the
+    * dedup splitter). Expected chunk length ≈ `divisor` tokens.
+    *
+    * This is the bound-free Muth-Manber form: no min/max chunk clamps.
+    * Production CDC adds them to bound the chunk-size tail, but the
+    * clamps make boundary `i` depend on boundary `i-1` (a sequential
+    * per-doc scan); the pure content-local predicate keeps the operator
+    * a narrow, shuffle-free plan. The chunk-size distribution is
+    * geometric — bound it by choice of `divisor`.
+    *
+    * Output: (idCol, chunk_idx, n_toks, chunk_md5) — chunks are emitted
+    * as md5 fingerprints (the dedup-join key), not text, so nothing wide
+    * leaves the row. Docs shorter than `w` tokens are one whole-doc
+    * chunk. The boundary hash is [[graft.functions.PortableHash]]'s
+    * md5-derived 60-bit value, so the oracle reproduces every cut.
+    *
+    * Scale shape: pure per-row HOF arithmetic (filter/transform over the
+    * token array) + one bounded posexplode — NO shuffle, no state;
+    * embarrassingly parallel like [[tokenChunks]].
+    */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int, divisor: Int): DataFrame = {
+    require(w >= 1, "window must be >= 1 token")
+    require(divisor >= 2, "divisor < 2 cuts after every token")
+    df.select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .withColumn("__n", size(col("__ws")))
+      // boundary positions: i in [w, n] with hash(window ending i) ≡ 0
+      .withColumn("__bpos",
+        when(col("__n") >= w,
+          filter(sequence(lit(w), col("__n")), i =>
+            graft.functions.PortableHash.hash60(
+              concat_ws(" ", slice(col("__ws"), i - (w - 1), lit(w)))) % divisor === 0))
+          .otherwise(array().cast("array<int>")))
+      // the document end is always a cut; dedupe if it already is one
+      .withColumn("__cuts",
+        when(array_contains(col("__bpos"), col("__n")), col("__bpos"))
+          .otherwise(concat(col("__bpos"), array(col("__n")))))
+      .select(col(idCol), col("__ws"), col("__cuts"),
+        posexplode(col("__cuts")).as(Seq("chunk_idx", "__cut")))
+      .withColumn("__prev",
+        when(col("chunk_idx") === 0, lit(0))
+          .otherwise(element_at(col("__cuts"), col("chunk_idx"))))
+      .select(col(idCol), col("chunk_idx"),
+        (col("__cut") - col("__prev")).cast("long").as("n_toks"),
+        md5(concat_ws(" ",
+          slice(col("__ws"), col("__prev") + 1, col("__cut") - col("__prev"))))
+          .as("chunk_md5"))
+  }
 }
