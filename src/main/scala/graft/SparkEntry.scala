@@ -1191,6 +1191,27 @@ object SparkEntry {
       graft.quality.Privacy.dpNoisyCounts(
         Tables.events(s, dir), Seq("event_type"), eps = 1.0, seed = 17)),
 
+    // ---- Weighted pick (A-ES sampling without replacement): 10 docs per
+    // source, probability ∝ n_chars, seeded and engine-portable ----
+    "weighted_pick" -> ((s, dir) =>
+      graft.operators.Sampling.weightedPick(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        groupCol = "source", keyCol = "doc_id", weightCol = "n_chars",
+        k = 10, seed = 7)),
+
+    // ---- Split-drift report: per-split normalized length histograms +
+    // total-variation contribution train-vs-val (selection-bias check on
+    // the hash split; split totals re-enter broadcast) ----
+    "split_drift" -> ((s, dir) => {
+      val tagged = Tables.documents(s, dir)
+        .select(
+          graft.operators.Sampling.splitColumn(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"),
+          expr("CAST(size(split(text, ' ')) div 10 AS BIGINT)").as("len_bucket"))
+      graft.quality.Drift.splitHistogram(
+        tagged, "split", "len_bucket", Seq("train", "val", "test"))
+    }),
+
     // ---- Content-defined chunking: rolling-hash boundaries (w=4 window,
     // 1/16 cut rate → ~16-token chunks); the dedup splitter — boundaries
     // re-synchronize across insertions, unlike fixed windows ----
@@ -2834,6 +2855,47 @@ object SparkEntry {
         |JOIN documents db ON c.id_b = db.doc_id
         |WHERE abs(length(da.text) - length(db.text)) <= 10
         |  AND levenshtein(da.text, db.text) <= 10""".stripMargin,
+
+    // A-ES key ln(u)/w quantized per row; ranking entirely on integers,
+    // zero-weight rows excluded on both sides
+    "weighted_pick" ->
+      """WITH h AS (SELECT doc_id, source, n_chars,
+        |        greatest(CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), 1) AS hv
+        |      FROM documents WHERE n_chars > 0),
+        |k AS (SELECT doc_id, source, n_chars,
+        |        CAST(floor(ln(hv / 1152921504606846976.0) / n_chars * 1000000.0 + 0.5) AS BIGINT) AS key_e6
+        |      FROM h)
+        |SELECT doc_id, source, n_chars, pick_rank FROM (
+        |  SELECT k.*, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY key_e6 DESC, doc_id ASC) AS INTEGER) AS pick_rank
+        |  FROM k)
+        |WHERE pick_rank <= 10""".stripMargin,
+
+    // same md5 split rule as train_split; fractions quantized per
+    // (split,bucket), TV contribution is an integer |difference|
+    "split_drift" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10000 AS bucket
+        |  FROM documents),
+        |s AS (SELECT CASE WHEN bucket < 8000 THEN 'train'
+        |                  WHEN bucket < 9000 THEN 'val'
+        |                  ELSE 'test' END AS split,
+        |             len(string_split(text, ' ')) // 10 AS len_bucket
+        |      FROM b),
+        |c AS (SELECT split, len_bucket, count(*) AS n FROM s GROUP BY split, len_bucket),
+        |t AS (SELECT split, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY split),
+        |f AS (SELECT c.split, c.len_bucket,
+        |        CAST(floor(c.n * 1.0 / t.tot * 1000000.0 + 0.5) AS BIGINT) AS frac_e6
+        |      FROM c JOIN t USING (split)),
+        |g AS (SELECT len_bucket,
+        |        CAST(sum(CASE WHEN split = 'train' THEN frac_e6 ELSE 0 END) AS BIGINT) AS frac_train_e6,
+        |        CAST(sum(CASE WHEN split = 'val' THEN frac_e6 ELSE 0 END) AS BIGINT) AS frac_val_e6,
+        |        CAST(sum(CASE WHEN split = 'test' THEN frac_e6 ELSE 0 END) AS BIGINT) AS frac_test_e6
+        |      FROM f GROUP BY len_bucket)
+        |SELECT len_bucket, frac_train_e6, frac_val_e6, frac_test_e6,
+        |       abs(frac_train_e6 - frac_val_e6) AS tv_e6
+        |FROM g""".stripMargin,
 
     // every cut reproduced from the same md5-derived 60-bit window hash;
     // chunk content compared as md5 fingerprints

@@ -149,4 +149,40 @@ object Sampling {
       .filter(col("__rn") <= quotaCol)
       .drop("__rn")
   }
+
+  /** Weighted sampling WITHOUT replacement, k per group — the
+    * Efraimidis–Spirakis A-ES scheme (IPL 2006): draw `u ~ U(0,1)` per
+    * row and keep the k largest `u^(1/w)`; the selection probability of
+    * each k-subset matches sequential weighted draws without replacement.
+    * This is the principled "pick k docs per source, longer docs more
+    * likely, no duplicates" primitive ([[weightedSample]] answers the
+    * different question of thinning GROUPS by a fixed rate).
+    *
+    * Deterministic and portable like the whole family: `u` comes from the
+    * seeded [[graft.functions.PortableHash]] (clamped ≥ 1/2^60 — u = 0
+    * would put ln at −∞), ranked via the monotone-equivalent key
+    * `ln(u)/w` quantized to integer micro-units per row — one ln site per
+    * row, no float ever compared. Rows with non-positive weight have zero
+    * selection probability and are excluded up front (also keeps the
+    * ANSI-mode division away from w = 0).
+    *
+    * Scale shape: per-row projection + ONE per-group top-k window
+    * (WindowGroupLimit keeps k rows per partition before the sort — no
+    * global sort, no per-group collection).
+    */
+  def weightedPick(df: DataFrame, groupCol: String, keyCol: String,
+      weightCol: String, k: Int, seed: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hv = greatest(
+      graft.functions.PortableHash.hash60(col(keyCol), seed), lit(1L))
+    val key = floor(log(hv / lit(1152921504606846976.0)) / col(weightCol)
+      * lit(1e6) + lit(0.5)).cast("long")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__key_e6").desc, col(keyCol).asc)
+    df.where(col(weightCol) > 0)
+      .withColumn("__key_e6", key)
+      .withColumn("pick_rank", row_number().over(w).cast("int"))
+      .where(col("pick_rank") <= k)
+      .drop("__key_e6")
+  }
 }

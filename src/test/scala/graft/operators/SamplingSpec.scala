@@ -120,4 +120,36 @@ class SamplingSpec extends SparkSpec {
     assert(out(1) == "contact <EMAIL> or call <PHONE> now")
     assert(out(2) == "no pii here")
   }
+
+  test("weightedPick: k per group, no replacement, zero weights excluded") {
+    val df = (1L to 30L).map(i => (s"g${i % 2}", i, if (i <= 2) 0L else i))
+      .toDF("g", "id", "w")
+    val out = Sampling.weightedPick(df, "g", "id", "w", k = 5, seed = 3)
+      .select($"g", $"id", $"pick_rank").as[(String, Long, Int)].collect()
+    val byG = out.groupBy(_._1)
+    assert(byG("g0").length == 5 && byG("g1").length == 5)
+    assert(out.map(_._2).distinct.length == out.length)      // no repeats
+    assert(!out.exists(r => r._2 <= 2L))                     // w = 0 rows never picked
+    byG.values.foreach(g => assert(g.map(_._3).sorted.toSeq == (1 to 5)))
+    // short group: all positive-weight members picked, rank dense
+    val tiny = Seq(("a", 1L, 5L), ("a", 2L, 1L)).toDF("g", "id", "w")
+    assert(Sampling.weightedPick(tiny, "g", "id", "w", k = 5, seed = 3).count() == 2)
+  }
+
+  test("weightedPick favors heavy weights across independent trials") {
+    // 200 one-pick trials, weights 9:1 → heavy side should win ~90%
+    val df = (1L to 200L).flatMap(t =>
+      Seq((s"t$t", t * 2, 9L), (s"t$t", t * 2 + 1, 1L))).toDF("g", "id", "w")
+    val picked = Sampling.weightedPick(df, "g", "id", "w", k = 1, seed = 11)
+      .select($"id").as[Long].collect()
+    val heavyWins = picked.count(_ % 2 == 0)
+    assert(heavyWins > 150 && heavyWins <= 200, s"heavy wins: $heavyWins/200")
+    // and the draw is seed-stable / seed-sensitive
+    val again = Sampling.weightedPick(df, "g", "id", "w", k = 1, seed = 11)
+      .select($"id").as[Long].collect()
+    assert(again.toSeq == picked.toSeq)
+    val other = Sampling.weightedPick(df, "g", "id", "w", k = 1, seed = 12)
+      .select($"id").as[Long].collect()
+    assert(other.toSeq != picked.toSeq)
+  }
 }
