@@ -174,22 +174,32 @@ object Resample {
     * Output: input keys + (dateCol, valueCol passthrough) + `ewma_e6`
     * (micro-units). `valueCol` must be integral (counts/cents).
     */
-  def ewmaHalving(df: DataFrame, keys: Seq[String], dateCol: String,
+  /** The mergeable state behind [[ewmaHalving]]: per (keys, anchor date),
+    * the exact-integer partial sums (`__num` = Σ value·2^(w−1−diff),
+    * `__den` = Σ 2^(w−1−diff)). Both are PLAIN SUMS of per-observation
+    * contributions, so partials over disjoint input slices merge by
+    * re-summing — the property an incremental snapshot / streaming
+    * maintenance loop relies on (append a micro-batch's partials, re-sum,
+    * done; pinned by the merge-law spec). */
+  def ewmaPartials(df: DataFrame, keys: Seq[String], dateCol: String,
       valueCol: String, window: Int): DataFrame = {
     require(window >= 1 && window <= 62, "window must be in [1, 62] (dyadic weights fit a long)")
     val kcols = keys.map(col)
     // weights[diff] = 2^(window-1-diff); posexplode gives (diff, weight)
     val wArr = array((0 until window).map(d => lit(1L << (window - 1 - d))): _*)
-    val contrib = df
-      .select(kcols :+ col(dateCol) :+ col(valueCol).as("__x") :+
+    df.select(kcols :+ col(dateCol) :+ col(valueCol).as("__x") :+
         posexplode(wArr).as(Seq("__diff", "__w")): _*)
       .select(kcols :+ date_add(col(dateCol), col("__diff")).as("__anchor") :+
         (col("__x") * col("__w")).as("__wx") :+ col("__w"): _*)
-    // prefix the aggregate side's keys: `agg` shares df's lineage, so a
-    // bare-name join condition would be an ambiguous self-join reference
-    val agg = contrib
       .groupBy(kcols :+ col("__anchor"): _*)
       .agg(sum(col("__wx")).as("__num"), sum(col("__w")).as("__den"))
+  }
+
+  def ewmaHalving(df: DataFrame, keys: Seq[String], dateCol: String,
+      valueCol: String, window: Int): DataFrame = {
+    // prefix the aggregate side's keys: `agg` shares df's lineage, so a
+    // bare-name join condition would be an ambiguous self-join reference
+    val agg = ewmaPartials(df, keys, dateCol, valueCol, window)
       .select(keys.map(k => col(k).as(s"__k_$k")) ++
         Seq(col("__anchor"), col("__num"), col("__den")): _*)
     df.join(agg,

@@ -132,6 +132,22 @@ class ResampleSpec extends SparkSpec {
     assert(got(d(1)) == 1000000000L)
   }
 
+  test("ewmaPartials merge law: disjoint slices re-sum to the full state") {
+    val daily = (1 to 14).map(i => ("k", d(i), i * 3L)).toDF("k", "day", "x")
+    val full = Resample.ewmaPartials(daily, Seq("k"), "day", "x", window = 4)
+      .as[(String, java.sql.Date, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // split mid-window: batch 1 = days 1-7, batch 2 = days 8-14
+    val b1 = Resample.ewmaPartials(daily.where($"day" <= d(7)), Seq("k"), "day", "x", 4)
+    val b2 = Resample.ewmaPartials(daily.where($"day" > d(7)), Seq("k"), "day", "x", 4)
+    val merged = b1.unionByName(b2)
+      .groupBy($"k", $"__anchor")
+      .agg(sum($"__num").as("__num"), sum($"__den").as("__den"))
+      .as[(String, java.sql.Date, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(merged == full) // incremental maintenance ≡ full recompute
+  }
+
   test("ewmaHalving: gaps shift weights; keys independent; observed dates only") {
     val daily = Seq(("a", d(1), 4L), ("a", d(3), 8L), ("b", d(3), 100L))
       .toDF("k", "day", "x")
