@@ -343,4 +343,43 @@ class StreamingKpisSpec extends SparkSpec {
         (1L, "10:30", "10:25")))
     } finally q.stop()
   }
+
+  test("streaming EWMA maintenance: foreachBatch partials merge equals batch recompute") {
+    // the ewmaPartials merge law (ResampleSpec) driven through the REAL
+    // Structured Streaming path: each micro-batch's partials are re-summed
+    // into a snapshot table; after 3 batches the snapshot must equal the
+    // batch-mode partials over everything seen.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, sum => ssum}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def d(day: Int) = java.sql.Date.valueOf(f"2024-03-$day%02d")
+    val batches = Seq(
+      Seq(("a", d(1), 10L), ("a", d(2), 20L), ("b", d(1), 5L)),
+      Seq(("a", d(3), 40L), ("b", d(4), 7L)),          // crosses a's window seam
+      Seq(("a", d(2), 2L), ("b", d(9), 1L)))           // late data for an old day
+    val input = MemoryStream[(String, java.sql.Date, Long)]
+    var snapshot: Seq[(String, java.sql.Date, Long, Long)] = Nil
+    val q = input.toDS.toDF("k", "day", "x").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val p = graft.operators.Resample
+          .ewmaPartials(batch, Seq("k"), "day", "x", window = 3)
+        val merged = p.unionByName(
+            snapshot.toDF("k", "__anchor", "__num", "__den"))
+          .groupBy(col("k"), col("__anchor"))
+          .agg(ssum(col("__num")).as("__num"), ssum(col("__den")).as("__den"))
+        snapshot = merged.as[(String, java.sql.Date, Long, Long)].collect().toSeq
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val all = batches.flatten.toDF("k", "day", "x")
+    val expected = graft.operators.Resample
+      .ewmaPartials(all, Seq("k"), "day", "x", window = 3)
+      .as[(String, java.sql.Date, Long, Long)].collect()
+    assert(snapshot.toSet == expected.toSet)
+    assert(snapshot.nonEmpty)
+  }
 }
