@@ -666,6 +666,16 @@ object SparkEntry {
         .groupBy("lang", "pred_lang")
         .agg(count(lit(1)).as("n_docs"))),
 
+    // ---- uncertainty sampling: the 25 docs the NB filter is least sure
+    // about (smallest top-2 margin) — where a labeling budget goes ----
+    "nb_uncertain" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(
+        graft.functions.PortableHash.hash60(col("doc_id")) % 2 === 0)
+      graft.operators.NaiveBayes.uncertainMargins(
+        train, docs, "doc_id", "text", "lang", k = 25)
+    }),
+
     // ---- contrastive triplets: near-dup pairs (LSH scale path) as
     // positives, deterministic pool-hash negatives ----
     "contrastive_triplets" -> ((s, dir) => {
@@ -1941,7 +1951,10 @@ object SparkEntry {
     * `toks(doc_id, lang, ws)` — instantiated for the lang classifier and
     * the pseudo-labeled quality classifier so the model SQL cannot drift
     * between them. */
-  private def nbOracleBody(toksCtes: String, actualAlias: String, predAlias: String): String =
+  /** Shared NB CTE prefix through the per-(doc,class) ranking `r` —
+    * consumed by the classify-style oracles (rn = 1) and the
+    * uncertainty-margin oracle (rn 1 vs 2). */
+  private def nbOracleCtes(toksCtes: String): String =
     s"""WITH $toksCtes,
        |tr AS (SELECT * FROM toks WHERE ${dh("CAST(doc_id AS VARCHAR)")} % 2 = 0),
        |trtok AS (SELECT doc_id, lang, UNNEST(ws) AS term FROM tr),
@@ -1969,11 +1982,30 @@ object SparkEntry {
        |r AS (SELECT doc_id, lab, score_e6,
        |        row_number() OVER (PARTITION BY doc_id
        |                           ORDER BY score_e6 DESC, lab ASC) AS rn
-       |      FROM tot)
+       |      FROM tot)""".stripMargin
+
+  private def nbOracleBody(toksCtes: String, actualAlias: String, predAlias: String): String =
+    nbOracleCtes(toksCtes) +
+    s"""
        |SELECT dl.doc_id, dl.lang AS $actualAlias, r.lab AS $predAlias, r.score_e6,
        |  CAST(CASE WHEN r.lab = dl.lang THEN 1 ELSE 0 END AS INTEGER) AS correct
        |FROM (SELECT doc_id, lang FROM toks) dl
        |JOIN r ON dl.doc_id = r.doc_id AND r.rn = 1""".stripMargin
+
+  /** Smallest-margin uncertainty oracle over the same NB surface. */
+  private def nbUncertainOracle: String =
+    nbOracleCtes(
+      "toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)") +
+    """
+      |, m AS (SELECT r1.doc_id, r1.lab AS pred_label,
+      |          r1.score_e6 - r2.score_e6 AS margin_e6
+      |        FROM r r1 JOIN r r2 ON r1.doc_id = r2.doc_id
+      |                           AND r1.rn = 1 AND r2.rn = 2)
+      |SELECT doc_id, pred_label, margin_e6, unc_rank FROM (
+      |  SELECT m.*, CAST(row_number() OVER (
+      |    ORDER BY margin_e6 ASC, doc_id ASC) AS INTEGER) AS unc_rank
+      |  FROM m)
+      |WHERE unc_rank <= 25""".stripMargin
 
   private def nbLangOracle: String = nbOracleBody(
     "toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)",
@@ -2215,6 +2247,7 @@ object SparkEntry {
       s"""WITH nb AS (SELECT * FROM ($nbLangOracle))
          |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
          |FROM nb GROUP BY 1, 2""".stripMargin,
+    "nb_uncertain" -> nbUncertainOracle,
     // entropy: tf·ln(tf) quantized per term BEFORE the doc sum; H assembled
     // from two quantized integers (no float crosses an aggregation).
     "doc_entropy" ->

@@ -31,10 +31,10 @@ import org.apache.spark.sql.functions._
   * graft. */
 object NaiveBayes {
 
-  /** Train on `train` (labels in `labelCol`), classify every row of `docs`.
-    * Output: (idCol, pred_label, score_e6) — the argmax class and its
-    * quantized joint log-likelihood (ties broken by label ascending). */
-  def classify(train: DataFrame, docs: DataFrame,
+  /** Train on `train` and score every (doc, class) pair of `docs`.
+    * Output: (idCol, __lab, score_e6) — the full posterior surface behind
+    * [[classify]] (argmax) and [[uncertainMargins]] (top-2 margin). */
+  def classScores(train: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, labelCol: String): DataFrame = {
     val trTokens = train.select(col(labelCol).as("__lab"),
       explode(Text.tokens(col(textCol))).as("__term"))
@@ -67,13 +67,54 @@ object NaiveBayes {
             (col("__nc").cast("double") + col("__v").cast("double")))
           * lit(1e6) + lit(0.5)).cast("long"))
 
-    val perClass = scored.groupBy(col(idCol), col("__lab"))
+    scored.groupBy(col(idCol), col("__lab"))
       .agg((min(col("__prior_e6")) + sum(col("__tf") * col("__lp_e6"))).as("score_e6"))
+  }
 
+  /** Train on `train` (labels in `labelCol`), classify every row of `docs`.
+    * Output: (idCol, pred_label, score_e6) — the argmax class and its
+    * quantized joint log-likelihood (ties broken by label ascending). */
+  def classify(train: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, labelCol: String): DataFrame = {
+    val perClass = classScores(train, docs, idCol, textCol, labelCol)
     val w = Window.partitionBy(col(idCol)).orderBy(col("score_e6").desc, col("__lab").asc)
     perClass
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col(idCol), col("__lab").as("pred_label"), col("score_e6"))
+  }
+
+  /** Uncertainty sampling (smallest-margin active learning, Lewis & Gale
+    * '94 / Settles' survey): the `k` docs whose top-2 class scores are
+    * closest — exactly the rows a labeling budget should go to, and the
+    * standard "route to a stronger model" trigger in a model-filtered
+    * curation pipeline. Margin = score₁ − score₂ on the quantized integer
+    * scores, so the global bottom-k cutoff is engine-exact.
+    *
+    * Output: (idCol, pred_label, margin_e6, unc_rank), rank 1..k by
+    * (margin ASC, id ASC).
+    *
+    * Scale shape: the per-(doc, class) surface reduces to two rows per doc
+    * (per-doc window, WindowGroupLimit) before the GLOBAL bottom-k, which
+    * is orderBy+limit → TakeOrderedAndProject — each partition keeps k
+    * rows, the driver merges k, never a single-partition sort of the
+    * corpus. The final dense rank is a window over k rows only. */
+  def uncertainMargins(train: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val perClass = classScores(train, docs, idCol, textCol, labelCol)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score_e6").desc, col("__lab").asc)
+    val ranked = perClass.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+    val top1 = ranked.filter(col("__rn") === 1)
+      .select(col(idCol), col("__lab").as("pred_label"), col("score_e6").as("__s1"))
+    val top2 = ranked.filter(col("__rn") === 2)
+      .select(col(idCol).as("__id2"), col("score_e6").as("__s2"))
+    val margins = top1.join(top2, col(idCol) === col("__id2"))
+      .select(col(idCol), col("pred_label"),
+        (col("__s1") - col("__s2")).as("margin_e6"))
+    val bottomK = margins.orderBy(col("margin_e6").asc, col(idCol).asc).limit(k)
+    val wr = Window.orderBy(col("margin_e6").asc, col(idCol).asc)
+    bottomK.withColumn("unc_rank", row_number().over(wr).cast("int"))
   }
 }

@@ -69,4 +69,34 @@ class NaiveBayesSpec extends SparkSpec {
       avg(when(col("pred_label") === col("lang"), 1.0).otherwise(0.0))).as[Double].head()
     assert(acc > 0.3, s"accuracy $acc")
   }
+
+  test("uncertainMargins ranks ambiguous docs before confident ones") {
+    val docs = Seq(
+      (10L, "goal ball striker"),        // clearly sport → big margin
+      (11L, "ball price"),               // one term each side → small margin
+      (12L, "market price index stock")  // clearly finance → big margin
+    ).toDF("doc_id", "text")
+    val out = NaiveBayes.uncertainMargins(train, docs, "doc_id", "text", "topic", k = 3)
+      .select($"doc_id", $"pred_label", $"margin_e6", $"unc_rank")
+      .as[(Long, String, Long, Int)].collect().sortBy(_._4)
+    assert(out.length == 3)
+    assert(out.head._1 == 11L, s"most uncertain should be the mixed doc: ${out.toSeq}")
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted.toSeq) // margins ascend
+    assert(out.forall(_._3 >= 0L))                            // s1 ≥ s2 by rank
+    // margin is consistent with the classify surface: argmax label matches
+    val preds = NaiveBayes.classify(train, docs, "doc_id", "text", "topic")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    out.foreach(r => assert(preds(r._1) == r._2))
+  }
+
+  test("uncertainMargins: k truncates and ranking is deterministic") {
+    val docs = Seq((10L, "goal ball"), (11L, "ball price"), (12L, "stock market"))
+      .toDF("doc_id", "text")
+    val one = NaiveBayes.uncertainMargins(train, docs, "doc_id", "text", "topic", k = 1)
+      .as[(Long, String, Long, Int)].collect()
+    assert(one.length == 1 && one.head._4 == 1)
+    val again = NaiveBayes.uncertainMargins(train, docs, "doc_id", "text", "topic", k = 1)
+      .as[(Long, String, Long, Int)].collect()
+    assert(one.toSeq == again.toSeq)
+  }
 }
