@@ -676,6 +676,16 @@ object SparkEntry {
         train, docs, "doc_id", "text", "lang", k = 25)
     }),
 
+    // ---- label-noise audit: docs the NB filter CONFIDENTLY contradicts
+    // (pred ≠ label, largest margins) — likely annotation errors ----
+    "nb_label_noise" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(
+        graft.functions.PortableHash.hash60(col("doc_id")) % 2 === 0)
+      graft.operators.NaiveBayes.confidentErrors(
+        train, docs, "doc_id", "text", "lang", k = 25)
+    }),
+
     // ---- contrastive triplets: near-dup pairs (LSH scale path) as
     // positives, deterministic pool-hash negatives ----
     "contrastive_triplets" -> ((s, dir) => {
@@ -1992,6 +2002,23 @@ object SparkEntry {
        |FROM (SELECT doc_id, lang FROM toks) dl
        |JOIN r ON dl.doc_id = r.doc_id AND r.rn = 1""".stripMargin
 
+  /** Confidently-contradicted labels (noise audit) over the NB surface. */
+  private def nbLabelNoiseOracle: String =
+    nbOracleCtes(
+      "toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)") +
+    """
+      |, m AS (SELECT r1.doc_id, dl.lang, r1.lab AS pred_label,
+      |          r1.score_e6 - r2.score_e6 AS margin_e6
+      |        FROM r r1 JOIN r r2 ON r1.doc_id = r2.doc_id
+      |                           AND r1.rn = 1 AND r2.rn = 2
+      |        JOIN (SELECT doc_id, lang FROM toks) dl ON r1.doc_id = dl.doc_id
+      |        WHERE r1.lab != dl.lang)
+      |SELECT doc_id, lang, pred_label, margin_e6, noise_rank FROM (
+      |  SELECT m.*, CAST(row_number() OVER (
+      |    ORDER BY margin_e6 DESC, doc_id ASC) AS INTEGER) AS noise_rank
+      |  FROM m)
+      |WHERE noise_rank <= 25""".stripMargin
+
   /** Smallest-margin uncertainty oracle over the same NB surface. */
   private def nbUncertainOracle: String =
     nbOracleCtes(
@@ -2248,6 +2275,7 @@ object SparkEntry {
          |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
          |FROM nb GROUP BY 1, 2""".stripMargin,
     "nb_uncertain" -> nbUncertainOracle,
+    "nb_label_noise" -> nbLabelNoiseOracle,
     // entropy: tf·ln(tf) quantized per term BEFORE the doc sum; H assembled
     // from two quantized integers (no float crosses an aggregation).
     "doc_entropy" ->

@@ -117,4 +117,37 @@ object NaiveBayes {
     val wr = Window.orderBy(col("margin_e6").asc, col(idCol).asc)
     bottomK.withColumn("unc_rank", row_number().over(wr).cast("int"))
   }
+
+  /** Label-noise audit (the confident-learning signal, Northcutt et al.
+    * 2021, in its simplest margin form): docs where the model CONFIDENTLY
+    * disagrees with the given label — prediction ≠ label and the top-2
+    * margin is large. The complement of [[uncertainMargins]]: uncertain
+    * rows get a labeling budget, confidently-contradicted rows get a
+    * label AUDIT (they are the likely annotation errors that poison both
+    * training and eval).
+    *
+    * Output: (idCol, labelCol, pred_label, margin_e6, noise_rank), rank
+    * 1..k by (margin DESC, id ASC). Same plan shape as uncertainMargins —
+    * per-doc WindowGroupLimit then a global TakeOrderedAndProject. */
+  def confidentErrors(train: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val perClass = classScores(train, docs, idCol, textCol, labelCol)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score_e6").desc, col("__lab").asc)
+    val ranked = perClass.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+    val top1 = ranked.filter(col("__rn") === 1)
+      .select(col(idCol), col("__lab").as("pred_label"), col("score_e6").as("__s1"))
+    val top2 = ranked.filter(col("__rn") === 2)
+      .select(col(idCol).as("__id2"), col("score_e6").as("__s2"))
+    val labeled = docs.select(col(idCol).as("__idl"), col(labelCol))
+    val margins = top1.join(top2, col(idCol) === col("__id2"))
+      .join(labeled, col(idCol) === col("__idl"))
+      .where(col("pred_label") =!= col(labelCol))
+      .select(col(idCol), col(labelCol), col("pred_label"),
+        (col("__s1") - col("__s2")).as("margin_e6"))
+    val topK = margins.orderBy(col("margin_e6").desc, col(idCol).asc).limit(k)
+    val wr = Window.orderBy(col("margin_e6").desc, col(idCol).asc)
+    topK.withColumn("noise_rank", row_number().over(wr).cast("int"))
+  }
 }

@@ -89,6 +89,22 @@ class NaiveBayesSpec extends SparkSpec {
     out.foreach(r => assert(preds(r._1) == r._2))
   }
 
+  test("confidentErrors surfaces the planted label flip, not correct rows") {
+    // docs carry labels; doc 12's label is flipped to sport on purpose
+    val docs = Seq(
+      (10L, "goal ball striker", "sport"),          // correct → excluded
+      (11L, "ball price", "finance"),               // ambiguous
+      (12L, "market price index stock", "sport")    // planted noise
+    ).toDF("doc_id", "text", "topic")
+    val out = NaiveBayes.confidentErrors(train, docs, "doc_id", "text", "topic", k = 5)
+      .select($"doc_id", $"topic", $"pred_label", $"margin_e6", $"noise_rank")
+      .as[(Long, String, String, Long, Int)].collect().sortBy(_._5)
+    assert(!out.exists(_._1 == 10L))             // agreeing rows never flagged
+    assert(out.head._1 == 12L)                   // the flip is the top hit
+    assert(out.head._3 == "finance" && out.head._2 == "sport")
+    assert(out.map(_._4).toSeq == out.map(_._4).sorted(Ordering[Long].reverse).toSeq)
+  }
+
   test("uncertainMargins: k truncates and ranking is deterministic") {
     val docs = Seq((10L, "goal ball"), (11L, "ball price"), (12L, "stock market"))
       .toDF("doc_id", "text")
