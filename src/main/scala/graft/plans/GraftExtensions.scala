@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.expressions.{DotProduct, RollingHash, WindowGrams}
+import graft.functions.expressions.{ByteHistogram, DotProduct, L2Squared, RollingHash, WindowGrams, ZOrder}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -48,6 +48,28 @@ object GraftExtensions {
         require(args.length == 2, "window_grams(tokens, k) takes exactly 2 arguments")
         require(args(1).foldable, "window_grams k must be a literal")
         WindowGrams(args(0), args(1).eval().asInstanceOf[Number].intValue())
+      }),
+    (
+      FunctionIdentifier("l2_squared"),
+      new ExpressionInfo(classOf[L2Squared].getName, "l2_squared"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "l2_squared(a, b) takes exactly 2 arguments")
+        L2Squared(args(0), args(1))
+      }),
+    (
+      FunctionIdentifier("byte_histogram"),
+      new ExpressionInfo(classOf[ByteHistogram].getName, "byte_histogram"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "byte_histogram(bytes, bins) takes exactly 2 arguments")
+        require(args(1).foldable, "byte_histogram bins must be a literal")
+        ByteHistogram(args(0), args(1).eval().asInstanceOf[Number].intValue())
+      }),
+    (
+      FunctionIdentifier("z_order"),
+      new ExpressionInfo(classOf[ZOrder].getName, "z_order"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "z_order(a, b) takes exactly 2 arguments")
+        ZOrder(args(0), args(1))
       }))
 
   /** Register on a live session (extensions only apply at builder time).

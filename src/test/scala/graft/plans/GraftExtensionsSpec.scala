@@ -25,6 +25,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(w == Set((0L, "a b c"), (1L, "b c d")))
   }
 
+  test("install registers the vector/byte/layout kernels as SQL functions") {
+    val s = spark.newSession()
+    GraftExtensions.install(s)
+
+    val l2 = s.sql(
+      "SELECT l2_squared(array(1.0d, 2.0d), array(4.0d, 6.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(l2 == 25.0) // 3² + 4²
+
+    val hist = s.sql(
+      "SELECT byte_histogram(CAST('aab' AS BINARY), 256) AS h")
+      .collect().head.getSeq[Double](0)
+    assert(hist('a'.toInt) == 2.0 / 3 && hist('b'.toInt) == 1.0 / 3)
+    assert(math.abs(hist.sum - 1.0) < 1e-9) // normalized fractions
+
+    // bit-interleave: z_order(0b11, 0b00) spreads x's bits to even slots
+    val z = s.sql("SELECT z_order(CAST(3 AS BIGINT), CAST(0 AS BIGINT)) AS z")
+      .collect().head.getLong(0)
+    assert(z == 5L) // 0b0101
+  }
+
   test("approx-distinct rewrite: off by default (exact), sketch plan + bounded error when enabled") {
     val s = spark.newSession()
     GraftExtensions.install(s)
