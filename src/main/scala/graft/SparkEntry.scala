@@ -676,6 +676,16 @@ object SparkEntry {
         train, docs, "doc_id", "text", "lang", k = 25)
     }),
 
+    // ---- calibration curve: accuracy per margin decile — is the NB
+    // margin a trustworthy confidence signal? ----
+    "nb_calibration" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(
+        graft.functions.PortableHash.hash60(col("doc_id")) % 2 === 0)
+      graft.operators.NaiveBayes.calibrationCurve(
+        train, docs, "doc_id", "text", "lang", buckets = 10)
+    }),
+
     // ---- label-noise audit: docs the NB filter CONFIDENTLY contradicts
     // (pred ≠ label, largest margins) — likely annotation errors ----
     "nb_label_noise" -> ((s, dir) => {
@@ -2019,6 +2029,25 @@ object SparkEntry {
       |  FROM m)
       |WHERE noise_rank <= 25""".stripMargin
 
+  /** Accuracy-per-margin-decile calibration over the NB surface; ntile
+    * parity with Spark is already proven by orders_ntile. */
+  private def nbCalibrationOracle: String =
+    nbOracleCtes(
+      "toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)") +
+    """
+      |, m AS (SELECT r1.doc_id, r1.score_e6 - r2.score_e6 AS margin_e6,
+      |          CASE WHEN r1.lab = dl.lang THEN 1 ELSE 0 END AS correct
+      |        FROM r r1 JOIN r r2 ON r1.doc_id = r2.doc_id
+      |                           AND r1.rn = 1 AND r2.rn = 2
+      |        JOIN (SELECT doc_id, lang FROM toks) dl ON r1.doc_id = dl.doc_id),
+      |b AS (SELECT correct, CAST(ntile(10) OVER (
+      |        ORDER BY margin_e6 ASC, doc_id ASC) AS INTEGER) AS cal_bucket
+      |      FROM m)
+      |SELECT cal_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(correct) AS BIGINT) AS n_correct,
+      |       CAST(floor(sum(correct) * 1.0 / count(*) * 1000000.0 + 0.5) AS BIGINT) AS acc_e6
+      |FROM b GROUP BY cal_bucket""".stripMargin
+
   /** Smallest-margin uncertainty oracle over the same NB surface. */
   private def nbUncertainOracle: String =
     nbOracleCtes(
@@ -2276,6 +2305,7 @@ object SparkEntry {
          |FROM nb GROUP BY 1, 2""".stripMargin,
     "nb_uncertain" -> nbUncertainOracle,
     "nb_label_noise" -> nbLabelNoiseOracle,
+    "nb_calibration" -> nbCalibrationOracle,
     // entropy: tf·ln(tf) quantized per term BEFORE the doc sum; H assembled
     // from two quantized integers (no float crosses an aggregation).
     "doc_entropy" ->

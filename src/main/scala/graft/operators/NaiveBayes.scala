@@ -150,4 +150,47 @@ object NaiveBayes {
     val wr = Window.orderBy(col("margin_e6").desc, col(idCol).asc)
     topK.withColumn("noise_rank", row_number().over(wr).cast("int"))
   }
+
+  /** Calibration curve (reliability diagram in rank-bucket form): docs
+    * sorted by top-2 margin, cut into `buckets` equal-count bins (ntile),
+    * accuracy per bin. A usable filter shows accuracy RISING with margin —
+    * if the top bin isn't near-perfect, margin is not a confidence signal
+    * and the [[confidentErrors]] audit can't be trusted either. Completes
+    * the model-eval family (confusion → uncertainty → noise → calibration).
+    *
+    * Output: (cal_bucket 1..buckets by ascending margin, n_docs,
+    * n_correct, acc_e6). Integer counts + one IEEE division per bin; the
+    * ntile cut is deterministic because the order (margin, id) is total.
+    *
+    * Scale shape: same per-doc reduction as [[uncertainMargins]]; the
+    * ntile is the one global-sort term (rows = |docs| already reduced to
+    * one row each). At 100 TB, bucket by margin VALUE ranges instead to
+    * drop the global sort; rank buckets are the statistically clean form
+    * while the margin distribution is unknown. */
+  def calibrationCurve(train: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, labelCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, "need at least two calibration buckets")
+    val perClass = classScores(train, docs, idCol, textCol, labelCol)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score_e6").desc, col("__lab").asc)
+    val ranked = perClass.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+    val top1 = ranked.filter(col("__rn") === 1)
+      .select(col(idCol), col("__lab").as("pred_label"), col("score_e6").as("__s1"))
+    val top2 = ranked.filter(col("__rn") === 2)
+      .select(col(idCol).as("__id2"), col("score_e6").as("__s2"))
+    val labeled = docs.select(col(idCol).as("__idl"), col(labelCol))
+    val margins = top1.join(top2, col(idCol) === col("__id2"))
+      .join(labeled, col(idCol) === col("__idl"))
+      .select(col(idCol),
+        (col("__s1") - col("__s2")).as("__margin_e6"),
+        when(col("pred_label") === col(labelCol), 1L).otherwise(0L).as("__correct"))
+    val wb = Window.orderBy(col("__margin_e6").asc, col(idCol).asc)
+    margins
+      .withColumn("cal_bucket", ntile(buckets).over(wb).cast("int"))
+      .groupBy(col("cal_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__correct")).as("n_correct"))
+      .withColumn("acc_e6",
+        floor(col("n_correct") * lit(1.0) / col("n_docs") * lit(1e6) + lit(0.5))
+          .cast("long"))
+  }
 }

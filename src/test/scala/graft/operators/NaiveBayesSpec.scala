@@ -105,6 +105,21 @@ class NaiveBayesSpec extends SparkSpec {
     assert(out.map(_._4).toSeq == out.map(_._4).sorted(Ordering[Long].reverse).toSeq)
   }
 
+  test("calibrationCurve: buckets partition docs; accuracy rises with margin here") {
+    val docs = (1L to 20L).map { i =>
+      if (i % 4 == 0) (i, "ball price", "sport")              // ambiguous, half wrong
+      else if (i % 2 == 0) (i, "goal ball striker", "sport")  // confident correct
+      else (i, "market price index stock", "finance")         // confident correct
+    }.toDF("doc_id", "text", "topic")
+    val out = NaiveBayes.calibrationCurve(train, docs, "doc_id", "text", "topic", buckets = 4)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).sum == 20L)            // every doc in exactly one bucket
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    // the top-margin bucket is all confident in-vocabulary docs → perfect
+    assert(out.last._4 == 1000000L, s"top bucket should be clean: ${out.toSeq}")
+    assert(out.head._4 <= out.last._4)          // monotone here by construction
+  }
+
   test("uncertainMargins: k truncates and ranking is deterministic") {
     val docs = Seq((10L, "goal ball"), (11L, "ball price"), (12L, "stock market"))
       .toDF("doc_id", "text")
