@@ -485,6 +485,25 @@ object SparkEntry {
     "lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         dim = Dim, nBits = LshBits, k = AnnK, tables = LshTables)),
+    // ---- ANN quality harness: per-query recall@k of the LSH index vs
+    // the exact ranking — the number that decides nBits/tables before a
+    // 100 TB index build ----
+    "ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = AnnK)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
+          dim = Dim, nBits = LshBits, k = AnnK, tables = LshTables)
+        .select(col("query_id").as("__qa"), col("neighbor_id").as("__na"))
+      exact.join(approx,
+          col("query_id") === col("__qa") && col("neighbor_id") === col("__na"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("__qa")).as("n_hits"))
+        .withColumn("recall_e6",
+          floor(col("n_hits") * lit(1.0) / col("n_exact") * lit(1e6) + lit(0.5))
+            .cast("long"))
+    }),
+
     "ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         nlist = IvfNlist, nprobe = IvfNprobe, k = AnnK)),
@@ -1659,6 +1678,38 @@ object SparkEntry {
        |      FROM scored)
        |SELECT query_id, neighbor_id, cosine_sim, CAST("rank" AS INTEGER) AS "rank" FROM r WHERE "rank" <= $AnnK""".stripMargin
 
+  /** Recall@k of the LSH leg against the exact ranking; reuses the LSH
+    * bucket CTEs' flat/norms for the exact leg. */
+  private def annRecallOracle: String =
+    s"""WITH ${lshBucketCtes(LshBits, LshTables)}
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM probes p JOIN buckets c
+       |    ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id <> c.vec_id),
+       |${pairScoreCtes("query_id", "neighbor_id")},
+       |ar AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT scored.*, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM scored)
+       |       WHERE rn <= $AnnK),
+       |edots AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dp
+       |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |  GROUP BY a.vec_id, b.vec_id),
+       |escored AS (
+       |  SELECT query_id, neighbor_id, round(dp / (na.nrm * nb.nrm), 6) AS cosine_sim
+       |  FROM edots JOIN norms na ON query_id = na.vec_id
+       |             JOIN norms nb ON neighbor_id = nb.vec_id),
+       |er AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT escored.*, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM escored)
+       |       WHERE rn <= $AnnK)
+       |SELECT er.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(ar.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(floor(count(ar.neighbor_id) * 1.0 / count(*) * 1000000.0 + 0.5) AS BIGINT) AS recall_e6
+       |FROM er LEFT JOIN ar ON er.query_id = ar.query_id
+       |                    AND er.neighbor_id = ar.neighbor_id
+       |GROUP BY er.query_id""".stripMargin
+
   private def nearDupLshOracle: String =
     s"""WITH ${lshBucketCtes(NdBits, NdTables)}
        |cand AS (
@@ -2126,6 +2177,7 @@ object SparkEntry {
     "minhash_lsh_pairs" -> minHashLshOracle,
     "simhash_pairs" -> simHashOracle,
     "lsh_topk" -> lshTopKOracle,
+    "ann_recall" -> annRecallOracle,
     "near_dup_lsh" -> nearDupLshOracle,
     "ivf_topk" -> ivfTopKOracle,
     "substring_dup_spans" -> substringSpansOracle,

@@ -38,7 +38,8 @@ class QueryPlanLintSpec extends SparkSpec {
     "cosine_topk",          // brute-force oracle tier: gated all-pairs
     "near_dup_embeddings",  // exact cosine pairs: gated all-pairs
     "dedup_embed_keepers",  // consumes the exact-pair tier above
-    "hybrid_rrf_topk")      // dense leg = the same gated bruteForceTopK tier
+    "hybrid_rrf_topk",      // dense leg = the same gated bruteForceTopK tier
+    "ann_recall")           // exact leg of the recall harness = gated tier
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
