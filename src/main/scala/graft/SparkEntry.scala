@@ -1268,6 +1268,24 @@ object SparkEntry {
       graft.operators.Chunking.contentDefinedChunks(
         Tables.documents(s, dir), "doc_id", "text", w = 4, divisor = 16)),
 
+    // ---- CDC-chunk duplication rate: fraction of a doc's content-defined
+    // chunks that also appear in ANOTHER doc — the chunk-level dup signal
+    // a curation stage thresholds on (boundaries resync, so shifted
+    // copies still count) ----
+    "doc_cdc_dup_rate" -> ((s, dir) => {
+      val chunks = graft.operators.Chunking.contentDefinedChunks(
+        Tables.documents(s, dir), "doc_id", "text", w = 4, divisor = 16)
+      val owners = chunks.groupBy(col("chunk_md5"))
+        .agg(countDistinct(col("doc_id")).as("__owners"))
+      chunks.join(owners, "chunk_md5")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("__owners") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .withColumn("dup_frac_e6",
+          floor(col("n_dup_chunks") * lit(1.0) / col("n_chunks") * lit(1e6) + lit(0.5))
+            .cast("long"))
+    }),
+
     // ---- Vocabulary coverage: per-doc OOV rate under a top-16 corpus
     // vocab (tokenizer-design statistic; vocab re-enters broadcast) ----
     "vocab_oov" -> ((s, dir) =>
@@ -2022,6 +2040,24 @@ object SparkEntry {
     * `toks(doc_id, lang, ws)` — instantiated for the lang classifier and
     * the pseudo-labeled quality classifier so the model SQL cannot drift
     * between them. */
+  /** Shared content-defined-chunking CTEs through the per-token chunk
+    * assignment `c` (w = 4, divisor = 16 — must match the registered
+    * contentDefinedChunks parameters). */
+  private val cdcChunkCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |p AS (SELECT doc_id, ws, CAST(r.i AS INTEGER) AS i
+      |      FROM t, UNNEST(range(1, len(ws) + 1)) AS r(i)),
+      |b AS (SELECT doc_id, i, ws[i] AS tok,
+      |        CASE WHEN i >= 4 AND
+      |          CAST(('0x' || substr(md5(array_to_string(ws[i-3:i], ' ')), 1, 15)) AS BIGINT)
+      |            % 16 = 0
+      |          THEN 1 ELSE 0 END AS isb
+      |      FROM p),
+      |c AS (SELECT doc_id, i, tok,
+      |        CAST(coalesce(sum(isb) OVER (PARTITION BY doc_id ORDER BY i
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS chunk_idx
+      |      FROM b)""".stripMargin
+
   /** Shared NB CTE prefix through the per-(doc,class) ranking `r` —
     * consumed by the classify-style oracles (rn = 1) and the
     * uncertainty-margin oracle (rn 1 vs 2). */
@@ -3043,22 +3079,25 @@ object SparkEntry {
     // every cut reproduced from the same md5-derived 60-bit window hash;
     // chunk content compared as md5 fingerprints
     "content_chunks" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |p AS (SELECT doc_id, ws, CAST(r.i AS INTEGER) AS i
-        |      FROM t, UNNEST(range(1, len(ws) + 1)) AS r(i)),
-        |b AS (SELECT doc_id, i, ws[i] AS tok,
-        |        CASE WHEN i >= 4 AND
-        |          CAST(('0x' || substr(md5(array_to_string(ws[i-3:i], ' ')), 1, 15)) AS BIGINT)
-        |            % 16 = 0
-        |          THEN 1 ELSE 0 END AS isb
-        |      FROM p),
-        |c AS (SELECT doc_id, i, tok,
-        |        CAST(coalesce(sum(isb) OVER (PARTITION BY doc_id ORDER BY i
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS chunk_idx
-        |      FROM b)
-        |SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_toks,
-        |       md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
-        |FROM c GROUP BY doc_id, chunk_idx""".stripMargin,
+      s"""WITH $cdcChunkCtes
+         |SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_toks,
+         |       md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
+         |FROM c GROUP BY doc_id, chunk_idx""".stripMargin,
+
+    // chunk-level dup rate over the same CDC cut
+    "doc_cdc_dup_rate" ->
+      s"""WITH $cdcChunkCtes,
+         |ch AS (SELECT doc_id, chunk_idx,
+         |         md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
+         |       FROM c GROUP BY doc_id, chunk_idx),
+         |ow AS (SELECT chunk_md5, count(DISTINCT doc_id) AS owners
+         |       FROM ch GROUP BY chunk_md5),
+         |d AS (SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |        CAST(sum(CASE WHEN ow.owners > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+         |      FROM ch JOIN ow USING (chunk_md5) GROUP BY ch.doc_id)
+         |SELECT doc_id, n_chunks, n_dup_chunks,
+         |  CAST(floor(n_dup_chunks * 1.0 / n_chunks * 1000000.0 + 0.5) AS BIGINT) AS dup_frac_e6
+         |FROM d""".stripMargin,
 
     "k_anon_risk" ->
       """SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS group_n,
