@@ -1273,8 +1273,14 @@ object SparkEntry {
     // a curation stage thresholds on (boundaries resync, so shifted
     // copies still count) ----
     "doc_cdc_dup_rate" -> ((s, dir) => {
+      // CDC chunking itself is a 0-exchange plan, so WITHOUT an exchange
+      // the owners aggregate and the join side would each recompute the
+      // whole per-token md5 pass. One explicit repartition on chunk_md5
+      // gives both consumers the SAME exchange (ReuseExchange → one CDC
+      // pass) and co-partitions the owners agg AND the join for free.
       val chunks = graft.operators.Chunking.contentDefinedChunks(
-        Tables.documents(s, dir), "doc_id", "text", w = 4, divisor = 16)
+          Tables.documents(s, dir), "doc_id", "text", w = 4, divisor = 16)
+        .repartition(col("chunk_md5"))
       val owners = chunks.groupBy(col("chunk_md5"))
         .agg(countDistinct(col("doc_id")).as("__owners"))
       chunks.join(owners, "chunk_md5")
