@@ -1173,6 +1173,18 @@ object SparkEntry {
           col("cents").as("filled_cents"))
     }),
 
+    // ---- rolling z-score anomaly flags: k-sigma test vs the trailing
+    // 10-day baseline as a PURE-INTEGER inequality (no stddev/division/
+    // floats anywhere); baseline excludes the current day ----
+    "events_anomaly" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.operators.Anomaly.rollingZScoreFlags(
+        daily, keys = Seq("event_type"), dateCol = "d",
+        valueCol = "n_events", window = 10, k = 3, minN = 5)
+    }),
+
     // ---- EWMA trend smoothing (decay ½, 10-day horizon) over daily
     // per-type counts: dyadic integer weights, zero transcendentals ----
     "events_ewma" -> ((s, dir) => {
@@ -2951,6 +2963,20 @@ object SparkEntry {
         |SELECT w_start, CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
         |FROM w GROUP BY 1""".stripMargin,
+
+    // the z-test multiplied out to integers: (n·x−Σx)² > k²·(n·Σx²−(Σx)²)
+    "events_anomaly" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS x
+        |           FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, d + CAST(r.i AS INTEGER) AS ad, x, x * x AS x2
+        |      FROM e, UNNEST(range(1, 11)) AS r(i)),
+        |b AS (SELECT event_type, ad, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x2) AS BIGINT) AS sx2
+        |      FROM c GROUP BY 1, 2)
+        |SELECT e.event_type, e.d, e.x AS n_events, b.n AS n_baseline,
+        |  ((b.n * e.x - b.sx) * (b.n * e.x - b.sx) >
+        |     9 * (b.n * b.sx2 - b.sx * b.sx) AND b.n >= 5) AS is_anomaly
+        |FROM e JOIN b ON e.event_type = b.event_type AND e.d = b.ad""".stripMargin,
 
     // weights are exact powers of two, sums exact integers, one IEEE
     // division at the end — no pow()/libm anywhere
