@@ -114,6 +114,17 @@ object SparkEntry {
       Checks.nullAudit(Tables.events(s, dir), Seq("user_id", "event_type", "value"))),
 
     // ---- joins + agg over the star schema (broadcast dims) ----
+    // ---- year-over-year growth: the lag-window reporting classic, in
+    // exact cents so the deltas hash-match ----
+    "orders_yoy" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("yr"))
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+        .withColumn("prev_cents", lag(col("revenue_cents"), 1).over(w))
+        .withColumn("delta_cents", col("revenue_cents") - col("prev_cents"))
+    }),
+
     "revenue_by_nation" -> ((s, dir) =>
       Tables.orders(s, dir)
         .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
@@ -2500,6 +2511,16 @@ object SparkEntry {
         | count(CASE WHEN event_type IS NULL THEN 1 END) AS null_event_type,
         | count(CASE WHEN value IS NULL THEN 1 END) AS null_value
         |FROM events""".stripMargin,
+
+    "orders_yoy" ->
+      """WITH y AS (SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, yr, revenue_cents,
+        |  lag(revenue_cents) OVER (PARTITION BY o_orderpriority ORDER BY yr) AS prev_cents,
+        |  revenue_cents - lag(revenue_cents) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY yr) AS delta_cents
+        |FROM y""".stripMargin,
 
     "revenue_by_nation" ->
       """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
