@@ -114,6 +114,26 @@ object SparkEntry {
       Checks.nullAudit(Tables.events(s, dir), Seq("user_id", "event_type", "value"))),
 
     // ---- joins + agg over the star schema (broadcast dims) ----
+    // ---- Pareto / cumulative-share report: per event type, rank users
+    // by activity and emit each user's running share of total events —
+    // the "what fraction of traffic do the top-N users carry" curve.
+    // Integer-exact: running sums are exact, share is integer division ----
+    "events_pareto" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val wRank = Window.partitionBy(col("event_type"))
+        .orderBy(col("n_events").desc, col("user_id").asc)
+      perUser
+        .withColumn("user_rank", row_number().over(wRank).cast("int"))
+        .withColumn("cum_events", sum(col("n_events")).over(
+          wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cum_share_e6",
+          expr("CAST(cum_events * 1000000 div sum(n_events) OVER " +
+            "(PARTITION BY event_type) AS BIGINT)"))
+        .where(col("user_rank") <= 20)
+    }),
+
     // ---- year-over-year growth: the lag-window reporting classic, in
     // exact cents so the deltas hash-match ----
     "orders_yoy" -> ((s, dir) => {
@@ -478,6 +498,34 @@ object SparkEntry {
       Dedup.minHashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, numHashes = MhHashes, bands = MhBands, threshold = MhThreshold,
         portable = true)),
+    // ---- estimator-accuracy harness for the MinHash tier: per surviving
+    // candidate pair, the signature estimate vs the EXACT n-gram Jaccard —
+    // the dedup analog of ann_recall (sets numHashes/bands before a
+    // corpus-scale dedup run) ----
+    "minhash_accuracy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          n = 3, numHashes = MhHashes, bands = MhBands, threshold = MhThreshold,
+          portable = true)
+        .select(col("id_a"), col("id_b"),
+          floor(col("est_jaccard") * lit(1e6) + lit(0.5)).cast("long").as("est_e6"))
+      val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("__sz"))
+      val inter = pairs.select("id_a", "id_b")
+        .join(sh.select(col("doc_id").as("id_a"), col("gram")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("gram")), Seq("id_b", "gram"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__inter"))
+      pairs
+        .join(inter, Seq("id_a", "id_b"), "left")
+        .join(sz.select(col("doc_id").as("id_a"), col("__sz").as("__sza")), Seq("id_a"))
+        .join(sz.select(col("doc_id").as("id_b"), col("__sz").as("__szb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("est_e6"),
+          floor(coalesce(col("__inter"), lit(0L)) * lit(1.0) /
+            (col("__sza") + col("__szb") - coalesce(col("__inter"), lit(0L)))
+            * lit(1e6) + lit(0.5)).cast("long").as("true_e6"))
+        .withColumn("err_e6", abs(col("est_e6") - col("true_e6")))
+    }),
+
     // blocks=9 × blocksPerKey=2: the scale-safe geometry (≈13-bit join keys,
     // C(9,2)=36 groups) — output identical to plain pigeonhole, see
     // Dedup.simHashCandidates
@@ -1613,6 +1661,28 @@ object SparkEntry {
   /** DuckDB side of [[graft.functions.PortableHash.hash60]]. */
   private def dh(e: String): String = graft.functions.PortableHash.duckdbSql(e)
 
+  /** Estimate-vs-exact harness over the MinHash candidates: wraps the
+    * generated MinHash oracle as a derived table, recomputes the exact
+    * 3-gram Jaccard for each surviving pair with fresh CTE names. */
+  private def minHashAccuracyOracle: String =
+    s"""WITH est AS (SELECT * FROM ($minHashLshOracle)),
+       |t2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g2 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+       |       FROM t2, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM g2 GROUP BY doc_id),
+       |it AS (SELECT e.id_a, e.id_b, CAST(count(*) AS BIGINT) AS inter
+       |       FROM est e JOIN g2 ga ON ga.doc_id = e.id_a
+       |                  JOIN g2 gb ON gb.doc_id = e.id_b AND gb.gram = ga.gram
+       |       GROUP BY e.id_a, e.id_b),
+       |o AS (SELECT e.id_a, e.id_b,
+       |        CAST(floor(e.est_jaccard * 1000000.0 + 0.5) AS BIGINT) AS est_e6,
+       |        CAST(floor(coalesce(it.inter, 0) * 1.0 /
+       |          (sa.sz + sb.sz - coalesce(it.inter, 0)) * 1000000.0 + 0.5) AS BIGINT) AS true_e6
+       |      FROM est e LEFT JOIN it ON e.id_a = it.id_a AND e.id_b = it.id_b
+       |                 JOIN sz sa ON e.id_a = sa.doc_id
+       |                 JOIN sz sb ON e.id_b = sb.doc_id)
+       |SELECT id_a, id_b, est_e6, true_e6, abs(est_e6 - true_e6) AS err_e6 FROM o""".stripMargin
+
   private def minHashLshOracle: String = {
     val rows = MhHashes / MhBands
     // (member index, multiplier) literal relation — the same multiply-shift
@@ -2240,6 +2310,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "minhash_lsh_pairs" -> minHashLshOracle,
+    "minhash_accuracy" -> minHashAccuracyOracle,
     "simhash_pairs" -> simHashOracle,
     "lsh_topk" -> lshTopKOracle,
     "ann_recall" -> annRecallOracle,
@@ -2511,6 +2582,21 @@ object SparkEntry {
         | count(CASE WHEN event_type IS NULL THEN 1 END) AS null_event_type,
         | count(CASE WHEN value IS NULL THEN 1 END) AS null_value
         |FROM events""".stripMargin,
+
+    "events_pareto" ->
+      """WITH u AS (SELECT event_type, user_id, count(*) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, n_events,
+        |        CAST(row_number() OVER (PARTITION BY event_type
+        |          ORDER BY n_events DESC, user_id ASC) AS INTEGER) AS user_rank,
+        |        CAST(sum(n_events) OVER (PARTITION BY event_type
+        |          ORDER BY n_events DESC, user_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events,
+        |        CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |      FROM u)
+        |SELECT event_type, user_id, n_events, user_rank, cum_events,
+        |  CAST(cum_events * 1000000 // tot AS BIGINT) AS cum_share_e6
+        |FROM r WHERE user_rank <= 20""".stripMargin,
 
     "orders_yoy" ->
       """WITH y AS (SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS yr,
