@@ -1396,6 +1396,35 @@ object SparkEntry {
       graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), k = AnnK)
     }),
 
+    // ---- Two-stage retrieval cascade (retrieve-and-rerank): the BM25 leg
+    // recalls 4·k candidates cheaply, the dense leg reranks ONLY those by
+    // exact cosine — the standard RAG serving shape (cheap recall, precise
+    // rerank over a bounded set; contrast hybrid_rrf_topk, which FUSES two
+    // full rankings instead of cascading them) ----
+    "rerank_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val recall = graft.operators.Retrieval.bm25TopK(
+          docs, docs.where(col("doc_id") % 1000 === 0),
+          "doc_id", "text", "doc_id", "text", k = 4 * AnnK)
+        .select(col("query_id"), col("doc_id"))
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("__v"),
+          graft.functions.Vectors.l2Norm(col("embedding")).as("__nrm"))
+      val scored = recall
+        .join(emb.select(col("vec_id").as("query_id"), col("__v").as("__qv"),
+          col("__nrm").as("__qn")), Seq("query_id"))
+        .join(emb.select(col("vec_id").as("doc_id"), col("__v").as("__dv"),
+          col("__nrm").as("__dn")), Seq("doc_id"))
+        .select(col("query_id"), col("doc_id"),
+          when(col("__qn") * col("__dn") =!= 0.0,
+            round(graft.functions.Vectors.dot(col("__qv"), col("__dv")) /
+              (col("__qn") * col("__dn")), 6)).as("cosine_sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine_sim").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("int"))
+        .where(col("rank") <= AnnK)
+    }),
+
     // ---- TF-IDF top terms per document (corpus-level term weighting) ----
     "tfidf_top_terms" -> ((s, dir) =>
       graft.operators.TermStats.topTerms(
@@ -3303,6 +3332,52 @@ object SparkEntry {
         |  SELECT s.*, CAST(row_number() OVER (
         |    PARTITION BY query_id ORDER BY score_e6 DESC, doc_id ASC) AS INTEGER) AS rank
         |  FROM s)
+        |WHERE rank <= 5""".stripMargin,
+
+    // cascade: BM25 CTEs recall 20, the proven cosine shape reranks only
+    // those pairs — ranking on the round-6 sim + id tie-break
+    "rerank_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |                  len(string_split(text, ' ')) AS dl FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+        |       FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl
+        |       FROM (SELECT doc_id, any_value(dl) AS dl FROM t GROUP BY doc_id)),
+        |idf AS (SELECT term, CAST(floor(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+        |                               * 1000000.0 + 0.5) AS BIGINT) AS idf_e6
+        |        FROM df CROSS JOIN st),
+        |q AS (SELECT DISTINCT doc_id AS query_id, term FROM t WHERE doc_id % 1000 = 0),
+        |c AS (SELECT q.query_id, tf.doc_id,
+        |        CAST(floor(idf.idf_e6 *
+        |          (tf.tf * (1.2 + 1.0) /
+        |            (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl * st.n / st.sum_dl)))
+        |          + 0.5) AS BIGINT) AS c_e6
+        |      FROM q JOIN tf USING (term) JOIN idf USING (term) CROSS JOIN st
+        |      WHERE q.query_id != tf.doc_id),
+        |sbm AS (SELECT query_id, doc_id, CAST(sum(c_e6) AS BIGINT) AS score_e6
+        |        FROM c GROUP BY 1, 2),
+        |sr AS (SELECT query_id, doc_id FROM (
+        |         SELECT sbm.*, row_number() OVER (
+        |           PARTITION BY query_id ORDER BY score_e6 DESC, doc_id ASC) AS rnk
+        |         FROM sbm)
+        |       WHERE rnk <= 20),
+        |flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                CAST(UNNEST(embedding) AS DOUBLE) AS x
+        |         FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+        |dots AS (SELECT s.query_id, s.doc_id, sum(fa.x * fb.x) AS dp
+        |         FROM sr s JOIN flat fa ON fa.vec_id = s.query_id
+        |                   JOIN flat fb ON fb.vec_id = s.doc_id AND fb.i = fa.i
+        |         GROUP BY s.query_id, s.doc_id),
+        |sc AS (SELECT d.query_id, d.doc_id,
+        |              round(d.dp / (na.nrm * nb.nrm), 6) AS cosine_sim
+        |       FROM dots d JOIN norms na ON d.query_id = na.vec_id
+        |                   JOIN norms nb ON d.doc_id = nb.vec_id)
+        |SELECT query_id, doc_id, cosine_sim, rank FROM (
+        |  SELECT sc.*, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine_sim DESC, doc_id ASC) AS INTEGER) AS rank
+        |  FROM sc)
         |WHERE rank <= 5""".stripMargin,
 
     // RRF fusion: both legs' oracles inlined as derived tables (same CTE
