@@ -49,6 +49,7 @@ object SparkEntry {
   private val DsirBuckets = 256 // dsir_weights: hashed-feature buckets
   private val PqM = 8           // pq_topk: subspaces (64-dim → 8×8)
   private val PqK = 16          // pq_topk: codewords per subspace
+  private val RecallPanel = 64  // *_recall: hash-sampled query-panel size
   // doc_blocklist: stand-in unsafe-term list (real deployments load 10²-10⁵
   // terms; these exist in the synthetic vocabulary so the filter bites)
   private val BlockTerms = Seq("slow", "stream", "batch")
@@ -544,24 +545,29 @@ object SparkEntry {
     "lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         dim = Dim, nBits = LshBits, k = AnnK, tables = LshTables)),
-    // ---- ANN quality harness: per-query recall@k of the LSH index vs
-    // the exact ranking — the number that decides nBits/tables before a
-    // 100 TB index build ----
-    "ann_recall" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = AnnK)
-        .select(col("query_id"), col("neighbor_id"))
-      val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
-          dim = Dim, nBits = LshBits, k = AnnK, tables = LshTables)
-        .select(col("query_id").as("__qa"), col("neighbor_id").as("__na"))
-      exact.join(approx,
-          col("query_id") === col("__qa") && col("neighbor_id") === col("__na"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_exact"), count(col("__qa")).as("n_hits"))
-        .withColumn("recall_e6",
-          floor(col("n_hits") * lit(1.0) / col("n_exact") * lit(1e6) + lit(0.5))
-            .cast("long"))
-    }),
+    // ---- ANN quality harness: recall@k of each index tier vs the exact
+    // ranking of a deterministic hash-sampled QUERY PANEL — the number
+    // that decides nBits/tables/nprobe before a 100 TB index build. The
+    // exact leg is panel × corpus (Similarity.panelExactTopK — linear in
+    // corpus, no gate), the approximate leg is the index under test run
+    // corpus-wide; joining from the exact side restricts the report to
+    // panel queries. ----
+    "ann_recall" -> ((s, dir) =>
+      recallVsPanel(s, dir,
+        Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          dim = Dim, nBits = LshBits, k = AnnK, tables = LshTables))),
+    "ivf_recall" -> ((s, dir) =>
+      recallVsPanel(s, dir,
+        Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          nlist = IvfNlist, nprobe = IvfNprobe, k = AnnK))),
+    "pq_recall" -> ((s, dir) =>
+      recallVsPanel(s, dir,
+        graft.operators.Quantize.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          m = PqM, codebookK = PqK, k = AnnK))),
+    "ivfpq_recall" -> ((s, dir) =>
+      recallVsPanel(s, dir,
+        graft.operators.Quantize.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          nlist = IvfNlist, nprobe = IvfNprobe, m = PqM, codebookK = PqK, k = AnnK))),
 
     "ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -1680,6 +1686,26 @@ object SparkEntry {
           round(avg(size(split(col("text"), " "))), 4).as("avg_tokens"))),
   )
 
+  /** Shared recall@k combinator for the `*_recall` harness rows: exact
+    * panel ranking (panel × corpus — linear, ungated) left-joined against
+    * the approximate index's corpus-wide answer. Only panel queries
+    * survive the join, so the report is `RecallPanel` rows regardless of
+    * corpus size. */
+  private def recallVsPanel(s: SparkSession, dir: String, approx: DataFrame): DataFrame = {
+    val exact = Similarity.panelExactTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        panelSize = RecallPanel, k = AnnK)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(
+        approx.select(col("query_id").as("__qa"), col("neighbor_id").as("__na")),
+        col("query_id") === col("__qa") && col("neighbor_id") === col("__na"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("__qa")).as("n_hits"))
+      .withColumn("recall_e6",
+        floor(col("n_hits") * lit(1.0) / col("n_exact") * lit(1e6) + lit(0.5))
+          .cast("long"))
+  }
+
   // ---- generated oracle SQL for the hash-family queries ----
   // These five oracles are BUILT programmatically from the same constants
   // (and the same Rademacher hyperplane generator) as the Spark queries, so
@@ -1824,36 +1850,40 @@ object SparkEntry {
        |      FROM scored)
        |SELECT query_id, neighbor_id, cosine_sim, CAST("rank" AS INTEGER) AS "rank" FROM r WHERE "rank" <= $AnnK""".stripMargin
 
-  /** Recall@k of the LSH leg against the exact ranking; reuses the LSH
-    * bucket CTEs' flat/norms for the exact leg. */
-  private def annRecallOracle: String =
-    s"""WITH ${lshBucketCtes(LshBits, LshTables)}
-       |cand AS (
-       |  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
-       |  FROM probes p JOIN buckets c
-       |    ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id <> c.vec_id),
-       |${pairScoreCtes("query_id", "neighbor_id")},
-       |ar AS (SELECT query_id, neighbor_id FROM (
-       |         SELECT scored.*, row_number() OVER (PARTITION BY query_id
-       |           ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM scored)
-       |       WHERE rn <= $AnnK),
+  /** Recall@k of an approximate index's answer (any derived table with
+    * `query_id`/`neighbor_id` columns) against the exact ranking of the
+    * hash-sampled query panel — DuckDB side of [[recallVsPanel]] /
+    * [[Similarity.panelExactTopK]]. The panel is the `RecallPanel` ids
+    * with the smallest portable hash (same ORDER BY/LIMIT rule as the IVF
+    * pseudo-centroids); the exact leg is computed ONLY for panel queries. */
+  private def panelRecallOracle(approxSql: String): String =
+    s"""WITH ap AS (SELECT query_id, neighbor_id FROM ($approxSql)),
+       |pflat AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |pnorms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pflat GROUP BY vec_id),
+       |panel AS (SELECT vec_id FROM embeddings
+       |          ORDER BY ${dh("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC
+       |          LIMIT $RecallPanel),
        |edots AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dp
-       |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |  FROM pflat a JOIN pflat b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id IN (SELECT vec_id FROM panel)
        |  GROUP BY a.vec_id, b.vec_id),
        |escored AS (
        |  SELECT query_id, neighbor_id, round(dp / (na.nrm * nb.nrm), 6) AS cosine_sim
-       |  FROM edots JOIN norms na ON query_id = na.vec_id
-       |             JOIN norms nb ON neighbor_id = nb.vec_id),
+       |  FROM edots JOIN pnorms na ON query_id = na.vec_id
+       |             JOIN pnorms nb ON neighbor_id = nb.vec_id),
        |er AS (SELECT query_id, neighbor_id FROM (
        |         SELECT escored.*, row_number() OVER (PARTITION BY query_id
        |           ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM escored)
        |       WHERE rn <= $AnnK)
        |SELECT er.query_id, CAST(count(*) AS BIGINT) AS n_exact,
-       |  CAST(count(ar.neighbor_id) AS BIGINT) AS n_hits,
-       |  CAST(floor(count(ar.neighbor_id) * 1.0 / count(*) * 1000000.0 + 0.5) AS BIGINT) AS recall_e6
-       |FROM er LEFT JOIN ar ON er.query_id = ar.query_id
-       |                    AND er.neighbor_id = ar.neighbor_id
+       |  CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(floor(count(ap.neighbor_id) * 1.0 / count(*) * 1000000.0 + 0.5) AS BIGINT) AS recall_e6
+       |FROM er LEFT JOIN ap ON er.query_id = ap.query_id
+       |                    AND er.neighbor_id = ap.neighbor_id
        |GROUP BY er.query_id""".stripMargin
 
   private def nearDupLshOracle: String =
@@ -2337,12 +2367,124 @@ object SparkEntry {
        |  AND lm.n_bigrams > 0 AND lm.avg_nll_e6 <= $C3MaxNll
        |  AND ds.avg_logratio_e6 >= $C3MinLr""".stripMargin
 
+  /** PQ/ADC: same hash-sampled codebook rule, same subspace split
+    * ((i-1)//subDim), distances e6-quantized at the lookup-table boundary
+    * so codes and ADC sums are integer-exact in both engines. */
+  private def pqTopKOracle: String = {
+    val subDim = Dim / PqM
+    s"""WITH flat AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |sub AS (SELECT vec_id, CAST((i - 1) // $subDim AS INTEGER) AS s,
+       |               (i - 1) % $subDim AS di, x
+       |        FROM flat),
+       |cbids AS (SELECT vec_id AS cb_vec, CAST(rn - 1 AS INTEGER) AS j FROM (
+       |  SELECT vec_id, row_number() OVER (
+       |    ORDER BY ${dh("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS rn
+       |  FROM embeddings) WHERE rn <= $PqK),
+       |cb AS (SELECT c.j, s.s, s.di, s.x
+       |       FROM cbids c JOIN sub s ON s.vec_id = c.cb_vec),
+       |dists AS (SELECT v.vec_id, v.s, c.j,
+       |    CAST(floor(sum((v.x - c.x) * (v.x - c.x)) * 1000000.0 + 0.5)
+       |         AS BIGINT) AS d
+       |  FROM sub v JOIN cb c ON v.s = c.s AND v.di = c.di
+       |  GROUP BY v.vec_id, v.s, c.j),
+       |codes AS (SELECT vec_id, s, j FROM (
+       |  SELECT vec_id, s, j, row_number() OVER (
+       |    PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+       |  FROM dists) WHERE rn = 1),
+       |adc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |               CAST(sum(q.d) AS BIGINT) AS dist_e6
+       |        FROM codes c JOIN dists q ON q.s = c.s AND q.j = c.j
+       |                                  AND q.vec_id <> c.vec_id
+       |        GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, dist_e6,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY dist_e6 ASC, neighbor_id ASC) AS "rank"
+       |      FROM adc)
+       |SELECT query_id, neighbor_id, dist_e6, CAST("rank" AS INTEGER) AS "rank"
+       |FROM r WHERE "rank" <= $AnnK""".stripMargin
+  }
+
+  /** IVF+PQ: same coarse/codebook hash rules, residual arithmetic per
+    * element (exact IEEE subtract), per-probed-cell ADC tables; every
+    * distance e6-quantized at the table boundary → integer ADC sums. */
+  private def ivfPqTopKOracle: String = {
+    val subDim = Dim / PqM
+    s"""WITH flat AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |centids AS (SELECT vec_id AS c_vec, CAST(rn - 1 AS INTEGER) AS cell FROM (
+       |  SELECT vec_id, row_number() OVER (
+       |    ORDER BY ${dh("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS rn
+       |  FROM embeddings) WHERE rn <= $IvfNlist),
+       |centflat AS (SELECT c.cell, f.i, f.x
+       |             FROM centids c JOIN flat f ON f.vec_id = c.c_vec),
+       |adist AS (SELECT v.vec_id, c.cell,
+       |    CAST(floor(sum((v.x - c.x) * (v.x - c.x)) * 1000000.0 + 0.5)
+       |         AS BIGINT) AS d
+       |  FROM flat v JOIN centflat c ON v.i = c.i
+       |  GROUP BY 1, 2),
+       |arank AS (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+       |  FROM adist),
+       |assign AS (SELECT vec_id, cell FROM arank WHERE rn = 1),
+       |probe AS (SELECT vec_id, cell FROM arank WHERE rn <= $IvfNprobe),
+       |rflat AS (SELECT v.vec_id, v.i, v.x - c.x AS x
+       |          FROM flat v JOIN assign a ON a.vec_id = v.vec_id
+       |               JOIN centflat c ON c.cell = a.cell AND c.i = v.i),
+       |cbids AS (SELECT vec_id AS cb_vec, CAST(rn - 1 AS INTEGER) AS j FROM (
+       |  SELECT vec_id, row_number() OVER (
+       |    ORDER BY ${dh("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS rn
+       |  FROM embeddings) WHERE rn <= $PqK),
+       |cbsub AS (SELECT cb.j, CAST((r.i - 1) // $subDim AS INTEGER) AS s,
+       |                 (r.i - 1) % $subDim AS di, r.x
+       |          FROM cbids cb JOIN rflat r ON r.vec_id = cb.cb_vec),
+       |rsub AS (SELECT vec_id, CAST((i - 1) // $subDim AS INTEGER) AS s,
+       |                (i - 1) % $subDim AS di, x
+       |         FROM rflat),
+       |cdist AS (SELECT r.vec_id, r.s, c.j,
+       |    CAST(floor(sum((r.x - c.x) * (r.x - c.x)) * 1000000.0 + 0.5)
+       |         AS BIGINT) AS d
+       |  FROM rsub r JOIN cbsub c ON r.s = c.s AND r.di = c.di
+       |  GROUP BY 1, 2, 3),
+       |codes AS (SELECT cd.vec_id, a.cell, cd.s, cd.j FROM (
+       |    SELECT vec_id, s, j,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+       |    FROM cdist) cd JOIN assign a ON a.vec_id = cd.vec_id
+       |  WHERE cd.rn = 1),
+       |qrflat AS (SELECT v.vec_id, p.cell, v.i, v.x - c.x AS x
+       |           FROM flat v JOIN probe p ON p.vec_id = v.vec_id
+       |                JOIN centflat c ON c.cell = p.cell AND c.i = v.i),
+       |qsub AS (SELECT vec_id, cell, CAST((i - 1) // $subDim AS INTEGER) AS s,
+       |                (i - 1) % $subDim AS di, x
+       |         FROM qrflat),
+       |qdist AS (SELECT q.vec_id, q.cell, q.s, c.j,
+       |    CAST(floor(sum((q.x - c.x) * (q.x - c.x)) * 1000000.0 + 0.5)
+       |         AS BIGINT) AS d
+       |  FROM qsub q JOIN cbsub c ON q.s = c.s AND q.di = c.di
+       |  GROUP BY 1, 2, 3, 4),
+       |adc AS (SELECT q.vec_id AS query_id, k2.vec_id AS neighbor_id,
+       |               CAST(sum(q.d) AS BIGINT) AS dist_e6
+       |        FROM codes k2 JOIN qdist q ON q.cell = k2.cell AND q.s = k2.s
+       |                                   AND q.j = k2.j AND q.vec_id <> k2.vec_id
+       |        GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, dist_e6,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY dist_e6 ASC, neighbor_id ASC) AS "rank"
+       |      FROM adc)
+       |SELECT query_id, neighbor_id, dist_e6, CAST("rank" AS INTEGER) AS "rank"
+       |FROM r WHERE "rank" <= $AnnK""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "minhash_lsh_pairs" -> minHashLshOracle,
     "minhash_accuracy" -> minHashAccuracyOracle,
     "simhash_pairs" -> simHashOracle,
     "lsh_topk" -> lshTopKOracle,
-    "ann_recall" -> annRecallOracle,
+    "ann_recall" -> panelRecallOracle(lshTopKOracle),
     "near_dup_lsh" -> nearDupLshOracle,
     "ivf_topk" -> ivfTopKOracle,
     "substring_dup_spans" -> substringSpansOracle,
@@ -2365,116 +2507,13 @@ object SparkEntry {
          | CAST(row_number() OVER (ORDER BY ${dh("CAST(doc_id AS VARCHAR)")}, doc_id) - 1
          |      AS BIGINT) AS shuffle_idx
          |FROM documents""".stripMargin,
-    // PQ/ADC: same hash-sampled codebook rule, same subspace split
-    // ((i-1)//subDim), distances e6-quantized at the lookup-table boundary
-    // so codes and ADC sums are integer-exact in both engines.
-    "pq_topk" -> {
-      val subDim = Dim / PqM
-      s"""WITH flat AS (
-         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         |         CAST(UNNEST(embedding) AS DOUBLE) AS x
-         |  FROM embeddings),
-         |sub AS (SELECT vec_id, CAST((i - 1) // $subDim AS INTEGER) AS s,
-         |               (i - 1) % $subDim AS di, x
-         |        FROM flat),
-         |cbids AS (SELECT vec_id AS cb_vec, CAST(rn - 1 AS INTEGER) AS j FROM (
-         |  SELECT vec_id, row_number() OVER (
-         |    ORDER BY ${dh("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS rn
-         |  FROM embeddings) WHERE rn <= $PqK),
-         |cb AS (SELECT c.j, s.s, s.di, s.x
-         |       FROM cbids c JOIN sub s ON s.vec_id = c.cb_vec),
-         |dists AS (SELECT v.vec_id, v.s, c.j,
-         |    CAST(floor(sum((v.x - c.x) * (v.x - c.x)) * 1000000.0 + 0.5)
-         |         AS BIGINT) AS d
-         |  FROM sub v JOIN cb c ON v.s = c.s AND v.di = c.di
-         |  GROUP BY v.vec_id, v.s, c.j),
-         |codes AS (SELECT vec_id, s, j FROM (
-         |  SELECT vec_id, s, j, row_number() OVER (
-         |    PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
-         |  FROM dists) WHERE rn = 1),
-         |adc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |               CAST(sum(q.d) AS BIGINT) AS dist_e6
-         |        FROM codes c JOIN dists q ON q.s = c.s AND q.j = c.j
-         |                                  AND q.vec_id <> c.vec_id
-         |        GROUP BY 1, 2),
-         |r AS (SELECT query_id, neighbor_id, dist_e6,
-         |        row_number() OVER (PARTITION BY query_id
-         |                           ORDER BY dist_e6 ASC, neighbor_id ASC) AS "rank"
-         |      FROM adc)
-         |SELECT query_id, neighbor_id, dist_e6, CAST("rank" AS INTEGER) AS "rank"
-         |FROM r WHERE "rank" <= $AnnK""".stripMargin
-    },
-    // IVF+PQ: same coarse/codebook hash rules, residual arithmetic per
-    // element (exact IEEE subtract), per-probed-cell ADC tables; every
-    // distance e6-quantized at the table boundary → integer ADC sums.
-    "ivfpq_topk" -> {
-      val subDim = Dim / PqM
-      s"""WITH flat AS (
-         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         |         CAST(UNNEST(embedding) AS DOUBLE) AS x
-         |  FROM embeddings),
-         |centids AS (SELECT vec_id AS c_vec, CAST(rn - 1 AS INTEGER) AS cell FROM (
-         |  SELECT vec_id, row_number() OVER (
-         |    ORDER BY ${dh("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS rn
-         |  FROM embeddings) WHERE rn <= $IvfNlist),
-         |centflat AS (SELECT c.cell, f.i, f.x
-         |             FROM centids c JOIN flat f ON f.vec_id = c.c_vec),
-         |adist AS (SELECT v.vec_id, c.cell,
-         |    CAST(floor(sum((v.x - c.x) * (v.x - c.x)) * 1000000.0 + 0.5)
-         |         AS BIGINT) AS d
-         |  FROM flat v JOIN centflat c ON v.i = c.i
-         |  GROUP BY 1, 2),
-         |arank AS (SELECT vec_id, cell,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
-         |  FROM adist),
-         |assign AS (SELECT vec_id, cell FROM arank WHERE rn = 1),
-         |probe AS (SELECT vec_id, cell FROM arank WHERE rn <= $IvfNprobe),
-         |rflat AS (SELECT v.vec_id, v.i, v.x - c.x AS x
-         |          FROM flat v JOIN assign a ON a.vec_id = v.vec_id
-         |               JOIN centflat c ON c.cell = a.cell AND c.i = v.i),
-         |cbids AS (SELECT vec_id AS cb_vec, CAST(rn - 1 AS INTEGER) AS j FROM (
-         |  SELECT vec_id, row_number() OVER (
-         |    ORDER BY ${dh("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS rn
-         |  FROM embeddings) WHERE rn <= $PqK),
-         |cbsub AS (SELECT cb.j, CAST((r.i - 1) // $subDim AS INTEGER) AS s,
-         |                 (r.i - 1) % $subDim AS di, r.x
-         |          FROM cbids cb JOIN rflat r ON r.vec_id = cb.cb_vec),
-         |rsub AS (SELECT vec_id, CAST((i - 1) // $subDim AS INTEGER) AS s,
-         |                (i - 1) % $subDim AS di, x
-         |         FROM rflat),
-         |cdist AS (SELECT r.vec_id, r.s, c.j,
-         |    CAST(floor(sum((r.x - c.x) * (r.x - c.x)) * 1000000.0 + 0.5)
-         |         AS BIGINT) AS d
-         |  FROM rsub r JOIN cbsub c ON r.s = c.s AND r.di = c.di
-         |  GROUP BY 1, 2, 3),
-         |codes AS (SELECT cd.vec_id, a.cell, cd.s, cd.j FROM (
-         |    SELECT vec_id, s, j,
-         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
-         |    FROM cdist) cd JOIN assign a ON a.vec_id = cd.vec_id
-         |  WHERE cd.rn = 1),
-         |qrflat AS (SELECT v.vec_id, p.cell, v.i, v.x - c.x AS x
-         |           FROM flat v JOIN probe p ON p.vec_id = v.vec_id
-         |                JOIN centflat c ON c.cell = p.cell AND c.i = v.i),
-         |qsub AS (SELECT vec_id, cell, CAST((i - 1) // $subDim AS INTEGER) AS s,
-         |                (i - 1) % $subDim AS di, x
-         |         FROM qrflat),
-         |qdist AS (SELECT q.vec_id, q.cell, q.s, c.j,
-         |    CAST(floor(sum((q.x - c.x) * (q.x - c.x)) * 1000000.0 + 0.5)
-         |         AS BIGINT) AS d
-         |  FROM qsub q JOIN cbsub c ON q.s = c.s AND q.di = c.di
-         |  GROUP BY 1, 2, 3, 4),
-         |adc AS (SELECT q.vec_id AS query_id, k2.vec_id AS neighbor_id,
-         |               CAST(sum(q.d) AS BIGINT) AS dist_e6
-         |        FROM codes k2 JOIN qdist q ON q.cell = k2.cell AND q.s = k2.s
-         |                                   AND q.j = k2.j AND q.vec_id <> k2.vec_id
-         |        GROUP BY 1, 2),
-         |r AS (SELECT query_id, neighbor_id, dist_e6,
-         |        row_number() OVER (PARTITION BY query_id
-         |                           ORDER BY dist_e6 ASC, neighbor_id ASC) AS "rank"
-         |      FROM adc)
-         |SELECT query_id, neighbor_id, dist_e6, CAST("rank" AS INTEGER) AS "rank"
-         |FROM r WHERE "rank" <= $AnnK""".stripMargin
-    },
+    "pq_topk" -> pqTopKOracle,
+    "ivfpq_topk" -> ivfPqTopKOracle,
+    // recall harness: each index tier's full oracle nested verbatim as the
+    // approximate leg, exact leg restricted to the hash-sampled panel
+    "ivf_recall" -> panelRecallOracle(ivfTopKOracle),
+    "pq_recall" -> panelRecallOracle(pqTopKOracle),
+    "ivfpq_recall" -> panelRecallOracle(ivfPqTopKOracle),
     "semantic_dedup_pairs" -> semanticPairsOracle,
     "semantic_dedup_keepers" -> semanticKeepersOracle,
     "contrastive_triplets" -> contrastiveOracle,

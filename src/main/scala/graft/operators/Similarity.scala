@@ -84,6 +84,43 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine_sim", "rank")
   }
 
+  /** Exact cosine top-k for a bounded, deterministic QUERY PANEL against
+    * the FULL corpus — the scale-safe exact leg of a recall harness.
+    *
+    * The panel is the `panelSize` ids with the smallest
+    * [[graft.functions.PortableHash.hash60]] — the same reproducible-subset
+    * rule the IVF pseudo-centroids use, so the panel is identical across
+    * runs, engines, and corpus partitionings (and the DuckDB oracle can
+    * reproduce it with an ORDER BY/LIMIT). The panel is broadcast and the
+    * corpus streams past it exactly once: cost is panelSize × |corpus| —
+    * LINEAR in corpus size, so unlike [[bruteForceTopK]] this needs no
+    * `gateExact` clamp and runs at any scale. This is the standard recall
+    * protocol (rank a sampled query set exactly, compare the index's
+    * answer), and the number it produces — recall@k over the panel — is
+    * what decides nBits/tables/nprobe BEFORE a 100 TB index build.
+    *
+    * Output: (query_id, neighbor_id, cosine_sim, rank) for panel queries
+    * only, rank 1..k by (similarity DESC, neighbor_id ASC). */
+  def panelExactTopK(df: DataFrame, idCol: String, vecCol: String,
+      panelSize: Int, k: Int): DataFrame = {
+    require(panelSize >= 1, "panelSize must be >= 1")
+    val base = withNorm(df, idCol, vecCol)
+    val panel = base
+      .withColumn("__h", graft.functions.PortableHash.hash60(col(idCol)))
+      .orderBy(col("__h").asc, col(idCol).asc).limit(panelSize)
+      .select(col(idCol).as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
+    val c = base.select(
+      col(idCol).as("neighbor_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
+    val scored = c.join(broadcast(panel), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_sim",
+        cosineSim(Vectors.dot(col("qvec"), col("cvec")), col("qnorm") * col("cnorm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
+
   /** Random-hyperplane signature: `nBits` sign bits of dot(vec, h_i).
     * Hyperplane components are Rademacher ±1 values derived driver-side from
     * a splitmix64-style mix of (bit, component) — reproducible across runs

@@ -38,8 +38,10 @@ class QueryPlanLintSpec extends SparkSpec {
     "cosine_topk",          // brute-force oracle tier: gated all-pairs
     "near_dup_embeddings",  // exact cosine pairs: gated all-pairs
     "dedup_embed_keepers",  // consumes the exact-pair tier above
-    "hybrid_rrf_topk",      // dense leg = the same gated bruteForceTopK tier
-    "ann_recall")           // exact leg of the recall harness = gated tier
+    "hybrid_rrf_topk")      // dense leg = the same gated bruteForceTopK tier
+  // NOTE r6: ann_recall left this list — its exact leg is now the
+  // panel × corpus form (Similarity.panelExactTopK), whose BNLJ broadcast
+  // side is a provably-bounded global limit (see boundedBroadcastSide).
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
@@ -64,6 +66,13 @@ class QueryPlanLintSpec extends SparkSpec {
         agg.groupingExpressions.isEmpty
       case loc: org.apache.spark.sql.execution.LocalTableScanExec =>
         loc.rows.lengthCompare(1024) <= 0
+      // a global limit caps the broadcast side regardless of input size —
+      // the hash-sampled query panel of the recall harness
+      // (Similarity.panelExactTopK: orderBy(hash).limit(panel))
+      case top: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+        top.limit <= 1024
+      case gl: org.apache.spark.sql.execution.GlobalLimitExec =>
+        gl.limit <= 1024
       case _ => false
     }
   }

@@ -125,6 +125,29 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.unset("graft.similarity.maxExactRows")
   }
 
+  test("panelExactTopK matches bruteForceTopK on panel queries and needs no gate") {
+    // the panel leg is linear in the corpus, so it must run even when the
+    // all-pairs gate would refuse this corpus size
+    spark.conf.set("graft.similarity.maxExactRows", "3")
+    try {
+      val panel = Similarity.panelExactTopK(vecs, "vec_id", "embedding",
+        panelSize = 2, k = 3).collect()
+      val panelIds = panel.map(_.getLong(0)).toSet
+      assert(panelIds.size == 2) // exactly panelSize distinct queries
+      // deterministic: same panel on a second run
+      val again = Similarity.panelExactTopK(vecs, "vec_id", "embedding",
+        panelSize = 2, k = 3).collect().map(_.getLong(0)).toSet
+      assert(again == panelIds)
+      // and per-query results agree exactly with the brute-force ranking
+      spark.conf.set("graft.similarity.maxExactRows", "100")
+      val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
+        .collect().filter(r => panelIds.contains(r.getLong(0)))
+        .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+      val got = panel.map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+      assert(got == brute)
+    } finally spark.conf.unset("graft.similarity.maxExactRows")
+  }
+
   test("Partitions.widen fans out narrow inputs and leaves wide ones alone") {
     import org.apache.spark.sql.functions.col
     val narrow = vecs.coalesce(1)
