@@ -60,11 +60,68 @@ case class WindowGrams(child: Expression, k: Int)
 }
 
 object WindowGrams {
-  private val Space = UTF8String.fromString(" ")
+  private[expressions] val Space = UTF8String.fromString(" ")
 
   /** (pos long, gram string) generator column over a token-array column. */
   def windows(tokens: Column, k: Int): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(WindowGrams(ColumnBridge.expression(tokens), k))
+  }
+}
+
+/** Native Catalyst GENERATOR: each DISTINCT `k`-token window gram of a
+  * token array, once — the streaming replacement for
+  * `explode(array_distinct(transform(sequence(...), i => concat_ws(...))))`,
+  * the shingle relation of the Jaccard/MinHash/decontamination family
+  * ([[graft.operators.Dedup.shingles]]).
+  *
+  * The HOF form materializes the full window array AND a deduplicated copy
+  * per input row before the explode, with an interpreted lambda per
+  * position; this generator streams windows one at a time and keeps only a
+  * hash set of grams already emitted (≤ distinct-gram bytes — strictly
+  * less than the HOF form's two transient arrays). Gram text and the
+  * emitted SET are identical to the HOF form (`concat_ws` semantics,
+  * first-occurrence order vs `array_distinct` order is irrelevant to the
+  * join/groupBy consumers), so no oracle changes. */
+case class DistinctGrams(child: Expression, k: Int)
+  extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("gram", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"distinct_grams requires k >= 1, got $k")
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"distinct_grams requires array<string>, got ${other.catalogString}")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null || arr.numElements() < k) Iterator.empty
+    else {
+      val n = arr.numElements()
+      val seen = new java.util.HashSet[UTF8String]()
+      Iterator.tabulate(n - k + 1) { i =>
+        val parts = new Array[UTF8String](k)
+        var j = 0
+        while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        UTF8String.concatWs(WindowGrams.Space, parts: _*)
+      }.filter(seen.add).map(g => InternalRow(g))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctGrams =
+    copy(child = newChild)
+  override def prettyName: String = "distinct_grams"
+}
+
+object DistinctGrams {
+  /** (gram string) generator column over a token-array column. */
+  def grams(tokens: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(DistinctGrams(ColumnBridge.expression(tokens), k))
   }
 }

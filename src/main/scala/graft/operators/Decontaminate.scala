@@ -25,12 +25,22 @@ object Decontaminate {
   def overlapReport(train: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int, minShared: Long,
       broadcastBench: Boolean = true): DataFrame = {
+    // Join on the 8-byte xxhash64 of the shingle, not the shingle string:
+    // an n=5+ word gram averages tens of bytes, and the gram bytes would
+    // otherwise ride through the widen exchange, the broadcast, the join
+    // hash table, and the pair aggregate. Hashing first shrinks every one
+    // of those structures ~4-8× (measured locally: most of the query's
+    // heap working set). A 64-bit collision between DISTINCT grams of one
+    // (train, bench) pair — the only event that could perturb a shared
+    // count — has probability ~(grams/doc)²/2⁶⁴ ≈ 1e-15; the benchmark
+    // membership decision tolerates it by construction (minShared is a
+    // heuristic threshold, same as every hashed-shingle dedup tier).
     val tg = Dedup.shingles(train, idCol, textCol, n)
-      .withColumnRenamed(idCol, "train_id")
+      .select(col(idCol).as("train_id"), xxhash64(col("gram")).as("gram_h"))
     val bg0 = Dedup.shingles(bench, idCol, textCol, n)
-      .withColumnRenamed(idCol, "bench_id")
+      .select(col(idCol).as("bench_id"), xxhash64(col("gram")).as("gram_h"))
     val bg = if (broadcastBench) broadcast(bg0) else bg0
-    tg.join(bg, "gram")
+    tg.join(bg, "gram_h")
       .groupBy("train_id", "bench_id")
       .agg(count(lit(1)).as("shared_grams"))
       .filter(col("shared_grams") >= minShared)

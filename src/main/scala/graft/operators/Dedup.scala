@@ -44,16 +44,19 @@ object Dedup {
 
   /** The (id, shingle) relation: distinct word n-grams per document.
     *
-    * Tokenizes ONCE into a named column before deriving grams — inlining
-    * `split` into the per-position gram lambda re-splits the text for
-    * every position (O(tokens²) interpreted work per doc; HOF lambdas are
-    * CodegenFallback). The [[Partitions.widen]] exchange also fans a
+    * Tokenizes ONCE into a named column, then streams distinct grams with
+    * the native [[graft.functions.expressions.DistinctGrams]] generator —
+    * the HOF `explode(array_distinct(transform(...)))` form it replaces
+    * materialized two transient arrays per document and ran an interpreted
+    * (CodegenFallback) lambda per position, which dominated the COLD cost
+    * of every shingle consumer. The [[Partitions.widen]] exchange fans a
     * small single-row-group scan out across the executors before the
     * expensive stage. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("__ws"))
     Partitions.widen(toks, col(idCol))
-      .select(col(idCol), explode(Text.nGramsFromTokens(col("__ws"), n)).as("gram"))
+      .select(col(idCol),
+        graft.functions.expressions.DistinctGrams.grams(col("__ws"), n).as(Seq("gram")))
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, similarity ≥
