@@ -359,6 +359,30 @@ object SparkEntry {
           col("audio.bits_per_sample").as("bits_per_sample"),
           col("audio.n_frames").as("n_frames"),
           col("audio.duration_ms").as("duration_ms"))),
+    // audio payload decode: ramp-tone WAVs → PCM slice extraction
+    // (per-partition, corrupt-never-throw) → codegen ByteHistogram
+    // amplitude distribution + sample-level clipping rate; the oracle
+    // regenerates the ramp arithmetically, so a codec bug anywhere in
+    // the synth → container walk → slice → histogram chain breaks the hash
+    "mm_audio_features" -> ((s, dir) => {
+      val pcm = graft.multimodal.Multimodal.audioPcm(
+        graft.multimodal.Multimodal.synthesizeWavTonePayload(
+          Tables.documents(s, dir).select(
+            col("doc_id").as("asset_id"),
+            (lit(8000) + (col("doc_id") % 5) * 2000).cast("int").as("sample_rate"),
+            (lit(1) + col("doc_id") % 2).cast("int").as("channels"),
+            (lit(8) * (lit(1) + col("doc_id") % 2)).cast("int").as("bits_per_sample"),
+            (col("n_chars") % 1000 + 1).cast("int").as("n_frames"),
+            (col("doc_id") % 256).cast("int").as("tone_seed")))
+          .select("asset_id", "payload"))
+      pcm.select(col("asset_id"),
+          posexplode(graft.multimodal.Multimodal.byteHistogram(col("pcm"), bins = 16)),
+          floor(col("n_clipped").cast("double") / col("n_samples") * lit(1e6) + lit(0.5))
+            .cast("long").as("clip_rate_e6"))
+        .select(col("asset_id"), col("pos").cast("int").as("bin"),
+          floor(col("col") * lit(1e6) + lit(0.5)).cast("long").as("freq_e6"),
+          col("clip_rate_e6"))
+    }),
     // video round-trip, same shape as mm_audio_meta: deterministic MP4
     // container geometry → real ISO-BMFF bytes → box-walk parse
     "mm_video_meta" -> ((s, dir) =>
@@ -3689,6 +3713,39 @@ object SparkEntry {
         | CAST(n_chars % 1000 + 1 AS BIGINT) AS n_frames,
         | CAST((n_chars % 1000 + 1) * 1000 // (8000 + (doc_id % 5) * 2000) AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
+
+    // regenerates the ramp tone arithmetically: byte j of the PCM slice is
+    // (seed + j) % 256, so the count of byte value v over len bytes is a
+    // closed form; the histogram and the 8-bit clipping rate follow.
+    // 16-bit samples read consecutive ramp bytes (hi = lo + 1 mod 256),
+    // which can never form a ±full-scale sample → clip_rate_e6 = 0 there.
+    "mm_audio_features" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 256 AS INTEGER) AS seed,
+        |         CAST(8 * (1 + doc_id % 2) AS INTEGER) AS bits,
+        |         (n_chars % 1000 + 1) * (1 + doc_id % 2) * (1 + doc_id % 2) AS len
+        |  FROM documents),
+        |vcnt AS (
+        |  SELECT g.doc_id, t.v,
+        |         CASE WHEN ((t.v - g.seed) % 256 + 256) % 256 < g.len
+        |              THEN (g.len - 1 - ((t.v - g.seed) % 256 + 256) % 256) // 256 + 1
+        |              ELSE 0 END AS cnt,
+        |         g.len, g.bits
+        |  FROM g, UNNEST(range(0, 256)) AS t(v)),
+        |clip AS (
+        |  SELECT doc_id,
+        |         CASE WHEN any_value(bits) = 8 THEN
+        |           CAST(floor(CAST(sum(CASE WHEN v IN (0, 255) THEN cnt ELSE 0 END) AS DOUBLE)
+        |                / any_value(len) * 1000000.0 + 0.5) AS BIGINT)
+        |         ELSE 0 END AS clip_rate_e6
+        |  FROM vcnt GROUP BY doc_id),
+        |h AS (
+        |  SELECT doc_id, CAST(v % 16 AS INTEGER) AS bin,
+        |         CAST(floor(CAST(sum(cnt) AS DOUBLE) / any_value(len) * 1000000.0 + 0.5) AS BIGINT) AS freq_e6
+        |  FROM vcnt GROUP BY doc_id, bin)
+        |SELECT h.doc_id AS asset_id, h.bin, h.freq_e6, c.clip_rate_e6
+        |FROM h JOIN clip c ON h.doc_id = c.doc_id""".stripMargin,
 
     "mm_video_meta" ->
       """SELECT doc_id AS asset_id,

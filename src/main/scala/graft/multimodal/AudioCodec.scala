@@ -24,6 +24,11 @@ object AudioCodec {
     require(sampleRate > 0 && channels > 0 && frames >= 0, "invalid WAV geometry")
     require(bitsPerSample > 0 && bitsPerSample % 8 == 0, "bitsPerSample must be a positive byte multiple")
     val blockAlign = channels * bitsPerSample / 8
+    // size the payload in Long space: frames * blockAlign in Int arithmetic
+    // would wrap negative around 2^31 and throw from the allocator instead
+    // of reporting the real problem
+    require(frames.toLong * blockAlign <= Int.MaxValue.toLong - 44,
+      s"WAV payload ${frames.toLong * blockAlign} bytes exceeds the 2 GiB single-buffer limit")
     val dataLen = frames * blockAlign
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -35,6 +40,75 @@ object AudioCodec {
       .putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     bb.array()
+  }
+
+  /** [[encodeWav]] with a deterministic ramp tone instead of silence:
+    * data byte `j` is `(seed + j) % 256`. Gives the payload-feature pass
+    * ([[Multimodal.audioPcm]]) a non-trivial amplitude distribution that
+    * an external oracle can regenerate arithmetically. */
+  def encodeWavRamp(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      frames: Int, seed: Int): Array[Byte] = {
+    val b = encodeWav(sampleRate, channels, bitsPerSample, frames)
+    var j = 44
+    while (j < b.length) { b(j) = ((seed + j - 44) & 0xff).toByte; j += 1 }
+    b
+  }
+
+  /** (offset, length) of the PCM payload inside a WAV that [[decodeWav]]
+    * accepts — the codec's frame-extraction seam. Same corrupt-never-throw
+    * contract: None unless the header is fully valid; length is clamped to
+    * the bytes actually present (truncated uploads). */
+  def dataChunk(b: Array[Byte]): Option[(Int, Int)] =
+    decodeWav(b).flatMap { _ =>
+      var off = 12
+      var found: Option[(Int, Int)] = None
+      var bail = false
+      while (!bail && found.isEmpty && off + 8 <= b.length) {
+        val tag = new String(b, off, 4, "US-ASCII")
+        val declared = (b(off + 4) & 0xffL) | ((b(off + 5) & 0xffL) << 8) |
+          ((b(off + 6) & 0xffL) << 16) | ((b(off + 7) & 0xffL) << 24)
+        if (tag == "data")
+          found = Some((off + 8, math.min(declared, (b.length - off - 8).toLong).toInt))
+        else {
+          val nextOff = off.toLong + 8L + declared + (declared & 1L)
+          if (nextOff > Int.MaxValue.toLong) bail = true
+          else off = nextOff.toInt
+        }
+      }
+      found
+    }
+
+  /** Count of full-scale (clipped) samples in a PCM slice: 8-bit PCM is
+    * unsigned (0 / 255 are the rails), wider depths are signed
+    * little-endian (±2^(8w-1) rails). Samples straddling a truncated tail
+    * are ignored. Depths wider than 8 bytes are not PCM; returns 0. */
+  def clippedSamples(b: Array[Byte], off: Int, len: Int, bitsPerSample: Int): Long = {
+    val w = bitsPerSample / 8
+    if (w < 1 || w > 8) return 0L
+    var clipped = 0L
+    if (w == 1) {
+      var i = off
+      while (i < off + len) {
+        val v = b(i) & 0xff
+        if (v == 0 || v == 255) clipped += 1
+        i += 1
+      }
+    } else {
+      val max = (1L << (8 * w - 1)) - 1
+      val min = -(1L << (8 * w - 1))
+      var i = off
+      while (i + w <= off + len) {
+        var v = 0L
+        var j = w - 1
+        while (j >= 0) { v = (v << 8) | (b(i + j) & 0xffL); j -= 1 }
+        // sign-extend from 8w bits
+        val shifted = v << (64 - 8 * w)
+        val s = shifted >> (64 - 8 * w)
+        if (s == max || s == min) clipped += 1
+        i += w
+      }
+    }
+    clipped
   }
 
   def decodeWav(b: Array[Byte]): Option[WavMeta] = {

@@ -162,6 +162,64 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** [[synthesizeWavPayload]] with a deterministic ramp tone (see
+    * [[AudioCodec.encodeWavRamp]]): adds a `tone_seed` geometry column so
+    * the payload-feature pass has a non-trivial, oracle-predictable
+    * amplitude distribution. */
+  def synthesizeWavTonePayload(df: DataFrame): DataFrame = {
+    val outSchema = df.schema.add("payload", org.apache.spark.sql.types.BinaryType)
+    val sr = df.schema.fieldIndex("sample_rate")
+    val ch = df.schema.fieldIndex("channels")
+    val bits = df.schema.fieldIndex("bits_per_sample")
+    val fr = df.schema.fieldIndex("n_frames")
+    val sd = df.schema.fieldIndex("tone_seed")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = AudioCodec.encodeWavRamp(
+          r.getInt(sr), r.getInt(ch), r.getInt(bits), r.getInt(fr), r.getInt(sd))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** PCM payload-extraction seam: append the raw PCM slice of each WAV
+    * payload (`pcm` binary) plus sample-level statistics the byte
+    * histogram cannot see — `n_samples` (per channel-interleaved sample)
+    * and `n_clipped` (full-scale rail hits: unsigned 0/255 at 8-bit,
+    * signed ±2^(w·8−1) wider). Not-a-WAV payloads yield all-null fields,
+    * never a task failure ([[AudioCodec]] contract). Downstream, `pcm`
+    * feeds the codegen [[graft.functions.expressions.ByteHistogram]]
+    * amplitude pass — the payload bytes stay inside the scan task. */
+  def audioPcm(df: DataFrame): DataFrame = {
+    val outSchema = df.schema
+      .add("pcm", org.apache.spark.sql.types.BinaryType)
+      .add("n_samples", org.apache.spark.sql.types.LongType)
+      .add("n_clipped", org.apache.spark.sql.types.LongType)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val extracted =
+          try {
+            for {
+              meta <- AudioCodec.decodeWav(payload)
+              (off, len) <- AudioCodec.dataChunk(payload)
+            } yield {
+              val w = math.max(1, meta.bitsPerSample / 8)
+              val clipped = AudioCodec.clippedSamples(payload, off, len, meta.bitsPerSample)
+              (java.util.Arrays.copyOfRange(payload, off, off + len),
+                (len / w).toLong, clipped)
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        val tail = extracted match {
+          case Some((pcm, n, c)) => Seq(pcm, n, c)
+          case None => Seq(null, null, null)
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ tail)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Audio counterpart of [[decodePartitions]]: parse RIFF/WAVE headers
     * per partition ([[AudioCodec]]) into an appended nullable `audio`
     * struct; payloads that aren't valid WAV keep `audio = null`.

@@ -275,6 +275,50 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).isEmpty)
   }
 
+  test("audioPcm extracts the ramp PCM slice with sample-level clip stats") {
+    import org.apache.spark.sql.functions.col
+    // 8-bit mono: samples ARE the ramp bytes; seed 250 over 10 frames
+    // covers 250..255,0..3 → rails hit at 255 and 0 → 2 clipped of 10
+    val wav8 = AudioCodec.encodeWavRamp(8000, 1, 8, 10, seed = 250)
+    // 16-bit mono: hi byte = lo + 1 mod 256 can never form ±full scale
+    val wav16 = AudioCodec.encodeWavRamp(8000, 1, 16, 100, seed = 0)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, wav8), Row(2L, wav16), Row(3L, Array[Byte](1, 2, 3)))),
+      StructType(Seq(
+        StructField("asset_id", LongType), StructField("payload", BinaryType))))
+    val out = Multimodal.audioPcm(df)
+      .select(col("asset_id"), col("pcm"), col("n_samples"), col("n_clipped"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Array[Byte]]), Option(r.get(2)), Option(r.get(3)))).toMap
+    val (pcm8, n8, c8) = out(1L)
+    assert(pcm8.get.toSeq == (0 until 10).map(j => ((250 + j) & 0xff).toByte))
+    assert(n8.contains(10L) && c8.contains(2L))
+    val (pcm16, n16, c16) = out(2L)
+    assert(pcm16.get.length == 200 && n16.contains(100L) && c16.contains(0L))
+    assert(out(3L) == ((None, None, None))) // not a WAV → all-null, no throw
+  }
+
+  test("clippedSamples counts signed 16-bit rails; dataChunk finds the slice") {
+    // hand-built 16-bit payload: [32767, -32768, 0, 100] little-endian
+    val wav = AudioCodec.encodeWav(8000, 1, 16, 4)
+    val (off, len) = AudioCodec.dataChunk(wav).get
+    assert(len == 8)
+    val samples = Seq(32767, -32768, 0, 100)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      wav(off + 2 * i) = (s & 0xff).toByte
+      wav(off + 2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    assert(AudioCodec.clippedSamples(wav, off, len, 16) == 2L)
+    // byte view of the same slice: FF,7F,00,80,00,00,64,00 → one 0xFF + four 0x00
+    assert(AudioCodec.clippedSamples(wav, off, len, 8) == 5L)
+  }
+
+  test("encodeWav refuses payloads that overflow a 2 GiB buffer") {
+    intercept[IllegalArgumentException](
+      AudioCodec.encodeWav(48000, 8, 16, frames = 200 * 1000 * 1000))
+  }
+
   test("decodeVideoPartitions parses MP4 payloads, nulls everything else") {
     import org.apache.spark.sql.functions.col
     val df = spark.createDataFrame(
