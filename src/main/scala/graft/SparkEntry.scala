@@ -403,6 +403,29 @@ object SparkEntry {
           col("video.width").as("width"),
           col("video.height").as("height"),
           col("video.duration_ms").as("duration_ms"))),
+    // video stream statistics: synthesized MP4s carry a real per-sample
+    // stsz (size base + (i%7)·17) and a two-entry stts (n/2 at Δ, rest at
+    // 2Δ) in track 1; the box walk must stream-aggregate them, and the
+    // oracle predicts the sums in closed form
+    "mm_video_samples" -> ((s, dir) =>
+      graft.multimodal.Multimodal.decodeVideoPartitions(
+          graft.multimodal.Multimodal.synthesizeMp4SamplesPayload(
+            Tables.documents(s, dir).select(
+              col("doc_id").as("asset_id"),
+              (lit(600) * (lit(1) + col("doc_id") % 3)).cast("int").as("timescale"),
+              (col("n_chars") % 5000 + 600).cast("int").as("duration_ticks"),
+              (lit(1) + col("doc_id") % 2).cast("int").as("n_tracks"),
+              (lit(320) * (lit(1) + col("doc_id") % 4)).cast("int").as("width"),
+              (lit(240) * (lit(1) + col("doc_id") % 4)).cast("int").as("height"),
+              (col("n_chars") % 50 + 2).cast("int").as("n_samples"),
+              (col("doc_id") % 100 + 10).cast("int").as("size_base"),
+              (lit(100) + col("doc_id") % 10).cast("int").as("tick_delta")))
+            .select("asset_id", "payload"))
+        .select(col("asset_id"),
+          col("video.n_samples").as("n_samples"),
+          col("video.sample_bytes").as("sample_bytes"),
+          col("video.max_sample_size").as("max_sample_size"),
+          col("video.media_ticks").as("media_ticks"))),
 
     // deterministic weighted source interleave (stride scheduling) —
     // the training-order "data mixing" step; scale-safe via GlobalIndex,
@@ -3756,6 +3779,24 @@ object SparkEntry {
         | CAST(240 * (1 + doc_id % 4) AS INTEGER) AS height,
         | CAST((n_chars % 5000 + 600) * 1000 // (600 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
+
+    // closed forms of the synthesized sample tables: sizes are
+    // base + (i%7)·17 for i < n (sum via whole cycles of 21·17 plus a
+    // triangular remainder), durations are n/2 entries at Δ + the rest
+    // at 2Δ; all-integer arithmetic in both engines
+    "mm_video_samples" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         n_chars % 50 + 2 AS n,
+        |         doc_id % 100 + 10 AS base,
+        |         100 + doc_id % 10 AS delta
+        |  FROM documents)
+        |SELECT doc_id AS asset_id,
+        | CAST(n AS BIGINT) AS n_samples,
+        | CAST(n * base + 17 * ((n // 7) * 21 + (n % 7) * ((n % 7) - 1) // 2) AS BIGINT) AS sample_bytes,
+        | CAST(base + least(n - 1, 6) * 17 AS BIGINT) AS max_sample_size,
+        | CAST((n // 2) * delta + (n - n // 2) * 2 * delta AS BIGINT) AS media_ticks
+        |FROM g""".stripMargin,
 
     // total order (n_chars DESC, doc_id) has no peers, so the window's
     // default RANGE frame equals the operator's ROWS semantics

@@ -243,14 +243,20 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
-  /** Nullable video-decode struct appended by [[decodeVideoPartitions]]. */
+  /** Nullable video-decode struct appended by [[decodeVideoPartitions]].
+    * The last four fields are the stream statistics aggregated from the
+    * tracks' `stbl` sample tables (zeros for metadata-only containers). */
   val videoSchema: StructType = StructType(Seq(
     StructField("timescale", LongType),
     StructField("duration_ticks", LongType),
     StructField("n_tracks", IntegerType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("duration_ms", LongType)))
+    StructField("duration_ms", LongType),
+    StructField("n_samples", LongType),
+    StructField("sample_bytes", LongType),
+    StructField("max_sample_size", LongType),
+    StructField("media_ticks", LongType)))
 
   /** Video counterpart of [[decodePartitions]]: parse ISO-BMFF (MP4)
     * container metadata per partition ([[VideoCodec]]) into an appended
@@ -266,7 +272,8 @@ object Multimodal {
       rows.map { r =>
         val decoded = safeDecode(r.getAs[Array[Byte]](payloadIdx)) match {
           case Some(m) => org.apache.spark.sql.Row(
-            m.timescale, m.durationTicks, m.nTracks, m.width, m.height, m.durationMs)
+            m.timescale, m.durationTicks, m.nTracks, m.width, m.height, m.durationMs,
+            m.nSamples, m.sampleBytes, m.maxSampleSize, m.mediaTicks)
           case None => null
         }
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ decoded)
@@ -289,6 +296,30 @@ object Multimodal {
       rows.map { r =>
         val payload = VideoCodec.encodeMp4(
           r.getInt(ts), r.getInt(du), r.getInt(nt), r.getInt(w), r.getInt(h))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** [[synthesizeMp4Payload]] plus a real sample table: three extra
+    * geometry columns (`n_samples`, `size_base`, `tick_delta`) drive the
+    * first track's stsz/stts chain (see [[VideoCodec.encodeMp4]]'s
+    * `samples` parameter). */
+  def synthesizeMp4SamplesPayload(df: DataFrame): DataFrame = {
+    val outSchema = df.schema.add("payload", org.apache.spark.sql.types.BinaryType)
+    val ts = df.schema.fieldIndex("timescale")
+    val du = df.schema.fieldIndex("duration_ticks")
+    val nt = df.schema.fieldIndex("n_tracks")
+    val w = df.schema.fieldIndex("width")
+    val h = df.schema.fieldIndex("height")
+    val ns = df.schema.fieldIndex("n_samples")
+    val sb = df.schema.fieldIndex("size_base")
+    val td = df.schema.fieldIndex("tick_delta")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = VideoCodec.encodeMp4(
+          r.getInt(ts), r.getInt(du), r.getInt(nt), r.getInt(w), r.getInt(h),
+          samples = Some((r.getInt(ns), r.getInt(sb), r.getInt(td))))
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ payload)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))

@@ -18,8 +18,14 @@ object VideoCodec {
 
   /** Parsed MP4 metadata. `width`/`height` are the display geometry of
     * the first track that declares one (0 when no track does, e.g.
-    * audio-only containers). */
-  final case class Mp4Meta(timescale: Long, durationTicks: Long, nTracks: Int, width: Int, height: Int) {
+    * audio-only containers). The sample-table statistics aggregate every
+    * track's `stbl` (`stsz` sizes, `stts` durations): `nSamples` and
+    * `sampleBytes`/`maxSampleSize` from stsz, `mediaTicks` (sum of
+    * count×delta) from stts — all 0 when no track carries a sample table
+    * (metadata-only containers, e.g. the bare mvhd+tkhd fixtures). */
+  final case class Mp4Meta(timescale: Long, durationTicks: Long, nTracks: Int,
+      width: Int, height: Int, nSamples: Long = 0L, sampleBytes: Long = 0L,
+      maxSampleSize: Long = 0L, mediaTicks: Long = 0L) {
     def durationMs: Long = durationTicks * 1000L / timescale
   }
 
@@ -76,6 +82,10 @@ object VideoCodec {
     var nTracks = 0
     var width = 0
     var height = 0
+    var nSamples = 0L
+    var sampleBytes = 0L
+    var maxSample = 0L
+    var mediaTicks = 0L
     while (off + 8 <= end) {
       boxBounds(b, off, end, allowToEnd = false) match {
         case None => return None
@@ -102,13 +112,89 @@ object VideoCodec {
                   width = w; height = h
                 }
               }
+              parseSampleTables(b, payload, boxEnd) match {
+                case None => return None // present but malformed stbl
+                case Some((n, bytes, mx, ticks)) =>
+                  nSamples += n; sampleBytes += bytes
+                  maxSample = math.max(maxSample, mx); mediaTicks += ticks
+              }
             case _ => ()
           }
           off = boxEnd
       }
     }
     if (timescale <= 0 || duration < 0 || nTracks == 0) None
-    else Some(Mp4Meta(timescale, duration, nTracks, width, height))
+    else Some(Mp4Meta(timescale, duration, nTracks, width, height,
+      nSamples, sampleBytes, maxSample, mediaTicks))
+  }
+
+  /** Descend `trak → mdia → minf → stbl` and stream-aggregate the sample
+    * tables: (n_samples, total_bytes, max_size) from `stsz`, total
+    * count×delta ticks from `stts`. A track without the chain contributes
+    * zeros (Some); a chain that IS present but truncated — declared entry
+    * counts running past the box — is malformed input (None). Aggregation
+    * is streaming: entry counts size nothing, so a hostile 2³²-entry
+    * declaration cannot allocate. */
+  private def parseSampleTables(b: Array[Byte], start: Long, end: Long): Option[(Long, Long, Long, Long)] = {
+    def descend(tp: String, s: Long, e: Long): Option[(Long, Long)] = {
+      var off = s
+      while (off + 8 <= e) {
+        boxBounds(b, off, e, allowToEnd = false) match {
+          case None => return None
+          case Some((payload, boxEnd)) =>
+            if (tag(b, off.toInt + 4) == tp) return Some((payload, boxEnd))
+            off = boxEnd
+        }
+      }
+      None
+    }
+    val stbl = for {
+      mdia <- descend("mdia", start, end)
+      minf <- descend("minf", mdia._1, mdia._2)
+      stbl <- descend("stbl", minf._1, minf._2)
+    } yield stbl
+    stbl match {
+      case None => Some((0L, 0L, 0L, 0L)) // no sample table: fine
+      case Some((s, e)) =>
+        var n = 0L; var bytes = 0L; var mx = 0L; var ticks = 0L
+        descend("stsz", s, e) match {
+          case Some((p, pe)) =>
+            if (p + 12 > pe) return None
+            val uniform = u32(b, p.toInt + 4)
+            val count = u32(b, p.toInt + 8)
+            // nonsense-field guard: >2³¹ sample sizes/counts are not media,
+            // and their Long products would wrap into garbage statistics
+            if (uniform > Int.MaxValue || count > Int.MaxValue) return None
+            n = count
+            if (uniform != 0L) { bytes = uniform * count; mx = if (count > 0) uniform else 0L }
+            else {
+              if (p + 12 + count * 4 > pe) return None
+              var i = 0L
+              while (i < count) {
+                val sz = u32(b, (p + 12 + i * 4).toInt)
+                bytes += sz; if (sz > mx) mx = sz
+                i += 1
+              }
+            }
+          case None => ()
+        }
+        descend("stts", s, e) match {
+          case Some((p, pe)) =>
+            if (p + 8 > pe) return None
+            val entries = u32(b, p.toInt + 4)
+            if (p + 8 + entries * 8 > pe) return None
+            var i = 0L
+            while (i < entries) {
+              val cnt = u32(b, (p + 8 + i * 8).toInt)
+              val delta = u32(b, (p + 8 + i * 8 + 4).toInt)
+              if (cnt > Int.MaxValue || delta > Int.MaxValue) return None
+              ticks += cnt * delta
+              i += 1
+            }
+          case None => ()
+        }
+        Some((n, bytes, mx, ticks))
+    }
   }
 
   /** Display geometry from a trak's tkhd, if present and nonzero.
@@ -138,9 +224,18 @@ object VideoCodec {
   /** Minimal canonical MP4 writer (ftyp + moov(mvhd, trak(tkhd)×n)):
     * the fixture/synthesis counterpart of [[decodeMp4]]. The first
     * track carries the display geometry; any additional tracks are
-    * geometry-less (audio-shaped). */
-  def encodeMp4(timescale: Int, durationTicks: Int, nTracks: Int, width: Int, height: Int): Array[Byte] = {
+    * geometry-less (audio-shaped). With `samples = Some((n, sizeBase,
+    * tickDelta))` the first track additionally carries a real
+    * mdia→minf→stbl chain: a per-sample `stsz` with size
+    * `sizeBase + (i % 7) · 17` for sample `i` (deterministic, non-uniform,
+    * closed-form summable) and a two-entry `stts` — the first `n/2`
+    * samples at `tickDelta` ticks, the rest at `2 · tickDelta`. */
+  def encodeMp4(timescale: Int, durationTicks: Int, nTracks: Int, width: Int, height: Int,
+      samples: Option[(Int, Int, Int)] = None): Array[Byte] = {
     require(timescale > 0 && durationTicks >= 0 && nTracks > 0, "invalid MP4 geometry")
+    samples.foreach { case (n, base, delta) =>
+      require(n >= 1 && base >= 0 && delta >= 1, "invalid sample-table geometry")
+    }
     require(width > 0 && height > 0 && width < (1 << 15) && height < (1 << 15), "invalid display geometry")
     def box(tp: String, payload: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
@@ -172,7 +267,25 @@ object VideoCodec {
       bb.position(76)
       bb.putInt(w << 16).putInt(h << 16)
       bb.array()
-    }))
+    }) ++ sampleChain)
+    def sampleChain: Array[Byte] = samples match {
+      case None => Array.emptyByteArray
+      case Some((n, base, delta)) =>
+        val stsz = box("stsz", {
+          val bb = java.nio.ByteBuffer.allocate(12 + 4 * n)
+          bb.putInt(0).putInt(0).putInt(n) // version/flags, size=0 (per-sample), count
+          (0 until n).foreach(i => bb.putInt(base + (i % 7) * 17))
+          bb.array()
+        })
+        val stts = box("stts", {
+          val n1 = n / 2
+          val bb = java.nio.ByteBuffer.allocate(8 + 16)
+          bb.putInt(0).putInt(2) // version/flags, entry_count
+          bb.putInt(n1).putInt(delta).putInt(n - n1).putInt(2 * delta)
+          bb.array()
+        })
+        box("mdia", box("minf", box("stbl", stsz ++ stts)))
+    }
     val traks = (1 to nTracks).map { i =>
       if (i == 1) tkhd(i, width, height)
       else box("trak", box("tkhd", {

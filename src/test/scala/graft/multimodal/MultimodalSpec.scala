@@ -336,6 +336,35 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).isEmpty)
   }
 
+  test("VideoCodec walks stsz/stts sample tables into stream statistics") {
+    // n=10, base=50, delta=100: sizes 50+(i%7)*17 → one full cycle (21*17)
+    // plus 0+1+2 of the next; stts = 5×100 + 5×200
+    val withSamples = VideoCodec.encodeMp4(600, 6000, 2, 640, 480,
+      samples = Some((10, 50, 100)))
+    val m = VideoCodec.decodeMp4(withSamples).get
+    assert(m.nSamples == 10L)
+    assert(m.sampleBytes == 10L * 50 + 17L * (21 + 3))
+    assert(m.maxSampleSize == 50L + 6 * 17)
+    assert(m.mediaTicks == 5L * 100 + 5L * 200)
+    assert((m.timescale, m.nTracks, m.width) == ((600L, 2, 640))) // meta intact
+    // metadata-only containers keep zero stats and still decode
+    val bare = VideoCodec.decodeMp4(VideoCodec.encodeMp4(600, 6000, 1, 320, 240)).get
+    assert((bare.nSamples, bare.sampleBytes, bare.maxSampleSize, bare.mediaTicks) ==
+      ((0L, 0L, 0L, 0L)))
+    // a truncated container is malformed, not a crash
+    val cut = java.util.Arrays.copyOfRange(withSamples, 0, withSamples.length - 8)
+    assert(VideoCodec.decodeMp4(cut).isEmpty)
+    // stbl truncation specifically: shrink the declared stts entry count's
+    // box end by rewriting the payload tail to fewer bytes than 2 entries
+    // (flip the last stts byte off the end via a doctored copy)
+    val doctored = withSamples.clone()
+    // find the stts tag and corrupt its declared entry_count to 2^31
+    val idx = doctored.sliding(4).indexWhere(w => new String(w.toArray, "US-ASCII") == "stts")
+    val cntOff = idx + 8 // version/flags(4) then entry_count
+    doctored(cntOff) = 0x7f.toByte
+    assert(VideoCodec.decodeMp4(doctored).isEmpty)
+  }
+
   test("fromBinaryFiles wraps binaryFile-shaped input into the asset schema") {
     val raw = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row("/data/a.png", Array[Byte](1, 2)))),
