@@ -294,8 +294,18 @@ object Similarity {
     withinCellPairs(centroidRanked(df, idCol, vecCol, nlist, maxRank = 1), idCol, threshold)
 
   /** Within-cell exact-scored pairs over an assignment from
-    * [[centroidRanked]]/[[centroidRankedWith]]. */
-  private def withinCellPairs(assigned: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    * [[centroidRanked]]/[[centroidRankedWith]].
+    *
+    * The assignment is materialized ONCE (`localCheckpoint`) before the
+    * self-join: both join sides reference it, and left lazy the whole
+    * scan → broadcast-codebook score → rank subtree would be planned and
+    * executed twice (same reasoning as Contrastive's pairs and
+    * Components' edges). At production scale this is the difference
+    * between one and two passes over the full embedding corpus. */
+  private def withinCellPairs(assigned0: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val assigned = assigned0
+      .select(col(idCol), col("vec"), col("norm"), col("cell"))
+      .localCheckpoint()
     val a = assigned.select(
       col(idCol).as("id_a"), col("vec").as("va"), col("norm").as("na"), col("cell"))
     val b = assigned.select(
