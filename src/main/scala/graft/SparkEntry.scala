@@ -136,13 +136,18 @@ object SparkEntry {
     }),
 
     // ---- year-over-year growth: the lag-window reporting classic, in
-    // exact cents so the deltas hash-match ----
+    // exact cents so the deltas hash-match. The lag is gated on the
+    // previous row being yr−1 exactly: with a gap year in the series the
+    // ungated form would label a delta against the last PRESENT year as
+    // "year over year" ----
     "orders_yoy" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("yr"))
       Tables.orders(s, dir)
         .groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
-        .withColumn("prev_cents", lag(col("revenue_cents"), 1).over(w))
+        .withColumn("prev_cents",
+          when(col("yr") - lag(col("yr"), 1).over(w) === 1,
+            lag(col("revenue_cents"), 1).over(w)))
         .withColumn("delta_cents", col("revenue_cents") - col("prev_cents"))
     }),
 
@@ -2716,12 +2721,15 @@ object SparkEntry {
     "orders_yoy" ->
       """WITH y AS (SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS yr,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
-        |  FROM orders GROUP BY 1, 2)
-        |SELECT o_orderpriority, yr, revenue_cents,
-        |  lag(revenue_cents) OVER (PARTITION BY o_orderpriority ORDER BY yr) AS prev_cents,
-        |  revenue_cents - lag(revenue_cents) OVER (
-        |    PARTITION BY o_orderpriority ORDER BY yr) AS delta_cents
-        |FROM y""".stripMargin,
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (SELECT o_orderpriority, yr, revenue_cents,
+        |  CASE WHEN yr - lag(yr) OVER (PARTITION BY o_orderpriority ORDER BY yr) = 1
+        |       THEN lag(revenue_cents) OVER (PARTITION BY o_orderpriority ORDER BY yr)
+        |  END AS prev_cents
+        |  FROM y)
+        |SELECT o_orderpriority, yr, revenue_cents, prev_cents,
+        |  revenue_cents - prev_cents AS delta_cents
+        |FROM l""".stripMargin,
 
     "revenue_by_nation" ->
       """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders

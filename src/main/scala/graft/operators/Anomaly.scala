@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   * baseline), and days with fewer than `minN` prior observations are
   * never flagged (a 1-day baseline flags everything).
   *
-  * Overflow bound: |n·x| ≤ window·max(x), so the left square needs
-  * (window·max(x))² < 2⁶³ — max(x) up to ~3·10⁸ at window 10. Daily
-  * event counts at 100 TB sit far below that; the require documents it.
+  * Overflow bound: |n·x − Σx| ≤ 2·window·max|x| on the left and
+  * k²·(n·Σx² − (Σx)²) ≤ k²·window²·max(x)² on the right, so the binding
+  * constraint is window²·max(4, k²)·max(x)² < 2⁶³ — e.g. |x| ≲ 10⁸ at
+  * window 10, k 3. Daily event counts at 100 TB sit far below that, and
+  * the operator ENFORCES it: every observation passes through a codegen
+  * `assert_true(|x| ≤ bound)`, so an out-of-range series fails loudly
+  * instead of silently wrapping the comparison.
   *
   * Scale shape: same as [[Resample.ewmaPartials]] — each observation
   * EXPLODES into the `window` future anchor dates it baselines (narrow),
@@ -37,8 +41,18 @@ object Anomaly {
     require(k >= 1, "k must be >= 1 sigma")
     require(minN >= 2 && minN <= window, s"need 2 <= minN <= window, got $minN")
     val kcols = keys.map(col)
+    // distributed require: the largest |x| the integer inequality can
+    // carry without wrapping (see scaladoc bound). assert_true returns
+    // NULL on success; the isNull filter keeps the check from being
+    // pruned as an unused column.
+    val bound = math.sqrt(Long.MaxValue.toDouble /
+      (window.toDouble * window * math.max(4L, k.toLong * k))).toLong - 1
+    val checked = df
+      .withColumn("__chk", assert_true(abs(col(valueCol)) <= lit(bound),
+        lit(s"$valueCol exceeds the overflow-safe magnitude $bound for window=$window, k=$k")))
+      .filter(col("__chk").isNull).drop("__chk")
     // contribution of an observation to the NEXT `window` days' baselines
-    val contrib = df
+    val contrib = checked
       .select(kcols :+ col(dateCol) :+ col(valueCol).as("__x") :+
         explode(sequence(lit(1), lit(window))).as("__diff"): _*)
       .select(kcols :+ date_add(col(dateCol), col("__diff")).as("__anchor") :+

@@ -46,13 +46,19 @@ object Contrastive {
       .union(p.select(col("id_b").as("anchor_id"), col("id_a").as("pos_id")))
     // driver-collected literal pool (poolSize rows) — like the IVF codebook,
     // a subplan here would re-execute the scan+sort+limit per reference and
-    // its broadcast would not satisfy the bounded-BNLJ plan lint
-    val poolIds = corpus
+    // its broadcast would not satisfy the bounded-BNLJ plan lint. The pool
+    // keeps the id column's NATIVE type: a cast to long would silently
+    // null out (corrupt) non-numeric string ids.
+    val idField = corpus.schema(idCol)
+    val poolRows = corpus
       .withColumn("__h", PortableHash.hash60(col(idCol)))
       .orderBy("__h").limit(poolSize)
-      .select(col(idCol).cast("long"))
-      .as[Long].collect().toSeq
-    val pool = poolIds.toDF("neg_id")
+      .select(col(idCol).as("neg_id"))
+      .collect().toSeq
+    val pool = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(poolRows).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("neg_id", idField.dataType, idField.nullable))))
     val cand = anchors.join(broadcast(pool), col("neg_id") =!= col("anchor_id"))
       .join(anchors.select(col("anchor_id"), col("pos_id").as("neg_id")),
         Seq("anchor_id", "neg_id"), "left_anti")

@@ -55,7 +55,13 @@ object Privacy {
     require(groupCols.nonEmpty, "need at least one group column")
     require(eps > 0.0, "epsilon must be positive")
     val b = 1.0 / eps
-    val keyStr = concat_ws("", groupCols.map(col): _*)
+    // \u0001-delimited key with an explicit \u0002 null marker: the
+    // delimiter keeps ('ab','c') and ('a','bc') distinct, and the
+    // marker keeps (NULL,'a') and ('a',NULL) distinct — concat_ws
+    // SKIPS nulls, so without it those groups would draw IDENTICAL
+    // Laplace noise (correlated noise weakens the DP release)
+    val keyStr = concat_ws("",
+      groupCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
     val h = greatest(PortableHash.hash60(keyStr, seed), lit(1L))
     val u = h / lit(1152921504606846976.0) - lit(0.5) // h / 2^60 − ½
     val noiseE6 = floor(lit(-1.0) * lit(b) * signum(u)

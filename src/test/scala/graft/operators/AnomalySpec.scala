@@ -55,4 +55,20 @@ class AnomalySpec extends SparkSpec {
       Anomaly.rollingZScoreFlags(series, Seq("k"), "day", "x", 10, 3, minN = 1)
     }
   }
+
+  test("values past the overflow-safe magnitude fail loudly, in-range pass") {
+    // bound for window=10, k=3 is ~1e8; 2e8 would wrap the RHS product
+    val hot = (1 to 11).map(i => ("a", d(i), if (i == 11) 200_000_000L else 10L))
+      .toDF("k", "day", "x")
+    val e = intercept[Exception] {
+      Anomaly.rollingZScoreFlags(hot, Seq("k"), "day", "x", 10, 3, 5).collect()
+    }
+    assert(e.getMessage.contains("overflow-safe") ||
+      Option(e.getCause).exists(_.getMessage.contains("overflow-safe")))
+    // the same series within bounds still runs
+    val ok = (1 to 11).map(i => ("a", d(i), if (i == 11) 90_000_000L else 10L))
+      .toDF("k", "day", "x")
+    assert(Anomaly.rollingZScoreFlags(ok, Seq("k"), "day", "x", 10, 3, 5)
+      .collect().nonEmpty)
+  }
 }

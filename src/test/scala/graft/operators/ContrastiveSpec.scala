@@ -45,4 +45,15 @@ class ContrastiveSpec extends SparkSpec {
       .select("neg_id").as[Long].collect().toSet
     assert(out.size >= 2)
   }
+
+  test("string ids survive the pool intact (no silent numeric cast)") {
+    val sCorpus = (1 to 20).map(i => (s"doc-$i", Seq(i.toFloat, 1.0f)))
+      .toDF("doc_id", "embedding")
+    val sPairs = Seq(("doc-1", "doc-2"), ("doc-3", "doc-4")).toDF("id_a", "id_b")
+    val out = Contrastive.triplets(sPairs, sCorpus, "doc_id", poolSize = 5)
+      .as[(String, String, String)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (a, p, n) =>
+      n != null && n.startsWith("doc-") && n != a && n != p })
+  }
 }

@@ -68,4 +68,15 @@ class PrivacySpec extends SparkSpec {
     val n01 = totalAbsNoise(0.1)
     assert(n01 > 9L * n1 && n01 < 11L * n1)
   }
+
+  test("dpNoisyCounts: null-skewed group keys draw independent noise") {
+    // concat_ws SKIPS nulls, so (NULL,'x') and ('x',NULL) would collide
+    // into one seed without the explicit null marker → identical noise
+    val df = Seq[(Option[String], Option[String])](
+      (None, Some("x")), (Some("x"), None)).toDF("a", "b")
+    val noises = Privacy.dpNoisyCounts(df, Seq("a", "b"), eps = 1.0, seed = 17)
+      .select(col("noisy_n_e6") - col("n") * lit(1000000L))
+      .as[Long].collect()
+    assert(noises.length == 2 && noises.distinct.length == 2)
+  }
 }
