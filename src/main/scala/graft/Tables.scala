@@ -105,7 +105,19 @@ object Tables {
     if (tsIsNanos(spark, path))
       spark.read.schema(eventsRawSchema).parquet(path)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else spark.read.parquet(path)
+    else {
+      // a timezone-naive (micros) file reads as TIMESTAMP_NTZ; normalize
+      // to TimestampType so downstream sees ONE ts flavor regardless of
+      // which file generation produced the data. Session TZ is pinned to
+      // UTC, so the naive→instant cast is the identity interpretation the
+      // nanos path (epoch-micros) already uses.
+      val df = spark.read.parquet(path)
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+        case _ => df
+      }
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
