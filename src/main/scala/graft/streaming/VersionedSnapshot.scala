@@ -47,6 +47,9 @@ object VersionedSnapshot {
   private val PointerName = "_CURRENT"
   private val MarkerName = "_LAST_BATCH" // leading _: invisible to parquet reads
   private val ManifestName = "_MANIFEST" // data-file inventory, written pre-commit
+  /** Session conf that makes [[publish]] throw after staging the version
+    * dir but before the pointer commit — the crash-consistency seam. */
+  private[graft] val CrashBeforeCommitConf = "graft.snapshot.crashBeforePointerCommit"
 
   private def fmtVersion(v: Long): String =
     "v" + "%05d".formatLocal(java.util.Locale.ROOT, v)
@@ -151,6 +154,13 @@ object VersionedSnapshot {
     val out = f.create(new Path(target, MarkerName), true)
     try out.write(marker.getBytes("UTF-8")) finally out.close()
     writeManifest(f, target)
+    // crash-consistency fault-injection point (spec-only): everything
+    // above is uncommitted staging, everything below is the commit. A
+    // crash HERE must leave readers on the previous version and be healed
+    // by the next publish — VersionedSnapshotSpec drives this seam.
+    if (spark.conf.getOption(CrashBeforeCommitConf).contains("true"))
+      throw new IllegalStateException(
+        s"injected crash before pointer commit ($CrashBeforeCommitConf)")
     // the commit: single-file atomic rename-with-overwrite onto _CURRENT
     val tmpPtr = new Path(base, PointerName + ".tmp")
     val ptrOut = f.create(tmpPtr, true)

@@ -86,6 +86,39 @@ class VersionedSnapshotSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 10L)))
   }
 
+  test("crash between staging and pointer commit: readers hold, re-publish heals") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-vsnap6").resolve("snap").toString
+    val v0 = VersionedSnapshot.publish(Seq((1L, 10L)).toDF("k", "v"), base, "m0")
+    def rows() = VersionedSnapshot.read(spark, base).get
+      .selectExpr("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows() == Set((1L, 10L)))
+    // a stale tmp pointer from an even earlier crash must not confuse commit
+    Files.writeString(java.nio.file.Paths.get(base, "_CURRENT.tmp"), "999")
+    // inject the crash AFTER the new version dir (data+marker+manifest) is
+    // fully staged, BEFORE the pointer rename
+    spark.conf.set(VersionedSnapshot.CrashBeforeCommitConf, "true")
+    try intercept[IllegalStateException] {
+      VersionedSnapshot.publish(Seq((1L, 20L)).toDF("k", "v"), base, "m1")
+    } finally spark.conf.unset(VersionedSnapshot.CrashBeforeCommitConf)
+    // the staged-but-uncommitted dir exists in full…
+    val staged = new java.io.File(base).listFiles().map(_.getName)
+      .filter(n => n.startsWith("v") && n != f"v$v0%05d")
+    assert(staged.nonEmpty, "crash must land after the version dir is staged")
+    // …yet every read-side API still serves the committed version
+    assert(VersionedSnapshot.currentVersion(spark, base).contains(v0))
+    assert(rows() == Set((1L, 10L)))
+    assert(VersionedSnapshot.validateCurrent(spark, base))
+    // re-publish heals: clears the orphan, commits past its number
+    val v2 = VersionedSnapshot.publish(Seq((1L, 30L)).toDF("k", "v"), base, "m2")
+    assert(v2 > v0)
+    assert(rows() == Set((1L, 30L)))
+    assert(VersionedSnapshot.validateCurrent(spark, base))
+    val leftover = new java.io.File(base).listFiles().map(_.getName)
+      .filter(n => staged.contains(n))
+    assert(leftover.isEmpty, "healed publish must clear the uncommitted dir")
+  }
+
   test("manifest validates a committed version and catches partial copies") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-vsnap5").resolve("snap").toString
