@@ -67,4 +67,39 @@ class BpeSpec extends SparkSpec {
       StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
     assert(Bpe.wordFrequencies(df, "doc_id", "text", 5).size == 5)
   }
+
+  test("golden fixture: merges and encodings match an independent reference") {
+    // src/test/resources/bpe-golden.txt was produced by an INDEPENDENT
+    // re-implementation of the published algorithm (Sennrich et al. 2016,
+    // learn + greedy apply) sharing only this operator's documented tie
+    // rule (count DESC, pair lexicographic ASC; the original subword-nmt
+    // script breaks count ties by LARGEST pair — a pinned, documented
+    // difference). Corpus lines and parameters (topV=16, 20 merges) are
+    // embedded in the fixture header.
+    val src = scala.io.Source.fromFile("src/test/resources/bpe-golden.txt")
+    val lines = try src.getLines().toSeq finally src.close()
+    val corpus = lines.filter(_.startsWith("#   ")).map(_.drop(4))
+    assert(corpus.size == 3)
+    val goldenMerges = lines.filterNot(_.startsWith("#")).takeWhile(_.contains("\t"))
+      .map { l => val Array(a, b) = l.split("\t", 2); (a, b) }
+    val goldenEncodings = lines.filterNot(_.startsWith("#")).dropWhile(_.contains("\t"))
+      .map(_.split(" \\| ").map(_.split(" ").toSeq).toSeq)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        corpus.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }, 2),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val merges = Bpe.train(Bpe.wordFrequencies(df, "doc_id", "text", topV = 16), 20)
+    assert(merges == goldenMerges, "merge table must match the reference token-for-token")
+    val ranks = merges.zipWithIndex.toMap
+    corpus.zip(goldenEncodings).foreach { case (line, expected) =>
+      val got = line.split(" ").toSeq.map(w => Bpe.encodeWord(w, ranks).toSeq)
+      assert(got == expected, s"encoding of '$line' must match the reference")
+    }
+    // and the distributed encoder agrees with the golden stream of tokens
+    val encoded = Bpe.encodeDocs(df, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    corpus.zipWithIndex.foreach { case (_, i) =>
+      assert(encoded(i.toLong) == goldenEncodings(i).flatten)
+    }
+  }
 }
