@@ -1003,6 +1003,45 @@ object SparkEntry {
         .select("event_type", "n", "sum_v", "min_v", "max_v")
     }),
 
+    // ---- row-level MERGE INTO against the versioned snapshot: the
+    // Delta-shape upsert/delete contract (WHEN MATCHED UPDATE / DELETE,
+    // WHEN NOT MATCHED INSERT) as copy-on-write pointer-committed
+    // publishes; docs with doc_id%10≠0 seed the table, docs with
+    // doc_id%5=0 arrive as the source batch (overlap = updates/deletes,
+    // remainder = inserts) ----
+    "snapshot_merge_upsert" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = java.nio.file.Files.createTempDirectory("graft-merge")
+        .toString + "/snapshot"
+      graft.streaming.VersionedSnapshot.mergeInto(
+        base, docs.filter(col("doc_id") % 10 =!= 0), Seq("doc_id"),
+        graft.streaming.VersionedSnapshot.UpdateMatched,
+        insertUnmatched = true, marker = "seed")
+      graft.streaming.VersionedSnapshot.mergeInto(
+        base,
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000),
+        Seq("doc_id"), graft.streaming.VersionedSnapshot.UpdateMatched,
+        insertUnmatched = true, marker = "upsert")
+      graft.streaming.VersionedSnapshot.read(s, base).get
+        .select("doc_id", "n_chars", "lang")
+    }),
+    "snapshot_merge_delete" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = java.nio.file.Files.createTempDirectory("graft-merge")
+        .toString + "/snapshot"
+      graft.streaming.VersionedSnapshot.mergeInto(
+        base, docs.filter(col("doc_id") % 10 =!= 0), Seq("doc_id"),
+        graft.streaming.VersionedSnapshot.UpdateMatched,
+        insertUnmatched = true, marker = "seed")
+      graft.streaming.VersionedSnapshot.mergeInto(
+        base, docs.filter(col("doc_id") % 5 === 0), Seq("doc_id"),
+        graft.streaming.VersionedSnapshot.DeleteMatched,
+        insertUnmatched = false, marker = "delete")
+      graft.streaming.VersionedSnapshot.read(s, base).get
+        .select("doc_id", "n_chars", "lang")
+    }),
+
     // ---- streaming dedup, batch-replay form: the state-store discipline
     // of dedupStream (keep the FIRST row per key, drop every later
     // arrival) replayed over 3 deterministic micro-batches — each batch
@@ -4147,6 +4186,20 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
         |       min(v) AS min_v, max(v) AS max_v
         |FROM q GROUP BY 1""".stripMargin,
+
+    // MERGE semantics in closed form: the upsert keeps non-overlapping
+    // target rows and takes every source row (updated n_chars); the
+    // delete keeps exactly the target rows no source row matches
+    "snapshot_merge_upsert" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+        |WHERE doc_id % 10 <> 0 AND doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT doc_id, n_chars + 1000 AS n_chars, lang FROM documents
+        |WHERE doc_id % 5 = 0""".stripMargin,
+
+    "snapshot_merge_delete" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+        |WHERE doc_id % 10 <> 0 AND doc_id % 5 <> 0""".stripMargin,
 
     "incr_snapshot_replay" ->
       """WITH q AS (

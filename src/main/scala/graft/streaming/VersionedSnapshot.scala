@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{assert_true, col, count, lit}
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 
 /** Reader-atomic, multi-version snapshot publication — the transactional
@@ -171,6 +171,73 @@ object VersionedSnapshot {
     existing.filter { case (v, _) => v <= current && v <= next - retain }
       .foreach { case (_, p) => f.delete(p, true) }
     next
+  }
+
+  /** MERGE INTO's matched-row clause: overwrite with the source row, or
+    * delete the target row. */
+  sealed trait MatchedAction
+  case object UpdateMatched extends MatchedAction
+  case object DeleteMatched extends MatchedAction
+
+  /** Row-level MERGE INTO against the versioned snapshot — the
+    * Delta/Iceberg `MERGE INTO target USING source ON keys WHEN MATCHED
+    * THEN UPDATE/DELETE WHEN NOT MATCHED THEN INSERT` contract,
+    * re-expressed as a declarative plan + one copy-on-write [[publish]]:
+    *
+    *   - matched + [[UpdateMatched]]: target row replaced by source row
+    *   - matched + [[DeleteMatched]]: target row dropped
+    *   - unmatched source rows inserted iff `insertUnmatched`
+    *   - untouched target rows carried over verbatim
+    *
+    * Shapes: one shuffle equi-join on `keys` (anti/semi — never a row
+    * explosion) plus a union; the commit inherits publish's atomic
+    * pointer flip, so readers see the pre- or post-merge snapshot, never
+    * a torn mix, and a crash mid-merge is healed by the next publish.
+    *
+    * Source rows must be UNIQUE per key (the standard MERGE
+    * precondition — a multi-match makes the update nondeterministic);
+    * enforced distributed-side with a codegen assert, same discipline as
+    * Anomaly's overflow require.
+    *
+    * Scale note: this rewrites the FULL snapshot per merge —
+    * copy-on-write at directory granularity. A production table format
+    * (Delta/Iceberg) narrows the rewrite to touched FILES via min/max
+    * pruning on the join keys; this call site is exactly where that
+    * engine slots in (COVERAGE.md "table-format MERGE" seam), and the
+    * semantics above are what it must preserve. */
+  def mergeInto(baseDir: String, source: DataFrame, keys: Seq[String],
+      whenMatched: MatchedAction, insertUnmatched: Boolean,
+      marker: String, retain: Int = 2): Long = {
+    require(keys.nonEmpty, "MERGE needs at least one key column")
+    val spark = source.sparkSession
+    // reject multi-match sources: count per key via one window over the
+    // (typically batch-sized) source, fail the job on any duplicate
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val uniqueSource = source
+      .withColumn("__kn", count(lit(1)).over(w))
+      .withColumn("__chk", assert_true(col("__kn") === 1,
+        lit(s"MERGE source has multiple rows for a (${keys.mkString(",")}) key")))
+      .filter(col("__chk").isNull).drop("__kn", "__chk")
+    val result = read(spark, baseDir) match {
+      case None =>
+        if (insertUnmatched) uniqueSource else uniqueSource.limit(0)
+      case Some(target) =>
+        require(target.columns.sorted.sameElements(source.columns.sorted),
+          s"MERGE source schema ${source.columns.mkString(",")} must match " +
+            s"snapshot schema ${target.columns.mkString(",")}")
+        val src = uniqueSource.select(target.columns.map(col).toIndexedSeq: _*)
+        val untouched = target.join(src.select(keys.map(col): _*), keys, "left_anti")
+        val fromSource = (whenMatched, insertUnmatched) match {
+          case (UpdateMatched, true) => src // upsert: every source row lands
+          case (UpdateMatched, false) =>
+            src.join(target.select(keys.map(col): _*), keys, "left_semi")
+          case (DeleteMatched, true) =>
+            src.join(target.select(keys.map(col): _*), keys, "left_anti")
+          case (DeleteMatched, false) => src.limit(0)
+        }
+        untouched.unionByName(fromSource)
+    }
+    publish(result, baseDir, marker, retain)
   }
 
   /** One merge cycle against the versioned snapshot — the

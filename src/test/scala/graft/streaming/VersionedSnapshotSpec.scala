@@ -119,6 +119,48 @@ class VersionedSnapshotSpec extends SparkSpec {
     assert(leftover.isEmpty, "healed publish must clear the uncommitted dir")
   }
 
+  test("mergeInto covers the four MERGE clauses and rejects multi-match sources") {
+    import spark.implicits._
+    import VersionedSnapshot.{DeleteMatched, UpdateMatched}
+    val base = Files.createTempDirectory("graft-merge").resolve("snap").toString
+    def rows() = VersionedSnapshot.read(spark, base).get
+      .as[(Long, String)].collect().toSet
+    // seed (empty table + insert)
+    VersionedSnapshot.mergeInto(base,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed")
+    assert(rows() == Set((1L, "a"), (2L, "b")))
+    // update without insert: unmatched source rows are dropped
+    VersionedSnapshot.mergeInto(base,
+      Seq((2L, "B"), (9L, "x")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "upd")
+    assert(rows() == Set((1L, "a"), (2L, "B")))
+    // delete + insert: matched keys go, new keys land
+    VersionedSnapshot.mergeInto(base,
+      Seq((1L, "-"), (7L, "g")).toDF("k", "v"), Seq("k"),
+      DeleteMatched, insertUnmatched = true, marker = "del+ins")
+    assert(rows() == Set((2L, "B"), (7L, "g")))
+    // each merge is a pointer-committed version: three merges, retain=2
+    val vs = new java.io.File(base).listFiles().map(_.getName).filter(_.startsWith("v"))
+    assert(vs.length == 2)
+    // a source with two rows for one key must fail the job, not pick one
+    val err = intercept[Exception] {
+      VersionedSnapshot.mergeInto(base,
+        Seq((2L, "x"), (2L, "y")).toDF("k", "v"), Seq("k"),
+        UpdateMatched, insertUnmatched = true, marker = "dup")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("multiple rows")))
+    assert(rows() == Set((2L, "B"), (7L, "g"))) // failed merge left no trace
+    // schema drift is rejected up front
+    intercept[IllegalArgumentException] {
+      VersionedSnapshot.mergeInto(base,
+        Seq((2L, "x", 1L)).toDF("k", "v", "extra"), Seq("k"),
+        UpdateMatched, insertUnmatched = true, marker = "drift")
+    }
+  }
+
   test("manifest validates a committed version and catches partial copies") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-vsnap5").resolve("snap").toString
