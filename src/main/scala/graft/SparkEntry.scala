@@ -50,6 +50,8 @@ object SparkEntry {
   private val PqM = 8           // pq_topk: subspaces (64-dim → 8×8)
   private val PqK = 16          // pq_topk: codewords per subspace
   private val RecallPanel = 64  // *_recall: hash-sampled query-panel size
+  private val AlignK = 4        // margin_align_pairs: neighborhood size
+  private val AlignMinMarginE6 = 1000000L // margin ≥ 1.0: above neighborhood avg
   // doc_blocklist: stand-in unsafe-term list (real deployments load 10²-10⁵
   // terms; these exist in the synthetic vocabulary so the filter bites)
   private val BlockTerms = Seq("slow", "stream", "batch")
@@ -620,6 +622,20 @@ object SparkEntry {
       recallVsPanel(s, dir,
         graft.operators.Quantize.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
           nlist = IvfNlist, nprobe = IvfNprobe, m = PqM, codebookK = PqK, k = AnnK))),
+
+    // ---- margin-based pair mining (bitext-mining shape): halves of the
+    // embedding corpus act as the two "languages"; candidates here are
+    // the gated exact tier (the oracle), the 100 TB path feeds the same
+    // margin layer with lshTopK per direction ----
+    "margin_align_pairs" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.filter(col("vec_id") % 2 === 0)
+      val b = emb.filter(col("vec_id") % 2 =!= 0)
+      Similarity.marginAlign(
+        Similarity.bruteForceTopK(a, b, "vec_id", "embedding", k = AlignK),
+        Similarity.bruteForceTopK(b, a, "vec_id", "embedding", k = AlignK),
+        minMarginE6 = AlignMinMarginE6)
+    }),
 
     "ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -1977,6 +1993,51 @@ object SparkEntry {
        |                    AND er.neighbor_id = ap.neighbor_id
        |GROUP BY er.query_id""".stripMargin
 
+  /** Mutual-best ratio-margin mining over the two corpus halves; every
+    * step integer-exact after the rounded-6 cosine → e6 quantization, the
+    * margin one truncating int64 division (both engines truncate toward
+    * zero). */
+  private def marginAlignOracle: String =
+    s"""WITH flat AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+       |ad AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dp
+       |  FROM flat a JOIN flat b ON a.i = b.i
+       |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 <> 0
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT id_a, id_b,
+       |         CAST(floor(round(dp / (na.nrm * nb.nrm), 6) * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
+       |  FROM ad JOIN norms na ON id_a = na.vec_id
+       |          JOIN norms nb ON id_b = nb.vec_id
+       |  WHERE na.nrm * nb.nrm <> 0),
+       |abk AS (SELECT * FROM (
+       |    SELECT sc.*, row_number() OVER (PARTITION BY id_a
+       |      ORDER BY sim_e6 DESC, id_b ASC) AS rn FROM sc) WHERE rn <= $AlignK),
+       |bak AS (SELECT * FROM (
+       |    SELECT sc.*, row_number() OVER (PARTITION BY id_b
+       |      ORDER BY sim_e6 DESC, id_a ASC) AS rn FROM sc) WHERE rn <= $AlignK),
+       |ah AS (SELECT id_a, CAST(sum(sim_e6) AS BIGINT) AS sum_a_e6,
+       |              CAST(count(sim_e6) AS BIGINT) AS n_a FROM abk GROUP BY 1),
+       |bh AS (SELECT id_b, CAST(sum(sim_e6) AS BIGINT) AS sum_b_e6,
+       |              CAST(count(sim_e6) AS BIGINT) AS n_b FROM bak GROUP BY 1),
+       |best AS (
+       |  SELECT ab.id_a, ab.id_b, ab.sim_e6 FROM abk ab
+       |  JOIN bak ba ON ab.id_a = ba.id_a AND ab.id_b = ba.id_b
+       |  WHERE ab.rn = 1 AND ba.rn = 1),
+       |m AS (
+       |  SELECT best.id_a, best.id_b, best.sim_e6,
+       |         CAST((2 * best.sim_e6 * n_a * n_b * 1000000)
+       |              // (sum_a_e6 * n_b + sum_b_e6 * n_a) AS BIGINT) AS margin_e6
+       |  FROM best JOIN ah ON best.id_a = ah.id_a
+       |            JOIN bh ON best.id_b = bh.id_b
+       |  WHERE sum_a_e6 * n_b + sum_b_e6 * n_a > 0)
+       |SELECT id_a, id_b, sim_e6, margin_e6 FROM m
+       |WHERE margin_e6 >= $AlignMinMarginE6""".stripMargin
+
   private def nearDupLshOracle: String =
     s"""WITH ${lshBucketCtes(NdBits, NdTables)}
        |cand AS (
@@ -2576,6 +2637,7 @@ object SparkEntry {
     "simhash_pairs" -> simHashOracle,
     "lsh_topk" -> lshTopKOracle,
     "ann_recall" -> panelRecallOracle(lshTopKOracle),
+    "margin_align_pairs" -> marginAlignOracle,
     "near_dup_lsh" -> nearDupLshOracle,
     "ivf_topk" -> ivfTopKOracle,
     "substring_dup_spans" -> substringSpansOracle,

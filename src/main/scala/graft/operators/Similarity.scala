@@ -374,6 +374,63 @@ object Similarity {
       .select("id_a", "id_b", "cosine_sim")
   }
 
+  /** Margin-based pair mining between two embedding sets — the
+    * ratio-margin criterion of margin-based bitext mining (Artetxe &
+    * Schwenk, "Margin-based Parallel Corpus Mining with Multilingual
+    * Sentence Embeddings", ACL 2019): a candidate pair (x, y) scores
+    *
+    *   margin(x, y) = cos(x, y) / ((avgTopK_x + avgTopK_y) / 2)
+    *
+    * which discounts "hub" vectors that are close to everything, and the
+    * mined set is the MUTUAL best matches above a margin threshold.
+    *
+    * This layer takes the two directed top-k score relations as INPUT
+    * ((query_id, neighbor_id, cosine_sim, rank) — [[bruteForceTopK]] for
+    * the gated oracle tier, [[lshTopK]] per side for the 100 TB path), so
+    * candidate generation and margin scoring stay independently chosen.
+    * Arithmetic is integer-exact end-to-end for oracle portability: the
+    * rounded-6 similarities become e6 integers, per-query neighborhood
+    * sums stay integral, and the margin is one truncating int64 division
+    *
+    *   margin_e6 = (2 · sim_e6 · nA · nB · 1e6) div (sumA_e6·nB + sumB_e6·nA)
+    *
+    * guarded to positive denominators (a non-positive average
+    * neighborhood similarity means the pair sits in a degenerate region —
+    * mined bitext needs positive neighborhoods by construction).
+    *
+    * Scale shape: two groupBy aggregations (one per direction, output =
+    * |queries| rows) + equi-joins on the pair ids; never an all-pairs
+    * term beyond what the candidate tier already produced.
+    *
+    * Output: (id_a, id_b, sim_e6, margin_e6), mutual-best pairs with
+    * margin_e6 ≥ minMarginE6, ordered ties broken by ids downstream. */
+  def marginAlign(ab: DataFrame, ba: DataFrame, minMarginE6: Long): DataFrame = {
+    def quantize(df: DataFrame, qa: String, qb: String): DataFrame =
+      df.select(col("query_id").as(qa), col("neighbor_id").as(qb),
+        floor(col("cosine_sim") * lit(1e6) + lit(0.5)).cast("long").as("sim_e6"),
+        col("rank"))
+    val abq = quantize(ab, "id_a", "id_b")
+    val baq = quantize(ba, "id_b", "id_a")
+    // count(sim_e6), not count(*): zero-norm vectors carry NULL sims,
+    // which the sum already skips — the average must skip them too
+    val aHood = abq.groupBy("id_a")
+      .agg(sum("sim_e6").as("sum_a_e6"), count(col("sim_e6")).as("n_a"))
+    val bHood = baq.groupBy("id_b")
+      .agg(sum("sim_e6").as("sum_b_e6"), count(col("sim_e6")).as("n_b"))
+    val abBest = abq.filter(col("rank") === 1).select("id_a", "id_b", "sim_e6")
+    val baBest = baq.filter(col("rank") === 1).select(
+      col("id_a").as("__ba_a"), col("id_b").as("__ba_b"))
+    abBest
+      .join(baBest, col("id_a") === col("__ba_a") && col("id_b") === col("__ba_b"))
+      .join(aHood, "id_a").join(bHood, "id_b")
+      .withColumn("__den", col("sum_a_e6") * col("n_b") + col("sum_b_e6") * col("n_a"))
+      .filter(col("__den") > 0)
+      .withColumn("margin_e6",
+        expr("2 * sim_e6 * n_a * n_b * 1000000 div __den"))
+      .filter(col("margin_e6") >= minMarginE6)
+      .select("id_a", "id_b", "sim_e6", "margin_e6")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs with
     * cosine ≥ threshold. Exact form is an all-pairs comparison (size-gated)
     * — the oracle for [[lshNearDupPairs]], the scale path. */

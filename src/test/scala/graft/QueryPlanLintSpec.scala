@@ -38,7 +38,10 @@ class QueryPlanLintSpec extends SparkSpec {
     "cosine_topk",          // brute-force oracle tier: gated all-pairs
     "near_dup_embeddings",  // exact cosine pairs: gated all-pairs
     "dedup_embed_keepers",  // consumes the exact-pair tier above
-    "hybrid_rrf_topk")      // dense leg = the same gated bruteForceTopK tier
+    "hybrid_rrf_topk",      // dense leg = the same gated bruteForceTopK tier
+    "margin_align_pairs")   // candidate legs = gated bruteForceTopK per
+                            // direction (oracle tier; scale path feeds the
+                            // same margin layer with lshTopK candidates)
   // NOTE r6: ann_recall left this list — its exact leg is now the
   // panel × corpus form (Similarity.panelExactTopK), whose BNLJ broadcast
   // side is a provably-bounded global limit (see boundedBroadcastSide).

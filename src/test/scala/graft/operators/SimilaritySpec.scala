@@ -189,6 +189,29 @@ class SimilaritySpec extends SparkSpec {
     assert(!sem.exists { case (a, b) => a == 9L || b == 9L }) // singleton clean
   }
 
+  test("marginAlign mines the mutual best pair and discounts hubs") {
+    val a = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val b = Seq(
+      (11L, Seq(1.0f, 0.01f)), (12L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val mined = Similarity.marginAlign(
+      Similarity.bruteForceTopK(a, b, "vec_id", "embedding", k = 2),
+      Similarity.bruteForceTopK(b, a, "vec_id", "embedding", k = 2),
+      minMarginE6 = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // a1↔b1 is the only MUTUAL best (a2's best is also b1, but b1's best
+    // is a1), and its margin clears 1.0 because each side's neighborhood
+    // average is dragged down by the orthogonal-ish second vector
+    assert(mined.map(t => (t._1, t._2)).toSeq == Seq((1L, 11L)))
+    assert(mined.head._3 > 1000000L)
+    // raising the bar above the pair's margin empties the result
+    val strict = Similarity.marginAlign(
+      Similarity.bruteForceTopK(a, b, "vec_id", "embedding", k = 2),
+      Similarity.bruteForceTopK(b, a, "vec_id", "embedding", k = 2),
+      minMarginE6 = 10000000L)
+    assert(strict.count() == 0)
+  }
+
   test("zero-norm vectors match nothing instead of failing the job") {
     import org.apache.spark.sql.functions.col
     val withZero = Seq(
