@@ -52,6 +52,7 @@ object SparkEntry {
   private val RecallPanel = 64  // *_recall: hash-sampled query-panel size
   private val AlignK = 4        // margin_align_pairs: neighborhood size
   private val AlignMinMarginE6 = 1000000L // margin ≥ 1.0: above neighborhood avg
+  private val BtIterations = 3  // bt_event_scores: MM fixpoint iterations
   // doc_blocklist: stand-in unsafe-term list (real deployments load 10²-10⁵
   // terms; these exist in the synthetic vocabulary so the filter bites)
   private val BlockTerms = Seq("slow", "stream", "batch")
@@ -1725,6 +1726,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // ---- Bradley-Terry preference scores over the transition graph:
+    // "moved from A to B" read as B preferred over A; the MM fixpoint
+    // runs in e6-quantized exact integers, so the DuckDB oracle unrolls
+    // the identical iterations and hash-matches the fitted model ----
+    "bt_event_scores" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val tr = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      graft.operators.Preference.bradleyTerry(
+        tr, "next_type", "event_type", weightCol = None, iterations = BtIterations)
+    }),
+
     // ---- ordered funnel (view → click → purchase): earliest timestamp
     // per step per user in ONE conditional-min pass (no per-step joins,
     // no sequence window), then strict-order comparisons. One shuffle on
@@ -1992,6 +2008,53 @@ object SparkEntry {
        |FROM er LEFT JOIN ap ON er.query_id = ap.query_id
        |                    AND er.neighbor_id = ap.neighbor_id
        |GROUP BY er.query_id""".stripMargin
+
+  /** Bradley-Terry MM fixpoint unrolled as SQL CTEs — one (t, r, it)
+    * block per iteration, every state e6-quantized int64 exactly as
+    * [[graft.operators.Preference.bradleyTerry]] computes it (truncating
+    * division both engines, ≥1 clamps in the same places), so the fitted
+    * model hash-matches. */
+  private def btScoresOracle(iterations: Int): String = {
+    val head =
+      s"""WITH tr AS (
+         |  SELECT event_type,
+         |         lead(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY ts ASC, event_id ASC) AS next_type
+         |  FROM events),
+         |w AS (SELECT next_type AS wi, event_type AS li, CAST(count(*) AS BIGINT) AS n
+         |      FROM tr WHERE next_type IS NOT NULL AND next_type <> event_type
+         |      GROUP BY 1, 2),
+         |items AS (SELECT DISTINCT wi AS item FROM w
+         |          UNION SELECT DISTINCT li AS item FROM w),
+         |ni AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM items),
+         |winsum AS (SELECT wi AS item, CAST(sum(n) AS BIGINT) AS wn FROM w GROUP BY 1),
+         |und AS (SELECT i, j, CAST(sum(n) AS BIGINT) AS nij FROM (
+         |          SELECT wi AS i, li AS j, n FROM w
+         |          UNION ALL SELECT li AS i, wi AS j, n FROM w)
+         |        GROUP BY i, j),
+         |it0 AS (SELECT item, CAST(1000000 AS BIGINT) AS s_e6 FROM items)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s"""t$k AS (SELECT u.i AS item,
+         |  CAST(sum(u.nij * 1000000000000 // greatest(si.s_e6 + sj.s_e6, 1)) AS BIGINT) AS den
+         |  FROM und u JOIN it${k - 1} si ON u.i = si.item
+         |             JOIN it${k - 1} sj ON u.j = sj.item
+         |  GROUP BY u.i),
+         |r$k AS (SELECT i.item,
+         |  CASE WHEN COALESCE(t.den, 0) <= 0 THEN 0
+         |       ELSE COALESCE(ws.wn, 0) * 1000000000000 // t.den END AS s_raw
+         |  FROM items i LEFT JOIN t$k t ON i.item = t.item
+         |               LEFT JOIN winsum ws ON i.item = ws.item),
+         |it$k AS (SELECT r.item,
+         |  greatest(r.s_raw * (SELECT n_items FROM ni) * 1000000
+         |           // greatest((SELECT CAST(sum(s_raw) AS BIGINT) FROM r$k), 1), 1) AS s_e6
+         |  FROM r$k r)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$iters
+       |SELECT i.item, COALESCE(ws.wn, 0) AS wins, s.s_e6 AS score_e6
+       |FROM items i JOIN it$iterations s ON i.item = s.item
+       |             LEFT JOIN winsum ws ON i.item = ws.item""".stripMargin
+  }
 
   /** Mutual-best ratio-margin mining over the two corpus halves; every
     * step integer-exact after the rounded-6 cosine → e6 quantization, the
@@ -2638,6 +2701,7 @@ object SparkEntry {
     "lsh_topk" -> lshTopKOracle,
     "ann_recall" -> panelRecallOracle(lshTopKOracle),
     "margin_align_pairs" -> marginAlignOracle,
+    "bt_event_scores" -> btScoresOracle(BtIterations),
     "near_dup_lsh" -> nearDupLshOracle,
     "ivf_topk" -> ivfTopKOracle,
     "substring_dup_spans" -> substringSpansOracle,

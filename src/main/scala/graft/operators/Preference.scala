@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Pairwise-preference aggregation: Bradley-Terry strength scores from a
+  * relation of (winner, loser[, weight]) comparisons — the
+  * preference-data-curation primitive (rank items, grade annotator pairs,
+  * filter inconsistent preference sets) behind RLHF/DPO data pipelines.
+  *
+  * Model: P(i beats j) = s_i / (s_i + s_j); scores fitted with the MM
+  * update of Hunter, "MM algorithms for generalized Bradley-Terry
+  * models", Annals of Statistics 2004:
+  *
+  *     s_i ← W_i / Σ_{j≠i} n_ij / (s_i + s_j)
+  *
+  * (W_i = total wins of i, n_ij = comparisons between i and j), followed
+  * by a sum normalization. Every iteration state here is e6-QUANTIZED and
+  * every update is exact int64 arithmetic (truncating division), so the
+  * fitted scores are bit-identical on any engine — the DuckDB oracle
+  * unrolls the same iterations as SQL CTEs and hash-matches.
+  *
+  * Scale split (same contract as [[Bpe]] / the IVF codebook): the
+  * comparison log is aggregated DISTRIBUTED (one map-side-combined
+  * groupBy — the only pass over the data); the iteration loop runs on the
+  * driver over the aggregated item×item matrix, which is model-sized
+  * (`maxItems` gate, default 10k items ⇒ at most 10⁸ pair cells, in
+  * practice sparse). Output is one row per item — model-sized.
+  */
+object Preference {
+
+  private val E6 = 1000000L
+  private val E12 = 1000000000000L
+
+  /** (item, wins, score_e6) for every item appearing in `wins`; scores
+    * normalized to mean 1.0 (sum = |items|·1e6). `weightCol = None`
+    * counts each row as one comparison. */
+  def bradleyTerry(wins: DataFrame, winnerCol: String, loserCol: String,
+      weightCol: Option[String] = None, iterations: Int = 3,
+      maxItems: Int = 10000): DataFrame = {
+    require(iterations >= 1, "need at least one MM iteration")
+    val spark = wins.sparkSession
+    val wcol = weightCol.map(col).getOrElse(lit(1L)).cast("long")
+    // the ONLY distributed pass: directed pair counts, map-side combined.
+    // Self-comparisons and null items carry no preference information and
+    // would inflate W_i without a balancing pair term — dropped up front.
+    val directed = wins
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
+        col(winnerCol) =!= col(loserCol))
+      .groupBy(col(winnerCol).cast("string").as("w"), col(loserCol).cast("string").as("l"))
+      .agg(sum(wcol).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val items = directed.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    require(items.length <= maxItems,
+      s"bradleyTerry item set ${items.length} exceeds $maxItems — scores are " +
+        "driver-side model state; raise maxItems only for genuinely bounded domains")
+    val totalWins = directed.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // undirected comparison counts n_ij + n_ji
+    val und = directed.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
+    def nij(i: String, j: String): Long =
+      und.getOrElse((i, j), 0L) + und.getOrElse((j, i), 0L)
+    val neighbors: Map[String, Seq[String]] =
+      items.map(i => i -> items.filter(j => j != i && nij(i, j) > 0).toSeq).toMap
+
+    var s: Map[String, Long] = items.map(_ -> E6).toMap
+    for (_ <- 1 to iterations) {
+      // MM step in exact integers: each pair term and the per-item
+      // denominator are e6-scaled int64s (floor at every division —
+      // DuckDB's `//` and Spark's `div` truncate identically)
+      val raw = items.map { i =>
+        val den = neighbors(i).map { j =>
+          nij(i, j) * E12 / math.max(s(i) + s(j), 1L)
+        }.sum
+        i -> (if (den <= 0) 0L else totalWins.getOrElse(i, 0L) * E12 / den)
+      }.toMap
+      val total = math.max(raw.values.sum, 1L)
+      s = items.map { i =>
+        // normalize to sum = |items|·1e6, then clamp to ≥1 so a zero-win
+        // item can never zero a later pair denominator
+        i -> math.max(raw(i) * items.length * E6 / total, 1L)
+      }.toMap
+    }
+    val rows = items.map(i => Row(i, totalWins.getOrElse(i, 0L), s(i)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava,
+      StructType(Seq(
+        StructField("item", StringType, nullable = false),
+        StructField("wins", LongType, nullable = false),
+        StructField("score_e6", LongType, nullable = false))))
+  }
+}
