@@ -70,7 +70,8 @@ object Bench {
     // Running them after every lightweight query removes the interference
     // without changing what is measured.
     val gatedExactTier = Set(
-      "cosine_topk", "near_dup_embeddings", "dedup_embed_keepers", "hybrid_rrf_topk")
+      "cosine_topk", "near_dup_embeddings", "dedup_embed_keepers", "hybrid_rrf_topk",
+      "margin_align_pairs") // two bruteForceTopK legs — same gated tier
     val ordered = SparkEntry.queries.toSeq.filter(e => keep(e._1))
       .sortBy { case (name, _) => (gatedExactTier.contains(name), name) }
     val results = ordered.map { case (name, fn) =>

@@ -53,6 +53,23 @@ object SparkEntry {
   private val AlignK = 4        // margin_align_pairs: neighborhood size
   private val AlignMinMarginE6 = 1000000L // margin ≥ 1.0: above neighborhood avg
   private val BtIterations = 3  // bt_event_scores: MM fixpoint iterations
+
+  /** Scratch base for the snapshot-backed queries, recursively deleted at
+    * JVM exit: each invocation publishes full-table parquet versions, and
+    * repeated bench/verify runs must not accumulate them in /tmp. (The
+    * result DataFrame reads these files lazily, so deletion can only
+    * happen at exit, not eagerly.) */
+  private def tempSnapshotBase(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+    dir.toString + "/snapshot"
+  }
   // doc_blocklist: stand-in unsafe-term list (real deployments load 10²-10⁵
   // terms; these exist in the synthetic vocabulary so the filter bites)
   private val BlockTerms = Seq("slow", "stream", "batch")
@@ -983,8 +1000,7 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
         .select(col("event_type"), col("event_id"),
           round(col("value") * 100).cast("long").as("v"))
-      val snapDir = java.nio.file.Files.createTempDirectory("graft-snap")
-        .toString + "/snapshot"
+      val snapDir = tempSnapshotBase("graft-snap")
       val tag = "replay-lineage"
       for (b <- 0L until 3L) {
         val batch = ev.filter(pmod(col("event_id"), lit(3)) === b)
@@ -1006,8 +1022,7 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
         .select(col("event_type"), col("event_id"),
           round(col("value") * 100).cast("long").as("v"))
-      val base = java.nio.file.Files.createTempDirectory("graft-vsnap")
-        .toString + "/snapshot"
+      val base = tempSnapshotBase("graft-vsnap")
       val tag = "versioned-lineage"
       for (b <- 0L until 3L) {
         val batch = ev.filter(pmod(col("event_id"), lit(3)) === b)
@@ -1028,8 +1043,7 @@ object SparkEntry {
     // remainder = inserts) ----
     "snapshot_merge_upsert" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
-      val base = java.nio.file.Files.createTempDirectory("graft-merge")
-        .toString + "/snapshot"
+      val base = tempSnapshotBase("graft-merge")
       graft.streaming.VersionedSnapshot.mergeInto(
         base, docs.filter(col("doc_id") % 10 =!= 0), Seq("doc_id"),
         graft.streaming.VersionedSnapshot.UpdateMatched,
@@ -1045,8 +1059,7 @@ object SparkEntry {
     }),
     "snapshot_merge_delete" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
-      val base = java.nio.file.Files.createTempDirectory("graft-merge")
-        .toString + "/snapshot"
+      val base = tempSnapshotBase("graft-merge")
       graft.streaming.VersionedSnapshot.mergeInto(
         base, docs.filter(col("doc_id") % 10 =!= 0), Seq("doc_id"),
         graft.streaming.VersionedSnapshot.UpdateMatched,

@@ -135,30 +135,36 @@ object VideoCodec {
     * counts running past the box — is malformed input (None). Aggregation
     * is streaming: entry counts size nothing, so a hostile 2³²-entry
     * declaration cannot allocate. */
-  private def parseSampleTables(b: Array[Byte], start: Long, end: Long): Option[(Long, Long, Long, Long)] = {
-    def descend(tp: String, s: Long, e: Long): Option[(Long, Long)] = {
+  private[multimodal] def parseSampleTables(b: Array[Byte], start: Long, end: Long): Option[(Long, Long, Long, Long)] = {
+    // Right(Some(bounds)) = found, Right(None) = genuinely absent,
+    // Left(()) = a child box is malformed — absent means zero stats,
+    // malformed must poison the whole decode (a corrupt container must
+    // not masquerade as a clean metadata-only one)
+    def descend(tp: String, s: Long, e: Long): Either[Unit, Option[(Long, Long)]] = {
       var off = s
       while (off + 8 <= e) {
         boxBounds(b, off, e, allowToEnd = false) match {
-          case None => return None
+          case None => return Left(())
           case Some((payload, boxEnd)) =>
-            if (tag(b, off.toInt + 4) == tp) return Some((payload, boxEnd))
+            if (tag(b, off.toInt + 4) == tp) return Right(Some((payload, boxEnd)))
             off = boxEnd
         }
       }
-      None
+      Right(None)
     }
-    val stbl = for {
+    val stbl: Either[Unit, Option[(Long, Long)]] = for {
       mdia <- descend("mdia", start, end)
-      minf <- descend("minf", mdia._1, mdia._2)
-      stbl <- descend("stbl", minf._1, minf._2)
+      minf <- mdia.map(m => descend("minf", m._1, m._2)).getOrElse(Right(None))
+      stbl <- minf.map(m => descend("stbl", m._1, m._2)).getOrElse(Right(None))
     } yield stbl
     stbl match {
-      case None => Some((0L, 0L, 0L, 0L)) // no sample table: fine
-      case Some((s, e)) =>
+      case Left(()) => None // malformed child box anywhere on the path
+      case Right(None) => Some((0L, 0L, 0L, 0L)) // no sample table: fine
+      case Right(Some((s, e))) =>
         var n = 0L; var bytes = 0L; var mx = 0L; var ticks = 0L
         descend("stsz", s, e) match {
-          case Some((p, pe)) =>
+          case Left(()) => return None
+          case Right(Some((p, pe))) =>
             if (p + 12 > pe) return None
             val uniform = u32(b, p.toInt + 4)
             val count = u32(b, p.toInt + 8)
@@ -172,14 +178,20 @@ object VideoCodec {
               var i = 0L
               while (i < count) {
                 val sz = u32(b, (p + 12 + i * 4).toInt)
-                bytes += sz; if (sz > mx) mx = sz
+                // same guard for PER-SAMPLE sizes, and wrap detection on
+                // the running sum (terms are non-negative, so a negative
+                // accumulator means the declared sizes overflowed int64)
+                if (sz > Int.MaxValue) return None
+                bytes += sz; if (bytes < 0) return None
+                if (sz > mx) mx = sz
                 i += 1
               }
             }
-          case None => ()
+          case Right(None) => ()
         }
         descend("stts", s, e) match {
-          case Some((p, pe)) =>
+          case Left(()) => return None
+          case Right(Some((p, pe))) =>
             if (p + 8 > pe) return None
             val entries = u32(b, p.toInt + 4)
             if (p + 8 + entries * 8 > pe) return None
@@ -189,9 +201,10 @@ object VideoCodec {
               val delta = u32(b, (p + 8 + i * 8 + 4).toInt)
               if (cnt > Int.MaxValue || delta > Int.MaxValue) return None
               ticks += cnt * delta
+              if (ticks < 0) return None // running-sum wrap
               i += 1
             }
-          case None => ()
+          case Right(None) => ()
         }
         Some((n, bytes, mx, ticks))
     }

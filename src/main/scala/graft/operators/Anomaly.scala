@@ -48,7 +48,8 @@ object Anomaly {
     val bound = math.sqrt(Long.MaxValue.toDouble /
       (window.toDouble * window * math.max(4L, k.toLong * k))).toLong - 1
     val checked = df
-      .withColumn("__chk", assert_true(abs(col(valueCol)) <= lit(bound),
+      .withColumn("__chk", assert_true(
+        col(valueCol).isNull || abs(col(valueCol)) <= lit(bound),
         lit(s"$valueCol exceeds the overflow-safe magnitude $bound for window=$window, k=$k")))
       .filter(col("__chk").isNull).drop("__chk")
     // contribution of an observation to the NEXT `window` days' baselines

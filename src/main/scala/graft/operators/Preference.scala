@@ -42,19 +42,29 @@ object Preference {
     require(iterations >= 1, "need at least one MM iteration")
     val spark = wins.sparkSession
     val wcol = weightCol.map(col).getOrElse(lit(1L)).cast("long")
-    // the ONLY distributed pass: directed pair counts, map-side combined.
+    // the ONLY distributed passes: pair counts, map-side combined.
     // Self-comparisons and null items carry no preference information and
     // would inflate W_i without a balancing pair term — dropped up front.
-    val directed = wins
+    val cleaned = wins
       .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
         col(winnerCol) =!= col(loserCol))
+    // gate the DOMAIN before any collect: a mistakenly unbounded item set
+    // (user ids instead of candidate labels) must fail with this message,
+    // not an OOM from hauling |items|² pair rows to the driver
+    val nItems = cleaned
+      .select(col(winnerCol).cast("string").as("i"))
+      .union(cleaned.select(col(loserCol).cast("string").as("i")))
+      .agg(countDistinct(col("i"))).head().getLong(0)
+    require(nItems <= maxItems,
+      s"bradleyTerry item set $nItems exceeds $maxItems — scores are " +
+        "driver-side model state; raise maxItems only for genuinely bounded domains")
+    val directed = cleaned
       .groupBy(col(winnerCol).cast("string").as("w"), col(loserCol).cast("string").as("l"))
       .agg(sum(wcol).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(directed.forall(_._3 >= 0),
+      "bradleyTerry weights must be non-negative — a negative comparison count has no model meaning")
     val items = directed.flatMap(t => Seq(t._1, t._2)).distinct.sorted
-    require(items.length <= maxItems,
-      s"bradleyTerry item set ${items.length} exceeds $maxItems — scores are " +
-        "driver-side model state; raise maxItems only for genuinely bounded domains")
     val totalWins = directed.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     // undirected comparison counts n_ij + n_ji
     val und = directed.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
@@ -66,19 +76,26 @@ object Preference {
     var s: Map[String, Long] = items.map(_ -> E6).toMap
     for (_ <- 1 to iterations) {
       // MM step in exact integers: each pair term and the per-item
-      // denominator are e6-scaled int64s (floor at every division —
-      // DuckDB's `//` and Spark's `div` truncate identically)
+      // denominator are e6-scaled values with floor at every division —
+      // DuckDB's `//` and Spark's `div` truncate identically. The driver
+      // loop runs the products in BigInt: for every non-overflowing
+      // domain (including every oracle-checked one) the results are
+      // bit-identical to int64, and for a pathological skewed domain the
+      // scores stay CORRECT here instead of silently wrapping — the
+      // overflow-safety discipline of Anomaly's guard, applied to model
+      // state the cluster never touches (≤ maxItems values).
       val raw = items.map { i =>
         val den = neighbors(i).map { j =>
-          nij(i, j) * E12 / math.max(s(i) + s(j), 1L)
+          BigInt(nij(i, j)) * E12 / BigInt(math.max(s(i) + s(j), 1L))
         }.sum
-        i -> (if (den <= 0) 0L else totalWins.getOrElse(i, 0L) * E12 / den)
+        i -> (if (den <= 0) BigInt(0) else BigInt(totalWins.getOrElse(i, 0L)) * E12 / den)
       }.toMap
-      val total = math.max(raw.values.sum, 1L)
+      val total = raw.values.sum.max(BigInt(1))
       s = items.map { i =>
         // normalize to sum = |items|·1e6, then clamp to ≥1 so a zero-win
-        // item can never zero a later pair denominator
-        i -> math.max(raw(i) * items.length * E6 / total, 1L)
+        // item can never zero a later pair denominator; the normalized
+        // value is ≤ |items|·1e6 ≤ 1e10, comfortably int64
+        i -> (raw(i) * items.length * E6 / total).toLong.max(1L)
       }.toMap
     }
     val rows = items.map(i => Row(i, totalWins.getOrElse(i, 0L), s(i)))

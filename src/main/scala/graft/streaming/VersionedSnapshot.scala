@@ -222,9 +222,14 @@ object VersionedSnapshot {
       case None =>
         if (insertUnmatched) uniqueSource else uniqueSource.limit(0)
       case Some(target) =>
-        require(target.columns.sorted.sameElements(source.columns.sorted),
-          s"MERGE source schema ${source.columns.mkString(",")} must match " +
-            s"snapshot schema ${target.columns.mkString(",")}")
+        // name AND type parity: a name-only check would let a type-drifted
+        // source slide into a confusing analysis error (or a silently
+        // widened column) deep inside publish
+        def sig(df: DataFrame): Seq[(String, String)] =
+          df.schema.fields.map(f => (f.name, f.dataType.catalogString)).toSeq.sortBy(_._1)
+        require(sig(target) == sig(source),
+          s"MERGE source schema ${sig(source).mkString(",")} must match " +
+            s"snapshot schema ${sig(target).mkString(",")}")
         val src = uniqueSource.select(target.columns.map(col).toIndexedSeq: _*)
         val untouched = target.join(src.select(keys.map(col): _*), keys, "left_anti")
         val fromSource = (whenMatched, insertUnmatched) match {

@@ -363,6 +363,39 @@ class MultimodalSpec extends SparkSpec {
     val cntOff = idx + 8 // version/flags(4) then entry_count
     doctored(cntOff) = 0x7f.toByte
     assert(VideoCodec.decodeMp4(doctored).isEmpty)
+    // hostile tick products: three stts entries of (2^31-1, 2^31-1) —
+    // each term passes the per-field guard (and two terms still fit
+    // int64), but the third wraps the running sum; must be malformed,
+    // not garbage mediaTicks
+    def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tp.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val stts3 = box("stts", {
+      val bb = java.nio.ByteBuffer.allocate(8 + 24)
+      bb.putInt(0).putInt(3)
+      (1 to 3).foreach(_ => bb.putInt(Int.MaxValue).putInt(Int.MaxValue))
+      bb.array()
+    })
+    val chain = box("mdia", box("minf", box("stbl", stts3)))
+    assert(VideoCodec.parseSampleTables(chain, 0, chain.length.toLong).isEmpty)
+    // two entries (just under the int64 line) still parse
+    val stts2 = box("stts", {
+      val bb = java.nio.ByteBuffer.allocate(8 + 16)
+      bb.putInt(0).putInt(2)
+      (1 to 2).foreach(_ => bb.putInt(Int.MaxValue).putInt(Int.MaxValue))
+      bb.array()
+    })
+    val chain2 = box("mdia", box("minf", box("stbl", stts2)))
+    assert(VideoCodec.parseSampleTables(chain2, 0, chain2.length.toLong)
+      .exists(_._4 == 2L * Int.MaxValue * Int.MaxValue))
+    // a malformed mdia CHILD (declared size overrunning its parent) must
+    // poison the decode, not read as a clean zero-stat container
+    val badChild = withSamples.clone()
+    val mdiaIdx = badChild.sliding(4).indexWhere(w => new String(w.toArray, "US-ASCII") == "mdia")
+    badChild(mdiaIdx - 4) = 0x7f.toByte // size field precedes the tag
+    assert(VideoCodec.decodeMp4(badChild).isEmpty)
   }
 
   test("fromBinaryFiles wraps binaryFile-shaped input into the asset schema") {

@@ -70,5 +70,11 @@ class AnomalySpec extends SparkSpec {
       .toDF("k", "day", "x")
     assert(Anomaly.rollingZScoreFlags(ok, Seq("k"), "day", "x", 10, 3, 5)
       .collect().nonEmpty)
+    // a NULL observation passes the guard (absent, not oversized)
+    val withNull = (1 to 11)
+      .map(i => ("a", d(i), if (i == 6) null else java.lang.Long.valueOf(10L + i % 2)))
+      .toDF("k", "day", "x")
+    assert(Anomaly.rollingZScoreFlags(withNull, Seq("k"), "day", "x", 10, 3, 5)
+      .collect().nonEmpty)
   }
 }

@@ -153,11 +153,16 @@ class VersionedSnapshotSpec extends SparkSpec {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(err).exists(_.contains("multiple rows")))
     assert(rows() == Set((2L, "B"), (7L, "g"))) // failed merge left no trace
-    // schema drift is rejected up front
+    // schema drift is rejected up front — extra columns AND type drift
     intercept[IllegalArgumentException] {
       VersionedSnapshot.mergeInto(base,
         Seq((2L, "x", 1L)).toDF("k", "v", "extra"), Seq("k"),
         UpdateMatched, insertUnmatched = true, marker = "drift")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedSnapshot.mergeInto(base,
+        Seq((2L, 99L)).toDF("k", "v"), Seq("k"), // v long, snapshot has string
+        UpdateMatched, insertUnmatched = true, marker = "typedrift")
     }
   }
 
