@@ -744,6 +744,33 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_hits", "avg_nll_e6", "avg_logratio_e6")
     }),
 
+    // ---- curation observability: survivor counts through the model
+    // funnel (blocklist → LM perplexity ceiling → DSIR floor) in ONE
+    // conditional-aggregation pass over the same three model joins
+    // corpus_curate3 makes — the per-stage report a curation team reads
+    // before trusting the thresholds; model-sized (1-row) output ----
+    "curation_funnel" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bl = graft.operators.TermStats.blocklistHits(docs, "doc_id", "text", BlockTerms)
+      val ref = docs.filter(
+        graft.functions.PortableHash.hash60(col("doc_id")) % 2 === 0)
+      val lm = graft.operators.LangModel.bigramNll(ref, docs, "doc_id", "text")
+      val ds = graft.operators.Importance.dsirWeights(
+        docs.filter(col("lang") === "en"), docs, docs, "doc_id", "text", DsirBuckets)
+      val passBl = col("n_hits") <= C3MaxHits
+      val passLm = col("n_bigrams") > 0 && col("avg_nll_e6") <= C3MaxNll
+      val passDs = col("avg_logratio_e6") >= C3MinLr
+      docs.select(col("doc_id"))
+        .join(bl.select(col("doc_id"), col("n_hits")), Seq("doc_id"))
+        .join(lm.select(col("doc_id"), col("n_bigrams"), col("avg_nll_e6")), Seq("doc_id"))
+        .join(ds.select(col("doc_id"), col("avg_logratio_e6")), Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(passBl, 1)).as("n_after_blocklist"),
+          count(when(passBl && passLm, 1)).as("n_after_lm"),
+          count(when(passBl && passLm && passDs, 1)).as("n_after_dsir"))
+    }),
+
     // ---- contiguous global index without a single-task window: ordering
     // by the portable hash = deterministic epoch shuffle (reproducible
     // permutation, no stored shuffle file, no global sort on one node) ----
@@ -2595,6 +2622,28 @@ object SparkEntry {
        |  AND lm.n_bigrams > 0 AND lm.avg_nll_e6 <= $C3MaxNll
        |  AND ds.avg_logratio_e6 >= $C3MinLr""".stripMargin
 
+  /** Per-stage survivor counts through the same three composed stage
+    * oracles as [[curate3Oracle]] — conditional counts over one joined
+    * relation, mirroring the Spark single-pass aggregate. */
+  private def curationFunnelOracle: String =
+    s"""WITH bl AS (SELECT * FROM ($blocklistOracle)),
+       |lm AS (SELECT * FROM ($docLmScoreOracle)),
+       |ds AS (SELECT * FROM ($dsirWeightsOracle)),
+       |j AS (SELECT bl.n_hits, lm.n_bigrams, lm.avg_nll_e6, ds.avg_logratio_e6
+       |      FROM documents d
+       |      JOIN bl USING (doc_id) JOIN lm USING (doc_id) JOIN ds USING (doc_id))
+       |SELECT CAST(count(*) AS BIGINT) AS n_total,
+       |  CAST(count(CASE WHEN n_hits <= $C3MaxHits THEN 1 END) AS BIGINT)
+       |    AS n_after_blocklist,
+       |  CAST(count(CASE WHEN n_hits <= $C3MaxHits AND n_bigrams > 0
+       |                   AND avg_nll_e6 <= $C3MaxNll THEN 1 END) AS BIGINT)
+       |    AS n_after_lm,
+       |  CAST(count(CASE WHEN n_hits <= $C3MaxHits AND n_bigrams > 0
+       |                   AND avg_nll_e6 <= $C3MaxNll
+       |                   AND avg_logratio_e6 >= $C3MinLr THEN 1 END) AS BIGINT)
+       |    AS n_after_dsir
+       |FROM j""".stripMargin
+
   /** PQ/ADC: same hash-sampled codebook rule, same subspace split
     * ((i-1)//subDim), distances e6-quantized at the lookup-table boundary
     * so codes and ADC sums are integer-exact in both engines. */
@@ -2809,6 +2858,7 @@ object SparkEntry {
         |FROM agg""".stripMargin,
     "doc_blocklist" -> blocklistOracle,
     "corpus_curate3" -> curate3Oracle,
+    "curation_funnel" -> curationFunnelOracle,
     "doc_token_freq" ->
       """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
         |dc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
