@@ -53,6 +53,7 @@ object SparkEntry {
   private val AlignK = 4        // margin_align_pairs: neighborhood size
   private val AlignMinMarginE6 = 1000000L // margin ≥ 1.0: above neighborhood avg
   private val BtIterations = 3  // bt_event_scores: MM fixpoint iterations
+  private val BacktestFolds = 5 // backtest_folds: expanding-origin buckets
 
   /** Scratch base for the snapshot-backed queries, recursively deleted at
     * JVM exit: each invocation publishes full-table parquet versions, and
@@ -1800,6 +1801,44 @@ object SparkEntry {
             col("t_click") > col("t_view"), 1)).as("step_buy"))
     }),
 
+    // ---- last-touch attribution: for every purchase, the most recent
+    // PRECEDING non-purchase event of the same user (one running-state
+    // window pass — no self-join), rolled up per touch type; NULL bucket
+    // = purchases with no prior touch ----
+    "attribution_last_touch" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("last_touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy("last_touch")
+        .agg(count(lit(1)).as("n_purchases"))
+    }),
+
+    // ---- rolling-origin backtest folds (time-series CV): the event span
+    // cut into K equal day-buckets; fold k tests on bucket k and trains
+    // on everything earlier (expanding origin). Bounds are a 1-row
+    // broadcast; the cumulative train count windows over the K-row
+    // per-fold relation, never the data ----
+    "backtest_folds" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(to_date(col("ts")).as("d"))
+      val bounds = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      val parts = ev.crossJoin(broadcast(bounds))
+        .withColumn("part", expr(
+          s"CAST((datediff(d, d0) * $BacktestFolds) div (datediff(d1, d0) + 1) AS INT)"))
+        .groupBy("part").agg(count(lit(1)).as("n_test"))
+      val w = Window.orderBy("part")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      parts
+        .withColumn("n_train", coalesce(sum(col("n_test")).over(w), lit(0L)))
+        .filter(col("part") >= 1) // fold 0 has no training history
+        .select(col("part").as("fold"), col("n_train"), col("n_test"))
+    }),
+
     // ---- cohort retention matrix: first-seen day per user (the cohort),
     // then distinct-active (user, day) pairs bucketed by day offset — the
     // standard retention triangle. Two hash shuffles (per-user min, then
@@ -3366,6 +3405,31 @@ object SparkEntry {
         |       CAST(count(CASE WHEN t_buy > t_click AND t_click > t_view THEN 1 END)
         |            AS BIGINT) AS step_buy
         |FROM f""".stripMargin,
+
+    "attribution_last_touch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |  FROM events)
+        |SELECT last_touch, CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM e WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
+    "backtest_folds" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS d FROM events),
+        |b AS (SELECT min(d) AS d0, max(d) AS d1 FROM d),
+        |p AS (SELECT CAST((datediff('day', b.d0, d.d) * 5)
+        |                  // (datediff('day', b.d0, b.d1) + 1) AS INTEGER) AS part
+        |      FROM d, b),
+        |c AS (SELECT part, CAST(count(*) AS BIGINT) AS n_test FROM p GROUP BY 1),
+        |r AS (SELECT part AS fold,
+        |        CAST(COALESCE(sum(n_test) OVER (ORDER BY part
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_train,
+        |        n_test
+        |      FROM c)
+        |SELECT fold, n_train, n_test FROM r WHERE fold >= 1""".stripMargin,
 
     "user_retention" ->
       """WITH firstseen AS (
