@@ -1890,16 +1890,33 @@ object SparkEntry {
 
   /** Shared recall@k combinator for the `*_recall` harness rows: exact
     * panel ranking (panel × corpus — linear, ungated) left-joined against
-    * the approximate index's corpus-wide answer. Only panel queries
-    * survive the join, so the report is `RecallPanel` rows regardless of
-    * corpus size. */
+    * the approximate index's answer. Only panel queries survive the join,
+    * so the report is `RecallPanel` rows regardless of corpus size.
+    *
+    * The approximate leg is pre-filtered to the panel's query ids as a
+    * LITERAL predicate (the ids come from the same driver-side
+    * hash/orderBy/limit rule as the IVF codebook — bounded by
+    * construction): a literal filter on the window-partition column
+    * pushes BELOW the index's ranking windows into its query-side scan,
+    * so the index ranks 64 queries instead of the whole corpus. The
+    * join result is identical either way (only panel pairs are looked
+    * up); the oracle keeps the corpus-wide form and matches. At 100 TB
+    * this is the difference between "run the index for a panel" and
+    * "run the index for every vector" every time recall is measured. */
   private def recallVsPanel(s: SparkSession, dir: String, approx: DataFrame): DataFrame = {
+    val panelIds: Seq[Long] = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        graft.functions.PortableHash.hash60(col("vec_id")).as("__h"))
+      .orderBy(col("__h").asc, col("vec_id").asc).limit(RecallPanel)
+      .select(col("vec_id").cast("long"))
+      .collect().map(_.getLong(0)).toSeq
     val exact = Similarity.panelExactTopK(
         Tables.embeddings(s, dir), "vec_id", "embedding",
         panelSize = RecallPanel, k = AnnK)
       .select(col("query_id"), col("neighbor_id"))
     exact.join(
-        approx.select(col("query_id").as("__qa"), col("neighbor_id").as("__na")),
+        approx.filter(col("query_id").isin(panelIds: _*))
+          .select(col("query_id").as("__qa"), col("neighbor_id").as("__na")),
         col("query_id") === col("__qa") && col("neighbor_id") === col("__na"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_exact"), count(col("__qa")).as("n_hits"))
