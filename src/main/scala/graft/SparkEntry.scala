@@ -54,6 +54,7 @@ object SparkEntry {
   private val AlignMinMarginE6 = 1000000L // margin ≥ 1.0: above neighborhood avg
   private val BtIterations = 3  // bt_event_scores: MM fixpoint iterations
   private val BacktestFolds = 5 // backtest_folds: expanding-origin buckets
+  private val HllP = 8          // approx_distinct_portable: 2^8 registers
 
   /** Scratch base for the snapshot-backed queries, recursively deleted at
     * JVM exit: each invocation publishes full-table parquet versions, and
@@ -1801,6 +1802,22 @@ object SparkEntry {
             col("t_click") > col("t_view"), 1)).as("step_buy"))
     }),
 
+    // ---- engine-portable HLL distinct estimate vs the exact count: the
+    // sketch family's oracle-checkable member (registers from the
+    // portable hash, integer-exact register sums, one shared double
+    // constant in the final division — see Sketches scaladoc). Global
+    // over event_id so every SF sits in the raw-estimate regime ----
+    "approx_distinct_portable" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"))
+      val est = graft.operators.Sketches.portableDistinctEstimate(
+        ev, Seq.empty, "event_id", p = HllP)
+      val exact = ev.agg(countDistinct(col("event_id")).as("n_exact"))
+      est.crossJoin(exact)
+        .withColumn("err_e6",
+          floor(abs(col("n_est") - col("n_exact")).cast("double") * lit(1e6)
+            / col("n_exact") + lit(0.5)).cast("long"))
+    }),
+
     // ---- last-touch attribution: for every purchase, the most recent
     // PRECEDING non-purchase event of the same user (one running-state
     // window pass — no self-join), rolled up per touch type; NULL bucket
@@ -2104,6 +2121,37 @@ object SparkEntry {
        |FROM er LEFT JOIN ap ON er.query_id = ap.query_id
        |                    AND er.neighbor_id = ap.neighbor_id
        |GROUP BY er.query_id""".stripMargin
+
+  /** Portable-HLL estimate vs exact distinct — mirror of
+    * [[graft.operators.Sketches.portableDistinctEstimate]]: same bucket
+    * split of the 60-bit portable hash, same threshold-cascade rank, same
+    * integer shift register sum, and the SAME numeric literal
+    * α_m·m²·2⁵³ in the one double division. */
+  private def approxDistinctOracle: String = {
+    val p = HllP
+    val m = 1 << p
+    val tailBits = 60 - p
+    val c = graft.operators.Sketches.alphaConstant(m)
+    val rankCase = (tailBits - 1 to 0 by -1)
+      .map(k => s"WHEN r >= ${1L << k} THEN ${tailBits - k}")
+      .mkString(" ")
+    s"""WITH h AS (SELECT ${dh("CAST(event_id AS VARCHAR)")} AS h FROM events),
+       |b AS (SELECT h // ${1L << tailBits} AS bucket, h % ${1L << tailBits} AS r FROM h),
+       |rk AS (SELECT bucket, CASE $rankCase ELSE ${tailBits + 1} END AS rank FROM b),
+       |regs AS (SELECT bucket, max(rank) AS mr FROM rk GROUP BY bucket),
+       |s AS (SELECT
+       |        CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mr AS INTEGER)) AS BIGINT) AS s_present,
+       |        CAST(count(*) AS BIGINT) AS nb
+       |      FROM regs),
+       |est AS (SELECT CAST(floor($c /
+       |          (s_present + ($m - nb) * (CAST(1 AS BIGINT) << 53)) + 0.5) AS BIGINT) AS n_est
+       |        FROM s),
+       |ex AS (SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact FROM events)
+       |SELECT n_est, n_exact,
+       |  CAST(floor(CAST(abs(n_est - n_exact) AS DOUBLE) * 1000000.0 / n_exact + 0.5)
+       |       AS BIGINT) AS err_e6
+       |FROM est, ex""".stripMargin
+  }
 
   /** Bradley-Terry MM fixpoint unrolled as SQL CTEs — one (t, r, it)
     * block per iteration, every state e6-quantized int64 exactly as
@@ -2820,6 +2868,7 @@ object SparkEntry {
     "ann_recall" -> panelRecallOracle(lshTopKOracle),
     "margin_align_pairs" -> marginAlignOracle,
     "bt_event_scores" -> btScoresOracle(BtIterations),
+    "approx_distinct_portable" -> approxDistinctOracle,
     "near_dup_lsh" -> nearDupLshOracle,
     "ivf_topk" -> ivfTopKOracle,
     "substring_dup_spans" -> substringSpansOracle,

@@ -68,6 +68,76 @@ object Sketches {
         array(percentages.map(lit): _*),
         lit(accuracy)).as("quantiles_approx"))
 
+  /** Engine-portable HLL-shape distinct estimate — the oracle-checkable
+    * member of the sketch family. Registers derive from the md5-based
+    * [[graft.functions.PortableHash.hash60]]: the top `p` bits pick the
+    * bucket, the rank is the leading-zero count of the remaining
+    * `60 − p` bits + 1 (Flajolet et al. 2007), the per-bucket max is an
+    * order-independent aggregate, and the register sum
+    * Σ 2^(53 − M_j) is an exact int64 (every term a whole power of two,
+    * empty buckets contribute 2⁵³). The only floating-point step is the
+    * final `C / S` division against a shared literal constant
+    * C = α_m·m²·2⁵³, so the estimate is bit-identical on any engine —
+    * unlike the DataSketches tier above, which stays for production use
+    * (better constants, sparse modes, small/large-range corrections).
+    *
+    * No small-range (linear-counting) correction: callers must sit in
+    * the raw-estimate regime (cardinality ≳ 2.5·2^p), where the plain
+    * estimator's error is the standard 1.04/√m. The spec pins accuracy
+    * against exact counts; the registered query keeps all SFs above the
+    * threshold by sketching `event_id`.
+    *
+    * Output: keys + (n_est long). One shuffle on (keys, bucket) with
+    * map-side max partials, then one on keys — value strings never
+    * shuffle, register state is ≤ 2^p rows per key. */
+  def portableDistinctEstimate(df: DataFrame, keys: Seq[String], valueCol: String,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val tailBits = 60 - p
+    val h = graft.functions.PortableHash.hash60(col(valueCol))
+    val bucket = (h / lit(1L << tailBits)).cast("long")
+    val r = h % lit(1L << tailBits)
+    // rank = leading zeros of the tail + 1 = tailBits + 1 - bitLength(r);
+    // bitLength via a literal threshold cascade (codegen'd CASE chain —
+    // no libm, no loop)
+    // fold from k=0 up so the LARGEST threshold lands outermost in the
+    // final when-chain (the cascade must test 2^51 before 2^0)
+    val rank = (0 until tailBits).foldLeft(lit(tailBits + 1)) {
+      case (elseExpr, k) => when(r >= lit(1L << k), lit(tailBits - k)).otherwise(elseExpr)
+    }
+    val kcols = keys.map(col)
+    val registers = df
+      .select(kcols :+ bucket.as("__b") :+ rank.as("__rank"): _*)
+      .groupBy(kcols :+ col("__b"): _*)
+      .agg(max(col("__rank")).as("__m"))
+    val c = Sketches.alphaConstant(m)
+    registers
+      .groupBy(kcols: _*)
+      .agg(
+        // integer shift, not pow(): zero libm in the register sum
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - __m AS INT))")).as("__s_present"),
+        count(lit(1)).as("__n_buckets"))
+      .withColumn("__s",
+        col("__s_present") + (lit(m.toLong) - col("__n_buckets")) * lit(1L << 53))
+      .withColumn("n_est",
+        floor(lit(c) / col("__s") + lit(0.5)).cast("long"))
+      .drop("__s_present", "__n_buckets", "__s")
+  }
+
+  /** α_m·m²·2⁵³ — the numerator constant of the raw HLL estimate, shared
+    * verbatim with the SQL oracle so the single double division matches
+    * bit-for-bit. */
+  def alphaConstant(m: Int): Double = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    alpha * m * m * math.pow(2.0, 53)
+  }
+
   /** Count-Min sketch of `valueCol`'s frequency distribution — approximate
     * heavy-hitters over streams/shards too hot to count exactly. The
     * sketch aggregates distributed (Spark's codegen `count_min_sketch`

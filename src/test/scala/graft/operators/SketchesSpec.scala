@@ -78,6 +78,28 @@ class SketchesSpec extends SparkSpec {
       assert(relaid.estimateCount(v) == cms.estimateCount(v)))
   }
 
+  test("portable HLL: accuracy within ~3σ across cardinalities, layout-invariant") {
+    // raw-regime cardinalities for p=8 (m=256, σ = 1.04/√m ≈ 6.5%)
+    Seq(1000, 5000, 20000).foreach { n =>
+      val df = (1 to n).map(i => s"v$i").toDF("v")
+      val est = Sketches.portableDistinctEstimate(df, Seq.empty, "v", p = 8)
+        .select("n_est").as[Long].head()
+      val err = math.abs(est - n).toDouble / n
+      assert(err < 0.20, s"n=$n est=$est err=$err")
+      // registers are per-bucket maxima — layout cannot change the answer
+      val est2 = Sketches.portableDistinctEstimate(df.repartition(13), Seq.empty, "v", p = 8)
+        .select("n_est").as[Long].head()
+      assert(est2 == est)
+    }
+    // duplicates never move the estimate: registers see values, not rows
+    val dup = ((1 to 800) ++ (1 to 800)).map(i => s"v$i").toDF("v")
+    val base = (1 to 800).map(i => s"v$i").toDF("v")
+    def e(df: org.apache.spark.sql.DataFrame) =
+      Sketches.portableDistinctEstimate(df, Seq.empty, "v", p = 8)
+        .select("n_est").as[Long].head()
+    assert(e(dup) == e(base))
+  }
+
   test("sketch estimates stay within bounds across partition layouts") {
     def run(parts: Int) = Sketches.withEstimate(
         Sketches.distinctSketch(batch(1 to 1500).repartition(parts), Seq("g"), "v"))
