@@ -1101,6 +1101,28 @@ object SparkEntry {
         .select("doc_id", "n_chars", "lang")
     }),
 
+    // ---- streaming CDC-upsert replay: three deterministic micro-batches
+    // applied through the MERGE sink's per-batch cycle (last row per key
+    // within a batch by event_id, later batches overwrite earlier ones);
+    // the oracle ranks each user's events by (batch DESC, event_id DESC)
+    // — any deviation in merge or replay ordering breaks the hash ----
+    "cdc_merge_replay" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("v_cents"))
+      val base = tempSnapshotBase("graft-cdcm")
+      for (b <- 0L until 3L) {
+        val batch = ev.filter(pmod(col("event_id"), lit(3)) === b)
+        graft.streaming.VersionedSnapshot.mergeIntoBatch(
+          batch, Seq("user_id"), "event_id", base, "cdc-merge", b)
+        // same-lineage replay of batch 1 must be a no-op
+        if (b == 1L) graft.streaming.VersionedSnapshot.mergeIntoBatch(
+          batch, Seq("user_id"), "event_id", base, "cdc-merge", b)
+      }
+      graft.streaming.VersionedSnapshot.read(s, base).get
+        .select("user_id", "event_type", "v_cents")
+    }),
+
     // ---- streaming dedup, batch-replay form: the state-store discipline
     // of dedupStream (keep the FIRST row per key, drop every later
     // arrival) replayed over 3 deterministic micro-batches — each batch
@@ -4519,6 +4541,21 @@ object SparkEntry {
     "snapshot_merge_delete" ->
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE doc_id % 10 <> 0 AND doc_id % 5 <> 0""".stripMargin,
+
+    // upsert replay in closed form: the surviving row per user comes from
+    // the highest batch (event_id % 3) the user appears in, and within
+    // that batch the highest event_id (the sink's orderCol)
+    "cdc_merge_replay" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS v_cents,
+        |         event_id % 3 AS b
+        |  FROM events),
+        |r AS (SELECT user_id, event_type, v_cents,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY b DESC, event_id DESC) AS rn
+        |      FROM e)
+        |SELECT user_id, event_type, v_cents FROM r WHERE rn = 1""".stripMargin,
 
     "incr_snapshot_replay" ->
       """WITH q AS (

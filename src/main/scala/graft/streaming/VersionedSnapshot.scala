@@ -245,6 +245,51 @@ object VersionedSnapshot {
     publish(result, baseDir, marker, retain)
   }
 
+  /** One MERGE INTO cycle driven by a micro-batch — [[mergeInto]] with
+    * the same checkpoint-lineage replay skip as [[mergeBatch]]: a
+    * restarted stream re-delivering an already-applied batch id leaves
+    * the snapshot untouched (the marker records (tag, batchId), and the
+    * pointer flip made it atomic), so the sink is effectively-once. The
+    * batch is first reduced to ONE row per key — last writer by
+    * `orderCol` wins, the standard CDC convention — because a micro-batch
+    * can legally carry several updates for one key while MERGE requires
+    * unique source keys. */
+  private[graft] def mergeIntoBatch(batch: DataFrame, keys: Seq[String],
+      orderCol: String, baseDir: String, checkpointTag: String,
+      batchId: Long, whenMatched: MatchedAction = UpdateMatched,
+      retain: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    val (tag, lastId) = lastApplied(spark, baseDir)
+    if (!(tag == checkpointTag && lastId >= batchId)) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(col(orderCol).desc)
+      val latest = batch
+        .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", orderCol)
+      mergeInto(baseDir, latest, keys, whenMatched,
+        insertUnmatched = true, marker = s"$checkpointTag:$batchId", retain = retain)
+      ()
+    }
+  }
+
+  /** Streaming CDC-upsert sink: maintain a keyed table from a stream of
+    * row versions via MERGE INTO per micro-batch — the streaming
+    * counterpart of a warehouse `MERGE` pipeline. Latest row per key
+    * wins within a batch (by `orderCol`); across batches the snapshot's
+    * pointer commit + lineage marker give effectively-once apply. */
+  def mergeSink(updates: DataFrame, keys: Seq[String], orderCol: String,
+      baseDir: String, checkpoint: String, retain: Int = 2)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeIntoBatch(batch, keys, orderCol, baseDir,
+          checkpointTag = checkpoint, batchId = batchId, retain = retain)
+      }
+
   /** One merge cycle against the versioned snapshot — the
     * [[StreamingKpis.mergeBatchIntoSnapshot]] logic (mergeable
     * (count,sum,min,max) partials, checkpoint-lineage-scoped replay skip)

@@ -119,6 +119,41 @@ class VersionedSnapshotSpec extends SparkSpec {
     assert(leftover.isEmpty, "healed publish must clear the uncommitted dir")
   }
 
+  test("mergeSink upserts a keyed table from a live stream, last writer wins") {
+    val dir = Files.createTempDirectory("graft-msink")
+    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+    def shard(name: String, rows: String): Unit =
+      Files.writeString(inDir.resolve(name),
+        "user_id,track_id,listen_time\n" + rows)
+    // user 1 appears in two files with different tracks — the later
+    // micro-batch must overwrite; user 3 only in the second
+    shard("a.csv",
+      """1,tA,2024-06-25T10:00:00.000Z
+        |2,tB,2024-06-25T10:10:00.000Z
+        |""".stripMargin)
+    shard("b.csv",
+      """1,tC,2024-06-25T11:00:00.000Z
+        |1,tD,2024-06-25T11:30:00.000Z
+        |3,tE,2024-06-25T11:40:00.000Z
+        |""".stripMargin)
+    // the file source orders micro-batches by modification time — pin it
+    // so a.csv is applied first (upsert order is the point of this test)
+    java.nio.file.Files.setLastModifiedTime(inDir.resolve("a.csv"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    java.nio.file.Files.setLastModifiedTime(inDir.resolve("b.csv"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000060000L))
+    val stream = StreamingKpis.fileStream(spark, Sources.streamsSchema,
+      inDir.toString, maxFilesPerTrigger = 1)
+    val base = dir.resolve("snap").toString
+    VersionedSnapshot.mergeSink(stream, Seq("user_id"), "listen_time",
+      base, dir.resolve("ckpt").toString).start().awaitTermination(60000)
+    val got = VersionedSnapshot.read(spark, base).get
+      .selectExpr("user_id", "track_id").collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getString(1)).toMap
+    // within b.csv user 1's LATEST by listen_time is tD; tA was replaced
+    assert(got == Map(1L -> "tD", 2L -> "tB", 3L -> "tE"))
+  }
+
   test("mergeInto covers the four MERGE clauses and rejects multi-match sources") {
     import spark.implicits._
     import VersionedSnapshot.{DeleteMatched, UpdateMatched}
