@@ -115,8 +115,16 @@ object VideoCodec {
               parseSampleTables(b, payload, boxEnd) match {
                 case None => return None // present but malformed stbl
                 case Some((n, bytes, mx, ticks)) =>
-                  nSamples += n; sampleBytes += bytes
-                  maxSample = math.max(maxSample, mx); mediaTicks += ticks
+                  // per-track wrap guards don't cover the CROSS-track sums:
+                  // two hostile tracks each near Long.MaxValue would wrap
+                  // the accumulators negative — the same garbage-statistics
+                  // outcome the per-field guards exist to prevent
+                  try {
+                    nSamples = Math.addExact(nSamples, n)
+                    sampleBytes = Math.addExact(sampleBytes, bytes)
+                    mediaTicks = Math.addExact(mediaTicks, ticks)
+                  } catch { case _: ArithmeticException => return None }
+                  maxSample = math.max(maxSample, mx)
               }
             case _ => ()
           }

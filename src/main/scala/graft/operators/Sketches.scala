@@ -96,7 +96,11 @@ object Sketches {
     val m = 1 << p
     val tailBits = 60 - p
     val h = graft.functions.PortableHash.hash60(col(valueCol))
-    val bucket = (h / lit(1L << tailBits)).cast("long")
+    // exact integer arithmetic: Spark's `/` is DOUBLE division, and hash60
+    // values reach 2^60 > 2^53, so a hash within rounding distance of a
+    // multiple of 2^tailBits could land in the wrong bucket vs the oracle's
+    // integer `//`. h is non-negative, so shiftright IS floor division.
+    val bucket = shiftright(h, tailBits)
     val r = h % lit(1L << tailBits)
     // rank = leading zeros of the tail + 1 = tailBits + 1 - bitLength(r);
     // bitLength via a literal threshold cascade (codegen'd CASE chain —
