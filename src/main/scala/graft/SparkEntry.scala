@@ -2581,21 +2581,32 @@ object SparkEntry {
     * between them. */
   /** Shared content-defined-chunking CTEs through the per-token chunk
     * assignment `c` (w = 4, divisor = 16 — must match the registered
-    * contentDefinedChunks parameters). */
-  private val cdcChunkCtes: String =
-    """t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |p AS (SELECT doc_id, ws, CAST(r.i AS INTEGER) AS i
-      |      FROM t, UNNEST(range(1, len(ws) + 1)) AS r(i)),
-      |b AS (SELECT doc_id, i, ws[i] AS tok,
-      |        CASE WHEN i >= 4 AND
-      |          CAST(('0x' || substr(md5(array_to_string(ws[i-3:i], ' ')), 1, 15)) AS BIGINT)
-      |            % 16 = 0
-      |          THEN 1 ELSE 0 END AS isb
-      |      FROM p),
-      |c AS (SELECT doc_id, i, tok,
-      |        CAST(coalesce(sum(isb) OVER (PARTITION BY doc_id ORDER BY i
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS chunk_idx
-      |      FROM b)""".stripMargin
+    * contentDefinedChunks parameters). The boundary hash mirrors the
+    * native [[graft.functions.expressions.CdcChunks]] generator: a
+    * degree-(w−1) polynomial over per-token md5-derived 60-bit values
+    * with the shared multiplier's powers as literal coefficients, exact
+    * in HUGEINT (each product < 2^120), reduced mod 2^60 — identical to
+    * the JVM's wrapping-multiply-and-mask arithmetic. */
+  private val cdcChunkCtes: String = {
+    // H(i) = Σ_{j=0}^{3} h60(ws[i−j]) · M^j  mod 2^60, w = 4
+    val poly = (3 to 0 by -1).map { j =>
+      val tok = if (j == 0) "ws[i]" else s"ws[i-$j]"
+      s"CAST(${graft.functions.PortableHash.duckdbSql(tok)} AS HUGEINT) * " +
+        s"${graft.functions.expressions.CdcChunks.powerMod(j)}"
+    }.mkString(" + ")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |p AS (SELECT doc_id, ws, CAST(r.i AS INTEGER) AS i
+       |      FROM t, UNNEST(range(1, len(ws) + 1)) AS r(i)),
+       |b AS (SELECT doc_id, i, ws[i] AS tok,
+       |        CASE WHEN i >= 4 AND
+       |          CAST(($poly) % ${1L << 60} AS BIGINT) % 16 = 0
+       |          THEN 1 ELSE 0 END AS isb
+       |      FROM p),
+       |c AS (SELECT doc_id, i, tok,
+       |        CAST(coalesce(sum(isb) OVER (PARTITION BY doc_id ORDER BY i
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS chunk_idx
+       |      FROM b)""".stripMargin
+  }
 
   /** Shared NB CTE prefix through the per-(doc,class) ranking `r` —
     * consumed by the classify-style oracles (rn = 1) and the

@@ -60,39 +60,26 @@ object Chunking {
     * Output: (idCol, chunk_idx, n_toks, chunk_md5) — chunks are emitted
     * as md5 fingerprints (the dedup-join key), not text, so nothing wide
     * leaves the row. Docs shorter than `w` tokens are one whole-doc
-    * chunk. The boundary hash is [[graft.functions.PortableHash]]'s
-    * md5-derived 60-bit value, so the oracle reproduces every cut.
+    * chunk. The boundary hash is a rolling polynomial over PER-TOKEN
+    * md5-derived 60-bit values ([[graft.functions.expressions.CdcChunks]]
+    * — O(1) per token, not O(w) per window), every constant shared with
+    * the SQL oracle so it reproduces every cut with HUGEINT arithmetic.
     *
-    * Scale shape: pure per-row HOF arithmetic (filter/transform over the
-    * token array) + one bounded posexplode — NO shuffle, no state;
-    * embarrassingly parallel like [[tokenChunks]].
+    * Scale shape: one native streaming generator (scan → generate →
+    * project) — NO shuffle, no state, no interpreted lambdas;
+    * embarrassingly parallel like [[tokenChunks]] with a strictly
+    * smaller constant (the previous HOF form paid an interpreted O(w)
+    * slice+concat+md5 per token window — the repo's top bench cost).
     */
   def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
       w: Int, divisor: Int): DataFrame = {
     require(w >= 1, "window must be >= 1 token")
     require(divisor >= 2, "divisor < 2 cuts after every token")
-    df.select(col(idCol), split(col(textCol), " ").as("__ws"))
-      .withColumn("__n", size(col("__ws")))
-      // boundary positions: i in [w, n] with hash(window ending i) ≡ 0
-      .withColumn("__bpos",
-        when(col("__n") >= w,
-          filter(sequence(lit(w), col("__n")), i =>
-            graft.functions.PortableHash.hash60(
-              concat_ws(" ", slice(col("__ws"), i - (w - 1), lit(w)))) % divisor === 0))
-          .otherwise(array().cast("array<int>")))
-      // the document end is always a cut; dedupe if it already is one
-      .withColumn("__cuts",
-        when(array_contains(col("__bpos"), col("__n")), col("__bpos"))
-          .otherwise(concat(col("__bpos"), array(col("__n")))))
-      .select(col(idCol), col("__ws"), col("__cuts"),
-        posexplode(col("__cuts")).as(Seq("chunk_idx", "__cut")))
-      .withColumn("__prev",
-        when(col("chunk_idx") === 0, lit(0))
-          .otherwise(element_at(col("__cuts"), col("chunk_idx"))))
-      .select(col(idCol), col("chunk_idx"),
-        (col("__cut") - col("__prev")).cast("long").as("n_toks"),
-        md5(concat_ws(" ",
-          slice(col("__ws"), col("__prev") + 1, col("__cut") - col("__prev"))))
-          .as("chunk_md5"))
+    df.select(col(idCol),
+        graft.functions.expressions.CdcChunks
+          .chunks(split(col(textCol), " "), w, divisor)
+          .as(Seq("chunk_idx", "n_toks", "__chunk")))
+      .select(col(idCol), col("chunk_idx"), col("n_toks"),
+        md5(col("__chunk")).as("chunk_md5"))
   }
 }
