@@ -1,54 +1,79 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{assert_true, col, count, lit}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{assert_true, col, count, lit, pmod, xxhash64}
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 
 /** Reader-atomic, multi-version snapshot publication — the transactional
   * upgrade of [[StreamingKpis.incrementalSnapshot]]'s rename-swap (whose
   * scaladoc documents exactly this seam).
   *
-  * Layout (a poor-man's table format, pure Hadoop FS API, no table-format
-  * dependency):
+  * Two physical layouts share the same pointer commit:
+  *
+  * '''Flat''' (whole-table publishes — [[publish]]):
   * {{{
   *   base/
   *     _CURRENT        # pointer file: "37" — the committed version
-  *     v00036/ …parquet + _LAST_BATCH
-  *     v00037/ …parquet + _LAST_BATCH
+  *     v00036/ …parquet + _LAST_BATCH + _MANIFEST
+  *     v00037/ …parquet + _LAST_BATCH + _MANIFEST
   * }}}
+  *
+  * '''Bucketed''' (row-level MERGE — [[mergeInto]]): data files live in a
+  * shared pool under `base/data/`, hash-partitioned by merge key into
+  * `numBuckets` buckets; each version directory holds only METADATA — a
+  * `_BUCKETS` manifest mapping bucket → data directory. Versions SHARE
+  * untouched bucket directories, so a merge writes O(delta), not O(table):
+  * {{{
+  *   base/
+  *     _CURRENT
+  *     data/ g00000/__gbucket=0/…parquet   # written by version 0
+  *           g00000/__gbucket=7/…parquet
+  *           g00002/__gbucket=7/…parquet   # version 2 rewrote bucket 7
+  *     v00000/ _LAST_BATCH + _BUCKETS + _MANIFEST
+  *     v00002/ _LAST_BATCH + _BUCKETS + _MANIFEST   # 7→g00002, others→g00000
+  * }}}
+  * This is the table-format idea (Iceberg manifests / Delta file actions)
+  * reduced to plain parquet + one pointer file: the manifest IS the
+  * version, data files are immutable and shared, and retention walks the
+  * manifests to garbage-collect data directories no retained version
+  * references ([[gcDataDirs]] — the orphan-file sweep).
   *
   * Why this beats the rename-swap:
   *  - **Reader atomicity.** The swap has a window where the snapshot path
   *    does not exist (between `snap→.old` and `.tmp→snap`), and rename
   *    visibility is not atomic on object stores at all. Here a reader
-  *    resolves `_CURRENT` once and reads an immutable version directory;
-  *    the pointer flip is a single-file atomic rename
+  *    resolves `_CURRENT` once and reads an immutable version (directory
+  *    or manifest); the pointer flip is a single-file atomic rename
   *    (`FileContext.rename(OVERWRITE)`), so every reader sees exactly the
   *    old or exactly the new version — never a mix, never an absent path.
   *  - **Concurrent-reader grace.** Old versions survive until `retain`
   *    more publishes, so a reader that resolved the pointer just before a
   *    flip keeps a complete, immutable input for its whole query.
-  *  - **Crash safety.** A crash mid-write leaves a version directory with
-  *    no pointer to it — invisible garbage, pruned on the next publish.
-  *    A crash after the flip leaves extra old versions — pruned likewise.
-  *    There is no recovery dance at batch start (the rename-swap needs
-  *    one); the pointer IS the commit.
+  *  - **Crash safety.** A crash mid-write leaves a version directory (and,
+  *    bucketed, staged data directories) with no pointer to them —
+  *    invisible garbage, pruned on the next publish. A crash after the
+  *    flip leaves extra old versions — pruned likewise. There is no
+  *    recovery dance at batch start; the pointer IS the commit.
   *
   * Single-writer assumption: one publishing query per base dir (which
   * Structured Streaming's one-active-query-per-checkpoint already
   * enforces); concurrent writers would race the version counter.
   *
-  * On a real table format (Delta/Iceberg) `publish` collapses to that
-  * format's MERGE/replace commit — the call sites do not change shape.
+  * On a real table format (Delta/Iceberg) [[publish]]/[[mergeInto]]
+  * collapse to that format's MERGE/replace commit — the call sites do not
+  * change shape.
   */
 object VersionedSnapshot {
 
   private val PointerName = "_CURRENT"
   private val MarkerName = "_LAST_BATCH" // leading _: invisible to parquet reads
   private val ManifestName = "_MANIFEST" // data-file inventory, written pre-commit
-  /** Session conf that makes [[publish]] throw after staging the version
-    * dir but before the pointer commit — the crash-consistency seam. */
+  private val BucketsName = "_BUCKETS"   // bucket → data-dir manifest (bucketed layout)
+  private val DataDirName = "data"       // shared data-file pool (bucketed layout)
+  private val BucketCol = "__gbucket"    // reserved partition column on bucket writes
+  /** Session conf that makes the publish paths throw after staging but
+    * before the pointer commit — the crash-consistency seam. */
   private[graft] val CrashBeforeCommitConf = "graft.snapshot.crashBeforePointerCommit"
 
   private def fmtVersion(v: Long): String =
@@ -58,25 +83,40 @@ object VersionedSnapshot {
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def readSmallFile(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in).mkString finally in.close()
+  }
+
+  private def writeSmallFile(f: FileSystem, p: Path, content: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
   /** The committed version number, if any publish has completed. */
   def currentVersion(spark: SparkSession, baseDir: String): Option[Long] = {
     val f = fs(spark, baseDir)
     val ptr = new Path(baseDir, PointerName)
-    if (!f.exists(ptr)) None
-    else {
-      val in = f.open(ptr)
-      val s = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      s.toLongOption
-    }
+    if (!f.exists(ptr)) None else readSmallFile(f, ptr).trim.toLongOption
   }
 
   /** Read the committed snapshot (None before the first publish). The
-    * returned frame is bound to an immutable version directory, so it
+    * returned frame is bound to immutable data files (a version directory,
+    * or the bucket directories its `_BUCKETS` manifest references), so it
     * stays consistent for the whole downstream query even if publishes
     * continue concurrently. */
   def read(spark: SparkSession, baseDir: String): Option[DataFrame] =
     currentVersion(spark, baseDir).map { v =>
-      spark.read.parquet(versionPath(new Path(baseDir), v).toString)
+      val base = new Path(baseDir)
+      val f = fs(spark, baseDir)
+      val vdir = versionPath(base, v)
+      parseBuckets(f, vdir) match {
+        case Some((_, entries)) =>
+          val paths = entries.toSeq.sortBy(_._1)
+            .map { case (_, rel) => new Path(base, rel).toString }
+          spark.read.parquet(paths: _*)
+        case None => spark.read.parquet(vdir.toString)
+      }
     }
 
   /** (tag, batchId) recorded by the last publish; ("", -1) if none. */
@@ -86,23 +126,85 @@ object VersionedSnapshot {
       val m = new Path(versionPath(new Path(baseDir), v), MarkerName)
       if (!f.exists(m)) ("", -1L)
       else {
-        val in = f.open(m)
-        val s = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+        val s = readSmallFile(f, m).trim
         val cut = s.lastIndexOf(':')
         if (cut < 0) ("", -1L) else (s.substring(0, cut), s.substring(cut + 1).toLong)
       }
     }.getOrElse(("", -1L))
 
+  // ------------------------------------------------- bucketed-layout metadata
+
+  /** Parse a version dir's `_BUCKETS` manifest: (numBuckets,
+    * bucket → base-relative data dir). None for flat versions. */
+  private def parseBuckets(f: FileSystem, vdir: Path): Option[(Int, Map[Int, String])] = {
+    val bp = new Path(vdir, BucketsName)
+    if (!f.exists(bp)) None
+    else {
+      val lines = readSmallFile(f, bp).split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+      val nb = lines.head.stripPrefix("buckets=").toInt
+      val entries = lines.tail.map { line =>
+        val cut = line.indexOf(':')
+        line.substring(0, cut).toInt -> line.substring(cut + 1)
+      }.toMap
+      Some((nb, entries))
+    }
+  }
+
+  /** The committed version's bucket layout, if it is bucketed. */
+  private[graft] def bucketManifest(spark: SparkSession, baseDir: String)
+      : Option[(Int, Map[Int, String])] =
+    currentVersion(spark, baseDir).flatMap { v =>
+      parseBuckets(fs(spark, baseDir), versionPath(new Path(baseDir), v))
+    }
+
+  /** Hash bucket of the merge key — pure function of the key columns, so
+    * every merge agrees on each row's bucket regardless of layout. */
+  private def bucketOf(keys: Seq[String], numBuckets: Int): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(numBuckets)).cast("int")
+
+  /** Delete `data/g*` directories no version directory references — the
+    * orphan sweep. Runs at publish start (clears crashed staging, whose
+    * version dirs were just pruned) and after retention (frees data only
+    * aged-out versions referenced). Safe under the single-writer
+    * assumption: nothing is mid-staging at either point. */
+  private def gcDataDirs(f: FileSystem, base: Path): Unit = {
+    val dataRoot = new Path(base, DataDirName)
+    if (!f.exists(dataRoot)) return
+    val referenced = f.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+      .flatMap(st => parseBuckets(f, st.getPath).toSeq)
+      .flatMap { case (_, entries) =>
+        // "data/gNNNNN/__gbucket=K" → shared granularity is the g-dir
+        entries.values.map(_.split('/')(1))
+      }.toSet
+    f.listStatus(dataRoot).foreach { st =>
+      if (!referenced.contains(st.getPath.getName)) f.delete(st.getPath, true)
+    }
+  }
+
+  // ------------------------------------------------------ integrity manifest
+
+  /** Base-relative data-file inventory of a version: the version dir's own
+    * files (flat), or every file of every bucket directory its `_BUCKETS`
+    * manifest references (bucketed). Listing-only — no contents read. */
+  private def inventory(f: FileSystem, base: Path, vdir: Path): Seq[(String, Long)] =
+    parseBuckets(f, vdir) match {
+      case Some((_, entries)) =>
+        entries.toSeq.sortBy(_._1).flatMap { case (_, rel) =>
+          dataFiles(f, new Path(base, rel)).map { case (name, len) => (s"$rel/$name", len) }
+        }.sortBy(_._1)
+      case None => dataFiles(f, vdir)
+    }
+
   /** Data-file inventory (`name:bytes` per line, sorted) written BEFORE
     * the pointer flip, so every committed version carries its own
-    * integrity record. A replicated or promoted version directory is
-    * checked with [[validateCurrent]] — missing, truncated, or stray data
-    * files (the classic partial-copy failure on object stores) are
-    * detected from listings alone, no file contents read. */
-  private def writeManifest(f: FileSystem, dir: Path): Unit = {
-    val entries = dataFiles(f, dir).map { case (name, len) => s"$name:$len" }
-    val out = f.create(new Path(dir, ManifestName), true)
-    try out.write(entries.mkString("\n").getBytes("UTF-8")) finally out.close()
+    * integrity record. A replicated or promoted version is checked with
+    * [[validateCurrent]] — missing, truncated, or stray data files (the
+    * classic partial-copy failure on object stores) are detected from
+    * listings alone, no file contents read. */
+  private def writeManifest(f: FileSystem, base: Path, vdir: Path): Unit = {
+    val entries = inventory(f, base, vdir).map { case (name, len) => s"$name:$len" }
+    writeSmallFile(f, new Path(vdir, ManifestName), entries.mkString("\n"))
   }
 
   private def dataFiles(f: FileSystem, dir: Path): Seq[(String, Long)] =
@@ -117,22 +219,67 @@ object VersionedSnapshot {
   def validateCurrent(spark: SparkSession, baseDir: String): Boolean =
     currentVersion(spark, baseDir).exists { v =>
       val f = fs(spark, baseDir)
-      val dir = versionPath(new Path(baseDir), v)
+      val base = new Path(baseDir)
+      val dir = versionPath(base, v)
       val m = new Path(dir, ManifestName)
       f.exists(m) && {
-        val in = f.open(m)
-        val listed = try scala.io.Source.fromInputStream(in).getLines().toSeq finally in.close()
-        val expected = listed.filter(_.nonEmpty).map { line =>
+        val expected = readSmallFile(f, m).split('\n').toSeq.filter(_.nonEmpty).map { line =>
           val cut = line.lastIndexOf(':')
           (line.substring(0, cut), line.substring(cut + 1).toLong)
         }
-        expected == dataFiles(f, dir)
+        expected == inventory(f, base, dir)
       }
     }
 
-  /** Write `df` as the next version and atomically flip the pointer to
-    * it. Returns the published version number. `retain` is the number of
-    * versions kept INCLUDING the new one (min 1). */
+  // ------------------------------------------------------------- publication
+
+  /** Clear uncommitted leftovers from crashed publishes (version dirs
+    * ABOVE the pointer — a half-written dir must never become the commit
+    * target — and data dirs nothing references), then return the next
+    * version number. Crashed numbers are never reused. */
+  private def prepareNext(f: FileSystem, base: Path, current: Long): Long = {
+    def versionOf(name: String): Option[Long] =
+      if (name.length == 6 && name.startsWith("v")) name.drop(1).toLongOption else None
+    val existing = f.listStatus(base).toSeq
+      .flatMap(st => versionOf(st.getPath.getName).map(_ -> st.getPath))
+    existing.filter(_._1 > current).foreach { case (_, p) => f.delete(p, true) }
+    gcDataDirs(f, base)
+    math.max(current, existing.map(_._1).maxOption.getOrElse(-1L)) + 1
+  }
+
+  /** The commit: crash-injection seam, then a single-file atomic
+    * rename-with-overwrite onto `_CURRENT`. Everything staged before this
+    * call is uncommitted; everything after is visible. */
+  private def commitPointer(spark: SparkSession, f: FileSystem, base: Path, next: Long): Unit = {
+    // crash-consistency fault-injection point (spec-only): a crash HERE
+    // must leave readers on the previous version and be healed by the
+    // next publish — VersionedSnapshotSpec drives this seam.
+    if (spark.conf.getOption(CrashBeforeCommitConf).contains("true"))
+      throw new IllegalStateException(
+        s"injected crash before pointer commit ($CrashBeforeCommitConf)")
+    val tmpPtr = new Path(base, PointerName + ".tmp")
+    writeSmallFile(f, tmpPtr, next.toString)
+    FileContext.getFileContext(base.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmpPtr, new Path(base, PointerName), Options.Rename.OVERWRITE)
+  }
+
+  /** Drop committed versions older than the newest `retain`, then sweep
+    * unreferenced data dirs. */
+  private def applyRetention(f: FileSystem, base: Path, current: Long,
+      next: Long, retain: Int): Unit = {
+    def versionOf(name: String): Option[Long] =
+      if (name.length == 6 && name.startsWith("v")) name.drop(1).toLongOption else None
+    f.listStatus(base).toSeq
+      .flatMap(st => versionOf(st.getPath.getName).map(_ -> st.getPath))
+      .filter { case (v, _) => v <= current && v <= next - retain }
+      .foreach { case (_, p) => f.delete(p, true) }
+    gcDataDirs(f, base)
+  }
+
+  /** Write `df` as the next version (flat layout: a self-contained
+    * directory) and atomically flip the pointer to it. Returns the
+    * published version number. `retain` is the number of versions kept
+    * INCLUDING the new one (min 1). */
   def publish(df: DataFrame, baseDir: String, marker: String, retain: Int = 2): Long = {
     require(retain >= 1, "retain must keep at least the current version")
     val spark = df.sparkSession
@@ -140,36 +287,65 @@ object VersionedSnapshot {
     val base = new Path(baseDir)
     f.mkdirs(base)
     val current = currentVersion(spark, baseDir).getOrElse(-1L)
-    def versionOf(name: String): Option[Long] =
-      if (name.length == 6 && name.startsWith("v")) name.drop(1).toLongOption else None
-    val existing = f.listStatus(base).toSeq
-      .flatMap(st => versionOf(st.getPath.getName).map(_ -> st.getPath))
-    // uncommitted leftovers from crashed publishes sit ABOVE the pointer;
-    // never reuse their numbers (a half-written dir must not become the
-    // commit target), just clear them
-    existing.filter(_._1 > current).foreach { case (_, p) => f.delete(p, true) }
-    val next = math.max(current, existing.map(_._1).maxOption.getOrElse(-1L)) + 1
+    val next = prepareNext(f, base, current)
     val target = versionPath(base, next)
     df.write.mode("overwrite").parquet(target.toString)
-    val out = f.create(new Path(target, MarkerName), true)
-    try out.write(marker.getBytes("UTF-8")) finally out.close()
-    writeManifest(f, target)
-    // crash-consistency fault-injection point (spec-only): everything
-    // above is uncommitted staging, everything below is the commit. A
-    // crash HERE must leave readers on the previous version and be healed
-    // by the next publish — VersionedSnapshotSpec drives this seam.
-    if (spark.conf.getOption(CrashBeforeCommitConf).contains("true"))
-      throw new IllegalStateException(
-        s"injected crash before pointer commit ($CrashBeforeCommitConf)")
-    // the commit: single-file atomic rename-with-overwrite onto _CURRENT
-    val tmpPtr = new Path(base, PointerName + ".tmp")
-    val ptrOut = f.create(tmpPtr, true)
-    try ptrOut.write(next.toString.getBytes("UTF-8")) finally ptrOut.close()
-    FileContext.getFileContext(base.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmpPtr, new Path(base, PointerName), Options.Rename.OVERWRITE)
-    // retention: drop committed versions older than the newest `retain`
-    existing.filter { case (v, _) => v <= current && v <= next - retain }
-      .foreach { case (_, p) => f.delete(p, true) }
+    writeSmallFile(f, new Path(target, MarkerName), marker)
+    writeManifest(f, base, target)
+    commitPointer(spark, f, base, next)
+    applyRetention(f, base, current, next, retain)
+    next
+  }
+
+  /** Stage `df`'s rows into per-bucket data directories under the shared
+    * pool, link `inherited` bucket directories unchanged, and commit the
+    * combined manifest as the next version. The write job touches ONLY
+    * `df`'s rows — inherited buckets are REFERENCED, never copied or
+    * rewritten, which is what makes [[mergeInto]] O(delta). An empty
+    * combined manifest degrades to a flat empty version directory (so the
+    * table keeps a readable schema). */
+  private def publishBucketed(df: DataFrame, baseDir: String, marker: String,
+      keys: Seq[String], numBuckets: Int, inherited: Map[Int, String],
+      retain: Int): Long = {
+    require(retain >= 1, "retain must keep at least the current version")
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    require(!df.columns.contains(BucketCol), s"column name $BucketCol is reserved")
+    val spark = df.sparkSession
+    val f = fs(spark, baseDir)
+    val base = new Path(baseDir)
+    f.mkdirs(base)
+    val current = currentVersion(spark, baseDir).getOrElse(-1L)
+    val next = prepareNext(f, base, current)
+    val target = versionPath(base, next)
+    val gName = "g" + "%05d".formatLocal(java.util.Locale.ROOT, next)
+    val gDir = new Path(new Path(base, DataDirName), gName)
+    df.withColumn(BucketCol, bucketOf(keys, numBuckets))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(gDir.toString)
+    // which buckets actually produced files (a bucket whose merge result
+    // is empty writes no partition dir — it must vanish from the manifest)
+    val written: Map[Int, String] =
+      if (!f.exists(gDir)) Map.empty
+      else f.listStatus(gDir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketCol + "="))
+        .flatMap { st =>
+          st.getPath.getName.drop(BucketCol.length + 1).toIntOption
+            .map(b => b -> s"$DataDirName/$gName/${st.getPath.getName}")
+        }.toMap
+    val manifest = inherited ++ written
+    if (manifest.isEmpty) {
+      // nothing anywhere (e.g. a full delete): flat empty dir keeps schema
+      f.delete(gDir, true)
+      df.limit(0).write.mode("overwrite").parquet(target.toString)
+    } else {
+      f.mkdirs(target)
+      val lines = s"buckets=$numBuckets" +:
+        manifest.toSeq.sortBy(_._1).map { case (b, rel) => s"$b:$rel" }
+      writeSmallFile(f, new Path(target, BucketsName), lines.mkString("\n"))
+    }
+    writeSmallFile(f, new Path(target, MarkerName), marker)
+    writeManifest(f, base, target)
+    commitPointer(spark, f, base, next)
+    applyRetention(f, base, current, next, retain)
     next
   }
 
@@ -182,32 +358,46 @@ object VersionedSnapshot {
   /** Row-level MERGE INTO against the versioned snapshot — the
     * Delta/Iceberg `MERGE INTO target USING source ON keys WHEN MATCHED
     * THEN UPDATE/DELETE WHEN NOT MATCHED THEN INSERT` contract,
-    * re-expressed as a declarative plan + one copy-on-write [[publish]]:
+    * re-expressed as a declarative plan + one bucket-pruned copy-on-write
+    * publish:
     *
     *   - matched + [[UpdateMatched]]: target row replaced by source row
     *   - matched + [[DeleteMatched]]: target row dropped
     *   - unmatched source rows inserted iff `insertUnmatched`
     *   - untouched target rows carried over verbatim
     *
-    * Shapes: one shuffle equi-join on `keys` (anti/semi — never a row
-    * explosion) plus a union; the commit inherits publish's atomic
+    * '''Cost shape — O(delta), not O(table).''' The snapshot is
+    * hash-partitioned by key into `numBuckets` bucket directories (the
+    * bucketed layout above). A merge first computes the source's bucket
+    * set (one distinct over ≤ numBuckets values), then reads and rewrites
+    * ONLY those buckets; every untouched bucket directory is carried into
+    * the new version's `_BUCKETS` manifest by REFERENCE — the same
+    * immutable files, zero bytes copied (spec-asserted). This is the
+    * file-pruning seam a production table format provides via min/max
+    * stats, built from plain parquet + the manifest: per micro-batch the
+    * write cost is `(table/numBuckets) · touchedBuckets + |delta|`, which
+    * for a key-local batch is a small constant fraction of the table
+    * regardless of table size. Size `numBuckets` so one bucket fits an
+    * executor comfortably (at 100 TB with numBuckets=65536, a bucket is
+    * ~1.5 GB).
+    *
+    * Within touched buckets: one shuffle equi-join on `keys` (anti/semi —
+    * never a row explosion) plus a union; the commit inherits the atomic
     * pointer flip, so readers see the pre- or post-merge snapshot, never
     * a torn mix, and a crash mid-merge is healed by the next publish.
     *
     * Source rows must be UNIQUE per key (the standard MERGE
     * precondition — a multi-match makes the update nondeterministic);
     * enforced distributed-side with a codegen assert, same discipline as
-    * Anomaly's overflow require.
+    * Anomaly's overflow require. The assert evaluates before any staging
+    * write, so a rejected merge leaves no committed trace.
     *
-    * Scale note: this rewrites the FULL snapshot per merge —
-    * copy-on-write at directory granularity. A production table format
-    * (Delta/Iceberg) narrows the rewrite to touched FILES via min/max
-    * pruning on the join keys; this call site is exactly where that
-    * engine slots in (COVERAGE.md "table-format MERGE" seam), and the
-    * semantics above are what it must preserve. */
+    * `numBuckets` applies when the table is first created (or upgraded
+    * from a flat layout); thereafter the committed manifest's bucket
+    * count wins, so every merge agrees on the bucket function. */
   def mergeInto(baseDir: String, source: DataFrame, keys: Seq[String],
       whenMatched: MatchedAction, insertUnmatched: Boolean,
-      marker: String, retain: Int = 2): Long = {
+      marker: String, retain: Int = 2, numBuckets: Int = 32): Long = {
     require(keys.nonEmpty, "MERGE needs at least one key column")
     val spark = source.sparkSession
     // reject multi-match sources: count per key via one window over the
@@ -218,9 +408,11 @@ object VersionedSnapshot {
       .withColumn("__chk", assert_true(col("__kn") === 1,
         lit(s"MERGE source has multiple rows for a (${keys.mkString(",")}) key")))
       .filter(col("__chk").isNull).drop("__kn", "__chk")
-    val result = read(spark, baseDir) match {
+    read(spark, baseDir) match {
       case None =>
-        if (insertUnmatched) uniqueSource else uniqueSource.limit(0)
+        val result = if (insertUnmatched) uniqueSource else uniqueSource.limit(0)
+        publishBucketed(result, baseDir, marker, keys, numBuckets,
+          inherited = Map.empty, retain = retain)
       case Some(target) =>
         // name AND type parity: a name-only check would let a type-drifted
         // source slide into a confusing analysis error (or a silently
@@ -231,18 +423,35 @@ object VersionedSnapshot {
           s"MERGE source schema ${sig(source).mkString(",")} must match " +
             s"snapshot schema ${sig(target).mkString(",")}")
         val src = uniqueSource.select(target.columns.map(col).toIndexedSeq: _*)
-        val untouched = target.join(src.select(keys.map(col): _*), keys, "left_anti")
+        val (nb, entries) = bucketManifest(spark, baseDir)
+          // legacy flat snapshot: this merge upgrades it to the bucketed
+          // layout with one full rewrite (the last one it will ever pay)
+          .getOrElse((numBuckets, Map.empty[Int, String]))
+        // bucket pruning: the source's bucket set is ≤ nb values — the
+        // multi-match assert rides this first action, failing a bad
+        // source before anything is staged
+        val touched: Set[Int] = src
+          .select(bucketOf(keys, nb).as("__b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val touchedPaths = touched.toSeq.sorted.flatMap(entries.get)
+          .map(rel => new Path(new Path(baseDir), rel).toString)
+        val touchedTarget =
+          if (entries.isEmpty) target // flat: no pruning available
+          else if (touchedPaths.nonEmpty) spark.read.parquet(touchedPaths: _*)
+          else target.limit(0)
+        val untouched = touchedTarget
+          .join(src.select(keys.map(col): _*), keys, "left_anti")
         val fromSource = (whenMatched, insertUnmatched) match {
           case (UpdateMatched, true) => src // upsert: every source row lands
           case (UpdateMatched, false) =>
-            src.join(target.select(keys.map(col): _*), keys, "left_semi")
+            src.join(touchedTarget.select(keys.map(col): _*), keys, "left_semi")
           case (DeleteMatched, true) =>
-            src.join(target.select(keys.map(col): _*), keys, "left_anti")
+            src.join(touchedTarget.select(keys.map(col): _*), keys, "left_anti")
           case (DeleteMatched, false) => src.limit(0)
         }
-        untouched.unionByName(fromSource)
+        publishBucketed(untouched.unionByName(fromSource), baseDir, marker,
+          keys, nb, inherited = entries -- touched, retain = retain)
     }
-    publish(result, baseDir, marker, retain)
   }
 
   /** One MERGE INTO cycle driven by a micro-batch — [[mergeInto]] with
@@ -257,7 +466,7 @@ object VersionedSnapshot {
   private[graft] def mergeIntoBatch(batch: DataFrame, keys: Seq[String],
       orderCol: String, baseDir: String, checkpointTag: String,
       batchId: Long, whenMatched: MatchedAction = UpdateMatched,
-      retain: Int = 2): Unit = {
+      retain: Int = 2, numBuckets: Int = 32): Unit = {
     val spark = batch.sparkSession
     val (tag, lastId) = lastApplied(spark, baseDir)
     if (!(tag == checkpointTag && lastId >= batchId)) {
@@ -268,7 +477,8 @@ object VersionedSnapshot {
         .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn", orderCol)
       mergeInto(baseDir, latest, keys, whenMatched,
-        insertUnmatched = true, marker = s"$checkpointTag:$batchId", retain = retain)
+        insertUnmatched = true, marker = s"$checkpointTag:$batchId",
+        retain = retain, numBuckets = numBuckets)
       ()
     }
   }
@@ -277,17 +487,21 @@ object VersionedSnapshot {
     * row versions via MERGE INTO per micro-batch — the streaming
     * counterpart of a warehouse `MERGE` pipeline. Latest row per key
     * wins within a batch (by `orderCol`); across batches the snapshot's
-    * pointer commit + lineage marker give effectively-once apply. */
+    * pointer commit + lineage marker give effectively-once apply. Each
+    * batch rewrites only the buckets its keys hash into ([[mergeInto]]'s
+    * pruning), so per-trigger cost follows the BATCH size, not the
+    * accumulated table size. */
   def mergeSink(updates: DataFrame, keys: Seq[String], orderCol: String,
-      baseDir: String, checkpoint: String, retain: Int = 2)
-      : DataStreamWriter[org.apache.spark.sql.Row] =
+      baseDir: String, checkpoint: String, retain: Int = 2,
+      numBuckets: Int = 32): DataStreamWriter[org.apache.spark.sql.Row] =
     updates.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeIntoBatch(batch, keys, orderCol, baseDir,
-          checkpointTag = checkpoint, batchId = batchId, retain = retain)
+          checkpointTag = checkpoint, batchId = batchId, retain = retain,
+          numBuckets = numBuckets)
       }
 
   /** One merge cycle against the versioned snapshot — the

@@ -225,6 +225,137 @@ class VersionedSnapshotSpec extends SparkSpec {
     assert(stray.delete())
   }
 
+  test("mergeInto rewrites only touched buckets; untouched bucket files are shared by reference") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-bmerge").resolve("snap").toString
+    val seed = (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")
+    VersionedSnapshot.mergeInto(base, seed, Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", numBuckets = 8)
+    val (nb0, entries0) = VersionedSnapshot.bucketManifest(spark, base).get
+    assert(nb0 == 8 && entries0.nonEmpty)
+    // inventory of every bucket file BEFORE the delta merge
+    def files(rel: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(base, rel)
+      d.listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = entries0.map { case (b, rel) => b -> files(rel) }
+    // a 3-key delta — touches at most 3 of the 8 buckets
+    val delta = Seq((1L, "V1"), (2L, "V2"), (401L, "NEW")).toDF("k", "v")
+    VersionedSnapshot.mergeInto(base, delta, Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "delta", numBuckets = 8)
+    val (nb1, entries1) = VersionedSnapshot.bucketManifest(spark, base).get
+    assert(nb1 == 8)
+    val changed = entries1.filter { case (b, rel) => !entries0.get(b).contains(rel) }
+    assert(changed.size <= 3,
+      s"a 3-key delta may rewrite at most 3 buckets, rewrote ${changed.keySet}")
+    assert(changed.nonEmpty, "the delta's buckets must move to a new data dir")
+    // every untouched bucket: SAME directory, SAME files, untouched bytes+mtimes
+    val kept = entries1.filter { case (b, rel) => entries0.get(b).contains(rel) }
+    assert(kept.nonEmpty)
+    kept.foreach { case (b, rel) =>
+      assert(files(rel) == before(b),
+        s"untouched bucket $b must not be rewritten (dir $rel changed)")
+    }
+    // and the merged table is semantically right
+    val got = VersionedSnapshot.read(spark, base).get
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 401 && got(1L) == "V1" && got(2L) == "V2" &&
+      got(401L) == "NEW" && got(3L) == "v3")
+    // integrity manifest covers the referenced bucket files and validates
+    assert(VersionedSnapshot.validateCurrent(spark, base))
+  }
+
+  test("bucketed retention GCs data dirs only when no retained version references them") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-bgc").resolve("snap").toString
+    def dataDirs() = {
+      val d = new java.io.File(base, "data")
+      if (!d.exists) Set.empty[String] else d.listFiles().map(_.getName).toSet
+    }
+    VersionedSnapshot.mergeInto(base, (1L to 100L).map(i => (i, i)).toDF("k", "v"),
+      Seq("k"), UpdateMatched, insertUnmatched = true, marker = "m0", numBuckets = 4)
+    // two delta merges (retain=2 drops v0's DIR, but v1/v2 still reference
+    // g00000's untouched buckets — it must survive the sweep)
+    VersionedSnapshot.mergeInto(base, Seq((1L, 0L)).toDF("k", "v"),
+      Seq("k"), UpdateMatched, insertUnmatched = true, marker = "m1", numBuckets = 4)
+    VersionedSnapshot.mergeInto(base, Seq((2L, 0L)).toDF("k", "v"),
+      Seq("k"), UpdateMatched, insertUnmatched = true, marker = "m2", numBuckets = 4)
+    assert(dataDirs().contains("g00000"),
+      "g00000 holds buckets still referenced by retained versions")
+    // two FULL rewrites: after them no retained version references g00000
+    val full = (1L to 100L).map(i => (i, -i)).toDF("k", "v")
+    VersionedSnapshot.mergeInto(base, full, Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "m3", numBuckets = 4)
+    VersionedSnapshot.mergeInto(base, full, Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "m4", numBuckets = 4)
+    assert(!dataDirs().contains("g00000"), "unreferenced data dir must be swept")
+    val got = VersionedSnapshot.read(spark, base).get
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 100L).map(i => i -> -i).toMap)
+  }
+
+  test("bucketed crash before pointer commit: readers hold, re-merge heals, staging GC'd") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-bcrash").resolve("snap").toString
+    VersionedSnapshot.mergeInto(base, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      Seq("k"), UpdateMatched, insertUnmatched = true, marker = "seed", numBuckets = 4)
+    val v0 = VersionedSnapshot.currentVersion(spark, base).get
+    def rows() = VersionedSnapshot.read(spark, base).get
+      .as[(Long, String)].collect().toSet
+    spark.conf.set(VersionedSnapshot.CrashBeforeCommitConf, "true")
+    try intercept[IllegalStateException] {
+      VersionedSnapshot.mergeInto(base, Seq((1L, "A")).toDF("k", "v"),
+        Seq("k"), UpdateMatched, insertUnmatched = true, marker = "crash", numBuckets = 4)
+    } finally spark.conf.unset(VersionedSnapshot.CrashBeforeCommitConf)
+    // committed state intact, including its integrity manifest
+    assert(VersionedSnapshot.currentVersion(spark, base).contains(v0))
+    assert(rows() == Set((1L, "a"), (2L, "b")))
+    assert(VersionedSnapshot.validateCurrent(spark, base))
+    // re-merge heals past the crashed number and sweeps its staging
+    VersionedSnapshot.mergeInto(base, Seq((1L, "A")).toDF("k", "v"),
+      Seq("k"), UpdateMatched, insertUnmatched = true, marker = "heal", numBuckets = 4)
+    assert(rows() == Set((1L, "A"), (2L, "b")))
+    assert(VersionedSnapshot.validateCurrent(spark, base))
+    val staged = new java.io.File(base, "data").listFiles().map(_.getName)
+    val (_, entries) = VersionedSnapshot.bucketManifest(spark, base).get
+    val referenced = entries.values.map(_.split('/')(1)).toSet ++
+      VersionedSnapshot.currentVersion(spark, base).toSeq.flatMap { _ =>
+        // the retained previous version's references too
+        new java.io.File(base).listFiles().filter(_.getName.startsWith("v")).toSeq
+          .flatMap { vd =>
+            val b = new java.io.File(vd, "_BUCKETS")
+            if (!b.exists) Seq.empty
+            else Files.readString(b.toPath).split('\n').drop(1).toSeq
+              .filter(_.nonEmpty).map(_.split(':')(1).split('/')(1))
+          }
+      }
+    assert(staged.toSet.subsetOf(referenced),
+      s"crashed staging dirs must be GC'd: staged=${staged.toSet}, referenced=$referenced")
+  }
+
+  test("deleting every row leaves a readable empty snapshot with schema") {
+    import spark.implicits._
+    import VersionedSnapshot.{DeleteMatched, UpdateMatched}
+    val base = Files.createTempDirectory("graft-bempty").resolve("snap").toString
+    val all = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    VersionedSnapshot.mergeInto(base, all, Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", numBuckets = 4)
+    VersionedSnapshot.mergeInto(base, all, Seq("k"),
+      DeleteMatched, insertUnmatched = false, marker = "wipe", numBuckets = 4)
+    val empty = VersionedSnapshot.read(spark, base).get
+    assert(empty.columns.toSeq == Seq("k", "v"))
+    assert(empty.count() == 0)
+    // and the table comes back from empty
+    VersionedSnapshot.mergeInto(base, Seq((9L, "z")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "revive", numBuckets = 4)
+    assert(VersionedSnapshot.read(spark, base).get
+      .as[(Long, String)].collect().toSet == Set((9L, "z")))
+  }
+
   test("read before any publish is None; retain=1 keeps only the current version") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-vsnap4").resolve("snap").toString
