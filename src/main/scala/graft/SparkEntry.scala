@@ -1651,6 +1651,25 @@ object SparkEntry {
           round(expr("percentile(o_totalprice, 0.75)"), 6).as("q75"),
           count(lit(1)).as("n"))),
 
+    // ---- mergeable fixed-boundary histogram quantiles: the sketch-tier
+    // percentile (exact integer counts, value-error ≤ width) — computed
+    // here THROUGH the merge law (partials over 3 disjoint hash-slices,
+    // merged, then read), while the oracle computes from the whole input
+    // in one pass: the hash can only match because merged-partials ≡
+    // whole-input, proving the snapshot-rollup path cross-engine ----
+    "quantile_sketch_portable" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val keys = Seq("o_orderpriority")
+      val partials = (0 until 3).map(d =>
+        graft.operators.Sketches.histogramPartials(
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === d),
+          keys, "o_totalprice", width = 1000L))
+      graft.operators.Sketches.quantilesFromHistogram(
+        graft.operators.Sketches.mergeHistograms(partials, keys),
+        keys, width = 1000L,
+        Seq("p50_lo" -> 500000L, "p90_lo" -> 900000L, "p99_lo" -> 990000L))
+    }),
+
     // ---- rollup (grouping-sets family): subtotals + grand total ----
     "revenue_rollup" -> ((s, dir) =>
       Tables.orders(s, dir).rollup("o_orderpriority", "o_orderstatus")
@@ -3997,6 +4016,28 @@ object SparkEntry {
         | round(quantile_cont(o_totalprice, 0.75), 6) AS q75,
         | count(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // whole-input form of the merged-partials sketch: fixed trunc-div
+    // buckets (Spark `div` ≡ DuckDB `//`), integer rank comparison, lower
+    // bucket edge — bit-identical by the merge law
+    "quantile_sketch_portable" ->
+      """WITH h AS (SELECT o_orderpriority,
+        |             CAST(floor(o_totalprice) AS BIGINT) // 1000 AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM orders GROUP BY 1, 2),
+        |c AS (SELECT o_orderpriority, bucket, n,
+        |        CAST(sum(n) OVER (PARTITION BY o_orderpriority ORDER BY bucket)
+        |             AS BIGINT) AS cum,
+        |        CAST(sum(n) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS total
+        |      FROM h)
+        |SELECT o_orderpriority,
+        |  CAST(min(CASE WHEN cum * 1000000 >= total * 500000 THEN bucket END) * 1000
+        |       AS BIGINT) AS p50_lo,
+        |  CAST(min(CASE WHEN cum * 1000000 >= total * 900000 THEN bucket END) * 1000
+        |       AS BIGINT) AS p90_lo,
+        |  CAST(min(CASE WHEN cum * 1000000 >= total * 990000 THEN bucket END) * 1000
+        |       AS BIGINT) AS p99_lo
+        |FROM c GROUP BY o_orderpriority""".stripMargin,
 
     "revenue_rollup" ->
       """SELECT o_orderpriority, o_orderstatus,

@@ -142,6 +142,79 @@ object Sketches {
     alpha * m * m * math.pow(2.0, 53)
   }
 
+  /** Fixed-boundary histogram partials — the engine-portable, MERGEABLE
+    * member of the quantile family (the HLL-recipe applied to
+    * percentiles: exact integer state, one shared-constant rule, so any
+    * engine reproduces it bit-for-bit). Bucket boundaries are a FIXED
+    * rule of the value (`trunc(value) div width` — truncating division,
+    * identical in Spark's `div` and DuckDB's `//`), never data-dependent,
+    * which is what makes the state mergeable by plain count addition:
+    * the merged histogram of parts IS the whole-input histogram, exactly,
+    * independent of partitioning or merge order — the property
+    * Greenwald-Khanna/KLL summaries only have within a rank bound. The
+    * cost of fixed boundaries is a VALUE-error bound (≤ `width`) instead
+    * of a rank-error bound; choose `width` from domain knowledge exactly
+    * like a t-digest's compression parameter.
+    *
+    * State per key: one row per OCCUPIED bucket (≤ value-range/width),
+    * map-side combined; raw values never shuffle. Store partials per
+    * snapshot day ([[Incremental]]-style) and any rollup is
+    * [[mergeHistograms]] + [[quantilesFromHistogram]] — never a rescan. */
+  def histogramPartials(df: DataFrame, keys: Seq[String], valueCol: String,
+      width: Long): DataFrame = {
+    require(width >= 1, s"bucket width must be >= 1, got $width")
+    val bucket = expr(s"CAST(floor(`$valueCol`) AS BIGINT) div $width").as("bucket")
+    df.groupBy(keys.map(col) :+ bucket: _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge histogram snapshots: count addition (exact, order-free). */
+  def mergeHistograms(snapshots: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(snapshots.nonEmpty, "nothing to merge")
+    snapshots.reduce(_ unionByName _)
+      .groupBy(keys.map(col) :+ col("bucket"): _*)
+      .agg(sum(col("n")).as("n"))
+  }
+
+  /** Read quantiles off a merged histogram: for each percentile q (e6),
+    * the LOWER EDGE of the smallest bucket whose cumulative count reaches
+    * rank ⌈q·total⌉ — the standard lower-quantile definition, so the true
+    * percentile value v satisfies estimate ≤ v < estimate + width
+    * (spec-asserted). All integer arithmetic: the rank comparison is
+    * `cum·10⁶ ≥ total·q_e6` (exact int64 up to ~9.2·10¹² rows per key —
+    * beyond that, pre-divide q_e6's trailing zeros), so the emitted
+    * values are bit-identical on any engine.
+    *
+    * `percentiles` maps output column name → q in e6 (500000 = median).
+    * Plan shape: the two windows and the final groupBy all partition by
+    * `keys`, so they ride ONE exchange after the partials' shuffle. */
+  def quantilesFromHistogram(hist: DataFrame, keys: Seq[String], width: Long,
+      percentiles: Seq[(String, Long)]): DataFrame = {
+    require(percentiles.nonEmpty, "need at least one percentile")
+    require(percentiles.forall { case (_, q) => q >= 0 && q <= 1000000 },
+      "percentiles are e6 values in [0, 1000000]")
+    val part = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val cumW = part.orderBy(col("bucket"))
+    val cum = hist
+      .withColumn("__cum", sum(col("n")).over(cumW))
+      .withColumn("__total", sum(col("n")).over(part))
+    val aggs = percentiles.map { case (name, qE6) =>
+      min(when(col("__cum") * lit(1000000L) >= col("__total") * lit(qE6),
+        col("bucket"))).as(s"__b_$name")
+    }
+    cum.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(keys.map(col) ++ percentiles.map { case (name, _) =>
+        (col(s"__b_$name") * lit(width)).as(name)
+      }: _*)
+  }
+
+  /** One-shot convenience: partials → quantiles. */
+  def histogramQuantiles(df: DataFrame, keys: Seq[String], valueCol: String,
+      width: Long, percentiles: Seq[(String, Long)]): DataFrame =
+    quantilesFromHistogram(histogramPartials(df, keys, valueCol, width),
+      keys, width, percentiles)
+
   /** Count-Min sketch of `valueCol`'s frequency distribution — approximate
     * heavy-hitters over streams/shards too hot to count exactly. The
     * sketch aggregates distributed (Spark's codegen `count_min_sketch`

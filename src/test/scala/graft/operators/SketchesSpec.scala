@@ -100,6 +100,64 @@ class SketchesSpec extends SparkSpec {
     assert(e(dup) == e(base))
   }
 
+  test("histogram quantiles: EXACT merge law and layout independence") {
+    val df = (1 to 4000).map(i => (s"g${i % 3}", (i * 37 % 1000) - 200.5)).toDF("g", "v")
+    val keys = Seq("g")
+    val ps = Seq("p50_lo" -> 500000L, "p90_lo" -> 900000L, "p99_lo" -> 990000L)
+    def collect(q: org.apache.spark.sql.DataFrame) =
+      q.as[(String, Long, Long, Long)].collect().toSet
+    val whole = collect(Sketches.histogramQuantiles(df, keys, "v", 10L, ps))
+    // partials over 3 disjoint slices, merged — EXACTLY the whole-input
+    // answer (count addition is exact), unlike the GK/HLL tiers' bounds
+    val slices = (0 until 3).map(d => df.filter(abs(hash(col("v"))) % 3 === d))
+    val merged = collect(Sketches.quantilesFromHistogram(
+      Sketches.mergeHistograms(
+        slices.map(s => Sketches.histogramPartials(s, keys, "v", 10L)), keys),
+      keys, 10L, ps))
+    assert(merged == whole, "merged partials must equal the whole-input answer exactly")
+    val relayout = collect(Sketches.histogramQuantiles(
+      df.repartition(17, col("v")), keys, "v", 10L, ps))
+    assert(relayout == whole, "layout must not change a single output bit")
+  }
+
+  test("histogram quantiles: lower edge within one bucket width of the exact percentile") {
+    val vals = (1 to 5000).map(i => ((i * 97) % 3001) - 1000.25) // negatives included
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val width = 25L
+    val got = Sketches.histogramQuantiles(df, Seq("g"), "v", width,
+        Seq("p50_lo" -> 500000L, "p90_lo" -> 900000L, "p99_lo" -> 990000L))
+      .as[(String, Long, Long, Long)].collect().head
+    val sorted = vals.sorted
+    def exact(q: Double): Double = sorted((q * sorted.length).ceil.toInt - 1)
+    for ((est, q) <- Seq(got._2 -> 0.5, got._3 -> 0.9, got._4 -> 0.99)) {
+      val v = exact(q)
+      // trunc-div bucketing widens the 0-straddling bucket, so the bound
+      // is one width on each side of the bucket's edge
+      assert(est - width <= v && v < est + width,
+        s"q=$q: lower-edge $est vs exact $v (width $width)")
+    }
+  }
+
+  test("DataSketches HLL round-trips through parquet bytes across snapshot days") {
+    // the Incremental-style deployment: one sketch row per (key, day)
+    // PERSISTED, later days merged via hll_union_agg over the stored bytes
+    val dir = java.nio.file.Files.createTempDirectory("graft-hllrt").toString
+    val days = Seq(1 to 1200, 800 to 2400, 2000 to 3600)
+    days.zipWithIndex.foreach { case (r, d) =>
+      Sketches.distinctSketch(batch(r), Seq("g"), "v")
+        .write.mode("overwrite").parquet(s"$dir/day=$d")
+    }
+    val restored = (0 until days.length).map(d => spark.read.parquet(s"$dir/day=$d"))
+    val est = Sketches.withEstimate(Sketches.mergeSketches(restored, Seq("g")))
+      .select("g", "n_distinct_est").as[(String, Long)].collect().toMap
+    val exactMap = days.map(r => batch(r)).reduce(_ unionByName _)
+      .groupBy("g").agg(countDistinct("v")).as[(String, Long)].collect().toMap
+    exactMap.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n).toDouble / n < 0.1,
+        s"round-tripped union $g: est=${est(g)} exact=$n")
+    }
+  }
+
   test("sketch estimates stay within bounds across partition layouts") {
     def run(parts: Int) = Sketches.withEstimate(
         Sketches.distinctSketch(batch(1 to 1500).repartition(parts), Seq("g"), "v"))
