@@ -410,6 +410,31 @@ object SparkEntry {
           floor(col("col") * lit(1e6) + lit(0.5)).cast("long").as("freq_e6"),
           col("clip_rate_e6"))
     }),
+    // image payload decode: deterministic-pattern REAL PNGs (ImageIO
+    // encode, zlib) → container sniff → ImageIO pixel decode → RGB
+    // flatten → byte histogram; lossless round-trip means the oracle
+    // predicts the decoded byte distribution in closed form — a bug
+    // anywhere in the encode/sniff/decode/flatten/histogram chain breaks
+    // the hash. All three modalities now have a payload-decode oracle row
+    "mm_image_features" -> ((s, dir) => {
+      val dec = graft.multimodal.Multimodal.decodePartitions(
+        graft.multimodal.Multimodal.synthesizePngPayload(
+          Tables.documents(s, dir).select(
+            col("doc_id").as("asset_id"),
+            (lit(8) + col("doc_id") % 8).cast("int").as("width"),
+            (lit(8) + col("n_chars") % 8).cast("int").as("height"),
+            (col("doc_id") % 256).cast("int").as("pattern_seed")))
+          .select("asset_id", "payload"),
+        bins = 16)
+      dec.select(col("asset_id"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          col("decoded.channels").as("channels"),
+          posexplode(col("features")))
+        .select(col("asset_id"), col("width"), col("height"), col("channels"),
+          col("pos").cast("int").as("bin"),
+          floor(col("col") * lit(1e6) + lit(0.5)).cast("long").as("freq_e6"))
+    }),
     // video round-trip, same shape as mm_audio_meta: deterministic MP4
     // container geometry → real ISO-BMFF bytes → box-walk parse
     "mm_video_meta" -> ((s, dir) =>
@@ -4209,6 +4234,28 @@ object SparkEntry {
         |  FROM vcnt GROUP BY doc_id, bin)
         |SELECT h.doc_id AS asset_id, h.bin, h.freq_e6, c.clip_rate_e6
         |FROM h JOIN clip c ON h.doc_id = c.doc_id""".stripMargin,
+
+    // regenerates the PNG pixel pattern arithmetically: decoded RGB byte
+    // at linear index j is (j + seed) % 256 over nb = 3·w·h bytes, so
+    // (since 16 | 256) bin counts reduce to residues mod 16 — the count
+    // for bin b is nb//16 plus one for the first nb%16 residues
+    "mm_image_features" ->
+      """WITH g AS (SELECT doc_id AS asset_id,
+        |             CAST(8 + doc_id % 8 AS BIGINT) AS w,
+        |             CAST(8 + n_chars % 8 AS BIGINT) AS h,
+        |             CAST(doc_id % 256 AS BIGINT) AS seed
+        |           FROM documents),
+        |n AS (SELECT asset_id, w, h, seed, 3 * w * h AS nb FROM g),
+        |b AS (SELECT asset_id, w, h, seed, nb, CAST(r.b AS INTEGER) AS bin
+        |      FROM n, UNNEST(range(0, 16)) AS r(b)),
+        |c AS (SELECT asset_id, w, h, nb, bin,
+        |        nb // 16 + CASE WHEN ((bin - seed) % 16 + 16) % 16 < nb % 16
+        |                        THEN 1 ELSE 0 END AS cnt
+        |      FROM b)
+        |SELECT asset_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels, bin,
+        |  CAST(floor(cnt * 1.0 / nb * 1000000.0 + 0.5) AS BIGINT) AS freq_e6
+        |FROM c""".stripMargin,
 
     "mm_video_meta" ->
       """SELECT doc_id AS asset_id,

@@ -137,6 +137,39 @@ object ImageCodec {
     Some(DecodedImage(width, height, channels, out))
   }
 
+  // -------------------------------------------------- synthesis (round-trip)
+
+  /** Synthesis side of the image round-trip (the [[AudioCodec.encodeWavRamp]]
+    * analog): a REAL PNG (ImageIO encoder, zlib-compressed, lossless) whose
+    * RGB pixel bytes follow a closed-form pattern — byte at interleaved-RGB
+    * linear index `j` is `(j + seed) mod 256` — so after the full
+    * encode → container sniff → ImageIO decode → RGB flatten chain, the
+    * pixel byte histogram is predictable arithmetically by a SQL oracle.
+    * Lossless means decode must return EXACTLY these values; any codec or
+    * flattening bug anywhere in the chain breaks the prediction. */
+  def encodePng(width: Int, height: Int, seed: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width.toLong * height * 3 <= MaxPixelBytes,
+      s"bad PNG geometry ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val j = (y * width + x) * 3
+        val r = (j + seed) & 0xff
+        val g = (j + 1 + seed) & 0xff
+        val b = (j + 2 + seed) & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   // ------------------------------------------- JPEG / PNG / GIF via ImageIO
 
   /** Decode a compressed raster through `javax.imageio` (pure JVM).

@@ -182,6 +182,24 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Synthesis side of the image round-trip (see [[synthesizeWavPayload]]):
+    * append a deterministic real-PNG `payload` built per row from integer
+    * geometry columns (`width`, `height`, `pattern_seed`) —
+    * [[ImageCodec.encodePng]]'s closed-form pixel pattern, so the decoded
+    * byte histogram is oracle-predictable. */
+  def synthesizePngPayload(df: DataFrame): DataFrame = {
+    val outSchema = df.schema.add("payload", org.apache.spark.sql.types.BinaryType)
+    val w = df.schema.fieldIndex("width")
+    val h = df.schema.fieldIndex("height")
+    val sd = df.schema.fieldIndex("pattern_seed")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = ImageCodec.encodePng(r.getInt(w), r.getInt(h), r.getInt(sd))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** PCM payload-extraction seam: append the raw PCM slice of each WAV
     * payload (`pcm` binary) plus sample-level statistics the byte
     * histogram cannot see — `n_samples` (per channel-interleaved sample)

@@ -398,6 +398,34 @@ class MultimodalSpec extends SparkSpec {
     assert(VideoCodec.decodeMp4(badChild).isEmpty)
   }
 
+  test("encodePng emits the closed-form pattern and survives the full decode chain") {
+    // decoded byte j must be (j + seed) % 256 — the arithmetic the
+    // mm_image_features oracle predicts
+    for ((w, h, seed) <- Seq((8, 8, 0), (11, 9, 37), (15, 15, 255))) {
+      val img = ImageCodec.decode(ImageCodec.encodePng(w, h, seed)).get
+      assert(img.width == w && img.height == h && img.channels == 3)
+      val bad = img.pixels.zipWithIndex.filterNot { case (b, j) =>
+        (b & 0xff) == (j + seed) % 256
+      }
+      assert(bad.isEmpty, s"${bad.length} pattern mismatches at ${w}x$h seed=$seed")
+    }
+  }
+
+  test("synthesizePngPayload + decodePartitions: corrupt payloads degrade, never throw") {
+    import spark.implicits._
+    val geo = Seq((1L, 8, 8, 5), (2L, 9, 10, 200)).toDF(
+      "asset_id", "width", "height", "pattern_seed")
+    val good = Multimodal.synthesizePngPayload(geo).select("asset_id", "payload")
+    // corrupt tier: a truncated PNG (valid magic, torn stream) and junk
+    val corrupt = Seq(
+      (3L, ImageCodec.encodePng(8, 8, 1).take(20)),
+      (4L, Array[Byte](0x42, 0x41, 0x44))).toDF("asset_id", "payload")
+    val out = Multimodal.decodePartitions(good.unionByName(corrupt), bins = 16)
+      .selectExpr("asset_id", "decoded IS NOT NULL AS ok")
+      .as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+  }
+
   test("fromBinaryFiles wraps binaryFile-shaped input into the asset schema") {
     val raw = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row("/data/a.png", Array[Byte](1, 2)))),
