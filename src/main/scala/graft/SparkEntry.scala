@@ -1985,18 +1985,40 @@ object SparkEntry {
     * join result is identical either way (only panel pairs are looked
     * up); the oracle keeps the corpus-wide form and matches. At 100 TB
     * this is the difference between "run the index for a panel" and
-    * "run the index for every vector" every time recall is measured. */
+    * "run the index for every vector" every time recall is measured.
+    *
+    * The exact leg is SHARED across the four `*_recall` rows: it depends
+    * only on (session, corpus dir), not on the index under test, so it is
+    * computed once per session, pinned with an eager `localCheckpoint`
+    * (the Contrastive/KMeans materialization pattern), and every recall
+    * row joins against the pinned 64×k result instead of re-running the
+    * panel × corpus scan. The panel ids come out of the SAME pinned leg
+    * (64×k local rows — a driver-side collect bounded by construction),
+    * saving the separate orderBy/limit corpus pass too. In a recall-tuning
+    * sweep — the real use, many index configurations against one exact
+    * ranking — the exact cost is paid once regardless of how many tiers
+    * are measured. */
+  private val panelExactCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Seq[Long], DataFrame)]
+
+  /** Session-cached (panel ids, pinned exact top-k) for the recall rows.
+    * Keyed by session INSTANCE so a restarted session never sees another
+    * session's checkpointed RDDs; entries live for the session's lifetime
+    * (a handful of (dir → 64×k-row) pins — bounded, not a leak). */
+  private def panelExactFor(s: SparkSession, dir: String): (Seq[Long], DataFrame) =
+    panelExactCache.getOrElseUpdate((s, dir), {
+      val exact = Similarity.panelExactTopK(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          panelSize = RecallPanel, k = AnnK)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint()
+      val panelIds: Seq[Long] = exact.select(col("query_id").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      (panelIds, exact)
+    })
+
   private def recallVsPanel(s: SparkSession, dir: String, approx: DataFrame): DataFrame = {
-    val panelIds: Seq[Long] = Tables.embeddings(s, dir)
-      .select(col("vec_id"),
-        graft.functions.PortableHash.hash60(col("vec_id")).as("__h"))
-      .orderBy(col("__h").asc, col("vec_id").asc).limit(RecallPanel)
-      .select(col("vec_id").cast("long"))
-      .collect().map(_.getLong(0)).toSeq
-    val exact = Similarity.panelExactTopK(
-        Tables.embeddings(s, dir), "vec_id", "embedding",
-        panelSize = RecallPanel, k = AnnK)
-      .select(col("query_id"), col("neighbor_id"))
+    val (panelIds, exact) = panelExactFor(s, dir)
     exact.join(
         approx.filter(col("query_id").isin(panelIds: _*))
           .select(col("query_id").as("__qa"), col("neighbor_id").as("__na")),

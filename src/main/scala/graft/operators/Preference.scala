@@ -70,8 +70,17 @@ object Preference {
     val und = directed.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum).toMap
     def nij(i: String, j: String): Long =
       und.getOrElse((i, j), 0L) + und.getOrElse((j, i), 0L)
-    val neighbors: Map[String, Seq[String]] =
-      items.map(i => i -> items.filter(j => j != i && nij(i, j) > 0).toSeq).toMap
+    // adjacency from the pair list itself — O(pairs), not O(items²), so
+    // raising maxItems costs what the data costs, not its square; sorted
+    // per item to keep the fixpoint's summation order deterministic
+    val neighbors: Map[String, Seq[String]] = {
+      val adj = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
+      directed.iterator.filter(t => t._3 > 0 && t._1 != t._2).foreach { t =>
+        adj.getOrElseUpdate(t._1, scala.collection.mutable.Set.empty) += t._2
+        adj.getOrElseUpdate(t._2, scala.collection.mutable.Set.empty) += t._1
+      }
+      items.map(i => i -> adj.get(i).map(_.toSeq.sorted).getOrElse(Seq.empty)).toMap
+    }
 
     var s: Map[String, Long] = items.map(_ -> E6).toMap
     for (_ <- 1 to iterations) {
