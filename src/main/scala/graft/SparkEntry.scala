@@ -55,6 +55,8 @@ object SparkEntry {
   private val BtIterations = 3  // bt_event_scores: MM fixpoint iterations
   private val BacktestFolds = 5 // backtest_folds: expanding-origin buckets
   private val HllP = 8          // approx_distinct_portable: 2^8 registers
+  private val CmsDepth = 4      // heavy_hitters_cms: hash rows (δ = e^-4)
+  private val CmsWidth = 256    // heavy_hitters_cms: buckets/row (ε = e/256)
 
   /** Scratch base for the snapshot-backed queries, recursively deleted at
     * JVM exit: each invocation publishes full-table parquet versions, and
@@ -667,6 +669,21 @@ object SparkEntry {
       recallVsPanel(s, dir,
         graft.operators.Quantize.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
           nlist = IvfNlist, nprobe = IvfNprobe, m = PqM, codebookK = PqK, k = AnnK))),
+    // SQ tier: what ranking quality survives serving from 4×-compressed
+    // int8 codes — full-precision panel query × int8-dequantized corpus
+    // (the asymmetric-distance convention; Quantize.int8 scaladoc). The
+    // "index" here IS the compressed representation, so the approximate
+    // leg is inherently panel × corpus — linear like the exact leg.
+    "sq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val deq = graft.operators.Quantize.dequantInt8(
+          graft.operators.Quantize.int8(emb, "vec_id", "embedding"),
+          "qvec", "q_lo", "q_hi")
+        .select(col("vec_id"), col("dequant").as("embedding"))
+      recallVsPanel(s, dir,
+        Similarity.panelTopKAgainst(emb, deq, "vec_id", "embedding",
+          panelSize = RecallPanel, k = AnnK))
+    }),
 
     // ---- margin-based pair mining (bitext-mining shape): halves of the
     // embedding corpus act as the two "languages"; candidates here are
@@ -1695,6 +1712,28 @@ object SparkEntry {
         Seq("p50_lo" -> 500000L, "p90_lo" -> 900000L, "p99_lo" -> 990000L))
     }),
 
+    // ---- portable Count-Min: the frequency member of the portable
+    // sketch trio (HLL distinct / histogram quantiles / CMS frequency).
+    // Registers are built THROUGH the merge law — three disjoint
+    // hash-slices of events, merged — while the oracle computes from the
+    // whole input in one pass; estimates for the top-20 true-heaviest
+    // users are compared against their exact counts (est ≥ exact always;
+    // overcount shows the ε·N collision term as width shrinks vs keys).
+    "heavy_hitters_cms" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val partials = (0 until 3).map(d =>
+        graft.operators.Sketches.cmsPartials(
+          ev.filter(pmod(col("event_id"), lit(3)) === d),
+          "user_id", CmsDepth, CmsWidth))
+      val regs = graft.operators.Sketches.mergeCms(partials)
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id").asc).limit(20)
+      graft.operators.Sketches.cmsEstimate(regs, top, "user_id", CmsDepth, CmsWidth)
+        .join(top, Seq("user_id"))
+        .select(col("user_id"), col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("overcount"))
+    }),
+
     // ---- rollup (grouping-sets family): subtotals + grand total ----
     "revenue_rollup" -> ((s, dir) =>
       Tables.orders(s, dir).rollup("o_orderpriority", "o_orderstatus")
@@ -2174,6 +2213,42 @@ object SparkEntry {
        |      FROM scored)
        |SELECT query_id, neighbor_id, cosine_sim, CAST("rank" AS INTEGER) AS "rank" FROM r WHERE "rank" <= $AnnK""".stripMargin
 
+  /** DuckDB side of the SQ serving tier ([[graft.operators.Quantize.int8]]
+    * → dequant → [[Similarity.panelTopKAgainst]]): full-precision panel
+    * queries ranked against the int8-dequantized corpus. Quantize and
+    * dequantize use the same per-element IEEE expressions in the same
+    * order as the Spark side (the `embedding_quantize` oracle's
+    * arithmetic), so the reconstructed values are bit-identical. */
+  private def sqPanelTopKOracle: String =
+    s"""WITH sqv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+       |             FROM embeddings),
+       |sqb AS (SELECT vec_id, vv, list_min(vv) AS q_lo, list_max(vv) AS q_hi FROM sqv),
+       |sqdq AS (SELECT vec_id,
+       |    CASE WHEN q_hi = q_lo THEN list_transform(vv, x -> q_lo)
+       |         ELSE list_transform(vv, x -> q_lo +
+       |           CAST(floor((x - q_lo) / (q_hi - q_lo) * 255.0 + 0.5) AS INTEGER)
+       |             / 255.0 * (q_hi - q_lo))
+       |    END AS dv
+       |  FROM sqb),
+       |sqcflat AS (SELECT vec_id, generate_subscripts(dv, 1) AS i, UNNEST(dv) AS x FROM sqdq),
+       |sqcnorms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM sqcflat GROUP BY vec_id),
+       |sqpanel AS (SELECT vec_id FROM embeddings
+       |            ORDER BY ${dh("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC
+       |            LIMIT $RecallPanel),
+       |sqqflat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |                   CAST(UNNEST(embedding) AS DOUBLE) AS x
+       |            FROM embeddings WHERE vec_id IN (SELECT vec_id FROM sqpanel)),
+       |sqqnorms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM sqqflat GROUP BY vec_id),
+       |sqdots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.x * c.x) AS dp
+       |           FROM sqqflat q JOIN sqcflat c ON q.i = c.i AND q.vec_id <> c.vec_id
+       |           GROUP BY q.vec_id, c.vec_id),
+       |sqscored AS (SELECT query_id, neighbor_id, round(dp / (qn.nrm * cn.nrm), 6) AS cosine_sim
+       |             FROM sqdots JOIN sqqnorms qn ON query_id = qn.vec_id
+       |                         JOIN sqcnorms cn ON neighbor_id = cn.vec_id),
+       |sqr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                  ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM sqscored)
+       |SELECT query_id, neighbor_id FROM sqr WHERE rn <= $AnnK""".stripMargin
+
   /** Recall@k of an approximate index's answer (any derived table with
     * `query_id`/`neighbor_id` columns) against the exact ranking of the
     * hash-sampled query panel — DuckDB side of [[recallVsPanel]] /
@@ -2209,6 +2284,33 @@ object SparkEntry {
        |FROM er LEFT JOIN ap ON er.query_id = ap.query_id
        |                    AND er.neighbor_id = ap.neighbor_id
        |GROUP BY er.query_id""".stripMargin
+
+  /** DuckDB side of [[graft.operators.Sketches.cmsPartials]] /
+    * [[graft.operators.Sketches.cmsEstimate]]: same seeded portable hash
+    * (`"j:" || key`), same integer modulo bucket, exact register counts,
+    * min over the depth rows. The oracle builds registers from the whole
+    * input in one pass while the Spark side goes through the 3-slice
+    * merge — the hash can only match because CMS merging is exact. */
+  private def heavyHittersCmsOracle: String = {
+    val regBucket = dh("CAST(cj.j AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)")
+    val candBucket = dh("CAST(cj.j AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)")
+    s"""WITH cj AS (SELECT CAST(UNNEST(range(0, $CmsDepth)) AS INTEGER) AS j),
+       |regs AS (SELECT cj.j AS j, $regBucket % $CmsWidth AS bucket,
+       |                CAST(count(*) AS BIGINT) AS n
+       |         FROM events e CROSS JOIN cj
+       |         WHERE e.user_id IS NOT NULL
+       |         GROUP BY 1, 2),
+       |top AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact FROM events
+       |        WHERE user_id IS NOT NULL
+       |        GROUP BY 1 ORDER BY n_exact DESC, user_id ASC LIMIT 20),
+       |est AS (SELECT t.user_id, t.n_exact, min(coalesce(r.n, 0)) AS n_est
+       |        FROM top t CROSS JOIN cj
+       |        LEFT JOIN regs r ON r.j = cj.j AND r.bucket = $candBucket % $CmsWidth
+       |        GROUP BY 1, 2)
+       |SELECT user_id, n_exact, CAST(n_est AS BIGINT) AS n_est,
+       |       CAST(n_est - n_exact AS BIGINT) AS overcount
+       |FROM est""".stripMargin
+  }
 
   /** Portable-HLL estimate vs exact distinct — mirror of
     * [[graft.operators.Sketches.portableDistinctEstimate]]: same bucket
@@ -2997,6 +3099,7 @@ object SparkEntry {
     "ivf_recall" -> panelRecallOracle(ivfTopKOracle),
     "pq_recall" -> panelRecallOracle(pqTopKOracle),
     "ivfpq_recall" -> panelRecallOracle(ivfPqTopKOracle),
+    "sq_recall" -> panelRecallOracle(sqPanelTopKOracle),
     "semantic_dedup_pairs" -> semanticPairsOracle,
     "semantic_dedup_keepers" -> semanticKeepersOracle,
     "contrastive_triplets" -> contrastiveOracle,
@@ -4085,6 +4188,8 @@ object SparkEntry {
         |  CAST(min(CASE WHEN cum * 1000000 >= total * 990000 THEN bucket END) * 1000
         |       AS BIGINT) AS p99_lo
         |FROM c GROUP BY o_orderpriority""".stripMargin,
+
+    "heavy_hitters_cms" -> heavyHittersCmsOracle,
 
     "revenue_rollup" ->
       """SELECT o_orderpriority, o_orderstatus,

@@ -102,14 +102,25 @@ object Similarity {
     * Output: (query_id, neighbor_id, cosine_sim, rank) for panel queries
     * only, rank 1..k by (similarity DESC, neighbor_id ASC). */
   def panelExactTopK(df: DataFrame, idCol: String, vecCol: String,
-      panelSize: Int, k: Int): DataFrame = {
+      panelSize: Int, k: Int): DataFrame =
+    panelTopKAgainst(df, df, idCol, vecCol, panelSize, k)
+
+  /** [[panelExactTopK]] generalized to distinct panel-source and corpus
+    * relations: the panel is hash-sampled from `panelFrom` at FULL
+    * precision while the ranked side is `corpus` — typically a lossy
+    * re-representation of the same vectors (int8-dequantized codes, PQ
+    * reconstructions). That asymmetry — exact query, compressed corpus —
+    * is the ADC serving convention of every quantized ANN tier, and this
+    * form measures what ranking quality survives the compression. Same
+    * cost shape as the exact leg: panelSize × |corpus|, linear, ungated. */
+  def panelTopKAgainst(panelFrom: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, panelSize: Int, k: Int): DataFrame = {
     require(panelSize >= 1, "panelSize must be >= 1")
-    val base = withNorm(df, idCol, vecCol)
-    val panel = base
+    val panel = withNorm(panelFrom, idCol, vecCol)
       .withColumn("__h", graft.functions.PortableHash.hash60(col(idCol)))
       .orderBy(col("__h").asc, col(idCol).asc).limit(panelSize)
       .select(col(idCol).as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
-    val c = base.select(
+    val c = withNorm(corpus, idCol, vecCol).select(
       col(idCol).as("neighbor_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
     val scored = c.join(broadcast(panel), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine_sim",

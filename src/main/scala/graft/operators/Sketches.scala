@@ -215,6 +215,57 @@ object Sketches {
     quantilesFromHistogram(histogramPartials(df, keys, valueCol, width),
       keys, width, percentiles)
 
+  /** Engine-portable Count-Min frequency registers — the FREQUENCY member
+    * of the portable sketch trio (HLL → distinct counts, fixed-boundary
+    * histogram → quantiles, this → per-key frequency), built by the same
+    * recipe: exact integer state from the md5-based
+    * [[graft.functions.PortableHash]], no data-dependent constants, so
+    * registers and estimates are bit-identical on any engine. Row `j` of
+    * `depth` uses the seeded hash (input prefixed `"j:"`) — an
+    * independent function per row, the pairwise-independence Count-Min
+    * needs (Cormode & Muthukrishnan 2005). Register (j, bucket) counts
+    * occurrences EXACTLY, so snapshot merging is plain count addition and
+    * the merged estimate equals the whole-input estimate — the exact
+    * merge law of the histogram sketch, not the bounded drift of the
+    * DataSketches tier ([[countMin]] stays for production: wider widths,
+    * serialized form, conservative constants).
+    *
+    * State: ≤ depth·width rows, map-side combined — raw keys never
+    * shuffle, only (j, bucket) pairs. */
+  def cmsPartials(df: DataFrame, valueCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val k = col(valueCol)
+    val buckets = array((0 until depth).map(j =>
+      graft.functions.PortableHash.hash60(k, j) % lit(width.toLong)): _*)
+    df.select(posexplode(buckets).as(Seq("j", "bucket")))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge CMS register snapshots: count addition (exact, order-free). */
+  def mergeCms(snapshots: Seq[DataFrame]): DataFrame = {
+    require(snapshots.nonEmpty, "nothing to merge")
+    snapshots.reduce(_ unionByName _)
+      .groupBy("j", "bucket").agg(sum(col("n")).as("n"))
+  }
+
+  /** Point frequency estimates off merged registers for a bounded
+    * candidate relation: each candidate key reads its `depth` registers
+    * (empty register → 0) and takes the min. Guarantee: true ≤ est, and
+    * est ≤ true + εN with probability ≥ 1 − δ, ε = e/width, δ = e^−depth.
+    * All integer arithmetic — estimates hash-match across engines.
+    * Output: candidates' `keyCol` + `n_est`. */
+  def cmsEstimate(registers: DataFrame, candidates: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val buckets = array((0 until depth).map(j =>
+      graft.functions.PortableHash.hash60(col(keyCol), j) % lit(width.toLong)): _*)
+    candidates
+      .select(col(keyCol), posexplode(buckets).as(Seq("j", "bucket")))
+      .join(registers, Seq("j", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("n"), lit(0L))).as("n_est"))
+  }
+
   /** Count-Min sketch of `valueCol`'s frequency distribution — approximate
     * heavy-hitters over streams/shards too hot to count exactly. The
     * sketch aggregates distributed (Spark's codegen `count_min_sketch`

@@ -158,6 +158,33 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("portable CMS: never undercounts, exact merge law, ε·N overcount bound") {
+    // skewed stream: key k appears ~3000/k times (Zipf-ish), 60 keys
+    val rows = (1 to 60).flatMap(k => Seq.fill(3000 / k)(s"k$k")).toDF("key")
+    val depth = 4; val width = 64
+    val exact = rows.groupBy("key").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val whole = Sketches.cmsPartials(rows, "key", depth, width)
+    // merge law is EXACT: slice registers merged == whole-input registers
+    val slices = (0 until 3).map(i =>
+      Sketches.cmsPartials(
+        rows.filter(pmod(xxhash64(col("key")), lit(3)) === i), "key", depth, width))
+    val merged = Sketches.mergeCms(slices)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "merged slice registers must equal whole-input registers exactly")
+    val cands = rows.select("key").distinct()
+    val est = Sketches.cmsEstimate(merged, cands, "key", depth, width)
+      .as[(String, Long)].collect().toMap
+    val total = exact.values.sum
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS undercounted $k: ${est(k)} < $n")
+      // ε = e/width; with depth=4 a 3× slack on the bound keeps the
+      // deterministic-hash test stable while still catching a broken min
+      assert(est(k) <= n + 3 * math.E / width * total,
+        s"CMS overcount out of bound for $k: ${est(k)} vs $n (N=$total)")
+    }
+  }
+
   test("sketch estimates stay within bounds across partition layouts") {
     def run(parts: Int) = Sketches.withEstimate(
         Sketches.distinctSketch(batch(1 to 1500).repartition(parts), Seq("g"), "v"))
