@@ -319,7 +319,14 @@ object VersionedSnapshot {
     val target = versionPath(base, next)
     val gName = "g" + "%05d".formatLocal(java.util.Locale.ROOT, next)
     val gDir = new Path(new Path(base, DataDirName), gName)
+    // repartition ON the bucket value: each bucket lands wholly in one
+    // task, so every bucket directory holds exactly ONE data file. Without
+    // this, every shuffle task holding rows of a bucket writes its own
+    // fragment — touched buckets accumulate up to shuffle.partitions small
+    // files per merge, the small-file problem table formats pay a
+    // compaction pass to undo. One extra exchange over the delta only.
     df.withColumn(BucketCol, bucketOf(keys, numBuckets))
+      .repartition(col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(gDir.toString)
     // which buckets actually produced files (a bucket whose merge result
     // is empty writes no partition dir — it must vanish from the manifest)
@@ -348,6 +355,30 @@ object VersionedSnapshot {
     applyRetention(f, base, current, next, retain)
     next
   }
+
+  /** Rewrite the CURRENT bucketed snapshot into one fresh generation —
+    * the maintenance counterpart of [[mergeInto]]'s copy-on-write. A long
+    * merge history leaves the manifest referencing buckets scattered
+    * across many generation directories; compaction reads the committed
+    * snapshot once and republishes EVERY bucket into a single generation
+    * (one data file per bucket), committed as the next version through
+    * the same atomic pointer flip — readers see pre- or post-compaction,
+    * never a mix, and row content is identical (spec-asserted). Old
+    * generations are swept by the existing orphan gc once retention ages
+    * out the versions referencing them.
+    *
+    * O(table) by design: run on a maintenance cadence (the Delta
+    * OPTIMIZE / Iceberg rewrite_data_files role), while merges stay
+    * O(delta). Returns the new version, or None when the table is absent
+    * or flat (nothing to compact — flat tables rewrite whole anyway). */
+  def compact(spark: SparkSession, baseDir: String, keys: Seq[String],
+      marker: String, retain: Int = 2): Option[Long] =
+    bucketManifest(spark, baseDir).map { case (nb, _) =>
+      val current = read(spark, baseDir)
+        .getOrElse(sys.error(s"unreadable snapshot at $baseDir"))
+      publishBucketed(current, baseDir, marker, keys, nb,
+        inherited = Map.empty, retain = retain)
+    }
 
   /** MERGE INTO's matched-row clause: overwrite with the source row, or
     * delete the target row. */

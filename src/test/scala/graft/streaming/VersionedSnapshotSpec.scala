@@ -267,6 +267,58 @@ class VersionedSnapshotSpec extends SparkSpec {
     assert(VersionedSnapshot.validateCurrent(spark, base))
   }
 
+  test("compact collapses a merge history into one generation, one file per bucket, content-identical") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-compact").resolve("snap").toString
+    val seed = (1L to 300L).map(i => (i, s"v$i")).toDF("k", "v")
+    VersionedSnapshot.mergeInto(base, seed, Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", numBuckets = 8)
+    // a run of small merges scatters buckets across generations
+    for (g <- 1 to 4) {
+      val delta = Seq((g.toLong, s"G$g"), (300L + g, s"N$g")).toDF("k", "v")
+      VersionedSnapshot.mergeInto(base, delta, Seq("k"),
+        UpdateMatched, insertUnmatched = true, marker = s"delta$g", numBuckets = 8)
+    }
+    val (_, fragEntries) = VersionedSnapshot.bucketManifest(spark, base).get
+    val fragGens = fragEntries.values.map(_.split('/')(1)).toSet
+    assert(fragGens.size > 1, s"history should span generations, got $fragGens")
+    val want = VersionedSnapshot.read(spark, base).get
+      .as[(Long, String)].collect().toMap
+    val vBefore = VersionedSnapshot.currentVersion(spark, base).get
+
+    val vAfter = VersionedSnapshot.compact(spark, base, Seq("k"), marker = "compact").get
+    assert(vAfter == vBefore + 1)
+    val (nb2, entries2) = VersionedSnapshot.bucketManifest(spark, base).get
+    assert(nb2 == 8)
+    // one generation, one data file per occupied bucket
+    assert(entries2.values.map(_.split('/')(1)).toSet.size == 1,
+      "compaction must land every bucket in a single generation")
+    entries2.foreach { case (b, rel) =>
+      val d = new java.io.File(base, rel)
+      val parts = d.listFiles().filter(f =>
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(parts.length == 1, s"bucket $b should hold one file, got ${parts.length}")
+    }
+    // row content identical, manifest valid, readers fine
+    val got = VersionedSnapshot.read(spark, base).get
+      .as[(Long, String)].collect().toMap
+    assert(got == want, "compaction must not change table content")
+    assert(VersionedSnapshot.validateCurrent(spark, base))
+    // a merge after compaction still prunes: untouched buckets keep
+    // referencing the compacted generation
+    VersionedSnapshot.mergeInto(base, Seq((1L, "Z")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "post", numBuckets = 8)
+    val (_, entries3) = VersionedSnapshot.bucketManifest(spark, base).get
+    val stillShared = entries3.count { case (b, rel) => entries2.get(b).contains(rel) }
+    assert(stillShared >= entries2.size - 1,
+      "a 1-key merge after compaction must reuse all but one compacted bucket")
+    // flat table: nothing to compact
+    val flatBase = Files.createTempDirectory("graft-compactflat").resolve("s").toString
+    VersionedSnapshot.publish(seed, flatBase, marker = "flat")
+    assert(VersionedSnapshot.compact(spark, flatBase, Seq("k"), marker = "x").isEmpty)
+  }
+
   test("bucketed retention GCs data dirs only when no retained version references them") {
     import spark.implicits._
     import VersionedSnapshot.UpdateMatched
