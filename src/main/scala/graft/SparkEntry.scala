@@ -1029,6 +1029,28 @@ object SparkEntry {
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
         .groupBy("split").agg(count(lit(1)).as("n_docs"))),
 
+    // ---- leakage-safe split: a near-duplicate of a training doc in the
+    // eval split silently inflates every benchmark number, so the split
+    // decision hashes each doc's CLUSTER REPRESENTATIVE (connected
+    // component of the near-dup graph; itself if unclustered) — whole
+    // dup families land on one side, cross-split contamination is
+    // structurally zero (spec-asserted). The per-doc split assignment
+    // stays stable as the corpus grows: adding docs can merge families
+    // (representatives can change) but never flips an isolated doc. ----
+    "split_leakage_safe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = graft.operators.Components.connectedComponents(
+        Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.2),
+        "id_a", "id_b")
+      docs.select(col("doc_id"))
+        .join(clusters.select(col("id").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+        .select(col("doc_id"), col("rep"),
+          graft.operators.Sampling.splitColumn(col("rep"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    }),
+
     // ---- bloom-pruned shuffle join: fact rows filtered by a dim-key
     // bloom sketch BEFORE the exchange; plain-join oracle proves exactness ----
     "bloom_prune_join" -> ((s, dir) => {
@@ -1241,6 +1263,34 @@ object SparkEntry {
       graft.operators.AsOf.join(ev, latest, "user_id", "o_custkey", "ts", "o_orderdate",
           Seq("o_orderkey", "o_totalprice"))
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    }),
+
+    // ---- point-in-time feature assembly (the feature-store/training-set
+    // shape): one row per label event (order) where every feature is
+    // computed strictly from data visible AT that moment — the
+    // no-future-leakage contract of training data. Two feature families
+    // composed in one plan: running prior-order aggregates over a
+    // 1-row-preceding frame (the label's own row can never leak into its
+    // features) and an as-of join against the customer's latest event
+    // value before the order date. Both stages partition by the customer
+    // key; nothing scans the future. ----
+    "pit_features" -> ((s, dir) => {
+      val wPrev = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val labels = Tables.orders(s, dir)
+        .withColumn("n_prior_orders", count(lit(1)).over(wPrev))
+        .withColumn("prior_revenue_cents",
+          sum(round(col("o_totalprice") * 100).cast("long")).over(wPrev))
+        .select("o_orderkey", "o_custkey", "o_orderdate",
+          "n_prior_orders", "prior_revenue_cents")
+      val evFeat = graft.operators.AsOf.latestPerKeyTs(
+        Tables.events(s, dir).select("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", tieBreak = "event_id", vals = Seq("value"))
+      graft.operators.AsOf.join(labels, evFeat,
+          "o_custkey", "user_id", "o_orderdate", "ts", Seq("value"))
+        .select(col("o_orderkey"), col("n_prior_orders"),
+          col("prior_revenue_cents"), col("value").as("last_event_value"))
     }),
 
     // ---- duplicate FAMILIES: connected components over near-dup pairs
@@ -3376,6 +3426,23 @@ object SparkEntry {
     // DuckDB's NATIVE ASOF JOIN is the oracle — a fully independent
     // implementation of the same point-in-time semantics as AsOf.join's
     // union+window formulation
+    "pit_features" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |         CAST(count(*) OVER wprev AS BIGINT) AS n_prior_orders,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER wprev
+        |              AS BIGINT) AS prior_revenue_cents
+        |  FROM orders
+        |  WINDOW wprev AS (PARTITION BY o_custkey
+        |                   ORDER BY o_orderdate, o_orderkey
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |ev AS (SELECT user_id, ts, arg_max(value, event_id) AS value
+        |       FROM events GROUP BY user_id, ts)
+        |SELECT f.o_orderkey, f.n_prior_orders, f.prior_revenue_cents,
+        |       ev.value AS last_event_value
+        |FROM f ASOF LEFT JOIN ev
+        |  ON f.o_custkey = ev.user_id AND ev.ts <= CAST(f.o_orderdate AS TIMESTAMP)""".stripMargin,
+
     "asof_join" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
@@ -3445,6 +3512,47 @@ object SparkEntry {
         |  UNION
         |  SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id)
         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    // the dedup_clusters fixpoint + the train_split bucket rule, keyed on
+    // the component representative instead of the doc itself
+    "split_leakage_safe" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |p AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT i.id_a, i.id_b,
+        |           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS j
+        |    FROM inter i
+        |    JOIN sizes sa ON i.id_a = sa.doc_id
+        |    JOIN sizes sb ON i.id_b = sb.doc_id)
+        |  WHERE round(j, 6) >= 0.2),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |v AS (SELECT DISTINCT src AS id FROM e),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM v
+        |  UNION
+        |  SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id),
+        |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |rp AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS rep
+        |       FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+        |b AS (SELECT doc_id, rep,
+        |        CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 6)) AS BIGINT)
+        |          % 10000 AS bucket
+        |      FROM rp)
+        |SELECT doc_id, rep,
+        |       CASE WHEN bucket < 8000 THEN 'train'
+        |            WHEN bucket < 9000 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b""".stripMargin,
 
     "doc_deboilerplate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

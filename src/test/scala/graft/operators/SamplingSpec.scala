@@ -136,6 +136,29 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.weightedPick(tiny, "g", "id", "w", k = 5, seed = 3).count() == 2)
   }
 
+  test("cluster-keyed split assignment never separates linked pairs (and the naive split would)") {
+    import org.apache.spark.sql.functions._
+    // 300 docs; (3i, 3i+1) are near-dup pairs, every third doc isolated
+    val pairs = (0L until 100L).map(i => (3 * i, 3 * i + 1)).toDF("id_a", "id_b")
+    val docs = (0L until 300L).toDF("doc_id")
+    val clusters = Components.connectedComponents(pairs, "id_a", "id_b")
+    def assign(keyCol: org.apache.spark.sql.Column) = docs
+      .join(clusters.select(col("id").as("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"),
+        Sampling.splitColumn(keyCol, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .as("split"))
+    def leaks(assigned: org.apache.spark.sql.DataFrame): Long = pairs
+      .join(assigned.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+      .join(assigned.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(leaks(assign(col("rep"))) == 0,
+      "cluster-keyed split must keep every near-dup family on one side")
+    // power check: the same data split per-doc DOES straddle pairs
+    assert(leaks(assign(col("doc_id"))) > 0,
+      "test has no power — naive split never separated any pair")
+  }
+
   test("weightedPick favors heavy weights across independent trials") {
     // 200 one-pick trials, weights 9:1 → heavy side should win ~90%
     val df = (1L to 200L).flatMap(t =>
