@@ -481,6 +481,47 @@ object SparkEntry {
           col("video.max_sample_size").as("max_sample_size"),
           col("video.media_ticks").as("media_ticks"))),
 
+    // ---- frame sampling at a uniform time grid: the sample table comes
+    // from the REAL container walk (stsz sizes + stts time runs,
+    // VideoCodec.decodeMp4SampleTable), one row per sample; the grid is
+    // one target per media second (capped at 32 — a hostile duration
+    // must not explode the fan-out) and each target picks the last
+    // sample starting at-or-before it — the keyframe-selection shape of
+    // every video curation pipeline, with byte offsets ready for a
+    // ranged fetch. Equi-join on the asset key with a residual time
+    // predicate: per-asset fan-out is bounded by the sample-table cap,
+    // so the pair count per asset is grid × samples, never corpus². ----
+    "mm_frame_sample" -> ((s, dir) => {
+      val samples = graft.multimodal.Multimodal.videoSampleRows(
+        graft.multimodal.Multimodal.synthesizeMp4SamplesPayload(
+          Tables.documents(s, dir).select(
+            col("doc_id").as("asset_id"),
+            (lit(600) * (lit(1) + col("doc_id") % 3)).cast("int").as("timescale"),
+            (col("n_chars") % 5000 + 600).cast("int").as("duration_ticks"),
+            (lit(1) + col("doc_id") % 2).cast("int").as("n_tracks"),
+            (lit(320) * (lit(1) + col("doc_id") % 4)).cast("int").as("width"),
+            (lit(240) * (lit(1) + col("doc_id") % 4)).cast("int").as("height"),
+            (col("n_chars") % 50 + 2).cast("int").as("n_samples"),
+            (col("doc_id") % 100 + 10).cast("int").as("size_base"),
+            (lit(100) + col("doc_id") % 10).cast("int").as("tick_delta")))
+          .select("asset_id", "payload"))
+      val grid = samples.groupBy(col("asset_id").as("g_asset"), col("timescale").as("tsc"))
+        .agg(max(col("start_tick") + col("dur_ticks")).as("total_ticks"))
+        .select(col("g_asset"), col("tsc"),
+          explode(sequence(lit(0L),
+            least(expr("(total_ticks - 1) div tsc"), lit(31L)))).as("sec"))
+      grid.join(samples,
+          col("g_asset") === col("asset_id") &&
+            col("start_tick") <= col("sec") * col("tsc"))
+        .groupBy(col("g_asset"), col("sec"))
+        .agg(max(struct(col("start_tick"), col("sample_idx"),
+          col("byte_offset"), col("sample_size"))).as("pick"))
+        .select(col("g_asset").as("asset_id"), col("sec"),
+          col("pick.sample_idx").as("sample_idx"),
+          col("pick.byte_offset").as("byte_offset"),
+          col("pick.sample_size").as("sample_size"))
+    }),
+
     // deterministic weighted source interleave (stride scheduling) —
     // the training-order "data mixing" step; scale-safe via GlobalIndex,
     // no per-source window
@@ -1081,6 +1122,29 @@ object SparkEntry {
         ev.filter(col("ts") >= cutoff), Seq("event_type"), col("v"))
       graft.operators.Incremental.withAvg(
         graft.operators.Incremental.merge(Seq(old, delta), Seq("event_type")))
+    }),
+
+    // ---- incremental JOIN view maintenance: the maintained view
+    // (V_old ∪ ΔV with ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) must equal the full
+    // recomputation — the oracle computes the plain join, so the hash
+    // match IS the delta-join correctness proof. Deltas cut both sides:
+    // late orders (time) and a customer-dimension backfill (hash). ----
+    "incr_join_view" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+        .select(col("o_custkey").as("custkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val cutoff = lit("1996-01-01").cast("date")
+      val (aOld, aDelta) = (orders.filter(col("o_orderdate") < cutoff),
+        orders.filter(col("o_orderdate") >= cutoff))
+      val (bOld, bDelta) = (cust.filter(pmod(col("custkey"), lit(10)) =!= 0),
+        cust.filter(pmod(col("custkey"), lit(10)) === 0))
+      val vOld = aOld.join(bOld, Seq("custkey"))
+      val maintained = vOld.unionByName(
+        graft.operators.Incremental.joinDelta(aOld, bOld, aDelta, bDelta, Seq("custkey")))
+      maintained.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("revenue_cents"))
     }),
 
     // ---- streaming snapshot maintenance, batch-replay form: drive the
@@ -4520,6 +4584,35 @@ object SparkEntry {
         | CAST((n // 2) * delta + (n - n // 2) * 2 * delta AS BIGINT) AS media_ticks
         |FROM g""".stripMargin,
 
+    // closed-form mirror of the synthesized first-track sample table
+    // (sizes base+(i%7)·17, stts runs delta then 2·delta) — any bug in
+    // the stsz/stts materializing walk or the grid selection breaks it
+    "mm_frame_sample" ->
+      """WITH g AS (SELECT doc_id, n_chars % 50 + 2 AS n, doc_id % 100 + 10 AS base,
+        |                  100 + doc_id % 10 AS delta,
+        |                  CAST(600 * (1 + doc_id % 3) AS BIGINT) AS tsc
+        |           FROM documents),
+        |smp AS (SELECT doc_id, CAST(i AS INTEGER) AS sample_idx,
+        |               CAST(base + (i % 7) * 17 AS BIGINT) AS sample_size,
+        |               CAST(i * base + 17 * ((i // 7) * 21 + (i % 7) * ((i % 7) - 1) // 2)
+        |                    AS BIGINT) AS byte_offset,
+        |               CAST(CASE WHEN i < n // 2 THEN i * delta
+        |                    ELSE (n // 2) * delta + (i - n // 2) * 2 * delta END
+        |                    AS BIGINT) AS start_tick,
+        |               CAST(CASE WHEN i < n // 2 THEN delta ELSE 2 * delta END
+        |                    AS BIGINT) AS dur
+        |        FROM g, UNNEST(range(0, n)) AS t(i)),
+        |tot AS (SELECT doc_id, max(start_tick + dur) AS total_ticks FROM smp GROUP BY 1),
+        |grid AS (SELECT g.doc_id, g.tsc, CAST(sq.s AS BIGINT) AS sec
+        |         FROM g JOIN tot ON g.doc_id = tot.doc_id,
+        |              UNNEST(range(0, least((tot.total_ticks - 1) // g.tsc, 31) + 1)) AS sq(s)),
+        |pick AS (SELECT gr.doc_id, gr.sec, max(sm.start_tick) AS st
+        |         FROM grid gr JOIN smp sm
+        |           ON sm.doc_id = gr.doc_id AND sm.start_tick <= gr.sec * gr.tsc
+        |         GROUP BY 1, 2)
+        |SELECT p.doc_id AS asset_id, p.sec, sm.sample_idx, sm.byte_offset, sm.sample_size
+        |FROM pick p JOIN smp sm ON sm.doc_id = p.doc_id AND sm.start_tick = p.st""".stripMargin,
+
     // total order (n_chars DESC, doc_id) has no peers, so the window's
     // default RANGE frame equals the operator's ROWS semantics
     "corpus_budget_select" ->
@@ -4846,6 +4939,15 @@ object SparkEntry {
         |       min(v) AS min_v, max(v) AS max_v,
         |       CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_v
         |FROM q GROUP BY 1""".stripMargin,
+
+    // the oracle is the FULL recomputation — hash equality proves the
+    // maintained delta-join view identical to rejoining from scratch
+    "incr_join_view" ->
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
 
     "dedup_stream_replay" ->
       """SELECT user_id, event_type, event_id FROM (

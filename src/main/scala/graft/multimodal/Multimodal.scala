@@ -343,6 +343,44 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Per-sample rows of each asset's FIRST video track, from the REAL
+    * container walk ([[VideoCodec.decodeMp4SampleTable]]): one output row
+    * per sample with its size, cumulative byte offset, start tick and
+    * duration, plus the movie timescale — the relation every
+    * frame-addressed operator (keyframe pick, uniform-time sampling,
+    * segment slicing) joins against. Map-only fan-out, no shuffle;
+    * payloads that don't decode (corrupt, no sample table) contribute NO
+    * rows — the curation-drop convention, asserted in spec. Expects
+    * (asset_id, payload). */
+  def videoSampleRows(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", df.schema("asset_id").dataType, nullable = false),
+      StructField("timescale", LongType, nullable = false),
+      StructField("sample_idx", IntegerType, nullable = false),
+      StructField("sample_size", LongType, nullable = false),
+      StructField("byte_offset", LongType, nullable = false),
+      StructField("start_tick", LongType, nullable = false),
+      StructField("dur_ticks", LongType, nullable = false)))
+    val aIdx = df.schema.fieldIndex("asset_id")
+    val pIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val p = r.getAs[Array[Byte]](pIdx)
+        val decoded =
+          try for {
+            meta <- VideoCodec.decodeMp4(p)
+            tbl <- VideoCodec.decodeMp4SampleTable(p)
+          } yield (meta.timescale, tbl)
+          catch { case scala.util.control.NonFatal(_) => None }
+        decoded.toSeq.flatMap { case (tsc, tbl) =>
+          tbl.iterator.zipWithIndex.map { case ((sz, off, start, dur), i) =>
+            org.apache.spark.sql.Row(r.get(aIdx), tsc, i, sz, off, start, dur)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Frame/segment sampling plumbing: emit `k` logical sample offsets per
     * asset (time- or byte-based) as one row each — the fan-out a video
     * frame-sampler produces, without the codec. Downstream operators see

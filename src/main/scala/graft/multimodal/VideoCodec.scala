@@ -143,23 +143,26 @@ object VideoCodec {
     * counts running past the box — is malformed input (None). Aggregation
     * is streaming: entry counts size nothing, so a hostile 2³²-entry
     * declaration cannot allocate. */
-  private[multimodal] def parseSampleTables(b: Array[Byte], start: Long, end: Long): Option[(Long, Long, Long, Long)] = {
-    // Right(Some(bounds)) = found, Right(None) = genuinely absent,
-    // Left(()) = a child box is malformed — absent means zero stats,
-    // malformed must poison the whole decode (a corrupt container must
-    // not masquerade as a clean metadata-only one)
-    def descend(tp: String, s: Long, e: Long): Either[Unit, Option[(Long, Long)]] = {
-      var off = s
-      while (off + 8 <= e) {
-        boxBounds(b, off, e, allowToEnd = false) match {
-          case None => return Left(())
-          case Some((payload, boxEnd)) =>
-            if (tag(b, off.toInt + 4) == tp) return Right(Some((payload, boxEnd)))
-            off = boxEnd
-        }
+  /** First child box of type `tp` in [s, e): Right(Some(bounds)) = found,
+    * Right(None) = genuinely absent, Left(()) = a child box is malformed —
+    * absent means zero stats, malformed must poison the whole decode (a
+    * corrupt container must not masquerade as a clean metadata-only one). */
+  private def findChild(b: Array[Byte], tp: String, s: Long, e: Long): Either[Unit, Option[(Long, Long)]] = {
+    var off = s
+    while (off + 8 <= e) {
+      boxBounds(b, off, e, allowToEnd = false) match {
+        case None => return Left(())
+        case Some((payload, boxEnd)) =>
+          if (tag(b, off.toInt + 4) == tp) return Right(Some((payload, boxEnd)))
+          off = boxEnd
       }
-      Right(None)
     }
+    Right(None)
+  }
+
+  private[multimodal] def parseSampleTables(b: Array[Byte], start: Long, end: Long): Option[(Long, Long, Long, Long)] = {
+    def descend(tp: String, s: Long, e: Long): Either[Unit, Option[(Long, Long)]] =
+      findChild(b, tp, s, e)
     val stbl: Either[Unit, Option[(Long, Long)]] = for {
       mdia <- descend("mdia", start, end)
       minf <- mdia.map(m => descend("minf", m._1, m._2)).getOrElse(Right(None))
@@ -215,6 +218,132 @@ object VideoCodec {
           case Right(None) => ()
         }
         Some((n, bytes, mx, ticks))
+    }
+  }
+
+  /** Materialized per-sample table of the FIRST track that carries an
+    * `stbl` with an `stsz`: one entry per sample in presentation order,
+    * `(size_bytes, byte_offset, start_tick, dur_ticks)` with byte offsets
+    * cumulative over the track's samples (the contiguous single-chunk
+    * layout the canonical writer produces; chunked files would add an
+    * stco/stsc base, same seam). Same corrupt-never-throw contract as
+    * [[decodeMp4]], plus one guard this MATERIALIZING walk needs that the
+    * streaming aggregate doesn't: a declared sample count above
+    * `maxSamples` is rejected — frame sampling addresses one asset at a
+    * time, and a hostile 2³¹-entry `stsz` must not become a 2³¹-element
+    * allocation. An stsz/stts count mismatch is malformed (None), per the
+    * ISO-BMFF invariant that the tables describe the same samples. */
+  def decodeMp4SampleTable(b: Array[Byte], maxSamples: Int = 1 << 16)
+      : Option[IndexedSeq[(Long, Long, Long, Long)]] = {
+    if (b == null || b.length < 16) return None
+    if (tag(b, 4) != "ftyp") return None
+    val limit = b.length.toLong
+    var off = 0L
+    var moov: Option[(Long, Long)] = None
+    while (off + 8 <= limit && moov.isEmpty) {
+      boxBounds(b, off, limit, allowToEnd = true) match {
+        case None => return None
+        case Some((payload, end)) =>
+          if (tag(b, off.toInt + 4) == "moov") moov = Some((payload, end))
+          off = end
+      }
+    }
+    moov.flatMap { case (s, e) => firstTrackSamples(b, s, e, maxSamples) }
+  }
+
+  private def firstTrackSamples(b: Array[Byte], start: Long, end: Long,
+      maxSamples: Int): Option[IndexedSeq[(Long, Long, Long, Long)]] = {
+    var off = start
+    while (off + 8 <= end) {
+      boxBounds(b, off, end, allowToEnd = false) match {
+        case None => return None
+        case Some((payload, boxEnd)) =>
+          if (tag(b, off.toInt + 4) == "trak") {
+            trackSamples(b, payload, boxEnd, maxSamples) match {
+              case Left(()) => return None // malformed poisons the decode
+              case Right(Some(tbl)) => return Some(tbl)
+              case Right(None) => () // no sample table on this track
+            }
+          }
+          off = boxEnd
+      }
+    }
+    None
+  }
+
+  private def trackSamples(b: Array[Byte], start: Long, end: Long, maxSamples: Int)
+      : Either[Unit, Option[IndexedSeq[(Long, Long, Long, Long)]]] = {
+    val stblB = for {
+      mdia <- findChild(b, "mdia", start, end)
+      minf <- mdia.map(m => findChild(b, "minf", m._1, m._2)).getOrElse(Right(None))
+      stbl <- minf.map(m => findChild(b, "stbl", m._1, m._2)).getOrElse(Right(None))
+    } yield stbl
+    stblB match {
+      case Left(()) => Left(())
+      case Right(None) => Right(None)
+      case Right(Some((s, e))) =>
+        findChild(b, "stsz", s, e) match {
+          case Left(()) => Left(())
+          case Right(None) => Right(None) // stbl without stsz: no samples
+          case Right(Some((p, pe))) =>
+            if (p + 12 > pe) return Left(())
+            val uniform = u32(b, p.toInt + 4)
+            val count = u32(b, p.toInt + 8)
+            if (count > maxSamples || uniform > Int.MaxValue) return Left(())
+            val n = count.toInt
+            val sizes = new Array[Long](n)
+            if (uniform != 0L) java.util.Arrays.fill(sizes, uniform)
+            else {
+              if (p + 12 + count * 4 > pe) return Left(())
+              var i = 0
+              while (i < n) {
+                val sz = u32(b, (p + 12 + i.toLong * 4).toInt)
+                if (sz > Int.MaxValue) return Left(())
+                sizes(i) = sz
+                i += 1
+              }
+            }
+            val durs = new Array[Long](n)
+            findChild(b, "stts", s, e) match {
+              case Left(()) => return Left(())
+              // stsz without stts cannot place samples in time: malformed
+              // for a TIME-addressed walk (the aggregate path treats it as
+              // zero ticks; here it would fabricate timestamps)
+              case Right(None) => return Left(())
+              case Right(Some((q, qe))) =>
+                if (q + 8 > qe) return Left(())
+                val entries = u32(b, q.toInt + 4)
+                var i = 0L
+                var si = 0
+                while (i < entries) {
+                  val base = q + 8 + i * 8
+                  if (base + 8 > qe) return Left(())
+                  val cnt = u32(b, base.toInt)
+                  val delta = u32(b, base.toInt + 4)
+                  if (cnt > Int.MaxValue || delta > Int.MaxValue) return Left(())
+                  var j = 0L
+                  while (j < cnt) {
+                    if (si >= n) return Left(()) // stts over-declares
+                    durs(si) = delta
+                    si += 1; j += 1
+                  }
+                  i += 1
+                }
+                if (si != n) return Left(()) // stts under-declares
+            }
+            // cumulative offsets/ticks with the running-sum wrap guard
+            val out = Vector.newBuilder[(Long, Long, Long, Long)]
+            var byteOff = 0L
+            var tick = 0L
+            var i = 0
+            while (i < n) {
+              out += ((sizes(i), byteOff, tick, durs(i)))
+              byteOff += sizes(i); if (byteOff < 0) return Left(())
+              tick += durs(i); if (tick < 0) return Left(())
+              i += 1
+            }
+            Right(Some(out.result()))
+        }
     }
   }
 

@@ -336,6 +336,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).isEmpty)
   }
 
+  test("videoSampleRows fans out per-sample rows; undecodable payloads contribute none") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, VideoCodec.encodeMp4(600, 6000, 1, 320, 240, samples = Some((5, 10, 100)))),
+        Row(2L, VideoCodec.encodeMp4(600, 6000, 1, 320, 240)), // metadata-only
+        Row(3L, "not a movie".getBytes))),
+      StructType(Seq(
+        StructField("asset_id", LongType), StructField("payload", BinaryType))))
+    val rows = Multimodal.videoSampleRows(df)
+      .orderBy(col("asset_id"), col("sample_idx")).collect()
+    assert(rows.forall(_.getLong(0) == 1L), "only the sampled asset yields rows")
+    assert(rows.length == 5)
+    assert(rows.map(_.getInt(2)).toSeq == (0 until 5))
+    assert(rows.map(_.getLong(1)).distinct.toSeq == Seq(600L)) // movie timescale
+    // offsets cumulative over sizes 10+(i%7)*17
+    assert(rows.map(_.getLong(4)).toSeq == Seq(0L, 10L, 37L, 81L, 142L))
+    // ticks: n1=2 at delta, rest at 2*delta
+    assert(rows.map(_.getLong(5)).toSeq == Seq(0L, 100L, 200L, 400L, 600L))
+  }
+
   test("VideoCodec walks stsz/stts sample tables into stream statistics") {
     // n=10, base=50, delta=100: sizes 50+(i%7)*17 → one full cycle (21*17)
     // plus 0+1+2 of the next; stts = 5×100 + 5×200

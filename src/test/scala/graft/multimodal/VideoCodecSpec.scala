@@ -44,6 +44,43 @@ class VideoCodecSpec extends AnyFunSuite {
     assert(VideoCodec.decodeMp4(tinyBox).isEmpty)
   }
 
+  test("decodeMp4SampleTable materializes the first track's samples with cumulative offsets/ticks") {
+    val n = 11; val base = 20; val delta = 100
+    val bytes = VideoCodec.encodeMp4(600, 6000, 2, 640, 480, samples = Some((n, base, delta)))
+    val tbl = VideoCodec.decodeMp4SampleTable(bytes).get
+    assert(tbl.length == n)
+    var off = 0L; var tick = 0L
+    for (i <- 0 until n) {
+      val size = base + (i % 7) * 17L
+      val dur = if (i < n / 2) delta.toLong else 2L * delta
+      assert(tbl(i) == ((size, off, tick, dur)), s"sample $i: ${tbl(i)}")
+      off += size; tick += dur
+    }
+    // metadata-only container: no sample table to materialize
+    assert(VideoCodec.decodeMp4SampleTable(
+      VideoCodec.encodeMp4(600, 6000, 1, 320, 240)).isEmpty)
+    // oversized declared count is rejected, not allocated
+    assert(VideoCodec.decodeMp4SampleTable(bytes, maxSamples = n - 1).isEmpty)
+    // corrupt bytes: never throw
+    assert(VideoCodec.decodeMp4SampleTable(null).isEmpty)
+    assert(VideoCodec.decodeMp4SampleTable(bytes.take(40)).isEmpty)
+    // an stts whose run totals disagree with stsz is malformed: find the
+    // stts entry_count field and shrink it so the runs under-declare
+    val sttsAt = {
+      var i = 0
+      var found = -1
+      while (found < 0 && i + 8 <= bytes.length) {
+        if (new String(bytes, i + 4, 4, "US-ASCII") == "stts") found = i
+        i += 1
+      }
+      found
+    }
+    assert(sttsAt > 0)
+    val mismatched = bytes.clone()
+    java.nio.ByteBuffer.wrap(mismatched, sttsAt + 12, 4).putInt(1) // one run only
+    assert(VideoCodec.decodeMp4SampleTable(mismatched).isEmpty)
+  }
+
   test("fuzz: random and bit-flipped blobs never throw") {
     val rnd = new scala.util.Random(43)
     for (_ <- 1 to 500) {

@@ -36,4 +36,26 @@ class IncrementalSpec extends SparkSpec {
       Incremental.partials(Seq(("x", 1L), ("x", 2L)).toDF("k", "v"), Seq("k"), col("v")))
     assert(snap.head().getAs[Double]("avg_v") == 1.5)
   }
+
+  test("joinDelta: maintained view equals full rejoin, terms are disjoint, multi-matches kept") {
+    // multi-row matches on both sides; k=3 arrives ONLY via deltas (both
+    // sides), k=4's left rows are old but its right row is new
+    val aOld = Seq((1, "a1"), (1, "a2"), (2, "a3"), (4, "a4")).toDF("k", "av")
+    val bOld = Seq((1, "b1"), (2, "b2"), (2, "b3")).toDF("k", "bv")
+    val aDelta = Seq((1, "a5"), (3, "a6")).toDF("k", "av")
+    val bDelta = Seq((3, "b4"), (4, "b5")).toDF("k", "bv")
+    val aFull = aOld.unionByName(aDelta); val bFull = bOld.unionByName(bDelta)
+    val maintained = aOld.join(bOld, Seq("k"))
+      .unionByName(Incremental.joinDelta(aOld, bOld, aDelta, bDelta, Seq("k")))
+    // multiset equality (duplicates matter in a join view)
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(bag(maintained) == bag(aFull.join(bFull, Seq("k"))),
+      "V_old ∪ ΔV must equal the full rejoin as a multiset")
+    // non-key collision is rejected loudly
+    intercept[IllegalArgumentException] {
+      Incremental.joinDelta(aOld, bOld.withColumnRenamed("bv", "av"),
+        aDelta, bDelta.withColumnRenamed("bv", "av"), Seq("k"))
+    }
+  }
 }
