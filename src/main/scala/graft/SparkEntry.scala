@@ -50,6 +50,8 @@ object SparkEntry {
   private val PqM = 8           // pq_topk: subspaces (64-dim → 8×8)
   private val PqK = 16          // pq_topk: codewords per subspace
   private val RecallPanel = 64  // *_recall: hash-sampled query-panel size
+  private val MaxSimGroup = 8   // maxsim_topk: vectors per multi-vector doc
+  private val MaxSimPanel = 16  // maxsim_topk: hash-sampled query-doc panel
   private val AlignK = 4        // margin_align_pairs: neighborhood size
   private val AlignMinMarginE6 = 1000000L // margin ≥ 1.0: above neighborhood avg
   private val BtIterations = 3  // bt_event_scores: MM fixpoint iterations
@@ -725,6 +727,15 @@ object SparkEntry {
         Similarity.panelTopKAgainst(emb, deq, "vec_id", "embedding",
           panelSize = RecallPanel, k = AnnK))
     }),
+
+    // ---- late-interaction retrieval: consecutive-id vector groups act
+    // as multi-vector documents; a hash-sampled query-doc panel ranks the
+    // corpus by MaxSim (Σ per-query-token best cosine). Panel broadcast ×
+    // corpus stream — linear, ungated; at 100 TB the panel leg swaps for
+    // per-vector LSH/IVF candidates feeding the same max-then-sum layer ----
+    "maxsim_topk" -> ((s, dir) =>
+      Similarity.maxSimTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        groupSize = MaxSimGroup, panelSize = MaxSimPanel, k = AnnK)),
 
     // ---- margin-based pair mining (bitext-mining shape): halves of the
     // embedding corpus act as the two "languages"; candidates here are
@@ -4773,6 +4784,36 @@ object SparkEntry {
         |                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS "rank"
         |      FROM scored)
         |SELECT query_id, neighbor_id, cosine_sim, CAST("rank" AS INTEGER) AS "rank" FROM r WHERE "rank" <= 5""".stripMargin,
+
+    "maxsim_topk" ->
+      s"""WITH msflat AS (
+        |  SELECT vec_id, vec_id // $MaxSimGroup AS doc_id,
+        |         generate_subscripts(embedding, 1) AS i,
+        |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |msnorms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM msflat GROUP BY vec_id),
+        |mspanel AS (SELECT doc_id FROM (SELECT DISTINCT doc_id FROM msflat)
+        |            ORDER BY ${dh("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC
+        |            LIMIT $MaxSimPanel),
+        |msdots AS (
+        |  SELECT a.doc_id AS query_doc, a.vec_id AS q_tok,
+        |         b.doc_id AS neighbor_doc, b.vec_id AS c_tok,
+        |         sum(a.x * b.x) AS dp
+        |  FROM msflat a JOIN msflat b ON a.i = b.i AND a.doc_id <> b.doc_id
+        |  WHERE a.doc_id IN (SELECT doc_id FROM mspanel)
+        |  GROUP BY 1, 2, 3, 4),
+        |mscos AS (
+        |  SELECT query_doc, q_tok, neighbor_doc,
+        |         max(round(dp / (na.nrm * nb.nrm), 6)) AS m
+        |  FROM msdots JOIN msnorms na ON q_tok = na.vec_id
+        |              JOIN msnorms nb ON c_tok = nb.vec_id
+        |  GROUP BY 1, 2, 3),
+        |msscore AS (SELECT query_doc, neighbor_doc, round(sum(m), 6) AS maxsim
+        |            FROM mscos GROUP BY 1, 2),
+        |msr AS (SELECT *, row_number() OVER (PARTITION BY query_doc
+        |          ORDER BY maxsim DESC, neighbor_doc ASC) AS "rank" FROM msscore)
+        |SELECT query_doc, neighbor_doc, maxsim, CAST("rank" AS INTEGER) AS "rank"
+        |FROM msr WHERE "rank" <= $AnnK""".stripMargin,
 
     "near_dup_embeddings" ->
       """WITH flat AS (

@@ -132,6 +132,66 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine_sim", "rank")
   }
 
+  /** Late-interaction (ColBERT-style MaxSim) retrieval over MULTI-VECTOR
+    * documents: each document is represented by a GROUP of token-level
+    * vectors and scored against a query document as
+    *
+    *   MaxSim(q, d) = Σ_{qv ∈ q} max_{dv ∈ d} cos(qv, dv)
+    *
+    * — every query vector picks its best-matching document vector and the
+    * per-token maxima sum (Khattab & Zaharia, SIGIR '20). This is the
+    * retrieval family between single-vector ANN (loses token locality)
+    * and full cross-encoders (can't be indexed at all); relationally it
+    * is two cascaded aggregations over a vector-pair join, which is why
+    * it fits the engine as a plain declarative plan.
+    *
+    * Documents are derived from consecutive vector ids (`id div
+    * groupSize` — the deterministic grouping the synthetic corpus
+    * supports); queries are the `panelSize` documents with the smallest
+    * portable hash of their doc id, the same reproducible-panel rule as
+    * [[panelExactTopK]]. Scale shape: the panel's vectors (panelSize ×
+    * groupSize rows) BROADCAST and the corpus streams past them once —
+    * linear in corpus, no gate; the two aggregations reduce
+    * (panel·docs·groupSize) → (panel·docs) rows with map-side partial
+    * combine before the only shuffle. At 100 TB the same plan serves
+    * with an LSH/IVF candidate join replacing the panel broadcast
+    * (candidate generation per QUERY VECTOR, then the identical
+    * max-then-sum reduction — the MaxSim layer is candidate-agnostic,
+    * like [[marginAlign]]).
+    *
+    * Per-pair cosines and the final sum round to 6 decimals (the
+    * [[bruteForceTopK]] convention) so the ranking is reproducible
+    * across engines. Output: (query_doc, neighbor_doc, maxsim, rank),
+    * rank 1..k by (maxsim DESC, neighbor_doc ASC). */
+  def maxSimTopK(df: DataFrame, idCol: String, vecCol: String,
+      groupSize: Int, panelSize: Int, k: Int): DataFrame = {
+    require(groupSize >= 1, "groupSize must be >= 1")
+    require(panelSize >= 1 && k >= 1, "panelSize and k must be >= 1")
+    val vecs = withNorm(df, idCol, vecCol)
+      .withColumn("__doc", expr(s"CAST($idCol AS BIGINT) div $groupSize"))
+    val panelDocs = vecs.select(col("__doc")).distinct()
+      .withColumn("__h", graft.functions.PortableHash.hash60(col("__doc")))
+      .orderBy(col("__h").asc, col("__doc").asc).limit(panelSize)
+      .select(col("__doc").as("query_doc"))
+    val qv = vecs.join(broadcast(panelDocs), col("__doc") === col("query_doc"))
+      .select(col("query_doc"), col(idCol).as("__qtok"),
+        col("vec").as("qvec"), col("norm").as("qnorm"))
+    val cv = vecs.select(col("__doc").as("neighbor_doc"),
+      col("vec").as("cvec"), col("norm").as("cnorm"))
+    val scored = cv.join(broadcast(qv), col("query_doc") =!= col("neighbor_doc"))
+      .withColumn("__cos", cosineSim(Vectors.dot(col("qvec"), col("cvec")),
+        col("qnorm") * col("cnorm")))
+    val perQueryVec = scored.groupBy("query_doc", "neighbor_doc", "__qtok")
+      .agg(max(col("__cos")).as("__m"))
+    val score = perQueryVec.groupBy("query_doc", "neighbor_doc")
+      .agg(round(sum(col("__m")), 6).as("maxsim"))
+    val w = Window.partitionBy("query_doc")
+      .orderBy(col("maxsim").desc, col("neighbor_doc").asc)
+    score.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_doc", "neighbor_doc", "maxsim", "rank")
+  }
+
   /** Random-hyperplane signature: `nBits` sign bits of dot(vec, h_i).
     * Hyperplane components are Rademacher ±1 values derived driver-side from
     * a splitmix64-style mix of (bit, component) — reproducible across runs

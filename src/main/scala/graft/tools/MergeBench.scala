@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.streaming.VersionedSnapshot
+
+/** Measures the bucket-pruned MERGE's cost shape: merge ~1%-of-keys
+  * deltas into an orders snapshot and report wall time plus BYTES WRITTEN
+  * per publish, across the three regimes that matter:
+  *
+  *   a) bucket-local delta into the bucketed layout — the key-local CDC
+  *      batch shape; prunes to touched buckets, inherits the rest by
+  *      reference (bytes ≈ touched/numBuckets of the table)
+  *   b) uniformly-spread delta into the bucketed layout — hash bucketing
+  *      spreads a uniform key sample across ALL buckets, so pruning
+  *      cannot help; the honest bound is
+  *      touched = min(numBuckets, |delta keys|)
+  *   c) flat layout — no pruning available, always a full rewrite
+  *
+  *   tools/run.sh graft.tools.MergeBench [sfDir]
+  *
+  * The bytes ratio a÷c is the pruning win; b documents the regime where
+  * copy-on-write amplifies regardless of layout (the merge-on-read /
+  * delta-log seam in production table formats).
+  */
+object MergeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nb = 256
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val nRows = orders.count()
+    // ~1% of keys, bucket-local (buckets 0..2 of 256 — the key-local CDC
+    // batch shape; same bucket fn as VersionedSnapshot.bucketOf)
+    val localDelta = orders
+      .filter(pmod(xxhash64(col("o_orderkey")), lit(nb)) < 3)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    // ~1% of keys, uniformly spread (worst case for pruning)
+    val spreadDelta = orders
+      .filter(col("o_orderkey") % 100 === 7)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    val nLocal = localDelta.count(); val nSpread = spreadDelta.count()
+
+    def bytesOf(dir: String): Long = {
+      def walk(d: java.io.File): Long =
+        Option(d.listFiles()).map(_.map(x =>
+          if (x.isDirectory) walk(x) else x.length()).sum).getOrElse(0L)
+      walk(new java.io.File(dir))
+    }
+    def timed(tag: String)(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$tag%-40s $s%7.2f s")
+      s
+    }
+
+    val root = java.nio.file.Files.createTempDirectory("mergebench").toString
+    def freshTable(dir: String, bucketed: Boolean): Unit =
+      if (bucketed)
+        VersionedSnapshot.mergeInto(dir, orders, Seq("o_orderkey"),
+          VersionedSnapshot.UpdateMatched, insertUnmatched = true,
+          marker = "init", retain = 1, numBuckets = nb)
+      else VersionedSnapshot.publish(orders, dir, marker = "init", retain = 1)
+
+    def measure(tag: String, dir: String, bucketed: Boolean,
+        delta: org.apache.spark.sql.DataFrame): Long = {
+      freshTable(dir, bucketed)
+      val before = bytesOf(dir)
+      timed(tag) {
+        VersionedSnapshot.mergeInto(dir, delta, Seq("o_orderkey"),
+          VersionedSnapshot.UpdateMatched, insertUnmatched = true,
+          marker = "delta", retain = 1, numBuckets = nb)
+      }
+      bytesOf(dir) - before
+    }
+
+    val aBytes = measure("bucketed(256): bucket-local ~1% merge",
+      s"$root/a", bucketed = true, localDelta)
+    val bBytes = measure("bucketed(256): uniform ~1% merge",
+      s"$root/b", bucketed = true, spreadDelta)
+    val cBytes = measure("flat: ~1% merge (full rewrite)",
+      s"$root/c", bucketed = false, spreadDelta)
+
+    println(f"rows=$nRows localDelta=$nLocal (${100.0 * nLocal / nRows}%.2f%%) " +
+      f"spreadDelta=$nSpread (${100.0 * nSpread / nRows}%.2f%%)")
+    println(f"bytes written: bucket-local=${aBytes / 1024}%d KiB, " +
+      f"uniform=${bBytes / 1024}%d KiB, flat=${cBytes / 1024}%d KiB; " +
+      f"local-vs-flat ratio=${cBytes.toDouble / math.max(1, aBytes)}%.1fx")
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    spark.stop()
+  }
+}

@@ -240,4 +240,45 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("id") =!= col("cluster_id")).select("id").as[Long].collect().toSet
     assert(kept == (0L to 9L).toSet -- losers)
   }
+
+  test("maxSimTopK scores by sum of per-query-token best cosines") {
+    // 2 docs of 2 vectors (groupSize=2): doc0 = {e1, e2}, doc1 = {e1-ish, e2},
+    // doc2 = {orthogonal, opposite}. MaxSim(doc0, doc1) ≈ cos(e1,e1') + 1.0;
+    // doc2 matches doc0 far worse on both tokens.
+    val mv = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (5L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.maxSimTopK(mv, "vec_id", "embedding",
+        groupSize = 2, panelSize = 3, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    // every doc is a panel query (panelSize covers all 3 docs)
+    assert(out.keySet.map(_._1) == Set(0L, 1L, 2L))
+    val cos12 = 0.9 / math.sqrt(0.81 + 0.01)
+    assert(math.abs(out((0L, 1L))._1 - (cos12 + 1.0)) < 1e-5)
+    assert(out((0L, 1L))._2 == 1) // doc1 outranks doc2 for doc0
+    assert(out((0L, 2L))._2 == 2)
+    // doc0↔doc1 symmetric here: same best-match structure both ways
+    assert(math.abs(out((1L, 0L))._1 - (cos12 + 1.0)) < 1e-5)
+  }
+
+  test("maxSimTopK rank is dense 1..k per query doc with deterministic ties") {
+    val mv = (0L until 16L).map(i =>
+      (i, Seq.tabulate(4)(d => if (d == (i % 4).toInt) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.maxSimTopK(mv, "vec_id", "embedding",
+      groupSize = 4, panelSize = 4, k = 3).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    // 4 docs, each with identical token structure → all ties; ranking
+    // must still be dense and by neighbor id ascending
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3))
+      val ordered = rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+      assert(ordered == ordered.sorted)
+    }
+  }
 }
