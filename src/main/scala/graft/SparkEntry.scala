@@ -52,6 +52,7 @@ object SparkEntry {
   private val RecallPanel = 64  // *_recall: hash-sampled query-panel size
   private val MaxSimGroup = 8   // maxsim_topk: vectors per multi-vector doc
   private val MaxSimPanel = 16  // maxsim_topk: hash-sampled query-doc panel
+  private val KmvK = 64         // kmv_type_jaccard: k minimum values per set
   private val AlignK = 4        // margin_align_pairs: neighborhood size
   private val AlignMinMarginE6 = 1000000L // margin ≥ 1.0: above neighborhood avg
   private val BtIterations = 3  // bt_event_scores: MM fixpoint iterations
@@ -770,6 +771,46 @@ object SparkEntry {
     "near_dup_lsh" -> ((s, dir) =>
       Similarity.lshNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         dim = Dim, nBits = NdBits, threshold = NdThreshold, tables = NdTables)),
+
+    // ---- duplicate-graph density: per-node triangle counts over the
+    // SimHash near-dup pair graph (degree-ordered wedge counting —
+    // cliques score high, borderline chains score zero: the
+    // transitive-overmerge diagnostic for the CC-based keeper pass) ----
+    "dup_graph_triangles" -> ((s, dir) =>
+      graft.operators.Components.triangleCounts(
+        Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = ShMaxHamming, blocks = ShBlocks, blocksPerKey = ShBlocksPerKey,
+          portable = true),
+        "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("n_triangles"))),
+
+    // ---- KMV set sketches: per-event-type user sets sketched to the 64
+    // smallest portable hashes; pairwise Jaccard estimated from merged
+    // sketches, with the exact Jaccard alongside — the deterministic
+    // (hash-matchable) member of the set-similarity sketch family ----
+    "kmv_type_jaccard" -> ((s, dir) => {
+      val du = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"), col("user_id")).distinct()
+      val est = graft.operators.Sketches.kmvJaccardPairs(
+        graft.operators.Sketches.kmvSketch(du, "event_type", "user_id", k = KmvK),
+        "event_type", k = KmvK)
+      val sizes = du.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val inter = du.select(col("event_type").as("set_a"), col("user_id"))
+        .join(du.select(col("event_type").as("set_b"), col("user_id")), "user_id")
+        .filter(col("set_a") < col("set_b"))
+        .groupBy("set_a", "set_b").agg(count(lit(1)).as("n_inter"))
+      est
+        .join(sizes.select(col("event_type").as("set_a"), col("n").as("__na")), "set_a")
+        .join(sizes.select(col("event_type").as("set_b"), col("n").as("__nb")), "set_b")
+        .join(inter, Seq("set_a", "set_b"), "left")
+        .withColumn("__ni", coalesce(col("n_inter"), lit(0L)))
+        .withColumn("jaccard_exact_e6",
+          floor(col("__ni") * lit(1000000L) /
+            (col("__na") + col("__nb") - col("__ni")) + lit(0.5)).cast("long"))
+        .select("set_a", "set_b", "n_sketch", "n_both",
+          "jaccard_est_e6", "jaccard_exact_e6")
+    }),
 
     // ---- embedding-modality END-TO-END dedup: cosine pairs → connected
     // components → drop every non-keeper family member (mirror of
@@ -2569,6 +2610,66 @@ object SparkEntry {
        |${pairScoreCtes("id_a", "id_b")}
        |SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= $NdThreshold""".stripMargin
 
+  /** Triangle counts over the simhash_pairs edge set (the generated
+    * [[simHashOracle]] as a derived table, the minhash_accuracy wrapping
+    * pattern); triangles enumerated canonically (a<b<c) — the triangle
+    * SET is orientation-independent, so this matches the engine's
+    * degree-ordered enumeration row-for-row. */
+  private def dupTrianglesOracle: String =
+    s"""WITH sp AS (SELECT id_a, id_b FROM ($simHashOracle)),
+       |e AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+       |      FROM sp WHERE id_a <> id_b),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+       |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |tnodes AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+       |           UNION ALL SELECT z FROM tri)
+       |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM tnodes GROUP BY 1""".stripMargin
+
+  /** Mirror of [[graft.operators.Sketches.kmvSketch]] +
+    * [[graft.operators.Sketches.kmvJaccardPairs]] over per-event-type
+    * user sets, with the exact Jaccard joined alongside. */
+  private def kmvTypeJaccardOracle: String =
+    s"""WITH kdu AS (SELECT DISTINCT event_type, user_id FROM events
+       |             WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       |khs AS (SELECT DISTINCT event_type,
+       |               ${dh("CAST(user_id AS VARCHAR)")} AS h FROM kdu),
+       |ksk AS (SELECT event_type, h FROM (
+       |          SELECT event_type, h, row_number() OVER (
+       |            PARTITION BY event_type ORDER BY h ASC) AS rn
+       |          FROM khs) WHERE rn <= $KmvK),
+       |ktypes AS (SELECT DISTINCT event_type FROM kdu),
+       |kpairs AS (SELECT a.event_type AS set_a, b.event_type AS set_b
+       |           FROM ktypes a JOIN ktypes b ON a.event_type < b.event_type),
+       |krows AS (
+       |  SELECT p.set_a, p.set_b, s.h,
+       |         max(CASE WHEN s.event_type = p.set_a THEN 1 ELSE 0 END) AS ina,
+       |         max(CASE WHEN s.event_type = p.set_b THEN 1 ELSE 0 END) AS inb
+       |  FROM kpairs p JOIN ksk s ON s.event_type IN (p.set_a, p.set_b)
+       |  GROUP BY 1, 2, 3),
+       |kr AS (SELECT *, row_number() OVER (
+       |         PARTITION BY set_a, set_b ORDER BY h ASC) AS rn FROM krows),
+       |kest AS (SELECT set_a, set_b, CAST(count(*) AS BIGINT) AS n_sketch,
+       |                CAST(sum(ina * inb) AS BIGINT) AS n_both
+       |         FROM kr WHERE rn <= $KmvK GROUP BY 1, 2),
+       |ksizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+       |           FROM kdu GROUP BY 1),
+       |kinter AS (SELECT a.event_type AS set_a, b.event_type AS set_b,
+       |                  CAST(count(*) AS BIGINT) AS n_inter
+       |           FROM kdu a JOIN kdu b
+       |             ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |           GROUP BY 1, 2)
+       |SELECT e.set_a, e.set_b, e.n_sketch, e.n_both,
+       |  CAST(floor(e.n_both * 1000000.0 / e.n_sketch + 0.5) AS BIGINT)
+       |    AS jaccard_est_e6,
+       |  CAST(floor(COALESCE(ki.n_inter, 0) * 1000000.0 /
+       |             (sa.n + sb.n - COALESCE(ki.n_inter, 0)) + 0.5) AS BIGINT)
+       |    AS jaccard_exact_e6
+       |FROM kest e JOIN ksizes sa ON e.set_a = sa.event_type
+       |            JOIN ksizes sb ON e.set_b = sb.event_type
+       |            LEFT JOIN kinter ki ON e.set_a = ki.set_a AND e.set_b = ki.set_b""".stripMargin
+
   private def ivfTopKOracle: String =
     s"""WITH flat AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -3196,6 +3297,8 @@ object SparkEntry {
     "bt_event_scores" -> btScoresOracle(BtIterations),
     "approx_distinct_portable" -> approxDistinctOracle,
     "near_dup_lsh" -> nearDupLshOracle,
+    "dup_graph_triangles" -> dupTrianglesOracle,
+    "kmv_type_jaccard" -> kmvTypeJaccardOracle,
     "ivf_topk" -> ivfTopKOracle,
     "substring_dup_spans" -> substringSpansOracle,
     "doc_dup_stats" -> substringStatsOracle,

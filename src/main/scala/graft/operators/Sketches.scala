@@ -266,6 +266,83 @@ object Sketches {
       .agg(min(coalesce(col("n"), lit(0L))).as("n_est"))
   }
 
+  /** KMV (k minimum values) set sketch — the engine-portable DISTINCT/
+    * SIMILARITY member of the sketch family (Bar-Yossef et al. 2002; the
+    * theta-sketch ancestor). The sketch of a set is its `k` smallest
+    * DISTINCT [[graft.functions.PortableHash.hash60]] values: a fully
+    * deterministic function of the set, so unlike the DataSketches tier
+    * above it hash-matches on any engine, and it is trivially mergeable —
+    * the sketch of a union is the k smallest of the sketches' union
+    * (how [[kmvJaccardPairs]] builds its pair estimates).
+    *
+    * Output: (setCol, __h, one row per retained hash, ≤ k per set).
+    * Scale shape: one distinct over (set, hash60) — the only shuffle
+    * carrying data — then a per-set ranking window over ≤ |distinct
+    * values| rows. Raw values leave the map side only as 60-bit hashes. */
+  def kmvSketch(df: DataFrame, setCol: String, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"sketch size k must be >= 1, got $k")
+    val hs = df
+      .filter(col(setCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(setCol), graft.functions.PortableHash.hash60(col(valueCol)).as("__h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(setCol).orderBy(col("__h").asc)
+    hs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Pairwise Jaccard estimates between KMV-sketched sets: for each set
+    * pair, merge the two sketches (k smallest distinct hashes of the
+    * union) and count how many of those union-sketch members appear in
+    * BOTH sketches — n_both/n_sketch is the standard KMV Jaccard
+    * estimator (±1/√k), computed here entirely in exact integers so the
+    * estimate itself is oracle-reproducible.
+    *
+    * The pair domain is collected driver-side as a bounded literal (the
+    * IVF-codebook / Bradley-Terry discipline: `require` on the domain
+    * size BEFORE the collect), so the per-pair union never needs a
+    * non-equi join — sketch rows equi-join the pair list on the set id.
+    * Cost: |pairs| · 2k rows through one agg + one window; the sets
+    * themselves were already reduced to ≤ k hashes each by
+    * [[kmvSketch]], so this step is independent of data size.
+    *
+    * Output: (set_a, set_b, n_sketch, n_both, jaccard_est_e6) for every
+    * unordered set pair. */
+  def kmvJaccardPairs(sketch: DataFrame, setCol: String, k: Int,
+      maxSets: Int = 1000): DataFrame = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val ids = sketch.select(col(setCol).cast("string").as("s")).distinct()
+    val n = ids.limit(maxSets + 1).count()
+    require(n <= maxSets,
+      s"kmvJaccardPairs pair domain has > $maxSets sets — the pair list is " +
+        "driver-held; raise maxSets only for genuinely bounded domains")
+    val setIds = ids.as[String].collect().sorted
+    val pairs = (for {
+      i <- setIds.indices; j <- (i + 1) until setIds.length
+    } yield (setIds(i), setIds(j))).toSeq.toDF("set_a", "set_b")
+    val sk = sketch.select(col(setCol).cast("string").as("s"), col("__h"))
+    val rows = pairs.join(sk, col("set_a") === col("s"))
+      .select(col("set_a"), col("set_b"), col("__h"),
+        lit(1).as("__ina"), lit(0).as("__inb"))
+      .unionByName(pairs.join(sk, col("set_b") === col("s"))
+        .select(col("set_a"), col("set_b"), col("__h"),
+          lit(0).as("__ina"), lit(1).as("__inb")))
+    // union-sketch: distinct hashes with membership flags, k smallest
+    val merged = rows.groupBy("set_a", "set_b", "__h")
+      .agg(max(col("__ina")).as("__ina"), max(col("__inb")).as("__inb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("set_a", "set_b").orderBy(col("__h").asc)
+    merged.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .groupBy("set_a", "set_b")
+      .agg(count(lit(1)).as("n_sketch"),
+        sum((col("__ina") * col("__inb")).cast("long")).as("n_both"))
+      // exact-integer numerator ≤ k·1e6 — double division of exactly-
+      // representable int64s + floor(x+0.5), identical on any engine
+      .withColumn("jaccard_est_e6",
+        floor(col("n_both") * lit(1000000L) / col("n_sketch") + lit(0.5)).cast("long"))
+  }
+
   /** Count-Min sketch of `valueCol`'s frequency distribution — approximate
     * heavy-hitters over streams/shards too hot to count exactly. The
     * sketch aggregates distributed (Spark's codegen `count_min_sketch`

@@ -51,11 +51,14 @@ object MergeBench {
       .withColumn("o_totalprice", col("o_totalprice") + 1.0)
     val nLocal = localDelta.count(); val nSpread = spreadDelta.count()
 
-    def bytesOf(dir: String): Long = {
-      def walk(d: java.io.File): Long =
-        Option(d.listFiles()).map(_.map(x =>
-          if (x.isDirectory) walk(x) else x.length()).sum).getOrElse(0L)
-      walk(new java.io.File(dir))
+    // the cost that matters is bytes STAGED by the merge (new files), not
+    // net directory growth — retention deletes the superseded version, so
+    // a full rewrite can net to ~zero while having written the whole table
+    def files(dir: String): Map[String, Long] = {
+      def walk(d: java.io.File): Seq[(String, Long)] =
+        Option(d.listFiles()).map(_.toSeq.flatMap(x =>
+          if (x.isDirectory) walk(x) else Seq(x.getPath -> x.length()))).getOrElse(Nil)
+      walk(new java.io.File(dir)).toMap
     }
     def timed(tag: String)(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -76,13 +79,13 @@ object MergeBench {
     def measure(tag: String, dir: String, bucketed: Boolean,
         delta: org.apache.spark.sql.DataFrame): Long = {
       freshTable(dir, bucketed)
-      val before = bytesOf(dir)
+      val before = files(dir)
       timed(tag) {
         VersionedSnapshot.mergeInto(dir, delta, Seq("o_orderkey"),
           VersionedSnapshot.UpdateMatched, insertUnmatched = true,
           marker = "delta", retain = 1, numBuckets = nb)
       }
-      bytesOf(dir) - before
+      files(dir).collect { case (p, len) if !before.contains(p) => len }.sum
     }
 
     val aBytes = measure("bucketed(256): bucket-local ~1% merge",

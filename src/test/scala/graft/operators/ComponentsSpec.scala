@@ -35,4 +35,25 @@ class ComponentsSpec extends SparkSpec {
     assert(a == b)
     assert(a == Set((5L, 5L), (9L, 5L), (7L, 5L), (1L, 1L), (2L, 1L)))
   }
+
+  test("triangleCounts: clique counts C(n-1,2) per node, chains and stars count zero") {
+    // K4 on {0..3} (each node in C(3,2)=3 triangles) + chain 10-11-12 +
+    // star 20-{21,22,23} — neither chain nor star closes a triangle
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val edges = (k4 ++ Seq((10L, 11L), (11L, 12L), (20L, 21L), (20L, 22L), (20L, 23L)))
+      .toDF("id_a", "id_b")
+    val out = Components.triangleCounts(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangleCounts is invariant under edge direction, duplication and order") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L))
+    val messy = (base ++ base.map(_.swap) ++ base).reverse.toDF("id_a", "id_b")
+      .repartition(5)
+    val out = Components.triangleCounts(messy, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    // triangles: (1,2,3) and (1,3,4); node 1 and 3 in both
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
 }

@@ -195,4 +195,57 @@ class SketchesSpec extends SparkSpec {
       assert(math.abs(est(g) - n).toDouble / n < 0.1, s"$g: ${est(g)} vs $n")
     })
   }
+
+  test("kmvSketch keeps the k smallest distinct hashes per set, deterministically") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 3L), ("a", 4L),
+        ("b", 1L), ("b", 9L)).toDF("s", "v")
+    val sk = Sketches.kmvSketch(df, "s", "v", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // per set: ≤ k rows, distinct hashes, and exactly the smallest ones
+    val allHashes = Seq(1L, 2L, 3L, 4L).toDF("v")
+      .select(graft.functions.PortableHash.hash60(col("v")))
+      .as[Long].collect()
+    val aHashes = sk.filter(_._1 == "a").map(_._2).toSet
+    assert(aHashes == allHashes.sorted.take(3).toSet)
+    assert(sk.count(_._1 == "b") == 2) // fewer values than k → whole set
+  }
+
+  test("KMV Jaccard estimate is exact when sketches hold the whole sets") {
+    // k larger than any set: the sketch IS the set, so n_both/n_sketch
+    // must equal the true Jaccard of the hash-distinct sets
+    val df = (1 to 20).map(v => ("x", v.toLong)) ++
+      (11 to 30).map(v => ("y", v.toLong)) ++ (1 to 5).map(v => ("z", v.toLong))
+    val sk = Sketches.kmvSketch(df.toDF("s", "v"), "s", "v", k = 64)
+    val out = Sketches.kmvJaccardPairs(sk, "s", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // |x∩y|=10, |x∪y|=30; |x∩z|=5, |x∪z|=20; |y∩z|=0, |y∪z|=25
+    assert(out(("x", "y")) == ((30L, 10L, 333333L)))
+    assert(out(("x", "z")) == ((20L, 5L, 250000L)))
+    assert(out(("y", "z")) == ((25L, 0L, 0L)))
+  }
+
+  test("kmvJaccardPairs gates oversized set domains before collecting") {
+    val many = (1 to 30).map(i => (s"set$i", i.toLong)).toDF("s", "v")
+    val sk = Sketches.kmvSketch(many, "s", "v", k = 4)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.kmvJaccardPairs(sk, "s", k = 4, maxSets = 10).collect()
+    }
+    assert(e.getMessage.contains("pair domain"))
+  }
+
+  test("KMV sketches merge: union sketch from parts equals whole-input sketch") {
+    val part1 = (1 to 40).map(v => ("u", v.toLong)).toDF("s", "v")
+    val part2 = (25 to 60).map(v => ("u", v.toLong)).toDF("s", "v")
+    val whole = (1 to 60).map(v => ("u", v.toLong)).toDF("s", "v")
+    val k = 8
+    // merge = k smallest distinct hashes of the two sketches' union
+    val direct = Sketches.kmvSketch(part1, "s", "v", k)
+      .unionByName(Sketches.kmvSketch(part2, "s", "v", k))
+      .distinct().orderBy(col("__h")).limit(k)
+      .select("__h").as[Long].collect().toSet
+    val wholeSk = Sketches.kmvSketch(whole, "s", "v", k)
+      .select("__h").as[Long].collect().toSet
+    assert(direct == wholeSk)
+  }
 }
