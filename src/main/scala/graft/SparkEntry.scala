@@ -440,6 +440,26 @@ object SparkEntry {
           col("pos").cast("int").as("bin"),
           floor(col("col") * lit(1e6) + lit(0.5)).cast("long").as("freq_e6"))
     }),
+    // perceptual-hash image dedup: the same normalized block pattern
+    // rendered at 3 resolutions per seed (real PNG encode) → real decode
+    // → scale-invariant 8×8 mean-pool fingerprint → dup groups. Exact
+    // payload hashing CANNOT find these dups (every resolution's bytes
+    // differ) — the fingerprint groups are exactly the closed-form seed
+    // groups, which is what the oracle predicts
+    "mm_image_phash_dups" -> ((s, dir) => {
+      val assets = Tables.documents(s, dir).select(
+        col("doc_id").as("asset_id"),
+        (lit(1) + col("doc_id") % 3).cast("int").as("size_mult"),
+        (col("doc_id") % 32).cast("int").as("seed"))
+      val fp = graft.multimodal.Multimodal.thumbprintPartitions(
+        graft.multimodal.Multimodal.synthesizeBlockPngPayload(assets))
+      val groups = fp.groupBy("thumb").agg(
+        min(col("asset_id")).as("keeper_id"),
+        count(lit(1)).as("n_scaled_dups"))
+      fp.select(col("asset_id"), col("thumb")).join(groups, "thumb")
+        .select("asset_id", "keeper_id", "n_scaled_dups")
+    }),
+
     // video round-trip, same shape as mm_audio_meta: deterministic MP4
     // container geometry → real ISO-BMFF bytes → box-walk parse
     "mm_video_meta" -> ((s, dir) =>
@@ -2037,6 +2057,27 @@ object SparkEntry {
         .filter(col("next_type").isNotNull)
         .groupBy("event_type", "next_type")
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- frequent 3-step paths: the sequence-mining extension of the
+    // transition bigram above — one window pass emits both lookaheads,
+    // the count aggregate map-side-combines over ≤ |types|³ keys, and
+    // the global top-20 is TakeOrdered (k rows to the driver, no sort
+    // shuffle). Total order (n DESC, then the path) makes the cut
+    // deterministic across engines ----
+    "event_paths3" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("step2", lead(col("event_type"), 1).over(w))
+        .withColumn("step3", lead(col("event_type"), 2).over(w))
+        .filter(col("step2").isNotNull && col("step3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("step1").asc, col("step2").asc, col("step3").asc)
+        .limit(20)
     }),
 
     // ---- Bradley-Terry preference scores over the transition graph:
@@ -3946,6 +3987,20 @@ object SparkEntry {
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
+    "event_paths3" ->
+      """WITH p3 AS (
+        |  SELECT event_type AS step1,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts ASC, event_id ASC) AS step2,
+        |         lead(event_type, 2) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts ASC, event_id ASC) AS step3
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+        |SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+        |FROM p3 WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1 ASC, step2 ASC, step3 ASC
+        |LIMIT 20""".stripMargin,
+
     "event_funnel" ->
       """WITH f AS (
         |  SELECT user_id,
@@ -4647,6 +4702,16 @@ object SparkEntry {
         |  FROM vcnt GROUP BY doc_id, bin)
         |SELECT h.doc_id AS asset_id, h.bin, h.freq_e6, c.clip_rate_e6
         |FROM h JOIN clip c ON h.doc_id = c.doc_id""".stripMargin,
+
+    // the perceptual fingerprint is scale-invariant by construction, so
+    // dup groups are exactly the seed groups (doc_id % 32) — any codec or
+    // pooling bug splits a group and breaks the hash
+    "mm_image_phash_dups" ->
+      """SELECT doc_id AS asset_id,
+        |       min(doc_id) OVER (PARTITION BY doc_id % 32) AS keeper_id,
+        |       CAST(count(*) OVER (PARTITION BY doc_id % 32) AS BIGINT)
+        |         AS n_scaled_dups
+        |FROM documents""".stripMargin,
 
     // regenerates the PNG pixel pattern arithmetically: decoded RGB byte
     // at linear index j is (j + seed) % 256 over nb = 3·w·h bytes, so

@@ -170,6 +170,70 @@ object ImageCodec {
     out.toByteArray
   }
 
+  /** Block-pattern PNG for the perceptual-hash round-trip: an
+    * `8·sizeMult` pixel square whose value is CONSTANT per cell of the
+    * 8×8 grid — `v = (bx·7 + by·11 + seed·13) & 0xff` on all three
+    * channels — so every `sizeMult` renders the SAME normalized image at
+    * a different resolution. Distinct seeds differ in every cell (13 is
+    * invertible mod 256), which is what makes seed-groups the closed-form
+    * oracle for [[thumbprint8]] dedup. */
+  def encodeBlockPng(sizeMult: Int, seed: Int): Array[Byte] = {
+    require(sizeMult >= 1 && sizeMult <= 64, s"bad sizeMult $sizeMult")
+    val w = 8 * sizeMult
+    val img = new java.awt.image.BufferedImage(
+      w, w, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < w) {
+      var x = 0
+      while (x < w) {
+        val v = ((x / sizeMult) * 7 + (y / sizeMult) * 11 + seed * 13) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Scale-invariant perceptual fingerprint: mean-pool the decoded image
+    * onto an 8×8 luma grid (the normalization step of aHash/dHash-family
+    * perceptual hashing) and return the 64 pooled bytes. Pixel (x, y)
+    * maps to cell (x·8 div w, y·8 div h); the cell value is the floor
+    * mean over every channel sample that lands in it — exact integer
+    * arithmetic, so for block-aligned inputs ([[encodeBlockPng]]) the
+    * thumbprint equals the block values at ANY resolution: rescaled
+    * duplicates collide while every distinct pattern differs. Real use:
+    * group by (a hash of) this fingerprint to catch re-encoded/resized
+    * image duplicates that exact payload hashing misses. */
+  def thumbprint8(img: DecodedImage): Array[Byte] = {
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    val w = img.width; val h = img.height; val ch = img.channels
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val cell = cy * 8 + (x.toLong * 8 / w).toInt
+        val base = (y * w + x) * ch
+        var c = 0
+        while (c < ch) { sums(cell) += img.pixels(base + c) & 0xff; c += 1 }
+        counts(cell) += ch
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Byte](64)
+    var i = 0
+    while (i < 64) {
+      out(i) = (if (counts(i) == 0) 0 else sums(i) / counts(i)).toByte
+      i += 1
+    }
+    out
+  }
+
   // ------------------------------------------- JPEG / PNG / GIF via ImageIO
 
   /** Decode a compressed raster through `javax.imageio` (pure JVM).

@@ -200,6 +200,53 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Synthesis side of the perceptual-hash round-trip: append a real-PNG
+    * `payload` per row from (`size_mult`, `seed`) —
+    * [[ImageCodec.encodeBlockPng]]'s normalized block pattern, the same
+    * image at per-row resolution, so scaled duplicates exist by
+    * construction and the dup GROUPS are closed-form (the seed). */
+  def synthesizeBlockPngPayload(df: DataFrame): DataFrame = {
+    val outSchema = df.schema.add("payload", org.apache.spark.sql.types.BinaryType)
+    val m = df.schema.fieldIndex("size_mult")
+    val sd = df.schema.fieldIndex("seed")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = ImageCodec.encodeBlockPng(r.getInt(m), r.getInt(sd))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Perceptual-fingerprint seam: decode each payload
+    * ([[ImageCodec.decode]] — real codecs, corrupt-never-throw) and
+    * append `thumb`, the hex md5 of the scale-invariant 8×8 mean-pooled
+    * luma grid ([[ImageCodec.thumbprint8]]); undecodable payloads get
+    * null. Map-only: payload bytes never leave the scan task — only the
+    * 32-char fingerprint shuffles into the downstream dup-group
+    * aggregate, which is what lets perceptual dedup run over a 100 TB
+    * image corpus at the cost of a string groupBy. */
+  def thumbprintPartitions(df: DataFrame): DataFrame = {
+    val outSchema = df.schema.add("thumb", org.apache.spark.sql.types.StringType)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def safeThumb(p: Array[Byte]): String =
+        (try ImageCodec.decode(p)
+         catch { case scala.util.control.NonFatal(_) => None }) match {
+          case Some(img) =>
+            md.reset()
+            md.digest(ImageCodec.thumbprint8(img))
+              .map(b => f"${b & 0xff}%02x").mkString
+          case None => null
+        }
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val thumb = if (payload == null) null else safeThumb(payload)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ thumb)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** PCM payload-extraction seam: append the raw PCM slice of each WAV
     * payload (`pcm` binary) plus sample-level statistics the byte
     * histogram cannot see — `n_samples` (per channel-interleaved sample)

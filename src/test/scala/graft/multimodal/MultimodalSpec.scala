@@ -447,6 +447,35 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
   }
 
+  test("thumbprint8 is scale-invariant on block patterns and injective across seeds") {
+    // same seed at 1×/2×/4× resolution → identical fingerprint bytes
+    val prints = Seq(1, 2, 4).map { m =>
+      val img = ImageCodec.decode(ImageCodec.encodeBlockPng(m, seed = 7)).get
+      ImageCodec.thumbprint8(img).toSeq
+    }
+    assert(prints.distinct.size == 1)
+    // every seed pair differs (13 invertible mod 256 — all 64 cells shift)
+    val bySeed = (0 until 32).map { s =>
+      ImageCodec.thumbprint8(ImageCodec.decode(ImageCodec.encodeBlockPng(1, s)).get).toSeq
+    }
+    assert(bySeed.distinct.size == 32)
+  }
+
+  test("thumbprintPartitions: scaled dups share a thumb, corrupt payloads get null") {
+    import spark.implicits._
+    val assets = Seq((1L, 1, 5), (2L, 3, 5), (3L, 2, 9)).toDF(
+      "asset_id", "size_mult", "seed")
+    val good = Multimodal.synthesizeBlockPngPayload(assets)
+      .select("asset_id", "payload")
+    val corrupt = Seq((4L, Array[Byte](1, 2, 3))).toDF("asset_id", "payload")
+    val out = Multimodal.thumbprintPartitions(good.unionByName(corrupt))
+      .select("asset_id", "thumb").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).isDefined && out(1L) == out(2L)) // seed 5 at 8px and 24px
+    assert(out(3L).isDefined && out(3L) != out(1L))
+    assert(out(4L).isEmpty)
+  }
+
   test("fromBinaryFiles wraps binaryFile-shaped input into the asset schema") {
     val raw = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row("/data/a.png", Array[Byte](1, 2)))),
