@@ -1323,6 +1323,38 @@ object SparkEntry {
         .select("user_id", "event_type", "v_cents")
     }),
 
+    // ---- merge-on-read replay: the SAME 3-batch CDC cycle as
+    // cdc_merge_replay, but each batch lands as a blind O(|batch|)
+    // overlay (stageDelta — no bucket rewrite) and the final read
+    // RECONCILES base + overlays, with a mid-cycle delete overlay and an
+    // end-of-cycle compact proving fold-equivalence; same closed-form
+    // oracle shape — any deviation in overlay ordering, delete masking,
+    // replay skip or compaction breaks the hash ----
+    "mor_delta_replay" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("v_cents"))
+      val base = tempSnapshotBase("graft-mor")
+      for (b <- 0L until 3L) {
+        val batch = ev.filter(pmod(col("event_id"), lit(3)) === b)
+        graft.streaming.VersionedSnapshot.stageDeltaBatch(
+          batch, Seq("user_id"), "event_id", base, "mor-delta", b)
+        // same-lineage replay of batch 1 must be a no-op
+        if (b == 1L) graft.streaming.VersionedSnapshot.stageDeltaBatch(
+          batch, Seq("user_id"), "event_id", base, "mor-delta", b)
+      }
+      // delete overlay: drop every user whose id is divisible by 7
+      graft.streaming.VersionedSnapshot.stageDelta(base,
+        ev.filter(col("user_id") % 7 === 0).select("user_id").distinct(),
+        Seq("user_id"), graft.streaming.VersionedSnapshot.DeleteMatched,
+        marker = "mor-deletes")
+      // compaction must preserve the reconciled state bit-for-bit
+      graft.streaming.VersionedSnapshot.compact(s, base, Seq("user_id"),
+        marker = "mor-compact")
+      graft.streaming.VersionedSnapshot.read(s, base).get
+        .select("user_id", "event_type", "v_cents")
+    }),
+
     // ---- streaming dedup, batch-replay form: the state-store discipline
     // of dedupStream (keep the FIRST row per key, drop every later
     // arrival) replayed over 3 deterministic micro-batches — each batch
@@ -5201,6 +5233,19 @@ object SparkEntry {
         |          ORDER BY b DESC, event_id DESC) AS rn
         |      FROM e)
         |SELECT user_id, event_type, v_cents FROM r WHERE rn = 1""".stripMargin,
+
+    "mor_delta_replay" ->
+      """WITH me AS (
+        |  SELECT user_id, event_type, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS v_cents,
+        |         event_id % 3 AS b
+        |  FROM events),
+        |mr AS (SELECT user_id, event_type, v_cents,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY b DESC, event_id DESC) AS rn
+        |       FROM me)
+        |SELECT user_id, event_type, v_cents FROM mr
+        |WHERE rn = 1 AND user_id % 7 <> 0""".stripMargin,
 
     "incr_snapshot_replay" ->
       """WITH q AS (

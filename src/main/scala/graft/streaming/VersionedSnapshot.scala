@@ -70,8 +70,10 @@ object VersionedSnapshot {
   private val MarkerName = "_LAST_BATCH" // leading _: invisible to parquet reads
   private val ManifestName = "_MANIFEST" // data-file inventory, written pre-commit
   private val BucketsName = "_BUCKETS"   // bucket → data-dir manifest (bucketed layout)
+  private val DeltasName = "_DELTAS"     // ordered merge-on-read overlay manifest
   private val DataDirName = "data"       // shared data-file pool (bucketed layout)
   private val BucketCol = "__gbucket"    // reserved partition column on bucket writes
+  private val ActionCol = "__gaction"    // overlay row action: "u" upsert / "d" delete
   /** Session conf that makes the publish paths throw after staging but
     * before the pointer commit — the crash-consistency seam. */
   private[graft] val CrashBeforeCommitConf = "graft.snapshot.crashBeforePointerCommit"
@@ -104,18 +106,44 @@ object VersionedSnapshot {
     * returned frame is bound to immutable data files (a version directory,
     * or the bucket directories its `_BUCKETS` manifest references), so it
     * stays consistent for the whole downstream query even if publishes
-    * continue concurrently. */
+    * continue concurrently.
+    *
+    * When the version carries a `_DELTAS` overlay list ([[stageDelta]] —
+    * the merge-on-read tier), the read RECONCILES: the newest overlay
+    * row per key wins over older overlays and over the base; a winning
+    * delete drops the key. Read cost = base scan + one anti-join against
+    * the (small) overlay key set + a ranking over overlay rows only —
+    * the standard MoR trade: O(|delta|) writes buy a bounded
+    * reconciliation term on reads until [[compact]] folds it away. */
   def read(spark: SparkSession, baseDir: String): Option[DataFrame] =
     currentVersion(spark, baseDir).map { v =>
       val base = new Path(baseDir)
       val f = fs(spark, baseDir)
       val vdir = versionPath(base, v)
-      parseBuckets(f, vdir) match {
+      val baseFrame = parseBuckets(f, vdir) match {
         case Some((_, entries)) =>
           val paths = entries.toSeq.sortBy(_._1)
             .map { case (_, rel) => new Path(base, rel).toString }
           spark.read.parquet(paths: _*)
         case None => spark.read.parquet(vdir.toString)
+      }
+      parseDeltas(f, vdir) match {
+        case Some((keys, overlays)) if overlays.nonEmpty =>
+          val tagged = overlays.zipWithIndex.map { case (rel, i) =>
+            spark.read.parquet(new Path(base, rel).toString)
+              .withColumn("__seq", lit(i))
+          }.reduce(_ unionByName _)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*).orderBy(col("__seq").desc)
+          val latest = tagged
+            .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+            .filter(col("__rn") === 1)
+          val live = latest.filter(col(ActionCol) === lit("u"))
+            .drop(ActionCol, "__seq", "__rn")
+          baseFrame
+            .join(tagged.select(keys.map(col): _*).distinct(), keys, "left_anti")
+            .unionByName(live)
+        case _ => baseFrame
       }
     }
 
@@ -157,6 +185,26 @@ object VersionedSnapshot {
       parseBuckets(fs(spark, baseDir), versionPath(new Path(baseDir), v))
     }
 
+  /** Parse a version dir's `_DELTAS` overlay manifest: (merge keys,
+    * base-relative overlay dirs OLDEST FIRST). None when the version
+    * carries no merge-on-read state. */
+  private def parseDeltas(f: FileSystem, vdir: Path): Option[(Seq[String], Seq[String])] = {
+    val dp = new Path(vdir, DeltasName)
+    if (!f.exists(dp)) None
+    else {
+      val lines = readSmallFile(f, dp).split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+      val keys = lines.head.stripPrefix("keys=").split(',').toSeq.filter(_.nonEmpty)
+      Some((keys, lines.tail))
+    }
+  }
+
+  /** The committed version's overlay list (empty when none). */
+  private[graft] def deltaManifest(spark: SparkSession, baseDir: String): Seq[String] =
+    currentVersion(spark, baseDir).toSeq.flatMap { v =>
+      parseDeltas(fs(spark, baseDir), versionPath(new Path(baseDir), v))
+        .map(_._2).getOrElse(Nil)
+    }
+
   /** Hash bucket of the merge key — pure function of the key columns, so
     * every merge agrees on each row's bucket regardless of layout. */
   private def bucketOf(keys: Seq[String], numBuckets: Int): Column =
@@ -170,13 +218,17 @@ object VersionedSnapshot {
   private def gcDataDirs(f: FileSystem, base: Path): Unit = {
     val dataRoot = new Path(base, DataDirName)
     if (!f.exists(dataRoot)) return
-    val referenced = f.listStatus(base).toSeq
+    val vdirs = f.listStatus(base).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+    val referenced = (vdirs
       .flatMap(st => parseBuckets(f, st.getPath).toSeq)
       .flatMap { case (_, entries) =>
         // "data/gNNNNN/__gbucket=K" → shared granularity is the g-dir
         entries.values.map(_.split('/')(1))
-      }.toSet
+      } ++ vdirs
+      // merge-on-read overlays ("data/dNNNNN") are shared the same way
+      .flatMap(st => parseDeltas(f, st.getPath).toSeq)
+      .flatMap { case (_, overlays) => overlays.map(_.split('/')(1)) }).toSet
     f.listStatus(dataRoot).foreach { st =>
       if (!referenced.contains(st.getPath.getName)) f.delete(st.getPath, true)
     }
@@ -187,14 +239,19 @@ object VersionedSnapshot {
   /** Base-relative data-file inventory of a version: the version dir's own
     * files (flat), or every file of every bucket directory its `_BUCKETS`
     * manifest references (bucketed). Listing-only — no contents read. */
-  private def inventory(f: FileSystem, base: Path, vdir: Path): Seq[(String, Long)] =
-    parseBuckets(f, vdir) match {
+  private def inventory(f: FileSystem, base: Path, vdir: Path): Seq[(String, Long)] = {
+    val baseFiles = parseBuckets(f, vdir) match {
       case Some((_, entries)) =>
         entries.toSeq.sortBy(_._1).flatMap { case (_, rel) =>
           dataFiles(f, new Path(base, rel)).map { case (name, len) => (s"$rel/$name", len) }
-        }.sortBy(_._1)
+        }
       case None => dataFiles(f, vdir)
     }
+    val deltaFiles = parseDeltas(f, vdir).map(_._2).getOrElse(Nil).flatMap { rel =>
+      dataFiles(f, new Path(base, rel)).map { case (name, len) => (s"$rel/$name", len) }
+    }
+    (baseFiles ++ deltaFiles).sortBy(_._1)
+  }
 
   /** Data-file inventory (`name:bytes` per line, sorted) written BEFORE
     * the pointer flip, so every committed version carries its own
@@ -439,6 +496,12 @@ object VersionedSnapshot {
       .withColumn("__chk", assert_true(col("__kn") === 1,
         lit(s"MERGE source has multiple rows for a (${keys.mkString(",")}) key")))
       .filter(col("__chk").isNull).drop("__kn", "__chk")
+    // pending merge-on-read overlays would be silently dropped by bucket
+    // inheritance (overlay rows live outside the bucket files) — fold
+    // them into fresh buckets first, then merge against the clean state
+    if (deltaManifest(spark, baseDir).nonEmpty)
+      compact(spark, baseDir, keys, marker = s"$marker:pre-merge-compact",
+        retain = retain)
     read(spark, baseDir) match {
       case None =>
         val result = if (insertUnmatched) uniqueSource else uniqueSource.limit(0)
@@ -484,6 +547,151 @@ object VersionedSnapshot {
           keys, nb, inherited = entries -- touched, retain = retain)
     }
   }
+
+  /** Merge-on-read delta staging — the write path for deltas copy-on-write
+    * CANNOT prune: a uniformly-spread key sample touches every hash
+    * bucket, so [[mergeInto]] degenerates to a full rewrite no matter how
+    * small the delta (measured in `graft.tools.MergeBench` / PLANS.md).
+    * This is the delta-log idea of production table formats reduced to
+    * the same plain-parquet + pointer machinery: the source rows are
+    * written BLIND as one small overlay directory (`data/dNNNNN`,
+    * O(|delta|) bytes — no base read, no bucket rewrite) and the new
+    * version's `_DELTAS` manifest lists every live overlay in apply
+    * order. [[read]] reconciles (newest overlay row per key wins;
+    * [[UpdateMatched]] rows upsert, [[DeleteMatched]] rows delete);
+    * [[compact]] folds all overlays into fresh buckets on a maintenance
+    * cadence, restoring pruned-CoW merges. Write amplification 1 per
+    * batch regardless of key spread — the cost moves to a bounded
+    * read-side term that grows with the overlay count, which is the
+    * knob `compact` resets.
+    *
+    * `action`: [[UpdateMatched]] stages upserts (full schema parity with
+    * the table enforced, like MERGE); [[DeleteMatched]] stages
+    * delete-by-key markers — the source may carry just the key columns
+    * (padding is internal). Source keys must be unique per batch, same
+    * precondition as [[mergeInto]]. Requires the bucketed layout (the
+    * first upsert batch creates it); the atomic pointer flip, replay
+    * markers, retention and orphan gc are all inherited unchanged. */
+  def stageDelta(baseDir: String, source: DataFrame, keys: Seq[String],
+      action: MatchedAction, marker: String, retain: Int = 2,
+      numBuckets: Int = 32): Long = {
+    require(keys.nonEmpty, "stageDelta needs at least one key column")
+    val spark = source.sparkSession
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val uniqueSource = source
+      .withColumn("__kn", count(lit(1)).over(w))
+      .withColumn("__chk", assert_true(col("__kn") === 1,
+        lit(s"delta batch has multiple rows for a (${keys.mkString(",")}) key")))
+      .filter(col("__chk").isNull).drop("__kn", "__chk")
+    read(spark, baseDir) match {
+      case None =>
+        val seeded = action match {
+          case UpdateMatched => uniqueSource
+          case DeleteMatched => uniqueSource.limit(0)
+        }
+        publishBucketed(seeded, baseDir, marker, keys, numBuckets,
+          inherited = Map.empty, retain = retain)
+      case Some(current) =>
+        val f = fs(spark, baseDir)
+        val base = new Path(baseDir)
+        val cur = currentVersion(spark, baseDir).get
+        val curDir = versionPath(base, cur)
+        val bucketsText = {
+          val bp = new Path(curDir, BucketsName)
+          require(f.exists(bp),
+            "stageDelta requires the bucketed layout — seed the table via " +
+              "mergeInto/stageDelta-upsert, not a flat publish")
+          readSmallFile(f, bp)
+        }
+        def sig(df: DataFrame): Seq[(String, String)] =
+          df.schema.fields.map(fl => (fl.name, fl.dataType.catalogString)).toSeq.sortBy(_._1)
+        val overlayRows = action match {
+          case UpdateMatched =>
+            require(sig(current) == sig(source),
+              s"delta source schema ${sig(source).mkString(",")} must match " +
+                s"snapshot schema ${sig(current).mkString(",")}")
+            uniqueSource.select(current.columns.map(col).toIndexedSeq: _*)
+              .withColumn(ActionCol, lit("u"))
+          case DeleteMatched =>
+            require(keys.forall(source.columns.contains),
+              s"delete delta must carry the key columns ${keys.mkString(",")}")
+            // key-only markers padded to the table schema so every overlay
+            // file reads under one schema
+            val padded = current.schema.fields.toIndexedSeq.map { fl =>
+              if (keys.contains(fl.name)) col(fl.name)
+              else lit(null).cast(fl.dataType).as(fl.name)
+            }
+            uniqueSource.select(padded: _*).withColumn(ActionCol, lit("d"))
+        }
+        val priorOverlays = parseDeltas(f, curDir) match {
+          case Some((pk, dirs)) =>
+            require(pk == keys,
+              s"overlay keys $pk do not match this delta's keys $keys")
+            dirs
+          case None => Nil
+        }
+        val next = prepareNext(f, base, cur)
+        val dName = "d" + "%05d".formatLocal(java.util.Locale.ROOT, next)
+        val dRel = s"$DataDirName/$dName"
+        // one file per overlay: a delta is batch-sized by definition, and
+        // overlay count — not file count per overlay — is the read cost
+        overlayRows.coalesce(1).write.mode("overwrite")
+          .parquet(new Path(base, dRel).toString)
+        val target = versionPath(base, next)
+        f.mkdirs(target)
+        writeSmallFile(f, new Path(target, BucketsName), bucketsText)
+        writeSmallFile(f, new Path(target, DeltasName),
+          (s"keys=${keys.mkString(",")}" +: (priorOverlays :+ dRel)).mkString("\n"))
+        writeSmallFile(f, new Path(target, MarkerName), marker)
+        writeManifest(f, base, target)
+        commitPointer(spark, f, base, next)
+        applyRetention(f, base, cur, next, retain)
+        next
+    }
+  }
+
+  /** One delta-staging cycle driven by a micro-batch — [[stageDelta]]
+    * with the checkpoint-lineage replay skip and last-writer-wins batch
+    * reduction of [[mergeIntoBatch]]. */
+  private[graft] def stageDeltaBatch(batch: DataFrame, keys: Seq[String],
+      orderCol: String, baseDir: String, checkpointTag: String,
+      batchId: Long, action: MatchedAction = UpdateMatched,
+      retain: Int = 2, numBuckets: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    val (tag, lastId) = lastApplied(spark, baseDir)
+    if (!(tag == checkpointTag && lastId >= batchId)) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(col(orderCol).desc)
+      val latest = batch
+        .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", orderCol)
+      stageDelta(baseDir, latest, keys, action,
+        marker = s"$checkpointTag:$batchId", retain = retain,
+        numBuckets = numBuckets)
+      ()
+    }
+  }
+
+  /** Streaming merge-on-read CDC sink: [[mergeSink]]'s contract with
+    * O(|batch|) write amplification per trigger regardless of key spread
+    * — each micro-batch lands as one overlay via [[stageDelta]]; run
+    * [[compact]] on a maintenance cadence to bound read-side
+    * reconciliation. The choice between the two sinks is the classic
+    * copy-on-write (read-optimized) vs merge-on-read (write-optimized)
+    * table split. */
+  def deltaSink(updates: DataFrame, keys: Seq[String], orderCol: String,
+      baseDir: String, checkpoint: String, retain: Int = 2,
+      numBuckets: Int = 32): DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        stageDeltaBatch(batch, keys, orderCol, baseDir,
+          checkpointTag = checkpoint, batchId = batchId, retain = retain,
+          numBuckets = numBuckets)
+      }
 
   /** One MERGE INTO cycle driven by a micro-batch — [[mergeInto]] with
     * the same checkpoint-lineage replay skip as [[mergeBatch]]: a

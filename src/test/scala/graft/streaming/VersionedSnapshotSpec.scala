@@ -408,6 +408,124 @@ class VersionedSnapshotSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == Set((9L, "z")))
   }
 
+  test("stageDelta: blind overlays reconcile on read — upserts, deletes, last overlay wins") {
+    import spark.implicits._
+    import VersionedSnapshot.{DeleteMatched, UpdateMatched}
+    val base = Files.createTempDirectory("graft-mor").resolve("snap").toString
+    val seed = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    VersionedSnapshot.stageDelta(base, seed, Seq("k"),
+      UpdateMatched, marker = "seed", numBuckets = 8)
+    // overlay 1: update 1, insert 101; overlay 2: delete 2, re-update 1
+    VersionedSnapshot.stageDelta(base,
+      Seq((1L, "A"), (101L, "NEW")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, marker = "d1", numBuckets = 8)
+    VersionedSnapshot.stageDelta(base,
+      Seq(Tuple1(2L)).toDF("k"), Seq("k"),
+      DeleteMatched, marker = "d2", numBuckets = 8)
+    VersionedSnapshot.stageDelta(base,
+      Seq((1L, "B")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, marker = "d3", numBuckets = 8)
+    val got = VersionedSnapshot.read(spark, base).get.as[(Long, String)].collect().toMap
+    assert(got.size == 100 && got(1L) == "B" && !got.contains(2L) &&
+      got(101L) == "NEW" && got(3L) == "v3")
+    assert(VersionedSnapshot.validateCurrent(spark, base))
+  }
+
+  test("stageDelta writes O(delta): base bucket files are untouched by any overlay") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-mor2").resolve("snap").toString
+    val seed = (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")
+    VersionedSnapshot.stageDelta(base, seed, Seq("k"),
+      UpdateMatched, marker = "seed", numBuckets = 8)
+    val (_, entries0) = VersionedSnapshot.bucketManifest(spark, base).get
+    def files(rel: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(base, rel)
+      d.listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = entries0.map { case (b, rel) => b -> files(rel) }
+    // a uniformly-spread delta — the shape copy-on-write cannot prune
+    val spread = (1L to 400L by 10L).map(i => (i, "U")).toDF("k", "v")
+    VersionedSnapshot.stageDelta(base, spread, Seq("k"),
+      UpdateMatched, marker = "spread", numBuckets = 8)
+    val (_, entries1) = VersionedSnapshot.bucketManifest(spark, base).get
+    assert(entries1 == entries0, "an overlay must not move any bucket")
+    entries1.foreach { case (b, rel) =>
+      assert(files(rel) == before(b), s"overlay rewrote base bucket $b")
+    }
+    assert(VersionedSnapshot.deltaManifest(spark, base).size == 1)
+    // reconciled read still correct
+    val got = VersionedSnapshot.read(spark, base).get.as[(Long, String)].collect().toMap
+    assert(got.size == 400 && got(1L) == "U" && got(11L) == "U" && got(2L) == "v2")
+  }
+
+  test("compact folds overlays; a CoW merge over pending overlays keeps them") {
+    import spark.implicits._
+    import VersionedSnapshot.{DeleteMatched, UpdateMatched}
+    val base = Files.createTempDirectory("graft-mor3").resolve("snap").toString
+    VersionedSnapshot.stageDelta(base,
+      (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, marker = "seed", numBuckets = 4)
+    VersionedSnapshot.stageDelta(base,
+      Seq((1L, "A"), (51L, "NEW")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, marker = "d1", numBuckets = 4)
+    VersionedSnapshot.stageDelta(base,
+      Seq(Tuple1(2L)).toDF("k"), Seq("k"), DeleteMatched, marker = "d2",
+      numBuckets = 4)
+    val reconciled = VersionedSnapshot.read(spark, base).get
+      .as[(Long, String)].collect().toMap
+    VersionedSnapshot.compact(spark, base, Seq("k"), marker = "compact")
+    assert(VersionedSnapshot.deltaManifest(spark, base).isEmpty)
+    val afterCompact = VersionedSnapshot.read(spark, base).get
+      .as[(Long, String)].collect().toMap
+    assert(afterCompact == reconciled)
+    // a copy-on-write merge on a table with FRESH overlays folds them
+    // first instead of dropping them
+    VersionedSnapshot.stageDelta(base,
+      Seq((3L, "C")).toDF("k", "v"), Seq("k"), UpdateMatched, marker = "d3",
+      numBuckets = 4)
+    VersionedSnapshot.mergeInto(base, Seq((4L, "D")).toDF("k", "v"),
+      Seq("k"), UpdateMatched, insertUnmatched = true, marker = "m1",
+      numBuckets = 4)
+    val finalState = VersionedSnapshot.read(spark, base).get
+      .as[(Long, String)].collect().toMap
+    assert(finalState(3L) == "C" && finalState(4L) == "D" &&
+      VersionedSnapshot.deltaManifest(spark, base).isEmpty)
+  }
+
+  test("deltaSink stages one overlay per micro-batch from a live stream with replay skip") {
+    val dir = Files.createTempDirectory("graft-mor4")
+    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+    def shard(name: String, rows: String): Unit =
+      Files.writeString(inDir.resolve(name),
+        "user_id,track_id,listen_time\n" + rows)
+    shard("a.csv",
+      """1,t1,2024-06-25T10:00:00.000Z
+        |2,t1,2024-06-25T10:10:00.000Z
+        |""".stripMargin)
+    shard("b.csv",
+      """1,t22,2024-06-25T11:00:00.000Z
+        |3,t1,2024-06-25T11:30:00.000Z
+        |""".stripMargin)
+    val stream = StreamingKpis.fileStream(spark, Sources.streamsSchema,
+        inDir.toString, maxFilesPerTrigger = 1)
+      .select(col("user_id"), col("track_id"),
+        unix_timestamp(col("listen_time")).as("ord"))
+    val base = dir.resolve("snap").toString
+    VersionedSnapshot.deltaSink(stream, Seq("user_id"), "ord",
+      base, dir.resolve("ckpt").toString, numBuckets = 4)
+      .start().awaitTermination(60000)
+    val got = VersionedSnapshot.read(spark, base).get
+      .selectExpr("user_id", "track_id").collect()
+      .map(r => (r.getAs[Number]("user_id").longValue(), r.getString(1))).toMap
+    // later batch's t22 overwrote user 1's t1
+    assert(got == Map(1L -> "t22", 2L -> "t1", 3L -> "t1"))
+    // first batch seeded buckets; the second landed as an overlay
+    assert(VersionedSnapshot.deltaManifest(spark, base).size == 1)
+    assert(VersionedSnapshot.validateCurrent(spark, base))
+  }
+
   test("read before any publish is None; retain=1 keeps only the current version") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-vsnap4").resolve("snap").toString
