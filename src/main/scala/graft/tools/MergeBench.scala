@@ -95,11 +95,26 @@ object MergeBench {
     val cBytes = measure("flat: ~1% merge (full rewrite)",
       s"$root/c", bucketed = false, spreadDelta)
 
+    // merge-on-read: the same uniform delta staged as a blind overlay —
+    // write cost O(|delta|) regardless of key spread (the regime row b
+    // shows copy-on-write cannot prune)
+    val dDir = s"$root/d"
+    freshTable(dDir, bucketed = true)
+    val dBefore = files(dDir)
+    timed("bucketed(256): uniform ~1% stageDelta") {
+      VersionedSnapshot.stageDelta(dDir, spreadDelta, Seq("o_orderkey"),
+        VersionedSnapshot.UpdateMatched, marker = "delta", retain = 1,
+        numBuckets = nb)
+    }
+    val dBytes = files(dDir).collect { case (p, len) if !dBefore.contains(p) => len }.sum
+
     println(f"rows=$nRows localDelta=$nLocal (${100.0 * nLocal / nRows}%.2f%%) " +
       f"spreadDelta=$nSpread (${100.0 * nSpread / nRows}%.2f%%)")
     println(f"bytes written: bucket-local=${aBytes / 1024}%d KiB, " +
-      f"uniform=${bBytes / 1024}%d KiB, flat=${cBytes / 1024}%d KiB; " +
-      f"local-vs-flat ratio=${cBytes.toDouble / math.max(1, aBytes)}%.1fx")
+      f"uniform=${bBytes / 1024}%d KiB, flat=${cBytes / 1024}%d KiB, " +
+      f"uniform-MoR-overlay=${dBytes / 1024}%d KiB; " +
+      f"local-vs-flat ratio=${cBytes.toDouble / math.max(1, aBytes)}%.1fx, " +
+      f"MoR-vs-CoW-uniform ratio=${bBytes.toDouble / math.max(1, dBytes)}%.1fx")
 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     spark.stop()
