@@ -1196,6 +1196,24 @@ object SparkEntry {
         graft.operators.Incremental.merge(Seq(old, delta), Seq("event_type")))
     }),
 
+    // ---- RETRACTABLE incremental aggregates: the same snapshot-merge
+    // discipline under a changelog WITH DELETES (op ±1) — three insert
+    // batches plus a retraction batch merge to exactly the aggregate of
+    // the live rows (count/sum form a group, so retractions are inverse
+    // elements); the oracle recomputes over the live set directly ----
+    "incr_agg_retract" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("v"))
+      val inserts = (0L until 3L).map(b =>
+        ev.filter(pmod(col("event_id"), lit(3)) === b).withColumn("op", lit(1)))
+      val retractions = ev.filter(col("event_id") % 5 === 0)
+        .withColumn("op", lit(-1))
+      val parts = (inserts :+ retractions).map(b =>
+        graft.operators.Incremental.retractPartials(
+          b, Seq("event_type"), col("v"), col("op")))
+      graft.operators.Incremental.retractMerge(parts, Seq("event_type"))
+    }),
+
     // ---- incremental JOIN view maintenance: the maintained view
     // (V_old ∪ ΔV with ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) must equal the full
     // recomputation — the oracle computes the plain join, so the hash
@@ -5180,6 +5198,13 @@ object SparkEntry {
         |       min(v) AS min_v, max(v) AS max_v,
         |       CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_v
         |FROM q GROUP BY 1""".stripMargin,
+
+    // full recompute over the LIVE rows (inserts minus retracted ids) —
+    // hash equality proves the changelog-merged snapshot identical
+    "incr_agg_retract" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v
+        |FROM events WHERE event_id % 5 <> 0 GROUP BY 1""".stripMargin,
 
     // the oracle is the FULL recomputation — hash equality proves the
     // maintained delta-join view identical to rejoining from scratch

@@ -47,6 +47,52 @@ object Incremental {
     snapshot.withColumn("avg_v",
       col("sum_v").cast("double") / col("n").cast("double"))
 
+  /** RETRACTABLE partials over a CHANGELOG — [[partials]] for inputs that
+    * carry deletes, the aggregate-level dual of the row-level CDC sinks
+    * ([[graft.streaming.VersionedSnapshot.mergeSink]]): each change row is
+    * (op = +1 insert / −1 retract), and count/sum absorb both signs
+    * because (ℤ, +) is a GROUP, not just a monoid — a retraction is the
+    * inverse element, so `merge(partials(log))` equals the aggregate of
+    * the live rows in ANY delivery order, without reading history.
+    *
+    * min/max are deliberately ABSENT: they have no inverse (retracting
+    * the current extremum invalidates the stored bound — recovering it
+    * needs the full value multiset), which is the standard retract-agg
+    * split (e.g. Flink's retraction streams keep per-key state for
+    * min/max). Callers needing bounds under deletes keep a value-level
+    * snapshot (the MoR tier) or accept refresh-on-retract.
+    *
+    * `opCol` must be ±1; enforced distributed-side (codegen assert), so a
+    * malformed changelog fails loudly before corrupting the snapshot. */
+  def retractPartials(changelog: DataFrame, keys: Seq[String],
+      valueCol: Column, opCol: Column): DataFrame = {
+    val op = opCol.cast("long")
+    changelog
+      .withColumn("__opchk", assert_true(op === 1L || op === -1L,
+        lit("retractPartials op column must be +1 (insert) or -1 (retract)")))
+      .filter(col("__opchk").isNull)
+      .groupBy(keys.map(col): _*).agg(
+        sum(op).as("n"),
+        sum(op * valueCol).as("sum_v"))
+  }
+
+  /** Merge retractable snapshots (associative + commutative, like
+    * [[merge]]); keys whose live count reaches zero DISAPPEAR — exactly
+    * what a full recompute over the live rows would produce. A negative
+    * merged count means the changelog retracted rows it never inserted;
+    * that is corrupt input, failed loudly rather than clamped. */
+  def retractMerge(snapshots: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(snapshots.nonEmpty, "nothing to merge")
+    snapshots.reduce(_ unionByName _).groupBy(keys.map(col): _*).agg(
+      sum(col("n")).as("n"),
+      sum(col("sum_v")).as("sum_v"))
+      .withColumn("__nchk", assert_true(col("n") >= 0,
+        lit("retractMerge: net count went negative — changelog retracted " +
+          "rows that were never inserted")))
+      .filter(col("__nchk").isNull).drop("__nchk")
+      .filter(col("n") > 0)
+  }
+
   /** Incremental equi-JOIN view maintenance (insert-only delta-join): for
     * a materialized inner-join view V = A ⋈ B, new batches ΔA and ΔB
     * contribute exactly

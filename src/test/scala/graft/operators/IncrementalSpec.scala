@@ -58,4 +58,35 @@ class IncrementalSpec extends SparkSpec {
         aDelta, bDelta.withColumnRenamed("bv", "av"), Seq("k"))
     }
   }
+
+  test("retractable aggregates: any merge order equals the live-row aggregate; emptied keys vanish") {
+    import spark.implicits._
+    // g1: two inserts, one retract → n=1 sum=10; g2: insert then retract → gone
+    val b1 = Seq(("g1", 10L, 1), ("g1", 7L, 1), ("g2", 5L, 1)).toDF("g", "v", "op")
+    val b2 = Seq(("g1", 7L, -1), ("g2", 5L, -1)).toDF("g", "v", "op")
+    def partsOf(dfs: Seq[org.apache.spark.sql.DataFrame]) =
+      dfs.map(d => Incremental.retractPartials(d, Seq("g"), col("v"), col("op")))
+    val fwd = Incremental.retractMerge(partsOf(Seq(b1, b2)), Seq("g"))
+      .as[(String, Long, Long)].collect().toSet
+    val rev = Incremental.retractMerge(partsOf(Seq(b2, b1)), Seq("g"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(fwd == Set(("g1", 1L, 10L)))
+    assert(rev == fwd, "retraction merge must be delivery-order independent")
+  }
+
+  test("retractable aggregates fail loudly on corrupt changelogs") {
+    import spark.implicits._
+    // bad op value
+    val badOp = Seq(("g", 1L, 2)).toDF("g", "v", "op")
+    assertThrows[Exception] {
+      Incremental.retractPartials(badOp, Seq("g"), col("v"), col("op")).collect()
+    }
+    // retraction without a matching insert → negative net count
+    val orphan = Seq(("g", 1L, -1)).toDF("g", "v", "op")
+    assertThrows[Exception] {
+      Incremental.retractMerge(
+        Seq(Incremental.retractPartials(orphan, Seq("g"), col("v"), col("op"))),
+        Seq("g")).collect()
+    }
+  }
 }
