@@ -116,35 +116,92 @@ object VersionedSnapshot {
     * the standard MoR trade: O(|delta|) writes buy a bounded
     * reconciliation term on reads until [[compact]] folds it away. */
   def read(spark: SparkSession, baseDir: String): Option[DataFrame] =
+    currentVersion(spark, baseDir).map(versionFrame(spark, baseDir, _))
+
+  /** Time travel: read a specific RETAINED version — any version whose
+    * directory survived [[publish]]/[[mergeInto]] retention (raise
+    * `retain` to keep more history). Immutability makes this free: a past
+    * version IS its committed metadata + the shared immutable data files
+    * it references. None when the version was never committed or has been
+    * retired. The standard uses: reproducing a training run against the
+    * exact table state it saw, and diffing two versions for an audit. */
+  def readVersion(spark: SparkSession, baseDir: String, version: Long): Option[DataFrame] = {
+    val f = fs(spark, baseDir)
+    val committed = currentVersion(spark, baseDir).exists(version <= _)
+    if (committed && f.exists(versionPath(new Path(baseDir), version)))
+      Some(versionFrame(spark, baseDir, version))
+    else None
+  }
+
+  /** Point-lookup read: the committed snapshot restricted to `keyRows`'
+    * key values, reading ONLY the bucket directories those keys hash
+    * into — the serving-path pruning the bucketed layout exists for
+    * (`(table/numBuckets)·|key buckets|` bytes instead of the table).
+    * `keyRows`' column names define the key; overlays reconcile as in
+    * [[read]] (they are delta-sized) and a final semi-join restricts the
+    * result to exactly the requested keys. Flat layouts degrade to a
+    * full-scan filter with the same semantics. */
+  def readForKeys(spark: SparkSession, baseDir: String, keyRows: DataFrame)
+      : Option[DataFrame] =
     currentVersion(spark, baseDir).map { v =>
       val base = new Path(baseDir)
       val f = fs(spark, baseDir)
       val vdir = versionPath(base, v)
+      val keyCols = keyRows.columns.toSeq
+      val wanted = keyRows.distinct()
       val baseFrame = parseBuckets(f, vdir) match {
-        case Some((_, entries)) =>
-          val paths = entries.toSeq.sortBy(_._1)
-            .map { case (_, rel) => new Path(base, rel).toString }
-          spark.read.parquet(paths: _*)
+        case Some((nb, entries)) =>
+          val touched = wanted
+            .select(bucketOf(keyCols, nb).as("__b")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          val paths = touched.toSeq.sorted.flatMap(entries.get)
+            .map(rel => new Path(base, rel).toString)
+          if (paths.nonEmpty) spark.read.parquet(paths: _*)
+          else versionFrame(spark, baseDir, v).limit(0)
         case None => spark.read.parquet(vdir.toString)
       }
-      parseDeltas(f, vdir) match {
-        case Some((keys, overlays)) if overlays.nonEmpty =>
-          val tagged = overlays.zipWithIndex.map { case (rel, i) =>
-            spark.read.parquet(new Path(base, rel).toString)
-              .withColumn("__seq", lit(i))
-          }.reduce(_ unionByName _)
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(keys.map(col): _*).orderBy(col("__seq").desc)
-          val latest = tagged
-            .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
-            .filter(col("__rn") === 1)
-          val live = latest.filter(col(ActionCol) === lit("u"))
-            .drop(ActionCol, "__seq", "__rn")
-          baseFrame
-            .join(tagged.select(keys.map(col): _*).distinct(), keys, "left_anti")
-            .unionByName(live)
-        case _ => baseFrame
-      }
+      reconcileOverlays(spark, base, f, vdir, baseFrame)
+        .join(wanted, keyCols, "left_semi")
+    }
+
+  /** The committed frame of one version: its bucket (or flat) files with
+    * any merge-on-read overlays reconciled. */
+  private def versionFrame(spark: SparkSession, baseDir: String, v: Long): DataFrame = {
+    val base = new Path(baseDir)
+    val f = fs(spark, baseDir)
+    val vdir = versionPath(base, v)
+    val baseFrame = parseBuckets(f, vdir) match {
+      case Some((_, entries)) =>
+        val paths = entries.toSeq.sortBy(_._1)
+          .map { case (_, rel) => new Path(base, rel).toString }
+        spark.read.parquet(paths: _*)
+      case None => spark.read.parquet(vdir.toString)
+    }
+    reconcileOverlays(spark, base, f, vdir, baseFrame)
+  }
+
+  /** Apply a version's `_DELTAS` overlays to its base frame: newest
+    * overlay row per key wins over older overlays and the base; winning
+    * deletes drop the key. Identity when the version carries no overlays. */
+  private def reconcileOverlays(spark: SparkSession, base: Path, f: FileSystem,
+      vdir: Path, baseFrame: DataFrame): DataFrame =
+    parseDeltas(f, vdir) match {
+      case Some((keys, overlays)) if overlays.nonEmpty =>
+        val tagged = overlays.zipWithIndex.map { case (rel, i) =>
+          spark.read.parquet(new Path(base, rel).toString)
+            .withColumn("__seq", lit(i))
+        }.reduce(_ unionByName _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col("__seq").desc)
+        val latest = tagged
+          .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("__rn") === 1)
+        val live = latest.filter(col(ActionCol) === lit("u"))
+          .drop(ActionCol, "__seq", "__rn")
+        baseFrame
+          .join(tagged.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          .unionByName(live)
+      case _ => baseFrame
     }
 
   /** (tag, batchId) recorded by the last publish; ("", -1) if none. */

@@ -526,6 +526,52 @@ class VersionedSnapshotSpec extends SparkSpec {
     assert(VersionedSnapshot.validateCurrent(spark, base))
   }
 
+  test("readVersion time-travels across retained versions; retired/uncommitted → None") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-tt").resolve("snap").toString
+    val v0 = VersionedSnapshot.mergeInto(base,
+      Seq((1L, "old"), (2L, "x")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed",
+      retain = 3, numBuckets = 4)
+    val v1 = VersionedSnapshot.mergeInto(base,
+      Seq((1L, "new")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "upd",
+      retain = 3, numBuckets = 4)
+    def rowsOf(v: Long) = VersionedSnapshot.readVersion(spark, base, v).get
+      .as[(Long, String)].collect().toMap
+    assert(rowsOf(v0) == Map(1L -> "old", 2L -> "x"))
+    assert(rowsOf(v1) == Map(1L -> "new", 2L -> "x"))
+    assert(VersionedSnapshot.read(spark, base).get
+      .as[(Long, String)].collect().toMap == rowsOf(v1))
+    assert(VersionedSnapshot.readVersion(spark, base, v1 + 5).isEmpty)
+    // retention retires v0 → time travel to it honestly fails
+    VersionedSnapshot.mergeInto(base, Seq((3L, "y")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "more",
+      retain = 1, numBuckets = 4)
+    assert(VersionedSnapshot.readVersion(spark, base, v0).isEmpty)
+  }
+
+  test("readForKeys reads only the keys' bucket dirs and reconciles overlays") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-pk").resolve("snap").toString
+    val seed = (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")
+    VersionedSnapshot.stageDelta(base, seed, Seq("k"),
+      UpdateMatched, marker = "seed", numBuckets = 8)
+    VersionedSnapshot.stageDelta(base, Seq((7L, "OVR")).toDF("k", "v"),
+      Seq("k"), UpdateMatched, marker = "ovr", numBuckets = 8)
+    val wanted = Seq(7L, 8L).toDF("k")
+    val got = VersionedSnapshot.readForKeys(spark, base, wanted).get
+    assert(got.as[(Long, String)].collect().toMap == Map(7L -> "OVR", 8L -> "v8"))
+    // pruning: the point read must touch fewer base files than a full read
+    val fullFiles = VersionedSnapshot.read(spark, base).get.inputFiles.toSet
+    val prunedFiles = got.inputFiles.toSet
+    assert(prunedFiles.subsetOf(fullFiles))
+    assert(prunedFiles.size < fullFiles.size,
+      s"expected bucket pruning, read ${prunedFiles.size}/${fullFiles.size} files")
+  }
+
   test("read before any publish is None; retain=1 keeps only the current version") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-vsnap4").resolve("snap").toString
