@@ -2130,6 +2130,24 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ---- e6-integer PageRank over the event-type transition graph:
+    // link-graph importance with the repo's exact-integer portability
+    // discipline (floor division at every step), so the 3-iteration
+    // power method hash-matches an unrolled SQL oracle — the graph
+    // family's first oracle-backed iterative row ----
+    "event_type_pagerank" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val edges = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .select(col("event_type"), col("next_type"))
+      graft.operators.PageRank.runExactE6(edges, "event_type", "next_type",
+          iterations = 3)
+        .select(col("id").as("event_type"), col("rank_e6"))
+    }),
+
     // ---- Bradley-Terry preference scores over the transition graph:
     // "moved from A to B" read as B preferred over A; the MM fixpoint
     // runs in e6-quantized exact integers, so the DuckDB oracle unrolls
@@ -2700,6 +2718,45 @@ object SparkEntry {
        |    ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id < c.vec_id),
        |${pairScoreCtes("id_a", "id_b")}
        |SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= $NdThreshold""".stripMargin
+
+  /** Unrolled-iteration mirror of [[graft.operators.PageRank.runExactE6]]
+    * over the event-type transition graph: every share, dangling split
+    * and damped update is the same e6-integer floor division (`//` ==
+    * Spark `div` on non-negatives), so three power iterations reproduce
+    * bit-for-bit. */
+  private def pageRankE6Oracle: String = {
+    val damp = 850000L
+    def iter(i: Int): String = {
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (SELECT e.dst AS id, CAST(sum(r.r // d.od) AS BIGINT) AS m
+         |        FROM pe e JOIN $prev r ON e.src = r.id
+         |                  JOIN pod d ON e.src = d.src
+         |        GROUP BY 1),
+         |dg$i AS (SELECT COALESCE(CAST(sum(r.r) AS BIGINT), 0) AS dm
+         |         FROM $prev r LEFT JOIN pod d ON r.id = d.src
+         |         WHERE d.src IS NULL),
+         |r$i AS (SELECT v.id,
+         |          CAST((1000000 - $damp) // pn.nv +
+         |               ($damp * (COALESCE(c.m, 0) + dg$i.dm // pn.nv)) // 1000000
+         |               AS BIGINT) AS r
+         |        FROM pv v LEFT JOIN c$i c ON v.id = c.id, pn, dg$i)"""
+    }
+    s"""WITH pre AS (
+       |  SELECT user_id, event_type,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |                                ORDER BY ts ASC, event_id ASC) AS nt
+       |  FROM events),
+       |pe AS (SELECT DISTINCT event_type AS src, nt AS dst
+       |       FROM pre WHERE nt IS NOT NULL),
+       |pv AS (SELECT src AS id FROM pe UNION SELECT dst FROM pe),
+       |pn AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM pv),
+       |pod AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM pe GROUP BY 1),
+       |r0 AS (SELECT id, CAST(1000000 // pn.nv AS BIGINT) AS r FROM pv, pn),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT id AS event_type, r AS rank_e6 FROM r3""".stripMargin
+  }
 
   /** Triangle counts over the simhash_pairs edge set (the generated
     * [[simHashOracle]] as a derived table, the minhash_accuracy wrapping
@@ -3390,6 +3447,7 @@ object SparkEntry {
     "near_dup_lsh" -> nearDupLshOracle,
     "dup_graph_triangles" -> dupTrianglesOracle,
     "kmv_type_jaccard" -> kmvTypeJaccardOracle,
+    "event_type_pagerank" -> pageRankE6Oracle,
     "ivf_topk" -> ivfTopKOracle,
     "substring_dup_spans" -> substringSpansOracle,
     "doc_dup_stats" -> substringStatsOracle,

@@ -62,4 +62,52 @@ object PageRank {
     }
     ranks
   }
+
+  /** Exact-integer PageRank — [[run]]'s power iteration carried out
+    * entirely in e6-scaled int64 with floor division at every step, the
+    * repo's portability discipline applied to graph iteration: integer
+    * addition is order-independent, so unlike the double form the result
+    * is bit-identical across partitionings, re-runs and ENGINES, and a
+    * SQL oracle can reproduce it by unrolling the iterations. The cost of
+    * exactness is floor-truncation drift (ranks no longer sum to exactly
+    * 10^6 — each division drops < 1 unit per vertex per round), which is
+    * measurement noise at e6 scale and never accumulates past
+    * iterations·(out_deg+2) units; relative ORDER of ranks — what link
+    * importance is used for — is unaffected on any graph whose rank gaps
+    * exceed that. Plan shape identical to [[run]].
+    *
+    * Output: (id, rank_e6 long). */
+  def runExactE6(edges: DataFrame, src: String, dst: String,
+      iterations: Int = 3, dampingE6: Long = 850000L): DataFrame = {
+    require(iterations > 0, "iterations must be positive")
+    require(dampingE6 >= 0 && dampingE6 <= 1000000L, "dampingE6 out of [0, 1e6]")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .distinct().localCheckpoint()
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val nV = vertices.count()
+    require(nV > 0, "empty graph")
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val teleport = (1000000L - dampingE6) / nV
+    var ranks = vertices.withColumn("rank_e6", lit(1000000L / nV))
+    for (_ <- 1 to iterations) {
+      val withDeg = ranks.join(outDeg, ranks("id") === outDeg("src"), "left")
+      val dangling = withDeg.filter(col("out_deg").isNull)
+        .agg(coalesce(sum("rank_e6"), lit(0L)).as("__dm"))
+      val contribs = withDeg.filter(col("out_deg").isNotNull)
+        .select(col("id"), expr("rank_e6 div out_deg").as("share"))
+        .join(e, col("id") === e("src"))
+        .groupBy(col("dst").as("vid"))
+        .agg(sum("share").as("in_mass"))
+      ranks = vertices
+        .join(contribs, vertices("id") === col("vid"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit(teleport) +
+            expr(s"($dampingE6 * (coalesce(in_mass, CAST(0 AS BIGINT)) + " +
+              s"__dm div $nV)) div 1000000")).as("rank_e6"))
+        .localCheckpoint()
+    }
+    ranks
+  }
 }

@@ -37,4 +37,30 @@ class PageRankSpec extends SparkSpec {
     assert(r(1L) > r(2L) && r(2L) > r(3L))
     assert(math.abs(r.values.sum - 1.0) < 1e-9)
   }
+
+  private def e6RanksOf(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, Long] =
+    PageRank.runExactE6(edges.toDF("s", "d"), "s", "d", iterations = iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("runExactE6 tracks the double form within truncation drift, same order") {
+    val g = Seq((2L, 1L), (3L, 1L), (3L, 2L))
+    val exact = e6RanksOf(g, iters = 3)
+    val dbl = PageRank.run(g.toDF("s", "d"), "s", "d", iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    exact.foreach { case (id, rE6) =>
+      assert(math.abs(rE6 - dbl(id) * 1e6) < 20,
+        s"node $id: $rE6 vs ${dbl(id) * 1e6}")
+    }
+    assert(exact(1L) > exact(2L) && exact(2L) > exact(3L))
+  }
+
+  test("runExactE6 is invariant under partitioning and edge order") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 2L), (4L, 1L))
+    val a = PageRank.runExactE6(g.toDF("s", "d"), "s", "d", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    val b = PageRank.runExactE6(
+        g.reverse.toDF("s", "d").repartition(7), "s", "d", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, "integer ranks must be bit-identical across layouts")
+  }
 }
