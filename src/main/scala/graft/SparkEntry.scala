@@ -53,6 +53,7 @@ object SparkEntry {
   private val MaxSimGroup = 8   // maxsim_topk: vectors per multi-vector doc
   private val MaxSimPanel = 16  // maxsim_topk: hash-sampled query-doc panel
   private val KmvK = 64         // kmv_type_jaccard: k minimum values per set
+  private val RpK = 16          // embedding_rp_audit: JL target dimensions
   private val AlignK = 4        // margin_align_pairs: neighborhood size
   private val AlignMinMarginE6 = 1000000L // margin ≥ 1.0: above neighborhood avg
   private val BtIterations = 3  // bt_event_scores: MM fixpoint iterations
@@ -1065,6 +1066,14 @@ object SparkEntry {
       graft.operators.Quantize.int8(Tables.embeddings(s, dir), "vec_id", "embedding")
         .select(col("vec_id"), col("q_lo"), col("q_hi"),
           concat_ws(",", col("qvec")).as("qvec_csv"))),
+
+    // ---- Johnson-Lindenstrauss random projection audit: exact-integer
+    // ±1 projections 64→16 with the per-vector norm-distortion ratio —
+    // the number that decides the target dimension before an ANN or
+    // clustering pipeline switches to projected vectors ----
+    "embedding_rp_audit" -> ((s, dir) =>
+      graft.operators.Quantize.randomProject(Tables.embeddings(s, dir),
+        "vec_id", "embedding", dim = Dim, k = RpK)),
 
     // ---- semantic dedup (SemDeDup): within-centroid-cell cosine pairs ----
     "semantic_dedup_pairs" -> ((s, dir) =>
@@ -2719,6 +2728,36 @@ object SparkEntry {
        |${pairScoreCtes("id_a", "id_b")}
        |SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= $NdThreshold""".stripMargin
 
+  /** Mirror of [[graft.operators.Quantize.randomProject]]: the ±1
+    * directions enter as a literal VALUES relation generated from the
+    * SAME splitmix Rademacher source, and every sum is e6-integer-exact,
+    * so the JL audit hash-matches bit-for-bit. */
+  private def rpAuditOracle: String = {
+    val values = (0 until RpK).flatMap { i =>
+      graft.operators.Similarity.rademacher(1000 + i, Dim).zipWithIndex.map {
+        case (v, j) => s"($i,${j + 1},${v.toInt})"
+      }
+    }.mkString(",")
+    s"""WITH rph(i, j, h) AS (VALUES $values),
+       |rpflat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+       |                  CAST(floor(CAST(UNNEST(embedding) AS DOUBLE)
+       |                             * 1000000.0 + 0.5) AS BIGINT) AS xe6
+       |           FROM embeddings),
+       |rpn AS (SELECT vec_id, CAST(sum(xe6 * xe6) AS BIGINT) AS norm_sq_e12
+       |        FROM rpflat GROUP BY 1),
+       |rpp AS (SELECT f.vec_id, d.i, CAST(sum(f.xe6 * d.h) AS BIGINT) AS p
+       |        FROM rpflat f JOIN rph d ON f.j = d.j
+       |        GROUP BY 1, 2),
+       |rpe AS (SELECT vec_id, CAST(sum(p * p) // $RpK AS BIGINT) AS est_sq_e12
+       |        FROM rpp GROUP BY 1)
+       |SELECT n.vec_id, n.norm_sq_e12, e.est_sq_e12,
+       |  CASE WHEN n.norm_sq_e12 > 0
+       |       THEN CAST(floor(e.est_sq_e12 * 1.0 / n.norm_sq_e12
+       |                       * 1000000.0 + 0.5) AS BIGINT)
+       |  END AS ratio_e6
+       |FROM rpn n JOIN rpe e ON n.vec_id = e.vec_id""".stripMargin
+  }
+
   /** Unrolled-iteration mirror of [[graft.operators.PageRank.runExactE6]]
     * over the event-type transition graph: every share, dangling split
     * and damped update is the same e6-integer floor division (`//` ==
@@ -3448,6 +3487,7 @@ object SparkEntry {
     "dup_graph_triangles" -> dupTrianglesOracle,
     "kmv_type_jaccard" -> kmvTypeJaccardOracle,
     "event_type_pagerank" -> pageRankE6Oracle,
+    "embedding_rp_audit" -> rpAuditOracle,
     "ivf_topk" -> ivfTopKOracle,
     "substring_dup_spans" -> substringSpansOracle,
     "doc_dup_stats" -> substringStatsOracle,

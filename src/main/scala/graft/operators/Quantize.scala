@@ -311,4 +311,50 @@ object Quantize {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "dist_e6", "rank")
   }
+
+  /** Johnson-Lindenstrauss random projection, exact-integer form: project
+    * `dim`-d embeddings onto `k` Rademacher (±1) directions — the
+    * cheapest JL map (Achlioptas 2003: ±1 entries satisfy the lemma with
+    * the same distortion bound as Gaussians, and the dot products are
+    * additions). Components first quantize to e6 integers, so every
+    * projection p_i = Σ x_e6·(±1) and both squared norms are EXACT int64
+    * sums — order-independent, hash-matchable on any engine — and the JL
+    * estimator ‖p‖²/k (whose expectation is ‖x‖²) comes out as one
+    * integer floor division. The per-vector `ratio_e6` column is the
+    * operator's self-audit: how much this particular vector's norm
+    * distorts under the map (concentrates near 1e6 as k grows — the
+    * lemma), which is the number that decides k before an ANN/clustering
+    * pipeline switches to projected vectors. The directions are baked as
+    * array literals from the same splitmix generator as the LSH
+    * hyperplanes (seed block 1000+) — no stored model, codegen folds
+    * them.
+    *
+    * Scale shape: map-only (0 exchanges) — k codegen'd dot products per
+    * row; output is k+2 numbers per vector, an 8×/`dim/k` compression
+    * before any distance-based downstream. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int): DataFrame = {
+    require(k >= 1 && dim >= 1, "dim and k must be >= 1")
+    val dirs = (0 until k).map(i => Similarity.rademacher(1000 + i, dim))
+    val xe6 = expr(s"transform($vecCol, x -> " +
+      "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+      .cast("array<double>")
+    val base = df.select(col(idCol), xe6.as("__xe6"))
+    // e6-valued doubles stay integer-exact: |x_e6| ≤ ~4e6, dot sums ≤
+    // ~2.6e8 ≪ 2^53; squares move to int64 BEFORE summing (p² ≤ ~7e16
+    // exceeds double's exact-integer range but not long's)
+    val pCols = dirs.zipWithIndex.map { case (h, i) =>
+      Vectors.dot(col("__xe6"), typedlit(h)).cast("long").as(s"__p$i")
+    }
+    val projected = base.select(col(idCol) +: Vectors.dot(col("__xe6"), col("__xe6"))
+      .cast("long").as("norm_sq_e12") +: pCols: _*)
+    val sumSq = (0 until k).map(i => s"__p$i * __p$i").mkString(" + ")
+    projected
+      .withColumn("est_sq_e12", expr(s"($sumSq) div $k"))
+      .withColumn("ratio_e6",
+        when(col("norm_sq_e12") > 0,
+          floor(col("est_sq_e12") * lit(1.0) / col("norm_sq_e12") * lit(1000000.0)
+            + lit(0.5)).cast("long")))
+      .select(col(idCol), col("norm_sq_e12"), col("est_sq_e12"), col("ratio_e6"))
+  }
 }

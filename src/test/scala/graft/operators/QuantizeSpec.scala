@@ -151,4 +151,26 @@ class QuantizeSpec extends SparkSpec {
     // measured: sampled ≈ 95542, trained ≈ 68802 (28% down)
     assert(trained < sampled, s"trained $trained !< sampled $sampled")
   }
+
+  test("randomProject: JL norm estimate is unbiased-ish and exactly reproducible") {
+    import spark.implicits._
+    val vecs = (0L until 64L).map { i =>
+      (i, Seq.tabulate(32)(j => (((i * 31 + j * 17) % 13).toFloat - 6f) / 6f))
+    }.toDF("vec_id", "embedding")
+    val out = Quantize.randomProject(vecs, "vec_id", "embedding", dim = 32, k = 8)
+    val ratios = out.select("ratio_e6").as[Long].collect()
+    // distortion concentrates near 1e6 (k=8 is loose — allow wide band)
+    val mean = ratios.sum.toDouble / ratios.length
+    assert(math.abs(mean - 1e6) < 3e5, s"mean ratio $mean far from 1e6")
+    // bit-identical across partitionings (exact-integer contract)
+    val again = Quantize.randomProject(vecs.repartition(7), "vec_id", "embedding",
+        dim = 32, k = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(again == out.as[(Long, Long, Long, Long)].collect().toSet)
+    // zero vector: norm 0 → null ratio, never a divide error
+    val z = Quantize.randomProject(
+      Seq((0L, Seq.fill(32)(0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim = 32, k = 8)
+    assert(z.select("ratio_e6").collect().head.isNullAt(0))
+  }
 }
