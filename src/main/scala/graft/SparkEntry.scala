@@ -1313,6 +1313,32 @@ object SparkEntry {
       graft.streaming.VersionedSnapshot.read(s, base).get
         .select("doc_id", "n_chars", "lang")
     }),
+    // ---- change-data-feed read: the row-level diff of two retained
+    // versions (seed → upsert → delete window), derived from version
+    // immutability by one full-outer join — insert/update rows carry new
+    // values, delete rows the last values the key had; the oracle
+    // predicts every op from the merge arithmetic ----
+    "snapshot_changes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = tempSnapshotBase("graft-cdf")
+      val v0 = graft.streaming.VersionedSnapshot.mergeInto(
+        base, docs.filter(col("doc_id") % 10 =!= 0), Seq("doc_id"),
+        graft.streaming.VersionedSnapshot.UpdateMatched,
+        insertUnmatched = true, marker = "seed", retain = 3)
+      graft.streaming.VersionedSnapshot.mergeInto(
+        base,
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000),
+        Seq("doc_id"), graft.streaming.VersionedSnapshot.UpdateMatched,
+        insertUnmatched = true, marker = "upsert", retain = 3)
+      val v2 = graft.streaming.VersionedSnapshot.mergeInto(
+        base, docs.filter(col("doc_id") % 7 === 0), Seq("doc_id"),
+        graft.streaming.VersionedSnapshot.DeleteMatched,
+        insertUnmatched = false, marker = "delete", retain = 3)
+      graft.streaming.VersionedSnapshot.changes(s, base, v0, v2, Seq("doc_id")).get
+        .select("op", "doc_id", "n_chars", "lang")
+    }),
+
     "snapshot_merge_delete" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
       val base = tempSnapshotBase("graft-merge")
@@ -5296,6 +5322,26 @@ object SparkEntry {
         |       min(v) AS min_v, max(v) AS max_v,
         |       CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_v
         |FROM q GROUP BY 1""".stripMargin,
+
+    // every op predicted from the merge arithmetic: seed = %10≠0;
+    // upsert(%5==0, +1000); delete(%7==0, matched-only). insert = joined
+    // the table after v0 and survived the delete; delete = in v0, gone by
+    // v2 (values as of v0); update = in both with the upserted value. A
+    // row inserted then deleted inside the window is NOT a change
+    "snapshot_changes" ->
+      """SELECT CASE
+        |         WHEN doc_id % 10 = 0 AND doc_id % 7 <> 0 THEN 'insert'
+        |         WHEN doc_id % 10 <> 0 AND doc_id % 7 = 0 THEN 'delete'
+        |         WHEN doc_id % 10 <> 0 AND doc_id % 5 = 0 THEN 'update'
+        |       END AS op,
+        |       doc_id,
+        |       CASE WHEN doc_id % 10 <> 0 AND doc_id % 7 = 0 THEN n_chars
+        |            ELSE n_chars + 1000 END AS n_chars,
+        |       lang
+        |FROM documents
+        |WHERE (doc_id % 10 = 0 AND doc_id % 7 <> 0)
+        |   OR (doc_id % 10 <> 0 AND doc_id % 7 = 0)
+        |   OR (doc_id % 10 <> 0 AND doc_id % 5 = 0 AND doc_id % 7 <> 0)""".stripMargin,
 
     // full recompute over the LIVE rows (inserts minus retracted ids) —
     // hash equality proves the changelog-merged snapshot identical

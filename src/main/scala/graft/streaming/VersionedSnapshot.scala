@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{assert_true, col, count, lit, pmod, xxhash64}
+import org.apache.spark.sql.functions.{assert_true, col, count, lit, pmod, when, xxhash64}
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 
 /** Reader-atomic, multi-version snapshot publication — the transactional
@@ -162,6 +162,49 @@ object VersionedSnapshot {
       }
       reconcileOverlays(spark, base, f, vdir, baseFrame)
         .join(wanted, keyCols, "left_semi")
+    }
+
+  /** Row-level change feed between two RETAINED versions — the
+    * table-format `table_changes` / CDF read, derived here from version
+    * immutability alone: diff = one full-outer equi-join of the two
+    * version frames on the key, so no change log needs to be stored.
+    * Emits (op, …row): `insert` rows carry the new values, `update` rows
+    * the new values, `delete` rows the values as of `fromVersion`. Rows
+    * whose key exists in both versions with identical non-key values are
+    * not changes and are not emitted (null-safe comparison, so
+    * null-valued columns diff correctly). None unless BOTH versions are
+    * still retained — a feed over retired history would be silently
+    * partial, which is worse than absent.
+    *
+    * The standard uses: driving a downstream incremental consumer
+    * without replaying the source stream, and auditing exactly what a
+    * merge window changed. Cost: both version frames scan once; the join
+    * shuffles on the key. */
+  def changes(spark: SparkSession, baseDir: String, fromVersion: Long,
+      toVersion: Long, keys: Seq[String]): Option[DataFrame] =
+    for {
+      a <- readVersion(spark, baseDir, fromVersion)
+      b <- readVersion(spark, baseDir, toVersion)
+    } yield {
+      val nonKeys = b.columns.toSeq.filterNot(keys.contains)
+      val aSide = a.select(
+        (keys.map(col) :+ lit(true).as("__in_a")) ++
+          nonKeys.map(c => col(c).as(s"__a_$c")): _*)
+      val bSide = b.select(
+        (keys.map(col) :+ lit(true).as("__in_b")) ++
+          nonKeys.map(c => col(c).as(s"__b_$c")): _*)
+      val joined = aSide.join(bSide, keys, "full_outer")
+      val differs = nonKeys
+        .map(c => !(col(s"__a_$c") <=> col(s"__b_$c")))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val op = when(col("__in_a").isNull, lit("insert"))
+        .when(col("__in_b").isNull, lit("delete"))
+        .when(differs, lit("update"))
+      joined
+        .withColumn("op", op).filter(col("op").isNotNull)
+        .select(col("op") +: keys.map(col) ++: nonKeys.map(c =>
+          when(col("op") === "delete", col(s"__a_$c"))
+            .otherwise(col(s"__b_$c")).as(c)): _*)
     }
 
   /** The committed frame of one version: its bucket (or flat) files with
@@ -542,7 +585,8 @@ object VersionedSnapshot {
     * count wins, so every merge agrees on the bucket function. */
   def mergeInto(baseDir: String, source: DataFrame, keys: Seq[String],
       whenMatched: MatchedAction, insertUnmatched: Boolean,
-      marker: String, retain: Int = 2, numBuckets: Int = 32): Long = {
+      marker: String, retain: Int = 2, numBuckets: Int = 32,
+      evolveSchema: Boolean = false): Long = {
     require(keys.nonEmpty, "MERGE needs at least one key column")
     val spark = source.sparkSession
     // reject multi-match sources: count per key via one window over the
@@ -564,20 +608,52 @@ object VersionedSnapshot {
         val result = if (insertUnmatched) uniqueSource else uniqueSource.limit(0)
         publishBucketed(result, baseDir, marker, keys, numBuckets,
           inherited = Map.empty, retain = retain)
-      case Some(target) =>
+      case Some(target0) =>
         // name AND type parity: a name-only check would let a type-drifted
         // source slide into a confusing analysis error (or a silently
         // widened column) deep inside publish
         def sig(df: DataFrame): Seq[(String, String)] =
           df.schema.fields.map(f => (f.name, f.dataType.catalogString)).toSeq.sortBy(_._1)
-        require(sig(target) == sig(source),
-          s"MERGE source schema ${sig(source).mkString(",")} must match " +
-            s"snapshot schema ${sig(target).mkString(",")}")
-        val src = uniqueSource.select(target.columns.map(col).toIndexedSeq: _*)
-        val (nb, entries) = bucketManifest(spark, baseDir)
+        val evolved = evolveSchema && sig(target0) != sig(source)
+        if (!evolveSchema)
+          require(sig(target0) == sig(source),
+            s"MERGE source schema ${sig(source).mkString(",")} must match " +
+              s"snapshot schema ${sig(target0).mkString(",")} " +
+              "(pass evolveSchema = true to union-evolve)")
+        else {
+          // evolution is union-by-name: columns may be ADDED on either
+          // side (padded null on the other); a type CHANGE on a shared
+          // column is still drift, never silent
+          val tT = target0.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+          val sT = source.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+          require(keys.forall(sT.contains), s"source must carry the keys ${keys.mkString(",")}")
+          (tT.keySet & sT.keySet).foreach { c =>
+            require(tT(c) == sT(c),
+              s"column $c type drift: snapshot ${tT(c)} vs source ${sT(c)}")
+          }
+        }
+        // unified frame pair: snapshot columns first, new source columns
+        // appended — old rows read the new columns as null
+        val target = source.schema.fields.toSeq
+          .filterNot(f => target0.columns.contains(f.name))
+          .foldLeft(target0)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+        val src = {
+          val missing = target.schema.fields.toSeq
+            .filterNot(f => source.columns.contains(f.name))
+          missing.foldLeft(uniqueSource)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+            .select(target.columns.map(col).toIndexedSeq: _*)
+        }
+        val (nb, entries0) = bucketManifest(spark, baseDir)
           // legacy flat snapshot: this merge upgrades it to the bucketed
           // layout with one full rewrite (the last one it will ever pay)
           .getOrElse((numBuckets, Map.empty[Int, String]))
+        // a schema evolution rewrites EVERY bucket once: inherited files
+        // would otherwise carry the old parquet schema and the plain
+        // multi-path read would resolve columns inconsistently. Rare by
+        // nature (schema migrations), priced accordingly.
+        val entries = if (evolved) Map.empty[Int, String] else entries0
         // bucket pruning: the source's bucket set is ≤ nb values — the
         // multi-match assert rides this first action, failing a bad
         // source before anything is staged

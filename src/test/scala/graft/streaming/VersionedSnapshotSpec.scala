@@ -572,6 +572,68 @@ class VersionedSnapshotSpec extends SparkSpec {
       s"expected bucket pruning, read ${prunedFiles.size}/${fullFiles.size} files")
   }
 
+  test("changes() emits the row diff of two retained versions; identical rows are silent") {
+    import spark.implicits._
+    import VersionedSnapshot.{DeleteMatched, UpdateMatched}
+    val base = Files.createTempDirectory("graft-cdf").resolve("snap").toString
+    val v0 = VersionedSnapshot.mergeInto(base,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed",
+      retain = 4, numBuckets = 4)
+    VersionedSnapshot.mergeInto(base,
+      Seq((2L, "B"), (4L, "d")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "up",
+      retain = 4, numBuckets = 4)
+    val v2 = VersionedSnapshot.mergeInto(base,
+      Seq(Tuple1(3L)).toDF("k").withColumn("v", lit(null).cast("string")),
+      Seq("k"), DeleteMatched, insertUnmatched = false, marker = "del",
+      retain = 4, numBuckets = 4)
+    val got = VersionedSnapshot.changes(spark, base, v0, v2, Seq("k")).get
+      .as[(String, Long, String)].collect().toSet
+    // 1 unchanged → silent; 2 updated; 3 deleted (v0 values); 4 inserted
+    assert(got == Set(("update", 2L, "B"), ("delete", 3L, "c"), ("insert", 4L, "d")))
+    // retired window → None, never a partial feed
+    VersionedSnapshot.mergeInto(base, Seq((9L, "z")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "more",
+      retain = 1, numBuckets = 4)
+    assert(VersionedSnapshot.changes(spark, base, v0, v2, Seq("k")).isEmpty)
+  }
+
+  test("mergeInto evolveSchema: new source column appears, old rows read null, drift still loud") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-evo").resolve("snap").toString
+    VersionedSnapshot.mergeInto(base,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", numBuckets = 4)
+    // without the flag: loud reject
+    val wider = Seq((2L, "B", 9L), (3L, "c", 7L)).toDF("k", "v", "score")
+    assertThrows[IllegalArgumentException] {
+      VersionedSnapshot.mergeInto(base, wider, Seq("k"),
+        UpdateMatched, insertUnmatched = true, marker = "no", numBuckets = 4)
+    }
+    VersionedSnapshot.mergeInto(base, wider, Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "evolve",
+      numBuckets = 4, evolveSchema = true)
+    val got = VersionedSnapshot.read(spark, base).get
+      .select("k", "v", "score").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(got == Map(1L -> ("a", None), 2L -> ("B", Some(9L)), 3L -> ("c", Some(7L))))
+    // a TYPE change on a shared column is still rejected, even evolving
+    val drift = Seq((1L, 5)).toDF("k", "v") // v int, was string
+    assertThrows[IllegalArgumentException] {
+      VersionedSnapshot.mergeInto(base, drift, Seq("k"),
+        UpdateMatched, insertUnmatched = true, marker = "bad",
+        numBuckets = 4, evolveSchema = true)
+    }
+    // post-evolution merges work at the new schema without the flag
+    VersionedSnapshot.mergeInto(base, Seq((1L, "A", 1L)).toDF("k", "v", "score"),
+      Seq("k"), UpdateMatched, insertUnmatched = true, marker = "after",
+      numBuckets = 4)
+    assert(VersionedSnapshot.read(spark, base).get.count() == 3)
+  }
+
   test("read before any publish is None; retain=1 keeps only the current version") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-vsnap4").resolve("snap").toString
