@@ -2005,6 +2005,40 @@ object SparkEntry {
           (col("n_est") - col("n_exact")).as("overcount"))
     }),
 
+    // ---- tokenizer fertility: chars-per-token by language — the
+    // number that sizes a tokenizer's vocab/budget trade per language
+    // before training (high fertility = the tokenizer fragments that
+    // language), computed in one aggregate pass ----
+    "tokenizer_fertility" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars").cast("long").as("__nc"),
+          size(split(col("text"), " ")).cast("long").as("__nt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"),
+          sum("__nc").as("n_chars"))
+        .withColumn("fertility_e6",
+          floor(col("n_chars") * lit(1000000L) / col("n_tokens") + lit(0.5))
+            .cast("long"))),
+
+    // ---- CMS join-size estimation: the planner-side cardinality
+    // primitive — |views ⋈ purchases on user| estimated from two tiny
+    // frequency sketches (min over depth of register dot products,
+    // overcount-only), with the exact Σ a(k)·b(k) alongside ----
+    "join_size_cms" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val views = ev.filter(col("event_type") === "view")
+      val buys = ev.filter(col("event_type") === "purchase")
+      val est = graft.operators.Sketches.cmsInnerProduct(
+        graft.operators.Sketches.cmsPartials(views, "user_id", CmsDepth, CmsWidth),
+        graft.operators.Sketches.cmsPartials(buys, "user_id", CmsDepth, CmsWidth))
+      val exact = views.groupBy("user_id").agg(count(lit(1)).as("__a"))
+        .join(buys.groupBy("user_id").agg(count(lit(1)).as("__b")), "user_id")
+        .agg(coalesce(sum(col("__a") * col("__b")), lit(0L)).as("n_exact"))
+      exact.crossJoin(est)
+        .select(col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("overcount"))
+    }),
+
     // ---- rollup (grouping-sets family): subtotals + grand total ----
     "revenue_rollup" -> ((s, dir) =>
       Tables.orders(s, dir).rollup("o_orderpriority", "o_orderstatus")
@@ -2620,6 +2654,39 @@ object SparkEntry {
        |SELECT user_id, n_exact, CAST(n_est AS BIGINT) AS n_est,
        |       CAST(n_est - n_exact AS BIGINT) AS overcount
        |FROM est""".stripMargin
+  }
+
+  /** Mirror of [[graft.operators.Sketches.cmsInnerProduct]] over the
+    * view/purchase frequency vectors: same seeded register hash as the
+    * heavy-hitters oracle, exact integer dot products, min over depth. */
+  private def joinSizeCmsOracle: String = {
+    val vBucket = dh("CAST(cj.j AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)")
+    s"""WITH cj AS (SELECT CAST(UNNEST(range(0, $CmsDepth)) AS INTEGER) AS j),
+       |jva AS (SELECT cj.j AS j, $vBucket % $CmsWidth AS bucket,
+       |               CAST(count(*) AS BIGINT) AS n
+       |        FROM events e CROSS JOIN cj
+       |        WHERE e.user_id IS NOT NULL AND e.event_type = 'view'
+       |        GROUP BY 1, 2),
+       |jvb AS (SELECT cj.j AS j, $vBucket % $CmsWidth AS bucket,
+       |               CAST(count(*) AS BIGINT) AS n
+       |        FROM events e CROSS JOIN cj
+       |        WHERE e.user_id IS NOT NULL AND e.event_type = 'purchase'
+       |        GROUP BY 1, 2),
+       |jdots AS (SELECT a.j, CAST(sum(a.n * b.n) AS BIGINT) AS dot
+       |          FROM jva a JOIN jvb b ON a.j = b.j AND a.bucket = b.bucket
+       |          GROUP BY 1),
+       |jest AS (SELECT CAST(min(dot) AS BIGINT) AS n_est FROM jdots),
+       |jex AS (SELECT COALESCE(CAST(sum(av.n * bv.n) AS BIGINT), 0) AS n_exact
+       |        FROM (SELECT user_id, count(*) AS n FROM events
+       |              WHERE user_id IS NOT NULL AND event_type = 'view'
+       |              GROUP BY 1) av
+       |        JOIN (SELECT user_id, count(*) AS n FROM events
+       |              WHERE user_id IS NOT NULL AND event_type = 'purchase'
+       |              GROUP BY 1) bv
+       |          ON av.user_id = bv.user_id)
+       |SELECT jex.n_exact, jest.n_est,
+       |       jest.n_est - jex.n_exact AS overcount
+       |FROM jex, jest""".stripMargin
   }
 
   /** Portable-HLL estimate vs exact distinct — mirror of
@@ -4705,6 +4772,15 @@ object SparkEntry {
         |FROM c GROUP BY o_orderpriority""".stripMargin,
 
     "heavy_hitters_cms" -> heavyHittersCmsOracle,
+    "join_size_cms" -> joinSizeCmsOracle,
+    "tokenizer_fertility" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(floor(CAST(sum(n_chars) AS BIGINT) * 1000000
+        |             / CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |             + 0.5) AS BIGINT) AS fertility_e6
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "revenue_rollup" ->
       """SELECT o_orderpriority, o_orderstatus,

@@ -266,6 +266,29 @@ object Sketches {
       .agg(min(coalesce(col("n"), lit(0L))).as("n_est"))
   }
 
+  /** CMS inner product — the sketch estimate of an equi-JOIN SIZE
+    * (Alon-Matias-Szegedy F₂/join-size line; Cormode & Muthukrishnan §4.2):
+    * for two frequency vectors a, b over the same key domain,
+    * |A ⋈ B| = Σ_k a(k)·b(k), and the CMS estimate is
+    * min_j Σ_bucket regsA[j]·regsB[j] — an overestimate only (hash
+    * collisions add mass, never remove it), within ε·‖a‖₁‖b‖₁ with
+    * probability 1−δ. This is the cardinality-estimation primitive a
+    * cost-based planner uses to pick join order/strategy WITHOUT
+    * touching the data: per-relation sketches are tiny (depth×width
+    * integers), mergeable across shards, and the estimate is one
+    * sketch-sized join. Exact integer arithmetic end-to-end — the same
+    * portability contract as [[cmsPartials]], so an oracle reproduces
+    * the estimate bit-for-bit.
+    *
+    * Input: two register relations from [[cmsPartials]] built with the
+    * SAME (depth, width). Output: one row (n_est long). */
+  def cmsInnerProduct(regsA: DataFrame, regsB: DataFrame): DataFrame =
+    regsA.select(col("j"), col("bucket"), col("n").as("__na"))
+      .join(regsB.select(col("j"), col("bucket"), col("n").as("__nb")),
+        Seq("j", "bucket"))
+      .groupBy("j").agg(sum(col("__na") * col("__nb")).as("__dot"))
+      .agg(min(col("__dot")).as("n_est"))
+
   /** KMV (k minimum values) set sketch — the engine-portable DISTINCT/
     * SIMILARITY member of the sketch family (Bar-Yossef et al. 2002; the
     * theta-sketch ancestor). The sketch of a set is its `k` smallest

@@ -196,6 +196,24 @@ class SketchesSpec extends SparkSpec {
     })
   }
 
+  test("cmsInnerProduct estimates join size: never under, exact when collision-free") {
+    val a = (1 to 50).flatMap(k => Seq.fill(k % 5 + 1)(("a", k.toLong)))
+      .toDF("g", "v")
+    val b = (25 to 75).flatMap(k => Seq.fill(k % 3 + 1)(("b", k.toLong)))
+      .toDF("g", "v")
+    val exact = a.groupBy("v").count().withColumnRenamed("count", "na")
+      .join(b.groupBy("v").count().withColumnRenamed("count", "nb"), "v")
+      .agg(sum(col("na") * col("nb"))).as[Long].head()
+    def est(width: Int): Long = Sketches.cmsInnerProduct(
+      Sketches.cmsPartials(a, "v", depth = 4, width = width),
+      Sketches.cmsPartials(b, "v", depth = 4, width = width))
+      .as[Long].head()
+    val tight = est(4096) // width ≫ keys: collisions vanish, estimate exact
+    assert(tight == exact, s"collision-free estimate $tight != exact $exact")
+    val loose = est(8) // heavy collisions: still an OVERestimate, never under
+    assert(loose >= exact, s"CMS join size must never underestimate ($loose < $exact)")
+  }
+
   test("kmvSketch keeps the k smallest distinct hashes per set, deterministically") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 3L), ("a", 4L),
         ("b", 1L), ("b", 9L)).toDF("s", "v")
