@@ -54,6 +54,11 @@ object SparkEntry {
   private val MaxSimPanel = 16  // maxsim_topk: hash-sampled query-doc panel
   private val KmvK = 64         // kmv_type_jaccard: k minimum values per set
   private val RpK = 16          // embedding_rp_audit: JL target dimensions
+  /** Benford expectation floor(log10(1+1/d)·1e6+0.5) per leading digit —
+    * computed ONCE here and baked as literals into both the Spark plan
+    * and the DuckDB oracle, so no engine evaluates a transcendental. */
+  private val BenfordE6: Map[Int, Long] = (1 to 9).map(d =>
+    d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong).toMap
   private val AlignK = 4        // margin_align_pairs: neighborhood size
   private val AlignMinMarginE6 = 1000000L // margin ≥ 1.0: above neighborhood avg
   private val BtIterations = 3  // bt_event_scores: MM fixpoint iterations
@@ -2136,6 +2141,51 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // ---- Benford first-digit audit: the classic fabricated-numbers
+    // screen for a value column — leading digit of the integer cents
+    // (long→string, identical on any engine; no log10 on data) against
+    // the Benford expectation log10(1+1/d), which enters BOTH sides as
+    // the same precomputed e6 literals ----
+    "benford_audit" -> ((s, dir) => {
+      val counts = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 0)
+        .select(substring(round(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy()
+      val expect = typedlit(BenfordE6.map { case (d, e) => (d.toString, e) })
+      counts
+        .withColumn("freq_e6",
+          floor(col("n") * lit(1000000L) / sum(col("n")).over(w) + lit(0.5))
+            .cast("long"))
+        .withColumn("benford_e6", element_at(expect, col("digit")))
+        .withColumn("dev_e6", abs(col("freq_e6") - col("benford_e6")))
+    }),
+
+    // ---- robust (MAD) outlier fences: median absolute deviation resists
+    // the contamination that shifts mean/stddev fences (50% breakdown
+    // point vs 0%) — the robust-statistics twin of value_outliers' Tukey
+    // form; the 1.4826 constant rescales MAD to σ under normality ----
+    "value_mad_outliers" -> ((s, dir) => {
+      val cents = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      val med = cents.groupBy("event_type")
+        .agg(percentile(col("cents"), lit(0.5)).as("med"))
+      val dev = cents.join(broadcast(med), Seq("event_type"))
+        .withColumn("absdev", abs(col("cents") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(percentile(col("absdev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(
+          first(col("med")).as("med"),
+          first(col("mad")).as("mad"),
+          count(when(col("absdev") > lit(3.0) * lit(1.4826) * col("mad"), 1))
+            .as("n_outliers"),
+          count(lit(1)).as("n"))
+    }),
+
     // ---- higher-order array pipeline: per-user event-type histogram as
     // ONE canonical string — collect_list of (type, n) structs,
     // array_sort (struct order = field order, so type asc), transform to
@@ -4198,6 +4248,40 @@ object SparkEntry {
         |                       THEN 1 END) AS BIGINT) AS n_low,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM cents c JOIN stats s ON c.event_type = s.event_type
+        |GROUP BY 1""".stripMargin,
+
+    "benford_audit" -> {
+      val cases = BenfordE6.toSeq.sortBy(_._1)
+        .map { case (d, e) => s"WHEN digit = '$d' THEN $e" }.mkString(" ")
+      s"""WITH bd AS (
+        |  SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |                     AS VARCHAR), 1, 1) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |bc AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM bd GROUP BY 1),
+        |bt AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM bc)
+        |SELECT digit, n,
+        |  CAST(floor(n * 1000000 / bt.total + 0.5) AS BIGINT) AS freq_e6,
+        |  CAST(CASE $cases END AS BIGINT) AS benford_e6,
+        |  CAST(abs(CAST(floor(n * 1000000 / bt.total + 0.5) AS BIGINT) -
+        |           (CASE $cases END)) AS BIGINT) AS dev_e6
+        |FROM bc, bt""".stripMargin
+    },
+
+    "value_mad_outliers" ->
+      """WITH mcents AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE value IS NOT NULL),
+        |mmed AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+        |         FROM mcents GROUP BY 1),
+        |mdev AS (SELECT c.event_type, abs(c.cents - m.med) AS absdev, m.med
+        |         FROM mcents c JOIN mmed m ON c.event_type = m.event_type),
+        |mmad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+        |         FROM mdev GROUP BY 1)
+        |SELECT d.event_type, any_value(d.med) AS med, any_value(a.mad) AS mad,
+        |       CAST(count(CASE WHEN d.absdev > 3.0 * 1.4826 * a.mad THEN 1 END)
+        |            AS BIGINT) AS n_outliers,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM mdev d JOIN mmad a ON d.event_type = a.event_type
         |GROUP BY 1""".stripMargin,
 
     "user_type_profile" ->
