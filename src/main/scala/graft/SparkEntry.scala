@@ -2141,6 +2141,33 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // ---- data-quality report AS DATA: the expectation-suite shape —
+    // row checks in ONE conditional-agg pass, plus duplicate-PK and
+    // referential-orphan probes, unpivoted to (check, metric, passed)
+    // rows a scheduler can alert on. 1-row aggregate legs cross-join
+    // (scalar pattern), so the whole report is three passes total ----
+    "dq_report" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val rowChecks = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1).otherwise(0)).cast("long").as("null_custkey"),
+        sum(when(col("o_totalprice") <= 0, 1).otherwise(0)).cast("long").as("nonpos_price"),
+        sum(when(col("o_orderdate").isNull, 1).otherwise(0)).cast("long").as("null_date"))
+      val dupPk = o.groupBy("o_orderkey").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).agg(count(lit(1)).as("dup_pk"))
+      val orphans = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_custkey"))
+      rowChecks.crossJoin(dupPk).crossJoin(orphans)
+        .selectExpr("stack(6, " +
+          "'n_rows', n_rows, 'null_custkey', null_custkey, " +
+          "'nonpos_price', nonpos_price, 'null_date', null_date, " +
+          "'dup_pk', dup_pk, 'orphan_custkey', orphan_custkey) AS (check, metric)")
+        .withColumn("passed",
+          when(col("check") === "n_rows", col("metric") > 0)
+            .otherwise(col("metric") === 0))
+    }),
+
     // ---- Benford first-digit audit: the classic fabricated-numbers
     // screen for a value column — leading digit of the integer cents
     // (long→string, identical on any engine; no log10 on data) against
@@ -4249,6 +4276,25 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM cents c JOIN stats s ON c.event_type = s.event_type
         |GROUP BY 1""".stripMargin,
+
+    "dq_report" ->
+      """WITH dr AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_date
+        |  FROM orders),
+        |dd AS (SELECT CAST(count(*) AS BIGINT) AS dup_pk FROM (
+        |         SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)),
+        |dx AS (SELECT CAST(count(*) AS BIGINT) AS orphan_custkey FROM orders o
+        |       WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                         WHERE c.c_custkey = o.o_custkey))
+        |SELECT 'n_rows' AS "check", n_rows AS metric, n_rows > 0 AS passed FROM dr
+        |UNION ALL SELECT 'null_custkey', null_custkey, null_custkey = 0 FROM dr
+        |UNION ALL SELECT 'nonpos_price', nonpos_price, nonpos_price = 0 FROM dr
+        |UNION ALL SELECT 'null_date', null_date, null_date = 0 FROM dr
+        |UNION ALL SELECT 'dup_pk', dup_pk, dup_pk = 0 FROM dd
+        |UNION ALL SELECT 'orphan_custkey', orphan_custkey, orphan_custkey = 0 FROM dx""".stripMargin,
 
     "benford_audit" -> {
       val cases = BenfordE6.toSeq.sortBy(_._1)
