@@ -2025,6 +2025,34 @@ object SparkEntry {
           floor(col("n_chars") * lit(1000000L) / col("n_tokens") + lit(0.5))
             .cast("long"))),
 
+    // ---- rolling 24h distinct users from MERGED HOURLY SKETCHES: the
+    // production shape of "distinct users last day, every hour" — exact
+    // countDistinct would rescan 24h of raw traffic per hour; here each
+    // hour stores ≤256 integer registers and the rolling answer is a
+    // RANGE-window max over registers + one estimate, cost independent
+    // of traffic. The spine explodes all 256 buckets per hour so an
+    // hour inherits registers from hours a bucket was last seen in.
+    // (At these SFs the per-window cardinality sits below the raw-HLL
+    // regime (≳2.5·m), so estimates run biased-high — the row pins the
+    // MERGE+PORTABILITY contract, which is cardinality-independent;
+    // accuracy in-regime is pinned by approx_distinct_portable.) ----
+    "rolling_distinct_24h" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(expr("unix_timestamp(ts) div 3600").as("hour"), col("user_id"))
+      val regs = graft.operators.Sketches.hllRegisters(ev, Seq("hour"), "user_id", p = 8)
+      val spine = ev.select("hour").distinct()
+        .withColumn("__b", explode(sequence(lit(0L), lit(255L))))
+      val w = Window.partitionBy("__b").orderBy(col("hour"))
+        .rangeBetween(-23, Window.currentRow)
+      val rolled = spine.join(regs, Seq("hour", "__b"), "left")
+        .withColumn("__mr", max(col("__m")).over(w))
+        .filter(col("__mr").isNotNull)
+        .select(col("hour"), col("__b"), col("__mr").as("__m"))
+      graft.operators.Sketches.hllEstimate(rolled, Seq("hour"), p = 8)
+        .withColumnRenamed("n_est", "distinct_users_24h_est")
+    }),
+
     // ---- CMS join-size estimation: the planner-side cardinality
     // primitive — |views ⋈ purchases on user| estimated from two tiny
     // frequency sketches (min over depth of register dot products,
@@ -2731,6 +2759,41 @@ object SparkEntry {
        |SELECT user_id, n_exact, CAST(n_est AS BIGINT) AS n_est,
        |       CAST(n_est - n_exact AS BIGINT) AS overcount
        |FROM est""".stripMargin
+  }
+
+  /** Mirror of the rolling 24h sketch merge: hourly registers, a 256-way
+    * bucket spine per hour, a RANGE-window register max over the trailing
+    * 24 hours, and the shared-constant estimate — every step the same
+    * integer arithmetic as [[graft.operators.Sketches.hllRegisters]] /
+    * `hllEstimate`. */
+  private def rollingDistinctOracle: String = {
+    val p = 8
+    val m = 1 << p
+    val tailBits = 60 - p
+    val c = graft.operators.Sketches.alphaConstant(m)
+    val rankCase = (tailBits - 1 to 0 by -1)
+      .map(k => s"WHEN r >= ${1L << k} THEN ${tailBits - k}")
+      .mkString(" ")
+    s"""WITH rh AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+       |                   ${dh("CAST(user_id AS VARCHAR)")} AS h
+       |            FROM events WHERE user_id IS NOT NULL),
+       |rb AS (SELECT hour, h // ${1L << tailBits} AS b, h % ${1L << tailBits} AS r FROM rh),
+       |rrk AS (SELECT hour, b, CASE $rankCase ELSE ${tailBits + 1} END AS rank FROM rb),
+       |rregs AS (SELECT hour, b, max(rank) AS mr FROM rrk GROUP BY 1, 2),
+       |rspine AS (SELECT DISTINCT hour FROM rh),
+       |rgrid AS (SELECT s.hour, CAST(UNNEST(range(0, $m)) AS BIGINT) AS b FROM rspine s),
+       |rrolled AS (SELECT g.hour, g.b,
+       |              max(r.mr) OVER (PARTITION BY g.b ORDER BY g.hour
+       |                              RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS mr
+       |            FROM rgrid g LEFT JOIN rregs r ON g.hour = r.hour AND g.b = r.b),
+       |rs AS (SELECT hour,
+       |         CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mr AS INTEGER)) AS BIGINT) AS s_present,
+       |         CAST(count(*) AS BIGINT) AS nb
+       |       FROM rrolled WHERE mr IS NOT NULL GROUP BY 1)
+       |SELECT hour,
+       |  CAST(floor($c / (s_present + ($m - nb) * (CAST(1 AS BIGINT) << 53)) + 0.5)
+       |       AS BIGINT) AS distinct_users_24h_est
+       |FROM rs""".stripMargin
   }
 
   /** Mirror of [[graft.operators.Sketches.cmsInnerProduct]] over the
@@ -4903,6 +4966,7 @@ object SparkEntry {
 
     "heavy_hitters_cms" -> heavyHittersCmsOracle,
     "join_size_cms" -> joinSizeCmsOracle,
+    "rolling_distinct_24h" -> rollingDistinctOracle,
     "tokenizer_fertility" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,

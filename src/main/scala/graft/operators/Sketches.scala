@@ -91,9 +91,17 @@ object Sketches {
     * map-side max partials, then one on keys — value strings never
     * shuffle, register state is ≤ 2^p rows per key. */
   def portableDistinctEstimate(df: DataFrame, keys: Seq[String], valueCol: String,
+      p: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, keys, valueCol, p), keys, p)
+
+  /** SPARSE per-key HLL registers of the portable family: keys + (__b
+    * bucket, __m max-rank) — one row per OCCUPIED bucket. Separated from
+    * [[portableDistinctEstimate]] so registers can be STORED and MERGED
+    * before estimation (per-day snapshots, rolling windows): register
+    * merge is `max(__m)` per (keys, __b) — order-independent, exact. */
+  def hllRegisters(df: DataFrame, keys: Seq[String], valueCol: String,
       p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
-    val m = 1 << p
     val tailBits = 60 - p
     val h = graft.functions.PortableHash.hash60(col(valueCol))
     // exact integer arithmetic: Spark's `/` is DOUBLE division, and hash60
@@ -111,11 +119,18 @@ object Sketches {
       case (elseExpr, k) => when(r >= lit(1L << k), lit(tailBits - k)).otherwise(elseExpr)
     }
     val kcols = keys.map(col)
-    val registers = df
-      .select(kcols :+ bucket.as("__b") :+ rank.as("__rank"): _*)
+    df.select(kcols :+ bucket.as("__b") :+ rank.as("__rank"): _*)
       .groupBy(kcols :+ col("__b"): _*)
       .agg(max(col("__rank")).as("__m"))
+  }
+
+  /** Estimate from SPARSE registers (absent buckets count as empty) —
+    * the read side of [[hllRegisters]], tolerating any amount of max-
+    * merging in between. */
+  def hllEstimate(registers: DataFrame, keys: Seq[String], p: Int = 8): DataFrame = {
+    val m = 1 << p
     val c = Sketches.alphaConstant(m)
+    val kcols = keys.map(col)
     registers
       .groupBy(kcols: _*)
       .agg(

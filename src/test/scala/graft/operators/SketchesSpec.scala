@@ -214,6 +214,20 @@ class SketchesSpec extends SparkSpec {
     assert(loose >= exact, s"CMS join size must never underestimate ($loose < $exact)")
   }
 
+  test("HLL register merge law: max-merged part registers equal the whole-input sketch") {
+    val a = (1 to 500).map(v => Tuple1(v.toLong)).toDF("v")
+    val b = (300 to 900).map(v => Tuple1(v.toLong)).toDF("v")
+    val whole = (1 to 900).map(v => Tuple1(v.toLong)).toDF("v")
+    val merged = Sketches.hllRegisters(a, Seq.empty, "v")
+      .unionByName(Sketches.hllRegisters(b, Seq.empty, "v"))
+      .groupBy("__b").agg(max(col("__m")).as("__m"))
+    val est = Sketches.hllEstimate(merged, Seq.empty).as[Long].head()
+    val direct = Sketches.portableDistinctEstimate(whole, Seq.empty, "v")
+      .as[Long].head()
+    assert(est == direct, s"merged $est != whole-input $direct (must be bit-identical)")
+    assert(math.abs(est - 900.0) / 900.0 < 0.25, s"estimate $est implausible for 900")
+  }
+
   test("kmvSketch keeps the k smallest distinct hashes per set, deterministically") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 3L), ("a", 4L),
         ("b", 1L), ("b", 9L)).toDF("s", "v")
