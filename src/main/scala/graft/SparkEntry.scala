@@ -54,6 +54,7 @@ object SparkEntry {
   private val MaxSimPanel = 16  // maxsim_topk: hash-sampled query-doc panel
   private val KmvK = 64         // kmv_type_jaccard: k minimum values per set
   private val RpK = 16          // embedding_rp_audit: JL target dimensions
+  private val PrThreshold = 0.2 // lsh_pr_audit: Jaccard cut for truth AND prediction
   /** Benford expectation floor(log10(1+1/d)·1e6+0.5) per leading digit —
     * computed ONCE here and baked as literals into both the Spark plan
     * and the DuckDB oracle, so no engine evaluates a transcendental. */
@@ -670,6 +671,35 @@ object SparkEntry {
       Dedup.minHashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, numHashes = MhHashes, bands = MhBands, threshold = MhThreshold,
         portable = true)),
+    // ---- retrieval-quality audit for the MinHash-LSH tier: predicted
+    // pairs (banded candidates whose SIGNATURE estimate clears the
+    // threshold) against TRUTH (exact n-gram Jaccard ≥ the same
+    // threshold) — the precision/recall pair that sets bands×rows before
+    // a corpus-scale dedup run. Both legs are shared-gram equi-joins
+    // (the exact leg is jaccard_pairs' own linear shape, NOT all-pairs),
+    // so the audit runs corpus-wide at any scale ----
+    "lsh_pr_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val truth = Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = PrThreshold)
+        .select("id_a", "id_b")
+      val pred = Dedup.minHashLshPairs(docs, "doc_id", "text",
+          n = 3, numHashes = MhHashes, bands = MhBands, threshold = PrThreshold,
+          portable = true)
+        .select("id_a", "id_b")
+      val hit = truth.join(pred, Seq("id_a", "id_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true"), col("n_pred"), col("n_hit"),
+          when(col("n_pred") > 0,
+            floor(col("n_hit") * lit(1000000L) / col("n_pred") + lit(0.5))
+              .cast("long")).as("precision_e6"),
+          when(col("n_true") > 0,
+            floor(col("n_hit") * lit(1000000L) / col("n_true") + lit(0.5))
+              .cast("long")).as("recall_e6"))
+    }),
+
     // ---- estimator-accuracy harness for the MinHash tier: per surviving
     // candidate pair, the signature estimate vs the EXACT n-gram Jaccard —
     // the dedup analog of ann_recall (sets numHashes/bands before a
@@ -2217,6 +2247,36 @@ object SparkEntry {
         .withColumn("dev_e6", abs(col("freq_e6") - col("benford_e6")))
     }),
 
+    // ---- closed-form OLS trend per key: slope of daily revenue vs day
+    // index from the normal equations — all five sufficient statistics
+    // are exact integer sums (days rebased per key to keep products in
+    // int64), the slope is ONE deterministic double division; the
+    // regression family's map-side-combinable shape (no iterative
+    // solver, no matrix) ----
+    "daily_trend_ols" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      val w = Window.partitionBy("event_type")
+      daily
+        .withColumn("x", datediff(col("day"), min(col("day")).over(w)).cast("long"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_days"),
+          sum(col("x")).as("__sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("__sxy"),
+          sum(col("x") * col("x")).as("__sxx"))
+        .withColumn("__num",
+          col("n_days") * col("__sxy") - col("__sx") * col("sy"))
+        .withColumn("__den",
+          col("n_days") * col("__sxx") - col("__sx") * col("__sx"))
+        .withColumn("slope_cents_per_day_e6",
+          when(col("__den") =!= 0,
+            floor(col("__num") * lit(1.0) / col("__den") * lit(1000000.0)
+              + lit(0.5)).cast("long")))
+        .select("event_type", "n_days", "sy", "slope_cents_per_day_e6")
+    }),
+
     // ---- robust (MAD) outlier fences: median absolute deviation resists
     // the contamination that shifts mean/stddev fences (50% breakdown
     // point vs 0%) — the robust-statistics twin of value_outliers' Tukey
@@ -2550,13 +2610,52 @@ object SparkEntry {
        |                 JOIN sz sb ON e.id_b = sb.doc_id)
        |SELECT id_a, id_b, est_e6, true_e6, abs(est_e6 - true_e6) AS err_e6 FROM o""".stripMargin
 
-  private def minHashLshOracle: String = {
+  private def minHashLshOracle: String =
+    minHashLshOracleFrom("documents", MhThreshold)
+
+  /** Mirror of the lsh_pr_audit harness: the full generated MinHash-LSH
+    * pipeline as the prediction, the jaccard_pairs expression at the
+    * same threshold as the truth. */
+  private def lshPrAuditOracle: String = {
+    s"""WITH pred AS (SELECT id_a, id_b FROM (${minHashLshOracleFrom("documents", PrThreshold)})),
+       |qtoks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |qgrams AS (
+       |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+       |  FROM qtoks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+       |qsizes AS (SELECT doc_id, count(*) AS n FROM qgrams GROUP BY doc_id),
+       |qinter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |  FROM qgrams a JOIN qgrams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (SELECT id_a, id_b FROM (
+       |    SELECT i.id_a, i.id_b,
+       |           round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS j
+       |    FROM qinter i JOIN qsizes sa ON i.id_a = sa.doc_id
+       |                  JOIN qsizes sb ON i.id_b = sb.doc_id)
+       |  WHERE j >= $PrThreshold),
+       |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+       |cp AS (SELECT CAST(count(*) AS BIGINT) AS n_pred FROM pred),
+       |ch AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+       |       FROM truth t WHERE EXISTS (SELECT 1 FROM pred p
+       |                                  WHERE p.id_a = t.id_a AND p.id_b = t.id_b))
+       |SELECT n_true, n_pred, n_hit,
+       |  CASE WHEN n_pred > 0
+       |       THEN CAST(floor(n_hit * 1000000 / n_pred + 0.5) AS BIGINT) END AS precision_e6,
+       |  CASE WHEN n_true > 0
+       |       THEN CAST(floor(n_hit * 1000000 / n_true + 0.5) AS BIGINT) END AS recall_e6
+       |FROM ct, cp, ch""".stripMargin
+  }
+
+  /** [[minHashLshOracle]] parameterized over the base relation and the
+    * estimate threshold, so the precision/recall audit can run the
+    * identical pipeline at its own cut. */
+  private def minHashLshOracleFrom(rel: String, threshold: Double): String = {
     val rows = MhHashes / MhBands
     // (member index, multiplier) literal relation — the same multiply-shift
     // family PortableHash.family60 derives from one md5 per gram
     val mults = (0 until MhHashes)
       .map(i => s"($i,${graft.functions.PortableHash.multiplier(i)})").mkString(",")
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $rel),
        |grams AS (
        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
@@ -2581,7 +2680,7 @@ object SparkEntry {
        |  GROUP BY c.id_a, c.id_b)
        |SELECT id_a, id_b, est_jaccard FROM (
        |  SELECT id_a, id_b, round(CAST(n_eq AS DOUBLE) / $MhHashes, 6) AS est_jaccard FROM eq)
-       |WHERE est_jaccard >= $MhThreshold""".stripMargin
+       |WHERE est_jaccard >= $threshold""".stripMargin
   }
 
   private def simHashOracle: String = {
@@ -4376,6 +4475,26 @@ object SparkEntry {
         |FROM bc, bt""".stripMargin
     },
 
+    "daily_trend_ols" ->
+      """WITH od AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |            FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |ox AS (SELECT event_type, y,
+        |         CAST(day - min(day) OVER (PARTITION BY event_type) AS BIGINT) AS x
+        |       FROM od),
+        |oa AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx
+        |       FROM ox GROUP BY 1)
+        |SELECT event_type, n_days, sy,
+        |  CASE WHEN n_days * sxx - sx * sx <> 0
+        |       THEN CAST(floor((n_days * sxy - sx * sy) * 1.0 /
+        |                       (n_days * sxx - sx * sx) * 1000000.0 + 0.5)
+        |                 AS BIGINT)
+        |  END AS slope_cents_per_day_e6
+        |FROM oa""".stripMargin,
+
     "value_mad_outliers" ->
       """WITH mcents AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
@@ -4967,6 +5086,7 @@ object SparkEntry {
     "heavy_hitters_cms" -> heavyHittersCmsOracle,
     "join_size_cms" -> joinSizeCmsOracle,
     "rolling_distinct_24h" -> rollingDistinctOracle,
+    "lsh_pr_audit" -> lshPrAuditOracle,
     "tokenizer_fertility" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
