@@ -67,6 +67,16 @@ object SparkEntry {
   private val HllP = 8          // approx_distinct_portable: 2^8 registers
   private val CmsDepth = 4      // heavy_hitters_cms: hash rows (δ = e^-4)
   private val CmsWidth = 256    // heavy_hitters_cms: buckets/row (ε = e/256)
+  private val SnmWindow = 2     // sorted_neighborhood_pairs: slide size
+  private val SnmKeyLen = 16    // sorted_neighborhood_pairs: blocking-key chars
+  private val SnmBlockLen = 8   // sorted_neighborhood_pairs: strict-block prefix
+  private val RecTopK = 3       // basket_lift_recs: recommendations per brand
+  /** decayed_popularity: floor(1e6·2^(−1/HalfLife)) for HalfLife=30 days —
+    * the one transcendental, frozen as a literal shared with the oracle;
+    * every later coefficient comes from the integer recurrence
+    * coef(d) = coef(d−1)·K div 1e6, identical in both engines. */
+  private val DecayK30 = 977159L
+  private val DecayMaxAge = 4000 // decayed_popularity: coef table span (days)
 
   /** Scratch base for the snapshot-backed queries, recursively deleted at
     * JVM exit: each invocation publishes full-table parquet versions, and
@@ -2517,6 +2527,154 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           round(avg(length(col("text"))), 4).as("avg_chars"),
           round(avg(size(split(col("text"), " "))), 4).as("avg_tokens"))),
+
+    // ---- sorted-neighborhood blocking (Hernández-Stolfo): candidate
+    // pairs within a sliding window of the corpus sorted by a fuzzy key —
+    // the linear-output ER blocking family that catches near-keys exact
+    // hashing misses. Global order via GlobalIndex (range repartition,
+    // never a one-task window); pairing is a rank equi-join, so
+    // partition-boundary pairs survive by construction ----
+    "sorted_neighborhood_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          substring(lower(col("text")), 1, SnmKeyLen).as("snm_key"))
+      graft.operators.SortedNeighborhood
+        .candidatePairs(docs, "doc_id", "snm_key", SnmWindow)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("rank_dist"),
+          (substring(col("key_a"), 1, SnmBlockLen) ===
+            substring(col("key_b"), 1, SnmBlockLen)).cast("long").as("block_match"))
+    }),
+
+    // ---- market-basket recommendations: co-purchase lift per directed
+    // brand pair, top-3 per brand. Baskets = distinct (order, brand) —
+    // fan-out per order is bounded by the lines-per-order cap, so the
+    // self equi-join on the basket key is linear; lift in e6 integers
+    // (n_ab·N·1e6 div (n_a·n_b) — int64-safe to ~10⁹ baskets, swap the
+    // staging to decimal(38) beyond). One shuffle builds baskets; the
+    // 25-row brand margins broadcast back ----
+    "basket_lift_recs" -> ((s, dir) => {
+      // the basket relation is referenced four times (margins, total,
+      // both self-join legs) — materialize once, don't re-scan the fact
+      // table per reference (the Contrastive/semantic-dedup pattern)
+      val b = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey"))
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("okey"), col("p_brand").as("brand")).distinct()
+        .localCheckpoint()
+      val margins = b.groupBy("brand").agg(count(lit(1)).as("n_a"))
+      val tot = b.agg(countDistinct(col("okey")).as("n_orders"))
+      val pairs = b.as("x")
+        .join(b.as("y"),
+          col("x.okey") === col("y.okey") && col("x.brand") =!= col("y.brand"))
+        .groupBy(col("x.brand").as("brand"), col("y.brand").as("rec_brand"))
+        .agg(count(lit(1)).as("n_ab"))
+      val scored = pairs
+        .join(broadcast(margins), Seq("brand"))
+        .join(broadcast(margins.select(col("brand").as("rec_brand"),
+          col("n_a").as("n_b"))), Seq("rec_brand"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lift_e6",
+          expr("n_ab * 1000000 * n_orders div (n_a * n_b)"))
+      scored
+        .withColumn("rnk", row_number().over(Window.partitionBy("brand")
+          .orderBy(col("lift_e6").desc, col("n_ab").desc, col("rec_brand").asc)))
+        .filter(col("rnk") <= RecTopK)
+        .select(col("brand"), col("rec_brand"), col("n_ab"),
+          col("lift_e6"), col("rnk").cast("long").as("rnk"))
+    }),
+
+    // ---- CUPED variance reduction (Deng et al. '13): pre-period value
+    // as the covariate for post-period value, θ = cov/var from one
+    // closed-form pass. Per-user sums in cents, the moment products in
+    // decimal(38,0) with `div` (exact integral divide — matches the
+    // oracle's HUGEINT `//`; sign split keeps truncation identical for
+    // a negative covariance), so the single output row is bit-exact
+    // cross-engine. Shape: one user shuffle + a 1-row moment agg;
+    // var_reduction_e6 = ρ²·1e6 — the fraction of outcome variance the
+    // covariate removes ----
+    "cuped_adjusted" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val mid = ev.agg(
+        expr("(min(us) + max(us)) div 2").as("mid"))
+      val perUser = ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+          coalesce(sum(when(col("us") < col("mid"), col("cents"))), lit(0L))
+            .cast("decimal(38,0)").as("pre"),
+          coalesce(sum(when(col("us") >= col("mid"), col("cents"))), lit(0L))
+            .cast("decimal(38,0)").as("post"))
+      perUser.agg(
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("pre")).as("sx"), sum(col("post")).as("sy"),
+          sum(col("pre") * col("pre")).as("sxx"),
+          sum(col("post") * col("post")).as("syy"),
+          sum(col("pre") * col("post")).as("sxy"))
+        .selectExpr(
+          "CAST(n AS BIGINT) AS n_users",
+          """CAST((CASE WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 1 END) *
+             (abs(n*sxy - sx*sy) * 1000000 div (n*sxx - sx*sx)) AS BIGINT)
+             AS theta_e6""",
+          """CAST((abs(n*sxy - sx*sy) * 1000 div (n*sxx - sx*sx)) *
+             (abs(n*sxy - sx*sy) * 1000 div (n*syy - sy*sy)) AS BIGINT)
+             AS var_reduction_e6""")
+    }),
+
+    // ---- half-life-decayed popularity: revenue decayed by 2^(−age/30d),
+    // the freshness-weighted ranking signal of every trending chart. The
+    // decay curve is a BOUNDED INTEGER DIMENSION (coef(d) = coef(d−1)·K
+    // div 1e6 — a 4001-row driver model, the IVF-codebook discipline)
+    // broadcast onto the fact scan, so no engine evaluates a
+    // transcendental per row and the oracle replays the identical
+    // recurrence as a recursive CTE. Age anchor = max ship date (1-row
+    // broadcast). One fact scan, two broadcast joins, one agg ----
+    "decayed_popularity" -> ((s, dir) => {
+      import s.implicits._
+      val coef = (1 to DecayMaxAge)
+        .scanLeft((0, 1000000L)) { case ((_, c), d) => (d, c * DecayK30 / 1000000L) }
+        .toDF("age_days", "coef_e6")
+      val bounds = Tables.lineitem(s, dir)
+        .agg(max(to_date(col("l_shipdate"))).as("maxd"))
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), to_date(col("l_shipdate")).as("d"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("age_days", datediff(col("maxd"), col("d")))
+        .join(broadcast(coef), Seq("age_days"), "left")
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("cents * coalesce(coef_e6, 0) div 1000000"))
+            .as("decayed_cents"),
+          sum(col("cents")).as("raw_cents"))
+    }),
+
+    // ---- survivorship / golden-record merge: one profile row per user
+    // with last-writer-wins fields resolved by `max_by` over a
+    // zero-padded (ts, event_id) string key — O(1) aggregation state per
+    // group (the scalable alternative to sort-per-group), with the
+    // latest-NON-NULL rule expressed by nulling the ORDER key (both
+    // engines skip null-ordered rows: Spark MaxBy, DuckDB arg_max) ----
+    "golden_records" -> ((s, dir) => {
+      val ord = concat(
+        lpad(unix_micros(col("ts")).cast("string"), 19, "0"),
+        lpad(col("event_id").cast("string"), 19, "0"))
+      Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          min(col("ts")).as("first_seen"),
+          max(col("ts")).as("last_seen"),
+          count(lit(1)).as("n_events"),
+          max_by(col("event_type"), ord).as("last_type"),
+          max_by(round(col("value") * 100).cast("long"),
+            when(col("value").isNotNull, ord)).as("last_value_cents"))
+    }),
   )
 
   /** Shared recall@k combinator for the `*_recall` harness rows: exact
@@ -5910,5 +6068,100 @@ object SparkEntry {
         |             [ord(c)::HUGEINT for c in regexp_extract_all(text, '.')]),
         |           (acc, b) -> (acc * 31 + b) % 18446744073709551616::HUGEINT) AS h
         |  FROM documents)""".stripMargin,
+
+    "sorted_neighborhood_pairs" ->
+      s"""WITH k AS (
+        |  SELECT doc_id, substr(lower(text), 1, $SnmKeyLen) AS snm_key,
+        |         row_number() OVER (ORDER BY substr(lower(text), 1, $SnmKeyLen),
+        |                            doc_id) AS rn
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(b.rn - a.rn AS BIGINT) AS rank_dist,
+        |       CAST(CASE WHEN substr(a.snm_key, 1, $SnmBlockLen) =
+        |                      substr(b.snm_key, 1, $SnmBlockLen)
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS block_match
+        |FROM k a JOIN k b ON b.rn - a.rn BETWEEN 1 AND $SnmWindow""".stripMargin,
+
+    "basket_lift_recs" ->
+      s"""WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_a FROM b GROUP BY 1),
+        |t AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM b),
+        |p AS (
+        |  SELECT x.brand AS brand, y.brand AS rec_brand,
+        |         CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM b x JOIN b y ON x.okey = y.okey AND x.brand <> y.brand
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT p.brand, p.rec_brand, p.n_ab,
+        |         p.n_ab * 1000000 * t.n_orders // (ma.n_a * mb.n_a) AS lift_e6
+        |  FROM p JOIN m ma ON p.brand = ma.brand
+        |         JOIN m mb ON p.rec_brand = mb.brand, t)
+        |SELECT brand, rec_brand, n_ab, lift_e6, rnk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY brand
+        |    ORDER BY lift_e6 DESC, n_ab DESC, rec_brand) AS BIGINT) AS rnk
+        |  FROM sc) WHERE rnk <= $RecTopK""".stripMargin,
+
+    "cuped_adjusted" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |bd AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(coalesce(sum(CASE WHEN us < (SELECT mid FROM bd) THEN cents END),
+        |         0) AS HUGEINT) AS pre,
+        |    CAST(coalesce(sum(CASE WHEN us >= (SELECT mid FROM bd) THEN cents END),
+        |         0) AS HUGEINT) AS post
+        |  FROM ev GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(pre) AS sx, sum(post) AS sy,
+        |         sum(pre*pre) AS sxx, sum(post*post) AS syy, sum(pre*post) AS sxy
+        |  FROM pu)
+        |SELECT CAST(n AS BIGINT) AS n_users,
+        |  CAST((CASE WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 1 END) *
+        |       (abs(n*sxy - sx*sy) * 1000000 // (n*sxx - sx*sx)) AS BIGINT)
+        |    AS theta_e6,
+        |  CAST((abs(n*sxy - sx*sy) * 1000 // (n*sxx - sx*sx)) *
+        |       (abs(n*sxy - sx*sy) * 1000 // (n*syy - sy*sy)) AS BIGINT)
+        |    AS var_reduction_e6
+        |FROM st""".stripMargin,
+
+    "decayed_popularity" ->
+      s"""WITH RECURSIVE coef(age_days, coef_e6) AS (
+        |  SELECT 0, CAST(1000000 AS BIGINT)
+        |  UNION ALL
+        |  SELECT age_days + 1, coef_e6 * $DecayK30 // 1000000
+        |  FROM coef WHERE age_days < $DecayMaxAge),
+        |bd AS (SELECT max(CAST(l_shipdate AS DATE)) AS maxd FROM lineitem),
+        |li AS (
+        |  SELECT l_partkey,
+        |         date_diff('day', CAST(l_shipdate AS DATE),
+        |                   (SELECT maxd FROM bd)) AS age_days,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(cents * coalesce(coef_e6, 0) // 1000000) AS BIGINT)
+        |         AS decayed_cents,
+        |       CAST(sum(cents) AS BIGINT) AS raw_cents
+        |FROM li LEFT JOIN coef USING (age_days)
+        |     JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+
+    "golden_records" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |         lpad(CAST(epoch_us(ts) AS VARCHAR), 19, '0') ||
+        |         lpad(CAST(event_id AS VARCHAR), 19, '0') AS ord
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT user_id, min(ts) AS first_seen, max(ts) AS last_seen,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       arg_max(event_type, ord) AS last_type,
+        |       arg_max(CAST(round(value * 100) AS BIGINT),
+        |               CASE WHEN value IS NOT NULL THEN ord END)
+        |         AS last_value_cents
+        |FROM ev GROUP BY 1""".stripMargin,
   )
 }

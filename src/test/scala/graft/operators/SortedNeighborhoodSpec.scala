@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SortedNeighborhoodSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("window pairs match the single-node sorted order exactly") {
+    val df = Seq(
+      (1L, "smith john"), (2L, "smith jon"), (3L, "smyth john"),
+      (4L, "adams jane"), (5L, "adams janet"), (6L, "zhang wei"),
+      (7L, "zhang wei")  // duplicate key — id tiebreak orders it
+    ).toDF("id", "key")
+    val got = SortedNeighborhood.candidatePairs(df, "id", "key", window = 2)
+      .select("id_a", "id_b", "rank_dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // reference: local sort by (key, id), pairs within 2 positions
+    val order = Seq((1L, "smith john"), (2L, "smith jon"), (3L, "smyth john"),
+      (4L, "adams jane"), (5L, "adams janet"), (6L, "zhang wei"), (7L, "zhang wei"))
+      .sortBy { case (id, k) => (k, id) }.map(_._1)
+    val want = (for {
+      i <- order.indices; j <- (i + 1) to math.min(i + 2, order.length - 1)
+    } yield (order(i), order(j), (j - i).toLong)).toSet
+    assert(got === want)
+  }
+
+  test("every record yields at most `window` successor pairs; boundaries lossless") {
+    // enough rows to span multiple range partitions
+    val df = spark.range(0, 1000).select(col("id"),
+      format_string("k%04d", col("id")).as("key"))
+    val pairs = SortedNeighborhood.candidatePairs(df, "id", "key", window = 3)
+    // ids sort in key order here, so pair set is exactly (i, i+d), d<=3
+    assert(pairs.count() === (999 + 998 + 997).toLong)
+    val bad = pairs.filter(col("id_b") - col("id_a") =!= col("rank_dist")).count()
+    assert(bad === 0L)
+  }
+
+  test("window=1 is adjacent-only") {
+    val df = Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("id", "key")
+    val got = SortedNeighborhood.candidatePairs(df, "id", "key", 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 20L), (20L, 30L)))
+  }
+}
