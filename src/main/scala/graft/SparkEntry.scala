@@ -77,6 +77,8 @@ object SparkEntry {
     * coef(d) = coef(d−1)·K div 1e6, identical in both engines. */
   private val DecayK30 = 977159L
   private val DecayMaxAge = 4000 // decayed_popularity: coef table span (days)
+  private val KmCensorGapDays = 90 // km_churn_curve: churned iff quiet this long
+  private val KmMaxCurve = 100000  // km_churn_curve: curve-length gate (days)
 
   /** Scratch base for the snapshot-backed queries, recursively deleted at
     * JVM exit: each invocation publishes full-table parquet versions, and
@@ -2674,6 +2676,91 @@ object SparkEntry {
           max_by(col("event_type"), ord).as("last_type"),
           max_by(round(col("value") * 100).cast("long"),
             when(col("value").isNotNull, ord)).as("last_value_cents"))
+    }),
+
+    // ---- Kaplan-Meier customer-churn survival curve: lifetime = first
+    // to last order date; churned iff quiet ≥ KmCensorGapDays before the
+    // observation end, else right-censored. The survival product
+    // S(l) = Π (n_risk−d)/n_risk needs a sequential truncated-integer
+    // recurrence, which runs on the DRIVER over the per-lifetime
+    // aggregate — a relation bounded by DAYS OF HISTORY (≤ span), never
+    // by data size (the decay-table/Bradley-Terry discipline: distribute
+    // the heavy agg, recurse over the tiny model, gate before collect).
+    // e6 truncation at every step matches the oracle's recursive CTE ----
+    "km_churn_curve" -> ((s, dir) => {
+      import s.implicits._
+      val orders = Tables.orders(s, dir)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      val bounds = orders.agg(max(col("d")).as("maxd"))
+      val perLife = orders.groupBy("o_custkey")
+        .agg(min(col("d")).as("fd"), max(col("d")).as("ld"))
+        .crossJoin(broadcast(bounds))
+        .select(datediff(col("ld"), col("fd")).cast("long").as("lifetime"),
+          (datediff(col("maxd"), col("ld")) > KmCensorGapDays)
+            .cast("long").as("dead"))
+        .groupBy("lifetime")
+        .agg(sum(col("dead")).as("d"), sum(lit(1L) - col("dead")).as("c"))
+        .orderBy(col("lifetime"))
+        .collect()
+      require(perLife.length <= KmMaxCurve,
+        s"km_churn_curve: ${perLife.length} distinct lifetimes exceed the " +
+          s"$KmMaxCurve driver-model gate — the curve is bounded by days of " +
+          "history, so this means the time unit is wrong, not the data big")
+      var surv = 1000000L
+      var atRisk = perLife.iterator.map(r => r.getLong(1) + r.getLong(2)).sum
+      val curve = perLife.map { r =>
+        val (d, c) = (r.getLong(1), r.getLong(2))
+        val nRisk = atRisk
+        surv = surv * (nRisk - d) / nRisk // truncating int division = oracle `//`
+        atRisk -= d + c
+        (r.getLong(0), nRisk, d, surv)
+      }.toSeq
+      curve.toDF("lifetime_days", "n_risk", "n_deaths", "surv_e6")
+    }),
+
+    // ---- RFM segmentation: recency/frequency/monetary quartile scores
+    // per customer, rolled up per segment. Quartile thresholds are a
+    // 1-ROW broadcast (exact interpolated percentiles — the
+    // value_outliers pattern), scored by comparison: NO global ntile
+    // window (a no-partition ntile is one task at any scale; threshold
+    // broadcast + filter is the same quartile, embarrassingly parallel).
+    // Segment code r·100+f·10+m, where 4 = best quartile on each axis ----
+    "rfm_segments" -> ((s, dir) => {
+      val bounds = Tables.orders(s, dir)
+        .agg(max(to_date(col("o_orderdate"))).as("maxd"))
+      val cust = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("monetary_cents"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("recency_days",
+          datediff(col("maxd"), col("last_order")).cast("long"))
+      val th = cust.agg(
+        percentile(col("recency_days"), lit(0.25)).as("r1"),
+        percentile(col("recency_days"), lit(0.5)).as("r2"),
+        percentile(col("recency_days"), lit(0.75)).as("r3"),
+        percentile(col("frequency"), lit(0.25)).as("f1"),
+        percentile(col("frequency"), lit(0.5)).as("f2"),
+        percentile(col("frequency"), lit(0.75)).as("f3"),
+        percentile(col("monetary_cents"), lit(0.25)).as("m1"),
+        percentile(col("monetary_cents"), lit(0.5)).as("m2"),
+        percentile(col("monetary_cents"), lit(0.75)).as("m3"))
+      val gt = (v: String, q: String) => when(col(v) > col(q), 1L).otherwise(0L)
+      cust.crossJoin(broadcast(th))
+        .withColumn("r_score", // low recency = recent = best
+          lit(4L) - gt("recency_days", "r1") - gt("recency_days", "r2")
+            - gt("recency_days", "r3"))
+        .withColumn("f_score",
+          lit(1L) + gt("frequency", "f1") + gt("frequency", "f2")
+            + gt("frequency", "f3"))
+        .withColumn("m_score",
+          lit(1L) + gt("monetary_cents", "m1") + gt("monetary_cents", "m2")
+            + gt("monetary_cents", "m3"))
+        .groupBy((col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("monetary_cents")).as("segment_cents"))
     }),
   )
 
@@ -6163,5 +6250,77 @@ object SparkEntry {
         |               CASE WHEN value IS NOT NULL THEN ord END)
         |         AS last_value_cents
         |FROM ev GROUP BY 1""".stripMargin,
+
+    "km_churn_curve" ->
+      s"""WITH RECURSIVE bd AS (
+        |  SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+        |pu AS (
+        |  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS fd,
+        |         max(CAST(o_orderdate AS DATE)) AS ld
+        |  FROM orders GROUP BY 1),
+        |lt AS (
+        |  SELECT CAST(date_diff('day', fd, ld) AS BIGINT) AS lifetime,
+        |         CASE WHEN date_diff('day', ld, (SELECT maxd FROM bd))
+        |                   > $KmCensorGapDays THEN 1 ELSE 0 END AS dead
+        |  FROM pu),
+        |pl AS (
+        |  SELECT lifetime, CAST(sum(dead) AS BIGINT) AS d,
+        |         CAST(sum(1 - dead) AS BIGINT) AS c
+        |  FROM lt GROUP BY 1),
+        |o AS (
+        |  SELECT lifetime, d,
+        |         CAST(sum(d + c) OVER (ORDER BY lifetime DESC
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk,
+        |         CAST(row_number() OVER (ORDER BY lifetime) AS BIGINT) AS rn
+        |  FROM pl),
+        |km AS (
+        |  SELECT rn, lifetime, n_risk, d,
+        |         1000000 * (n_risk - d) // n_risk AS surv
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.rn, o.lifetime, o.n_risk, o.d,
+        |         km.surv * (o.n_risk - o.d) // o.n_risk
+        |  FROM km JOIN o ON o.rn = km.rn + 1)
+        |SELECT lifetime AS lifetime_days, n_risk, d AS n_deaths,
+        |       CAST(surv AS BIGINT) AS surv_e6
+        |FROM km""".stripMargin,
+
+    "rfm_segments" ->
+      """WITH bd AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+        |cu AS (
+        |  SELECT o_custkey,
+        |         CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |              (SELECT maxd FROM bd)) AS BIGINT) AS recency_days,
+        |         CAST(count(*) AS BIGINT) AS frequency,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |th AS (
+        |  SELECT quantile_cont(recency_days, 0.25) AS r1,
+        |         quantile_cont(recency_days, 0.5) AS r2,
+        |         quantile_cont(recency_days, 0.75) AS r3,
+        |         quantile_cont(frequency, 0.25) AS f1,
+        |         quantile_cont(frequency, 0.5) AS f2,
+        |         quantile_cont(frequency, 0.75) AS f3,
+        |         quantile_cont(monetary_cents, 0.25) AS m1,
+        |         quantile_cont(monetary_cents, 0.5) AS m2,
+        |         quantile_cont(monetary_cents, 0.75) AS m3
+        |  FROM cu),
+        |sc AS (
+        |  SELECT monetary_cents,
+        |    4 - (CASE WHEN recency_days > r1 THEN 1 ELSE 0 END)
+        |      - (CASE WHEN recency_days > r2 THEN 1 ELSE 0 END)
+        |      - (CASE WHEN recency_days > r3 THEN 1 ELSE 0 END) AS r_score,
+        |    1 + (CASE WHEN frequency > f1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN frequency > f2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN frequency > f3 THEN 1 ELSE 0 END) AS f_score,
+        |    1 + (CASE WHEN monetary_cents > m1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN monetary_cents > m2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN monetary_cents > m3 THEN 1 ELSE 0 END) AS m_score
+        |  FROM cu, th)
+        |SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+        |FROM sc GROUP BY 1""".stripMargin,
   )
 }
