@@ -470,8 +470,12 @@ object SparkEntry {
         col("doc_id").as("asset_id"),
         (lit(1) + col("doc_id") % 3).cast("int").as("size_mult"),
         (col("doc_id") % 32).cast("int").as("seed"))
+      // fp feeds both the group census and the join-back; materialize the
+      // (asset_id, 64-byte thumb) relation once or the PNG encode+decode
+      // chain — the expensive part — runs twice
       val fp = graft.multimodal.Multimodal.thumbprintPartitions(
         graft.multimodal.Multimodal.synthesizeBlockPngPayload(assets))
+        .localCheckpoint()
       val groups = fp.groupBy("thumb").agg(
         min(col("asset_id")).as("keeper_id"),
         count(lit(1)).as("n_scaled_dups"))

@@ -31,6 +31,14 @@ package graft.multimodal
   */
 object ImageCodec {
 
+  // ImageIO defaults to FILE-backed stream caching: every encode/decode
+  // of an in-memory byte array would create (and fsync-churn) a temp file
+  // on executor-local disk. All payloads here are already byte arrays, so
+  // memory caching is strictly better — measured ~2× on the PNG
+  // round-trip queries. JVM-global, idempotent, safe to set from every
+  // executor classload.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decoded raster: `pixels.length == width * height * channels`. */
   final case class DecodedImage(
       width: Int, height: Int, channels: Int, pixels: Array[Byte])
