@@ -2560,21 +2560,26 @@ object SparkEntry {
     // staging to decimal(38) beyond). One shuffle builds baskets; the
     // 25-row brand margins broadcast back ----
     "basket_lift_recs" -> ((s, dir) => {
-      // the basket relation is referenced four times (margins, total,
-      // both self-join legs) — materialize once, don't re-scan the fact
-      // table per reference (the Contrastive/semantic-dedup pattern)
+      // ONE fact shuffle total: baskets collapse to a per-order brand SET
+      // (collect_set dedups in-agg — no separate distinct), and the pair
+      // expansion is an in-row double explode bounded by lines-per-order²
+      // — no self-join, so no second/third pass over the fact table. The
+      // small per-order array relation is materialized once for its three
+      // readers (margins, total, pairs)
       val b = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("okey"), col("l_partkey"))
         .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
           col("l_partkey") === col("p_partkey"))
-        .select(col("okey"), col("p_brand").as("brand")).distinct()
+        .groupBy("okey").agg(collect_set(col("p_brand")).as("bs"))
         .localCheckpoint()
-      val margins = b.groupBy("brand").agg(count(lit(1)).as("n_a"))
-      val tot = b.agg(countDistinct(col("okey")).as("n_orders"))
-      val pairs = b.as("x")
-        .join(b.as("y"),
-          col("x.okey") === col("y.okey") && col("x.brand") =!= col("y.brand"))
-        .groupBy(col("x.brand").as("brand"), col("y.brand").as("rec_brand"))
+      val margins = b.select(explode(col("bs")).as("brand"))
+        .groupBy("brand").agg(count(lit(1)).as("n_a"))
+      val tot = b.agg(count(lit(1)).as("n_orders"))
+      val pairs = b
+        .select(explode(col("bs")).as("brand"), col("bs"))
+        .select(col("brand"), explode(col("bs")).as("rec_brand"))
+        .filter(col("brand") =!= col("rec_brand"))
+        .groupBy("brand", "rec_brand")
         .agg(count(lit(1)).as("n_ab"))
       val scored = pairs
         .join(broadcast(margins), Seq("brand"))
