@@ -79,6 +79,8 @@ object SparkEntry {
   private val DecayMaxAge = 4000 // decayed_popularity: coef table span (days)
   private val KmCensorGapDays = 90 // km_churn_curve: churned iff quiet this long
   private val KmMaxCurve = 100000  // km_churn_curve: curve-length gate (days)
+  private val PprSeed = "Brand#1"  // ppr_brand_recs: walk-restart anchor
+  private val PprIters = 3         // ppr_brand_recs: power iterations
 
   /** Scratch base for the snapshot-backed queries, recursively deleted at
     * JVM exit: each invocation publishes full-table parquet versions, and
@@ -2771,6 +2773,58 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"),
           sum(col("monetary_cents")).as("segment_cents"))
     }),
+
+    // ---- personalized PageRank recommendations: random-walk-with-restart
+    // relevance over the brand co-purchase graph, anchored at one seed
+    // brand — the Pixie-style graph recommender on top of the same basket
+    // edges basket_lift_recs scores pointwise. Exact-e6 power iteration,
+    // oracle unrolls the identical 3 rounds ----
+    "ppr_brand_recs" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey"))
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("okey").agg(collect_set(col("p_brand")).as("bs"))
+        .select(explode(col("bs")).as("brand"), col("bs"))
+        .select(col("brand"), explode(col("bs")).as("rec_brand"))
+        .filter(col("brand") =!= col("rec_brand"))
+      graft.operators.PageRank.runPersonalizedE6(
+          edges, "brand", "rec_brand", Seq(PprSeed), iterations = PprIters)
+        .select(col("id").as("brand"), col("rank_e6"))
+    }),
+
+    // ---- two-proportion A/B z² statistic, integer-exact: per-user
+    // conversion (any purchase) with a deterministic hash-parity arm
+    // split; z² closed form as one rational — (x_a·n_b − x_b·n_a)²·N·1e6
+    // div (n_a·n_b·X·(N−X)) — staged in decimal(38,0) with `div`, so the
+    // single output row hash-matches the oracle's HUGEINT arithmetic.
+    // (Magnitude bound: the squared term caps the exact form at ~3·10⁷
+    // users/arm in 38 digits; past that, divide through by N before
+    // squaring at the cost of ≤1 ulp-e6.) One user shuffle, one 1-row
+    // moment agg — the CUPED discipline applied to the hypothesis test ----
+    "ab_test_zsq" -> ((s, dir) => {
+      val arms = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("arm", pmod(col("user_id"), lit(2)))
+      arms.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L))
+            .cast("decimal(38,0)").as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L))
+            .cast("decimal(38,0)").as("n_b"),
+          coalesce(sum(when(col("arm") === 0, col("converted"))), lit(0L))
+            .cast("decimal(38,0)").as("x_a"),
+          coalesce(sum(when(col("arm") === 1, col("converted"))), lit(0L))
+            .cast("decimal(38,0)").as("x_b"))
+        .selectExpr(
+          "CAST(n_a AS BIGINT) AS n_a", "CAST(n_b AS BIGINT) AS n_b",
+          "CAST(x_a AS BIGINT) AS x_a", "CAST(x_b AS BIGINT) AS x_b",
+          """CAST((x_a*n_b - x_b*n_a) * (x_a*n_b - x_b*n_a) * (n_a + n_b)
+             * 1000000 div nullif(n_a * n_b * (x_a + x_b)
+             * (n_a + n_b - x_a - x_b), 0) AS BIGINT) AS z2_e6""")
+    }),
   )
 
   /** Shared recall@k combinator for the `*_recall` harness rows: exact
@@ -3381,6 +3435,44 @@ object SparkEntry {
        |${iter(2)},
        |${iter(3)}
        |SELECT id AS event_type, r AS rank_e6 FROM r3""".stripMargin
+  }
+
+  /** Mirror of [[graft.operators.PageRank.runPersonalizedE6]] over the
+    * brand co-purchase graph: the same unrolled-iteration shape as
+    * [[pageRankE6Oracle]], with teleport AND dangling mass restarting at
+    * the seed (nS = 1) instead of spread uniformly. */
+  private def pprBrandOracle: String = {
+    val damp = 850000L
+    def iter(i: Int): String = {
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (SELECT e.dst AS id, CAST(sum(r.r // d.od) AS BIGINT) AS m
+         |        FROM pe e JOIN $prev r ON e.src = r.id
+         |                  JOIN pod d ON e.src = d.src
+         |        GROUP BY 1),
+         |dg$i AS (SELECT COALESCE(CAST(sum(r.r) AS BIGINT), 0) AS dm
+         |         FROM $prev r LEFT JOIN pod d ON r.id = d.src
+         |         WHERE d.src IS NULL),
+         |r$i AS (SELECT v.id, v.s,
+         |          CAST(v.s * ((1000000 - $damp) // 1) +
+         |               ($damp * (COALESCE(c.m, 0) + v.s * (dg$i.dm // 1)))
+         |               // 1000000 AS BIGINT) AS r
+         |        FROM pvs v LEFT JOIN c$i c ON v.id = c.id, dg$i)"""
+    }
+    s"""WITH ob AS (
+       |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |pe AS (SELECT DISTINCT x.brand AS src, y.brand AS dst
+       |       FROM ob x JOIN ob y ON x.okey = y.okey AND x.brand <> y.brand),
+       |pv AS (SELECT src AS id FROM pe UNION SELECT dst FROM pe
+       |       UNION SELECT '$PprSeed'),
+       |pvs AS (SELECT id, CASE WHEN id = '$PprSeed' THEN 1 ELSE 0 END AS s
+       |        FROM pv),
+       |pod AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM pe GROUP BY 1),
+       |r0 AS (SELECT id, s, CAST(s * (1000000 // 1) AS BIGINT) AS r FROM pvs),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT id AS brand, r AS rank_e6 FROM r$PprIters""".stripMargin
   }
 
   /** Triangle counts over the simhash_pairs edge set (the generated
@@ -6331,5 +6423,29 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_customers,
         |       CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
         |FROM sc GROUP BY 1""".stripMargin,
+
+    "ppr_brand_recs" -> pprBrandOracle,
+
+    "ab_test_zsq" ->
+      """WITH arms AS (
+        |  SELECT user_id, user_id % 2 AS arm,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS converted
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |st AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n_b,
+        |    CAST(coalesce(sum(CASE WHEN arm = 0 THEN converted END), 0)
+        |         AS HUGEINT) AS x_a,
+        |    CAST(coalesce(sum(CASE WHEN arm = 1 THEN converted END), 0)
+        |         AS HUGEINT) AS x_b
+        |  FROM arms)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |       CAST(x_a AS BIGINT) AS x_a, CAST(x_b AS BIGINT) AS x_b,
+        |       CAST((x_a*n_b - x_b*n_a) * (x_a*n_b - x_b*n_a) * (n_a + n_b)
+        |            * 1000000 // nullif(n_a * n_b * (x_a + x_b)
+        |            * (n_a + n_b - x_a - x_b), 0) AS BIGINT) AS z2_e6
+        |FROM st""".stripMargin,
   )
 }

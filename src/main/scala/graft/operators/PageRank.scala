@@ -110,4 +110,63 @@ object PageRank {
     }
     ranks
   }
+
+  /** Personalized PageRank, exact-e6: [[runExactE6]] with the teleport
+    * vector concentrated on a SEED set instead of uniform — the
+    * random-walk-with-restart relevance score that turns link importance
+    * into "importance RELATIVE TO these items" (Haveliwala '02;
+    * Pixie-style co-occurrence recommenders). Teleport mass AND dangling
+    * mass both restart at the seeds (the standard PPR convention), so
+    * non-seed rank is purely inherited through in-links from the seed
+    * neighborhood.
+    *
+    * Seeds are a bounded literal (the query's anchor items — a handful by
+    * construction); everything data-sized stays in the joins, identical
+    * plan shape to [[runExactE6]]. Same floor-truncation contract: every
+    * div is staged so a SQL oracle unrolling the iterations hash-matches.
+    *
+    * Output: (id, rank_e6 long) — seeds absent from the graph still get
+    * their teleport share (they are walk restart points by definition). */
+  def runPersonalizedE6(edges: DataFrame, src: String, dst: String,
+      seeds: Seq[String], iterations: Int = 3,
+      dampingE6: Long = 850000L): DataFrame = {
+    require(iterations > 0, "iterations must be positive")
+    require(dampingE6 >= 0 && dampingE6 <= 1000000L, "dampingE6 out of [0, 1e6]")
+    require(seeds.nonEmpty && seeds.size <= 1024,
+      "seeds must be a bounded non-empty anchor set")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .distinct().localCheckpoint()
+    val seedDf = seeds.distinct.toDF("id").withColumn("is_seed", lit(1L))
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).union(seedDf.select("id"))
+      .distinct()
+      .join(broadcast(seedDf), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint()
+    val nS = seeds.distinct.size.toLong
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    var ranks = vertices.withColumn("rank_e6",
+      expr(s"is_seed * (1000000 div $nS)"))
+    for (_ <- 1 to iterations) {
+      val withDeg = ranks.join(outDeg, ranks("id") === outDeg("src"), "left")
+      val dangling = withDeg.filter(col("out_deg").isNull)
+        .agg(coalesce(sum("rank_e6"), lit(0L)).as("__dm"))
+      val contribs = withDeg.filter(col("out_deg").isNotNull)
+        .select(col("id"), expr("rank_e6 div out_deg").as("share"))
+        .join(e, col("id") === e("src"))
+        .groupBy(col("dst").as("vid"))
+        .agg(sum("share").as("in_mass"))
+      ranks = vertices
+        .join(contribs, vertices("id") === col("vid"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"), col("is_seed"),
+          expr(s"is_seed * ((1000000 - $dampingE6) div $nS) + " +
+            s"($dampingE6 * (coalesce(in_mass, CAST(0 AS BIGINT)) + " +
+            s"is_seed * (__dm div $nS))) div 1000000").as("rank_e6"))
+        .localCheckpoint()
+    }
+    ranks.select("id", "rank_e6")
+  }
 }

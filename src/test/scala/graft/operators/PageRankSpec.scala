@@ -63,4 +63,22 @@ class PageRankSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a == b, "integer ranks must be bit-identical across layouts")
   }
+
+  test("runPersonalizedE6 matches the hand-iterated 2-cycle exactly") {
+    // A↔B, seed A, d=0.85e6: r1=(150000, 850000), r2=(872500, 127500),
+    // r3=(258375, 741625) — every floor staged as in the implementation
+    val g = Seq(("A", "B"), ("B", "A")).toDF("s", "d")
+    val r = PageRank.runPersonalizedE6(g, "s", "d", Seq("A"), iterations = 3)
+      .as[(String, Long)].collect().toMap
+    assert(r === Map("A" -> 258375L, "B" -> 741625L))
+  }
+
+  test("runPersonalizedE6: unreachable nodes get zero; dangling seed keeps all mass") {
+    val g = Seq(("A", "B")).toDF("s", "d")
+    val r = PageRank.runPersonalizedE6(g, "s", "d", Seq("C"), iterations = 3)
+      .as[(String, Long)].collect().toMap
+    // C has no out-edges: its mass is dangling and restarts at C itself
+    assert(r("C") === 1000000L)
+    assert(r("A") === 0L && r("B") === 0L)
+  }
 }
