@@ -81,6 +81,7 @@ object SparkEntry {
   private val KmMaxCurve = 100000  // km_churn_curve: curve-length gate (days)
   private val PprSeed = "Brand#1"  // ppr_brand_recs: walk-restart anchor
   private val PprIters = 3         // ppr_brand_recs: power iterations
+  private val VocabSizes = Seq(16, 64, 256, 1024) // vocab_coverage_curve
 
   /** Scratch base for the snapshot-backed queries, recursively deleted at
     * JVM exit: each invocation publishes full-table parquet versions, and
@@ -2824,6 +2825,32 @@ object SparkEntry {
           """CAST((x_a*n_b - x_b*n_a) * (x_a*n_b - x_b*n_a) * (n_a + n_b)
              * 1000000 div nullif(n_a * n_b * (x_a + x_b)
              * (n_a + n_b - x_a - x_b), 0) AS BIGINT) AS z2_e6""")
+    }),
+
+    // ---- tokenizer-sizing coverage curve: what share of corpus tokens
+    // the top-S vocabulary types cover, at a ladder of candidate sizes —
+    // the curve that picks a tokenizer's vocab budget. Rank and running
+    // mass both come from the two-phase PrefixSum scan (range partition
+    // + per-partition pass + offset broadcast) — NEVER an unpartitioned
+    // window, which would pull the whole vocabulary through one task.
+    // The vocab relation is corpus-compressed (types, not tokens), so
+    // both passes run over the small side of the pipeline ----
+    "vocab_coverage_curve" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // feeds the total and both scan passes
+      val tot = tf.agg(sum(col("n")).as("total_tokens"))
+      val curve = graft.operators.PrefixSum.runningTotal(
+        graft.operators.PrefixSum.runningTotal(
+          tf, "cum_tokens", col("n"), col("n").desc, col("tok").asc),
+        "vocab_size", lit(1), col("n").desc, col("tok").asc)
+      curve
+        .filter(col("vocab_size").isin(VocabSizes.map(_.toLong): _*))
+        .crossJoin(broadcast(tot))
+        .select(col("vocab_size"), col("cum_tokens"),
+          expr("cum_tokens * 1000000 div total_tokens").as("coverage_e6"))
     }),
   )
 
@@ -6447,5 +6474,22 @@ object SparkEntry {
         |            * 1000000 // nullif(n_a * n_b * (x_a + x_b)
         |            * (n_a + n_b - x_a - x_b), 0) AS BIGINT) AS z2_e6
         |FROM st""".stripMargin,
+
+    "vocab_coverage_curve" ->
+      s"""WITH tk AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |       FROM tk WHERE tok <> '' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM tf),
+        |r AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT)
+        |           AS vocab_size,
+        |         CAST(sum(n) OVER (ORDER BY n DESC, tok
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM tf)
+        |SELECT vocab_size, cum_tokens,
+        |       CAST(cum_tokens * 1000000 // (SELECT total FROM tot) AS BIGINT)
+        |         AS coverage_e6
+        |FROM r WHERE vocab_size IN (${VocabSizes.mkString(", ")})""".stripMargin,
   )
 }
