@@ -2852,6 +2852,43 @@ object SparkEntry {
         .select(col("vocab_size"), col("cum_tokens"),
           expr("cum_tokens * 1000000 div total_tokens").as("coverage_e6"))
     }),
+
+    // ---- time-constrained funnel: view → click within 1h of the FIRST
+    // view → purchase within 24h of that click. Three conditional-min
+    // aggregations on the same user key — consecutive stages join on the
+    // partitioning the first shuffle established, so the whole cascade is
+    // ONE exchange plus two co-partitioned joins (AQE reuses the hash),
+    // never an N-way self-join of the raw stream ----
+    "event_funnel_windowed" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val v = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("us"))).as("t_view"))
+      val c = ev.join(v, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(
+          first(col("t_view")).as("t_view"),
+          min(when(col("event_type") === "click" &&
+            col("us") > col("t_view") &&
+            col("us") <= col("t_view") + lit(3600L * 1000000L),
+            col("us"))).as("t_click"))
+      val p = ev.join(c, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(
+          first(col("t_view")).as("t_view"),
+          first(col("t_click")).as("t_click"),
+          min(when(col("event_type") === "purchase" &&
+            col("us") > col("t_click") &&
+            col("us") <= col("t_click") + lit(24L * 3600L * 1000000L),
+            col("us"))).as("t_buy"))
+      p.agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_view")).as("step_view"),
+        count(col("t_click")).as("step_click_1h"),
+        count(col("t_buy")).as("step_buy_24h"))
+    }),
   )
 
   /** Shared recall@k combinator for the `*_recall` harness rows: exact
@@ -6491,5 +6528,34 @@ object SparkEntry {
         |       CAST(cum_tokens * 1000000 // (SELECT total FROM tot) AS BIGINT)
         |         AS coverage_e6
         |FROM r WHERE vocab_size IN (${VocabSizes.mkString(", ")})""".stripMargin,
+
+    "event_funnel_windowed" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE user_id IS NOT NULL),
+        |v AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN us END) AS t_view
+        |  FROM ev GROUP BY 1),
+        |c AS (
+        |  SELECT ev.user_id, any_value(v.t_view) AS t_view,
+        |         min(CASE WHEN ev.event_type = 'click'
+        |                   AND ev.us > v.t_view
+        |                   AND ev.us <= v.t_view + 3600000000
+        |                  THEN ev.us END) AS t_click
+        |  FROM ev JOIN v USING (user_id) GROUP BY 1),
+        |p AS (
+        |  SELECT ev.user_id, any_value(c.t_view) AS t_view,
+        |         any_value(c.t_click) AS t_click,
+        |         min(CASE WHEN ev.event_type = 'purchase'
+        |                   AND ev.us > c.t_click
+        |                   AND ev.us <= c.t_click + 86400000000
+        |                  THEN ev.us END) AS t_buy
+        |  FROM ev JOIN c USING (user_id) GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(count(t_view) AS BIGINT) AS step_view,
+        |       CAST(count(t_click) AS BIGINT) AS step_click_1h,
+        |       CAST(count(t_buy) AS BIGINT) AS step_buy_24h
+        |FROM p""".stripMargin,
   )
 }
