@@ -2889,6 +2889,29 @@ object SparkEntry {
         count(col("t_click")).as("step_click_1h"),
         count(col("t_buy")).as("step_buy_24h"))
     }),
+
+    // ---- SNM blocking-recall audit (the lsh_pr_audit discipline applied
+    // to the sorted-neighborhood family): truth = same-key pairs counted
+    // ARITHMETICALLY from group sizes (Σ g·(g−1)/2 — no pair
+    // materialization, so a hot key costs one aggregate row, never g²);
+    // caught = window pairs whose keys match. Tells you whether the
+    // window size covers the duplicate-group sizes in the data ----
+    "snm_recall_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          substring(lower(col("text")), 1, SnmKeyLen).as("snm_key"))
+      val truth = docs.groupBy("snm_key").agg(count(lit(1)).as("g"))
+        .agg(coalesce(sum(expr("g * (g - 1) div 2")), lit(0L))
+          .as("n_truth_pairs"))
+      val pairs = graft.operators.SortedNeighborhood
+        .candidatePairs(docs, "doc_id", "snm_key", SnmWindow)
+        .agg(count(lit(1)).as("n_window_pairs"),
+          count(when(col("key_a") === col("key_b"), 1)).as("n_caught"))
+      pairs.crossJoin(broadcast(truth))
+        .select(col("n_truth_pairs"), col("n_window_pairs"), col("n_caught"),
+          expr("n_caught * 1000000 div nullif(n_truth_pairs, 0)")
+            .as("recall_e6"))
+    }),
   )
 
   /** Shared recall@k combinator for the `*_recall` harness rows: exact
@@ -6557,5 +6580,25 @@ object SparkEntry {
         |       CAST(count(t_click) AS BIGINT) AS step_click_1h,
         |       CAST(count(t_buy) AS BIGINT) AS step_buy_24h
         |FROM p""".stripMargin,
+
+    "snm_recall_audit" ->
+      s"""WITH k AS (
+        |  SELECT doc_id, substr(lower(text), 1, $SnmKeyLen) AS snm_key,
+        |         row_number() OVER (ORDER BY substr(lower(text), 1, $SnmKeyLen),
+        |                            doc_id) AS rn
+        |  FROM documents),
+        |t AS (
+        |  SELECT CAST(coalesce(sum(g * (g - 1) // 2), 0) AS BIGINT)
+        |           AS n_truth_pairs
+        |  FROM (SELECT count(*) AS g FROM k GROUP BY snm_key)),
+        |w AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_window_pairs,
+        |         CAST(count(CASE WHEN a.snm_key = b.snm_key THEN 1 END)
+        |              AS BIGINT) AS n_caught
+        |  FROM k a JOIN k b ON b.rn - a.rn BETWEEN 1 AND $SnmWindow)
+        |SELECT t.n_truth_pairs, w.n_window_pairs, w.n_caught,
+        |       CAST(w.n_caught * 1000000 // nullif(t.n_truth_pairs, 0)
+        |            AS BIGINT) AS recall_e6
+        |FROM w, t""".stripMargin,
   )
 }
