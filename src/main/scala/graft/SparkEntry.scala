@@ -2912,6 +2912,33 @@ object SparkEntry {
           expr("n_caught * 1000000 div nullif(n_truth_pairs, 0)")
             .as("recall_e6"))
     }),
+
+    // ---- revenue concentration (exact Gini): how unequal per-part
+    // revenue is — the long-tail metric behind catalog/curation calls.
+    // Gini = Σ(2i−n−1)·x_(i) / (n·Σx) over ASC-sorted values needs a
+    // global rank, which comes from the PrefixSum two-phase scan (range
+    // partition + offsets — never a one-task window); the weighted sum
+    // stages in decimal(38,0) so the single output row matches the
+    // oracle's HUGEINT arithmetic at any magnitude ----
+    "gini_concentration" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .localCheckpoint() // feeds the rank scan and the totals
+      val tot = rev.agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"))
+      graft.operators.PrefixSum.runningTotal(
+          rev, "rnk", lit(1), col("cents").asc, col("l_partkey").asc)
+        .crossJoin(broadcast(tot))
+        .agg(
+          sum((col("rnk") * 2 - col("n") - 1).cast("decimal(38,0)")
+            * col("cents").cast("decimal(38,0)")).as("num"),
+          first(col("n")).as("n"), first(col("sx")).as("sx"))
+        .selectExpr(
+          "CAST(n AS BIGINT) AS n_parts",
+          "CAST(sx AS BIGINT) AS total_cents",
+          """CAST(num * 1000000 div (CAST(n AS DECIMAL(38,0))
+             * CAST(sx AS DECIMAL(38,0))) AS BIGINT) AS gini_e6""")
+    }),
   )
 
   /** Shared recall@k combinator for the `*_recall` harness rows: exact
@@ -6600,5 +6627,25 @@ object SparkEntry {
         |       CAST(w.n_caught * 1000000 // nullif(t.n_truth_pairs, 0)
         |            AS BIGINT) AS recall_e6
         |FROM w, t""".stripMargin,
+
+    "gini_concentration" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT cents,
+        |         CAST(row_number() OVER (ORDER BY cents, l_partkey) AS BIGINT)
+        |           AS rnk
+        |  FROM rev),
+        |t AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |             CAST(sum(cents) AS HUGEINT) AS sx FROM rev)
+        |SELECT CAST(t.n AS BIGINT) AS n_parts,
+        |       CAST(t.sx AS BIGINT) AS total_cents,
+        |       CAST(sum((CAST(r.rnk AS HUGEINT) * 2 - t.n - 1)
+        |            * CAST(r.cents AS HUGEINT)) * 1000000 // (t.n * t.sx)
+        |            AS BIGINT) AS gini_e6
+        |FROM r, t GROUP BY t.n, t.sx""".stripMargin,
   )
 }
