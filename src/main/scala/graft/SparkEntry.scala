@@ -2939,6 +2939,31 @@ object SparkEntry {
           """CAST(num * 1000000 div (CAST(n AS DECIMAL(38,0))
              * CAST(sx AS DECIMAL(38,0))) AS BIGINT) AS gini_e6""")
     }),
+
+    // ---- cohort LTV curve: cumulative revenue per signup-month cohort
+    // by months-since-signup — user_retention's money sibling. The data
+    // work is two keyed aggs (first month per customer, then revenue per
+    // (cohort, age)); the running total windows over the MONTHS² curve
+    // relation, never the orders. Month index as yr·12+mo integers, so
+    // the age arithmetic is engine-exact ----
+    "cohort_ltv_curve" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val fc = o.groupBy("o_custkey").agg(min(col("m")).as("cohort_m"))
+      val curve = o.join(fc, Seq("o_custkey"))
+        .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("age_months"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+      curve
+        .withColumn("cum_rev_cents",
+          sum(col("rev_cents")).over(Window.partitionBy("cohort_m")
+            .orderBy("age_months")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("cohort_m").cast("long").as("cohort_m"),
+          col("age_months").cast("long").as("age_months"),
+          col("n_orders"), col("rev_cents"), col("cum_rev_cents"))
+    }),
   )
 
   /** Shared recall@k combinator for the `*_recall` harness rows: exact
@@ -6647,5 +6672,26 @@ object SparkEntry {
         |            * CAST(r.cents AS HUGEINT)) * 1000000 // (t.n * t.sx)
         |            AS BIGINT) AS gini_e6
         |FROM r, t GROUP BY t.n, t.sx""".stripMargin,
+
+    "cohort_ltv_curve" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |fc AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1),
+        |curve AS (
+        |  SELECT fc.cohort_m, o.m - fc.cohort_m AS age_months,
+        |         CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(sum(o.cents) AS BIGINT) AS rev_cents
+        |  FROM o JOIN fc USING (o_custkey)
+        |  GROUP BY 1, 2)
+        |SELECT CAST(cohort_m AS BIGINT) AS cohort_m,
+        |       CAST(age_months AS BIGINT) AS age_months,
+        |       n_orders, rev_cents,
+        |       CAST(sum(rev_cents) OVER (PARTITION BY cohort_m
+        |            ORDER BY age_months ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |         AS cum_rev_cents
+        |FROM curve""".stripMargin,
   )
 }
