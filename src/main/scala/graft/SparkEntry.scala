@@ -2546,7 +2546,7 @@ object SparkEntry {
     "sorted_neighborhood_pairs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"),
-          substring(lower(col("text")), 1, SnmKeyLen).as("snm_key"))
+          substring(coalesce(lower(col("text")), lit("")), 1, SnmKeyLen).as("snm_key"))
       graft.operators.SortedNeighborhood
         .candidatePairs(docs, "doc_id", "snm_key", SnmWindow)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
@@ -2899,7 +2899,7 @@ object SparkEntry {
     "snm_recall_audit" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"),
-          substring(lower(col("text")), 1, SnmKeyLen).as("snm_key"))
+          substring(coalesce(lower(col("text")), lit("")), 1, SnmKeyLen).as("snm_key"))
       val truth = docs.groupBy("snm_key").agg(count(lit(1)).as("g"))
         .agg(coalesce(sum(expr("g * (g - 1) div 2")), lit(0L))
           .as("n_truth_pairs"))
@@ -6398,8 +6398,8 @@ object SparkEntry {
 
     "sorted_neighborhood_pairs" ->
       s"""WITH k AS (
-        |  SELECT doc_id, substr(lower(text), 1, $SnmKeyLen) AS snm_key,
-        |         row_number() OVER (ORDER BY substr(lower(text), 1, $SnmKeyLen),
+        |  SELECT doc_id, substr(coalesce(lower(text), ''), 1, $SnmKeyLen) AS snm_key,
+        |         row_number() OVER (ORDER BY substr(coalesce(lower(text), ''), 1, $SnmKeyLen),
         |                            doc_id) AS rn
         |  FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -6635,8 +6635,8 @@ object SparkEntry {
 
     "snm_recall_audit" ->
       s"""WITH k AS (
-        |  SELECT doc_id, substr(lower(text), 1, $SnmKeyLen) AS snm_key,
-        |         row_number() OVER (ORDER BY substr(lower(text), 1, $SnmKeyLen),
+        |  SELECT doc_id, substr(coalesce(lower(text), ''), 1, $SnmKeyLen) AS snm_key,
+        |         row_number() OVER (ORDER BY substr(coalesce(lower(text), ''), 1, $SnmKeyLen),
         |                            doc_id) AS rn
         |  FROM documents),
         |t AS (
