@@ -1378,17 +1378,17 @@ object SparkEntry {
       val v0 = graft.streaming.VersionedSnapshot.mergeInto(
         base, docs.filter(col("doc_id") % 10 =!= 0), Seq("doc_id"),
         graft.streaming.VersionedSnapshot.UpdateMatched,
-        insertUnmatched = true, marker = "seed", retain = 3)
+        insertUnmatched = true, marker = "seed", retain = 3, numBuckets = 8)
       graft.streaming.VersionedSnapshot.mergeInto(
         base,
         docs.filter(col("doc_id") % 5 === 0)
           .withColumn("n_chars", col("n_chars") + 1000),
         Seq("doc_id"), graft.streaming.VersionedSnapshot.UpdateMatched,
-        insertUnmatched = true, marker = "upsert", retain = 3)
+        insertUnmatched = true, marker = "upsert", retain = 3, numBuckets = 8)
       val v2 = graft.streaming.VersionedSnapshot.mergeInto(
         base, docs.filter(col("doc_id") % 7 === 0), Seq("doc_id"),
         graft.streaming.VersionedSnapshot.DeleteMatched,
-        insertUnmatched = false, marker = "delete", retain = 3)
+        insertUnmatched = false, marker = "delete", retain = 3, numBuckets = 8)
       graft.streaming.VersionedSnapshot.changes(s, base, v0, v2, Seq("doc_id")).get
         .select("op", "doc_id", "n_chars", "lang")
     }),
@@ -1421,10 +1421,10 @@ object SparkEntry {
       for (b <- 0L until 3L) {
         val batch = ev.filter(pmod(col("event_id"), lit(3)) === b)
         graft.streaming.VersionedSnapshot.mergeIntoBatch(
-          batch, Seq("user_id"), "event_id", base, "cdc-merge", b)
+          batch, Seq("user_id"), "event_id", base, "cdc-merge", b, numBuckets = 8)
         // same-lineage replay of batch 1 must be a no-op
         if (b == 1L) graft.streaming.VersionedSnapshot.mergeIntoBatch(
-          batch, Seq("user_id"), "event_id", base, "cdc-merge", b)
+          batch, Seq("user_id"), "event_id", base, "cdc-merge", b, numBuckets = 8)
       }
       graft.streaming.VersionedSnapshot.read(s, base).get
         .select("user_id", "event_type", "v_cents")
@@ -1445,16 +1445,16 @@ object SparkEntry {
       for (b <- 0L until 3L) {
         val batch = ev.filter(pmod(col("event_id"), lit(3)) === b)
         graft.streaming.VersionedSnapshot.stageDeltaBatch(
-          batch, Seq("user_id"), "event_id", base, "mor-delta", b)
+          batch, Seq("user_id"), "event_id", base, "mor-delta", b, numBuckets = 8)
         // same-lineage replay of batch 1 must be a no-op
         if (b == 1L) graft.streaming.VersionedSnapshot.stageDeltaBatch(
-          batch, Seq("user_id"), "event_id", base, "mor-delta", b)
+          batch, Seq("user_id"), "event_id", base, "mor-delta", b, numBuckets = 8)
       }
       // delete overlay: drop every user whose id is divisible by 7
       graft.streaming.VersionedSnapshot.stageDelta(base,
         ev.filter(col("user_id") % 7 === 0).select("user_id").distinct(),
         Seq("user_id"), graft.streaming.VersionedSnapshot.DeleteMatched,
-        marker = "mor-deletes")
+        marker = "mor-deletes", numBuckets = 8)
       // compaction must preserve the reconciled state bit-for-bit
       graft.streaming.VersionedSnapshot.compact(s, base, Seq("user_id"),
         marker = "mor-compact")
