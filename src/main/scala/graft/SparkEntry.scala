@@ -82,6 +82,8 @@ object SparkEntry {
   private val PprSeed = "Brand#1"  // ppr_brand_recs: walk-restart anchor
   private val PprIters = 3         // ppr_brand_recs: power iterations
   private val VocabSizes = Seq(16, 64, 256, 1024) // vocab_coverage_curve
+  private val TsPanel = 8 // ts_similarity_topk: hash-sampled query users
+  private val TsK = 5     // ts_similarity_topk: neighbors kept per query
 
   /** Scratch base for the snapshot-backed queries, recursively deleted at
     * JVM exit: each invocation publishes full-table parquet versions, and
@@ -2963,6 +2965,64 @@ object SparkEntry {
         .select(col("cohort_m").cast("long").as("cohort_m"),
           col("age_months").cast("long").as("age_months"),
           col("n_orders"), col("rev_cents"), col("cum_rev_cents"))
+    }),
+
+    // ---- time-series similarity search (EDBT'19/REPOSE family): top-k
+    // most-correlated users to a query panel, over hourly activity
+    // series. Pearson correlation on the FULL slot grid computed from
+    // sparse non-zero entries only — zeros contribute nothing to Σxy, so
+    // num = T·Σxy − Σx·Σy needs just the co-active-hour equi-join plus
+    // per-user margins; nothing ever densifies. Ranking key is the
+    // sign-preserving corr² in e6 (monotone in corr — no sqrt, so the
+    // score stays an exact rational in decimal(38,0) and the oracle
+    // hash-matches). Panel = 8 hash-sampled users broadcast (the
+    // recall-panel rule): the candidate join is panel-linear, never
+    // users². Candidates = users sharing ≥1 active hour with the query
+    // (absent pairs have Σxy = 0 ⇒ negative corr — never top-k here) ----
+    "ts_similarity_topk" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), expr("unix_timestamp(ts) div 3600").as("h"))
+        .groupBy("user_id", "h").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // read by margins, the panel slice and the join
+      val bounds = series.agg((max(col("h")) - min(col("h")) + 1).as("t_slots"))
+      val margins = series.groupBy("user_id")
+        .agg(sum(col("c")).as("sx"), sum(col("c") * col("c")).as("sxx"))
+      val panel = margins.select(col("user_id").as("qu"),
+          graft.functions.PortableHash.hash60(col("user_id")).as("__ph"))
+        .orderBy(col("__ph").asc, col("qu").asc).limit(TsPanel)
+        .select("qu")
+      val qm = margins.join(broadcast(panel),
+          margins("user_id") === col("qu"))
+        .select(col("qu"), col("sx").as("qsx"), col("sxx").as("qsxx"))
+      val qSeries = series.join(broadcast(panel),
+          series("user_id") === col("qu"))
+        .select(col("qu"), col("h"), col("c").as("qc"))
+      val scored = series.join(broadcast(qSeries), Seq("h"))
+        .filter(col("user_id") =!= col("qu"))
+        .groupBy("qu", "user_id")
+        .agg(sum(col("qc") * col("c")).as("sxy"))
+        .join(broadcast(qm), Seq("qu"))
+        .join(margins, Seq("user_id"))
+        .crossJoin(broadcast(bounds))
+        .selectExpr("qu", "user_id",
+          """CAST(t_slots AS DECIMAL(38,0)) * sxy
+             - CAST(qsx AS DECIMAL(38,0)) * sx AS num""",
+          """CAST(t_slots AS DECIMAL(38,0)) * qsxx
+             - CAST(qsx AS DECIMAL(38,0)) * qsx AS vq""",
+          """CAST(t_slots AS DECIMAL(38,0)) * sxx
+             - CAST(sx AS DECIMAL(38,0)) * sx AS vu""")
+        .selectExpr("qu", "user_id",
+          """CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+             (num * num * 1000000 div nullif(vq * vu, 0)) AS BIGINT)
+             AS corr2_e6""")
+        .filter(col("corr2_e6").isNotNull)
+      scored
+        .withColumn("rnk", row_number().over(Window.partitionBy("qu")
+          .orderBy(col("corr2_e6").desc, col("user_id").asc)))
+        .filter(col("rnk") <= TsK)
+        .select(col("qu"), col("user_id"), col("corr2_e6"),
+          col("rnk").cast("long").as("rnk"))
     }),
   )
 
@@ -6693,5 +6753,43 @@ object SparkEntry {
         |            ORDER BY age_months ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |         AS cum_rev_cents
         |FROM curve""".stripMargin,
+
+    "ts_similarity_topk" ->
+      s"""WITH series AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |bd AS (SELECT CAST(max(h) - min(h) + 1 AS HUGEINT) AS t_slots
+        |       FROM series),
+        |m AS (SELECT user_id, CAST(sum(c) AS HUGEINT) AS sx,
+        |             CAST(sum(c * c) AS HUGEINT) AS sxx
+        |      FROM series GROUP BY 1),
+        |panel AS (
+        |  SELECT user_id AS qu FROM m
+        |  ORDER BY ${dh("CAST(user_id AS VARCHAR)")}, user_id LIMIT $TsPanel),
+        |qs AS (SELECT p.qu, s.h, s.c AS qc
+        |       FROM series s JOIN panel p ON s.user_id = p.qu),
+        |pairs AS (
+        |  SELECT q.qu, s.user_id, CAST(sum(q.qc * s.c) AS HUGEINT) AS sxy
+        |  FROM series s JOIN qs q ON s.h = q.h AND s.user_id <> q.qu
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT p.qu, p.user_id,
+        |         (SELECT t_slots FROM bd) * p.sxy - qm.sx * um.sx AS num,
+        |         (SELECT t_slots FROM bd) * qm.sxx - qm.sx * qm.sx AS vq,
+        |         (SELECT t_slots FROM bd) * um.sxx - um.sx * um.sx AS vu
+        |  FROM pairs p JOIN m qm ON p.qu = qm.user_id
+        |               JOIN m um ON p.user_id = um.user_id),
+        |scored AS (
+        |  SELECT qu, user_id,
+        |         CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |              (num * num * 1000000 // nullif(vq * vu, 0)) AS BIGINT)
+        |           AS corr2_e6
+        |  FROM sc)
+        |SELECT qu, user_id, corr2_e6, rnk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY qu
+        |    ORDER BY corr2_e6 DESC, user_id) AS BIGINT) AS rnk
+        |  FROM scored WHERE corr2_e6 IS NOT NULL)
+        |WHERE rnk <= $TsK""".stripMargin,
   )
 }
