@@ -17,6 +17,28 @@ class SparkEntryPlanSpec extends SparkSpec {
     case other => other +: other.children.flatMap(flatten)
   }
 
+  test("parts_filter: predicate reaches the parquet scan and columns are pruned") {
+    val df = SparkEntry.queries("parts_filter")(spark, dir)
+    val scans = flatten(df.queryExecution.executedPlan)
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty, "expected a parquet file scan")
+    val s = scans.head
+    assert(s.metadata.get("PushedFilters").exists(f => f != "[]" && f.nonEmpty),
+      s"filter not pushed to the scan: ${s.metadata.get("PushedFilters")}")
+    // projection pruning: the scan must NOT read the full part schema
+    assert(s.requiredSchema.fields.length < Tables.part(spark, dir).schema.fields.length,
+      s"scan reads all columns: ${s.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("enrich_events: both dimension joins broadcast (no fact shuffle for the join)") {
+    val df = SparkEntry.queries("enrich_events")(spark, dir)
+    assert(df.collect().nonEmpty)
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val broadcasts = nodes.count(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(broadcasts >= 2,
+      s"expected the customer and nation joins to broadcast, saw $broadcasts")
+  }
+
   test("q5_region_revenue: six-table join broadcasts tiny dims, never a cartesian") {
     val df = SparkEntry.queries("q5_region_revenue")(spark, dir)
     assert(df.collect().nonEmpty) // AQE finalizes the plan on execution
