@@ -2560,10 +2560,10 @@ object SparkEntry {
     // ---- market-basket recommendations: co-purchase lift per directed
     // brand pair, top-3 per brand. Baskets = distinct (order, brand) —
     // fan-out per order is bounded by the lines-per-order cap, so the
-    // self equi-join on the basket key is linear; lift in e6 integers
-    // (n_ab·N·1e6 div (n_a·n_b) — int64-safe to ~10⁹ baskets, swap the
-    // staging to decimal(38) beyond). One shuffle builds baskets; the
-    // 25-row brand margins broadcast back ----
+    // pair expansion is linear; lift = n_ab·N·1e6 div (n_a·n_b), staged
+    // in decimal(38,0) (the N²·1e6 product would cap int64 at ~3·10⁶
+    // orders; decimal ≡ the oracle's HUGEINT at any scale). One shuffle
+    // builds baskets; the 25-row brand margins broadcast back ----
     "basket_lift_recs" -> ((s, dir) => {
       // ONE fact shuffle total: baskets collapse to a per-order brand SET
       // (collect_set dedups in-agg — no separate distinct), and the pair
@@ -2592,7 +2592,8 @@ object SparkEntry {
           col("n_a").as("n_b"))), Seq("rec_brand"))
         .crossJoin(broadcast(tot))
         .withColumn("lift_e6",
-          expr("n_ab * 1000000 * n_orders div (n_a * n_b)"))
+          expr("""CAST(n_ab AS DECIMAL(38,0)) * 1000000 * n_orders
+                  div (CAST(n_a AS DECIMAL(38,0)) * n_b)"""))
       scored
         .withColumn("rnk", row_number().over(Window.partitionBy("brand")
           .orderBy(col("lift_e6").desc, col("n_ab").desc, col("rec_brand").asc)))
@@ -6482,7 +6483,8 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |sc AS (
         |  SELECT p.brand, p.rec_brand, p.n_ab,
-        |         p.n_ab * 1000000 * t.n_orders // (ma.n_a * mb.n_a) AS lift_e6
+        |         CAST(CAST(p.n_ab AS HUGEINT) * 1000000 * t.n_orders
+        |              // (CAST(ma.n_a AS HUGEINT) * mb.n_a) AS BIGINT) AS lift_e6
         |  FROM p JOIN m ma ON p.brand = ma.brand
         |         JOIN m mb ON p.rec_brand = mb.brand, t)
         |SELECT brand, rec_brand, n_ab, lift_e6, rnk FROM (
