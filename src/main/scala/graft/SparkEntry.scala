@@ -2904,8 +2904,10 @@ object SparkEntry {
         .select(col("doc_id"),
           substring(coalesce(lower(col("text")), lit("")), 1, SnmKeyLen).as("snm_key"))
       val truth = docs.groupBy("snm_key").agg(count(lit(1)).as("g"))
-        .agg(coalesce(sum(expr("g * (g - 1) div 2")), lit(0L))
-          .as("n_truth_pairs"))
+        // decimal staging: a genuinely hot key (the case this arithmetic
+        // form exists for) would overflow g·(g−1) in int64 around g≈3·10⁹
+        .agg(coalesce(sum(expr("CAST(g AS DECIMAL(38,0)) * (g - 1) div 2")),
+          lit(0L)).as("n_truth_pairs"))
       val pairs = graft.operators.SortedNeighborhood
         .candidatePairs(docs, "doc_id", "snm_key", SnmWindow)
         .agg(count(lit(1)).as("n_window_pairs"),
@@ -6702,8 +6704,8 @@ object SparkEntry {
         |                            doc_id) AS rn
         |  FROM documents),
         |t AS (
-        |  SELECT CAST(coalesce(sum(g * (g - 1) // 2), 0) AS BIGINT)
-        |           AS n_truth_pairs
+        |  SELECT CAST(coalesce(sum(CAST(g AS HUGEINT) * (g - 1) // 2), 0)
+        |              AS BIGINT) AS n_truth_pairs
         |  FROM (SELECT count(*) AS g FROM k GROUP BY snm_key)),
         |w AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_window_pairs,
