@@ -2918,6 +2918,22 @@ object SparkEntry {
             .as("recall_e6"))
     }),
 
+    // ---- multi-pass SNM (the standard production form): a second
+    // sliding-window pass over a REVERSED-token key, unioned with the
+    // forward pass — a typo that breaks forward sort locality rarely
+    // breaks the reversed ordering too. n_passes (1 or 2) is the
+    // matcher-confidence prior; passes are independent linear scans ----
+    "snm_multipass_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), coalesce(lower(col("text")), lit("")).as("lt"))
+        .select(col("doc_id"),
+          substring(col("lt"), 1, SnmKeyLen).as("k_fwd"),
+          substring(concat_ws(" ", reverse(split(col("lt"), " "))),
+            1, SnmKeyLen).as("k_rev"))
+      graft.operators.SortedNeighborhood.candidatePairsMultiKey(
+        docs, "doc_id", Seq("k_fwd", "k_rev"), SnmWindow)
+    }),
+
     // ---- revenue concentration (exact Gini): how unequal per-part
     // revenue is — the long-tail metric behind catalog/curation calls.
     // Gini = Σ(2i−n−1)·x_(i) / (n·Σx) over ASC-sorted values needs a
@@ -6716,6 +6732,32 @@ object SparkEntry {
         |       CAST(w.n_caught * 1000000 // nullif(t.n_truth_pairs, 0)
         |            AS BIGINT) AS recall_e6
         |FROM w, t""".stripMargin,
+
+    "snm_multipass_pairs" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, coalesce(lower(text), '') AS lt FROM documents),
+        |k1 AS (
+        |  SELECT doc_id, substr(lt, 1, $SnmKeyLen) AS key,
+        |         row_number() OVER (ORDER BY substr(lt, 1, $SnmKeyLen),
+        |                            doc_id) AS rn
+        |  FROM d),
+        |k2 AS (
+        |  SELECT doc_id,
+        |         substr(array_to_string(list_reverse(string_split(lt, ' ')),
+        |                ' '), 1, $SnmKeyLen) AS key,
+        |         row_number() OVER (ORDER BY
+        |           substr(array_to_string(list_reverse(string_split(lt, ' ')),
+        |                  ' '), 1, $SnmKeyLen), doc_id) AS rn
+        |  FROM d),
+        |u AS (
+        |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+        |         greatest(a.doc_id, b.doc_id) AS id_b
+        |  FROM k1 a JOIN k1 b ON b.rn - a.rn BETWEEN 1 AND $SnmWindow
+        |  UNION ALL
+        |  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+        |  FROM k2 a JOIN k2 b ON b.rn - a.rn BETWEEN 1 AND $SnmWindow)
+        |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_passes
+        |FROM u GROUP BY 1, 2""".stripMargin,
 
     "gini_concentration" ->
       """WITH rev AS (

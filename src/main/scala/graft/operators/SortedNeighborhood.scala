@@ -28,6 +28,27 @@ import org.apache.spark.sql.functions._
   */
 object SortedNeighborhood {
 
+  /** Multi-pass SNM — the standard production form: one sliding-window
+    * pass PER blocking key, unioned and deduped (Hernández-Stolfo §4:
+    * several cheap fuzzy keys beat one expensive one, because a typo
+    * that breaks key A's sort locality rarely breaks key B's too).
+    * Output pairs are canonical (id_a < id_b) with `n_passes` = how many
+    * key orderings proposed the pair — a matcher-confidence prior.
+    * Cost: `keys.size` independent linear passes; the union's dedup is
+    * one shuffle over the (already linear) candidate set. */
+  def candidatePairsMultiKey(df: DataFrame, idCol: String,
+      keyCols: Seq[String], window: Int): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one blocking key")
+    keyCols.map { k =>
+        candidatePairs(df, idCol, k, window)
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+      }
+      .reduce(_.unionAll(_))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_passes"))
+  }
+
   /** Candidate pairs within `window` positions of the total order
     * (`keyCol`, `idCol`) — the id tiebreak makes the permutation, and
     * therefore the pair set, deterministic for any key collisions. */

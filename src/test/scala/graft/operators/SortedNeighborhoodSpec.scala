@@ -38,6 +38,22 @@ class SortedNeighborhoodSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("multi-pass: a pair adjacent only under the second key is caught, n_passes counts orderings") {
+    // under k1, ids 1 and 2 are separated by 3..5; under k2 they sort adjacent
+    val df = Seq(
+      (1L, "aaa", "zzz"), (3L, "bbb", "mmm"), (4L, "ccc", "nnn"),
+      (5L, "ddd", "ooo"), (2L, "eee", "zzy")
+    ).toDF("id", "k1", "k2")
+    val got = SortedNeighborhood
+      .candidatePairsMultiKey(df, "id", Seq("k1", "k2"), window = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // k1 order: 1,3,4,5,2 → pairs (1,3),(3,4),(4,5),(2,5)
+    // k2 order: 3,4,5,2,1 → pairs (3,4),(4,5),(2,5),(1,2)
+    assert(got === Map(
+      (1L, 3L) -> 1L, (3L, 4L) -> 2L, (4L, 5L) -> 2L,
+      (2L, 5L) -> 2L, (1L, 2L) -> 1L))
+  }
+
   test("window=1 is adjacent-only") {
     val df = Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("id", "key")
     val got = SortedNeighborhood.candidatePairs(df, "id", "key", 1)
