@@ -2148,6 +2148,36 @@ object SparkEntry {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .count()),
 
+    // ---- unpivot (pandas melt parity): the pivoted wide frame folded
+    // back to (date, event_type, n) rows via `stack` — a generator, so
+    // the reshape is row-local with no extra shuffle; absent combos
+    // (null count cells) drop, restoring exactly the long-form counts ----
+    "events_unpivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("date", to_date(col("ts")))
+        .groupBy("date")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .select(col("date"), expr(
+          """stack(5, 'click', click, 'error', error, 'purchase', purchase,
+             'signup', signup, 'view', view) AS (event_type, n)"""))
+        .filter(col("n").isNotNull)),
+
+    // ---- running distinct users by day, the SCALABLE form: distinct is
+    // NOT re-counted per window (that's O(days·users) state) — each user
+    // contributes once at their FIRST-SEEN day, and the running total of
+    // first-appearances IS the running distinct count. The only window
+    // runs over the ≤|days-of-history| relation ----
+    "running_distinct_users" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .groupBy("user_id").agg(min(col("d")).as("first_d"))
+        .groupBy("first_d").agg(count(lit(1)).as("n_new"))
+        .withColumn("n_cum_distinct",
+          sum(col("n_new")).over(Window.orderBy("first_d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))),
+
     // ---- semi-structured: JSON field extraction from props ----
     "props_extract" -> ((s, dir) =>
       Tables.events(s, dir).select(
@@ -6758,6 +6788,22 @@ object SparkEntry {
         |  FROM k2 a JOIN k2 b ON b.rn - a.rn BETWEEN 1 AND $SnmWindow)
         |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_passes
         |FROM u GROUP BY 1, 2""".stripMargin,
+
+    "events_unpivot" ->
+      """SELECT CAST(ts AS DATE) AS date, event_type,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "running_distinct_users" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS first_d
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |n AS (SELECT first_d, CAST(count(*) AS BIGINT) AS n_new
+        |      FROM f GROUP BY 1)
+        |SELECT first_d, n_new,
+        |       CAST(sum(n_new) OVER (ORDER BY first_d
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum_distinct
+        |FROM n""".stripMargin,
 
     "gini_concentration" ->
       """WITH rev AS (
