@@ -2163,6 +2163,23 @@ object SparkEntry {
              'signup', signup, 'view', view) AS (event_type, n)"""))
         .filter(col("n").isNotNull)),
 
+    // ---- gaps-and-islands: longest consecutive-active-day streak per
+    // user (the engagement-streak metric). Island key = day − rank —
+    // consecutive days share it, a gap breaks it; both windows partition
+    // BY USER, so no global sort and per-group state is one row ----
+    "user_streaks" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        .withColumn("island", expr("date_sub(d, row_number() OVER " +
+          "(PARTITION BY user_id ORDER BY d))"))
+        .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max(col("len")).as("max_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum(col("len")).as("active_days"))
+    }),
+
     // ---- running distinct users by day, the SCALABLE form: distinct is
     // NOT re-counted per window (that's O(days·users) state) — each user
     // contributes once at their FIRST-SEEN day, and the running total of
@@ -6793,6 +6810,22 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS date, event_type,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "user_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL),
+        |isl AS (
+        |  SELECT user_id,
+        |         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |                  AS INTEGER) AS island
+        |  FROM days),
+        |st AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+        |       FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak,
+        |       CAST(count(*) AS BIGINT) AS n_streaks,
+        |       CAST(sum(len) AS BIGINT) AS active_days
+        |FROM st GROUP BY 1""".stripMargin,
 
     "running_distinct_users" ->
       """WITH f AS (
