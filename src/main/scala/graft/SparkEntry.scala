@@ -2163,6 +2163,43 @@ object SparkEntry {
              'signup', signup, 'view', view) AS (event_type, n)"""))
         .filter(col("n").isNotNull)),
 
+    // ---- position-based (U-shaped) attribution: each purchase's credit
+    // splits over the touches since the user's previous purchase —
+    // 40/40 to first and last, 20 split over middles, all in exact e6
+    // integers with the floor remainder assigned to the FIRST touch so
+    // every conversion's credit sums to exactly 1e6 (the
+    // last-touch row's running-state sibling; segments come from one
+    // running purchase count, no self-joins) ----
+    "attribution_position" -> ((s, dir) => {
+      val wAll = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val seg = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+          (col("event_type") === "purchase").cast("int").as("is_p"))
+        .withColumn("seg", coalesce(sum(col("is_p"))
+          .over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      val wSeg = Window.partitionBy("user_id", "seg")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val ranked = seg.filter(col("is_p") === 0)
+        .withColumn("rn", row_number().over(wSeg))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy("user_id", "seg")))
+      val purchases = seg.filter(col("is_p") === 1)
+        .select(col("user_id"), col("seg"))
+      ranked.join(purchases, Seq("user_id", "seg"), "left_semi")
+        .withColumn("credit_e6", expr(
+          """CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN rn = 1 THEN 400000
+                       + (200000 - (n - 2) * (200000 div (n - 2)))
+                  WHEN rn = n THEN 400000
+                  ELSE 200000 div (n - 2) END"""))
+        .groupBy(col("event_type").as("touch_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_e6")).as("credit_e6_sum"))
+    }),
+
     // ---- gaps-and-islands: longest consecutive-active-day streak per
     // user (the engagement-streak metric). Island key = day − rank —
     // consecutive days share it, a gap breaks it; both windows partition
@@ -6810,6 +6847,35 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS date, event_type,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "attribution_position" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        |  FROM events WHERE user_id IS NOT NULL),
+        |sg AS (
+        |  SELECT *, coalesce(sum(is_p) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+        |  FROM ev),
+        |tch AS (
+        |  SELECT user_id, event_type, seg,
+        |         row_number() OVER (PARTITION BY user_id, seg
+        |                            ORDER BY ts, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY user_id, seg) AS n
+        |  FROM sg WHERE is_p = 0),
+        |pur AS (SELECT DISTINCT user_id, seg FROM sg WHERE is_p = 1)
+        |SELECT t.event_type AS touch_type,
+        |       CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(sum(CASE WHEN n = 1 THEN 1000000
+        |                     WHEN n = 2 THEN 500000
+        |                     WHEN rn = 1 THEN 400000
+        |                          + (200000 - (n - 2) * (200000 // (n - 2)))
+        |                     WHEN rn = n THEN 400000
+        |                     ELSE 200000 // (n - 2) END) AS BIGINT)
+        |         AS credit_e6_sum
+        |FROM tch t JOIN pur USING (user_id, seg)
+        |GROUP BY 1""".stripMargin,
 
     "user_streaks" ->
       """WITH days AS (
