@@ -2163,6 +2163,73 @@ object SparkEntry {
              'signup', signup, 'view', view) AS (event_type, n)"""))
         .filter(col("n").isNotNull)),
 
+    // ---- seasonal-naive forecast backtest: predict each day's revenue
+    // as the value 7 days earlier, score MAE in exact cents — the
+    // baseline every forecasting model must beat, and the eval loop is
+    // one equi-join of the (bounded) daily relation against its own
+    // 7-day shift. Days with no 7-day-old observation are unscored ----
+    "seasonal_forecast_mae" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+        .localCheckpoint() // both sides of the shift join
+      daily.join(daily.select(date_add(col("d"), 7).as("d"),
+          col("c").as("c7")), Seq("d"))
+        .agg(count(lit(1)).as("n_days_scored"),
+          sum(abs(col("c") - col("c7"))).as("abs_err_cents"))
+        .withColumn("mae_cents",
+          expr("abs_err_cents div nullif(n_days_scored, 0)"))
+    }),
+
+    // ---- CUSUM changepoint: the day where cumulative revenue deviates
+    // most from the global-mean trajectory — |cum·n − idx·total| maximized
+    // (cross-multiplied, so no division and the argmax is exact). All
+    // windows run over the ≤|days| relation; one TakeOrdered(1) ends it ----
+    "value_cusum_change" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("total"))
+      val wd = Window.orderBy("d")
+      daily
+        .withColumn("idx", row_number().over(wd).cast("long"))
+        .withColumn("cum", sum(col("c")).over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .select(col("d").as("change_d"),
+          abs(col("cum") * col("n") - col("idx") * col("total"))
+            .as("dev_scaled"))
+        .orderBy(col("dev_scaled").desc, col("change_d").asc)
+        .limit(1)
+    }),
+
+    // ---- discount elasticity: does a deeper discount move quantity?
+    // Signed Pearson-r² per brand between discount (e2) and quantity,
+    // closed-form from one aggregation pass of integer moment sums (the
+    // CUPED/ts-similarity staging applied per group — no sqrt, decimal
+    // ratios, one shuffle) ----
+    "discount_elasticity" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          round(col("l_discount") * 100).cast("long").as("x"),
+          round(col("l_quantity")).cast("long").as("y"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).cast("decimal(38,0)").as("sx"),
+          sum(col("y")).cast("decimal(38,0)").as("sy"),
+          sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+          sum(col("y") * col("y")).cast("decimal(38,0)").as("syy"),
+          sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"))
+        .selectExpr("p_brand", "CAST(n AS BIGINT) AS n_lines",
+          """CAST((CASE WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 1 END) *
+             ((n*sxy - sx*sy) * (n*sxy - sx*sy) * 1000000
+              div nullif((n*sxx - sx*sx) * (n*syy - sy*sy), 0))
+             AS BIGINT) AS corr2_e6""")),
+
     // ---- position-based (U-shaped) attribution: each purchase's credit
     // splits over the touches since the user's previous purchase —
     // 40/40 to first and last, 20 split over middles, all in exact e6
@@ -6847,6 +6914,52 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS date, event_type,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "seasonal_forecast_mae" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days_scored,
+        |       CAST(sum(abs(a.c - b.c)) AS BIGINT) AS abs_err_cents,
+        |       CAST(sum(abs(a.c - b.c)) // nullif(count(*), 0) AS BIGINT)
+        |         AS mae_cents
+        |FROM daily a JOIN daily b ON a.d = b.d + 7""".stripMargin,
+
+    "value_cusum_change" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(c) AS BIGINT) AS total FROM daily),
+        |r AS (
+        |  SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS idx,
+        |         CAST(sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+        |              AS BIGINT) AS cum
+        |  FROM daily)
+        |SELECT d AS change_d,
+        |       CAST(abs(cum * t.n - idx * t.total) AS BIGINT) AS dev_scaled
+        |FROM r, t
+        |ORDER BY dev_scaled DESC, change_d LIMIT 1""".stripMargin,
+
+    "discount_elasticity" ->
+      """WITH li AS (
+        |  SELECT p_brand,
+        |         CAST(CAST(round(l_discount * 100) AS BIGINT) AS HUGEINT) AS x,
+        |         CAST(CAST(round(l_quantity) AS BIGINT) AS HUGEINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |st AS (
+        |  SELECT p_brand, CAST(count(*) AS HUGEINT) AS n,
+        |         sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+        |         sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM li GROUP BY 1)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+        |       CAST((CASE WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 1 END) *
+        |            ((n*sxy - sx*sy) * (n*sxy - sx*sy) * 1000000
+        |             // nullif((n*sxx - sx*sx) * (n*syy - sy*sy), 0))
+        |            AS BIGINT) AS corr2_e6
+        |FROM st""".stripMargin,
 
     "attribution_position" ->
       """WITH ev AS (
