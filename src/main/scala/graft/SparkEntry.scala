@@ -2163,6 +2163,38 @@ object SparkEntry {
              'signup', signup, 'view', view) AS (event_type, n)"""))
         .filter(col("n").isNotNull)),
 
+    // ---- survivorship-policy audit for exact dedup: keep-FIRST (min id,
+    // the reproducibility default) vs keep-LONGEST (max n_chars — the
+    // CCNet-style quality-aware policy) per duplicate-text group; how
+    // often they disagree is the cost of choosing the cheap policy. One
+    // grouped pass, max_by for the quality keeper ----
+    "dedup_policy_diff" -> ((s, dir) => {
+      val groups = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), md5(col("text")).as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("sz"),
+          min(col("doc_id")).as("keep_first"),
+          max_by(col("doc_id"),
+            concat(lpad(col("n_chars").cast("string"), 19, "0"),
+              lpad(col("doc_id").cast("string"), 19, "0"))).as("keep_longest"))
+      groups.agg(
+        count(lit(1)).as("n_groups"),
+        count(when(col("sz") > 1, 1)).as("n_dup_groups"),
+        count(when(col("keep_first") =!= col("keep_longest"), 1))
+          .as("n_disagree"))
+    }),
+
+    // ---- duplicate-cluster size histogram: the shape of the dup graph
+    // (how many pairs, triples, …) — the number that decides whether
+    // dedup is worth a join or a full clustering pass ----
+    "dup_cluster_sizes" -> ((s, dir) =>
+      graft.operators.Components.connectedComponents(
+          Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+            n = 3, threshold = 0.2),
+          "id_a", "id_b")
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))),
+
     // ---- seasonal-naive forecast backtest: predict each day's revenue
     // as the value 7 days earlier, score MAE in exact cents — the
     // baseline every forecasting model must beat, and the eval loop is
@@ -3810,6 +3842,37 @@ object SparkEntry {
     * brand co-purchase graph: the same unrolled-iteration shape as
     * [[pageRankE6Oracle]], with teleport AND dangling mass restarting at
     * the seed (nS = 1) instead of spread uniformly. */
+  /** Connected components over the 3-gram Jaccard dup graph — shared by
+    * `dedup_clusters` (raw assignments) and `dup_cluster_sizes`
+    * (size histogram wrapping it as a derived table). */
+  private def dedupClustersOracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+      |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |p AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT i.id_a, i.id_b,
+      |           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS j
+      |    FROM inter i
+      |    JOIN sizes sa ON i.id_a = sa.doc_id
+      |    JOIN sizes sb ON i.id_b = sb.doc_id)
+      |  WHERE round(j, 6) >= 0.2),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |      UNION SELECT id_b, id_a FROM p),
+      |v AS (SELECT DISTINCT src AS id FROM e),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM v
+      |  UNION
+      |  SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id)
+      |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
   private def pprBrandOracle: String = {
     val damp = 850000L
     def iter(i: Int): String = {
@@ -4899,33 +4962,7 @@ object SparkEntry {
 
     // an independent implementation of the same fixpoint: DuckDB's
     // recursive CTE reaches every vertex from every vertex, min labels
-    "dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
-        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |p AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT i.id_a, i.id_b,
-        |           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS j
-        |    FROM inter i
-        |    JOIN sizes sa ON i.id_a = sa.doc_id
-        |    JOIN sizes sb ON i.id_b = sb.doc_id)
-        |  WHERE round(j, 6) >= 0.2),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM p
-        |      UNION SELECT id_b, id_a FROM p),
-        |v AS (SELECT DISTINCT src AS id FROM e),
-        |reach(id, r) AS (
-        |  SELECT id, id FROM v
-        |  UNION
-        |  SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.id)
-        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "dedup_clusters" -> dedupClustersOracle,
 
     // the dedup_clusters fixpoint + the train_split bucket rule, keyed on
     // the component representative instead of the doc itself
@@ -6914,6 +6951,28 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS date, event_type,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "dedup_policy_diff" ->
+      """WITH g AS (
+        |  SELECT md5(text) AS k, CAST(count(*) AS BIGINT) AS sz,
+        |         min(doc_id) AS keep_first,
+        |         arg_max(doc_id,
+        |                 lpad(CAST(n_chars AS VARCHAR), 19, '0') ||
+        |                 lpad(CAST(doc_id AS VARCHAR), 19, '0'))
+        |           AS keep_longest
+        |  FROM documents GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(count(CASE WHEN sz > 1 THEN 1 END) AS BIGINT)
+        |         AS n_dup_groups,
+        |       CAST(count(CASE WHEN keep_first <> keep_longest THEN 1 END)
+        |            AS BIGINT) AS n_disagree
+        |FROM g""".stripMargin,
+
+    "dup_cluster_sizes" -> s"""WITH cl AS ($dedupClustersOracle),
+      |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+      |       FROM cl GROUP BY 1)
+      |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+      |FROM cs GROUP BY 1""".stripMargin,
 
     "seasonal_forecast_mae" ->
       """WITH daily AS (
