@@ -2163,6 +2163,50 @@ object SparkEntry {
              'signup', signup, 'view', view) AS (event_type, n)"""))
         .filter(col("n").isNotNull)),
 
+    // ---- ANOVA effect size (η²): how much of order-value variance the
+    // priority dimension explains — SS_between/SS_total as ONE exact
+    // rational from per-group integer sums (cross-multiplied, no means
+    // materialized): η²·e6 = (n·Σ⌊s_g²/n_g⌋ − S²)·1e6 div (n·Σx² − S²).
+    // ⌊s_g²/n_g⌋ is computed by the exact decomposition
+    // q·s_g + ⌊r·s_g/n_g⌋ (q, r = divmod(s_g, n_g)) so the big product
+    // stays in decimal — a bare `s_g² div n_g` would squeeze ~10¹⁹
+    // through the int64 IntegralDivide result and overflow silently.
+    // One grouped agg + one 1-row fold ----
+    "priority_effect_eta2" -> ((s, dir) => {
+      val cents = Tables.orders(s, dir).select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      val g = cents.groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("ng"),
+          sum(col("c")).cast("decimal(38,0)").as("sg"),
+          // cents² fits int64 per row but not summed — go decimal first
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("sg2"))
+      g.agg(
+          sum(col("ng")).as("n"), sum(col("sg")).as("st"),
+          sum(col("sg2")).as("sxx"),
+          sum(expr("(sg div ng) * sg + ((sg % ng) * sg div ng)"))
+            .cast("decimal(38,0)").as("ssb_raw"))
+        .selectExpr("CAST(n AS BIGINT) AS n_orders",
+          """CAST((n * ssb_raw - st * st) * 1000000
+             div nullif(n * sxx - st * st, 0) AS BIGINT) AS eta2_e6""")
+    }),
+
+    // ---- weekday uniformity χ²: is traffic flat across the week? χ² for
+    // the 7-cell uniform null collapses to (7·Σo² − T²)/T — exact
+    // integers end-to-end, no expected-count divisions ----
+    "weekday_chi2" -> ((s, dir) => {
+      val dow = Tables.events(s, dir)
+        .groupBy(dayofweek(to_date(col("ts"))).cast("long").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      dow.agg(sum(col("o")).as("t"),
+          sum((col("o") * col("o")).cast("decimal(38,0)")).as("so2"),
+          count(lit(1)).as("n_cells"))
+        .selectExpr("CAST(t AS BIGINT) AS n_events",
+          "CAST(n_cells AS BIGINT) AS n_cells",
+          """CAST((7 * so2 - CAST(t AS DECIMAL(38,0)) * t) * 1000000
+             div nullif(CAST(t AS DECIMAL(38,0)), 0) AS BIGINT)
+             AS chi2_e6""")
+    }),
+
     // ---- survivorship-policy audit for exact dedup: keep-FIRST (min id,
     // the reproducibility default) vs keep-LONGEST (max n_chars — the
     // CCNet-style quality-aware policy) per duplicate-text group; how
@@ -6951,6 +6995,34 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS date, event_type,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "priority_effect_eta2" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |         CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+        |           AS c
+        |  FROM orders),
+        |g AS (SELECT o_orderpriority, CAST(count(*) AS HUGEINT) AS ng,
+        |             sum(c) AS sg, sum(c * c) AS sg2
+        |      FROM c GROUP BY 1),
+        |f AS (SELECT sum(ng) AS n, sum(sg) AS st, sum(sg2) AS sxx,
+        |             sum(sg * sg // ng) AS ssb
+        |      FROM g)
+        |SELECT CAST(n AS BIGINT) AS n_orders,
+        |       CAST((n * ssb - st * st) * 1000000
+        |            // nullif(n * sxx - st * st, 0) AS BIGINT) AS eta2_e6
+        |FROM f""".stripMargin,
+
+    "weekday_chi2" ->
+      """WITH dow AS (
+        |  SELECT dayofweek(CAST(ts AS DATE)) AS dow,
+        |         CAST(count(*) AS HUGEINT) AS o
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(sum(o) AS BIGINT) AS n_events,
+        |       CAST(count(*) AS BIGINT) AS n_cells,
+        |       CAST((7 * sum(o * o) - sum(o) * sum(o)) * 1000000
+        |            // nullif(sum(o), 0) AS BIGINT) AS chi2_e6
+        |FROM dow""".stripMargin,
 
     "dedup_policy_diff" ->
       """WITH g AS (
