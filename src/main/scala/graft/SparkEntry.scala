@@ -2163,6 +2163,36 @@ object SparkEntry {
              'signup', signup, 'view', view) AS (event_type, n)"""))
         .filter(col("n").isNotNull)),
 
+    // ---- silhouette-lite cluster audit: per label, the mean of
+    // (b − a)/max(a, b) with a = squared distance to the OWN-label
+    // centroid and b = the nearest OTHER centroid — the separation
+    // number that says whether the labels are clusters at all. The
+    // |labels|·dim centroid relation broadcasts; the per-position join
+    // is linear in vectors×labels with map-side partial aggregation,
+    // no vector-vector pairs anywhere ----
+    "cluster_silhouette" -> ((s, dir) => {
+      val flat = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          col("x").cast("double").as("x"))
+      val cent = flat.groupBy(col("label").as("c_label"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+      val d2 = flat.join(broadcast(cent), Seq("pos"))
+        .groupBy("vec_id", "label", "c_label")
+        .agg(sum((col("x") - col("m")) * (col("x") - col("m"))).as("d2"))
+      val ab = d2.groupBy("vec_id", "label")
+        .agg(
+          min(when(col("c_label") === col("label"), col("d2"))).as("a"),
+          min(when(col("c_label") =!= col("label"), col("d2"))).as("b"))
+      ab.withColumn("sil",
+          when(greatest(col("a"), col("b")) === 0, lit(0.0))
+            .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vectors"),
+          round(avg(col("sil")), 4).as("mean_silhouette"))
+    }),
+
     // ---- ANOVA effect size (η²): how much of order-value variance the
     // priority dimension explains — SS_between/SS_total as ONE exact
     // rational from per-group integer sums (cross-multiplied, no means
@@ -6995,6 +7025,33 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS date, event_type,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "cluster_silhouette" ->
+      """WITH flat AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS c_label, pos, avg(x) AS m
+        |  FROM flat GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT f.vec_id, f.label, c.c_label,
+        |         sum((f.x - c.m) * (f.x - c.m)) AS d2
+        |  FROM flat f JOIN cent c USING (pos)
+        |  GROUP BY 1, 2, 3),
+        |ab AS (
+        |  SELECT vec_id, label,
+        |         min(CASE WHEN c_label = label THEN d2 END) AS a,
+        |         min(CASE WHEN c_label <> label THEN d2 END) AS b
+        |  FROM d2 GROUP BY 1, 2),
+        |sil AS (
+        |  SELECT label,
+        |         CASE WHEN greatest(a, b) = 0 THEN 0
+        |              ELSE (b - a) / greatest(a, b) END AS sil
+        |  FROM ab)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        |       round(avg(sil), 4) AS mean_silhouette
+        |FROM sil GROUP BY 1""".stripMargin,
 
     "priority_effect_eta2" ->
       """WITH c AS (
