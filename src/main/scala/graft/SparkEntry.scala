@@ -2163,6 +2163,26 @@ object SparkEntry {
              'signup', signup, 'view', view) AS (event_type, n)"""))
         .filter(col("n").isNotNull)),
 
+    // ---- 1-NN label agreement: does the embedding space respect the
+    // labels? For the hash-sampled panel, the exact nearest neighbor's
+    // label vs the query's own — the classifier-free embedding-quality
+    // number (a kNN probe with k=1). Reuses the linear panel×corpus
+    // exact leg; the 64-row answer joins the label column twice ----
+    "knn_label_accuracy" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val labels = emb.select(col("vec_id"), col("label"))
+      Similarity.panelExactTopK(emb, "vec_id", "embedding", RecallPanel, k = 1)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("label").as("q_label")), Seq("query_id"))
+        .join(labels.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), Seq("neighbor_id"))
+        .agg(count(lit(1)).as("n_panel"),
+          count(when(col("q_label") === col("n_label"), 1)).as("n_agree"))
+        .withColumn("accuracy_e6",
+          expr("n_agree * 1000000 div nullif(n_panel, 0)"))
+    }),
+
     // ---- silhouette-lite cluster audit: per label, the mean of
     // (b − a)/max(a, b) with a = squared distance to the OWN-label
     // centroid and b = the nearest OTHER centroid — the separation
@@ -7025,6 +7045,39 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS date, event_type,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "knn_label_accuracy" ->
+      s"""WITH pflat AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |pnorms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+        |           FROM pflat GROUP BY vec_id),
+        |panel AS (SELECT vec_id FROM embeddings
+        |          ORDER BY ${dh("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC
+        |          LIMIT $RecallPanel),
+        |edots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         sum(a.x * b.x) AS dp
+        |  FROM pflat a JOIN pflat b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id IN (SELECT vec_id FROM panel)
+        |  GROUP BY a.vec_id, b.vec_id),
+        |escored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(dp / (na.nrm * nb.nrm), 6) AS cosine_sim
+        |  FROM edots JOIN pnorms na ON query_id = na.vec_id
+        |             JOIN pnorms nb ON neighbor_id = nb.vec_id),
+        |er AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |              ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+        |       FROM escored),
+        |nn AS (SELECT query_id, neighbor_id FROM er WHERE rn = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_panel,
+        |       CAST(count(CASE WHEN ql.label = nl.label THEN 1 END) AS BIGINT)
+        |         AS n_agree,
+        |       CAST(count(CASE WHEN ql.label = nl.label THEN 1 END) * 1000000
+        |            // nullif(count(*), 0) AS BIGINT) AS accuracy_e6
+        |FROM nn JOIN embeddings ql ON nn.query_id = ql.vec_id
+        |        JOIN embeddings nl ON nn.neighbor_id = nl.vec_id""".stripMargin,
 
     "cluster_silhouette" ->
       """WITH flat AS (
