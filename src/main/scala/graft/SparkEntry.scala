@@ -2163,6 +2163,55 @@ object SparkEntry {
              'signup', signup, 'view', view) AS (event_type, n)"""))
         .filter(col("n").isNotNull)),
 
+    // ---- order-to-ship latency quantiles per month: day-difference
+    // quartiles ×4 (dyadic — interpolated quarter-points stay integral,
+    // the order_gaps discipline) — the ops-latency report ----
+    "ship_latency_quantiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("order_m"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("long").as("lat"))
+        .groupBy("order_m")
+        .agg(count(lit(1)).as("n_lines"),
+          (percentile(col("lat"), lit(0.25)) * 4).cast("long").as("p25_x4"),
+          (percentile(col("lat"), lit(0.5)) * 4).cast("long").as("p50_x4"),
+          (percentile(col("lat"), lit(0.75)) * 4).cast("long").as("p75_x4"))),
+
+    // ---- engagement migration matrix: each user's activity quartile in
+    // the first half of the window vs the second — the
+    // upgrade/downgrade/churn flow report. Quartile thresholds are 1-row
+    // broadcasts per half (the RFM rule: no global ntile window);
+    // zero-event halves land in quartile 0 ----
+    "engagement_migration" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val halves = ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("c2"))
+      val th = halves.agg(
+        percentile(col("c1"), lit(0.25)).as("a1"),
+        percentile(col("c1"), lit(0.5)).as("a2"),
+        percentile(col("c1"), lit(0.75)).as("a3"),
+        percentile(col("c2"), lit(0.25)).as("b1"),
+        percentile(col("c2"), lit(0.5)).as("b2"),
+        percentile(col("c2"), lit(0.75)).as("b3"))
+      val gt = (v: String, q: String) => when(col(v) > col(q), 1L).otherwise(0L)
+      halves.crossJoin(broadcast(th))
+        .select(
+          (lit(1L) + gt("c1", "a1") + gt("c1", "a2") + gt("c1", "a3"))
+            .as("q_before"),
+          (lit(1L) + gt("c2", "b1") + gt("c2", "b2") + gt("c2", "b3"))
+            .as("q_after"))
+        .groupBy("q_before", "q_after")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // ---- 1-NN label agreement: does the embedding space respect the
     // labels? For the hash-sampled panel, the exact nearest neighbor's
     // label vs the query's own — the classifier-free embedding-quality
@@ -7045,6 +7094,48 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS date, event_type,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ship_latency_quantiles" ->
+      """WITH l AS (
+        |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        |           AS order_m,
+        |         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |              CAST(l_shipdate AS DATE)) AS BIGINT) AS lat
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT order_m, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(quantile_cont(lat, 0.25) * 4 AS BIGINT) AS p25_x4,
+        |       CAST(quantile_cont(lat, 0.5) * 4 AS BIGINT) AS p50_x4,
+        |       CAST(quantile_cont(lat, 0.75) * 4 AS BIGINT) AS p75_x4
+        |FROM l GROUP BY 1""".stripMargin,
+
+    "engagement_migration" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us
+        |  FROM events WHERE user_id IS NOT NULL),
+        |bd AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |h AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN us < (SELECT mid FROM bd) THEN 1 ELSE 0 END)
+        |           AS c1,
+        |         sum(CASE WHEN us >= (SELECT mid FROM bd) THEN 1 ELSE 0 END)
+        |           AS c2
+        |  FROM ev GROUP BY 1),
+        |t AS (
+        |  SELECT quantile_cont(c1, 0.25) AS a1, quantile_cont(c1, 0.5) AS a2,
+        |         quantile_cont(c1, 0.75) AS a3,
+        |         quantile_cont(c2, 0.25) AS b1, quantile_cont(c2, 0.5) AS b2,
+        |         quantile_cont(c2, 0.75) AS b3
+        |  FROM h)
+        |SELECT CAST(1 + (CASE WHEN c1 > a1 THEN 1 ELSE 0 END)
+        |              + (CASE WHEN c1 > a2 THEN 1 ELSE 0 END)
+        |              + (CASE WHEN c1 > a3 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS q_before,
+        |       CAST(1 + (CASE WHEN c2 > b1 THEN 1 ELSE 0 END)
+        |              + (CASE WHEN c2 > b2 THEN 1 ELSE 0 END)
+        |              + (CASE WHEN c2 > b3 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS q_after,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM h, t GROUP BY 1, 2""".stripMargin,
 
     "knn_label_accuracy" ->
       s"""WITH pflat AS (
