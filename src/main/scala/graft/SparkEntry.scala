@@ -2163,6 +2163,27 @@ object SparkEntry {
              'signup', signup, 'view', view) AS (event_type, n)"""))
         .filter(col("n").isNotNull)),
 
+    // ---- curation-filter Venn: how the three independent drop reasons
+    // (low quality, repetition, exact dup) OVERLAP — the diagnostic that
+    // says whether a filter is redundant (its cell counts are all shared)
+    // or load-bearing (it uniquely kills documents). One scoring pass +
+    // one dup-group window + one 8-cell aggregate; contrast
+    // curation_funnel, which reports the SEQUENTIAL survivor counts ----
+    "filter_overlap_venn" -> ((s, dir) => {
+      val w = Window.partitionBy(md5(col("text")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__ws"))
+        .select(col("doc_id"),
+          (floor(Text.qualityScoreRaw(col("text")) * 1e6 + 0.5).cast("long")
+            < lit(800000L)).cast("long").as("f_lowq"),
+          (floor(Text.repetitionFromTokens(col("__ws"), 3) * 1e6 + 0.5)
+            .cast("long") > lit(10000L)).cast("long").as("f_rep"),
+          (col("doc_id") =!= min(col("doc_id")).over(w)).cast("long")
+            .as("f_dup"))
+        .groupBy("f_lowq", "f_rep", "f_dup")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // ---- order-to-ship latency quantiles per month: day-difference
     // quartiles ×4 (dyadic — interpolated quarter-points stay integral,
     // the order_gaps discipline) — the ops-latency report ----
@@ -3985,6 +4006,48 @@ object SparkEntry {
     * brand co-purchase graph: the same unrolled-iteration shape as
     * [[pageRankE6Oracle]], with teleport AND dangling mass restarting at
     * the seed (nS = 1) instead of spread uniformly. */
+  /** Mirror of `Text.qualityScoreRaw` — shared by `doc_quality` and the
+    * `filter_overlap_venn` flag composition. */
+  private def docQualityOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS ws,
+      |         CAST(length(text) AS DOUBLE) AS nchars
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, nchars, ws,
+      |         CAST(len(ws) AS DOUBLE) AS ntok,
+      |         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN nchars = 0 THEN 0 ELSE floor((
+      |    least(ntok / 100.0, 1.0) * 0.3
+      |    + (alpha / nchars) * 0.3
+      |    + (CASE WHEN (nchars - (ntok - 1)) / ntok BETWEEN 2.0 AND 12.0
+      |            THEN 1.0 ELSE 0.3 END) * 0.2
+      |    + (CASE WHEN len(list_intersect(ws,
+      |         ['the','a','an','and','of','to','in','is','it','that'])) > 0
+      |            THEN 1.0 ELSE 0.5 END)* 0.2) * 1000000.0 + 0.5) END AS BIGINT) AS quality_e6
+      |FROM s""".stripMargin
+
+  /** Mirror of `Text.repetitionFromTokens` (2- and 3-gram) — shared by
+    * `doc_repetition` and `filter_overlap_venn`. */
+  private def docRepetitionOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g2 AS (SELECT doc_id, count(DISTINCT array_to_string(ws[i:i+1], ' ')) AS d,
+      |              any_value(len(ws)) - 1 AS tot
+      |       FROM t, UNNEST(range(1, len(ws))) AS r(i) WHERE len(ws) >= 2
+      |       GROUP BY doc_id),
+      |g3 AS (SELECT doc_id, count(DISTINCT array_to_string(ws[i:i+2], ' ')) AS d,
+      |              any_value(len(ws)) - 2 AS tot
+      |       FROM t, UNNEST(range(1, len(ws) - 1)) AS r(i) WHERE len(ws) >= 3
+      |       GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(floor(COALESCE((g2.tot - g2.d) * 1.0 / g2.tot, 0.0)
+      |             * 1000000.0 + 0.5) AS BIGINT) AS rep2_e6,
+      |  CAST(floor(COALESCE((g3.tot - g3.d) * 1.0 / g3.tot, 0.0)
+      |             * 1000000.0 + 0.5) AS BIGINT) AS rep3_e6
+      |FROM t LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)""".stripMargin
+
   /** Connected components over the 3-gram Jaccard dup graph — shared by
     * `dedup_clusters` (raw assignments) and `dup_cluster_sizes`
     * (size histogram wrapping it as a derived table). */
@@ -5898,22 +5961,7 @@ object SparkEntry {
         |WHERE rn <= 5""".stripMargin,
 
     // exact integer counts + one IEEE division — bit-identical cross-engine
-    "doc_repetition" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |g2 AS (SELECT doc_id, count(DISTINCT array_to_string(ws[i:i+1], ' ')) AS d,
-        |              any_value(len(ws)) - 1 AS tot
-        |       FROM t, UNNEST(range(1, len(ws))) AS r(i) WHERE len(ws) >= 2
-        |       GROUP BY doc_id),
-        |g3 AS (SELECT doc_id, count(DISTINCT array_to_string(ws[i:i+2], ' ')) AS d,
-        |              any_value(len(ws)) - 2 AS tot
-        |       FROM t, UNNEST(range(1, len(ws) - 1)) AS r(i) WHERE len(ws) >= 3
-        |       GROUP BY doc_id)
-        |SELECT t.doc_id,
-        |  CAST(floor(COALESCE((g2.tot - g2.d) * 1.0 / g2.tot, 0.0)
-        |             * 1000000.0 + 0.5) AS BIGINT) AS rep2_e6,
-        |  CAST(floor(COALESCE((g3.tot - g3.d) * 1.0 / g3.tot, 0.0)
-        |             * 1000000.0 + 0.5) AS BIGINT) AS rep3_e6
-        |FROM t LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)""".stripMargin,
+    "doc_repetition" -> docRepetitionOracle,
 
     "decontam_report" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -6522,26 +6570,7 @@ object SparkEntry {
         |WHERE rn = 1
         |  AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10000 < 5000""".stripMargin,
 
-    "doc_quality" ->
-      """WITH t AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS ws,
-        |         CAST(length(text) AS DOUBLE) AS nchars
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, nchars, ws,
-        |         CAST(len(ws) AS DOUBLE) AS ntok,
-        |         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
-        |  FROM t)
-        |SELECT doc_id,
-        |  CAST(CASE WHEN nchars = 0 THEN 0 ELSE floor((
-        |    least(ntok / 100.0, 1.0) * 0.3
-        |    + (alpha / nchars) * 0.3
-        |    + (CASE WHEN (nchars - (ntok - 1)) / ntok BETWEEN 2.0 AND 12.0
-        |            THEN 1.0 ELSE 0.3 END) * 0.2
-        |    + (CASE WHEN len(list_intersect(ws,
-        |         ['the','a','an','and','of','to','in','is','it','that'])) > 0
-        |            THEN 1.0 ELSE 0.5 END)* 0.2) * 1000000.0 + 0.5) END AS BIGINT) AS quality_e6
-        |FROM s""".stripMargin,
+    "doc_quality" -> docQualityOracle,
 
     "doc_lang" ->
       """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
@@ -7094,6 +7123,23 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS date, event_type,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "filter_overlap_venn" ->
+      s"""WITH q AS ($docQualityOracle),
+        |r AS ($docRepetitionOracle),
+        |dd AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
+        |              THEN 1 ELSE 0 END AS f_dup
+        |  FROM documents)
+        |SELECT CAST(CASE WHEN q.quality_e6 < 800000 THEN 1 ELSE 0 END
+        |            AS BIGINT) AS f_lowq,
+        |       CAST(CASE WHEN r.rep3_e6 > 10000 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS f_rep,
+        |       CAST(dd.f_dup AS BIGINT) AS f_dup,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM q JOIN r USING (doc_id) JOIN dd USING (doc_id)
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "ship_latency_quantiles" ->
       """WITH l AS (
