@@ -2163,6 +2163,49 @@ object SparkEntry {
              'signup', signup, 'view', view) AS (event_type, n)"""))
         .filter(col("n").isNotNull)),
 
+    // ---- nation revenue share by year: each nation's slice of yearly
+    // revenue in e6 — the share-of-market trend. Shares window over the
+    // bounded (year, nation) aggregate, never the fact table ----
+    "nation_share_trend" -> ((s, dir) => {
+      val byYear = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          col("n_name"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      byYear
+        .withColumn("share_e6", expr(
+          "cents * 1000000 div sum(cents) OVER (PARTITION BY yr)"))
+        .select(col("yr"), col("n_name"), col("cents"), col("share_e6"))
+    }),
+
+    // ---- repeat-purchase metrics: share of customers who come back,
+    // and the median days to the second order (×4 dyadic-exact). One
+    // customer shuffle; the second-order date is the 2nd smallest via
+    // a bounded per-group rank ----
+    "repeat_purchase" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("d").asc, col("o_orderkey").asc)
+      val ranked = Tables.orders(s, dir)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+          col("o_orderkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+      val cust = ranked.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          min(when(col("rn") === 1, col("d"))).as("d1"),
+          min(when(col("rn") === 2, col("d"))).as("d2"))
+      cust.agg(
+        count(lit(1)).as("n_customers"),
+        count(when(col("n") >= 2, 1)).as("n_repeat"),
+        expr("count(CASE WHEN n >= 2 THEN 1 END) * 1000000 " +
+          "div nullif(count(1), 0)").as("repeat_rate_e6"),
+        (percentile(datediff(col("d2"), col("d1")), lit(0.5)) * 4)
+          .cast("long").as("median_days_to_second_x4"))
+    }),
+
     // ---- curation-filter Venn: how the three independent drop reasons
     // (low quality, repetition, exact dup) OVERLAP — the diagnostic that
     // says whether a filter is redundant (its cell counts are all shared)
@@ -7123,6 +7166,38 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS date, event_type,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "nation_share_trend" ->
+      """WITH b AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, n_name,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT yr, n_name, cents,
+        |       CAST(cents * 1000000 // sum(cents) OVER (PARTITION BY yr)
+        |            AS BIGINT) AS share_e6
+        |FROM b""".stripMargin,
+
+    "repeat_purchase" ->
+      """WITH r AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders),
+        |cu AS (
+        |  SELECT o_custkey, count(*) AS n,
+        |         min(CASE WHEN rn = 1 THEN d END) AS d1,
+        |         min(CASE WHEN rn = 2 THEN d END) AS d2
+        |  FROM r WHERE rn <= 2 GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(count(CASE WHEN n >= 2 THEN 1 END) AS BIGINT) AS n_repeat,
+        |       CAST(count(CASE WHEN n >= 2 THEN 1 END) * 1000000
+        |            // nullif(count(*), 0) AS BIGINT) AS repeat_rate_e6,
+        |       CAST(quantile_cont(date_diff('day', d1, d2), 0.5) * 4 AS BIGINT)
+        |         AS median_days_to_second_x4
+        |FROM cu""".stripMargin,
 
     "filter_overlap_venn" ->
       s"""WITH q AS ($docQualityOracle),
