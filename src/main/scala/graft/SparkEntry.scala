@@ -2177,7 +2177,10 @@ object SparkEntry {
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
       byYear
         .withColumn("share_e6", expr(
-          "cents * 1000000 div sum(cents) OVER (PARTITION BY yr)"))
+          // decimal staging: cents·1e6 tops int64 around yearly revenue
+          // ~9·10¹² dollars — not worth a cliff when decimal is free
+          """CAST(cents AS DECIMAL(38,0)) * 1000000
+             div sum(CAST(cents AS DECIMAL(38,0))) OVER (PARTITION BY yr)"""))
         .select(col("yr"), col("n_name"), col("cents"), col("share_e6"))
     }),
 
@@ -7176,7 +7179,8 @@ object SparkEntry {
         |              JOIN nation ON c_nationkey = n_nationkey
         |  GROUP BY 1, 2)
         |SELECT yr, n_name, cents,
-        |       CAST(cents * 1000000 // sum(cents) OVER (PARTITION BY yr)
+        |       CAST(CAST(cents AS HUGEINT) * 1000000
+        |            // sum(CAST(cents AS HUGEINT)) OVER (PARTITION BY yr)
         |            AS BIGINT) AS share_e6
         |FROM b""".stripMargin,
 
