@@ -2252,7 +2252,9 @@ object SparkEntry {
     // the first half of the window vs the second — the
     // upgrade/downgrade/churn flow report. Quartile thresholds are 1-row
     // broadcasts per half (the RFM rule: no global ntile window);
-    // zero-event halves land in quartile 0 ----
+    // zero-event halves land in quartile 1 (the bottom quartile — the
+    // 1 + Σ(count > threshold) formula starts at 1, and the >= 0
+    // thresholds are never exceeded by a zero count) ----
     "engagement_migration" -> ((s, dir) => {
       val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
         .select(col("user_id"), unix_micros(col("ts")).as("us"))
@@ -2476,7 +2478,9 @@ object SparkEntry {
     // splits over the touches since the user's previous purchase —
     // 40/40 to first and last, 20 split over middles, all in exact e6
     // integers with the floor remainder assigned to the FIRST touch so
-    // every conversion's credit sums to exactly 1e6 (the
+    // credit sums to exactly 1e6 per conversion that has at least one
+    // preceding touch — a purchase with zero touches since the previous
+    // purchase has no rows in its segment and receives no credit (the
     // last-touch row's running-state sibling; segments come from one
     // running purchase count, no self-joins) ----
     "attribution_position" -> ((s, dir) => {
@@ -3027,10 +3031,10 @@ object SparkEntry {
         .selectExpr(
           "CAST(n AS BIGINT) AS n_users",
           """CAST((CASE WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 1 END) *
-             (abs(n*sxy - sx*sy) * 1000000 div (n*sxx - sx*sx)) AS BIGINT)
-             AS theta_e6""",
-          """CAST((abs(n*sxy - sx*sy) * 1000 div (n*sxx - sx*sx)) *
-             (abs(n*sxy - sx*sy) * 1000 div (n*syy - sy*sy)) AS BIGINT)
+             (abs(n*sxy - sx*sy) * 1000000 div nullif(n*sxx - sx*sx, 0))
+             AS BIGINT) AS theta_e6""",
+          """CAST((abs(n*sxy - sx*sy) * 1000 div nullif(n*sxx - sx*sx, 0)) *
+             (abs(n*sxy - sx*sy) * 1000 div nullif(n*syy - sy*sy, 0)) AS BIGINT)
              AS var_reduction_e6""")
     }),
 
@@ -3389,8 +3393,13 @@ object SparkEntry {
     // score stays an exact rational in decimal(38,0) and the oracle
     // hash-matches). Panel = 8 hash-sampled users broadcast (the
     // recall-panel rule): the candidate join is panel-linear, never
-    // users². Candidates = users sharing ≥1 active hour with the query
-    // (absent pairs have Σxy = 0 ⇒ negative corr — never top-k here) ----
+    // users². Candidates = users sharing ≥1 active hour with the query —
+    // a restriction the oracle applies identically, so results
+    // hash-match; note it makes the top-k approximate in one regime:
+    // when a panel user has fewer than k candidates with non-negative
+    // correlation, an excluded never-co-active pair's signed corr² can
+    // exceed an included one's (variance scaling differs per candidate)
+    // and the list truncates rather than backfills ----
     "ts_similarity_topk" -> ((s, dir) => {
       val series = Tables.events(s, dir)
         .filter(col("user_id").isNotNull)
@@ -6935,10 +6944,10 @@ object SparkEntry {
         |  FROM pu)
         |SELECT CAST(n AS BIGINT) AS n_users,
         |  CAST((CASE WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 1 END) *
-        |       (abs(n*sxy - sx*sy) * 1000000 // (n*sxx - sx*sx)) AS BIGINT)
-        |    AS theta_e6,
-        |  CAST((abs(n*sxy - sx*sy) * 1000 // (n*sxx - sx*sx)) *
-        |       (abs(n*sxy - sx*sy) * 1000 // (n*syy - sy*sy)) AS BIGINT)
+        |       (abs(n*sxy - sx*sy) * 1000000 // nullif(n*sxx - sx*sx, 0))
+        |    AS BIGINT) AS theta_e6,
+        |  CAST((abs(n*sxy - sx*sy) * 1000 // nullif(n*sxx - sx*sx, 0)) *
+        |       (abs(n*sxy - sx*sy) * 1000 // nullif(n*syy - sy*sy, 0)) AS BIGINT)
         |    AS var_reduction_e6
         |FROM st""".stripMargin,
 

@@ -31,13 +31,19 @@ package graft.multimodal
   */
 object ImageCodec {
 
-  // ImageIO defaults to FILE-backed stream caching: every encode/decode
-  // of an in-memory byte array would create (and fsync-churn) a temp file
-  // on executor-local disk. All payloads here are already byte arrays, so
-  // memory caching is strictly better — measured ~2× on the PNG
-  // round-trip queries. JVM-global, idempotent, safe to set from every
-  // executor classload.
-  javax.imageio.ImageIO.setUseCache(false)
+  // ImageIO's convenience entry points default to FILE-backed stream
+  // caching: every encode/decode of an in-memory byte array would create
+  // (and fsync-churn) a temp file on executor-local disk — measured ~2×
+  // on the PNG round-trip queries. Rather than flipping the JVM-GLOBAL
+  // `ImageIO.setUseCache(false)` (which would change stream-caching
+  // behavior for every other ImageIO user sharing the executor JVM),
+  // every call site below builds an explicit in-memory stream, so the
+  // codec is fast without mutating global state.
+  private def memOut(out: java.io.OutputStream) =
+    new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+  private def memIn(b: Array[Byte]) =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(b))
 
   /** Decoded raster: `pixels.length == width * height * channels`. */
   final case class DecodedImage(
@@ -174,7 +180,8 @@ object ImageCodec {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    val ios = memOut(out)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
     out.toByteArray
   }
 
@@ -201,7 +208,8 @@ object ImageCodec {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    val ios = memOut(out)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
     out.toByteArray
   }
 
@@ -253,8 +261,7 @@ object ImageCodec {
     * stream, bad Huffman tables, unsupported subformat — returns None. */
   private def decodeImageIO(b: Array[Byte]): Option[DecodedImage] =
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(b))
+      val iis = memIn(b)
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) return None
