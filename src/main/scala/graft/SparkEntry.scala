@@ -2212,22 +2212,35 @@ object SparkEntry {
     // ---- curation-filter Venn: how the three independent drop reasons
     // (low quality, repetition, exact dup) OVERLAP — the diagnostic that
     // says whether a filter is redundant (its cell counts are all shared)
-    // or load-bearing (it uniquely kills documents). One scoring pass +
-    // one dup-group window + one 8-cell aggregate; contrast
+    // or load-bearing (it uniquely kills documents). Identical texts have
+    // identical quality/repetition flags, so the dup dimension needs no
+    // per-row keeper assignment at all: ONE map-side-combinable
+    // groupBy(md5, flags) collapses every duplicate family to a counted
+    // row (a hot boilerplate group costs each map task one combine cell,
+    // never a single-task window — the Dedup.exactGroups shape), and each
+    // family then contributes 1 keeper + (n−1) dup rows to the 8-cell
+    // aggregate arithmetically via a 2-element explode. Contrast
     // curation_funnel, which reports the SEQUENTIAL survivor counts ----
     "filter_overlap_venn" -> ((s, dir) => {
-      val w = Window.partitionBy(md5(col("text")))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"), Text.tokens(col("text")).as("__ws"))
-        .select(col("doc_id"),
+      val fams = Tables.documents(s, dir)
+        .select(col("text"), Text.tokens(col("text")).as("__ws"))
+        .select(md5(col("text")).as("k"),
           (floor(Text.qualityScoreRaw(col("text")) * 1e6 + 0.5).cast("long")
             < lit(800000L)).cast("long").as("f_lowq"),
           (floor(Text.repetitionFromTokens(col("__ws"), 3) * 1e6 + 0.5)
-            .cast("long") > lit(10000L)).cast("long").as("f_rep"),
-          (col("doc_id") =!= min(col("doc_id")).over(w)).cast("long")
-            .as("f_dup"))
+            .cast("long") > lit(10000L)).cast("long").as("f_rep"))
+        .groupBy("k", "f_lowq", "f_rep")
+        .agg(count(lit(1)).as("n"))
+      fams
+        .select(col("f_lowq"), col("f_rep"),
+          explode(array(
+            struct(lit(0L).as("f_dup"), lit(1L).as("c")),
+            struct(lit(1L).as("f_dup"), (col("n") - 1).as("c")))).as("cell"))
+        .select(col("f_lowq"), col("f_rep"),
+          col("cell.f_dup").as("f_dup"), col("cell.c").as("c"))
+        .filter(col("c") > 0)
         .groupBy("f_lowq", "f_rep", "f_dup")
-        .agg(count(lit(1)).as("n_docs"))
+        .agg(sum(col("c")).cast("long").as("n_docs"))
     }),
 
     // ---- order-to-ship latency quantiles per month: day-difference
