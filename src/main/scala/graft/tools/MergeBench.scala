@@ -116,6 +116,61 @@ object MergeBench {
       f"local-vs-flat ratio=${cBytes.toDouble / math.max(1, aBytes)}%.1fx, " +
       f"MoR-vs-CoW-uniform ratio=${bBytes.toDouble / math.max(1, dBytes)}%.1fx")
 
+    // ---- zonemap (_ZONES) data skipping: bytes BOUND by point reads and
+    // bytes STAGED by value-disjoint merges, with the committed zonemap
+    // vs with it deleted (= the pre-zonemap reader/writer) ----
+    val eDir = s"$root/e"
+    freshTable(eDir, bucketed = true)
+    def dropZones(dir: String): Unit =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("v"))
+        .foreach(v => new java.io.File(v, "_ZONES").delete())
+    def boundBytes(df: org.apache.spark.sql.DataFrame): Long =
+      df.inputFiles.map(u => new java.io.File(new java.net.URI(u)).length()).sum
+    val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    // clustered ABSENT probe — keys beyond every file's range (the
+    // existence-check / not-yet-arrived-key serving shape)
+    val absentKeys = spark.range(maxKey + 1000, maxKey + 1010)
+      .select(col("id").as("o_orderkey"))
+    // clustered PRESENT probe — the 10 smallest keys, as a LITERAL
+    // relation (a probe derived from the orders scan would add
+    // orders.parquet itself to the result's inputFiles)
+    val presentKeys = {
+      import spark.implicits._
+      orders.select("o_orderkey").orderBy("o_orderkey").limit(10)
+        .collect().map(_.getLong(0)).toSeq.toDF("o_orderkey")
+    }
+    val zAbsent = boundBytes(VersionedSnapshot.readForKeys(spark, eDir, absentKeys).get)
+    val zPresent = boundBytes(VersionedSnapshot.readForKeys(spark, eDir, presentKeys).get)
+    // value-disjoint update-only merge: every key far outside the table's
+    // range — zonemap inherits every bucket, writes only metadata
+    val disjoint = orders.limit(2000)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+    val zBefore = files(eDir)
+    timed("bucketed(256): disjoint update merge (zonemap)") {
+      VersionedSnapshot.mergeInto(eDir, disjoint, Seq("o_orderkey"),
+        VersionedSnapshot.UpdateMatched, insertUnmatched = false,
+        marker = "noop", retain = 1, numBuckets = nb)
+    }
+    val zMergeBytes = files(eDir).collect { case (p, len) if !zBefore.contains(p) => len }.sum
+    // same three measurements with the zonemap deleted (pre-zonemap state)
+    dropZones(eDir)
+    val pAbsent = boundBytes(VersionedSnapshot.readForKeys(spark, eDir, absentKeys).get)
+    val pPresent = boundBytes(VersionedSnapshot.readForKeys(spark, eDir, presentKeys).get)
+    val pBefore = files(eDir)
+    timed("bucketed(256): disjoint update merge (no zonemap)") {
+      VersionedSnapshot.mergeInto(eDir, disjoint, Seq("o_orderkey"),
+        VersionedSnapshot.UpdateMatched, insertUnmatched = false,
+        marker = "noop2", retain = 1, numBuckets = nb)
+    }
+    val pMergeBytes = files(eDir).collect { case (p, len) if !pBefore.contains(p) => len }.sum
+    println(f"zonemap point-read bytes bound: absent-keys ${zAbsent / 1024}%d KiB " +
+      f"(vs ${pAbsent / 1024}%d KiB without), present-keys ${zPresent / 1024}%d KiB " +
+      f"(vs ${pPresent / 1024}%d KiB without)")
+    println(f"zonemap disjoint-merge bytes staged: ${zMergeBytes / 1024}%d KiB " +
+      f"(vs ${pMergeBytes / 1024}%d KiB without; " +
+      f"ratio=${pMergeBytes.toDouble / math.max(1, zMergeBytes)}%.1fx)")
+
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     spark.stop()
   }

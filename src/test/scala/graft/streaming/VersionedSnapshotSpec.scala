@@ -645,4 +645,103 @@ class VersionedSnapshotSpec extends SparkSpec {
       .map(_.getName).filter(_.startsWith("v")).toSeq
     assert(versions.size == 1, s"retain=1 should keep one version, saw $versions")
   }
+
+  test("zonemap: point reads bind only files whose key range can match; absent keys read zero files") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-zone1").resolve("snap").toString
+    VersionedSnapshot.mergeInto(base,
+      (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", numBuckets = 8)
+    val (keys, tags, zentries) = VersionedSnapshot.zoneManifest(spark, base).get
+    assert(keys == Seq("k") && tags == Seq("i"))
+    // one stats row per referenced bucket file, each with a real range
+    val (_, bentries) = VersionedSnapshot.bucketManifest(spark, base).get
+    assert(zentries.size == bentries.size && zentries.values.forall(_._2.head.isDefined))
+    // present key: exactly its bucket's file binds, value comes back
+    val hit = VersionedSnapshot.readForKeys(spark, base, Seq(5L).toDF("k")).get
+    assert(hit.as[(Long, String)].collect().toSeq == Seq((5L, "v5")))
+    assert(hit.inputFiles.length == 1, s"expected 1 bound file, got ${hit.inputFiles.length}")
+    // absent, out-of-range key: hash pruning alone would still read its
+    // bucket's file; the zonemap proves no file can hold it → ZERO files
+    val miss = VersionedSnapshot.readForKeys(spark, base, Seq(5000L).toDF("k")).get
+    assert(miss.count() == 0 && miss.inputFiles.isEmpty,
+      s"out-of-range probe must bind no files, bound ${miss.inputFiles.length}")
+    assert(miss.schema == hit.schema)
+    // string keys prune the same way (UTF-8 binary order)
+    val base2 = Files.createTempDirectory("graft-zone2").resolve("snap").toString
+    VersionedSnapshot.mergeInto(base2,
+      ('a' to 'm').map(c => (s"$c$c$c", 1L)).toDF("k", "n"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", numBuckets = 4)
+    val miss2 = VersionedSnapshot.readForKeys(spark, base2, Seq("zzz").toDF("k")).get
+    assert(miss2.count() == 0 && miss2.inputFiles.isEmpty)
+    val hit2 = VersionedSnapshot.readForKeys(spark, base2, Seq("ccc").toDF("k")).get
+    assert(hit2.count() == 1 && hit2.inputFiles.length == 1)
+  }
+
+  test("zonemap: value-disjoint update/delete merges inherit every bucket instead of rewriting") {
+    import spark.implicits._
+    import VersionedSnapshot.{DeleteMatched, UpdateMatched}
+    val base = Files.createTempDirectory("graft-zone3").resolve("snap").toString
+    VersionedSnapshot.mergeInto(base,
+      (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", numBuckets = 8)
+    val (_, entries0) = VersionedSnapshot.bucketManifest(spark, base).get
+    // update-only merge whose keys hash into real buckets but sit far
+    // outside every file's range: zonemap proves nothing can match, so
+    // every bucket is inherited by reference — zero data files staged
+    VersionedSnapshot.mergeInto(base,
+      (10000L to 10010L).map(i => (i, "X")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "noop-update", numBuckets = 8)
+    val (_, entries1) = VersionedSnapshot.bucketManifest(spark, base).get
+    assert(entries1 == entries0,
+      s"value-disjoint update must inherit all buckets: ${entries1.toSet diff entries0.toSet}")
+    // delete-only merge of absent keys: same inheritance
+    VersionedSnapshot.mergeInto(base,
+      Seq(20000L, 20001L).map(i => (i, "")).toDF("k", "v"), Seq("k"),
+      DeleteMatched, insertUnmatched = false, marker = "noop-delete", numBuckets = 8)
+    val (_, entries2) = VersionedSnapshot.bucketManifest(spark, base).get
+    assert(entries2 == entries0)
+    // an overlapping update-only merge still rewrites (and only) its buckets
+    VersionedSnapshot.mergeInto(base,
+      Seq((7L, "V7")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "real-update", numBuckets = 8)
+    val (_, entries3) = VersionedSnapshot.bucketManifest(spark, base).get
+    assert(entries3 != entries0 &&
+      entries3.count { case (b, rel) => !entries0.get(b).contains(rel) } == 1)
+    val got = VersionedSnapshot.read(spark, base).get.as[(Long, String)].collect().toMap
+    assert(got.size == 400 && got(7L) == "V7" && got(8L) == "v8")
+    assert(VersionedSnapshot.validateCurrent(spark, base))
+  }
+
+  test("zonemap: carried across stageDelta, overlays still serve pruned point reads, legacy tables degrade") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-zone4").resolve("snap").toString
+    VersionedSnapshot.mergeInto(base,
+      (1L to 100L).map(i => (i, i * 10L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", numBuckets = 4)
+    // blind overlay upserts an OUT-OF-RANGE key: base files prune for it,
+    // but the overlay must still surface the row on a point read
+    VersionedSnapshot.stageDelta(base, Seq((9999L, 42L)).toDF("k", "v"),
+      Seq("k"), UpdateMatched, marker = "mor", numBuckets = 4)
+    assert(VersionedSnapshot.zoneManifest(spark, base).isDefined,
+      "stageDelta must carry the zonemap forward")
+    val got = VersionedSnapshot.readForKeys(spark, base, Seq(9999L).toDF("k")).get
+    assert(got.as[(Long, Long)].collect().toSeq == Seq((9999L, 42L)))
+    // in-range read reconciles base + overlay as before
+    val got2 = VersionedSnapshot.readForKeys(spark, base, Seq(3L).toDF("k")).get
+    assert(got2.as[(Long, Long)].collect().toSeq == Seq((3L, 30L)))
+    // legacy table (no _ZONES — e.g. written pre-zonemap): delete the
+    // manifest; reads fall back to bucket pruning and stay correct
+    val cur = VersionedSnapshot.currentVersion(spark, base).get
+    val zf = new java.io.File(new java.io.File(base),
+      "v" + "%05d".formatLocal(java.util.Locale.ROOT, cur) + "/_ZONES")
+    assert(zf.delete())
+    val legacy = VersionedSnapshot.readForKeys(spark, base, Seq(5000L).toDF("k")).get
+    assert(legacy.count() == 0 && legacy.inputFiles.nonEmpty,
+      "without a zonemap the probe degrades to reading its hash bucket")
+    val legacyHit = VersionedSnapshot.readForKeys(spark, base, Seq(3L).toDF("k")).get
+    assert(legacyHit.as[(Long, Long)].collect().toSeq == Seq((3L, 30L)))
+  }
 }
