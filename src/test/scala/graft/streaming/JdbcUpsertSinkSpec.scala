@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.io.Sources
+import java.nio.file.Files
+
+class JdbcUpsertSinkSpec extends SparkSpec {
+
+  private val jdbcUrl = "jdbc:derby:memory:graftsinkdb;create=true"
+  // Derby maps StringType to CLOB, which is neither comparable nor
+  // groupable — declare VARCHAR at the staging boundary, as a production
+  // load into any warehouse would
+  private val colTypes =
+    Map("createTableColumnTypes" -> "track_id VARCHAR(32)")
+
+  private def tableMap(table: String): Map[Long, String] =
+    Sources.jdbc(spark, jdbcUrl, table).collect()
+      .map(r => r.getAs[Number]("user_id").longValue() ->
+        r.getAs[String]("track_id")).toMap
+
+  test("streaming staged merge upserts a warehouse table, last writer wins per key") {
+    val dir = Files.createTempDirectory("graft-jsink")
+    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+    def shard(name: String, rows: String): Unit =
+      Files.writeString(inDir.resolve(name),
+        "user_id,track_id,listen_time\n" + rows)
+    shard("a.csv",
+      """1,tA,2024-06-25T10:00:00.000Z
+        |2,tB,2024-06-25T10:10:00.000Z
+        |""".stripMargin)
+    // user 1 twice in one batch (latest = tD) and across batches
+    shard("b.csv",
+      """1,tC,2024-06-25T11:00:00.000Z
+        |1,tD,2024-06-25T11:30:00.000Z
+        |3,tE,2024-06-25T11:40:00.000Z
+        |""".stripMargin)
+    java.nio.file.Files.setLastModifiedTime(inDir.resolve("a.csv"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    java.nio.file.Files.setLastModifiedTime(inDir.resolve("b.csv"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000060000L))
+    val stream = StreamingKpis.fileStream(spark, Sources.streamsSchema,
+      inDir.toString, maxFilesPerTrigger = 1)
+    JdbcUpsertSink.sink(stream, Seq("user_id"), "listen_time",
+        jdbcUrl, "wh_users", dir.resolve("ckpt").toString, options = colTypes)
+      .start().awaitTermination(60000)
+    assert(tableMap("wh_users") == Map(1L -> "tD", 2L -> "tB", 3L -> "tE"))
+    // lineage recorded the last applied batch under this checkpoint's tag
+    val (tag, lastId) = JdbcUpsertSink.lastApplied(jdbcUrl, "wh_users")
+    assert(tag == dir.resolve("ckpt").toString && lastId == 1L)
+  }
+
+  test("replaying an applied batch id is a no-op; a new batch id applies") {
+    import spark.implicits._
+    val table = "wh_replay"
+    val b0 = Seq((1L, "x", 10L), (2L, "y", 10L)).toDF("user_id", "track_id", "seq")
+    JdbcUpsertSink.upsertBatch(b0, Seq("user_id"), "seq", jdbcUrl, table,
+      checkpointTag = "ck", batchId = 0L, options = colTypes)
+    assert(tableMap(table) == Map(1L -> "x", 2L -> "y"))
+    // a restarted stream re-delivers batch 0 with (legally) the same
+    // content — but even a DIFFERENT payload must be skipped: the lineage
+    // row says batch 0 is already applied
+    val b0replay = Seq((1L, "CORRUPT", 99L)).toDF("user_id", "track_id", "seq")
+    JdbcUpsertSink.upsertBatch(b0replay, Seq("user_id"), "seq", jdbcUrl, table,
+      checkpointTag = "ck", batchId = 0L, options = colTypes)
+    assert(tableMap(table) == Map(1L -> "x", 2L -> "y"), "replayed batch must not re-apply")
+    // the next batch id applies: updates user 1, inserts user 3
+    val b1 = Seq((1L, "z", 20L), (3L, "w", 20L)).toDF("user_id", "track_id", "seq")
+    JdbcUpsertSink.upsertBatch(b1, Seq("user_id"), "seq", jdbcUrl, table,
+      checkpointTag = "ck", batchId = 1L, options = colTypes)
+    assert(tableMap(table) == Map(1L -> "z", 2L -> "y", 3L -> "w"))
+    // a NEW checkpoint lineage (fresh tag) starts over and applies batch 0
+    val b0new = Seq((2L, "fresh", 30L)).toDF("user_id", "track_id", "seq")
+    JdbcUpsertSink.upsertBatch(b0new, Seq("user_id"), "seq", jdbcUrl, table,
+      checkpointTag = "ck2", batchId = 0L, options = colTypes)
+    assert(tableMap(table) == Map(1L -> "z", 2L -> "fresh", 3L -> "w"))
+  }
+
+  test("apply and lineage bump commit atomically: a failed apply leaves neither") {
+    import spark.implicits._
+    val table = "wh_atomic"
+    val b0 = Seq((1L, "a", 1L)).toDF("user_id", "track_id", "seq")
+    JdbcUpsertSink.upsertBatch(b0, Seq("user_id"), "seq", jdbcUrl, table,
+      checkpointTag = "ck", batchId = 0L, options = colTypes)
+    // batch 1 with a schema the staged DELETE/INSERT cannot apply (column
+    // set drift) — the transaction must roll back: target rows AND the
+    // lineage row stay at batch 0, so a corrected retry of batch 1 works
+    val bad = Seq((1L, 5L)).toDF("user_id", "seq")
+    intercept[Exception] {
+      JdbcUpsertSink.upsertBatch(bad, Seq("user_id"), "seq", jdbcUrl, table,
+        checkpointTag = "ck", batchId = 1L)
+    }
+    assert(tableMap(table) == Map(1L -> "a"))
+    assert(JdbcUpsertSink.lastApplied(jdbcUrl, table) == ("ck", 0L))
+    val fixed = Seq((1L, "b", 2L)).toDF("user_id", "track_id", "seq")
+    JdbcUpsertSink.upsertBatch(fixed, Seq("user_id"), "seq", jdbcUrl, table,
+      checkpointTag = "ck", batchId = 1L, options = colTypes)
+    assert(tableMap(table) == Map(1L -> "b"))
+    assert(JdbcUpsertSink.lastApplied(jdbcUrl, table) == ("ck", 1L))
+  }
+}
