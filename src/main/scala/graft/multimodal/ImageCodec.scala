@@ -193,6 +193,14 @@ object ImageCodec {
     * invertible mod 256), which is what makes seed-groups the closed-form
     * oracle for [[thumbprint8]] dedup. */
   def encodeBlockPng(sizeMult: Int, seed: Int): Array[Byte] = {
+    val img = blockImage(sizeMult, seed)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = memOut(out)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
+    out.toByteArray
+  }
+
+  private def blockImage(sizeMult: Int, seed: Int): java.awt.image.BufferedImage = {
     require(sizeMult >= 1 && sizeMult <= 64, s"bad sizeMult $sizeMult")
     val w = 8 * sizeMult
     val img = new java.awt.image.BufferedImage(
@@ -207,9 +215,30 @@ object ImageCodec {
       }
       y += 1
     }
+    img
+  }
+
+  /** The LOSSY sibling of [[encodeBlockPng]]: the same block pattern as a
+    * real JPEG (ImageIO's writer at an explicit `quality`). With
+    * `sizeMult = 8` every constant 8×8 cell aligns exactly with one DCT
+    * block, so the encoded stream carries only (quantized) DC terms and
+    * the decode returns the pattern to within a few luma levels — which
+    * is what makes a TOLERANCE-gated fidelity oracle possible for a
+    * format whose bytes are not closed-form: dims are exact, the mean
+    * pixel value must sit within the DC-quantization error of the
+    * pattern's arithmetic mean. */
+  def encodeJpegBlock(sizeMult: Int, seed: Int, quality: Float = 0.9f): Array[Byte] = {
+    val img = blockImage(sizeMult, seed)
     val out = new java.io.ByteArrayOutputStream()
     val ios = memOut(out)
-    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
     out.toByteArray
   }
 

@@ -217,6 +217,58 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Lossy sibling of [[synthesizeBlockPngPayload]]: the same
+    * (`size_mult`, `seed`) block pattern as a REAL JPEG
+    * ([[ImageCodec.encodeJpegBlock]], quality 0.9) — the fixture for the
+    * tolerance-gated JPEG fidelity oracle. */
+  def synthesizeBlockJpegPayload(df: DataFrame): DataFrame = {
+    val outSchema = df.schema.add("payload", org.apache.spark.sql.types.BinaryType)
+    val m = df.schema.fieldIndex("size_mult")
+    val sd = df.schema.fieldIndex("seed")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = ImageCodec.encodeJpegBlock(r.getInt(m), r.getInt(sd))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** [[decodePartitions]]'s moments variant: appends the `decoded` dims
+    * struct plus `px_sum`/`px_n` — the exact integer sum and count of the
+    * decoded pixel bytes — instead of a histogram. This is the seam for
+    * LOSSY formats: their byte distribution is not closed-form, but their
+    * pixel MEAN is bounded within quantization error of the source
+    * pattern's arithmetic mean, so a tolerance-gated oracle can check
+    * real decode fidelity. Undecodable payloads keep `decoded = null`
+    * with zero moments (corrupt-never-throw, per-row fallback). Map-only;
+    * payload bytes never leave the scan task. */
+  def decodeStatsPartitions(df: DataFrame): DataFrame = {
+    val outSchema = df.schema
+      .add("decoded", decodedSchema)
+      .add("px_sum", LongType)
+      .add("px_n", LongType)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      def safeDecode(p: Array[Byte]): Option[ImageCodec.DecodedImage] =
+        try ImageCodec.decode(p)
+        catch { case scala.util.control.NonFatal(_) => None }
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val (decoded, s, n) =
+          Option(payload).flatMap(safeDecode) match {
+            case Some(img) =>
+              var sum = 0L
+              var i = 0
+              while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
+              (org.apache.spark.sql.Row(img.width, img.height, img.channels),
+                sum, img.pixels.length.toLong)
+            case None => (null, 0L, 0L)
+          }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ decoded :+ s :+ n)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Perceptual-fingerprint seam: decode each payload
     * ([[ImageCodec.decode]] — real codecs, corrupt-never-throw) and
     * append `thumb`, the hex md5 of the scale-invariant 8×8 mean-pooled

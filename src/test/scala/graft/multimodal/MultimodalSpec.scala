@@ -476,6 +476,50 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L).isEmpty)
   }
 
+  test("encodeJpegBlock fuzz: real lossy round-trip holds dims exactly and mean within tolerance; truncation never throws") {
+    val rnd = new scala.util.Random(20260814L)
+    (0 until 60).foreach { _ =>
+      val m = 1 + rnd.nextInt(8)       // cells of m×m px, image 8m × 8m
+      val seed = rnd.nextInt(256)
+      val q = 0.5f + rnd.nextFloat() * 0.45f
+      val bytes = ImageCodec.encodeJpegBlock(m, seed, q)
+      val img = ImageCodec.decode(bytes).get
+      assert(img.width == 8 * m && img.height == 8 * m && img.channels == 3)
+      val mean = img.pixels.iterator.map(_ & 0xff).map(_.toLong).sum.toDouble /
+        img.pixels.length
+      val expMean = (0 until 64).map(i =>
+        ((i % 8) * 7 + (i / 8) * 11 + seed * 13) % 256).sum / 64.0
+      // misaligned cells (m != 8) put edges inside DCT blocks — allow a
+      // wider band there; the 8-aligned fixture regime must stay tight
+      val tol = if (m == 8) 3.0 else 8.0
+      assert(math.abs(mean - expMean) <= tol,
+        s"m=$m seed=$seed q=$q mean=$mean exp=$expMean")
+      // every truncation of a real JPEG stream must decode to None (or a
+      // full parse), never throw — the corrupt-never-throw seam
+      Seq(2, 4, bytes.length / 4, bytes.length / 2, bytes.length - 1).foreach { cut =>
+        ImageCodec.decode(java.util.Arrays.copyOf(bytes, cut)) // must not throw
+      }
+    }
+  }
+
+  test("decodeStatsPartitions: exact pixel moments for decodable payloads, zero moments for corrupt") {
+    import spark.implicits._
+    val assets = Seq((1L, 8, 5), (2L, 8, 77)).toDF("asset_id", "size_mult", "seed")
+    val good = Multimodal.synthesizeBlockJpegPayload(assets)
+      .select("asset_id", "payload")
+    val corrupt = Seq((3L, Array[Byte](9, 9, 9))).toDF("asset_id", "payload")
+    val out = Multimodal.decodeStatsPartitions(good.unionByName(corrupt))
+      .selectExpr("asset_id", "decoded.width", "px_sum", "px_n").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._1.contains(64) && out(1L)._3 == 64L * 64 * 3)
+    // moments must equal a direct local decode of the same payload
+    val local = ImageCodec.decode(ImageCodec.encodeJpegBlock(8, 5)).get
+    assert(out(1L)._2 == local.pixels.iterator.map(_ & 0xff).map(_.toLong).sum)
+    assert(out(2L)._2 != out(1L)._2) // distinct seeds → distinct sums
+    assert(out(3L) == (None, 0L, 0L))
+  }
+
   test("fromBinaryFiles wraps binaryFile-shaped input into the asset schema") {
     val raw = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row("/data/a.png", Array[Byte](1, 2)))),
