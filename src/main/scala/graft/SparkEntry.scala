@@ -835,6 +835,61 @@ object SparkEntry {
           panelSize = RecallPanel, k = AnnK))
     }),
 
+    // ---- binary (sign-bit) quantization tier: 1 bit per dimension
+    // packed into 32-bit words (bit 63 unused so the oracle's BIGINT
+    // shift can mirror the packing), distance = Σ popcount(xor) —
+    // integer-exact end to end, so the full Hamming ranking hash-matches
+    // DuckDB. The cheapest serving tier: 8 bytes/64-dim vector, two
+    // XOR+POPCNTs per distance; panel broadcast × corpus stream ----
+    "binary_topk" -> ((s, dir) =>
+      graft.operators.Quantize.binaryTopK(Tables.embeddings(s, dir),
+        "vec_id", "embedding", dim = Dim, panelSize = RecallPanel, k = AnnK)),
+    // recall@k of the 32×-compressed Hamming ranking vs the exact cosine
+    // panel — what decides whether the binary tier can serve first-stage
+    // retrieval before a float rerank
+    "bq_recall" -> ((s, dir) =>
+      recallVsPanel(s, dir,
+        graft.operators.Quantize.binaryTopK(Tables.embeddings(s, dir),
+          "vec_id", "embedding", dim = Dim, panelSize = RecallPanel, k = AnnK))),
+
+    // ---- retrieval-quality eval (MAP@k / MRR) of the binary tier with
+    // label relevance — the IR metrics beyond recall, exact-rational:
+    // reciprocal rank is 1e6 div rank; AP@k clears denominators with the
+    // lcm of 1..k (60 for k=5): Σ rel·relcum·(60 div rank) · 1e6 div
+    // (60·min(R_total, k)) — every intermediate an exact integer, so the
+    // metric hash-matches cross-engine (the exact-rational stats
+    // discipline applied to IR eval). R_total per label is a broadcast
+    // 1-agg dimension; queries with no relevant corpus doc yield NULL AP ----
+    "retrieval_map_mrr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val run = graft.operators.Quantize.binaryTopK(emb, "vec_id", "embedding",
+        dim = Dim, panelSize = RecallPanel, k = AnnK)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val labelSizes = labels.groupBy("label").agg(count(lit(1)).as("n_label"))
+      val wq = Window.partitionBy("query_id").orderBy(col("rank").asc)
+      val per = run
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("label").as("q_label")), Seq("query_id"))
+        .join(labels.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nb_label")), Seq("neighbor_id"))
+        .withColumn("rel", (col("q_label") === col("nb_label")).cast("long"))
+        .withColumn("relcum", sum(col("rel")).over(wq))
+        .groupBy("query_id", "q_label")
+        .agg(sum(col("rel")).as("n_rel_topk"),
+          min(when(col("rel") === 1, col("rank"))).as("frr"),
+          sum(col("rel") * col("relcum") * expr("60 div rank")).as("ap_num60"))
+      per
+        .join(broadcast(labelSizes.select(col("label").as("q_label"),
+          (col("n_label") - 1).as("r_total"))), Seq("q_label"))
+        .select(col("query_id"),
+          col("n_rel_topk"),
+          coalesce(col("frr"), lit(0)).cast("int").as("first_rel_rank"),
+          expr("CAST(CASE WHEN frr IS NULL THEN 0 ELSE 1000000 div frr END AS BIGINT)")
+            .as("rr_e6"),
+          expr(s"CAST(ap_num60 * 1000000 div nullif(60 * least(r_total, $AnnK), 0) " +
+            "AS BIGINT)").as("ap_e6"))
+    }),
+
     // ---- late-interaction retrieval: consecutive-id vector groups act
     // as multi-vector documents; a hash-sampled query-doc panel ranks the
     // corpus by MaxSim (Σ per-query-token best cosine). Panel broadcast ×
@@ -1048,6 +1103,32 @@ object SparkEntry {
     "doc_token_freq" -> ((s, dir) =>
       graft.operators.TermStats.corpusFrequencyScores(
         Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- Heaps-law vocabulary growth without logs: |vocab| after the
+    // first T docs for T = powers of two. Each token carries its FIRST
+    // document (one map-side-combinable min agg over the vocab-sized
+    // token relation), lands in doubling bucket idx = bits(first_doc)
+    // (exact via length(bin(x)) — identical in both engines, no
+    // floating log2), and the curve is a cumulative sum over ≤ ~32
+    // bucket rows. The corpus-scaling diagnostic that decides tokenizer
+    // vocab budgets ----
+    "vocab_growth" -> ((s, dir) => {
+      val wcum = Window.orderBy(col("idx").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("__ws"))
+        .select(col("doc_id"), explode(array_distinct(col("__ws"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+        .select(expr(
+          "CAST(CASE WHEN first_doc = 0 THEN 0 ELSE length(bin(first_doc)) END AS INT)")
+          .as("idx"))
+        .groupBy("idx").agg(count(lit(1)).as("n_new_tokens"))
+        .withColumn("first_t_docs", expr("CAST(shiftleft(1L, idx) AS BIGINT)"))
+        .withColumn("vocab", sum(col("n_new_tokens")).over(wcum))
+        .select(col("first_t_docs"), col("n_new_tokens"),
+          col("vocab").cast("long").as("vocab"))
+    }),
 
     // ---- bigram-LM perplexity scoring (CCNet-style filter): model trained
     // on the deterministic hash-half reference corpus, every doc scored ----
@@ -1879,6 +1960,21 @@ object SparkEntry {
     "dp_group_counts" -> ((s, dir) =>
       graft.quality.Privacy.dpNoisyCounts(
         Tables.events(s, dir), Seq("event_type"), eps = 1.0, seed = 17)),
+
+    // ---- distinct l-diversity audit (Machanavajjhala '07) — k-anonymity's
+    // companion: a quasi-identifier class is re-identifiable not when it
+    // is small but when its SENSITIVE attribute is uniform; report the
+    // distinct-sensitive-value count per class and flag l < 5. One hash
+    // aggregation (exact countDistinct shuffles (class, user) pairs),
+    // no joins ----
+    "l_diversity_audit" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(to_date(col("ts")).as("d"), col("event_type"), col("user_id"))
+        .groupBy("d", "event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("l_distinct"))
+        .withColumn("at_risk", (col("l_distinct") < lit(5)).cast("long"))),
 
     // ---- Weighted pick (A-ES sampling without replacement): 10 docs per
     // source, probability ∝ n_chars, seeded and engine-portable ----
@@ -3814,6 +3910,34 @@ object SparkEntry {
        |                    AND er.neighbor_id = ap.neighbor_id
        |GROUP BY er.query_id""".stripMargin
 
+  /** DuckDB side of [[graft.operators.Quantize.binaryTopK]]: identical
+    * sign rule (x > 0), identical 32-bit word packing (bit 63 unused so
+    * BIGINT shifts never trap), Hamming = Σ bit_count(xor) over the word
+    * join, same (hamming ASC, neighbor_id ASC) ranking. */
+  private val binaryTopKOracle: String =
+    s"""WITH pflat AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(UNNEST(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id, CAST((i - 1) // 32 AS INTEGER) AS w,
+       |         CAST(COALESCE(sum(CASE WHEN x > 0
+       |           THEN (1::BIGINT << ((i - 1) % 32)) ELSE 0 END), 0) AS BIGINT) AS word
+       |  FROM pflat GROUP BY 1, 2),
+       |panel AS (SELECT vec_id FROM embeddings
+       |          ORDER BY ${dh("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC
+       |          LIMIT $RecallPanel),
+       |ham AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         CAST(sum(bit_count(xor(q.word, c.word))) AS BIGINT) AS hamming
+       |  FROM codes q JOIN codes c ON q.w = c.w AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id IN (SELECT vec_id FROM panel)
+       |  GROUP BY 1, 2),
+       |r AS (SELECT ham.*, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY hamming ASC, neighbor_id ASC) AS rn FROM ham)
+       |SELECT query_id, neighbor_id, hamming, CAST(rn AS INTEGER) AS "rank"
+       |FROM r WHERE rn <= $AnnK""".stripMargin
+
   /** DuckDB side of [[graft.operators.Sketches.cmsPartials]] /
     * [[graft.operators.Sketches.cmsEstimate]]: same seeded portable hash
     * (`"j:" || key`), same integer modulo bucket, exact register counts,
@@ -4941,6 +5065,51 @@ object SparkEntry {
     "pq_recall" -> panelRecallOracle(pqTopKOracle),
     "ivfpq_recall" -> panelRecallOracle(ivfPqTopKOracle),
     "sq_recall" -> panelRecallOracle(sqPanelTopKOracle),
+    "binary_topk" -> binaryTopKOracle,
+    "bq_recall" -> panelRecallOracle(binaryTopKOracle),
+    "retrieval_map_mrr" ->
+      s"""WITH run AS ($binaryTopKOracle),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |ls AS (SELECT label, count(*) - 1 AS r_total FROM lab GROUP BY 1),
+         |f AS (SELECT r.query_id, r."rank", ql.label AS q_label,
+         |        CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+         |      FROM run r JOIN lab ql ON r.query_id = ql.vec_id
+         |                 JOIN lab nl ON r.neighbor_id = nl.vec_id),
+         |c AS (SELECT *, sum(rel) OVER (PARTITION BY query_id ORDER BY "rank") AS relcum
+         |      FROM f),
+         |p AS (SELECT query_id, q_label,
+         |        CAST(sum(rel) AS BIGINT) AS n_rel_topk,
+         |        min(CASE WHEN rel = 1 THEN "rank" END) AS frr,
+         |        sum(rel * relcum * (60 // "rank")) AS ap_num60
+         |      FROM c GROUP BY 1, 2)
+         |SELECT query_id, n_rel_topk,
+         |  CAST(COALESCE(frr, 0) AS INTEGER) AS first_rel_rank,
+         |  CAST(CASE WHEN frr IS NULL THEN 0 ELSE 1000000 // frr END AS BIGINT) AS rr_e6,
+         |  CAST(ap_num60 * 1000000 // nullif(60 * least(ls.r_total, $AnnK), 0) AS BIGINT)
+         |    AS ap_e6
+         |FROM p JOIN ls ON p.q_label = ls.label""".stripMargin,
+    "vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |fs AS (SELECT tok, min(doc_id) AS first_doc FROM toks
+        |       WHERE tok <> '' GROUP BY tok),
+        |b AS (SELECT CAST(CASE WHEN first_doc = 0 THEN 0
+        |                       ELSE length(bin(first_doc)) END AS INTEGER) AS idx
+        |      FROM fs),
+        |g AS (SELECT idx, CAST(count(*) AS BIGINT) AS n_new_tokens
+        |      FROM b GROUP BY idx)
+        |SELECT CAST(1::BIGINT << idx AS BIGINT) AS first_t_docs, n_new_tokens,
+        |  CAST(sum(n_new_tokens) OVER (ORDER BY idx) AS BIGINT) AS vocab
+        |FROM g""".stripMargin,
+    "l_diversity_audit" ->
+      """SELECT CAST(ts AS DATE) AS d, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS l_distinct,
+        |  CAST(CASE WHEN count(DISTINCT user_id) < 5 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS at_risk
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     "semantic_dedup_pairs" -> semanticPairsOracle,
     "semantic_dedup_keepers" -> semanticKeepersOracle,
     "contrastive_triplets" -> contrastiveOracle,

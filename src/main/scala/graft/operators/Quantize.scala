@@ -357,4 +357,54 @@ object Quantize {
             + lit(0.5)).cast("long")))
       .select(col(idCol), col("norm_sq_e12"), col("est_sq_e12"), col("ratio_e6"))
   }
+
+  /** Sign-bit (1-bit) binary quantization: bit i of the code is 1 iff
+    * `vec[i] > 0` — the degenerate no-rotation case of the
+    * random-hyperplane family (Charikar, STOC '02) and the "binary
+    * quantization" serving tier modern vector stores ship as their
+    * 32× compression / fastest-distance option. Codes pack into 32-bit
+    * words inside longs (bit 63 is unused on purpose: engines whose
+    * BIGINT shift traps on `1 << 63` — DuckDB among them — must be able
+    * to mirror the packing bit-exactly, the portable-hash discipline
+    * applied to bit layout). Output: (id, bcode array<bigint> of
+    * ceil(dim/32) words). Map-only, codegen'd, 0 exchanges. */
+  def binarize(df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    val words = (dim + 31) / 32
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .select(col(idCol), expr(
+        s"transform(sequence(0, ${words - 1}), w -> " +
+          "aggregate(sequence(0, 31), 0L, (acc, j) -> " +
+          s"IF(w * 32 + j < $dim AND element_at(__v, w * 32 + j + 1) > 0, " +
+          "acc + shiftleft(1L, j), acc)))").as("bcode"))
+  }
+
+  /** Hamming top-k over [[binarize]] codes for the hash-sampled query
+    * panel — the binary-quantization serving path: distance is
+    * `Σ_w popcount(xor)` over the packed words (integer-exact, so the
+    * whole ranking is oracle-checkable), the panel broadcasts, and the
+    * corpus streams once. Rank 1..k by (hamming ASC, neighbor_id ASC).
+    * At 100 TB this is the cheapest ANN tier in the repo: 8 bytes per
+    * 64-dim vector cross the wire instead of 256, and the distance
+    * kernel is two XOR+POPCNTs. */
+  def binaryTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      panelSize: Int, k: Int): DataFrame = {
+    require(panelSize >= 1 && k >= 1, "panelSize and k must be >= 1")
+    val codes = binarize(df, idCol, vecCol, dim)
+    val panel = codes
+      .withColumn("__h", graft.functions.PortableHash.hash60(col(idCol)))
+      .orderBy(col("__h").asc, col(idCol).asc).limit(panelSize)
+      .select(col(idCol).as("query_id"), col("bcode").as("qcode"))
+    val corpus = codes.select(col(idCol).as("neighbor_id"), col("bcode").as("ccode"))
+    val scored = corpus.join(broadcast(panel), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(qcode, ccode, (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)), " +
+          "0L, (acc, v) -> acc + v)"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "hamming", "rank")
+  }
 }
