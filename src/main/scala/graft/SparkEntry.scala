@@ -50,6 +50,8 @@ object SparkEntry {
   private val PqM = 8           // pq_topk: subspaces (64-dim → 8×8)
   private val PqK = 16          // pq_topk: codewords per subspace
   private val RecallPanel = 64  // *_recall: hash-sampled query-panel size
+  private val BqCandK = 20      // bq_rerank: binary candidates per query
+                                // before the exact-cosine rerank (4×AnnK)
   private val MaxSimGroup = 8   // maxsim_topk: vectors per multi-vector doc
   private val MaxSimPanel = 16  // maxsim_topk: hash-sampled query-doc panel
   private val KmvK = 64         // kmv_type_jaccard: k minimum values per set
@@ -700,6 +702,15 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")),
     "jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.2)),
+    // similarity-mass histogram over the pair relation: how many pairs sit
+    // in each 0.1-wide Jaccard band — the diagnostic that picks a dedup
+    // threshold (a cliff at 0.9 means exact-ish dups; mass at 0.3 means
+    // boilerplate). Derived from the SAME banded pair subtree, one extra
+    // 11-row aggregate ----
+    "dup_jaccard_histogram" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.2)
+        .select(floor(col("jaccard") * 10).cast("int").as("bucket_x10"))
+        .groupBy("bucket_x10").agg(count(lit(1)).as("n_pairs"))),
     // asymmetric containment: catches short-doc-inside-long-doc dups that
     // Jaccard's union denominator hides (quotes, aggregators)
     "containment_pairs" -> ((s, dir) =>
@@ -851,6 +862,45 @@ object SparkEntry {
       recallVsPanel(s, dir,
         graft.operators.Quantize.binaryTopK(Tables.embeddings(s, dir),
           "vec_id", "embedding", dim = Dim, panelSize = RecallPanel, k = AnnK))),
+
+    // ---- the PRODUCTION binary serving shape: two-stage cascade —
+    // cheap Hamming recalls 4×k candidates, exact float cosine reranks
+    // only those (panel × BqCandK rows, not panel × corpus), final top-k.
+    // The recall row shows how much of the 1-bit tier's loss the rerank
+    // claws back; cost stays candidate-bounded at any corpus size ----
+    "bq_rerank_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cand = graft.operators.Quantize.binaryTopK(emb, "vec_id", "embedding",
+          dim = Dim, panelSize = RecallPanel, k = BqCandK)
+        .select("query_id", "neighbor_id")
+      val qn = Similarity.withNorm(emb, "vec_id", "embedding")
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+          col("norm").as("qnorm"))
+      val cn = Similarity.withNorm(emb, "vec_id", "embedding")
+        .select(col("vec_id").as("neighbor_id"), col("vec").as("cvec"),
+          col("norm").as("cnorm"))
+      val scored = cand.join(qn, Seq("query_id")).join(cn, Seq("neighbor_id"))
+        .withColumn("cosine_sim",
+          when(col("qnorm") * col("cnorm") =!= 0.0,
+            round(graft.functions.Vectors.dot(col("qvec"), col("cvec")) /
+              (col("qnorm") * col("cnorm")), 6)))
+      val wr = Window.partitionBy("query_id")
+        .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+      recallVsPanel(s, dir,
+        scored.withColumn("rank", row_number().over(wr)).filter(col("rank") <= AnnK))
+    }),
+
+    // ---- Matryoshka-truncation tier (Kusupati '22): rank with only the
+    // FIRST half of every embedding — the 2× bandwidth/compute cut MRL
+    // training promises; this recall row is the check that the corpus's
+    // embeddings actually carry their information head-first ----
+    "mrl_recall" -> ((s, dir) => {
+      val half = Tables.embeddings(s, dir)
+        .select(col("vec_id"), expr(s"slice(embedding, 1, ${Dim / 2})").as("embedding"))
+      recallVsPanel(s, dir,
+        Similarity.panelTopKAgainst(half, half, "vec_id", "embedding",
+          panelSize = RecallPanel, k = AnnK))
+    }),
 
     // ---- retrieval-quality eval (MAP@k / MRR) of the binary tier with
     // label relevance — the IR metrics beyond recall, exact-rational:
@@ -2889,6 +2939,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // ---- next-event prediction table: per state, the argmax of the
+    // Laplace-smoothed transition distribution — the bigram-Markov
+    // baseline every sequence model must beat, in exact e6 integers
+    // ((n+1)·1e6 div (total+V), V = distinct successor vocabulary as a
+    // 1-row broadcast). Deterministic argmax via (prob DESC, type ASC) ----
+    "next_event_pred" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy("event_type").agg(sum(col("n")).as("tot"))
+      val vocab = trans.select("next_type").distinct()
+        .agg(count(lit(1)).as("v"))
+      trans.join(totals, Seq("event_type")).crossJoin(broadcast(vocab))
+        .withColumn("prob_e6",
+          expr("CAST((n + 1) * 1000000 div (tot + v) AS BIGINT)"))
+        .withColumn("rnk", row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("prob_e6").desc, col("next_type").asc)))
+        .filter(col("rnk") === 1)
+        .select(col("event_type"), col("next_type").as("pred_type"),
+          col("n").as("n_obs"), col("prob_e6"))
+    }),
+
     // ---- frequent 3-step paths: the sequence-mining extension of the
     // transition bigram above — one window pass emits both lookaheads,
     // the count aggregate map-side-combines over ≤ |types|³ keys, and
@@ -3914,7 +3991,7 @@ object SparkEntry {
     * sign rule (x > 0), identical 32-bit word packing (bit 63 unused so
     * BIGINT shifts never trap), Hamming = Σ bit_count(xor) over the word
     * join, same (hamming ASC, neighbor_id ASC) ranking. */
-  private val binaryTopKOracle: String =
+  private def binaryTopKOracle(k: Int = AnnK): String =
     s"""WITH pflat AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
        |         CAST(UNNEST(embedding) AS DOUBLE) AS x
@@ -3936,7 +4013,49 @@ object SparkEntry {
        |r AS (SELECT ham.*, row_number() OVER (PARTITION BY query_id
        |        ORDER BY hamming ASC, neighbor_id ASC) AS rn FROM ham)
        |SELECT query_id, neighbor_id, hamming, CAST(rn AS INTEGER) AS "rank"
-       |FROM r WHERE rn <= $AnnK""".stripMargin
+       |FROM r WHERE rn <= $k""".stripMargin
+
+  /** DuckDB side of the binary→float rerank cascade: the binary tier's
+    * top-`BqCandK` candidates rescored by exact cosine (same rounding
+    * and tie rule as every exact leg), cut to the final top-k. */
+  private def bqRerankOracle: String =
+    s"""WITH cand AS (SELECT query_id, neighbor_id FROM (${binaryTopKOracle(BqCandK)})),
+       |rflat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |                 CAST(UNNEST(embedding) AS DOUBLE) AS x
+       |          FROM embeddings),
+       |rnorms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM rflat GROUP BY vec_id),
+       |rdots AS (SELECT c.query_id, c.neighbor_id, sum(q.x * n.x) AS dp
+       |          FROM cand c JOIN rflat q ON q.vec_id = c.query_id
+       |                      JOIN rflat n ON n.vec_id = c.neighbor_id AND n.i = q.i
+       |          GROUP BY 1, 2),
+       |rsc AS (SELECT query_id, neighbor_id, round(dp / (qn.nrm * nn.nrm), 6) AS cosine_sim
+       |        FROM rdots JOIN rnorms qn ON query_id = qn.vec_id
+       |                   JOIN rnorms nn ON neighbor_id = nn.vec_id),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM rsc)
+       |SELECT query_id, neighbor_id FROM rr WHERE rn <= $AnnK""".stripMargin
+
+  /** DuckDB side of the Matryoshka-truncation tier: cosine ranking with
+    * BOTH sides cut to the first Dim/2 coordinates. */
+  private def mrlPanelTopKOracle: String =
+    s"""WITH mflat AS (SELECT vec_id, i, x FROM (
+       |                 SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |                        CAST(UNNEST(embedding) AS DOUBLE) AS x
+       |                 FROM embeddings) WHERE i <= ${Dim / 2}),
+       |mnorms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM mflat GROUP BY vec_id),
+       |mpanel AS (SELECT vec_id FROM embeddings
+       |           ORDER BY ${dh("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC
+       |           LIMIT $RecallPanel),
+       |mdots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.x * c.x) AS dp
+       |          FROM mflat q JOIN mflat c ON q.i = c.i AND q.vec_id <> c.vec_id
+       |          WHERE q.vec_id IN (SELECT vec_id FROM mpanel)
+       |          GROUP BY 1, 2),
+       |msc AS (SELECT query_id, neighbor_id, round(dp / (qn.nrm * cn.nrm), 6) AS cosine_sim
+       |        FROM mdots JOIN mnorms qn ON query_id = qn.vec_id
+       |                   JOIN mnorms cn ON neighbor_id = cn.vec_id),
+       |mr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM msc)
+       |SELECT query_id, neighbor_id FROM mr WHERE rn <= $AnnK""".stripMargin
 
   /** DuckDB side of [[graft.operators.Sketches.cmsPartials]] /
     * [[graft.operators.Sketches.cmsEstimate]]: same seeded portable hash
@@ -5065,10 +5184,12 @@ object SparkEntry {
     "pq_recall" -> panelRecallOracle(pqTopKOracle),
     "ivfpq_recall" -> panelRecallOracle(ivfPqTopKOracle),
     "sq_recall" -> panelRecallOracle(sqPanelTopKOracle),
-    "binary_topk" -> binaryTopKOracle,
-    "bq_recall" -> panelRecallOracle(binaryTopKOracle),
+    "binary_topk" -> binaryTopKOracle(),
+    "bq_recall" -> panelRecallOracle(binaryTopKOracle()),
+    "bq_rerank_recall" -> panelRecallOracle(bqRerankOracle),
+    "mrl_recall" -> panelRecallOracle(mrlPanelTopKOracle),
     "retrieval_map_mrr" ->
-      s"""WITH run AS ($binaryTopKOracle),
+      s"""WITH run AS (${binaryTopKOracle()}),
          |lab AS (SELECT vec_id, label FROM embeddings),
          |ls AS (SELECT label, count(*) - 1 AS r_total FROM lab GROUP BY 1),
          |f AS (SELECT r.query_id, r."rank", ql.label AS q_label,
@@ -5774,6 +5895,24 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "next_event_pred" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |t AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM t GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT next_type) AS BIGINT) AS v FROM t),
+        |sc AS (SELECT t.event_type, t.next_type, t.n,
+        |         CAST((t.n + 1) * 1000000 // (tot.tot + v.v) AS BIGINT) AS prob_e6
+        |       FROM t JOIN tot ON t.event_type = tot.event_type CROSS JOIN v),
+        |r AS (SELECT sc.*, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY prob_e6 DESC, next_type ASC) AS rnk FROM sc)
+        |SELECT event_type, next_type AS pred_type, n AS n_obs, prob_e6
+        |FROM r WHERE rnk = 1""".stripMargin,
 
     "event_paths3" ->
       """WITH p3 AS (
@@ -6695,6 +6834,23 @@ object SparkEntry {
         |  JOIN sizes sa ON i.id_a = sa.doc_id
         |  JOIN sizes sb ON i.id_b = sb.doc_id)
         |WHERE jaccard >= 0.2""".stripMargin,
+    "dup_jaccard_histogram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |j AS (SELECT round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6)
+        |        AS jaccard
+        |      FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+        |                   JOIN sizes sb ON i.id_b = sb.doc_id)
+        |SELECT CAST(floor(jaccard * 10) AS INTEGER) AS bucket_x10,
+        |       CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM j WHERE jaccard >= 0.2 GROUP BY 1""".stripMargin,
     "containment_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |grams AS (
