@@ -2272,6 +2272,35 @@ object SparkEntry {
         .withColumnRenamed("n_est", "distinct_users_24h_est")
     }),
 
+    // ---- DAU/MAU stickiness, EXACT: the rolling-30d distinct-user count
+    // without rescanning 30 days per day — each user's active-day runs
+    // become ±1 coverage deltas (+1 at an active day, −1 where coverage
+    // lapses: min(next active, day+30)), the day spine aggregates the
+    // deltas, and MAU is one cumulative sum over the BOUNDED day
+    // dimension (the vocab_growth single-window justification: |days|
+    // rows, not |events|). Contrast rolling_distinct_24h, which is the
+    // sketched form of the same question at unbounded spine scale ----
+    "stickiness_dau_mau" -> ((s, dir) => {
+      val ud = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+      val wu = Window.partitionBy("user_id").orderBy(col("d").asc)
+      val deltas = ud
+        .withColumn("nxt", lead(col("d"), 1).over(wu))
+        .select(col("user_id"), col("d"),
+          least(coalesce(col("nxt"), date_add(col("d"), 30)),
+            date_add(col("d"), 30)).as("lapse"))
+      val byDay = deltas.select(col("d").as("day"), lit(1L).as("delta"))
+        .unionByName(deltas.select(col("lapse").as("day"), lit(-1L).as("delta")))
+        .groupBy("day").agg(sum(col("delta")).as("net"))
+      val wcum = Window.orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mau = byDay.withColumn("mau", sum(col("net")).over(wcum))
+      dau.join(mau.select(col("day").as("d"), col("mau")), Seq("d"))
+        .select(col("d"), col("dau"), col("mau").cast("long").as("mau"),
+          expr("CAST(dau * 1000000 div mau AS BIGINT)").as("stickiness_e6"))
+    }),
+
     // ---- CMS join-size estimation: the planner-side cardinality
     // primitive — |views ⋈ purchases on user| estimated from two tiny
     // frequency sketches (min over depth of register dot products,
@@ -5895,6 +5924,18 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "stickiness_dau_mau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |            FROM events WHERE user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT d FROM ud),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |mau AS (SELECT days.d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS mau
+        |        FROM days JOIN ud
+        |          ON ud.d BETWEEN days.d - INTERVAL 29 DAY AND days.d
+        |        GROUP BY 1)
+        |SELECT d, dau, mau, CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_e6
+        |FROM dau JOIN mau USING (d)""".stripMargin,
 
     "next_event_pred" ->
       """WITH s AS (

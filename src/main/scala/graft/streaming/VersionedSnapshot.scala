@@ -83,6 +83,12 @@ object VersionedSnapshot {
     * before the pointer commit — the crash-consistency seam. */
   private[graft] val CrashBeforeCommitConf = "graft.snapshot.crashBeforePointerCommit"
 
+  /** [[readForKeys]] collects the wanted keys and pushes them as an `IN`
+    * scan filter when there are at most this many — large enough for any
+    * real point-lookup batch, small enough that the literal list stays
+    * driver- and plan-cheap. */
+  private val MaxPushdownKeys = 1024L
+
   private def fmtVersion(v: Long): String =
     "v" + "%05d".formatLocal(java.util.Locale.ROOT, v)
   private def versionPath(base: Path, v: Long): Path = new Path(base, fmtVersion(v))
@@ -148,14 +154,23 @@ object VersionedSnapshot {
     *      whose committed `_ZONES` min/max range can intersect the wanted
     *      keys' value range — so a lookup of absent or out-of-range keys
     *      (existence probes, keys that have not arrived yet) reads ZERO
-    *      data files, the Delta/Iceberg data-skipping behavior.
+    *      data files, the Delta/Iceberg data-skipping behavior;
+    *   3. '''row-group pushdown''': when the key set is small
+    *      (≤ [[MaxPushdownKeys]]), the literal keys are pushed as an
+    *      `IN` filter INTO the parquet scan of the surviving files, so
+    *      the reader skips row groups whose column statistics (and
+    *      dictionaries) exclude every wanted key — pruning below the
+    *      file level, which matters once buckets are GB-sized.
     *
-    * Both prunes come from one small driver job over `keyRows` (bucket
-    * set + per-column value range together). `keyRows`' column names
-    * define the key; overlays reconcile as in [[read]] (they are
-    * delta-sized) and a final semi-join restricts the result to exactly
-    * the requested keys. Flat layouts, pre-zonemap versions, and
-    * unsupported key types degrade gracefully to the coarser prune. */
+    * The first two prunes come from one small driver job over `keyRows`
+    * (bucket set + row count + per-column value range together); the
+    * third collects the keys themselves only when the count says they
+    * are literal-sized. `keyRows`' column names define the key; overlays
+    * reconcile as in [[read]] (they are delta-sized) and a final
+    * semi-join restricts the result to exactly the requested keys (so
+    * the per-column `IN` superset on composite keys is safe). Flat
+    * layouts, pre-zonemap versions, and unsupported key types degrade
+    * gracefully to the coarser prune. */
   def readForKeys(spark: SparkSession, baseDir: String, keyRows: DataFrame)
       : Option[DataFrame] =
     currentVersion(spark, baseDir).map { v =>
@@ -171,7 +186,8 @@ object VersionedSnapshot {
           val wTags = keyCols.map(c => zoneTag(wanted.schema(c).dataType))
           // ONE driver job: the keys' bucket set and per-column value
           // ranges (+ null presence) together
-          val aggs = collect_set(bucketOf(keyCols, nb)).as("__bs") +:
+          val aggs = Seq(collect_set(bucketOf(keyCols, nb)).as("__bs"),
+            count(lit(1)).as("__n")) ++
             keyCols.zip(wTags).flatMap { case (c, tag) =>
               if (tag == "x") Nil
               else {
@@ -182,6 +198,7 @@ object VersionedSnapshot {
             }
           val row = wanted.agg(aggs.head, aggs.tail: _*).collect()(0)
           val touched = row.getAs[Seq[Int]]("__bs").toSet
+          val nWanted = row.getAs[Long]("__n")
           val wRanges: Seq[Option[(String, String)]] =
             keyCols.zip(wTags).map { case (c, tag) =>
               if (tag == "x" || touched.isEmpty) None
@@ -209,8 +226,24 @@ object VersionedSnapshot {
               case _ => Seq(rel) // pre-zonemap version or key-shape drift
             }
           }.map(rel => new Path(base, rel).toString)
-          if (paths.nonEmpty) spark.read.parquet(paths: _*)
-          else
+          if (paths.nonEmpty) {
+            val scan = spark.read.parquet(paths: _*)
+            // row-group pushdown: literal-sized key sets become an IN
+            // filter the parquet reader can evaluate against row-group
+            // stats/dictionaries. Per-column (a superset on composite
+            // keys — the final semi-join keeps semantics exact); a
+            // column with a wanted NULL key contributes no filter
+            // (IN never matches NULL).
+            if (nWanted > 0 && nWanted <= MaxPushdownKeys) {
+              val keyVals = wanted.collect()
+              val perCol = keyCols.zipWithIndex.map { case (c, i) =>
+                val vals = keyVals.map(_.get(i)).toSeq.distinct
+                if (vals.contains(null)) lit(true)
+                else col(c).isInCollection(vals)
+              }
+              scan.filter(perCol.reduce(_ && _))
+            } else scan
+          } else
             // fully pruned: an empty LOCAL relation with the snapshot's
             // schema (schema comes from one driver-side footer read) — a
             // limit(0) over the version frame would still BIND every data
@@ -717,6 +750,11 @@ object VersionedSnapshot {
     // compaction pass to undo. One extra exchange over the delta only.
     df.withColumn(BucketCol, bucketOf(keys, numBuckets))
       .repartition(col(BucketCol))
+      // cluster-on-write: sort each bucket's rows by key so parquet
+      // row-group min/max stats are tight — readForKeys' pushed IN
+      // filter then skips row groups, the pruning level below the
+      // zonemap. Task-local sort over the delta only, no extra exchange
+      .sortWithinPartitions((BucketCol +: keys).map(col): _*)
       .write.mode("overwrite").partitionBy(BucketCol).parquet(gDir.toString)
     // which buckets actually produced files (a bucket whose merge result
     // is empty writes no partition dir — it must vanish from the manifest)

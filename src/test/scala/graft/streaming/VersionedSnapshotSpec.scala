@@ -714,6 +714,33 @@ class VersionedSnapshotSpec extends SparkSpec {
     assert(VersionedSnapshot.validateCurrent(spark, base))
   }
 
+  test("point reads push literal keys into the parquet scan (row-group pruning below the zonemap)") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-push").resolve("snap").toString
+    VersionedSnapshot.mergeInto(base,
+      (1L to 2000L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", numBuckets = 4)
+    val hit = VersionedSnapshot.readForKeys(spark, base, Seq(42L, 77L).toDF("k")).get
+    // correctness first
+    assert(hit.as[(Long, String)].collect().toSet == Set((42L, "v42"), (77L, "v77")))
+    // the literal keys must reach the parquet scan as a pushed IN filter
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(k, [42,77]"),
+      s"expected pushed IN(k, [42,77]) in:\n$plan")
+    // a wanted NULL key disables that column's IN (IN never matches NULL)
+    // but the read stays correct through the semi-join
+    val withNull = Seq(Some(42L), None).map(Tuple1(_)).toDF("k")
+    val nullRead = VersionedSnapshot.readForKeys(spark, base, withNull).get
+    assert(nullRead.as[(Long, String)].collect().toSet == Set((42L, "v42")))
+    assert(!nullRead.queryExecution.executedPlan.toString.contains("In(k,"))
+    // an over-limit key set skips the literal pushdown, result unchanged
+    val big = spark.range(1, 1203).select(col("id").as("k")) // 1202 keys > 1024
+    val bigRead = VersionedSnapshot.readForKeys(spark, base, big).get
+    assert(bigRead.count() == 1202)
+    assert(!bigRead.queryExecution.executedPlan.toString.contains("In(k,"))
+  }
+
   test("zonemap: carried across stageDelta, overlays still serve pruned point reads, legacy tables degrade") {
     import spark.implicits._
     import VersionedSnapshot.UpdateMatched
