@@ -1855,6 +1855,43 @@ object SparkEntry {
     // customer/supplier AQE picks broadcast-vs-shuffle from actual
     // post-filter sizes at runtime. The c_nationkey = s_nationkey residual
     // (customer and supplier co-national) rides on the supplier join ----
+    // ---- TPC-H Q17 shape: revenue from line items whose quantity sits
+    // below 20% of their part's average — the correlated scalar subquery
+    // as one map-side-combinable per-part aggregate re-joined to the
+    // facts; the comparison q < avg/5 stays exact-integer as
+    // 5·q·cnt < Σq (quantities are integral; no double-sum boundary) ----
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val stats = li.groupBy("l_partkey")
+        .agg(sum(col("qty")).as("qsum"), count(lit(1)).as("qcnt"))
+      li.join(Tables.part(s, dir).select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .join(stats, Seq("l_partkey"))
+        .filter(lit(5L) * col("qty") * col("qcnt") < col("qsum"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("small_qty_cents"))
+    }),
+
+    // ---- TPC-H Q16 shape on this schema: supplier diversity per part
+    // attribute through the lineitem relationship, minus a NOT-IN
+    // exclusion set (negative-balance suppliers standing in for the
+    // complaints predicate) — distinct-pair reduce FIRST, broadcast
+    // anti-join second, so the countDistinct shuffles (part, supp)
+    // pairs, never raw line items ----
+    "q16_supplier_diversity" -> ((s, dir) => {
+      val excl = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val ps = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      ps.join(Tables.part(s, dir).filter(col("p_size") <= 20)
+            .select("p_partkey", "p_brand", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
     "q5_region_revenue" -> ((s, dir) => {
       val lo = lit("1996-01-01").cast("timestamp")
       val hi = lit("1997-01-01").cast("timestamp")
@@ -2270,6 +2307,35 @@ object SparkEntry {
         .select(col("hour"), col("__b"), col("__mr").as("__m"))
       graft.operators.Sketches.hllEstimate(rolled, Seq("hour"), p = 8)
         .withColumnRenamed("n_est", "distinct_users_24h_est")
+    }),
+
+    // ---- exact ROC-AUC (Mann-Whitney rank statistic) of `value` as a
+    // purchase score: ties take average ranks, kept integral by working
+    // in rank×2; AUC_e6 = (2·rankSum⁺ − 2·P(P+1)/2)·1e6 div (2·P·N) —
+    // every intermediate an exact integer (decimal(38,0) staging for the
+    // products). The global cumulative runs through the two-phase
+    // PrefixSum scan, never a one-task window over distinct scores ----
+    "value_auc" -> ((s, dir) => {
+      val sc = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .select(round(col("value") * 100).cast("long").as("cents"),
+          (col("event_type") === "purchase").cast("long").as("pos"))
+      val g = sc.groupBy("cents")
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+      val cum = graft.operators.PrefixSum.runningTotal(
+        g, "cum_incl", col("n"), col("cents"))
+      cum
+        .select(col("npos"), col("n"),
+          (col("npos") * (lit(2L) * (col("cum_incl") - col("n")) + col("n") + 1))
+            .cast("decimal(38,0)").as("rs2"))
+        .agg(sum(col("rs2")).as("rank_sum_x2"),
+          sum(col("npos")).cast("decimal(38,0)").as("p"),
+          (sum(col("n")) - sum(col("npos"))).cast("decimal(38,0)").as("nneg"))
+        .selectExpr(
+          "CAST(p AS BIGINT) AS n_pos",
+          "CAST(nneg AS BIGINT) AS n_neg",
+          """CAST((rank_sum_x2 - p * (p + 1)) * 1000000
+             div nullif(2 * p * nneg, 0) AS BIGINT) AS auc_e6""")
     }),
 
     // ---- DAU/MAU stickiness, EXACT: the rolling-30d distinct-user count
@@ -5924,6 +5990,48 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |            FROM lineitem),
+        |st AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS qsum,
+        |              CAST(count(*) AS BIGINT) AS qcnt
+        |       FROM li GROUP BY 1)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(cents) AS BIGINT) AS small_qty_cents
+        |FROM li JOIN part ON l_partkey = p_partkey
+        |        JOIN st USING (l_partkey)
+        |WHERE 5 * qty * qcnt < qsum
+        |GROUP BY 1""".stripMargin,
+
+    "q16_supplier_diversity" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |            WHERE l_suppkey NOT IN
+        |              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 20
+        |GROUP BY 1, 2""".stripMargin,
+
+    "value_auc" ->
+      """WITH sc AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |            FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (SELECT cents, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(pos) AS BIGINT) AS npos
+        |      FROM sc GROUP BY 1),
+        |c AS (SELECT *, sum(n) OVER (ORDER BY cents) AS cum_incl FROM g),
+        |t AS (SELECT CAST(sum(npos * (2 * (cum_incl - n) + n + 1)) AS HUGEINT)
+        |               AS rank_sum_x2,
+        |             CAST(sum(npos) AS HUGEINT) AS p,
+        |             CAST(sum(n) - sum(npos) AS HUGEINT) AS nn
+        |      FROM c)
+        |SELECT CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+        |  CAST((rank_sum_x2 - p * (p + 1)) * 1000000
+        |       // nullif(2 * p * nn, 0) AS BIGINT) AS auc_e6
+        |FROM t""".stripMargin,
 
     "stickiness_dau_mau" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
