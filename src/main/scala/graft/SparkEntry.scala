@@ -702,6 +702,33 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")),
     "jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.2)),
+    // ---- k-core peeling over the near-dup graph (k=2, 4 rounds): each
+    // round drops nodes with degree < k and the edges they carried — the
+    // structure that separates incidental pair matches from dense
+    // boilerplate cores. FIXED round count (not a fixpoint loop) so both
+    // engines run the identical computation and the hash matches; at
+    // these SFs 4 rounds reach the fixpoint, and each round is one
+    // map-side-combinable degree count + two semi-joins over the
+    // (banded, pair-sized) edge relation, lineage cut per round ----
+    "dup_graph_kcore" -> ((s, dir) => {
+      var edges = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.2)
+        .select("id_a", "id_b").localCheckpoint()
+      for (_ <- 1 to 4) {
+        val keep = edges.select(col("id_a").as("id"))
+          .unionByName(edges.select(col("id_b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 2).select("id")
+        edges = edges
+          .join(keep.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+          .join(keep.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+          .localCheckpoint()
+      }
+      edges.select(col("id_a").as("id"))
+        .unionByName(edges.select(col("id_b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("core_degree"))
+    }),
+
     // similarity-mass histogram over the pair relation: how many pairs sit
     // in each 0.1-wide Jaccard band — the diagnostic that picks a dedup
     // threshold (a cliff at 0.9 means exact-ish dups; mass at 0.3 means
@@ -6983,6 +7010,47 @@ object SparkEntry {
         |  JOIN sizes sa ON i.id_a = sa.doc_id
         |  JOIN sizes sb ON i.id_b = sb.doc_id)
         |WHERE jaccard >= 0.2""".stripMargin,
+    "dup_graph_kcore" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |e0 AS MATERIALIZED (SELECT id_a, id_b FROM (
+        |         SELECT i.id_a, i.id_b,
+        |           round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6)
+        |             AS jaccard
+        |         FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+        |                      JOIN sizes sb ON i.id_b = sb.doc_id)
+        |       WHERE jaccard >= 0.2),
+        |k1 AS MATERIALIZED (SELECT id FROM (SELECT id, count(*) AS d FROM
+        |         (SELECT id_a AS id FROM e0 UNION ALL SELECT id_b FROM e0)
+        |         GROUP BY 1) WHERE d >= 2),
+        |e1 AS MATERIALIZED (SELECT id_a, id_b FROM e0 WHERE id_a IN (SELECT id FROM k1)
+        |                                   AND id_b IN (SELECT id FROM k1)),
+        |k2 AS MATERIALIZED (SELECT id FROM (SELECT id, count(*) AS d FROM
+        |         (SELECT id_a AS id FROM e1 UNION ALL SELECT id_b FROM e1)
+        |         GROUP BY 1) WHERE d >= 2),
+        |e2 AS MATERIALIZED (SELECT id_a, id_b FROM e1 WHERE id_a IN (SELECT id FROM k2)
+        |                                   AND id_b IN (SELECT id FROM k2)),
+        |k3 AS MATERIALIZED (SELECT id FROM (SELECT id, count(*) AS d FROM
+        |         (SELECT id_a AS id FROM e2 UNION ALL SELECT id_b FROM e2)
+        |         GROUP BY 1) WHERE d >= 2),
+        |e3 AS MATERIALIZED (SELECT id_a, id_b FROM e2 WHERE id_a IN (SELECT id FROM k3)
+        |                                   AND id_b IN (SELECT id FROM k3)),
+        |k4 AS MATERIALIZED (SELECT id FROM (SELECT id, count(*) AS d FROM
+        |         (SELECT id_a AS id FROM e3 UNION ALL SELECT id_b FROM e3)
+        |         GROUP BY 1) WHERE d >= 2),
+        |e4 AS MATERIALIZED (SELECT id_a, id_b FROM e3 WHERE id_a IN (SELECT id FROM k4)
+        |                                   AND id_b IN (SELECT id FROM k4))
+        |SELECT id, CAST(count(*) AS BIGINT) AS core_degree FROM
+        |  (SELECT id_a AS id FROM e4 UNION ALL SELECT id_b AS id FROM e4)
+        |GROUP BY id""".stripMargin,
+
     "dup_jaccard_histogram" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |grams AS (

@@ -831,6 +831,35 @@ object VersionedSnapshot {
         inherited = Map.empty, retain = retain)
     }
 
+  /** Maintenance policy: compact the CURRENT snapshot when its metadata
+    * says the read path has degraded past the thresholds —
+    *
+    *   - `maxOverlays`: pending merge-on-read overlays (each adds a
+    *     reconciliation term to every read until folded), or
+    *   - `maxGenerations`: distinct data generations the bucket manifest
+    *     references (a long CoW merge history scatters buckets across
+    *     many directories, degrading listing/locality).
+    *
+    * This is the scheduling half of the Delta OPTIMIZE / Iceberg
+    * rewrite_data_files story: [[compact]] is the O(table) action, this
+    * decides WHEN from O(metadata) alone — no data is read to make the
+    * decision. Returns the new version if compaction ran, None if the
+    * table is healthy, absent, or flat. Call it on the same cadence as
+    * the merges (e.g. from foreachBatch after N triggers); it is cheap
+    * to call every time. */
+  def maintain(spark: SparkSession, baseDir: String, keys: Seq[String],
+      marker: String, maxOverlays: Int = 4, maxGenerations: Int = 8,
+      retain: Int = 2): Option[Long] =
+    bucketManifest(spark, baseDir).flatMap { case (_, entries) =>
+      val overlays = deltaManifest(spark, baseDir).size
+      val generations = entries.values.map(_.split('/')(1)).toSet.size
+      if (overlays > maxOverlays || generations > maxGenerations)
+        compact(spark, baseDir, keys,
+          marker = s"$marker:maintain(o=$overlays,g=$generations)",
+          retain = retain)
+      else None
+    }
+
   /** MERGE INTO's matched-row clause: overwrite with the source row, or
     * delete the target row. */
   sealed trait MatchedAction

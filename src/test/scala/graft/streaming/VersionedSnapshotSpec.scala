@@ -714,6 +714,43 @@ class VersionedSnapshotSpec extends SparkSpec {
     assert(VersionedSnapshot.validateCurrent(spark, base))
   }
 
+  test("maintain() compacts from metadata thresholds only: overlay pile-up and generation sprawl") {
+    import spark.implicits._
+    import VersionedSnapshot.{UpdateMatched, maintain}
+    val base = Files.createTempDirectory("graft-maint").resolve("snap").toString
+    VersionedSnapshot.mergeInto(base,
+      (1L to 200L).map(i => (i, i * 2L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", numBuckets = 4)
+    // healthy table: no action
+    assert(maintain(spark, base, Seq("k"), "m").isEmpty)
+    // pile up overlays past the threshold
+    (1 to 5).foreach { i =>
+      VersionedSnapshot.stageDelta(base, Seq((i.toLong, 999L)).toDF("k", "v"),
+        Seq("k"), UpdateMatched, marker = s"d$i", retain = 10, numBuckets = 4)
+    }
+    assert(VersionedSnapshot.deltaManifest(spark, base).size == 5)
+    val compacted = maintain(spark, base, Seq("k"), "m", maxOverlays = 4)
+    assert(compacted.isDefined, "5 overlays > 4 must trigger compaction")
+    assert(VersionedSnapshot.deltaManifest(spark, base).isEmpty)
+    // content survived: overlay upserts folded in
+    val got = VersionedSnapshot.read(spark, base).get.as[(Long, Long)].collect().toMap
+    assert(got.size == 200 && got(3L) == 999L && got(100L) == 200L)
+    // and a healthy post-compaction table is again a no-op
+    assert(maintain(spark, base, Seq("k"), "m").isEmpty)
+    // generation sprawl: CoW merges scatter buckets across generations
+    (1 to 6).foreach { i =>
+      VersionedSnapshot.mergeInto(base, Seq((i * 30L, -1L)).toDF("k", "v"),
+        Seq("k"), UpdateMatched, insertUnmatched = false,
+        marker = s"u$i", retain = 10, numBuckets = 4)
+    }
+    val (_, entries) = VersionedSnapshot.bucketManifest(spark, base).get
+    val gens = entries.values.map(_.split('/')(1)).toSet.size
+    assert(maintain(spark, base, Seq("k"), "m", maxGenerations = gens - 1).isDefined)
+    val (_, entries2) = VersionedSnapshot.bucketManifest(spark, base).get
+    assert(entries2.values.map(_.split('/')(1)).toSet.size == 1,
+      "compaction must collapse to one generation")
+  }
+
   test("point reads push literal keys into the parquet scan (row-group pruning below the zonemap)") {
     import spark.implicits._
     import VersionedSnapshot.UpdateMatched
