@@ -349,7 +349,16 @@ object VersionedSnapshot {
       else {
         val s = readSmallFile(f, m).trim
         val cut = s.lastIndexOf(':')
-        if (cut < 0) ("", -1L) else (s.substring(0, cut), s.substring(cut + 1).toLong)
+        // a marker that does not END in a batch id (a manual publish or
+        // an annotated compact, e.g. after a crash between a pre-merge
+        // compact and its merge) carries no replay info — report "none"
+        // so the batch re-applies, which is content-idempotent under
+        // last-writer-wins, rather than throwing and wedging the stream
+        if (cut < 0) ("", -1L)
+        else s.substring(cut + 1).toLongOption match {
+          case Some(id) => (s.substring(0, cut), id)
+          case None => ("", -1L)
+        }
       }
     }.getOrElse(("", -1L))
 
@@ -854,9 +863,10 @@ object VersionedSnapshot {
       val overlays = deltaManifest(spark, baseDir).size
       val generations = entries.values.map(_.split('/')(1)).toSet.size
       if (overlays > maxOverlays || generations > maxGenerations)
-        compact(spark, baseDir, keys,
-          marker = s"$marker:maintain(o=$overlays,g=$generations)",
-          retain = retain)
+        // marker passes through VERBATIM: streaming callers hand the
+        // "tag:batchId" lineage marker, and annotating it here would
+        // corrupt the replay-skip parse (batchId is the last ':' segment)
+        compact(spark, baseDir, keys, marker = marker, retain = retain)
       else None
     }
 
@@ -1198,14 +1208,20 @@ object VersionedSnapshot {
 
   /** Streaming merge-on-read CDC sink: [[mergeSink]]'s contract with
     * O(|batch|) write amplification per trigger regardless of key spread
-    * — each micro-batch lands as one overlay via [[stageDelta]]; run
-    * [[compact]] on a maintenance cadence to bound read-side
-    * reconciliation. The choice between the two sinks is the classic
-    * copy-on-write (read-optimized) vs merge-on-read (write-optimized)
-    * table split. */
+    * — each micro-batch lands as one overlay via [[stageDelta]]. The
+    * read-side reconciliation cost grows with the overlay count, so the
+    * sink is SELF-MAINTAINING: after each staged batch, [[maintain]]
+    * folds the overlays whenever more than `maxOverlays` are pending
+    * (compaction commits through the same atomic pointer flip, so a
+    * crash between stage and fold just leaves overlays for the next
+    * trigger's maintenance to fold — nothing is lost or doubled). Pass
+    * `maxOverlays = Int.MaxValue` to manage compaction externally. The
+    * choice between the two sinks is the classic copy-on-write
+    * (read-optimized) vs merge-on-read (write-optimized) table split. */
   def deltaSink(updates: DataFrame, keys: Seq[String], orderCol: String,
       baseDir: String, checkpoint: String, retain: Int = 2,
-      numBuckets: Int = 32): DataStreamWriter[org.apache.spark.sql.Row] =
+      numBuckets: Int = 32, maxOverlays: Int = 8)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
     updates.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -1214,6 +1230,11 @@ object VersionedSnapshot {
         stageDeltaBatch(batch, keys, orderCol, baseDir,
           checkpointTag = checkpoint, batchId = batchId, retain = retain,
           numBuckets = numBuckets)
+        if (maxOverlays != Int.MaxValue)
+          maintain(batch.sparkSession, baseDir, keys,
+            marker = s"$checkpoint:$batchId", maxOverlays = maxOverlays,
+            retain = retain)
+        ()
       }
 
   /** One MERGE INTO cycle driven by a micro-batch — [[mergeInto]] with

@@ -714,6 +714,49 @@ class VersionedSnapshotSpec extends SparkSpec {
     assert(VersionedSnapshot.validateCurrent(spark, base))
   }
 
+  test("deltaSink self-maintains: overlays fold once maxOverlays is exceeded, content intact") {
+    val dir = Files.createTempDirectory("graft-dsm")
+    val inDir = dir.resolve("in"); Files.createDirectories(inDir)
+    (1 to 6).foreach { i =>
+      Files.writeString(inDir.resolve(s"s$i.csv"),
+        s"user_id,track_id,listen_time\n$i,t$i,2024-06-25T10:0$i:00.000Z\n" +
+          s"1,tU$i,2024-06-25T11:0$i:00.000Z\n")
+      java.nio.file.Files.setLastModifiedTime(inDir.resolve(s"s$i.csv"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val stream = StreamingKpis.fileStream(spark, Sources.streamsSchema,
+      inDir.toString, maxFilesPerTrigger = 1)
+    val base = dir.resolve("snap").toString
+    VersionedSnapshot.deltaSink(stream, Seq("user_id"), "listen_time",
+        base, dir.resolve("ckpt").toString, maxOverlays = 1)
+      .start().awaitTermination(120000)
+    // maintenance ran: pending overlays bounded by the threshold, never
+    // the batch count
+    assert(VersionedSnapshot.deltaManifest(spark, base).size <= 1)
+    val got = VersionedSnapshot.read(spark, base).get
+      .selectExpr("user_id", "track_id").collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getString(1)).toMap
+    // user 1 saw an update in every batch — last writer wins through the
+    // stage+fold cycles; every other user keeps its single row
+    assert(got == Map(1L -> "tU6", 2L -> "t2", 3L -> "t3", 4L -> "t4",
+      5L -> "t5", 6L -> "t6"))
+    // and the lineage marker survived maintenance in tag:batchId form
+    assert(VersionedSnapshot.lastApplied(spark, base)._2 == 5L)
+  }
+
+  test("lastApplied tolerates non-lineage markers (annotated compact, manual publish)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-mark").resolve("snap").toString
+    VersionedSnapshot.publish(Seq((1L, 2L)).toDF("k", "v"), base,
+      marker = "manual:pre-merge-compact")
+    // a marker not ending in a batch id must read as "no replay info",
+    // never throw (a crash between a pre-merge compact and its merge
+    // leaves exactly this state)
+    assert(VersionedSnapshot.lastApplied(spark, base) == ("", -1L))
+    VersionedSnapshot.publish(Seq((1L, 2L)).toDF("k", "v"), base, marker = "ck:7")
+    assert(VersionedSnapshot.lastApplied(spark, base) == ("ck", 7L))
+  }
+
   test("maintain() compacts from metadata thresholds only: overlay pile-up and generation sprawl") {
     import spark.implicits._
     import VersionedSnapshot.{UpdateMatched, maintain}
