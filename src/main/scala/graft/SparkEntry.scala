@@ -4,7 +4,7 @@ import graft.etl.MusicKpis
 import graft.functions.Text
 import graft.operators.{Dedup, GroupTop, Mixture, Similarity}
 import graft.quality.Checks
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1882,6 +1882,49 @@ object SparkEntry {
     // customer/supplier AQE picks broadcast-vs-shuffle from actual
     // post-filter sizes at runtime. The c_nationkey = s_nationkey residual
     // (customer and supplier co-national) rides on the supplier join ----
+    // ---- referential-integrity audit: orphan counts per FK edge of the
+    // star schema in one summary relation — each edge is a broadcast
+    // (dimension-side) left join + conditional count, map-side
+    // combinable; the fact side streams once per edge. The check the
+    // reference's validation family runs before every load ----
+    "fk_orphans_report" -> ((s, dir) => {
+      def edge(name: String, fact: DataFrame, fk: Column,
+          dim: DataFrame, pk: Column): DataFrame =
+        fact.join(broadcast(dim.select(pk.as("__pk")).distinct()),
+            fk === col("__pk"), "left")
+          .agg(lit(name).as("fk_edge"),
+            count(lit(1)).as("n_rows"),
+            count(when(col("__pk").isNull && fk.isNotNull, 1)).as("n_orphans"),
+            count(when(fk.isNull, 1)).as("n_null_fk"))
+      edge("orders.custkey->customer", Tables.orders(s, dir),
+          col("o_custkey"), Tables.customer(s, dir), col("c_custkey"))
+        .unionByName(edge("lineitem.orderkey->orders", Tables.lineitem(s, dir),
+          col("l_orderkey"), Tables.orders(s, dir), col("o_orderkey")))
+        .unionByName(edge("lineitem.partkey->part", Tables.lineitem(s, dir),
+          col("l_partkey"), Tables.part(s, dir), col("p_partkey")))
+        .unionByName(edge("customer.nationkey->nation", Tables.customer(s, dir),
+          col("c_nationkey"), Tables.nation(s, dir), col("n_nationkey")))
+    }),
+
+    // ---- primary-key uniqueness audit across the dimension/fact keys:
+    // one map-side-combinable groupBy per table reduced to a 1-row
+    // summary (tables with dup keys and how many keys collide) ----
+    "pk_uniqueness_audit" -> ((s, dir) => {
+      def audit(name: String, df: DataFrame, key: Column): DataFrame =
+        df.groupBy(key.as("__k")).agg(count(lit(1)).as("__n"))
+          .agg(lit(name).as("table_name"),
+            count(lit(1)).as("n_keys"),
+            count(when(col("__n") > 1, 1)).as("n_dup_keys"),
+            coalesce(sum(when(col("__n") > 1, col("__n"))), lit(0L))
+              .as("n_rows_in_dups"))
+      audit("orders", Tables.orders(s, dir), col("o_orderkey"))
+        .unionByName(audit("customer", Tables.customer(s, dir), col("c_custkey")))
+        .unionByName(audit("part", Tables.part(s, dir), col("p_partkey")))
+        .unionByName(audit("supplier", Tables.supplier(s, dir), col("s_suppkey")))
+        .unionByName(audit("events", Tables.events(s, dir), col("event_id")))
+        .unionByName(audit("documents", Tables.documents(s, dir), col("doc_id")))
+    }),
+
     // ---- TPC-H Q17 shape: revenue from line items whose quantity sits
     // below 20% of their part's average — the correlated scalar subquery
     // as one map-side-combinable per-part aggregate re-joined to the
@@ -6017,6 +6060,50 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "fk_orphans_report" ->
+      """SELECT 'orders.custkey->customer' AS fk_edge,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN c_custkey IS NULL AND o_custkey IS NOT NULL
+        |                  THEN 1 END) AS BIGINT) AS n_orphans,
+        |  CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS n_null_fk
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |UNION ALL
+        |SELECT 'lineitem.orderkey->orders',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(count(CASE WHEN o_orderkey IS NULL AND l_orderkey IS NOT NULL
+        |                  THEN 1 END) AS BIGINT),
+        |  CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT)
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT 'lineitem.partkey->part',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(count(CASE WHEN p_partkey IS NULL AND l_partkey IS NOT NULL
+        |                  THEN 1 END) AS BIGINT),
+        |  CAST(count(CASE WHEN l_partkey IS NULL THEN 1 END) AS BIGINT)
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |UNION ALL
+        |SELECT 'customer.nationkey->nation',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(count(CASE WHEN n_nationkey IS NULL AND c_nationkey IS NOT NULL
+        |                  THEN 1 END) AS BIGINT),
+        |  CAST(count(CASE WHEN c_nationkey IS NULL THEN 1 END) AS BIGINT)
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+
+    "pk_uniqueness_audit" ->
+      """WITH a AS (
+        |  SELECT 'orders' AS t, o_orderkey AS k FROM orders UNION ALL
+        |  SELECT 'customer', c_custkey FROM customer UNION ALL
+        |  SELECT 'part', p_partkey FROM part UNION ALL
+        |  SELECT 'supplier', s_suppkey FROM supplier UNION ALL
+        |  SELECT 'events', event_id FROM events UNION ALL
+        |  SELECT 'documents', doc_id FROM documents),
+        |g AS (SELECT t, k, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1, 2)
+        |SELECT t AS table_name, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS n_dup_keys,
+        |  CAST(COALESCE(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+        |    AS n_rows_in_dups
+        |FROM g GROUP BY 1""".stripMargin,
 
     "q17_small_qty_revenue" ->
       """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
