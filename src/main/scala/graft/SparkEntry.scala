@@ -1986,6 +1986,270 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    // ---- TPC-H Q4 shape (adapted: no commit/receipt dates in this
+    // schema, so "late" = shipped >60 days after the order date): order
+    // count per priority where at least one line shipped late. The
+    // EXISTS is a LEFT SEMI join — each order is counted once no matter
+    // how many late lines it has, and the orders side never fans out.
+    // The correlated predicate (l_shipdate vs o_orderdate+60d) rides on
+    // the join condition, evaluated before the semi-match dedup ----
+    "q4_order_priority" -> ((s, dir) => {
+      val lo = lit("1996-07-01").cast("timestamp")
+      val hi = lit("1996-10-01").cast("timestamp")
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .join(Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // ---- TPC-H Q6 shape: the pure scan-filter-aggregate — every
+    // predicate (ship year, discount band, quantity cap) pushes into the
+    // parquet scan, and the whole query is one map-side partial + one
+    // 1-row reduce; zero wide shuffles at any scale. The discount band
+    // [0.05, 0.07] is matched on the recovered integer percent, so the
+    // boundary rows are classified exactly (0.07 as a double is not
+    // representable; ×100-round is) ----
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_quantity") < 24)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          round(col("l_discount") * 100).cast("long").as("disc_pct"))
+        .filter(col("disc_pct").between(5, 7))
+        .agg(sum(col("cents") * col("disc_pct")).as("revenue_e4"),
+          count(lit(1)).as("n_lines"))),
+
+    // ---- TPC-H Q7 shape: bilateral shipping volume between two nations
+    // by ship year. The 2-row filtered nation dims are broadcast and
+    // joined FIRST on each side's path (supplier→n1, customer→n2), so
+    // the expensive fact joins only carry rows from the two nations;
+    // the direction filter (3→7 or 7→3) then removes the two domestic
+    // combinations. No hint on orders/customer/supplier — AQE sizes
+    // them post-filter ----
+    "q7_volume_shipping" -> ((s, dir) => {
+      val pair = Seq("NATION_3", "NATION_7")
+      val n1 = broadcast(Tables.nation(s, dir)
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(s, dir)
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      Tables.supplier(s, dir).join(n1, col("s_nationkey") === col("s_nk"))
+        .join(Tables.lineitem(s, dir)
+            .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).join(n2, col("c_nationkey") === col("c_nk")),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("revenue_e4"))
+    }),
+
+    // ---- TPC-H Q8 shape (national market share): NATION_3 suppliers'
+    // share of all revenue sold into ASIA-region customers, per order
+    // year. The market restriction is a LEFT SEMI against the
+    // region-filtered customer keys (reduces the fact stream before the
+    // supplier join); the share is a conditional-sum / total-sum pair in
+    // ONE aggregate — never two scans — then an exact decimal-staged
+    // integer division (the [[nation_share_trend]] discipline) ----
+    "q8_market_share" -> ((s, dir) => {
+      val custAsia = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey")
+      val suppNation = broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val e4 = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(suppNation, col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(coalesce(sum(when(col("supp_nation") === "NATION_3", e4)), lit(0L))
+            .as("nation_e4"),
+          sum(e4).as("total_e4"))
+        .withColumn("mkt_share_e6", expr(
+          """CAST(nation_e4 AS DECIMAL(38,0)) * 1000000
+             div nullif(CAST(total_e4 AS DECIMAL(38,0)), 0)"""))
+    }),
+
+    // ---- TPC-H Q10 shape (returned-item reporting): top 20 customers
+    // by returned revenue in a quarter. Revenue is aggregated per
+    // custkey BEFORE the customer/nation joins (the reduce-first rule:
+    // the join input is |customers-with-returns|, not |line items|), and
+    // the top-20 is orderBy+limit — Spark plans TakeOrderedAndProject
+    // (per-partition heaps + driver merge of 20-row tops), never a
+    // global sort. Integer revenue + custkey tiebreak make the selected
+    // SET deterministic, so the oracle's LIMIT agrees ----
+    "q10_returned_items" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("revenue_e4"))
+      rev.join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue_e4"),
+          round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+          col("n_name"))
+        .orderBy(col("revenue_e4").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // ---- TPC-H Q12 shape (adapted: return flag stands in for ship
+    // mode): per flag, how many LATE lines (>90 days after order) came
+    // from high- vs low-priority orders. One fact join, one conditional
+    // two-counter aggregate — the canonical "pivot by CASE" reduce ----
+    "q12_late_by_priority" -> ((s, dir) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(count(when(high, 1)).as("high_line_count"),
+          count(when(!high, 1)).as("low_line_count"))
+    }),
+
+    // ---- TPC-H Q13 shape (customer order-count distribution): LEFT
+    // OUTER join so zero-order customers survive with c_count = 0
+    // (count(o_orderkey) skips the null from the unmatched side), then
+    // a second, tiny aggregate over the distinct counts. The excluded
+    // priority class rides the orders scan as a pushed filter ----
+    "q13_custdist" -> ((s, dir) =>
+      Tables.customer(s, dir).select("c_custkey")
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+            .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))),
+
+    // ---- TPC-H Q14 shape (promo revenue share): PROMO-typed parts'
+    // share of one month's revenue. Conditional + total sums in ONE
+    // aggregate over the part join; exact decimal-staged share ----
+    "q14_promo_share" -> ((s, dir) => {
+      val e4 = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(Tables.part(s, dir).select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(coalesce(sum(when(col("p_type") === "PROMO", e4)), lit(0L))
+            .as("promo_e4"),
+          sum(e4).as("total_e4"))
+        .withColumn("promo_share_e6", expr(
+          """CAST(promo_e4 AS DECIMAL(38,0)) * 1000000
+             div nullif(CAST(total_e4 AS DECIMAL(38,0)), 0)"""))
+    }),
+
+    // ---- TPC-H Q15 shape (top supplier by quarterly revenue): the
+    // revenue view aggregates per suppkey first; the max is a 1-row
+    // broadcast joined back on EQUALITY of exact-integer revenue — ties
+    // all surface (the spec's "every supplier at the max"), nothing is
+    // dropped by an arbitrary limit ----
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("total_revenue_e4"))
+      rev.join(broadcast(rev.agg(max(col("total_revenue_e4")).as("mx"))),
+          col("total_revenue_e4") === col("mx"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_e4"))
+    }),
+
+    // ---- TPC-H Q18 shape (large-volume orders): the HAVING subquery is
+    // a per-orderkey quantity sum filtered BEFORE any dimension join —
+    // at 100 TB the join input is only the handful of jumbo orders.
+    // Quantities are integral doubles; cast to long for an exact sum ----
+    "q18_large_volume" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 160)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_date"),
+          round(col("o_totalprice") * 100).cast("long").as("totalprice_cents"),
+          col("sum_qty"))
+    }),
+
+    // ---- TPC-H Q19 shape (disjunctive predicate revenue): three
+    // (brand × size-band × quantity-band) alternatives OR'd together.
+    // The per-table halves of the disjunction (brand∈{...}, size≤15 /
+    // quantity≤30) are ALSO stated as conjunctive prefilters so each
+    // side prunes at its scan; the residual OR evaluates post-join ----
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      val qty = col("l_quantity").cast("long")
+      val alt = (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          qty.between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          qty.between(10, 20)) ||
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+          qty.between(20, 30))
+      Tables.lineitem(s, dir).filter(qty.between(1, 30))
+        .join(Tables.part(s, dir)
+            .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#4") &&
+              col("p_size").between(1, 15)),
+          col("l_partkey") === col("p_partkey"))
+        .filter(alt)
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("revenue_e4"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // ---- TPC-H Q22 shape (adapted: market segment stands in for the
+    // phone country code): rich-but-idle customers — balance above the
+    // positive-balance average, no orders at all. The average is a
+    // 1-row broadcast compared as the cross-multiplied exact rational
+    // (bal·n > Σbal — no division, no float), the "no orders" test a
+    // LEFT ANTI against the orders keys ----
+    "q22_idle_customers" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).select(col("c_custkey"),
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val stats = cust.filter(col("bal_cents") > 0)
+        .agg(sum(col("bal_cents")).as("pos_sum"), count(lit(1)).as("pos_n"))
+      cust.crossJoin(broadcast(stats)) // 1-row aggregate, per repo convention
+        .filter(col("bal_cents") * col("pos_n") > col("pos_sum"))
+        .join(Tables.orders(s, dir).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totacctbal_cents"))
+    }),
+
     // ---- event-time RANGE frame: per-customer rolling 30-day revenue.
     // RANGE (value-based) frames are the one window-frame family nothing
     // else exercises: the frame is [ts-30d, ts], includes ALL timestamp
@@ -6128,6 +6392,178 @@ object SparkEntry {
         |FROM ps JOIN part ON l_partkey = p_partkey
         |WHERE p_size <= 20
         |GROUP BY 1, 2""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |          CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_quantity < 24
+        |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |         AS revenue_e4
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |  AND c_custkey = o_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT)) AS e4,
+        |         n2.n_name AS supp_nation
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |       JOIN supplier ON l_suppkey = s_suppkey
+        |       JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |    AND o_custkey IN (SELECT c_custkey
+        |                      FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |                           JOIN region ON n_regionkey = r_regionkey
+        |                      WHERE r_name = 'ASIA'))
+        |SELECT o_year,
+        |  CAST(COALESCE(sum(CASE WHEN supp_nation = 'NATION_3' THEN e4 END), 0)
+        |       AS BIGINT) AS nation_e4,
+        |  CAST(sum(e4) AS BIGINT) AS total_e4,
+        |  CAST(CAST(COALESCE(sum(CASE WHEN supp_nation = 'NATION_3' THEN e4 END), 0)
+        |            AS HUGEINT) * 1000000
+        |       // nullif(CAST(sum(e4) AS HUGEINT), 0) AS BIGINT) AS mkt_share_e6
+        |FROM vol GROUP BY 1""".stripMargin,
+
+    "q10_returned_items" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |           AS revenue_e4
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, revenue_e4,
+        |       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents, n_name
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        |         JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q12_late_by_priority" ->
+      """SELECT l_returnflag,
+        | CAST(count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                 THEN 1 END) AS BIGINT) AS high_line_count,
+        | CAST(count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                 THEN 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1""".stripMargin,
+
+    "q13_custdist" ->
+      """WITH oc AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM oc GROUP BY 1""".stripMargin,
+
+    "q14_promo_share" ->
+      """WITH j AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT)) AS e4,
+        |         p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT
+        |  CAST(COALESCE(sum(CASE WHEN p_type = 'PROMO' THEN e4 END), 0) AS BIGINT)
+        |    AS promo_e4,
+        |  CAST(sum(e4) AS BIGINT) AS total_e4,
+        |  CAST(CAST(COALESCE(sum(CASE WHEN p_type = 'PROMO' THEN e4 END), 0)
+        |            AS HUGEINT) * 1000000
+        |       // nullif(CAST(sum(e4) AS HUGEINT), 0) AS BIGINT) AS promo_share_e6
+        |FROM j""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |           AS total_revenue_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue_e4
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)""".stripMargin,
+
+    "q18_large_volume" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |           AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 160)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS o_date,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        |       sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |         JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |     (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |   AS revenue_e4,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |        AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |        AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |st AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS pos_sum,
+        |              CAST(count(*) AS BIGINT) AS pos_n
+        |       FROM cust WHERE bal_cents > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM cust, st
+        |WHERE bal_cents * pos_n > pos_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
 
     "value_auc" ->
       """WITH sc AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
