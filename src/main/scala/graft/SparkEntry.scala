@@ -41,6 +41,8 @@ object SparkEntry {
   private val ShMaxHamming = 7  // simhash_pairs: Hamming radius
   private val ShBlocks = 9      // simhash_pairs: block count (60-bit portable)
   private val ShBlocksPerKey = 2 // simhash_pairs: blocks per join key
+  private val LpDegCap = 32     // dup_link_prediction: wedge-center degree cap
+  private val LpTopK = 50       // dup_link_prediction: predicted links kept
   private val SemNlist = 16     // semantic_dedup_*: codebook cells (= IvfNlist codebook)
   private val SemThreshold = 0.4 // semantic_dedup_*: within-cell cosine threshold
   private val SubK = 6          // substring_dup_*: token-window length
@@ -1021,6 +1023,159 @@ object SparkEntry {
           portable = true),
         "id_a", "id_b")
         .select(col("id").as("doc_id"), col("n_triangles"))),
+
+    // ---- local clustering coefficient over the same near-dup graph:
+    // 2·T(v)·1e6 div (d·(d−1)) for every node with d ≥ 2 — the per-node
+    // density score that separates clique members (boilerplate families,
+    // coeff→1e6) from chain links (transitive overmerge risk, coeff→0).
+    // Shares the triangle machinery (degree-ordered wedges, O(m^1.5));
+    // the canonical edge set is checkpointed once and feeds both the
+    // degree count and the triangle enumeration ----
+    "dup_graph_clustering_coeff" -> ((s, dir) => {
+      val e = Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = ShMaxHamming, blocks = ShBlocks, blocksPerKey = ShBlocksPerKey,
+          portable = true)
+        .select(least(col("id_a"), col("id_b")).as("a"),
+          greatest(col("id_a"), col("id_b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+      val tri = graft.operators.Components.triangleCounts(e, "a", "b")
+      deg.filter(col("degree") >= 2)
+        .join(tri, Seq("id"), "left")
+        .select(col("id").as("doc_id"), col("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          expr("""CAST(coalesce(n_triangles, 0) AS DECIMAL(38,0)) * 2000000
+                  div (CAST(degree AS DECIMAL(38,0)) * (degree - 1))""")
+            .as("clustering_e6"))
+    }),
+
+    // ---- common-neighbor link prediction (Liben-Nowell & Kleinberg '03)
+    // over the near-dup graph: score non-adjacent pairs at distance 2 by
+    // shared-neighbor count — the cheap "these two probably duplicate
+    // each other too" candidate generator that densifies a sparse pair
+    // relation before clustering. Wedge enumeration is centered (every
+    // common neighbor IS a wedge center, so Σd² is inherent to the
+    // semantics); the degree cap on centers bounds the fan-out per task
+    // (a hub's wedges are boilerplate noise, the standard LP discipline
+    // of dropping promiscuous centers). Top-k with full tiebreak, so the
+    // selected SET is deterministic ----
+    "dup_link_prediction" -> ((s, dir) => {
+      val e = Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = ShMaxHamming, blocks = ShBlocks, blocksPerKey = ShBlocksPerKey,
+          portable = true)
+        .select(least(col("id_a"), col("id_b")).as("a"),
+          greatest(col("id_a"), col("id_b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      val adj = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val lowDeg = adj.groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") <= LpDegCap).select("u")
+      val nb = adj.join(lowDeg, Seq("u"), "left_semi")
+      val scored = nb
+        .join(nb.select(col("u").as("u2"), col("v").as("w")),
+          col("u") === col("u2") && col("v") < col("w"))
+        .groupBy(col("v"), col("w")).agg(count(lit(1)).as("n_common"))
+      scored.join(e, scored("v") === e("a") && scored("w") === e("b"), "left_anti")
+        .select(col("v").as("doc_a"), col("w").as("doc_b"), col("n_common"))
+        .orderBy(col("n_common").desc, col("doc_a").asc, col("doc_b").asc)
+        .limit(LpTopK)
+    }),
+
+    // ---- cross-source duplicate crosstab: near-dup pair counts per
+    // canonical source pair — the "which sources copy from which"
+    // contamination matrix. One bounded pair relation (banded Jaccard),
+    // two dimension joins, one |sources|² max aggregate ----
+    "dup_source_crosstab" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.2)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")),
+          Seq("id_b"))
+        .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // ---- Fellegi-Sunter field weights (JASA '69): per matching field,
+    // m = P(agree | match) from the banded-Jaccard near-dup pairs and
+    // u = P(agree | non-match) from SNM candidate pairs that did NOT
+    // match — the two probabilities a probabilistic record-linkage
+    // scorer combines into agreement weights. Kept as exact e6 rationals
+    // (plus the m/u ratio in e6) rather than log-odds, the repo's
+    // cross-engine discipline. Both pair relations are bounded (banded /
+    // windowed), each aggregated in ONE conditional-count pass; the
+    // per-field rows come from a 1-row × 1-row stack, not re-scans ----
+    "er_field_weights" -> ((s, dir) => {
+      val attrs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        col("source"), expr("CAST(n_chars AS BIGINT) div 100").as("len_band"))
+      val matches = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.2)
+        .select("id_a", "id_b").localCheckpoint() // read by u's anti-join too
+      val cand = graft.operators.SortedNeighborhood.candidatePairs(
+          Tables.documents(s, dir).select(col("doc_id"),
+            substring(coalesce(lower(col("text")), lit("")), 1, SnmKeyLen)
+              .as("snm_key")),
+          "doc_id", "snm_key", SnmWindow)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+      val nonMatches = cand.join(matches, Seq("id_a", "id_b"), "left_anti")
+      def agreeAgg(pairs: DataFrame, tag: String): DataFrame =
+        pairs
+          .join(attrs.select(col("doc_id").as("id_a"), col("lang").as("lang_a"),
+            col("source").as("src_a"), col("len_band").as("len_a")), Seq("id_a"))
+          .join(attrs.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+            col("source").as("src_b"), col("len_band").as("len_b")), Seq("id_b"))
+          .agg(count(lit(1)).as(s"${tag}_total"),
+            count(when(col("lang_a") === col("lang_b"), 1)).as(s"${tag}_lang"),
+            count(when(col("src_a") === col("src_b"), 1)).as(s"${tag}_src"),
+            count(when(col("len_a") === col("len_b"), 1)).as(s"${tag}_len"))
+      agreeAgg(matches, "m")
+        .crossJoin(broadcast(agreeAgg(nonMatches, "u"))) // 1-row × 1-row
+        .select(expr("""stack(3,
+            'lang',     m_lang, m_total, u_lang, u_total,
+            'source',   m_src,  m_total, u_src,  u_total,
+            'len_band', m_len,  m_total, u_len,  u_total)
+            AS (field, m_agree, m_total, u_agree, u_total)"""))
+        .withColumn("m_e6", expr("m_agree * 1000000 div nullif(m_total, 0)"))
+        .withColumn("u_e6", expr("u_agree * 1000000 div nullif(u_total, 0)"))
+        .withColumn("weight_ratio_e6",
+          expr("m_e6 * 1000000 div nullif(u_e6, 0)"))
+    }),
+
+    // ---- exact autocorrelation of daily revenue at lags 1..7 — the
+    // seasonality detector (a weekly cycle shows as a lag-7 peak).
+    // Mean-centering stays integer by scaling: y_t = n·c_t − Σc (×n of
+    // the residual), so r_k = Σ y_t·y_{t+k} / Σ y² is unchanged and
+    // every term is exact in decimal(38,0) — headroom to ~$1T/day of
+    // revenue, far past any real corpus. The day dimension is calendar-
+    // bounded, so the lag self-join is over a tiny relation; a missing
+    // day simply contributes no pair at that lag (both engines agree) ----
+    "daily_acf" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+        .localCheckpoint() // calendar-bounded; read by stats + both legs
+      val st = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("s_sum"))
+      val yrel = daily.crossJoin(broadcast(st)) // 1-row stats
+        .select(col("t"),
+          (col("c") * col("n") - col("s_sum")).cast("decimal(38,0)").as("y"))
+        .localCheckpoint()
+      val denom = yrel.agg(sum(col("y") * col("y")).as("d2"))
+      val byLag = yrel
+        .select(explode(array((1 to 7).map(lit(_)): _*)).as("lag"),
+          col("t"), col("y"))
+        .join(yrel.select(col("t").as("t2"), col("y").as("y2")),
+          col("t2") === col("t") + col("lag"))
+        .groupBy("lag").agg(sum(col("y") * col("y2")).as("num"),
+          count(lit(1)).as("n_pairs"))
+      byLag.crossJoin(broadcast(denom)) // 1-row denominator
+        .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+          expr("num * 1000000 div nullif(d2, 0)").as("acf_e6"))
+    }),
 
     // ---- KMV set sketches: per-event-type user sets sketched to the 64
     // smallest portable hashes; pairwise Jaccard estimated from merged
@@ -4910,6 +5065,147 @@ object SparkEntry {
        |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
        |FROM tnodes GROUP BY 1""".stripMargin
 
+  /** Canonical undirected edge set of the simhash near-dup graph — the
+    * shared derived table under the triangle / clustering-coefficient /
+    * link-prediction oracles. */
+  private def dupEdgesCte: String =
+    s"""sp AS (SELECT id_a, id_b FROM ($simHashOracle)),
+       |e AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+       |      FROM sp WHERE id_a <> id_b)""".stripMargin
+
+  /** Mirror of [[SparkEntry.queries]] `dup_graph_clustering_coeff`:
+    * degree + canonical triangle counts over [[dupEdgesCte]], coefficient
+    * as the exact HUGEINT-staged e6 rational. */
+  private def clusteringCoeffOracle: String =
+    s"""WITH $dupEdgesCte,
+       |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+       |          SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+       |        GROUP BY 1),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |        FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+       |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |tcnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+       |           SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+       |           UNION ALL SELECT z FROM tri)
+       |         GROUP BY 1)
+       |SELECT deg.id AS doc_id, degree,
+       |       CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+       |       CAST(CAST(COALESCE(n_triangles, 0) AS HUGEINT) * 2000000
+       |            // (CAST(degree AS HUGEINT) * (degree - 1)) AS BIGINT)
+       |         AS clustering_e6
+       |FROM deg LEFT JOIN tcnt ON deg.id = tcnt.id
+       |WHERE degree >= 2""".stripMargin
+
+  /** Mirror of `dup_link_prediction`: capped-center wedge counting minus
+    * existing edges, deterministic top-k. */
+  private def linkPredictionOracle: String =
+    s"""WITH $dupEdgesCte,
+       |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT u, count(*) AS d FROM adj GROUP BY 1),
+       |nb AS (SELECT adj.u, adj.v FROM adj JOIN deg USING (u)
+       |       WHERE d <= $LpDegCap),
+       |sc AS (SELECT n1.v AS v, n2.v AS w, CAST(count(*) AS BIGINT) AS n_common
+       |       FROM nb n1 JOIN nb n2 ON n1.u = n2.u AND n1.v < n2.v
+       |       GROUP BY 1, 2),
+       |np AS (SELECT v, w, n_common FROM sc
+       |       WHERE NOT EXISTS (SELECT 1 FROM e WHERE a = sc.v AND b = sc.w))
+       |SELECT v AS doc_a, w AS doc_b, n_common
+       |FROM np ORDER BY n_common DESC, doc_a, doc_b LIMIT $LpTopK""".stripMargin
+
+  /** Banded-Jaccard canonical pair set (threshold 0.2) — the shared
+    * derived table under the crosstab / Fellegi-Sunter oracles; mirrors
+    * the inline `jaccard_pairs` oracle. */
+  private def jaccardPairsCte: String =
+    """jtoks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |jgrams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+      |  FROM jtoks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+      |jsizes AS (SELECT doc_id, count(*) AS n FROM jgrams GROUP BY doc_id),
+      |jinter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM jgrams a JOIN jgrams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |jp AS (
+      |  SELECT i.id_a, i.id_b
+      |  FROM jinter i JOIN jsizes sa ON i.id_a = sa.doc_id
+      |                JOIN jsizes sb ON i.id_b = sb.doc_id
+      |  WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6)
+      |          >= 0.2)""".stripMargin
+
+  private def dupSourceCrosstabOracle: String =
+    s"""WITH $jaccardPairsCte
+       |SELECT least(sa.source, sb.source) AS source_a,
+       |       greatest(sa.source, sb.source) AS source_b,
+       |       CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM jp JOIN documents sa ON jp.id_a = sa.doc_id
+       |        JOIN documents sb ON jp.id_b = sb.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Mirror of `er_field_weights`: m from the Jaccard match pairs, u from
+    * SNM candidates minus matches, exact e6 rationals throughout. */
+  private def erFieldWeightsOracle: String =
+    s"""WITH $jaccardPairsCte,
+       |snmk AS (
+       |  SELECT doc_id, row_number() OVER (
+       |           ORDER BY substr(coalesce(lower(text), ''), 1, $SnmKeyLen),
+       |                    doc_id) AS rn
+       |  FROM documents),
+       |cand AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+       |                greatest(a.doc_id, b.doc_id) AS id_b
+       |         FROM snmk a JOIN snmk b ON b.rn - a.rn BETWEEN 1 AND $SnmWindow),
+       |u AS (SELECT id_a, id_b FROM cand
+       |      WHERE NOT EXISTS (SELECT 1 FROM jp
+       |                        WHERE jp.id_a = cand.id_a AND jp.id_b = cand.id_b)),
+       |att AS (SELECT doc_id, lang, source,
+       |               CAST(n_chars AS BIGINT) // 100 AS len_band
+       |        FROM documents),
+       |ma AS (SELECT CAST(count(*) AS BIGINT) AS m_total,
+       |         CAST(count(CASE WHEN a.lang = b.lang THEN 1 END) AS BIGINT) AS m_lang,
+       |         CAST(count(CASE WHEN a.source = b.source THEN 1 END) AS BIGINT) AS m_src,
+       |         CAST(count(CASE WHEN a.len_band = b.len_band THEN 1 END) AS BIGINT) AS m_len
+       |       FROM jp JOIN att a ON jp.id_a = a.doc_id
+       |               JOIN att b ON jp.id_b = b.doc_id),
+       |ua AS (SELECT CAST(count(*) AS BIGINT) AS u_total,
+       |         CAST(count(CASE WHEN a.lang = b.lang THEN 1 END) AS BIGINT) AS u_lang,
+       |         CAST(count(CASE WHEN a.source = b.source THEN 1 END) AS BIGINT) AS u_src,
+       |         CAST(count(CASE WHEN a.len_band = b.len_band THEN 1 END) AS BIGINT) AS u_len
+       |       FROM u JOIN att a ON u.id_a = a.doc_id
+       |              JOIN att b ON u.id_b = b.doc_id),
+       |rows_ AS (
+       |  SELECT 'lang' AS field, m_lang AS m_agree, m_total, u_lang AS u_agree,
+       |         u_total FROM ma, ua
+       |  UNION ALL
+       |  SELECT 'source', m_src, m_total, u_src, u_total FROM ma, ua
+       |  UNION ALL
+       |  SELECT 'len_band', m_len, m_total, u_len, u_total FROM ma, ua)
+       |SELECT field, m_agree, m_total, u_agree, u_total,
+       |  CAST(m_agree * 1000000 // nullif(m_total, 0) AS BIGINT) AS m_e6,
+       |  CAST(u_agree * 1000000 // nullif(u_total, 0) AS BIGINT) AS u_e6,
+       |  CAST((m_agree * 1000000 // nullif(m_total, 0)) * 1000000
+       |       // nullif(u_agree * 1000000 // nullif(u_total, 0), 0) AS BIGINT)
+       |    AS weight_ratio_e6
+       |FROM rows_""".stripMargin
+
+  /** Mirror of `daily_acf`: scaled-residual integer autocorrelation over
+    * the calendar-bounded daily revenue series. */
+  private def dailyAcfOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |              CAST(sum(c) AS BIGINT) AS s_sum FROM daily),
+      |y AS (SELECT t, CAST(c * n - s_sum AS HUGEINT) AS y FROM daily, st),
+      |d2 AS (SELECT sum(y * y) AS d2 FROM y),
+      |lags AS (SELECT UNNEST(range(1, 8)) AS lag),
+      |num AS (SELECT lag, sum(y1.y * y2.y) AS num,
+      |               CAST(count(*) AS BIGINT) AS n_pairs
+      |        FROM lags CROSS JOIN y y1 JOIN y y2 ON y2.t = y1.t + lags.lag
+      |        GROUP BY 1)
+      |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+      |       CAST(num * 1000000 // nullif(d2.d2, 0) AS BIGINT) AS acf_e6
+      |FROM num, d2""".stripMargin
+
   /** Mirror of [[graft.operators.Sketches.kmvSketch]] +
     * [[graft.operators.Sketches.kmvJaccardPairs]] over per-event-type
     * user sets, with the exact Jaccard joined alongside. */
@@ -5581,6 +5877,11 @@ object SparkEntry {
     "approx_distinct_portable" -> approxDistinctOracle,
     "near_dup_lsh" -> nearDupLshOracle,
     "dup_graph_triangles" -> dupTrianglesOracle,
+    "dup_graph_clustering_coeff" -> clusteringCoeffOracle,
+    "dup_link_prediction" -> linkPredictionOracle,
+    "dup_source_crosstab" -> dupSourceCrosstabOracle,
+    "er_field_weights" -> erFieldWeightsOracle,
+    "daily_acf" -> dailyAcfOracle,
     "kmv_type_jaccard" -> kmvTypeJaccardOracle,
     "event_type_pagerank" -> pageRankE6Oracle,
     "embedding_rp_audit" -> rpAuditOracle,
