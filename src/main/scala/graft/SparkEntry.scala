@@ -1015,13 +1015,11 @@ object SparkEntry {
     // ---- duplicate-graph density: per-node triangle counts over the
     // SimHash near-dup pair graph (degree-ordered wedge counting —
     // cliques score high, borderline chains score zero: the
-    // transitive-overmerge diagnostic for the CC-based keeper pass) ----
+    // transitive-overmerge diagnostic for the CC-based keeper pass).
+    // Edge set is the session pin shared with clustering-coeff /
+    // link-prediction ([[dupEdgesFor]]) ----
     "dup_graph_triangles" -> ((s, dir) =>
-      graft.operators.Components.triangleCounts(
-        Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
-          maxHamming = ShMaxHamming, blocks = ShBlocks, blocksPerKey = ShBlocksPerKey,
-          portable = true),
-        "id_a", "id_b")
+      graft.operators.Components.triangleCounts(dupEdgesFor(s, dir), "a", "b")
         .select(col("id").as("doc_id"), col("n_triangles"))),
 
     // ---- local clustering coefficient over the same near-dup graph:
@@ -1032,12 +1030,7 @@ object SparkEntry {
     // the canonical edge set is checkpointed once and feeds both the
     // degree count and the triangle enumeration ----
     "dup_graph_clustering_coeff" -> ((s, dir) => {
-      val e = Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
-          maxHamming = ShMaxHamming, blocks = ShBlocks, blocksPerKey = ShBlocksPerKey,
-          portable = true)
-        .select(least(col("id_a"), col("id_b")).as("a"),
-          greatest(col("id_a"), col("id_b")).as("b"))
-        .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      val e = dupEdgesFor(s, dir)
       val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("degree"))
       val tri = graft.operators.Components.triangleCounts(e, "a", "b")
@@ -1061,12 +1054,7 @@ object SparkEntry {
     // of dropping promiscuous centers). Top-k with full tiebreak, so the
     // selected SET is deterministic ----
     "dup_link_prediction" -> ((s, dir) => {
-      val e = Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
-          maxHamming = ShMaxHamming, blocks = ShBlocks, blocksPerKey = ShBlocksPerKey,
-          portable = true)
-        .select(least(col("id_a"), col("id_b")).as("a"),
-          greatest(col("id_a"), col("id_b")).as("b"))
-        .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      val e = dupEdgesFor(s, dir)
       val adj = e.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
       val lowDeg = adj.groupBy("u").agg(count(lit(1)).as("d"))
@@ -4268,6 +4256,26 @@ object SparkEntry {
 
   private val dedupClustersCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private val dupEdgesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Session-pinned canonical (a < b, deduped, no self-loops) simhash
+    * near-dup edge set — the subtree `dup_graph_triangles`,
+    * `dup_graph_clustering_coeff` and `dup_link_prediction` all consume.
+    * Same amortization rationale as [[dedupClustersFor]]: the banded
+    * simhash candidate join runs once per (session, corpus); every graph
+    * consumer reads the pinned edge relation (|pairs| rows of two longs —
+    * bounded by the band join's output, not a leak). */
+  private def dupEdgesFor(s: SparkSession, dir: String): DataFrame =
+    dupEdgesCache.getOrElseUpdate((s, dir),
+      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = ShMaxHamming, blocks = ShBlocks, blocksPerKey = ShBlocksPerKey,
+          portable = true)
+        .select(least(col("id_a"), col("id_b")).as("a"),
+          greatest(col("id_a"), col("id_b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint())
 
   /** Session-cached banded-Jaccard near-dup clustering (connected
     * components over `Dedup.jaccardPairs` at n=3, threshold=0.2) — the
