@@ -1165,6 +1165,103 @@ object SparkEntry {
           expr("num * 1000000 div nullif(d2, 0)").as("acf_e6"))
     }),
 
+    // ---- exact 5%-trimmed mean of event values — the robust center
+    // that pairs with value_mad_outliers. Row ranks come from the
+    // grouped (cents, cnt) relation prefix-summed under the two-phase
+    // scan (never a one-task global window); the boundary value group is
+    // PARTIALLY kept (min(cum, n−k) − max(cum−cnt, k), clamped), so
+    // exactly k rows fall off each tail — row-exact, not value-
+    // approximate. Trim bounds reported from the same pass ----
+    "value_trimmed_mean" -> ((s, dir) => {
+      val vals = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(round(col("value") * 100).cast("long").as("cents"))
+      val grouped = vals.groupBy("cents").agg(count(lit(1)).as("cnt"))
+      val cum = graft.operators.PrefixSum.runningTotal(
+        grouped, "cum", col("cnt"), col("cents"))
+      val tot = vals.agg(count(lit(1)).as("n"), sum(col("cents")).as("s_all"))
+      cum.crossJoin(broadcast(tot)) // 1-row totals
+        .withColumn("k", expr("n * 5 div 100"))
+        .withColumn("kept", greatest(lit(0L),
+          least(col("cum"), col("n") - col("k")) -
+            greatest(col("cum") - col("cnt"), col("k"))))
+        .agg(max(col("n")).as("n"), max(col("k")).as("k_trim"),
+          min(when(col("kept") > 0, col("cents"))).as("lo_cents"),
+          max(when(col("kept") > 0, col("cents"))).as("hi_cents"),
+          expr("""CAST(sum(kept * cents) AS DECIMAL(38,0)) * 1000000
+                  div nullif(max(n) - 2 * max(k), 0)""").as("trimmed_mean_e6"),
+          expr("""CAST(max(s_all) AS DECIMAL(38,0)) * 1000000
+                  div nullif(max(n), 0)""").as("mean_e6"))
+    }),
+
+    // ---- day-of-week revenue index: per weekday, revenue share
+    // relative to a uniform week — avg(dow)/avg(all) as the exact cross-
+    // multiplied rational (sum_dow·n_all) / (n_dow·sum_all) in e6,
+    // decimal-staged. Weekday from days-since-epoch arithmetic
+    // ((t+4) mod 7, 0 = Sunday — 1970-01-01 was a Thursday) so both
+    // engines share one integer definition, no calendar-function drift ----
+    "weekday_index" -> ((s, dir) => {
+      val t = datediff(to_date(col("o_orderdate")),
+        lit("1970-01-01").cast("date")).cast("long")
+      val byDow = Tables.orders(s, dir)
+        .groupBy(((t + 4) % 7).as("dow"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val tot = byDow.agg(sum(col("n_orders")).as("n_all"),
+        sum(col("cents")).as("c_all"))
+      byDow.crossJoin(broadcast(tot)) // 1-row totals
+        .select(col("dow"), col("n_orders"), col("cents"),
+          expr("""CAST(cents AS DECIMAL(38,0)) * n_all * 1000000
+                  div (CAST(n_orders AS DECIMAL(38,0)) * c_all)""")
+            .as("rev_index_e6"))
+    }),
+
+    // ---- degree assortativity of the near-dup graph (Newman '02): do
+    // high-degree nodes attach to high-degree nodes? Over the
+    // SYMMETRIZED edge list Σx = Σy and the variances coincide, so
+    // Pearson r collapses to the PLAIN rational (M·Σxy − Σx²_margin) /
+    // (M·Σx² − Σx²_margin) — no sqrt, exact in e6. Positive ⇒
+    // boilerplate cliques attach to each other (one dense family);
+    // negative ⇒ hub-and-spoke template reuse. Same pinned edge set as
+    // the triangle family; two broadcast-size degree joins ----
+    "dup_graph_assortativity" -> ((s, dir) => {
+      val e = dupEdgesFor(s, dir)
+      val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val sym = e.select(col("a").as("x"), col("b").as("y"))
+        .unionAll(e.select(col("b").as("x"), col("a").as("y")))
+        .join(deg.select(col("id").as("x"), col("d").as("dx")), Seq("x"))
+        .join(deg.select(col("id").as("y"), col("d").as("dy")), Seq("y"))
+      sym.agg(count(lit(1)).as("m2"), sum(col("dx")).as("sx"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dx") * col("dy")).as("sxy"))
+        .select(expr("m2 div 2").as("n_edges"),
+          expr("""(CAST(m2 AS DECIMAL(38,0)) * sxy -
+                   CAST(sx AS DECIMAL(38,0)) * sx) * 1000000
+                  div nullif(CAST(m2 AS DECIMAL(38,0)) * sxx -
+                   CAST(sx AS DECIMAL(38,0)) * sx, 0)""")
+            .as("assortativity_e6"))
+    }),
+
+    // ---- Simpson diversity of the corpus vocabulary — the log-free
+    // concentration index (collision probability of two random tokens):
+    // λ = Σ nᵢ(nᵢ−1) / N(N−1), plus its reciprocal "effective
+    // vocabulary", both exact e6 rationals. One token aggregate, one
+    // 1-row reduce; per-term products decimal-staged so a megatoken
+    // head term cannot overflow ----
+    "vocab_simpson" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n_i"))
+      counts.agg(sum(col("n_i")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(col("n_i").cast("decimal(38,0)") * (col("n_i") - 1)).as("coll"))
+        .select(col("n_tokens"), col("n_types"),
+          expr("""coll * 1000000
+                  div nullif(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1), 0)""")
+            .as("simpson_e6"),
+          expr("""CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1) * 1000000
+                  div nullif(coll, 0)""").as("eff_vocab_e6"))
+    }),
+
     // ---- KMV set sketches: per-event-type user sets sketched to the 64
     // smallest portable hashes; pairwise Jaccard estimated from merged
     // sketches, with the exact Jaccard alongside — the deterministic
@@ -5214,6 +5311,74 @@ object SparkEntry {
       |       CAST(num * 1000000 // nullif(d2.d2, 0) AS BIGINT) AS acf_e6
       |FROM num, d2""".stripMargin
 
+  /** Mirror of `value_trimmed_mean`: grouped-rank partial-keep trim (the
+    * oracle may use a plain cumulative window — DuckDB's single node IS
+    * one task). */
+  private def valueTrimmedMeanOracle: String =
+    """WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events WHERE value IS NOT NULL),
+      |g AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+      |c AS (SELECT *, CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum FROM g),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s_all FROM v),
+      |j AS (SELECT c.*, t.n, t.s_all, t.n * 5 // 100 AS k FROM c, t),
+      |kk AS (SELECT *, greatest(0, least(cum, n - k) - greatest(cum - cnt, k)) AS kept
+      |       FROM j)
+      |SELECT max(n) AS n, CAST(max(k) AS BIGINT) AS k_trim,
+      |  min(CASE WHEN kept > 0 THEN cents END) AS lo_cents,
+      |  max(CASE WHEN kept > 0 THEN cents END) AS hi_cents,
+      |  CAST(CAST(sum(kept * cents) AS HUGEINT) * 1000000
+      |       // nullif(max(n) - 2 * max(k), 0) AS BIGINT) AS trimmed_mean_e6,
+      |  CAST(CAST(max(s_all) AS HUGEINT) * 1000000
+      |       // nullif(max(n), 0) AS BIGINT) AS mean_e6
+      |FROM kk""".stripMargin
+
+  private def weekdayIndexOracle: String =
+    """WITH b AS (
+      |  SELECT (CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) + 4) % 7
+      |           AS dow,
+      |         CAST(count(*) AS BIGINT) AS n_orders,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_all,
+      |             CAST(sum(cents) AS BIGINT) AS c_all FROM b)
+      |SELECT dow, n_orders, cents,
+      |  CAST(CAST(cents AS HUGEINT) * n_all * 1000000
+      |       // (CAST(n_orders AS HUGEINT) * c_all) AS BIGINT) AS rev_index_e6
+      |FROM b, t""".stripMargin
+
+  /** Mirror of `dup_graph_assortativity` over [[dupEdgesCte]]. */
+  private def assortativityOracle: String =
+    s"""WITH $dupEdgesCte,
+       |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+       |          SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+       |sym AS (SELECT ddx.d AS dx, ddy.d AS dy
+       |        FROM (SELECT a AS x, b AS y FROM e
+       |              UNION ALL SELECT b, a FROM e) s
+       |        JOIN deg ddx ON s.x = ddx.id JOIN deg ddy ON s.y = ddy.id),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS m2, CAST(sum(dx) AS BIGINT) AS sx,
+       |             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+       |             CAST(sum(dx * dy) AS BIGINT) AS sxy
+       |      FROM sym)
+       |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+       |  CAST((CAST(m2 AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx) * 1000000
+       |       // nullif(CAST(m2 AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx, 0)
+       |       AS BIGINT) AS assortativity_e6
+       |FROM m""".stripMargin
+
+  private def vocabSimpsonOracle: String =
+    """WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n_i FROM tok GROUP BY 1),
+      |m AS (SELECT CAST(sum(n_i) AS BIGINT) AS n_tokens,
+      |             CAST(count(*) AS BIGINT) AS n_types,
+      |             sum(CAST(n_i AS HUGEINT) * (n_i - 1)) AS coll FROM c)
+      |SELECT n_tokens, n_types,
+      |  CAST(coll * 1000000
+      |       // nullif(CAST(n_tokens AS HUGEINT) * (n_tokens - 1), 0) AS BIGINT)
+      |    AS simpson_e6,
+      |  CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1) * 1000000
+      |       // nullif(coll, 0) AS BIGINT) AS eff_vocab_e6
+      |FROM m""".stripMargin
+
   /** Mirror of [[graft.operators.Sketches.kmvSketch]] +
     * [[graft.operators.Sketches.kmvJaccardPairs]] over per-event-type
     * user sets, with the exact Jaccard joined alongside. */
@@ -5890,6 +6055,10 @@ object SparkEntry {
     "dup_source_crosstab" -> dupSourceCrosstabOracle,
     "er_field_weights" -> erFieldWeightsOracle,
     "daily_acf" -> dailyAcfOracle,
+    "value_trimmed_mean" -> valueTrimmedMeanOracle,
+    "weekday_index" -> weekdayIndexOracle,
+    "dup_graph_assortativity" -> assortativityOracle,
+    "vocab_simpson" -> vocabSimpsonOracle,
     "kmv_type_jaccard" -> kmvTypeJaccardOracle,
     "event_type_pagerank" -> pageRankE6Oracle,
     "embedding_rp_audit" -> rpAuditOracle,
