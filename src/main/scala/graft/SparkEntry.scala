@@ -1242,6 +1242,79 @@ object SparkEntry {
             .as("assortativity_e6"))
     }),
 
+    // ---- 2-D skyline (Pareto frontier) over parts: the cheapest part
+    // at each size that no smaller-or-equal size undercuts — the
+    // classic Börzsönyi '01 skyline operator, here in its
+    // bounded-domain relational form: one min-per-size aggregate (the
+    // size domain is ≤50 values at ANY scale), a running min over that
+    // TINY relation (single-task window is fine on ≤50 rows — the
+    // domain, not the data, bounds it), and one broadcast join back.
+    // dominated(i) ⇔ minp≤(sizeᵢ) < priceᵢ ∨ minp<(sizeᵢ) ≤ priceᵢ;
+    // equal-(size, price) rows do not dominate each other, so ties all
+    // surface. Never a pairwise dominance join ----
+    "parts_skyline" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select(col("p_partkey"),
+        col("p_size").cast("long").as("size"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+      val incl = Window.orderBy("size")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val strict = Window.orderBy("size")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = p.groupBy("size").agg(min(col("price_cents")).as("min_p"))
+        .select(col("size"), min(col("min_p")).over(incl).as("minp_incl"),
+          min(col("min_p")).over(strict).as("minp_strict"))
+      p.join(broadcast(cum), Seq("size"))
+        .filter(!(col("minp_incl") < col("price_cents") ||
+          coalesce(col("minp_strict") <= col("price_cents"), lit(false))))
+        .select(col("p_partkey"), col("size"), col("price_cents"))
+    }),
+
+    // ---- view→purchase conversion latency: per user, first view and
+    // the first purchase at-or-after it; conversion rate in e6 and the
+    // median minutes-to-convert (×4 dyadic-exact, the repeat_purchase
+    // discipline). One user shuffle; the "first purchase after the
+    // view" is a conditional min in the SAME aggregate, not a join ----
+    "funnel_time_to_convert" -> ((s, dir) => {
+      val secs = col("ts").cast("long")
+      val perUser = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_type"), secs.as("sec"))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("sec"))).as("v1"))
+      val conv = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type") === "purchase")
+        .select(col("user_id"), secs.as("psec"))
+        .join(perUser.filter(col("v1").isNotNull), Seq("user_id"))
+        .filter(col("psec") >= col("v1"))
+        .groupBy("user_id").agg(min(col("psec")).as("p1"), min(col("v1")).as("v1m"))
+      perUser.filter(col("v1").isNotNull)
+        .join(conv.select(col("user_id"),
+          expr("(p1 - v1m) div 60").as("delta_min")),
+          Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_viewed"),
+          count(col("delta_min")).as("n_converted"),
+          expr("count(delta_min) * 1000000 div nullif(count(1), 0)")
+            .as("conv_rate_e6"),
+          (percentile(col("delta_min"), lit(0.5)) * 4).cast("long")
+            .as("median_minutes_x4"))
+    }),
+
+    // ---- day-of-week × hour activity heatmap with exact share: the
+    // dashboard matrix, on pure epoch arithmetic ((d+4) mod 7 weekday,
+    // epoch-hour mod 24) so both engines share one integer definition.
+    // ≤168 cells at any scale; the total is a 1-row broadcast ----
+    "events_heatmap" -> ((s, dir) => {
+      val byCell = Tables.events(s, dir).filter(col("ts").isNotNull)
+        .groupBy(expr("((CAST(ts AS LONG) div 86400) + 4) % 7").as("dow"),
+          expr("(CAST(ts AS LONG) div 3600) % 24").as("hour"))
+        .agg(count(lit(1)).as("n"))
+      byCell.crossJoin(broadcast(byCell.agg(sum(col("n")).as("n_all"))))
+        .select(col("dow"), col("hour"), col("n"),
+          expr("n * 1000000 div n_all").as("share_e6"))
+    }),
+
     // ---- Simpson diversity of the corpus vocabulary — the log-free
     // concentration index (collision probability of two random tokens):
     // λ = Σ nᵢ(nᵢ−1) / N(N−1), plus its reciprocal "effective
@@ -5365,6 +5438,62 @@ object SparkEntry {
        |       AS BIGINT) AS assortativity_e6
        |FROM m""".stripMargin
 
+  /** Mirror of `parts_skyline`: same bounded-domain cummin formulation
+    * (a pairwise NOT-EXISTS dominance check would be n² in the oracle
+    * too — the formulations are provably equivalent for 2-D dominance). */
+  private def partsSkylineOracle: String =
+    """WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+      |                  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+      |           FROM part),
+      |b AS (SELECT size, min(price_cents) AS min_p FROM p GROUP BY 1),
+      |c AS (SELECT size,
+      |        min(min_p) OVER (ORDER BY size
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minp_incl,
+      |        min(min_p) OVER (ORDER BY size
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS minp_strict
+      |      FROM b)
+      |SELECT p_partkey, size, price_cents
+      |FROM p JOIN c USING (size)
+      |WHERE NOT (minp_incl < price_cents
+      |           OR COALESCE(minp_strict <= price_cents, false))""".stripMargin
+
+  private def funnelTimeToConvertOracle: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'view'
+      |                  THEN epoch_us(ts) // 1000000 END) AS v1
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_type IN ('view', 'purchase')
+      |  GROUP BY 1),
+      |conv AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts) // 1000000) AS p1, min(pu.v1) AS v1m
+      |  FROM events e JOIN pu ON e.user_id = pu.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+      |    AND pu.v1 IS NOT NULL AND epoch_us(e.ts) // 1000000 >= pu.v1
+      |  GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_viewed,
+      |       CAST(count(d.delta_min) AS BIGINT) AS n_converted,
+      |       CAST(count(d.delta_min) * 1000000
+      |            // nullif(count(*), 0) AS BIGINT) AS conv_rate_e6,
+      |       CAST(quantile_cont(d.delta_min, 0.5) * 4 AS BIGINT)
+      |         AS median_minutes_x4
+      |FROM pu LEFT JOIN (SELECT user_id, (p1 - v1m) // 60 AS delta_min
+      |                   FROM conv) d
+      |  ON pu.user_id = d.user_id
+      |WHERE pu.v1 IS NOT NULL""".stripMargin
+
+  private def eventsHeatmapOracle: String =
+    """WITH b AS (
+      |  SELECT ((epoch_us(ts) // 1000000 // 86400) + 4) % 7 AS dow,
+      |         (epoch_us(ts) // 1000000 // 3600) % 24 AS hour,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM b)
+      |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour, n,
+      |       CAST(n * 1000000 // n_all AS BIGINT) AS share_e6
+      |FROM b, t""".stripMargin
+
   private def vocabSimpsonOracle: String =
     """WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents),
       |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n_i FROM tok GROUP BY 1),
@@ -6059,6 +6188,9 @@ object SparkEntry {
     "weekday_index" -> weekdayIndexOracle,
     "dup_graph_assortativity" -> assortativityOracle,
     "vocab_simpson" -> vocabSimpsonOracle,
+    "parts_skyline" -> partsSkylineOracle,
+    "funnel_time_to_convert" -> funnelTimeToConvertOracle,
+    "events_heatmap" -> eventsHeatmapOracle,
     "kmv_type_jaccard" -> kmvTypeJaccardOracle,
     "event_type_pagerank" -> pageRankE6Oracle,
     "embedding_rp_audit" -> rpAuditOracle,
