@@ -1242,6 +1242,78 @@ object SparkEntry {
             .as("assortativity_e6"))
     }),
 
+    // ---- per-event-type null matrix: the data-quality completeness
+    // report sliced by type (a column that is never null globally can
+    // still be 100% null for one type — the signal the global
+    // null_audit hides). One map-side-combinable conditional-count
+    // aggregate over the fact scan ----
+    "null_matrix_by_type" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(coalesce(col("event_type"), lit("__null__")).as("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("user_id").isNull, 1)).as("null_user_id"),
+          count(when(col("value").isNull, 1)).as("null_value"),
+          count(when(col("props").isNull, 1)).as("null_props"),
+          count(when(col("ts").isNull, 1)).as("null_ts"))),
+
+    // ---- session bounce rate: share of 30-minute-gap sessions with
+    // exactly one event, plus exact mean depth — the engagement
+    // headline stat on the SAME session definition as `sessionize`
+    // (per-user windows: scale-safe partitions). One window pass, one
+    // session aggregate, one 1-row reduce ----
+    "bounce_rate" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val sess = Tables.events(s, dir)
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(byUser)))
+        .withColumn("is_new",
+          when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum("is_new").over(byUser))
+        .groupBy("user_id", "session_id").agg(count(lit(1)).as("depth"))
+      sess.agg(count(lit(1)).as("n_sessions"),
+        count(when(col("depth") === 1, 1)).as("n_bounce"),
+        expr("""count(CASE WHEN depth = 1 THEN 1 END) * 1000000
+                div nullif(count(1), 0)""").as("bounce_rate_e6"),
+        expr("""CAST(sum(depth) AS DECIMAL(38,0)) * 1000000
+                div nullif(count(1), 0)""").as("mean_depth_e6"))
+    }),
+
+    // ---- Kendall tau-a between two brand rankings (revenue vs distinct
+    // orders): do the money ranking and the popularity ranking agree?
+    // Concordance is judged by SIGN comparisons only (never the
+    // (Δx·Δy) product — that overflows int64 at scale); the pair domain
+    // is |brands|², a DOMAIN-bounded constant (25 brands at any SF).
+    // The build side carries an explicit limit far above the domain
+    // (1024 ≫ 25 — never truncates, purely declares the bound), so the
+    // non-equi pair join is a bounded-broadcast BNLJ, the lint-audited
+    // scale-safe form — never a data-sized Cartesian ----
+    "brand_rank_kendall" -> ((s, dir) => {
+      val byBrand = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("x"),
+          countDistinct(col("l_orderkey")).as("y"))
+      val pairs = byBrand
+        .select(col("p_brand").as("brand_a"), col("x").as("xa"), col("y").as("ya"))
+        .join(broadcast(byBrand.limit(1024)
+            .select(col("p_brand").as("brand_b"), col("x").as("xb"),
+              col("y").as("yb"))),
+          col("brand_a") < col("brand_b"))
+      val conc = (col("xa") > col("xb") && col("ya") > col("yb")) ||
+        (col("xa") < col("xb") && col("ya") < col("yb"))
+      val disc = (col("xa") > col("xb") && col("ya") < col("yb")) ||
+        (col("xa") < col("xb") && col("ya") > col("yb"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        count(when(conc, 1)).as("concordant"),
+        count(when(disc, 1)).as("discordant"),
+        count(when(col("xa") === col("xb") || col("ya") === col("yb"), 1))
+          .as("tied"))
+        .withColumn("tau_a_e6",
+          expr("(concordant - discordant) * 1000000 div nullif(n_pairs, 0)"))
+    }),
+
     // ---- 2-D skyline (Pareto frontier) over parts: the cheapest part
     // at each size that no smaller-or-equal size undercuts — the
     // classic Börzsönyi '01 skyline operator, here in its
@@ -5438,6 +5510,63 @@ object SparkEntry {
        |       AS BIGINT) AS assortativity_e6
        |FROM m""".stripMargin
 
+  private def nullMatrixOracle: String =
+    """SELECT coalesce(event_type, '__null__') AS event_type,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT) AS null_user_id,
+      |  CAST(count(CASE WHEN value IS NULL THEN 1 END) AS BIGINT) AS null_value,
+      |  CAST(count(CASE WHEN props IS NULL THEN 1 END) AS BIGINT) AS null_props,
+      |  CAST(count(CASE WHEN ts IS NULL THEN 1 END) AS BIGINT) AS null_ts
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Mirror of `bounce_rate` on the shared `sessionize` definition. */
+  private def bounceRateOracle: String =
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts,
+      |         lag(ts) OVER (PARTITION BY user_id
+      |                       ORDER BY ts ASC, event_id ASC) AS prev_ts
+      |  FROM events),
+      |y AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM x),
+      |z AS (
+      |  SELECT user_id, event_id,
+      |         sum(is_new) OVER (PARTITION BY user_id
+      |                           ORDER BY ts ASC, event_id ASC
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM y),
+      |sess AS (SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS depth
+      |         FROM z GROUP BY 1, 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(count(CASE WHEN depth = 1 THEN 1 END) AS BIGINT) AS n_bounce,
+      |  CAST(count(CASE WHEN depth = 1 THEN 1 END) * 1000000
+      |       // nullif(count(*), 0) AS BIGINT) AS bounce_rate_e6,
+      |  CAST(CAST(sum(depth) AS HUGEINT) * 1000000
+      |       // nullif(count(*), 0) AS BIGINT) AS mean_depth_e6
+      |FROM sess""".stripMargin
+
+  private def brandKendallOracle: String =
+    """WITH bb AS (
+      |  SELECT p_brand,
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x,
+      |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+      |p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+      |      FROM bb a JOIN bb b ON a.p_brand < b.p_brand),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(count(CASE WHEN (xa > xb AND ya > yb) OR (xa < xb AND ya < yb)
+      |                  THEN 1 END) AS BIGINT) AS concordant,
+      |  CAST(count(CASE WHEN (xa > xb AND ya < yb) OR (xa < xb AND ya > yb)
+      |                  THEN 1 END) AS BIGINT) AS discordant,
+      |  CAST(count(CASE WHEN xa = xb OR ya = yb THEN 1 END) AS BIGINT) AS tied
+      |      FROM p)
+      |SELECT n_pairs, concordant, discordant, tied,
+      |  CAST((concordant - discordant) * 1000000
+      |       // nullif(n_pairs, 0) AS BIGINT) AS tau_a_e6
+      |FROM m""".stripMargin
+
   /** Mirror of `parts_skyline`: same bounded-domain cummin formulation
     * (a pairwise NOT-EXISTS dominance check would be n² in the oracle
     * too — the formulations are provably equivalent for 2-D dominance). */
@@ -6191,6 +6320,9 @@ object SparkEntry {
     "parts_skyline" -> partsSkylineOracle,
     "funnel_time_to_convert" -> funnelTimeToConvertOracle,
     "events_heatmap" -> eventsHeatmapOracle,
+    "null_matrix_by_type" -> nullMatrixOracle,
+    "bounce_rate" -> bounceRateOracle,
+    "brand_rank_kendall" -> brandKendallOracle,
     "kmv_type_jaccard" -> kmvTypeJaccardOracle,
     "event_type_pagerank" -> pageRankE6Oracle,
     "embedding_rp_audit" -> rpAuditOracle,
