@@ -1314,6 +1314,81 @@ object SparkEntry {
           expr("(concordant - discordant) * 1000000 div nullif(n_pairs, 0)"))
     }),
 
+    // ---- TPC-H Q21 shape (adapted: late = shipped >60 days after the
+    // order date): suppliers who were the SOLE late shipper on a
+    // multi-supplier order. The exists/not-exists pair collapses into
+    // ONE per-(order, supplier) flag aggregate + one per-order count
+    // aggregate — two map-side-combinable reduces instead of four
+    // correlated subquery scans; the "only this supplier was late"
+    // predicate is n_late_supp = 1 ∧ this supplier late ----
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val perOs = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max((col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("int"))
+          .as("late"))
+      val perOrder = perOs.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late_supp"))
+      perOs.filter(col("late") === 1)
+        .join(perOrder.filter(col("n_supp") >= 2 && col("n_late_supp") === 1),
+          Seq("l_orderkey"), "left_semi")
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
+    // ---- ABC inventory classification of parts by revenue: class A =
+    // parts covering the first 80% of cumulative revenue, B the next
+    // 15%, C the tail — the classic Pareto partitioning, row-exact.
+    // Cumulative revenue under the two-phase prefix-sum scan ordered by
+    // (revenue desc, partkey) — a total order, never a one-task global
+    // window; class boundaries are integer comparisons against the
+    // broadcast grand total (cum·100 ≤ 80·total), no percent floats ----
+    "orders_abc_classification" -> ((s, dir) => {
+      val byPart = Tables.lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      val cum = graft.operators.PrefixSum.runningTotal(
+        byPart, "cum_cents", col("cents"),
+        col("cents").desc, col("l_partkey").asc)
+      val tot = byPart.agg(sum(col("cents")).as("total_cents"))
+      cum.crossJoin(broadcast(tot)) // 1-row grand total
+        .withColumn("abc_class",
+          when(col("cum_cents") * 100 <= col("total_cents") * 80, "A")
+            .when(col("cum_cents") * 100 <= col("total_cents") * 95, "B")
+            .otherwise(lit("C")))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("class_cents"),
+          expr("""CAST(sum(cents) AS DECIMAL(38,0)) * 1000000
+                  div nullif(max(total_cents), 0)""").as("rev_share_e6"))
+    }),
+
+    // ---- Lorenz curve at deciles: cumulative revenue share of
+    // customers ranked poorest-first — the 10-point curve behind the
+    // Gini number already reported ([[gini_concentration]]). Customer
+    // decile from the two-phase prefix COUNT (rank), cumulative revenue
+    // from the prefix SUM over the same total order; shares exact e6.
+    // The decile of a customer is ceil(10·rank/n) staged as integer
+    // arithmetic ((10·rank + n − 1) div n) ----
+    "lorenz_curve_deciles" -> ((s, dir) => {
+      val byCust = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val ranked = graft.operators.PrefixSum.runningTotal(
+        graft.operators.PrefixSum.runningTotal(byCust, "cum_cents",
+          col("cents"), col("cents").asc, col("o_custkey").asc),
+        "rnk", lit(1L), col("cents").asc, col("o_custkey").asc)
+      val tot = byCust.agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+      ranked.crossJoin(broadcast(tot)) // 1-row totals
+        .withColumn("decile", expr("(10 * rnk + n - 1) div n"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"),
+          expr("""CAST(max(cum_cents) AS DECIMAL(38,0)) * 1000000
+                  div nullif(max(total), 0)""").as("cum_share_e6"))
+    }),
+
     // ---- 2-D skyline (Pareto frontier) over parts: the cheapest part
     // at each size that no smaller-or-equal size undercuts — the
     // classic Börzsönyi '01 skyline operator, here in its
@@ -5510,6 +5585,57 @@ object SparkEntry {
        |       AS BIGINT) AS assortativity_e6
        |FROM m""".stripMargin
 
+  private def q21WaitingSuppliersOracle: String =
+    """WITH pos AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |                  THEN 1 ELSE 0 END) AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |po AS (SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late_supp
+      |       FROM pos GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM pos JOIN po USING (l_orderkey)
+      |         JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE pos.late = 1 AND po.n_supp >= 2 AND po.n_late_supp = 1
+      |GROUP BY 1, 2""".stripMargin
+
+  private def abcClassificationOracle: String =
+    """WITH bp AS (SELECT l_partkey,
+      |              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |                   AS BIGINT) AS cents
+      |            FROM lineitem GROUP BY 1),
+      |c AS (SELECT *, CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey)
+      |                     AS BIGINT) AS cum_cents FROM bp),
+      |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM bp)
+      |SELECT CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+      |            WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+      |            ELSE 'C' END AS abc_class,
+      |       CAST(count(*) AS BIGINT) AS n_parts,
+      |       CAST(sum(cents) AS BIGINT) AS class_cents,
+      |       CAST(CAST(sum(cents) AS HUGEINT) * 1000000
+      |            // nullif(max(total_cents), 0) AS BIGINT) AS rev_share_e6
+      |FROM c, t GROUP BY 1""".stripMargin
+
+  private def lorenzDecilesOracle: String =
+    """WITH bc AS (SELECT o_custkey,
+      |              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |                   AS BIGINT) AS cents
+      |            FROM orders GROUP BY 1),
+      |r AS (SELECT *,
+      |        CAST(sum(cents) OVER (ORDER BY cents ASC, o_custkey ASC)
+      |             AS BIGINT) AS cum_cents,
+      |        CAST(row_number() OVER (ORDER BY cents ASC, o_custkey ASC)
+      |             AS BIGINT) AS rnk
+      |      FROM bc),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(cents) AS BIGINT) AS total FROM bc)
+      |SELECT CAST((10 * rnk + n - 1) // n AS BIGINT) AS decile,
+      |       CAST(count(*) AS BIGINT) AS n_customers,
+      |       CAST(CAST(max(cum_cents) AS HUGEINT) * 1000000
+      |            // nullif(max(total), 0) AS BIGINT) AS cum_share_e6
+      |FROM r, t GROUP BY 1""".stripMargin
+
   private def nullMatrixOracle: String =
     """SELECT coalesce(event_type, '__null__') AS event_type,
       |  CAST(count(*) AS BIGINT) AS n_rows,
@@ -6323,6 +6449,9 @@ object SparkEntry {
     "null_matrix_by_type" -> nullMatrixOracle,
     "bounce_rate" -> bounceRateOracle,
     "brand_rank_kendall" -> brandKendallOracle,
+    "q21_waiting_suppliers" -> q21WaitingSuppliersOracle,
+    "orders_abc_classification" -> abcClassificationOracle,
+    "lorenz_curve_deciles" -> lorenzDecilesOracle,
     "kmv_type_jaccard" -> kmvTypeJaccardOracle,
     "event_type_pagerank" -> pageRankE6Oracle,
     "embedding_rp_audit" -> rpAuditOracle,
