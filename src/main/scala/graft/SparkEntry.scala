@@ -443,6 +443,32 @@ object SparkEntry {
           floor(col("col") * lit(1e6) + lit(0.5)).cast("long").as("freq_e6"),
           col("clip_rate_e6"))
     }),
+    // ---- audio silence runs through the SAME WAV decode seam: per
+    // 8-bit mono asset (even doc_ids), silent-sample share and the
+    // longest silent run, "silent" = amplitude within ±8 of the 128
+    // midpoint. The oracle does not use a closed form — it SIMULATES
+    // the ramp ((seed+i) mod 256) numerically and re-derives runs with
+    // the islands trick, so a bug anywhere in the WAV encode/parse/
+    // data-chunk-extraction/run-scan chain breaks the hash ----
+    "mm_audio_silence" -> ((s, dir) => {
+      val params = Tables.documents(s, dir)
+        .filter(col("doc_id") % 2 === 0) // the 8-bit mono parity class
+        .select(col("doc_id").as("asset_id"),
+          (lit(8000) + (col("doc_id") % 5) * 2000).cast("int").as("sample_rate"),
+          lit(1).as("channels"), lit(8).as("bits_per_sample"),
+          (col("n_chars") % 1000 + 1).cast("int").as("n_frames"),
+          (col("doc_id") % 256).cast("int").as("tone_seed"))
+      val pcm = graft.multimodal.Multimodal.audioPcm(
+        graft.multimodal.Multimodal.synthesizeWavTonePayload(params)
+          .select("asset_id", "payload"))
+      graft.multimodal.Multimodal.silenceStats(
+          pcm.select(col("asset_id"), col("pcm")))
+        .select(col("asset_id"), col("n_samples"), col("n_silent"),
+          col("longest_run"),
+          expr("n_silent * 1000000 div nullif(n_samples, 0)")
+            .as("silence_ratio_e6"))
+    }),
+
     // image payload decode: deterministic-pattern REAL PNGs (ImageIO
     // encode, zlib) → container sniff → ImageIO pixel decode → RGB
     // flatten → byte histogram; lossless round-trip means the oracle
@@ -6450,6 +6476,32 @@ object SparkEntry {
     "bounce_rate" -> bounceRateOracle,
     "brand_rank_kendall" -> brandKendallOracle,
     "q21_waiting_suppliers" -> q21WaitingSuppliersOracle,
+    "mm_audio_silence" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS seed,
+        |         CAST(n_chars % 1000 + 1 AS BIGINT) AS len
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |s AS (
+        |  SELECT doc_id, t.i,
+        |         CASE WHEN ((g.seed + t.i) % 256) BETWEEN 120 AND 136
+        |              THEN 1 ELSE 0 END AS sil
+        |  FROM g, UNNEST(range(0, g.len)) AS t(i)),
+        |r AS (SELECT doc_id, i, sil,
+        |             i - row_number() OVER (PARTITION BY doc_id, sil ORDER BY i)
+        |               AS island
+        |      FROM s),
+        |runs AS (SELECT doc_id, count(*) AS rl
+        |         FROM r WHERE sil = 1 GROUP BY doc_id, island),
+        |agg AS (SELECT doc_id, CAST(max(rl) AS BIGINT) AS longest
+        |        FROM runs GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |               CAST(sum(sil) AS BIGINT) AS n_silent
+        |        FROM s GROUP BY 1)
+        |SELECT t.doc_id AS asset_id, t.n_samples, t.n_silent,
+        |       COALESCE(a.longest, 0) AS longest_run,
+        |       CAST(t.n_silent * 1000000 // nullif(t.n_samples, 0) AS BIGINT)
+        |         AS silence_ratio_e6
+        |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
     "orders_abc_classification" -> abcClassificationOracle,
     "lorenz_curve_deciles" -> lorenzDecilesOracle,
     "kmv_type_jaccard" -> kmvTypeJaccardOracle,

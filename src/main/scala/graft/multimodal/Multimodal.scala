@@ -337,6 +337,40 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Per-asset silence statistics over 8-bit PCM bytes (`pcm` column):
+    * samples in the amplitude window [120, 136] (±8 around the 128
+    * midpoint, where 8-bit WAV is unsigned) count as silent; emits
+    * total samples, silent count and the longest silent RUN — the
+    * trim/VAD-style diagnostic for a speech corpus. One in-order pass
+    * per row inside the shared per-partition seam; a null pcm yields
+    * zeros (corrupt-never-throw), never a task failure. */
+  def silenceStats(df: DataFrame): DataFrame = {
+    val outSchema = df.schema
+      .add("n_samples", LongType)
+      .add("n_silent", LongType)
+      .add("longest_run", LongType)
+    val pcmIdx = df.schema.fieldIndex("pcm")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val pcm = r.getAs[Array[Byte]](pcmIdx)
+        var n = 0L; var silent = 0L; var run = 0L; var best = 0L
+        if (pcm != null) {
+          var i = 0
+          while (i < pcm.length) {
+            val v = pcm(i) & 0xff
+            n += 1
+            if (v >= 120 && v <= 136) {
+              silent += 1; run += 1
+              if (run > best) best = run
+            } else run = 0L
+            i += 1
+          }
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(n, silent, best))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Audio counterpart of [[decodePartitions]]: parse RIFF/WAVE headers
     * per partition ([[AudioCodec]]) into an appended nullable `audio`
     * struct; payloads that aren't valid WAV keep `audio = null`.
