@@ -299,6 +299,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == ((None, None, None))) // not a WAV → all-null, no throw
   }
 
+  test("silenceStats counts window hits and the longest run; null pcm → zeros") {
+    import org.apache.spark.sql.functions.col
+    // hand-built byte rows: the silent window is [120, 136]
+    val a = Array(100, 120, 125, 136, 50, 130, 10).map(_.toByte) // runs 3, 1
+    val b = Array.tabulate(300)(i => ((100 + i) & 0xff).toByte) // one 17-run
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, a), Row(2L, b), Row(3L, null))),
+      StructType(Seq(
+        StructField("asset_id", LongType), StructField("pcm", BinaryType))))
+    val out = Multimodal.silenceStats(df)
+      .select(col("asset_id"), col("n_samples"), col("n_silent"), col("longest_run"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((7L, 4L, 3L)))
+    // ramp 100..255,0..99,100..143: window [120,136] hit twice fully = 34 silent, run 17
+    assert(out(2L) == ((300L, 34L, 17L)))
+    assert(out(3L) == ((0L, 0L, 0L)))
+  }
+
   test("clippedSamples counts signed 16-bit rails; dataChunk finds the slice") {
     // hand-built 16-bit payload: [32767, -32768, 0, 100] little-endian
     val wav = AudioCodec.encodeWav(8000, 1, 16, 4)
