@@ -728,8 +728,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
         .select("doc_id", "lang", "source", "n_chars")),
-    "jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.2)),
+    "jaccard_pairs" -> ((s, dir) => jaccardPairsFor(s, dir)),
     // ---- k-core peeling over the near-dup graph (k=2, 4 rounds): each
     // round drops nodes with degree < k and the edges they carried — the
     // structure that separates incidental pair matches from dense
@@ -739,8 +738,7 @@ object SparkEntry {
     // map-side-combinable degree count + two semi-joins over the
     // (banded, pair-sized) edge relation, lineage cut per round ----
     "dup_graph_kcore" -> ((s, dir) => {
-      var edges = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.2)
+      var edges = jaccardPairsFor(s, dir)
         .select("id_a", "id_b").localCheckpoint()
       for (_ <- 1 to 4) {
         val keep = edges.select(col("id_a").as("id"))
@@ -763,7 +761,7 @@ object SparkEntry {
     // boilerplate). Derived from the SAME banded pair subtree, one extra
     // 11-row aggregate ----
     "dup_jaccard_histogram" -> ((s, dir) =>
-      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.2)
+      jaccardPairsFor(s, dir)
         .select(floor(col("jaccard") * 10).cast("int").as("bucket_x10"))
         .groupBy("bucket_x10").agg(count(lit(1)).as("n_pairs"))),
     // asymmetric containment: catches short-doc-inside-long-doc dups that
@@ -1102,8 +1100,7 @@ object SparkEntry {
     // two dimension joins, one |sources|² max aggregate ----
     "dup_source_crosstab" -> ((s, dir) => {
       val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.2)
+      jaccardPairsFor(s, dir)
         .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")),
           Seq("id_a"))
         .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")),
@@ -1125,9 +1122,8 @@ object SparkEntry {
     "er_field_weights" -> ((s, dir) => {
       val attrs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
         col("source"), expr("CAST(n_chars AS BIGINT) div 100").as("len_band"))
-      val matches = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.2)
-        .select("id_a", "id_b").localCheckpoint() // read by u's anti-join too
+      val matches = jaccardPairsFor(s, dir)
+        .select("id_a", "id_b") // pinned; read by u's anti-join too
       val cand = graft.operators.SortedNeighborhood.candidatePairs(
           Tables.documents(s, dir).select(col("doc_id"),
             substring(coalesce(lower(col("text")), lit("")), 1, SnmKeyLen)
@@ -4620,6 +4616,22 @@ object SparkEntry {
         .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint())
 
+  private val jaccardPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Session-pinned banded-Jaccard pair relation (n=3, threshold 0.2,
+    * columns id_a/id_b/jaccard) — the subtree `jaccard_pairs`,
+    * `dup_graph_kcore`, `dup_jaccard_histogram`, `dup_source_crosstab`,
+    * `er_field_weights` and the [[dedupClustersFor]] clustering all
+    * consume; the shingle join runs once per (session, corpus). Pair
+    * volume is bounded by the band join's output (the same bound every
+    * consumer already carried). */
+  private def jaccardPairsFor(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsCache.getOrElseUpdate((s, dir),
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.2)
+        .localCheckpoint())
+
   /** Session-cached banded-Jaccard near-dup clustering (connected
     * components over `Dedup.jaccardPairs` at n=3, threshold=0.2) — the
     * subtree `dedup_clusters`, `dup_cluster_sizes` and
@@ -4633,9 +4645,7 @@ object SparkEntry {
   private def dedupClustersFor(s: SparkSession, dir: String): DataFrame =
     dedupClustersCache.getOrElseUpdate((s, dir),
       graft.operators.Components.connectedComponents(
-          Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-            n = 3, threshold = 0.2),
-          "id_a", "id_b")
+          jaccardPairsFor(s, dir), "id_a", "id_b")
         .localCheckpoint())
 
   /** Session-cached (panel ids, pinned exact top-k) for the recall rows.
