@@ -1336,6 +1336,49 @@ object SparkEntry {
           expr("(concordant - discordant) * 1000000 div nullif(n_pairs, 0)"))
     }),
 
+    // ---- Herfindahl-Hirschman concentration of supplier revenue per
+    // nation: HHI = Σ shareᵢ² as the exact rational Σcentsᵢ²·1e6 div
+    // (Σcents)² — squares clear the share denominators, so no float
+    // shares ever exist. Two map-side-combinable aggregates (per
+    // supplier, then per nation); 10000-point scale ≈ hhi_e6/100 ----
+    "supplier_hhi" -> ((s, dir) => {
+      val bySupp = Tables.lineitem(s, dir)
+        .groupBy("l_suppkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      bySupp
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"), sum(col("cents")).as("nation_cents"),
+          sum(col("cents").cast("decimal(38,0)") * col("cents")).as("sq"))
+        .select(col("n_name"), col("n_suppliers"), col("nation_cents"),
+          expr("""sq * 1000000 div nullif(
+                  CAST(nation_cents AS DECIMAL(38,0)) * nation_cents, 0)""")
+            .as("hhi_e6"))
+    }),
+
+    // ---- event-arrival burstiness (Fano factor of hourly counts over
+    // the FULL observed hour span): F = var/mean = (n·Σc² − S²) div
+    // (n·S) in e6 — zero hours inside the span shift the variance but
+    // are never materialized (span count n comes from max−min+1; absent
+    // hours contribute 0 to both Σc and Σc²). F ≈ 1e6 is Poisson;
+    // above: bursty; below: regular. One hour aggregate + 1-row math ----
+    "events_burstiness" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir).filter(col("ts").isNotNull)
+        .groupBy(expr("CAST(ts AS LONG) div 3600").as("h"))
+        .agg(count(lit(1)).as("c"))
+      hourly.agg((max(col("h")) - min(col("h")) + 1).as("n_hours"),
+          sum(col("c")).as("n_events"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("sq"))
+        .select(col("n_hours"), col("n_events"),
+          expr("""(CAST(n_hours AS DECIMAL(38,0)) * sq -
+                   CAST(n_events AS DECIMAL(38,0)) * n_events) * 1000000
+                  div nullif(CAST(n_hours AS DECIMAL(38,0)) * n_events, 0)""")
+            .as("fano_e6"))
+    }),
+
     // ---- TPC-H Q21 shape (adapted: late = shipped >60 days after the
     // order date): suppliers who were the SOLE late shipper on a
     // multi-supplier order. The exists/not-exists pair collapses into
@@ -5621,6 +5664,37 @@ object SparkEntry {
        |       AS BIGINT) AS assortativity_e6
        |FROM m""".stripMargin
 
+  private def supplierHhiOracle: String =
+    """WITH bs AS (SELECT l_suppkey,
+      |              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |                   AS BIGINT) AS cents
+      |            FROM lineitem GROUP BY 1),
+      |n AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |             CAST(sum(cents) AS BIGINT) AS nation_cents,
+      |             sum(CAST(cents AS HUGEINT) * cents) AS sq
+      |      FROM bs JOIN supplier ON l_suppkey = s_suppkey
+      |              JOIN nation ON s_nationkey = n_nationkey
+      |      GROUP BY 1)
+      |SELECT n_name, n_suppliers, nation_cents,
+      |  CAST(sq * 1000000 // nullif(CAST(nation_cents AS HUGEINT) * nation_cents, 0)
+      |       AS BIGINT) AS hhi_e6
+      |FROM n""".stripMargin
+
+  private def eventsBurstinessOracle: String =
+    """WITH h AS (SELECT epoch_us(ts) // 1000000 // 3600 AS h,
+      |                  CAST(count(*) AS BIGINT) AS c
+      |           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |m AS (SELECT CAST(max(h) - min(h) + 1 AS BIGINT) AS n_hours,
+      |             CAST(sum(c) AS BIGINT) AS n_events,
+      |             sum(CAST(c AS HUGEINT) * c) AS sq
+      |      FROM h)
+      |SELECT n_hours, n_events,
+      |  CAST((CAST(n_hours AS HUGEINT) * sq -
+      |        CAST(n_events AS HUGEINT) * n_events) * 1000000
+      |       // nullif(CAST(n_hours AS HUGEINT) * n_events, 0) AS BIGINT)
+      |    AS fano_e6
+      |FROM m""".stripMargin
+
   private def q21WaitingSuppliersOracle: String =
     """WITH pos AS (
       |  SELECT l_orderkey, l_suppkey,
@@ -6514,6 +6588,8 @@ object SparkEntry {
         |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
     "orders_abc_classification" -> abcClassificationOracle,
     "lorenz_curve_deciles" -> lorenzDecilesOracle,
+    "supplier_hhi" -> supplierHhiOracle,
+    "events_burstiness" -> eventsBurstinessOracle,
     "kmv_type_jaccard" -> kmvTypeJaccardOracle,
     "event_type_pagerank" -> pageRankE6Oracle,
     "embedding_rp_audit" -> rpAuditOracle,
