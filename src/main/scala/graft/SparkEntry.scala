@@ -1187,6 +1187,33 @@ object SparkEntry {
           expr("num * 1000000 div nullif(d2, 0)").as("acf_e6"))
     }),
 
+    // ---- bounded-lag Theil-Sen trend of daily revenue: the robust
+    // slope estimator (median of pairwise slopes), in its standard
+    // windowed form — only day pairs within 30 days pair up, so the
+    // relation is an EQUI-join on exploded lags over the calendar-
+    // bounded day table (the daily_acf shape), ~|days|·30 rows, never
+    // days². Slopes are staged as cents/day in e6 with one shared
+    // integer definition (Δc·1e6 div lag — both engines truncate toward
+    // zero); the median is ×4 dyadic-exact ----
+    "daily_theilsen_trend" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+        .localCheckpoint() // calendar-bounded; both join legs
+      daily
+        .select(explode(array((1 to 30).map(lit(_)): _*)).as("lag"),
+          col("t"), col("c"))
+        .join(daily.select(col("t").as("t2"), col("c").as("c2")),
+          col("t2") === col("t") + col("lag"))
+        .select(expr("(c2 - c) * 1000000 div lag").as("slope_e6"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (percentile(col("slope_e6"), lit(0.5)) * 4).cast("long")
+            .as("median_slope_e6_x4"),
+          count(when(col("slope_e6") > 0, 1)).as("n_up"),
+          count(when(col("slope_e6") < 0, 1)).as("n_down"))
+    }),
+
     // ---- exact 5%-trimmed mean of event values — the robust center
     // that pairs with value_mad_outliers. Row ranks come from the
     // grouped (cents, cnt) relation prefix-summed under the two-phase
@@ -6590,6 +6617,21 @@ object SparkEntry {
     "lorenz_curve_deciles" -> lorenzDecilesOracle,
     "supplier_hhi" -> supplierHhiOracle,
     "events_burstiness" -> eventsBurstinessOracle,
+    "daily_theilsen_trend" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |lags AS (SELECT UNNEST(range(1, 31)) AS lag),
+        |sl AS (SELECT (y2.c - y1.c) * 1000000 // lags.lag AS slope_e6
+        |       FROM lags CROSS JOIN daily y1
+        |            JOIN daily y2 ON y2.t = y1.t + lags.lag)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(quantile_cont(slope_e6, 0.5) * 4 AS BIGINT)
+        |         AS median_slope_e6_x4,
+        |       CAST(count(CASE WHEN slope_e6 > 0 THEN 1 END) AS BIGINT) AS n_up,
+        |       CAST(count(CASE WHEN slope_e6 < 0 THEN 1 END) AS BIGINT) AS n_down
+        |FROM sl""".stripMargin,
     "kmv_type_jaccard" -> kmvTypeJaccardOracle,
     "event_type_pagerank" -> pageRankE6Oracle,
     "embedding_rp_audit" -> rpAuditOracle,
