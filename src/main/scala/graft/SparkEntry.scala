@@ -1305,6 +1305,76 @@ object SparkEntry {
           count(when(col("props").isNull, 1)).as("null_props"),
           count(when(col("ts").isNull, 1)).as("null_ts"))),
 
+    // ---- daily actives split into new vs returning: each user's first
+    // active day comes from ONE map-side-combinable min aggregate; the
+    // daily split is then a conditional count after an equi-join on
+    // user — never a self-scan per day. The growth-accounting headline
+    // (is today's traffic acquisition or retention?) ----
+    "new_vs_returning_daily" -> ((s, dir) => {
+      val acts = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val firstDay = acts.groupBy("user_id").agg(min(col("d")).as("d0"))
+      acts.join(firstDay, Seq("user_id"))
+        .groupBy("d")
+        .agg(count(lit(1)).as("n_active"),
+          count(when(col("d") === col("d0"), 1)).as("n_new"),
+          count(when(col("d") =!= col("d0"), 1)).as("n_returning"),
+          expr("""count(CASE WHEN d = d0 THEN 1 END) * 1000000
+                  div nullif(count(1), 0)""").as("new_share_e6"))
+    }),
+
+    // ---- monthly order-priority mix drift: per month, the L1 distance
+    // between that month's priority mix and the overall mix — the
+    // time-drift monitor for a categorical column (the split_drift
+    // audit's calendar sibling). Exact with cleared denominators:
+    // Σ_p |cnt_mp·N − cnt_p·N_m| · 1e6 div (N_m·N); abs of integers,
+    // never float shares. Cells are (month × ≤5 priorities) — bounded;
+    // overall margins ride a broadcast ----
+    "priority_mix_drift" -> ((s, dir) => {
+      val m = Tables.orders(s, dir).select(
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mth"),
+        col("o_orderpriority").as("prio"))
+      val cells = m.groupBy("mth", "prio").agg(count(lit(1)).as("c_mp"))
+      val byMonth = cells.groupBy("mth").agg(sum(col("c_mp")).as("n_m"))
+      val byPrio = cells.groupBy("prio").agg(sum(col("c_mp")).as("c_p"))
+      val tot = cells.agg(sum(col("c_mp")).as("n"))
+      cells.join(byMonth, Seq("mth")).join(broadcast(byPrio), Seq("prio"))
+        .crossJoin(broadcast(tot)) // 1-row grand total
+        .groupBy("mth")
+        .agg(max(col("n_m")).as("n_orders"),
+          expr("""sum(abs(CAST(c_mp AS DECIMAL(38,0)) * n -
+                          CAST(c_p AS DECIMAL(38,0)) * n_m)) * 1000000
+                  div nullif(CAST(max(n_m) AS DECIMAL(38,0)) * max(n), 0)""")
+            .as("l1_drift_e6"))
+    }),
+
+    // ---- session conversion: among 30-minute sessions that contain a
+    // view, the share that also contain a purchase — the bounce_rate
+    // companion on the SAME session definition; per-session flags are
+    // conditional MAXes inside the session aggregate, never a second
+    // scan ----
+    "session_conversion" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val sess = Tables.events(s, dir)
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(byUser)))
+        .withColumn("is_new",
+          when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum("is_new").over(byUser))
+        .groupBy("user_id", "session_id")
+        .agg(max(when(col("event_type") === "view", 1).otherwise(0)).as("has_view"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("has_purchase")) // null-typed events count as neither
+      sess.filter(col("has_view") === 1)
+        .agg(count(lit(1)).as("n_view_sessions"),
+          count(when(col("has_purchase") === 1, 1)).as("n_converted"),
+          expr("""count(CASE WHEN has_purchase = 1 THEN 1 END) * 1000000
+                  div nullif(count(1), 0)""").as("session_conv_e6"))
+    }),
+
     // ---- session bounce rate: share of 30-minute-gap sessions with
     // exactly one event, plus exact mean depth — the engagement
     // headline stat on the SAME session definition as `sessionize`
@@ -6617,6 +6687,66 @@ object SparkEntry {
     "lorenz_curve_deciles" -> lorenzDecilesOracle,
     "supplier_hhi" -> supplierHhiOracle,
     "events_burstiness" -> eventsBurstinessOracle,
+    "new_vs_returning_daily" ->
+      """WITH acts AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |fd AS (SELECT user_id, min(d) AS d0 FROM acts GROUP BY 1)
+        |SELECT d, CAST(count(*) AS BIGINT) AS n_active,
+        |       CAST(count(CASE WHEN d = d0 THEN 1 END) AS BIGINT) AS n_new,
+        |       CAST(count(CASE WHEN d <> d0 THEN 1 END) AS BIGINT) AS n_returning,
+        |       CAST(count(CASE WHEN d = d0 THEN 1 END) * 1000000
+        |            // nullif(count(*), 0) AS BIGINT) AS new_share_e6
+        |FROM acts JOIN fd USING (user_id)
+        |GROUP BY 1""".stripMargin,
+
+    "priority_mix_drift" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
+        |                       AS BIGINT) AS mth,
+        |                  o_orderpriority AS prio
+        |           FROM orders),
+        |cells AS (SELECT mth, prio, CAST(count(*) AS BIGINT) AS c_mp
+        |          FROM m GROUP BY 1, 2),
+        |bm AS (SELECT mth, CAST(sum(c_mp) AS BIGINT) AS n_m FROM cells GROUP BY 1),
+        |bp AS (SELECT prio, CAST(sum(c_mp) AS BIGINT) AS c_p FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(c_mp) AS BIGINT) AS n FROM cells)
+        |SELECT mth, CAST(max(n_m) AS BIGINT) AS n_orders,
+        |  CAST(sum(abs(CAST(c_mp AS HUGEINT) * n - CAST(c_p AS HUGEINT) * n_m))
+        |         * 1000000
+        |       // nullif(CAST(max(n_m) AS HUGEINT) * max(n), 0) AS BIGINT)
+        |    AS l1_drift_e6
+        |FROM cells JOIN bm USING (mth) JOIN bp USING (prio), t
+        |GROUP BY 1""".stripMargin,
+
+    "session_conversion" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         lag(ts) OVER (PARTITION BY user_id
+        |                       ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, event_type,
+        |         sum(is_new) OVER (PARTITION BY user_id
+        |                           ORDER BY ts ASC, event_id ASC
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM y),
+        |sess AS (
+        |  SELECT user_id, session_id,
+        |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS has_purchase
+        |  FROM z GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_view_sessions,
+        |  CAST(count(CASE WHEN has_purchase = 1 THEN 1 END) AS BIGINT)
+        |    AS n_converted,
+        |  CAST(count(CASE WHEN has_purchase = 1 THEN 1 END) * 1000000
+        |       // nullif(count(*), 0) AS BIGINT) AS session_conv_e6
+        |FROM sess WHERE has_view = 1""".stripMargin,
+
     "daily_theilsen_trend" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
