@@ -1187,6 +1187,81 @@ object SparkEntry {
           expr("num * 1000000 div nullif(d2, 0)").as("acf_e6"))
     }),
 
+    // ---- Wald-Wolfowitz runs test on daily revenue: is above/below-
+    // median daily revenue RANDOM in time, or does it streak? The exact
+    // median comparison uses 2c vs (m1+m2) — pure integers even for
+    // even-n averages; median-valued days are dropped (the standard
+    // runs-test discipline, identical in both engines). Middles come
+    // from the grouped prefix-sum scan; the run count is one lag window
+    // over the CALENDAR-bounded classified-day relation (domain-bounded
+    // single task, the parts_skyline precedent). Expected runs
+    // 2·n₊·n₋/(n₊+n₋) + 1 is a plain rational in e6 ----
+    "daily_runs_test" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("t"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+        .localCheckpoint() // calendar-bounded; read by median + classify
+      val cum = graft.operators.PrefixSum.runningTotal(
+        daily.groupBy("c").agg(count(lit(1)).as("cnt")), "cum",
+        col("cnt"), col("c"))
+      val med = cum.crossJoin(broadcast(daily.agg(count(lit(1)).as("n"))))
+        .agg(min(when(expr("cum >= (n + 1) div 2"), col("c"))).as("m1"),
+          min(when(expr("cum >= n div 2 + 1"), col("c"))).as("m2"))
+      val signed = daily.crossJoin(broadcast(med)) // 1-row middles
+        .withColumn("sgn",
+          when(col("c") * 2 > col("m1") + col("m2"), 1)
+            .when(col("c") * 2 < col("m1") + col("m2"), -1))
+        .filter(col("sgn").isNotNull)
+      signed
+        .withColumn("prev", lag("sgn", 1).over(Window.orderBy("t")))
+        .agg(count(lit(1)).as("n_days_classified"),
+          count(when(col("sgn") === 1, 1)).as("n_plus"),
+          count(when(col("sgn") === -1, 1)).as("n_minus"),
+          count(when(col("prev").isNull || col("sgn") =!= col("prev"), 1))
+            .as("n_runs"))
+        .withColumn("expected_runs_e6",
+          expr("""CAST(2 AS DECIMAL(38,0)) * n_plus * n_minus * 1000000
+                  div nullif(n_plus + n_minus, 0) + 1000000"""))
+    }),
+
+    // ---- first-order value vs lifetime value: does a big first basket
+    // predict a big customer? Sign-preserving corr² and the OLS slope
+    // (expected LTV cents per first-order cent, e6) from ONE moment
+    // aggregate — moments exact in decimal(38,0); only the final
+    // division runs in doubles with floor(x·1e6 + 0.5), the
+    // daily_trend_ols discipline (num² would overflow any fixed
+    // decimal at money scale) ----
+    "first_value_ltv_corr" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val perCust = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          row_number().over(w).as("rn"))
+        .groupBy("o_custkey")
+        .agg(min(when(col("rn") === 1, col("cents"))).as("x"),
+          sum(col("cents")).as("y"))
+      perCust.agg(count(lit(1)).as("n_customers"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+        .withColumn("num", expr("n_customers * sxy - sx * sy"))
+        .withColumn("denx", expr("n_customers * sxx - sx * sx"))
+        .withColumn("deny", expr("n_customers * syy - sy * sy"))
+        .select(col("n_customers"),
+          expr("""CASE WHEN denx <> 0 AND deny <> 0 THEN
+                    CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                      / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE))
+                      * CASE WHEN num < 0 THEN -1000000.0 ELSE 1000000.0 END
+                      + 0.5) AS BIGINT) END""").as("corr2_sign_e6"),
+          expr("""CASE WHEN denx <> 0 THEN
+                    CAST(floor(CAST(num AS DOUBLE) / CAST(denx AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) END""").as("slope_e6"))
+    }),
+
     // ---- bounded-lag Theil-Sen trend of daily revenue: the robust
     // slope estimator (median of pairwise slopes), in its standard
     // windowed form — only day pairs within 30 days pair up, so the
@@ -6746,6 +6821,67 @@ object SparkEntry {
         |  CAST(count(CASE WHEN has_purchase = 1 THEN 1 END) * 1000000
         |       // nullif(count(*), 0) AS BIGINT) AS session_conv_e6
         |FROM sess WHERE has_view = 1""".stripMargin,
+
+    "daily_runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM daily GROUP BY 1),
+        |cu AS (SELECT c, CAST(sum(cnt) OVER (ORDER BY c) AS BIGINT) AS cum FROM g),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |med AS (SELECT min(CASE WHEN cum >= (n + 1) // 2 THEN c END) AS m1,
+        |               min(CASE WHEN cum >= n // 2 + 1 THEN c END) AS m2
+        |        FROM cu, tt),
+        |sg AS (SELECT d.t, CASE WHEN d.c * 2 > m.m1 + m.m2 THEN 1
+        |                        WHEN d.c * 2 < m.m1 + m.m2 THEN -1 END AS sgn
+        |       FROM daily d, med m),
+        |f AS (SELECT t, sgn, lag(sgn) OVER (ORDER BY t) AS prev
+        |      FROM sg WHERE sgn IS NOT NULL),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_days_classified,
+        |             CAST(count(CASE WHEN sgn = 1 THEN 1 END) AS BIGINT) AS n_plus,
+        |             CAST(count(CASE WHEN sgn = -1 THEN 1 END) AS BIGINT) AS n_minus,
+        |             CAST(count(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 END)
+        |                  AS BIGINT) AS n_runs
+        |      FROM f)
+        |SELECT n_days_classified, n_plus, n_minus, n_runs,
+        |  CAST(CAST(2 AS HUGEINT) * n_plus * n_minus * 1000000
+        |       // nullif(n_plus + n_minus, 0) + 1000000 AS BIGINT)
+        |    AS expected_runs_e6
+        |FROM a""".stripMargin,
+
+    "first_value_ltv_corr" ->
+      """WITH r AS (
+        |  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders),
+        |pc AS (SELECT o_custkey,
+        |              min(CASE WHEN rn = 1 THEN cents END) AS x,
+        |              CAST(sum(cents) AS BIGINT) AS y
+        |       FROM r GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |             sum(CAST(y AS HUGEINT) * y) AS syy,
+        |             sum(CAST(x AS HUGEINT) * y) AS sxy
+        |      FROM pc),
+        |d AS (SELECT n_customers,
+        |             n_customers * sxy - sx * sy AS num,
+        |             n_customers * sxx - sx * sx AS denx,
+        |             n_customers * syy - sy * sy AS deny
+        |      FROM m)
+        |SELECT n_customers,
+        |  CASE WHEN denx <> 0 AND deny <> 0 THEN
+        |    CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |      / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE))
+        |      * CASE WHEN num < 0 THEN -1000000.0 ELSE 1000000.0 END
+        |      + 0.5) AS BIGINT) END AS corr2_sign_e6,
+        |  CASE WHEN denx <> 0 THEN
+        |    CAST(floor(CAST(num AS DOUBLE) / CAST(denx AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT) END AS slope_e6
+        |FROM d""".stripMargin,
 
     "daily_theilsen_trend" ->
       """WITH daily AS (
