@@ -1187,6 +1187,59 @@ object SparkEntry {
           expr("num * 1000000 div nullif(d2, 0)").as("acf_e6"))
     }),
 
+    // ---- order backlog curve: end-of-month open orders from ±1 deltas
+    // (+1 at the placed month, −1 at the completion month = max line
+    // ship month; never-shipped orders stay open). The sweep-line
+    // discipline at month granularity: deltas aggregate map-side, the
+    // cumulative sum runs over the CALENDAR-bounded month dimension
+    // (~tens of rows at any scale) ----
+    "orders_backlog_curve" -> ((s, dir) => {
+      val done = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("done_ts"))
+      val o = Tables.orders(s, dir)
+        .join(done, col("o_orderkey") === col("l_orderkey"), "left")
+        .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("pm"),
+          (year(col("done_ts")) * 12 + month(col("done_ts")))
+            .cast("long").as("cm"))
+      val deltas = o.select(col("pm").as("m"), lit(1L).as("dd"))
+        .unionAll(o.filter(col("cm").isNotNull)
+          .select(col("cm").as("m"), lit(-1L).as("dd")))
+        .groupBy("m")
+        .agg(sum(col("dd")).as("delta"),
+          count(when(col("dd") === 1, 1)).as("n_placed"),
+          count(when(col("dd") === -1, 1)).as("n_completed"))
+      deltas
+        .withColumn("backlog_eom", sum(col("delta")).over(Window.orderBy("m")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("m", "n_placed", "n_completed", "backlog_eom")
+    }),
+
+    // ---- nation trade balance: revenue earned by a nation's suppliers
+    // (exports) vs spent by its customers (imports), net balance in e4
+    // units. Two fact aggregates FULL-OUTER joined on nation — a nation
+    // active on only one side still surfaces — with the 25-row nation
+    // dim broadcast last ----
+    "nation_trade_balance" -> ((s, dir) => {
+      val e4 = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      val exp = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nk")).agg(sum(e4).as("export_e4"))
+      val imp = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk2")).agg(sum(e4).as("import_e4"))
+      exp.join(imp, col("nk") === col("nk2"), "full_outer")
+        .join(broadcast(Tables.nation(s, dir)),
+          coalesce(col("nk"), col("nk2")) === col("n_nationkey"))
+        .select(col("n_name"),
+          coalesce(col("export_e4"), lit(0L)).as("export_e4"),
+          coalesce(col("import_e4"), lit(0L)).as("import_e4"),
+          (coalesce(col("export_e4"), lit(0L)) -
+            coalesce(col("import_e4"), lit(0L))).as("balance_e4"))
+    }),
+
     // ---- Wald-Wolfowitz runs test on daily revenue: is above/below-
     // median daily revenue RANDOM in time, or does it streak? The exact
     // median comparison uses 2c vs (m1+m2) — pure integers even for
@@ -6821,6 +6874,48 @@ object SparkEntry {
         |  CAST(count(CASE WHEN has_purchase = 1 THEN 1 END) * 1000000
         |       // nullif(count(*), 0) AS BIGINT) AS session_conv_e6
         |FROM sess WHERE has_view = 1""".stripMargin,
+
+    "orders_backlog_curve" ->
+      """WITH done AS (SELECT l_orderkey, max(l_shipdate) AS done_ts
+        |              FROM lineitem GROUP BY 1),
+        |o AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        |               AS pm,
+        |             CAST(year(done_ts) * 12 + month(done_ts) AS BIGINT) AS cm
+        |      FROM orders LEFT JOIN done ON o_orderkey = l_orderkey),
+        |d AS (SELECT pm AS m, 1 AS dd FROM o
+        |      UNION ALL SELECT cm, -1 FROM o WHERE cm IS NOT NULL),
+        |g AS (SELECT m, CAST(sum(dd) AS BIGINT) AS delta,
+        |             CAST(count(CASE WHEN dd = 1 THEN 1 END) AS BIGINT) AS n_placed,
+        |             CAST(count(CASE WHEN dd = -1 THEN 1 END) AS BIGINT)
+        |               AS n_completed
+        |      FROM d GROUP BY 1)
+        |SELECT m, n_placed, n_completed,
+        |       CAST(sum(delta) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+        |            AS BIGINT) AS backlog_eom
+        |FROM g""".stripMargin,
+
+    "nation_trade_balance" ->
+      """WITH ex AS (
+        |  SELECT s_nationkey AS nk,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |           AS export_e4
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1),
+        |im AS (
+        |  SELECT c_nationkey AS nk,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |           AS import_e4
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |       JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1)
+        |SELECT n_name,
+        |  COALESCE(export_e4, 0) AS export_e4,
+        |  COALESCE(import_e4, 0) AS import_e4,
+        |  COALESCE(export_e4, 0) - COALESCE(import_e4, 0) AS balance_e4
+        |FROM ex FULL OUTER JOIN im USING (nk)
+        |     JOIN nation ON COALESCE(nk, nk) = n_nationkey""".stripMargin,
 
     "daily_runs_test" ->
       """WITH daily AS (
