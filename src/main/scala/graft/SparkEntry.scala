@@ -1187,6 +1187,47 @@ object SparkEntry {
           expr("num * 1000000 div nullif(d2, 0)").as("acf_e6"))
     }),
 
+    // ---- TPC-H Q20 spirit on this schema (no partsupp): dominant
+    // suppliers — suppliers shipping MORE THAN HALF of a part's total
+    // quantity (2·q_ps > q_p, exact integers, no percent floats), the
+    // single-source-risk audit. Nested aggregate: per-(part, supp)
+    // quantities reduce map-side FIRST, the per-part total derives from
+    // the same reduced relation (one extra small aggregate, not a
+    // second fact scan), and the dominant pairs collapse per supplier ----
+    "dominant_suppliers" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("q_ps"))
+        .localCheckpoint() // read twice: per-part totals + the filter
+      val perPart = ps.groupBy("l_partkey").agg(sum(col("q_ps")).as("q_p"))
+      ps.join(perPart, Seq("l_partkey"))
+        .filter(col("q_ps") * 2 > col("q_p"))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_dominated_parts"),
+          sum(col("q_ps")).as("dominated_qty"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("n_dominated_parts"), col("dominated_qty"))
+    }),
+
+    // ---- Church-Gale term burstiness for the corpus head: for the
+    // top-20 terms by collection frequency, mean occurrences per
+    // CONTAINING document (cf·1e6 div df) — bursty terms (content
+    // words) score high, uniformly-sprinkled terms (function words)
+    // sit near 1e6; the feature that separates topical vocabulary from
+    // glue. One (doc, term) reduce feeds both counts; deterministic
+    // top-20 via (cf, term) tiebreak through TakeOrderedAndProject ----
+    "term_burstiness" -> ((s, dir) => {
+      val dt = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      dt.groupBy("term")
+        .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"))
+        .withColumn("burstiness_e6", expr("cf * 1000000 div nullif(df, 0)"))
+        .orderBy(col("cf").desc, col("term").asc)
+        .limit(20)
+    }),
+
     // ---- order backlog curve: end-of-month open orders from ±1 deltas
     // (+1 at the placed month, −1 at the completion month = max line
     // ship month; never-shipped orders stay open). The sweep-line
@@ -6874,6 +6915,31 @@ object SparkEntry {
         |  CAST(count(CASE WHEN has_purchase = 1 THEN 1 END) * 1000000
         |       // nullif(count(*), 0) AS BIGINT) AS session_conv_e6
         |FROM sess WHERE has_view = 1""".stripMargin,
+
+    "dominant_suppliers" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_ps
+        |            FROM lineitem GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey, CAST(sum(q_ps) AS BIGINT) AS q_p
+        |       FROM ps GROUP BY 1),
+        |dom AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_dominated_parts,
+        |               CAST(sum(q_ps) AS BIGINT) AS dominated_qty
+        |        FROM ps JOIN pp USING (l_partkey)
+        |        WHERE q_ps * 2 > q_p
+        |        GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_dominated_parts, dominated_qty
+        |FROM dom JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+
+    "term_burstiness" ->
+      """WITH dt AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+        |g AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY 1, 2),
+        |t AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf,
+        |             CAST(count(*) AS BIGINT) AS df
+        |      FROM g GROUP BY 1)
+        |SELECT term, cf, df,
+        |       CAST(cf * 1000000 // nullif(df, 0) AS BIGINT) AS burstiness_e6
+        |FROM t ORDER BY cf DESC, term LIMIT 20""".stripMargin,
 
     "orders_backlog_curve" ->
       """WITH done AS (SELECT l_orderkey, max(l_shipdate) AS done_ts
