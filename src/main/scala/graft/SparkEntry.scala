@@ -1793,6 +1793,54 @@ object SparkEntry {
           expr("n * 1000000 div n_all").as("share_e6"))
     }),
 
+    // ---- hapax legomena and type-token ratios: the lexicostatistics
+    // headline (a high hapax share means productive vocabulary — or OCR
+    // noise; a low one means templated text). One token aggregate, one
+    // 1-row reduce, exact e6 rationals ----
+    "vocab_hapax" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n_i"))
+      counts.agg(sum(col("n_i")).as("n_tokens"), count(lit(1)).as("n_types"),
+          count(when(col("n_i") === 1, 1)).as("n_hapax"))
+        .select(col("n_tokens"), col("n_types"), col("n_hapax"),
+          expr("n_hapax * 1000000 div nullif(n_types, 0)").as("hapax_share_e6"),
+          expr("n_types * 1000000 div nullif(n_tokens, 0)").as("type_token_e6"))
+    }),
+
+    // ---- engaged time as interval-union length: each event opens a
+    // 30-minute activity window; overlapping windows within a user merge
+    // (never double-counted), and the per-user union lengths sum to
+    // total engaged user-seconds. The sweep runs entirely inside
+    // per-user window partitions (scale-safe — no global order): ±1
+    // deltas, running coverage, and segment lengths from lead(); a
+    // segment counts while coverage ≥ 1. Tie order (+1 before −1,
+    // event-id last) is total, and zero-length segments contribute 0
+    // either way, so both engines agree exactly ----
+    "session_coverage_seconds" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts").cast("long").as("t"), col("event_id"))
+      val deltas = ev.select(col("user_id"), col("t"), lit(1L).as("dd"),
+          col("event_id"))
+        .unionAll(ev.select(col("user_id"), (col("t") + 1800).as("t"),
+          lit(-1L).as("dd"), col("event_id")))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t").asc, col("dd").desc, col("event_id").asc)
+      val seg = deltas
+        .withColumn("cov", sum(col("dd")).over(w))
+        .withColumn("nxt", lead(col("t"), 1).over(w))
+        .withColumn("engaged",
+          when(col("cov") >= 1 && col("nxt").isNotNull, col("nxt") - col("t"))
+            .otherwise(lit(0L)))
+      val perUser = seg.groupBy("user_id")
+        .agg(sum(col("engaged")).as("engaged_s"))
+      perUser.agg(count(lit(1)).as("n_users"),
+        sum(col("engaged_s")).as("total_engaged_seconds"),
+        expr("""CAST(sum(engaged_s) AS DECIMAL(38,0)) * 1000000
+                div nullif(count(1), 0)""").as("mean_engaged_s_e6"))
+    }),
+
     // ---- Simpson diversity of the corpus vocabulary — the log-free
     // concentration index (collision probability of two random tokens):
     // λ = Σ nᵢ(nᵢ−1) / N(N−1), plus its reciprocal "effective
@@ -6915,6 +6963,45 @@ object SparkEntry {
         |  CAST(count(CASE WHEN has_purchase = 1 THEN 1 END) * 1000000
         |       // nullif(count(*), 0) AS BIGINT) AS session_conv_e6
         |FROM sess WHERE has_view = 1""".stripMargin,
+
+    "vocab_hapax" ->
+      """WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n_i FROM tok GROUP BY 1),
+        |m AS (SELECT CAST(sum(n_i) AS BIGINT) AS n_tokens,
+        |             CAST(count(*) AS BIGINT) AS n_types,
+        |             CAST(count(CASE WHEN n_i = 1 THEN 1 END) AS BIGINT) AS n_hapax
+        |      FROM c)
+        |SELECT n_tokens, n_types, n_hapax,
+        |  CAST(n_hapax * 1000000 // nullif(n_types, 0) AS BIGINT)
+        |    AS hapax_share_e6,
+        |  CAST(n_types * 1000000 // nullif(n_tokens, 0) AS BIGINT)
+        |    AS type_token_e6
+        |FROM m""".stripMargin,
+
+    "session_coverage_seconds" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS t, event_id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |d AS (SELECT user_id, t, 1 AS dd, event_id FROM ev
+        |      UNION ALL SELECT user_id, t + 1800, -1, event_id FROM ev),
+        |s AS (SELECT user_id,
+        |             sum(dd) OVER (PARTITION BY user_id
+        |                           ORDER BY t ASC, dd DESC, event_id ASC
+        |                           ROWS UNBOUNDED PRECEDING) AS cov,
+        |             t,
+        |             lead(t) OVER (PARTITION BY user_id
+        |                           ORDER BY t ASC, dd DESC, event_id ASC) AS nxt
+        |      FROM d),
+        |u AS (SELECT user_id,
+        |             CAST(sum(CASE WHEN cov >= 1 AND nxt IS NOT NULL
+        |                           THEN nxt - t ELSE 0 END) AS BIGINT)
+        |               AS engaged_s
+        |      FROM s GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(engaged_s) AS BIGINT) AS total_engaged_seconds,
+        |  CAST(CAST(sum(engaged_s) AS HUGEINT) * 1000000
+        |       // nullif(count(*), 0) AS BIGINT) AS mean_engaged_s_e6
+        |FROM u""".stripMargin,
 
     "dominant_suppliers" ->
       """WITH ps AS (SELECT l_partkey, l_suppkey,
