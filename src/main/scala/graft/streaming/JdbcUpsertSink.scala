@@ -50,9 +50,28 @@ object JdbcUpsertSink {
 
   private def quoted(c: String): String = "\"" + c + "\""
 
+  /** How this warehouse stores an unquoted identifier in its catalog.
+    * Derby/Oracle fold to upper, Postgres/Redshift fold to lower, some
+    * store mixed-case as-is — resolved from DatabaseMetaData rather than
+    * assumed, so the metadata probes below match on all of them. */
+  private def storedName(conn: Connection, name: String): String = {
+    val md = conn.getMetaData
+    if (md.storesUpperCaseIdentifiers) name.toUpperCase
+    else if (md.storesLowerCaseIdentifiers) name.toLowerCase
+    else name
+  }
+
   private def tableExists(conn: Connection, name: String): Boolean = {
-    val rs = conn.getMetaData.getTables(null, null, name.toUpperCase, null)
-    try rs.next() finally rs.close()
+    // belt-and-braces: probe the declared fold first, then the other
+    // casings — a driver that misreports its folding (or a pre-existing
+    // quoted-identifier table) still resolves instead of wedging the
+    // stream in a CREATE-TABLE retry loop
+    val md = conn.getMetaData
+    Seq(storedName(conn, name), name, name.toUpperCase, name.toLowerCase)
+      .distinct.exists { n =>
+        val rs = md.getTables(null, null, n, null)
+        try rs.next() finally rs.close()
+      }
   }
 
   /** (tag, batchId) recorded by the last applied batch; ("", -1) if the
@@ -76,6 +95,11 @@ object JdbcUpsertSink {
       orderCol: String, url: String, table: String, checkpointTag: String,
       batchId: Long, options: Map[String, String] = Map.empty): Unit = {
     require(keys.nonEmpty, "upsert needs at least one key column")
+    require(!keys.contains(orderCol),
+      s"orderCol '$orderCol' cannot also be a key: it is dropped after the " +
+        "per-key reduce, which would silently remove a merge key")
+    require(!batch.columns.contains("__rn"),
+      "input column '__rn' collides with the reduce's internal rank column")
     val (tag, lastId) = lastApplied(url, table)
     if (tag == checkpointTag && lastId >= batchId) return // replay: skip
     // last writer per key wins within the batch
@@ -84,7 +108,13 @@ object JdbcUpsertSink {
     val reduced = batch
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", orderCol)
-    val stage = s"${table}_stage"
+    // per-ATTEMPT staging table: a zombie driver racing its replacement
+    // on a not-yet-applied batch must not overwrite the peer's staged
+    // rows between its staging write and its apply transaction — each
+    // attempt merges from a private table and drops it in the same
+    // transaction that applies it
+    val stage = s"${table}_s${batchId}_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     // parallel staging write (Spark JDBC: one connection per partition)
     options.foldLeft(
         reduced.write.format("jdbc").option("url", url).option("dbtable", stage)
@@ -102,7 +132,8 @@ object JdbcUpsertSink {
         // column-set parity, loud: the DB would otherwise null-fill a
         // dropped column (or fail half-way on an added one) — the same
         // silent-drift class mergeInto's schema check rejects
-        val rsC = conn.getMetaData.getColumns(null, null, table.toUpperCase, null)
+        val rsC = conn.getMetaData.getColumns(
+          null, null, storedName(conn, table), null)
         val targetCols = Iterator.continually(rsC)
           .takeWhile(_.next()).map(_.getString("COLUMN_NAME")).toSet
         rsC.close()
@@ -131,10 +162,23 @@ object JdbcUpsertSink {
         ps.setString(1, checkpointTag); ps.setLong(2, batchId)
         ps.executeUpdate(); ps.close()
       }
+      // the private stage's lifetime ends with the transaction that
+      // consumed (or skipped) it — committed apply and stage drop are one
+      // atomic unit, so no attempt can merge from another attempt's rows
+      st.executeUpdate(s"DROP TABLE $stage")
       st.close()
       conn.commit()
     } catch {
-      case e: Throwable => conn.rollback(); throw e
+      case e: Throwable =>
+        conn.rollback()
+        // best-effort orphan cleanup: a failed attempt's private stage is
+        // garbage (the retry stages afresh under a new name)
+        try {
+          conn.setAutoCommit(true)
+          val st = conn.createStatement()
+          try st.executeUpdate(s"DROP TABLE $stage") finally st.close()
+        } catch { case _: Throwable => () }
+        throw e
     } finally conn.close()
   }
 

@@ -512,21 +512,32 @@ object VersionedSnapshot {
     val zp = new Path(vdir, ZonesName)
     if (!f.exists(zp)) None
     else {
-      val lines = readSmallFile(f, zp).split('\n').toSeq.filter(_.nonEmpty)
-      val keys = lines.head.stripPrefix("keys=").split(',').toSeq.filter(_.nonEmpty)
-      val tags = lines(1).stripPrefix("tags=").split(',').toSeq.filter(_.nonEmpty)
-      val entries = lines.drop(2).map { line =>
-        val parts = line.split('\t')
-        val ranges = parts.drop(2).toSeq.map { fld =>
-          if (fld == "-") None
-          else {
-            val cut = fld.indexOf(',')
-            Some((fld.substring(0, cut), fld.substring(cut + 1)))
-          }
+      // defensive parse: a corrupt or hand-edited _ZONES file must degrade
+      // to the documented no-stats/never-prune fallback (same path as a
+      // pre-zonemap version or key-shape drift), never crash the read
+      try {
+        val lines = readSmallFile(f, zp).split('\n').toSeq.filter(_.nonEmpty)
+        if (lines.size < 2 ||
+            !lines.head.startsWith("keys=") || !lines(1).startsWith("tags=")) None
+        else {
+          val keys = lines.head.stripPrefix("keys=").split(',').toSeq.filter(_.nonEmpty)
+          val tags = lines(1).stripPrefix("tags=").split(',').toSeq.filter(_.nonEmpty)
+          val entries = lines.drop(2).map { line =>
+            val parts = line.split('\t')
+            val ranges = parts.drop(2).toSeq.map { fld =>
+              if (fld == "-") None
+              else {
+                val cut = fld.indexOf(',')
+                // cut == -1 makes substring throw -> caught below -> None
+                Some((fld.substring(0, cut), fld.substring(cut + 1)))
+              }
+            }
+            // parts(1) absent or non-numeric throws -> caught below -> None
+            parts(0) -> (parts(1).toLong, ranges)
+          }.toMap
+          Some(Zones(keys, tags, entries))
         }
-        parts(0) -> (parts(1).toLong, ranges)
-      }.toMap
-      Some(Zones(keys, tags, entries))
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
   }
 

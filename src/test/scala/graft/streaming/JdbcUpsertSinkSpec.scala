@@ -97,4 +97,39 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     assert(tableMap(table) == Map(1L -> "b"))
     assert(JdbcUpsertSink.lastApplied(jdbcUrl, table) == ("ck", 1L))
   }
+
+  test("guards: orderCol in keys and a reserved __rn column are rejected loudly") {
+    import spark.implicits._
+    val b = Seq((1L, "a", 1L)).toDF("user_id", "track_id", "seq")
+    val e1 = intercept[IllegalArgumentException] {
+      JdbcUpsertSink.upsertBatch(b, Seq("user_id", "seq"), "seq", jdbcUrl,
+        "wh_guard", checkpointTag = "ck", batchId = 0L)
+    }
+    assert(e1.getMessage.contains("orderCol"))
+    val b2 = b.withColumn("__rn", org.apache.spark.sql.functions.lit(1))
+    val e2 = intercept[IllegalArgumentException] {
+      JdbcUpsertSink.upsertBatch(b2, Seq("user_id"), "seq", jdbcUrl,
+        "wh_guard", checkpointTag = "ck", batchId = 0L)
+    }
+    assert(e2.getMessage.contains("__rn"))
+  }
+
+  test("no shared stage table lingers after an applied batch (per-attempt staging)") {
+    import spark.implicits._
+    val table = "wh_stagedrop"
+    val b0 = Seq((1L, "a", 1L)).toDF("user_id", "track_id", "seq")
+    JdbcUpsertSink.upsertBatch(b0, Seq("user_id"), "seq", jdbcUrl, table,
+      checkpointTag = "ck", batchId = 0L, options = colTypes)
+    // the apply transaction must have dropped its private stage: the only
+    // tables carrying this prefix are the target and its lineage
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "WH_STAGEDROP%", null)
+      val names = Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getString("TABLE_NAME")).toList
+      rs.close()
+      assert(names.map(_.toLowerCase).toSet ==
+        Set("wh_stagedrop", "wh_stagedrop_lineage"), s"found $names")
+    } finally conn.close()
+  }
 }

@@ -851,4 +851,34 @@ class VersionedSnapshotSpec extends SparkSpec {
     val legacyHit = VersionedSnapshot.readForKeys(spark, base, Seq(3L).toDF("k")).get
     assert(legacyHit.as[(Long, Long)].collect().toSeq == Seq((3L, 30L)))
   }
+
+  test("zonemap: a corrupt _ZONES file degrades to never-prune instead of crashing") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-zonec").resolve("snap").toString
+    VersionedSnapshot.mergeInto(base,
+      (1L to 100L).map(i => (i, i * 10L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", numBuckets = 4)
+    val cur = VersionedSnapshot.currentVersion(spark, base).get
+    val zf = new java.io.File(new java.io.File(base),
+      "v" + "%05d".formatLocal(java.util.Locale.ROOT, cur) + "/_ZONES")
+    for (junk <- Seq(
+        "garbage with no header",                       // malformed header
+        "keys=k\ntags=i\nfile.parquet\tnotanumber\tAA,BB", // bad count
+        "keys=k\ntags=i\nfile.parquet\t5\tno-comma-here")) { // bad range field
+      java.nio.file.Files.writeString(zf.toPath, junk)
+      // read + point read + merge must all survive on the no-stats path
+      val probe = VersionedSnapshot.readForKeys(spark, base, Seq(5000L).toDF("k")).get
+      assert(probe.count() == 0 && probe.inputFiles.nonEmpty,
+        "corrupt zonemap must degrade to bucket pruning, not crash or over-prune")
+      val hit = VersionedSnapshot.readForKeys(spark, base, Seq(3L).toDF("k")).get
+      assert(hit.as[(Long, Long)].collect().toSeq == Seq((3L, 30L)))
+    }
+    // a merge on top of the corrupt manifest republishes a healthy one
+    VersionedSnapshot.mergeInto(base, Seq((3L, 99L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "fix", numBuckets = 4)
+    assert(VersionedSnapshot.zoneManifest(spark, base).isDefined)
+    val after = VersionedSnapshot.readForKeys(spark, base, Seq(3L).toDF("k")).get
+    assert(after.as[(Long, Long)].collect().toSeq == Seq((3L, 99L)))
+  }
 }
