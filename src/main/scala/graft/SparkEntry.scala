@@ -3089,6 +3089,127 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totacctbal_cents"))
     }),
 
+    // ---- TPC-H Q2 shape (correlated scalar subquery over a 4-way dim
+    // join): for LARGE small-size parts, the EUROPE supplier(s) offering
+    // the minimum supply cost. PARTSUPP is the synthetic derived relation
+    // (Tables.partsupp — generated-oracle discipline, see its scaladoc).
+    // Decorrelated the way Catalyst itself would: min-cost per part over
+    // the region-filtered candidates (one map-side-combinable agg), then
+    // an equi-join back on (part, cost). The filtered part dim broadcasts
+    // (a fraction of an already-small dim at any SF); nation/region are
+    // constant-size broadcasts; the only data-scale shuffle is the
+    // partsupp distinct + the partkey agg ----
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val eurSup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          round(col("s_acctbal") * 100).cast("long").as("acctbal_cents"))
+      val parts = Tables.part(s, dir)
+        .filter(col("p_size") <= 5 && col("p_type") === "LARGE")
+        .select("p_partkey", "p_brand")
+      val cand = Tables.partsupp(s, dir)
+        .join(eurSup, col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      val minCost = cand.groupBy(col("p_partkey").as("mc_partkey"))
+        .agg(min("ps_supplycost_cents").as("min_cost_cents"))
+      cand.join(minCost,
+          col("p_partkey") === col("mc_partkey") &&
+            col("ps_supplycost_cents") === col("min_cost_cents"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+          col("acctbal_cents"), col("ps_supplycost_cents").as("supplycost_cents"))
+    }),
+
+    // ---- TPC-H Q9 shape (profit through a 6-table join): revenue minus
+    // supply cost per supplier nation and order year, for parts whose
+    // name mentions a component. Exact 1e-4-dollar integer units end to
+    // end: extprice_cents*(100-disc_e2) and cost_cents*qty*100 live in
+    // the same unit, so the difference sums exactly in both engines. The
+    // name-filtered part keys broadcast; partsupp joins on its composite
+    // key (the one fact-sized shuffle besides the orders join) ----
+    "q9_nation_profit" -> ((s, dir) => {
+      val parts = Tables.part(s, dir)
+        .filter(col("p_name").like("%bolt%")).select("p_partkey")
+      Tables.lineitem(s, dir)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(Tables.partsupp(s, dir),
+          col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(sum(
+            round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")) -
+            col("ps_supplycost_cents") *
+              round(col("l_quantity")).cast("long") * lit(100L))
+          .as("profit_e4"))
+    }),
+
+    // ---- TPC-H Q11 shape (HAVING-share over a grand total): stock value
+    // per part held by one nation's suppliers, keeping parts above TWICE
+    // the mean per-part value. TPC-H's fixed 0.01%/SF share has to be
+    // re-tuned per scale factor; the 2×-mean form is the same
+    // global-share HAVING shape but scale-free, so one query bites at
+    // every SF. The total and group count are ONE 1-row global aggregate
+    // broadcast back over the per-part rows (the repo's scalar crossJoin
+    // convention); the compare is integer-exact via truncating division
+    // (both engines truncate toward zero), so no double enters the
+    // predicate and nothing can overflow (mean ≈ value magnitude) ----
+    "q11_important_stock" -> ((s, dir) => {
+      val byPart = Tables.partsupp(s, dir)
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+          col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("ps_partkey")
+        .agg(sum(col("ps_supplycost_cents") * col("ps_availqty")).as("value_cents"))
+      val total = byPart.agg(sum("value_cents").as("total_cents"),
+        count(lit(1)).as("n_parts"))
+      byPart.crossJoin(broadcast(total)) // 1-row aggregate, per repo convention
+        .filter(col("value_cents") > expr("total_cents div n_parts") * 2)
+        .select("ps_partkey", "value_cents")
+    }),
+
+    // ---- TPC-H Q20 shape (nested semi-join chain): suppliers holding
+    // comfortable stock (availqty > 100x one year's shipped quantity) of
+    // one part family. The correlated inner aggregate is the
+    // per-(part,supplier) shipped-quantity rollup; the chain is
+    // expressed as the equi-joins it decorrelates to, with the supplier
+    // table reduced by a LEFT SEMI join (no row multiplication, Spark's
+    // native EXISTS form). The family pattern + multiplier were tuned so
+    // the existential actually bites at every SF (kept 1/10, 64/100,
+    // 688/1000 suppliers — an EXISTS over a common per-pair predicate
+    // saturates to all-pass, which would make the shape vacuous). Part
+    // keys broadcast; quantities stay integer (l_quantity is
+    // integer-valued by generator contract) ----
+    "q20_stocked_suppliers" -> ((s, dir) => {
+      val qty = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(round(col("l_quantity")).cast("long")).as("qty_sum"))
+      val famParts = Tables.part(s, dir)
+        .filter(col("p_name").like("small gi%")).select("p_partkey")
+      val stocked = Tables.partsupp(s, dir)
+        .join(broadcast(famParts), col("ps_partkey") === col("p_partkey"))
+        .join(qty, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") > col("qty_sum") * 100)
+      Tables.supplier(s, dir)
+        .join(stocked, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    }),
+
     // ---- event-time RANGE frame: per-customer rolling 30-day revenue.
     // RANGE (value-based) frames are the one window-frame family nothing
     // else exercises: the frame is [ts-30d, ts], includes ALL timestamp
@@ -6847,6 +6968,18 @@ object SparkEntry {
        |FROM r WHERE "rank" <= $AnnK""".stripMargin
   }
 
+  /** DuckDB side of [[Tables.partsupp]]: the same distinct-pairs +
+    * closed-form integer-key arithmetic, so the four partsupp-family
+    * oracles (Q2/Q9/Q11/Q20) rebuild the IDENTICAL relation from the same
+    * parquet — the generated-oracle discipline of the hash-family
+    * oracles above. */
+  private val partsuppCte: String =
+    """partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         (l_partkey * 7 + l_suppkey * 13) % 9999 + 1 AS ps_availqty,
+      |         (l_partkey * 31 + l_suppkey * 17) % 100000 + 100 AS ps_supplycost_cents
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "minhash_lsh_pairs" -> minHashLshOracle,
     "minhash_accuracy" -> minHashAccuracyOracle,
@@ -8129,6 +8262,75 @@ object SparkEntry {
         |WHERE bal_cents * pos_n > pos_sum
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY 1""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      s"""WITH $partsuppCte,
+        |eursup AS (
+        |  SELECT s_suppkey, s_name, n_name,
+        |         CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |  FROM supplier, nation, region
+        |  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |    AND r_name = 'EUROPE'),
+        |cand AS (
+        |  SELECT ps_partkey AS p_partkey, p_brand, s_name, n_name,
+        |         acctbal_cents, ps_supplycost_cents
+        |  FROM partsupp, eursup, part
+        |  WHERE ps_suppkey = s_suppkey AND ps_partkey = p_partkey
+        |    AND p_size <= 5 AND p_type = 'LARGE'),
+        |mc AS (SELECT p_partkey AS mc_partkey,
+        |              min(ps_supplycost_cents) AS min_cost
+        |       FROM cand GROUP BY 1)
+        |SELECT p_partkey, p_brand, s_name, n_name, acctbal_cents,
+        |       ps_supplycost_cents AS supplycost_cents
+        |FROM cand JOIN mc
+        |  ON p_partkey = mc_partkey AND ps_supplycost_cents = min_cost""".stripMargin,
+
+    "q9_nation_profit" ->
+      s"""WITH $partsuppCte
+        |SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT)) -
+        |           ps_supplycost_cents * CAST(round(l_quantity) AS BIGINT) * 100)
+        |    AS BIGINT) AS profit_e4
+        |FROM lineitem, part, partsupp, supplier, nation, orders
+        |WHERE l_partkey = p_partkey AND p_name LIKE '%bolt%'
+        |  AND l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q11_important_stock" ->
+      s"""WITH $partsuppCte,
+        |v AS (SELECT ps_partkey,
+        |             CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT)
+        |               AS value_cents
+        |      FROM partsupp, supplier, nation
+        |      WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |        AND n_name = 'NATION_3'
+        |      GROUP BY 1),
+        |t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+        |             CAST(count(*) AS BIGINT) AS n_parts FROM v)
+        |SELECT ps_partkey, value_cents FROM v, t
+        |WHERE value_cents > total_cents // n_parts * 2""".stripMargin,
+
+    "q20_stocked_suppliers" ->
+      s"""WITH $partsuppCte,
+        |qty AS (SELECT l_partkey, l_suppkey,
+        |               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |                 AS qty_sum
+        |        FROM lineitem
+        |        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |          AND l_shipdate < TIMESTAMP '1997-01-01'
+        |        GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier, nation
+        |WHERE s_nationkey = n_nationkey
+        |  AND EXISTS (
+        |    SELECT 1 FROM partsupp, part, qty
+        |    WHERE ps_partkey = p_partkey AND p_name LIKE 'small gi%'
+        |      AND ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |      AND ps_suppkey = s_suppkey
+        |      AND ps_availqty > qty_sum * 100)""".stripMargin,
 
     "value_auc" ->
       """WITH sc AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros}
 
 /** Loaders for the driver-generated testdata tables (see TESTDATA.md).
   *
@@ -121,4 +121,33 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** Synthetic PARTSUPP: the testdata has no partsupp parquet, but TPC-H's
+    * last four query shapes (Q2 correlated min-cost, Q9 profit, Q11
+    * HAVING-share, Q20 nested semi-join) need one. Derived
+    * DETERMINISTICALLY from lineitem — the distinct `(l_partkey,
+    * l_suppkey)` pairs plus closed-form integer columns from key
+    * arithmetic — so the DuckDB oracle rebuilds the IDENTICAL relation
+    * from the same parquet with the same SQL (the generated-oracle
+    * discipline of the hash-family oracles in SparkEntry). All-integer
+    * arithmetic on positive int64 keys: `%` agrees across both engines
+    * and nothing touches a double.
+    *
+    *   - `ps_availqty`          = (pk*7  + sk*13) % 9999 + 1     (1..9999)
+    *   - `ps_supplycost_cents`  = (pk*31 + sk*17) % 100000 + 100 (1.00..1000.99 $, exact cents)
+    *
+    * The derivation is one map-side-combinable distinct over a two-column
+    * projection of lineitem (partial aggregation collapses each scan
+    * partition to its unique pairs before the shuffle). A production
+    * deployment would materialize this once; at bench scale the distinct
+    * costs a fraction of a second and keeping the plan declarative lets
+    * Catalyst push `l_partkey`/`l_suppkey` predicates into the scan. */
+  def partsupp(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_availqty",
+        (col("ps_partkey") * 7 + col("ps_suppkey") * 13) % 9999 + lit(1L))
+      .withColumn("ps_supplycost_cents",
+        (col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 100000 + lit(100L))
 }
