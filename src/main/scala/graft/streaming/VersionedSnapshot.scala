@@ -89,6 +89,12 @@ object VersionedSnapshot {
     * driver- and plan-cheap. */
   private val MaxPushdownKeys = 1024L
 
+  /** Stats-column budget for `_ZONES` (keys + value columns): the Delta
+    * `dataSkippingNumIndexedCols` analog. Wide tables keep stats for the
+    * keys plus the first prunable value columns up to this many total —
+    * per-file stat lines stay O(32) fields no matter the schema. */
+  private val MaxStatsCols = 32
+
   private def fmtVersion(v: Long): String =
     "v" + "%05d".formatLocal(java.util.Locale.ROOT, v)
   private def versionPath(base: Path, v: Long): Path = new Path(base, fmtVersion(v))
@@ -173,7 +179,14 @@ object VersionedSnapshot {
     * gracefully to the coarser prune. */
   def readForKeys(spark: SparkSession, baseDir: String, keyRows: DataFrame)
       : Option[DataFrame] =
-    currentVersion(spark, baseDir).map { v =>
+    currentVersion(spark, baseDir)
+      .map(v => readForKeysAt(spark, baseDir, v, keyRows))
+
+  /** [[readForKeys]] against an explicit version — the same three-level
+    * prune; the predicated [[changes]] overload reads both of its
+    * versions through this. */
+  private def readForKeysAt(spark: SparkSession, baseDir: String, v: Long,
+      keyRows: DataFrame): DataFrame = {
       import org.apache.spark.sql.functions.{collect_set, max => fMax, min => fMin}
       val base = new Path(baseDir)
       val f = fs(spark, baseDir)
@@ -255,7 +268,113 @@ object VersionedSnapshot {
       }
       reconcileOverlays(spark, base, f, vdir, baseFrame)
         .join(wanted, keyCols, "left_semi")
+  }
+
+  // ------------------------------------- value-range pruned reads (r9)
+
+  /** Driver-side normalization of a range-predicate literal to the
+    * zonemap's at-rest base64 form — the literal analog of
+    * [[zoneNormExpr]] + [[renderZoneVal]]. None = literal shape this tag
+    * cannot compare (the column then never prunes; the exact filter
+    * still applies). A fractional literal against an 'i' column
+    * truncates toward zero, which only ever WIDENS the pruning range for
+    * integral data — safe superset semantics. */
+  private def renderZoneLiteral(tag: String, v: Any): Option[String] = {
+    val norm: Option[Any] = (tag, v) match {
+      case (_, null) => None
+      case ("i", b: java.lang.Boolean) => Some(if (b) 1L else 0L)
+      case ("i", t: java.sql.Timestamp) =>
+        val i = t.toInstant
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case ("i", t: java.time.Instant) =>
+        Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+      case ("i", d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
+      case ("i", d: java.time.LocalDate) => Some(d.toEpochDay)
+      case ("i", n: java.lang.Number) => Some(n.longValue)
+      case ("f", n: java.lang.Number) =>
+        try Some(new java.math.BigDecimal(n.toString))
+        catch { case _: NumberFormatException => None } // NaN/Infinity
+      case ("s", s: String) => Some(s)
+      case _ => None
     }
+    norm.flatMap(renderZoneVal(tag, _))
+  }
+
+  /** Could a file's [min,max] intersect the (possibly half-open) wanted
+    * range? Errs on true — absent bounds or undecodable values never
+    * prune. */
+  private def zoneRangeMatches(tag: String, fr: (String, String),
+      lo: Option[String], hi: Option[String]): Boolean = {
+    val wantedBelowFile = hi.flatMap(h => zoneLt(tag, h, fr._1)) // hi < fileMin
+    val fileBelowWanted = lo.flatMap(l => zoneLt(tag, fr._2, l)) // fileMax < lo
+    !(wantedBelowFile.getOrElse(false) || fileBelowWanted.getOrElse(false))
+  }
+
+  /** Current-version read pruned by VALUE-column range predicates — the
+    * data-skipping read Delta/Iceberg serve from their per-file column
+    * stats, from the same `_ZONES` manifest that serves key pruning.
+    * `ranges` maps column name to (optional lo, optional hi), both
+    * inclusive. Only data files whose committed stats for EVERY
+    * predicate column can intersect the wanted range are bound (files or
+    * columns without stats never prune — superset semantics, same as a
+    * pre-r9 keys-only zonemap, which degrades to bucket-level binding);
+    * merge-on-read overlays are delta-sized and always reconcile. The
+    * exact range predicate is re-applied to the result — and pushed into
+    * the parquet scan of the surviving files for row-group skipping — so
+    * the returned rows satisfy `ranges` exactly and the stats prune is
+    * purely an I/O optimization. */
+  def readWhere(spark: SparkSession, baseDir: String,
+      ranges: Map[String, (Option[Any], Option[Any])]): Option[DataFrame] =
+    currentVersion(spark, baseDir)
+      .map(v => readWhereAt(spark, baseDir, v, ranges))
+
+  private def readWhereAt(spark: SparkSession, baseDir: String, v: Long,
+      ranges: Map[String, (Option[Any], Option[Any])]): DataFrame = {
+    val base = new Path(baseDir)
+    val f = fs(spark, baseDir)
+    val vdir = versionPath(base, v)
+    val baseFrame = parseBuckets(f, vdir) match {
+      case Some((_, entries)) =>
+        val zones = parseZones(f, vdir)
+        val paths = entries.toSeq.sortBy(_._1).flatMap { case (_, rel) =>
+          zones match {
+            case Some(z) =>
+              val statCols = z.keys ++ z.vcols
+              val statTags = z.tags ++ z.vtags
+              val checks = ranges.toSeq.flatMap { case (c, (lo, hi)) =>
+                val i = statCols.indexOf(c)
+                if (i < 0) None
+                else Some((i, statTags(i),
+                  lo.flatMap(renderZoneLiteral(statTags(i), _)),
+                  hi.flatMap(renderZoneLiteral(statTags(i), _))))
+              }
+              val files = z.entries.toSeq.filter(_._1.startsWith(rel + "/"))
+              if (files.isEmpty) Seq(rel) // no stats for this bucket
+              else files.collect {
+                case (frel, (_, fRanges))
+                    if checks.forall { case (i, tag, lo, hi) =>
+                      fRanges.lift(i).flatten match {
+                        case Some(fr) => zoneRangeMatches(tag, fr, lo, hi)
+                        case None => true // no stats on either side
+                      }
+                    } => frel
+              }.sorted
+            case None => Seq(rel) // pre-zonemap version
+          }
+        }.map(rel => new Path(base, rel).toString)
+        if (paths.nonEmpty) spark.read.parquet(paths: _*)
+        else
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            versionFrame(spark, baseDir, v).schema)
+      case None => spark.read.parquet(vdir.toString)
+    }
+    val reconciled = reconcileOverlays(spark, base, f, vdir, baseFrame)
+    ranges.foldLeft(reconciled) { case (df, (c, (lo, hi))) =>
+      (lo.map(l => col(c) >= lit(l)).toSeq ++ hi.map(h => col(c) <= lit(h)))
+        .foldLeft(df)((d, cond) => d.filter(cond))
+    }
+  }
 
   /** Row-level change feed between two RETAINED versions — the
     * table-format `table_changes` / CDF read, derived here from version
@@ -278,7 +397,40 @@ object VersionedSnapshot {
     for {
       a <- readVersion(spark, baseDir, fromVersion)
       b <- readVersion(spark, baseDir, toVersion)
+    } yield diffFrames(a, b, keys)
+
+  /** [[changes]] restricted by value-column range predicates — the CDF
+    * read that no longer scans every in-bucket file when the predicate
+    * is selective. Emits the diff rows of keys whose OLD or NEW row
+    * satisfies `ranges` (both bounds inclusive, either side open), with
+    * exact op labels. Two-phase read: (1) each version binds only its
+    * `_ZONES`-surviving files ([[readWhere]] semantics) and the
+    * exact-filtered rows yield the candidate key set; (2) both versions
+    * are point-read for exactly those keys ([[readForKeysAt]] — key
+    * zonemap + row-group pushdown), so a key whose row moved INTO or OUT
+    * of the range still diffs against its true counterpart row instead
+    * of being mislabeled insert/delete. None unless both versions are
+    * retained. */
+  def changes(spark: SparkSession, baseDir: String, fromVersion: Long,
+      toVersion: Long, keys: Seq[String],
+      ranges: Map[String, (Option[Any], Option[Any])]): Option[DataFrame] =
+    for {
+      _ <- readVersion(spark, baseDir, fromVersion)
+      _ <- readVersion(spark, baseDir, toVersion)
     } yield {
+      val candA = readWhereAt(spark, baseDir, fromVersion, ranges)
+        .select(keys.map(col): _*)
+      val candB = readWhereAt(spark, baseDir, toVersion, ranges)
+        .select(keys.map(col): _*)
+      val cand = candA.unionByName(candB).distinct()
+      diffFrames(
+        readForKeysAt(spark, baseDir, fromVersion, cand),
+        readForKeysAt(spark, baseDir, toVersion, cand), keys)
+    }
+
+  /** The row diff of two version frames on `keys` (see [[changes]]). */
+  private def diffFrames(a: DataFrame, b: DataFrame, keys: Seq[String])
+      : DataFrame = {
       val nonKeys = b.columns.toSeq.filterNot(keys.contains)
       val aSide = a.select(
         (keys.map(col) :+ lit(true).as("__in_a")) ++
@@ -298,7 +450,7 @@ object VersionedSnapshot {
         .select(col("op") +: keys.map(col) ++: nonKeys.map(c =>
           when(col("op") === "delete", col(s"__a_$c"))
             .otherwise(col(s"__b_$c")).as(c)): _*)
-    }
+  }
 
   /** The committed frame of one version: its bucket (or flat) files with
     * any merge-on-read overlays reconciled. */
@@ -503,9 +655,15 @@ object VersionedSnapshot {
     !disjoint.getOrElse(false)
   }
 
-  /** One version's zonemap: key names, their tags, and per data file
-    * (row count, per-key min/max in base64 — None = no stats). */
+  /** One version's zonemap: the merge-key columns and their tags, plus
+    * (r9) optional VALUE-column stats (`vcols`/`vtags` — the Delta
+    * `dataSkippingNumIndexedCols` analog), and per data file (row count,
+    * per-column min/max in base64 — None = no stats). Ranges are ordered
+    * keys-first then vcols, so every pre-r9 consult site that indexes by
+    * key position keeps working on the prefix, and pre-r9 files (no
+    * `cols=`/`ctags=` header lines) parse as vcols = empty. */
   private final case class Zones(keys: Seq[String], tags: Seq[String],
+      vcols: Seq[String], vtags: Seq[String],
       entries: Map[String, (Long, Seq[Option[(String, String)]])])
 
   private def parseZones(f: FileSystem, vdir: Path): Option[Zones] = {
@@ -522,7 +680,16 @@ object VersionedSnapshot {
         else {
           val keys = lines.head.stripPrefix("keys=").split(',').toSeq.filter(_.nonEmpty)
           val tags = lines(1).stripPrefix("tags=").split(',').toSeq.filter(_.nonEmpty)
-          val entries = lines.drop(2).map { line =>
+          // optional value-column stats headers (r9); absent on older files
+          val hasV = lines.size >= 4 &&
+            lines(2).startsWith("cols=") && lines(3).startsWith("ctags=")
+          val vcols =
+            if (hasV) lines(2).stripPrefix("cols=").split(',').toSeq.filter(_.nonEmpty)
+            else Nil
+          val vtags =
+            if (hasV) lines(3).stripPrefix("ctags=").split(',').toSeq.filter(_.nonEmpty)
+            else Nil
+          val entries = lines.drop(if (hasV) 4 else 2).map { line =>
             val parts = line.split('\t')
             val ranges = parts.drop(2).toSeq.map { fld =>
               if (fld == "-") None
@@ -535,7 +702,7 @@ object VersionedSnapshot {
             // parts(1) absent or non-numeric throws -> caught below -> None
             parts(0) -> (parts(1).toLong, ranges)
           }.toMap
-          Some(Zones(keys, tags, entries))
+          Some(Zones(keys, tags, vcols, vtags, entries))
         }
       } catch { case scala.util.control.NonFatal(_) => None }
     }
@@ -551,12 +718,12 @@ object VersionedSnapshot {
   /** Per-file (count, min/max per key) stats for the files a publish just
     * wrote under `gDir` — one narrow aggregate over the delta only. */
   private def freshZoneStats(spark: SparkSession, gDir: Path, gName: String,
-      keys: Seq[String], schema: org.apache.spark.sql.types.StructType)
+      statCols: Seq[String], schema: org.apache.spark.sql.types.StructType)
       : Seq[(String, Long, Seq[Option[(String, String)]])] = {
     import org.apache.spark.sql.functions.{count => fCount, input_file_name, max => fMax, min => fMin}
-    val tags = keys.map(k => zoneTag(schema(k).dataType))
+    val tags = statCols.map(k => zoneTag(schema(k).dataType))
     val aggs = fCount(lit(1L)).as("__n") +:
-      keys.zip(tags).flatMap { case (k, tag) =>
+      statCols.zip(tags).flatMap { case (k, tag) =>
         if (tag == "x") Nil
         else {
           val e = zoneNormExpr(schema(k).dataType, k)
@@ -572,7 +739,7 @@ object VersionedSnapshot {
         val uri = r.getAs[String]("__f")
         val rel = uri.substring(uri.indexOf(marker) + 1)
         val n = r.getAs[Long]("__n")
-        val ranges = keys.zip(tags).map { case (k, tag) =>
+        val ranges = statCols.zip(tags).map { case (k, tag) =>
           if (tag == "x") None
           else if (r.getAs[Long](s"__nn_$k") < n) None // null keys present
           else for {
@@ -749,7 +916,7 @@ object VersionedSnapshot {
     * table keeps a readable schema). */
   private def publishBucketed(df: DataFrame, baseDir: String, marker: String,
       keys: Seq[String], numBuckets: Int, inherited: Map[Int, String],
-      retain: Int): Long = {
+      retain: Int, valueStatsCols: Option[Seq[String]] = None): Long = {
     require(retain >= 1, "retain must keep at least the current version")
     require(numBuckets >= 1, "numBuckets must be >= 1")
     require(!df.columns.contains(BucketCol), s"column name $BucketCol is reserved")
@@ -799,24 +966,49 @@ object VersionedSnapshot {
       // zonemap: fresh stats for the files this publish wrote (one narrow
       // aggregate over the delta), inherited files copy their rows from
       // the previous version's _ZONES driver-side (absent there — e.g. a
-      // pre-zonemap table — they simply carry no stats and never prune)
+      // pre-zonemap table — they simply carry no stats and never prune).
+      // r9: stats also cover VALUE columns (keys-first ordering) so
+      // value-range reads (readWhere / predicated changes) skip files the
+      // way Delta's dataSkippingNumIndexedCols stats do; the set is every
+      // prunable-typed column up to the budget, or the caller's explicit
+      // list.
       val tags = keys.map(k => zoneTag(df.schema(k).dataType))
+      val vcols = valueStatsCols.getOrElse(
+          df.columns.toSeq.filterNot(keys.contains).filter(c =>
+            zoneTag(df.schema(c).dataType) != "x"))
+        .filterNot(keys.contains).filter(df.columns.contains)
+        .filterNot(_ == BucketCol)
+        .take(math.max(0, MaxStatsCols - keys.size))
+      val vtags = vcols.map(c => zoneTag(df.schema(c).dataType))
+      val statCols = keys ++ vcols
       val fresh =
         if (written.isEmpty) Nil
-        else freshZoneStats(spark, gDir, gName, keys, df.schema)
+        else freshZoneStats(spark, gDir, gName, statCols, df.schema)
       val inheritedDirs = inherited.values.toSet
       val carried: Seq[(String, Long, Seq[Option[(String, String)]])] =
         (if (current < 0) None
          else parseZones(f, versionPath(base, current))) match {
-          case Some(z) if z.keys == keys && z.tags == tags =>
+          case Some(z) if z.keys == keys && z.tags == tags &&
+              z.vcols == vcols && z.vtags == vtags =>
             z.entries.toSeq.collect {
               case (rel, (n, ranges))
                   if inheritedDirs.contains(rel.take(math.max(0, rel.lastIndexOf('/')))) =>
                 (rel, n, ranges)
             }
+          // stats-shape drift (e.g. a pre-r9 keys-only zonemap): carry the
+          // KEY prefix of matching entries and pad the value columns with
+          // no-stats — key pruning keeps working, value pruning starts
+          // fresh from this publish's files
+          case Some(z) if z.keys == keys && z.tags == tags =>
+            z.entries.toSeq.collect {
+              case (rel, (n, ranges))
+                  if inheritedDirs.contains(rel.take(math.max(0, rel.lastIndexOf('/')))) =>
+                (rel, n, ranges.take(keys.size).padTo(statCols.size, None))
+            }
           case _ => Nil
         }
-      val zLines = Seq(s"keys=${keys.mkString(",")}", s"tags=${tags.mkString(",")}") ++
+      val zLines = Seq(s"keys=${keys.mkString(",")}", s"tags=${tags.mkString(",")}",
+        s"cols=${vcols.mkString(",")}", s"ctags=${vtags.mkString(",")}") ++
         (carried ++ fresh).sortBy(_._1).map { case (rel, n, rs) => zoneLine(rel, n, rs) }
       writeSmallFile(f, new Path(target, ZonesName), zLines.mkString("\n"))
     }
@@ -843,12 +1035,13 @@ object VersionedSnapshot {
     * O(delta). Returns the new version, or None when the table is absent
     * or flat (nothing to compact — flat tables rewrite whole anyway). */
   def compact(spark: SparkSession, baseDir: String, keys: Seq[String],
-      marker: String, retain: Int = 2): Option[Long] =
+      marker: String, retain: Int = 2,
+      valueStatsCols: Option[Seq[String]] = None): Option[Long] =
     bucketManifest(spark, baseDir).map { case (nb, _) =>
       val current = read(spark, baseDir)
         .getOrElse(sys.error(s"unreadable snapshot at $baseDir"))
       publishBucketed(current, baseDir, marker, keys, nb,
-        inherited = Map.empty, retain = retain)
+        inherited = Map.empty, retain = retain, valueStatsCols = valueStatsCols)
     }
 
   /** Maintenance policy: compact the CURRENT snapshot when its metadata
@@ -936,7 +1129,8 @@ object VersionedSnapshot {
   def mergeInto(baseDir: String, source: DataFrame, keys: Seq[String],
       whenMatched: MatchedAction, insertUnmatched: Boolean,
       marker: String, retain: Int = 2, numBuckets: Int = 32,
-      evolveSchema: Boolean = false): Long = {
+      evolveSchema: Boolean = false,
+      valueStatsCols: Option[Seq[String]] = None): Long = {
     require(keys.nonEmpty, "MERGE needs at least one key column")
     val spark = source.sparkSession
     // reject multi-match sources: count per key via one window over the
@@ -957,7 +1151,7 @@ object VersionedSnapshot {
       case None =>
         val result = if (insertUnmatched) uniqueSource else uniqueSource.limit(0)
         publishBucketed(result, baseDir, marker, keys, numBuckets,
-          inherited = Map.empty, retain = retain)
+          inherited = Map.empty, retain = retain, valueStatsCols = valueStatsCols)
       case Some(target0) =>
         // name AND type parity: a name-only check would let a type-drifted
         // source slide into a confusing analysis error (or a silently
@@ -1079,7 +1273,8 @@ object VersionedSnapshot {
           case (DeleteMatched, false) => src.limit(0)
         }
         publishBucketed(untouched.unionByName(fromSource), baseDir, marker,
-          keys, nb, inherited = entries -- touched, retain = retain)
+          keys, nb, inherited = entries -- touched, retain = retain,
+          valueStatsCols = valueStatsCols)
     }
   }
 

@@ -153,8 +153,20 @@ object MergeBench {
         marker = "noop", retain = 1, numBuckets = nb)
     }
     val zMergeBytes = files(eDir).collect { case (p, len) if !zBefore.contains(p) => len }.sum
+    // value-column (r9) stats: a range probe beyond every file's
+    // o_totalprice binds ZERO data files with the zonemap, the whole
+    // table without it. Hash bucketing scatters keys, so every file's
+    // range for an unclustered value column is wide — the value-stats
+    // win is the absent/out-of-range regime (same as Delta stats on an
+    // unclustered column); clustered columns also prune mid-range.
+    val maxPrice = orders.agg(max(col("o_totalprice"))).head().getDouble(0)
+    val vAbsent = boundBytes(VersionedSnapshot.readWhere(spark, eDir,
+      Map("o_totalprice" -> (Some(maxPrice + 1e6), None))).get)
     // same three measurements with the zonemap deleted (pre-zonemap state)
     dropZones(eDir)
+    // (measured before the next merge republishes a fresh zonemap)
+    val pVAbsent = boundBytes(VersionedSnapshot.readWhere(spark, eDir,
+      Map("o_totalprice" -> (Some(maxPrice + 1e6), None))).get)
     val pAbsent = boundBytes(VersionedSnapshot.readForKeys(spark, eDir, absentKeys).get)
     val pPresent = boundBytes(VersionedSnapshot.readForKeys(spark, eDir, presentKeys).get)
     val pBefore = files(eDir)
@@ -170,6 +182,8 @@ object MergeBench {
     println(f"zonemap disjoint-merge bytes staged: ${zMergeBytes / 1024}%d KiB " +
       f"(vs ${pMergeBytes / 1024}%d KiB without; " +
       f"ratio=${pMergeBytes.toDouble / math.max(1, zMergeBytes)}%.1fx)")
+    println(f"zonemap value-range read bytes bound (out-of-range price): " +
+      f"${vAbsent / 1024}%d KiB (vs ${pVAbsent / 1024}%d KiB without)")
 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     spark.stop()

@@ -852,6 +852,63 @@ class VersionedSnapshotSpec extends SparkSpec {
     assert(legacyHit.as[(Long, Long)].collect().toSeq == Seq((3L, 30L)))
   }
 
+  test("value-column zonemap: range reads bind only files whose stats can match; predicated changes stay exact") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-zonev").resolve("snap").toString
+    // seed: v = k*10, global range [10, 4000], 8 buckets (one file each)
+    VersionedSnapshot.mergeInto(base,
+      (1L to 400L).map(i => (i, i * 10L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed",
+      retain = 3, numBuckets = 8)
+    val v0 = VersionedSnapshot.currentVersion(spark, base).get
+    // covering range: everything binds, everything returns
+    val all = VersionedSnapshot.readWhere(spark, base,
+      Map("v" -> (Some(10L), None))).get
+    assert(all.count() == 400)
+    val nAll = all.inputFiles.length
+    assert(nAll >= 8, s"expected all bucket files bound, got $nAll")
+    // out-of-range probe: the value stats prove no file can match
+    val none = VersionedSnapshot.readWhere(spark, base,
+      Map("v" -> (Some(100000L), None))).get
+    assert(none.count() == 0 && none.inputFiles.isEmpty,
+      s"out-of-range value probe must bind no files, bound ${none.inputFiles.length}")
+    // update two keys into a far value range: only their buckets rewrite,
+    // so only the rewritten files can hold v >= 500000
+    VersionedSnapshot.mergeInto(base,
+      Seq((7L, 999999L), (8L, 888888L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "hot",
+      retain = 3, numBuckets = 8)
+    val v1 = VersionedSnapshot.currentVersion(spark, base).get
+    val hot = VersionedSnapshot.readWhere(spark, base,
+      Map("v" -> (Some(500000L), None))).get
+    assert(hot.as[(Long, Long)].collect().toSet ==
+      Set((7L, 999999L), (8L, 888888L)))
+    assert(hot.inputFiles.nonEmpty && hot.inputFiles.length <= 2,
+      s"value stats must shrink binding to the rewritten buckets, " +
+        s"bound ${hot.inputFiles.length} of $nAll")
+    // half-open upper bound
+    val low = VersionedSnapshot.readWhere(spark, base,
+      Map("v" -> (None, Some(50L)))).get
+    assert(low.as[(Long, Long)].collect().toSet ==
+      (1L to 5L).map(i => (i, i * 10L)).toSet)
+    // predicated CDF, range matching the NEW side
+    val ch = VersionedSnapshot.changes(spark, base, v0, v1, Seq("k"),
+      Map("v" -> (Some(500000L), None))).get
+    assert(ch.select("op", "k", "v").as[(String, Long, Long)].collect().toSet ==
+      Set(("update", 7L, 999999L), ("update", 8L, 888888L)))
+    // range matching only the OLD side (v0 rows 70/80): the same keys must
+    // still surface as updates carrying the NEW values — not as inserts
+    val chOld = VersionedSnapshot.changes(spark, base, v0, v1, Seq("k"),
+      Map("v" -> (Some(70L), Some(80L)))).get
+    assert(chOld.select("op", "k", "v").as[(String, Long, Long)].collect().toSet ==
+      Set(("update", 7L, 999999L), ("update", 8L, 888888L)))
+    // a range touching no changed row yields an empty feed
+    val chNone = VersionedSnapshot.changes(spark, base, v0, v1, Seq("k"),
+      Map("v" -> (Some(100L), Some(120L)))).get
+    assert(chNone.count() == 0)
+  }
+
   test("zonemap: a corrupt _ZONES file degrades to never-prune instead of crashing") {
     import spark.implicits._
     import VersionedSnapshot.UpdateMatched
