@@ -2430,6 +2430,36 @@ object SparkEntry {
       graft.streaming.VersionedSnapshot.changes(s, base, v0, v2, Seq("doc_id")).get
         .select("op", "doc_id", "n_chars", "lang")
     }),
+    // ---- PREDICATED change-data-feed read (r9): the same seed → upsert →
+    // delete window, read through changes(..., ranges) — the value-column
+    // zonemap prunes which files diff, then both versions are point-read
+    // for the surviving candidate keys so op labels stay exact. Range
+    // [250, 1250] on n_chars straddles the +1000 update shift: it admits
+    // updates by EITHER side (old in range for most, new in range for
+    // short docs), deletes by their old row only, inserts by their new
+    // row only — every op class is filtered non-trivially. Oracle:
+    // the closed-form diff with the old-or-new range filter applied ----
+    "snapshot_changes_where" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = tempSnapshotBase("graft-cdfw")
+      val v0 = graft.streaming.VersionedSnapshot.mergeInto(
+        base, docs.filter(col("doc_id") % 10 =!= 0), Seq("doc_id"),
+        graft.streaming.VersionedSnapshot.UpdateMatched,
+        insertUnmatched = true, marker = "seed", retain = 3, numBuckets = 8)
+      graft.streaming.VersionedSnapshot.mergeInto(
+        base,
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000),
+        Seq("doc_id"), graft.streaming.VersionedSnapshot.UpdateMatched,
+        insertUnmatched = true, marker = "upsert", retain = 3, numBuckets = 8)
+      val v2 = graft.streaming.VersionedSnapshot.mergeInto(
+        base, docs.filter(col("doc_id") % 7 === 0), Seq("doc_id"),
+        graft.streaming.VersionedSnapshot.DeleteMatched,
+        insertUnmatched = false, marker = "delete", retain = 3, numBuckets = 8)
+      graft.streaming.VersionedSnapshot.changes(s, base, v0, v2, Seq("doc_id"),
+          Map("n_chars" -> (Some(250L), Some(1250L)))).get
+        .select("op", "doc_id", "n_chars", "lang")
+    }),
 
     "snapshot_merge_delete" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
@@ -9642,6 +9672,26 @@ object SparkEntry {
         |WHERE (doc_id % 10 = 0 AND doc_id % 7 <> 0)
         |   OR (doc_id % 10 <> 0 AND doc_id % 7 = 0)
         |   OR (doc_id % 10 <> 0 AND doc_id % 5 = 0 AND doc_id % 7 <> 0)""".stripMargin,
+
+    "snapshot_changes_where" ->
+      """SELECT op, doc_id, n_chars, lang FROM (
+        |  SELECT CASE
+        |           WHEN doc_id % 10 = 0 AND doc_id % 7 <> 0 THEN 'insert'
+        |           WHEN doc_id % 10 <> 0 AND doc_id % 7 = 0 THEN 'delete'
+        |           WHEN doc_id % 10 <> 0 AND doc_id % 5 = 0 THEN 'update'
+        |         END AS op,
+        |         doc_id,
+        |         CASE WHEN doc_id % 10 <> 0 AND doc_id % 7 = 0 THEN n_chars
+        |              ELSE n_chars + 1000 END AS n_chars,
+        |         lang,
+        |         CASE WHEN doc_id % 10 <> 0 THEN n_chars END AS old_chars,
+        |         CASE WHEN doc_id % 7 <> 0 THEN n_chars + 1000 END AS new_chars
+        |  FROM documents
+        |  WHERE (doc_id % 10 = 0 AND doc_id % 7 <> 0)
+        |     OR (doc_id % 10 <> 0 AND doc_id % 7 = 0)
+        |     OR (doc_id % 10 <> 0 AND doc_id % 5 = 0 AND doc_id % 7 <> 0))
+        |WHERE (old_chars BETWEEN 250 AND 1250)
+        |   OR (new_chars BETWEEN 250 AND 1250)""".stripMargin,
 
     // full recompute over the LIVE rows (inserts minus retracted ids) —
     // hash equality proves the changelog-merged snapshot identical
