@@ -126,6 +126,32 @@ object Bench {
         .groupBy(col("n_hits")).count()
         .write.format("noop").mode("overwrite").save()
     }
+    // snapshot-machinery warm-up: one micro CoW-merge + MoR-overlay +
+    // compact + read cycle on a 500-row temp table hits the bucketed
+    // publish, zonemap stats job, overlay reconcile and diff code paths
+    // whose first-use JIT otherwise lands on the alphabetically-first
+    // replay query (measured r9: cdc_merge_replay absorbed ~2.5 s of
+    // it). Data-independent, untimed, temp dir removed after.
+    if (prewarm) {
+      import graft.streaming.VersionedSnapshot
+      val warmRoot = java.nio.file.Files.createTempDirectory("graft-bench-warm")
+      val tmp = warmRoot.resolve("snap").toString
+      val df = spark.range(500).selectExpr("id AS k", "id * 2 AS v")
+      VersionedSnapshot.mergeIntoBatch(df, Seq("k"), "v", tmp, "warm", 0L,
+        numBuckets = 8)
+      VersionedSnapshot.stageDeltaBatch(
+        df.filter(org.apache.spark.sql.functions.col("k") % 5 === 0),
+        Seq("k"), "v", tmp, "warm-mor", 0L, numBuckets = 8)
+      VersionedSnapshot.compact(spark, tmp, Seq("k"), marker = "warm-compact")
+      VersionedSnapshot.read(spark, tmp).foreach(
+        _.write.format("noop").mode("overwrite").save())
+      locally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(warmRoot.toFile)
+      }
+    }
     val tSetup = System.nanoTime()
     // Ordering: name-sorted, EXCEPT the gated exact-ANN oracle tier runs
     // LAST. Those queries churn gigabytes of heap through the all-pairs
