@@ -916,7 +916,8 @@ object VersionedSnapshot {
     * table keeps a readable schema). */
   private def publishBucketed(df: DataFrame, baseDir: String, marker: String,
       keys: Seq[String], numBuckets: Int, inherited: Map[Int, String],
-      retain: Int, valueStatsCols: Option[Seq[String]] = None): Long = {
+      retain: Int, valueStatsCols: Option[Seq[String]] = None,
+      clusterBy: Seq[String] = Nil, maxRecordsPerFile: Long = 0L): Long = {
     require(retain >= 1, "retain must keep at least the current version")
     require(numBuckets >= 1, "numBuckets must be >= 1")
     require(!df.columns.contains(BucketCol), s"column name $BucketCol is reserved")
@@ -935,14 +936,24 @@ object VersionedSnapshot {
     // fragment — touched buckets accumulate up to shuffle.partitions small
     // files per merge, the small-file problem table formats pay a
     // compaction pass to undo. One extra exchange over the delta only.
-    df.withColumn(BucketCol, bucketOf(keys, numBuckets))
+    // cluster-on-write: sort each bucket's rows so parquet row-group
+    // min/max stats are tight. Default order = the merge keys (readForKeys'
+    // pushed IN filter then skips row groups — the pruning level below the
+    // zonemap). A caller-supplied clusterBy (compact's OPTIMIZE-ZORDER
+    // analog) orders by VALUE columns instead, and with maxRecordsPerFile
+    // splits each bucket into several files, each covering a contiguous
+    // value range — the per-FILE `_ZONES` stats then prune mid-range
+    // value predicates below bucket level (at the documented cost of
+    // looser key row-group locality in the rewritten files). Task-local
+    // sort over the delta only, no extra exchange either way.
+    val writer = df.withColumn(BucketCol, bucketOf(keys, numBuckets))
       .repartition(col(BucketCol))
-      // cluster-on-write: sort each bucket's rows by key so parquet
-      // row-group min/max stats are tight — readForKeys' pushed IN
-      // filter then skips row groups, the pruning level below the
-      // zonemap. Task-local sort over the delta only, no extra exchange
-      .sortWithinPartitions((BucketCol +: keys).map(col): _*)
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(gDir.toString)
+      .sortWithinPartitions(
+        (BucketCol +: (if (clusterBy.nonEmpty) clusterBy else keys)).map(col): _*)
+      .write.mode("overwrite").partitionBy(BucketCol)
+    (if (maxRecordsPerFile > 0L)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer).parquet(gDir.toString)
     // which buckets actually produced files (a bucket whose merge result
     // is empty writes no partition dir — it must vanish from the manifest)
     val written: Map[Int, String] =
@@ -1036,12 +1047,15 @@ object VersionedSnapshot {
     * or flat (nothing to compact — flat tables rewrite whole anyway). */
   def compact(spark: SparkSession, baseDir: String, keys: Seq[String],
       marker: String, retain: Int = 2,
-      valueStatsCols: Option[Seq[String]] = None): Option[Long] =
+      valueStatsCols: Option[Seq[String]] = None,
+      clusterBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Option[Long] =
     bucketManifest(spark, baseDir).map { case (nb, _) =>
       val current = read(spark, baseDir)
         .getOrElse(sys.error(s"unreadable snapshot at $baseDir"))
       publishBucketed(current, baseDir, marker, keys, nb,
-        inherited = Map.empty, retain = retain, valueStatsCols = valueStatsCols)
+        inherited = Map.empty, retain = retain, valueStatsCols = valueStatsCols,
+        clusterBy = clusterBy, maxRecordsPerFile = maxRecordsPerFile)
     }
 
   /** Maintenance policy: compact the CURRENT snapshot when its metadata

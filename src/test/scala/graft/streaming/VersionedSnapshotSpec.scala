@@ -909,6 +909,39 @@ class VersionedSnapshotSpec extends SparkSpec {
     assert(chNone.count() == 0)
   }
 
+  test("clustered compact: value-ordered multi-file buckets let mid-range value reads prune below bucket level") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-zorder").resolve("snap").toString
+    // 400 rows, v = k*10, TWO buckets — before clustering, each bucket is
+    // one file whose v range spans nearly the whole domain (hash-scattered
+    // keys), so a mid-range predicate binds everything
+    VersionedSnapshot.mergeInto(base,
+      (1L to 400L).map(i => (i, i * 10L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed",
+      retain = 1, numBuckets = 2)
+    val before = VersionedSnapshot.readWhere(spark, base,
+      Map("v" -> (Some(1000L), Some(1500L)))).get
+    val expect = (100L to 150L).map(i => (i, i * 10L)).toSet
+    assert(before.as[(Long, Long)].collect().toSet == expect)
+    val nBefore = before.inputFiles.length
+    assert(nBefore == 2, s"unclustered mid-range read should bind both bucket files, got $nBefore")
+    // OPTIMIZE-ZORDER analog: rewrite clustered by v, several files per
+    // bucket, each covering a contiguous v range
+    VersionedSnapshot.compact(spark, base, Seq("k"), marker = "cluster",
+      retain = 1, clusterBy = Seq("v"), maxRecordsPerFile = 50L)
+    val after = VersionedSnapshot.readWhere(spark, base,
+      Map("v" -> (Some(1000L), Some(1500L)))).get
+    assert(after.as[(Long, Long)].collect().toSet == expect, "clustering must not change content")
+    val total = VersionedSnapshot.read(spark, base).get.inputFiles.length
+    assert(total >= 6, s"maxRecordsPerFile=50 over 2×200-row buckets should split files, got $total")
+    assert(after.inputFiles.length < total && after.inputFiles.nonEmpty,
+      s"mid-range read should bind a strict subset: ${after.inputFiles.length} of $total")
+    // point reads still work on the value-clustered layout
+    val hit = VersionedSnapshot.readForKeys(spark, base, Seq(42L).toDF("k")).get
+    assert(hit.as[(Long, Long)].collect().toSeq == Seq((42L, 420L)))
+  }
+
   test("zonemap: a corrupt _ZONES file degrades to never-prune instead of crashing") {
     import spark.implicits._
     import VersionedSnapshot.UpdateMatched
