@@ -3120,11 +3120,15 @@ object SparkEntry {
       val cand = Tables.partsupp(s, dir)
         .join(eurSup, col("ps_suppkey") === col("s_suppkey"))
         .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
-      val minCost = cand.groupBy(col("p_partkey").as("mc_partkey"))
-        .agg(min("ps_supplycost_cents").as("min_cost_cents"))
-      cand.join(minCost,
-          col("p_partkey") === col("mc_partkey") &&
-            col("ps_supplycost_cents") === col("min_cost_cents"))
+      // correlated min decorrelated to a PER-PART window aggregate: one
+      // pass over the candidate relation (an agg + join-back would plan
+      // the candidate subtree twice — measured, no exchange reuse), and
+      // the window partition is bounded by suppliers-per-part at any SF
+      val wPart = Window.partitionBy("p_partkey")
+      cand
+        .withColumn("min_cost_cents",
+          min("ps_supplycost_cents").over(wPart))
+        .filter(col("ps_supplycost_cents") === col("min_cost_cents"))
         .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
           col("acctbal_cents"), col("ps_supplycost_cents").as("supplycost_cents"))
     }),
