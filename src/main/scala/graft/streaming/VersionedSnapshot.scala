@@ -1049,11 +1049,19 @@ object VersionedSnapshot {
       marker: String, retain: Int = 2,
       valueStatsCols: Option[Seq[String]] = None,
       clusterBy: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): Option[Long] =
+      maxRecordsPerFile: Long = 0L,
+      newNumBuckets: Option[Int] = None): Option[Long] =
     bucketManifest(spark, baseDir).map { case (nb, _) =>
       val current = read(spark, baseDir)
         .getOrElse(sys.error(s"unreadable snapshot at $baseDir"))
-      publishBucketed(current, baseDir, marker, keys, nb,
+      // bucket-count EVOLUTION: a table sized for 1 TB needs more buckets
+      // at 100 TB (one bucket must fit an executor). The bucket count is
+      // committed per version, so publishing this full rewrite under a
+      // new count re-buckets atomically — readers flip with the pointer,
+      // and every later merge adopts the committed count automatically
+      // (mergeInto always reads the manifest's bucket count).
+      publishBucketed(current, baseDir, marker, keys,
+        newNumBuckets.getOrElse(nb),
         inherited = Map.empty, retain = retain, valueStatsCols = valueStatsCols,
         clusterBy = clusterBy, maxRecordsPerFile = maxRecordsPerFile)
     }

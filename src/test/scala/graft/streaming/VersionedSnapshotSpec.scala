@@ -907,6 +907,21 @@ class VersionedSnapshotSpec extends SparkSpec {
     val chNone = VersionedSnapshot.changes(spark, base, v0, v1, Seq("k"),
       Map("v" -> (Some(100L), Some(120L)))).get
     assert(chNone.count() == 0)
+    // string-tagged range (UTF-8 order) composes with the long range and
+    // stays exact even when string stats cannot prune (scattered values)
+    val sBase = Files.createTempDirectory("graft-zonevs").resolve("snap").toString
+    VersionedSnapshot.mergeInto(sBase,
+      (1L to 100L).map(i => (i, s"u${i % 7}")).toDF("k", "tag"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", numBuckets = 4)
+    val sHit = VersionedSnapshot.readWhere(spark, sBase,
+      Map("tag" -> (Some("u3"), Some("u4")))).get
+    assert(sHit.as[(Long, String)].collect().toSet ==
+      (1L to 100L).filter(i => i % 7 == 3 || i % 7 == 4)
+        .map(i => (i, s"u${i % 7}")).toSet)
+    val sNone = VersionedSnapshot.readWhere(spark, sBase,
+      Map("tag" -> (Some("zzz"), None))).get
+    assert(sNone.count() == 0 && sNone.inputFiles.isEmpty,
+      "string range beyond every file's max must bind no files")
   }
 
   test("clustered compact: value-ordered multi-file buckets let mid-range value reads prune below bucket level") {
@@ -940,6 +955,37 @@ class VersionedSnapshotSpec extends SparkSpec {
     // point reads still work on the value-clustered layout
     val hit = VersionedSnapshot.readForKeys(spark, base, Seq(42L).toDF("k")).get
     assert(hit.as[(Long, Long)].collect().toSeq == Seq((42L, 420L)))
+  }
+
+  test("bucket-count evolution: compact re-buckets atomically; later merges adopt the new count") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-rebucket").resolve("snap").toString
+    VersionedSnapshot.mergeInto(base,
+      (1L to 400L).map(i => (i, i * 10L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed",
+      retain = 1, numBuckets = 4)
+    assert(VersionedSnapshot.bucketManifest(spark, base).get._1 == 4)
+    // grow the layout 4 -> 16 in one atomic rewrite
+    VersionedSnapshot.compact(spark, base, Seq("k"), marker = "rebucket",
+      retain = 1, newNumBuckets = Some(16))
+    val (nb, entries) = VersionedSnapshot.bucketManifest(spark, base).get
+    assert(nb == 16 && entries.size > 4, s"expected 16-bucket layout, got $nb/${entries.size}")
+    // content identical, point reads prune against the NEW bucket fn
+    assert(VersionedSnapshot.read(spark, base).get.count() == 400)
+    val hit = VersionedSnapshot.readForKeys(spark, base, Seq(42L).toDF("k")).get
+    assert(hit.as[(Long, Long)].collect().toSeq == Seq((42L, 420L)))
+    assert(hit.inputFiles.length == 1)
+    // a merge AFTER evolution adopts the committed 16-bucket count (its
+    // numBuckets arg is ignored in favor of the manifest) and stays exact
+    VersionedSnapshot.mergeInto(base,
+      Seq((42L, 777L), (9999L, 1L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "post", retain = 1,
+      numBuckets = 4)
+    assert(VersionedSnapshot.bucketManifest(spark, base).get._1 == 16)
+    val after = VersionedSnapshot.readForKeys(spark, base,
+      Seq(42L, 9999L).toDF("k")).get
+    assert(after.as[(Long, Long)].collect().toSet == Set((42L, 777L), (9999L, 1L)))
   }
 
   test("zonemap: a corrupt _ZONES file degrades to never-prune instead of crashing") {
