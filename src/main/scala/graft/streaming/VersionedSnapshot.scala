@@ -95,6 +95,22 @@ object VersionedSnapshot {
     * per-file stat lines stay O(32) fields no matter the schema. */
   private val MaxStatsCols = 32
 
+  // Opt-in per-file key bloom filters (`_BLOOMS` sidecar, r9): 64 Kbit /
+  // 6-hash double-hashing blooms over xxhash64 of the key tuple — the
+  // Delta bloom-filter-index analog. They restore point-read FILE pruning
+  // on value-clustered layouts (compact(clusterBy) trades key locality
+  // for value locality, so key ranges per file go wide and the zonemap
+  // stops pruning point probes). ~8 KiB per file: opt-in via `keyBlooms`
+  // because at extreme file counts the sidecar is no longer metadata-
+  // priced (65536 files → ~700 MB) — enable it for point-read-heavy
+  // clustered tables, exactly like Delta's per-column bloom opt-in. A
+  // saturated bloom (file rows >> bits) answers "maybe" for everything —
+  // degrades to no pruning, never to a wrong read.
+  private val BloomsName = "_BLOOMS"
+  private val BloomBits = 65536
+  private val BloomK = 6
+  private val BloomSalt = "graft-bloom"
+
   private def fmtVersion(v: Long): String =
     "v" + "%05d".formatLocal(java.util.Locale.ROOT, v)
   private def versionPath(base: Path, v: Long): Path = new Path(base, fmtVersion(v))
@@ -212,6 +228,29 @@ object VersionedSnapshot {
           val row = wanted.agg(aggs.head, aggs.tail: _*).collect()(0)
           val touched = row.getAs[Seq[Int]]("__bs").toSet
           val nWanted = row.getAs[Long]("__n")
+          // literal-sized key sets are collected ONCE, with their bloom
+          // hash pair computed by the same Spark expressions the write
+          // side aggregated — serves both the _BLOOMS file prune and the
+          // pushed IN filter below
+          val keyVals: Array[org.apache.spark.sql.Row] =
+            if (nWanted > 0 && nWanted <= MaxPushdownKeys) {
+              val (h1, h2) = bloomHashCols(keyCols)
+              wanted.select(keyCols.map(col) :+ h1.as("__h1") :+ h2.as("__h2"): _*)
+                .collect()
+            } else Array.empty
+          val blooms =
+            if (keyVals.isEmpty) None
+            else parseBlooms(f, vdir).filter(_._1 == keyCols).map(_._2)
+          val wantedHashes: Array[(Long, Long)] = keyVals.map(r =>
+            (r.getAs[Long]("__h1"), r.getAs[Long]("__h2")))
+          def bloomKeeps(frel: String): Boolean = blooms match {
+            case Some(bs) => bs.get(frel) match {
+              case Some(b) => wantedHashes.exists { case (h1, h2) =>
+                bloomMayContain(b, h1, h2) }
+              case None => true // no bloom for this file: cannot prune
+            }
+            case None => true
+          }
           val wRanges: Seq[Option[(String, String)]] =
             keyCols.zip(wTags).map { case (c, tag) =>
               if (tag == "x" || touched.isEmpty) None
@@ -234,9 +273,18 @@ object VersionedSnapshot {
                           case (Some(fr), Some(wr)) => zoneOverlaps(wTags(i), fr, wr)
                           case _ => true // missing stats on either side
                         }
-                      } => frel
+                      } && bloomKeeps(frel) => frel
                 }.sorted
-              case _ => Seq(rel) // pre-zonemap version or key-shape drift
+              // pre-zonemap version or key-shape drift: bucket-level
+              // binding, but a bloom sidecar can still prune per file
+              case _ =>
+                parseBlooms(f, vdir).filter(_._1 == keyCols) match {
+                  case Some((_, bs)) if keyVals.nonEmpty =>
+                    val files = bs.keys.toSeq.filter(_.startsWith(rel + "/"))
+                    if (files.isEmpty) Seq(rel)
+                    else files.filter(bloomKeeps).sorted
+                  case _ => Seq(rel)
+                }
             }
           }.map(rel => new Path(base, rel).toString)
           if (paths.nonEmpty) {
@@ -247,8 +295,7 @@ object VersionedSnapshot {
             // keys — the final semi-join keeps semantics exact); a
             // column with a wanted NULL key contributes no filter
             // (IN never matches NULL).
-            if (nWanted > 0 && nWanted <= MaxPushdownKeys) {
-              val keyVals = wanted.collect()
+            if (keyVals.nonEmpty) {
               val perCol = keyCols.zipWithIndex.map { case (c, i) =>
                 val vals = keyVals.map(_.get(i)).toSeq.distinct
                 if (vals.contains(null)) lit(true)
@@ -715,6 +762,109 @@ object VersionedSnapshot {
       case None => "-"
     }).mkString("\t")
 
+  // --------------------------------------- per-file key blooms (_BLOOMS)
+
+  /** Set the k double-hashed bits of (h1, h2) in `b`; shared by the
+    * write-side aggregator and the driver-side membership probe so both
+    * sides agree bit for bit. */
+  private def bloomSet(b: Array[Byte], h1: Long, h2: Long): Unit = {
+    var i = 0
+    while (i < BloomK) {
+      val bit = java.lang.Math.floorMod(h1 + i.toLong * h2, BloomBits.toLong).toInt
+      b(bit >>> 3) = (b(bit >>> 3) | (1 << (bit & 7))).toByte
+      i += 1
+    }
+  }
+
+  private def bloomMayContain(b: Array[Byte], h1: Long, h2: Long): Boolean = {
+    var i = 0
+    while (i < BloomK) {
+      val bit = java.lang.Math.floorMod(h1 + i.toLong * h2, BloomBits.toLong).toInt
+      if ((b(bit >>> 3) & (1 << (bit & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** One-pass distributive bloom build over (h1, h2) hash pairs — the
+    * same typed-Aggregator discipline as operators/Aggregates. */
+  private class KeyBloomAgg
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long), Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = new Array[Byte](BloomBits / 8)
+    def reduce(b: Array[Byte], in: (Long, Long)): Array[Byte] = {
+      bloomSet(b, in._1, in._2); b
+    }
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    def finish(b: Array[Byte]): Array[Byte] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** The (h1, h2) hash pair of the key tuple, as Spark expressions — the
+    * probe side collects the SAME expressions over its wanted keys, so
+    * write and read hashes agree by construction (no driver-side
+    * reimplementation of xxhash64's type handling). */
+  private def bloomHashCols(keys: Seq[String]): (Column, Column) =
+    (xxhash64(keys.map(col): _*),
+      xxhash64(lit(BloomSalt) +: keys.map(col): _*))
+
+  /** Per-file key blooms of the files a publish just wrote — one narrow
+    * aggregate over the delta, same cost shape as [[freshZoneStats]]. */
+  private def freshBloomStats(spark: SparkSession, gDir: Path, gName: String,
+      keys: Seq[String]): Seq[(String, Array[Byte])] = {
+    import org.apache.spark.sql.functions.input_file_name
+    val bloomAgg = org.apache.spark.sql.functions.udaf(new KeyBloomAgg,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+    val (h1, h2) = bloomHashCols(keys)
+    val marker = s"/$DataDirName/$gName/"
+    spark.read.parquet(gDir.toString)
+      .groupBy(input_file_name().as("__f"))
+      .agg(bloomAgg(h1, h2).as("__bloom"))
+      .collect().toSeq.map { r =>
+        val uri = r.getAs[String]("__f")
+        (uri.substring(uri.indexOf(marker) + 1), r.getAs[Array[Byte]]("__bloom"))
+      }
+  }
+
+  /** One version's bloom sidecar: (key cols, per-file bloom). Defensive
+    * parse — malformed content degrades to no-bloom, never a crash. */
+  private def parseBlooms(f: FileSystem, vdir: Path)
+      : Option[(Seq[String], Map[String, Array[Byte]])] = {
+    val bp = new Path(vdir, BloomsName)
+    if (!f.exists(bp)) None
+    else
+      try {
+        val lines = readSmallFile(f, bp).split('\n').toSeq.filter(_.nonEmpty)
+        if (lines.size < 3 || !lines.head.startsWith("keys=") ||
+            lines(1) != s"m=$BloomBits" || lines(2) != s"k=$BloomK") None
+        else {
+          val keys = lines.head.stripPrefix("keys=").split(',').toSeq.filter(_.nonEmpty)
+          val entries = lines.drop(3).map { line =>
+            val Array(rel, b64) = line.split('\t')
+            rel -> java.util.Base64.getDecoder.decode(b64)
+          }.toMap
+          if (entries.values.exists(_.length != BloomBits / 8)) None
+          else Some((keys, entries))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def writeBlooms(f: FileSystem, target: Path, keys: Seq[String],
+      entries: Seq[(String, Array[Byte])]): Unit = {
+    val lines = Seq(s"keys=${keys.mkString(",")}", s"m=$BloomBits", s"k=$BloomK") ++
+      entries.sortBy(_._1).map { case (rel, b) =>
+        s"$rel\t${java.util.Base64.getEncoder.encodeToString(b)}"
+      }
+    writeSmallFile(f, new Path(target, BloomsName), lines.mkString("\n"))
+  }
+
   /** Per-file (count, min/max per key) stats for the files a publish just
     * wrote under `gDir` — one narrow aggregate over the delta only. */
   private def freshZoneStats(spark: SparkSession, gDir: Path, gName: String,
@@ -917,7 +1067,8 @@ object VersionedSnapshot {
   private def publishBucketed(df: DataFrame, baseDir: String, marker: String,
       keys: Seq[String], numBuckets: Int, inherited: Map[Int, String],
       retain: Int, valueStatsCols: Option[Seq[String]] = None,
-      clusterBy: Seq[String] = Nil, maxRecordsPerFile: Long = 0L): Long = {
+      clusterBy: Seq[String] = Nil, maxRecordsPerFile: Long = 0L,
+      keyBlooms: Boolean = false): Long = {
     require(retain >= 1, "retain must keep at least the current version")
     require(numBuckets >= 1, "numBuckets must be >= 1")
     require(!df.columns.contains(BucketCol), s"column name $BucketCol is reserved")
@@ -1022,6 +1173,21 @@ object VersionedSnapshot {
         s"cols=${vcols.mkString(",")}", s"ctags=${vtags.mkString(",")}") ++
         (carried ++ fresh).sortBy(_._1).map { case (rel, n, rs) => zoneLine(rel, n, rs) }
       writeSmallFile(f, new Path(target, ZonesName), zLines.mkString("\n"))
+      // key blooms: sticky once enabled (a bloom-indexed table keeps its
+      // index across merges that did not re-request it), fresh for the
+      // files this publish wrote, carried for inherited files
+      val prevBlooms =
+        if (current < 0) None
+        else parseBlooms(f, versionPath(base, current)).filter(_._1 == keys)
+      if (keyBlooms || prevBlooms.isDefined) {
+        val freshB =
+          if (written.isEmpty) Nil
+          else freshBloomStats(spark, gDir, gName, keys)
+        val carriedB = prevBlooms.map(_._2.toSeq.filter { case (rel, _) =>
+          inheritedDirs.contains(rel.take(math.max(0, rel.lastIndexOf('/'))))
+        }).getOrElse(Nil)
+        writeBlooms(f, target, keys, carriedB ++ freshB)
+      }
     }
     writeSmallFile(f, new Path(target, MarkerName), marker)
     writeManifest(f, base, target)
@@ -1050,7 +1216,8 @@ object VersionedSnapshot {
       valueStatsCols: Option[Seq[String]] = None,
       clusterBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L,
-      newNumBuckets: Option[Int] = None): Option[Long] =
+      newNumBuckets: Option[Int] = None,
+      keyBlooms: Boolean = false): Option[Long] =
     bucketManifest(spark, baseDir).map { case (nb, _) =>
       val current = read(spark, baseDir)
         .getOrElse(sys.error(s"unreadable snapshot at $baseDir"))
@@ -1063,7 +1230,8 @@ object VersionedSnapshot {
       publishBucketed(current, baseDir, marker, keys,
         newNumBuckets.getOrElse(nb),
         inherited = Map.empty, retain = retain, valueStatsCols = valueStatsCols,
-        clusterBy = clusterBy, maxRecordsPerFile = maxRecordsPerFile)
+        clusterBy = clusterBy, maxRecordsPerFile = maxRecordsPerFile,
+        keyBlooms = keyBlooms)
     }
 
   /** Maintenance policy: compact the CURRENT snapshot when its metadata
@@ -1152,7 +1320,8 @@ object VersionedSnapshot {
       whenMatched: MatchedAction, insertUnmatched: Boolean,
       marker: String, retain: Int = 2, numBuckets: Int = 32,
       evolveSchema: Boolean = false,
-      valueStatsCols: Option[Seq[String]] = None): Long = {
+      valueStatsCols: Option[Seq[String]] = None,
+      keyBlooms: Boolean = false): Long = {
     require(keys.nonEmpty, "MERGE needs at least one key column")
     val spark = source.sparkSession
     // reject multi-match sources: count per key via one window over the
@@ -1173,7 +1342,8 @@ object VersionedSnapshot {
       case None =>
         val result = if (insertUnmatched) uniqueSource else uniqueSource.limit(0)
         publishBucketed(result, baseDir, marker, keys, numBuckets,
-          inherited = Map.empty, retain = retain, valueStatsCols = valueStatsCols)
+          inherited = Map.empty, retain = retain, valueStatsCols = valueStatsCols,
+          keyBlooms = keyBlooms)
       case Some(target0) =>
         // name AND type parity: a name-only check would let a type-drifted
         // source slide into a confusing analysis error (or a silently
@@ -1296,7 +1466,7 @@ object VersionedSnapshot {
         }
         publishBucketed(untouched.unionByName(fromSource), baseDir, marker,
           keys, nb, inherited = entries -- touched, retain = retain,
-          valueStatsCols = valueStatsCols)
+          valueStatsCols = valueStatsCols, keyBlooms = keyBlooms)
     }
   }
 
@@ -1400,6 +1570,10 @@ object VersionedSnapshot {
           val zp = new Path(curDir, ZonesName)
           if (f.exists(zp))
             writeSmallFile(f, new Path(target, ZonesName), readSmallFile(f, zp))
+          // same carry for the key-bloom sidecar
+          val bp = new Path(curDir, BloomsName)
+          if (f.exists(bp))
+            writeSmallFile(f, new Path(target, BloomsName), readSmallFile(f, bp))
         }
         writeSmallFile(f, new Path(target, DeltasName),
           (s"keys=${keys.mkString(",")}" +: (priorOverlays :+ dRel)).mkString("\n"))

@@ -988,6 +988,46 @@ class VersionedSnapshotSpec extends SparkSpec {
     assert(after.as[(Long, Long)].collect().toSet == Set((42L, 777L), (9999L, 1L)))
   }
 
+  test("key blooms: point reads prune files on a value-clustered layout; sticky across merges; corrupt sidecar degrades") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-bloom").resolve("snap").toString
+    VersionedSnapshot.mergeInto(base,
+      (1L to 400L).map(i => (i, i * 10L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed",
+      retain = 1, numBuckets = 2)
+    // value-clustered rewrite WITH blooms: key ranges per file go wide
+    // (hash-scattered keys sorted by v), so without blooms a point read
+    // binds every file of its bucket
+    VersionedSnapshot.compact(spark, base, Seq("k"), marker = "cluster",
+      retain = 1, clusterBy = Seq("v"), maxRecordsPerFile = 50L,
+      keyBlooms = true)
+    val total = VersionedSnapshot.read(spark, base).get.inputFiles.length
+    assert(total >= 6)
+    val hit = VersionedSnapshot.readForKeys(spark, base, Seq(42L).toDF("k")).get
+    assert(hit.as[(Long, Long)].collect().toSeq == Seq((42L, 420L)))
+    assert(hit.inputFiles.length <= 2,
+      s"bloom should bind ~1 file of ${total}, bound ${hit.inputFiles.length}")
+    // absent key: blooms prove no file can hold it (zonemap ranges cannot,
+    // 77 is inside every file's wide key range on this layout)
+    val miss = VersionedSnapshot.readForKeys(spark, base, Seq(50000L).toDF("k")).get
+    assert(miss.count() == 0)
+    // sticky: a merge that does NOT pass keyBlooms keeps the index
+    VersionedSnapshot.mergeInto(base, Seq((42L, 1L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "touch", retain = 1,
+      numBuckets = 2)
+    val after = VersionedSnapshot.readForKeys(spark, base, Seq(42L).toDF("k")).get
+    assert(after.as[(Long, Long)].collect().toSeq == Seq((42L, 1L)))
+    val bloomFile = new java.io.File(new java.io.File(base),
+      "v" + "%05d".formatLocal(java.util.Locale.ROOT,
+        VersionedSnapshot.currentVersion(spark, base).get) + "/_BLOOMS")
+    assert(bloomFile.exists(), "bloom sidecar must carry across merges once enabled")
+    // corrupt sidecar degrades to no-bloom (reads stay correct)
+    java.nio.file.Files.writeString(bloomFile.toPath, "garbage")
+    val legacy = VersionedSnapshot.readForKeys(spark, base, Seq(42L).toDF("k")).get
+    assert(legacy.as[(Long, Long)].collect().toSeq == Seq((42L, 1L)))
+  }
+
   test("zonemap: a corrupt _ZONES file degrades to never-prune instead of crashing") {
     import spark.implicits._
     import VersionedSnapshot.UpdateMatched
