@@ -2430,6 +2430,17 @@ object SparkEntry {
           Map("n_chars" -> (Some(250L), Some(1250L)))).get
         .select("op", "doc_id", "n_chars", "lang")
     }),
+    // ---- value-range-pruned table read (r9): readWhere over the pinned
+    // window's FINAL state — the data-skipping read itself under the
+    // oracle gate (the _ZONES value stats decide which files bind; the
+    // exact predicate re-applies and pushes into the surviving scans).
+    // Oracle: the closed-form final state filtered to the range ----
+    "snapshot_read_where" -> ((s, dir) => {
+      val (base, _, _) = cdfWindowFor(s, dir) // session pin, see scaladoc
+      graft.streaming.VersionedSnapshot.readWhere(s, base,
+          Map("n_chars" -> (Some(250L), Some(1250L)))).get
+        .select("doc_id", "n_chars", "lang")
+    }),
 
     "snapshot_merge_delete" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
@@ -9698,6 +9709,17 @@ object SparkEntry {
         |     OR (doc_id % 10 <> 0 AND doc_id % 5 = 0 AND doc_id % 7 <> 0))
         |WHERE (old_chars BETWEEN 250 AND 1250)
         |   OR (new_chars BETWEEN 250 AND 1250)""".stripMargin,
+
+    "snapshot_read_where" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+        |            ELSE n_chars END AS n_chars,
+        |       lang
+        |FROM documents
+        |WHERE (doc_id % 10 <> 0 OR doc_id % 5 = 0)
+        |  AND doc_id % 7 <> 0
+        |  AND (CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+        |            ELSE n_chars END) BETWEEN 250 AND 1250""".stripMargin,
 
     // full recompute over the LIVE rows (inserts minus retracted ids) —
     // hash equality proves the changelog-merged snapshot identical
