@@ -1252,7 +1252,8 @@ object VersionedSnapshot {
     * to call every time. */
   def maintain(spark: SparkSession, baseDir: String, keys: Seq[String],
       marker: String, maxOverlays: Int = 4, maxGenerations: Int = 8,
-      retain: Int = 2): Option[Long] =
+      retain: Int = 2, clusterBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Option[Long] =
     bucketManifest(spark, baseDir).flatMap { case (_, entries) =>
       val overlays = deltaManifest(spark, baseDir).size
       val generations = entries.values.map(_.split('/')(1)).toSet.size
@@ -1260,7 +1261,12 @@ object VersionedSnapshot {
         // marker passes through VERBATIM: streaming callers hand the
         // "tag:batchId" lineage marker, and annotating it here would
         // corrupt the replay-skip parse (batchId is the last ':' segment)
-        compact(spark, baseDir, keys, marker = marker, retain = retain)
+        // clusterBy/maxRecordsPerFile pass through so scheduled
+        // maintenance of a value-clustered table keeps its layout
+        // instead of silently de-clustering it (key blooms are sticky on
+        // their own)
+        compact(spark, baseDir, keys, marker = marker, retain = retain,
+          clusterBy = clusterBy, maxRecordsPerFile = maxRecordsPerFile)
       else None
     }
 

@@ -185,6 +185,41 @@ object MergeBench {
     println(f"zonemap value-range read bytes bound (out-of-range price): " +
       f"${vAbsent / 1024}%d KiB (vs ${pVAbsent / 1024}%d KiB without)")
 
+    // ---- r9: value-clustered layout + key blooms. clusterBy trades key
+    // locality for value locality: mid-range VALUE reads now prune below
+    // bucket level, while point reads would bind every file of their
+    // bucket — the _BLOOMS sidecar restores that pruning. ----
+    val fDir = s"$root/f"
+    freshTable(fDir, bucketed = true)
+    timed("bucketed(256): clustered+bloom compact") {
+      VersionedSnapshot.compact(spark, fDir, Seq("o_orderkey"),
+        marker = "cluster", retain = 1, clusterBy = Seq("o_totalprice"),
+        maxRecordsPerFile = 150L, keyBlooms = true)
+    }
+    val p10Price = orders.stat.approxQuantile("o_totalprice", Array(0.1), 0.001)(0)
+    val cRange = boundBytes(VersionedSnapshot.readWhere(spark, fDir,
+      Map("o_totalprice" -> (Some(0.0), Some(p10Price)))).get)
+    // MID-RANGE keys: every file's key range straddles the middle of the
+    // domain on a value-clustered layout, so the zonemap cannot prune
+    // them (edge keys it can) — this is exactly the probe blooms serve
+    val midKeys = {
+      import spark.implicits._
+      orders.select("o_orderkey").filter(col("o_orderkey") >= maxKey / 2)
+        .orderBy("o_orderkey").limit(10)
+        .collect().map(_.getLong(0)).toSeq.toDF("o_orderkey")
+    }
+    val cPresent = boundBytes(VersionedSnapshot.readForKeys(spark, fDir, midKeys).get)
+    def dropBlooms(dir: String): Unit =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("v"))
+        .foreach(v => new java.io.File(v, "_BLOOMS").delete())
+    dropBlooms(fDir)
+    val cPresentNoBloom = boundBytes(VersionedSnapshot.readForKeys(spark, fDir, midKeys).get)
+    val allBytes = boundBytes(VersionedSnapshot.read(spark, fDir).get)
+    println(f"clustered layout: p10 value-range read binds ${cRange / 1024}%d KiB " +
+      f"of ${allBytes / 1024}%d KiB total; 10-mid-key point read binds " +
+      f"${cPresent / 1024}%d KiB with blooms vs ${cPresentNoBloom / 1024}%d KiB without")
+
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     spark.stop()
   }
