@@ -2441,6 +2441,30 @@ object SparkEntry {
           Map("n_chars" -> (Some(250L), Some(1250L)))).get
         .select("doc_id", "n_chars", "lang")
     }),
+    // ---- incremental view maintenance FROM the change feed (r9): the
+    // pre/post-image CDF (changesPrePost — the Delta CDF row contract) is
+    // exactly what retraction aggregation consumes, so a per-lang mart
+    // maintained as mart(v0) ⊎ retractPartials(feed) must equal the
+    // recompute over the final state WITHOUT ever reading v2's table —
+    // O(|mart| + |delta|) maintenance. The update rows of this window
+    // shift n_chars by +1000, so a post-image-only feed would corrupt
+    // sum_chars by exactly 1000·|updates|; the oracle recomputes from the
+    // closed-form final state, so the hash match proves the retraction
+    // arithmetic, not just the plumbing ----
+    "ivm_cdf_mart" -> ((s, dir) => {
+      val (base, v0, v2) = cdfWindowFor(s, dir) // session pin, see scaladoc
+      val mart0 = graft.operators.Incremental.partials(
+          graft.streaming.VersionedSnapshot.readVersion(s, base, v0).get,
+          Seq("lang"), col("n_chars"))
+        .select("lang", "n", "sum_v")
+      val feed = graft.streaming.VersionedSnapshot
+        .changesPrePost(s, base, v0, v2, Seq("doc_id")).get
+      val delta = graft.operators.Incremental.retractPartials(
+        feed, Seq("lang"), col("n_chars"),
+        when(col("op").isin("insert", "update_postimage"), 1).otherwise(-1))
+      graft.operators.Incremental.retractMerge(Seq(mart0, delta), Seq("lang"))
+        .select(col("lang"), col("n").as("n_docs"), col("sum_v").as("sum_chars"))
+    }),
 
     "snapshot_merge_delete" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
@@ -9720,6 +9744,19 @@ object SparkEntry {
         |  AND doc_id % 7 <> 0
         |  AND (CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
         |            ELSE n_chars END) BETWEEN 250 AND 1250""".stripMargin,
+
+    // the oracle recomputes the mart from the closed-form FINAL state of
+    // the pinned CDF window (live rows: seed %10≠0 plus upserted %5==0,
+    // minus deleted %7==0; upserted rows carry n_chars+1000) — hash
+    // equality proves the retraction-maintained mart identical to the
+    // recompute it never performed
+    "ivm_cdf_mart" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+        |                     ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE (doc_id % 10 <> 0 OR doc_id % 5 = 0) AND doc_id % 7 <> 0
+        |GROUP BY 1""".stripMargin,
 
     // full recompute over the LIVE rows (inserts minus retracted ids) —
     // hash equality proves the changelog-merged snapshot identical

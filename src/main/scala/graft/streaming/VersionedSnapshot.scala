@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{assert_true, col, count, lit, pmod, when, xxhash64}
+import org.apache.spark.sql.functions.{array, assert_true, col, count, explode, lit, pmod, when, xxhash64}
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 
 /** Reader-atomic, multi-version snapshot publication — the transactional
@@ -473,6 +473,52 @@ object VersionedSnapshot {
       diffFrames(
         readForKeysAt(spark, baseDir, fromVersion, cand),
         readForKeysAt(spark, baseDir, toVersion, cand), keys)
+    }
+
+  /** [[changes]] in pre/post-image form — the Delta CDF row contract
+    * (`update_preimage` / `update_postimage`) that makes the feed
+    * CONSUMABLE by retraction-based incremental view maintenance
+    * ([[graft.operators.Incremental.retractPartials]]): a downstream
+    * aggregate subtracts every preimage/delete row and adds every
+    * postimage/insert row, which stays correct even when an update moves
+    * a row BETWEEN groups (the plain [[changes]] update row carries only
+    * new values, so the old group could never be decremented). Emits one
+    * row per insert/delete and TWO rows per update:
+    *
+    *   - `insert` — new values
+    *   - `delete` — the last values the key had
+    *   - `update_preimage` — old values; `update_postimage` — new values
+    *
+    * Same cost shape as [[changes]] (one full-outer join on the key);
+    * the update split is a 2-element explode of the already-joined row,
+    * not a second read. None unless both versions are retained. */
+  def changesPrePost(spark: SparkSession, baseDir: String, fromVersion: Long,
+      toVersion: Long, keys: Seq[String]): Option[DataFrame] =
+    for {
+      a <- readVersion(spark, baseDir, fromVersion)
+      b <- readVersion(spark, baseDir, toVersion)
+    } yield {
+      val nonKeys = b.columns.toSeq.filterNot(keys.contains)
+      val aSide = a.select(
+        (keys.map(col) :+ lit(true).as("__in_a")) ++
+          nonKeys.map(c => col(c).as(s"__a_$c")): _*)
+      val bSide = b.select(
+        (keys.map(col) :+ lit(true).as("__in_b")) ++
+          nonKeys.map(c => col(c).as(s"__b_$c")): _*)
+      val joined = aSide.join(bSide, keys, "full_outer")
+      val differs = nonKeys
+        .map(c => !(col(s"__a_$c") <=> col(s"__b_$c")))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      // ops this row expands to: inserts/deletes one-element, updates two
+      val ops = when(col("__in_a").isNull, array(lit("insert")))
+        .when(col("__in_b").isNull, array(lit("delete")))
+        .when(differs, array(lit("update_preimage"), lit("update_postimage")))
+      val oldSide = Seq("delete", "update_preimage")
+      joined
+        .withColumn("op", explode(ops))
+        .select(col("op") +: keys.map(col) ++: nonKeys.map(c =>
+          when(col("op").isin(oldSide: _*), col(s"__a_$c"))
+            .otherwise(col(s"__b_$c")).as(c)): _*)
     }
 
   /** The row diff of two version frames on `keys` (see [[changes]]). */
@@ -990,6 +1036,108 @@ object VersionedSnapshot {
         expected == inventory(f, base, dir)
       }
     }
+
+  // --------------------------------------------------- operational metadata
+
+  /** One row per RETAINED version, newest first — the `DESCRIBE HISTORY`
+    * analog. Columns: `version`, `marker` (the full `_LAST_BATCH` string,
+    * lineage suffix included), `layout` (`flat` / `bucketed` /
+    * `bucketed+mor`), `num_buckets` (null for flat), `n_files`, `bytes`
+    * (both from the committed `_MANIFEST` inventory — listing-written at
+    * publish, so no data is read here), `n_overlays`, `is_current`.
+    * O(metadata): a driver listing plus ≤`retain` small-file reads; the
+    * result is a ≤`retain`-row local relation. Empty frame when the table
+    * has never committed. */
+  def history(spark: SparkSession, baseDir: String): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion(spark, baseDir)
+    val rows: Seq[(Long, String, String, Option[Int], Long, Long, Int, Boolean)] =
+      cur match {
+        case None => Nil
+        case Some(c) =>
+          val f = fs(spark, baseDir)
+          val base = new Path(baseDir)
+          f.listStatus(base).toSeq
+            .flatMap { st =>
+              val n = st.getPath.getName
+              if (st.isDirectory && n.length == 6 && n.startsWith("v"))
+                n.drop(1).toLongOption.filter(_ <= c).map(_ -> st.getPath)
+              else None
+            }
+            .sortBy(-_._1)
+            .map { case (v, vdir) =>
+              val marker = {
+                val m = new Path(vdir, MarkerName)
+                if (f.exists(m)) readSmallFile(f, m).trim else ""
+              }
+              val buckets = parseBuckets(f, vdir)
+              val overlays = parseDeltas(f, vdir).map(_._2.size).getOrElse(0)
+              val layout = (buckets, overlays) match {
+                case (None, _) => "flat"
+                case (Some(_), 0) => "bucketed"
+                case (Some(_), _) => "bucketed+mor"
+              }
+              val (nFiles, bytes) = {
+                val m = new Path(vdir, ManifestName)
+                if (!f.exists(m)) (0L, 0L)
+                else {
+                  val entries = readSmallFile(f, m).split('\n').toSeq.filter(_.nonEmpty)
+                  (entries.size.toLong,
+                    entries.map(l => l.substring(l.lastIndexOf(':') + 1).toLong).sum)
+                }
+              }
+              (v, marker, layout, buckets.map(_._1), nFiles, bytes, overlays, v == c)
+            }
+      }
+    rows.toDF("version", "marker", "layout", "num_buckets",
+      "n_files", "bytes", "n_overlays", "is_current")
+  }
+
+  /** Roll the table back (or forward within retention) to `version` — the
+    * Delta `RESTORE` analog. The restored state commits as a NEW version
+    * (history moves forward; the bad versions stay diffable via
+    * [[changes]] until retention ages them out), under the ordinary
+    * single-file pointer flip, so readers see exactly the old or exactly
+    * the restored state.
+    *
+    * Bucketed versions restore in O(metadata): the new version dir
+    * REFERENCES the restored version's bucket (and overlay) data
+    * directories via copied manifests — immutability makes the data
+    * trivially shareable, and the orphan sweep keeps every directory a
+    * retained manifest mentions. Flat versions are self-contained
+    * directories, so their restore degrades to a republish of the frame
+    * (O(table) — documented, not hidden). None when `version` is not
+    * retained. */
+  def restore(spark: SparkSession, baseDir: String, version: Long,
+      marker: String = "restore", retain: Int = 2): Option[Long] = {
+    require(retain >= 1, "retain must keep at least the current version")
+    val f = fs(spark, baseDir)
+    val base = new Path(baseDir)
+    val current = currentVersion(spark, baseDir).getOrElse(-1L)
+    val committed = version <= current && f.exists(versionPath(base, version))
+    if (!committed) None
+    else {
+      val src = versionPath(base, version)
+      parseBuckets(f, src) match {
+        case None =>
+          Some(publish(versionFrame(spark, baseDir, version), baseDir,
+            s"$marker:v$version", retain))
+        case Some(_) =>
+          val next = prepareNext(f, base, current)
+          val target = versionPath(base, next)
+          f.mkdirs(target)
+          Seq(BucketsName, DeltasName, ZonesName, BloomsName).foreach { name =>
+            val p = new Path(src, name)
+            if (f.exists(p)) writeSmallFile(f, new Path(target, name), readSmallFile(f, p))
+          }
+          writeSmallFile(f, new Path(target, MarkerName), s"$marker:v$version")
+          writeManifest(f, base, target)
+          commitPointer(spark, f, base, next)
+          applyRetention(f, base, current, next, retain)
+          Some(next)
+      }
+    }
+  }
 
   // ------------------------------------------------------------- publication
 

@@ -1057,4 +1057,117 @@ class VersionedSnapshotSpec extends SparkSpec {
     val after = VersionedSnapshot.readForKeys(spark, base, Seq(3L).toDF("k")).get
     assert(after.as[(Long, Long)].collect().toSeq == Seq((3L, 99L)))
   }
+
+  test("changesPrePost: pre/post images drive retraction-IVM across a group-moving update") {
+    import spark.implicits._
+    import VersionedSnapshot.{DeleteMatched, UpdateMatched}
+    val base = Files.createTempDirectory("graft-cdfpp").resolve("snap").toString
+    // v0: 8 rows in two groups
+    val seed = (1L to 8L).map(i => (i, if (i <= 4) "a" else "b", i * 10L))
+      .toDF("k", "grp", "v")
+    val v0 = VersionedSnapshot.mergeInto(base, seed, Seq("k"), UpdateMatched,
+      insertUnmatched = true, marker = "seed", retain = 4, numBuckets = 4)
+    // v1: k=2 moves group a→b AND changes v; k=5 changes v in place;
+    //     k=9 inserts into a
+    val up = Seq((2L, "b", 999L), (5L, "b", 51L), (9L, "a", 90L)).toDF("k", "grp", "v")
+    VersionedSnapshot.mergeInto(base, up, Seq("k"), UpdateMatched,
+      insertUnmatched = true, marker = "upsert", retain = 4, numBuckets = 4)
+    // v2: delete k=3
+    val v2 = VersionedSnapshot.mergeInto(base, Seq((3L, "a", 30L)).toDF("k", "grp", "v"),
+      Seq("k"), DeleteMatched, insertUnmatched = false, marker = "delete",
+      retain = 4, numBuckets = 4)
+    val cdf = VersionedSnapshot.changesPrePost(spark, base, v0, v2, Seq("k")).get
+    val rows = cdf.as[(String, Long, String, Long)].collect().toSet
+    // updates emit exactly the pre/post pair; inserts/deletes one row each
+    assert(rows == Set(
+      ("update_preimage", 2L, "a", 20L), ("update_postimage", 2L, "b", 999L),
+      ("update_preimage", 5L, "b", 50L), ("update_postimage", 5L, "b", 51L),
+      ("insert", 9L, "a", 90L),
+      ("delete", 3L, "a", 30L)))
+    // IVM: mart(v0) + retractable partials over the feed == mart(v2).
+    // The group-moving update is the case the post-image-only feed cannot
+    // maintain: grp=a must lose k=2 while grp=b gains it.
+    val mart0 = graft.operators.Incremental.partials(
+      VersionedSnapshot.readVersion(spark, base, v0).get, Seq("grp"), col("v"))
+      .select("grp", "n", "sum_v")
+    val delta = graft.operators.Incremental.retractPartials(
+      cdf, Seq("grp"), col("v"),
+      when(col("op").isin("insert", "update_postimage"), 1).otherwise(-1))
+    val maintained = graft.operators.Incremental
+      .retractMerge(Seq(mart0, delta), Seq("grp"))
+      .as[(String, Long, Long)].collect().toSet
+    val recomputed = graft.operators.Incremental.partials(
+      VersionedSnapshot.readVersion(spark, base, v2).get, Seq("grp"), col("v"))
+      .select("grp", "n", "sum_v")
+      .as[(String, Long, Long)].collect().toSet
+    assert(maintained == recomputed)
+    // unchanged keys appear in NO row of the feed
+    assert(!rows.exists(_._2 == 1L))
+  }
+
+  test("history lists retained versions newest-first with layout and manifest stats") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-hist").resolve("snap").toString
+    assert(VersionedSnapshot.history(spark, base).isEmpty)
+    val v0 = VersionedSnapshot.mergeInto(base,
+      (1L to 20L).map(i => (i, i)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", retain = 3, numBuckets = 4)
+    VersionedSnapshot.mergeInto(base, Seq((2L, 99L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "up", retain = 3, numBuckets = 4)
+    VersionedSnapshot.stageDelta(base, Seq((3L, 77L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, marker = "overlay", retain = 3, numBuckets = 4)
+    val h = VersionedSnapshot.history(spark, base)
+      .select("version", "marker", "layout", "n_overlays", "is_current")
+      .as[(Long, String, String, Int, Boolean)].collect().toSeq
+    assert(h.map(_._1) == Seq(v0 + 2, v0 + 1, v0), "newest first")
+    assert(h.head._3 == "bucketed+mor" && h.head._4 == 1 && h.head._5)
+    assert(h.tail.forall(r => r._3 == "bucketed" && r._4 == 0 && !r._5))
+    assert(h.map(_._2) == Seq("overlay", "up", "seed"))
+    // manifest-backed stats: every retained version has files and bytes
+    val stats = VersionedSnapshot.history(spark, base)
+      .select("n_files", "bytes").as[(Long, Long)].collect()
+    assert(stats.forall { case (nf, b) => nf > 0 && b > 0 })
+  }
+
+  test("restore republishes a retained version as the new current without copying data") {
+    import spark.implicits._
+    import VersionedSnapshot.{DeleteMatched, UpdateMatched}
+    val dir = Files.createTempDirectory("graft-restore")
+    val base = dir.resolve("snap").toString
+    val v0 = VersionedSnapshot.mergeInto(base,
+      (1L to 30L).map(i => (i, i * 10L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", retain = 4, numBuckets = 4)
+    def state() = VersionedSnapshot.read(spark, base).get
+      .as[(Long, Long)].collect().toSet
+    val wanted = state()
+    // a bad deploy: delete a third of the rows
+    VersionedSnapshot.mergeInto(base,
+      (1L to 30L).filter(_ % 3 == 0).map(i => (i, i * 10L)).toDF("k", "v"), Seq("k"),
+      DeleteMatched, insertUnmatched = false, marker = "bad", retain = 4, numBuckets = 4)
+    assert(state() != wanted)
+    def dataDirs() = new java.io.File(base, "data").listFiles().map(_.getName).toSet
+    val before = dataDirs()
+    val vr = VersionedSnapshot.restore(spark, base, v0, retain = 4).get
+    assert(vr == v0 + 2, "restore commits a NEW version")
+    assert(state() == wanted, "restored state must equal the restored-to version")
+    assert(dataDirs() == before, "bucketed restore is metadata-only: no new data dirs")
+    assert(VersionedSnapshot.validateCurrent(spark, base),
+      "restored version must carry a valid manifest")
+    // the bad version stays diffable until retention ages it out
+    val diff = VersionedSnapshot.changes(spark, base, v0 + 1, vr, Seq("k")).get
+    assert(diff.filter(col("op") === "insert").count() == 10)
+    // point reads consult the restored version's copied zonemap
+    val hit = VersionedSnapshot.readForKeys(spark, base, Seq(7L).toDF("k")).get
+    assert(hit.as[(Long, Long)].collect().toSeq == Seq((7L, 70L)))
+    // an unretained (never-committed) version does not restore
+    assert(VersionedSnapshot.restore(spark, base, 99L).isEmpty)
+    // flat layouts restore by republish — same contract, O(table)
+    val flat = dir.resolve("flat").toString
+    VersionedSnapshot.publish(Seq((1L, 1L)).toDF("k", "v"), flat, "seed", retain = 3)
+    VersionedSnapshot.publish(Seq((1L, 2L)).toDF("k", "v"), flat, "bad", retain = 3)
+    val fr = VersionedSnapshot.restore(spark, flat, 0L, retain = 3).get
+    assert(fr == 2L && VersionedSnapshot.read(spark, flat).get
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 1L)))
+  }
 }
