@@ -368,12 +368,31 @@ object StreamingKpis {
     * joining); `delta` and `lateness` are SQL interval strings. */
   def intervalJoinStream(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
-      delta: String = "30 minutes", lateness: String = "1 hour"): DataFrame = {
+      delta: String = "30 minutes", lateness: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
     l.join(r, expr(
       s"""$leftKey = $rightKey AND
          |$rightTs BETWEEN $leftTs - INTERVAL $delta AND $leftTs + INTERVAL $delta
-         |""".stripMargin))
+         |""".stripMargin), joinType)
   }
+
+  /** [[intervalJoinStream]] with `leftOuter` semantics — every left row
+    * eventually emits: joined when a right row lands in its ±`delta`
+    * window, null-padded otherwise. The outer result for an unmatched
+    * left row CANNOT emit when the row arrives (a matching right row may
+    * still come); it emits only once BOTH watermarks have passed the
+    * row's join window, i.e. the engine has proof no match can arrive.
+    * That deferred emission is the semantic difference from a batch left
+    * join, and why the two-sided time bound is mandatory here: it is
+    * what bounds the wait (and the buffered state) — without it the
+    * "no match can arrive" proof never obtains and unmatched rows would
+    * be held forever. Use for conversion funnels where the absence of a
+    * follow-up event within the window is itself the signal. */
+  def intervalJoinStreamLeftOuter(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      delta: String = "30 minutes", lateness: String = "1 hour"): DataFrame =
+    intervalJoinStream(left, right, leftKey, rightKey, leftTs, rightTs,
+      delta, lateness, joinType = "leftOuter")
 }

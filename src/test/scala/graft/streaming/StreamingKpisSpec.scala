@@ -344,6 +344,47 @@ class StreamingKpisSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStreamLeftOuter emits null-padded rows once the watermark closes the window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-06-25 $h%02d:$m%02d:00")
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamingKpis.intervalJoinStreamLeftOuter(
+      clicks.toDF.toDF("c_user", "c_ts"), buys.toDF.toDF("b_user", "b_ts"),
+      "c_user", "b_user", "c_ts", "b_ts",
+      delta = "10 minutes", lateness = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("stream_loj")
+      .outputMode("append").start()
+    try {
+      // user 1 converts inside the window; user 2 never does
+      clicks.addData((1L, ts(10, 0)), (2L, ts(10, 0)))
+      buys.addData((1L, ts(10, 8)))
+      q.processAllAvailable()
+      // matched row emits promptly; the unmatched row must NOT emit yet —
+      // a matching buy could still arrive until the watermark passes
+      // c_ts + delta + lateness
+      val early = spark.table("stream_loj").collect()
+      assert(early.forall(r => !r.isNullAt(2)),
+        s"unmatched left must be held while its window is open, saw ${early.toSeq}")
+      // advance both watermarks far past the window on both sides
+      clicks.addData((9L, ts(12, 0)))
+      buys.addData((9L, ts(12, 0)))
+      q.processAllAvailable()
+      clicks.addData((9L, ts(12, 30)))
+      buys.addData((9L, ts(12, 30)))
+      q.processAllAvailable()
+      val rows = spark.table("stream_loj").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString.substring(11, 16),
+          if (r.isNullAt(2)) "none" else r.getTimestamp(3).toString.substring(11, 16)))
+        .toSet
+      assert(rows.contains((1L, "10:00", "10:08")), s"matched row missing from $rows")
+      assert(rows.contains((2L, "10:00", "none")),
+        s"watermark-expired unmatched left must emit null-padded, saw $rows")
+    } finally q.stop()
+  }
+
   test("streaming EWMA maintenance: foreachBatch partials merge equals batch recompute") {
     // the ewmaPartials merge law (ResampleSpec) driven through the REAL
     // Structured Streaming path: each micro-batch's partials are re-summed
