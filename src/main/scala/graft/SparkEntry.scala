@@ -88,6 +88,39 @@ object SparkEntry {
   private val VocabSizes = Seq(16, 64, 256, 1024) // vocab_coverage_curve
   private val TsPanel = 8 // ts_similarity_topk: hash-sampled query users
   private val TsK = 5     // ts_similarity_topk: neighbors kept per query
+  private val BootResamples = 32 // poisson_bootstrap: resample count B
+  private val JackBuckets = 20   // jackknife_buckets: delete-a-bucket groups
+  /** Inverse-CDF thresholds of the Poisson(1) bootstrap weight:
+    * floor(P(X ≤ k)·2^60) for k = 0..5, weights capped at 6 (P ≈ 6e-5
+    * tail folded into the last bucket). Computed ONCE here and baked as
+    * literals into both engines — the Benford/decay discipline for the
+    * one transcendental (e^−1) the scheme needs. */
+  private val PoisCumE60: IndexedSeq[Long] = {
+    val pmf = (0 to 5).scanLeft(math.exp(-1.0)) { case (p, k) => p / (k + 1) }
+    pmf.take(6).scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c * math.pow(2.0, 60)).toLong).toIndexedSeq
+  }
+  /** Poisson(1) weight of a 60-bit uniform: the number of CDF thresholds
+    * at or below `u`. */
+  private def poisWeight(u: Column): Column =
+    PoisCumE60.tail.zipWithIndex
+      .foldLeft(when(u < lit(PoisCumE60.head), 0)) {
+        case (acc, (t, i)) => acc.when(u < lit(t), i + 1)
+      }.otherwise(6)
+  /** DuckDB rendering of [[poisWeight]] over SQL expression `u`. */
+  private def poisWeightSql(u: String): String =
+    PoisCumE60.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+  /** Exact floor(a·1e6 / b) in decimal-38 (overflow-safe at any SF).
+    * Spark side is the pmod identity (true floor); the DuckDB mirror is
+    * `//` (truncation toward zero) — identical ONLY because every
+    * numerator fed here is non-negative (cents of a value ≥ 0 domain),
+    * the repo-wide rule for hash-compared division. */
+  private def flooredMeanE6(a: Column, b: Column): Column = {
+    val x = a.cast("decimal(38,0)") * lit(1000000L)
+    ((x - pmod(x, b)) / b).cast("long")
+  }
 
   /** Scratch base for the snapshot-backed queries, recursively deleted at
     * JVM exit: each invocation publishes full-table parquet versions, and
@@ -4062,6 +4095,58 @@ object SparkEntry {
         .limit(1)
     }),
 
+    // ---- Poisson bootstrap (Chamandy et al. 2012): the resampling
+    // scheme that works in ONE pass at any scale — per (row, resample b)
+    // the multinomial count is approximated by an independent Poisson(1)
+    // weight, so no global n is needed and the whole thing is a
+    // generator + map-side-combinable agg: B rows per partition shuffle,
+    // never the data. Determinism/portability: u = family60(md5-hash, b)
+    // (one md5 per row for all 32 resamples), weight = inverse-CDF over
+    // thresholds frozen at build time (the Benford discipline). Output =
+    // the full bootstrap distribution of mean value per event (32 rows);
+    // CI bounds are order statistics of it. Weights cap at 6 (tail
+    // P ≈ 6e-5 folds into the last bucket — same rule both engines) ----
+    "poisson_bootstrap_ci" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        round(col("value") * 100).cast("long").as("v"))
+      val withH = ev.withColumn("__h",
+        graft.functions.PortableHash.hash60(col("event_id")))
+      val pairs = (0 until BootResamples).map { b =>
+        struct(lit(b).as("b"),
+          poisWeight(graft.functions.PortableHash.family60(col("__h"), b)).as("w"))
+      }
+      withH
+        .select(explode(array(pairs: _*)).as("bw"), col("v"))
+        .select(col("bw.b").as("resample"), col("bw.w").cast("long").as("w"), col("v"))
+        .groupBy("resample")
+        .agg(sum(when(col("v").isNotNull, col("w"))).as("n_rows"),
+          sum(col("w") * col("v")).as("sum_v"))
+        .select(col("resample"), col("n_rows"), col("sum_v"),
+          flooredMeanE6(col("sum_v"), col("n_rows")).as("mean_cents_e6"))
+    }),
+
+    // ---- delete-a-bucket jackknife: leave-one-out estimates over G
+    // hash buckets of USERS (the unit of inference — resampling events
+    // of one user independently would fake independence). Per-bucket
+    // partials + one 1-row total broadcast give all G leave-one-out
+    // means in a single pass; the jackknife variance is a trivial
+    // client-side fold of the G rows. The standard big-data answer to
+    // "error bars on a ratio metric" when users ≫ memory ----
+    "jackknife_buckets" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        round(col("value") * 100).cast("long").as("v"))
+      val per = ev
+        .withColumn("g", pmod(
+          graft.functions.PortableHash.hash60(col("user_id")), lit(JackBuckets)))
+        .groupBy("g")
+        .agg(count(col("v")).as("n_g"), sum(col("v")).as("s_g"))
+      val tot = per.agg(sum("n_g").as("n_tot"), sum("s_g").as("s_tot"))
+      per.crossJoin(broadcast(tot))
+        .select(col("g").cast("int").as("bucket"), col("n_g"), col("s_g"),
+          flooredMeanE6(col("s_tot") - col("s_g"), col("n_tot") - col("n_g"))
+            .as("loo_mean_e6"))
+    }),
+
     // ---- discount elasticity: does a deeper discount move quantity?
     // Signed Pearson-r² per brand between discount (e2) and quantity,
     // closed-form from one aggregation pass of integer moment sums (the
@@ -6326,6 +6411,48 @@ object SparkEntry {
       |       // nullif(count(*), 0) AS BIGINT) AS mean_depth_e6
       |FROM sess""".stripMargin
 
+  /** DuckDB mirror of `poisson_bootstrap_ci`: the same md5-derived 60-bit
+    * row hash, the same multiply-shift family member per resample (the
+    * multipliers baked into a VALUES relation), the same frozen
+    * inverse-CDF thresholds from [[PoisCumE60]], and floor division for
+    * the e6 mean — bit-identical across engines. */
+  private def poissonBootstrapOracle: String = {
+    val mults = (0 until BootResamples)
+      .map(b => s"($b,${graft.functions.PortableHash.multiplier(b)})").mkString(",")
+    val u = graft.functions.PortableHash.duckdbFamilySql("h.h", "mm.m", "mm.b")
+    s"""WITH ev AS (SELECT CAST(event_id AS VARCHAR) AS eid,
+       |                   CAST(round(value * 100) AS BIGINT) AS v FROM events),
+       |h AS (SELECT ${dh("eid")} AS h, v FROM ev),
+       |mm(b, m) AS (VALUES $mults),
+       |u AS (SELECT mm.b AS resample, $u AS u, h.v FROM h CROSS JOIN mm),
+       |w AS (SELECT resample, ${poisWeightSql("u")} AS w, v FROM u),
+       |agg AS (SELECT resample,
+       |               CAST(sum(CASE WHEN v IS NOT NULL THEN w END) AS BIGINT) AS n_rows,
+       |               CAST(sum(CAST(w AS BIGINT) * v) AS BIGINT) AS sum_v
+       |        FROM w GROUP BY 1)
+       |SELECT CAST(resample AS INTEGER) AS resample, n_rows, sum_v,
+       |       CAST((CAST(sum_v AS HUGEINT) * 1000000) // n_rows AS BIGINT)
+       |         AS mean_cents_e6
+       |FROM agg""".stripMargin
+  }
+
+  /** DuckDB mirror of `jackknife_buckets`: user buckets from the portable
+    * 60-bit hash mod G, leave-one-out e6 means via the same floor
+    * division both engines compute exactly. */
+  private def jackknifeBucketsOracle: String =
+    s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS uid,
+       |                   CAST(round(value * 100) AS BIGINT) AS v FROM events),
+       |per AS (SELECT ${dh("uid")} % $JackBuckets AS g,
+       |               CAST(count(v) AS BIGINT) AS n_g,
+       |               CAST(sum(v) AS BIGINT) AS s_g
+       |        FROM ev GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_tot,
+       |               CAST(sum(s_g) AS BIGINT) AS s_tot FROM per)
+       |SELECT CAST(g AS INTEGER) AS bucket, n_g, s_g,
+       |       CAST((CAST(s_tot - s_g AS HUGEINT) * 1000000)
+       |            // (n_tot - n_g) AS BIGINT) AS loo_mean_e6
+       |FROM per, tot""".stripMargin
+
   private def brandKendallOracle: String =
     """WITH bb AS (
       |  SELECT p_brand,
@@ -7115,6 +7242,8 @@ object SparkEntry {
     "bounce_rate" -> bounceRateOracle,
     "brand_rank_kendall" -> brandKendallOracle,
     "q21_waiting_suppliers" -> q21WaitingSuppliersOracle,
+    "poisson_bootstrap_ci" -> poissonBootstrapOracle,
+    "jackknife_buckets" -> jackknifeBucketsOracle,
     "mm_audio_silence" ->
       """WITH g AS (
         |  SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS seed,
