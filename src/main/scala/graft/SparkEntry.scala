@@ -1855,6 +1855,36 @@ object SparkEntry {
           expr("n_types * 1000000 div nullif(n_tokens, 0)").as("type_token_e6"))
     }),
 
+    // ---- Cohen's kappa inter-annotator agreement: the labeling-pipeline
+    // metric — how far beyond chance do two keep/drop annotators agree?
+    // Annotator A = the quality heuristic at its 0.8 line (the corpus median — a balanced annotator; 0.5 passes everything), annotator B =
+    // the language-ID 'en' decision (two real, independent keep policies
+    // over the same corpus). One scan into a 1-row confusion aggregate;
+    // kappa = (N·agree − pe·N²) / (N² − pe·N²) with pe·N² = a1·b1 +
+    // (N−a1)(N−b1), every term an exact integer, decimal-staged; the
+    // division TRUNCATES toward zero in both engines (kappa can be
+    // negative — `div`/`//`, never a floor identity) ----
+    "annotator_kappa" -> ((s, dir) => {
+      val flags = Tables.documents(s, dir).select(
+        (floor(Text.qualityScoreRaw(col("text")) * 1e6 + 0.5) >= 800000)
+          .cast("long").as("a"),
+        (Text.langId(col("text")) === "en").cast("long").as("b"))
+      flags
+        .agg(count(lit(1)).as("n"), sum("a").as("a1"), sum("b").as("b1"),
+          sum(col("a") * col("b")).as("n11"))
+        .selectExpr("n AS n_docs", "a1 AS n_quality", "b1 AS n_english",
+          "n - a1 - b1 + 2 * n11 AS n_agree",
+          """CAST((n - a1 - b1 + 2 * n11) * 1000000 div n AS BIGINT)
+             AS po_e6""",
+          """CAST((CAST(n AS DECIMAL(38,0)) * (n - a1 - b1 + 2 * n11)
+                   - (CAST(a1 AS DECIMAL(38,0)) * b1
+                      + CAST(n - a1 AS DECIMAL(38,0)) * (n - b1))) * 1000000
+             div nullif(CAST(n AS DECIMAL(38,0)) * n
+                   - (CAST(a1 AS DECIMAL(38,0)) * b1
+                      + CAST(n - a1 AS DECIMAL(38,0)) * (n - b1)), 0)
+             AS BIGINT) AS kappa_e6""")
+    }),
+
     // ---- chi-square keyword extraction: terms most distinctive of the
     // even-doc_id half of the corpus vs the odd half (the deterministic
     // split the bigram-LM/DSIR tier established), by document frequency
@@ -6624,6 +6654,65 @@ object SparkEntry {
       |            AS BIGINT) AS d_e6
       |FROM d ORDER BY num DESC, cents ASC LIMIT 1""".stripMargin
 
+  /** DuckDB mirror of `annotator_kappa`: the docQualityOracle score
+    * expression at the 0.8 line × the doc_lang argmax (same und/de/en
+    * tie order as Text.langId's array_min), HUGEINT-staged kappa with
+    * truncating division (kappa can be negative — `//`/`div` agree). */
+  private def annotatorKappaOracle: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+      |                  CAST(length(text) AS DOUBLE) AS nchars
+      |           FROM documents),
+      |s AS (SELECT doc_id, nchars, ws, list_distinct(ws) AS dws,
+      |             CAST(len(ws) AS DOUBLE) AS ntok,
+      |             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
+      |      FROM t),
+      |f AS (SELECT
+      |  CASE WHEN CAST(CASE WHEN nchars = 0 THEN 0 ELSE floor((
+      |    least(ntok / 100.0, 1.0) * 0.3
+      |    + (alpha / nchars) * 0.3
+      |    + (CASE WHEN (nchars - (ntok - 1)) / ntok BETWEEN 2.0 AND 12.0
+      |            THEN 1.0 ELSE 0.3 END) * 0.2
+      |    + (CASE WHEN len(list_intersect(ws,
+      |         ['the','a','an','and','of','to','in','is','it','that'])) > 0
+      |            THEN 1.0 ELSE 0.5 END) * 0.2) * 1000000.0 + 0.5) END AS BIGINT)
+      |    >= 800000 THEN 1 ELSE 0 END AS a,
+      |  CASE WHEN greatest(
+      |         len(list_intersect(dws, ['the','a','and','of','to','in','is','it','that','for','with','this'])),
+      |         len(list_intersect(dws, ['le','la','les','de','et','un','une','est','que','pour','dans','des'])),
+      |         len(list_intersect(dws, ['el','la','los','las','de','y','un','una','es','que','por','para'])),
+      |         len(list_intersect(dws, ['der','die','das','und','ein','eine','ist','von','zu','mit','den','nicht'])),
+      |         len(list_intersect(dws, ['的','了','是','我','不','在','有','他','这','人','们','中']))) > 0
+      |    AND len(list_intersect(dws, ['der','die','das','und','ein','eine','ist','von','zu','mit','den','nicht'])) < greatest(
+      |         len(list_intersect(dws, ['the','a','and','of','to','in','is','it','that','for','with','this'])),
+      |         len(list_intersect(dws, ['le','la','les','de','et','un','une','est','que','pour','dans','des'])),
+      |         len(list_intersect(dws, ['el','la','los','las','de','y','un','una','es','que','por','para'])),
+      |         len(list_intersect(dws, ['der','die','das','und','ein','eine','ist','von','zu','mit','den','nicht'])),
+      |         len(list_intersect(dws, ['的','了','是','我','不','在','有','他','这','人','们','中'])))
+      |    AND len(list_intersect(dws, ['the','a','and','of','to','in','is','it','that','for','with','this'])) = greatest(
+      |         len(list_intersect(dws, ['the','a','and','of','to','in','is','it','that','for','with','this'])),
+      |         len(list_intersect(dws, ['le','la','les','de','et','un','une','est','que','pour','dans','des'])),
+      |         len(list_intersect(dws, ['el','la','los','las','de','y','un','una','es','que','por','para'])),
+      |         len(list_intersect(dws, ['der','die','das','und','ein','eine','ist','von','zu','mit','den','nicht'])),
+      |         len(list_intersect(dws, ['的','了','是','我','不','在','有','他','这','人','们','中'])))
+      |    THEN 1 ELSE 0 END AS b
+      |  FROM s),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(a) AS BIGINT) AS a1,
+      |             CAST(sum(b) AS BIGINT) AS b1,
+      |             CAST(sum(a * b) AS BIGINT) AS n11
+      |      FROM f)
+      |SELECT n AS n_docs, a1 AS n_quality, b1 AS n_english,
+      |       n - a1 - b1 + 2 * n11 AS n_agree,
+      |       CAST((n - a1 - b1 + 2 * n11) * 1000000 // n AS BIGINT) AS po_e6,
+      |       CAST((CAST(n AS HUGEINT) * (n - a1 - b1 + 2 * n11)
+      |              - (CAST(a1 AS HUGEINT) * b1
+      |                 + CAST(n - a1 AS HUGEINT) * (n - b1))) * 1000000
+      |            // nullif(CAST(n AS HUGEINT) * n
+      |              - (CAST(a1 AS HUGEINT) * b1
+      |                 + CAST(n - a1 AS HUGEINT) * (n - b1)), 0)
+      |            AS BIGINT) AS kappa_e6
+      |FROM m""".stripMargin
+
   private def termChi2KeywordsOracle: String =
     """WITH pres AS (
       |  SELECT DISTINCT doc_id, t.term
@@ -7441,6 +7530,7 @@ object SparkEntry {
     "jackknife_buckets" -> jackknifeBucketsOracle,
     "permutation_test" -> permutationTestOracle,
     "ks_two_sample" -> ksTwoSampleOracle,
+    "annotator_kappa" -> annotatorKappaOracle,
     "term_chi2_keywords" -> termChi2KeywordsOracle,
     "mm_audio_silence" ->
       """WITH g AS (
