@@ -3653,6 +3653,27 @@ object SparkEntry {
         Tables.events(s, dir).select("user_id", "event_id", "ts"),
         "user_id", "ts", "event_id", deltaMicros = 1800L * 1000000L)),
 
+    // ---- ANTI interval join (absence as the signal): views with no
+    // same-user purchase within ±30 min, per user — the funnel
+    // non-conversion face of the range join. Matched view ids discovered
+    // through the bucketed 3×-replica candidate path, removed with ONE
+    // left-anti equi-join (Interval.antiWithin) — a null-padded outer
+    // product never exists in the plan ----
+    "views_unconverted" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("__bk"), col("ts").as("__bts"))
+      val un = graft.operators.Interval.antiWithin(views, buys,
+        "user_id", "__bk", "ts", "__bts", 1800L * 1000000L, "event_id")
+      views.groupBy("user_id").agg(count(lit(1)).as("n_views"))
+        .join(un.groupBy("user_id").agg(count(lit(1)).as("n_unconverted")),
+          Seq("user_id"), "left")
+        .select(col("user_id"), col("n_views"),
+          coalesce(col("n_unconverted"), lit(0L)).as("n_unconverted"))
+    }),
+
     // ---- exact interpolated quantiles per group ----
     "orders_quantiles" -> ((s, dir) =>
       Tables.orders(s, dir).groupBy("o_orderpriority")
@@ -9402,6 +9423,18 @@ object SparkEntry {
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000""".stripMargin,
+
+    "views_unconverted" ->
+      """WITH v AS (SELECT user_id, event_id, ts FROM events
+        |           WHERE user_id IS NOT NULL AND event_type = 'view'),
+        |b AS (SELECT user_id, ts FROM events
+        |      WHERE user_id IS NOT NULL AND event_type = 'purchase')
+        |SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_views,
+        |       CAST(sum(CASE WHEN NOT EXISTS (
+        |              SELECT 1 FROM b WHERE b.user_id = v.user_id
+        |              AND abs(epoch_us(b.ts) - epoch_us(v.ts)) <= 1800000000)
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_unconverted
+        |FROM v GROUP BY 1""".stripMargin,
 
     "orders_quantiles" ->
       """SELECT o_orderpriority,

@@ -58,6 +58,27 @@ object Interval {
       .select((leftCols ++ rightVals).map(col): _*)
   }
 
+  /** Left rows with NO right row of the same key within ±`deltaMicros` —
+    * the absence-as-signal face of [[joinWithin]] (funnel non-conversion,
+    * missed-SLA detection, orphaned telemetry). A null-padded left-outer
+    * interval join would drag the full candidate product through a
+    * post-filter just to keep its failures; this instead discovers
+    * matched left ids through the same bucketed 3×-replica candidate
+    * path and removes them with ONE left-anti equi-join on `leftId`, so
+    * the unmatched path costs a semi-join, never a product. `leftId`
+    * must uniquely identify left rows. Output = all left columns,
+    * unmatched rows only. */
+  def antiWithin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      deltaMicros: Long, leftId: String): DataFrame = {
+    val matched = joinWithin(
+      left.select(leftKey, leftId, leftTs), right,
+      leftKey, rightKey, leftTs, rightTs, deltaMicros, Seq.empty)
+      .select(leftId)
+    left.join(matched, Seq(leftId), "left_anti")
+      .select(left.columns.map(col).toSeq: _*)
+  }
+
   /** Unordered same-key pairs of rows of `df` within `deltaMicros` of each
     * other, identified by a unique `idCol`; each pair reported once with
     * id_a < id_b. Output: key, id_a, id_b, gap_us. */

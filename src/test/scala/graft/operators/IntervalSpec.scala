@@ -69,6 +69,27 @@ class IntervalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("antiWithin matches the naive NOT EXISTS exactly and keeps left columns") {
+    val left = fixture
+    val right = Seq((1L, 35L), (2L, 290L), (9L, 0L)) // key 9 matches nothing
+      .toDF("rk", "roff")
+      .withColumn("rts", timestamp_seconds(lit(1700000000L) + col("roff")))
+      .drop("roff")
+    val fast = Interval.antiWithin(left, right, "k", "rk", "ts", "rts", Delta, "id")
+    assert(fast.columns.toSeq == left.columns.toSeq)
+    val matchedIds = left.join(right,
+        col("k") === col("rk") &&
+          abs(unix_micros(col("ts")) - unix_micros(col("rts"))) <= Delta)
+      .select("id").as[Long].collect().toSet
+    val naive = left.filter(!col("id").isin(matchedIds.toSeq: _*))
+      .select("id").as[Long].collect().toSet
+    assert(fast.select("id").as[Long].collect().toSet == naive)
+    // right (1, t=35s) covers ids 10 (gap 35) 11 (gap 5) 12 (gap 25), not 13
+    // (gap 86); right (2, t=290s) covers only 22 (gap 10); key 3 unmatched
+    assert(fast.select("id").as[Long].collect().toSet ==
+      Set(13L, 20L, 21L, 30L))
+  }
+
   test("candidate replication is the fixed 3x, not per-key quadratic") {
     // 1000 rows, one hot key, uniform times over 1000 bins: naive same-key
     // candidates = ~500k pairs; binned candidates ≤ 3 per row per occupied
