@@ -1855,6 +1855,53 @@ object SparkEntry {
           expr("n_types * 1000000 div nullif(n_tokens, 0)").as("type_token_e6"))
     }),
 
+    // ---- exact distributed isotonic regression (PAVA by the
+    // Barlow-Brunk minimax identity): the nondecreasing purchase-rate
+    // calibration curve over log-scale value buckets.
+    //   fitted_i = max_{j≤i} min_{k≥i} weightedMean(j..k)
+    // and because floor is monotone, min/max of FLOORED e6 means equal
+    // the floored e6 of the true min/max — so taking every pooled mean
+    // as its exact `div`-truncated integer FIRST yields exactly
+    // floor(fit·1e6), no float ever. The bucket domain is bit-length of
+    // cents (≤63 values at ANY data scale — a hard bound, unlike value
+    // quantiles), so the j≤k pooled-mean grid (≤B² rows) and its two
+    // window passes are domain-bounded (the parts_skyline argument);
+    // the pair join declares its bound with limit(1024) (the kendall
+    // precedent). Sequential PAVA pooling never happens — the minimax
+    // form is embarrassingly parallel ----
+    "isotonic_calibration" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .select(
+          length(bin(round(col("value") * 100).cast("long"))).as("b"),
+          (col("event_type") === "purchase").cast("long").as("pos"))
+      val wcum = Window.orderBy(col("b").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = ev.groupBy("b")
+        .agg(count(lit(1)).as("n"), sum("pos").as("p"))
+        .withColumn("cn", sum(col("n")).over(wcum))
+        .withColumn("cp", sum(col("p")).over(wcum))
+      val lo = cum.select(col("b").as("j"), (col("cn") - col("n")).as("cn0"),
+        (col("cp") - col("p")).as("cp0"))
+      val hi = cum.select(col("b").as("k"), col("cn").as("cnk"),
+        col("cp").as("cpk"))
+      val pairs = hi.join(broadcast(lo.limit(1024)), col("j") <= col("k"))
+        .selectExpr("j", "k",
+          "CAST((cpk - cp0) * 1000000 div (cnk - cn0) AS BIGINT) AS m_e6")
+      val sufMin = Window.partitionBy("j").orderBy(col("k").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val preMax = Window.partitionBy("k").orderBy(col("j").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val iso = pairs
+        .withColumn("minK", min(col("m_e6")).over(sufMin))
+        .withColumn("iso_e6", max(col("minK")).over(preMax))
+        .filter(col("j") === col("k"))
+        .select(col("k").as("b"), col("iso_e6"))
+      cum.join(iso, Seq("b"))
+        .selectExpr("b AS bucket", "n", "p AS n_pos",
+          "CAST(p * 1000000 div n AS BIGINT) AS rate_e6", "iso_e6")
+    }),
+
     // ---- Cohen's kappa inter-annotator agreement: the labeling-pipeline
     // metric — how far beyond chance do two keep/drop annotators agree?
     // Annotator A = the quality heuristic at its 0.8 line (the corpus median — a balanced annotator; 0.5 passes everything), annotator B =
@@ -6734,6 +6781,32 @@ object SparkEntry {
       |            AS BIGINT) AS kappa_e6
       |FROM m""".stripMargin
 
+  /** DuckDB mirror of `isotonic_calibration`: identical bit-length
+    * buckets, pooled-mean grid, and minimax windows — floor commutes
+    * with min/max, so truncating each pooled mean first is exact. */
+  private def isotonicCalibrationOracle: String =
+    """WITH ev AS (SELECT
+      |  CAST(length(bin(CAST(round(value * 100) AS BIGINT))) AS INT) AS b,
+      |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |cum AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+      |               CAST(sum(pos) AS BIGINT) AS p,
+      |               CAST(sum(count(*)) OVER (ORDER BY b) AS BIGINT) AS cn,
+      |               CAST(sum(sum(pos)) OVER (ORDER BY b) AS BIGINT) AS cp
+      |        FROM ev GROUP BY 1),
+      |pairs AS (SELECT l.b AS j, h.b AS k,
+      |                 CAST((h.cp - (l.cp - l.p)) * 1000000
+      |                      // (h.cn - (l.cn - l.n)) AS BIGINT) AS m_e6
+      |          FROM cum l JOIN cum h ON l.b <= h.b),
+      |s1 AS (SELECT j, k, min(m_e6) OVER (PARTITION BY j ORDER BY k DESC
+      |              ROWS UNBOUNDED PRECEDING) AS minK FROM pairs),
+      |s2 AS (SELECT j, k, max(minK) OVER (PARTITION BY k ORDER BY j ASC
+      |              ROWS UNBOUNDED PRECEDING) AS iso_e6 FROM s1)
+      |SELECT c.b AS bucket, c.n, c.p AS n_pos,
+      |       CAST(c.p * 1000000 // c.n AS BIGINT) AS rate_e6,
+      |       CAST(s.iso_e6 AS BIGINT) AS iso_e6
+      |FROM cum c JOIN s2 s ON s.j = c.b AND s.k = c.b""".stripMargin
+
   private def termChi2KeywordsOracle: String =
     """WITH pres AS (
       |  SELECT DISTINCT doc_id, t.term
@@ -7552,6 +7625,7 @@ object SparkEntry {
     "permutation_test" -> permutationTestOracle,
     "ks_two_sample" -> ksTwoSampleOracle,
     "annotator_kappa" -> annotatorKappaOracle,
+    "isotonic_calibration" -> isotonicCalibrationOracle,
     "term_chi2_keywords" -> termChi2KeywordsOracle,
     "mm_audio_silence" ->
       """WITH g AS (
