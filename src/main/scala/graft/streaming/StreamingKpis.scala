@@ -268,6 +268,82 @@ object StreamingKpis {
       lateness: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming complex-event-pattern detection — the CEP "strict
+    * contiguity" shape (Flink CEP's `next()` chain) on Spark: per key,
+    * emit one row for every place the per-key event sequence, in
+    * EVENT-TIME order, contains the `pattern` event types CONSECUTIVELY
+    * with every adjacent gap ≤ `maxGapMs`.
+    *
+    * Detections emit only once the watermark has SEALED the events
+    * involved, so a detection is never wrong and never retracted (what
+    * append mode promises): an out-of-order event arriving within the
+    * watermark sorts into place before the matcher ever sees that span —
+    * a processing-order DFA would both miss real matches and emit false
+    * ones there. Per key, state = (tail: the last pattern.length−1
+    * sealed events — all a future event can chain onto — and the
+    * unsealed buffer, bounded by the watermark horizon). Eviction is
+    * real: the event-time timeout re-arms to newest + maxGap; when it
+    * fires, any future event's time exceeds the watermark ≥ newest +
+    * maxGap, so nothing can chain across it — the remaining buffer
+    * folds, final detections emit, and the state is removed. */
+  def detectPattern(spark: SparkSession, events: DataFrame, tsCol: String,
+      keyCol: String, typeCol: String, pattern: Seq[String],
+      maxGapMs: Long, lateness: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    require(pattern.nonEmpty, "pattern must be non-empty")
+    require(maxGapMs > 0, s"maxGapMs must be positive, got $maxGapMs")
+    val pat = pattern.toIndexedSeq
+    val typed = events
+      .select(col(keyCol).cast("long").as("k"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(typeCol).cast("string").as("t"))
+      .withWatermark("ts", lateness)
+      .as[(Long, java.sql.Timestamp, String)]
+    // feed sealed events (event-time order) after the retained tail;
+    // windows ending at a NEW position are checked (tail-only windows
+    // already emitted last time); returns (detection end-times, new tail)
+    def run(tail: Seq[(Long, String)], ripe: Seq[(Long, String)]):
+        (Seq[Long], Seq[(Long, String)]) = {
+      val all = (tail ++ ripe).toIndexedSeq
+      val hits = for {
+        e <- tail.length until all.length
+        s = e - pat.length + 1
+        if s >= 0 &&
+          (s to e).forall(i => all(i)._2 == pat(i - s)) &&
+          (s until e).forall(i => all(i + 1)._1 - all(i)._1 <= maxGapMs)
+      } yield all(e)._1
+      (hits, all.takeRight(pat.length - 1))
+    }
+    val ord = Ordering.Tuple2(Ordering.Long, Ordering.String)
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+          (Seq[(Long, String)], Seq[(Long, String)]), (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state) =>
+          val (tail, pending) =
+            state.getOption.getOrElse((Seq.empty[(Long, String)], Seq.empty[(Long, String)]))
+          if (state.hasTimedOut) {
+            // wm ≥ newest + maxGap ≥ every pending time: all sealed
+            val (hits, _) = run(tail, pending.sorted(ord))
+            state.remove()
+            hits.iterator.map(key -> _)
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val buffered = pending ++ rows.map(r => (r._2.getTime, r._3))
+            val (ripe, hold) = buffered.partition(_._1 <= wm)
+            val (hits, tail1) = run(tail, ripe.sorted(ord))
+            state.update((tail1, hold))
+            val newest = (hold.map(_._1) ++ tail1.map(_._1)).foldLeft(wm)(math.max)
+            state.setTimeoutTimestamp(math.max(newest + maxGapMs, wm + 1))
+            hits.iterator.map(key -> _)
+          }
+      }
+      .map { case (k, t) => (k, new java.sql.Timestamp(t)) }
+      .toDF("key", "pattern_end_ts")
+  }
+
   /** Streaming as-of enrichment — the streaming face of
     * [[graft.operators.AsOf]]'s backward join: each EVENT is matched with
     * its key's latest UPDATE at-or-before the event's time (temporal

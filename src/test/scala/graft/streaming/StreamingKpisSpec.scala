@@ -256,6 +256,66 @@ class StreamingKpisSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("detectPattern finds strict-contiguity V,V,P matches across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(m: Int) = new java.sql.Timestamp(3600000L + m * 60000L)
+    val out = StreamingKpis.detectPattern(spark,
+      input.toDF.toDF("user_id", "ts", "event_type"), "ts", "user_id",
+      "event_type", Seq("view", "view", "purchase"),
+      maxGapMs = 10 * 60000L, lateness = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("cep")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), "view"), (1L, ts(5), "view"),
+        (2L, ts(0), "view"), (2L, ts(5), "purchase"), (2L, ts(8), "view"))
+      q.processAllAvailable()
+      // user 1's purchase lands in a LATER batch than its two views —
+      // the match must still fire (state carries the sealed tail);
+      // user 2's only V,V,P run is view@8, view@12, purchase@14
+      input.addData((1L, ts(9), "purchase"),
+        (2L, ts(12), "view"), (2L, ts(14), "purchase"))
+      q.processAllAvailable()
+      // far-future traffic advances the watermark, sealing + evicting
+      input.addData((99L, ts(300), "view")); q.processAllAvailable()
+      input.addData((99L, ts(600), "view")); q.processAllAvailable()
+      val res = spark.table("cep").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
+      assert(res == Set((1L, ts(9).getTime), (2L, ts(14).getTime)), s"got $res")
+    } finally q.stop()
+  }
+
+  test("detectPattern sorts an out-of-order arrival into event-time order before matching") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(m: Int) = new java.sql.Timestamp(3600000L + m * 60000L)
+    val out = StreamingKpis.detectPattern(spark,
+      input.toDF.toDF("user_id", "ts", "event_type"), "ts", "user_id",
+      "event_type", Seq("view", "view", "purchase"),
+      maxGapMs = 10 * 60000L, lateness = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("cep_ooo")
+      .outputMode("append").start()
+    try {
+      // processing order: view@0, purchase@6 … then view@3 arrives LATE
+      // (but within the 30-min watermark). Event-time order is
+      // view@0, view@3, purchase@6 — a real match a processing-order
+      // DFA would never see (it reads V, P, V)
+      input.addData((3L, ts(0), "view"), (3L, ts(6), "purchase"))
+      q.processAllAvailable()
+      input.addData((3L, ts(3), "view"))
+      q.processAllAvailable()
+      input.addData((99L, ts(300), "view")); q.processAllAvailable()
+      input.addData((99L, ts(600), "view")); q.processAllAvailable()
+      val res = spark.table("cep_ooo").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
+      assert(res == Set((3L, ts(6).getTime)), s"got $res")
+    } finally q.stop()
+  }
+
   test("dedupStream drops an exact duplicate arriving in a later batch within the watermark") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
