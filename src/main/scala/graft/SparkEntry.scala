@@ -3700,6 +3700,33 @@ object SparkEntry {
         Tables.events(s, dir).select("user_id", "event_id", "ts"),
         "user_id", "ts", "event_id", deltaMicros = 1800L * 1000000L)),
 
+    // ---- batch CEP: strict-contiguity view→view→purchase runs per user
+    // with each adjacent gap ≤ 48 h (the synthetic stream's median
+    // per-user inter-event gap is ~7 h — a 30-min bound matches nothing
+    // at any SF) — the batch face of
+    // streaming/StreamingKpis.detectPattern (same semantics the live
+    // specs pin over micro-batches, here oracle-gated). One window pass
+    // per user (two leads), (ts, event_id) total tie order, scale-safe
+    // per-user partitions ----
+    "pattern_matches" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("t1", lead(col("event_type"), 1).over(w))
+        .withColumn("t2", lead(col("event_type"), 2).over(w))
+        .withColumn("ts1", lead(col("ts"), 1).over(w))
+        .withColumn("ts2", lead(col("ts"), 2).over(w))
+        .withColumn("id2", lead(col("event_id"), 2).over(w))
+        .filter(col("event_type") === "view" && col("t1") === "view" &&
+          col("t2") === "purchase" &&
+          unix_micros(col("ts1")) - unix_micros(col("ts")) <= 172800L * 1000000L &&
+          unix_micros(col("ts2")) - unix_micros(col("ts1")) <= 172800L * 1000000L)
+        .select(col("user_id"), col("event_id").as("start_event_id"),
+          col("id2").as("end_event_id"))
+    }),
+
     // ---- ANTI interval join (absence as the signal): views with no
     // same-user purchase within ±30 min, per user — the funnel
     // non-conversion face of the range join. Matched view ids discovered
@@ -9497,6 +9524,22 @@ object SparkEntry {
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000""".stripMargin,
+
+    "pattern_matches" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         lead(event_type, 1) OVER w AS t1,
+        |         lead(event_type, 2) OVER w AS t2,
+        |         lead(ts, 1) OVER w AS ts1,
+        |         lead(ts, 2) OVER w AS ts2,
+        |         lead(event_id, 2) OVER w AS id2
+        |  FROM events WHERE user_id IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |SELECT user_id, event_id AS start_event_id, id2 AS end_event_id
+        |FROM x
+        |WHERE event_type = 'view' AND t1 = 'view' AND t2 = 'purchase'
+        |  AND epoch_us(ts1) - epoch_us(ts) <= 172800000000
+        |  AND epoch_us(ts2) - epoch_us(ts1) <= 172800000000""".stripMargin,
 
     "views_unconverted" ->
       """WITH v AS (SELECT user_id, event_id, ts FROM events
