@@ -1869,37 +1869,39 @@ object SparkEntry {
     // the pair join declares its bound with limit(1024) (the kendall
     // precedent). Sequential PAVA pooling never happens — the minimax
     // form is embarrassingly parallel ----
-    "isotonic_calibration" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .filter(col("value").isNotNull && col("event_type").isNotNull)
-        .select(
-          length(bin(round(col("value") * 100).cast("long"))).as("b"),
-          (col("event_type") === "purchase").cast("long").as("pos"))
-      val wcum = Window.orderBy(col("b").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = ev.groupBy("b")
-        .agg(count(lit(1)).as("n"), sum("pos").as("p"))
-        .withColumn("cn", sum(col("n")).over(wcum))
-        .withColumn("cp", sum(col("p")).over(wcum))
-      val lo = cum.select(col("b").as("j"), (col("cn") - col("n")).as("cn0"),
-        (col("cp") - col("p")).as("cp0"))
-      val hi = cum.select(col("b").as("k"), col("cn").as("cnk"),
-        col("cp").as("cpk"))
-      val pairs = hi.join(broadcast(lo.limit(1024)), col("j") <= col("k"))
-        .selectExpr("j", "k",
-          "CAST((cpk - cp0) * 1000000 div (cnk - cn0) AS BIGINT) AS m_e6")
-      val sufMin = Window.partitionBy("j").orderBy(col("k").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val preMax = Window.partitionBy("k").orderBy(col("j").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val iso = pairs
-        .withColumn("minK", min(col("m_e6")).over(sufMin))
-        .withColumn("iso_e6", max(col("minK")).over(preMax))
-        .filter(col("j") === col("k"))
-        .select(col("k").as("b"), col("iso_e6"))
-      cum.join(iso, Seq("b"))
+    "isotonic_calibration" -> ((s, dir) =>
+      isotonicFitFor(s, dir)
         .selectExpr("b AS bucket", "n", "p AS n_pos",
-          "CAST(p * 1000000 div n AS BIGINT) AS rate_e6", "iso_e6")
+          "CAST(p * 1000000 div n AS BIGINT) AS rate_e6", "iso_e6")),
+
+    // ---- Murphy (1973) decomposition of the Brier score of the
+    // isotonic-calibrated forecast: brier = REL − RES + UNC over the
+    // same bit-length buckets. With o ∈ {0,1} and the integer e6
+    // forecast f, every bucket's Σ(f − o·1e6)² collapses to
+    // n·f² − 2·f·1e6·p + p·1e12 — EXACT, no division; only the ō²
+    // terms carry one per-bucket `div` (deterministic in both engines),
+    // so the reported components satisfy the identity to a few e-12
+    // ulps (spec-asserted). Everything decimal(38,0)-staged: safe to
+    // ~1e12 rows ----
+    "brier_decomposition" -> ((s, dir) => {
+      val per = isotonicFitFor(s, dir).selectExpr("n", "p",
+        """CAST(n AS DECIMAL(38,0)) * iso_e6 * iso_e6
+           - 2 * CAST(iso_e6 AS DECIMAL(38,0)) * 1000000 * p
+           + CAST(p AS DECIMAL(38,0)) * 1000000000000 AS sq""",
+        "CAST(p AS DECIMAL(38,0)) * p * 1000000000000 div n AS nob2")
+      per.agg(sum("n").as("nn"), sum("p").as("pp"), sum("sq").as("sq"),
+          sum("nob2").as("nob2"))
+        .selectExpr("CAST(nn AS BIGINT) AS n_rows",
+          "CAST(pp AS BIGINT) AS n_pos",
+          "CAST(sq div nullif(nn, 0) AS BIGINT) AS brier_e12",
+          """CAST((sq - CAST(pp AS DECIMAL(38,0)) * 1000000000000 + nob2)
+             div nullif(nn, 0) AS BIGINT) AS rel_e12""",
+          """CAST((nob2 - CAST(pp AS DECIMAL(38,0)) * pp * 1000000000000
+                          div nullif(nn, 0))
+             div nullif(nn, 0) AS BIGINT) AS res_e12""",
+          """CAST(CAST(pp AS DECIMAL(38,0)) * (nn - pp) * 1000000000000
+             div nullif(CAST(nn AS DECIMAL(38,0)) * nn, 0) AS BIGINT)
+             AS unc_e12""")
     }),
 
     // ---- Cohen's kappa inter-annotator agreement: the labeling-pipeline
@@ -5495,6 +5497,43 @@ object SparkEntry {
     * events scan + projection + filter runs once per (session, corpus);
     * the merge/replay cycles stay fully per-query, because the replay
     * machinery is exactly what those queries exist to exercise. */
+  /** The exact isotonic purchase-rate fit over bit-length value buckets —
+    * shared by `isotonic_calibration` (which reports it) and
+    * `brier_decomposition` (which scores it). Columns: b (bucket), n, p,
+    * iso_e6. See the isotonic_calibration scaladoc for the minimax
+    * identity and the floor-commutes argument; cheap enough (≤63-row
+    * grid work over one scan) that no session pin is warranted. */
+  private def isotonicFitFor(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(
+        length(bin(round(col("value") * 100).cast("long"))).as("b"),
+        (col("event_type") === "purchase").cast("long").as("pos"))
+    val wcum = Window.orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ev.groupBy("b")
+      .agg(count(lit(1)).as("n"), sum("pos").as("p"))
+      .withColumn("cn", sum(col("n")).over(wcum))
+      .withColumn("cp", sum(col("p")).over(wcum))
+    val lo = cum.select(col("b").as("j"), (col("cn") - col("n")).as("cn0"),
+      (col("cp") - col("p")).as("cp0"))
+    val hi = cum.select(col("b").as("k"), col("cn").as("cnk"),
+      col("cp").as("cpk"))
+    val pairs = hi.join(broadcast(lo.limit(1024)), col("j") <= col("k"))
+      .selectExpr("j", "k",
+        "CAST((cpk - cp0) * 1000000 div (cnk - cn0) AS BIGINT) AS m_e6")
+    val sufMin = Window.partitionBy("j").orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val preMax = Window.partitionBy("k").orderBy(col("j").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iso = pairs
+      .withColumn("minK", min(col("m_e6")).over(sufMin))
+      .withColumn("iso_e6", max(col("minK")).over(preMax))
+      .filter(col("j") === col("k"))
+      .select(col("k").as("b"), col("iso_e6"))
+    cum.join(iso, Seq("b")).select("b", "n", "p", "iso_e6")
+  }
+
   private def replayBatchesFor(s: SparkSession, dir: String): IndexedSeq[DataFrame] =
     replayBatchesCache.getOrElseUpdate((s, dir), {
       val ev = Tables.events(s, dir).select(
@@ -6834,6 +6873,48 @@ object SparkEntry {
       |       CAST(s.iso_e6 AS BIGINT) AS iso_e6
       |FROM cum c JOIN s2 s ON s.j = c.b AND s.k = c.b""".stripMargin
 
+  /** DuckDB mirror of `brier_decomposition`: the isotonic fit CTEs plus
+    * the Murphy terms — the Σ(f−o)² form is division-free and exact;
+    * the two ō² terms truncate identically in both engines. */
+  private def brierDecompositionOracle: String =
+    """WITH ev AS (SELECT
+      |  CAST(length(bin(CAST(round(value * 100) AS BIGINT))) AS INT) AS b,
+      |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |cum AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+      |               CAST(sum(pos) AS BIGINT) AS p,
+      |               CAST(sum(count(*)) OVER (ORDER BY b) AS BIGINT) AS cn,
+      |               CAST(sum(sum(pos)) OVER (ORDER BY b) AS BIGINT) AS cp
+      |        FROM ev GROUP BY 1),
+      |pairs AS (SELECT l.b AS j, h.b AS k,
+      |                 CAST((h.cp - (l.cp - l.p)) * 1000000
+      |                      // (h.cn - (l.cn - l.n)) AS BIGINT) AS m_e6
+      |          FROM cum l JOIN cum h ON l.b <= h.b),
+      |s1 AS (SELECT j, k, min(m_e6) OVER (PARTITION BY j ORDER BY k DESC
+      |              ROWS UNBOUNDED PRECEDING) AS minK FROM pairs),
+      |s2 AS (SELECT j, k, max(minK) OVER (PARTITION BY k ORDER BY j ASC
+      |              ROWS UNBOUNDED PRECEDING) AS iso_e6 FROM s1),
+      |fit AS (SELECT c.n, c.p, CAST(s.iso_e6 AS BIGINT) AS f
+      |        FROM cum c JOIN s2 s ON s.j = c.b AND s.k = c.b),
+      |per AS (SELECT n, p,
+      |          CAST(n AS HUGEINT) * f * f
+      |            - 2 * CAST(f AS HUGEINT) * 1000000 * p
+      |            + CAST(p AS HUGEINT) * 1000000000000 AS sq,
+      |          (CAST(p AS HUGEINT) * p * 1000000000000) // n AS nob2
+      |        FROM fit),
+      |m AS (SELECT CAST(sum(n) AS HUGEINT) AS nn,
+      |             CAST(sum(p) AS HUGEINT) AS pp,
+      |             sum(sq) AS sq, sum(nob2) AS nob2 FROM per)
+      |SELECT CAST(nn AS BIGINT) AS n_rows, CAST(pp AS BIGINT) AS n_pos,
+      |       CAST(sq // nullif(nn, 0) AS BIGINT) AS brier_e12,
+      |       CAST((sq - pp * 1000000000000 + nob2) // nullif(nn, 0)
+      |            AS BIGINT) AS rel_e12,
+      |       CAST((nob2 - (pp * pp * 1000000000000) // nullif(nn, 0))
+      |            // nullif(nn, 0) AS BIGINT) AS res_e12,
+      |       CAST((pp * (nn - pp) * 1000000000000) // nullif(nn * nn, 0)
+      |            AS BIGINT) AS unc_e12
+      |FROM m""".stripMargin
+
   private def termChi2KeywordsOracle: String =
     """WITH pres AS (
       |  SELECT DISTINCT doc_id, t.term
@@ -7653,6 +7734,7 @@ object SparkEntry {
     "ks_two_sample" -> ksTwoSampleOracle,
     "annotator_kappa" -> annotatorKappaOracle,
     "isotonic_calibration" -> isotonicCalibrationOracle,
+    "brier_decomposition" -> brierDecompositionOracle,
     "term_chi2_keywords" -> termChi2KeywordsOracle,
     "mm_audio_silence" ->
       """WITH g AS (

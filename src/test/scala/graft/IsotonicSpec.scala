@@ -36,4 +36,16 @@ class IsotonicSpec extends SparkSpec {
     // and the fit is nondecreasing (what "isotonic" promises)
     assert(got == got.sorted)
   }
+
+  test("Murphy decomposition satisfies brier = rel - res + unc to truncation ulps") {
+    val r = SparkEntry.queries("brier_decomposition")(
+      spark, "/root/testdata/sf0.001").collect().head
+    val (brier, rel, res, unc) =
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    // each side carries a handful of independent e-12 truncations (the
+    // per-bucket and global ō² divs); they bound the identity gap
+    assert(math.abs(brier - (rel - res + unc)) <= 70L,
+      s"brier=$brier rel=$rel res=$res unc=$unc")
+    assert(rel >= 0 && unc >= 0)
+  }
 }
