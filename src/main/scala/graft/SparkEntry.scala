@@ -2612,6 +2612,33 @@ object SparkEntry {
         .select(col("lang"), col("n").as("n_docs"), col("sum_v").as("sum_chars"))
     }),
 
+    // ---- MERGE with WHEN NOT MATCHED BY SOURCE … THEN DELETE (the
+    // SQL:2023 / Delta full-sync clause): seed two-thirds of the corpus,
+    // merge a modified id%3==0 feed (updates + inserts), and drop
+    // unmatched target rows whose n_chars < 500 — "remove what the feed
+    // no longer carries, if small". Closed-form oracle: id%3==0 rows
+    // show the feed's +1000 chars; unmatched survivors need
+    // n_chars ≥ 500. The clause is O(table) by definition (every bucket
+    // rewrites once) — documented in mergeInto ----
+    "snapshot_merge_full_sync" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = tempSnapshotBase("graft-fullsync")
+      graft.streaming.VersionedSnapshot.mergeInto(
+        base, docs.filter(col("doc_id") % 10 =!= 0), Seq("doc_id"),
+        graft.streaming.VersionedSnapshot.UpdateMatched,
+        insertUnmatched = true, marker = "seed")
+      graft.streaming.VersionedSnapshot.mergeInto(
+        base,
+        docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000),
+        Seq("doc_id"),
+        graft.streaming.VersionedSnapshot.UpdateMatched,
+        insertUnmatched = true, marker = "full-sync",
+        deleteUnmatchedBySource = Some(col("n_chars") < 500))
+      graft.streaming.VersionedSnapshot.read(s, base).get
+        .select("doc_id", "n_chars", "lang")
+    }),
+
     "snapshot_merge_delete" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
       val base = tempSnapshotBase("graft-merge")
@@ -3876,11 +3903,12 @@ object SparkEntry {
     // F_purchase(x)| between the value distributions of two event types,
     // kept integral by cross-multiplying the empirical CDFs (|cum1·n2 −
     // cum2·n1| over the common n1·n2 denominator — no double anywhere).
-    // Cumulatives run over the domain-bounded distinct-cents relation
-    // (the value_auc argument) through the two-phase PrefixSum scan —
-    // chained twice, each pass over |distinct cents| rows, never the
-    // events; argmax lands on the smallest cents achieving D
-    // (deterministic tiebreak) via TakeOrderedAndProject ----
+    // Both cumulatives run over the domain-bounded distinct-cents
+    // relation (the value_auc argument) in ONE two-phase multi-value
+    // PrefixSum scan (runningTotals — one range exchange and one offset
+    // join where chained single scans paid two of each); argmax lands on
+    // the smallest cents achieving D (deterministic tiebreak) via
+    // TakeOrderedAndProject ----
     "ks_two_sample" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .filter(col("value").isNotNull &&
@@ -3889,9 +3917,8 @@ object SparkEntry {
           (col("event_type") === "view").cast("long").as("isv"))
       val g = ev.groupBy("cents").agg(
         sum(col("isv")).as("n1"), sum(lit(1L) - col("isv")).as("n2"))
-      val c2 = graft.operators.PrefixSum.runningTotal(
-        graft.operators.PrefixSum.runningTotal(g, "cum1", col("n1"), col("cents")),
-        "cum2", col("n2"), col("cents"))
+      val c2 = graft.operators.PrefixSum.runningTotals(g,
+        Seq("cum1" -> col("n1"), "cum2" -> col("n2")), col("cents"))
       val tot = g.agg(sum("n1").as("t1"), sum("n2").as("t2"))
       c2.crossJoin(broadcast(tot))
         .select(col("cents"), col("t1"), col("t2"),
@@ -10451,6 +10478,15 @@ object SparkEntry {
     "snapshot_merge_delete" ->
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE doc_id % 10 <> 0 AND doc_id % 5 <> 0""".stripMargin,
+
+    "snapshot_merge_full_sync" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+        |            ELSE n_chars END AS n_chars,
+        |       lang
+        |FROM documents
+        |WHERE doc_id % 3 = 0
+        |   OR (doc_id % 10 <> 0 AND NOT (n_chars < 500))""".stripMargin,
 
     // upsert replay in closed form: the surviving row per user comes from
     // the highest batch (event_id % 3) the user appears in, and within

@@ -74,6 +74,50 @@ object PrefixSum {
       .drop("__v", "__pid", "__run", "__offset")
   }
 
+  /** Several running totals under ONE total order in ONE two-phase scan —
+    * the k-column generalization of [[runningTotal]]. Chaining k single
+    * calls pays k range exchanges and k offset joins over the same frame
+    * (the `ks_two_sample` CDF pair was the motivating case: two chained
+    * scans doubled the exchange count); this pays one of each, with the
+    * in-order pass carrying k accumulators and the offsets table one
+    * k-sum row per partition. Same ordering contract as [[runningTotal]]:
+    * pass a TOTAL order. */
+  def runningTotals(df: DataFrame, totals: Seq[(String, Column)],
+      order: Column*): DataFrame = {
+    require(order.nonEmpty, "runningTotals needs at least one ordering column")
+    require(totals.nonEmpty, "runningTotals needs at least one value column")
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val k = totals.size
+    val withV = totals.zipWithIndex.foldLeft(df) { case (d, ((_, v), i)) =>
+      d.withColumn(s"__v$i", coalesce(v.cast("long"), lit(0L)))
+    }
+    val vIdx = (0 until k).map(i => withV.schema.fieldIndex(s"__v$i"))
+    val sorted = withV.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val outSchema = (0 until k).foldLeft(sorted.schema)((s, i) => s.add(s"__run$i", LongType))
+    val scanned = sorted.mapPartitions { rows =>
+      val acc = new Array[Long](k)
+      rows.map { r =>
+        var i = 0
+        while (i < k) { acc(i) += r.getLong(vIdx(i)); i += 1 }
+        Row.fromSeq(r.toSeq ++ acc.toSeq)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val offsets = scanned.groupBy(col("__pid"))
+      .agg(sum(col("__v0")).as("__t0"),
+        (1 until k).map(i => sum(col(s"__v$i")).as(s"__t$i")): _*)
+    val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets2 = (0 until k).foldLeft(offsets) { (d, i) =>
+      d.withColumn(s"__off$i", coalesce(sum(col(s"__t$i")).over(wOff), lit(0L)))
+    }.select(col("__pid") +: (0 until k).map(i => col(s"__off$i")): _*)
+    val joined = scanned.join(broadcast(offsets2), Seq("__pid"))
+    val withTotals = totals.zipWithIndex.foldLeft(joined) { case (d, ((name, _), i)) =>
+      d.withColumn(name, col(s"__run$i") + col(s"__off$i"))
+    }
+    val drop = Seq("__pid") ++ (0 until k).flatMap(i => Seq(s"__v$i", s"__run$i", s"__off$i"))
+    withTotals.drop(drop: _*)
+  }
+
   /** Per-group running total under a per-group order — "spend each
     * source's budget best-first" — without `Window.partitionBy(group)`,
     * which would collapse a 100 TB source into one task. Same two-phase

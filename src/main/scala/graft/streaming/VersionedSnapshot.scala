@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, assert_true, col, count, explode, lit, pmod, when, xxhash64}
+import org.apache.spark.sql.functions.{array, assert_true, coalesce, col, count, explode, lit, pmod, when, xxhash64}
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 
 /** Reader-atomic, multi-version snapshot publication — the transactional
@@ -1434,6 +1434,16 @@ object VersionedSnapshot {
     *   - matched + [[DeleteMatched]]: target row dropped
     *   - unmatched source rows inserted iff `insertUnmatched`
     *   - untouched target rows carried over verbatim
+    *   - `deleteUnmatchedBySource = Some(cond)` adds the SQL:2023 /
+    *     Delta `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE`
+    *     clause: target rows with no source match AND satisfying `cond`
+    *     (null ⇒ not deleted, WHERE semantics) are dropped — the
+    *     full-sync shape ("remove what the feed no longer carries").
+    *     This clause is O(table) BY DEFINITION — any row anywhere may be
+    *     deletable, so bucket inheritance and zonemap refinement are
+    *     disabled for the merge (every bucket rewrites once); production
+    *     formats pay the same. Without the clause the O(delta) story
+    *     below is unchanged.
     *
     * '''Cost shape — O(delta), not O(table).''' The snapshot is
     * hash-partitioned by key into `numBuckets` bucket directories (the
@@ -1475,7 +1485,8 @@ object VersionedSnapshot {
       marker: String, retain: Int = 2, numBuckets: Int = 32,
       evolveSchema: Boolean = false,
       valueStatsCols: Option[Seq[String]] = None,
-      keyBlooms: Boolean = false): Long = {
+      keyBlooms: Boolean = false,
+      deleteUnmatchedBySource: Option[Column] = None): Long = {
     require(keys.nonEmpty, "MERGE needs at least one key column")
     val spark = source.sparkSession
     // reject multi-match sources: count per key via one window over the
@@ -1561,7 +1572,12 @@ object VersionedSnapshot {
         val grouped = src.groupBy(bucketOf(keys, nb).as("__b"))
         val bRows = (if (statAggs.isEmpty) grouped.agg(count(lit(1)).as("__n"))
                      else grouped.agg(statAggs.head, statAggs.tail: _*)).collect()
-        val touchedAll: Set[Int] = bRows.map(_.getAs[Int]("__b")).toSet
+        val touchedAll: Set[Int] =
+          // the BY SOURCE delete clause can drop rows in ANY bucket —
+          // every bucket is touched, nothing inherits (O(table) clause)
+          if (deleteUnmatchedBySource.isDefined)
+            bRows.map(_.getAs[Int]("__b")).toSet ++ entries.keySet
+          else bRows.map(_.getAs[Int]("__b")).toSet
         // zonemap refinement: an update-only or delete-only merge cannot
         // change a bucket none of whose files' key ranges intersect the
         // source's range for that bucket — such hash-touched but
@@ -1569,7 +1585,8 @@ object VersionedSnapshot {
         // (insertUnmatched merges must land inserts in every touched
         // bucket, so they rewrite regardless.)
         val curZones =
-          if (insertUnmatched || entries.isEmpty) None
+          if (insertUnmatched || entries.isEmpty ||
+            deleteUnmatchedBySource.isDefined) None
           else currentVersion(spark, baseDir).flatMap(cv =>
             parseZones(fs(spark, baseDir),
               versionPath(new Path(baseDir), cv)))
@@ -1608,8 +1625,14 @@ object VersionedSnapshot {
           if (entries.isEmpty) target // flat: no pruning available
           else if (touchedPaths.nonEmpty) spark.read.parquet(touchedPaths: _*)
           else target.limit(0)
-        val untouched = touchedTarget
+        val unmatchedTarget = touchedTarget
           .join(src.select(keys.map(col): _*), keys, "left_anti")
+        val untouched = deleteUnmatchedBySource match {
+          // WHEN NOT MATCHED BY SOURCE AND cond THEN DELETE — null cond
+          // keeps the row (SQL WHERE semantics)
+          case Some(cond) => unmatchedTarget.filter(!coalesce(cond, lit(false)))
+          case None => unmatchedTarget
+        }
         val fromSource = (whenMatched, insertUnmatched) match {
           case (UpdateMatched, true) => src // upsert: every source row lands
           case (UpdateMatched, false) =>

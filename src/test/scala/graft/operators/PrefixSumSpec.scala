@@ -70,6 +70,23 @@ class PrefixSumSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("runningTotals: k cumulatives in one scan match k single-scan calls") {
+    val vals = (1L to 250L).map(i => i -> (i * 11 % 17))
+    val df = frame(vals, 6).withColumn("w", col("v") * 2 - 9)
+    val multi = PrefixSum.runningTotals(df,
+        Seq("cv" -> col("v"), "cw" -> col("w")), col("id").asc)
+      .select("id", "cv", "cw").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val single = {
+      val a = PrefixSum.runningTotal(df, "cv", col("v"), col("id").asc)
+      PrefixSum.runningTotal(a, "cw", col("w"), col("id").asc)
+        .select("id", "cv", "cw").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(multi == single)
+    assert(multi.size == 250)
+  }
+
   test("null values count as zero") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(1L, java.lang.Long.valueOf(10L)), Row(2L, null), Row(3L, java.lang.Long.valueOf(5L)))),

@@ -201,6 +201,33 @@ class VersionedSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("WHEN NOT MATCHED BY SOURCE deletes conditioned unmatched rows; null cond keeps") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-fsync").resolve("snap").toString
+    def rows() = VersionedSnapshot.read(spark, base).get
+      .as[(Long, String, Option[Long])].collect().toSet
+    VersionedSnapshot.mergeInto(base,
+      Seq((1L, "a", Some(10L)), (2L, "b", Some(900L)), (3L, "c", Some(5L)),
+        (4L, "d", None)).toDF("k", "v", "w"),
+      Seq("k"), UpdateMatched, insertUnmatched = true, marker = "seed")
+    // source matches k=1 (update) and brings k=9 (insert); unmatched
+    // k=2 (w=900, cond false → kept), k=3 (w=5, cond true → DELETED),
+    // k=4 (w null → cond null → kept, WHERE semantics)
+    VersionedSnapshot.mergeInto(base,
+      Seq((1L, "A", Some(11L)), (9L, "i", Some(1L))).toDF("k", "v", "w"),
+      Seq("k"), UpdateMatched, insertUnmatched = true, marker = "sync",
+      deleteUnmatchedBySource = Some(col("w") < 100L))
+    assert(rows() == Set((1L, "A", Some(11L)), (2L, "b", Some(900L)),
+      (4L, "d", None), (9L, "i", Some(1L))))
+    // without the clause the same merge shape deletes nothing (regression)
+    VersionedSnapshot.mergeInto(base,
+      Seq((9L, "I", Some(2L))).toDF("k", "v", "w"),
+      Seq("k"), UpdateMatched, insertUnmatched = true, marker = "plain")
+    assert(rows() == Set((1L, "A", Some(11L)), (2L, "b", Some(900L)),
+      (4L, "d", None), (9L, "I", Some(2L))))
+  }
+
   test("manifest validates a committed version and catches partial copies") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-vsnap5").resolve("snap").toString
