@@ -1754,10 +1754,9 @@ object SparkEntry {
       val byCust = Tables.orders(s, dir)
         .groupBy("o_custkey")
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-      val ranked = graft.operators.PrefixSum.runningTotal(
-        graft.operators.PrefixSum.runningTotal(byCust, "cum_cents",
-          col("cents"), col("cents").asc, col("o_custkey").asc),
-        "rnk", lit(1L), col("cents").asc, col("o_custkey").asc)
+      val ranked = graft.operators.PrefixSum.runningTotals(byCust,
+        Seq("cum_cents" -> col("cents"), "rnk" -> lit(1L)),
+        col("cents").asc, col("o_custkey").asc)
       val tot = byCust.agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
       ranked.crossJoin(broadcast(tot)) // 1-row totals
         .withColumn("decile", expr("(10 * rnk + n - 1) div n"))
@@ -5238,10 +5237,9 @@ object SparkEntry {
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .localCheckpoint() // feeds the total and both scan passes
       val tot = tf.agg(sum(col("n")).as("total_tokens"))
-      val curve = graft.operators.PrefixSum.runningTotal(
-        graft.operators.PrefixSum.runningTotal(
-          tf, "cum_tokens", col("n"), col("n").desc, col("tok").asc),
-        "vocab_size", lit(1), col("n").desc, col("tok").asc)
+      val curve = graft.operators.PrefixSum.runningTotals(tf,
+        Seq("cum_tokens" -> col("n"), "vocab_size" -> lit(1)),
+        col("n").desc, col("tok").asc)
       curve
         .filter(col("vocab_size").isin(VocabSizes.map(_.toLong): _*))
         .crossJoin(broadcast(tot))
