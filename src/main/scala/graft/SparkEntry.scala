@@ -2638,6 +2638,32 @@ object SparkEntry {
         .select("doc_id", "n_chars", "lang")
     }),
 
+    // ---- MERGE with WHEN NOT MATCHED BY SOURCE … THEN UPDATE SET
+    // (Delta's mark-stale shape): seed everything, merge a +2000-chars
+    // id%4==0 feed, and mark unmatched sub-500-char rows' lang 'stale'
+    // instead of deleting them. Every UPDATE SET right-hand side
+    // evaluates against the OLD row (SQL semantics — spec-asserted with
+    // a swap) ----
+    "snapshot_merge_mark_stale" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = tempSnapshotBase("graft-markstale")
+      graft.streaming.VersionedSnapshot.mergeInto(
+        base, docs, Seq("doc_id"),
+        graft.streaming.VersionedSnapshot.UpdateMatched,
+        insertUnmatched = true, marker = "seed")
+      graft.streaming.VersionedSnapshot.mergeInto(
+        base,
+        docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("n_chars", col("n_chars") + 2000),
+        Seq("doc_id"),
+        graft.streaming.VersionedSnapshot.UpdateMatched,
+        insertUnmatched = true, marker = "mark-stale",
+        updateUnmatchedBySource =
+          Some((col("n_chars") < 500, Seq("lang" -> lit("stale")))))
+      graft.streaming.VersionedSnapshot.read(s, base).get
+        .select("doc_id", "n_chars", "lang")
+    }),
+
     "snapshot_merge_delete" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
       val base = tempSnapshotBase("graft-merge")
@@ -10476,6 +10502,14 @@ object SparkEntry {
     "snapshot_merge_delete" ->
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE doc_id % 10 <> 0 AND doc_id % 5 <> 0""".stripMargin,
+
+    "snapshot_merge_mark_stale" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 4 = 0 THEN n_chars + 2000
+        |            ELSE n_chars END AS n_chars,
+        |       CASE WHEN doc_id % 4 <> 0 AND n_chars < 500 THEN 'stale'
+        |            ELSE lang END AS lang
+        |FROM documents""".stripMargin,
 
     "snapshot_merge_full_sync" ->
       """SELECT doc_id,

@@ -1444,6 +1444,13 @@ object VersionedSnapshot {
     *     disabled for the merge (every bucket rewrites once); production
     *     formats pay the same. Without the clause the O(delta) story
     *     below is unchanged.
+    *   - `updateUnmatchedBySource = Some((cond, sets))` adds the
+    *     `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …`
+    *     variant (Delta's mark-stale shape): unmatched target rows
+    *     satisfying `cond` get the `sets` column assignments; others
+    *     keep their values. Same O(table) price as the delete clause.
+    *     When BOTH BY SOURCE clauses are present, DELETE evaluates
+    *     first (clause order), then UPDATE over the survivors.
     *
     * '''Cost shape — O(delta), not O(table).''' The snapshot is
     * hash-partitioned by key into `numBuckets` bucket directories (the
@@ -1486,7 +1493,8 @@ object VersionedSnapshot {
       evolveSchema: Boolean = false,
       valueStatsCols: Option[Seq[String]] = None,
       keyBlooms: Boolean = false,
-      deleteUnmatchedBySource: Option[Column] = None): Long = {
+      deleteUnmatchedBySource: Option[Column] = None,
+      updateUnmatchedBySource: Option[(Column, Seq[(String, Column)])] = None): Long = {
     require(keys.nonEmpty, "MERGE needs at least one key column")
     val spark = source.sparkSession
     // reject multi-match sources: count per key via one window over the
@@ -1575,7 +1583,7 @@ object VersionedSnapshot {
         val touchedAll: Set[Int] =
           // the BY SOURCE delete clause can drop rows in ANY bucket —
           // every bucket is touched, nothing inherits (O(table) clause)
-          if (deleteUnmatchedBySource.isDefined)
+          if (deleteUnmatchedBySource.isDefined || updateUnmatchedBySource.isDefined)
             bRows.map(_.getAs[Int]("__b")).toSet ++ entries.keySet
           else bRows.map(_.getAs[Int]("__b")).toSet
         // zonemap refinement: an update-only or delete-only merge cannot
@@ -1586,7 +1594,8 @@ object VersionedSnapshot {
         // bucket, so they rewrite regardless.)
         val curZones =
           if (insertUnmatched || entries.isEmpty ||
-            deleteUnmatchedBySource.isDefined) None
+            deleteUnmatchedBySource.isDefined ||
+            updateUnmatchedBySource.isDefined) None
           else currentVersion(spark, baseDir).flatMap(cv =>
             parseZones(fs(spark, baseDir),
               versionPath(new Path(baseDir), cv)))
@@ -1627,11 +1636,34 @@ object VersionedSnapshot {
           else target.limit(0)
         val unmatchedTarget = touchedTarget
           .join(src.select(keys.map(col): _*), keys, "left_anti")
-        val untouched = deleteUnmatchedBySource match {
+        val afterBySourceDelete = deleteUnmatchedBySource match {
           // WHEN NOT MATCHED BY SOURCE AND cond THEN DELETE — null cond
           // keeps the row (SQL WHERE semantics)
           case Some(cond) => unmatchedTarget.filter(!coalesce(cond, lit(false)))
           case None => unmatchedTarget
+        }
+        val untouched = updateUnmatchedBySource match {
+          // … THEN UPDATE SET — applied to the delete clause's survivors
+          // (clause order); null cond leaves the row unchanged
+          case Some((cond, sets)) =>
+            sets.foreach { case (c, _) =>
+              require(target.columns.contains(c),
+                s"UPDATE SET column $c is not a snapshot column")
+            }
+            val hit = coalesce(cond, lit(false))
+            val setMap = sets.toMap
+            // ONE projection: every RHS evaluates against the OLD row
+            // (SQL UPDATE semantics) — a withColumn fold would feed a
+            // later assignment the earlier one's new value
+            afterBySourceDelete.select(target.columns.toIndexedSeq.map { c =>
+              setMap.get(c) match {
+                case Some(v) =>
+                  when(hit, v.cast(target.schema(c).dataType))
+                    .otherwise(col(c)).as(c)
+                case None => col(c)
+              }
+            }: _*)
+          case None => afterBySourceDelete
         }
         val fromSource = (whenMatched, insertUnmatched) match {
           case (UpdateMatched, true) => src // upsert: every source row lands

@@ -228,6 +228,41 @@ class VersionedSnapshotSpec extends SparkSpec {
       (4L, "d", None), (9L, "I", Some(2L))))
   }
 
+  test("NOT MATCHED BY SOURCE UPDATE SET: old-row RHS semantics, delete precedence") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-stale").resolve("snap").toString
+    def rows() = VersionedSnapshot.read(spark, base).get
+      .as[(Long, Long, Long)].collect().toSet
+    VersionedSnapshot.mergeInto(base,
+      Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L)).toDF("k", "a", "b"),
+      Seq("k"), UpdateMatched, insertUnmatched = true, marker = "seed")
+    // k=1 matched (update); k=2, k=3 unmatched. UPDATE swaps a and b —
+    // if the RHS saw the fold's intermediate value, b would get the NEW
+    // a instead of the old one
+    VersionedSnapshot.mergeInto(base,
+      Seq((1L, 11L, 101L)).toDF("k", "a", "b"),
+      Seq("k"), UpdateMatched, insertUnmatched = true, marker = "swap",
+      updateUnmatchedBySource =
+        Some((col("k") === 2L, Seq("a" -> col("b"), "b" -> col("a")))))
+    assert(rows() == Set((1L, 11L, 101L), (2L, 200L, 20L), (3L, 30L, 300L)))
+    // both BY SOURCE clauses: DELETE first, UPDATE only over survivors
+    VersionedSnapshot.mergeInto(base,
+      Seq((1L, 12L, 102L)).toDF("k", "a", "b"),
+      Seq("k"), UpdateMatched, insertUnmatched = true, marker = "both",
+      deleteUnmatchedBySource = Some(col("k") === 3L),
+      updateUnmatchedBySource =
+        Some((col("a") > 0L, Seq("b" -> (col("b") + 1L)))))
+    assert(rows() == Set((1L, 12L, 102L), (2L, 200L, 21L)))
+    // a set column that is not a snapshot column is rejected up front
+    intercept[IllegalArgumentException] {
+      VersionedSnapshot.mergeInto(base,
+        Seq((1L, 13L, 103L)).toDF("k", "a", "b"),
+        Seq("k"), UpdateMatched, insertUnmatched = true, marker = "badcol",
+        updateUnmatchedBySource = Some((lit(true), Seq("nope" -> lit(1L)))))
+    }
+  }
+
   test("manifest validates a committed version and catches partial copies") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-vsnap5").resolve("snap").toString
