@@ -119,7 +119,10 @@ object SparkEntry {
     * the repo-wide rule for hash-compared division. */
   private def flooredMeanE6(a: Column, b: Column): Column = {
     val x = a.cast("decimal(38,0)") * lit(1000000L)
-    ((x - pmod(x, b)) / b).cast("long")
+    // nullif: an empty group yields NULL (matching every oracle's
+    // `// nullif(n, 0)`) instead of an ANSI DIVIDE_BY_ZERO crash
+    val d = nullif(b, lit(0L))
+    ((x - pmod(x, d)) / d).cast("long")
   }
 
   /** Scratch base for the snapshot-backed queries, recursively deleted at
@@ -1922,7 +1925,7 @@ object SparkEntry {
           sum(col("a") * col("b")).as("n11"))
         .selectExpr("n AS n_docs", "a1 AS n_quality", "b1 AS n_english",
           "n - a1 - b1 + 2 * n11 AS n_agree",
-          """CAST((n - a1 - b1 + 2 * n11) * 1000000 div n AS BIGINT)
+          """CAST((n - a1 - b1 + 2 * n11) * 1000000 div nullif(n, 0) AS BIGINT)
              AS po_e6""",
           """CAST((CAST(n AS DECIMAL(38,0)) * (n - a1 - b1 + 2 * n11)
                    - (CAST(a1 AS DECIMAL(38,0)) * b1
@@ -6307,6 +6310,27 @@ object SparkEntry {
     * the seed (nS = 1) instead of spread uniformly. */
   /** Mirror of `Text.qualityScoreRaw` — shared by `doc_quality` and the
     * `filter_overlap_venn` flag composition. */
+  /** Mirror of `Text.langId` — the per-language stopword argmax with the
+    * array_min tie order (und, then de < en < es < fr < zh). Shared by
+    * `doc_lang` and (via composition) `annotator_kappa`. */
+  private def docLangOracle: String =
+    """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+      |s AS (SELECT doc_id,
+      |  len(list_intersect(ws, ['the','a','and','of','to','in','is','it','that','for','with','this'])) AS s_en,
+      |  len(list_intersect(ws, ['le','la','les','de','et','un','une','est','que','pour','dans','des'])) AS s_fr,
+      |  len(list_intersect(ws, ['el','la','los','las','de','y','un','una','es','que','por','para'])) AS s_es,
+      |  len(list_intersect(ws, ['der','die','das','und','ein','eine','ist','von','zu','mit','den','nicht'])) AS s_de,
+      |  len(list_intersect(ws, ['的','了','是','我','不','在','有','他','这','人','们','中'])) AS s_zh
+      |  FROM t)
+      |SELECT doc_id, CASE
+      |  WHEN greatest(s_en, s_fr, s_es, s_de, s_zh) = 0 THEN 'und'
+      |  WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
+      |  WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+      |  WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+      |  WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+      |  ELSE 'zh' END AS lang_pred
+      |FROM s""".stripMargin
+
   private def docQualityOracle: String =
     """WITH t AS (
       |  SELECT doc_id, text, string_split(text, ' ') AS ws,
@@ -6839,48 +6863,18 @@ object SparkEntry {
       |            AS BIGINT) AS d_e6
       |FROM d ORDER BY num DESC, cents ASC LIMIT 1""".stripMargin
 
-  /** DuckDB mirror of `annotator_kappa`: the docQualityOracle score
-    * expression at the 0.8 line × the doc_lang argmax (same und/de/en
-    * tie order as Text.langId's array_min), HUGEINT-staged kappa with
-    * truncating division (kappa can be negative — `//`/`div` agree). */
+  /** DuckDB mirror of `annotator_kappa`, COMPOSED from the shared
+    * [[docQualityOracle]] and [[docLangOracle]] CTEs (the
+    * filter_overlap_venn precedent) so the quality weights and the
+    * language word lists live in exactly one SQL copy each;
+    * HUGEINT-staged kappa with truncating division (kappa can be
+    * negative -- `//`/`div` agree on truncation toward zero). */
   private def annotatorKappaOracle: String =
-    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
-      |                  CAST(length(text) AS DOUBLE) AS nchars
-      |           FROM documents),
-      |s AS (SELECT doc_id, nchars, ws, list_distinct(ws) AS dws,
-      |             CAST(len(ws) AS DOUBLE) AS ntok,
-      |             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
-      |      FROM t),
-      |f AS (SELECT
-      |  CASE WHEN CAST(CASE WHEN nchars = 0 THEN 0 ELSE floor((
-      |    least(ntok / 100.0, 1.0) * 0.3
-      |    + (alpha / nchars) * 0.3
-      |    + (CASE WHEN (nchars - (ntok - 1)) / ntok BETWEEN 2.0 AND 12.0
-      |            THEN 1.0 ELSE 0.3 END) * 0.2
-      |    + (CASE WHEN len(list_intersect(ws,
-      |         ['the','a','an','and','of','to','in','is','it','that'])) > 0
-      |            THEN 1.0 ELSE 0.5 END) * 0.2) * 1000000.0 + 0.5) END AS BIGINT)
-      |    >= 800000 THEN 1 ELSE 0 END AS a,
-      |  CASE WHEN greatest(
-      |         len(list_intersect(dws, ['the','a','and','of','to','in','is','it','that','for','with','this'])),
-      |         len(list_intersect(dws, ['le','la','les','de','et','un','une','est','que','pour','dans','des'])),
-      |         len(list_intersect(dws, ['el','la','los','las','de','y','un','una','es','que','por','para'])),
-      |         len(list_intersect(dws, ['der','die','das','und','ein','eine','ist','von','zu','mit','den','nicht'])),
-      |         len(list_intersect(dws, ['的','了','是','我','不','在','有','他','这','人','们','中']))) > 0
-      |    AND len(list_intersect(dws, ['der','die','das','und','ein','eine','ist','von','zu','mit','den','nicht'])) < greatest(
-      |         len(list_intersect(dws, ['the','a','and','of','to','in','is','it','that','for','with','this'])),
-      |         len(list_intersect(dws, ['le','la','les','de','et','un','une','est','que','pour','dans','des'])),
-      |         len(list_intersect(dws, ['el','la','los','las','de','y','un','una','es','que','por','para'])),
-      |         len(list_intersect(dws, ['der','die','das','und','ein','eine','ist','von','zu','mit','den','nicht'])),
-      |         len(list_intersect(dws, ['的','了','是','我','不','在','有','他','这','人','们','中'])))
-      |    AND len(list_intersect(dws, ['the','a','and','of','to','in','is','it','that','for','with','this'])) = greatest(
-      |         len(list_intersect(dws, ['the','a','and','of','to','in','is','it','that','for','with','this'])),
-      |         len(list_intersect(dws, ['le','la','les','de','et','un','une','est','que','pour','dans','des'])),
-      |         len(list_intersect(dws, ['el','la','los','las','de','y','un','una','es','que','por','para'])),
-      |         len(list_intersect(dws, ['der','die','das','und','ein','eine','ist','von','zu','mit','den','nicht'])),
-      |         len(list_intersect(dws, ['的','了','是','我','不','在','有','他','这','人','们','中'])))
-      |    THEN 1 ELSE 0 END AS b
-      |  FROM s),
+    s"""WITH q AS ($docQualityOracle),
+      |l AS ($docLangOracle),
+      |f AS (SELECT CASE WHEN q.quality_e6 >= 800000 THEN 1 ELSE 0 END AS a,
+      |             CASE WHEN l.lang_pred = 'en' THEN 1 ELSE 0 END AS b
+      |      FROM q JOIN l ON q.doc_id = l.doc_id),
       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
       |             CAST(sum(a) AS BIGINT) AS a1,
       |             CAST(sum(b) AS BIGINT) AS b1,
@@ -6888,7 +6882,7 @@ object SparkEntry {
       |      FROM f)
       |SELECT n AS n_docs, a1 AS n_quality, b1 AS n_english,
       |       n - a1 - b1 + 2 * n11 AS n_agree,
-      |       CAST((n - a1 - b1 + 2 * n11) * 1000000 // n AS BIGINT) AS po_e6,
+      |       CAST((n - a1 - b1 + 2 * n11) * 1000000 // nullif(n, 0) AS BIGINT) AS po_e6,
       |       CAST((CAST(n AS HUGEINT) * (n - a1 - b1 + 2 * n11)
       |              - (CAST(a1 AS HUGEINT) * b1
       |                 + CAST(n - a1 AS HUGEINT) * (n - b1))) * 1000000
@@ -10329,23 +10323,7 @@ object SparkEntry {
 
     "doc_quality" -> docQualityOracle,
 
-    "doc_lang" ->
-      """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
-        |s AS (SELECT doc_id,
-        |  len(list_intersect(ws, ['the','a','and','of','to','in','is','it','that','for','with','this'])) AS s_en,
-        |  len(list_intersect(ws, ['le','la','les','de','et','un','une','est','que','pour','dans','des'])) AS s_fr,
-        |  len(list_intersect(ws, ['el','la','los','las','de','y','un','una','es','que','por','para'])) AS s_es,
-        |  len(list_intersect(ws, ['der','die','das','und','ein','eine','ist','von','zu','mit','den','nicht'])) AS s_de,
-        |  len(list_intersect(ws, ['的','了','是','我','不','在','有','他','这','人','们','中'])) AS s_zh
-        |  FROM t)
-        |SELECT doc_id, CASE
-        |  WHEN greatest(s_en, s_fr, s_es, s_de, s_zh) = 0 THEN 'und'
-        |  WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
-        |  WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
-        |  WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
-        |  WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
-        |  ELSE 'zh' END AS lang_pred
-        |FROM s""".stripMargin,
+    "doc_lang" -> docLangOracle,
 
     "doc_tokens" ->
       """SELECT doc_id,

@@ -295,6 +295,11 @@ object StreamingKpis {
     require(maxGapMs > 0, s"maxGapMs must be positive, got $maxGapMs")
     val pat = pattern.toIndexedSeq
     val typed = events
+      // null keys/timestamps cannot join a per-key pattern; dropping them
+      // here (as every batch consumer of the events table does) beats the
+      // alternative — deserialization into the non-nullable tuple field
+      // would fail the micro-batch and kill the query
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).cast("long").as("k"),
         col(tsCol).cast("timestamp").as("ts"),
         col(typeCol).cast("string").as("t"))
