@@ -806,6 +806,31 @@ object SparkEntry {
         .groupBy("id").agg(count(lit(1)).as("core_degree"))
     }),
 
+    // bounded-round synchronous min-label propagation over the SAME
+    // pinned edge set: after round r each node holds the smallest doc_id
+    // within r hops, so 3 rounds = radius-3 community seeds (NOT the
+    // full connected-component fixpoint — dedup_clusters owns that; the
+    // bounded form is the scale-safe variant whose cost is exactly 3
+    // self-joins regardless of component diameter, the standard
+    // LPA-on-Pregel recipe with a fixed superstep budget). Deterministic
+    // by construction: min is order-independent, no tie-breaking needed.
+    "dup_graph_lpa" -> ((s, dir) => {
+      val e = jaccardPairsFor(s, dir).select("id_a", "id_b")
+      val sym = e.unionByName(
+        e.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      var lab = sym.select(col("id_a").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+      for (_ <- 1 to 3) {
+        val nbr = sym
+          .join(lab.withColumnRenamed("id", "id_b"), Seq("id_b"))
+          .groupBy(col("id_a").as("id")).agg(min("lbl").as("nbr_min"))
+        lab = lab.join(nbr, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+      }
+      lab.select(col("id").as("doc_id"), col("lbl").as("community"))
+    }),
+
     // similarity-mass histogram over the pair relation: how many pairs sit
     // in each 0.1-wide Jaccard band — the diagnostic that picks a dedup
     // threshold (a cliff at 0.9 means exact-ish dups; mass at 0.3 means
@@ -2372,6 +2397,26 @@ object SparkEntry {
           col("doc_id"),
           size(col("__ws")).cast("long").as("n_tokens"),
           size(Text.nGramsFromTokens(col("__ws"), 3)).cast("long").as("n_grams3"))),
+    // phrase search on a POSITIONAL inverted index: postings are
+    // (term, doc_id, pos); a 2-term phrase is an equi-join of the two
+    // terms' postings on (doc_id, pos+1) — the classic IR phrase-query
+    // plan. The term filters run BEFORE the join (each side is only one
+    // term's postings, a tiny fraction of the corpus), and the join key
+    // includes the position, so the shuffle is on (doc_id, pos) — no
+    // doc-level hot key even when one document repeats the term heavily.
+    // At 100 TB the index would be materialized once and bucketed by
+    // term; the per-query plan here is the probe side of that layout ----
+    "phrase_search" -> ((s, dir) => {
+      val postings = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      val first = postings.filter(col("term") === "table")
+        .select(col("doc_id"), (col("pos") + 1).as("next_pos"))
+      val second = postings.filter(col("term") === "scan")
+        .select(col("doc_id"), col("pos").as("next_pos"))
+      first.join(second, Seq("doc_id", "next_pos"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+    }),
     "doc_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
@@ -2749,6 +2794,36 @@ object SparkEntry {
           batch.join(seen.select("user_id", "event_type"),
             Seq("user_id", "event_type"), "left_anti"))
       }
+    }),
+
+    // ---- batch mirror of [[graft.streaming.RunningProfile]] (the
+    // transformWithState running-profile operator) over the pinned
+    // 3-batch replay split: for each batch b, every user TOUCHED in b
+    // emits their profile folded over batches 0..b — exactly the
+    // Update-mode emission sequence the stateful processor produces
+    // (profiles are order-independent folds, so the closed form is
+    // exact). 3 cumulative aggregations, all map-side combinable; the
+    // per-user mode rides GroupTop's (count DESC, value ASC) tie order,
+    // the same order the processor applies to its MapState scan ----
+    "tws_profile_replay" -> ((s, dir) => {
+      val batches = replayBatchesFor(s, dir).map(
+        _.filter(col("user_id").isNotNull && col("event_type").isNotNull)
+          .withColumn("cents", coalesce(col("v_cents"), lit(0L))))
+      (0 until 3).map { b =>
+        val upTo = batches.take(b + 1).reduce(_.unionByName(_))
+        val touched = batches(b).select("user_id").distinct()
+        val agg = upTo.groupBy("user_id").agg(
+          count(lit(1)).as("n_events"),
+          sum("cents").as("sum_cents"),
+          countDistinct("event_type").as("n_types"))
+        agg
+          .join(graft.operators.GroupTop.mode(
+            upTo, Seq("user_id"), "event_type", "top_type"), Seq("user_id"))
+          .join(touched, Seq("user_id"), "left_semi")
+          .withColumn("batch_id", lit(b))
+      }.reduce(_.unionByName(_))
+        .select("batch_id", "user_id", "n_events", "sum_cents",
+          "n_types", "top_type")
     }),
 
     // ---- corpus-mixture rebalancing: thin dominant groups to an equal
@@ -6270,6 +6345,44 @@ object SparkEntry {
     * and damped update is the same e6-integer floor division (`//` ==
     * Spark `div` on non-negatives), so three power iterations reproduce
     * bit-for-bit. */
+  /** DuckDB mirror of `dup_graph_lpa`: the exact 3-gram Jaccard ≥ 0.2
+    * edge set (same prefix as the other dup_graph oracles), then 3
+    * unrolled synchronous min-label rounds — round r folds
+    * least(own, min over neighbors of round r−1), i.e. min doc_id within
+    * r hops, exactly the bounded-round plan the Spark side runs. */
+  private def dupGraphLpaOracle: String = {
+    def round(r: Int): String =
+      s"""l$r AS MATERIALIZED (
+         |  SELECT l.id, min(least(l.lbl, coalesce(x.lbl, l.lbl))) AS lbl
+         |  FROM l${r - 1} l
+         |  LEFT JOIN sym s ON s.id_a = l.id
+         |  LEFT JOIN l${r - 1} x ON x.id = s.id_b
+         |  GROUP BY l.id)""".stripMargin
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+      |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |e0 AS MATERIALIZED (SELECT id_a, id_b FROM (
+      |         SELECT i.id_a, i.id_b,
+      |           round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6)
+      |             AS jaccard
+      |         FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+      |                      JOIN sizes sb ON i.id_b = sb.doc_id)
+      |       WHERE jaccard >= 0.2),
+      |sym AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM e0
+      |  UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM e0),
+      |l0 AS (SELECT DISTINCT id_a AS id, id_a AS lbl FROM sym),
+      |""".stripMargin +
+      (1 to 3).map(round).mkString(",\n") +
+      "\nSELECT id AS doc_id, lbl AS community FROM l3"
+  }
+
   private def pageRankE6Oracle: String = {
     val damp = 850000L
     def iter(i: Int): String = {
@@ -10143,6 +10256,8 @@ object SparkEntry {
         |  (SELECT id_a AS id FROM e4 UNION ALL SELECT id_b AS id FROM e4)
         |GROUP BY id""".stripMargin,
 
+    "dup_graph_lpa" -> dupGraphLpaOracle,
+
     "dup_jaccard_histogram" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |grams AS (
@@ -10334,6 +10449,13 @@ object SparkEntry {
         |      ELSE 0 END AS BIGINT) AS n_grams3
         |FROM documents""".stripMargin,
 
+    "phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM t, UNNEST(range(1, len(ws))) AS u(i)
+        |WHERE ws[i] = 'table' AND ws[i + 1] = 'scan'
+        |GROUP BY doc_id""".stripMargin,
+
     "doc_redact" ->
       """SELECT doc_id,
         | regexp_replace(
@@ -10459,6 +10581,36 @@ object SparkEntry {
         |                            ORDER BY event_id % 3, event_id) AS rn
         |  FROM events) t
         |WHERE rn = 1""".stripMargin,
+
+    // closed form of the transformWithState running profile's Update-mode
+    // emissions: per batch b, users touched in b emit their fold over
+    // batches 0..b; mode ties resolve (count DESC, type ASC)
+    "tws_profile_replay" ->
+      """WITH e AS (
+        |  SELECT event_id % 3 AS b, user_id, event_type,
+        |         coalesce(CAST(round(value * 100) AS BIGINT), 0) AS cents
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |bs AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(batch_id)),
+        |cum AS (SELECT bs.batch_id, e.user_id, e.event_type, e.cents
+        |        FROM bs JOIN e ON e.b <= bs.batch_id),
+        |agg AS (SELECT batch_id, user_id,
+        |               CAST(count(*) AS BIGINT) AS n_events,
+        |               CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |        FROM cum GROUP BY 1, 2),
+        |tc AS (SELECT batch_id, user_id, event_type, count(*) AS c
+        |       FROM cum GROUP BY 1, 2, 3),
+        |top AS (SELECT batch_id, user_id, event_type AS top_type FROM (
+        |          SELECT batch_id, user_id, event_type,
+        |                 row_number() OVER (PARTITION BY batch_id, user_id
+        |                                    ORDER BY c DESC, event_type ASC) AS rn
+        |          FROM tc) WHERE rn = 1),
+        |touched AS (SELECT DISTINCT b AS batch_id, user_id FROM e)
+        |SELECT a.batch_id, a.user_id, a.n_events, a.sum_cents, a.n_types,
+        |       t.top_type
+        |FROM agg a
+        |JOIN top t ON a.batch_id = t.batch_id AND a.user_id = t.user_id
+        |JOIN touched u ON a.batch_id = u.batch_id AND a.user_id = u.user_id""".stripMargin,
 
     "incr_snapshot_versioned" ->
       """WITH q AS (

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+class RunningProfileSpec extends SparkSpec {
+
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** transformWithState requires the RocksDB provider; set it for the
+    * query and restore whatever the shared session had (other suites run
+    * against the default HDFS-backed provider). */
+  private def withRocksDb[T](body: => T): T = {
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None    => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  test("runningProfile: per-user totals, type map and mode across micro-batches " +
+      "(update mode: only touched keys emit)") {
+    withRocksDb {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, String, Double)]
+      val df = input.toDF.toDF("user_id", "event_type", "value")
+      val out = RunningProfile.runningProfile(spark, df,
+        "user_id", "event_type", "value")
+      val q = out.writeStream.format("memory").queryName("tws_profile")
+        .outputMode("update").start()
+      try {
+        input.addData((1L, "view", 1.0), (1L, "view", 2.0), (2L, "purchase", 10.0))
+        q.processAllAvailable()
+        val b1 = spark.table("tws_profile").collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+          .toMap
+        assert(b1(1L) == ((2L, 300L, 1L, "view")))
+        assert(b1(2L) == ((1L, 1000L, 1L, "purchase")))
+
+        // batch 2 touches only user 1; user 2 must NOT re-emit (update mode)
+        input.addData((1L, "purchase", 5.0), (1L, "purchase", 6.0))
+        q.processAllAvailable()
+        val emitted = spark.table("tws_profile").collect()
+        assert(emitted.length == 3, "update mode: one new row, for user 1 only")
+        val u1 = emitted.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).filter(_._1 == 1L).maxBy(_._2)
+        // 4 events, 1400 cents, 2 types, mode = purchase (2) vs view (2):
+        // tie broken to the lexicographically smaller type — the GroupTop
+        // (count DESC, value ASC) order
+        assert(u1 == ((1L, 4L, 1400L, 2L, "purchase")))
+      } finally q.stop()
+    }
+  }
+
+  test("runningProfile drops null keys/types and zero-fills null values") {
+    withRocksDb {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(java.lang.Long, String, java.lang.Double)]
+      val df = input.toDF.toDF("user_id", "event_type", "value")
+      val out = RunningProfile.runningProfile(spark, df,
+        "user_id", "event_type", "value")
+      val q = out.writeStream.format("memory").queryName("tws_profile_nulls")
+        .outputMode("update").start()
+      try {
+        input.addData(
+          (java.lang.Long.valueOf(7L), "view", java.lang.Double.valueOf(1.5)),
+          (java.lang.Long.valueOf(7L), "view", null), // null value → 0 cents
+          (null, "view", java.lang.Double.valueOf(9.9)), // null key → dropped
+          (java.lang.Long.valueOf(7L), null, java.lang.Double.valueOf(2.0))) // null type → dropped
+        q.processAllAvailable()
+        val rows = spark.table("tws_profile_nulls").collect()
+        assert(rows.length == 1)
+        val r = rows.head
+        assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4)) == ((7L, 2L, 150L, 1L, "view")))
+      } finally q.stop()
+    }
+  }
+
+  test("idleFinalizedTotals emits one final row per idle episode, only once " +
+      "the watermark proves the key idle (event-time timers)") {
+    withRocksDb {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def t(m: Int) = new java.sql.Timestamp(3600000L + m * 60000L)
+      val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val df = input.toDF.toDF("user_id", "ts", "value")
+      val out = RunningProfile.idleFinalizedTotals(spark, df,
+        "user_id", "ts", "value", gapMs = 10 * 60000L, lateness = "5 minutes")
+      val q = out.writeStream.format("memory").queryName("tws_idle")
+        .outputMode("append").start()
+      try {
+        input.addData((1L, t(0), 1.0), (1L, t(5), 2.0))
+        q.processAllAvailable()
+        assert(spark.table("tws_idle").isEmpty,
+          "nothing finalizes while the watermark is behind the idle deadline")
+        // watermark advance: t(40) - 5 min lateness = t(35) > t(5) + 10 min
+        // gap → user 1's timer fires (watermark updates lag one batch)
+        input.addData((2L, t(40), 7.0))
+        q.processAllAvailable()
+        input.addData((2L, t(41), 0.25))
+        q.processAllAvailable()
+        val rows = spark.table("tws_idle").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        assert(rows.toSeq == Seq((1L, 2L, 300L)),
+          s"exactly user 1's episode finalizes, got ${rows.toSeq}")
+        // user 1 returns: a NEW accumulation — finalized independently
+        input.addData((1L, t(50), 4.0))
+        q.processAllAvailable()
+        input.addData((2L, t(80), 0.0)) // push watermark past t(50)+gap
+        q.processAllAvailable()
+        input.addData((2L, t(81), 0.0))
+        q.processAllAvailable()
+        val again = spark.table("tws_idle").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .filter(_._1 == 1L)
+        assert(again.toSeq == Seq((1L, 2L, 300L), (1L, 1L, 400L)),
+          s"the return visit finalizes as its own episode, got ${again.toSeq}")
+      } finally q.stop()
+    }
+  }
+
+  test("runningProfile final state is batch-split independent and matches a " +
+      "plain batch aggregation") {
+    withRocksDb {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val all = Seq(
+        (1L, "view", 1.0), (1L, "click", 2.0), (1L, "click", 3.0),
+        (2L, "view", 4.0), (2L, "view", 0.5), (3L, "purchase", 7.25))
+
+      def runSplit(splits: Seq[Seq[(Long, String, Double)]], name: String) = {
+        val input = MemoryStream[(Long, String, Double)]
+        val out = RunningProfile.runningProfile(spark,
+          input.toDF.toDF("user_id", "event_type", "value"),
+          "user_id", "event_type", "value")
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          splits.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+          // latest emission per user = final state
+          spark.table(name).collect()
+            .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+            .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+        } finally q.stop()
+      }
+
+      val oneShot = runSplit(Seq(all), "tws_split_a")
+      val threeBatches = runSplit(all.grouped(2).toSeq, "tws_split_b")
+      assert(oneShot == threeBatches)
+      // cross-check vs a plain batch aggregation of the same rows
+      assert(oneShot(1L) == ((3L, 600L, 2L, "click")))
+      assert(oneShot(2L) == ((2L, 450L, 1L, "view")))
+      assert(oneShot(3L) == ((1L, 725L, 1L, "purchase")))
+    }
+  }
+}
