@@ -4521,6 +4521,55 @@ object SparkEntry {
             .as("loo_mean_e6"))
     }),
 
+    // ---- split-conformal prediction intervals (Vovk's inductive
+    // conformal recipe; Lei et al., JASA '18): the calibration half
+    // (portable-hash split on event_id, so the oracle reproduces it)
+    // fits the per-type point prediction (truncating-div mean cents) and
+    // the 90% conformal quantile qhat = the ceil(0.9·(n+1))-th smallest
+    // absolute residual; the held-out half measures empirical coverage
+    // of pred ± qhat — finite-sample-valid intervals with no
+    // distributional assumption, the standard uncertainty wrapper for a
+    // point model. The rank selection is the two-phase distinct-residual
+    // prefix scan (the value_auc discipline): counts per residual VALUE
+    // cumulated over the bounded distinct-cents domain — never a
+    // per-type sort of all calibration rows, so the window input is
+    // O(distinct residuals), not O(n), at any scale ----
+    "conformal_interval" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("calib",
+          pmod(graft.functions.PortableHash.hash60(col("event_id")), lit(2L)) === 0)
+      val calib = ev.filter(col("calib"))
+      val stats = calib.groupBy("event_type")
+        .agg(count(lit(1)).as("n_calib"), sum("cents").as("s_calib"))
+        .select(col("event_type"), col("n_calib"),
+          expr("CAST(s_calib div n_calib AS BIGINT)").as("pred_cents"),
+          expr("least(CAST((9 * (n_calib + 1) + 9) div 10 AS BIGINT), n_calib)")
+            .as("k"))
+      val rc = calib.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_type"), col("k"),
+          abs(col("cents") - col("pred_cents")).as("r"))
+        .groupBy("event_type", "k", "r").agg(count(lit(1)).as("c"))
+      val wr = Window.partitionBy("event_type").orderBy(col("r").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val qhat = rc.withColumn("cum", sum(col("c")).over(wr))
+        .filter(col("cum") >= col("k"))
+        .groupBy("event_type").agg(min(col("r")).as("qhat_cents"))
+      val testAgg = ev.filter(!col("calib"))
+        .join(broadcast(stats.select("event_type", "pred_cents")), Seq("event_type"))
+        .join(broadcast(qhat), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_test"),
+          sum((abs(col("cents") - col("pred_cents")) <= col("qhat_cents"))
+            .cast("long")).as("n_in"))
+      stats.join(qhat, Seq("event_type")).join(testAgg, Seq("event_type"))
+        .select(col("event_type"), col("n_calib"), col("n_test"),
+          col("pred_cents"), col("qhat_cents"),
+          flooredMeanE6(col("n_in"), col("n_test")).as("coverage_e6"))
+    }),
+
     // ---- discount elasticity: does a deeper discount move quantity?
     // Signed Pearson-r² per brand between discount (e2) and quantity,
     // closed-form from one aggregation pass of integer moment sums (the
@@ -7888,6 +7937,40 @@ object SparkEntry {
     "q21_waiting_suppliers" -> q21WaitingSuppliersOracle,
     "poisson_bootstrap_ci" -> poissonBootstrapOracle,
     "jackknife_buckets" -> jackknifeBucketsOracle,
+
+    "conformal_interval" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         (CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+        |               AS BIGINT) % 2 = 0) AS calib
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_calib,
+        |              CAST(sum(cents) // count(*) AS BIGINT) AS pred_cents,
+        |              least(CAST((9 * (count(*) + 1) + 9) // 10 AS BIGINT),
+        |                    CAST(count(*) AS BIGINT)) AS k
+        |       FROM e WHERE calib GROUP BY 1),
+        |rc AS (SELECT e.event_type, st.k, abs(e.cents - st.pred_cents) AS r,
+        |              count(*) AS c
+        |       FROM e JOIN st USING (event_type) WHERE e.calib
+        |       GROUP BY 1, 2, 3),
+        |cum AS (SELECT event_type, k, r,
+        |               sum(c) OVER (PARTITION BY event_type
+        |                            ORDER BY r ASC) AS cum
+        |        FROM rc),
+        |qh AS (SELECT event_type, CAST(min(r) AS BIGINT) AS qhat_cents
+        |       FROM cum WHERE cum >= k GROUP BY 1),
+        |ta AS (SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_test,
+        |              CAST(sum(CASE WHEN abs(e.cents - st.pred_cents)
+        |                                 <= qh.qhat_cents
+        |                            THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+        |       FROM e JOIN st USING (event_type) JOIN qh USING (event_type)
+        |       WHERE NOT e.calib GROUP BY 1)
+        |SELECT st.event_type, st.n_calib, ta.n_test, st.pred_cents,
+        |       qh.qhat_cents,
+        |       CAST(ta.n_in * 1000000 // nullif(ta.n_test, 0) AS BIGINT)
+        |         AS coverage_e6
+        |FROM st JOIN qh USING (event_type) JOIN ta USING (event_type)""".stripMargin,
     "permutation_test" -> permutationTestOracle,
     "ks_two_sample" -> ksTwoSampleOracle,
     "annotator_kappa" -> annotatorKappaOracle,

@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, lit, round}
-import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
-  TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-key running profile on the `transformWithState` arbitrary-state
   * API — Spark 4's successor to `flatMapGroupsWithState` (SPARK-46815),
@@ -155,6 +155,58 @@ object RunningProfile {
       .groupByKey(_._1)
       .transformWithState(new IdleFinalizer(gapMs), TimeMode.EventTime(),
         OutputMode.Append())
+      .toDF()
+  }
+
+  /** One emitted recent-history row: the key's last ≤K event types,
+    * newest first. */
+  final case class RecentRow(user_id: Long, recent_types: Seq[String])
+
+  /** ListState face of the API — the feature-store "last K events per
+    * user" primitive (e.g. a session-context feature for a ranking
+    * model). [[org.apache.spark.sql.streaming.ListState]] holds the
+    * entries natively (no single serialized blob the way a
+    * ValueState[Seq] stores one), and the per-batch `put` rewrites at
+    * most K entries — state stays bounded at K per key regardless of
+    * stream length. Events are ordered by (ts, then arrival — Scala's
+    * stable sort) within the state; each touched key emits its
+    * refreshed window (Update-mode semantics, like [[runningProfile]]). */
+  private final class RecentEvents(k: Int)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, String), RecentRow] {
+    @transient private var recent: ListState[(Long, String)] = _ // (tsMs, type)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[(Long, String)]("recent",
+        Encoders.product[(Long, String)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, String)],
+        timerValues: TimerValues): Iterator[RecentRow] = {
+      val incoming = rows.map(r => (r._2.getTime, r._3)).toSeq
+      val merged = (recent.get().toSeq ++ incoming)
+        .sortBy(_._1).takeRight(k)
+      recent.put(merged.toArray)
+      Iterator.single(RecentRow(key, merged.reverseIterator.map(_._2).toSeq))
+    }
+  }
+
+  /** Maintain each user's last `k` event types (newest first), emitted
+    * per touched key per micro-batch. Same null contract as
+    * [[runningProfile]]. */
+  def recentEvents(spark: SparkSession, events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(userCol).cast("long"),
+        col(tsCol).cast("timestamp"),
+        col(typeCol).cast("string"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .transformWithState(new RecentEvents(k), TimeMode.None(),
+        OutputMode.Update())
       .toDF()
   }
 

@@ -128,6 +128,36 @@ class RunningProfileSpec extends SparkSpec {
     }
   }
 
+  test("recentEvents keeps the last K types newest-first across batches " +
+      "(ListState trim)") {
+    withRocksDb {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def t(m: Int) = new java.sql.Timestamp(3600000L + m * 60000L)
+      val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val df = input.toDF.toDF("user_id", "ts", "event_type")
+      val out = RunningProfile.recentEvents(spark, df,
+        "user_id", "ts", "event_type", k = 3)
+      val q = out.writeStream.format("memory").queryName("tws_recent")
+        .outputMode("update").start()
+      try {
+        input.addData((1L, t(0), "a"), (1L, t(1), "b"))
+        q.processAllAvailable()
+        // batch 2 arrives with an OLDER event than batch 1's newest: it
+        // must sort into place, not append blindly
+        input.addData((1L, t(3), "d"), (1L, t(2), "c"), (2L, t(5), "x"))
+        q.processAllAvailable()
+        val latest = spark.table("tws_recent").collect()
+          .map(r => r.getLong(0) -> r.getSeq[String](1).toList)
+          .groupBy(_._1).map { case (u, rs) => u -> rs.last._2 }
+        // user 1 saw a,b,c,d → trimmed to last 3 by ts, newest first
+        assert(latest(1L) == List("d", "c", "b"))
+        assert(latest(2L) == List("x"))
+      } finally q.stop()
+    }
+  }
+
   test("runningProfile final state is batch-split independent and matches a " +
       "plain batch aggregation") {
     withRocksDb {
