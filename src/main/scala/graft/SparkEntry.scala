@@ -2282,6 +2282,37 @@ object SparkEntry {
             .cast("int").as("correct"))
     }),
 
+    // ---- learning curve (the data-scaling-law measurement a curation
+    // team runs before buying more labels): NB accuracy on the FIXED
+    // held-out half as the training set doubles through NESTED
+    // hash-residue subsets (1/8 ⊂ 2/8 ⊂ 4/8 of the corpus — nesting via
+    // residues of ONE portable hash, so each point adds data to the
+    // previous point rather than resampling it, the protocol that makes
+    // the curve monotone-comparable). Three closed-form model builds +
+    // three broadcast-scored passes over the same test half; every
+    // model is a broadcast, nothing shuffles with corpus² ----
+    "nb_learning_curve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val h8 = pmod(
+        graft.functions.PortableHash.hash60(col("doc_id")), lit(8L))
+      val test = docs.filter(pmod(h8, lit(2L)) === 1)
+      Seq((1, Seq(0L)), (2, Seq(0L, 4L)), (4, Seq(0L, 2L, 4L, 6L))).map {
+        case (eighths, res) =>
+          val train = docs.filter(h8.isin(res: _*))
+          graft.operators.NaiveBayes
+            .classify(train, test, "doc_id", "text", "lang")
+            .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+            .agg(count(lit(1)).as("n_test"),
+              sum(when(col("pred_label") === col("lang"), 1L).otherwise(0L))
+                .as("n_correct"))
+            .crossJoin(broadcast(train.agg(count(lit(1)).as("n_train"))))
+            .select(lit(eighths).as("train_eighths"),
+              col("n_train"), col("n_test"), col("n_correct"),
+              expr("CAST(floor(n_correct * 1.0 / n_test * 1000000.0 + 0.5) AS BIGINT)")
+                .as("acc_e6"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // ---- classifier evaluation: full confusion matrix (the
     // train-side-signal report a curation team reads before trusting a
     // model filter) ----
@@ -7707,6 +7738,63 @@ object SparkEntry {
     "toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)",
     "lang", "pred_lang")
 
+  /** DuckDB mirror of `nb_learning_curve`: three nested hash-residue
+    * training subsets, each instantiating the SAME model/score CTE chain
+    * as [[nbOracleCtes]] (expressions copied verbatim so the e6 ln
+    * staging stays bit-identical), all scored on the one held-out half. */
+  private def nbLearningCurveOracle: String = {
+    val h8 = s"${dh("CAST(doc_id AS VARCHAR)")} % 8"
+    def subset(i: Int, eighths: Int, res: Seq[Long]): String = {
+      val in = res.mkString("(", ", ", ")")
+      s"""tr$i AS (SELECT * FROM toks WHERE $h8 IN $in),
+         |trtok$i AS (SELECT doc_id, lang, UNNEST(ws) AS term FROM tr$i),
+         |cls$i AS (SELECT lang AS lab, CAST(count(*) AS BIGINT) AS nd FROM tr$i GROUP BY 1),
+         |ndt$i AS (SELECT CAST(count(*) AS BIGINT) AS ndt FROM tr$i),
+         |tcc$i AS (SELECT term, lang AS lab, CAST(count(*) AS BIGINT) AS n
+         |          FROM trtok$i GROUP BY 1, 2),
+         |tpc$i AS (SELECT lang AS lab, CAST(count(*) AS BIGINT) AS nc FROM trtok$i GROUP BY 1),
+         |v$i AS (SELECT count(DISTINCT term) AS v FROM trtok$i),
+         |model$i AS (SELECT c.lab,
+         |    CAST(floor(ln(CAST(c.nd AS DOUBLE) / d.ndt) * 1000000.0 + 0.5)
+         |         AS BIGINT) AS prior_e6,
+         |    t.nc, vv.v
+         |  FROM cls$i c CROSS JOIN ndt$i d JOIN tpc$i t ON c.lab = t.lab CROSS JOIN v$i vv),
+         |sc$i AS (SELECT g.doc_id, m.lab, m.prior_e6, g.tf,
+         |         CAST(floor(ln((COALESCE(t.n, 0) + 1.0) / (m.nc + m.v))
+         |              * 1000000.0 + 0.5) AS BIGINT) AS lp
+         |       FROM dtf g CROSS JOIN model$i m
+         |            LEFT JOIN tcc$i t ON g.term = t.term AND m.lab = t.lab),
+         |tot$i AS (SELECT doc_id, lab,
+         |          CAST(min(prior_e6) + sum(tf * lp) AS BIGINT) AS score_e6
+         |        FROM sc$i GROUP BY 1, 2),
+         |r$i AS (SELECT doc_id, lab, score_e6,
+         |        row_number() OVER (PARTITION BY doc_id
+         |                           ORDER BY score_e6 DESC, lab ASC) AS rn
+         |      FROM tot$i),
+         |acc$i AS (SELECT CAST($eighths AS INTEGER) AS train_eighths,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM tr$i) AS n_train,
+         |    CAST(count(*) AS BIGINT) AS n_test,
+         |    CAST(sum(CASE WHEN r.lab = dl.lang THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_correct
+         |  FROM dl JOIN r$i r ON dl.doc_id = r.doc_id AND r.rn = 1)""".stripMargin
+    }
+    val subsets = Seq((1, 1, Seq(0L)), (2, 2, Seq(0L, 4L)),
+      (3, 4, Seq(0L, 2L, 4L, 6L)))
+    s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       |dl AS (SELECT doc_id, lang FROM toks WHERE $h8 % 2 = 1),
+       |dt AS (SELECT doc_id, UNNEST(ws) AS term FROM toks
+       |       WHERE $h8 % 2 = 1),
+       |dtf AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY 1, 2),
+       |""".stripMargin +
+      subsets.map { case (i, e, r) => subset(i, e, r) }.mkString(",\n") +
+      """
+        |SELECT train_eighths, n_train, n_test, n_correct,
+        |       CAST(floor(n_correct * 1.0 / n_test * 1000000.0 + 0.5) AS BIGINT)
+        |         AS acc_e6
+        |FROM (SELECT * FROM acc1 UNION ALL SELECT * FROM acc2
+        |      UNION ALL SELECT * FROM acc3)""".stripMargin
+  }
+
   /** Pseudo-labeled quality classifier: the label CTE chain inlines the
     * doc_quality formula (kept textually identical to that oracle), then
     * the shared NB body learns hi/lo from tokens. */
@@ -8368,6 +8456,8 @@ object SparkEntry {
     // NB: same hash-half split, add-one smoothing, per-term e6 quantization
     // before the per-(doc,class) integer sum; argmax tie-break = label asc.
     "nb_lang_classify" -> nbLangOracle,
+
+    "nb_learning_curve" -> nbLearningCurveOracle,
     "nb_quality_classify" -> nbQualityOracle,
     "nb_confusion" ->
       s"""WITH nb AS (SELECT * FROM ($nbLangOracle))
