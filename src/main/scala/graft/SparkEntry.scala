@@ -27,6 +27,7 @@ object SparkEntry {
   // Single source of truth for BOTH the registered query and its generated
   // DuckDB oracle below — drift between the two is a silent hash-mismatch.
   private val Dim = 64          // embedding dimensionality (TESTDATA.md)
+  private val PcRounds = 8      // embedding_top_pc: power-iteration rounds
   private val AnnK = 5          // top-k for every ANN query
   private val LshBits = 10      // lsh_topk: bits per hyperplane table
   private val LshTables = 4     // lsh_topk: independent tables
@@ -855,6 +856,17 @@ object SparkEntry {
     // per-dimension embedding health report (dead dims, range outliers)
     "embedding_dim_stats" -> ((s, dir) =>
       graft.operators.VectorAgg.dimStats(Tables.embeddings(s, dir), "embedding")),
+    // ---- exact corpus covariance + dominant direction (GramPca): ONE
+    // distributed pass accumulates the O(dim²) sufficient statistics via
+    // a typed Aggregator (map-side combinable — the shuffle carries
+    // dim(dim+3)/2+1 longs per partition, never rows); centering and the
+    // fixed-round integer power iteration are bounded driver-side model
+    // math, same discipline as the PageRank/NB model stages ----
+    "embedding_cov" -> ((s, dir) =>
+      graft.operators.GramPca.covariance(Tables.embeddings(s, dir), "embedding", Dim)),
+    "embedding_top_pc" -> ((s, dir) =>
+      graft.operators.GramPca.topPc(Tables.embeddings(s, dir), "embedding", Dim,
+        rounds = PcRounds)),
     // portable (md5-family) configurations so the DuckDB oracles are exact;
     // the xxhash64 default family remains the faster non-oracle path
     "minhash_lsh_pairs" -> ((s, dir) =>
@@ -6390,6 +6402,46 @@ object SparkEntry {
        |${pairScoreCtes("id_a", "id_b")}
        |SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= $NdThreshold""".stripMargin
 
+  /** Shared covariance CTE chain for the [[graft.operators.GramPca]]
+    * oracles: e3-quantized elements, exact integer moments, centered
+    * covariance in HUGEINT with `//` (truncates toward zero — verified
+    * equal to Scala `BigInt./` on negatives). MATERIALIZED because the
+    * power-iteration oracle references it from every unrolled round. */
+  private def embeddingCovCtes: String =
+    """q AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+      |            CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS q
+      |     FROM embeddings),
+      |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+      |s AS (SELECT pos, CAST(sum(q) AS HUGEINT) AS s FROM q GROUP BY 1),
+      |p AS (SELECT a.pos AS i, b.pos AS j, CAST(sum(a.q * b.q) AS HUGEINT) AS p
+      |      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.pos <= b.pos GROUP BY 1, 2),
+      |cov AS MATERIALIZED (SELECT p.i, p.j,
+      |        CAST((nn.n * p.p - sa.s * sb.s) // (nn.n * nn.n) AS BIGINT) AS cov_q
+      |        FROM p CROSS JOIN nn
+      |        JOIN s sa ON p.i = sa.pos JOIN s sb ON p.j = sb.pos)""".stripMargin
+
+  /** Unrolled mirror of [[graft.operators.GramPca.powerIterate]]: each
+    * round is one matvec over the symmetric covariance + the truncating
+    * e6 renormalization, bit-identical to the driver-side int64 loop. */
+  private def embeddingTopPcOracle: String = {
+    val rounds = (1 to PcRounds).map { r =>
+      s"""w$r AS (SELECT c.i AS pos, CAST(sum(c.cov_q * v.v) AS BIGINT) AS w
+         |       FROM covf c JOIN v${r - 1} v ON c.j = v.pos GROUP BY 1),
+         |m$r AS (SELECT greatest(CAST(max(abs(w)) // 1000000 AS BIGINT),
+         |                        CAST(1 AS BIGINT)) AS m FROM w$r),
+         |v$r AS MATERIALIZED (SELECT pos, CAST(w // m AS BIGINT) AS v
+         |                     FROM w$r CROSS JOIN m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embeddingCovCtes,
+       |covf AS MATERIALIZED (SELECT i, j, cov_q FROM cov
+       |         UNION ALL SELECT j, i, cov_q FROM cov WHERE i < j),
+       |v0 AS (SELECT DISTINCT i AS pos, CAST(1000000 AS BIGINT) AS v FROM cov),
+       |$rounds
+       |SELECT v$PcRounds.pos AS pos, d.cov_q AS var_q, v$PcRounds.v AS pc_scaled
+       |FROM v$PcRounds JOIN (SELECT i AS pos, cov_q FROM cov WHERE i = j) d
+       |     ON v$PcRounds.pos = d.pos""".stripMargin
+  }
+
   /** Mirror of [[graft.operators.Quantize.randomProject]]: the ±1
     * directions enter as a literal VALUES relation generated from the
     * SAME splitmix Rademacher source, and every sum is e6-integer-exact,
@@ -10478,6 +10530,10 @@ object SparkEntry {
         |  CAST(floor(CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
         |             / count(*) + 0.5) AS BIGINT) AS mean_e6
         |FROM flat GROUP BY pos""".stripMargin,
+
+    "embedding_cov" ->
+      s"WITH $embeddingCovCtes SELECT i, j, cov_q FROM cov",
+    "embedding_top_pc" -> embeddingTopPcOracle,
 
     "cosine_topk" ->
       """WITH flat AS (

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.GramPca
+
+class GramPcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 vectors in R^2, values already at e3 grid so quantization is exact:
+  // x = (1, 2), (3, 2), (1, 4), (3, 4) in q-units 1000,2000,...
+  private def tiny = Seq(
+    Seq(1.0, 2.0), Seq(3.0, 2.0), Seq(1.0, 4.0), Seq(3.0, 4.0))
+    .toDF("embedding")
+
+  test("covariance matches the hand computation on a tiny corpus") {
+    // q-units: dim0 values {1000,3000}x2 -> mean 2000, var 1e6; dim1
+    // {2000,4000}x2 -> var 1e6; the off-diagonal is 0 by symmetry.
+    val rows = GramPca.covariance(tiny, "embedding", dim = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows === Set((0, 0, 1000000L), (0, 1, 0L), (1, 1, 1000000L)))
+  }
+
+  test("moments are partitioning-independent (merge law)") {
+    val one = GramPca.moments(tiny.coalesce(1), "embedding", 2)
+    val four = GramPca.moments(tiny.repartition(4), "embedding", 2)
+    assert(one.n === four.n)
+    assert(one.s.toSeq === four.s.toSeq)
+    assert(one.p.toSeq === four.p.toSeq)
+  }
+
+  test("malformed rows (null / wrong length) are skipped, not crashed") {
+    val df = Seq(Some(Seq(1.0, 2.0)), None, Some(Seq(9.0)))
+      .toDF("embedding")
+    val m = GramPca.moments(df, "embedding", 2)
+    assert(m.n === 1L)
+    assert(m.s.toSeq === Seq(1000L, 2000L))
+  }
+
+  test("power iteration finds the dominant axis of a diagonal matrix") {
+    // diag(9, 1): dominant eigenvector is e0; the e1 component decays by
+    // 1/9 per round, so after 8 rounds it is < 1 at e6 scale.
+    val c = Array(Array(9L, 0L), Array(0L, 1L))
+    val v = GramPca.powerIterate(c, rounds = 8)
+    assert(math.abs(v(0)) >= 1000000L)
+    assert(math.abs(v(1)) < math.abs(v(0)) / 100000L)
+  }
+
+  test("power iteration is exactly the unrolled integer recurrence") {
+    // one round by hand: C = [[2,1],[1,2]], v0 = (1e6, 1e6) ->
+    // w = (3e6, 3e6), m = max(1, 3e6/1e6) = 3, v1 = (1e6, 1e6).
+    val c = Array(Array(2L, 1L), Array(1L, 2L))
+    assert(GramPca.powerIterate(c, 1).toSeq === Seq(1000000L, 1000000L))
+  }
+}
