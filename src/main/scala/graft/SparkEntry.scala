@@ -867,6 +867,12 @@ object SparkEntry {
     "embedding_top_pc" -> ((s, dir) =>
       graft.operators.GramPca.topPc(Tables.embeddings(s, dir), "embedding", Dim,
         rounds = PcRounds)),
+    // per-vector coordinate along the dominant direction (outlier/drift
+    // ranking): the model re-enters the plan as literal arrays, so the
+    // scoring pass is a zero-shuffle codegen'd zip_with/aggregate scan
+    "embedding_pc_scores" -> ((s, dir) =>
+      graft.operators.GramPca.pcScores(Tables.embeddings(s, dir), "vec_id",
+        "embedding", Dim, rounds = PcRounds)),
     // portable (md5-family) configurations so the DuckDB oracles are exact;
     // the xxhash64 default family remains the faster non-oracle path
     "minhash_lsh_pairs" -> ((s, dir) =>
@@ -6420,10 +6426,12 @@ object SparkEntry {
       |        FROM p CROSS JOIN nn
       |        JOIN s sa ON p.i = sa.pos JOIN s sb ON p.j = sb.pos)""".stripMargin
 
-  /** Unrolled mirror of [[graft.operators.GramPca.powerIterate]]: each
-    * round is one matvec over the symmetric covariance + the truncating
-    * e6 renormalization, bit-identical to the driver-side int64 loop. */
-  private def embeddingTopPcOracle: String = {
+  /** [[embeddingCovCtes]] + the unrolled mirror of
+    * [[graft.operators.GramPca.powerIterate]]: each round is one matvec
+    * over the symmetric covariance + the truncating e6 renormalization,
+    * bit-identical to the driver-side int64 loop. Ends at CTE
+    * `v$PcRounds` (pos, v). */
+  private def embeddingPcChainCtes: String = {
     val rounds = (1 to PcRounds).map { r =>
       s"""w$r AS (SELECT c.i AS pos, CAST(sum(c.cov_q * v.v) AS BIGINT) AS w
          |       FROM covf c JOIN v${r - 1} v ON c.j = v.pos GROUP BY 1),
@@ -6432,15 +6440,30 @@ object SparkEntry {
          |v$r AS MATERIALIZED (SELECT pos, CAST(w // m AS BIGINT) AS v
          |                     FROM w$r CROSS JOIN m$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $embeddingCovCtes,
+    s"""$embeddingCovCtes,
        |covf AS MATERIALIZED (SELECT i, j, cov_q FROM cov
        |         UNION ALL SELECT j, i, cov_q FROM cov WHERE i < j),
        |v0 AS (SELECT DISTINCT i AS pos, CAST(1000000 AS BIGINT) AS v FROM cov),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def embeddingTopPcOracle: String =
+    s"""WITH $embeddingPcChainCtes
        |SELECT v$PcRounds.pos AS pos, d.cov_q AS var_q, v$PcRounds.v AS pc_scaled
        |FROM v$PcRounds JOIN (SELECT i AS pos, cov_q FROM cov WHERE i = j) d
        |     ON v$PcRounds.pos = d.pos""".stripMargin
-  }
+
+  /** Mirror of [[graft.operators.GramPca.pcScores]]: the same chain, then
+    * the centered dot product per vector — center c = Σq // n (truncation
+    * toward zero on both engines). */
+  private def embeddingPcScoresOracle: String =
+    s"""WITH $embeddingPcChainCtes,
+       |center AS (SELECT s.pos, CAST(s.s // nn.n AS BIGINT) AS c
+       |           FROM s CROSS JOIN nn)
+       |SELECT f.vec_id, CAST(sum((f.q - c.c) * v.v) AS BIGINT) AS score_q
+       |FROM q f JOIN center c ON f.pos = c.pos
+       |         JOIN v$PcRounds v ON f.pos = v.pos
+       |GROUP BY 1""".stripMargin
 
   /** Mirror of [[graft.operators.Quantize.randomProject]]: the ±1
     * directions enter as a literal VALUES relation generated from the
@@ -10534,6 +10557,7 @@ object SparkEntry {
     "embedding_cov" ->
       s"WITH $embeddingCovCtes SELECT i, j, cov_q FROM cov",
     "embedding_top_pc" -> embeddingTopPcOracle,
+    "embedding_pc_scores" -> embeddingPcScoresOracle,
 
     "cosine_topk" ->
       """WITH flat AS (

@@ -156,4 +156,26 @@ object GramPca {
     val v = powerIterate(c, rounds)
     (0 until dim).map(i => (i, c(i)(i), v(i))).toDF("pos", "var_q", "pc_scaled")
   }
+
+  /** Per-vector coordinate along the dominant direction:
+    * score_q = Σ_j (q_j − c_j)·v_j with c_j = Σq_j/n (truncated) — the
+    * outlier/drift score an embedding audit ranks by. The model (center +
+    * direction) is built by the same one-pass moments + bounded iteration,
+    * then re-enters the plan as two LITERAL arrays, so the scoring pass is
+    * a zero-shuffle zip_with/aggregate projection — pure whole-stage
+    * codegen, embarrassingly parallel at any corpus size. |q−c| ≤ ~2·10³
+    * and |v| ≤ ~2·10⁶ keep the 64-term dot inside int64 with 10⁴× room. */
+  def pcScores(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      rounds: Int): DataFrame = {
+    val m = moments(df, vecCol, dim)
+    val v = powerIterate(covarianceQ(m, dim), rounds)
+    val center = m.s.map(_ / m.n)
+    val vLit = array(v.map(lit): _*)
+    val cLit = array(center.map(lit): _*)
+    val q = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(1000.0) + lit(0.5)).cast("long"))
+    val prods = zip_with(zip_with(q, cLit, (a, b) => a - b), vLit, (a, b) => a * b)
+    df.select(col(idCol),
+      aggregate(prods, lit(0L), (acc, e) => acc + e).as("score_q"))
+  }
 }

@@ -44,6 +44,25 @@ class GramPcaSpec extends SparkSpec {
     assert(math.abs(v(1)) < math.abs(v(0)) / 100000L)
   }
 
+  test("pc scores: centered projection matches the hand computation") {
+    // tiny corpus covariance = 1e6·I, so power iteration keeps v0's
+    // direction: v = (1e6, 1e6). Centers (q-units): (2000, 3000).
+    // score((1,2)) = (1000-2000)·1e6 + (2000-3000)·1e6 = -2e9.
+    val df = Seq(("a", Seq(1.0, 2.0)), ("b", Seq(3.0, 2.0)),
+      ("c", Seq(1.0, 4.0)), ("d", Seq(3.0, 4.0))).toDF("vec_id", "embedding")
+    val got = GramPca.pcScores(df, "vec_id", "embedding", 2, rounds = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> -2000000000L, "b" -> 0L,
+      "c" -> 0L, "d" -> 2000000000L))
+  }
+
+  test("NaN elements quantize to 0 (deterministic), never crash") {
+    val df = Seq(Seq(Double.NaN, 2.0), Seq(4.0, 2.0)).toDF("embedding")
+    val m = GramPca.moments(df, "embedding", 2)
+    assert(m.n === 2L)
+    assert(m.s.toSeq === Seq(4000L, 4000L)) // NaN -> q = 0
+  }
+
   test("power iteration is exactly the unrolled integer recurrence") {
     // one round by hand: C = [[2,1],[1,2]], v0 = (1e6, 1e6) ->
     // w = (3e6, 3e6), m = max(1, 3e6/1e6) = 3, v1 = (1e6, 1e6).
