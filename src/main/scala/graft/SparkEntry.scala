@@ -875,6 +875,30 @@ object SparkEntry {
     "embedding_pc_scores" -> ((s, dir) =>
       graft.operators.GramPca.pcScores(Tables.embeddings(s, dir), "vec_id",
         "embedding", Dim, rounds = PcRounds)),
+    // ---- INCREMENTAL covariance maintenance: a 3-batch CDC feed (insert
+    // tranche, delete wave carrying old images, re-insert with reversed
+    // payloads) applied to the moments by exact integer add/subtract —
+    // O(delta) per batch, never a state rescan, and ONLY possible because
+    // the moments are integers (a float accumulator drifts on retraction
+    // and never equals a recompute). The oracle computes covariance of
+    // the final state directly — incremental == recompute, bit-for-bit ----
+    "incr_cov_view" -> ((s, dir) => {
+      import graft.operators.GramPca
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+      val ins1 = emb.filter(pmod(col("vec_id"), lit(4)) === 3)
+      val del2 = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val ins3 = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      var m = GramPca.moments(base, "embedding", Dim)
+      m = GramPca.applyDelta(m,
+        GramPca.moments(ins1, "embedding", Dim), GramPca.zero(Dim), Dim)
+      m = GramPca.applyDelta(m,
+        GramPca.zero(Dim), GramPca.moments(del2, "embedding", Dim), Dim)
+      m = GramPca.applyDelta(m,
+        GramPca.moments(ins3, "embedding", Dim), GramPca.zero(Dim), Dim)
+      GramPca.covarianceRows(s, m, Dim)
+    }),
     // portable (md5-family) configurations so the DuckDB oracles are exact;
     // the xxhash64 default family remains the faster non-oracle path
     "minhash_lsh_pairs" -> ((s, dir) =>
@@ -6430,11 +6454,13 @@ object SparkEntry {
     * covariance in HUGEINT with `//` (truncates toward zero — verified
     * equal to Scala `BigInt./` on negatives). MATERIALIZED because the
     * power-iteration oracle references it from every unrolled round. */
-  private def embeddingCovCtes: String =
-    """q AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+  private def embeddingCovCtes: String = embeddingCovCtesFrom("embeddings")
+
+  private def embeddingCovCtesFrom(src: String): String =
+    s"""q AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
       |            CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS q
-      |     FROM embeddings),
-      |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+      |     FROM $src),
+      |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM $src),
       |s AS (SELECT pos, CAST(sum(q) AS HUGEINT) AS s FROM q GROUP BY 1),
       |p AS (SELECT a.pos AS i, b.pos AS j, CAST(sum(a.q * b.q) AS HUGEINT) AS p
       |      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.pos <= b.pos GROUP BY 1, 2),
@@ -10575,6 +10601,16 @@ object SparkEntry {
       s"WITH $embeddingCovCtes SELECT i, j, cov_q FROM cov",
     "embedding_top_pc" -> embeddingTopPcOracle,
     "embedding_pc_scores" -> embeddingPcScoresOracle,
+    // final state of the incr_cov_view CDC feed, computed directly: all
+    // vectors minus the %5 delete wave, plus the %10 reversed re-inserts
+    "incr_cov_view" ->
+      s"""WITH fin AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT vec_id, list_reverse(embedding) AS embedding
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |${embeddingCovCtesFrom("fin")}
+        |SELECT i, j, cov_q FROM cov""".stripMargin,
 
     "cosine_topk" ->
       """WITH flat AS (

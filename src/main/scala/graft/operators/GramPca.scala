@@ -83,6 +83,26 @@ object GramPca {
     override def outputEncoder: Encoder[Moments] = Encoders.product[Moments]
   }
 
+  /** Incremental maintenance: the moments of (state + inserts − deletes)
+    * without rescanning state — covariance as an INCREMENTALLY VIEWABLE
+    * statistic. Because every moment is an exact integer, subtraction is
+    * exact too (a float accumulator would drift a little on every retract
+    * and never equal a recompute); at 100 TB this is the difference
+    * between O(delta) statistics maintenance per CDC batch and a full
+    * corpus rescan. Deletes must carry the deleted vector (the MoR-delta
+    * convention — the feed, not the state, supplies the old image). */
+  def applyDelta(state: Moments, inserts: Moments, deletes: Moments,
+      dim: Int): Moments = {
+    val tri = dim * (dim + 1) / 2
+    val s = new Array[Long](dim)
+    val p = new Array[Long](tri)
+    var i = 0
+    while (i < dim) { s(i) = state.s(i) + inserts.s(i) - deletes.s(i); i += 1 }
+    i = 0
+    while (i < tri) { p(i) = state.p(i) + inserts.p(i) - deletes.p(i); i += 1 }
+    Moments(state.n + inserts.n - deletes.n, s, p)
+  }
+
   /** One distributed pass → the exact integer moments. */
   def moments(df: DataFrame, vecCol: String, dim: Int): Moments = {
     val spark = df.sparkSession
@@ -115,14 +135,21 @@ object GramPca {
     c
   }
 
-  /** Upper-triangle covariance as rows (i, j, cov_q), i ≤ j, 0-based. */
-  def covariance(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
-    val spark = df.sparkSession
+  /** All-zero moments — the identity of [[applyDelta]]. */
+  def zero(dim: Int): Moments =
+    Moments(0L, Array.fill(dim)(0L), Array.fill(dim * (dim + 1) / 2)(0L))
+
+  /** Upper-triangle covariance rows (i, j, cov_q), i ≤ j, 0-based. */
+  def covarianceRows(spark: SparkSession, m: Moments, dim: Int): DataFrame = {
     import spark.implicits._
-    val c = covarianceQ(moments(df, vecCol, dim), dim)
+    val c = covarianceQ(m, dim)
     (for (i <- 0 until dim; j <- i until dim) yield (i, j, c(i)(j)))
       .toDF("i", "j", "cov_q")
   }
+
+  /** Upper-triangle covariance as rows (i, j, cov_q), i ≤ j, 0-based. */
+  def covariance(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    covarianceRows(df.sparkSession, moments(df, vecCol, dim), dim)
 
   /** `rounds` integer power-iteration steps from v₀ = [10⁶,…]; returns
     * the e6-scale direction estimate. Deterministic: int64 matvec +

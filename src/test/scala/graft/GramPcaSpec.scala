@@ -35,6 +35,19 @@ class GramPcaSpec extends SparkSpec {
     assert(m.s.toSeq === Seq(1000L, 2000L))
   }
 
+  test("applyDelta: incremental maintenance equals recompute exactly") {
+    val all = Seq(Seq(1.0, 2.0), Seq(3.0, 2.0), Seq(1.0, 4.0), Seq(3.0, 4.0))
+    val base = GramPca.moments(all.take(2).toDF("embedding"), "embedding", 2)
+    val ins = GramPca.moments(all.drop(2).toDF("embedding"), "embedding", 2)
+    val del = GramPca.moments(all.slice(1, 2).toDF("embedding"), "embedding", 2)
+    val got = GramPca.applyDelta(base, ins, del, 2)
+    val want = GramPca.moments(
+      (all.take(1) ++ all.drop(2)).toDF("embedding"), "embedding", 2)
+    assert(got.n === want.n)
+    assert(got.s.toSeq === want.s.toSeq)
+    assert(got.p.toSeq === want.p.toSeq)
+  }
+
   test("power iteration finds the dominant axis of a diagonal matrix") {
     // diag(9, 1): dominant eigenvector is e0; the e1 component decays by
     // 1/9 per round, so after 8 rounds it is < 1 at e6 scale.
