@@ -2673,6 +2673,34 @@ object SparkEntry {
       graft.streaming.VersionedSnapshot.read(s, base).get
         .select("doc_id", "n_chars", "lang")
     }),
+    // ---- GDPR purge through retained history: seed → upsert, then
+    // purgeKeys physically removes a deterministic subject set from BOTH
+    // retained versions in place (zone/hash-pruned dir rewrites, shared
+    // dirs rewritten once). Output reads v0 (time travel) AND current —
+    // the purged keys must be gone from each while every other row keeps
+    // its version-correct value; the oracle predicts both states from the
+    // merge arithmetic minus the purge set ----
+    "snapshot_purge_replay" -> ((s, dir) => {
+      val VS = graft.streaming.VersionedSnapshot
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = tempSnapshotBase("graft-purge")
+      val v0 = VS.mergeInto(base, docs.filter(col("doc_id") % 10 =!= 0),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true, marker = "seed")
+      VS.mergeInto(base,
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
+        marker = "upsert")
+      // the subject list: bounded by construction (point purge contract)
+      val purgeIds = docs.filter(col("doc_id") % 97 === 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      VS.purgeKeys(s, base, Seq("doc_id"), purgeIds.map(Seq[Any](_)))
+      VS.readVersion(s, base, v0).get
+        .select(lit("v0").as("at"), col("doc_id"), col("n_chars"))
+        .unionByName(VS.read(s, base).get
+          .select(lit("cur").as("at"), col("doc_id"), col("n_chars")))
+    }),
+
     // ---- change-data-feed read: the row-level diff of two retained
     // versions (seed → upsert → delete window), derived from version
     // immutability by one full-outer join — insert/update rows carry new
@@ -10938,6 +10966,16 @@ object SparkEntry {
     "snapshot_merge_delete" ->
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE doc_id % 10 <> 0 AND doc_id % 5 <> 0""".stripMargin,
+
+    "snapshot_purge_replay" ->
+      """SELECT 'v0' AS at, doc_id, n_chars FROM documents
+        |WHERE doc_id % 10 <> 0 AND doc_id % 97 <> 3
+        |UNION ALL
+        |SELECT 'cur' AS at, doc_id,
+        |       CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+        |            ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE (doc_id % 10 <> 0 OR doc_id % 5 = 0) AND doc_id % 97 <> 3""".stripMargin,
 
     "snapshot_merge_mark_stale" ->
       """SELECT doc_id,

@@ -1139,6 +1139,214 @@ object VersionedSnapshot {
     }
   }
 
+  /** Right-to-be-forgotten: physically remove every row matching
+    * `keyRows` from EVERY retained version — current, history, and
+    * merge-on-read overlays — the GDPR purge production table formats
+    * pair with their time travel (without it, "deleted" subjects live on
+    * in every retained snapshot and in [[readVersion]]).
+    *
+    * Unlike every other write in this layer, purge edits committed
+    * versions IN PLACE — that is the operation's nature: history itself
+    * must forget. Everything else about the layer's discipline is kept:
+    *
+    *  - '''O(affected files), zone/hash-pruned.''' Only bucket dirs the
+    *    purge keys HASH into are probed (per bucket-count generation),
+    *    each probe is one pushed-down point lookup, and a shared data dir
+    *    referenced by several versions is probed and rewritten ONCE (the
+    *    memo) — cost scales with key spread, never with table × history.
+    *  - '''Reader atomicity per metadata file.''' Each updated manifest
+    *    (`_BUCKETS`/`_DELTAS`/`_ZONES`/`_MANIFEST`) commits via the same
+    *    tmp + rename(OVERWRITE) as the `_CURRENT` pointer. Old data dirs
+    *    are NOT deleted here — a reader that resolved the old manifest
+    *    keeps a complete input for its whole query; the next publish's
+    *    orphan sweep reclaims them. Any interleaving of old/new manifest
+    *    reads is correct: stale `_ZONES`/`_BLOOMS` entries only
+    *    over-include (both consult paths treat missing entries as
+    *    "cannot prune"), and fresh stats are regenerated for rewritten
+    *    dirs so pruning quality survives the purge.
+    *  - '''Fail fast, mutate late.''' Flat (pre-bucketed) retained
+    *    versions are self-contained and cannot be swapped atomically, so
+    *    a purge key found in one raises BEFORE anything is rewritten —
+    *    one [[mergeInto]] migrates the layout.
+    *
+    * Multi-file clustered bucket dirs collapse to one file on rewrite
+    * (zones regenerated accordingly); `_LAST_BATCH` markers are left
+    * untouched so streaming replay semantics survive. Returns the number
+    * of data/overlay dirs rewritten. */
+  def purgeKeys(spark: SparkSession, baseDir: String, keys: Seq[String],
+      keyRows: Seq[Seq[Any]]): Int = {
+    require(keys.nonEmpty, "purge needs at least one key column")
+    require(keyRows.nonEmpty, "purge needs at least one key tuple")
+    require(keyRows.size <= MaxPushdownKeys,
+      s"purge is a point operation: at most $MaxPushdownKeys key tuples per call")
+    require(keyRows.forall(_.size == keys.size),
+      s"every key tuple must have ${keys.size} values")
+    val f = fs(spark, baseDir)
+    val base = new Path(baseDir)
+    if (currentVersion(spark, baseDir).isEmpty) return 0
+
+    def matchCond(): Column =
+      if (keys.size == 1)
+        coalesce(col(keys.head).isin(keyRows.map(_.head): _*), lit(false))
+      else keyRows.map(t =>
+        keys.zip(t).map { case (k, v) => col(k) <=> lit(v) }.reduce(_ && _))
+        .reduce(_ || _)
+
+    val vdirs = f.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+      .map(_.getPath).sortBy(_.getName)
+
+    // fail fast: a flat version holding a purged key cannot be rewritten
+    // atomically — raise before ANY mutation so the purge is all-or-nothing
+    vdirs.foreach { vdir =>
+      if (parseBuckets(f, vdir).isEmpty) {
+        val d = spark.read.parquet(vdir.toString)
+        if (keys.forall(d.columns.contains) &&
+            d.filter(matchCond()).limit(1).count() > 0)
+          throw new IllegalStateException(
+            s"purge requires the bucketed layout, but flat version " +
+              s"${vdir.getName} contains matching rows — one mergeInto " +
+              "migrates the table")
+      }
+    }
+
+    // the purge keys' hash buckets, per bucket-count generation, computed
+    // with the TABLE's key dtypes so write- and probe-side hashing agree
+    val curSchema = read(spark, baseDir).get.schema
+    val keySchema = org.apache.spark.sql.types.StructType(
+      keys.map(k => curSchema(k)))
+    import scala.jdk.CollectionConverters._
+    val keysDf = spark.createDataFrame(
+      keyRows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, keySchema)
+    val nbs = vdirs.flatMap(vd => parseBuckets(f, vd).map(_._1)).toSet
+    val hitBuckets: Map[Int, Set[Int]] = nbs.map { nb =>
+      nb -> keysDf.select(bucketOf(keys, nb).as("__b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+    }.toMap
+
+    // fresh purge-dir names: above every existing data/ entry
+    val dataRoot = new Path(base, DataDirName)
+    var pSeq = (if (f.exists(dataRoot)) f.listStatus(dataRoot).toSeq else Nil)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("p") => n.drop(1).toLongOption }
+      .flatten.maxOption.getOrElse(-1L) + 1
+    def allocName(): String = {
+      val n = "p" + "%05d".formatLocal(java.util.Locale.ROOT, pSeq)
+      pSeq += 1
+      n
+    }
+
+    def atomicSmallFile(p: Path, content: String): Unit = {
+      val tmp = new Path(p.getParent, p.getName + ".tmp")
+      writeSmallFile(f, tmp, content)
+      FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, p, Options.Rename.OVERWRITE)
+    }
+
+    // shared-dir memo: probe + rewrite each data dir exactly once, no
+    // matter how many retained versions reference it
+    val memo = scala.collection.mutable.Map.empty[String, Option[String]]
+    def rewritten(rel: String): Option[String] = memo.getOrElseUpdate(rel, {
+      val d = spark.read.parquet(new Path(base, rel).toString)
+      if (!keys.forall(d.columns.contains)) None
+      else if (d.filter(matchCond()).limit(1).count() == 0) None
+      else {
+        val gName = allocName()
+        val tail = rel.split('/').drop(2).mkString("/") // "" for overlays
+        val newRel =
+          if (tail.isEmpty) s"$DataDirName/$gName"
+          else s"$DataDirName/$gName/$tail"
+        d.filter(!matchCond()).coalesce(1)
+          .write.mode("overwrite").parquet(new Path(base, newRel).toString)
+        Some(newRel)
+      }
+    })
+
+    vdirs.foreach { vdir =>
+      val bucketUpdates: Map[String, String] = parseBuckets(f, vdir) match {
+        case Some((nb, entries)) =>
+          val hits = hitBuckets(nb)
+          val updates = entries.toSeq.collect {
+            case (b, rel) if hits(b) => rewritten(rel).map(rel -> _)
+          }.flatten.toMap
+          if (updates.nonEmpty) {
+            val newEntries = entries.map { case (b, rel) =>
+              b -> updates.getOrElse(rel, rel)
+            }
+            atomicSmallFile(new Path(vdir, BucketsName),
+              (s"buckets=$nb" +: newEntries.toSeq.sortBy(_._1)
+                .map { case (b, rel) => s"$b:$rel" }).mkString("\n"))
+          }
+          updates
+        case None => Map.empty
+      }
+      val overlayUpdates: Map[String, String] = parseDeltas(f, vdir) match {
+        case Some((dkeys, overlays)) =>
+          val updates = overlays.flatMap(r => rewritten(r).map(r -> _)).toMap
+          if (updates.nonEmpty)
+            atomicSmallFile(new Path(vdir, DeltasName),
+              (s"keys=${dkeys.mkString(",")}" +:
+                overlays.map(r => updates.getOrElse(r, r))).mkString("\n"))
+          updates
+        case None => Map.empty
+      }
+      if (bucketUpdates.nonEmpty) {
+        // zonemap: drop the rewritten dirs' file entries, regenerate fresh
+        // stats for the replacement dirs (same header, padded None for any
+        // stats column a pre-evolution dir does not carry)
+        parseZones(f, vdir).foreach { z =>
+          val statCols = z.keys ++ z.vcols
+          val keep = z.entries.toSeq.filterNot { case (frel, _) =>
+            bucketUpdates.keySet.exists(r => frel.startsWith(r + "/"))
+          }.map { case (rel2, (n, rs)) => (rel2, n, rs) }
+          val fresh = bucketUpdates.values.toSeq.distinct.flatMap { newRel =>
+            val gName = newRel.split('/')(1)
+            val gDir = new Path(dataRoot, gName)
+            val sch = spark.read.parquet(gDir.toString).schema
+            val present = statCols.filter(sch.fieldNames.contains)
+            freshZoneStats(spark, gDir, gName, present, sch).map {
+              case (rel2, n, rs) =>
+                val byCol = present.zip(rs).toMap
+                (rel2, n, statCols.map(c => byCol.getOrElse(c, None)))
+            }
+          }
+          val zLines = Seq(s"keys=${z.keys.mkString(",")}",
+            s"tags=${z.tags.mkString(",")}",
+            s"cols=${z.vcols.mkString(",")}",
+            s"ctags=${z.vtags.mkString(",")}") ++
+            (keep ++ fresh).sortBy(_._1).map { case (r2, n, rs) =>
+              zoneLine(r2, n, rs)
+            }
+          atomicSmallFile(new Path(vdir, ZonesName), zLines.mkString("\n"))
+        }
+        // bloom sidecar: same drop-and-regenerate (a dropped entry would
+        // also be safe — the consult treats missing entries as un-prunable)
+        parseBlooms(f, vdir).foreach { case (bkeys, bs) =>
+          val keep = bs.toSeq.filterNot { case (frel, _) =>
+            bucketUpdates.keySet.exists(r => frel.startsWith(r + "/"))
+          }
+          val fresh = bucketUpdates.values.toSeq.distinct.flatMap { newRel =>
+            val gName = newRel.split('/')(1)
+            freshBloomStats(spark, new Path(dataRoot, gName), gName, bkeys)
+          }
+          val lines = Seq(s"keys=${bkeys.mkString(",")}",
+            s"m=$BloomBits", s"k=$BloomK") ++
+            (keep ++ fresh).sortBy(_._1).map { case (rel2, b) =>
+              s"$rel2\t${java.util.Base64.getEncoder.encodeToString(b)}"
+            }
+          atomicSmallFile(new Path(vdir, BloomsName), lines.mkString("\n"))
+        }
+      }
+      if (bucketUpdates.nonEmpty || overlayUpdates.nonEmpty)
+        // integrity manifest reflects the new inventory (reads the just-
+        // committed metadata back from disk)
+        atomicSmallFile(new Path(vdir, ManifestName),
+          inventory(f, base, vdir).map { case (n, l) => s"$n:$l" }
+            .mkString("\n"))
+    }
+    memo.values.count(_.isDefined)
+  }
+
   // ------------------------------------------------------------- publication
 
   /** Clear uncommitted leftovers from crashed publishes (version dirs
