@@ -28,6 +28,8 @@ object SparkEntry {
   // DuckDB oracle below — drift between the two is a silent hash-mismatch.
   private val Dim = 64          // embedding dimensionality (TESTDATA.md)
   private val PcRounds = 8      // embedding_top_pc: power-iteration rounds
+  private val ShardK = 8        // export_shards: training-shard count
+  private val DecontamPanel = 40 // semantic_decontam: held-out panel size
   private val AnnK = 5          // top-k for every ANN query
   private val LshBits = 10      // lsh_topk: bits per hyperplane table
   private val LshTables = 4     // lsh_topk: independent tables
@@ -899,6 +901,50 @@ object SparkEntry {
         GramPca.moments(ins3, "embedding", Dim), GramPca.zero(Dim), Dim)
       GramPca.covarianceRows(s, m, Dim)
     }),
+
+    // ---- SEMANTIC decontamination (the embedding-space sibling of the
+    // n-gram `decontam_*` tier): flag corpus vectors whose cosine to ANY
+    // held-out panel vector clears τ = 0.35. Entirely in exact e3-integer
+    // arithmetic — the threshold test is 400·dot² ≥ 49·‖a‖²·‖b‖² with
+    // dot > 0 (τ² = 49/400), every term int64-bounded (dot ≤ 64·530² ≈
+    // 1.8·10⁷) — so both engines agree bit-for-bit with no float cosine
+    // anywhere. Panel is the hash-ordered LIMIT (plan-lint-bounded
+    // broadcast); cost is panel-linear over the corpus at any scale ----
+    "semantic_decontam" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q3 = transform(col("embedding").cast("array<double>"),
+        x => floor(x * lit(1000.0) + lit(0.5)).cast("long"))
+      def selfDot(c: Column) =
+        aggregate(zip_with(c, c, (a, b) => a * b), lit(0L), (acc, e) => acc + e)
+      val both = emb.select(col("vec_id"), q3.as("q"))
+      val panel = both
+        .withColumn("__h", graft.functions.PortableHash.hash60(col("vec_id")))
+        .orderBy(col("__h").asc, col("vec_id").asc).limit(DecontamPanel)
+        .select(col("vec_id").as("p_id"), col("q").as("pq"),
+          selfDot(col("q")).as("nb2"))
+      val corpus = both
+        .join(panel.select(col("p_id").as("vec_id")), Seq("vec_id"), "left_anti")
+        .withColumn("na2", selfDot(col("q")))
+      val dot = aggregate(zip_with(col("q"), col("pq"), (a, b) => a * b),
+        lit(0L), (acc, e) => acc + e)
+      corpus.crossJoin(broadcast(panel))
+        .withColumn("__dot", dot)
+        .filter(col("__dot") > 0 &&
+          lit(400L) * col("__dot") * col("__dot") >=
+            lit(49L) * col("na2") * col("nb2"))
+        .groupBy("vec_id").agg(count(lit(1)).as("n_hits"))
+    }),
+
+    // ---- snake-balanced shard export (the boustrophedon assignment a
+    // training loader uses so every worker's shard carries ~equal
+    // tokens): rank docs by (tokens desc, id) with the TWO-PHASE global
+    // index — never a one-task window — then shard = snake(rank, K).
+    // Sorted-descending snake is the classic LPT-quality heuristic ----
+    "export_shards" -> ((s, dir) =>
+      shardAssignFor(s, dir).select("doc_id", "shard")),
+    "shard_balance" -> ((s, dir) =>
+      shardAssignFor(s, dir).groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"))),
     // portable (md5-family) configurations so the DuckDB oracles are exact;
     // the xxhash64 default family remains the faster non-oracle path
     "minhash_lsh_pairs" -> ((s, dir) =>
@@ -6482,6 +6528,21 @@ object SparkEntry {
     * covariance in HUGEINT with `//` (truncates toward zero — verified
     * equal to Scala `BigInt./` on negatives). MATERIALIZED because the
     * power-iteration oracle references it from every unrolled round. */
+  /** Shared derivation for `export_shards` / `shard_balance`: global
+    * token-count rank (two-phase [[graft.operators.GlobalIndex]] — the
+    * scalable form, never a single-task window) + the snake assignment.
+    * Nonnegative ranks make `div`/`%` portable verbatim. */
+  private def shardAssignFor(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val ranked = graft.operators.GlobalIndex.withGlobalIndex(docs, "__rn",
+      col("n_tok").desc, col("doc_id").asc)
+    val pos = pmod(col("__rn"), lit(ShardK.toLong))
+    val shard = when(expr(s"(__rn div $ShardK) % 2 = 0"), pos)
+      .otherwise(lit(ShardK.toLong - 1) - pos)
+    ranked.select(col("doc_id"), col("n_tok"), shard.cast("int").as("shard"))
+  }
+
   private def embeddingCovCtes: String = embeddingCovCtesFrom("embeddings")
 
   private def embeddingCovCtesFrom(src: String): String =
@@ -10631,6 +10692,57 @@ object SparkEntry {
     "embedding_pc_scores" -> embeddingPcScoresOracle,
     // final state of the incr_cov_view CDC feed, computed directly: all
     // vectors minus the %5 delete wave, plus the %10 reversed re-inserts
+    "semantic_decontam" ->
+      s"""WITH q3 AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 1000.0 + 0.5)
+        |              AS BIGINT) AS q
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2
+        |          FROM q3 GROUP BY 1),
+        |panel AS (SELECT vec_id FROM embeddings
+        |          ORDER BY ${dh("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC
+        |          LIMIT $DecontamPanel),
+        |dots AS (
+        |  SELECT c.vec_id AS vec_id, p.vec_id AS p_id,
+        |         CAST(sum(c.q * p.q) AS BIGINT) AS dot
+        |  FROM q3 c JOIN q3 p ON c.i = p.i
+        |  WHERE p.vec_id IN (SELECT vec_id FROM panel)
+        |    AND c.vec_id NOT IN (SELECT vec_id FROM panel)
+        |  GROUP BY 1, 2)
+        |SELECT d.vec_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM dots d JOIN norms na ON d.vec_id = na.vec_id
+        |            JOIN norms nb ON d.p_id = nb.vec_id
+        |WHERE d.dot > 0 AND 400 * d.dot * d.dot >= 49 * na.n2 * nb.n2
+        |GROUP BY 1""".stripMargin,
+
+    "export_shards" ->
+      s"""WITH t AS (SELECT doc_id,
+        |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |            FROM documents),
+        |r AS (SELECT doc_id, n_tok,
+        |        row_number() OVER (ORDER BY n_tok DESC, doc_id ASC) - 1 AS rn
+        |      FROM t)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN (rn // $ShardK) % 2 = 0 THEN rn % $ShardK
+        |       ELSE ${ShardK - 1} - rn % $ShardK END AS INTEGER) AS shard
+        |FROM r""".stripMargin,
+
+    "shard_balance" ->
+      s"""WITH t AS (SELECT doc_id,
+        |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |            FROM documents),
+        |r AS (SELECT doc_id, n_tok,
+        |        row_number() OVER (ORDER BY n_tok DESC, doc_id ASC) - 1 AS rn
+        |      FROM t),
+        |a AS (SELECT n_tok,
+        |  CAST(CASE WHEN (rn // $ShardK) % 2 = 0 THEN rn % $ShardK
+        |       ELSE ${ShardK - 1} - rn % $ShardK END AS INTEGER) AS shard
+        |  FROM r)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS sum_tok
+        |FROM a GROUP BY 1""".stripMargin,
+
     "incr_cov_view" ->
       s"""WITH fin AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0

@@ -41,6 +41,22 @@ class JaroWinklerSpec extends SparkSpec {
     assert(got === Seq(961111L, 820000L))
   }
 
+  test("properties: symmetry, range, identity over 200 generated pairs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def str(seed: Long, n: Int): String =
+      Gen.listOfN(n, Gen.alphaLowerChar)
+        .apply(Gen.Parameters.default, Seed(seed)).get.mkString
+    (1 to 200).foreach { i =>
+      val a = str(i.toLong, 1 + i % 14)
+      val b = str(i.toLong + 5000L, 1 + (i * 7) % 14)
+      val ab = JaroWinkler.jwE6(a, b)
+      assert(ab === JaroWinkler.jwE6(b, a), s"asymmetric on $a/$b")
+      assert(ab >= 0L && ab <= 1000000L, s"out of range on $a/$b: $ab")
+      assert(JaroWinkler.jwE6(a, a) === 1000000L)
+    }
+  }
+
   test("null inputs yield null, not a crash") {
     val got = Seq((Option("x"), Option.empty[String]))
       .toDF("a", "b")
