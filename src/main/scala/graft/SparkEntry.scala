@@ -902,6 +902,36 @@ object SparkEntry {
       GramPca.covarianceRows(s, m, Dim)
     }),
 
+    // ---- difference-in-differences (Card-Krueger '94 shape): the causal
+    // effect estimate an experimentation team reads when assignment isn't
+    // randomized per event — treatment = deterministic hash half of
+    // customers, pre/post = a date pivot, metric = order value in exact
+    // cents. ONE map-side-combinable row of 2×2 cell sums; the estimate
+    // is the same double expression over the same int64 sums on both
+    // engines ----
+    "did_estimate" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        pmod(graft.functions.PortableHash.hash60(col("o_custkey")), lit(2L))
+          .as("treat"),
+        when(col("o_orderdate") >= lit("1998-01-01"), 1L).otherwise(0L)
+          .as("post"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def cell(t: Int, p: Int) = (col("treat") === t && col("post") === p)
+      o.agg(
+        sum(when(cell(1, 1), 1L).otherwise(0L)).as("n_tp"),
+        sum(when(cell(1, 0), 1L).otherwise(0L)).as("n_t0"),
+        sum(when(cell(0, 1), 1L).otherwise(0L)).as("n_cp"),
+        sum(when(cell(0, 0), 1L).otherwise(0L)).as("n_c0"),
+        sum(when(cell(1, 1), col("cents")).otherwise(0L)).as("s_tp"),
+        sum(when(cell(1, 0), col("cents")).otherwise(0L)).as("s_t0"),
+        sum(when(cell(0, 1), col("cents")).otherwise(0L)).as("s_cp"),
+        sum(when(cell(0, 0), col("cents")).otherwise(0L)).as("s_c0"))
+        .withColumn("did_e6", expr(
+          "CAST(floor(((CAST(s_tp AS DOUBLE)/n_tp - CAST(s_t0 AS DOUBLE)/n_t0)" +
+            " - (CAST(s_cp AS DOUBLE)/n_cp - CAST(s_c0 AS DOUBLE)/n_c0))" +
+            " * 1000000.0 + 0.5) AS BIGINT)"))
+    }),
+
     // ---- SEMANTIC decontamination (the embedding-space sibling of the
     // n-gram `decontam_*` tier): flag corpus vectors whose cosine to ANY
     // held-out panel vector clears τ = 0.35. Entirely in exact e3-integer
@@ -10692,6 +10722,26 @@ object SparkEntry {
     "embedding_pc_scores" -> embeddingPcScoresOracle,
     // final state of the incr_cov_view CDC feed, computed directly: all
     // vectors minus the %5 delete wave, plus the %10 reversed re-inserts
+    "did_estimate" ->
+      s"""WITH o AS (SELECT ${dh("CAST(o_custkey AS VARCHAR)")} % 2 AS treat,
+        |  CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS post,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |c AS (SELECT
+        |  CAST(sum(CASE WHEN treat=1 AND post=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+        |  CAST(sum(CASE WHEN treat=1 AND post=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+        |  CAST(sum(CASE WHEN treat=0 AND post=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+        |  CAST(sum(CASE WHEN treat=0 AND post=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+        |  CAST(sum(CASE WHEN treat=1 AND post=1 THEN cents ELSE 0 END) AS BIGINT) AS s_tp,
+        |  CAST(sum(CASE WHEN treat=1 AND post=0 THEN cents ELSE 0 END) AS BIGINT) AS s_t0,
+        |  CAST(sum(CASE WHEN treat=0 AND post=1 THEN cents ELSE 0 END) AS BIGINT) AS s_cp,
+        |  CAST(sum(CASE WHEN treat=0 AND post=0 THEN cents ELSE 0 END) AS BIGINT) AS s_c0
+        |  FROM o)
+        |SELECT n_tp, n_t0, n_cp, n_c0, s_tp, s_t0, s_cp, s_c0,
+        |  CAST(floor(((CAST(s_tp AS DOUBLE)/n_tp - CAST(s_t0 AS DOUBLE)/n_t0)
+        |    - (CAST(s_cp AS DOUBLE)/n_cp - CAST(s_c0 AS DOUBLE)/n_c0))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS did_e6
+        |FROM c""".stripMargin,
+
     "semantic_decontam" ->
       s"""WITH q3 AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -48,6 +48,30 @@ class GramPcaSpec extends SparkSpec {
     assert(got.p.toSeq === want.p.toSeq)
   }
 
+  test("streaming foreachBatch accumulation equals the batch moments") {
+    // the moments are additive, so a stream maintains covariance by
+    // applyDelta per micro-batch — no state store, no corpus rescans
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Seq[Double]]
+    @volatile var acc = GramPca.zero(2)
+    val q = input.toDF.toDF("embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc = GramPca.applyDelta(acc,
+          GramPca.moments(b, "embedding", 2), GramPca.zero(2), 2)
+      }.start()
+    try {
+      input.addData(Seq(1.0, 2.0), Seq(3.0, 2.0))
+      q.processAllAvailable()
+      input.addData(Seq(1.0, 4.0), Seq(3.0, 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = GramPca.moments(tiny, "embedding", 2)
+    assert(acc.n === want.n)
+    assert(acc.s.toSeq === want.s.toSeq)
+    assert(acc.p.toSeq === want.p.toSeq)
+  }
+
   test("power iteration finds the dominant axis of a diagonal matrix") {
     // diag(9, 1): dominant eigenvector is e0; the e1 component decays by
     // 1/9 per round, so after 8 rounds it is < 1 at e6 scale.
