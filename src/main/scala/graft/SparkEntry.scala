@@ -944,8 +944,9 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val q3 = transform(col("embedding").cast("array<double>"),
         x => floor(x * lit(1000.0) + lit(0.5)).cast("long"))
-      def selfDot(c: Column) =
-        aggregate(zip_with(c, c, (a, b) => a * b), lit(0L), (acc, e) => acc + e)
+      // native codegen'd long dot (LongDot) — the HOF form would interpret
+      // its lambdas outside whole-stage codegen on the panel×corpus scan
+      def selfDot(c: Column) = graft.functions.expressions.LongDot(c, c)
       val both = emb.select(col("vec_id"), q3.as("q"))
       val panel = both
         .withColumn("__h", graft.functions.PortableHash.hash60(col("vec_id")))
@@ -955,10 +956,9 @@ object SparkEntry {
       val corpus = both
         .join(panel.select(col("p_id").as("vec_id")), Seq("vec_id"), "left_anti")
         .withColumn("na2", selfDot(col("q")))
-      val dot = aggregate(zip_with(col("q"), col("pq"), (a, b) => a * b),
-        lit(0L), (acc, e) => acc + e)
       corpus.crossJoin(broadcast(panel))
-        .withColumn("__dot", dot)
+        .withColumn("__dot",
+          graft.functions.expressions.LongDot(col("q"), col("pq")))
         .filter(col("__dot") > 0 &&
           lit(400L) * col("__dot") * col("__dot") >=
             lit(49L) * col("na2") * col("nb2"))

@@ -197,12 +197,15 @@ object GramPca {
     val m = moments(df, vecCol, dim)
     val v = powerIterate(covarianceQ(m, dim), rounds)
     val center = m.s.map(_ / m.n)
+    // Σ(q−c)·v = Σq·v − Σc·v: the center term is a CONSTANT, folded
+    // driver-side, so the per-row work is one native codegen'd long dot
+    // (LongDot — the HOF zip_with/aggregate form interprets its lambdas)
+    val centerDot = center.zip(v).map { case (c, w) => c * w }.sum
     val vLit = array(v.map(lit): _*)
-    val cLit = array(center.map(lit): _*)
     val q = transform(col(vecCol).cast("array<double>"),
       x => floor(x * lit(1000.0) + lit(0.5)).cast("long"))
-    val prods = zip_with(zip_with(q, cLit, (a, b) => a - b), vLit, (a, b) => a * b)
     df.select(col(idCol),
-      aggregate(prods, lit(0L), (acc, e) => acc + e).as("score_q"))
+      (graft.functions.expressions.LongDot(q, vLit) - lit(centerDot))
+        .as("score_q"))
   }
 }

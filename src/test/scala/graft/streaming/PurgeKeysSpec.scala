@@ -92,6 +92,65 @@ class PurgeKeysSpec extends SparkSpec {
     assert(ids(base) === Set(1L, 2L)) // untouched
   }
 
+  test("randomized op sequences match an in-memory model at every retained version") {
+    // model-based fuzz: random upsert/delete merges, MoR delta batches and
+    // purges against a Map model; after the run, every retained version
+    // this test published must read back exactly the model's snapshot of
+    // it — purged keys excised from history, everything else untouched
+    (1 to 3).foreach { scenario =>
+      val rnd = new scala.util.Random(9000L + scenario)
+      val base = Files.createTempDirectory(s"graft-purgefz$scenario")
+        .resolve("t").toString
+      var model = Map.empty[Long, Long]
+      var snaps = Map.empty[Long, Map[Long, Long]]
+      def batch(n: Int): Map[Long, Long] =
+        Seq.fill(n)(rnd.nextInt(30).toLong -> rnd.nextInt(10000).toLong).toMap
+      (1 to 14).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 =>
+            val b = batch(1 + rnd.nextInt(5))
+            mergeInto(base, b.toSeq.toDF("k", "v"), Seq("k"), UpdateMatched,
+              insertUnmatched = true, marker = s"m$step", retain = 4,
+              numBuckets = 4)
+            model = model ++ b
+          case 1 if model.nonEmpty =>
+            val b = batch(1 + rnd.nextInt(3))
+            mergeInto(base, b.toSeq.toDF("k", "v"), Seq("k"), DeleteMatched,
+              insertUnmatched = false, marker = s"d$step", retain = 4,
+              numBuckets = 4)
+            model = model -- b.keys
+          case 2 =>
+            val b = batch(1 + rnd.nextInt(4))
+            stageDelta(base, b.toSeq.toDF("k", "v"), Seq("k"), UpdateMatched,
+              marker = s"s$step", retain = 4, numBuckets = 4)
+            model = model ++ b
+          case _ =>
+            if (currentVersion(spark, base).nonEmpty) {
+              val purged = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(30).toLong)
+                .distinct
+              purgeKeys(spark, base, Seq("k"), purged.map(Seq[Any](_)))
+              model = model -- purged
+              snaps = snaps.view.mapValues(_ -- purged).toMap
+            }
+        }
+        currentVersion(spark, base).foreach(v => snaps += v -> model)
+      }
+      // every retained version the test itself published must equal its
+      // model snapshot (intermediate pre-merge-compact versions are not in
+      // the map and are skipped); require real coverage
+      var checked = 0
+      snaps.foreach { case (v, want) =>
+        readVersion(spark, base, v).foreach { df =>
+          val got = df.select("k", "v").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got === want, s"scenario $scenario v$v diverged")
+          checked += 1
+        }
+      }
+      assert(checked >= 3, s"scenario $scenario compared only $checked versions")
+    }
+  }
+
   test("zonemap and bloom sidecars are regenerated, never left dangling") {
     val base = Files.createTempDirectory("graft-purge4").resolve("t").toString
     mergeInto(base, (1L to 40L).map(k => (k, k)).toDF("k", "v"),
