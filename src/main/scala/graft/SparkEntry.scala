@@ -4059,6 +4059,31 @@ object SparkEntry {
           coalesce(col("n_unconverted"), lit(0L)).as("n_unconverted"))
     }),
 
+    // ---- full reconciliation of the view/purchase interval join (the
+    // batch mirror of intervalJoinStreamFullOuter): matched pairs + BOTH
+    // sides' orphans, each leg through the bucketed 3×-replica interval
+    // machinery (joinWithin / antiWithin) — never a per-user product —
+    // folded to one row by bounded 1-row-aggregate crossJoins ----
+    "event_recon_full" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val delta = 1800L * 1000000L
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("__bk"), col("event_id").as("__bid"),
+          col("ts").as("__bts"))
+      val pairs = graft.operators.Interval.joinWithin(views, buys,
+        "user_id", "__bk", "ts", "__bts", delta, Seq("__bid"))
+      val vOrph = graft.operators.Interval.antiWithin(views, buys,
+        "user_id", "__bk", "ts", "__bts", delta, "event_id")
+      val bOrph = graft.operators.Interval.antiWithin(
+        buys, views.select(col("user_id").as("__vk"), col("ts").as("__vts")),
+        "__bk", "__vk", "__bts", "__vts", delta, "__bid")
+      pairs.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(vOrph.agg(count(lit(1)).as("n_view_orphans"))))
+        .crossJoin(broadcast(bOrph.agg(count(lit(1)).as("n_purchase_orphans"))))
+    }),
+
     // ---- exact interpolated quantiles per group ----
     "orders_quantiles" -> ((s, dir) =>
       Tables.orders(s, dir).groupBy("o_orderpriority")
@@ -10168,6 +10193,25 @@ object SparkEntry {
 
     // plain inequality join is the oracle — proving the bucketed-bin
     // candidate generation loses no pairs and invents none
+    "event_recon_full" ->
+      """WITH v AS (SELECT user_id, event_id, ts FROM events
+        |           WHERE event_type = 'view' AND user_id IS NOT NULL),
+        |b AS (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM v JOIN b
+        |      ON v.user_id = b.user_id
+        |      AND abs(epoch_us(v.ts) - epoch_us(b.ts)) <= 1800000000),
+        |vo AS (SELECT CAST(count(*) AS BIGINT) AS n_view_orphans FROM v
+        |       WHERE NOT EXISTS (SELECT 1 FROM b
+        |         WHERE b.user_id = v.user_id
+        |         AND abs(epoch_us(v.ts) - epoch_us(b.ts)) <= 1800000000)),
+        |bo AS (SELECT CAST(count(*) AS BIGINT) AS n_purchase_orphans FROM b
+        |       WHERE NOT EXISTS (SELECT 1 FROM v
+        |         WHERE v.user_id = b.user_id
+        |         AND abs(epoch_us(v.ts) - epoch_us(b.ts)) <= 1800000000))
+        |SELECT p.n_pairs, vo.n_view_orphans, bo.n_purchase_orphans
+        |FROM p CROSS JOIN vo CROSS JOIN bo""".stripMargin,
+
     "event_pairs_within" ->
       """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
         | abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us

@@ -476,4 +476,17 @@ object StreamingKpis {
       delta: String = "30 minutes", lateness: String = "1 hour"): DataFrame =
     intervalJoinStream(left, right, leftKey, rightKey, leftTs, rightTs,
       delta, lateness, joinType = "leftOuter")
+
+  /** [[intervalJoinStream]] with `fullOuter` semantics — BOTH sides'
+    * unmatched rows eventually emit null-padded, each once its own join
+    * window is provably closed by the opposite watermark (the same
+    * deferred-emission argument as [[intervalJoinStreamLeftOuter]],
+    * applied symmetrically). The reconciliation-report shape: "every
+    * click AND every purchase, matched where possible" — what an audit
+    * needs when orphans on either side are findings, not noise. */
+  def intervalJoinStreamFullOuter(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      delta: String = "30 minutes", lateness: String = "1 hour"): DataFrame =
+    intervalJoinStream(left, right, leftKey, rightKey, leftTs, rightTs,
+      delta, lateness, joinType = "fullOuter")
 }

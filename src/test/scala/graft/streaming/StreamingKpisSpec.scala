@@ -445,6 +445,40 @@ class StreamingKpisSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStreamFullOuter emits BOTH sides' orphans null-padded after closure") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-06-25 $h%02d:$m%02d:00")
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamingKpis.intervalJoinStreamFullOuter(
+      clicks.toDF.toDF("c_user", "c_ts"), buys.toDF.toDF("b_user", "b_ts"),
+      "c_user", "b_user", "c_ts", "b_ts",
+      delta = "10 minutes", lateness = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("stream_foj")
+      .outputMode("append").start()
+    try {
+      // user 1 matches; user 2 clicks and never buys; user 3 buys with no click
+      clicks.addData((1L, ts(10, 0)), (2L, ts(10, 0)))
+      buys.addData((1L, ts(10, 8)), (3L, ts(10, 2)))
+      q.processAllAvailable()
+      // advance both watermarks far past every window
+      clicks.addData((9L, ts(12, 0)))
+      buys.addData((9L, ts(12, 0)))
+      q.processAllAvailable()
+      clicks.addData((9L, ts(12, 30)))
+      buys.addData((9L, ts(12, 30)))
+      q.processAllAvailable()
+      val rows = spark.table("stream_foj").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows.contains((1L, 1L)), s"matched pair missing from $rows")
+      assert(rows.contains((2L, -1L)), s"left orphan must emit null-padded: $rows")
+      assert(rows.contains((-1L, 3L)), s"right orphan must emit null-padded: $rows")
+    } finally q.stop()
+  }
+
   test("streaming EWMA maintenance: foreachBatch partials merge equals batch recompute") {
     // the ewmaPartials merge law (ResampleSpec) driven through the REAL
     // Structured Streaming path: each micro-batch's partials are re-summed
