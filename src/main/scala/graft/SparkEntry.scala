@@ -871,6 +871,12 @@ object SparkEntry {
     "embedding_top_pc" -> ((s, dir) =>
       graft.operators.GramPca.topPc(Tables.embeddings(s, dir), "embedding", Dim,
         rounds = PcRounds)),
+    // second principal direction via exact-integer Hotelling deflation
+    // (BigInt-centered, one truncation per entry, oracle-mirrored in
+    // HUGEINT) — with embedding_top_pc this spans the top-2 subspace
+    "embedding_pc2" -> ((s, dir) =>
+      graft.operators.GramPca.topPc2(Tables.embeddings(s, dir), "embedding",
+        Dim, rounds = PcRounds)),
     // per-vector coordinate along the dominant direction (outlier/drift
     // ranking): the model re-enters the plan as literal arrays, so the
     // scoring pass is a zero-shuffle codegen'd zip_with/aggregate scan
@@ -6640,6 +6646,40 @@ object SparkEntry {
        |FROM v$PcRounds JOIN (SELECT i AS pos, cov_q FROM cov WHERE i = j) d
        |     ON v$PcRounds.pos = d.pos""".stripMargin
 
+  /** Mirror of [[graft.operators.GramPca.topPc2]]: the v$PcRounds chain,
+    * then Hotelling deflation with every >64-bit term in HUGEINT (vᵀCv ≈
+    * 10²⁰), one `//` truncation per entry — bit-identical to the BigInt
+    * driver-side math — and a second unrolled iteration over c2f. */
+  private def embeddingPc2Oracle: String = {
+    val rounds2 = (1 to PcRounds).map { r =>
+      s"""x$r AS (SELECT c.i AS pos, CAST(sum(c.c2 * v.v) AS BIGINT) AS w
+         |       FROM c2f c JOIN u${r - 1} v ON c.j = v.pos GROUP BY 1),
+         |y$r AS (SELECT greatest(CAST(max(abs(w)) // 1000000 AS BIGINT),
+         |                        CAST(1 AS BIGINT)) AS m FROM x$r),
+         |u$r AS MATERIALIZED (SELECT pos, CAST(w // m AS BIGINT) AS v
+         |                     FROM x$r CROSS JOIN y$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embeddingPcChainCtes,
+       |wv AS (SELECT c.i AS pos,
+       |         CAST(sum(CAST(c.cov_q AS HUGEINT) * v.v) AS HUGEINT) AS w
+       |       FROM covf c JOIN v$PcRounds v ON c.j = v.pos GROUP BY 1),
+       |lam AS (SELECT CAST(sum(w.w * CAST(v.v AS HUGEINT)) AS HUGEINT) AS lam
+       |        FROM wv w JOIN v$PcRounds v ON w.pos = v.pos),
+       |vtv AS (SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS vtv
+       |        FROM v$PcRounds),
+       |c2f AS MATERIALIZED (
+       |  SELECT c.i, c.j,
+       |    CAST(c.cov_q - (lam.lam * va.v * vb.v) // (vtv.vtv * vtv.vtv)
+       |         AS BIGINT) AS c2
+       |  FROM covf c CROSS JOIN lam CROSS JOIN vtv
+       |  JOIN v$PcRounds va ON c.i = va.pos
+       |  JOIN v$PcRounds vb ON c.j = vb.pos),
+       |u0 AS (SELECT DISTINCT i AS pos, CAST(1000000 AS BIGINT) AS v FROM cov),
+       |$rounds2
+       |SELECT u$PcRounds.pos AS pos, u$PcRounds.v AS pc2_scaled
+       |FROM u$PcRounds""".stripMargin
+  }
+
   /** Mirror of [[graft.operators.GramPca.pcScores]]: the same chain, then
     * the centered dot product per vector — center c = Σq // n (truncation
     * toward zero on both engines). */
@@ -10763,6 +10803,7 @@ object SparkEntry {
     "embedding_cov" ->
       s"WITH $embeddingCovCtes SELECT i, j, cov_q FROM cov",
     "embedding_top_pc" -> embeddingTopPcOracle,
+    "embedding_pc2" -> embeddingPc2Oracle,
     "embedding_pc_scores" -> embeddingPcScoresOracle,
     // final state of the incr_cov_view CDC feed, computed directly: all
     // vectors minus the %5 delete wave, plus the %10 reversed re-inserts

@@ -184,6 +184,35 @@ object GramPca {
     (0 until dim).map(i => (i, c(i)(i), v(i))).toDF("pos", "var_q", "pc_scaled")
   }
 
+  /** Hotelling deflation in exact integers: C₂ = C − λ·v·vᵀ/(vᵀv) with
+    * λ = vᵀCv/(vᵀv), i.e. per entry C₂ᵢⱼ = Cᵢⱼ − (vᵀCv)·vᵢ·vⱼ/(vᵀv)² —
+    * numerator and denominator carried in BigInt (vᵀCv ≈ 10²⁰ crosses 64
+    * bits), one truncation toward zero per entry, mirrored verbatim by
+    * the oracle's HUGEINT `//`. Entries stay ≤ ~λ ≤ trace(C), so the
+    * following power iteration's int64 budget still holds. */
+  def deflate(c: Array[Array[Long]], v: Array[Long]): Array[Array[Long]] = {
+    val dim = c.length
+    val w = Array.tabulate(dim)(i =>
+      (0 until dim).map(j => BigInt(c(i)(j)) * v(j)).sum)
+    val lam = (0 until dim).map(i => w(i) * v(i)).sum // vᵀCv
+    val vtv = v.map(x => BigInt(x) * x).sum
+    require(vtv > 0, "deflation of a zero direction")
+    val den = vtv * vtv
+    Array.tabulate(dim, dim)((i, j) =>
+      (BigInt(c(i)(j)) - (lam * v(i) * v(j)) / den).toLong)
+  }
+
+  /** Second principal direction: deflate the dominant one out, iterate
+    * again — (pos, pc2_scaled). With [[topPc]] this spans the top-2
+    * subspace an embedding-drift monitor projects onto. */
+  def topPc2(df: DataFrame, vecCol: String, dim: Int, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val c = covarianceQ(moments(df, vecCol, dim), dim)
+    val v2 = powerIterate(deflate(c, powerIterate(c, rounds)), rounds)
+    v2.toSeq.zipWithIndex.map { case (x, i) => (i, x) }.toDF("pos", "pc2_scaled")
+  }
+
   /** Per-vector coordinate along the dominant direction:
     * score_q = Σ_j (q_j − c_j)·v_j with c_j = Σq_j/n (truncated) — the
     * outlier/drift score an embedding audit ranks by. The model (center +

@@ -100,6 +100,19 @@ class GramPcaSpec extends SparkSpec {
     assert(m.s.toSeq === Seq(4000L, 4000L)) // NaN -> q = 0
   }
 
+  test("deflation exposes the second axis of a diagonal matrix") {
+    val c = Array(
+      Array(9000000L, 0L, 0L),
+      Array(0L, 4000000L, 0L),
+      Array(0L, 0L, 1000000L))
+    val v1 = GramPca.powerIterate(c, 8)
+    assert(math.abs(v1(0)) >= 1000000L) // dominant axis first
+    val v2 = GramPca.powerIterate(GramPca.deflate(c, v1), 8)
+    assert(math.abs(v2(1)) >= 1000000L, s"second axis, got ${v2.toSeq}")
+    assert(math.abs(v2(0)) < math.abs(v2(1)) / 100L)
+    assert(math.abs(v2(2)) < math.abs(v2(1)) / 100L)
+  }
+
   test("power iteration is exactly the unrolled integer recurrence") {
     // one round by hand: C = [[2,1],[1,2]], v0 = (1e6, 1e6) ->
     // w = (3e6, 3e6), m = max(1, 3e6/1e6) = 3, v1 = (1e6, 1e6).
