@@ -2774,7 +2774,7 @@ object SparkEntry {
         Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
         marker = "upsert")
       // the subject list: bounded by construction (point purge contract)
-      val purgeIds = docs.filter(col("doc_id") % 97 === 3)
+      val purgeIds = docs.filter(col("doc_id") % 997 === 3)
         .select("doc_id").collect().map(_.getLong(0)).toSeq
       VS.purgeKeys(s, base, Seq("doc_id"), purgeIds.map(Seq[Any](_)))
       VS.readVersion(s, base, v0).get
@@ -11216,13 +11216,13 @@ object SparkEntry {
 
     "snapshot_purge_replay" ->
       """SELECT 'v0' AS at, doc_id, n_chars FROM documents
-        |WHERE doc_id % 10 <> 0 AND doc_id % 97 <> 3
+        |WHERE doc_id % 10 <> 0 AND doc_id % 997 <> 3
         |UNION ALL
         |SELECT 'cur' AS at, doc_id,
         |       CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
         |            ELSE n_chars END AS n_chars
         |FROM documents
-        |WHERE (doc_id % 10 <> 0 OR doc_id % 5 = 0) AND doc_id % 97 <> 3""".stripMargin,
+        |WHERE (doc_id % 10 <> 0 OR doc_id % 5 = 0) AND doc_id % 997 <> 3""".stripMargin,
 
     "snapshot_merge_mark_stale" ->
       """SELECT doc_id,

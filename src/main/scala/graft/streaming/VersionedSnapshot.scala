@@ -1243,14 +1243,50 @@ object VersionedSnapshot {
         .rename(tmp, p, Options.Rename.OVERWRITE)
     }
 
-    // shared-dir memo: probe + rewrite each data dir exactly once, no
+    // candidate dirs across ALL versions: hash-hit buckets + every
+    // overlay. Probed in ONE batched job (input_file_name → dir) rather
+    // than one job per dir — with V versions × B hit buckets the per-dir
+    // form pays ~V·B job-scheduling constants, which dominates wall time
+    // long before any real I/O does.
+    val candidateRels: Seq[String] = vdirs.flatMap { vdir =>
+      val bucketRels = parseBuckets(f, vdir) match {
+        case Some((nb, entries)) =>
+          val hits = hitBuckets(nb)
+          entries.toSeq.collect { case (b, rel) if hits(b) => rel }
+        case None => Nil
+      }
+      bucketRels ++ parseDeltas(f, vdir).map(_._2).getOrElse(Nil)
+    }.distinct
+    def relOf(uri: String): String = {
+      val idx = uri.indexOf(s"/$DataDirName/")
+      uri.substring(idx + 1, uri.lastIndexOf('/'))
+    }
+    val matchedRels: Set[String] =
+      if (candidateRels.isEmpty) Set.empty
+      else try {
+        import org.apache.spark.sql.functions.input_file_name
+        spark.read
+          .parquet(candidateRels.map(r => new Path(base, r).toString): _*)
+          .filter(matchCond())
+          .select(input_file_name().as("__f")).distinct()
+          .collect().map(r => relOf(r.getString(0))).toSet
+      } catch {
+        // schema drift across candidate generations: probe per dir instead
+        case scala.util.control.NonFatal(_) =>
+          candidateRels.filter { rel =>
+            val d = spark.read.parquet(new Path(base, rel).toString)
+            keys.forall(d.columns.contains) &&
+              d.filter(matchCond()).limit(1).count() > 0
+          }.toSet
+      }
+
+    // shared-dir memo: rewrite each matching data dir exactly once, no
     // matter how many retained versions reference it
     val memo = scala.collection.mutable.Map.empty[String, Option[String]]
     def rewritten(rel: String): Option[String] = memo.getOrElseUpdate(rel, {
-      val d = spark.read.parquet(new Path(base, rel).toString)
-      if (!keys.forall(d.columns.contains)) None
-      else if (d.filter(matchCond()).limit(1).count() == 0) None
+      if (!matchedRels.contains(rel)) None
       else {
+        val d = spark.read.parquet(new Path(base, rel).toString)
         val gName = allocName()
         val tail = rel.split('/').drop(2).mkString("/") // "" for overlays
         val newRel =
@@ -1291,24 +1327,46 @@ object VersionedSnapshot {
         case None => Map.empty
       }
       if (bucketUpdates.nonEmpty) {
+        val newRels = bucketUpdates.values.toSeq.distinct
+        val newPaths = newRels.map(r => new Path(base, r).toString)
         // zonemap: drop the rewritten dirs' file entries, regenerate fresh
-        // stats for the replacement dirs (same header, padded None for any
-        // stats column a pre-evolution dir does not carry)
+        // stats for the replacement dirs in ONE batched job (same header,
+        // padded None for any stats column a pre-evolution dir lacks)
         parseZones(f, vdir).foreach { z =>
           val statCols = z.keys ++ z.vcols
           val keep = z.entries.toSeq.filterNot { case (frel, _) =>
             bucketUpdates.keySet.exists(r => frel.startsWith(r + "/"))
           }.map { case (rel2, (n, rs)) => (rel2, n, rs) }
-          val fresh = bucketUpdates.values.toSeq.distinct.flatMap { newRel =>
-            val gName = newRel.split('/')(1)
-            val gDir = new Path(dataRoot, gName)
-            val sch = spark.read.parquet(gDir.toString).schema
+          val fresh: Seq[(String, Long, Seq[Option[(String, String)]])] = {
+            import org.apache.spark.sql.functions.{count => fCount, input_file_name, max => fMax, min => fMin}
+            val d = spark.read.parquet(newPaths: _*)
+            val sch = d.schema
             val present = statCols.filter(sch.fieldNames.contains)
-            freshZoneStats(spark, gDir, gName, present, sch).map {
-              case (rel2, n, rs) =>
-                val byCol = present.zip(rs).toMap
+            val tags = present.map(k => zoneTag(sch(k).dataType))
+            val aggs = fCount(lit(1L)).as("__n") +:
+              present.zip(tags).flatMap { case (k, tag) =>
+                if (tag == "x") Nil
+                else {
+                  val e = zoneNormExpr(sch(k).dataType, k)
+                  Seq(fMin(e).as(s"__min_$k"), fMax(e).as(s"__max_$k"),
+                    fCount(e).as(s"__nn_$k"))
+                }
+              }
+            d.groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*)
+              .collect().toSeq.map { r =>
+                val uri = r.getAs[String]("__f")
+                val rel2 = uri.substring(uri.indexOf(s"/$DataDirName/") + 1)
+                val n = r.getAs[Long]("__n")
+                val byCol = present.zip(tags).map { case (k, tag) =>
+                  k -> (if (tag == "x") None
+                        else if (r.getAs[Long](s"__nn_$k") < n) None
+                        else for {
+                          lo <- renderZoneVal(tag, r.getAs[Any](s"__min_$k"))
+                          hi <- renderZoneVal(tag, r.getAs[Any](s"__max_$k"))
+                        } yield (lo, hi))
+                }.toMap
                 (rel2, n, statCols.map(c => byCol.getOrElse(c, None)))
-            }
+              }
           }
           val zLines = Seq(s"keys=${z.keys.mkString(",")}",
             s"tags=${z.tags.mkString(",")}",
@@ -1319,15 +1377,27 @@ object VersionedSnapshot {
             }
           atomicSmallFile(new Path(vdir, ZonesName), zLines.mkString("\n"))
         }
-        // bloom sidecar: same drop-and-regenerate (a dropped entry would
-        // also be safe — the consult treats missing entries as un-prunable)
+        // bloom sidecar: same drop-and-regenerate, also one batched job (a
+        // dropped entry would be safe too — missing entries never prune)
         parseBlooms(f, vdir).foreach { case (bkeys, bs) =>
           val keep = bs.toSeq.filterNot { case (frel, _) =>
             bucketUpdates.keySet.exists(r => frel.startsWith(r + "/"))
           }
-          val fresh = bucketUpdates.values.toSeq.distinct.flatMap { newRel =>
-            val gName = newRel.split('/')(1)
-            freshBloomStats(spark, new Path(dataRoot, gName), gName, bkeys)
+          val fresh: Seq[(String, Array[Byte])] = {
+            import org.apache.spark.sql.functions.input_file_name
+            val bloomAgg = org.apache.spark.sql.functions.udaf(new KeyBloomAgg,
+              org.apache.spark.sql.Encoders.tuple(
+                org.apache.spark.sql.Encoders.scalaLong,
+                org.apache.spark.sql.Encoders.scalaLong))
+            val (h1, h2) = bloomHashCols(bkeys)
+            spark.read.parquet(newPaths: _*)
+              .groupBy(input_file_name().as("__f"))
+              .agg(bloomAgg(h1, h2).as("__bloom"))
+              .collect().toSeq.map { r =>
+                val uri = r.getAs[String]("__f")
+                (uri.substring(uri.indexOf(s"/$DataDirName/") + 1),
+                  r.getAs[Array[Byte]]("__bloom"))
+              }
           }
           val lines = Seq(s"keys=${bkeys.mkString(",")}",
             s"m=$BloomBits", s"k=$BloomK") ++
