@@ -276,6 +276,24 @@ object SparkEntry {
     // ---- SQL surface parity: correlated EXISTS through spark.sql over
     // temp views — Catalyst rewrites it to the same left-semi HashJoin the
     // DataFrame API would produce ----
+    // ---- SQL LATERAL correlated subquery (Spark 4 surface): top-2
+    // customers per nation through a correlated ORDER BY/LIMIT — Catalyst
+    // decorrelates it to a ranked join, same plan family as orders_topn,
+    // so the SQL-facing form costs what the DataFrame form costs ----
+    "sql_lateral_topk" -> ((s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("graft_sql_nation")
+      Tables.customer(s, dir).createOrReplaceTempView("graft_sql_customer_l")
+      s.sql("""SELECT n.n_name, t.c_name, t.bal_cents
+               FROM graft_sql_nation n,
+               LATERAL (
+                 SELECT c_name,
+                        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+                 FROM graft_sql_customer_l c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name ASC LIMIT 2
+               ) t""")
+    }),
+
     "sql_exists" -> ((s, dir) => {
       Tables.customer(s, dir).createOrReplaceTempView("graft_sql_customer")
       Tables.orders(s, dir).createOrReplaceTempView("graft_sql_orders")
@@ -8902,6 +8920,16 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY o_orderpriority
         |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "sql_lateral_topk" ->
+      """SELECT n.n_name, t.c_name, t.bal_cents
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name ASC LIMIT 2
+        |) t""".stripMargin,
 
     "sql_exists" ->
       """SELECT c_custkey, c_name FROM customer c
