@@ -5352,6 +5352,30 @@ object SparkEntry {
     // in decimal(38,0) (the N²·1e6 product would cap int64 at ~3·10⁶
     // orders; decimal ≡ the oracle's HUGEINT at any scale). One shuffle
     // builds baskets; the 25-row brand margins broadcast back ----
+    // ---- frequent 3-itemsets (the Apriori level basket_lift_recs stops
+    // short of): same ONE-fact-shuffle basket build, triple expansion as
+    // an in-row ordered triple explode (bounded by lines-per-order³ —
+    // never a self-join over the fact table), relative support ≥ 0.3% of
+    // baskets tested in exact integers against the 1-row total ----
+    "basket_triples" -> ((s, dir) => {
+      val b = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey"))
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("okey").agg(collect_set(col("p_brand")).as("bs"))
+        .localCheckpoint()
+      val tot = b.agg(count(lit(1)).as("n_baskets"))
+      b.select(explode(col("bs")).as("b1"), col("bs"))
+        .select(col("b1"), explode(col("bs")).as("b2"), col("bs"))
+        .filter(col("b1") < col("b2"))
+        .select(col("b1"), col("b2"), explode(col("bs")).as("b3"))
+        .filter(col("b2") < col("b3"))
+        .groupBy("b1", "b2", "b3").agg(count(lit(1)).as("n_orders"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n_orders") * 1000 >= col("n_baskets") * 3)
+        .select("b1", "b2", "b3", "n_orders")
+    }),
+
     "basket_lift_recs" -> ((s, dir) => {
       // ONE fact shuffle total: baskets collapse to a per-order brand SET
       // (collect_set dedups in-agg — no separate distinct), and the pair
@@ -11429,6 +11453,19 @@ object SparkEntry {
         |                      substr(b.snm_key, 1, $SnmBlockLen)
         |                 THEN 1 ELSE 0 END AS BIGINT) AS block_match
         |FROM k a JOIN k b ON b.rn - a.rn BETWEEN 1 AND $SnmWindow""".stripMargin,
+
+    "basket_triples" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_baskets FROM b)
+        |SELECT x.brand AS b1, y.brand AS b2, z.brand AS b3,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM b x JOIN b y ON x.okey = y.okey AND x.brand < y.brand
+        |         JOIN b z ON y.okey = z.okey AND y.brand < z.brand
+        |CROSS JOIN tot
+        |GROUP BY 1, 2, 3, tot.n_baskets
+        |HAVING CAST(count(*) AS BIGINT) * 1000 >= tot.n_baskets * 3""".stripMargin,
 
     "basket_lift_recs" ->
       s"""WITH b AS (
