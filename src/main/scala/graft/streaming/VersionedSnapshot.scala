@@ -1172,7 +1172,10 @@ object VersionedSnapshot {
     * Multi-file clustered bucket dirs collapse to one file on rewrite
     * (zones regenerated accordingly); `_LAST_BATCH` markers are left
     * untouched so streaming replay semantics survive. Returns the number
-    * of data/overlay dirs rewritten. */
+    * of data/overlay dirs rewritten. A crash mid-purge leaves some
+    * versions updated and others not — rerunning the same purge completes
+    * the erasure (the batched probe finds only the remaining matches, and
+    * already-clean dirs are left untouched). */
   def purgeKeys(spark: SparkSession, baseDir: String, keys: Seq[String],
       keyRows: Seq[Seq[Any]]): Int = {
     require(keys.nonEmpty, "purge needs at least one key column")
@@ -1258,7 +1261,7 @@ object VersionedSnapshot {
       bucketRels ++ parseDeltas(f, vdir).map(_._2).getOrElse(Nil)
     }.distinct
     def relOf(uri: String): String = {
-      val idx = uri.indexOf(s"/$DataDirName/")
+      val idx = uri.lastIndexOf(s"/$DataDirName/")
       uri.substring(idx + 1, uri.lastIndexOf('/'))
     }
     val matchedRels: Set[String] =
@@ -1355,7 +1358,7 @@ object VersionedSnapshot {
             d.groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*)
               .collect().toSeq.map { r =>
                 val uri = r.getAs[String]("__f")
-                val rel2 = uri.substring(uri.indexOf(s"/$DataDirName/") + 1)
+                val rel2 = uri.substring(uri.lastIndexOf(s"/$DataDirName/") + 1)
                 val n = r.getAs[Long]("__n")
                 val byCol = present.zip(tags).map { case (k, tag) =>
                   k -> (if (tag == "x") None
@@ -1395,7 +1398,7 @@ object VersionedSnapshot {
               .agg(bloomAgg(h1, h2).as("__bloom"))
               .collect().toSeq.map { r =>
                 val uri = r.getAs[String]("__f")
-                (uri.substring(uri.indexOf(s"/$DataDirName/") + 1),
+                (uri.substring(uri.lastIndexOf(s"/$DataDirName/") + 1),
                   r.getAs[Array[Byte]]("__bloom"))
               }
           }

@@ -82,6 +82,18 @@ class PurgeKeysSpec extends SparkSpec {
     assert(validateCurrent(spark, base))
   }
 
+  test("purge works when the base dir itself contains a /data/ segment") {
+    // regression: rel extraction keys on the LAST /data/ in file URIs
+    val base = Files.createTempDirectory("graft-purgedd")
+      .resolve("data").resolve("t").toString
+    mergeInto(base, Seq((1L, 1L), (2L, 1L)).toDF("k", "v"),
+      Seq("k"), UpdateMatched, insertUnmatched = true, marker = "b0",
+      retain = 2, numBuckets = 4)
+    assert(purgeKeys(spark, base, Seq("k"), Seq(Seq(2L))) >= 1)
+    assert(ids(base) === Set(1L))
+    assert(validateCurrent(spark, base))
+  }
+
   test("flat versions fail fast with nothing mutated") {
     val base = Files.createTempDirectory("graft-purge3").resolve("t").toString
     publish(Seq((1L, 1L), (2L, 2L)).toDF("k", "v"), base, marker = "b0")
