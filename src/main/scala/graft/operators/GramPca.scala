@@ -103,11 +103,18 @@ object GramPca {
     Moments(state.n + inserts.n - deletes.n, s, p)
   }
 
-  /** One distributed pass → the exact integer moments. */
+  /** One distributed pass → the exact integer moments. Malformed rows —
+    * null vector, wrong length, or any null ELEMENT (which the primitive
+    * `Seq[Double]` decode could not even represent) — are skipped, the
+    * same dense-vector contract as the ANN tier. */
   def moments(df: DataFrame, vecCol: String, dim: Int): Moments = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rows = df.select(col(vecCol).cast("array<double>")).as[Seq[Double]]
+    val v = col(vecCol).cast("array<double>")
+    val rows = df
+      .select(v.as("__v"))
+      .filter(col("__v").isNotNull && !exists(col("__v"), x => x.isNull))
+      .as[Seq[Double]]
       .select(new MomentsAgg(dim).toColumn)
       .collect() // exactly one row: the O(dim²) sufficient statistics
     rows.head

@@ -100,6 +100,14 @@ class GramPcaSpec extends SparkSpec {
     assert(m.s.toSeq === Seq(4000L, 4000L)) // NaN -> q = 0
   }
 
+  test("rows with null ELEMENTS are skipped, not decoded into an NPE") {
+    val df = Seq(Some(Seq(Some(1.0), None)), Some(Seq(Some(3.0), Some(2.0))))
+      .toDF("embedding")
+    val m = GramPca.moments(df, "embedding", 2)
+    assert(m.n === 1L)
+    assert(m.s.toSeq === Seq(3000L, 2000L))
+  }
+
   test("deflation exposes the second axis of a diagonal matrix") {
     val c = Array(
       Array(9000000L, 0L, 0L),
