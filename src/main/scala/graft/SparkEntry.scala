@@ -86,6 +86,7 @@ object SparkEntry {
     * coef(d) = coef(d−1)·K div 1e6, identical in both engines. */
   private val DecayK30 = 977159L
   private val DecayMaxAge = 4000 // decayed_popularity: coef table span (days)
+  private val ZipfTopK = 256    // zipf_slope: rank-frequency head size
   private val KmCensorGapDays = 90 // km_churn_curve: churned iff quiet this long
   private val KmMaxCurve = 100000  // km_churn_curve: curve-length gate (days)
   private val PprSeed = "Brand#1"  // ppr_brand_recs: walk-restart anchor
@@ -2375,6 +2376,73 @@ object SparkEntry {
         .withColumn("vocab", sum(col("n_new_tokens")).over(wcum))
         .select(col("first_t_docs"), col("n_new_tokens"),
           col("vocab").cast("long").as("vocab"))
+    }),
+
+    // ---- deterministic readability scoring (Flesch 1948 proxy):
+    // syllables counted as maximal [aeiouy]+ runs (two regexp collapses,
+    // no sentinel char: runs = len(collapse-to-one) − len(remove-all)),
+    // sentences as [.!?]+ runs with the whole-doc-as-fragment floor of 1
+    // (this corpus has no terminal punctuation, so the per-doc signal
+    // lives in syllables/word — the word-complexity term). All-integer
+    // Flesch·1e3 via `div`, identical in both engines. ONE map-only
+    // projection over the scan: zero shuffles at any corpus size. ----
+    "doc_readability" -> ((s, dir) => {
+      val txt = lower(col("text"))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(filter(Text.tokens(col("text")), t => length(t) > 0))
+            .cast("long").as("n_words"),
+          (length(regexp_replace(txt, "[aeiouy]+", "a"))
+            - length(regexp_replace(txt, "[aeiouy]+", "")))
+            .cast("long").as("n_syllables"),
+          greatest(
+            length(regexp_replace(txt, "[.!?]+", "."))
+              - length(regexp_replace(txt, "[.!?]+", "")), lit(1))
+            .cast("long").as("n_sentences"))
+        .filter(col("n_words") > 0)
+        .withColumn("syll_per_word_e6",
+          expr("n_syllables * 1000000 div n_words"))
+        .withColumn("flesch_e3",
+          lit(206835L) - expr("1015 * n_words div n_sentences")
+            - expr("84600 * n_syllables div n_words"))
+    }),
+
+    // ---- Zipf rank-frequency slope: OLS of ln(freq) on ln(rank) over
+    // the top-K corpus terms — the standard power-law diagnostic for a
+    // training corpus (natural text ≈ −1; a flatter slope flags
+    // templated/synthetic data). The tf shuffle is vocab-sized and
+    // map-side combinable; orderBy+limit compiles to
+    // TakeOrderedAndProject (per-partition partial top-K — never a
+    // global sort); the ranking window runs over the K=256-row bounded
+    // head. Per-row ln floored to _e4 (IEEE-identical in both engines)
+    // makes the OLS sums exact integers; |sums| < 1e15 ≪ Long.Max. ----
+    "zipf_slope" -> ((s, dir) => {
+      val byFreq = Window.orderBy(col("freq").desc, col("term").asc)
+      val ranked = Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term").asc)
+        .limit(ZipfTopK)
+        .withColumn("rank", row_number().over(byFreq).cast("long"))
+        .select(
+          floor(log(col("rank").cast("double")) * 10000.0 + 0.5)
+            .cast("long").as("x"),
+          floor(log(col("freq").cast("double")) * 10000.0 + 0.5)
+            .cast("long").as("y"))
+      ranked
+        .agg(count(lit(1)).as("n_terms"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope_e6",
+          when(col("n_terms") * col("sxx") - col("sx") * col("sx") =!= 0,
+            floor((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+              * lit(1.0)
+              / (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+              * lit(1000000.0) + lit(0.5)).cast("long")))
+        .select("n_terms", "sx", "sy", "slope_e6")
     }),
 
     // ---- bigram-LM perplexity scoring (CCNet-style filter): model trained
@@ -8825,6 +8893,38 @@ object SparkEntry {
         |  CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
         |    - CAST(floor(CAST(s AS DOUBLE) / n_tokens + 0.5) AS BIGINT) AS entropy_e6
         |FROM agg""".stripMargin,
+    "doc_readability" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(lower(text), '[aeiouy]+', 'a', 'g'))
+        |       - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS BIGINT) AS n_syllables,
+        |    CAST(greatest(length(regexp_replace(lower(text), '[.!?]+', '.', 'g'))
+        |       - length(regexp_replace(lower(text), '[.!?]+', '', 'g')), 1) AS BIGINT) AS n_sentences
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_syllables, n_sentences,
+        |  n_syllables * 1000000 // n_words AS syll_per_word_e6,
+        |  206835 - (1015 * n_words // n_sentences)
+        |         - (84600 * n_syllables // n_words) AS flesch_e3
+        |FROM r WHERE n_words > 0""".stripMargin,
+    "zipf_slope" ->
+      s"""WITH ztok AS (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents),
+        |ztf AS (SELECT term, count(*) AS freq FROM ztok WHERE len(term) > 0 GROUP BY 1),
+        |ztop AS (SELECT term, freq FROM ztf ORDER BY freq DESC, term LIMIT $ZipfTopK),
+        |zrk AS (SELECT
+        |    CAST(floor(ln(CAST(row_number() OVER (ORDER BY freq DESC, term) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS y
+        |  FROM ztop),
+        |zag AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM zrk)
+        |SELECT n_terms, sx, sy,
+        |  CASE WHEN n_terms * sxx - sx * sx <> 0
+        |       THEN CAST(floor((n_terms * sxy - sx * sy) * 1.0 /
+        |                       (n_terms * sxx - sx * sx) * 1000000.0 + 0.5) AS BIGINT)
+        |  END AS slope_e6
+        |FROM zag""".stripMargin,
     "doc_blocklist" -> blocklistOracle,
     "corpus_curate3" -> curate3Oracle,
     "curation_funnel" -> curationFunnelOracle,
