@@ -4269,6 +4269,111 @@ object SparkEntry {
         .withColumnRenamed("n_est", "distinct_users_24h_est")
     }),
 
+    // ---- exact Spearman rank correlation between order value and order
+    // width (lineitem count): average-tie ranks kept integral in rank×2
+    // (tie groups preserve the rank total, so Σrank2 = n(n+1) exactly and
+    // centering on n+1 zeroes the mean with no division). Both rank
+    // relations run through the two-phase PrefixSum scan over the
+    // DISTINCT-value relation — never a one-task window; the n+1 center
+    // joins in via the 1-row broadcast scalar pattern. Sums staged in
+    // decimal(38,0) (Σd² ≤ n³ overflows int64 past ~2M rows); the final
+    // ratio is the only double math, from exactly-representable ints. ----
+    "spearman_corr" -> ((s, dir) => {
+      val nli = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("yc"))
+      val sp = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("xc"))
+        .join(nli, col("o_orderkey") === col("l_orderkey"))
+        .select("xc", "yc")
+      def rank2(valCol: String, out: String): DataFrame = {
+        val g = sp.groupBy(valCol).agg(count(lit(1)).as("c"))
+        graft.operators.PrefixSum.runningTotal(g, "cum", col("c"), col(valCol))
+          .select(col(valCol),
+            (lit(2L) * (col("cum") - col("c")) + col("c") + 1).as(out))
+      }
+      val tot = sp.agg(count(lit(1)).as("nn"))
+      sp.join(rank2("xc", "rx2"), Seq("xc"))
+        .join(rank2("yc", "ry2"), Seq("yc"))
+        .crossJoin(broadcast(tot))
+        .select((col("rx2") - col("nn") - 1).as("dx"),
+          (col("ry2") - col("nn") - 1).as("dy"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("syy"))
+        .select(col("n_pairs"),
+          when(col("sxx") =!= 0 && col("syy") =!= 0,
+            floor(col("sxy").cast("double")
+              / (sqrt(col("sxx").cast("double")) * sqrt(col("syy").cast("double")))
+              * lit(1000000.0) + lit(0.5)).cast("long")).as("rho_e6"))
+    }),
+
+    // ---- exact mutual information I(event_type; hour-of-day) with both
+    // marginal entropies — the dependence screen for feature/label
+    // leakage in a training pipeline. One map-side-combinable groupBy to
+    // the |types|×24-cell contingency relation; marginals and the grand
+    // total are windows/aggregates OVER THE CELLS (≤ ~200 rows by
+    // construction), so nothing after the first shuffle scales with the
+    // data. Per-cell ln floored to _e6 (doc_entropy discipline) keeps
+    // the weighted sums exact integers in both engines. ----
+    "mutual_information" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type").as("t"), hour(col("ts")).cast("long").as("h"))
+        .agg(count(lit(1)).as("nij"))
+      // marginals + grand total as windows over the CELLS — everything
+      // after the one map-side-combinable shuffle runs over ≤ |types|·24
+      // rows, including the single-task lit(1) window (domain-bounded).
+      // The marginal entropies ride the same relation via the identity
+      // Σ_i ni·⌊ln(ni)·1e6⌉ = Σ_cells nij·⌊ln(ni)·1e6⌉ (the floored term
+      // is constant per group and Σ_j nij = ni) — one events scan total.
+      val m = cells
+        .withColumn("ni", sum("nij").over(Window.partitionBy("t")))
+        .withColumn("nj", sum("nij").over(Window.partitionBy("h")))
+        .withColumn("nn", sum("nij").over(Window.partitionBy(lit(1))))
+      def lnE6(c: Column): Column =
+        floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+      m.agg(
+          max("nn").as("n_events"),
+          count(lit(1)).as("n_cells"),
+          floor(sum(col("nij") * floor(
+              log(col("nij").cast("double") * col("nn").cast("double")
+                / (col("ni").cast("double") * col("nj").cast("double")))
+                * lit(1000000.0) + lit(0.5)).cast("long")).cast("double")
+            / max("nn") + lit(0.5)).cast("long").as("mi_e6"),
+          (lnE6(max("nn"))
+            - floor(sum(col("nij") * lnE6(col("ni"))).cast("double")
+                / max("nn") + lit(0.5)).cast("long")).as("h_type_e6"),
+          (lnE6(max("nn"))
+            - floor(sum(col("nij") * lnE6(col("nj"))).cast("double")
+                / max("nn") + lit(0.5)).cast("long")).as("h_hour_e6"))
+    }),
+
+    // ---- Hodges-Lehmann pseudomedian of daily revenue per event type:
+    // the median of all Walsh pair averages (y_j+y_k)/2, j ≤ k — the
+    // location estimator dual to the Wilcoxon signed-rank test (~95%
+    // Gaussian efficiency, 29% breakdown). The pair join is equi on
+    // event_type over the DAY-AGGREGATED relation, so its size is
+    // calendar²-bounded per type (the Kendall/Theil-Sen argument), not
+    // rows². Kept integral: pairs carry y_j+y_k (2×avg); the interpolated
+    // median of those ints is a multiple of 0.5, so ×2 is exact —
+    // pseudomedian_cents_x4 = round(2·median(w2)). ----
+    "hodges_lehmann" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      val a = daily.select(col("event_type"), col("day").as("d1"), col("y").as("y1"))
+      val b = daily.select(col("event_type"), col("day").as("d2"), col("y").as("y2"))
+      a.join(b, Seq("event_type")).filter(col("d1") <= col("d2"))
+        .select(col("event_type"), (col("y1") + col("y2")).as("w2"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(percentile(col("w2"), lit(0.5)) * 2).cast("long")
+            .as("pseudomedian_cents_x4"))
+    }),
+
     // ---- exact ROC-AUC (Mann-Whitney rank statistic) of `value` as a
     // purchase score: ties take average ranks, kept integral by working
     // in rank×2; AUC_e6 = (2·rankSum⁺ − 2·P(P+1)/2)·1e6 div (2·P·N) —
@@ -9846,6 +9951,61 @@ object SparkEntry {
         |      AND ps_suppkey = s_suppkey
         |      AND ps_availqty > qty_sum * 100)""".stripMargin,
 
+    "spearman_corr" ->
+      """WITH sp AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc, CAST(n.yc AS BIGINT) AS yc
+        |  FROM orders o JOIN (SELECT l_orderkey, count(*) AS yc FROM lineitem GROUP BY 1) n
+        |    ON o.o_orderkey = n.l_orderkey),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM sp),
+        |gx AS (SELECT xc, CAST(count(*) AS BIGINT) AS c FROM sp GROUP BY 1),
+        |cx AS (SELECT xc, 2 * (sum(c) OVER (ORDER BY xc) - c) + c + 1 AS rx2 FROM gx),
+        |gy AS (SELECT yc, CAST(count(*) AS BIGINT) AS c FROM sp GROUP BY 1),
+        |cy AS (SELECT yc, 2 * (sum(c) OVER (ORDER BY yc) - c) + c + 1 AS ry2 FROM gy),
+        |dd AS (SELECT CAST(rx2 - nn - 1 AS BIGINT) AS dx, CAST(ry2 - nn - 1 AS BIGINT) AS dy
+        |       FROM sp JOIN cx USING (xc) JOIN cy USING (yc) CROSS JOIN st),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |         sum(dx * dy) AS sxy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy FROM dd)
+        |SELECT n_pairs,
+        |  CASE WHEN sxx <> 0 AND syy <> 0 THEN
+        |    CAST(floor(CAST(sxy AS DOUBLE) /
+        |               (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE)))
+        |               * 1000000.0 + 0.5) AS BIGINT)
+        |  END AS rho_e6
+        |FROM ag""".stripMargin,
+    "mutual_information" ->
+      """WITH mic AS (
+        |  SELECT event_type AS t, CAST(hour(ts) AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS nij
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+        |mtot AS (SELECT CAST(sum(nij) AS BIGINT) AS nn FROM mic),
+        |mgt AS (SELECT t, CAST(sum(nij) AS BIGINT) AS ni FROM mic GROUP BY 1),
+        |mgh AS (SELECT h, CAST(sum(nij) AS BIGINT) AS nj FROM mic GROUP BY 1),
+        |mht AS (SELECT CAST(floor(ln(CAST(nn AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |          - CAST(floor(CAST(sum(ni * CAST(floor(ln(CAST(ni AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |                       / nn + 0.5) AS BIGINT) AS h_type_e6
+        |        FROM mgt CROSS JOIN mtot GROUP BY nn),
+        |mhh AS (SELECT CAST(floor(ln(CAST(nn AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |          - CAST(floor(CAST(sum(nj * CAST(floor(ln(CAST(nj AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |                       / nn + 0.5) AS BIGINT) AS h_hour_e6
+        |        FROM mgh CROSS JOIN mtot GROUP BY nn),
+        |mit AS (SELECT nij, nn,
+        |          nij * CAST(floor(ln(CAST(nij AS DOUBLE) * CAST(nn AS DOUBLE) /
+        |                             (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+        |                           * 1000000.0 + 0.5) AS BIGINT) AS mi_term
+        |        FROM mic JOIN mgt USING (t) JOIN mgh USING (h) CROSS JOIN mtot),
+        |mia AS (SELECT CAST(max(nn) AS BIGINT) AS n_events, CAST(count(*) AS BIGINT) AS n_cells,
+        |          CAST(floor(CAST(sum(mi_term) AS DOUBLE) / max(nn) + 0.5) AS BIGINT) AS mi_e6
+        |        FROM mit)
+        |SELECT n_events, n_cells, mi_e6, h_type_e6, h_hour_e6
+        |FROM mia CROSS JOIN mht CROSS JOIN mhh""".stripMargin,
+    "hodges_lehmann" ->
+      """WITH hld AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+        |hlp AS (SELECT a.event_type, a.y + b.y AS w2
+        |        FROM hld a JOIN hld b ON a.event_type = b.event_type AND a.day <= b.day)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(round(quantile_cont(w2, 0.5) * 2) AS BIGINT) AS pseudomedian_cents_x4
+        |FROM hlp GROUP BY 1""".stripMargin,
     "value_auc" ->
       """WITH sc AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
         |                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
