@@ -87,6 +87,8 @@ object SparkEntry {
   private val DecayK30 = 977159L
   private val DecayMaxAge = 4000 // decayed_popularity: coef table span (days)
   private val ZipfTopK = 256    // zipf_slope: rank-frequency head size
+  private val KmeansK = 8       // kmeans_fit: clusters
+  private val KmeansRounds = 3  // kmeans_fit: unrolled Lloyd rounds
   private val KmCensorGapDays = 90 // km_churn_curve: churned iff quiet this long
   private val KmMaxCurve = 100000  // km_churn_curve: curve-length gate (days)
   private val PprSeed = "Brand#1"  // ppr_brand_recs: walk-restart anchor
@@ -2352,6 +2354,35 @@ object SparkEntry {
       graft.operators.TermStats.corpusFrequencyScores(
         Tables.documents(s, dir), "doc_id", "text")),
 
+    // ---- per-source KL divergence vs the corpus unigram distribution —
+    // the distribution-shift screen for corpus mixing (which sources'
+    // token statistics deviate most from the blend they feed). No
+    // smoothing needed: KL(P_s‖P_corpus) only sums where n_st > 0 and
+    // the corpus marginal dominates every source. Shapes: the (source,
+    // term) relation is vocab·|sources|-bounded; the term marginal joins
+    // back as a vocab-sized equi-join, the source marginal and grand
+    // total broadcast (|sources| and 1 rows). Per-term ln floored to _e6
+    // keeps the weighted sums exact integers (doc_entropy discipline).
+    "source_token_kl" -> ((s, dir) => {
+      val st = Tables.documents(s, dir)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("source", "term").agg(count(lit(1)).as("nst"))
+      val tm = st.groupBy("term").agg(sum("nst").as("nt"))
+      val sm = st.groupBy("source").agg(sum("nst").as("ns"))
+      val tot = sm.agg(sum("ns").as("nn"))
+      st.join(tm, Seq("term"))
+        .join(broadcast(sm), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .groupBy("source")
+        .agg(max("ns").as("n_tokens"), count(lit(1)).as("n_terms"),
+          floor(sum(col("nst") * floor(
+              log(col("nst").cast("double") * col("nn").cast("double")
+                / (col("ns").cast("double") * col("nt").cast("double")))
+                * lit(1000000.0) + lit(0.5)).cast("long")).cast("double")
+            / max("ns") + lit(0.5)).cast("long").as("kl_vs_corpus_e6"))
+    }),
+
     // ---- Heaps-law vocabulary growth without logs: |vocab| after the
     // first T docs for T = powers of two. Each token carries its FIRST
     // document (one map-side-combinable min agg over the vocab-sized
@@ -3918,6 +3949,49 @@ object SparkEntry {
       graft.operators.VectorAgg.norms(
         Tables.embeddings(s, dir), "vec_id", "embedding")),
 
+    // ---- exact distributed k-means (Lloyd), KmeansRounds unrolled
+    // rounds — the bt_event_scores bounded-iteration pattern applied to
+    // vector clustering. Everything integer in e3 q-units (the GramPca
+    // quantization): distances are exact Σ(q−m)², centroid updates are
+    // truncating integer means (sum div count — identical in both
+    // engines), argmin tie-breaks on the smaller centroid id via
+    // lexicographic struct-min. Seeds = the K smallest vec_ids
+    // (deterministic, oracle-mirrorable). Per round: one broadcast of
+    // the K·dim centroid relation and two linear map-side-combinable
+    // aggregations — cost is rounds·vectors·K·dim, the canonical
+    // distributed-kmeans bound; no vector-vector pair anywhere. The
+    // oracle unrolls the identical three rounds CTE by CTE. ----
+    "kmeans_fit" -> ((s, dir) => {
+      val flat = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos"),
+          floor(col("x") * lit(1000.0) + lit(0.5)).cast("long").as("q"))
+      val seeds = Tables.embeddings(s, dir)
+        .select(col("vec_id")).orderBy(col("vec_id").asc).limit(KmeansK)
+        .select(col("vec_id").as("c"))
+      def assign(cent: DataFrame): DataFrame =
+        flat.join(broadcast(cent), Seq("pos"))
+          .groupBy(col("vec_id"), col("c"))
+          .agg(sum((col("q") - col("m")) * (col("q") - col("m"))).as("d2"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("c"))).as("__best"))
+          .select(col("vec_id"),
+            col("__best").getField("c").as("c"),
+            col("__best").getField("d2").as("d2"))
+      var cent = flat.join(broadcast(seeds), col("vec_id") === col("c"))
+        .select(col("c"), col("pos"), col("q").as("m"))
+      for (_ <- 1 to KmeansRounds)
+        cent = flat.join(assign(cent).select("vec_id", "c"), Seq("vec_id"))
+          .groupBy("c", "pos")
+          .agg(expr("CAST(sum(q) div count(1) AS BIGINT)").as("m"))
+      val fin = assign(cent)
+      fin.groupBy("c")
+        .agg(count(lit(1)).as("n_vecs"), sum("d2").as("inertia_q2"))
+        .join(cent.groupBy("c").agg(sum(abs(col("m"))).as("cent_l1")), Seq("c"))
+        .select(col("c").as("cluster_id"), col("n_vecs"),
+          col("inertia_q2"), col("cent_l1"))
+    }),
+
     // ---- edit-distance near-dups: shingle candidates + levenshtein refine ----
     "edit_dup_pairs" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
@@ -4267,6 +4341,33 @@ object SparkEntry {
         .select(col("hour"), col("__b"), col("__mr").as("__m"))
       graft.operators.Sketches.hllEstimate(rolled, Seq("hour"), p = 8)
         .withColumnRenamed("n_est", "distinct_users_24h_est")
+    }),
+
+    // ---- cumulative-gains (lift) deciles of `value` as a purchase
+    // score — the model-evaluation gains table next to value_auc's rank
+    // statistic. Rows are bucketed by score descending through the same
+    // two-phase PrefixSum scan over the DISTINCT-cents relation (never a
+    // one-task window); a tie group lands wholly in the decile of its
+    // FIRST rank (tie-coarse, deterministic). lift = precision-in-decile
+    // over base rate, staged in decimal(38,0) so n_pos·N·1e6 cannot
+    // overflow int64 at any scale. ----
+    "value_lift_deciles" -> ((s, dir) => {
+      val sc = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .select(round(col("value") * 100).cast("long").as("cents"),
+          (col("event_type") === "purchase").cast("long").as("pos"))
+      val g = sc.groupBy("cents").agg(count(lit(1)).as("n"), sum("pos").as("npos"))
+      val cum = graft.operators.PrefixSum.runningTotal(
+        g, "cum_incl", col("n"), col("cents").desc)
+      val tot = g.agg(sum("n").as("nn"), sum("npos").as("np"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("decile", expr("CAST((cum_incl - n) * 10 div nn AS INT)"))
+        .groupBy("decile")
+        .agg(sum("n").as("n_rows"), sum("npos").as("n_pos"),
+          max("nn").as("__nn"), max("np").as("__np"))
+        .select(col("decile"), col("n_rows"), col("n_pos"),
+          expr("""CAST(CAST(n_pos AS DECIMAL(38,0)) * __nn * 1000000
+                  div nullif(n_rows * __np, 0) AS BIGINT)""").as("lift_e6"))
     }),
 
     // ---- exact Spearman rank correlation between order value and order
@@ -8501,6 +8602,40 @@ object SparkEntry {
        |FROM r WHERE "rank" <= $AnnK""".stripMargin
   }
 
+  /** DuckDB side of `kmeans_fit`: the identical KmeansRounds Lloyd
+    * rounds unrolled CTE by CTE (the bt_event_scores oracle discipline)
+    * — same e3 quantization, truncating integer centroid means, and
+    * (d2, c) lexicographic argmin via row_number. */
+  private def kmeansOracle: String = {
+    val rounds = (1 to KmeansRounds).map { r =>
+      s"""kd$r AS (SELECT f.vec_id, c.c, CAST(sum((f.q - c.m) * (f.q - c.m)) AS BIGINT) AS d2
+         |        FROM kflat f JOIN kc${r - 1} c ON f.pos = c.pos GROUP BY 1, 2),
+         |ka$r AS (SELECT vec_id, c FROM (
+         |          SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+         |          FROM kd$r) WHERE rn = 1),
+         |kc$r AS (SELECT a.c, f.pos, CAST(sum(f.q) // count(*) AS BIGINT) AS m
+         |        FROM kflat f JOIN ka$r a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val R = KmeansRounds
+    s"""WITH kflat AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       |         CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS q
+       |  FROM embeddings),
+       |kseeds AS (SELECT vec_id AS c FROM embeddings ORDER BY vec_id LIMIT $KmeansK),
+       |kc0 AS (SELECT s.c, f.pos, f.q AS m FROM kflat f JOIN kseeds s ON f.vec_id = s.c),
+       |$rounds,
+       |kdf AS (SELECT f.vec_id, c.c, CAST(sum((f.q - c.m) * (f.q - c.m)) AS BIGINT) AS d2
+       |        FROM kflat f JOIN kc$R c ON f.pos = c.pos GROUP BY 1, 2),
+       |kaf AS (SELECT vec_id, c, d2 FROM (
+       |          SELECT vec_id, c, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+       |          FROM kdf) WHERE rn = 1),
+       |ksz AS (SELECT c, CAST(count(*) AS BIGINT) AS n_vecs, CAST(sum(d2) AS BIGINT) AS inertia_q2
+       |        FROM kaf GROUP BY 1),
+       |kl1 AS (SELECT c, CAST(sum(abs(m)) AS BIGINT) AS cent_l1 FROM kc$R GROUP BY 1)
+       |SELECT ksz.c AS cluster_id, n_vecs, inertia_q2, cent_l1
+       |FROM ksz JOIN kl1 USING (c)""".stripMargin
+  }
+
   /** DuckDB side of [[Tables.partsupp]]: the same distinct-pairs +
     * closed-form integer-key arithmetic, so the four partsupp-family
     * oracles (Q2/Q9/Q11/Q20) rebuild the IDENTICAL relation from the same
@@ -9951,6 +10086,37 @@ object SparkEntry {
         |      AND ps_suppkey = s_suppkey
         |      AND ps_availqty > qty_sum * 100)""".stripMargin,
 
+    "kmeans_fit" -> kmeansOracle,
+    "source_token_kl" ->
+      """WITH kst AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS nst
+        |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE len(term) > 0 GROUP BY 1, 2),
+        |ktm AS (SELECT term, CAST(sum(nst) AS BIGINT) AS nt FROM kst GROUP BY 1),
+        |ksm AS (SELECT source, CAST(sum(nst) AS BIGINT) AS ns FROM kst GROUP BY 1),
+        |ktot AS (SELECT CAST(sum(ns) AS BIGINT) AS nn FROM ksm)
+        |SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(floor(CAST(sum(nst * CAST(floor(ln(CAST(nst AS DOUBLE) * CAST(nn AS DOUBLE) /
+        |                  (CAST(ns AS DOUBLE) * CAST(nt AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |             / max(ns) + 0.5) AS BIGINT) AS kl_vs_corpus_e6
+        |FROM kst JOIN ktm USING (term) JOIN ksm USING (source) CROSS JOIN ktot
+        |GROUP BY source""".stripMargin,
+    "value_lift_deciles" ->
+      """WITH lsc AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |                    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |             FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |lg AS (SELECT cents, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS npos
+        |       FROM lsc GROUP BY 1),
+        |lc AS (SELECT cents, n, npos,
+        |         CAST(sum(n) OVER (ORDER BY cents DESC) AS BIGINT) AS cum_incl FROM lg),
+        |lt AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(npos) AS BIGINT) AS np FROM lg),
+        |la AS (SELECT CAST((cum_incl - n) * 10 // nn AS INTEGER) AS decile, n, npos, nn, np
+        |       FROM lc CROSS JOIN lt)
+        |SELECT decile, CAST(sum(n) AS BIGINT) AS n_rows, CAST(sum(npos) AS BIGINT) AS n_pos,
+        |  CAST(CAST(sum(npos) AS HUGEINT) * max(nn) * 1000000
+        |       // nullif(sum(n) * max(np), 0) AS BIGINT) AS lift_e6
+        |FROM la GROUP BY 1""".stripMargin,
     "spearman_corr" ->
       """WITH sp AS (
         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc, CAST(n.yc AS BIGINT) AS yc
