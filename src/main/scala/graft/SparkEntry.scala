@@ -89,6 +89,10 @@ object SparkEntry {
   private val ZipfTopK = 256    // zipf_slope: rank-frequency head size
   private val KmeansK = 8       // kmeans_fit: clusters
   private val KmeansRounds = 3  // kmeans_fit: unrolled Lloyd rounds
+  private val PmiMinCount = 5   // term_pmi_pairs: collocation support floor
+  private val PmiTopK = 20      // term_pmi_pairs: collocations returned
+  private val TrigramPattern = "data batch" // trigram_search: query substring
+  private val BomMaxDepth = 4   // sql_recursive_bom: recursion depth bound
   private val KmCensorGapDays = 90 // km_churn_curve: churned iff quiet this long
   private val KmMaxCurve = 100000  // km_churn_curve: curve-length gate (days)
   private val PprSeed = "Brand#1"  // ppr_brand_recs: walk-restart anchor
@@ -295,6 +299,31 @@ object SparkEntry {
                  WHERE c.c_nationkey = n.n_nationkey
                  ORDER BY c_acctbal DESC, c_name ASC LIMIT 2
                ) t""")
+    }),
+
+    // ---- WITH RECURSIVE (Spark 4 recursive CTE): BOM-style subtree
+    // rollup over the deterministic binary part hierarchy (parent(k) =
+    // k div 2 — the generated-relation discipline, derivable in both
+    // engines from the key alone). The recursive arm is an EQUI-join on
+    // the derived child key (p_partkey div 2 = pk), never a
+    // nested-loop; recursion is hard-bounded at BomMaxDepth levels so
+    // the iteration count is declared, not data-dependent — each level
+    // doubles the frontier but stays ≤ 8·2^depth rows. ----
+    "sql_recursive_bom" -> ((s, dir) => {
+      Tables.part(s, dir).createOrReplaceTempView("graft_sql_part_bom")
+      s.sql(s"""WITH RECURSIVE bom AS (
+        SELECT p_partkey AS root, p_partkey AS pk, 0 AS depth,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+        FROM graft_sql_part_bom WHERE p_partkey BETWEEN 1 AND 8
+        UNION ALL
+        SELECT b.root, p.p_partkey, b.depth + 1,
+               CAST(round(p.p_retailprice * 100) AS BIGINT)
+        FROM bom b JOIN graft_sql_part_bom p ON p.p_partkey div 2 = b.pk
+        WHERE b.depth < $BomMaxDepth)
+      SELECT root, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(max(depth) AS INT) AS max_depth,
+             CAST(sum(cents) AS BIGINT) AS subtree_value_cents
+      FROM bom GROUP BY root""")
     }),
 
     "sql_exists" -> ((s, dir) => {
@@ -2353,6 +2382,64 @@ object SparkEntry {
     "doc_token_freq" -> ((s, dir) =>
       graft.operators.TermStats.corpusFrequencyScores(
         Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- PMI collocation mining over adjacent token pairs — the
+    // pointwise-mutual-information ranking that separates true
+    // collocations from mere co-frequency (bpe_pair_stats' count
+    // ranking). Margins are computed over ALL pairs before the support
+    // floor (the statistically correct denominator); the two margin
+    // joins are vocab-sized equi-joins, the pair total broadcasts, and
+    // the top-K rides TakeOrderedAndProject. Per-pair ln floored to _e6
+    // — exact cross-engine ordering, deterministic (l, r) tiebreak. ----
+    "term_pmi_pairs" -> ((s, dir) => {
+      val pairs = Tables.documents(s, dir)
+        .select(Text.tokens(col("text")).as("__ws"))
+        .filter(size(col("__ws")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("__ws")) - 2),
+          i => struct(element_at(col("__ws"), i + 1).as("l"),
+            element_at(col("__ws"), i + 2).as("r")))).as("__p"))
+        .select(col("__p.l").as("l"), col("__p.r").as("r"))
+        .groupBy("l", "r").agg(count(lit(1)).as("c_lr"))
+      val lm = pairs.groupBy("l").agg(sum("c_lr").as("c_l"))
+      val rm = pairs.groupBy("r").agg(sum("c_lr").as("c_r"))
+      val tot = pairs.agg(sum("c_lr").as("np"))
+      pairs.filter(col("c_lr") >= PmiMinCount)
+        .join(lm, Seq("l")).join(rm, Seq("r"))
+        .crossJoin(broadcast(tot))
+        .withColumn("pmi_e6",
+          floor(log(col("c_lr").cast("double") * col("np").cast("double")
+            / (col("c_l").cast("double") * col("c_r").cast("double")))
+            * lit(1000000.0) + lit(0.5)).cast("long"))
+        .orderBy(col("pmi_e6").desc, col("l").asc, col("r").asc)
+        .limit(PmiTopK)
+        .select("l", "r", "c_lr", "pmi_e6")
+    }),
+
+    // ---- trigram-index substring search: the inverted-index scale path
+    // for `LIKE '%pattern%'`. Candidate docs must contain EVERY trigram
+    // of the pattern (a lossless superset — the classic pg_trgm /
+    // code-search design), discovered via an equi-join on trigram keys
+    // against a tiny literal set instead of a full-corpus regex scan;
+    // the verify step then runs `instr` on candidates only. At 100 TB
+    // the candidate set is selectivity-sized while the grams relation
+    // is a map-side filter (isin on ≤|pattern| literals) — no shuffle
+    // carries the corpus. Oracle = the semantic spec (plain instr),
+    // which the index path provably equals. ----
+    "trigram_search" -> ((s, dir) => {
+      val tris = TrigramPattern.sliding(3).toSeq.distinct
+      val cand = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(
+          filter(transform(sequence(lit(0), length(col("text")) - 3),
+            i => col("text").substr(i + lit(1), lit(3))),
+            g => g.isin(tris: _*)))).as("tri"))
+        .groupBy("doc_id").agg(count(lit(1)).as("ntri"))
+        .filter(col("ntri") === lit(tris.size))
+      Tables.documents(s, dir)
+        .join(cand, Seq("doc_id"), "left_semi")
+        .filter(instr(col("text"), TrigramPattern) > 0)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
 
     // ---- per-source KL divergence vs the corpus unigram distribution —
     // the distribution-shift screen for corpus mixing (which sources'
@@ -10087,6 +10174,39 @@ object SparkEntry {
         |      AND ps_availqty > qty_sum * 100)""".stripMargin,
 
     "kmeans_fit" -> kmeansOracle,
+    "term_pmi_pairs" ->
+      s"""WITH ptok AS (SELECT string_split(text, ' ') AS ws FROM documents
+        |             WHERE len(string_split(text, ' ')) >= 2),
+        |ppz AS (SELECT UNNEST(list_zip(ws[1:-2], ws[2:-1])) AS z FROM ptok),
+        |ppair AS (SELECT z[1] AS l, z[2] AS r, CAST(count(*) AS BIGINT) AS c_lr
+        |          FROM ppz GROUP BY 1, 2),
+        |plm AS (SELECT l, CAST(sum(c_lr) AS BIGINT) AS c_l FROM ppair GROUP BY 1),
+        |prm AS (SELECT r, CAST(sum(c_lr) AS BIGINT) AS c_r FROM ppair GROUP BY 1),
+        |ptot AS (SELECT CAST(sum(c_lr) AS BIGINT) AS np FROM ppair)
+        |SELECT l, r, c_lr,
+        |  CAST(floor(ln(CAST(c_lr AS DOUBLE) * CAST(np AS DOUBLE) /
+        |                (CAST(c_l AS DOUBLE) * CAST(c_r AS DOUBLE)))
+        |             * 1000000.0 + 0.5) AS BIGINT) AS pmi_e6
+        |FROM ppair JOIN plm USING (l) JOIN prm USING (r) CROSS JOIN ptot
+        |WHERE c_lr >= $PmiMinCount
+        |ORDER BY pmi_e6 DESC, l, r LIMIT $PmiTopK""".stripMargin,
+    "trigram_search" ->
+      s"""SELECT doc_id, lang, source FROM documents
+        |WHERE instr(text, '$TrigramPattern') > 0""".stripMargin,
+    "sql_recursive_bom" ->
+      s"""WITH RECURSIVE bom AS (
+        |  SELECT p_partkey AS root, p_partkey AS pk, 0 AS depth,
+        |         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+        |  FROM part WHERE p_partkey BETWEEN 1 AND 8
+        |  UNION ALL
+        |  SELECT b.root, p.p_partkey, b.depth + 1,
+        |         CAST(round(p.p_retailprice * 100) AS BIGINT)
+        |  FROM bom b JOIN part p ON p.p_partkey // 2 = b.pk
+        |  WHERE b.depth < $BomMaxDepth)
+        |SELECT root, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(max(depth) AS INTEGER) AS max_depth,
+        |       CAST(sum(cents) AS BIGINT) AS subtree_value_cents
+        |FROM bom GROUP BY root""".stripMargin,
     "source_token_kl" ->
       """WITH kst AS (
         |  SELECT source, term, CAST(count(*) AS BIGINT) AS nst
