@@ -89,6 +89,8 @@ object SparkEntry {
   private val ZipfTopK = 256    // zipf_slope: rank-frequency head size
   private val KmeansK = 8       // kmeans_fit: clusters
   private val KmeansRounds = 3  // kmeans_fit: unrolled Lloyd rounds
+  private val MarkovIters = 12  // attribution_markov: value-iteration rounds
+  private val OofFolds = 5      // target_encode_oof: hash folds
   private val PmiMinCount = 5   // term_pmi_pairs: collocation support floor
   private val PmiTopK = 20      // term_pmi_pairs: collocations returned
   private val TrigramPattern = "data batch" // trigram_search: query substring
@@ -5587,6 +5589,90 @@ object SparkEntry {
             / col("n_exact") + lit(0.5)).cast("long"))
     }),
 
+    // ---- Markov removal-effect attribution (Anderl et al. 2016 shape):
+    // each channel's credit is how much the chain's START→CONV
+    // absorption probability drops when paths may not pass through it.
+    // The DISTRIBUTED work is the per-user path scan (one window pass,
+    // partitioned by user) into the ≤(|types|+2)² transition-count
+    // relation; that bounded matrix is collected (the IVF-codebook
+    // driver-side-model design) and the absorption probabilities come
+    // from MarkovIters rounds of exact e6-integer value iteration
+    // p'(s) = T(s,CONV) + ⌊Σ_t T(s,t)·p(t) / 1e6⌋ per removal scenario —
+    // O(iters·states²·scenarios) driver math, data-size-independent.
+    // Paths truncate at the user's FIRST purchase (→ CONV); users who
+    // never convert end at NULL. The oracle unrolls the identical
+    // iteration CTE by CTE over the same truncating arithmetic. ----
+    "attribution_markov" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"))).as("fp"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val wDesc = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      val path = ev.join(fp, Seq("user_id"), "left")
+        .filter(col("fp").isNull || struct(col("ts"), col("event_id")) <= col("fp"))
+        .withColumn("state",
+          when(col("event_type") === "purchase", lit("CONV")).otherwise(col("event_type")))
+        .withColumn("prev", lag(col("state"), 1, "START").over(w))
+        .withColumn("rn_desc", row_number().over(wDesc))
+      val trans = path.select(col("prev").as("from"), col("state").as("to"))
+        .unionByName(path.filter(col("rn_desc") === 1 && col("state") =!= "CONV")
+          .select(col("state").as("from"), lit("NULL").as("to")))
+        .groupBy("from", "to").agg(count(lit(1)).as("c"))
+      // bounded collect: (|event_types|+1)·(|event_types|+2) rows max
+      val counts = trans.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2)))
+      val fromTot = counts.groupBy(_._1).map { case (f, xs) => f -> xs.map(_._3).sum }
+      val tE6 = counts.map { case (f, t, c) => (f, t, c * 1000000L / fromTot(f)) }
+      val states = fromTot.keys.toSeq.sorted
+      def absorb(removed: String): Long = {
+        val tt = tE6.filter(_._1 != removed)
+        val tconv = tt.filter(_._2 == "CONV").map { case (f, _, v) => f -> v }
+          .toMap.withDefaultValue(0L)
+        val ttrans = tt.filter(x => x._2 != "CONV" && x._2 != "NULL")
+        var p: Map[String, Long] =
+          states.filter(_ != removed).map(st => st -> tconv(st)).toMap
+        for (_ <- 1 to MarkovIters) {
+          val old = p
+          p = p.map { case (st, _) =>
+            val acc = ttrans.iterator.filter(_._1 == st)
+              .map { case (_, t, v) => v * old.getOrElse(t, 0L) }.sum
+            st -> (tconv(st) + acc / 1000000L)
+          }
+        }
+        p.getOrElse("START", 0L)
+      }
+      val base = absorb("__none")
+      val rows = states.filter(_ != "START").map { ch =>
+        val pc = absorb(ch)
+        (ch, pc, if (base == 0) 0L else 1000000L - pc * 1000000L / base)
+      }
+      import s.implicits._
+      rows.toDF("channel", "p_conv_start_e6", "removal_effect_e6")
+    }),
+
+    // ---- leakage-safe K-fold target encoding: the category-to-number
+    // feature transform computed OUT-OF-FOLD (each fold's encoding uses
+    // only the other folds' labels — the standard guard against target
+    // leakage). One map-side-combinable (cat, fold) aggregation; the
+    // per-category margins are windows over the |cats|·K-row cell
+    // relation. Exact e6 integers end to end. ----
+    "target_encode_oof" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("cat"),
+          pmod(col("o_orderkey"), lit(OofFolds)).cast("int").as("fold"),
+          (col("o_orderstatus") === "F").cast("long").as("y"))
+      val wc = Window.partitionBy("cat")
+      o.groupBy("cat", "fold").agg(count(lit(1)).as("n"), sum("y").as("sy"))
+        .withColumn("n_cat", sum("n").over(wc))
+        .withColumn("sy_cat", sum("sy").over(wc))
+        .select(col("cat"), col("fold"), col("n").as("n_in_fold"),
+          expr("CAST((sy_cat - sy) * 1000000 div nullif(n_cat - n, 0) AS BIGINT)")
+            .as("oof_mean_e6"))
+    }),
+
     // ---- last-touch attribution: for every purchase, the most recent
     // PRECEDING non-purchase event of the same user (one running-state
     // window pass — no self-join), rolled up per touch type; NULL bucket
@@ -8689,6 +8775,62 @@ object SparkEntry {
        |FROM r WHERE "rank" <= $AnnK""".stripMargin
   }
 
+  /** DuckDB side of `attribution_markov`: the same transition derivation
+    * in SQL, then the MarkovIters value-iteration rounds unrolled CTE by
+    * CTE over the bounded scenario×state grid — identical truncating e6
+    * arithmetic to the Spark driver-side model. */
+  private def markovOracle: String = {
+    val iters = (1 to MarkovIters).map { k =>
+      s"""mp$k AS (SELECT c.scenario, c.st,
+         |  CAST(c.tconv + (COALESCE(s.acc, 0) // 1000000) AS BIGINT) AS p
+         |  FROM mtc c LEFT JOIN (
+         |    SELECT t.scenario, t."from" AS st, CAST(sum(t.t_e6 * p.p) AS BIGINT) AS acc
+         |    FROM mtx t JOIN mp${k - 1} p ON p.scenario = t.scenario AND p.st = t."to"
+         |    GROUP BY 1, 2) s ON s.scenario = c.scenario AND s.st = c.st)""".stripMargin
+    }.mkString(",\n")
+    val K = MarkovIters
+    s"""WITH mev AS (SELECT user_id, ts, event_id, event_type FROM events
+       |             WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+       |mfp AS (SELECT user_id, ts AS fts, event_id AS fid FROM (
+       |          SELECT user_id, ts, event_id,
+       |                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |          FROM mev WHERE event_type = 'purchase') WHERE rn = 1),
+       |mpath AS (SELECT e.user_id, e.ts, e.event_id,
+       |            CASE WHEN e.event_type = 'purchase' THEN 'CONV' ELSE e.event_type END AS state
+       |          FROM mev e LEFT JOIN mfp f USING (user_id)
+       |          WHERE f.fts IS NULL OR e.ts < f.fts OR (e.ts = f.fts AND e.event_id <= f.fid)),
+       |mstep AS (SELECT user_id, state,
+       |            COALESCE(lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id), 'START') AS prev,
+       |            row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_desc
+       |          FROM mpath),
+       |mtr AS (SELECT "from", "to", CAST(count(*) AS BIGINT) AS c FROM (
+       |          SELECT prev AS "from", state AS "to" FROM mstep
+       |          UNION ALL
+       |          SELECT state AS "from", 'NULL' AS "to" FROM mstep WHERE rn_desc = 1 AND state <> 'CONV')
+       |        GROUP BY 1, 2),
+       |mtt AS (SELECT "from", CAST(sum(c) AS BIGINT) AS ctot FROM mtr GROUP BY 1),
+       |mt AS (SELECT t."from", t."to", t.c * 1000000 // m.ctot AS t_e6
+       |       FROM mtr t JOIN mtt m USING ("from")),
+       |msc AS (SELECT DISTINCT "from" AS scenario FROM mt WHERE "from" <> 'START'
+       |        UNION ALL SELECT '__none'),
+       |mst AS (SELECT DISTINCT "from" AS st FROM mt),
+       |mgrid AS (SELECT s.scenario, x.st FROM msc s JOIN mst x ON x.st <> s.scenario),
+       |mtc AS (SELECT g.scenario, g.st, COALESCE(cv.t_e6, 0) AS tconv
+       |        FROM mgrid g LEFT JOIN (SELECT "from", t_e6 FROM mt WHERE "to" = 'CONV') cv
+       |          ON cv."from" = g.st),
+       |mtx AS (SELECT s.scenario, t."from", t."to", t.t_e6
+       |       FROM msc s JOIN mt t ON t."from" <> s.scenario
+       |       WHERE t."to" NOT IN ('CONV', 'NULL')),
+       |mp0 AS (SELECT scenario, st, CAST(tconv AS BIGINT) AS p FROM mtc),
+       |$iters,
+       |mbase AS (SELECT p FROM mp$K WHERE scenario = '__none' AND st = 'START')
+       |SELECT p.scenario AS channel, CAST(p.p AS BIGINT) AS p_conv_start_e6,
+       |  CAST(CASE WHEN b.p = 0 THEN 0
+       |            ELSE 1000000 - p.p * 1000000 // b.p END AS BIGINT) AS removal_effect_e6
+       |FROM mp$K p CROSS JOIN mbase b
+       |WHERE p.st = 'START' AND p.scenario <> '__none'""".stripMargin
+  }
+
   /** DuckDB side of `kmeans_fit`: the identical KmeansRounds Lloyd
     * rounds unrolled CTE by CTE (the bt_event_scores oracle discipline)
     * — same e3 quantization, truncating integer centroid means, and
@@ -10174,6 +10316,18 @@ object SparkEntry {
         |      AND ps_availqty > qty_sum * 100)""".stripMargin,
 
     "kmeans_fit" -> kmeansOracle,
+    "attribution_markov" -> markovOracle,
+    "target_encode_oof" ->
+      s"""WITH tef AS (SELECT o_orderpriority AS cat,
+        |                CAST(o_orderkey % $OofFolds AS INTEGER) AS fold,
+        |                CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |             FROM orders),
+        |tec AS (SELECT cat, fold, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+        |        FROM tef GROUP BY 1, 2)
+        |SELECT cat, fold, n AS n_in_fold,
+        |  CAST((sum(sy) OVER (PARTITION BY cat) - sy) * 1000000
+        |       // nullif(sum(n) OVER (PARTITION BY cat) - n, 0) AS BIGINT) AS oof_mean_e6
+        |FROM tec""".stripMargin,
     "term_pmi_pairs" ->
       s"""WITH ptok AS (SELECT string_split(text, ' ') AS ws FROM documents
         |             WHERE len(string_split(text, ' ')) >= 2),
