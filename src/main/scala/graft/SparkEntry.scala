@@ -90,6 +90,7 @@ object SparkEntry {
   private val KmeansK = 8       // kmeans_fit: clusters
   private val KmeansRounds = 3  // kmeans_fit: unrolled Lloyd rounds
   private val MarkovIters = 12  // attribution_markov: value-iteration rounds
+  private val NeymanBudget = 1000 // neyman_allocation: total sample budget
   private val OofFolds = 5      // target_encode_oof: hash folds
   private val PmiMinCount = 5   // term_pmi_pairs: collocation support floor
   private val PmiTopK = 20      // term_pmi_pairs: collocations returned
@@ -5992,6 +5993,86 @@ object SparkEntry {
       curve.toDF("lifetime_days", "n_risk", "n_deaths", "surv_e6")
     }),
 
+    // ---- two-cohort log-rank test (Mantel-Haenszel) over the
+    // km_churn_curve lifetime definitions: does the even-custkey cohort
+    // churn at a different hazard than the odd one? Per distinct
+    // lifetime t: O₁ = observed group-1 deaths, E₁ₜ = dₜ·n₁ₜ/nₜ, and the
+    // hypergeometric variance dₜ·n₁ₜ(nₜ−n₁ₜ)(nₜ−dₜ)/(nₜ²(nₜ−1)) — both
+    // as exact decimal(38,0)-staged e6 rationals. At-risk counts are
+    // suffix sums over the lifetime relation, bounded by DAYS OF
+    // HISTORY (the km_churn_curve bound), so the single-task window is
+    // domain-bounded. Times with nₜ ≤ 1 contribute 0 to O−E and V and
+    // are excluded in both engines. χ²_e6 from the exact sums in one
+    // IEEE step. ----
+    "logrank_churn" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      val bounds = orders.agg(max(col("d")).as("maxd"))
+      val life = orders.groupBy("o_custkey")
+        .agg(min(col("d")).as("fd"), max(col("d")).as("ld"))
+        .crossJoin(broadcast(bounds))
+        .select(pmod(col("o_custkey"), lit(2)).as("g"),
+          datediff(col("ld"), col("fd")).cast("long").as("t"),
+          (datediff(col("maxd"), col("ld")) > KmCensorGapDays)
+            .cast("long").as("dead"))
+      val byT = life.groupBy("t").agg(
+        sum(when(col("g") === 1, col("dead")).otherwise(lit(0L))).as("d1"),
+        sum(col("dead")).as("d_all"),
+        sum(when(col("g") === 1, lit(1L)).otherwise(lit(0L))).as("m1"),
+        count(lit(1)).as("m_all"))
+      val wSuf = Window.orderBy(col("t").asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      byT
+        .withColumn("n1", sum("m1").over(wSuf))
+        .withColumn("n", sum("m_all").over(wSuf))
+        .filter(col("d_all") > 0 && col("n") > 1)
+        .select(col("d1"),
+          expr("CAST(CAST(d_all AS DECIMAL(38,0)) * n1 * 1000000 div n AS BIGINT)")
+            .as("e1t"),
+          expr("""CAST(CAST(d_all AS DECIMAL(38,0)) * n1 * (n - n1) * (n - d_all) * 1000000
+                  div (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) AS BIGINT)""").as("vt"))
+        .agg(sum("d1").as("o1"), sum("e1t").as("e1_e6"), sum("vt").as("v_e6"))
+        .withColumn("__diff", (col("o1") * lit(1000000L) - col("e1_e6")).cast("double"))
+        .withColumn("chi2_e6",
+          when(col("v_e6") > 0,
+            floor(col("__diff") * col("__diff") / col("v_e6").cast("double")
+              + lit(0.5)).cast("long")))
+        .select("o1", "e1_e6", "v_e6", "chi2_e6")
+    }),
+
+    // ---- Neyman optimal stratified allocation: sample budget per
+    // stratum ∝ N_h·σ_h, with the largest-remainder method making the
+    // integer allocations sum exactly to the budget. The only
+    // distributed work is one map-side-combinable moments pass per
+    // stratum; N_h·σ_h = √(n·Σc²−(Σc)²) exactly (the n² cancels), staged
+    // in decimal(38,0) so (Σc)² cannot overflow. Floor shares, remainder
+    // ranking, and the +1 top-up all run over the ≤|event_types|-row
+    // strata relation (domain-bounded windows). ----
+    "neyman_allocation" -> ((s, dir) => {
+      val st = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+          sum(col("c") * col("c")).as("sc2"))
+        .withColumn("w", sqrt(
+          (col("n").cast("decimal(38,0)") * col("sc2")
+            - col("sc").cast("decimal(38,0)") * col("sc")).cast("double")))
+      val wAll = Window.partitionBy(lit(1))
+      val shares = st
+        .withColumn("wtot", sum("w").over(wAll))
+        .withColumn("exact", col("w") * lit(NeymanBudget.toDouble) / col("wtot"))
+        .withColumn("a0", floor(col("exact")).cast("long"))
+        .withColumn("rem", col("exact") - col("a0"))
+        .withColumn("left", lit(NeymanBudget.toLong) - sum("a0").over(wAll))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("event_type").asc)).cast("long"))
+      shares.select(col("event_type"), col("n").as("n_rows"),
+        (col("a0") + when(col("rk") <= col("left"), 1L).otherwise(0L))
+          .as("alloc"))
+    }),
+
     // ---- RFM segmentation: recency/frequency/monetary quartile scores
     // per customer, rolled up per segment. Quartile thresholds are a
     // 1-ROW broadcast (exact interpolated percentiles — the
@@ -10328,6 +10409,61 @@ object SparkEntry {
         |  CAST((sum(sy) OVER (PARTITION BY cat) - sy) * 1000000
         |       // nullif(sum(n) OVER (PARTITION BY cat) - n, 0) AS BIGINT) AS oof_mean_e6
         |FROM tec""".stripMargin,
+    "logrank_churn" ->
+      s"""WITH lro AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+        |lrb AS (SELECT max(d) AS maxd FROM lro),
+        |lrl AS (SELECT o_custkey % 2 AS g,
+        |          CAST(max(d) - min(d) AS BIGINT) AS t,
+        |          CASE WHEN (SELECT maxd FROM lrb) - max(d) > $KmCensorGapDays
+        |               THEN 1 ELSE 0 END AS dead
+        |        FROM lro GROUP BY o_custkey),
+        |lrt AS (SELECT t,
+        |          CAST(sum(CASE WHEN g = 1 THEN dead ELSE 0 END) AS BIGINT) AS d1,
+        |          CAST(sum(dead) AS BIGINT) AS d_all,
+        |          CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |          CAST(count(*) AS BIGINT) AS m_all
+        |        FROM lrl GROUP BY 1),
+        |lrk AS (SELECT t, d1, d_all,
+        |          CAST(sum(m1) OVER (ORDER BY t DESC) AS BIGINT) AS n1,
+        |          CAST(sum(m_all) OVER (ORDER BY t DESC) AS BIGINT) AS n
+        |        FROM lrt),
+        |lrv AS (SELECT d1,
+        |          CAST(CAST(d_all AS HUGEINT) * n1 * 1000000 // n AS BIGINT) AS e1t,
+        |          CAST(CAST(d_all AS HUGEINT) * n1 * (n - n1) * (n - d_all) * 1000000
+        |               // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT) AS vt
+        |        FROM lrk WHERE d_all > 0 AND n > 1),
+        |lra AS (SELECT CAST(sum(d1) AS BIGINT) AS o1, CAST(sum(e1t) AS BIGINT) AS e1_e6,
+        |          CAST(sum(vt) AS BIGINT) AS v_e6 FROM lrv)
+        |SELECT o1, e1_e6, v_e6,
+        |  CASE WHEN v_e6 > 0 THEN CAST(floor(
+        |    CAST(o1 * 1000000 - e1_e6 AS DOUBLE) * CAST(o1 * 1000000 - e1_e6 AS DOUBLE)
+        |    / CAST(v_e6 AS DOUBLE) + 0.5) AS BIGINT) END AS chi2_e6
+        |FROM lra""".stripMargin,
+    "neyman_allocation" ->
+      s"""WITH nst AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT) *
+        |                  CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc2
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |nw AS (SELECT event_type, n,
+        |         sqrt(CAST(CAST(n AS HUGEINT) * sc2 - CAST(sc AS HUGEINT) * sc AS DOUBLE)) AS w
+        |       FROM nst),
+        |nsh AS (SELECT event_type, n, w,
+        |          w * ${NeymanBudget.toDouble} / sum(w) OVER () AS exact
+        |        FROM nw),
+        |na AS (SELECT event_type, n, exact,
+        |         CAST(floor(exact) AS BIGINT) AS a0,
+        |         exact - floor(exact) AS rem
+        |       FROM nsh),
+        |nl AS (SELECT event_type, n, a0, rem,
+        |         $NeymanBudget - CAST(sum(a0) OVER () AS BIGINT) AS leftn,
+        |         row_number() OVER (ORDER BY rem DESC, event_type) AS rk
+        |       FROM na)
+        |SELECT event_type, n AS n_rows,
+        |  CAST(a0 + CASE WHEN rk <= leftn THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM nl""".stripMargin,
     "term_pmi_pairs" ->
       s"""WITH ptok AS (SELECT string_split(text, ' ') AS ws FROM documents
         |             WHERE len(string_split(text, ' ')) >= 2),
