@@ -1300,6 +1300,41 @@ object SparkEntry {
       graft.operators.Components.triangleCounts(dupEdgesFor(s, dir), "a", "b")
         .select(col("id").as("doc_id"), col("n_triangles"))),
 
+    // ---- bounded-radius harmonic centrality over the same pinned
+    // near-dup graph: Σ 1/d(u,v) truncated at radius 3 (Boldi-Vigna's
+    // centrality, radius-bounded so the cost is exactly 2 frontier
+    // expansions on the pinned edge set regardless of component
+    // diameter — the dup_graph_lpa superstep argument). Frontier
+    // dedup = distinct + left-anti against earlier shells, so every
+    // pair enters at its TRUE (minimal) distance. Exact e6 weights
+    // (1, 1/2, 1/3 → 333333 truncated identically in both engines).
+    "dup_graph_harmonic" -> ((s, dir) => {
+      val e = dupEdgesFor(s, dir)
+      val adj = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val adjR = adj.select(col("u").as("__m"), col("v").as("__w"))
+      val h1 = adj.distinct()
+      def expand(front: DataFrame, visited: Seq[DataFrame]): DataFrame = {
+        val nxt = front.join(adjR, col("v") === col("__m"))
+          .select(col("u"), col("__w").as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+        visited.foldLeft(nxt)((acc, vis) =>
+          acc.join(vis, Seq("u", "v"), "left_anti"))
+      }
+      val h2 = expand(h1, Seq(h1))
+      val h3 = expand(h2, Seq(h1, h2))
+      h1.withColumn("d", lit(1))
+        .unionByName(h2.withColumn("d", lit(2)))
+        .unionByName(h3.withColumn("d", lit(3)))
+        .groupBy(col("u").as("doc_id"))
+        .agg(
+          sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_d1"),
+          sum(when(col("d") === 2, 1L).otherwise(0L)).as("n_d2"),
+          sum(when(col("d") === 3, 1L).otherwise(0L)).as("n_d3"))
+        .withColumn("harmonic_e6", col("n_d1") * lit(1000000L)
+          + col("n_d2") * lit(500000L) + col("n_d3") * lit(333333L))
+    }),
+
     // ---- local clustering coefficient over the same near-dup graph:
     // 2·T(v)·1e6 div (d·(d−1)) for every node with d ≥ 2 — the per-node
     // density score that separates clique members (boilerplate families,
@@ -5474,6 +5509,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // ---- conditional entropy of the event bigram chain, H(next|cur) —
+    // the sequence-predictability number next to mutual_information's
+    // dependence screen (how many nats a bigram model leaves on the
+    // table). Same bounded-cell discipline: one map-side-combinable
+    // shuffle to ≤|types|² cells, marginals as windows over the cells,
+    // per-cell ln floored to _e6, and the Σ_cells nij·⌊ln ni⌉ identity
+    // carries the marginal entropy through the same relation. ----
+    "transition_entropy" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val cells = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+        .agg(count(lit(1)).as("nij"))
+      def lnE6(c: Column): Column =
+        floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+      cells
+        .withColumn("ni", sum("nij").over(Window.partitionBy("cur")))
+        .withColumn("nn", sum("nij").over(Window.partitionBy(lit(1))))
+        .agg(
+          max("nn").as("n_transitions"),
+          count(lit(1)).as("n_cells"),
+          floor(sum(col("nij") * (lnE6(col("ni")) - lnE6(col("nij"))))
+            .cast("double") / max("nn") + lit(0.5)).cast("long").as("h_cond_e6"),
+          (lnE6(max("nn")) - floor(sum(col("nij") * lnE6(col("ni")))
+            .cast("double") / max("nn") + lit(0.5)).cast("long")).as("h_cur_e6"))
+    }),
+
     // ---- next-event prediction table: per state, the argmax of the
     // Laplace-smoothed transition distribution — the bigram-Markov
     // baseline every sequence model must beat, in exact e6 integers
@@ -5991,6 +6057,61 @@ object SparkEntry {
         (r.getLong(0), nRisk, d, surv)
       }.toSeq
       curve.toDF("lifetime_days", "n_risk", "n_deaths", "surv_e6")
+    }),
+
+    // ---- stratified ATE (the discrete-propensity IPW estimator): mean
+    // treated-vs-control spend difference within each event_type
+    // stratum, combined with n_s weights — adjusts for the stratum mix
+    // the naive difference confounds (the did_estimate hash-half
+    // treatment convention). One (stratum, arm) map-side-combinable
+    // aggregation; everything after runs over ≤|types|·2 cells. Strata
+    // missing an arm drop (no counterfactual) in both engines. ----
+    "stratified_ate" -> ((s, dir) => {
+      val cell = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull &&
+          col("user_id").isNotNull)
+        .select(col("event_type").as("stratum"),
+          pmod(col("user_id"), lit(2)).cast("long").as("treat"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("stratum", "treat")
+        .agg(count(lit(1)).as("n"), sum("c").as("sc"))
+        .withColumn("mean_e6",
+          expr("CAST(CAST(sc AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"))
+      cell.groupBy("stratum").agg(
+          sum(when(col("treat") === 1, col("n"))).as("n_t"),
+          sum(when(col("treat") === 0, col("n"))).as("n_c"),
+          max(when(col("treat") === 1, col("mean_e6"))).as("mt"),
+          max(when(col("treat") === 0, col("mean_e6"))).as("mc"))
+        .filter(col("n_t").isNotNull && col("n_c").isNotNull)
+        .select(col("n_t"), col("n_c"),
+          ((col("n_t") + col("n_c")) * (col("mt") - col("mc")))
+            .cast("decimal(38,0)").as("wd"),
+          (col("n_t") + col("n_c")).as("w"))
+        .agg(sum("n_t").as("n_treat"), sum("n_c").as("n_ctrl"),
+          floor(sum("wd").cast("double") / sum("w") + lit(0.5))
+            .cast("long").as("ate_cents_e6"))
+    }),
+
+    // ---- UCB1 exploration scores (Auer et al. 2002) treating
+    // hour-of-day as the arm and purchase as the reward: the
+    // batch-computed bandit audit of which traffic slots are
+    // under-explored relative to their conversion mean. One bounded
+    // 24-arm aggregate + a 1-row total broadcast; the √(2 ln N / n)
+    // bonus is the only double math, from exact integer counts. ----
+    "bandit_ucb" -> ((s, dir) => {
+      val arms = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(hour(col("ts")).cast("long").as("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("event_type") === "purchase").cast("long")).as("pos"))
+      val tot = arms.agg(sum("n").as("nn"))
+      arms.crossJoin(broadcast(tot))
+        .withColumn("mean_e6",
+          expr("CAST(CAST(pos AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"))
+        .select(col("arm"), col("n"), col("mean_e6"),
+          (col("mean_e6") + floor(sqrt(lit(2.0)
+            * log(col("nn").cast("double")) / col("n").cast("double"))
+            * lit(1000000.0) + lit(0.5)).cast("long")).as("ucb_e6"))
     }),
 
     // ---- two-cohort log-rank test (Mantel-Haenszel) over the
@@ -7548,6 +7669,33 @@ object SparkEntry {
        |         AS clustering_e6
        |FROM deg LEFT JOIN tcnt ON deg.id = tcnt.id
        |WHERE degree >= 2""".stripMargin
+
+  /** Mirror of `dup_graph_harmonic`: radius-3 shells over [[dupEdgesCte]]
+    * with NOT-EXISTS dedup so every pair lands at its minimal distance. */
+  private def harmonicOracle: String =
+    s"""WITH $dupEdgesCte,
+       |hadj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+       |h1 AS (SELECT DISTINCT u, v FROM hadj),
+       |h2 AS (SELECT DISTINCT a.u, b.v
+       |       FROM h1 a JOIN hadj b ON b.u = a.v
+       |       WHERE b.v <> a.u
+       |         AND NOT EXISTS (SELECT 1 FROM h1 x WHERE x.u = a.u AND x.v = b.v)),
+       |h3 AS (SELECT DISTINCT a.u, b.v
+       |       FROM h2 a JOIN hadj b ON b.u = a.v
+       |       WHERE b.v <> a.u
+       |         AND NOT EXISTS (SELECT 1 FROM h1 x WHERE x.u = a.u AND x.v = b.v)
+       |         AND NOT EXISTS (SELECT 1 FROM h2 x WHERE x.u = a.u AND x.v = b.v)),
+       |hd AS (SELECT u, v, 1 AS d FROM h1
+       |       UNION ALL SELECT u, v, 2 FROM h2
+       |       UNION ALL SELECT u, v, 3 FROM h3)
+       |SELECT u AS doc_id,
+       |  CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+       |  CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
+       |  CAST(sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_d3,
+       |  CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) * 1000000
+       |     + sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) * 500000
+       |     + sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) * 333333 AS BIGINT) AS harmonic_e6
+       |FROM hd GROUP BY 1""".stripMargin
 
   /** Mirror of `dup_link_prediction`: capped-center wedge counting minus
     * existing edges, deterministic top-k. */
@@ -10409,6 +10557,61 @@ object SparkEntry {
         |  CAST((sum(sy) OVER (PARTITION BY cat) - sy) * 1000000
         |       // nullif(sum(n) OVER (PARTITION BY cat) - n, 0) AS BIGINT) AS oof_mean_e6
         |FROM tec""".stripMargin,
+    "transition_entropy" ->
+      """WITH tec AS (
+        |  SELECT event_type AS cur, next_type AS nxt, CAST(count(*) AS BIGINT) AS nij
+        |  FROM (SELECT event_type,
+        |          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL)
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tem AS (SELECT nij,
+        |          CAST(sum(nij) OVER (PARTITION BY cur) AS BIGINT) AS ni,
+        |          CAST(sum(nij) OVER () AS BIGINT) AS nn
+        |        FROM tec)
+        |SELECT CAST(max(nn) AS BIGINT) AS n_transitions,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(floor(CAST(sum(nij * (CAST(floor(ln(CAST(ni AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |                           - CAST(floor(ln(CAST(nij AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))) AS DOUBLE)
+        |             / max(nn) + 0.5) AS BIGINT) AS h_cond_e6,
+        |  CAST(floor(ln(CAST(max(nn) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |    - CAST(floor(CAST(sum(nij * CAST(floor(ln(CAST(ni AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |               / max(nn) + 0.5) AS BIGINT) AS h_cur_e6
+        |FROM tem""".stripMargin,
+    "stratified_ate" ->
+      """WITH sac AS (
+        |  SELECT event_type AS stratum, CAST(user_id % 2 AS BIGINT) AS treat,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sam AS (SELECT stratum, treat, n,
+        |          CAST(CAST(sc AS HUGEINT) * 1000000 // n AS BIGINT) AS mean_e6
+        |        FROM sac),
+        |sap AS (SELECT stratum,
+        |          sum(CASE WHEN treat = 1 THEN n END) AS n_t,
+        |          sum(CASE WHEN treat = 0 THEN n END) AS n_c,
+        |          max(CASE WHEN treat = 1 THEN mean_e6 END) AS mt,
+        |          max(CASE WHEN treat = 0 THEN mean_e6 END) AS mc
+        |        FROM sam GROUP BY 1)
+        |SELECT CAST(sum(n_t) AS BIGINT) AS n_treat, CAST(sum(n_c) AS BIGINT) AS n_ctrl,
+        |  CAST(floor(CAST(sum(CAST(n_t + n_c AS HUGEINT) * (mt - mc)) AS DOUBLE)
+        |             / sum(n_t + n_c) + 0.5) AS BIGINT) AS ate_cents_e6
+        |FROM sap WHERE n_t IS NOT NULL AND n_c IS NOT NULL""".stripMargin,
+    "bandit_ucb" ->
+      """WITH bua AS (
+        |  SELECT CAST(hour(ts) AS BIGINT) AS arm, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |but AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM bua),
+        |bum AS (SELECT arm, n, nn,
+        |          CAST(CAST(pos AS HUGEINT) * 1000000 // n AS BIGINT) AS mean_e6
+        |        FROM bua CROSS JOIN but)
+        |SELECT arm, n, mean_e6,
+        |  mean_e6 + CAST(floor(sqrt(2.0 * ln(CAST(nn AS DOUBLE)) / CAST(n AS DOUBLE))
+        |                       * 1000000.0 + 0.5) AS BIGINT) AS ucb_e6
+        |FROM bum""".stripMargin,
+    "dup_graph_harmonic" -> harmonicOracle,
     "logrank_churn" ->
       s"""WITH lro AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
         |lrb AS (SELECT max(d) AS maxd FROM lro),
