@@ -91,6 +91,7 @@ object SparkEntry {
   private val KmeansRounds = 3  // kmeans_fit: unrolled Lloyd rounds
   private val MarkovIters = 12  // attribution_markov: value-iteration rounds
   private val NeymanBudget = 1000 // neyman_allocation: total sample budget
+  private val HarmonicCapD = 8  // dup_graph_harmonic: expansion fan-out cap
   private val OofFolds = 5      // target_encode_oof: hash folds
   private val PmiMinCount = 5   // term_pmi_pairs: collocation support floor
   private val PmiTopK = 20      // term_pmi_pairs: collocations returned
@@ -1304,18 +1305,29 @@ object SparkEntry {
     // near-dup graph: Σ 1/d(u,v) truncated at radius 3 (Boldi-Vigna's
     // centrality, radius-bounded so the cost is exactly 2 frontier
     // expansions on the pinned edge set regardless of component
-    // diameter — the dup_graph_lpa superstep argument). Frontier
-    // dedup = distinct + left-anti against earlier shells, so every
-    // pair enters at its TRUE (minimal) distance. Exact e6 weights
-    // (1, 1/2, 1/3 → 333333 truncated identically in both engines).
+    // diameter — the dup_graph_lpa superstep argument). Shells of a
+    // dense dup clique are O(|clique|²) pairs, so EXPANSION walks only
+    // each node's HarmonicCapD smallest-id neighbors (the
+    // dup_link_prediction wedge-cap precedent; deterministic, mirrored
+    // in the oracle) — |h2| ≤ |h1|·D, |h3| ≤ |h1|·D², linear in edges.
+    // Measured before the cap: 254 s warm at the 10×-sf0.1 point vs
+    // 0.5 s at sf0.01 — the cap is what makes the query exist at scale.
+    // d1 counts stay exact (full adjacency); d2/d3 are the documented
+    // capped-expansion lower bound. Frontier dedup = distinct +
+    // left-anti against earlier shells, so every pair enters at its
+    // earliest capped distance, identically in both engines. Exact e6
+    // weights (1, 1/2, 1/3 → 333333 truncated identically). ----
     "dup_graph_harmonic" -> ((s, dir) => {
       val e = dupEdgesFor(s, dir)
       val adj = e.select(col("a").as("u"), col("b").as("v"))
         .unionByName(e.select(col("b").as("u"), col("a").as("v")))
-      val adjR = adj.select(col("u").as("__m"), col("v").as("__w"))
+      val wCap = Window.partitionBy("u").orderBy(col("v").asc)
+      val adjC = adj.withColumn("__rn", row_number().over(wCap))
+        .filter(col("__rn") <= HarmonicCapD)
+        .select(col("u").as("__m"), col("v").as("__w"))
       val h1 = adj.distinct()
       def expand(front: DataFrame, visited: Seq[DataFrame]): DataFrame = {
-        val nxt = front.join(adjR, col("v") === col("__m"))
+        val nxt = front.join(adjC, col("v") === col("__m"))
           .select(col("u"), col("__w").as("v"))
           .filter(col("u") =!= col("v")).distinct()
         visited.foldLeft(nxt)((acc, vis) =>
@@ -7671,17 +7683,21 @@ object SparkEntry {
        |WHERE degree >= 2""".stripMargin
 
   /** Mirror of `dup_graph_harmonic`: radius-3 shells over [[dupEdgesCte]]
-    * with NOT-EXISTS dedup so every pair lands at its minimal distance. */
+    * with the same HarmonicCapD smallest-id expansion cap and NOT-EXISTS
+    * dedup so every pair lands at its earliest capped distance. */
   private def harmonicOracle: String =
     s"""WITH $dupEdgesCte,
        |hadj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+       |hcap AS (SELECT u, v FROM (
+       |           SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) AS rn
+       |           FROM hadj) WHERE rn <= $HarmonicCapD),
        |h1 AS (SELECT DISTINCT u, v FROM hadj),
        |h2 AS (SELECT DISTINCT a.u, b.v
-       |       FROM h1 a JOIN hadj b ON b.u = a.v
+       |       FROM h1 a JOIN hcap b ON b.u = a.v
        |       WHERE b.v <> a.u
        |         AND NOT EXISTS (SELECT 1 FROM h1 x WHERE x.u = a.u AND x.v = b.v)),
        |h3 AS (SELECT DISTINCT a.u, b.v
-       |       FROM h2 a JOIN hadj b ON b.u = a.v
+       |       FROM h2 a JOIN hcap b ON b.u = a.v
        |       WHERE b.v <> a.u
        |         AND NOT EXISTS (SELECT 1 FROM h1 x WHERE x.u = a.u AND x.v = b.v)
        |         AND NOT EXISTS (SELECT 1 FROM h2 x WHERE x.u = a.u AND x.v = b.v)),
