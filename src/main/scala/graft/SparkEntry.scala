@@ -4086,6 +4086,33 @@ object SparkEntry {
       graft.operators.VectorAgg.norms(
         Tables.embeddings(s, dir), "vec_id", "embedding")),
 
+    // ---- embedding anomaly detection: top-20 vectors by standardized
+    // (diagonal-Mahalanobis) distance Σ_j (q_j−μ_j)²/σ_j² — the
+    // embedding-health outlier screen next to VectorAgg's dim stats.
+    // Per-dim moments are ONE map-side-combinable pass to a dim-sized
+    // broadcast; the per-vector score is a zero-shuffle scan over the
+    // flattened corpus; top-20 rides TakeOrderedAndProject. Exact:
+    // (q·n−s_j)²·1e6 div (n·Σq²−s_j²), decimal(38,0)-staged. ----
+    "embedding_outliers" -> ((s, dir) => {
+      val flat = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos"),
+          floor(col("x") * lit(1000.0) + lit(0.5)).cast("long").as("q"))
+      val mom = flat.groupBy("pos")
+        .agg(count(lit(1)).as("n"), sum("q").as("sq"),
+          sum(col("q") * col("q")).as("sq2"))
+        .withColumn("v", col("n").cast("decimal(38,0)") * col("sq2")
+          - col("sq").cast("decimal(38,0)") * col("sq"))
+      flat.join(broadcast(mom), Seq("pos"))
+        .select(col("vec_id"),
+          expr("""CAST((CAST(q AS DECIMAL(38,0)) * n - sq)
+                     * (CAST(q AS DECIMAL(38,0)) * n - sq) * 1000000
+                  div nullif(v, 0) AS BIGINT)""").as("t"))
+        .groupBy("vec_id").agg(sum("t").as("z2_sum_e6"))
+        .orderBy(col("z2_sum_e6").desc, col("vec_id").asc)
+        .limit(20)
+    }),
+
     // ---- exact distributed k-means (Lloyd), KmeansRounds unrolled
     // rounds — the bt_event_scores bounded-iteration pattern applied to
     // vector clustering. Everything integer in e3 q-units (the GramPca
@@ -6171,6 +6198,29 @@ object SparkEntry {
             floor(col("__diff") * col("__diff") / col("v_e6").cast("double")
               + lit(0.5)).cast("long")))
         .select("o1", "e1_e6", "v_e6", "chi2_e6")
+    }),
+
+    // ---- A/B-test minimum detectable effect per event_type: the
+    // experiment-sizing number next to ab_test_zsq's readout —
+    // MDE = (z₀.₉₇₅+z₀.₈₀)·σ·√(2/n) for a 50/50 split at 80% power,
+    // the z-sum frozen as the literal 2.801585 so no engine evaluates
+    // an inverse normal. One moments pass per stratum; σ comes exactly
+    // from n·Σc²−(Σc)² (decimal-staged), and the double expression is
+    // written in the identical operation order in both engines. ----
+    "ab_mde" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+          sum(col("c") * col("c")).as("sc2"))
+        .withColumn("v", col("n").cast("decimal(38,0)") * col("sc2")
+          - col("sc").cast("decimal(38,0)") * col("sc"))
+        .select(col("event_type"), col("n"),
+          floor(lit(2.801585) * sqrt(col("v").cast("double"))
+            * sqrt(lit(2.0) / col("n").cast("double"))
+            / col("n").cast("double") * lit(1000000.0) + lit(0.5))
+            .cast("long").as("mde_cents_e6"))
     }),
 
     // ---- Neyman optimal stratified allocation: sample budget per
@@ -10658,6 +10708,33 @@ object SparkEntry {
         |    CAST(o1 * 1000000 - e1_e6 AS DOUBLE) * CAST(o1 * 1000000 - e1_e6 AS DOUBLE)
         |    / CAST(v_e6 AS DOUBLE) + 0.5) AS BIGINT) END AS chi2_e6
         |FROM lra""".stripMargin,
+    "embedding_outliers" ->
+      """WITH eoflat AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings),
+        |eom AS (SELECT pos, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS sq,
+        |          CAST(sum(q * q) AS BIGINT) AS sq2 FROM eoflat GROUP BY 1),
+        |eov AS (SELECT pos, n, sq,
+        |          CAST(n AS HUGEINT) * sq2 - CAST(sq AS HUGEINT) * sq AS v FROM eom),
+        |eot AS (SELECT vec_id,
+        |          CAST((CAST(q AS HUGEINT) * n - sq) * (CAST(q AS HUGEINT) * n - sq) * 1000000
+        |               // nullif(v, 0) AS BIGINT) AS t
+        |        FROM eoflat JOIN eov USING (pos))
+        |SELECT vec_id, CAST(sum(t) AS BIGINT) AS z2_sum_e6
+        |FROM eot GROUP BY 1 ORDER BY z2_sum_e6 DESC, vec_id LIMIT 20""".stripMargin,
+    "ab_mde" ->
+      """WITH abm AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT) *
+        |                  CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc2
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(floor(2.801585 * sqrt(CAST(CAST(n AS HUGEINT) * sc2 - CAST(sc AS HUGEINT) * sc AS DOUBLE))
+        |             * sqrt(2.0 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS mde_cents_e6
+        |FROM abm""".stripMargin,
     "neyman_allocation" ->
       s"""WITH nst AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
