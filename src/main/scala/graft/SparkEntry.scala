@@ -2798,6 +2798,52 @@ object SparkEntry {
     "doc_lang" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
+    // ---- langID confusion matrix: the heuristic doc_lang prediction
+    // against the labeled lang column, plus micro-accuracy — the
+    // eval-harness face of the langID operator. Bounded |langs|²
+    // cells after one map-combinable shuffle; accuracy rides a 1-row
+    // broadcast of the same cells. ----
+    "doc_lang_confusion" -> ((s, dir) => {
+      val cells = Tables.documents(s, dir)
+        .select(col("lang"), Text.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum("n").as("nn"),
+        sum(when(col("lang") === col("lang_pred"), col("n")).otherwise(lit(0L)))
+          .as("ok"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          expr("CAST(ok * 1000000 div nn AS BIGINT)").as("accuracy_e6"))
+    }),
+
+    // ---- dedup threshold sensitivity sweep: component structure of the
+    // near-dup graph at Jaccard cuts 0.25/0.5/0.75 (binary-exact
+    // literals, safely above the pin's 0.2 candidate cut so the
+    // comparison is the same raw IEEE double in both engines) — the
+    // tuning table that says how aggressive a dedup pass gets before
+    // clusters chain together. Each cut filters the PINNED pair
+    // relation and runs the bounded-iteration min-label components;
+    // stats per cut are O(nodes) aggregates collected as a 3-row model
+    // (the km_churn driver-model discipline). ----
+    "dup_threshold_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = jaccardPairsFor(s, dir)
+      val rows = Seq(0.25, 0.5, 0.75).map { t =>
+        val p = pairs.filter(col("jaccard") >= t)
+        val nEdges = p.count()
+        if (nEdges == 0L) ((t * 1e6).toLong, 0L, 0L, 0L, 0L)
+        else {
+          val labels = graft.operators.Components
+            .connectedComponents(p, "id_a", "id_b")
+          val cs = labels.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+            .agg(sum("sz").as("n_nodes"), count(lit(1)).as("n_components"),
+              max("sz").as("max_component")).collect().head
+          ((t * 1e6).toLong, nEdges, cs.getLong(0), cs.getLong(1), cs.getLong(2))
+        }
+      }
+      rows.toDF("threshold_e6", "n_edges", "n_nodes", "n_components",
+        "max_component")
+    }),
+
     "doc_tokens" -> ((s, dir) =>
       // tokenize ONCE into an attribute: inlining split() into the n-gram
       // lambda is O(tokens²) interpreted work per doc (see Dedup.shingles)
@@ -12204,6 +12250,57 @@ object SparkEntry {
     "doc_quality" -> docQualityOracle,
 
     "doc_lang" -> docLangOracle,
+    "doc_lang_confusion" ->
+      s"""WITH lcp AS (SELECT d.lang, p.lang_pred
+        |            FROM documents d JOIN ($docLangOracle) p USING (doc_id)),
+        |lcc AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        |        FROM lcp GROUP BY 1, 2),
+        |lct AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |          CAST(sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END) AS BIGINT) AS ok
+        |        FROM lcc)
+        |SELECT lang, lang_pred, n, CAST(ok * 1000000 // nn AS BIGINT) AS accuracy_e6
+        |FROM lcc CROSS JOIN lct""".stripMargin,
+    "dup_threshold_sweep" ->
+      """WITH RECURSIVE tstoks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tsgrams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        |  FROM tstoks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |tssizes AS (SELECT doc_id, count(*) AS n FROM tsgrams GROUP BY doc_id),
+        |tsinter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM tsgrams a JOIN tsgrams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |tspj AS (SELECT i.id_a, i.id_b,
+        |           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS j
+        |         FROM tsinter i JOIN tssizes sa ON i.id_a = sa.doc_id
+        |                        JOIN tssizes sb ON i.id_b = sb.doc_id),
+        |tsth(t_e6) AS (VALUES (250000), (500000), (750000)),
+        |tsp3 AS (SELECT t_e6, id_a, id_b FROM tspj JOIN tsth
+        |           ON tspj.j >= t_e6 / 1000000.0),
+        |tse3 AS (SELECT t_e6, id_a AS src, id_b AS dst FROM tsp3
+        |         UNION SELECT t_e6, id_b, id_a FROM tsp3),
+        |tsv3 AS (SELECT DISTINCT t_e6, src AS id FROM tse3),
+        |tsreach(t_e6, id, r) AS (
+        |  SELECT t_e6, id, id FROM tsv3
+        |  UNION
+        |  SELECT e.t_e6, e.dst, tsreach.r FROM tse3 e
+        |  JOIN tsreach ON e.src = tsreach.id AND e.t_e6 = tsreach.t_e6),
+        |tslab AS (SELECT t_e6, id, min(r) AS cluster_id FROM tsreach GROUP BY 1, 2),
+        |tscs AS (SELECT t_e6, cluster_id, CAST(count(*) AS BIGINT) AS sz
+        |         FROM tslab GROUP BY 1, 2),
+        |tses AS (SELECT t_e6, CAST(count(*) AS BIGINT) AS n_edges FROM tsp3 GROUP BY 1),
+        |tsx AS (SELECT t_e6, CAST(sum(sz) AS BIGINT) AS n_nodes,
+        |          CAST(count(*) AS BIGINT) AS n_components,
+        |          CAST(max(sz) AS BIGINT) AS max_component
+        |        FROM tscs GROUP BY 1)
+        |SELECT CAST(tsth.t_e6 AS BIGINT) AS threshold_e6,
+        |  COALESCE(tses.n_edges, 0) AS n_edges,
+        |  COALESCE(tsx.n_nodes, 0) AS n_nodes,
+        |  COALESCE(tsx.n_components, 0) AS n_components,
+        |  COALESCE(tsx.max_component, 0) AS max_component
+        |FROM tsth LEFT JOIN tses ON tses.t_e6 = tsth.t_e6
+        |          LEFT JOIN tsx ON tsx.t_e6 = tsth.t_e6""".stripMargin,
 
     "doc_tokens" ->
       """SELECT doc_id,
