@@ -92,6 +92,7 @@ object SparkEntry {
   private val MarkovIters = 12  // attribution_markov: value-iteration rounds
   private val NeymanBudget = 1000 // neyman_allocation: total sample budget
   private val HarmonicCapD = 8  // dup_graph_harmonic: expansion fan-out cap
+  private val SpanMaskPct = 15  // span_corruption: per-position mask rate %
   private val OofFolds = 5      // target_encode_oof: hash folds
   private val PmiMinCount = 5   // term_pmi_pairs: collocation support floor
   private val PmiTopK = 20      // term_pmi_pairs: collocations returned
@@ -2798,6 +2799,41 @@ object SparkEntry {
     "doc_lang" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))),
+    // ---- T5-style span corruption plan: per document, which token
+    // positions a SpanMaskPct% deterministic mask hits and how they
+    // coalesce into contiguous spans — the preprocessing op behind
+    // span-corruption pretraining objectives. The mask decision is the
+    // oracle-exact PortableHash on (doc_id:pos), so the corruption is
+    // reproducible across engines, runs, and shuffles (no stored mask
+    // file at any scale); span starts come from one per-doc lag pass
+    // over the masked positions. Map-only until the per-doc window;
+    // nothing global anywhere. ----
+    "span_corruption" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      val masked = toks.filter(
+        pmod(graft.functions.PortableHash.hash60(
+          concat(col("doc_id").cast("string"), lit(":"), col("pos").cast("string"))),
+          lit(100)) < SpanMaskPct)
+      val w = Window.partitionBy("doc_id").orderBy(col("pos"))
+      val spans = masked
+        .withColumn("prev", lag(col("pos"), 1).over(w))
+        .select(col("doc_id"),
+          when(col("prev").isNull || col("pos") - col("prev") > 1, 1L)
+            .otherwise(0L).as("isStart"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_masked"), sum("isStart").as("n_spans"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+        .withColumn("mask_rate_e6",
+          expr("CAST(n_masked * 1000000 div n_tokens AS BIGINT)"))
+    }),
+
     // ---- langID confusion matrix: the heuristic doc_lang prediction
     // against the labeled lang column, plus micro-accuracy — the
     // eval-harness face of the langID operator. Bounded |langs|²
@@ -12250,6 +12286,23 @@ object SparkEntry {
     "doc_quality" -> docQualityOracle,
 
     "doc_lang" -> docLangOracle,
+    "span_corruption" ->
+      s"""WITH sct AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |scp AS (SELECT doc_id, UNNEST(range(0, len(ws))) AS pos FROM sct),
+        |scm AS (SELECT doc_id, pos FROM scp
+        |        WHERE ${dh("CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")}
+        |              % 100 < $SpanMaskPct),
+        |scs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_masked,
+        |          CAST(sum(CASE WHEN prev IS NULL OR pos - prev > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+        |        FROM (SELECT doc_id, pos,
+        |                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM scm)
+        |        GROUP BY 1),
+        |scn AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |        FROM documents)
+        |SELECT n.doc_id, n.n_tokens,
+        |  COALESCE(s.n_masked, 0) AS n_masked, COALESCE(s.n_spans, 0) AS n_spans,
+        |  COALESCE(s.n_masked, 0) * 1000000 // n.n_tokens AS mask_rate_e6
+        |FROM scn n LEFT JOIN scs s USING (doc_id)""".stripMargin,
     "doc_lang_confusion" ->
       s"""WITH lcp AS (SELECT d.lang, p.lang_pred
         |            FROM documents d JOIN ($docLangOracle) p USING (doc_id)),
