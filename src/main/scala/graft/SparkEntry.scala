@@ -89,6 +89,7 @@ object SparkEntry {
   private val ZipfTopK = 256    // zipf_slope: rank-frequency head size
   private val KmeansK = 8       // kmeans_fit: clusters
   private val KmeansRounds = 3  // kmeans_fit: unrolled Lloyd rounds
+  private val KmeansSweepKs = Seq(2, 4, 8) // kmeans_k_sweep: elbow points
   private val MarkovIters = 12  // attribution_markov: value-iteration rounds
   private val NeymanBudget = 1000 // neyman_allocation: total sample budget
   private val HarmonicCapD = 8  // dup_graph_harmonic: expansion fan-out cap
@@ -4208,35 +4209,28 @@ object SparkEntry {
     // distributed-kmeans bound; no vector-vector pair anywhere. The
     // oracle unrolls the identical three rounds CTE by CTE. ----
     "kmeans_fit" -> ((s, dir) => {
-      val flat = Tables.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .select(col("vec_id"), col("pos"),
-          floor(col("x") * lit(1000.0) + lit(0.5)).cast("long").as("q"))
-      val seeds = Tables.embeddings(s, dir)
-        .select(col("vec_id")).orderBy(col("vec_id").asc).limit(KmeansK)
-        .select(col("vec_id").as("c"))
-      def assign(cent: DataFrame): DataFrame =
-        flat.join(broadcast(cent), Seq("pos"))
-          .groupBy(col("vec_id"), col("c"))
-          .agg(sum((col("q") - col("m")) * (col("q") - col("m"))).as("d2"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d2"), col("c"))).as("__best"))
-          .select(col("vec_id"),
-            col("__best").getField("c").as("c"),
-            col("__best").getField("d2").as("d2"))
-      var cent = flat.join(broadcast(seeds), col("vec_id") === col("c"))
-        .select(col("c"), col("pos"), col("q").as("m"))
-      for (_ <- 1 to KmeansRounds)
-        cent = flat.join(assign(cent).select("vec_id", "c"), Seq("vec_id"))
-          .groupBy("c", "pos")
-          .agg(expr("CAST(sum(q) div count(1) AS BIGINT)").as("m"))
-      val fin = assign(cent)
+      val (fin, cent) = kmeansRun(s, dir, KmeansK)
       fin.groupBy("c")
         .agg(count(lit(1)).as("n_vecs"), sum("d2").as("inertia_q2"))
         .join(cent.groupBy("c").agg(sum(abs(col("m"))).as("cent_l1")), Seq("c"))
         .select(col("c").as("cluster_id"), col("n_vecs"),
           col("inertia_q2"), col("cent_l1"))
     }),
+
+    // ---- k-selection elbow table: total inertia of the same Lloyd fit
+    // at k = 2/4/8 — the "is 8 the right k" diagnostic beside
+    // kmeans_fit. Three bounded fits over the one flattened corpus
+    // (cost = Σk·rounds·vectors·dim — still the Lloyd bound); output
+    // is the 3-row elbow relation. Oracle instantiates the identical
+    // per-k CTE chains over one shared flat relation. ----
+    "kmeans_k_sweep" -> ((s, dir) =>
+      KmeansSweepKs.map { k =>
+        kmeansRun(s, dir, k)._1
+          .agg(countDistinct(col("c")).as("n_clusters"),
+            sum("d2").as("inertia_q2"))
+          .select(lit(k).cast("long").as("k"),
+            col("n_clusters"), col("inertia_q2"))
+      }.reduce(_ unionByName _)),
 
     // ---- edit-distance near-dups: shingle candidates + levenshtein refine ----
     "edit_dup_pairs" -> ((s, dir) =>
@@ -6806,6 +6800,36 @@ object SparkEntry {
     simhashPairsFor(s, dir)
       .select(col("id_a").as("a"), col("id_b").as("b"))
 
+  /** The KmeansRounds-round Lloyd fit at a given k (see `kmeans_fit`'s
+    * scaladoc for the exact-integer design): returns (final assignment
+    * (vec_id, c, d2), final centroids (c, pos, m)). Shared by
+    * `kmeans_fit` and the `kmeans_k_sweep` elbow table. */
+  private def kmeansRun(s: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
+    val flat = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("x") * lit(1000.0) + lit(0.5)).cast("long").as("q"))
+    val seeds = Tables.embeddings(s, dir)
+      .select(col("vec_id")).orderBy(col("vec_id").asc).limit(k)
+      .select(col("vec_id").as("c"))
+    def assign(cent: DataFrame): DataFrame =
+      flat.join(broadcast(cent), Seq("pos"))
+        .groupBy(col("vec_id"), col("c"))
+        .agg(sum((col("q") - col("m")) * (col("q") - col("m"))).as("d2"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("c"))).as("__best"))
+        .select(col("vec_id"),
+          col("__best").getField("c").as("c"),
+          col("__best").getField("d2").as("d2"))
+    var cent = flat.join(broadcast(seeds), col("vec_id") === col("c"))
+      .select(col("c"), col("pos"), col("q").as("m"))
+    for (_ <- 1 to KmeansRounds)
+      cent = flat.join(assign(cent).select("vec_id", "c"), Seq("vec_id"))
+        .groupBy("c", "pos")
+        .agg(expr("CAST(sum(q) div count(1) AS BIGINT)").as("m"))
+    (assign(cent), cent)
+  }
+
   private val jaccardPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -9212,34 +9236,57 @@ object SparkEntry {
     * rounds unrolled CTE by CTE (the bt_event_scores oracle discipline)
     * — same e3 quantization, truncating integer centroid means, and
     * (d2, c) lexicographic argmin via row_number. */
-  private def kmeansOracle: String = {
+  /** The Lloyd-round CTE chain for one (k, prefix): seeds → kc0 →
+    * rounds → final assignment `${p}af` (vec_id, c, d2) and final
+    * centroids `${p}c$R`. Shared `kflat` is emitted by the caller. */
+  private def kmeansCtes(k: Int, p: String): String = {
     val rounds = (1 to KmeansRounds).map { r =>
-      s"""kd$r AS (SELECT f.vec_id, c.c, CAST(sum((f.q - c.m) * (f.q - c.m)) AS BIGINT) AS d2
-         |        FROM kflat f JOIN kc${r - 1} c ON f.pos = c.pos GROUP BY 1, 2),
-         |ka$r AS (SELECT vec_id, c FROM (
+      s"""${p}d$r AS (SELECT f.vec_id, c.c, CAST(sum((f.q - c.m) * (f.q - c.m)) AS BIGINT) AS d2
+         |        FROM kflat f JOIN ${p}c${r - 1} c ON f.pos = c.pos GROUP BY 1, 2),
+         |${p}a$r AS (SELECT vec_id, c FROM (
          |          SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
-         |          FROM kd$r) WHERE rn = 1),
-         |kc$r AS (SELECT a.c, f.pos, CAST(sum(f.q) // count(*) AS BIGINT) AS m
-         |        FROM kflat f JOIN ka$r a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+         |          FROM ${p}d$r) WHERE rn = 1),
+         |${p}c$r AS (SELECT a.c, f.pos, CAST(sum(f.q) // count(*) AS BIGINT) AS m
+         |        FROM kflat f JOIN ${p}a$r a USING (vec_id) GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
     val R = KmeansRounds
-    s"""WITH kflat AS (
-       |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-       |         CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS q
-       |  FROM embeddings),
-       |kseeds AS (SELECT vec_id AS c FROM embeddings ORDER BY vec_id LIMIT $KmeansK),
-       |kc0 AS (SELECT s.c, f.pos, f.q AS m FROM kflat f JOIN kseeds s ON f.vec_id = s.c),
+    s"""${p}seeds AS (SELECT vec_id AS c FROM embeddings ORDER BY vec_id LIMIT $k),
+       |${p}c0 AS (SELECT s.c, f.pos, f.q AS m FROM kflat f JOIN ${p}seeds s ON f.vec_id = s.c),
        |$rounds,
-       |kdf AS (SELECT f.vec_id, c.c, CAST(sum((f.q - c.m) * (f.q - c.m)) AS BIGINT) AS d2
-       |        FROM kflat f JOIN kc$R c ON f.pos = c.pos GROUP BY 1, 2),
-       |kaf AS (SELECT vec_id, c, d2 FROM (
+       |${p}df AS (SELECT f.vec_id, c.c, CAST(sum((f.q - c.m) * (f.q - c.m)) AS BIGINT) AS d2
+       |        FROM kflat f JOIN ${p}c$R c ON f.pos = c.pos GROUP BY 1, 2),
+       |${p}af AS (SELECT vec_id, c, d2 FROM (
        |          SELECT vec_id, c, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
-       |          FROM kdf) WHERE rn = 1),
+       |          FROM ${p}df) WHERE rn = 1)""".stripMargin
+  }
+
+  private val kflatCte: String =
+    """kflat AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |         CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings)""".stripMargin
+
+  private def kmeansOracle: String = {
+    val R = KmeansRounds
+    s"""WITH $kflatCte,
+       |${kmeansCtes(KmeansK, "k")},
        |ksz AS (SELECT c, CAST(count(*) AS BIGINT) AS n_vecs, CAST(sum(d2) AS BIGINT) AS inertia_q2
        |        FROM kaf GROUP BY 1),
        |kl1 AS (SELECT c, CAST(sum(abs(m)) AS BIGINT) AS cent_l1 FROM kc$R GROUP BY 1)
        |SELECT ksz.c AS cluster_id, n_vecs, inertia_q2, cent_l1
        |FROM ksz JOIN kl1 USING (c)""".stripMargin
+  }
+
+  /** DuckDB side of `kmeans_k_sweep`: the Lloyd chain instantiated per k
+    * with prefixed CTE names over ONE shared kflat, elbow rows unioned. */
+  private def kmeansSweepOracle: String = {
+    val blocks = KmeansSweepKs.zip(Seq("ksa", "ksb", "ksc"))
+    val ctes = blocks.map { case (k, p) => kmeansCtes(k, p) }.mkString(",\n")
+    val selects = blocks.map { case (k, p) =>
+      s"""SELECT CAST($k AS BIGINT) AS k, CAST(count(DISTINCT c) AS BIGINT) AS n_clusters,
+         |  CAST(sum(d2) AS BIGINT) AS inertia_q2 FROM ${p}af""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $kflatCte,\n$ctes\n$selects"
   }
 
   /** DuckDB side of [[Tables.partsupp]]: the same distinct-pairs +
@@ -10693,6 +10740,7 @@ object SparkEntry {
         |      AND ps_availqty > qty_sum * 100)""".stripMargin,
 
     "kmeans_fit" -> kmeansOracle,
+    "kmeans_k_sweep" -> kmeansSweepOracle,
     "attribution_markov" -> markovOracle,
     "target_encode_oof" ->
       s"""WITH tef AS (SELECT o_orderpriority AS cat,
