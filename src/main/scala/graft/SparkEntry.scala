@@ -4777,6 +4777,77 @@ object SparkEntry {
              AS BIGINT) AS d_e6""")
     }),
 
+    // ---- exact 1-D Wasserstein-1 (earth mover) distance between the
+    // view and purchase value distributions: W₁ = ∫|F₁−F₂|dx, computed
+    // as Σ over adjacent distinct cents of |cum₁·n₂−cum₂·n₁|·gap over
+    // the n₁·n₂ denominator — the integral sibling of ks_two_sample's
+    // max (same ONE multi-value two-phase prefix scan over the
+    // domain-bounded distinct-cents relation; the lead window for gaps
+    // runs over that same bounded domain). decimal(38,0)-staged
+    // cross-products; the only division is the final e6 rational. ----
+    "wasserstein_value" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull &&
+          col("event_type").isin("view", "purchase"))
+        .select(round(col("value") * 100).cast("long").as("cents"),
+          (col("event_type") === "view").cast("long").as("isv"))
+      val g = ev.groupBy("cents").agg(
+        sum(col("isv")).as("n1"), sum(lit(1L) - col("isv")).as("n2"))
+      val c2 = graft.operators.PrefixSum.runningTotals(g,
+        Seq("cum1" -> col("n1"), "cum2" -> col("n2")), col("cents"))
+      val tot = g.agg(sum("n1").as("t1"), sum("n2").as("t2"))
+      c2.crossJoin(broadcast(tot))
+        .withColumn("next_c", lead(col("cents"), 1).over(Window.orderBy(col("cents").asc)))
+        .filter(col("next_c").isNotNull)
+        .select(
+          (abs(col("cum1").cast("decimal(38,0)") * col("t2")
+            - col("cum2").cast("decimal(38,0)") * col("t1"))
+            * (col("next_c") - col("cents"))).as("term"),
+          col("t1"), col("t2"))
+        .agg(max("t1").as("n_view"), max("t2").as("n_purchase"),
+          sum("term").as("__s"))
+        .select(col("n_view"), col("n_purchase"),
+          expr("""CAST(__s * 1000000
+                  div nullif(CAST(n_view AS DECIMAL(38,0)) * n_purchase, 0)
+                  AS BIGINT)""").as("w1_cents_e6"))
+    }),
+
+    // ---- Population Stability Index between the two event_id-parity
+    // halves over pooled-value deciles — the standard model-monitoring
+    // drift number. Bins come from the same tie-coarse decile scan as
+    // value_lift_deciles (two-phase prefix over distinct cents); per-bin
+    // (p−q)·ln(p/q) is floored to _e6 from exact integer cross-products
+    // so the 10-term sum is engine-identical. Bins empty on either side
+    // drop (the ε-free convention, documented). ----
+    "distribution_psi" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(round(col("value") * 100).cast("long").as("cents"),
+          pmod(col("event_id"), lit(2)).as("half"))
+      val g = ev.groupBy("cents").agg(count(lit(1)).as("n"),
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb"))
+      val cum = graft.operators.PrefixSum.runningTotal(
+        g, "cum_incl", col("n"), col("cents"))
+      val tot = g.agg(sum("n").as("nn"), sum("na").as("ta"), sum("nb").as("tb"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("decile", expr("CAST((cum_incl - n) * 10 div nn AS INT)"))
+        .groupBy("decile")
+        .agg(sum("na").as("ba"), sum("nb").as("bb"),
+          max("ta").as("ta"), max("tb").as("tb"))
+        .filter(col("ba") > 0 && col("bb") > 0)
+        .select(col("ba"), col("bb"), col("ta"), col("tb"),
+          floor((col("ba").cast("decimal(38,0)") * col("tb")
+              - col("bb").cast("decimal(38,0)") * col("ta")).cast("double")
+            / (col("ta").cast("double") * col("tb").cast("double"))
+            * log(col("ba").cast("double") * col("tb").cast("double")
+              / (col("bb").cast("double") * col("ta").cast("double")))
+            * lit(1000000.0) + lit(0.5)).cast("long").as("term_e6"))
+        .agg(max("ta").as("n_half_a"), max("tb").as("n_half_b"),
+          count(lit(1)).as("n_bins_used"),
+          sum("term_e6").as("psi_e6"))
+    }),
+
     // ---- Monte-Carlo relabel test (the randomization-test form of the
     // two-sample mean comparison): is the purchase-vs-view mean value
     // gap explainable by label noise? Each of B=32 deterministic
@@ -10953,6 +11024,53 @@ object SparkEntry {
         |  CAST(CAST(sum(npos) AS HUGEINT) * max(nn) * 1000000
         |       // nullif(sum(n) * max(np), 0) AS BIGINT) AS lift_e6
         |FROM la GROUP BY 1""".stripMargin,
+    "wasserstein_value" ->
+      """WITH wev AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |                    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS isv
+        |             FROM events WHERE value IS NOT NULL
+        |               AND event_type IN ('view', 'purchase')),
+        |wg AS (SELECT cents, CAST(sum(isv) AS BIGINT) AS n1,
+        |         CAST(sum(1 - isv) AS BIGINT) AS n2 FROM wev GROUP BY 1),
+        |wc AS (SELECT cents,
+        |         CAST(sum(n1) OVER (ORDER BY cents) AS BIGINT) AS cum1,
+        |         CAST(sum(n2) OVER (ORDER BY cents) AS BIGINT) AS cum2,
+        |         lead(cents) OVER (ORDER BY cents) AS next_c
+        |       FROM wg),
+        |wt AS (SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2 FROM wg),
+        |wx AS (SELECT abs(CAST(cum1 AS HUGEINT) * t2 - CAST(cum2 AS HUGEINT) * t1)
+        |              * (next_c - cents) AS term, t1, t2
+        |       FROM wc CROSS JOIN wt WHERE next_c IS NOT NULL)
+        |SELECT CAST(max(t1) AS BIGINT) AS n_view, CAST(max(t2) AS BIGINT) AS n_purchase,
+        |  CAST(sum(term) * 1000000
+        |       // nullif(CAST(max(t1) AS HUGEINT) * max(t2), 0) AS BIGINT) AS w1_cents_e6
+        |FROM wx""".stripMargin,
+    "distribution_psi" ->
+      """WITH pev AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |                    CAST(event_id % 2 AS BIGINT) AS half
+        |             FROM events WHERE value IS NOT NULL),
+        |pg AS (SELECT cents, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |       FROM pev GROUP BY 1),
+        |pc AS (SELECT cents, n, na, nb,
+        |         CAST(sum(n) OVER (ORDER BY cents) AS BIGINT) AS cum_incl FROM pg),
+        |pt AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(na) AS BIGINT) AS ta,
+        |         CAST(sum(nb) AS BIGINT) AS tb FROM pg),
+        |pd AS (SELECT CAST((cum_incl - n) * 10 // nn AS INTEGER) AS decile, na, nb, ta, tb
+        |       FROM pc CROSS JOIN pt),
+        |pb AS (SELECT decile, CAST(sum(na) AS BIGINT) AS ba, CAST(sum(nb) AS BIGINT) AS bb,
+        |         CAST(max(ta) AS BIGINT) AS ta, CAST(max(tb) AS BIGINT) AS tb
+        |       FROM pd GROUP BY 1),
+        |px AS (SELECT ta, tb,
+        |         CAST(floor(CAST(CAST(ba AS HUGEINT) * tb - CAST(bb AS HUGEINT) * ta AS DOUBLE)
+        |             / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))
+        |             * ln(CAST(ba AS DOUBLE) * CAST(tb AS DOUBLE)
+        |                  / (CAST(bb AS DOUBLE) * CAST(ta AS DOUBLE)))
+        |             * 1000000.0 + 0.5) AS BIGINT) AS term_e6
+        |       FROM pb WHERE ba > 0 AND bb > 0)
+        |SELECT CAST(max(ta) AS BIGINT) AS n_half_a, CAST(max(tb) AS BIGINT) AS n_half_b,
+        |  CAST(count(*) AS BIGINT) AS n_bins_used, CAST(sum(term_e6) AS BIGINT) AS psi_e6
+        |FROM px""".stripMargin,
     "spearman_corr" ->
       """WITH sp AS (
         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc, CAST(n.yc AS BIGINT) AS yc
