@@ -94,6 +94,8 @@ object SparkEntry {
   private val NeymanBudget = 1000 // neyman_allocation: total sample budget
   private val HarmonicCapD = 8  // dup_graph_harmonic: expansion fan-out cap
   private val SpanMaskPct = 15  // span_corruption: per-position mask rate %
+  private val HillK = 256       // value_hill_tail: tail order statistics
+  private val GiniValueCut = 2000L // gini_impurity_features: label = cents >= cut
   private val OofFolds = 5      // target_encode_oof: hash folds
   private val PmiMinCount = 5   // term_pmi_pairs: collocation support floor
   private val PmiTopK = 20      // term_pmi_pairs: collocations returned
@@ -6278,6 +6280,80 @@ object SparkEntry {
             .cast("long").as("ate_cents_e6"))
     }),
 
+    // ---- Wilson 95% score intervals for the hourly conversion rate —
+    // the CI that stays inside [0,1] at small n (unlike the Wald
+    // interval). z frozen as the literal 1.959964; the double
+    // expression is written in the identical operation order in both
+    // engines, from exact integer counts. 24 bounded arms. ----
+    "conversion_wilson_ci" -> ((s, dir) => {
+      val arms = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(hour(col("ts")).cast("long").as("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("event_type") === "purchase").cast("long")).as("pos"))
+      val z = lit(1.959964)
+      val nd = col("n").cast("double")
+      val p = col("pos").cast("double") / nd
+      val z2 = z * z
+      val denom = lit(1.0) + z2 / nd
+      val center = (p + z2 / (lit(2.0) * nd)) / denom
+      val hw = z * sqrt(p * (lit(1.0) - p) / nd + z2 / (lit(4.0) * nd * nd)) / denom
+      arms.select(col("arm"), col("n"), col("pos"),
+        floor((center - hw) * lit(1000000.0) + lit(0.5)).cast("long").as("lo_e6"),
+        floor((center + hw) * lit(1000000.0) + lit(0.5)).cast("long").as("hi_e6"))
+    }),
+
+    // ---- Hill tail-index estimator over the top-K order statistics of
+    // `value` — the heavy-tail diagnostic (α ≈ how Pareto the spend
+    // tail is; α ≤ 2 means infinite variance, which changes every
+    // sampling/CI decision upstream). Top-K via TakeOrderedAndProject
+    // (never a global sort); the mean excess log runs over the K-row
+    // bounded set with per-row e6-floored ln (doc_entropy discipline).
+    "value_hill_tail" -> ((s, dir) => {
+      val top = Tables.events(s, dir)
+        .filter(col("value").isNotNull && col("value") > 0)
+        .select(round(col("value") * 100).cast("long").as("cents"))
+        .orderBy(col("cents").desc).limit(HillK)
+      val mn = top.agg(min("cents").as("xk"))
+      top.crossJoin(broadcast(mn))
+        .select((floor(log(col("cents").cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+          - floor(log(col("xk").cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")).as("d"))
+        .agg(count(lit(1)).as("k"), sum("d").as("sum_lnratio_e6"))
+        .withColumn("alpha_e6", when(col("sum_lnratio_e6") > 0,
+          expr("CAST(k * 1000000000000 div sum_lnratio_e6 AS BIGINT)")))
+    }),
+
+    // ---- Gini-impurity feature ranking (the decision-stump screen):
+    // weighted impurity of the high-value label under each candidate
+    // split feature — lower = more predictive. Invariant to group
+    // relabeling, so the Spark/DuckDB dayofweek base-offset needs no
+    // reconciliation. One map-combinable agg per feature over bounded
+    // groups; purity (pos²+neg²)·1e6 div n is decimal-staged exact. ----
+    "gini_impurity_features" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("event_type"), hour(col("ts")).cast("long").as("h"),
+          dayofweek(col("ts")).cast("long").as("dw"),
+          (round(col("value") * 100).cast("long") >= GiniValueCut)
+            .cast("long").as("y"))
+      def giniOf(feat: Column, name: String): DataFrame =
+        ev.groupBy(feat.as("v"))
+          .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+          .select(col("n"),
+            expr("""CAST((CAST(pos AS DECIMAL(38,0)) * pos
+                       + CAST(n - pos AS DECIMAL(38,0)) * (n - pos)) * 1000000
+                    div n AS BIGINT)""").as("pur_e6"))
+          .agg(sum("n").as("nn"), count(lit(1)).as("n_groups"),
+            sum(col("pur_e6").cast("decimal(38,0)")).as("sp"))
+          .select(lit(name).as("feature"), col("n_groups"),
+            (lit(1000000L) - expr("CAST(sp div nn AS BIGINT)"))
+              .as("weighted_gini_e6"))
+      giniOf(col("event_type"), "event_type")
+        .unionByName(giniOf(col("h"), "hour"))
+        .unionByName(giniOf(col("dw"), "dow"))
+    }),
+
     // ---- UCB1 exploration scores (Auer et al. 2002) treating
     // hour-of-day as the arm and purchase as the reward: the
     // batch-computed bandit audit of which traffic slots are
@@ -9247,6 +9323,29 @@ object SparkEntry {
        |FROM r WHERE "rank" <= $AnnK""".stripMargin
   }
 
+  /** DuckDB side of `gini_impurity_features`: one per-feature block over
+    * the shared labeled-event CTE, unioned — identical decimal-staged
+    * purity arithmetic. */
+  private def giniFeaturesOracle: String = {
+    val feats = Seq("event_type" -> "event_type", "hour" -> "h", "dow" -> "dw")
+    val blocks = feats.map { case (name, c) =>
+      s"""SELECT '$name' AS feature, CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(1000000 - (sum(CAST(pur AS HUGEINT)) // sum(n)) AS BIGINT) AS weighted_gini_e6
+         |FROM (SELECT n,
+         |        CAST((CAST(pos AS HUGEINT) * pos + CAST(n - pos AS HUGEINT) * (n - pos)) * 1000000
+         |             // n AS BIGINT) AS pur
+         |      FROM (SELECT $c AS v, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+         |            FROM gev GROUP BY 1))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH gev AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+       |               CAST(dayofweek(ts) AS BIGINT) AS dw,
+       |               CASE WHEN CAST(round(value * 100) AS BIGINT) >= $GiniValueCut
+       |                    THEN 1 ELSE 0 END AS y
+       |             FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+       |               AND value IS NOT NULL)
+       |$blocks""".stripMargin
+  }
+
   /** DuckDB side of `attribution_markov`: the same transition derivation
     * in SQL, then the MarkovIters value-iteration rounds unrolled CTE by
     * CTE over the bounded scenario×state grid — identical truncating e6
@@ -11024,6 +11123,37 @@ object SparkEntry {
         |  CAST(CAST(sum(npos) AS HUGEINT) * max(nn) * 1000000
         |       // nullif(sum(n) * max(np), 0) AS BIGINT) AS lift_e6
         |FROM la GROUP BY 1""".stripMargin,
+    "conversion_wilson_ci" ->
+      """WITH wia AS (
+        |  SELECT CAST(hour(ts) AS BIGINT) AS arm, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |wic AS (SELECT arm, n, pos,
+        |          CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |          1.959964 * 1.959964 AS z2, CAST(n AS DOUBLE) AS nd
+        |        FROM wia),
+        |wix AS (SELECT arm, n, pos,
+        |          (p + z2 / (2.0 * nd)) / (1.0 + z2 / nd) AS center,
+        |          1.959964 * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))
+        |            / (1.0 + z2 / nd) AS hw
+        |        FROM wic)
+        |SELECT arm, n, pos,
+        |  CAST(floor((center - hw) * 1000000.0 + 0.5) AS BIGINT) AS lo_e6,
+        |  CAST(floor((center + hw) * 1000000.0 + 0.5) AS BIGINT) AS hi_e6
+        |FROM wix""".stripMargin,
+    "value_hill_tail" ->
+      s"""WITH hlt AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+        |            FROM events WHERE value IS NOT NULL AND value > 0
+        |            ORDER BY cents DESC LIMIT $HillK),
+        |hlm AS (SELECT min(cents) AS xk FROM hlt),
+        |hld AS (SELECT CAST(floor(ln(CAST(cents AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |             - CAST(floor(ln(CAST(xk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS d
+        |        FROM hlt CROSS JOIN hlm)
+        |SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(d) AS BIGINT) AS sum_lnratio_e6,
+        |  CASE WHEN sum(d) > 0
+        |       THEN CAST(count(*) * 1000000000000 // sum(d) AS BIGINT) END AS alpha_e6
+        |FROM hld""".stripMargin,
+    "gini_impurity_features" -> giniFeaturesOracle,
     "wasserstein_value" ->
       """WITH wev AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
         |                    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS isv
