@@ -17,7 +17,11 @@ done
 # collection faults them in (~700ms/GC measured → 2s queries become 20-70s).
 # AlwaysPreTouch is NOT the answer — pretouching 12g took 5 minutes.
 # Bounding the young gen keeps the touched working set small and reused.
-MEM="${SPARK_DRIVER_MEM:-10g}"
+# 16g (r9): at 360 registered queries the accumulated session state
+# (pins, checkpointed relations, broadcast cleanup lag) pressures a 10g
+# heap late in a full-suite run — measured 457.5 s (10g) vs 411.9 s
+# (16g) on the same build/state. Still pinned Xms=Xmx (see below).
+MEM="${SPARK_DRIVER_MEM:-16g}"
 # -Xms = -Xmx: G1 otherwise UNCOMMITS heap after major collections, and the
 # uncommitted pages re-fault at 40MB/s the next time a query touches them
 # (observed as tens-of-seconds swings on identical queries across runs).
