@@ -6280,6 +6280,33 @@ object SparkEntry {
             .cast("long").as("ate_cents_e6"))
     }),
 
+    // ---- Theil T inequality index of per-customer spend — the
+    // entropy-based member of the inequality family (Gini/Lorenz/HHI
+    // cover rank- and share-based forms; Theil alone decomposes
+    // between/within groups). T = Σ (x_i/X)·ln(x_i·n/X): one
+    // map-combinable per-customer agg, totals broadcast as a 1-row
+    // scalar, per-customer ln floored to _e6 so the weighted sum is an
+    // exact integer (decimal-staged — Σ x_i·term overflows int64 at
+    // warehouse scale). Zero-spend customers contribute 0 (lim x·ln x)
+    // and are excluded identically in both engines. ----
+    "spend_theil_index" -> ((s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+        .filter(col("x") > 0)
+      val tot = spend.agg(count(lit(1)).as("n"), sum("x").as("xx"))
+      spend.crossJoin(broadcast(tot))
+        .select(col("n"), col("xx"),
+          (col("x").cast("decimal(38,0)") * floor(
+            log(col("x").cast("double") * col("n").cast("double")
+              / col("xx").cast("double")) * lit(1000000.0) + lit(0.5))
+            .cast("long")).as("term"))
+        .agg(max("n").as("n_customers"), max("xx").as("total_cents"),
+          sum("term").as("__s"))
+        .select(col("n_customers"), col("total_cents"),
+          expr("CAST(__s div total_cents AS BIGINT)").as("theil_e6"))
+    }),
+
     // ---- Wilson 95% score intervals for the hourly conversion rate —
     // the CI that stays inside [0,1] at small n (unlike the Wald
     // interval). z frozen as the literal 1.959964; the double
@@ -11123,6 +11150,17 @@ object SparkEntry {
         |  CAST(CAST(sum(npos) AS HUGEINT) * max(nn) * 1000000
         |       // nullif(sum(n) * max(np), 0) AS BIGINT) AS lift_e6
         |FROM la GROUP BY 1""".stripMargin,
+    "spend_theil_index" ->
+      """WITH ths AS (SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |       FROM orders GROUP BY 1 HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT)) > 0),
+        |tht AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS xx FROM ths)
+        |SELECT CAST(max(n) AS BIGINT) AS n_customers, CAST(max(xx) AS BIGINT) AS total_cents,
+        |  CAST(sum(CAST(x AS HUGEINT) *
+        |           CAST(floor(ln(CAST(x AS DOUBLE) * CAST(n AS DOUBLE) / CAST(xx AS DOUBLE))
+        |                      * 1000000.0 + 0.5) AS BIGINT))
+        |       // max(xx) AS BIGINT) AS theil_e6
+        |FROM ths CROSS JOIN tht""".stripMargin,
     "conversion_wilson_ci" ->
       """WITH wia AS (
         |  SELECT CAST(hour(ts) AS BIGINT) AS arm, CAST(count(*) AS BIGINT) AS n,
