@@ -98,6 +98,31 @@ class StatsWaveSpec extends SparkSpec {
     assert(out.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 9))
   }
 
+  test("conversion_wilson_ci: the point estimate lies inside every interval") {
+    SparkEntry.queries("conversion_wilson_ci")(spark, dir).collect().foreach { r =>
+      val (n, pos, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val pE6 = pos * 1000000L / n
+      assert(lo <= pE6 && pE6 <= hi, s"arm ${r.getLong(0)}: p̂=$pE6 outside [$lo,$hi]")
+      assert(lo >= 0L && hi <= 1000000L, "Wilson stays inside [0,1] by construction")
+    }
+  }
+
+  test("wasserstein_value and distribution_psi are nonnegative (up to per-bin rounding)") {
+    val w = SparkEntry.queries("wasserstein_value")(spark, dir).collect().head
+    assert(w.getLong(2) >= 0L, "W1 is an integral of an absolute value")
+    val p = SparkEntry.queries("distribution_psi")(spark, dir).collect().head
+    // each of the ≤10 floored bin terms errs by < 1 in e6 units
+    assert(p.getLong(3) >= -p.getLong(2), s"PSI below the rounding floor: ${p.getLong(3)}")
+  }
+
+  test("spend_theil_index is within [0 − slack, ln(n)]") {
+    val t = SparkEntry.queries("spend_theil_index")(spark, dir).collect().head
+    val (n, theil) = (t.getLong(0), t.getLong(2))
+    assert(theil >= -1L, "Theil T is nonnegative (slack = summed rounding)")
+    assert(theil <= math.ceil(math.log(n.toDouble) * 1e6).toLong,
+      "Theil T is bounded by ln(n) at maximal inequality")
+  }
+
   test("dup_graph_harmonic: d1 degrees are exact and shells are disjoint by construction") {
     val out = SparkEntry.queries("dup_graph_harmonic")(spark, dir).collect()
     assert(out.nonEmpty)
