@@ -67,6 +67,14 @@ object SparkEntry {
     * and the DuckDB oracle, so no engine evaluates a transcendental. */
   private val BenfordE6: Map[Int, Long] = (1 to 9).map(d =>
     d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong).toMap
+  /** dup_graph_kcore: peel-round budget shared by the Spark loop (cap)
+    * and the generated oracle (unroll depth) — the two sides agree BY
+    * CONSTRUCTION at any convergence speed: a corpus reaching the
+    * fixpoint earlier makes the extra rounds no-ops on both engines, and
+    * one that hasn't converged by the cap truncates identically on both.
+    * Also bounds the pathological case (a long path needs O(n) rounds,
+    * each paying a localCheckpoint + count). */
+  private[graft] val KcoreMaxRounds = 8
   private val AlignK = 4        // margin_align_pairs: neighborhood size
   private val AlignMinMarginE6 = 1000000L // margin ≥ 1.0: above neighborhood avg
   private val BtIterations = 3  // bt_event_scores: MM fixpoint iterations
@@ -836,22 +844,25 @@ object SparkEntry {
     // these SFs 4 rounds reach the fixpoint, and each round is one
     // map-side-combinable degree count + two semi-joins over the
     // (banded, pair-sized) edge relation, lineage cut per round ----
-    // Adaptive 2-core peel to FIXPOINT (Batagelj-Zaversnik style): each
-    // round drops edges touching a degree-1 vertex and the loop
-    // terminates when a round removes nothing — detected by an
-    // O(metadata) count on the freshly checkpointed relation (the count
-    // reads checkpoint block sizes, it replays no lineage). Peeling
-    // shrinks the frontier geometrically in practice, so rounds stay
-    // O(log |E|) at any scale; the 4-round unrolled DuckDB oracle stays
-    // exact because the test corpora reach the fixpoint within 4 rounds
-    // (asserted by KcoreFixpointSpec), after which extra rounds are
-    // no-ops on either side.
+    // Adaptive 2-core peel (Batagelj-Zaversnik style): each round drops
+    // edges touching a degree-1 vertex; the loop stops when a round
+    // removes nothing — detected by an O(metadata) count on the freshly
+    // checkpointed relation (the count reads checkpoint block sizes, it
+    // replays no lineage) — OR at [[KcoreMaxRounds]], the SAME constant
+    // the oracle generator unrolls to, so engine and oracle agree at any
+    // convergence speed (early fixpoint → extra unrolled rounds are
+    // no-ops; late → both truncate at the cap) and a pathological
+    // long-path graph can't buy O(n) checkpoint+count rounds. Peeling
+    // shrinks the frontier geometrically in practice, so the cap binds
+    // only on adversarial shapes; KcoreFixpointSpec asserts the test
+    // corpora converge within it.
     "dup_graph_kcore" -> ((s, dir) => {
       var edges = jaccardPairsFor(s, dir)
         .select("id_a", "id_b").localCheckpoint()
       var n = edges.count()
+      var round = 0
       var changed = n > 0
-      while (changed) {
+      while (changed && round < KcoreMaxRounds) {
         val keep = edges.select(col("id_a").as("id"))
           .unionByName(edges.select(col("id_b").as("id")))
           .groupBy("id").agg(count(lit(1)).as("d"))
@@ -862,7 +873,7 @@ object SparkEntry {
           .localCheckpoint()
         val m = next.count()
         changed = m < n
-        edges = next; n = m
+        edges = next; n = m; round += 1
       }
       edges.select(col("id_a").as("id"))
         .unionByName(edges.select(col("id_b").as("id")))
@@ -1262,16 +1273,21 @@ object SparkEntry {
         groupSize = MaxSimGroup, panelSize = MaxSimPanel, k = AnnK)),
 
     // ---- margin-based pair mining (bitext-mining shape): halves of the
-    // embedding corpus act as the two "languages"; candidates here are
-    // the gated exact tier (the oracle), the 100 TB path feeds the same
-    // margin layer with lshTopK per direction ----
+    // embedding corpus act as the two "languages". Candidate legs are the
+    // LSH-bucketed directed top-k ([[Similarity.lshTopKAgainst]], the
+    // lsh_topk hyperplane family) — candidate generation is a (tbl,
+    // bucket) equi-join per direction, linear shuffle, the 100 TB path;
+    // the gated exact tier stays available as the recall oracle via
+    // cosine_topk/ann_recall ----
     "margin_align_pairs" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val a = emb.filter(col("vec_id") % 2 === 0)
       val b = emb.filter(col("vec_id") % 2 =!= 0)
       Similarity.marginAlign(
-        Similarity.bruteForceTopK(a, b, "vec_id", "embedding", k = AlignK),
-        Similarity.bruteForceTopK(b, a, "vec_id", "embedding", k = AlignK),
+        Similarity.lshTopKAgainst(a, b, "vec_id", "embedding",
+          dim = Dim, nBits = LshBits, k = AlignK, tables = LshTables),
+        Similarity.lshTopKAgainst(b, a, "vec_id", "embedding",
+          dim = Dim, nBits = LshBits, k = AlignK, tables = LshTables),
         minMarginE6 = AlignMinMarginE6)
     }),
 
@@ -2306,12 +2322,16 @@ object SparkEntry {
           "jaccard_est_e6", "jaccard_exact_e6")
     }),
 
-    // ---- embedding-modality END-TO-END dedup: cosine pairs → connected
-    // components → drop every non-keeper family member (mirror of
-    // dedup_near_keepers in the vector modality) ----
+    // ---- embedding-modality END-TO-END dedup: LSH-bucketed cosine pairs
+    // (the near_dup_lsh tier — candidate generation is a (tbl, bucket)
+    // equi-join, never all-pairs) → connected components → drop every
+    // non-keeper family member (mirror of dedup_near_keepers in the
+    // vector modality). The exact pair tier stays available as the
+    // recall oracle via near_dup_embeddings. ----
     "dedup_embed_keepers" -> ((s, dir) => {
-      val pairs = Similarity.embeddingNearDupPairs(
-        Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4)
+      val pairs = Similarity.lshNearDupPairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = Dim, nBits = NdBits, threshold = NdThreshold, tables = NdTables)
       val clusters = graft.operators.Components.connectedComponents(
         pairs.select("id_a", "id_b"), "id_a", "id_b")
       val losers = clusters.filter(col("id") =!= col("cluster_id"))
@@ -4335,9 +4355,13 @@ object SparkEntry {
         "doc_id", "text", "doc_id", "text", k = AnnK)
     }),
 
-    // ---- Hybrid retrieval: RRF fusion of the BM25 (sparse) and exact
-    // cosine (dense) legs over the same query set; fused score is pure
-    // integer arithmetic — no calibration, no floats ----
+    // ---- Hybrid retrieval: RRF fusion of the BM25 (sparse) and
+    // LSH-bucketed cosine (dense) legs over the same query set; fused
+    // score is pure integer arithmetic — no calibration, no floats. The
+    // dense leg is [[Similarity.lshTopKAgainst]] (the lsh_topk hyperplane
+    // family): query panel bucketed against the corpus index, a (tbl,
+    // bucket) equi-join — the 100 TB serving shape; ann_recall is the
+    // standing recall guardrail for this tier. ----
     "hybrid_rrf_topk" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val sparse = graft.operators.Retrieval.bm25TopK(
@@ -4345,8 +4369,9 @@ object SparkEntry {
           "doc_id", "text", "doc_id", "text", k = AnnK)
         .select(col("query_id"), col("doc_id"), col("rank"))
       val emb = Tables.embeddings(s, dir)
-      val dense = Similarity.bruteForceTopK(
-          emb.where(col("vec_id") % 1000 === 0), emb, "vec_id", "embedding", k = AnnK)
+      val dense = Similarity.lshTopKAgainst(
+          emb.where(col("vec_id") % 1000 === 0), emb, "vec_id", "embedding",
+          dim = Dim, nBits = LshBits, k = AnnK, tables = LshTables)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
       graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), k = AnnK)
     }),
@@ -7566,18 +7591,28 @@ object SparkEntry {
   /** Mutual-best ratio-margin mining over the two corpus halves; every
     * step integer-exact after the rounded-6 cosine → e6 quantization, the
     * margin one truncating int64 division (both engines truncate toward
-    * zero). */
+    * zero). Candidates per direction mirror the Spark side's
+    * [[graft.operators.Similarity.lshTopKAgainst]] legs: the lsh_topk
+    * hyperplane family buckets every vector, query-side rows carry the
+    * Hamming-1 multi-probe expansion, and a directed candidate exists iff
+    * the query's probe bucket matches the corpus vector's base bucket in
+    * some table — exactly [[lshBucketCtes]], restricted by half parity. */
   private def marginAlignOracle: String =
-    s"""WITH flat AS (
-       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-       |         CAST(UNNEST(embedding) AS DOUBLE) AS x
-       |  FROM embeddings),
-       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
+    s"""WITH ${lshBucketCtes(LshBits, LshTables)}
+       |candab AS (
+       |  SELECT DISTINCT p.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM probes p JOIN buckets c ON p.tbl = c.tbl AND p.bucket = c.bucket
+       |  WHERE p.vec_id % 2 = 0 AND c.vec_id % 2 <> 0),
+       |candba AS (
+       |  SELECT DISTINCT p.vec_id AS id_b, c.vec_id AS id_a
+       |  FROM probes p JOIN buckets c ON p.tbl = c.tbl AND p.bucket = c.bucket
+       |  WHERE p.vec_id % 2 <> 0 AND c.vec_id % 2 = 0),
+       |cand AS (SELECT id_a, id_b FROM candab UNION SELECT id_a, id_b FROM candba),
        |ad AS (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dp
-       |  FROM flat a JOIN flat b ON a.i = b.i
-       |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 <> 0
-       |  GROUP BY 1, 2),
+       |  SELECT cd.id_a, cd.id_b, sum(fa.x * fb.x) AS dp
+       |  FROM cand cd JOIN flat fa ON fa.vec_id = cd.id_a
+       |               JOIN flat fb ON fb.vec_id = cd.id_b AND fb.i = fa.i
+       |  GROUP BY cd.id_a, cd.id_b),
        |sc AS (
        |  SELECT id_a, id_b,
        |         CAST(floor(round(dp / (na.nrm * nb.nrm), 6) * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
@@ -7585,11 +7620,13 @@ object SparkEntry {
        |          JOIN norms nb ON id_b = nb.vec_id
        |  WHERE na.nrm * nb.nrm <> 0),
        |abk AS (SELECT * FROM (
-       |    SELECT sc.*, row_number() OVER (PARTITION BY id_a
-       |      ORDER BY sim_e6 DESC, id_b ASC) AS rn FROM sc) WHERE rn <= $AlignK),
+       |    SELECT s.id_a, s.id_b, s.sim_e6, row_number() OVER (PARTITION BY s.id_a
+       |      ORDER BY s.sim_e6 DESC, s.id_b ASC) AS rn
+       |    FROM sc s JOIN candab c ON s.id_a = c.id_a AND s.id_b = c.id_b) WHERE rn <= $AlignK),
        |bak AS (SELECT * FROM (
-       |    SELECT sc.*, row_number() OVER (PARTITION BY id_b
-       |      ORDER BY sim_e6 DESC, id_a ASC) AS rn FROM sc) WHERE rn <= $AlignK),
+       |    SELECT s.id_a, s.id_b, s.sim_e6, row_number() OVER (PARTITION BY s.id_b
+       |      ORDER BY s.sim_e6 DESC, s.id_a ASC) AS rn
+       |    FROM sc s JOIN candba c ON s.id_a = c.id_a AND s.id_b = c.id_b) WHERE rn <= $AlignK),
        |ah AS (SELECT id_a, CAST(sum(sim_e6) AS BIGINT) AS sum_a_e6,
        |              CAST(count(sim_e6) AS BIGINT) AS n_a FROM abk GROUP BY 1),
        |bh AS (SELECT id_b, CAST(sum(sim_e6) AS BIGINT) AS sum_b_e6,
@@ -7607,6 +7644,42 @@ object SparkEntry {
        |  WHERE sum_a_e6 * n_b + sum_b_e6 * n_a > 0)
        |SELECT id_a, id_b, sim_e6, margin_e6 FROM m
        |WHERE margin_e6 >= $AlignMinMarginE6""".stripMargin
+
+  /** 2-core peel unrolled to exactly [[KcoreMaxRounds]] rounds — the SAME
+    * constant that caps the Spark loop, so the two sides agree at any
+    * convergence speed (see the registered query's scaladoc). Each round
+    * past the fixpoint is a no-op on both engines. */
+  private def dupGraphKcoreOracle: String = {
+    val head =
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |e0 AS MATERIALIZED (SELECT id_a, id_b FROM (
+        |         SELECT i.id_a, i.id_b,
+        |           round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6)
+        |             AS jaccard
+        |         FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+        |                      JOIN sizes sb ON i.id_b = sb.doc_id)
+        |       WHERE jaccard >= 0.2)""".stripMargin
+    val rounds = (1 to KcoreMaxRounds).map { r =>
+      s"""k$r AS MATERIALIZED (SELECT id FROM (SELECT id, count(*) AS d FROM
+         |         (SELECT id_a AS id FROM e${r - 1} UNION ALL SELECT id_b FROM e${r - 1})
+         |         GROUP BY 1) WHERE d >= 2),
+         |e$r AS MATERIALIZED (SELECT id_a, id_b FROM e${r - 1} WHERE id_a IN (SELECT id FROM k$r)
+         |                                   AND id_b IN (SELECT id FROM k$r))""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$rounds
+       |SELECT id, CAST(count(*) AS BIGINT) AS core_degree FROM
+       |  (SELECT id_a AS id FROM e$KcoreMaxRounds UNION ALL SELECT id_b AS id FROM e$KcoreMaxRounds)
+       |GROUP BY id""".stripMargin
+  }
 
   private def nearDupLshOracle: String =
     s"""WITH ${lshBucketCtes(NdBits, NdTables)}
@@ -11730,12 +11803,14 @@ object SparkEntry {
         |  FROM sc)
         |WHERE rank <= 5""".stripMargin,
 
-    // RRF fusion: both legs' oracles inlined as derived tables (same CTE
-    // bodies as bm25_topk / cosine_topk, dense leg filtered to the query
-    // set); contributions are integer `1000000 // (60+rank)` so the fused
+    // RRF fusion: both legs' oracles inlined as derived tables (BM25 CTEs
+    // as in bm25_topk; dense leg = the lsh_topk candidate chain filtered
+    // to the query set — mirrors the Spark side's lshTopKAgainst leg);
+    // contributions are integer `1000000 // (60+rank)` so the fused
     // ranking has zero float sites
     "hybrid_rrf_topk" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      s"""WITH ${lshBucketCtes(LshBits, LshTables)}
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
         |                  len(string_split(text, ' ')) AS dl FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
         |       FROM t GROUP BY doc_id, term),
@@ -11759,24 +11834,18 @@ object SparkEntry {
         |         SELECT sbm.*, row_number() OVER (
         |           PARTITION BY query_id ORDER BY score_e6 DESC, doc_id ASC) AS rnk
         |         FROM sbm)
-        |       WHERE rnk <= 5),
-        |flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-        |                CAST(UNNEST(embedding) AS DOUBLE) AS x
-        |         FROM embeddings),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
-        |dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dp
-        |         FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
-        |         WHERE a.vec_id % 1000 = 0
-        |         GROUP BY a.vec_id, b.vec_id),
-        |scored AS (SELECT query_id, neighbor_id,
-        |                  round(dp / (na.nrm * nb.nrm), 6) AS cosine_sim
-        |           FROM dots JOIN norms na ON query_id = na.vec_id
-        |                     JOIN norms nb ON neighbor_id = nb.vec_id),
+        |       WHERE rnk <= $AnnK),
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id AS query_id, b2.vec_id AS neighbor_id
+        |  FROM probes p JOIN buckets b2
+        |    ON p.tbl = b2.tbl AND p.bucket = b2.bucket AND p.vec_id <> b2.vec_id
+        |  WHERE p.vec_id % 1000 = 0),
+        |${pairScoreCtes("query_id", "neighbor_id")},
         |dr AS (SELECT query_id, neighbor_id AS doc_id, rnk FROM (
         |         SELECT scored.*, row_number() OVER (
         |           PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
         |         FROM scored)
-        |       WHERE rnk <= 5),
+        |       WHERE rnk <= $AnnK),
         |u AS (SELECT query_id, doc_id, 1000000 // (60 + rnk) AS cc FROM sr
         |      UNION ALL
         |      SELECT query_id, doc_id, 1000000 // (60 + rnk) FROM dr),
@@ -12309,46 +12378,7 @@ object SparkEntry {
         |  JOIN sizes sa ON i.id_a = sa.doc_id
         |  JOIN sizes sb ON i.id_b = sb.doc_id)
         |WHERE jaccard >= 0.2""".stripMargin,
-    "dup_graph_kcore" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
-        |  FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |e0 AS MATERIALIZED (SELECT id_a, id_b FROM (
-        |         SELECT i.id_a, i.id_b,
-        |           round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6)
-        |             AS jaccard
-        |         FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
-        |                      JOIN sizes sb ON i.id_b = sb.doc_id)
-        |       WHERE jaccard >= 0.2),
-        |k1 AS MATERIALIZED (SELECT id FROM (SELECT id, count(*) AS d FROM
-        |         (SELECT id_a AS id FROM e0 UNION ALL SELECT id_b FROM e0)
-        |         GROUP BY 1) WHERE d >= 2),
-        |e1 AS MATERIALIZED (SELECT id_a, id_b FROM e0 WHERE id_a IN (SELECT id FROM k1)
-        |                                   AND id_b IN (SELECT id FROM k1)),
-        |k2 AS MATERIALIZED (SELECT id FROM (SELECT id, count(*) AS d FROM
-        |         (SELECT id_a AS id FROM e1 UNION ALL SELECT id_b FROM e1)
-        |         GROUP BY 1) WHERE d >= 2),
-        |e2 AS MATERIALIZED (SELECT id_a, id_b FROM e1 WHERE id_a IN (SELECT id FROM k2)
-        |                                   AND id_b IN (SELECT id FROM k2)),
-        |k3 AS MATERIALIZED (SELECT id FROM (SELECT id, count(*) AS d FROM
-        |         (SELECT id_a AS id FROM e2 UNION ALL SELECT id_b FROM e2)
-        |         GROUP BY 1) WHERE d >= 2),
-        |e3 AS MATERIALIZED (SELECT id_a, id_b FROM e2 WHERE id_a IN (SELECT id FROM k3)
-        |                                   AND id_b IN (SELECT id FROM k3)),
-        |k4 AS MATERIALIZED (SELECT id FROM (SELECT id, count(*) AS d FROM
-        |         (SELECT id_a AS id FROM e3 UNION ALL SELECT id_b FROM e3)
-        |         GROUP BY 1) WHERE d >= 2),
-        |e4 AS MATERIALIZED (SELECT id_a, id_b FROM e3 WHERE id_a IN (SELECT id FROM k4)
-        |                                   AND id_b IN (SELECT id FROM k4))
-        |SELECT id, CAST(count(*) AS BIGINT) AS core_degree FROM
-        |  (SELECT id_a AS id FROM e4 UNION ALL SELECT id_b AS id FROM e4)
-        |GROUP BY id""".stripMargin,
+    "dup_graph_kcore" -> dupGraphKcoreOracle,
 
     "dup_graph_lpa" -> dupGraphLpaOracle,
 
@@ -12553,22 +12583,18 @@ object SparkEntry {
         |            JOIN norms nb ON id_b = nb.vec_id)
         |WHERE cosine_sim >= 0.4""".stripMargin,
 
+    // pair tier = the near_dup_lsh candidate chain (same NdBits/NdTables
+    // hyperplanes, Hamming-1 probes, exact rescoring) feeding the same
+    // recursive min-label closure — mirrors the Spark side's
+    // lshNearDupPairs → connectedComponents re-pointing
     "dedup_embed_keepers" ->
-      """WITH RECURSIVE flat AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-        |         CAST(UNNEST(embedding) AS DOUBLE) AS x
-        |  FROM embeddings),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id),
-        |dots AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dp
-        |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
-        |  GROUP BY a.vec_id, b.vec_id),
-        |p AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS cosine_sim
-        |    FROM dots JOIN norms na ON id_a = na.vec_id
-        |              JOIN norms nb ON id_b = nb.vec_id)
-        |  WHERE cosine_sim >= 0.4),
+      s"""WITH RECURSIVE ${lshBucketCtes(NdBits, NdTables)}
+        |cand AS (
+        |  SELECT DISTINCT p.vec_id AS id_a, c.vec_id AS id_b
+        |  FROM probes p JOIN buckets c
+        |    ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id < c.vec_id),
+        |${pairScoreCtes("id_a", "id_b")},
+        |p AS (SELECT id_a, id_b FROM scored WHERE cosine_sim >= $NdThreshold),
         |e AS (SELECT id_a AS src, id_b AS dst FROM p
         |      UNION SELECT id_b, id_a FROM p),
         |v AS (SELECT DISTINCT src AS id FROM e),

@@ -252,15 +252,28 @@ object Similarity {
     * that 2^nBits ≫ corpus/1000 and tables 4–8; candidate generation stays
     * an equi-join on (tbl, bucket). */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int, nBits: Int, k: Int,
-      tables: Int = 1): DataFrame = {
-    val b = bucketed(df, idCol, vecCol, dim, nBits, tables)
+      tables: Int = 1): DataFrame =
+    lshTopKAgainst(df, df, idCol, vecCol, dim, nBits, k, tables)
+
+  /** [[lshTopK]] generalized to distinct QUERY and CORPUS relations: both
+    * sides are bucketed by the SAME hyperplane family (the signature of a
+    * vector depends only on the vector, so splitting the corpus changes
+    * nothing about which buckets collide), queries carry the multi-probe
+    * expansion, and candidates are the (tbl, bucket) equi-join — the scale
+    * path for asymmetric retrieval (a bounded query stream against a
+    * 100 TB corpus index) and for the per-direction legs of
+    * [[marginAlign]]. Same output shape and determinism contract as
+    * [[bruteForceTopK]], which remains the gated exact oracle tier. */
+  def lshTopKAgainst(queries: DataFrame, corpus0: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int, k: Int, tables: Int = 1): DataFrame = {
+    val qb = bucketed(queries, idCol, vecCol, dim, nBits, tables)
     // multi-probe: each query also probes buckets differing in exactly 1 bit
-    val probes = b.select(
+    val probes = qb.select(
       col(idCol).as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"), col("tbl"),
       explode(concat(
         array(col("bucket")),
         array((0 until nBits).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*))).as("bucket"))
-    val corpus = b.select(
+    val corpus = bucketed(corpus0, idCol, vecCol, dim, nBits, tables).select(
       col(idCol).as("neighbor_id"), col("vec").as("cvec"), col("norm").as("cnorm"),
       col("tbl"), col("bucket"))
     val scored = probes.join(corpus, Seq("tbl", "bucket"))

@@ -2,14 +2,17 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** `dup_graph_kcore` peels adaptively to the 2-core FIXPOINT, while its
-  * DuckDB oracle unrolls exactly 4 peel rounds. The two agree iff the
-  * test corpora converge within 4 rounds — this spec asserts exactly
-  * that, so a corpus change that slows convergence fails HERE instead of
-  * surfacing as an opaque oracle hash mismatch. */
+/** `dup_graph_kcore` peels adaptively but is CAPPED at
+  * [[SparkEntry.KcoreMaxRounds]] — the same constant its generated
+  * DuckDB oracle unrolls to, so engine and oracle agree at any
+  * convergence speed by construction. This spec pins the two remaining
+  * facts that construction doesn't give for free: the test corpora reach
+  * the true fixpoint within the cap (so the registered result IS the
+  * 2-core, not a truncation), and the registered query returns exactly
+  * the fixpoint's degrees. */
 class KcoreFixpointSpec extends SparkSpec {
 
-  test("2-core peel reaches its fixpoint within the oracle's 4 unrolled rounds (sf0.001)") {
+  test("2-core peel reaches its fixpoint within the shared round cap (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     // the same pair relation the registered query pins (fresh derivation
     // here: the spec must not depend on SparkEntry's session cache)
@@ -34,9 +37,11 @@ class KcoreFixpointSpec extends SparkSpec {
       edges = next; n = m
     }
     assert(n > 0, "degenerate corpus: the 2-core is empty, the spec proves nothing")
-    assert(rounds <= 4,
-      s"fixpoint needed $rounds effective peel rounds — the 4-round unrolled " +
-        "DuckDB oracle no longer matches; re-derive the oracle depth")
+    assert(rounds <= SparkEntry.KcoreMaxRounds,
+      s"fixpoint needed $rounds effective peel rounds — beyond the " +
+        s"${SparkEntry.KcoreMaxRounds}-round shared cap the registered query " +
+        "returns a (still oracle-consistent) truncation, not the 2-core; " +
+        "raise KcoreMaxRounds if the corpus legitimately needs more rounds")
     // and the registered query returns exactly this fixpoint's degrees
     val expected = edges.select(col("id_a").as("id"))
       .unionByName(edges.select(col("id_b").as("id")))

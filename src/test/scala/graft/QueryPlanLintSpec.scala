@@ -36,15 +36,16 @@ class QueryPlanLintSpec extends SparkSpec {
     * [[boundedBroadcastSide]]), which are fine at any scale. */
   private val exactAnnAllowlist: Set[String] = Set(
     "cosine_topk",          // brute-force oracle tier: gated all-pairs
-    "near_dup_embeddings",  // exact cosine pairs: gated all-pairs
-    "dedup_embed_keepers",  // consumes the exact-pair tier above
-    "hybrid_rrf_topk",      // dense leg = the same gated bruteForceTopK tier
-    "margin_align_pairs")   // candidate legs = gated bruteForceTopK per
-                            // direction (oracle tier; scale path feeds the
-                            // same margin layer with lshTopK candidates)
+    "near_dup_embeddings")  // exact cosine pairs: gated all-pairs
   // NOTE r6: ann_recall left this list — its exact leg is now the
   // panel × corpus form (Similarity.panelExactTopK), whose BNLJ broadcast
   // side is a provably-bounded global limit (see boundedBroadcastSide).
+  // NOTE r10: dedup_embed_keepers, margin_align_pairs, and
+  // hybrid_rrf_topk's dense leg left this list — their candidate tiers
+  // re-pointed at the LSH-bucketed equi-joins (lshNearDupPairs /
+  // lshTopKAgainst), so they now plan equi-join-only like every other
+  // scale-path query; the two remaining rows are the documented gated
+  // exact oracle tier.
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
