@@ -23,7 +23,11 @@ final case class PipelineConfig(
     hourlyKpisOut: String,
     topK: Int = 5,
     retries: Int = 3,
-    singleFileOutput: Boolean = true)
+    singleFileOutput: Boolean = true,
+    // reference gives each load task execution_timeout=30min
+    // (`dags/music_streaming_etl_dags.py:394,:407-409`); a hung warehouse
+    // write cancels its job group and re-enters the retry budget
+    loadTimeoutMs: Long = 30L * 60L * 1000L)
 
 object MusicPipeline {
 
@@ -64,11 +68,16 @@ object MusicPipeline {
           NotEmpty, NoNulls(Seq("unique_listeners")), InRange("hour", 0, 23))).enforce()
       }),
       // load (`:245-335`): overwrite sinks; array serialized at boundary.
+      // Timeout-bounded like the reference's load tasks (30-min
+      // execution_timeout) — the one stage class that can hang on an
+      // external system rather than fail fast.
       Stage("load_genre_kpis", () =>
-        Sinks.csv(genre, cfg.genreKpisOut, cfg.singleFileOutput)),
+        Sinks.csv(genre, cfg.genreKpisOut, cfg.singleFileOutput),
+        timeoutMs = cfg.loadTimeoutMs),
       Stage("load_hourly_kpis", () =>
         Sinks.csv(Sinks.serializeArray(hourly, "top_artists"),
-          cfg.hourlyKpisOut, cfg.singleFileOutput)))
+          cfg.hourlyKpisOut, cfg.singleFileOutput),
+        timeoutMs = cfg.loadTimeoutMs))
 
     try Pipeline.run(stages, cfg.retries)
     finally enriched.unpersist()
