@@ -168,6 +168,17 @@ object JdbcUpsertSink {
       st.executeUpdate(s"DROP TABLE $stage")
       st.close()
       conn.commit()
+      // orphan sweep: an attempt whose DRIVER died between the parallel
+      // staging write and the apply transaction leaves its private
+      // `<table>_s<id>_<uuid>` table behind forever — the in-JVM catch
+      // below only sees same-process failures, and unlike the old
+      // fixed-name stage (self-overwriting) the per-attempt names would
+      // accumulate without bound across crash-retry cycles. Any staging
+      // table for a batch id <= the one just applied/skipped can never be
+      // merged (the lineage row supersedes it), so it is garbage by
+      // construction. Best-effort, outside the apply transaction; the
+      // `_s<digits>_` suffix namespace is reserved by this sink.
+      dropOrphanStages(conn, table, batchId)
     } catch {
       case e: Throwable =>
         conn.rollback()
@@ -180,6 +191,38 @@ object JdbcUpsertSink {
         } catch { case _: Throwable => () }
         throw e
     } finally conn.close()
+  }
+
+  /** Drop every `<table>_s<batchId>_<uuid>` staging table whose batch id
+    * is <= `upTo` — orphans from attempts that died before their apply
+    * transaction. Catalog names are matched case-insensitively (the
+    * staging writer's unquoted DDL folds per-dialect); a name only
+    * qualifies if the digits right after `_s` parse and are followed by
+    * the `_` of the uuid suffix, so `<table>_summary`-style tables can
+    * never match. Failures are swallowed: the sweep is maintenance, the
+    * merge already committed. */
+  private def dropOrphanStages(conn: Connection, table: String, upTo: Long): Unit = {
+    try {
+      conn.setAutoCommit(true)
+      val prefix = s"${table}_s".toUpperCase
+      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      val names = Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getString("TABLE_NAME")).toList
+      rs.close()
+      names.filter { n =>
+        n.toUpperCase.startsWith(prefix) && {
+          val rest = n.drop(prefix.length)
+          val digits = rest.takeWhile(_.isDigit)
+          digits.nonEmpty && digits.length <= 18 &&
+            rest.lift(digits.length).contains('_') && digits.toLong <= upTo
+        }
+      }.foreach { n =>
+        try {
+          val st = conn.createStatement()
+          try st.executeUpdate(s"DROP TABLE ${quoted(n)}") finally st.close()
+        } catch { case _: Throwable => () }
+      }
+    } catch { case _: Throwable => () }
   }
 
   /** The streaming sink: maintain a keyed warehouse table from a stream

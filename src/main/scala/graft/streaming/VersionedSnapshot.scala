@@ -208,7 +208,23 @@ object VersionedSnapshot {
       val f = fs(spark, baseDir)
       val vdir = versionPath(base, v)
       val keyCols = keyRows.columns.toSeq
-      val wanted = keyRows.distinct()
+      // probe dtypes must match the TABLE's key dtypes before any hashing:
+      // bucketOf and the bloom pair are xxhash64 over the TYPED columns,
+      // so an IntegerType probe against a LongType table hashes
+      // differently and would silently prune the very files that hold the
+      // keys (purgeKeys rebuilds its key frame from the table schema for
+      // exactly this reason). One select; a no-op when dtypes agree. A
+      // probe column the table doesn't have passes through untouched and
+      // fails loudly downstream instead of mis-pruning here.
+      val tableSchema = versionFrame(spark, baseDir, v).schema
+      val aligned = keyRows.select(keyCols.map { c =>
+        tableSchema.find(_.name == c) match {
+          case Some(fld) if fld.dataType != keyRows.schema(c).dataType =>
+            col(c).cast(fld.dataType).as(c)
+          case _ => col(c)
+        }
+      }: _*)
+      val wanted = aligned.distinct()
       val baseFrame = parseBuckets(f, vdir) match {
         case Some((nb, entries)) =>
           val zones = parseZones(f, vdir)
@@ -1060,7 +1076,10 @@ object VersionedSnapshot {
           f.listStatus(base).toSeq
             .flatMap { st =>
               val n = st.getPath.getName
-              if (st.isDirectory && n.length == 6 && n.startsWith("v"))
+              // numeric parse, not a length check: fmtVersion pads to 5
+              // digits but grows past it at version 100000, and history()
+              // must keep listing what every other read path still sees
+              if (st.isDirectory && n.startsWith("v"))
                 n.drop(1).toLongOption.filter(_ <= c).map(_ -> st.getPath)
               else None
             }
@@ -1427,8 +1446,11 @@ object VersionedSnapshot {
     * target — and data dirs nothing references), then return the next
     * version number. Crashed numbers are never reused. */
   private def prepareNext(f: FileSystem, base: Path, current: Long): Long = {
+    // numeric parse, no length guard: fmtVersion's %05d grows past 5
+    // digits at version 100000 and crashed dirs above the pointer must
+    // still be cleared then
     def versionOf(name: String): Option[Long] =
-      if (name.length == 6 && name.startsWith("v")) name.drop(1).toLongOption else None
+      if (name.startsWith("v")) name.drop(1).toLongOption else None
     val existing = f.listStatus(base).toSeq
       .flatMap(st => versionOf(st.getPath.getName).map(_ -> st.getPath))
     existing.filter(_._1 > current).foreach { case (_, p) => f.delete(p, true) }
@@ -1456,8 +1478,10 @@ object VersionedSnapshot {
     * unreferenced data dirs. */
   private def applyRetention(f: FileSystem, base: Path, current: Long,
       next: Long, retain: Int): Unit = {
+    // numeric parse, no length guard (see prepareNext): retention must
+    // keep aging out versions past v99999 or the table leaks history
     def versionOf(name: String): Option[Long] =
-      if (name.length == 6 && name.startsWith("v")) name.drop(1).toLongOption else None
+      if (name.startsWith("v")) name.drop(1).toLongOption else None
     f.listStatus(base).toSeq
       .flatMap(st => versionOf(st.getPath.getName).map(_ -> st.getPath))
       .filter { case (v, _) => v <= current && v <= next - retain }

@@ -132,4 +132,36 @@ class JdbcUpsertSinkSpec extends SparkSpec {
         Set("wh_stagedrop", "wh_stagedrop_lineage"), s"found $names")
     } finally conn.close()
   }
+
+  test("a successful apply sweeps staging orphans from crashed earlier attempts") {
+    import spark.implicits._
+    val table = "wh_orphan"
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl)
+    def tables(): Set[String] = {
+      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      val names = Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getString("TABLE_NAME").toLowerCase)
+        .filter(_.startsWith(table)).toSet
+      rs.close(); names
+    }
+    try {
+      val st = conn.createStatement()
+      // orphans a dead driver would leave: staged rows for batches 0 and 1,
+      // never applied (no lineage row points past them)
+      st.executeUpdate(s"CREATE TABLE ${table}_s0_deadbeef0001 (user_id BIGINT)")
+      st.executeUpdate(s"CREATE TABLE ${table}_s1_deadbeef0002 (user_id BIGINT)")
+      // a FUTURE batch's stage (id 99) and an unrelated sibling table must
+      // both survive the sweep
+      st.executeUpdate(s"CREATE TABLE ${table}_s99_deadbeef0003 (user_id BIGINT)")
+      st.executeUpdate(s"CREATE TABLE ${table}_summary (user_id BIGINT)")
+      st.close()
+      val b1 = Seq((1L, "a", 1L)).toDF("user_id", "track_id", "seq")
+      JdbcUpsertSink.upsertBatch(b1, Seq("user_id"), "seq", jdbcUrl, table,
+        checkpointTag = "ck", batchId = 1L, options = colTypes)
+      assert(tables() == Set(table, s"${table}_lineage",
+        s"${table}_s99_deadbeef0003", s"${table}_summary"),
+        "orphans for batch ids <= the applied batch must be dropped; " +
+          "future stages and non-stage siblings must survive")
+    } finally conn.close()
+  }
 }

@@ -741,6 +741,29 @@ class VersionedSnapshotSpec extends SparkSpec {
     assert(hit2.count() == 1 && hit2.inputFiles.length == 1)
   }
 
+  test("readForKeys aligns probe dtypes to the table's key schema before hashing") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-dtype").resolve("snap").toString
+    // LongType key table with zonemaps + blooms on the write path
+    VersionedSnapshot.mergeInto(base,
+      (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", numBuckets = 8)
+    // IntegerType probe: xxhash64(int) != xxhash64(long) for the same
+    // value, so without the schema alignment BOTH the bucket prune and
+    // the bloom prune would silently drop the matching files
+    val intProbe = Seq(7, 13).toDF("k")
+    assert(intProbe.schema("k").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val got = VersionedSnapshot.readForKeys(spark, base, intProbe).get
+    assert(got.as[(Long, String)].collect().toSet == Set((7L, "v7"), (13L, "v13")),
+      "an IntegerType probe against a LongType table must still find its rows")
+    // and an absent int probe still prunes to zero files (alignment does
+    // not disable the zonemap/bloom path, it fixes its inputs)
+    val miss = VersionedSnapshot.readForKeys(spark, base, Seq(5000).toDF("k")).get
+    assert(miss.count() == 0 && miss.inputFiles.isEmpty)
+  }
+
   test("zonemap: value-disjoint update/delete merges inherit every bucket instead of rewriting") {
     import spark.implicits._
     import VersionedSnapshot.{DeleteMatched, UpdateMatched}
