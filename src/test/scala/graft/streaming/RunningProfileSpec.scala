@@ -193,4 +193,102 @@ class RunningProfileSpec extends SparkSpec {
       assert(oneShot(3L) == ((1L, 725L, 1L, "purchase")))
     }
   }
+
+  test("runningProfile recovers ValueState+MapState from a checkpoint: stop " +
+      "after batch 1, restart, final profiles equal the uninterrupted run") {
+    withRocksDb {
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-tws-recover").toString
+      // foreachBatch, not the memory sink: the memory sink refuses
+      // checkpoint recovery outside Complete mode, and recovery is the
+      // thing under test
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, Long, Long, Long, String)]()
+      val input = MemoryStream[(Long, String, Double)]
+      val out = RunningProfile.runningProfile(spark,
+        input.toDF.toDF("user_id", "event_type", "value"),
+        "user_id", "event_type", "value")
+      def start() = out.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => got.add((r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getString(4))))
+          ()
+        }.start()
+      val q1 = start()
+      try {
+        input.addData((1L, "view", 1.0), (1L, "view", 2.0), (2L, "purchase", 10.0))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // kill point: totals and the per-type map now live ONLY in the
+      // RocksDB checkpoint; data arriving while down is delivered on
+      // restart from the recorded source offsets
+      input.addData((1L, "purchase", 5.0), (2L, "view", 0.5), (2L, "view", 0.5))
+      val q2 = start()
+      try q2.processAllAvailable()
+      finally q2.stop()
+      val finalByUser = got.asScala.toSeq.groupBy(_._1)
+        .map { case (u, rows) => u -> rows.last }
+      // exactly the uninterrupted fold of all 6 events (the operator's
+      // batch-split-independence spec above makes the hand-computed fold
+      // THE uninterrupted run's answer): state from before the stop must
+      // still be inside the totals — not just batch 2's deltas
+      assert(finalByUser(1L) == ((1L, 3L, 800L, 2L, "view")),
+        s"user 1 must carry pre-restart state, got ${finalByUser(1L)}")
+      assert(finalByUser(2L) == ((2L, 3L, 1100L, 2L, "view")),
+        s"user 2 must carry pre-restart state, got ${finalByUser(2L)}")
+    }
+  }
+
+  test("idleFinalizedTotals recovers event-time timers and the watermark " +
+      "from a checkpoint: an episode accumulated before the stop finalizes " +
+      "after the restart") {
+    withRocksDb {
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def t(m: Int) = new java.sql.Timestamp(3600000L + m * 60000L)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-tws-timer-recover").toString
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+      val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val out = RunningProfile.idleFinalizedTotals(spark,
+        input.toDF.toDF("user_id", "ts", "value"),
+        "user_id", "ts", "value", gapMs = 10 * 60000L, lateness = "5 minutes")
+      def start() = out.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => got.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+          ()
+        }.start()
+      val q1 = start()
+      try {
+        input.addData((1L, t(0), 1.0), (1L, t(5), 2.0))
+        q1.processAllAvailable()
+        assert(got.isEmpty,
+          "nothing finalizes while the watermark is behind the idle deadline")
+      } finally q1.stop()
+      // kill point: user 1's accumulator, its registered timer AND the
+      // watermark position all live only in the checkpoint now
+      val q2 = start()
+      try {
+        // watermark advance: t(40) − 5 min lateness = t(35) > t(5) + 10 min
+        // gap → the RECOVERED timer fires (watermark updates lag one batch)
+        input.addData((2L, t(40), 7.0))
+        q2.processAllAvailable()
+        input.addData((2L, t(41), 0.25))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(got.asScala.toSeq == Seq((1L, 2L, 300L)),
+        "the pre-stop episode must finalize exactly once after recovery, " +
+          s"got ${got.asScala.toSeq}")
+    }
+  }
 }
