@@ -1,6 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Fixed-work machine calibration (pure JVM, zero Spark): a
+    * deterministic single-thread xorshift+memory-stride loop over a
+    * 64 MB array — large enough that every pass pays DRAM, so the number
+    * responds to BOTH cpu steal and memory-bandwidth contention, the two
+    * ways a co-tenant taxes this VM. Identical work every call, so the
+    * elapsed ms measures the MACHINE, never the code: bench.json carries
+    * one sample from before and one from after the sweep, and a consumer
+    * normalizes totals across runs/rounds (see PLANS.md "Calibration
+    * normalization") instead of re-arguing environmental drift. ~160 ms
+    * measured healthy on this VM; observed suite-level drift here is up
+    * to ~1.6× uniform-per-query, which this loop tracks. */
+  private def calibrate(): Long = {
+    val arr = new Array[Long](1 << 23) // 8M longs = 64 MB, beyond any LLC
+    var x = 0x9E3779B97F4A7C15L
+    val t0 = System.nanoTime()
+    var pass = 0
+    while (pass < 8) {
+      var i = 0
+      while (i < arr.length) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        arr(i) += x
+        i += 1
+      }
+      pass += 1
+    }
+    // data-dependent side effect defeats dead-code elimination
+    if (arr((x & 0x7FFFFF).toInt) == 42L) System.err.println("[bench] calibration collision")
+    (System.nanoTime() - t0) / 1000000L
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,6 +55,10 @@ object Bench {
     // SPARK_GRAFT_NO_PREWARM=1 to reproduce the rev-1 cold protocol.
     val benchRev = if (sys.env.contains("SPARK_GRAFT_NO_PREWARM")) 1 else 3
     val prewarm = benchRev > 1
+    // machine calibration sample BEFORE any Spark/page-cache work — the
+    // paired post-suite sample closes the bracket around the timed sweep
+    val calPre = calibrate()
+    System.err.println(s"[bench] calibration pre ${calPre}ms")
     // untimed PAGE-CACHE pre-warm (r7 finding: three identical-build runs
     // measured 271.0/261.8/235.2 s as the dropped OS page cache rewarmed,
     // and the alphabetically-early heavy queries absorbed the difference —
@@ -160,9 +195,10 @@ object Bench {
     // sort after them (r5: 1.2× median drift across 82 shared queries).
     // Running them after every lightweight query removes the interference
     // without changing what is measured.
-    val gatedExactTier = Set(
-      "cosine_topk", "near_dup_embeddings", "dedup_embed_keepers", "hybrid_rrf_topk",
-      "margin_align_pairs") // two bruteForceTopK legs — same gated tier
+    // r10: dedup_embed_keepers / margin_align_pairs / hybrid_rrf_topk left
+    // this set — their candidate legs re-pointed at the bucketed LSH tiers,
+    // so they no longer churn all-pairs broadcast heap and run name-sorted
+    val gatedExactTier = Set("cosine_topk", "near_dup_embeddings")
     val ordered = SparkEntry.queries.toSeq.filter(e => keep(e._1))
       .sortBy { case (name, _) => (gatedExactTier.contains(name), name) }
     val results = ordered.map { case (name, fn) =>
@@ -199,8 +235,13 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
+    // post-suite calibration sample: the pre/post pair brackets the sweep,
+    // so a consumer can both normalize (scale by the healthy-reference /
+    // mean(pre, post) ratio) and detect MID-RUN weather (pre ≉ post)
+    val calPost = calibrate()
+    System.err.println(s"[bench] calibration post ${calPost}ms")
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","bench_rev":$benchRev,"queries":$qs,"errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","bench_rev":$benchRev,"calibration_ms_pre":$calPre,"calibration_ms_post":$calPost,"queries":$qs,"errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)
     try {
       val p = java.nio.file.Paths.get("bench.json")
