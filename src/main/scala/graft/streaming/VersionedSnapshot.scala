@@ -278,11 +278,16 @@ object VersionedSnapshot {
                 hi <- renderZoneVal(tag, row.getAs[Any](s"__max_$c"))
               } yield (lo, hi)
             }
-          val paths = touched.toSeq.sorted.flatMap(entries.get).flatMap { rel =>
+          // a manifest ref is a bucket dir or (r10 partial merges) one
+          // file: dir refs expand through the sidecars' prefix keys, file
+          // refs look themselves up exactly
+          val paths = touched.toSeq.sorted.flatMap(entries.get).flatten.flatMap { rel =>
             zones match {
               case Some(z) if z.keys == keyCols && z.tags == wTags =>
-                val files = z.entries.toSeq.filter(_._1.startsWith(rel + "/"))
-                if (files.isEmpty) Seq(rel) // no stats for this bucket
+                val files =
+                  if (isFileRef(rel)) z.entries.get(rel).map(rel -> _).toSeq
+                  else z.entries.toSeq.filter(_._1.startsWith(rel + "/"))
+                if (files.isEmpty) Seq(rel) // no stats for this ref
                 else files.collect {
                   case (frel, (_, fRanges)) if keyCols.indices.forall { i =>
                         (fRanges(i), wRanges(i)) match {
@@ -296,7 +301,9 @@ object VersionedSnapshot {
               case _ =>
                 parseBlooms(f, vdir).filter(_._1 == keyCols) match {
                   case Some((_, bs)) if keyVals.nonEmpty =>
-                    val files = bs.keys.toSeq.filter(_.startsWith(rel + "/"))
+                    val files =
+                      if (isFileRef(rel)) bs.keys.toSeq.filter(_ == rel)
+                      else bs.keys.toSeq.filter(_.startsWith(rel + "/"))
                     if (files.isEmpty) Seq(rel)
                     else files.filter(bloomKeeps).sorted
                   case _ => Seq(rel)
@@ -399,7 +406,7 @@ object VersionedSnapshot {
     val baseFrame = parseBuckets(f, vdir) match {
       case Some((_, entries)) =>
         val zones = parseZones(f, vdir)
-        val paths = entries.toSeq.sortBy(_._1).flatMap { case (_, rel) =>
+        val paths = entries.toSeq.sortBy(_._1).flatMap(_._2).flatMap { rel =>
           zones match {
             case Some(z) =>
               val statCols = z.keys ++ z.vcols
@@ -411,8 +418,10 @@ object VersionedSnapshot {
                   lo.flatMap(renderZoneLiteral(statTags(i), _)),
                   hi.flatMap(renderZoneLiteral(statTags(i), _))))
               }
-              val files = z.entries.toSeq.filter(_._1.startsWith(rel + "/"))
-              if (files.isEmpty) Seq(rel) // no stats for this bucket
+              val files =
+                if (isFileRef(rel)) z.entries.get(rel).map(rel -> _).toSeq
+                else z.entries.toSeq.filter(_._1.startsWith(rel + "/"))
+              if (files.isEmpty) Seq(rel) // no stats for this ref
               else files.collect {
                 case (frel, (_, fRanges))
                     if checks.forall { case (i, tag, lo, hi) =>
@@ -570,7 +579,7 @@ object VersionedSnapshot {
     val baseFrame = parseBuckets(f, vdir) match {
       case Some((_, entries)) =>
         val paths = entries.toSeq.sortBy(_._1)
-          .map { case (_, rel) => new Path(base, rel).toString }
+          .flatMap(_._2).map(rel => new Path(base, rel).toString)
         spark.read.parquet(paths: _*)
       case None => spark.read.parquet(vdir.toString)
     }
@@ -625,9 +634,20 @@ object VersionedSnapshot {
 
   // ------------------------------------------------- bucketed-layout metadata
 
+  /** True iff a manifest ref names an individual data FILE rather than a
+    * bucket directory — the only files the manifest ever references are
+    * parquet, and directory names never carry the extension. */
+  private def isFileRef(rel: String): Boolean = rel.endsWith(".parquet")
+
   /** Parse a version dir's `_BUCKETS` manifest: (numBuckets,
-    * bucket → base-relative data dir). None for flat versions. */
-  private def parseBuckets(f: FileSystem, vdir: Path): Option[(Int, Map[Int, String])] = {
+    * bucket → base-relative data refs). A ref is either a bucket data
+    * DIRECTORY (`data/gN/__gbucket=K`) or — the r10 file-pruning merge —
+    * an individual parquet FILE inside one: a partial rewrite carries a
+    * bucket's untouched files by per-file reference instead of rewriting
+    * the whole bucket. Multiple refs per bucket join with ';' on one
+    * manifest line; the single-dir form stays valid, so pre-r10 tables
+    * read unchanged. None for flat versions. */
+  private def parseBuckets(f: FileSystem, vdir: Path): Option[(Int, Map[Int, Seq[String]])] = {
     val bp = new Path(vdir, BucketsName)
     if (!f.exists(bp)) None
     else {
@@ -635,7 +655,8 @@ object VersionedSnapshot {
       val nb = lines.head.stripPrefix("buckets=").toInt
       val entries = lines.tail.map { line =>
         val cut = line.indexOf(':')
-        line.substring(0, cut).toInt -> line.substring(cut + 1)
+        line.substring(0, cut).toInt ->
+          line.substring(cut + 1).split(';').toSeq.filter(_.nonEmpty)
       }.toMap
       Some((nb, entries))
     }
@@ -643,7 +664,7 @@ object VersionedSnapshot {
 
   /** The committed version's bucket layout, if it is bucketed. */
   private[graft] def bucketManifest(spark: SparkSession, baseDir: String)
-      : Option[(Int, Map[Int, String])] =
+      : Option[(Int, Map[Int, Seq[String]])] =
     currentVersion(spark, baseDir).flatMap { v =>
       parseBuckets(fs(spark, baseDir), versionPath(new Path(baseDir), v))
     }
@@ -988,8 +1009,10 @@ object VersionedSnapshot {
     val referenced = (vdirs
       .flatMap(st => parseBuckets(f, st.getPath).toSeq)
       .flatMap { case (_, entries) =>
-        // "data/gNNNNN/__gbucket=K" → shared granularity is the g-dir
-        entries.values.map(_.split('/')(1))
+        // "data/gNNNNN/__gbucket=K[/file]" → shared granularity is the
+        // g-dir; a dir lives while ANY version references it or a file in
+        // it (file refs keep the whole dir — conservative, documented)
+        entries.values.flatten.map(_.split('/')(1))
       } ++ vdirs
       // merge-on-read overlays ("data/dNNNNN") are shared the same way
       .flatMap(st => parseDeltas(f, st.getPath).toSeq)
@@ -1007,8 +1030,11 @@ object VersionedSnapshot {
   private def inventory(f: FileSystem, base: Path, vdir: Path): Seq[(String, Long)] = {
     val baseFiles = parseBuckets(f, vdir) match {
       case Some((_, entries)) =>
-        entries.toSeq.sortBy(_._1).flatMap { case (_, rel) =>
-          dataFiles(f, new Path(base, rel)).map { case (name, len) => (s"$rel/$name", len) }
+        entries.toSeq.sortBy(_._1).flatMap(_._2).flatMap { rel =>
+          if (isFileRef(rel))
+            Seq((rel, f.getFileStatus(new Path(base, rel)).getLen))
+          else
+            dataFiles(f, new Path(base, rel)).map { case (name, len) => (s"$rel/$name", len) }
         }
       case None => dataFiles(f, vdir)
     }
@@ -1274,16 +1300,20 @@ object VersionedSnapshot {
       val bucketRels = parseBuckets(f, vdir) match {
         case Some((nb, entries)) =>
           val hits = hitBuckets(nb)
-          entries.toSeq.collect { case (b, rel) if hits(b) => rel }
+          entries.toSeq.collect { case (b, rels) if hits(b) => rels }.flatten
         case None => Nil
       }
       bucketRels ++ parseDeltas(f, vdir).map(_._2).getOrElse(Nil)
     }.distinct
+    // FILE-level match set (no dir truncation): a manifest ref matches if
+    // it IS a matched file (file ref) or contains one (dir/overlay ref) —
+    // the schema-drift fallback adds whole manifest rels, which the exact
+    // clause covers
     def relOf(uri: String): String = {
       val idx = uri.lastIndexOf(s"/$DataDirName/")
-      uri.substring(idx + 1, uri.lastIndexOf('/'))
+      uri.substring(idx + 1)
     }
-    val matchedRels: Set[String] =
+    val matchedFiles: Set[String] =
       if (candidateRels.isEmpty) Set.empty
       else try {
         import org.apache.spark.sql.functions.input_file_name
@@ -1293,7 +1323,7 @@ object VersionedSnapshot {
           .select(input_file_name().as("__f")).distinct()
           .collect().map(r => relOf(r.getString(0))).toSet
       } catch {
-        // schema drift across candidate generations: probe per dir instead
+        // schema drift across candidate generations: probe per ref instead
         case scala.util.control.NonFatal(_) =>
           candidateRels.filter { rel =>
             val d = spark.read.parquet(new Path(base, rel).toString)
@@ -1301,16 +1331,22 @@ object VersionedSnapshot {
               d.filter(matchCond()).limit(1).count() > 0
           }.toSet
       }
+    def matched(rel: String): Boolean =
+      matchedFiles.contains(rel) ||
+        (!isFileRef(rel) && matchedFiles.exists(_.startsWith(rel + "/")))
 
-    // shared-dir memo: rewrite each matching data dir exactly once, no
+    // shared-ref memo: rewrite each matching data ref exactly once, no
     // matter how many retained versions reference it
     val memo = scala.collection.mutable.Map.empty[String, Option[String]]
     def rewritten(rel: String): Option[String] = memo.getOrElseUpdate(rel, {
-      if (!matchedRels.contains(rel)) None
+      if (!matched(rel)) None
       else {
         val d = spark.read.parquet(new Path(base, rel).toString)
         val gName = allocName()
-        val tail = rel.split('/').drop(2).mkString("/") // "" for overlays
+        val comps = rel.split('/').toSeq
+        // "" for overlays; file refs rewrite into their bucket subdir
+        val tail = (if (isFileRef(rel)) comps.dropRight(1) else comps)
+          .drop(2).mkString("/")
         val newRel =
           if (tail.isEmpty) s"$DataDirName/$gName"
           else s"$DataDirName/$gName/$tail"
@@ -1325,15 +1361,15 @@ object VersionedSnapshot {
         case Some((nb, entries)) =>
           val hits = hitBuckets(nb)
           val updates = entries.toSeq.collect {
-            case (b, rel) if hits(b) => rewritten(rel).map(rel -> _)
+            case (b, rels) if hits(b) => rels.flatMap(rel => rewritten(rel).map(rel -> _))
           }.flatten.toMap
           if (updates.nonEmpty) {
-            val newEntries = entries.map { case (b, rel) =>
-              b -> updates.getOrElse(rel, rel)
+            val newEntries = entries.map { case (b, rels) =>
+              b -> rels.map(rel => updates.getOrElse(rel, rel))
             }
             atomicSmallFile(new Path(vdir, BucketsName),
               (s"buckets=$nb" +: newEntries.toSeq.sortBy(_._1)
-                .map { case (b, rel) => s"$b:$rel" }).mkString("\n"))
+                .map { case (b, rels) => s"$b:${rels.mkString(";")}" }).mkString("\n"))
           }
           updates
         case None => Map.empty
@@ -1357,7 +1393,8 @@ object VersionedSnapshot {
         parseZones(f, vdir).foreach { z =>
           val statCols = z.keys ++ z.vcols
           val keep = z.entries.toSeq.filterNot { case (frel, _) =>
-            bucketUpdates.keySet.exists(r => frel.startsWith(r + "/"))
+            bucketUpdates.keySet.exists(r =>
+              if (isFileRef(r)) frel == r else frel.startsWith(r + "/"))
           }.map { case (rel2, (n, rs)) => (rel2, n, rs) }
           val fresh: Seq[(String, Long, Seq[Option[(String, String)]])] = {
             import org.apache.spark.sql.functions.{count => fCount, input_file_name, max => fMax, min => fMin}
@@ -1403,7 +1440,8 @@ object VersionedSnapshot {
         // dropped entry would be safe too — missing entries never prune)
         parseBlooms(f, vdir).foreach { case (bkeys, bs) =>
           val keep = bs.toSeq.filterNot { case (frel, _) =>
-            bucketUpdates.keySet.exists(r => frel.startsWith(r + "/"))
+            bucketUpdates.keySet.exists(r =>
+              if (isFileRef(r)) frel == r else frel.startsWith(r + "/"))
           }
           val fresh: Seq[(String, Array[Byte])] = {
             import org.apache.spark.sql.functions.input_file_name
@@ -1518,10 +1556,11 @@ object VersionedSnapshot {
     * combined manifest degrades to a flat empty version directory (so the
     * table keeps a readable schema). */
   private def publishBucketed(df: DataFrame, baseDir: String, marker: String,
-      keys: Seq[String], numBuckets: Int, inherited: Map[Int, String],
+      keys: Seq[String], numBuckets: Int, inherited: Map[Int, Seq[String]],
       retain: Int, valueStatsCols: Option[Seq[String]] = None,
       clusterBy: Seq[String] = Nil, maxRecordsPerFile: Long = 0L,
-      keyBlooms: Boolean = false): Long = {
+      keyBlooms: Boolean = false,
+      carryFiles: Map[Int, Seq[String]] = Map.empty): Long = {
     require(retain >= 1, "retain must keep at least the current version")
     require(numBuckets >= 1, "numBuckets must be >= 1")
     require(!df.columns.contains(BucketCol), s"column name $BucketCol is reserved")
@@ -1568,7 +1607,18 @@ object VersionedSnapshot {
           st.getPath.getName.drop(BucketCol.length + 1).toIntOption
             .map(b => b -> s"$DataDirName/$gName/${st.getPath.getName}")
         }.toMap
-    val manifest = inherited ++ written
+    // fold the three ref sources per bucket: the file this publish wrote
+    // (if any), then the untouched files a file-pruning merge carried by
+    // reference ([[mergeInto]]'s partial rewrite), then whole inherited
+    // buckets — a bucket appears in `inherited` XOR in (written ∪
+    // carryFiles), never both
+    val manifest: Map[Int, Seq[String]] = {
+      val bucketIds = inherited.keySet ++ carryFiles.keySet ++ written.keySet
+      bucketIds.map(b => b ->
+        (written.get(b).toSeq ++ carryFiles.getOrElse(b, Nil) ++
+          inherited.getOrElse(b, Nil))).toMap
+        .filter(_._2.nonEmpty)
+    }
     if (manifest.isEmpty) {
       // nothing anywhere (e.g. a full delete): flat empty dir keeps schema
       f.delete(gDir, true)
@@ -1576,7 +1626,7 @@ object VersionedSnapshot {
     } else {
       f.mkdirs(target)
       val lines = s"buckets=$numBuckets" +:
-        manifest.toSeq.sortBy(_._1).map { case (b, rel) => s"$b:$rel" }
+        manifest.toSeq.sortBy(_._1).map { case (b, rels) => s"$b:${rels.mkString(";")}" }
       writeSmallFile(f, new Path(target, BucketsName), lines.mkString("\n"))
       // zonemap: fresh stats for the files this publish wrote (one narrow
       // aggregate over the delta), inherited files copy their rows from
@@ -1599,15 +1649,23 @@ object VersionedSnapshot {
       val fresh =
         if (written.isEmpty) Nil
         else freshZoneStats(spark, gDir, gName, statCols, df.schema)
-      val inheritedDirs = inherited.values.toSet
+      // a previous version's per-FILE stats entry carries iff its file is
+      // still referenced: inside a wholly-inherited dir ref, named by an
+      // inherited file ref (an earlier partial merge), or named by this
+      // merge's carryFiles
+      val carryRefs = inherited.values.flatten.toSet ++ carryFiles.values.flatten
+      val carryDirRefs = carryRefs.filterNot(isFileRef)
+      val carryFileRefs = carryRefs.filter(isFileRef)
+      def stillReferenced(rel: String): Boolean =
+        carryFileRefs.contains(rel) ||
+          carryDirRefs.contains(rel.take(math.max(0, rel.lastIndexOf('/'))))
       val carried: Seq[(String, Long, Seq[Option[(String, String)]])] =
         (if (current < 0) None
          else parseZones(f, versionPath(base, current))) match {
           case Some(z) if z.keys == keys && z.tags == tags &&
               z.vcols == vcols && z.vtags == vtags =>
             z.entries.toSeq.collect {
-              case (rel, (n, ranges))
-                  if inheritedDirs.contains(rel.take(math.max(0, rel.lastIndexOf('/')))) =>
+              case (rel, (n, ranges)) if stillReferenced(rel) =>
                 (rel, n, ranges)
             }
           // stats-shape drift (e.g. a pre-r9 keys-only zonemap): carry the
@@ -1616,8 +1674,7 @@ object VersionedSnapshot {
           // fresh from this publish's files
           case Some(z) if z.keys == keys && z.tags == tags =>
             z.entries.toSeq.collect {
-              case (rel, (n, ranges))
-                  if inheritedDirs.contains(rel.take(math.max(0, rel.lastIndexOf('/')))) =>
+              case (rel, (n, ranges)) if stillReferenced(rel) =>
                 (rel, n, ranges.take(keys.size).padTo(statCols.size, None))
             }
           case _ => Nil
@@ -1637,7 +1694,7 @@ object VersionedSnapshot {
           if (written.isEmpty) Nil
           else freshBloomStats(spark, gDir, gName, keys)
         val carriedB = prevBlooms.map(_._2.toSeq.filter { case (rel, _) =>
-          inheritedDirs.contains(rel.take(math.max(0, rel.lastIndexOf('/'))))
+          stillReferenced(rel)
         }).getOrElse(Nil)
         writeBlooms(f, target, keys, carriedB ++ freshB)
       }
@@ -1709,7 +1766,7 @@ object VersionedSnapshot {
       maxRecordsPerFile: Long = 0L): Option[Long] =
     bucketManifest(spark, baseDir).flatMap { case (_, entries) =>
       val overlays = deltaManifest(spark, baseDir).size
-      val generations = entries.values.map(_.split('/')(1)).toSet.size
+      val generations = entries.values.flatten.map(_.split('/')(1)).toSet.size
       if (overlays > maxOverlays || generations > maxGenerations)
         // marker passes through VERBATIM: streaming callers hand the
         // "tag:batchId" lineage marker, and annotating it here would
