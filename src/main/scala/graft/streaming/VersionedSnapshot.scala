@@ -1919,12 +1919,12 @@ object VersionedSnapshot {
         val (nb, entries0) = bucketManifest(spark, baseDir)
           // legacy flat snapshot: this merge upgrades it to the bucketed
           // layout with one full rewrite (the last one it will ever pay)
-          .getOrElse((numBuckets, Map.empty[Int, String]))
+          .getOrElse((numBuckets, Map.empty[Int, Seq[String]]))
         // a schema evolution rewrites EVERY bucket once: inherited files
         // would otherwise carry the old parquet schema and the plain
         // multi-path read would resolve columns inconsistently. Rare by
         // nature (schema migrations), priced accordingly.
-        val entries = if (evolved) Map.empty[Int, String] else entries0
+        val entries = if (evolved) Map.empty[Int, Seq[String]] else entries0
         // bucket pruning: the source's bucket set (≤ nb rows) plus its
         // per-bucket key value ranges, in ONE small job — the multi-match
         // assert rides this first action, failing a bad source before
@@ -1948,49 +1948,95 @@ object VersionedSnapshot {
           if (deleteUnmatchedBySource.isDefined || updateUnmatchedBySource.isDefined)
             bRows.map(_.getAs[Int]("__b")).toSet ++ entries.keySet
           else bRows.map(_.getAs[Int]("__b")).toSet
-        // zonemap refinement: an update-only or delete-only merge cannot
-        // change a bucket none of whose files' key ranges intersect the
-        // source's range for that bucket — such hash-touched but
-        // value-disjoint buckets are INHERITED instead of rewritten.
-        // (insertUnmatched merges must land inserts in every touched
-        // bucket, so they rewrite regardless.)
-        val curZones =
-          if (insertUnmatched || entries.isEmpty ||
+        // zonemap refinement, two levels. The BY SOURCE clauses read every
+        // target row, so neither level applies to them.
+        //   bucket level — an update-only or delete-only merge cannot
+        //   change a bucket none of whose files' key ranges intersect the
+        //   source's range for that bucket: such hash-touched but
+        //   value-disjoint buckets are INHERITED instead of rewritten.
+        //   (insertUnmatched merges must land inserts in every touched
+        //   bucket, so bucket-level pruning is off for them.)
+        //   file level — within a touched bucket, a file whose key range
+        //   is disjoint from the source's range for that bucket cannot
+        //   hold a matched row (keys bucket by hash, so cross-bucket
+        //   matches are impossible; null keys never equi-join-match): the
+        //   file is carried into the new manifest BY REFERENCE and only
+        //   the overlapping files are read and rewritten. This is the
+        //   partial rewrite the multi-ref `_BUCKETS` format exists for,
+        //   and it applies to insert merges too (inserts land in the
+        //   bucket's fresh file alongside the carried ones).
+        val zonesOpt =
+          if (entries.isEmpty ||
             deleteUnmatchedBySource.isDefined ||
             updateUnmatchedBySource.isDefined) None
           else currentVersion(spark, baseDir).flatMap(cv =>
             parseZones(fs(spark, baseDir),
               versionPath(new Path(baseDir), cv)))
-        val touched: Set[Int] = curZones match {
-          case Some(z) if z.keys == keys && z.tags == srcTags =>
-            val srcRange: Map[Int, Seq[Option[(String, String)]]] = bRows.map { r =>
-              r.getAs[Int]("__b") -> keys.zip(srcTags).map { case (k, tag) =>
-                if (tag == "x") None
-                else if (r.getAs[Int](s"__null_$k") == 1) None
-                else for {
-                  lo <- renderZoneVal(tag, r.getAs[Any](s"__min_$k"))
-                  hi <- renderZoneVal(tag, r.getAs[Any](s"__max_$k"))
-                } yield (lo, hi)
-              }
-            }.toMap
+            .filter(z => z.keys == keys && z.tags == srcTags)
+        val srcRange: Map[Int, Seq[Option[(String, String)]]] = bRows.map { r =>
+          r.getAs[Int]("__b") -> keys.zip(srcTags).map { case (k, tag) =>
+            if (tag == "x") None
+            else if (r.getAs[Int](s"__null_$k") == 1) None
+            else for {
+              lo <- renderZoneVal(tag, r.getAs[Any](s"__min_$k"))
+              hi <- renderZoneVal(tag, r.getAs[Any](s"__max_$k"))
+            } yield (lo, hi)
+          }
+        }.toMap
+        def fileOverlaps(b: Int, fRanges: Seq[Option[(String, String)]]): Boolean =
+          keys.indices.forall { i =>
+            (fRanges(i), srcRange.get(b).flatMap(_(i))) match {
+              case (Some(fr), Some(sr)) => zoneOverlaps(srcTags(i), fr, sr)
+              case _ => true // missing stats: cannot prune
+            }
+          }
+        // a bucket's manifest refs expanded to per-file zone entries: a
+        // file ref looks itself up exactly, a dir ref through the prefix
+        // (mirrors the read path). Refs the zonemap doesn't know are
+        // returned separately — they must be read wholly, never carried.
+        def zoneFiles(z: Zones, rels: Seq[String])
+            : (Seq[(String, Seq[Option[(String, String)]])], Seq[String]) = {
+          val hits = Seq.newBuilder[(String, Seq[Option[(String, String)]])]
+          val statless = Seq.newBuilder[String]
+          rels.foreach { rel =>
+            val fs0 =
+              if (isFileRef(rel)) z.entries.get(rel).map(rel -> _).toSeq
+              else z.entries.toSeq.filter(_._1.startsWith(rel + "/"))
+            if (fs0.isEmpty) statless += rel
+            else fs0.foreach { case (frel, (_, ranges)) => hits += (frel -> ranges) }
+          }
+          (hits.result(), statless.result())
+        }
+        val touched: Set[Int] = zonesOpt match {
+          case Some(z) if !insertUnmatched =>
             touchedAll.filter { b =>
               entries.get(b) match {
                 case None => true // empty bucket: stays touched, writes nothing
-                case Some(rel) =>
-                  val files = z.entries.toSeq.filter(_._1.startsWith(rel + "/"))
-                  files.isEmpty || files.exists { case (_, (_, fRanges)) =>
-                    keys.indices.forall { i =>
-                      (fRanges(i), srcRange(b)(i)) match {
-                        case (Some(fr), Some(sr)) => zoneOverlaps(srcTags(i), fr, sr)
-                        case _ => true // missing stats: cannot prune
-                      }
-                    }
-                  }
+                case Some(rels) =>
+                  val (files, statless) = zoneFiles(z, rels)
+                  statless.nonEmpty || files.isEmpty ||
+                    files.exists { case (_, fRanges) => fileOverlaps(b, fRanges) }
               }
             }
           case _ => touchedAll
         }
-        val touchedPaths = touched.toSeq.sorted.flatMap(entries.get)
+        // file-level split over the buckets that WILL be rewritten
+        val (touchedRels, carry): (Seq[String], Map[Int, Seq[String]]) =
+          zonesOpt match {
+            case Some(z) =>
+              val perBucket = touched.toSeq.sorted.map { b =>
+                val rels = entries.getOrElse(b, Nil)
+                val (files, statless) = zoneFiles(z, rels)
+                val (hit, miss) = files.partition { case (_, r) => fileOverlaps(b, r) }
+                (b, statless ++ hit.map(_._1), miss.map(_._1))
+              }
+              (perBucket.flatMap(_._2),
+                perBucket.collect { case (b, _, m) if m.nonEmpty => b -> m }.toMap)
+            case None =>
+              (touched.toSeq.sorted.flatMap(entries.get).flatten,
+                Map.empty[Int, Seq[String]])
+          }
+        val touchedPaths = touchedRels
           .map(rel => new Path(new Path(baseDir), rel).toString)
         val touchedTarget =
           if (entries.isEmpty) target // flat: no pruning available
@@ -2037,7 +2083,8 @@ object VersionedSnapshot {
         }
         publishBucketed(untouched.unionByName(fromSource), baseDir, marker,
           keys, nb, inherited = entries -- touched, retain = retain,
-          valueStatsCols = valueStatsCols, keyBlooms = keyBlooms)
+          valueStatsCols = valueStatsCols, keyBlooms = keyBlooms,
+          carryFiles = carry)
     }
   }
 

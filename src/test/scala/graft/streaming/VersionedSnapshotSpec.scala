@@ -296,29 +296,44 @@ class VersionedSnapshotSpec extends SparkSpec {
       UpdateMatched, insertUnmatched = true, marker = "seed", numBuckets = 8)
     val (nb0, entries0) = VersionedSnapshot.bucketManifest(spark, base).get
     assert(nb0 == 8 && entries0.nonEmpty)
-    // inventory of every bucket file BEFORE the delta merge
+    // inventory of every bucket file BEFORE the delta merge (a manifest
+    // ref is a bucket dir or — after a partial merge — one parquet file)
     def files(rel: String): Map[String, (Long, Long)] = {
       val d = new java.io.File(base, rel)
-      d.listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      if (d.isFile) Map(d.getPath -> (d.length(), d.lastModified()))
+      else d.listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
         .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
     }
-    val before = entries0.map { case (b, rel) => b -> files(rel) }
+    def bucketFiles(rels: Seq[String]): Map[String, (Long, Long)] =
+      rels.flatMap(files).toMap
+    val before = entries0.map { case (b, rels) => b -> bucketFiles(rels) }
     // a 3-key delta — touches at most 3 of the 8 buckets
     val delta = Seq((1L, "V1"), (2L, "V2"), (401L, "NEW")).toDF("k", "v")
     VersionedSnapshot.mergeInto(base, delta, Seq("k"),
       UpdateMatched, insertUnmatched = true, marker = "delta", numBuckets = 8)
     val (nb1, entries1) = VersionedSnapshot.bucketManifest(spark, base).get
     assert(nb1 == 8)
-    val changed = entries1.filter { case (b, rel) => !entries0.get(b).contains(rel) }
+    val changed = entries1.filter { case (b, rels) => !entries0.get(b).contains(rels) }
     assert(changed.size <= 3,
       s"a 3-key delta may rewrite at most 3 buckets, rewrote ${changed.keySet}")
     assert(changed.nonEmpty, "the delta's buckets must move to a new data dir")
-    // every untouched bucket: SAME directory, SAME files, untouched bytes+mtimes
-    val kept = entries1.filter { case (b, rel) => entries0.get(b).contains(rel) }
+    // every untouched bucket: SAME refs, SAME files, untouched bytes+mtimes
+    val kept = entries1.filter { case (b, rels) => entries0.get(b).contains(rels) }
     assert(kept.nonEmpty)
-    kept.foreach { case (b, rel) =>
-      assert(files(rel) == before(b),
-        s"untouched bucket $b must not be rewritten (dir $rel changed)")
+    kept.foreach { case (b, rels) =>
+      assert(bucketFiles(rels) == before(b),
+        s"untouched bucket $b must not be rewritten (refs $rels changed)")
+    }
+    // file-level carry: even REWRITTEN buckets never re-copy bytes that a
+    // carried file ref still covers — every pre-merge file referenced by
+    // the new manifest is byte-identical
+    entries1.foreach { case (b, rels) =>
+      val now = bucketFiles(rels)
+      before.get(b).foreach { old =>
+        (now.keySet & old.keySet).foreach { p =>
+          assert(now(p) == old(p), s"carried file $p of bucket $b was rewritten")
+        }
+      }
     }
     // and the merged table is semantically right
     val got = VersionedSnapshot.read(spark, base).get
@@ -343,7 +358,7 @@ class VersionedSnapshotSpec extends SparkSpec {
         UpdateMatched, insertUnmatched = true, marker = s"delta$g", numBuckets = 8)
     }
     val (_, fragEntries) = VersionedSnapshot.bucketManifest(spark, base).get
-    val fragGens = fragEntries.values.map(_.split('/')(1)).toSet
+    val fragGens = fragEntries.values.flatten.map(_.split('/')(1)).toSet
     assert(fragGens.size > 1, s"history should span generations, got $fragGens")
     val want = VersionedSnapshot.read(spark, base).get
       .as[(Long, String)].collect().toMap
@@ -354,10 +369,11 @@ class VersionedSnapshotSpec extends SparkSpec {
     val (nb2, entries2) = VersionedSnapshot.bucketManifest(spark, base).get
     assert(nb2 == 8)
     // one generation, one data file per occupied bucket
-    assert(entries2.values.map(_.split('/')(1)).toSet.size == 1,
+    assert(entries2.values.flatten.map(_.split('/')(1)).toSet.size == 1,
       "compaction must land every bucket in a single generation")
-    entries2.foreach { case (b, rel) =>
-      val d = new java.io.File(base, rel)
+    entries2.foreach { case (b, rels) =>
+      assert(rels.size == 1, s"bucket $b should hold one dir ref, got $rels")
+      val d = new java.io.File(base, rels.head)
       val parts = d.listFiles().filter(f =>
         !f.getName.startsWith("_") && !f.getName.startsWith("."))
       assert(parts.length == 1, s"bucket $b should hold one file, got ${parts.length}")
@@ -436,7 +452,7 @@ class VersionedSnapshotSpec extends SparkSpec {
     assert(VersionedSnapshot.validateCurrent(spark, base))
     val staged = new java.io.File(base, "data").listFiles().map(_.getName)
     val (_, entries) = VersionedSnapshot.bucketManifest(spark, base).get
-    val referenced = entries.values.map(_.split('/')(1)).toSet ++
+    val referenced = entries.values.flatten.map(_.split('/')(1)).toSet ++
       VersionedSnapshot.currentVersion(spark, base).toSeq.flatMap { _ =>
         // the retained previous version's references too
         new java.io.File(base).listFiles().filter(_.getName.startsWith("v")).toSeq
@@ -506,15 +522,15 @@ class VersionedSnapshotSpec extends SparkSpec {
       d.listFiles().filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
         .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
     }
-    val before = entries0.map { case (b, rel) => b -> files(rel) }
+    val before = entries0.map { case (b, rels) => b -> rels.flatMap(files).toMap }
     // a uniformly-spread delta — the shape copy-on-write cannot prune
     val spread = (1L to 400L by 10L).map(i => (i, "U")).toDF("k", "v")
     VersionedSnapshot.stageDelta(base, spread, Seq("k"),
       UpdateMatched, marker = "spread", numBuckets = 8)
     val (_, entries1) = VersionedSnapshot.bucketManifest(spark, base).get
     assert(entries1 == entries0, "an overlay must not move any bucket")
-    entries1.foreach { case (b, rel) =>
-      assert(files(rel) == before(b), s"overlay rewrote base bucket $b")
+    entries1.foreach { case (b, rels) =>
+      assert(rels.flatMap(files).toMap == before(b), s"overlay rewrote base bucket $b")
     }
     assert(VersionedSnapshot.deltaManifest(spark, base).size == 1)
     // reconciled read still correct
@@ -872,10 +888,10 @@ class VersionedSnapshotSpec extends SparkSpec {
         marker = s"u$i", retain = 10, numBuckets = 4)
     }
     val (_, entries) = VersionedSnapshot.bucketManifest(spark, base).get
-    val gens = entries.values.map(_.split('/')(1)).toSet.size
+    val gens = entries.values.flatten.map(_.split('/')(1)).toSet.size
     assert(maintain(spark, base, Seq("k"), "m", maxGenerations = gens - 1).isDefined)
     val (_, entries2) = VersionedSnapshot.bucketManifest(spark, base).get
-    assert(entries2.values.map(_.split('/')(1)).toSet.size == 1,
+    assert(entries2.values.flatten.map(_.split('/')(1)).toSet.size == 1,
       "compaction must collapse to one generation")
   }
 
