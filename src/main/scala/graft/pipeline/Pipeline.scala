@@ -30,8 +30,11 @@ final class PipelineFailure(val stage: String, val attempts: Int, cause: Throwab
   extends RuntimeException(s"stage '$stage' failed after $attempts attempts", cause)
 
 /** One attempt exceeded the stage's `timeoutMs`. Retryable (Airflow
-  * semantics: a timed-out task re-enters the retry budget). */
-final class StageTimeout(val stage: String, val timeoutMs: Long)
+  * semantics: a timed-out task re-enters the retry budget). Carries the
+  * abandoned worker so the retry loop can refuse to start a second
+  * attempt while the first is still running (see [[Pipeline.runStage]]). */
+final class StageTimeout(val stage: String, val timeoutMs: Long,
+    private[pipeline] val zombie: Thread = null)
   extends RuntimeException(s"stage '$stage' exceeded ${timeoutMs}ms execution timeout")
 
 object Pipeline {
@@ -50,7 +53,23 @@ object Pipeline {
       catch {
         case NonFatal(e) if attempt < retries + 1 =>
           System.err.println(s"[pipeline] stage '${stage.name}' attempt $attempt failed: ${e.getMessage}; retrying")
-          Thread.sleep(backoffMs)
+          // a timed-out attempt's worker may still be running (a body that
+          // ignores both the job-group cancel and the interrupt, e.g. a
+          // blocking JDBC socket write). NEVER start the retry beside it —
+          // two attempts writing the same sink concurrently is worse than
+          // failing. Wait out the backoff against the zombie and escalate
+          // if it refuses to die.
+          e match {
+            case st: StageTimeout if st.zombie != null =>
+              st.zombie.join(math.max(backoffMs, ZombieGraceMs))
+              if (st.zombie.isAlive)
+                throw new PipelineFailure(stage.name, attempt,
+                  new IllegalStateException(
+                    s"stage '${stage.name}' attempt $attempt is still running " +
+                      s"${math.max(backoffMs, ZombieGraceMs)}ms after its timeout " +
+                      "cancel — refusing to retry concurrently"))
+            case _ => Thread.sleep(backoffMs)
+          }
           attempt += 1
         case NonFatal(e) => throw new PipelineFailure(stage.name, attempt, e)
       }
@@ -84,10 +103,15 @@ object Pipeline {
       session.foreach(_.sparkContext.cancelJobGroup(groupId))
       worker.interrupt()
       // grace for the cancel to unwind task threads; the timeout is thrown
-      // regardless — the attempt already blew its budget
+      // regardless — the attempt already blew its budget. The worker rides
+      // in the exception so the retry loop can refuse to run beside it.
       worker.join(5000L)
-      throw new StageTimeout(stage.name, stage.timeoutMs)
+      throw new StageTimeout(stage.name, stage.timeoutMs, worker)
     }
     if (failure != null) throw failure
   }
+
+  /** Minimum wait for a timed-out attempt's worker to exit before the
+    * retry is allowed to start (the backoff extends it when longer). */
+  private val ZombieGraceMs = 10000L
 }

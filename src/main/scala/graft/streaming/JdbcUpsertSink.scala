@@ -194,18 +194,26 @@ object JdbcUpsertSink {
   }
 
   /** Drop every `<table>_s<batchId>_<uuid>` staging table whose batch id
-    * is <= `upTo` — orphans from attempts that died before their apply
-    * transaction. Catalog names are matched case-insensitively (the
-    * staging writer's unquoted DDL folds per-dialect); a name only
-    * qualifies if the digits right after `_s` parse and are followed by
-    * the `_` of the uuid suffix, so `<table>_summary`-style tables can
-    * never match. Failures are swallowed: the sweep is maintenance, the
-    * merge already committed. */
+    * is STRICTLY BELOW `upTo` — orphans from attempts that died before
+    * their apply transaction. Strictly below: a racing replacement
+    * attempt for the CURRENT batch id may be between its staging write
+    * and its apply right now, and sweeping its private stage would fail
+    * that attempt needlessly; its orphan (if it dies) is collected by the
+    * next batch's sweep. The listing is scoped to the connection's own
+    * schema so a same-named table elsewhere can never match; names are
+    * matched case-insensitively (the staging writer's unquoted DDL folds
+    * per-dialect), and a name only qualifies if the digits right after
+    * `_s` parse and are followed by the `_` of the uuid suffix, so
+    * `<table>_summary`-style tables can never match. Failures are
+    * swallowed: the sweep is maintenance, the merge already committed. */
   private def dropOrphanStages(conn: Connection, table: String, upTo: Long): Unit = {
     try {
       conn.setAutoCommit(true)
       val prefix = s"${table}_s".toUpperCase
-      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      val schema = try Option(conn.getSchema).filter(_.nonEmpty).orNull
+        catch { case _: Throwable => null }
+      val catalog = try conn.getCatalog catch { case _: Throwable => null }
+      val rs = conn.getMetaData.getTables(catalog, schema, null, Array("TABLE"))
       val names = Iterator.continually(rs).takeWhile(_.next())
         .map(_.getString("TABLE_NAME")).toList
       rs.close()
@@ -214,7 +222,7 @@ object JdbcUpsertSink {
           val rest = n.drop(prefix.length)
           val digits = rest.takeWhile(_.isDigit)
           digits.nonEmpty && digits.length <= 18 &&
-            rest.lift(digits.length).contains('_') && digits.toLong <= upTo
+            rest.lift(digits.length).contains('_') && digits.toLong < upTo
         }
       }.foreach { n =>
         try {

@@ -218,7 +218,11 @@ object VersionedSnapshot {
       // fails loudly downstream instead of mis-pruning here.
       val tableSchema = versionFrame(spark, baseDir, v).schema
       val aligned = keyRows.select(keyCols.map { c =>
-        tableSchema.find(_.name == c) match {
+        // case-insensitive lookup: Spark analysis resolves 'ID' against a
+        // table column 'id' by default, so the dtype alignment must too —
+        // a case-only mismatch would skip the cast and re-enter the
+        // mis-hash/mis-prune path this alignment exists to close
+        tableSchema.find(_.name.equalsIgnoreCase(c)) match {
           case Some(fld) if fld.dataType != keyRows.schema(c).dataType =>
             col(c).cast(fld.dataType).as(c)
           case _ => col(c)

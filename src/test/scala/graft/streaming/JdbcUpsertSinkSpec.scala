@@ -158,10 +158,64 @@ class JdbcUpsertSinkSpec extends SparkSpec {
       val b1 = Seq((1L, "a", 1L)).toDF("user_id", "track_id", "seq")
       JdbcUpsertSink.upsertBatch(b1, Seq("user_id"), "seq", jdbcUrl, table,
         checkpointTag = "ck", batchId = 1L, options = colTypes)
+      // the sweep is strictly below the applied id: the CURRENT batch's
+      // own-id orphan might be a racing replacement attempt mid-flight, so
+      // it survives until the NEXT batch's sweep collects it
+      assert(tables() == Set(table, s"${table}_lineage",
+        s"${table}_s1_deadbeef0002",
+        s"${table}_s99_deadbeef0003", s"${table}_summary"),
+        "orphans strictly below the applied batch id must be dropped; the " +
+          "current id's stage, future stages and non-stage siblings survive")
+      val b2 = Seq((1L, "b", 2L)).toDF("user_id", "track_id", "seq")
+      JdbcUpsertSink.upsertBatch(b2, Seq("user_id"), "seq", jdbcUrl, table,
+        checkpointTag = "ck", batchId = 2L, options = colTypes)
       assert(tables() == Set(table, s"${table}_lineage",
         s"${table}_s99_deadbeef0003", s"${table}_summary"),
-        "orphans for batch ids <= the applied batch must be dropped; " +
-          "future stages and non-stage siblings must survive")
+        "the next batch's sweep collects the previous id's orphan")
+    } finally conn.close()
+  }
+
+  test("crash between staging write and apply: the redelivered batch applies exactly once") {
+    import spark.implicits._
+    val table = "wh_crash"
+    // simulate a driver that died AFTER the parallel staging write but
+    // BEFORE its apply transaction: the private stage exists, no target,
+    // no lineage. Structured Streaming then redelivers the same batch id
+    // from the checkpoint on restart.
+    val dead = Seq((1L, "a", 1L)).toDF("user_id", "track_id", "seq")
+    colTypes.foldLeft(
+        dead.write.format("jdbc").option("url", jdbcUrl)
+          .option("dbtable", s"${table}_s0_deadattempt1")
+      ) { case (w, (k, v)) => w.option(k, v) }
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+    assert(JdbcUpsertSink.lastApplied(jdbcUrl, table) == ("", -1L),
+      "the dead attempt must not have applied anything")
+    // the restarted stream re-runs batch 0 (fresh private stage, applies)
+    val b0 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("user_id", "track_id", "seq")
+    JdbcUpsertSink.upsertBatch(b0, Seq("user_id"), "seq", jdbcUrl, table,
+      checkpointTag = "ck", batchId = 0L, options = colTypes)
+    assert(tableMap(table) == Map(1L -> "a", 2L -> "b"))
+    assert(JdbcUpsertSink.lastApplied(jdbcUrl, table) == ("ck", 0L))
+    // a second redelivery of batch 0 (zombie retry) is a pure no-op — no
+    // duplicate rows, no double-apply
+    JdbcUpsertSink.upsertBatch(b0, Seq("user_id"), "seq", jdbcUrl, table,
+      checkpointTag = "ck", batchId = 0L, options = colTypes)
+    assert(Sources.jdbc(spark, jdbcUrl, table).count() == 2L,
+      "replay must not duplicate rows")
+    // batch 1 applies and its sweep collects the dead attempt's orphan
+    val b1 = Seq((1L, "z", 2L)).toDF("user_id", "track_id", "seq")
+    JdbcUpsertSink.upsertBatch(b1, Seq("user_id"), "seq", jdbcUrl, table,
+      checkpointTag = "ck", batchId = 1L, options = colTypes)
+    assert(tableMap(table) == Map(1L -> "z", 2L -> "b"))
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      val names = Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getString("TABLE_NAME").toLowerCase)
+        .filter(_.startsWith(table)).toSet
+      rs.close()
+      assert(names == Set(table, s"${table}_lineage"),
+        s"dead attempt's stage must be swept, found $names")
     } finally conn.close()
   }
 }
