@@ -220,6 +220,47 @@ object MergeBench {
       f"of ${allBytes / 1024}%d KiB total; 10-mid-key point read binds " +
       f"${cPresent / 1024}%d KiB with blooms vs ${cPresentNoBloom / 1024}%d KiB without")
 
+    // ---- r11: file-level carry (partial rewrite). On a key-clustered
+    // multi-file layout a selective merge rewrites only the FILES of a
+    // touched bucket whose key ranges overlap the delta, carrying the
+    // sibling files by per-file manifest reference — pruning one level
+    // below the bucket. Two selectivities: one bucket's worth of keys
+    // (every file of the bucket overlaps → whole bucket rewritten, the
+    // pre-r11 floor) and ONE key (one file overlaps → one file
+    // rewritten). The no-zonemap run is the carry-disabled baseline at
+    // identical layout.
+    def multiFileTable(dir: String): Unit = {
+      freshTable(dir, bucketed = true)
+      VersionedSnapshot.compact(spark, dir, Seq("o_orderkey"),
+        marker = "split", retain = 1, maxRecordsPerFile = 150L)
+    }
+    val minKey = orders.agg(min(col("o_orderkey"))).head().getLong(0)
+    val oneKeyDelta = orders.filter(col("o_orderkey") === minKey)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    def mergeBytes(tag: String, dir: String, delta: org.apache.spark.sql.DataFrame,
+        zonemap: Boolean): Long = {
+      multiFileTable(dir)
+      if (!zonemap) dropZones(dir)
+      val before = files(dir)
+      timed(tag) {
+        VersionedSnapshot.mergeInto(dir, delta, Seq("o_orderkey"),
+          VersionedSnapshot.UpdateMatched, insertUnmatched = false,
+          marker = "sel", retain = 1, numBuckets = nb)
+      }
+      files(dir).collect { case (p, len) if !before.contains(p) && p.endsWith(".parquet") => len }.sum
+    }
+    val oneFileBytes = mergeBytes("multi-file: 1-key merge (file carry)",
+      s"$root/g", oneKeyDelta, zonemap = true)
+    val oneBucketBytes = mergeBytes("multi-file: bucket-0 ~0.4% merge",
+      s"$root/h", localDelta.filter(pmod(xxhash64(col("o_orderkey")), lit(nb)) === 0),
+      zonemap = true)
+    val noCarryBytes = mergeBytes("multi-file: 1-key merge (no zonemap)",
+      s"$root/i", oneKeyDelta, zonemap = false)
+    println(f"file-level carry, data bytes staged: 1-key=${oneFileBytes / 1024}%d KiB, " +
+      f"1-bucket=${oneBucketBytes / 1024}%d KiB, " +
+      f"1-key-without-zonemap=${noCarryBytes / 1024}%d KiB " +
+      f"(carry win=${noCarryBytes.toDouble / math.max(1, oneFileBytes)}%.1fx)")
+
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     spark.stop()
   }

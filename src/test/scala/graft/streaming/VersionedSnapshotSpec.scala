@@ -287,6 +287,70 @@ class VersionedSnapshotSpec extends SparkSpec {
     assert(stray.delete())
   }
 
+  test("file-level carry: a 1-key merge into a multi-file bucket rewrites one file, carries siblings by reference") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-fcarry").resolve("snap").toString
+    val seed = (1L to 800L).map(i => (i, s"v$i")).toDF("k", "v")
+    VersionedSnapshot.mergeInto(base, seed, Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", numBuckets = 4)
+    // key-clustered multi-file buckets: ~200 rows/bucket split at 40/file
+    VersionedSnapshot.compact(spark, base, Seq("k"), marker = "split",
+      maxRecordsPerFile = 40L)
+    val (_, entries0) = VersionedSnapshot.bucketManifest(spark, base).get
+    def inventory(rels: Seq[String]): Map[String, (Long, Long)] =
+      rels.flatMap { rel =>
+        val d = new java.io.File(base, rel)
+        if (d.isFile) Seq(d.getPath -> (d.length(), d.lastModified()))
+        else d.listFiles().toSeq
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .map(f => f.getPath -> (f.length(), f.lastModified()))
+      }.toMap
+    val before = entries0.map { case (b, rels) => b -> inventory(rels) }
+    assert(before.values.forall(_.size >= 3),
+      "compact(maxRecordsPerFile) must split each bucket into several files")
+    // update ONE key — touches one bucket, overlaps one of its files
+    val delta = Seq((17L, "UPD")).toDF("k", "v")
+    VersionedSnapshot.mergeInto(base, delta, Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "one", numBuckets = 4)
+    val (_, entries1) = VersionedSnapshot.bucketManifest(spark, base).get
+    val changedBuckets = entries1.filter { case (b, rels) => !entries0.get(b).contains(rels) }
+    assert(changedBuckets.keySet.size == 1, s"one bucket touched, got ${changedBuckets.keySet}")
+    val (b, rels1) = changedBuckets.head
+    // the touched bucket's new manifest: per-file carried refs + one new dir
+    val fileRefs = rels1.filter(_.endsWith(".parquet"))
+    assert(fileRefs.nonEmpty, s"siblings must be carried by per-file reference, got $rels1")
+    // every carried file is byte-identical to the pre-merge inventory
+    val now = inventory(rels1)
+    val old = before(b)
+    (now.keySet & old.keySet).foreach(p => assert(now(p) == old(p), s"carried $p rewritten"))
+    assert((now.keySet & old.keySet).size == fileRefs.size)
+    // rewritten bytes ≪ bucket bytes: only the one overlapping file moved
+    val rewritten = (now.keySet -- old.keySet).map(now(_)._1).sum
+    val bucketBytes = old.values.map(_._1).sum
+    assert(rewritten < bucketBytes,
+      s"partial rewrite must stage less than the bucket ($rewritten vs $bucketBytes)")
+    // all OTHER buckets inherited untouched
+    entries1.foreach { case (ob, rels) =>
+      if (ob != b) assert(entries0.get(ob).contains(rels), s"bucket $ob must inherit") }
+    // content correct, manifest valid, point reads still prune
+    val got = VersionedSnapshot.read(spark, base).get.as[(Long, String)].collect().toMap
+    assert(got.size == 800 && got(17L) == "UPD" && got(16L) == "v16")
+    assert(VersionedSnapshot.validateCurrent(spark, base))
+    val probe = Seq(17L).toDF("k")
+    val bound = VersionedSnapshot.readForKeys(spark, base, probe).get
+    assert(bound.as[(Long, String)].collect().toMap.apply(17L) == "UPD")
+    // a second selective merge composes: carried refs stay per-file
+    // (possibly now nested under an already-partial manifest), content
+    // stays exact
+    val k2 = 523L
+    VersionedSnapshot.mergeInto(base, Seq((k2, "UPD2")).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "two", numBuckets = 4)
+    val got2 = VersionedSnapshot.read(spark, base).get.as[(Long, String)].collect().toMap
+    assert(got2.size == 800 && got2(17L) == "UPD" && got2(k2) == "UPD2")
+    assert(VersionedSnapshot.validateCurrent(spark, base))
+  }
+
   test("mergeInto rewrites only touched buckets; untouched bucket files are shared by reference") {
     import spark.implicits._
     import VersionedSnapshot.UpdateMatched
