@@ -475,6 +475,32 @@ private[graft] object CurationSnapshotQueries {
       graft.streaming.VersionedSnapshot.read(s, base).get
         .select("doc_id", "n_chars", "lang")
     }),
+    // ---- file-pruning partial MERGE (r11): the whole table seeds a
+    // bucketed snapshot, compact splits every bucket into ~4
+    // keys-clustered files, then an update-only merge touches one NARROW
+    // contiguous key window — per touched bucket only the file(s) whose
+    // key range overlaps the window are rewritten; sibling files are
+    // carried into the manifest by per-file reference (zero bytes
+    // re-copied). The read-back goes through the mixed dir+file-ref
+    // manifest, so the oracle hash pins the whole partial-rewrite path:
+    // zone-range file split, carryFiles publish, multi-ref read ----
+    "snapshot_merge_partial" -> ((s, dir) => {
+      val VS = graft.streaming.VersionedSnapshot
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = tempSnapshotBase("graft-pmerge")
+      VS.mergeInto(base, docs, Seq("doc_id"), VS.UpdateMatched,
+        insertUnmatched = true, marker = "seed", numBuckets = 8)
+      // ~4 keys-clustered files per bucket at every SF
+      val perFile = math.max(25L, docs.count() / 8 / 4)
+      VS.compact(s, base, Seq("doc_id"), marker = "split",
+        maxRecordsPerFile = perFile)
+      VS.mergeInto(base,
+        docs.filter(col("doc_id") < 50)
+          .withColumn("n_chars", col("n_chars") + 5000),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = false,
+        marker = "narrow", numBuckets = 8)
+      VS.read(s, base).get.select("doc_id", "n_chars", "lang")
+    }),
     // ---- GDPR purge through retained history: seed → upsert, then
     // purgeKeys physically removes a deterministic subject set from BOTH
     // retained versions in place (zone/hash-pruned dir rewrites, shared

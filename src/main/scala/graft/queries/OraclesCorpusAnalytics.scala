@@ -432,6 +432,15 @@ private[graft] object OraclesCorpusAnalytics {
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE doc_id % 10 <> 0 AND doc_id % 5 <> 0""".stripMargin,
 
+    // partial MERGE in closed form: every row survives (update-only
+    // merge), the narrow key window takes the shifted n_chars
+    "snapshot_merge_partial" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id < 50 THEN n_chars + 5000
+        |            ELSE n_chars END AS n_chars,
+        |       lang
+        |FROM documents""".stripMargin,
+
     "snapshot_purge_replay" ->
       """SELECT 'v0' AS at, doc_id, n_chars FROM documents
         |WHERE doc_id % 10 <> 0 AND doc_id % 997 <> 3
