@@ -1193,6 +1193,41 @@ class VersionedSnapshotSpec extends SparkSpec {
     assert(legacy.as[(Long, Long)].collect().toSeq == Seq((42L, 1L)))
   }
 
+  test("key blooms survive file-level carry: carried per-file refs keep pruning point reads") {
+    import spark.implicits._
+    import VersionedSnapshot.UpdateMatched
+    val base = Files.createTempDirectory("graft-bloomcarry").resolve("snap").toString
+    VersionedSnapshot.mergeInto(base,
+      (1L to 800L).map(i => (i, i * 10L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", numBuckets = 4)
+    VersionedSnapshot.compact(spark, base, Seq("k"), marker = "split",
+      maxRecordsPerFile = 40L, keyBlooms = true)
+    // narrow update-only merge: the partial rewrite carries the touched
+    // bucket's sibling files by per-file reference
+    VersionedSnapshot.mergeInto(base, Seq((17L, 1L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "one", numBuckets = 4)
+    val (_, entries) = VersionedSnapshot.bucketManifest(spark, base).get
+    assert(entries.values.flatten.exists(_.endsWith(".parquet")),
+      "the narrow merge must have carried at least one file by reference")
+    // the bloom sidecar carried through the partial publish
+    val bloomFile = new java.io.File(new java.io.File(base),
+      "v" + "%05d".formatLocal(java.util.Locale.ROOT,
+        VersionedSnapshot.currentVersion(spark, base).get) + "/_BLOOMS")
+    assert(bloomFile.exists(), "bloom sidecar must survive a partial merge")
+    // a key living in a CARRIED file: correct value, pruned binding
+    val probe = VersionedSnapshot.readForKeys(spark, base, Seq(500L).toDF("k")).get
+    assert(probe.as[(Long, Long)].collect().toSeq == Seq((500L, 5000L)))
+    val total = VersionedSnapshot.read(spark, base).get.inputFiles.length
+    assert(probe.inputFiles.length < total,
+      s"carried-file point read should prune (${probe.inputFiles.length} of $total)")
+    // the updated key reads back through the fresh file; absent key binds none
+    val upd = VersionedSnapshot.readForKeys(spark, base, Seq(17L).toDF("k")).get
+    assert(upd.as[(Long, Long)].collect().toSeq == Seq((17L, 1L)))
+    assert(VersionedSnapshot.readForKeys(spark, base, Seq(50000L).toDF("k"))
+      .get.count() == 0)
+    assert(VersionedSnapshot.validateCurrent(spark, base))
+  }
+
   test("zonemap: a corrupt _ZONES file degrades to never-prune instead of crashing") {
     import spark.implicits._
     import VersionedSnapshot.UpdateMatched
