@@ -60,15 +60,39 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
   *    flip leaves extra old versions — pruned likewise. There is no
   *    recovery dance at batch start; the pointer IS the commit.
   *
-  * Single-writer assumption: one publishing query per base dir (which
-  * Structured Streaming's one-active-query-per-checkpoint already
-  * enforces); concurrent writers would race the version counter.
+  * Concurrent writers (r11): publishes run OPTIMISTICALLY, the
+  * Delta/Iceberg commit discipline reduced to the same plain-file
+  * machinery. Each publish first CLAIMS its version number (an atomic
+  * `_claims/<n>` create — claims double as "uncommitted" markers, so
+  * staging in flight is protected from the orphan sweeps and an
+  * uncommitted version directory is never readable as history), stages
+  * freely in parallel, then commits under a short `_COMMIT_LOCK`
+  * critical section that re-reads the pointer and REFUSES the flip when
+  * another writer committed since this one read its snapshot
+  * ([[ConcurrentSnapshotUpdate]] — the caller re-runs its merge against
+  * the new current, exactly Delta's conflict-retry contract). A writer
+  * that dies mid-publish leaves its claim behind; claims older than
+  * `graft.snapshot.staleClaimMs` (default 30 min) are swept with their
+  * staging by any later publish. Single-writer deployments (Structured
+  * Streaming's one-active-query-per-checkpoint) pay two extra small-file
+  * operations per publish and can never conflict.
   *
   * On a real table format (Delta/Iceberg) [[publish]]/[[mergeInto]]
   * collapse to that format's MERGE/replace commit — the call sites do not
   * change shape.
   */
 object VersionedSnapshot {
+
+  /** Another writer committed between this publish's snapshot read and
+    * its pointer flip — committing anyway would silently drop that
+    * writer's rows (the lost update). Retryable by re-running the whole
+    * merge against the NEW current version (Delta's
+    * ConcurrentAppendException contract). */
+  final class ConcurrentSnapshotUpdate(val baseDir: String,
+      val expected: Long, val found: Long)
+    extends RuntimeException(
+      s"snapshot $baseDir moved to v$found while this publish was staged " +
+        s"against v$expected — re-run the merge against the new current")
 
   private val PointerName = "_CURRENT"
   private val MarkerName = "_LAST_BATCH" // leading _: invisible to parquet reads
@@ -82,6 +106,47 @@ object VersionedSnapshot {
   /** Session conf that makes the publish paths throw after staging but
     * before the pointer commit — the crash-consistency seam. */
   private[graft] val CrashBeforeCommitConf = "graft.snapshot.crashBeforePointerCommit"
+
+  // ---- optimistic-concurrency plumbing (r11) ----
+  private val ClaimsDirName = "_claims"      // one file per UNCOMMITTED claimed version
+  private val CommitLockName = "_COMMIT_LOCK" // serializes the pointer CAS only
+  /** Claims older than this are a dead writer's: swept with their staging
+    * by any later publish (session conf, ms). */
+  private[graft] val StaleClaimMsConf = "graft.snapshot.staleClaimMs"
+  private val DefaultStaleClaimMs = 30L * 60 * 1000
+  /** A commit-lock file older than this is a dead writer's: broken by the
+    * next committer (the critical section is milliseconds long). */
+  private[graft] val CommitLockStaleMsConf = "graft.snapshot.commitLockStaleMs"
+  private val DefaultCommitLockStaleMs = 60L * 1000
+  /** Spec-only seam: sleep this long after staging, before the commit
+    * CAS — widens the conflict window deterministically. */
+  private[graft] val TestDelayBeforeCommitConf = "graft.snapshot.test.delayBeforeCommitMs"
+
+  private def confMs(name: String, default: Long): Long =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => s.conf.getOption(name)).flatMap(_.toLongOption)
+      .getOrElse(default)
+
+  private def claimPath(base: Path, v: Long): Path =
+    new Path(new Path(base, ClaimsDirName), v.toString)
+
+  /** True iff `v` is claimed = staged but not (yet) committed. Claims are
+    * deleted inside the commit critical section, so "no claim" + "dir
+    * exists" + "v <= pointer" is exactly "committed and retained". */
+  private def isClaimed(f: FileSystem, base: Path, v: Long): Boolean =
+    f.exists(claimPath(base, v))
+
+  private def releaseClaim(f: FileSystem, base: Path, v: Long): Unit =
+    try { f.delete(claimPath(base, v), false); () } catch { case _: Throwable => () }
+
+  /** (version → claim mtime) for every claim on file. */
+  private def listClaims(f: FileSystem, base: Path): Map[Long, Long] = {
+    val dir = new Path(base, ClaimsDirName)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName.toLongOption.map(_ -> st.getModificationTime)
+    }.toMap
+  }
 
   /** [[readForKeys]] collects the wanted keys and pushes them as an `IN`
     * scan filter when there are at most this many — large enough for any
@@ -1008,6 +1073,13 @@ object VersionedSnapshot {
   private def gcDataDirs(f: FileSystem, base: Path): Unit = {
     val dataRoot = new Path(base, DataDirName)
     if (!f.exists(dataRoot)) return
+    // a LIVE claim's staging (data/g<n> or data/d<n>, named by the
+    // claimed version) is a concurrent writer mid-publish, not garbage
+    val now = System.currentTimeMillis()
+    val staleMs = confMs(StaleClaimMsConf, DefaultStaleClaimMs)
+    val liveClaims = listClaims(f, base).collect {
+      case (v, m) if now - m <= staleMs => v
+    }.toSet
     val vdirs = f.listStatus(base).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
     val referenced = (vdirs
@@ -1022,7 +1094,9 @@ object VersionedSnapshot {
       .flatMap(st => parseDeltas(f, st.getPath).toSeq)
       .flatMap { case (_, overlays) => overlays.map(_.split('/')(1)) }).toSet
     f.listStatus(dataRoot).foreach { st =>
-      if (!referenced.contains(st.getPath.getName)) f.delete(st.getPath, true)
+      val name = st.getPath.getName
+      val claimedLive = name.drop(1).toLongOption.exists(liveClaims.contains)
+      if (!referenced.contains(name) && !claimedLive) f.delete(st.getPath, true)
     }
   }
 
@@ -1483,10 +1557,14 @@ object VersionedSnapshot {
 
   // ------------------------------------------------------------- publication
 
-  /** Clear uncommitted leftovers from crashed publishes (version dirs
-    * ABOVE the pointer — a half-written dir must never become the commit
-    * target — and data dirs nothing references), then return the next
-    * version number. Crashed numbers are never reused. */
+  /** Clear uncommitted leftovers from crashed publishes, then CLAIM and
+    * return the next version number (atomic `_claims/<n>` create — racing
+    * writers get distinct numbers). Crashed numbers are never reused.
+    *
+    * Sweep rule: a version dir is uncommitted garbage iff its claim went
+    * STALE (a writer died mid-publish — live claims protect concurrent
+    * writers' staging) or — the pre-claims legacy shape — it sits above
+    * the pointer with no claim at all. */
   private def prepareNext(f: FileSystem, base: Path, current: Long): Long = {
     // numeric parse, no length guard: fmtVersion's %05d grows past 5
     // digits at version 100000 and crashed dirs above the pointer must
@@ -1495,25 +1573,82 @@ object VersionedSnapshot {
       if (name.startsWith("v")) name.drop(1).toLongOption else None
     val existing = f.listStatus(base).toSeq
       .flatMap(st => versionOf(st.getPath.getName).map(_ -> st.getPath))
-    existing.filter(_._1 > current).foreach { case (_, p) => f.delete(p, true) }
+    val claims = listClaims(f, base)
+    val now = System.currentTimeMillis()
+    val staleMs = confMs(StaleClaimMsConf, DefaultStaleClaimMs)
+    def staleClaim(v: Long): Boolean = claims.get(v).exists(now - _ > staleMs)
+    existing.foreach { case (v, p) =>
+      // v != current belt-and-braces: if a commit's claim delete ever
+      // failed, the pointer target must still never be swept
+      if (v != current &&
+        (staleClaim(v) || (v > current && !claims.contains(v)))) {
+        f.delete(p, true)
+        releaseClaim(f, base, v)
+      }
+    }
+    // orphan stale claims whose staging never materialized
+    claims.keys.filter(v => staleClaim(v) && !existing.exists(_._1 == v))
+      .foreach(releaseClaim(f, base, _))
     gcDataDirs(f, base)
-    math.max(current, existing.map(_._1).maxOption.getOrElse(-1L)) + 1
+    f.mkdirs(new Path(base, ClaimsDirName))
+    var n = math.max(current,
+      math.max(existing.map(_._1).maxOption.getOrElse(-1L),
+        claims.keys.maxOption.getOrElse(-1L))) + 1
+    while (!f.createNewFile(claimPath(base, n))) n += 1
+    n
   }
 
-  /** The commit: crash-injection seam, then a single-file atomic
-    * rename-with-overwrite onto `_CURRENT`. Everything staged before this
-    * call is uncommitted; everything after is visible. */
-  private def commitPointer(spark: SparkSession, f: FileSystem, base: Path, next: Long): Unit = {
+  /** The commit: crash-injection seam, then the optimistic-concurrency
+    * CAS — under a short `_COMMIT_LOCK` critical section, re-read the
+    * pointer, refuse the flip if another writer moved it past `expected`
+    * ([[ConcurrentSnapshotUpdate]]), else a single-file atomic
+    * rename-with-overwrite onto `_CURRENT` and release of `next`'s claim
+    * (the version becomes committed and claim-free in the same critical
+    * section). Everything staged before this call is uncommitted;
+    * everything after is visible. */
+  private def commitPointer(spark: SparkSession, f: FileSystem, base: Path,
+      next: Long, expected: Long): Unit = {
     // crash-consistency fault-injection point (spec-only): a crash HERE
     // must leave readers on the previous version and be healed by the
     // next publish — VersionedSnapshotSpec drives this seam.
     if (spark.conf.getOption(CrashBeforeCommitConf).contains("true"))
       throw new IllegalStateException(
         s"injected crash before pointer commit ($CrashBeforeCommitConf)")
-    val tmpPtr = new Path(base, PointerName + ".tmp")
-    writeSmallFile(f, tmpPtr, next.toString)
-    FileContext.getFileContext(base.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmpPtr, new Path(base, PointerName), Options.Rename.OVERWRITE)
+    // spec-only conflict-window widener
+    spark.conf.getOption(TestDelayBeforeCommitConf).flatMap(_.toLongOption)
+      .foreach(Thread.sleep)
+    val lock = new Path(base, CommitLockName)
+    val lockStaleMs = confMs(CommitLockStaleMsConf, DefaultCommitLockStaleMs)
+    val deadline = System.currentTimeMillis() + math.max(30000L, 2 * lockStaleMs)
+    var held = false
+    while (!held) {
+      if (f.createNewFile(lock)) held = true
+      else {
+        // a lock this old is a dead committer's (the section is ms-long)
+        val age = try System.currentTimeMillis() -
+          f.getFileStatus(lock).getModificationTime
+          catch { case _: Throwable => -1L } // raced away: retry create
+        if (age > lockStaleMs) { try f.delete(lock, false) catch { case _: Throwable => () } }
+        else if (System.currentTimeMillis() > deadline)
+          sys.error(s"could not acquire snapshot commit lock $lock")
+        else Thread.sleep(20L)
+      }
+    }
+    try {
+      val ptr = new Path(base, PointerName)
+      val cur =
+        if (!f.exists(ptr)) -1L
+        else readSmallFile(f, ptr).trim.toLongOption.getOrElse(-1L)
+      if (cur != expected)
+        throw new ConcurrentSnapshotUpdate(base.toString, expected, cur)
+      val tmpPtr = new Path(base, PointerName + ".tmp")
+      writeSmallFile(f, tmpPtr, next.toString)
+      FileContext.getFileContext(base.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmpPtr, new Path(base, PointerName), Options.Rename.OVERWRITE)
+      releaseClaim(f, base, next)
+    } finally {
+      try { f.delete(lock, false); () } catch { case _: Throwable => () }
+    }
   }
 
   /** Drop committed versions older than the newest `retain`, then sweep
@@ -1543,13 +1678,34 @@ object VersionedSnapshot {
     f.mkdirs(base)
     val current = currentVersion(spark, baseDir).getOrElse(-1L)
     val next = prepareNext(f, base, current)
-    val target = versionPath(base, next)
-    df.write.mode("overwrite").parquet(target.toString)
-    writeSmallFile(f, new Path(target, MarkerName), marker)
-    writeManifest(f, base, target)
-    commitPointer(spark, f, base, next)
+    try {
+      val target = versionPath(base, next)
+      df.write.mode("overwrite").parquet(target.toString)
+      writeSmallFile(f, new Path(target, MarkerName), marker)
+      writeManifest(f, base, target)
+      commitPointer(spark, f, base, next, expected = current)
+    } catch { case t: Throwable => abortStaged(f, base, next); throw t }
     applyRetention(f, base, current, next, retain)
     next
+  }
+
+  /** An in-JVM publish failure releases its claim (the crash-shape
+    * leftovers — an above-pointer staged dir — stay visible for the next
+    * publish's sweep, which the crash-consistency specs pin). The staged
+    * DIR is deleted only when the pointer already moved to or past this
+    * number (a conflict loss): an unclaimed dir at-or-below the pointer
+    * would otherwise read as committed history that never committed. A
+    * writer that DIES skips all of this; the stale-claim sweep collects
+    * its claim and staging later. */
+  private def abortStaged(f: FileSystem, base: Path, next: Long): Unit = {
+    val cur = try {
+      val ptr = new Path(base, PointerName)
+      if (!f.exists(ptr)) -1L
+      else readSmallFile(f, ptr).trim.toLongOption.getOrElse(-1L)
+    } catch { case _: Throwable => Long.MaxValue } // unreadable: delete, be safe
+    if (cur >= next)
+      try { f.delete(versionPath(base, next), true); () } catch { case _: Throwable => () }
+    releaseClaim(f, base, next)
   }
 
   /** Stage `df`'s rows into per-bucket data directories under the shared
