@@ -1255,7 +1255,7 @@ object VersionedSnapshot {
           }
           writeSmallFile(f, new Path(target, MarkerName), s"$marker:v$version")
           writeManifest(f, base, target)
-          commitPointer(spark, f, base, next)
+          commitPointer(spark, f, base, next, expected = current)
           applyRetention(f, base, current, next, retain)
           Some(next)
       }
@@ -1861,7 +1861,7 @@ object VersionedSnapshot {
     }
     writeSmallFile(f, new Path(target, MarkerName), marker)
     writeManifest(f, base, target)
-    commitPointer(spark, f, base, next)
+    commitPointer(spark, f, base, next, expected = current)
     applyRetention(f, base, current, next, retain)
     next
   }
@@ -2357,7 +2357,7 @@ object VersionedSnapshot {
           (s"keys=${keys.mkString(",")}" +: (priorOverlays :+ dRel)).mkString("\n"))
         writeSmallFile(f, new Path(target, MarkerName), marker)
         writeManifest(f, base, target)
-        commitPointer(spark, f, base, next)
+        commitPointer(spark, f, base, next, expected = cur)
         applyRetention(f, base, cur, next, retain)
         next
     }
