@@ -70,11 +70,18 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
   * critical section that re-reads the pointer and REFUSES the flip when
   * another writer committed since this one read its snapshot
   * ([[ConcurrentSnapshotUpdate]] — the caller re-runs its merge against
-  * the new current, exactly Delta's conflict-retry contract). A writer
+  * the new current, exactly Delta's conflict-retry contract). The lock
+  * is FENCED (r12): committers stamp a unique token and prove ownership
+  * by reading it back — at acquire, before breaking a stale lock, as
+  * the last act before the pointer rename, and at release — so a
+  * GC-paused committer whose lock was legitimately broken aborts
+  * retryably instead of double-flipping over its successor. A writer
   * that dies mid-publish leaves its claim behind; claims older than
   * `graft.snapshot.staleClaimMs` (default 30 min) are swept with their
-  * staging by any later publish. Single-writer deployments (Structured
-  * Streaming's one-active-query-per-checkpoint) pay two extra small-file
+  * staging by any later publish — but a version dir at-or-below the
+  * pointer is committed history and is NEVER swept, even under a leaked
+  * claim. Single-writer deployments (Structured Streaming's
+  * one-active-query-per-checkpoint) pay a few extra small-file
   * operations per publish and can never conflict.
   *
   * On a real table format (Delta/Iceberg) [[publish]]/[[mergeInto]]
@@ -121,6 +128,7 @@ object VersionedSnapshot {
   /** Spec-only seam: sleep this long after staging, before the commit
     * CAS — widens the conflict window deterministically. */
   private[graft] val TestDelayBeforeCommitConf = "graft.snapshot.test.delayBeforeCommitMs"
+  private[graft] val TestDelayInCommitConf = "graft.snapshot.test.delayInCommitMs"
 
   private def confMs(name: String, default: Long): Long =
     org.apache.spark.sql.SparkSession.getActiveSession
@@ -1247,15 +1255,17 @@ object VersionedSnapshot {
             s"$marker:v$version", retain))
         case Some(_) =>
           val next = prepareNext(f, base, current)
-          val target = versionPath(base, next)
-          f.mkdirs(target)
-          Seq(BucketsName, DeltasName, ZonesName, BloomsName).foreach { name =>
-            val p = new Path(src, name)
-            if (f.exists(p)) writeSmallFile(f, new Path(target, name), readSmallFile(f, p))
+          guardStaged(f, base, next) {
+            val target = versionPath(base, next)
+            f.mkdirs(target)
+            Seq(BucketsName, DeltasName, ZonesName, BloomsName).foreach { name =>
+              val p = new Path(src, name)
+              if (f.exists(p)) writeSmallFile(f, new Path(target, name), readSmallFile(f, p))
+            }
+            writeSmallFile(f, new Path(target, MarkerName), s"$marker:v$version")
+            writeManifest(f, base, target)
+            commitPointer(spark, f, base, next, expected = current)
           }
-          writeSmallFile(f, new Path(target, MarkerName), s"$marker:v$version")
-          writeManifest(f, base, target)
-          commitPointer(spark, f, base, next, expected = current)
           applyRetention(f, base, current, next, retain)
           Some(next)
       }
@@ -1578,11 +1588,18 @@ object VersionedSnapshot {
     val staleMs = confMs(StaleClaimMsConf, DefaultStaleClaimMs)
     def staleClaim(v: Long): Boolean = claims.get(v).exists(now - _ > staleMs)
     existing.foreach { case (v, p) =>
-      // v != current belt-and-braces: if a commit's claim delete ever
-      // failed, the pointer target must still never be swept
-      if (v != current &&
-        (staleClaim(v) || (v > current && !claims.contains(v)))) {
+      if (v > current && (staleClaim(v) || !claims.contains(v))) {
+        // above the pointer: uncommitted staging whose writer died (stale
+        // claim) or pre-claims legacy garbage (no claim at all)
         f.delete(p, true)
+        releaseClaim(f, base, v)
+      } else if (v <= current && staleClaim(v)) {
+        // at-or-below the pointer = committed retained history. A leaked
+        // claim there (commitPointer's releaseClaim swallows failed
+        // deletes) is dropped WITHOUT sweeping the version dir — the old
+        // rule deleted any stale-claimed dir except the pointer target,
+        // which could destroy an older retained version readers still
+        // time-travel to
         releaseClaim(f, base, v)
       }
     }
@@ -1594,9 +1611,35 @@ object VersionedSnapshot {
     var n = math.max(current,
       math.max(existing.map(_._1).maxOption.getOrElse(-1L),
         claims.keys.maxOption.getOrElse(-1L))) + 1
-    while (!f.createNewFile(claimPath(base, n))) n += 1
+    while (!tryCreateNew(f, claimPath(base, n))) n += 1
     n
   }
+
+  /** Atomic create-if-absent that never throws on a lost race — the
+    * primitive every claim and lock acquisition sits on.
+    *
+    * Hadoop's `FileSystem.createNewFile` is exists-then-create with NO
+    * exclusivity on the local scheme: two writers hitting the same path
+    * at the same instant can BOTH get `true` (observed under the
+    * concurrency spec — both then staged the same version number and
+    * clobbered each other's `_temporary` dirs), or one gets a thrown
+    * [[org.apache.hadoop.fs.FileAlreadyExistsException]] instead of
+    * `false`. On `file:` we therefore go through NIO `Files.createFile`
+    * (true `O_CREAT|O_EXCL`). On HDFS-like stores `create(overwrite =
+    * false)` is atomic server-side, so the default path is already
+    * exclusive — a lost race surfaces as the exception we map to
+    * `false`. */
+  private def tryCreateNew(f: FileSystem, p: Path): Boolean =
+    if (f.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      try { java.nio.file.Files.createFile(local); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else
+      try f.createNewFile(p)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: org.apache.hadoop.fs.PathExistsException => false
+      }
 
   /** The commit: crash-injection seam, then the optimistic-concurrency
     * CAS — under a short `_COMMIT_LOCK` critical section, re-read the
@@ -1605,7 +1648,19 @@ object VersionedSnapshot {
     * rename-with-overwrite onto `_CURRENT` and release of `next`'s claim
     * (the version becomes committed and claim-free in the same critical
     * section). Everything staged before this call is uncommitted;
-    * everything after is visible. */
+    * everything after is visible.
+    *
+    * The lock is FENCED: each writer stamps a unique token into the lock
+    * file, and ownership is only ever proven by reading that token back —
+    * never by `createNewFile`'s return alone. This closes the two races
+    * of a bare stale-break mutex: (a) a waiter that measured an old lock
+    * as stale could otherwise delete a DIFFERENT writer's freshly
+    * created lock (check-then-delete), and (b) a live committer paused
+    * past `commitLockStaleMs` (GC pause, object-store stall) whose lock
+    * was legitimately broken would otherwise wake and flip the pointer
+    * OVER the successor's commit — the exact lost update the CAS exists
+    * to prevent. The paused writer now re-reads the token as the last
+    * act before the rename and aborts (retryably) when it lost the lock. */
   private def commitPointer(spark: SparkSession, f: FileSystem, base: Path,
       next: Long, expected: Long): Unit = {
     // crash-consistency fault-injection point (spec-only): a crash HERE
@@ -1620,21 +1675,40 @@ object VersionedSnapshot {
     val lock = new Path(base, CommitLockName)
     val lockStaleMs = confMs(CommitLockStaleMsConf, DefaultCommitLockStaleMs)
     val deadline = System.currentTimeMillis() + math.max(30000L, 2 * lockStaleMs)
+    val token = java.util.UUID.randomUUID().toString
+    def lockToken(): Option[String] =
+      try Some(readSmallFile(f, lock).trim) catch { case _: Throwable => None }
     var held = false
     while (!held) {
-      if (f.createNewFile(lock)) held = true
-      else {
-        // a lock this old is a dead committer's (the section is ms-long)
+      if (tryCreateNew(f, lock)) {
+        // stamp, then read back: if a stale-breaker deleted this fresh
+        // lock and a third writer re-created it in between, the token
+        // mismatch sends us back around the loop instead of into a
+        // section two writers believe they hold
+        writeSmallFile(f, lock, token)
+        held = lockToken().contains(token)
+      } else {
+        // a lock this old is a dead committer's (the section is ms-long).
+        // Identity-checked break: re-read the token after the age check
+        // and only delete the exact lock measured stale — never a
+        // different writer's just-created one.
+        val seen = lockToken()
         val age = try System.currentTimeMillis() -
           f.getFileStatus(lock).getModificationTime
           catch { case _: Throwable => -1L } // raced away: retry create
-        if (age > lockStaleMs) { try f.delete(lock, false) catch { case _: Throwable => () } }
+        if (age > lockStaleMs && seen.isDefined && lockToken() == seen) {
+          try f.delete(lock, false) catch { case _: Throwable => () }
+        }
         else if (System.currentTimeMillis() > deadline)
           sys.error(s"could not acquire snapshot commit lock $lock")
         else Thread.sleep(20L)
       }
     }
     try {
+      // spec-only mid-section pause: models a GC/object-store stall long
+      // enough for this writer's lock to be broken and taken over
+      spark.conf.getOption(TestDelayInCommitConf).flatMap(_.toLongOption)
+        .foreach(Thread.sleep)
       val ptr = new Path(base, PointerName)
       val cur =
         if (!f.exists(ptr)) -1L
@@ -1643,11 +1717,18 @@ object VersionedSnapshot {
         throw new ConcurrentSnapshotUpdate(base.toString, expected, cur)
       val tmpPtr = new Path(base, PointerName + ".tmp")
       writeSmallFile(f, tmpPtr, next.toString)
+      // the fence: confirm the lock is still ours as the last act before
+      // the flip — a committer that lost it mid-section aborts retryably
+      // instead of double-committing over the successor
+      if (!lockToken().contains(token))
+        throw new ConcurrentSnapshotUpdate(base.toString, expected, cur)
       FileContext.getFileContext(base.toUri, spark.sparkContext.hadoopConfiguration)
         .rename(tmpPtr, new Path(base, PointerName), Options.Rename.OVERWRITE)
       releaseClaim(f, base, next)
     } finally {
-      try { f.delete(lock, false); () } catch { case _: Throwable => () }
+      // identity-checked release: never delete a lock that changed hands
+      try { if (lockToken().contains(token)) { f.delete(lock, false); () } }
+      catch { case _: Throwable => () }
     }
   }
 
@@ -1678,32 +1759,52 @@ object VersionedSnapshot {
     f.mkdirs(base)
     val current = currentVersion(spark, baseDir).getOrElse(-1L)
     val next = prepareNext(f, base, current)
-    try {
+    guardStaged(f, base, next) {
       val target = versionPath(base, next)
       df.write.mode("overwrite").parquet(target.toString)
       writeSmallFile(f, new Path(target, MarkerName), marker)
       writeManifest(f, base, target)
       commitPointer(spark, f, base, next, expected = current)
-    } catch { case t: Throwable => abortStaged(f, base, next); throw t }
+    }
     applyRetention(f, base, current, next, retain)
     next
   }
 
+  /** Run `body` — the staging + commit of version `next` — and on ANY
+    * in-JVM failure abort the staged version before rethrowing, so the
+    * claim never sits live for `staleClaimMs` shielding garbage from
+    * every sweep. Conflict losses ([[ConcurrentSnapshotUpdate]])
+    * additionally drop the staged dir itself (see [[abortStaged]]).
+    * Every staging path — flat publish, bucketed publish, merge-on-read
+    * overlay, restore — commits through this guard. */
+  private def guardStaged[A](f: FileSystem, base: Path, next: Long)(body: => A): A =
+    try body catch {
+      case c: ConcurrentSnapshotUpdate =>
+        abortStaged(f, base, next, conflictLoss = true); throw c
+      case t: Throwable => abortStaged(f, base, next); throw t
+    }
+
   /** An in-JVM publish failure releases its claim (the crash-shape
     * leftovers — an above-pointer staged dir — stay visible for the next
     * publish's sweep, which the crash-consistency specs pin). The staged
-    * DIR is deleted only when the pointer already moved to or past this
-    * number (a conflict loss): an unclaimed dir at-or-below the pointer
-    * would otherwise read as committed history that never committed. A
-    * writer that DIES skips all of this; the stale-claim sweep collects
-    * its claim and staging later. */
-  private def abortStaged(f: FileSystem, base: Path, next: Long): Unit = {
+    * DIR is deleted when the pointer already moved to or past this
+    * number, or on ANY conflict loss (`conflictLoss` — even one where the
+    * winner committed a LOWER number): an unclaimed dir at-or-below the
+    * pointer would otherwise read as committed history that never
+    * committed. On a conflict loss the dir dies BEFORE the claim is
+    * released — a concurrent [[prepareNext]] that listed claims before
+    * the release treats the dir as live staging and can commit past it,
+    * after which a surviving unclaimed dir under the pointer would be
+    * exactly that phantom history. A writer that DIES skips all of this;
+    * the stale-claim sweep collects its claim and staging later. */
+  private[graft] def abortStaged(f: FileSystem, base: Path, next: Long,
+      conflictLoss: Boolean = false): Unit = {
     val cur = try {
       val ptr = new Path(base, PointerName)
       if (!f.exists(ptr)) -1L
       else readSmallFile(f, ptr).trim.toLongOption.getOrElse(-1L)
     } catch { case _: Throwable => Long.MaxValue } // unreadable: delete, be safe
-    if (cur >= next)
+    if (conflictLoss || cur >= next)
       try { f.delete(versionPath(base, next), true); () } catch { case _: Throwable => () }
     releaseClaim(f, base, next)
   }
@@ -1730,138 +1831,140 @@ object VersionedSnapshot {
     f.mkdirs(base)
     val current = currentVersion(spark, baseDir).getOrElse(-1L)
     val next = prepareNext(f, base, current)
-    val target = versionPath(base, next)
-    val gName = "g" + "%05d".formatLocal(java.util.Locale.ROOT, next)
-    val gDir = new Path(new Path(base, DataDirName), gName)
-    // repartition ON the bucket value: each bucket lands wholly in one
-    // task, so every bucket directory holds exactly ONE data file. Without
-    // this, every shuffle task holding rows of a bucket writes its own
-    // fragment — touched buckets accumulate up to shuffle.partitions small
-    // files per merge, the small-file problem table formats pay a
-    // compaction pass to undo. One extra exchange over the delta only.
-    // cluster-on-write: sort each bucket's rows so parquet row-group
-    // min/max stats are tight. Default order = the merge keys (readForKeys'
-    // pushed IN filter then skips row groups — the pruning level below the
-    // zonemap). A caller-supplied clusterBy (compact's OPTIMIZE-ZORDER
-    // analog) orders by VALUE columns instead, and with maxRecordsPerFile
-    // splits each bucket into several files, each covering a contiguous
-    // value range — the per-FILE `_ZONES` stats then prune mid-range
-    // value predicates below bucket level (at the documented cost of
-    // looser key row-group locality in the rewritten files). Task-local
-    // sort over the delta only, no extra exchange either way.
-    val writer = df.withColumn(BucketCol, bucketOf(keys, numBuckets))
-      .repartition(col(BucketCol))
-      .sortWithinPartitions(
-        (BucketCol +: (if (clusterBy.nonEmpty) clusterBy else keys)).map(col): _*)
-      .write.mode("overwrite").partitionBy(BucketCol)
-    (if (maxRecordsPerFile > 0L)
-       writer.option("maxRecordsPerFile", maxRecordsPerFile)
-     else writer).parquet(gDir.toString)
-    // which buckets actually produced files (a bucket whose merge result
-    // is empty writes no partition dir — it must vanish from the manifest)
-    val written: Map[Int, String] =
-      if (!f.exists(gDir)) Map.empty
-      else f.listStatus(gDir).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketCol + "="))
-        .flatMap { st =>
-          st.getPath.getName.drop(BucketCol.length + 1).toIntOption
-            .map(b => b -> s"$DataDirName/$gName/${st.getPath.getName}")
-        }.toMap
-    // fold the three ref sources per bucket: the file this publish wrote
-    // (if any), then the untouched files a file-pruning merge carried by
-    // reference ([[mergeInto]]'s partial rewrite), then whole inherited
-    // buckets — a bucket appears in `inherited` XOR in (written ∪
-    // carryFiles), never both
-    val manifest: Map[Int, Seq[String]] = {
-      val bucketIds = inherited.keySet ++ carryFiles.keySet ++ written.keySet
-      bucketIds.map(b => b ->
-        (written.get(b).toSeq ++ carryFiles.getOrElse(b, Nil) ++
-          inherited.getOrElse(b, Nil))).toMap
-        .filter(_._2.nonEmpty)
-    }
-    if (manifest.isEmpty) {
-      // nothing anywhere (e.g. a full delete): flat empty dir keeps schema
-      f.delete(gDir, true)
-      df.limit(0).write.mode("overwrite").parquet(target.toString)
-    } else {
-      f.mkdirs(target)
-      val lines = s"buckets=$numBuckets" +:
-        manifest.toSeq.sortBy(_._1).map { case (b, rels) => s"$b:${rels.mkString(";")}" }
-      writeSmallFile(f, new Path(target, BucketsName), lines.mkString("\n"))
-      // zonemap: fresh stats for the files this publish wrote (one narrow
-      // aggregate over the delta), inherited files copy their rows from
-      // the previous version's _ZONES driver-side (absent there — e.g. a
-      // pre-zonemap table — they simply carry no stats and never prune).
-      // r9: stats also cover VALUE columns (keys-first ordering) so
-      // value-range reads (readWhere / predicated changes) skip files the
-      // way Delta's dataSkippingNumIndexedCols stats do; the set is every
-      // prunable-typed column up to the budget, or the caller's explicit
-      // list.
-      val tags = keys.map(k => zoneTag(df.schema(k).dataType))
-      val vcols = valueStatsCols.getOrElse(
-          df.columns.toSeq.filterNot(keys.contains).filter(c =>
-            zoneTag(df.schema(c).dataType) != "x"))
-        .filterNot(keys.contains).filter(df.columns.contains)
-        .filterNot(_ == BucketCol)
-        .take(math.max(0, MaxStatsCols - keys.size))
-      val vtags = vcols.map(c => zoneTag(df.schema(c).dataType))
-      val statCols = keys ++ vcols
-      val fresh =
-        if (written.isEmpty) Nil
-        else freshZoneStats(spark, gDir, gName, statCols, df.schema)
-      // a previous version's per-FILE stats entry carries iff its file is
-      // still referenced: inside a wholly-inherited dir ref, named by an
-      // inherited file ref (an earlier partial merge), or named by this
-      // merge's carryFiles
-      val carryRefs = inherited.values.flatten.toSet ++ carryFiles.values.flatten
-      val carryDirRefs = carryRefs.filterNot(isFileRef)
-      val carryFileRefs = carryRefs.filter(isFileRef)
-      def stillReferenced(rel: String): Boolean =
-        carryFileRefs.contains(rel) ||
-          carryDirRefs.contains(rel.take(math.max(0, rel.lastIndexOf('/'))))
-      val carried: Seq[(String, Long, Seq[Option[(String, String)]])] =
-        (if (current < 0) None
-         else parseZones(f, versionPath(base, current))) match {
-          case Some(z) if z.keys == keys && z.tags == tags &&
-              z.vcols == vcols && z.vtags == vtags =>
-            z.entries.toSeq.collect {
-              case (rel, (n, ranges)) if stillReferenced(rel) =>
-                (rel, n, ranges)
-            }
-          // stats-shape drift (e.g. a pre-r9 keys-only zonemap): carry the
-          // KEY prefix of matching entries and pad the value columns with
-          // no-stats — key pruning keeps working, value pruning starts
-          // fresh from this publish's files
-          case Some(z) if z.keys == keys && z.tags == tags =>
-            z.entries.toSeq.collect {
-              case (rel, (n, ranges)) if stillReferenced(rel) =>
-                (rel, n, ranges.take(keys.size).padTo(statCols.size, None))
-            }
-          case _ => Nil
-        }
-      val zLines = Seq(s"keys=${keys.mkString(",")}", s"tags=${tags.mkString(",")}",
-        s"cols=${vcols.mkString(",")}", s"ctags=${vtags.mkString(",")}") ++
-        (carried ++ fresh).sortBy(_._1).map { case (rel, n, rs) => zoneLine(rel, n, rs) }
-      writeSmallFile(f, new Path(target, ZonesName), zLines.mkString("\n"))
-      // key blooms: sticky once enabled (a bloom-indexed table keeps its
-      // index across merges that did not re-request it), fresh for the
-      // files this publish wrote, carried for inherited files
-      val prevBlooms =
-        if (current < 0) None
-        else parseBlooms(f, versionPath(base, current)).filter(_._1 == keys)
-      if (keyBlooms || prevBlooms.isDefined) {
-        val freshB =
-          if (written.isEmpty) Nil
-          else freshBloomStats(spark, gDir, gName, keys)
-        val carriedB = prevBlooms.map(_._2.toSeq.filter { case (rel, _) =>
-          stillReferenced(rel)
-        }).getOrElse(Nil)
-        writeBlooms(f, target, keys, carriedB ++ freshB)
+    guardStaged(f, base, next) {
+      val target = versionPath(base, next)
+      val gName = "g" + "%05d".formatLocal(java.util.Locale.ROOT, next)
+      val gDir = new Path(new Path(base, DataDirName), gName)
+      // repartition ON the bucket value: each bucket lands wholly in one
+      // task, so every bucket directory holds exactly ONE data file. Without
+      // this, every shuffle task holding rows of a bucket writes its own
+      // fragment — touched buckets accumulate up to shuffle.partitions small
+      // files per merge, the small-file problem table formats pay a
+      // compaction pass to undo. One extra exchange over the delta only.
+      // cluster-on-write: sort each bucket's rows so parquet row-group
+      // min/max stats are tight. Default order = the merge keys (readForKeys'
+      // pushed IN filter then skips row groups — the pruning level below the
+      // zonemap). A caller-supplied clusterBy (compact's OPTIMIZE-ZORDER
+      // analog) orders by VALUE columns instead, and with maxRecordsPerFile
+      // splits each bucket into several files, each covering a contiguous
+      // value range — the per-FILE `_ZONES` stats then prune mid-range
+      // value predicates below bucket level (at the documented cost of
+      // looser key row-group locality in the rewritten files). Task-local
+      // sort over the delta only, no extra exchange either way.
+      val writer = df.withColumn(BucketCol, bucketOf(keys, numBuckets))
+        .repartition(col(BucketCol))
+        .sortWithinPartitions(
+          (BucketCol +: (if (clusterBy.nonEmpty) clusterBy else keys)).map(col): _*)
+        .write.mode("overwrite").partitionBy(BucketCol)
+      (if (maxRecordsPerFile > 0L)
+         writer.option("maxRecordsPerFile", maxRecordsPerFile)
+       else writer).parquet(gDir.toString)
+      // which buckets actually produced files (a bucket whose merge result
+      // is empty writes no partition dir — it must vanish from the manifest)
+      val written: Map[Int, String] =
+        if (!f.exists(gDir)) Map.empty
+        else f.listStatus(gDir).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketCol + "="))
+          .flatMap { st =>
+            st.getPath.getName.drop(BucketCol.length + 1).toIntOption
+              .map(b => b -> s"$DataDirName/$gName/${st.getPath.getName}")
+          }.toMap
+      // fold the three ref sources per bucket: the file this publish wrote
+      // (if any), then the untouched files a file-pruning merge carried by
+      // reference ([[mergeInto]]'s partial rewrite), then whole inherited
+      // buckets — a bucket appears in `inherited` XOR in (written ∪
+      // carryFiles), never both
+      val manifest: Map[Int, Seq[String]] = {
+        val bucketIds = inherited.keySet ++ carryFiles.keySet ++ written.keySet
+        bucketIds.map(b => b ->
+          (written.get(b).toSeq ++ carryFiles.getOrElse(b, Nil) ++
+            inherited.getOrElse(b, Nil))).toMap
+          .filter(_._2.nonEmpty)
       }
+      if (manifest.isEmpty) {
+        // nothing anywhere (e.g. a full delete): flat empty dir keeps schema
+        f.delete(gDir, true)
+        df.limit(0).write.mode("overwrite").parquet(target.toString)
+      } else {
+        f.mkdirs(target)
+        val lines = s"buckets=$numBuckets" +:
+          manifest.toSeq.sortBy(_._1).map { case (b, rels) => s"$b:${rels.mkString(";")}" }
+        writeSmallFile(f, new Path(target, BucketsName), lines.mkString("\n"))
+        // zonemap: fresh stats for the files this publish wrote (one narrow
+        // aggregate over the delta), inherited files copy their rows from
+        // the previous version's _ZONES driver-side (absent there — e.g. a
+        // pre-zonemap table — they simply carry no stats and never prune).
+        // r9: stats also cover VALUE columns (keys-first ordering) so
+        // value-range reads (readWhere / predicated changes) skip files the
+        // way Delta's dataSkippingNumIndexedCols stats do; the set is every
+        // prunable-typed column up to the budget, or the caller's explicit
+        // list.
+        val tags = keys.map(k => zoneTag(df.schema(k).dataType))
+        val vcols = valueStatsCols.getOrElse(
+            df.columns.toSeq.filterNot(keys.contains).filter(c =>
+              zoneTag(df.schema(c).dataType) != "x"))
+          .filterNot(keys.contains).filter(df.columns.contains)
+          .filterNot(_ == BucketCol)
+          .take(math.max(0, MaxStatsCols - keys.size))
+        val vtags = vcols.map(c => zoneTag(df.schema(c).dataType))
+        val statCols = keys ++ vcols
+        val fresh =
+          if (written.isEmpty) Nil
+          else freshZoneStats(spark, gDir, gName, statCols, df.schema)
+        // a previous version's per-FILE stats entry carries iff its file is
+        // still referenced: inside a wholly-inherited dir ref, named by an
+        // inherited file ref (an earlier partial merge), or named by this
+        // merge's carryFiles
+        val carryRefs = inherited.values.flatten.toSet ++ carryFiles.values.flatten
+        val carryDirRefs = carryRefs.filterNot(isFileRef)
+        val carryFileRefs = carryRefs.filter(isFileRef)
+        def stillReferenced(rel: String): Boolean =
+          carryFileRefs.contains(rel) ||
+            carryDirRefs.contains(rel.take(math.max(0, rel.lastIndexOf('/'))))
+        val carried: Seq[(String, Long, Seq[Option[(String, String)]])] =
+          (if (current < 0) None
+           else parseZones(f, versionPath(base, current))) match {
+            case Some(z) if z.keys == keys && z.tags == tags &&
+                z.vcols == vcols && z.vtags == vtags =>
+              z.entries.toSeq.collect {
+                case (rel, (n, ranges)) if stillReferenced(rel) =>
+                  (rel, n, ranges)
+              }
+            // stats-shape drift (e.g. a pre-r9 keys-only zonemap): carry the
+            // KEY prefix of matching entries and pad the value columns with
+            // no-stats — key pruning keeps working, value pruning starts
+            // fresh from this publish's files
+            case Some(z) if z.keys == keys && z.tags == tags =>
+              z.entries.toSeq.collect {
+                case (rel, (n, ranges)) if stillReferenced(rel) =>
+                  (rel, n, ranges.take(keys.size).padTo(statCols.size, None))
+              }
+            case _ => Nil
+          }
+        val zLines = Seq(s"keys=${keys.mkString(",")}", s"tags=${tags.mkString(",")}",
+          s"cols=${vcols.mkString(",")}", s"ctags=${vtags.mkString(",")}") ++
+          (carried ++ fresh).sortBy(_._1).map { case (rel, n, rs) => zoneLine(rel, n, rs) }
+        writeSmallFile(f, new Path(target, ZonesName), zLines.mkString("\n"))
+        // key blooms: sticky once enabled (a bloom-indexed table keeps its
+        // index across merges that did not re-request it), fresh for the
+        // files this publish wrote, carried for inherited files
+        val prevBlooms =
+          if (current < 0) None
+          else parseBlooms(f, versionPath(base, current)).filter(_._1 == keys)
+        if (keyBlooms || prevBlooms.isDefined) {
+          val freshB =
+            if (written.isEmpty) Nil
+            else freshBloomStats(spark, gDir, gName, keys)
+          val carriedB = prevBlooms.map(_._2.toSeq.filter { case (rel, _) =>
+            stillReferenced(rel)
+          }).getOrElse(Nil)
+          writeBlooms(f, target, keys, carriedB ++ freshB)
+        }
+      }
+      writeSmallFile(f, new Path(target, MarkerName), marker)
+      writeManifest(f, base, target)
+      commitPointer(spark, f, base, next, expected = current)
     }
-    writeSmallFile(f, new Path(target, MarkerName), marker)
-    writeManifest(f, base, target)
-    commitPointer(spark, f, base, next, expected = current)
     applyRetention(f, base, current, next, retain)
     next
   }
@@ -2331,33 +2434,35 @@ object VersionedSnapshot {
           case None => Nil
         }
         val next = prepareNext(f, base, cur)
-        val dName = "d" + "%05d".formatLocal(java.util.Locale.ROOT, next)
-        val dRel = s"$DataDirName/$dName"
-        // one file per overlay: a delta is batch-sized by definition, and
-        // overlay count — not file count per overlay — is the read cost
-        overlayRows.coalesce(1).write.mode("overwrite")
-          .parquet(new Path(base, dRel).toString)
-        val target = versionPath(base, next)
-        f.mkdirs(target)
-        writeSmallFile(f, new Path(target, BucketsName), bucketsText)
-        // bucket files are untouched by a blind overlay — carry their
-        // zonemap forward verbatim so delta versions keep data skipping
-        // (overlay files themselves get no stats: they are delta-sized
-        // and reconciliation reads them in full by design)
-        locally {
-          val zp = new Path(curDir, ZonesName)
-          if (f.exists(zp))
-            writeSmallFile(f, new Path(target, ZonesName), readSmallFile(f, zp))
-          // same carry for the key-bloom sidecar
-          val bp = new Path(curDir, BloomsName)
-          if (f.exists(bp))
-            writeSmallFile(f, new Path(target, BloomsName), readSmallFile(f, bp))
+        guardStaged(f, base, next) {
+          val dName = "d" + "%05d".formatLocal(java.util.Locale.ROOT, next)
+          val dRel = s"$DataDirName/$dName"
+          // one file per overlay: a delta is batch-sized by definition, and
+          // overlay count — not file count per overlay — is the read cost
+          overlayRows.coalesce(1).write.mode("overwrite")
+            .parquet(new Path(base, dRel).toString)
+          val target = versionPath(base, next)
+          f.mkdirs(target)
+          writeSmallFile(f, new Path(target, BucketsName), bucketsText)
+          // bucket files are untouched by a blind overlay — carry their
+          // zonemap forward verbatim so delta versions keep data skipping
+          // (overlay files themselves get no stats: they are delta-sized
+          // and reconciliation reads them in full by design)
+          locally {
+            val zp = new Path(curDir, ZonesName)
+            if (f.exists(zp))
+              writeSmallFile(f, new Path(target, ZonesName), readSmallFile(f, zp))
+            // same carry for the key-bloom sidecar
+            val bp = new Path(curDir, BloomsName)
+            if (f.exists(bp))
+              writeSmallFile(f, new Path(target, BloomsName), readSmallFile(f, bp))
+          }
+          writeSmallFile(f, new Path(target, DeltasName),
+            (s"keys=${keys.mkString(",")}" +: (priorOverlays :+ dRel)).mkString("\n"))
+          writeSmallFile(f, new Path(target, MarkerName), marker)
+          writeManifest(f, base, target)
+          commitPointer(spark, f, base, next, expected = cur)
         }
-        writeSmallFile(f, new Path(target, DeltasName),
-          (s"keys=${keys.mkString(",")}" +: (priorOverlays :+ dRel)).mkString("\n"))
-        writeSmallFile(f, new Path(target, MarkerName), marker)
-        writeManifest(f, base, target)
-        commitPointer(spark, f, base, next, expected = cur)
         applyRetention(f, base, cur, next, retain)
         next
     }
