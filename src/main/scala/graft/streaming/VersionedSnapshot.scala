@@ -2468,6 +2468,35 @@ object VersionedSnapshot {
     }
   }
 
+  /** Run `body` — one optimistic publish/merge attempt — and re-run it
+    * when another writer wins the CAS, up to `attempts` total tries:
+    * Delta's conflict-retry contract packaged as a combinator. This is
+    * CORRECT to wrap around [[mergeInto]]/[[stageDelta]]/[[publish]]
+    * (and anything composed of them) because each attempt re-reads the
+    * committed snapshot at entry — the losing merge re-runs against the
+    * winner's table state, so no update is lost and no update applies
+    * twice (the replay-skip marker and key-level last-writer-wins hold
+    * per attempt). Linear backoff with deterministic per-thread jitter
+    * decorrelates a herd of retrying writers. Anything that is not a
+    * conflict propagates immediately. */
+  def retryOnConflict[A](attempts: Int = 3, backoffMs: Long = 50L)(body: => A): A = {
+    require(attempts >= 1, "retryOnConflict needs at least one attempt")
+    var tried = 0
+    while (true) {
+      try return body
+      catch {
+        case c: ConcurrentSnapshotUpdate =>
+          tried += 1
+          if (tried >= attempts) throw c
+          // jitter from the thread id, not Random: retries stay
+          // reproducible under test while distinct writers still spread
+          Thread.sleep(backoffMs * tried +
+            (Thread.currentThread().getId % 7) * (backoffMs / 4 + 1))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** One delta-staging cycle driven by a micro-batch — [[stageDelta]]
     * with the checkpoint-lineage replay skip and last-writer-wins batch
     * reduction of [[mergeIntoBatch]]. */
@@ -2484,9 +2513,14 @@ object VersionedSnapshot {
       val latest = batch
         .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn", orderCol)
-      stageDelta(baseDir, latest, keys, action,
-        marker = s"$checkpointTag:$batchId", retain = retain,
-        numBuckets = numBuckets)
+      // a concurrent maintenance compactor (or ad-hoc merge) can win the
+      // CAS against a micro-batch; the retry re-runs the whole staging
+      // against the compacted table, keeping the sink exactly-once
+      retryOnConflict() {
+        stageDelta(baseDir, latest, keys, action,
+          marker = s"$checkpointTag:$batchId", retain = retain,
+          numBuckets = numBuckets)
+      }
       ()
     }
   }
@@ -2516,9 +2550,12 @@ object VersionedSnapshot {
           checkpointTag = checkpoint, batchId = batchId, retain = retain,
           numBuckets = numBuckets)
         if (maxOverlays != Int.MaxValue)
-          maintain(batch.sparkSession, baseDir, keys,
-            marker = s"$checkpoint:$batchId", maxOverlays = maxOverlays,
-            retain = retain)
+          // an external writer racing the fold must not fail the stream
+          retryOnConflict() {
+            maintain(batch.sparkSession, baseDir, keys,
+              marker = s"$checkpoint:$batchId", maxOverlays = maxOverlays,
+              retain = retain)
+          }
         ()
       }
 
@@ -2544,9 +2581,13 @@ object VersionedSnapshot {
       val latest = batch
         .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn", orderCol)
-      mergeInto(baseDir, latest, keys, whenMatched,
-        insertUnmatched = true, marker = s"$checkpointTag:$batchId",
-        retain = retain, numBuckets = numBuckets)
+      // same contract as stageDeltaBatch: a racing maintenance commit
+      // must not fail the stream — re-run the merge against its result
+      retryOnConflict() {
+        mergeInto(baseDir, latest, keys, whenMatched,
+          insertUnmatched = true, marker = s"$checkpointTag:$batchId",
+          retain = retain, numBuckets = numBuckets)
+      }
       ()
     }
   }
@@ -2583,11 +2624,17 @@ object VersionedSnapshot {
     val (tag, lastId) = lastApplied(spark, baseDir)
     if (!(tag == checkpointTag && lastId >= batchId)) {
       val partial = graft.operators.Incremental.partials(batch, keys, col(valueCol))
-      val merged = read(spark, baseDir) match {
-        case Some(snap) => graft.operators.Incremental.merge(Seq(snap, partial), keys)
-        case None => partial
+      // the retry scope is read+merge+publish, NOT publish alone: a
+      // conflict means the snapshot changed, so the merge itself must
+      // recompute against the winner's rows or they would be lost
+      retryOnConflict() {
+        val merged = read(spark, baseDir) match {
+          case Some(snap) => graft.operators.Incremental.merge(Seq(snap, partial), keys)
+          case None => partial
+        }
+        publish(merged, baseDir, s"$checkpointTag:$batchId", retain)
       }
-      publish(merged, baseDir, s"$checkpointTag:$batchId", retain)
+      ()
     }
   }
 

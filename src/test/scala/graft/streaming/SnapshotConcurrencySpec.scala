@@ -231,6 +231,35 @@ class SnapshotConcurrencySpec extends SparkSpec {
     assert(claimsIn(base).isEmpty)
   }
 
+  test("retryOnConflict: two racing merges BOTH land, the loser re-runs against the winner") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-retry").resolve("snap").toString
+    VersionedSnapshot.mergeInto(base, Seq((1L, 0L), (2L, 0L)).toDF("k", "v"), Seq("k"),
+      VersionedSnapshot.UpdateMatched, insertUnmatched = true, marker = "seed")
+    val dfs = Map(1L -> Seq((1L, 100L)).toDF("k", "v"), 2L -> Seq((2L, 200L)).toDF("k", "v"))
+    spark.conf.set(VersionedSnapshot.TestDelayBeforeCommitConf, "1200")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      val threads = dfs.toSeq.map { case (key, df) =>
+        val t = new Thread(() => {
+          try VersionedSnapshot.retryOnConflict(attempts = 5) {
+            VersionedSnapshot.mergeInto(base, df, Seq("k"),
+              VersionedSnapshot.UpdateMatched, insertUnmatched = true,
+              marker = s"writer-$key"); ()
+          } catch { case e: Throwable => errors.add(e); () }
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join(180000))
+    } finally spark.conf.unset(VersionedSnapshot.TestDelayBeforeCommitConf)
+    assert(errors.isEmpty, s"both merges must land under retry, got $errors")
+    val got = VersionedSnapshot.read(spark, base).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 200L)),
+      s"the loser's re-run must preserve the winner's update, got $got")
+    assert(claimsIn(base).isEmpty)
+  }
+
   test("a delta-overlay staging failure (duplicate-key batch) releases its claim") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-dfail").resolve("snap").toString
