@@ -1104,7 +1104,18 @@ object VersionedSnapshot {
     f.listStatus(dataRoot).foreach { st =>
       val name = st.getPath.getName
       val claimedLive = name.drop(1).toLongOption.exists(liveClaims.contains)
-      if (!referenced.contains(name) && !claimedLive) f.delete(st.getPath, true)
+      // age horizon (Iceberg/Delta orphan-cleanup discipline): our claim
+      // listing and manifest scan are point-in-time reads, so a writer
+      // that CLAIMED after the listing, or COMMITTED after the scan, owns
+      // a dir this gc would misread as orphaned. Both leave a dir younger
+      // than the stale-claim window, so a young dir is never deleted —
+      // sweeping it is merely deferred to a gc that starts after the
+      // horizon, when the manifests provably cover it. (Stores with no
+      // real dir mtimes report 0 → "old" → the referenced/claims checks
+      // alone decide, the pre-horizon behavior.)
+      val young = now - st.getModificationTime <= staleMs
+      if (!referenced.contains(name) && !claimedLive && !young)
+        f.delete(st.getPath, true)
     }
   }
 

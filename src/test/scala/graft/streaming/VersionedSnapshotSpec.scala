@@ -479,12 +479,19 @@ class VersionedSnapshotSpec extends SparkSpec {
       Seq("k"), UpdateMatched, insertUnmatched = true, marker = "m2", numBuckets = 4)
     assert(dataDirs().contains("g00000"),
       "g00000 holds buckets still referenced by retained versions")
-    // two FULL rewrites: after them no retained version references g00000
+    // two FULL rewrites: after them no retained version references g00000.
+    // The sweep honors the orphan age horizon (a young dir may belong to a
+    // concurrent writer this gc's point-in-time listings cannot see), so
+    // shrink the horizon to surface the sweep in-test.
     val full = (1L to 100L).map(i => (i, -i)).toDF("k", "v")
     VersionedSnapshot.mergeInto(base, full, Seq("k"),
       UpdateMatched, insertUnmatched = true, marker = "m3", numBuckets = 4)
-    VersionedSnapshot.mergeInto(base, full, Seq("k"),
-      UpdateMatched, insertUnmatched = true, marker = "m4", numBuckets = 4)
+    spark.conf.set(VersionedSnapshot.StaleClaimMsConf, "1")
+    try {
+      Thread.sleep(10)
+      VersionedSnapshot.mergeInto(base, full, Seq("k"),
+        UpdateMatched, insertUnmatched = true, marker = "m4", numBuckets = 4)
+    } finally spark.conf.unset(VersionedSnapshot.StaleClaimMsConf)
     assert(!dataDirs().contains("g00000"), "unreferenced data dir must be swept")
     val got = VersionedSnapshot.read(spark, base).get
       .as[(Long, Long)].collect().toMap
@@ -510,8 +517,14 @@ class VersionedSnapshotSpec extends SparkSpec {
     assert(rows() == Set((1L, "a"), (2L, "b")))
     assert(VersionedSnapshot.validateCurrent(spark, base))
     // re-merge heals past the crashed number and sweeps its staging
-    VersionedSnapshot.mergeInto(base, Seq((1L, "A")).toDF("k", "v"),
-      Seq("k"), UpdateMatched, insertUnmatched = true, marker = "heal", numBuckets = 4)
+    // (shrink the orphan age horizon: the crashed generation dir is
+    // seconds old, and a production gc defers young dirs to a later pass)
+    spark.conf.set(VersionedSnapshot.StaleClaimMsConf, "1")
+    try {
+      Thread.sleep(10)
+      VersionedSnapshot.mergeInto(base, Seq((1L, "A")).toDF("k", "v"),
+        Seq("k"), UpdateMatched, insertUnmatched = true, marker = "heal", numBuckets = 4)
+    } finally spark.conf.unset(VersionedSnapshot.StaleClaimMsConf)
     assert(rows() == Set((1L, "A"), (2L, "b")))
     assert(VersionedSnapshot.validateCurrent(spark, base))
     val staged = new java.io.File(base, "data").listFiles().map(_.getName)
