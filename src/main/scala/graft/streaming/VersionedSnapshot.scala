@@ -729,6 +729,13 @@ object VersionedSnapshot {
     if (!f.exists(bp)) None
     else {
       val lines = readSmallFile(f, bp).split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+      // torn read tolerance: gc/sweep scans parse OTHER writers' in-flight
+      // staging, and writeSmallFile is truncate-then-write — a reader
+      // between the two sees an empty (or headerless) file. Treat it as
+      // not-bucketed-yet rather than crashing the scanning publish; the
+      // uncommitted dir's own writer re-reads it only after staging.
+      if (lines.isEmpty || !lines.head.startsWith("buckets="))
+        return None
       val nb = lines.head.stripPrefix("buckets=").toInt
       val entries = lines.tail.map { line =>
         val cut = line.indexOf(':')
@@ -754,6 +761,9 @@ object VersionedSnapshot {
     if (!f.exists(dp)) None
     else {
       val lines = readSmallFile(f, dp).split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+      // torn-read tolerance mirrors parseBuckets: scans may catch a
+      // concurrent writer between truncate and write
+      if (lines.isEmpty || !lines.head.startsWith("keys=")) return None
       val keys = lines.head.stripPrefix("keys=").split(',').toSeq.filter(_.nonEmpty)
       Some((keys, lines.tail))
     }
@@ -1090,8 +1100,17 @@ object VersionedSnapshot {
     }.toSet
     val vdirs = f.listStatus(base).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+    // the scan reads OTHER writers' staging and retention's targets: any
+    // per-dir read can lose its file mid-parse. A torn-but-readable
+    // sidecar parses to None (staging shape, covered by the age horizon);
+    // a THROWN read means `referenced` may be missing a committed
+    // version's refs — deleting anything on a partial scan could sweep
+    // live old generations, so the whole pass defers instead.
+    var scanComplete = true
+    def safeScan[T](p: => Option[T]): Option[T] =
+      try p catch { case scala.util.control.NonFatal(_) => scanComplete = false; None }
     val referenced = (vdirs
-      .flatMap(st => parseBuckets(f, st.getPath).toSeq)
+      .flatMap(st => safeScan(parseBuckets(f, st.getPath)).toSeq)
       .flatMap { case (_, entries) =>
         // "data/gNNNNN/__gbucket=K[/file]" → shared granularity is the
         // g-dir; a dir lives while ANY version references it or a file in
@@ -1099,7 +1118,7 @@ object VersionedSnapshot {
         entries.values.flatten.map(_.split('/')(1))
       } ++ vdirs
       // merge-on-read overlays ("data/dNNNNN") are shared the same way
-      .flatMap(st => parseDeltas(f, st.getPath).toSeq)
+      .flatMap(st => safeScan(parseDeltas(f, st.getPath)).toSeq)
       .flatMap { case (_, overlays) => overlays.map(_.split('/')(1)) }).toSet
     f.listStatus(dataRoot).foreach { st =>
       val name = st.getPath.getName
@@ -1114,7 +1133,7 @@ object VersionedSnapshot {
       // real dir mtimes report 0 → "old" → the referenced/claims checks
       // alone decide, the pre-horizon behavior.)
       val young = now - st.getModificationTime <= staleMs
-      if (!referenced.contains(name) && !claimedLive && !young)
+      if (scanComplete && !referenced.contains(name) && !claimedLive && !young)
         f.delete(st.getPath, true)
     }
   }
@@ -1263,7 +1282,7 @@ object VersionedSnapshot {
       parseBuckets(f, src) match {
         case None =>
           Some(publish(versionFrame(spark, baseDir, version), baseDir,
-            s"$marker:v$version", retain))
+            s"$marker:v$version", retain, expected = Some(current)))
         case Some(_) =>
           val next = prepareNext(f, base, current)
           guardStaged(f, base, next) {
@@ -1727,14 +1746,34 @@ object VersionedSnapshot {
       if (cur != expected)
         throw new ConcurrentSnapshotUpdate(base.toString, expected, cur)
       val tmpPtr = new Path(base, PointerName + ".tmp")
-      writeSmallFile(f, tmpPtr, next.toString)
+      if (f.getScheme != "file")
+        writeSmallFile(f, tmpPtr, next.toString)
       // the fence: confirm the lock is still ours as the last act before
       // the flip — a committer that lost it mid-section aborts retryably
       // instead of double-committing over the successor
       if (!lockToken().contains(token))
         throw new ConcurrentSnapshotUpdate(base.toString, expected, cur)
-      FileContext.getFileContext(base.toUri, spark.sparkContext.hadoopConfiguration)
-        .rename(tmpPtr, new Path(base, PointerName), Options.Rename.OVERWRITE)
+      if (f.getScheme == "file") {
+        // local: the checksummed FileContext flip is TWO renames (file,
+        // then .crc sidecar) — a reader between them gets a
+        // ChecksumException (observed in the multi-writer stress spec).
+        // Write the tmp raw (no sidecar), drop any stale pointer
+        // sidecars, and flip with one genuinely atomic POSIX rename;
+        // checksum readers skip verification when no .crc exists.
+        import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+        val src = JPaths.get(tmpPtr.toUri.getPath)
+        val dst = JPaths.get(new Path(base, PointerName).toUri.getPath)
+        JFiles.write(src, next.toString.getBytes("UTF-8"))
+        Seq(PointerName, PointerName + ".tmp").foreach { n =>
+          JFiles.deleteIfExists(JPaths.get(
+            new Path(base, "." + n + ".crc").toUri.getPath)); ()
+        }
+        JFiles.move(src, dst, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+      } else
+        // HDFS-like: rename is atomic server-side, checksums internal
+        FileContext.getFileContext(base.toUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tmpPtr, new Path(base, PointerName), Options.Rename.OVERWRITE)
       releaseClaim(f, base, next)
     } finally {
       // identity-checked release: never delete a lock that changed hands
@@ -1762,13 +1801,22 @@ object VersionedSnapshot {
     * directory) and atomically flip the pointer to it. Returns the
     * published version number. `retain` is the number of versions kept
     * INCLUDING the new one (min 1). */
-  def publish(df: DataFrame, baseDir: String, marker: String, retain: Int = 2): Long = {
+  def publish(df: DataFrame, baseDir: String, marker: String, retain: Int = 2,
+      expected: Option[Long] = None): Long = {
     require(retain >= 1, "retain must keep at least the current version")
     val spark = df.sparkSession
     val f = fs(spark, baseDir)
     val base = new Path(baseDir)
     f.mkdirs(base)
-    val current = currentVersion(spark, baseDir).getOrElse(-1L)
+    val fresh = currentVersion(spark, baseDir).getOrElse(-1L)
+    // callers whose `df` derives from a table read pass the version they
+    // read as `expected` (basis pinning, see mergeInto) — a pointer that
+    // already moved means the frame is stale, so fail fast and retryably
+    // rather than committing a lost update. Callers publishing
+    // independent content omit it and race only at the CAS itself.
+    val current = expected.getOrElse(fresh)
+    if (current != fresh)
+      throw new ConcurrentSnapshotUpdate(baseDir, current, fresh)
     val next = prepareNext(f, base, current)
     guardStaged(f, base, next) {
       val target = versionPath(base, next)
@@ -1793,6 +1841,28 @@ object VersionedSnapshot {
       case c: ConcurrentSnapshotUpdate =>
         abortStaged(f, base, next, conflictLoss = true); throw c
       case t: Throwable => abortStaged(f, base, next); throw t
+    }
+
+  /** Run a transaction whose reads are pinned to `basis`. A concurrent
+    * writer pushing the pointer `retain` versions ahead RETIRES the basis
+    * version dir mid-transaction, so sidecar parses and frame scans can
+    * fail in arbitrary collateral ways — on any non-conflict failure,
+    * re-check the pointer: if it moved, the transaction was doomed at the
+    * CAS regardless, and the failure is reported as the retryable
+    * [[ConcurrentSnapshotUpdate]] it really is (original error kept as a
+    * suppressed cause). A failure with the pointer unmoved is real and
+    * propagates untouched. */
+  private def withBasis[A](spark: SparkSession, baseDir: String, basis: Long)
+      (body: => A): A =
+    try body catch {
+      case c: ConcurrentSnapshotUpdate => throw c
+      case scala.util.control.NonFatal(e) =>
+        val now = currentVersion(spark, baseDir).getOrElse(-1L)
+        if (now != basis) {
+          val c = new ConcurrentSnapshotUpdate(baseDir, basis, now)
+          c.addSuppressed(e)
+          throw c
+        } else throw e
     }
 
   /** An in-JVM publish failure releases its claim (the crash-shape
@@ -1829,7 +1899,7 @@ object VersionedSnapshot {
     * table keeps a readable schema). */
   private def publishBucketed(df: DataFrame, baseDir: String, marker: String,
       keys: Seq[String], numBuckets: Int, inherited: Map[Int, Seq[String]],
-      retain: Int, valueStatsCols: Option[Seq[String]] = None,
+      retain: Int, expected: Long, valueStatsCols: Option[Seq[String]] = None,
       clusterBy: Seq[String] = Nil, maxRecordsPerFile: Long = 0L,
       keyBlooms: Boolean = false,
       carryFiles: Map[Int, Seq[String]] = Map.empty): Long = {
@@ -1841,6 +1911,15 @@ object VersionedSnapshot {
     val base = new Path(baseDir)
     f.mkdirs(base)
     val current = currentVersion(spark, baseDir).getOrElse(-1L)
+    // snapshot-isolation pre-check: `expected` is the version every input
+    // frame, manifest, and carry ref was derived FROM (pinned by the
+    // caller at its transaction start). If the pointer already moved,
+    // committing would pass the CAS while silently dropping the
+    // interloper's rows — the lost update the stress spec caught when
+    // this method re-read the pointer for itself. Fail fast, retryably,
+    // before staging a byte.
+    if (current != expected)
+      throw new ConcurrentSnapshotUpdate(baseDir, expected, current)
     val next = prepareNext(f, base, current)
     guardStaged(f, base, next) {
       val target = versionPath(base, next)
@@ -2002,20 +2081,27 @@ object VersionedSnapshot {
       maxRecordsPerFile: Long = 0L,
       newNumBuckets: Option[Int] = None,
       keyBlooms: Boolean = false): Option[Long] =
-    bucketManifest(spark, baseDir).map { case (nb, _) =>
-      val current = read(spark, baseDir)
-        .getOrElse(sys.error(s"unreadable snapshot at $baseDir"))
-      // bucket-count EVOLUTION: a table sized for 1 TB needs more buckets
-      // at 100 TB (one bucket must fit an executor). The bucket count is
-      // committed per version, so publishing this full rewrite under a
-      // new count re-buckets atomically — readers flip with the pointer,
-      // and every later merge adopts the committed count automatically
-      // (mergeInto always reads the manifest's bucket count).
-      publishBucketed(current, baseDir, marker, keys,
-        newNumBuckets.getOrElse(nb),
-        inherited = Map.empty, retain = retain, valueStatsCols = valueStatsCols,
-        clusterBy = clusterBy, maxRecordsPerFile = maxRecordsPerFile,
-        keyBlooms = keyBlooms)
+    currentVersion(spark, baseDir).flatMap { basis =>
+      // basis pinning (see mergeInto): the manifest and the frame must
+      // come from the SAME version the commit CAS will verify
+      withBasis(spark, baseDir, basis) {
+      parseBuckets(fs(spark, baseDir),
+        versionPath(new Path(baseDir), basis)).map { case (nb, _) =>
+        val current = versionFrame(spark, baseDir, basis)
+        // bucket-count EVOLUTION: a table sized for 1 TB needs more buckets
+        // at 100 TB (one bucket must fit an executor). The bucket count is
+        // committed per version, so publishing this full rewrite under a
+        // new count re-buckets atomically — readers flip with the pointer,
+        // and every later merge adopts the committed count automatically
+        // (mergeInto always reads the manifest's bucket count).
+        publishBucketed(current, baseDir, marker, keys,
+          newNumBuckets.getOrElse(nb),
+          inherited = Map.empty, retain = retain, expected = basis,
+          valueStatsCols = valueStatsCols,
+          clusterBy = clusterBy, maxRecordsPerFile = maxRecordsPerFile,
+          keyBlooms = keyBlooms)
+      }
+      }
     }
 
   /** Maintenance policy: compact the CURRENT snapshot when its metadata
@@ -2141,19 +2227,32 @@ object VersionedSnapshot {
       .withColumn("__chk", assert_true(col("__kn") === 1,
         lit(s"MERGE source has multiple rows for a (${keys.mkString(",")}) key")))
       .filter(col("__chk").isNull).drop("__kn", "__chk")
-    // pending merge-on-read overlays would be silently dropped by bucket
-    // inheritance (overlay rows live outside the bucket files) — fold
-    // them into fresh buckets first, then merge against the clean state
-    if (deltaManifest(spark, baseDir).nonEmpty)
-      compact(spark, baseDir, keys, marker = s"$marker:pre-merge-compact",
-        retain = retain)
-    read(spark, baseDir) match {
+    // the transaction's BASIS: one pointer read pins the version every
+    // frame, manifest, and zonemap below derives from, and travels to the
+    // commit CAS as `expected`. Re-resolving the pointer per read opened
+    // a lost-update window: a commit landing between the data read and
+    // the CAS read made the CAS vacuous (stress-spec-observed).
+    currentVersion(spark, baseDir) match {
       case None =>
         val result = if (insertUnmatched) uniqueSource else uniqueSource.limit(0)
         publishBucketed(result, baseDir, marker, keys, numBuckets,
-          inherited = Map.empty, retain = retain, valueStatsCols = valueStatsCols,
-          keyBlooms = keyBlooms)
-      case Some(target0) =>
+          inherited = Map.empty, retain = retain, expected = -1L,
+          valueStatsCols = valueStatsCols, keyBlooms = keyBlooms)
+      case Some(basis) => withBasis(spark, baseDir, basis) {
+        val target0 = versionFrame(spark, baseDir, basis)
+        val basisDir = versionPath(new Path(baseDir), basis)
+        // pending merge-on-read overlays would be silently dropped by
+        // bucket inheritance (overlay rows live outside the bucket files)
+        // — fold them into fresh buckets first, then re-run against the
+        // compacted state. The check reads the PINNED basis (a floating
+        // read could miss overlays staged just before our basis commit).
+        if (parseDeltas(fs(spark, baseDir), basisDir).exists(_._2.nonEmpty)) {
+          compact(spark, baseDir, keys, marker = s"$marker:pre-merge-compact",
+            retain = retain)
+          return mergeInto(baseDir, source, keys, whenMatched, insertUnmatched,
+            marker, retain, numBuckets, evolveSchema, valueStatsCols,
+            keyBlooms, deleteUnmatchedBySource, updateUnmatchedBySource)
+        }
         // name AND type parity: a name-only check would let a type-drifted
         // source slide into a confusing analysis error (or a silently
         // widened column) deep inside publish
@@ -2190,7 +2289,7 @@ object VersionedSnapshot {
             d.withColumn(f.name, lit(null).cast(f.dataType)))
             .select(target.columns.map(col).toIndexedSeq: _*)
         }
-        val (nb, entries0) = bucketManifest(spark, baseDir)
+        val (nb, entries0) = parseBuckets(fs(spark, baseDir), basisDir)
           // legacy flat snapshot: this merge upgrades it to the bucketed
           // layout with one full rewrite (the last one it will ever pay)
           .getOrElse((numBuckets, Map.empty[Int, Seq[String]]))
@@ -2243,9 +2342,7 @@ object VersionedSnapshot {
           if (entries.isEmpty ||
             deleteUnmatchedBySource.isDefined ||
             updateUnmatchedBySource.isDefined) None
-          else currentVersion(spark, baseDir).flatMap(cv =>
-            parseZones(fs(spark, baseDir),
-              versionPath(new Path(baseDir), cv)))
+          else parseZones(fs(spark, baseDir), basisDir)
             .filter(z => z.keys == keys && z.tags == srcTags)
         val srcRange: Map[Int, Seq[Option[(String, String)]]] = bRows.map { r =>
           r.getAs[Int]("__b") -> keys.zip(srcTags).map { case (k, tag) =>
@@ -2357,8 +2454,9 @@ object VersionedSnapshot {
         }
         publishBucketed(untouched.unionByName(fromSource), baseDir, marker,
           keys, nb, inherited = entries -- touched, retain = retain,
-          valueStatsCols = valueStatsCols, keyBlooms = keyBlooms,
-          carryFiles = carry)
+          expected = basis, valueStatsCols = valueStatsCols,
+          keyBlooms = keyBlooms, carryFiles = carry)
+      }
     }
   }
 
@@ -2397,18 +2495,20 @@ object VersionedSnapshot {
       .withColumn("__chk", assert_true(col("__kn") === 1,
         lit(s"delta batch has multiple rows for a (${keys.mkString(",")}) key")))
       .filter(col("__chk").isNull).drop("__kn", "__chk")
-    read(spark, baseDir) match {
+    currentVersion(spark, baseDir) match {
       case None =>
         val seeded = action match {
           case UpdateMatched => uniqueSource
           case DeleteMatched => uniqueSource.limit(0)
         }
         publishBucketed(seeded, baseDir, marker, keys, numBuckets,
-          inherited = Map.empty, retain = retain)
-      case Some(current) =>
+          inherited = Map.empty, retain = retain, expected = -1L)
+      case Some(cur) => withBasis(spark, baseDir, cur) {
+        // basis pinning (see mergeInto): one pointer read serves the
+        // schema frame, the carried manifests, and the commit CAS
+        val current = versionFrame(spark, baseDir, cur)
         val f = fs(spark, baseDir)
         val base = new Path(baseDir)
-        val cur = currentVersion(spark, baseDir).get
         val curDir = versionPath(base, cur)
         val bucketsText = {
           val bp = new Path(curDir, BucketsName)
@@ -2476,6 +2576,7 @@ object VersionedSnapshot {
         }
         applyRetention(f, base, cur, next, retain)
         next
+      }
     }
   }
 
@@ -2487,10 +2588,13 @@ object VersionedSnapshot {
     * committed snapshot at entry — the losing merge re-runs against the
     * winner's table state, so no update is lost and no update applies
     * twice (the replay-skip marker and key-level last-writer-wins hold
-    * per attempt). Linear backoff with deterministic per-thread jitter
-    * decorrelates a herd of retrying writers. Anything that is not a
+    * per attempt). Exponential backoff with random jitter decorrelates a
+    * herd of retrying writers — under sustained contention a staging
+    * merge takes long enough for several competitors to commit, so
+    * linear waits livelock the slowest writer (observed in the stress
+    * spec); doubling waits force the herd apart. Anything that is not a
     * conflict propagates immediately. */
-  def retryOnConflict[A](attempts: Int = 3, backoffMs: Long = 50L)(body: => A): A = {
+  def retryOnConflict[A](attempts: Int = 5, backoffMs: Long = 50L)(body: => A): A = {
     require(attempts >= 1, "retryOnConflict needs at least one attempt")
     var tried = 0
     while (true) {
@@ -2499,10 +2603,9 @@ object VersionedSnapshot {
         case c: ConcurrentSnapshotUpdate =>
           tried += 1
           if (tried >= attempts) throw c
-          // jitter from the thread id, not Random: retries stay
-          // reproducible under test while distinct writers still spread
-          Thread.sleep(backoffMs * tried +
-            (Thread.currentThread().getId % 7) * (backoffMs / 4 + 1))
+          val cap = math.min(backoffMs << math.min(tried - 1, 6), 5000L)
+          Thread.sleep(cap / 2 +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(cap / 2 + 1))
       }
     }
     throw new IllegalStateException("unreachable")
@@ -2637,13 +2740,18 @@ object VersionedSnapshot {
       val partial = graft.operators.Incremental.partials(batch, keys, col(valueCol))
       // the retry scope is read+merge+publish, NOT publish alone: a
       // conflict means the snapshot changed, so the merge itself must
-      // recompute against the winner's rows or they would be lost
+      // recompute against the winner's rows or they would be lost. The
+      // basis version is pinned per attempt and travels to the CAS.
       retryOnConflict() {
-        val merged = read(spark, baseDir) match {
-          case Some(snap) => graft.operators.Incremental.merge(Seq(snap, partial), keys)
-          case None => partial
+        val basis = currentVersion(spark, baseDir)
+        withBasis(spark, baseDir, basis.getOrElse(-1L)) {
+          val merged = basis.map(versionFrame(spark, baseDir, _)) match {
+            case Some(snap) => graft.operators.Incremental.merge(Seq(snap, partial), keys)
+            case None => partial
+          }
+          publish(merged, baseDir, s"$checkpointTag:$batchId", retain,
+            expected = Some(basis.getOrElse(-1L)))
         }
-        publish(merged, baseDir, s"$checkpointTag:$batchId", retain)
       }
       ()
     }

@@ -260,6 +260,39 @@ class SnapshotConcurrencySpec extends SparkSpec {
     assert(claimsIn(base).isEmpty)
   }
 
+  test("multi-writer stress: 4 writers x 3 retrying merges interleave to a correct table") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stress").resolve("snap").toString
+    VersionedSnapshot.mergeInto(base, Seq((0L, 0L)).toDF("k", "v"), Seq("k"),
+      VersionedSnapshot.UpdateMatched, insertUnmatched = true, marker = "seed")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // no injected delays: real interleavings of claim, stage, CAS, retry,
+    // abort, and gc — each writer upserts 3 distinct keys in sequence
+    val threads = (1 to 4).map { w =>
+      val dfs = (1 to 3).map(r => (r, Seq((w * 10L + r, w * 100L + r)).toDF("k", "v")))
+      val t = new Thread(() => {
+        try dfs.foreach { case (r, df) =>
+          VersionedSnapshot.retryOnConflict(attempts = 12, backoffMs = 50L) {
+            VersionedSnapshot.mergeInto(base, df, Seq("k"),
+              VersionedSnapshot.UpdateMatched, insertUnmatched = true,
+              marker = s"w$w-r$r"); ()
+          }
+        } catch { case e: Throwable => errors.add(e); () }
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join(300000))
+    assert(errors.isEmpty, s"every merge must land under retry, got $errors")
+    val got = VersionedSnapshot.read(spark, base).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set((0L, 0L)) ++
+      (for { w <- 1 to 4; r <- 1 to 3 } yield (w * 10L + r, w * 100L + r)).toSet
+    assert(got == want, s"all 13 rows must survive the interleaving, got ${got.size} rows")
+    assert(claimsIn(base).isEmpty, s"no claim survives, saw ${claimsIn(base)}")
+    assert(VersionedSnapshot.validateCurrent(spark, base),
+      "the final manifest must validate")
+  }
+
   test("a delta-overlay staging failure (duplicate-key batch) releases its claim") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-dfail").resolve("snap").toString
