@@ -201,6 +201,37 @@ object VersionedSnapshot {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Overwrite a small metadata file ATOMICALLY for concurrent readers —
+    * the primitive under the pointer flip and purge's in-place manifest
+    * rewrites. On `file:` this is one NIO `ATOMIC_MOVE` with no checksum
+    * sidecar: the checksummed FileContext flip is TWO renames (file,
+    * then `.crc`), and a reader between them fails verification
+    * (stress-spec-observed on `_CURRENT`); stale sidecars for both names
+    * are dropped first, and with no `.crc` present checksum readers skip
+    * verification. On HDFS-like schemes rename is atomic server-side
+    * with checksums internal. */
+  private def atomicOverwrite(spark: SparkSession, f: FileSystem, p: Path,
+      content: String): Unit = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    if (f.getScheme == "file") {
+      import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+      val src = JPaths.get(tmp.toUri.getPath)
+      val dst = JPaths.get(p.toUri.getPath)
+      JFiles.write(src, content.getBytes("UTF-8"))
+      Seq(p.getName, tmp.getName).foreach { n =>
+        JFiles.deleteIfExists(JPaths.get(
+          new Path(p.getParent, "." + n + ".crc").toUri.getPath)); ()
+      }
+      JFiles.move(src, dst, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      ()
+    } else {
+      writeSmallFile(f, tmp, content)
+      FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, p, Options.Rename.OVERWRITE)
+    }
+  }
+
   /** The committed version number, if any publish has completed. */
   def currentVersion(spark: SparkSession, baseDir: String): Option[Long] = {
     val f = fs(spark, baseDir)
@@ -1402,12 +1433,10 @@ object VersionedSnapshot {
       n
     }
 
-    def atomicSmallFile(p: Path, content: String): Unit = {
-      val tmp = new Path(p.getParent, p.getName + ".tmp")
-      writeSmallFile(f, tmp, content)
-      FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
-        .rename(tmp, p, Options.Rename.OVERWRITE)
-    }
+    // purge rewrites retained versions' sidecars IN PLACE — concurrent
+    // readers need the same torn-read-free overwrite the pointer flip uses
+    def atomicSmallFile(p: Path, content: String): Unit =
+      atomicOverwrite(spark, f, p, content)
 
     // candidate dirs across ALL versions: hash-hit buckets + every
     // overlay. Probed in ONE batched job (input_file_name → dir) rather
@@ -1745,35 +1774,12 @@ object VersionedSnapshot {
         else readSmallFile(f, ptr).trim.toLongOption.getOrElse(-1L)
       if (cur != expected)
         throw new ConcurrentSnapshotUpdate(base.toString, expected, cur)
-      val tmpPtr = new Path(base, PointerName + ".tmp")
-      if (f.getScheme != "file")
-        writeSmallFile(f, tmpPtr, next.toString)
       // the fence: confirm the lock is still ours as the last act before
       // the flip — a committer that lost it mid-section aborts retryably
       // instead of double-committing over the successor
       if (!lockToken().contains(token))
         throw new ConcurrentSnapshotUpdate(base.toString, expected, cur)
-      if (f.getScheme == "file") {
-        // local: the checksummed FileContext flip is TWO renames (file,
-        // then .crc sidecar) — a reader between them gets a
-        // ChecksumException (observed in the multi-writer stress spec).
-        // Write the tmp raw (no sidecar), drop any stale pointer
-        // sidecars, and flip with one genuinely atomic POSIX rename;
-        // checksum readers skip verification when no .crc exists.
-        import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
-        val src = JPaths.get(tmpPtr.toUri.getPath)
-        val dst = JPaths.get(new Path(base, PointerName).toUri.getPath)
-        JFiles.write(src, next.toString.getBytes("UTF-8"))
-        Seq(PointerName, PointerName + ".tmp").foreach { n =>
-          JFiles.deleteIfExists(JPaths.get(
-            new Path(base, "." + n + ".crc").toUri.getPath)); ()
-        }
-        JFiles.move(src, dst, StandardCopyOption.REPLACE_EXISTING,
-          StandardCopyOption.ATOMIC_MOVE)
-      } else
-        // HDFS-like: rename is atomic server-side, checksums internal
-        FileContext.getFileContext(base.toUri, spark.sparkContext.hadoopConfiguration)
-          .rename(tmpPtr, new Path(base, PointerName), Options.Rename.OVERWRITE)
+      atomicOverwrite(spark, f, new Path(base, PointerName), next.toString)
       releaseClaim(f, base, next)
     } finally {
       // identity-checked release: never delete a lock that changed hands
