@@ -519,9 +519,13 @@ private[graft] object CurationSnapshotQueries {
           .withColumn("n_chars", col("n_chars") + 1000),
         Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
         marker = "upsert")
-      // the subject list: bounded by construction (point purge contract)
+      // the subject list: the point-purge contract says O(requests), not
+      // O(corpus) — enforce it with a hard deterministic cap so the
+      // collect stays constant-size at ANY scale factor (the %997 set
+      // alone grows linearly with the corpus)
       val purgeIds = docs.filter(col("doc_id") % 997 === 3)
-        .select("doc_id").collect().map(_.getLong(0)).toSeq
+        .select("doc_id").orderBy(col("doc_id")).limit(1000)
+        .collect().map(_.getLong(0)).toSeq
       VS.purgeKeys(s, base, Seq("doc_id"), purgeIds.map(Seq[Any](_)))
       VS.readVersion(s, base, v0).get
         .select(lit("v0").as("at"), col("doc_id"), col("n_chars"))

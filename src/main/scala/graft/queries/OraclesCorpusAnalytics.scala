@@ -441,15 +441,21 @@ private[graft] object OraclesCorpusAnalytics {
         |       lang
         |FROM documents""".stripMargin,
 
+    // the purge set mirrors the query's deterministic cap: first 1000
+    // doc_ids (ascending) matching the %997 predicate
     "snapshot_purge_replay" ->
-      """SELECT 'v0' AS at, doc_id, n_chars FROM documents
-        |WHERE doc_id % 10 <> 0 AND doc_id % 997 <> 3
+      """WITH purged AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 997 = 3
+        |  ORDER BY doc_id LIMIT 1000)
+        |SELECT 'v0' AS at, doc_id, n_chars FROM documents
+        |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM purged)
         |UNION ALL
         |SELECT 'cur' AS at, doc_id,
         |       CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
         |            ELSE n_chars END AS n_chars
         |FROM documents
-        |WHERE (doc_id % 10 <> 0 OR doc_id % 5 = 0) AND doc_id % 997 <> 3""".stripMargin,
+        |WHERE (doc_id % 10 <> 0 OR doc_id % 5 = 0)
+        |  AND doc_id NOT IN (SELECT doc_id FROM purged)""".stripMargin,
 
     "snapshot_merge_mark_stale" ->
       """SELECT doc_id,

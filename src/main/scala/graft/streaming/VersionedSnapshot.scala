@@ -212,7 +212,14 @@ object VersionedSnapshot {
     * with checksums internal. */
   private def atomicOverwrite(spark: SparkSession, f: FileSystem, p: Path,
       content: String): Unit = {
-    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    // per-call unique tmp: pointer flips are lock-serialized, but purge's
+    // in-place manifest rewrites are not — two concurrent rewrites of the
+    // same sidecar sharing one fixed tmp path could interleave
+    // write/move (lost update, or NoSuchFileException on the second
+    // move). A crashed writer's orphan tmp is harmless litter: readers
+    // skip dot/tmp names and the next rewrite uses a fresh one.
+    val tmp = new Path(p.getParent,
+      p.getName + "." + java.util.UUID.randomUUID().toString + ".tmp")
     if (f.getScheme == "file") {
       import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
       val src = JPaths.get(tmp.toUri.getPath)
@@ -1633,8 +1640,21 @@ object VersionedSnapshot {
     * Sweep rule: a version dir is uncommitted garbage iff its claim went
     * STALE (a writer died mid-publish — live claims protect concurrent
     * writers' staging) or — the pre-claims legacy shape — it sits above
-    * the pointer with no claim at all. */
-  private def prepareNext(f: FileSystem, base: Path, current: Long): Long = {
+    * the pointer with no claim at all.
+    *
+    * "Above the pointer" is judged against a pointer RE-READ taken after
+    * the claim listing, never against the caller's `current` (a publish-
+    * entry read). The entry read can be stale: a concurrent commit flips
+    * the pointer to v and only THEN releases v's claim, so a sweep keyed
+    * to the stale read that listed claims after that release would see
+    * the freshly committed v as unclaimed-above-pointer and delete the
+    * live pointer target. With the ordering dirs → claims → pointer, an
+    * unclaimed committed version is always at-or-below the fresh read
+    * (its claim release, hence its flip, happened before the claim
+    * listing, hence before the pointer read), so the fresh-read gate is
+    * sound — the same point-in-time-listing discipline as gcDataDirs'
+    * age horizon. */
+  private[graft] def prepareNext(f: FileSystem, base: Path, current: Long): Long = {
     // numeric parse, no length guard: fmtVersion's %05d grows past 5
     // digits at version 100000 and crashed dirs above the pointer must
     // still be cleared then
@@ -1643,16 +1663,26 @@ object VersionedSnapshot {
     val existing = f.listStatus(base).toSeq
       .flatMap(st => versionOf(st.getPath.getName).map(_ -> st.getPath))
     val claims = listClaims(f, base)
+    // post-listing pointer re-read — the sweep fence (see scaladoc)
+    val fence = {
+      val ptr = new Path(base, PointerName)
+      val fresh =
+        try {
+          if (!f.exists(ptr)) -1L
+          else readSmallFile(f, ptr).trim.toLongOption.getOrElse(-1L)
+        } catch { case _: Throwable => -1L }
+      math.max(current, fresh)
+    }
     val now = System.currentTimeMillis()
     val staleMs = confMs(StaleClaimMsConf, DefaultStaleClaimMs)
     def staleClaim(v: Long): Boolean = claims.get(v).exists(now - _ > staleMs)
     existing.foreach { case (v, p) =>
-      if (v > current && (staleClaim(v) || !claims.contains(v))) {
+      if (v > fence && (staleClaim(v) || !claims.contains(v))) {
         // above the pointer: uncommitted staging whose writer died (stale
         // claim) or pre-claims legacy garbage (no claim at all)
         f.delete(p, true)
         releaseClaim(f, base, v)
-      } else if (v <= current && staleClaim(v)) {
+      } else if (v <= fence && staleClaim(v)) {
         // at-or-below the pointer = committed retained history. A leaked
         // claim there (commitPointer's releaseClaim swallows failed
         // deletes) is dropped WITHOUT sweeping the version dir — the old
@@ -1667,7 +1697,7 @@ object VersionedSnapshot {
       .foreach(releaseClaim(f, base, _))
     gcDataDirs(f, base)
     f.mkdirs(new Path(base, ClaimsDirName))
-    var n = math.max(current,
+    var n = math.max(fence,
       math.max(existing.map(_._1).maxOption.getOrElse(-1L),
         claims.keys.maxOption.getOrElse(-1L))) + 1
     while (!tryCreateNew(f, claimPath(base, n))) n += 1
@@ -1719,7 +1749,16 @@ object VersionedSnapshot {
     * was legitimately broken would otherwise wake and flip the pointer
     * OVER the successor's commit — the exact lost update the CAS exists
     * to prevent. The paused writer now re-reads the token as the last
-    * act before the rename and aborts (retryably) when it lost the lock. */
+    * act before the rename and aborts (retryably) when it lost the lock.
+    *
+    * HONEST LIMIT: with filesystem primitives only, the fence NARROWS
+    * but cannot CLOSE the double-flip window — a committer stalled
+    * between the fence read and the pointer rename (a sub-millisecond
+    * gap, vs the seconds-long staleness horizon needed to break the
+    * lock in the first place) still overwrites the successor. Closing
+    * it outright needs a conditional write: on stores with put-if-match
+    * / compare-and-swap semantics, flip the pointer with put-if-match
+    * on the previously read pointer content instead of a blind rename. */
   private def commitPointer(spark: SparkSession, f: FileSystem, base: Path,
       next: Long, expected: Long): Unit = {
     // crash-consistency fault-injection point (spec-only): a crash HERE
@@ -2222,7 +2261,28 @@ object VersionedSnapshot {
       valueStatsCols: Option[Seq[String]] = None,
       keyBlooms: Boolean = false,
       deleteUnmatchedBySource: Option[Column] = None,
-      updateUnmatchedBySource: Option[(Column, Seq[(String, Column)])] = None): Long = {
+      updateUnmatchedBySource: Option[(Column, Seq[(String, Column)])] = None): Long =
+    mergeIntoAttempt(baseDir, source, keys, whenMatched, insertUnmatched,
+      marker, retain, numBuckets, evolveSchema, valueStatsCols, keyBlooms,
+      deleteUnmatchedBySource, updateUnmatchedBySource,
+      preCompactAttempts = 3)
+
+  /** [[mergeInto]] body with a BOUNDED pre-merge-compact budget: the
+    * overlay fold below re-enters the merge after compacting, and a
+    * concurrent writer continually staging fresh overlays could
+    * otherwise re-trigger full compacts indefinitely — a livelock of
+    * repeated compacts. Exhausting the budget surfaces as the retryable
+    * [[ConcurrentSnapshotUpdate]] so sustained contention lands in the
+    * caller's [[retryOnConflict]] backoff instead. */
+  private def mergeIntoAttempt(baseDir: String, source: DataFrame, keys: Seq[String],
+      whenMatched: MatchedAction, insertUnmatched: Boolean,
+      marker: String, retain: Int, numBuckets: Int,
+      evolveSchema: Boolean,
+      valueStatsCols: Option[Seq[String]],
+      keyBlooms: Boolean,
+      deleteUnmatchedBySource: Option[Column],
+      updateUnmatchedBySource: Option[(Column, Seq[(String, Column)])],
+      preCompactAttempts: Int): Long = {
     require(keys.nonEmpty, "MERGE needs at least one key column")
     val spark = source.sparkSession
     // reject multi-match sources: count per key via one window over the
@@ -2253,11 +2313,17 @@ object VersionedSnapshot {
         // compacted state. The check reads the PINNED basis (a floating
         // read could miss overlays staged just before our basis commit).
         if (parseDeltas(fs(spark, baseDir), basisDir).exists(_._2.nonEmpty)) {
+          if (preCompactAttempts <= 0)
+            // a concurrent writer keeps staging overlays faster than we
+            // can fold them — retryable contention, not silent livelock
+            throw new ConcurrentSnapshotUpdate(baseDir, basis,
+              currentVersion(spark, baseDir).getOrElse(-1L))
           compact(spark, baseDir, keys, marker = s"$marker:pre-merge-compact",
             retain = retain)
-          return mergeInto(baseDir, source, keys, whenMatched, insertUnmatched,
-            marker, retain, numBuckets, evolveSchema, valueStatsCols,
-            keyBlooms, deleteUnmatchedBySource, updateUnmatchedBySource)
+          return mergeIntoAttempt(baseDir, source, keys, whenMatched,
+            insertUnmatched, marker, retain, numBuckets, evolveSchema,
+            valueStatsCols, keyBlooms, deleteUnmatchedBySource,
+            updateUnmatchedBySource, preCompactAttempts - 1)
         }
         // name AND type parity: a name-only check would let a type-drifted
         // source slide into a confusing analysis error (or a silently

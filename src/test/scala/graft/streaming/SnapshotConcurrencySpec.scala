@@ -138,6 +138,34 @@ class SnapshotConcurrencySpec extends SparkSpec {
     assert(old == Set((1L, 1L)), s"time travel to v$v0 must still read its rows, got $old")
   }
 
+  test("prepareNext with a stale pointer read never sweeps a just-committed version (r13 fence)") {
+    import spark.implicits._
+    // The advisor-flagged race, reproduced deterministically: writer A
+    // reads the pointer (v0) at publish entry; writer B then commits v1 —
+    // flips the pointer AND releases v1's claim; A's prepareNext now
+    // lists dirs/claims and sees v1 as an unclaimed dir above A's stale
+    // `current`. Pre-fix, the sweep deleted the LIVE pointer target.
+    // The fence (a pointer re-read taken after the claim listing) must
+    // keep v1 — and hand A a number above it.
+    val base = Files.createTempDirectory("graft-fence").resolve("snap").toString
+    val v0 = VersionedSnapshot.publish(Seq((1L, 1L)).toDF("k", "v"), base, "m0", retain = 3)
+    val v1 = VersionedSnapshot.publish(Seq((1L, 2L)).toDF("k", "v"), base, "m1", retain = 3)
+    assert(VersionedSnapshot.currentVersion(spark, base).contains(v1))
+    assert(claimsIn(base).isEmpty, "committed versions hold no claims")
+    // writer A's sweep, keyed to the pre-commit pointer value v0
+    val f = fsFor(base)
+    val n = VersionedSnapshot.prepareNext(f, new Path(base), v0)
+    assert(new java.io.File(base, fmt(v1)).exists,
+      s"the committed pointer target $v1 must survive a sweep keyed to stale current=$v0")
+    assert(VersionedSnapshot.currentVersion(spark, base).contains(v1))
+    val cur = VersionedSnapshot.read(spark, base).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cur == Set((1L, 2L)), s"current version must still read its rows, got $cur")
+    assert(n > v1, s"the claimed next number $n must land above the committed $v1")
+    // drop the test claim so later publishes in shared temp space are clean
+    f.delete(new Path(base, "_claims/" + n), false)
+  }
+
   test("a dead writer's stale commit lock is broken by token identity and the flip proceeds") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-lock").resolve("snap").toString
