@@ -501,6 +501,46 @@ private[graft] object CurationSnapshotQueries {
         marker = "narrow", numBuckets = 8)
       VS.read(s, base).get.select("doc_id", "n_chars", "lang")
     }),
+    // ---- CONCURRENT merge race (r13): two writers race update-only
+    // merges under retryOnConflict against one table. The loser's CAS
+    // fails (basis pinning: its staged frame derives from a version the
+    // winner just superseded) and the retry re-runs the WHOLE merge
+    // against the winner's commit. The two sources touch DISJOINT key
+    // sets, so the composition is order-free and the final state is
+    // closed-form no matter which writer wins — this is the driver-
+    // verified face of the r12 lost-update fix: pre-pinning, the loser's
+    // effect silently overwrote the winner's and one CASE branch of the
+    // oracle would vanish. A spec-seam delay widens the conflict window
+    // so the race is real on most runs; correctness never depends on
+    // the interleave actually happening ----
+    "snapshot_concurrent_merge" -> ((s, dir) => {
+      val VS = graft.streaming.VersionedSnapshot
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = tempSnapshotBase("graft-cmerge")
+      VS.mergeInto(base, docs, Seq("doc_id"), VS.UpdateMatched,
+        insertUnmatched = true, marker = "seed")
+      val srcA = docs.filter(col("doc_id") < 50)
+        .withColumn("n_chars", col("n_chars") + 5000)
+      val srcB = docs.filter(col("doc_id") >= 50 && col("doc_id") % 7 === 0)
+        .withColumn("lang", lit("zz"))
+      s.conf.set(VS.TestDelayBeforeCommitConf, "400")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      try {
+        val threads = Seq(("a", srcA), ("b", srcB)).map { case (n, src) =>
+          val t = new Thread(() => {
+            try VS.retryOnConflict() {
+              VS.mergeInto(base, src, Seq("doc_id"), VS.UpdateMatched,
+                insertUnmatched = false, marker = s"writer-$n"); ()
+            } catch { case e: Throwable => errs.add(e); () }
+          }, s"graft-cmerge-$n")
+          t.start(); t
+        }
+        threads.foreach(_.join(300000))
+      } finally s.conf.unset(VS.TestDelayBeforeCommitConf)
+      if (!errs.isEmpty) throw errs.peek()
+      VS.read(s, base).get.select("doc_id", "n_chars", "lang")
+    }),
+
     // ---- GDPR purge through retained history: seed → upsert, then
     // purgeKeys physically removes a deterministic subject set from BOTH
     // retained versions in place (zone/hash-pruned dir rewrites, shared

@@ -441,6 +441,18 @@ private[graft] object OraclesCorpusAnalytics {
         |       lang
         |FROM documents""".stripMargin,
 
+    // concurrent MERGE race in closed form: the writers' key sets are
+    // disjoint (A: doc_id<50 shifts n_chars; B: doc_id>=50 ∧ %7=0 marks
+    // lang), so both effects land regardless of commit order — a lost
+    // update would erase exactly one CASE branch
+    "snapshot_concurrent_merge" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id < 50 THEN n_chars + 5000
+        |            ELSE n_chars END AS n_chars,
+        |       CASE WHEN doc_id >= 50 AND doc_id % 7 = 0 THEN 'zz'
+        |            ELSE lang END AS lang
+        |FROM documents""".stripMargin,
+
     // the purge set mirrors the query's deterministic cap: first 1000
     // doc_ids (ascending) matching the %997 predicate
     "snapshot_purge_replay" ->
