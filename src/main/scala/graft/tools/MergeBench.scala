@@ -261,6 +261,73 @@ object MergeBench {
       f"1-key-without-zonemap=${noCarryBytes / 1024}%d KiB " +
       f"(carry win=${noCarryBytes.toDouble / math.max(1, oneFileBytes)}%.1fx)")
 
+    // ---- r13: the single-writer concurrency TAX of the fenced commit
+    // protocol, as a number. Per publish, the r11/r13 machinery adds to
+    // the pre-r11 commit (pointer read + tmp write + atomic rename):
+    // one claims-dir listing, one O_EXCL claim create, one post-listing
+    // pointer re-read (the r13 sweep fence), the fenced lock cycle
+    // (O_EXCL create, token stamp, token read-back, CAS pointer read,
+    // fence token re-read, lock delete) and the claim release — all
+    // constant-size small-file ops, independent of data volume. Time
+    // the two exact op sequences solo on a scratch dir, then the
+    // smallest possible real publish (1 row, flat) for scale: the tax
+    // is (fenced - pre) µs against that floor — every real publish
+    // stages MORE data, so the percentage only shrinks from there.
+    locally {
+      import java.nio.file.{Files => JF, StandardCopyOption}
+      val taxRoot = JF.createTempDirectory("mergebench-tax")
+      val claims = taxRoot.resolve("_claims"); JF.createDirectories(claims)
+      val ptr = taxRoot.resolve("_CURRENT")
+      JF.write(ptr, "0".getBytes("UTF-8"))
+      val M = 2000
+      def flip(i: Int): Unit = {
+        val cur = new String(JF.readAllBytes(ptr), "UTF-8").trim.toLong
+        val tmp = taxRoot.resolve(s"_CURRENT.$i.tmp")
+        JF.write(tmp, (cur + 1).toString.getBytes("UTF-8"))
+        JF.move(tmp, ptr, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < M) { // pre-r11 commit: read + flip, nothing else
+        flip(i); i += 1
+      }
+      val preUs = (System.nanoTime() - t0) / 1e3 / M
+      val lock = taxRoot.resolve("_COMMIT_LOCK")
+      i = 0
+      val t1 = System.nanoTime()
+      while (i < M) { // fenced commit: the full r11+r13 op sequence
+        val st = JF.list(claims); try { st.count(); () } finally st.close()
+        val claim = claims.resolve(i.toString)
+        JF.createFile(claim)                        // O_EXCL claim
+        new String(JF.readAllBytes(ptr), "UTF-8")   // r13 sweep fence re-read
+        JF.createFile(lock)                         // O_EXCL lock
+        JF.write(lock, ("tok" + i).getBytes("UTF-8")) // token stamp
+        new String(JF.readAllBytes(lock), "UTF-8")  // ownership read-back
+        new String(JF.readAllBytes(ptr), "UTF-8")   // CAS pointer read
+        new String(JF.readAllBytes(lock), "UTF-8")  // fence token re-read
+        flip(i)
+        JF.delete(claim)                            // release inside section
+        JF.delete(lock)
+        i += 1
+      }
+      val fencedUs = (System.nanoTime() - t1) / 1e3 / M
+      // smallest real publish: 1 row, flat layout — staging floor
+      val pubDir = taxRoot.resolve("pub").toString
+      val one = spark.range(1).selectExpr("id AS k", "id AS v")
+      VersionedSnapshot.publish(one, pubDir, "warm", retain = 1)
+      val K = 20
+      val t2 = System.nanoTime()
+      (0 until K).foreach(j =>
+        VersionedSnapshot.publish(one, pubDir, s"p$j", retain = 1))
+      val pubMs = (System.nanoTime() - t2) / 1e6 / K
+      println(f"concurrency tax: pre-r11 commit ${preUs}%.0f µs, fenced ${fencedUs}%.0f µs " +
+        f"(tax ${fencedUs - preUs}%.0f µs/publish); 1-row publish ${pubMs}%.1f ms end-to-end " +
+        f"=> tax ~ ${(fencedUs - preUs) / (pubMs * 10)}%.2f%% of the smallest possible publish")
+      org.apache.commons.io.FileUtils.deleteDirectory(taxRoot.toFile)
+    }
+
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     spark.stop()
   }
