@@ -540,6 +540,38 @@ private[graft] object CurationSnapshotQueries {
       if (!errs.isEmpty) throw errs.peek()
       VS.read(s, base).get.select("doc_id", "n_chars", "lang")
     }),
+    // ---- crash-consistency heal (r13): a merge that dies AFTER fully
+    // staging (data, sidecars, manifest) but BEFORE the pointer flip
+    // leaves the table reading as the seed; the retried merge then
+    // sweeps the dead attempt's litter and commits. Output = the final
+    // table — a phantom commit of the crashed attempt, a sweep that ate
+    // committed data, or a reader that saw staged state all shift the
+    // hash. Driver-verified face of the CrashRecoverySpec process-death
+    // sweep ----
+    "snapshot_crash_heal" -> ((s, dir) => {
+      val VS = graft.streaming.VersionedSnapshot
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = tempSnapshotBase("graft-heal")
+      VS.mergeInto(base, docs, Seq("doc_id"), VS.UpdateMatched,
+        insertUnmatched = true, marker = "seed")
+      val upd = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", col("n_chars") + 7000)
+      s.conf.set(VS.CrashBeforeCommitConf, "true")
+      val crashed =
+        try {
+          VS.mergeInto(base, upd, Seq("doc_id"), VS.UpdateMatched,
+            insertUnmatched = false, marker = "doomed")
+          false
+        } catch { case _: IllegalStateException => true }
+        finally s.conf.unset(VS.CrashBeforeCommitConf)
+      require(crashed, "the crash seam did not fire")
+      // readers held across the crash: still exactly the seed row count
+      require(VS.read(s, base).get.count() == docs.count(),
+        "reader saw a non-seed state after the crashed merge")
+      VS.mergeInto(base, upd, Seq("doc_id"), VS.UpdateMatched,
+        insertUnmatched = false, marker = "healing-retry")
+      VS.read(s, base).get.select("doc_id", "n_chars", "lang")
+    }),
 
     // ---- GDPR purge through retained history: seed → upsert, then
     // purgeKeys physically removes a deterministic subject set from BOTH

@@ -453,6 +453,15 @@ private[graft] object OraclesCorpusAnalytics {
         |            ELSE lang END AS lang
         |FROM documents""".stripMargin,
 
+    // crash heal in closed form: the crashed attempt must contribute
+    // NOTHING on its own; only the retried merge's arithmetic lands
+    "snapshot_crash_heal" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN n_chars + 7000
+        |            ELSE n_chars END AS n_chars,
+        |       lang
+        |FROM documents""".stripMargin,
+
     // the purge set mirrors the query's deterministic cap: first 1000
     // doc_ids (ascending) matching the %997 predicate
     "snapshot_purge_replay" ->

@@ -129,6 +129,25 @@ object VersionedSnapshot {
     * CAS — widens the conflict window deterministically. */
   private[graft] val TestDelayBeforeCommitConf = "graft.snapshot.test.delayBeforeCommitMs"
   private[graft] val TestDelayInCommitConf = "graft.snapshot.test.delayInCommitMs"
+  /** Spec-only power-loss seam: when the active session's conf names one
+    * of the seam points, the JVM halts outright — `Runtime.halt` skips
+    * finally blocks, [[guardStaged]]'s abort, and shutdown hooks,
+    * modeling a writer killed mid-operation (kill -9, OOM-killer, node
+    * loss) the way an in-JVM thrown exception cannot. Driven only from a
+    * child JVM spawned by CrashRecoverySpec; the parent process then
+    * proves readers hold and the next writer heals the litter. Points:
+    * `staged-data` (bucket files written, no sidecars), `staged-sidecars`
+    * (everything staged, pointer not flipped), `post-flip` (pointer
+    * flipped, claim NOT released, commit lock still held), `mid-retention`
+    * (old versions dropped, orphan gc not run), `staged-overlay`
+    * (overlay file written, version dir absent), `mid-purge` (first
+    * retained version purged, the rest not). */
+  private[graft] val HaltAtConf = "graft.snapshot.test.haltAt"
+  private[graft] val HaltExitCode = 117
+  private def haltPoint(point: String): Unit =
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(_.conf.getOption(HaltAtConf)).contains(point))
+      Runtime.getRuntime.halt(HaltExitCode)
 
   private def confMs(name: String, default: Long): Long =
     org.apache.spark.sql.SparkSession.getActiveSession
@@ -1379,6 +1398,84 @@ object VersionedSnapshot {
     * already-clean dirs are left untouched). */
   def purgeKeys(spark: SparkSession, baseDir: String, keys: Seq[String],
       keyRows: Seq[Seq[Any]]): Int = {
+    // Linearization loop (r13). The in-place pass alone is NOT safe
+    // against concurrent writers: a merge that CLAIMED and staged before
+    // this purge (its staged files were rewritten from pre-purge reads)
+    // but COMMITS after it passes its CAS — the pointer never moved — and
+    // republishes the purged subject into the new current ("resurrection":
+    // both operations report success, the erasure silently fails). So a
+    // pass that rewrote anything must LINEARIZE: commit a zero-copy
+    // republish of the purged current ([[purgeCommit]]) through the same
+    // claim + CAS protocol writers use, pinned to the exact version the
+    // pass processed. Any straddling writer then loses its CAS and
+    // retries against the purged manifests; any writer that committed
+    // mid-pass moves the pointer first, which sends THIS loop back around
+    // to purge the interloper's version too. Bounded attempts: sustained
+    // contention surfaces as an error, not a livelock.
+    var total = 0
+    var attempts = 8
+    while (attempts > 0) {
+      attempts -= 1
+      val basis = currentVersion(spark, baseDir) match {
+        case Some(v) => v
+        case None => return total
+      }
+      total += purgeKeysPass(spark, baseDir, keys, keyRows)
+      val now = currentVersion(spark, baseDir).getOrElse(-1L)
+      if (now == basis) {
+        // nothing ever matched and nobody interfered: no copy of the
+        // subject exists anywhere a straddling writer could have read
+        if (total == 0) return 0
+        try { purgeCommit(spark, baseDir, basis); return total }
+        catch { case _: ConcurrentSnapshotUpdate => () } // writer won: re-pass
+      }
+      // pointer moved mid-pass (or the bump lost the CAS): the
+      // interloper's version may reference pre-purge files — run another
+      // pass over the fresh listing
+    }
+    throw new IllegalStateException(
+      s"purge of $baseDir could not linearize under sustained writer " +
+        "contention — quiesce writers or retry")
+  }
+
+  /** The purge linearization commit: republish version `basis`'s (just
+    * purged in place) metadata as the next version, zero data copied,
+    * CAS-pinned to `basis` itself — NOT to a re-read pointer, which could
+    * have moved to an unpurged interloper. Retention is intentionally not
+    * applied: purge must never age out history. */
+  private def purgeCommit(spark: SparkSession, baseDir: String, basis: Long): Unit = {
+    val f = fs(spark, baseDir)
+    val base = new Path(baseDir)
+    val src = versionPath(base, basis)
+    if (parseBuckets(f, src).isEmpty) {
+      // flat current (possible when the matches lived only in older
+      // bucketed versions): a flat dir is self-contained, so the bump is
+      // a full republish — rare shape, priced accordingly
+      publish(versionFrame(spark, baseDir, basis), baseDir,
+        s"purge-commit:v$basis", retain = Int.MaxValue,
+        expected = Some(basis))
+      ()
+    } else {
+      val next = prepareNext(f, base, basis)
+      guardStaged(f, base, next) {
+        val target = versionPath(base, next)
+        f.mkdirs(target)
+        Seq(BucketsName, DeltasName, ZonesName, BloomsName).foreach { name =>
+          val p = new Path(src, name)
+          if (f.exists(p)) writeSmallFile(f, new Path(target, name), readSmallFile(f, p))
+        }
+        writeSmallFile(f, new Path(target, MarkerName), s"purge-commit:v$basis")
+        writeManifest(f, base, target)
+        commitPointer(spark, f, base, next, expected = basis)
+      }
+    }
+  }
+
+  /** One in-place purge pass over the versions retained at listing time —
+    * see [[purgeKeys]] for the linearization wrapper that makes this safe
+    * under concurrent writers. */
+  private[graft] def purgeKeysPass(spark: SparkSession, baseDir: String, keys: Seq[String],
+      keyRows: Seq[Seq[Any]]): Int = {
     require(keys.nonEmpty, "purge needs at least one key column")
     require(keyRows.nonEmpty, "purge needs at least one key tuple")
     require(keyRows.size <= MaxPushdownKeys,
@@ -1510,7 +1607,11 @@ object VersionedSnapshot {
       }
     })
 
-    vdirs.foreach { vdir =>
+    vdirs.zipWithIndex.foreach { case (vdir, vi) =>
+      // power-loss window: the first retained version's sidecars already
+      // point at purged rewrites, later versions still reference the
+      // un-purged files — the documented rerun-completes contract
+      if (vi == 1) haltPoint("mid-purge")
       val bucketUpdates: Map[String, String] = parseBuckets(f, vdir) match {
         case Some((nb, entries)) =>
           val hits = hitBuckets(nb)
@@ -1819,6 +1920,10 @@ object VersionedSnapshot {
       if (!lockToken().contains(token))
         throw new ConcurrentSnapshotUpdate(base.toString, expected, cur)
       atomicOverwrite(spark, f, new Path(base, PointerName), next.toString)
+      // power-loss window: pointer flipped (the version IS committed) but
+      // the claim is never released and the commit lock never deleted —
+      // the worst-litter crash shape the healing paths must absorb
+      haltPoint("post-flip")
       releaseClaim(f, base, next)
     } finally {
       // identity-checked release: never delete a lock that changed hands
@@ -1839,6 +1944,7 @@ object VersionedSnapshot {
       .flatMap(st => versionOf(st.getPath.getName).map(_ -> st.getPath))
       .filter { case (v, _) => v <= current && v <= next - retain }
       .foreach { case (_, p) => f.delete(p, true) }
+    haltPoint("mid-retention")
     gcDataDirs(f, base)
   }
 
@@ -1868,6 +1974,7 @@ object VersionedSnapshot {
       df.write.mode("overwrite").parquet(target.toString)
       writeSmallFile(f, new Path(target, MarkerName), marker)
       writeManifest(f, base, target)
+      haltPoint("staged-sidecars")
       commitPointer(spark, f, base, next, expected = current)
     }
     applyRetention(f, base, current, next, retain)
@@ -1994,6 +2101,7 @@ object VersionedSnapshot {
       (if (maxRecordsPerFile > 0L)
          writer.option("maxRecordsPerFile", maxRecordsPerFile)
        else writer).parquet(gDir.toString)
+      haltPoint("staged-data")
       // which buckets actually produced files (a bucket whose merge result
       // is empty writes no partition dir — it must vanish from the manifest)
       val written: Map[Int, String] =
@@ -2098,6 +2206,7 @@ object VersionedSnapshot {
       }
       writeSmallFile(f, new Path(target, MarkerName), marker)
       writeManifest(f, base, target)
+      haltPoint("staged-sidecars")
       commitPointer(spark, f, base, next, expected = current)
     }
     applyRetention(f, base, current, next, retain)
@@ -2624,6 +2733,7 @@ object VersionedSnapshot {
           // overlay count — not file count per overlay — is the read cost
           overlayRows.coalesce(1).write.mode("overwrite")
             .parquet(new Path(base, dRel).toString)
+          haltPoint("staged-overlay")
           val target = versionPath(base, next)
           f.mkdirs(target)
           writeSmallFile(f, new Path(target, BucketsName), bucketsText)
