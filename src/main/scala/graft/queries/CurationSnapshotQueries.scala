@@ -573,6 +573,35 @@ private[graft] object CurationSnapshotQueries {
       VS.read(s, base).get.select("doc_id", "n_chars", "lang")
     }),
 
+    // ---- operational lineage audit (r13): the DESCRIBE HISTORY face.
+    // A deterministic op sequence — bucketed seed, update merge, MoR
+    // overlay, compaction, then a point purge — must surface in
+    // history() with exact version numbers, verbatim markers, layout
+    // classification (flat/bucketed/bucketed+mor), bucket counts,
+    // overlay counts, and the current flag. Pins that purge's
+    // linearization commit is VISIBLE lineage (marker purge-commit:vN)
+    // and that compaction folds the overlay out of the layout tag ----
+    "snapshot_history_audit" -> ((s, dir) => {
+      val VS = graft.streaming.VersionedSnapshot
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = tempSnapshotBase("graft-hist")
+      VS.mergeInto(base, docs, Seq("doc_id"), VS.UpdateMatched,
+        insertUnmatched = true, marker = "seed", retain = 10, numBuckets = 8)
+      VS.mergeInto(base,
+        docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("n_chars", col("n_chars") + 1),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = false,
+        marker = "update", retain = 10)
+      VS.stageDelta(base,
+        docs.filter(col("doc_id") % 9 === 0)
+          .withColumn("n_chars", col("n_chars") + 2),
+        Seq("doc_id"), VS.UpdateMatched, marker = "overlay", retain = 10)
+      VS.compact(s, base, Seq("doc_id"), marker = "compact", retain = 10)
+      VS.purgeKeys(s, base, Seq("doc_id"), Seq(Seq(3L)))
+      VS.history(s, base).select("version", "marker", "layout",
+        "num_buckets", "n_overlays", "is_current")
+    }),
+
     // ---- GDPR purge through retained history: seed → upsert, then
     // purgeKeys physically removes a deterministic subject set from BOTH
     // retained versions in place (zone/hash-pruned dir rewrites, shared

@@ -462,6 +462,20 @@ private[graft] object OraclesCorpusAnalytics {
         |       lang
         |FROM documents""".stripMargin,
 
+    // lineage audit in closed form: the op sequence is deterministic, so
+    // the whole history table is a VALUES literal
+    "snapshot_history_audit" ->
+      """SELECT CAST(v AS BIGINT) AS version, marker, layout,
+        |       CAST(nb AS INTEGER) AS num_buckets,
+        |       CAST(novl AS INTEGER) AS n_overlays, cur AS is_current
+        |FROM (VALUES
+        |  (4, 'purge-commit:v3', 'bucketed', 8, 0, TRUE),
+        |  (3, 'compact', 'bucketed', 8, 0, FALSE),
+        |  (2, 'overlay', 'bucketed+mor', 8, 1, FALSE),
+        |  (1, 'update', 'bucketed', 8, 0, FALSE),
+        |  (0, 'seed', 'bucketed', 8, 0, FALSE)
+        |) AS t(v, marker, layout, nb, novl, cur)""".stripMargin,
+
     // the purge set mirrors the query's deterministic cap: first 1000
     // doc_ids (ascending) matching the %997 predicate
     "snapshot_purge_replay" ->

@@ -49,17 +49,22 @@ class PurgeRaceSpec extends SparkSpec {
     (t, errs)
   }
 
-  /** Block until the straddler holds its claim (staging starts right
-    * after), then give the staging write time to finish inside the
-    * widened window. */
-  private def awaitClaimThenStaging(base: String): Unit = {
+  /** Block until the straddler holds its claim. Its merge resolved the
+    * basis _BUCKETS file refs at entry (before claiming), so from here on
+    * its staging reads PRE-purge files no matter how the purge below
+    * interleaves — purge never deletes data files, only re-points
+    * sidecars the merge will not reread. `settleMs` optionally lets the
+    * staging writes land first (any interleave is correct for the wrapped
+    * test; the raw-hazard test must instead purge BEFORE the staged
+    * version dir exists, so its pass lists only the committed v0). */
+  private def awaitClaim(base: String, settleMs: Long = 0L): Unit = {
     val cd = new java.io.File(base, "_claims")
     val deadline = System.currentTimeMillis() + 30000
     while (Option(cd.listFiles).forall(_.isEmpty)) {
       assert(System.currentTimeMillis() < deadline, "writer never claimed")
       Thread.sleep(20)
     }
-    Thread.sleep(800)
+    if (settleMs > 0) Thread.sleep(settleMs)
   }
 
   test("UNWRAPPED purge pass: a straddling merge resurrects the subject (the documented hazard)") {
@@ -67,7 +72,9 @@ class PurgeRaceSpec extends SparkSpec {
     seedTable(base)
     val (writer, errs) = straddler(base, delayMs = 6000)
     try {
-      awaitClaimThenStaging(base)
+      awaitClaim(base)
+      assert(!new java.io.File(base, "v00001").exists(),
+        "staged version dir appeared before the purge listed — rerun")
       // the raw in-place pass, no linearization commit
       val n = VersionedSnapshot.purgeKeysPass(spark, base, Seq("k"), Seq(Seq(3L)))
       assert(n >= 1, "the pass should have rewritten the seed version")
@@ -91,7 +98,7 @@ class PurgeRaceSpec extends SparkSpec {
     seedTable(base)
     val (writer, errs) = straddler(base, delayMs = 3000)
     try {
-      awaitClaimThenStaging(base)
+      awaitClaim(base, settleMs = 800)
       VersionedSnapshot.purgeKeys(spark, base, Seq("k"), Seq(Seq(3L)))
       ()
     } finally {
