@@ -573,6 +573,32 @@ private[graft] object CurationSnapshotQueries {
       VS.read(s, base).get.select("doc_id", "n_chars", "lang")
     }),
 
+    // ---- RESTORE (r13): republish a retained version as the new
+    // current — Delta's RESTORE TABLE ... TO VERSION analog — without
+    // copying data (sidecar-only commit), then prove the restored
+    // version is a real working basis by merging on top of it. The
+    // oracle sees the update merge UNDONE (restore) and the post-restore
+    // merge applied to seed values ----
+    "snapshot_restore_replay" -> ((s, dir) => {
+      val VS = graft.streaming.VersionedSnapshot
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = tempSnapshotBase("graft-restore")
+      val v0 = VS.mergeInto(base, docs, Seq("doc_id"), VS.UpdateMatched,
+        insertUnmatched = true, marker = "seed", retain = 5)
+      VS.mergeInto(base,
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = false,
+        marker = "to-be-undone", retain = 5)
+      require(VS.restore(s, base, v0, retain = 5).isDefined,
+        "restore of a retained version must succeed")
+      VS.mergeInto(base,
+        docs.filter(col("doc_id") % 7 === 0).withColumn("lang", lit("rr")),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = false,
+        marker = "after-restore", retain = 5)
+      VS.read(s, base).get.select("doc_id", "n_chars", "lang")
+    }),
+
     // ---- operational lineage audit (r13): the DESCRIBE HISTORY face.
     // A deterministic op sequence — bucketed seed, update merge, MoR
     // overlay, compaction, then a point purge — must surface in

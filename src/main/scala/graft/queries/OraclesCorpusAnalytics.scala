@@ -462,6 +462,13 @@ private[graft] object OraclesCorpusAnalytics {
         |       lang
         |FROM documents""".stripMargin,
 
+    // restore in closed form: the +1000 update is undone (n_chars back
+    // to seed), the post-restore merge lands on seed values
+    "snapshot_restore_replay" ->
+      """SELECT doc_id, n_chars,
+        |       CASE WHEN doc_id % 7 = 0 THEN 'rr' ELSE lang END AS lang
+        |FROM documents""".stripMargin,
+
     // lineage audit in closed form: the op sequence is deterministic, so
     // the whole history table is a VALUES literal
     "snapshot_history_audit" ->

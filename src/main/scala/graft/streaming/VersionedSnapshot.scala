@@ -1397,7 +1397,7 @@ object VersionedSnapshot {
     * the erasure (the batched probe finds only the remaining matches, and
     * already-clean dirs are left untouched). */
   def purgeKeys(spark: SparkSession, baseDir: String, keys: Seq[String],
-      keyRows: Seq[Seq[Any]]): Int = {
+      keyRows: Seq[Seq[Any]], marker: String = "purge-commit"): Int = {
     // Linearization loop (r13). The in-place pass alone is NOT safe
     // against concurrent writers: a merge that CLAIMED and staged before
     // this purge (its staged files were rewritten from pre-purge reads)
@@ -1426,7 +1426,7 @@ object VersionedSnapshot {
         // nothing ever matched and nobody interfered: no copy of the
         // subject exists anywhere a straddling writer could have read
         if (total == 0) return 0
-        try { purgeCommit(spark, baseDir, basis); return total }
+        try { purgeCommit(spark, baseDir, basis, marker); return total }
         catch { case _: ConcurrentSnapshotUpdate => () } // writer won: re-pass
       }
       // pointer moved mid-pass (or the bump lost the CAS): the
@@ -1443,7 +1443,8 @@ object VersionedSnapshot {
     * CAS-pinned to `basis` itself — NOT to a re-read pointer, which could
     * have moved to an unpurged interloper. Retention is intentionally not
     * applied: purge must never age out history. */
-  private def purgeCommit(spark: SparkSession, baseDir: String, basis: Long): Unit = {
+  private def purgeCommit(spark: SparkSession, baseDir: String, basis: Long,
+      marker: String): Unit = {
     val f = fs(spark, baseDir)
     val base = new Path(baseDir)
     val src = versionPath(base, basis)
@@ -1452,7 +1453,7 @@ object VersionedSnapshot {
       // bucketed versions): a flat dir is self-contained, so the bump is
       // a full republish — rare shape, priced accordingly
       publish(versionFrame(spark, baseDir, basis), baseDir,
-        s"purge-commit:v$basis", retain = Int.MaxValue,
+        s"$marker:v$basis", retain = Int.MaxValue,
         expected = Some(basis))
       ()
     } else {
@@ -1464,7 +1465,7 @@ object VersionedSnapshot {
           val p = new Path(src, name)
           if (f.exists(p)) writeSmallFile(f, new Path(target, name), readSmallFile(f, p))
         }
-        writeSmallFile(f, new Path(target, MarkerName), s"purge-commit:v$basis")
+        writeSmallFile(f, new Path(target, MarkerName), s"$marker:v$basis")
         writeManifest(f, base, target)
         commitPointer(spark, f, base, next, expected = basis)
       }

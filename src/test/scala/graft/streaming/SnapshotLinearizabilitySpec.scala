@@ -1,0 +1,157 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** Linearizability fuzz for the optimistic-concurrency protocol: two
+  * writer threads race randomized update/upsert/delete merges (each under
+  * `retryOnConflict`, each with a unique marker) plus interleaved purges,
+  * with NO coordination beyond the table's own claims + CAS. Afterwards
+  * the spec reconstructs the one history the protocol chose — `history()`
+  * maps commit versions to markers — folds an in-memory model in exactly
+  * that commit order, and requires:
+  *
+  *  1. the CURRENT table equals the model's final state (every committed
+  *     merge's effect is present exactly once — no lost updates, no
+  *     double-applies, no phantom commits);
+  *  2. EVERY retained version equals the model's prefix at that commit,
+  *     minus every subject purged at a LATER commit (purge rewrites
+  *     retained history in place — that is its contract).
+  *
+  * This is stronger than the closed-form disjoint-key races: here the
+  * writers' key sets OVERLAP, so the final value of a contended key
+  * depends on the commit order itself — which is exactly what the fold
+  * checks. A basis-pinning bug, a CAS that admits a stale writer, or a
+  * purge that misses an interloper's version shows up as a model
+  * divergence at some version. */
+class SnapshotLinearizabilitySpec extends SparkSpec {
+
+  private case class Op(marker: String, kind: String, // merge-u | merge-d | purge
+      rows: Map[Long, Long], subjects: Seq[Long])
+
+  test("racing overlapping writers + purges fold to one committed history") {
+    import spark.implicits._
+    (1 to 2).foreach { scenario =>
+      val rnd = new scala.util.Random(7700L + scenario)
+      val base = Files.createTempDirectory(s"graft-linz$scenario").resolve("t").toString
+      val seed = (0L until 30L).map(k => (k, k)).toDF("k", "v")
+      VersionedSnapshot.mergeInto(base, seed, Seq("k"),
+        VersionedSnapshot.UpdateMatched, insertUnmatched = true,
+        marker = "op-seed", numBuckets = 4, retain = 60)
+
+      // pre-generate each thread's op list (random but deterministic per
+      // seed); markers are globally unique so history() identifies them
+      def mkOps(tid: Int): Seq[Op] = (1 to 5).map { i =>
+        val marker = s"op-t$tid-$i"
+        rnd.nextInt(5) match {
+          case 4 =>
+            val subj = Seq.fill(1 + rnd.nextInt(2))(rnd.nextInt(30).toLong).distinct
+            Op(marker, "purge", Map.empty, subj)
+          case 3 =>
+            val del = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(30).toLong).distinct
+            Op(marker, "merge-d", del.map(_ -> 0L).toMap, Nil)
+          case _ =>
+            val up = Seq.fill(1 + rnd.nextInt(5))(
+              rnd.nextInt(35).toLong -> rnd.nextLong(100000L)).toMap
+            Op(marker, "merge-u", up, Nil)
+        }
+      }
+      val opsByThread = Seq(mkOps(1), mkOps(2))
+      val allOps = opsByThread.flatten.map(o => o.marker -> o).toMap
+
+      val errs = new ConcurrentLinkedQueue[Throwable]()
+      val threads = opsByThread.zipWithIndex.map { case (ops, ti) =>
+        new Thread(() => {
+          try ops.foreach { op =>
+            op.kind match {
+              case "purge" =>
+                VersionedSnapshot.purgeKeys(spark, base, Seq("k"),
+                  op.subjects.map(Seq[Any](_)), marker = op.marker)
+                ()
+              case "merge-u" =>
+                VersionedSnapshot.retryOnConflict(attempts = 20, backoffMs = 60L) {
+                  VersionedSnapshot.mergeInto(base,
+                    op.rows.toSeq.toDF("k", "v"), Seq("k"),
+                    VersionedSnapshot.UpdateMatched, insertUnmatched = true,
+                    marker = op.marker, retain = 60)
+                }
+                ()
+              case "merge-d" =>
+                VersionedSnapshot.retryOnConflict(attempts = 20, backoffMs = 60L) {
+                  VersionedSnapshot.mergeInto(base,
+                    op.rows.toSeq.toDF("k", "v"), Seq("k"),
+                    VersionedSnapshot.DeleteMatched, insertUnmatched = false,
+                    marker = op.marker, retain = 60)
+                }
+                ()
+            }
+          } catch { case e: Throwable => errs.add(e); () }
+        }, s"graft-linz-w$ti")
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(300000))
+      assert(threads.forall(!_.isAlive), "writer threads wedged")
+      if (!errs.isEmpty) throw errs.peek()
+
+      // ---- reconstruct the committed order and fold the model ----
+      // merge commits carry their op marker verbatim; purge linearization
+      // commits carry "<op marker>:v<basis>" — strip the suffix so every
+      // committed op (and ONLY committed ops: a purge that matched
+      // nothing commits no version and correctly never enters the fold)
+      // is attributed exactly
+      val hist = VersionedSnapshot.history(spark, base)
+        .select("version", "marker").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+      val opAtVersion: Map[Long, Op] = hist.flatMap { case (v, m) =>
+        allOps.get(m.split(':').head).map(v -> _)
+      }.toMap
+
+      // model fold in commit order
+      var content = Map.empty[Long, Long]
+      var prefixes = Map.empty[Long, Map[Long, Long]] // version -> folded state
+      hist.foreach { case (v, m) =>
+        if (m == "op-seed") content = (0L until 30L).map(k => k -> k).toMap
+        else opAtVersion.get(v).foreach { op =>
+          op.kind match {
+            case "merge-u" => content = content ++ op.rows
+            case "merge-d" => content = content -- op.rows.keys
+            case "purge"   => content = content -- op.subjects
+          }
+        }
+        // compacts and other non-op commits keep content unchanged
+        prefixes += v -> content
+      }
+      // purge erases from EARLIER retained versions too
+      val purgesByVersion = opAtVersion.toSeq
+        .filter(_._2.kind == "purge").sortBy(_._1)
+      def expectedAt(v: Long): Map[Long, Long] = {
+        val later = purgesByVersion.filter(_._1 > v).flatMap(_._2.subjects).toSet
+        prefixes(v).view.filterKeys(k => !later.contains(k)).toMap
+      }
+
+      // 1. current == final model state
+      val curV = VersionedSnapshot.currentVersion(spark, base).get
+      val got = VersionedSnapshot.read(spark, base).get
+        .select("k", "v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expectedAt(curV),
+        s"scenario $scenario: current diverged from the committed fold\n" +
+          s"  got:  ${got.toSeq.sorted}\n  want: ${expectedAt(curV).toSeq.sorted}\n" +
+          s"  history: ${hist.mkString(", ")}")
+
+      // 2. every retained version == its prefix minus later purges
+      var checked = 0
+      hist.map(_._1).foreach { v =>
+        VersionedSnapshot.readVersion(spark, base, v).foreach { df =>
+          val gv = df.select("k", "v").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(gv == expectedAt(v),
+            s"scenario $scenario v$v diverged from its committed prefix\n" +
+              s"  got:  ${gv.toSeq.sorted}\n  want: ${expectedAt(v).toSeq.sorted}")
+          checked += 1
+        }
+      }
+      assert(checked >= 8, s"scenario $scenario compared only $checked versions")
+    }
+  }
+}
