@@ -573,6 +573,30 @@ private[graft] object CurationSnapshotQueries {
       VS.read(s, base).get.select("doc_id", "n_chars", "lang")
     }),
 
+    // ---- CDF with purge retractions (r13): the plain version diff is
+    // structurally silent about purged subjects (purge rewrites BOTH
+    // endpoints in place), so changesWithPurges unions one op='purge'
+    // row per subject from the purge commit's _PURGED sidecar — keys
+    // set, values null (erased by design). A consumer applies
+    // retractions first, then the diff rows ----
+    "snapshot_changes_purged" -> ((s, dir) => {
+      val VS = graft.streaming.VersionedSnapshot
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = tempSnapshotBase("graft-cdfp")
+      val v0 = VS.mergeInto(base, docs.filter(col("doc_id") % 10 =!= 0),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
+        marker = "seed", retain = 10)
+      VS.mergeInto(base,
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
+        marker = "upsert", retain = 10)
+      VS.purgeKeys(s, base, Seq("doc_id"), Seq(Seq(3L), Seq(13L), Seq(23L)))
+      val cur = VS.currentVersion(s, base).get
+      VS.changesWithPurges(s, base, v0, cur, Seq("doc_id")).get
+        .select("op", "doc_id", "n_chars", "lang")
+    }),
+
     // ---- RESTORE (r13): republish a retained version as the new
     // current — Delta's RESTORE TABLE ... TO VERSION analog — without
     // copying data (sidecar-only commit), then prove the restored

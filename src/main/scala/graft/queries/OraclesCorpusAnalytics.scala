@@ -462,6 +462,22 @@ private[graft] object OraclesCorpusAnalytics {
         |       lang
         |FROM documents""".stripMargin,
 
+    // CDF-with-retractions in closed form: inserts are the %10=0 upsert
+    // arrivals, updates the %5-overlap, purge rows the three subjects
+    // with erased (null) values; the subjects are %5-disjoint so they
+    // produce no diff rows of their own
+    "snapshot_changes_purged" ->
+      """SELECT 'insert' AS op, doc_id, n_chars + 1000 AS n_chars, lang
+        |FROM documents WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT 'update' AS op, doc_id, n_chars + 1000 AS n_chars, lang
+        |FROM documents
+        |WHERE doc_id % 10 <> 0 AND doc_id % 5 = 0 AND doc_id NOT IN (3,13,23)
+        |UNION ALL
+        |SELECT 'purge' AS op, doc_id, CAST(NULL AS BIGINT) AS n_chars,
+        |       CAST(NULL AS VARCHAR) AS lang
+        |FROM documents WHERE doc_id IN (3,13,23)""".stripMargin,
+
     // restore in closed form: the +1000 update is undone (n_chars back
     // to seed), the post-restore merge lands on seed values
     "snapshot_restore_replay" ->

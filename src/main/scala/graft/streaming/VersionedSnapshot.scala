@@ -106,6 +106,7 @@ object VersionedSnapshot {
   private val ManifestName = "_MANIFEST" // data-file inventory, written pre-commit
   private val BucketsName = "_BUCKETS"   // bucket → data-dir manifest (bucketed layout)
   private val DeltasName = "_DELTAS"     // ordered merge-on-read overlay manifest
+  private val PurgedName = "_PURGED"     // purge-commit retraction key list (parquet)
   private val ZonesName = "_ZONES"       // per-file key min/max zonemap (data skipping)
   private val DataDirName = "data"       // shared data-file pool (bucketed layout)
   private val BucketCol = "__gbucket"    // reserved partition column on bucket writes
@@ -1426,7 +1427,7 @@ object VersionedSnapshot {
         // nothing ever matched and nobody interfered: no copy of the
         // subject exists anywhere a straddling writer could have read
         if (total == 0) return 0
-        try { purgeCommit(spark, baseDir, basis, marker); return total }
+        try { purgeCommit(spark, baseDir, basis, marker, keys, keyRows); return total }
         catch { case _: ConcurrentSnapshotUpdate => () } // writer won: re-pass
       }
       // pointer moved mid-pass (or the bump lost the CAS): the
@@ -1444,18 +1445,37 @@ object VersionedSnapshot {
     * have moved to an unpurged interloper. Retention is intentionally not
     * applied: purge must never age out history. */
   private def purgeCommit(spark: SparkSession, baseDir: String, basis: Long,
-      marker: String): Unit = {
+      marker: String, keys: Seq[String], keyRows: Seq[Seq[Any]]): Unit = {
     val f = fs(spark, baseDir)
     val base = new Path(baseDir)
     val src = versionPath(base, basis)
+    // retraction sidecar content: the purged key tuples, typed with the
+    // table's key schema (see [[purgedKeys]]). Written into the bump
+    // version so the erasure has a CDF-consumable record — the in-place
+    // pass removes the rows from BOTH sides of any version diff, so
+    // without this a downstream consumer that already ingested the
+    // subject would hold it forever.
+    def writePurged(target: Path): Unit = {
+      val curSchema = versionFrame(spark, baseDir, basis).schema
+      val keySchema = org.apache.spark.sql.types.StructType(
+        keys.map(k => curSchema(k)))
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+          keyRows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, keySchema)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new Path(target, PurgedName).toString)
+    }
     if (parseBuckets(f, src).isEmpty) {
       // flat current (possible when the matches lived only in older
       // bucketed versions): a flat dir is self-contained, so the bump is
-      // a full republish — rare shape, priced accordingly
-      publish(versionFrame(spark, baseDir, basis), baseDir,
+      // a full republish — rare shape, priced accordingly. The retraction
+      // sidecar lands after the commit (leading `_` keeps it invisible
+      // to the flat read); a crash in between loses only the retraction
+      // record, never table content.
+      val v = publish(versionFrame(spark, baseDir, basis), baseDir,
         s"$marker:v$basis", retain = Int.MaxValue,
         expected = Some(basis))
-      ()
+      writePurged(versionPath(base, v))
     } else {
       val next = prepareNext(f, base, basis)
       guardStaged(f, base, next) {
@@ -1465,12 +1485,60 @@ object VersionedSnapshot {
           val p = new Path(src, name)
           if (f.exists(p)) writeSmallFile(f, new Path(target, name), readSmallFile(f, p))
         }
+        writePurged(target)
         writeSmallFile(f, new Path(target, MarkerName), s"$marker:v$basis")
         writeManifest(f, base, target)
         commitPointer(spark, f, base, next, expected = basis)
       }
     }
   }
+
+  /** The key tuples a purge's linearization commit erased — the
+    * retraction record [[changesWithPurges]] folds into the change feed.
+    * None when `version` is not retained or is not a purge commit.
+    * Carries the REQUESTED subjects (conservative: a subject that
+    * matched nothing still yields a retraction row — forgetting a key
+    * you never held is a no-op downstream). */
+  def purgedKeys(spark: SparkSession, baseDir: String, version: Long): Option[DataFrame] = {
+    val f = fs(spark, baseDir)
+    val p = new Path(versionPath(new Path(baseDir), version), PurgedName)
+    if (currentVersion(spark, baseDir).exists(version <= _) && f.exists(p))
+      Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** [[changes]] plus purge retractions: the row diff of the two
+    * versions, UNIONed with one `op = "purge"` row (key columns set,
+    * value columns null — the erased values are gone by design) for
+    * every subject of every purge commit in `(fromVersion, toVersion]`.
+    *
+    * Why the plain diff cannot see them: purge rewrites BOTH endpoint
+    * versions in place, so an erased subject vanishes from both sides of
+    * the full-outer join and the feed is silent — a downstream consumer
+    * that ingested the subject before the purge would retain it forever,
+    * defeating the erasure. Consumption contract: apply the purge
+    * retractions FIRST (forget the key wholesale), then the diff rows —
+    * a subject legitimately re-inserted after the purge appears as a
+    * normal insert/update row and survives. */
+  def changesWithPurges(spark: SparkSession, baseDir: String, fromVersion: Long,
+      toVersion: Long, keys: Seq[String]): Option[DataFrame] =
+    changes(spark, baseDir, fromVersion, toVersion, keys).map { diff =>
+      val nonKeys = diff.columns.toSeq.filterNot(c => c == "op" || keys.contains(c))
+      val purged = ((fromVersion + 1) to toVersion)
+        .flatMap(v => purgedKeys(spark, baseDir, v))
+      purged.reduceOption(_ unionByName _) match {
+        case None => diff
+        case Some(subjects) =>
+          val schema = diff.schema
+          val retractions = subjects.distinct()
+            .withColumn("op", lit("purge"))
+            .select(schema.fields.map { fld =>
+              if (fld.name == "op" || keys.contains(fld.name)) col(fld.name)
+              else lit(null).cast(fld.dataType).as(fld.name)
+            }.toIndexedSeq: _*)
+          diff.unionByName(retractions)
+      }
+    }
 
   /** One in-place purge pass over the versions retained at listing time —
     * see [[purgeKeys]] for the linearization wrapper that makes this safe
