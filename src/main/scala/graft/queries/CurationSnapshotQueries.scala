@@ -573,6 +573,26 @@ private[graft] object CurationSnapshotQueries {
       VS.read(s, base).get.select("doc_id", "n_chars", "lang")
     }),
 
+    // ---- schema evolution (r13): union-by-name MERGE — the source
+    // carries a column the table lacks; evolveSchema=true rewrites every
+    // bucket once into the widened schema, old rows read the new column
+    // as null, and the evolved table keeps serving merges ----
+    "snapshot_schema_evolve" -> ((s, dir) => {
+      val VS = graft.streaming.VersionedSnapshot
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = tempSnapshotBase("graft-evolve")
+      VS.mergeInto(base, docs.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "n_chars"),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
+        marker = "seed", retain = 5)
+      VS.mergeInto(base,
+        docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("n_chars", col("n_chars") + 500),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
+        marker = "evolved", retain = 5, evolveSchema = true)
+      VS.read(s, base).get.select("doc_id", "n_chars", "lang")
+    }),
+
     // ---- CDF with purge retractions (r13): the plain version diff is
     // structurally silent about purged subjects (purge rewrites BOTH
     // endpoints in place), so changesWithPurges unions one op='purge'

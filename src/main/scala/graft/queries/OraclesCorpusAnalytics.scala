@@ -462,6 +462,15 @@ private[graft] object OraclesCorpusAnalytics {
         |       lang
         |FROM documents""".stripMargin,
 
+    // schema evolution in closed form: evens seed without lang (null
+    // after widening), multiples of 3 arrive with lang and +500
+    "snapshot_schema_evolve" ->
+      """SELECT doc_id, n_chars + 500 AS n_chars, lang
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS lang
+        |FROM documents WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0""".stripMargin,
+
     // CDF-with-retractions in closed form: inserts are the %10=0 upsert
     // arrivals, updates the %5-overlap, purge rows the three subjects
     // with erased (null) values; the subjects are %5-disjoint so they
