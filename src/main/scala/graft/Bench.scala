@@ -203,10 +203,18 @@ object Bench {
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        val body = """"queries"\s*:\s*\{([^}]*)\}""".r
-          .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
-        """"([^"]+)"\s*:\s*(-?[0-9.]+)""".r.findAllMatchIn(body)
-          .map(x => x.group(1) -> x.group(2).toDouble).toMap
+        // samples from a DIFFERENT scale factor are not predecessors: a
+        // sweep at sf10 after a bench.json from sf1 would flag nearly
+        // every query >3× and double the wall time for zero signal
+        val prevSf = """"sf"\s*:\s*"([^"]*)"""".r
+          .findFirstMatchIn(s).map(_.group(1))
+        if (!prevSf.contains(sfDir)) Map.empty
+        else {
+          val body = """"queries"\s*:\s*\{([^}]*)\}""".r
+            .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+          """"([^"]+)"\s*:\s*(-?[0-9.]+)""".r.findAllMatchIn(body)
+            .map(x => x.group(1) -> x.group(2).toDouble).toMap
+        }
       }
     } catch { case _: Throwable => Map.empty }
     val tSetup = System.nanoTime()

@@ -1343,16 +1343,12 @@ object VersionedSnapshot {
             s"$marker:v$version", retain, expected = Some(current)))
         case Some(_) =>
           val next = prepareNext(f, base, current)
-          guardStaged(f, base, next) {
-            val target = versionPath(base, next)
-            f.mkdirs(target)
+          republishMeta(spark, f, base, next, s"$marker:v$version",
+            expected = current) { target =>
             Seq(BucketsName, DeltasName, ZonesName, BloomsName).foreach { name =>
               val p = new Path(src, name)
               if (f.exists(p)) writeSmallFile(f, new Path(target, name), readSmallFile(f, p))
             }
-            writeSmallFile(f, new Path(target, MarkerName), s"$marker:v$version")
-            writeManifest(f, base, target)
-            commitPointer(spark, f, base, next, expected = current)
           }
           applyRetention(f, base, current, next, retain)
           Some(next)
@@ -1427,7 +1423,16 @@ object VersionedSnapshot {
         // nothing ever matched and nobody interfered: no copy of the
         // subject exists anywhere a straddling writer could have read
         if (total == 0) return 0
-        try { purgeCommit(spark, baseDir, basis, marker, keys, keyRows); return total }
+        // withBasis: concurrent retention can retire the basis mid-commit,
+        // making sidecar reads fail in collateral ways — report those as
+        // the retryable conflict they are, so the loop re-passes instead
+        // of failing a compliance erasure hard
+        try {
+          withBasis(spark, baseDir, basis) {
+            purgeCommit(spark, baseDir, basis, marker, keys, keyRows)
+          }
+          return total
+        }
         catch { case _: ConcurrentSnapshotUpdate => () } // writer won: re-pass
       }
       // pointer moved mid-pass (or the bump lost the CAS): the
@@ -1465,33 +1470,64 @@ object VersionedSnapshot {
         .coalesce(1).write.mode("overwrite")
         .parquet(new Path(target, PurgedName).toString)
     }
+    // LINEAGE PRESERVATION: overwriting a streaming lineage marker
+    // ("tag:batchId") with the purge marker would make lastApplied
+    // report "none" on restart, so a re-delivered batch would RE-APPLY —
+    // and a re-applied batch can carry the purged subject, silently
+    // undoing the erasure this commit exists to linearize. When the
+    // basis marker parses as lineage it is carried VERBATIM (replay
+    // skip intact); purge identity then lives in the _PURGED sidecar,
+    // which is what purgedKeys/changesWithPurges key on anyway.
+    val outMarker = {
+      def isLineage(s: String): Boolean = {
+        val cut = s.lastIndexOf(':')
+        cut >= 0 && s.substring(cut + 1).toLongOption.isDefined
+      }
+      val m = new Path(src, MarkerName)
+      val basisMarker = if (f.exists(m)) Some(readSmallFile(f, m).trim) else None
+      basisMarker.filter(isLineage).getOrElse(s"$marker:v$basis")
+    }
     if (parseBuckets(f, src).isEmpty) {
       // flat current (possible when the matches lived only in older
       // bucketed versions): a flat dir is self-contained, so the bump is
-      // a full republish — rare shape, priced accordingly. The retraction
-      // sidecar lands after the commit (leading `_` keeps it invisible
-      // to the flat read); a crash in between loses only the retraction
-      // record, never table content.
-      val v = publish(versionFrame(spark, baseDir, basis), baseDir,
-        s"$marker:v$basis", retain = Int.MaxValue,
-        expected = Some(basis))
-      writePurged(versionPath(base, v))
+      // a full republish — rare shape, priced accordingly. The
+      // retraction sidecar is staged BEFORE the pointer flip, same as
+      // the bucketed branch: a purge commit must never exist without
+      // its retraction record.
+      val next = prepareNext(f, base, basis)
+      republishMeta(spark, f, base, next, outMarker, expected = basis) { target =>
+        versionFrame(spark, baseDir, basis)
+          .write.mode("overwrite").parquet(target.toString)
+        writePurged(target)
+      }
     } else {
       val next = prepareNext(f, base, basis)
-      guardStaged(f, base, next) {
-        val target = versionPath(base, next)
-        f.mkdirs(target)
+      republishMeta(spark, f, base, next, outMarker, expected = basis) { target =>
         Seq(BucketsName, DeltasName, ZonesName, BloomsName).foreach { name =>
           val p = new Path(src, name)
           if (f.exists(p)) writeSmallFile(f, new Path(target, name), readSmallFile(f, p))
         }
         writePurged(target)
-        writeSmallFile(f, new Path(target, MarkerName), s"$marker:v$basis")
-        writeManifest(f, base, target)
-        commitPointer(spark, f, base, next, expected = basis)
       }
     }
   }
+
+  /** Stage-and-commit shell shared by [[restore]] and [[purgeCommit]]:
+    * run `stage` against the next version's dir (sidecar copies, data
+    * writes, retraction sidecars — everything that must exist before the
+    * flip), then stamp `marker`, write the integrity manifest, and
+    * CAS-commit against `expected`. Keeping the shell in ONE place means
+    * a future sidecar is threaded through one copy path, not several. */
+  private def republishMeta(spark: SparkSession, f: FileSystem, base: Path,
+      next: Long, marker: String, expected: Long)(stage: Path => Unit): Unit =
+    guardStaged(f, base, next) {
+      val target = versionPath(base, next)
+      f.mkdirs(target)
+      stage(target)
+      writeSmallFile(f, new Path(target, MarkerName), marker)
+      writeManifest(f, base, target)
+      commitPointer(spark, f, base, next, expected = expected)
+    }
 
   /** The key tuples a purge's linearization commit erased — the
     * retraction record [[changesWithPurges]] folds into the change feed.
@@ -1523,9 +1559,16 @@ object VersionedSnapshot {
   def changesWithPurges(spark: SparkSession, baseDir: String, fromVersion: Long,
       toVersion: Long, keys: Seq[String]): Option[DataFrame] =
     changes(spark, baseDir, fromVersion, toVersion, keys).map { diff =>
-      val nonKeys = diff.columns.toSeq.filterNot(c => c == "op" || keys.contains(c))
-      val purged = ((fromVersion + 1) to toVersion)
-        .flatMap(v => purgedKeys(spark, baseDir, v))
+      // one pointer read for the whole range (purgedKeys would re-read
+      // _CURRENT per version — seconds of metadata latency on an object
+      // store for a long feed window)
+      val f = fs(spark, baseDir)
+      val cur = currentVersion(spark, baseDir).getOrElse(-1L)
+      val purged = ((fromVersion + 1) to math.min(toVersion, cur))
+        .flatMap { v =>
+          val p = new Path(versionPath(new Path(baseDir), v), PurgedName)
+          if (f.exists(p)) Some(spark.read.parquet(p.toString)) else None
+        }
       purged.reduceOption(_ unionByName _) match {
         case None => diff
         case Some(subjects) =>
@@ -1553,7 +1596,10 @@ object VersionedSnapshot {
       s"every key tuple must have ${keys.size} values")
     val f = fs(spark, baseDir)
     val base = new Path(baseDir)
-    if (currentVersion(spark, baseDir).isEmpty) return 0
+    val cur0 = currentVersion(spark, baseDir) match {
+      case Some(v) => v
+      case None => return 0
+    }
 
     def matchCond(): Column =
       if (keys.size == 1)
@@ -1562,8 +1608,15 @@ object VersionedSnapshot {
         keys.zip(t).map { case (k, v) => col(k) <=> lit(v) }.reduce(_ && _))
         .reduce(_ || _)
 
+    // COMMITTED versions only (<= the pointer at listing): a concurrent
+    // writer's staged dir above the pointer is mid-flight — half-written
+    // parquet throws at the probe, a staged flat dir trips the fail-fast
+    // for a version that may never commit, and a staged _BUCKETS with a
+    // new bucket count isn't in hitBuckets. Anything that commits later
+    // is the linearization loop's job, not this pass's.
     val vdirs = f.listStatus(base).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+      .filter(_.getPath.getName.drop(1).toLongOption.exists(_ <= cur0))
       .map(_.getPath).sortBy(_.getName)
 
     // fail fast: a flat version holding a purged key cannot be rewritten

@@ -73,8 +73,11 @@ class PurgeRaceSpec extends SparkSpec {
     val (writer, errs) = straddler(base, delayMs = 6000)
     try {
       awaitClaim(base)
-      assert(!new java.io.File(base, "v00001").exists(),
-        "staged version dir appeared before the purge listed — rerun")
+      // precondition, not a regression: on a pathologically loaded host
+      // the straddler could finish staging before we get here — cancel
+      // (the wrapped test below is interleave-independent and still runs)
+      assume(!new java.io.File(base, "v00001").exists(),
+        "staged version dir appeared before the purge listed")
       // the raw in-place pass, no linearization commit
       val n = VersionedSnapshot.purgeKeysPass(spark, base, Seq("k"), Seq(Seq(3L)))
       assert(n >= 1, "the pass should have rewritten the seed version")

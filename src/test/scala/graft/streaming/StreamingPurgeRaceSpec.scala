@@ -97,10 +97,27 @@ class StreamingPurgeRaceSpec extends SparkSpec {
     (0 until nBatches).foreach { b =>
       assert(cur.get(100L + b).contains(500L + b), s"witness of batch $b lost")
     }
-    // the purge's linearization commit is visible lineage
-    val markers = VersionedSnapshot.history(spark, base)
-      .select("marker").collect().map(_.getString(0))
-    assert(markers.exists(_.startsWith("gdpr-purge:")),
-      s"purge commit missing from history: ${markers.toSeq}")
+    // on a STREAMING table the purge commit preserves the lineage marker
+    // verbatim (replay-skip survival beats marker cosmetics — an
+    // overwritten lineage marker would re-apply the last batch on
+    // restart, potentially resurrecting the subject); purge identity is
+    // the _PURGED sidecar
+    val versions = VersionedSnapshot.history(spark, base)
+      .select("version").collect().map(_.getLong(0))
+    assert(versions.exists(v =>
+      VersionedSnapshot.purgedKeys(spark, base, v).isDefined),
+      "no retained version carries the purge retraction sidecar")
+    // and the retraction names exactly the subject
+    val retracted = versions.flatMap(v =>
+      VersionedSnapshot.purgedKeys(spark, base, v)).flatMap(
+      _.collect().map(_.getLong(0)))
+    assert(retracted.toSet == Set(subject),
+      s"retraction subjects wrong: ${retracted.toSeq}")
+    // lineage survived the purge commit: the LAST batch is still the
+    // recorded replay horizon, so a restart cannot re-apply batch data
+    // over the erasure
+    val (tag, lastId) = VersionedSnapshot.lastApplied(spark, base)
+    assert(tag == ckpt && lastId == nBatches - 1,
+      s"streaming lineage lost across the purge commit: ($tag, $lastId)")
   }
 }
