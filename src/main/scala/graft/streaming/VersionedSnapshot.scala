@@ -1559,29 +1559,47 @@ object VersionedSnapshot {
   def changesWithPurges(spark: SparkSession, baseDir: String, fromVersion: Long,
       toVersion: Long, keys: Seq[String]): Option[DataFrame] =
     changes(spark, baseDir, fromVersion, toVersion, keys).map { diff =>
-      // one pointer read for the whole range (purgedKeys would re-read
-      // _CURRENT per version — seconds of metadata latency on an object
-      // store for a long feed window)
-      val f = fs(spark, baseDir)
-      val cur = currentVersion(spark, baseDir).getOrElse(-1L)
-      val purged = ((fromVersion + 1) to math.min(toVersion, cur))
-        .flatMap { v =>
-          val p = new Path(versionPath(new Path(baseDir), v), PurgedName)
-          if (f.exists(p)) Some(spark.read.parquet(p.toString)) else None
-        }
-      purged.reduceOption(_ unionByName _) match {
-        case None => diff
-        case Some(subjects) =>
-          val schema = diff.schema
-          val retractions = subjects.distinct()
-            .withColumn("op", lit("purge"))
-            .select(schema.fields.map { fld =>
-              if (fld.name == "op" || keys.contains(fld.name)) col(fld.name)
-              else lit(null).cast(fld.dataType).as(fld.name)
-            }.toIndexedSeq: _*)
-          diff.unionByName(retractions)
-      }
+      purgeRetractionRows(spark, baseDir, fromVersion, toVersion, keys,
+        diff.schema).map(diff.unionByName).getOrElse(diff)
     }
+
+  /** [[changesPrePost]] plus purge retractions — the purge-aware face of
+    * the retraction-IVM feed. Same `op = "purge"` rows as
+    * [[changesWithPurges]] (keys set, values null): a keyed mart drops
+    * the key outright; an AGGREGATED consumer cannot subtract an erased
+    * preimage (the values are gone by design) and must recompute the
+    * affected groups or full-refresh — the same contract Delta's CDF has
+    * after a VACUUM passes the retention horizon. */
+  def changesPrePostWithPurges(spark: SparkSession, baseDir: String,
+      fromVersion: Long, toVersion: Long, keys: Seq[String]): Option[DataFrame] =
+    changesPrePost(spark, baseDir, fromVersion, toVersion, keys).map { diff =>
+      purgeRetractionRows(spark, baseDir, fromVersion, toVersion, keys,
+        diff.schema).map(diff.unionByName).getOrElse(diff)
+    }
+
+  /** `op = "purge"` retraction rows (keys set, every other column null)
+    * for the purge commits in `(fromVersion, min(toVersion, current)]`,
+    * projected to the feed's `schema`. One pointer read for the whole
+    * range; None when the range holds no purge commits. */
+  private def purgeRetractionRows(spark: SparkSession, baseDir: String,
+      fromVersion: Long, toVersion: Long, keys: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
+    val f = fs(spark, baseDir)
+    val cur = currentVersion(spark, baseDir).getOrElse(-1L)
+    val purged = ((fromVersion + 1) to math.min(toVersion, cur))
+      .flatMap { v =>
+        val p = new Path(versionPath(new Path(baseDir), v), PurgedName)
+        if (f.exists(p)) Some(spark.read.parquet(p.toString)) else None
+      }
+    purged.reduceOption(_ unionByName _).map { subjects =>
+      subjects.distinct()
+        .withColumn("op", lit("purge"))
+        .select(schema.fields.map { fld =>
+          if (fld.name == "op" || keys.contains(fld.name)) col(fld.name)
+          else lit(null).cast(fld.dataType).as(fld.name)
+        }.toIndexedSeq: _*)
+    }
+  }
 
   /** One in-place purge pass over the versions retained at listing time —
     * see [[purgeKeys]] for the linearization wrapper that makes this safe

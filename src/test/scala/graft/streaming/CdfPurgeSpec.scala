@@ -56,6 +56,19 @@ class CdfPurgeSpec extends SparkSpec {
     assert(feed2.contains(("purge", 5L)) && feed2.contains(("insert", 5L)),
       s"re-inserted subject needs both its retraction and its new row: $feed2")
 
+    // the pre/post-image feed (retraction-IVM input) carries the same
+    // retractions; plain pre/post rows are undisturbed
+    val pp = VersionedSnapshot.changesPrePostWithPurges(spark, base, v0, cur2, Seq("k")).get
+    val ppPurge = pp.filter(col("op") === "purge").collect()
+    assert(ppPurge.map(_.getLong(1)).toSet == Set(4L, 5L),
+      s"pre/post feed retractions wrong: ${ppPurge.mkString(",")}")
+    val ppPlain = VersionedSnapshot.changesPrePost(spark, base, v0, cur2, Seq("k")).get
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val ppNonPurge = pp.filter(col("op") =!= "purge")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ppNonPurge == ppPlain,
+      "purge-aware pre/post feed must not disturb the image rows")
+
     // retraction-first fold over a derived copy equals the real table
     val derived = scala.collection.mutable.Map.empty[Long, Long]
     VersionedSnapshot.readVersion(spark, base, v0).get.collect()
