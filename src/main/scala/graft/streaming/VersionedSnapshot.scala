@@ -130,6 +130,12 @@ object VersionedSnapshot {
     * CAS — widens the conflict window deterministically. */
   private[graft] val TestDelayBeforeCommitConf = "graft.snapshot.test.delayBeforeCommitMs"
   private[graft] val TestDelayInCommitConf = "graft.snapshot.test.delayInCommitMs"
+  /** Spec-only seam: stall AFTER the commit section's fence read-back,
+    * immediately before the pointer flip — the exact position of the
+    * documented rename-backend double-flip window. Drives the
+    * stalled-committer specs that prove a conditional-put backend closes
+    * the window the fenced rename cannot. */
+  private[graft] val TestDelayAfterFenceConf = "graft.snapshot.test.delayAfterFenceMs"
   /** Spec-only power-loss seam: when the active session's conf names one
     * of the seam points, the JVM halts outright — `Runtime.halt` skips
     * finally blocks, [[guardStaged]]'s abort, and shutdown hooks,
@@ -144,10 +150,18 @@ object VersionedSnapshot {
     * (overlay file written, version dir absent), `mid-purge` (first
     * retained version purged, the rest not). */
   private[graft] val HaltAtConf = "graft.snapshot.test.haltAt"
+  /** JVM system property that ARMS the halt seam. `Runtime.halt` must
+    * not be reachable from a session conf alone — on a shared driver,
+    * anything that can set confs could otherwise hard-kill the JVM
+    * mid-commit. Only the crash-spec child launcher passes
+    * `-Dgraft.snapshot.test.haltArmed=true`; without it the conf is
+    * inert. */
+  private[graft] val HaltArmedProp = "graft.snapshot.test.haltArmed"
   private[graft] val HaltExitCode = 117
   private def haltPoint(point: String): Unit =
-    if (org.apache.spark.sql.SparkSession.getActiveSession
-        .flatMap(_.conf.getOption(HaltAtConf)).contains(point))
+    if (sys.props.get(HaltArmedProp).contains("true") &&
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .flatMap(_.conf.getOption(HaltAtConf)).contains(point))
       Runtime.getRuntime.halt(HaltExitCode)
 
   private def confMs(name: String, default: Long): Long =
@@ -258,6 +272,143 @@ object VersionedSnapshot {
         .rename(tmp, p, Options.Rename.OVERWRITE)
     }
   }
+
+  // ---- pluggable pointer-commit backend (r14) ----
+
+  /** The single-key commit primitive behind the pointer flip. The flip
+    * is logically "replace `_CURRENT`'s content with `next` ONLY IF it
+    * still reads what this committer read when it validated its basis" —
+    * i.e. a conditional put.
+    *
+    * Two shipped backends:
+    *  - [[RenamePointerStore]] (default): plain atomic
+    *    rename-with-overwrite. NOT conditional — the compare and the
+    *    write are separate steps, so it is only safe under the fenced
+    *    commit lock, and even then a committer stalled between its fence
+    *    read and the rename can overwrite a successor (the documented
+    *    double-flip window; see [[commitPointer]]).
+    *  - [[CasFilePointerStore]]: a genuine compare-and-swap for `file:`
+    *    tables — the precondition check and the write happen atomically
+    *    under an OS file lock on a `_CURRENT.caslock` sidecar (held
+    *    cross-process; same-JVM threads serialize on a striped monitor
+    *    first, because the JVM throws on overlapping [[java.nio.channels
+    *    .FileLock]]s from one process). A committer stalled ARBITRARILY
+    *    long before calling `putIfMatch` simply loses: the store rejects
+    *    the stale expectation. This is the local double of an object
+    *    store's conditional put (S3 `If-Match`/`If-None-Match` on the
+    *    pointer key, GCS `x-goog-if-generation-match`, Azure ETag):
+    *    deploying there is implementing this 2-method trait over the
+    *    store SDK and registering it — no protocol change.
+    *
+    * Select per session with conf `graft.snapshot.pointerStore` =
+    * `rename` | `cas-file` | a [[registerPointerStore]]'d name. */
+  trait PointerStore {
+    /** Backend name (the conf value that selects it). */
+    def name: String
+    /** True when `putIfMatch`'s precondition check and write are one
+      * atomic unit against every other writer (any process). */
+    def conditional: Boolean
+    /** Atomically set `ptr`'s content to `value` iff the current content
+      * equals `expected` (None = the file must not exist). Returns false
+      * when the precondition failed; the write must be atomic for
+      * readers (never a partial file). */
+    def putIfMatch(spark: SparkSession, f: FileSystem, ptr: Path,
+        value: String, expected: Option[String]): Boolean
+  }
+
+  /** Session conf selecting the pointer-commit backend (default
+    * `rename`). */
+  private[graft] val PointerStoreConf = "graft.snapshot.pointerStore"
+
+  /** Default backend: unconditional atomic rename, safe only under the
+    * fenced commit lock (the r11-r13 protocol, unchanged). */
+  object RenamePointerStore extends PointerStore {
+    val name = "rename"
+    val conditional = false
+    def putIfMatch(spark: SparkSession, f: FileSystem, ptr: Path,
+        value: String, expected: Option[String]): Boolean = {
+      val cur = if (f.exists(ptr)) Some(readSmallFile(f, ptr).trim) else None
+      if (cur != expected.map(_.trim)) false
+      else { atomicOverwrite(spark, f, ptr, value); true }
+    }
+  }
+
+  /** Conditional-put backend for `file:` tables: compare and write are
+    * one atomic unit under an OS `FileLock` on `<ptr>.caslock`, so a
+    * committer that stalls for ANY length of time between validating its
+    * basis and flipping the pointer cannot overwrite a successor — its
+    * `putIfMatch` finds the content moved and returns false. The pointer
+    * file itself is still replaced via temp-file + `ATOMIC_MOVE`, so
+    * lock-free readers never observe a partial write. */
+  object CasFilePointerStore extends PointerStore {
+    val name = "cas-file"
+    val conditional = true
+    // FileLock is per-PROCESS: a second lock attempt on the same file
+    // from another thread of this JVM throws OverlappingFileLockException
+    // instead of blocking, so same-JVM writers serialize on a per-path
+    // monitor before taking the cross-process OS lock
+    private val monitors =
+      new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    def putIfMatch(spark: SparkSession, f: FileSystem, ptr: Path,
+        value: String, expected: Option[String]): Boolean = {
+      require(f.getScheme == "file",
+        s"$name is the local double of an object-store conditional put; " +
+          s"for scheme '${f.getScheme}' implement PointerStore over the " +
+          "store's put-if-match API and registerPointerStore it")
+      import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption, StandardOpenOption}
+      val dst = JPaths.get(ptr.toUri.getPath)
+      JFiles.createDirectories(dst.getParent)
+      val lockFile = dst.resolveSibling(dst.getFileName.toString + ".caslock")
+      val mon = monitors.computeIfAbsent(
+        dst.toAbsolutePath.toString, _ => new Object)
+      mon.synchronized {
+        val ch = java.nio.channels.FileChannel.open(lockFile,
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        try {
+          val lk = ch.lock() // blocks until cross-process exclusive
+          try {
+            val cur =
+              if (JFiles.exists(dst))
+                Some(new String(JFiles.readAllBytes(dst), "UTF-8").trim)
+              else None
+            if (cur != expected.map(_.trim)) false
+            else {
+              val tmp = dst.resolveSibling(dst.getFileName.toString + "." +
+                java.util.UUID.randomUUID().toString + ".tmp")
+              JFiles.write(tmp, value.getBytes("UTF-8"))
+              // same checksum hygiene as atomicOverwrite: a stale .crc
+              // left by a checksummed-FS writer would fail readers
+              Seq(dst.getFileName.toString, tmp.getFileName.toString)
+                .foreach { n =>
+                  JFiles.deleteIfExists(dst.resolveSibling("." + n + ".crc")); ()
+                }
+              JFiles.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING,
+                StandardCopyOption.ATOMIC_MOVE)
+              true
+            }
+          } finally lk.release()
+        } finally ch.close()
+      }
+    }
+  }
+
+  @volatile private var customPointerStores: Map[String, PointerStore] = Map.empty
+
+  /** Register a deployment backend (e.g. an S3 put-if-match
+    * implementation) under its [[PointerStore.name]]; select it with the
+    * `graft.snapshot.pointerStore` session conf. */
+  def registerPointerStore(store: PointerStore): Unit =
+    synchronized { customPointerStores += store.name -> store }
+
+  private def pointerStoreFor(spark: SparkSession): PointerStore =
+    spark.conf.getOption(PointerStoreConf).getOrElse(RenamePointerStore.name) match {
+      case RenamePointerStore.name => RenamePointerStore
+      case CasFilePointerStore.name => CasFilePointerStore
+      case other => customPointerStores.getOrElse(other,
+        sys.error(s"unknown $PointerStoreConf '$other' — registered: " +
+          (Seq(RenamePointerStore.name, CasFilePointerStore.name) ++
+            customPointerStores.keys).mkString(", ")))
+    }
 
   /** The committed version number, if any publish has completed. */
   def currentVersion(spark: SparkSession, baseDir: String): Option[Long] = {
@@ -1992,14 +2143,20 @@ object VersionedSnapshot {
     * to prevent. The paused writer now re-reads the token as the last
     * act before the rename and aborts (retryably) when it lost the lock.
     *
-    * HONEST LIMIT: with filesystem primitives only, the fence NARROWS
-    * but cannot CLOSE the double-flip window — a committer stalled
-    * between the fence read and the pointer rename (a sub-millisecond
-    * gap, vs the seconds-long staleness horizon needed to break the
-    * lock in the first place) still overwrites the successor. Closing
-    * it outright needs a conditional write: on stores with put-if-match
-    * / compare-and-swap semantics, flip the pointer with put-if-match
-    * on the previously read pointer content instead of a blind rename. */
+    * LIMIT OF THE DEFAULT BACKEND, AND ITS CLOSURE: with filesystem
+    * rename only ([[RenamePointerStore]]), the fence NARROWS but cannot
+    * CLOSE the double-flip window — a committer stalled between the
+    * fence read and the pointer rename (a sub-millisecond gap, vs the
+    * seconds-long staleness horizon needed to break the lock in the
+    * first place) still overwrites the successor. A CONDITIONAL backend
+    * ([[CasFilePointerStore]] locally; an object store's put-if-match in
+    * deployment, selected via `graft.snapshot.pointerStore`) closes it
+    * outright: the flip is `putIfMatch(expected = the content this
+    * committer validated)`, so a stalled committer's late write is
+    * rejected by the store itself no matter how long the stall —
+    * proven by SnapshotStalledCommitterSpec, which drives the identical
+    * post-fence stall through both backends and shows the rename
+    * backend double-flip and the CAS backend refusal. */
   private def commitPointer(spark: SparkSession, f: FileSystem, base: Path,
       next: Long, expected: Long): Unit = {
     // crash-consistency fault-injection point (spec-only): a crash HERE
@@ -2049,9 +2206,9 @@ object VersionedSnapshot {
       spark.conf.getOption(TestDelayInCommitConf).flatMap(_.toLongOption)
         .foreach(Thread.sleep)
       val ptr = new Path(base, PointerName)
-      val cur =
-        if (!f.exists(ptr)) -1L
-        else readSmallFile(f, ptr).trim.toLongOption.getOrElse(-1L)
+      val rawCur: Option[String] =
+        if (!f.exists(ptr)) None else Some(readSmallFile(f, ptr).trim)
+      val cur = rawCur.flatMap(_.toLongOption).getOrElse(-1L)
       if (cur != expected)
         throw new ConcurrentSnapshotUpdate(base.toString, expected, cur)
       // the fence: confirm the lock is still ours as the last act before
@@ -2059,7 +2216,33 @@ object VersionedSnapshot {
       // instead of double-committing over the successor
       if (!lockToken().contains(token))
         throw new ConcurrentSnapshotUpdate(base.toString, expected, cur)
-      atomicOverwrite(spark, f, new Path(base, PointerName), next.toString)
+      // spec-only post-fence stall: the rename backend's residual
+      // double-flip window sits exactly here. Value "<ms>" stalls every
+      // committer; "<ms>:<substr>" stalls only threads whose name
+      // contains the tag — lets a spec pin WHICH writer stalls instead
+      // of racing on conf set/unset timing
+      spark.conf.getOption(TestDelayAfterFenceConf).foreach { v =>
+        val (ms, tag) = v.split(":", 2) match {
+          case Array(m, t) => (m.toLongOption, Some(t))
+          case arr => (arr.headOption.flatMap(_.toLongOption), None)
+        }
+        if (tag.forall(Thread.currentThread().getName.contains(_)))
+          ms.foreach(Thread.sleep)
+      }
+      val store = pointerStoreFor(spark)
+      if (store.conditional) {
+        // conditional backend: the store re-checks `rawCur` atomically
+        // with the write, so even a committer that stalled past its
+        // fence read cannot land on a moved pointer — the refusal
+        // surfaces as the same retryable conflict as a lost CAS
+        if (!store.putIfMatch(spark, f, ptr, next.toString, rawCur)) {
+          val now =
+            if (!f.exists(ptr)) -1L
+            else readSmallFile(f, ptr).trim.toLongOption.getOrElse(-1L)
+          throw new ConcurrentSnapshotUpdate(base.toString, expected, now)
+        }
+      } else
+        atomicOverwrite(spark, f, ptr, next.toString)
       // power-loss window: pointer flipped (the version IS committed) but
       // the claim is never released and the commit lock never deleted —
       // the worst-litter crash shape the healing paths must absorb

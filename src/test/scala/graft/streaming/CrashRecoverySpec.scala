@@ -39,6 +39,8 @@ class CrashRecoverySpec extends SparkSpec {
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       "-Xms512m", "-Xmx3g",
       "-Dspark.ui.enabled=false",
+      // arms the Runtime.halt seam: a session conf alone is inert
+      s"-D${VersionedSnapshot.HaltArmedProp}=true",
       "-cp", sys.props("java.class.path"),
       "graft.streaming.CrashJvmMain") ++ args
     val pb = new ProcessBuilder(cmd: _*)

@@ -12,8 +12,30 @@ import org.apache.spark.sql.functions._
   * stale-claim sweep's committed-history guard. These are the races a
   * multi-writer 100 TB table hits in production: two merge jobs
   * publishing at once, a GC-paused committer whose lock was broken, a
-  * leaked claim shielding or sweeping retained history. */
-class SnapshotConcurrencySpec extends SparkSpec {
+  * leaked claim shielding or sweeping retained history.
+  *
+  * The whole battery runs once per pointer-commit backend:
+  * [[SnapshotConcurrencySpec]] = default rename,
+  * [[SnapshotConcurrencyCasSpec]] = the conditional-put (`cas-file`)
+  * backend — every protocol invariant must hold identically under both
+  * (the backends differ only in whether the residual post-fence stall
+  * window exists, which SnapshotStalledCommitterSpec pins separately). */
+abstract class SnapshotConcurrencyBehaviors extends SparkSpec {
+
+  /** None = default (rename); Some(name) = conf-selected backend. */
+  protected def pointerStoreName: Option[String]
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    pointerStoreName.foreach(
+      spark.conf.set(VersionedSnapshot.PointerStoreConf, _))
+  }
+
+  override def afterAll(): Unit = {
+    pointerStoreName.foreach(_ =>
+      spark.conf.unset(VersionedSnapshot.PointerStoreConf))
+    super.afterAll()
+  }
 
   private def fsFor(dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -342,4 +364,17 @@ class SnapshotConcurrencySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 9L)))
   }
+}
+
+/** The battery under the default rename backend. */
+class SnapshotConcurrencySpec extends SnapshotConcurrencyBehaviors {
+  protected def pointerStoreName: Option[String] = None
+}
+
+/** The identical battery under the conditional-put backend: every
+  * interleaving the fenced-rename protocol survives must also hold when
+  * the flip is a genuine compare-and-swap. */
+class SnapshotConcurrencyCasSpec extends SnapshotConcurrencyBehaviors {
+  protected def pointerStoreName: Option[String] =
+    Some(VersionedSnapshot.CasFilePointerStore.name)
 }
