@@ -617,9 +617,59 @@ private[graft] object CurationSnapshotQueries {
           .withColumn("n_chars", col("n_chars") + 1000),
         Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
         marker = "upsert", retain = 10)
-      VS.purgeKeys(s, base, Seq("doc_id"), Seq(Seq(3L), Seq(13L), Seq(23L)))
+      // purge subjects DERIVED from the table (the three smallest
+      // %5-disjoint ids), not hard-coded — at any scale factor the
+      // engine and the oracle purge the same existing subjects, so the
+      // retraction row-set can never diverge on id coverage. %5 <> 0
+      // keeps them out of both merge sources (no diff rows of their own)
+      val subjects = docs.filter(col("doc_id") % 5 =!= 0)
+        .select("doc_id").orderBy("doc_id").limit(3)
+        .collect().map(r => Seq[Any](r.getLong(0))).toSeq
+      VS.purgeKeys(s, base, Seq("doc_id"), subjects)
       val cur = VS.currentVersion(s, base).get
       VS.changesWithPurges(s, base, v0, cur, Seq("doc_id")).get
+        .select("op", "doc_id", "n_chars", "lang")
+    }),
+
+    // ---- retention × purge interplay (r14): an aggressive retention
+    // IMMEDIATELY after a purge retires the history the in-place pass
+    // rewrote — but the purge commit's _PURGED retraction record rides
+    // the RETAINED purge-commit version (purgeCommit itself never
+    // applies retention), so a feed from the still-retained basis must
+    // carry the retraction alongside the post-purge diff rows. The
+    // prefix property of retention (it drops a prefix of versions)
+    // means a sidecar can only ever age out together with every
+    // from-side that could request it — None, never a silently
+    // purge-less feed (PurgeContractSpec pins that side) ----
+    "snapshot_purge_retention" -> ((s, dir) => {
+      val VS = graft.streaming.VersionedSnapshot
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = tempSnapshotBase("graft-pret")
+      VS.mergeInto(base, docs, Seq("doc_id"), VS.UpdateMatched,
+        insertUnmatched = true, marker = "seed", retain = 10)
+      VS.mergeInto(base,
+        docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("n_chars", col("n_chars") + 2000),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = false,
+        marker = "u1", retain = 10)
+      val vBasis = VS.mergeInto(base,
+        docs.filter(col("doc_id") % 6 === 0).withColumn("lang", lit("qq")),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = false,
+        marker = "u2", retain = 10)
+      val subjects = docs.filter(col("doc_id") % 5 =!= 0)
+        .select("doc_id").orderBy("doc_id").limit(3)
+        .collect().map(r => Seq[Any](r.getLong(0))).toSeq
+      require(VS.purgeKeys(s, base, Seq("doc_id"), subjects) > 0,
+        "the purge must rewrite something for the interplay to be real")
+      // aggressive retention right after the purge: retain=3 keeps only
+      // (basis, purge commit, this merge); v0/v1 — rewritten in place by
+      // the pass — are retired
+      val vEnd = VS.mergeInto(base,
+        docs.filter(col("doc_id") % 9 === 0)
+          .withColumn("n_chars", col("n_chars") + 111),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = false,
+        marker = "u3", retain = 3)
+      VS.changesWithPurges(s, base, vBasis, vEnd, Seq("doc_id")).get
         .select("op", "doc_id", "n_chars", "lang")
     }),
 

@@ -473,19 +473,43 @@ private[graft] object OraclesCorpusAnalytics {
 
     // CDF-with-retractions in closed form: inserts are the %10=0 upsert
     // arrivals, updates the %5-overlap, purge rows the three subjects
-    // with erased (null) values; the subjects are %5-disjoint so they
-    // produce no diff rows of their own
+    // with erased (null) values. The subjects mirror the query's
+    // derivation — three smallest %5<>0 ids — so engine and oracle
+    // purge the same EXISTING rows at every scale factor, and %5<>0
+    // keeps them disjoint from both merge sources (no diff rows of
+    // their own)
     "snapshot_changes_purged" ->
-      """SELECT 'insert' AS op, doc_id, n_chars + 1000 AS n_chars, lang
+      """WITH subj AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 5 <> 0
+        |  ORDER BY doc_id LIMIT 3)
+        |SELECT 'insert' AS op, doc_id, n_chars + 1000 AS n_chars, lang
         |FROM documents WHERE doc_id % 10 = 0
         |UNION ALL
         |SELECT 'update' AS op, doc_id, n_chars + 1000 AS n_chars, lang
         |FROM documents
-        |WHERE doc_id % 10 <> 0 AND doc_id % 5 = 0 AND doc_id NOT IN (3,13,23)
+        |WHERE doc_id % 10 <> 0 AND doc_id % 5 = 0
         |UNION ALL
         |SELECT 'purge' AS op, doc_id, CAST(NULL AS BIGINT) AS n_chars,
         |       CAST(NULL AS VARCHAR) AS lang
-        |FROM documents WHERE doc_id IN (3,13,23)""".stripMargin,
+        |FROM subj""".stripMargin,
+
+    // retention×purge in closed form: UpdateMatched REPLACES the whole
+    // row with the source row, so the %9 update diff carries the
+    // original values +111 (the earlier %4/%6 merges are overwritten
+    // for those keys), plus one null-valued purge row per derived
+    // subject — the retraction record must survive the retain=3
+    // retention that retired the pre-purge history
+    "snapshot_purge_retention" ->
+      """WITH subj AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 5 <> 0
+        |  ORDER BY doc_id LIMIT 3)
+        |SELECT 'update' AS op, doc_id, n_chars + 111 AS n_chars, lang
+        |FROM documents
+        |WHERE doc_id % 9 = 0 AND doc_id NOT IN (SELECT doc_id FROM subj)
+        |UNION ALL
+        |SELECT 'purge' AS op, doc_id, CAST(NULL AS BIGINT) AS n_chars,
+        |       CAST(NULL AS VARCHAR) AS lang
+        |FROM subj""".stripMargin,
 
     // restore in closed form: the +1000 update is undone (n_chars back
     // to seed), the post-restore merge lands on seed values

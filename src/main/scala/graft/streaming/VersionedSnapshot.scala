@@ -164,6 +164,20 @@ object VersionedSnapshot {
           .flatMap(_.conf.getOption(HaltAtConf)).contains(point))
       Runtime.getRuntime.halt(HaltExitCode)
 
+  /** Spec-only seam sleeps: conf value "<ms>" stalls every committer;
+    * "<ms>:<substr>" stalls only threads whose name contains the tag —
+    * lets a spec pin WHICH writer stalls instead of racing on conf
+    * set/unset timing. */
+  private def specDelay(spark: SparkSession, confName: String): Unit =
+    spark.conf.getOption(confName).foreach { v =>
+      val (ms, tag) = v.split(":", 2) match {
+        case Array(m, t) => (m.toLongOption, Some(t))
+        case arr => (arr.headOption.flatMap(_.toLongOption), None)
+      }
+      if (tag.forall(Thread.currentThread().getName.contains(_)))
+        ms.foreach(Thread.sleep)
+    }
+
   private def confMs(name: String, default: Long): Long =
     org.apache.spark.sql.SparkSession.getActiveSession
       .flatMap(s => s.conf.getOption(name)).flatMap(_.toLongOption)
@@ -1545,7 +1559,8 @@ object VersionedSnapshot {
     * the erasure (the batched probe finds only the remaining matches, and
     * already-clean dirs are left untouched). */
   def purgeKeys(spark: SparkSession, baseDir: String, keys: Seq[String],
-      keyRows: Seq[Seq[Any]], marker: String = "purge-commit"): Int = {
+      keyRows: Seq[Seq[Any]], marker: String = "purge-commit",
+      retractUnmatched: Boolean = false): Int = {
     // Linearization loop (r13). The in-place pass alone is NOT safe
     // against concurrent writers: a merge that CLAIMED and staged before
     // this purge (its staged files were rewritten from pre-purge reads)
@@ -1568,12 +1583,30 @@ object VersionedSnapshot {
         case Some(v) => v
         case None => return total
       }
-      total += purgeKeysPass(spark, baseDir, keys, keyRows)
+      // a version listed at pass start can be retired by a concurrent
+      // writer's retention MID-pass, failing its in-place rewrite in
+      // collateral ways (missing dirs/sidecars). When the pointer moved
+      // off the basis, any pass failure is presumed such collateral and
+      // the loop re-passes over the fresh listing (consuming an
+      // attempt); with the pointer unmoved the fault is real and
+      // propagates — same reasoning as purgeCommit's withBasis guard
+      total +=
+        (try purgeKeysPass(spark, baseDir, keys, keyRows)
+        catch {
+          case _: Throwable
+              if currentVersion(spark, baseDir).getOrElse(-1L) != basis => 0
+        })
       val now = currentVersion(spark, baseDir).getOrElse(-1L)
       if (now == basis) {
         // nothing ever matched and nobody interfered: no copy of the
-        // subject exists anywhere a straddling writer could have read
-        if (total == 0) return 0
+        // subject exists anywhere a straddling writer could have read,
+        // so BY DEFAULT no linearization commit happens and no _PURGED
+        // retraction is recorded. `retractUnmatched` opts into a
+        // retraction-only bump for that case: a downstream CDF consumer
+        // may have ingested the subject before an ordinary upstream
+        // delete removed it from this table, and without a retraction
+        // row the erasure signal never propagates to it
+        if (total == 0 && !retractUnmatched) return 0
         // withBasis: concurrent retention can retire the basis mid-commit,
         // making sidecar reads fail in collateral ways — report those as
         // the retryable conflict they are, so the loop re-passes instead
@@ -1683,9 +1716,16 @@ object VersionedSnapshot {
   /** The key tuples a purge's linearization commit erased — the
     * retraction record [[changesWithPurges]] folds into the change feed.
     * None when `version` is not retained or is not a purge commit.
-    * Carries the REQUESTED subjects (conservative: a subject that
-    * matched nothing still yields a retraction row — forgetting a key
-    * you never held is a no-op downstream). */
+    * Carries the REQUESTED subjects of that COMMITTED purge
+    * (conservative within a commit: a subject that matched nothing
+    * still yields a retraction row when ANY subject of the same call
+    * matched — forgetting a key you never held is a no-op downstream).
+    * A [[purgeKeys]] call whose subjects ALL matched nothing commits no
+    * bump at all by default, so no retraction record exists for it —
+    * pass `retractUnmatched = true` when downstream erasure signals
+    * must propagate even for subjects this table no longer (or never)
+    * held, e.g. a subject an ordinary upstream delete removed before
+    * the GDPR request arrived but which a CDF consumer ingested. */
   def purgedKeys(spark: SparkSession, baseDir: String, version: Long): Option[DataFrame] = {
     val f = fs(spark, baseDir)
     val p = new Path(versionPath(new Path(baseDir), version), PurgedName)
@@ -1737,10 +1777,35 @@ object VersionedSnapshot {
       schema: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
     val f = fs(spark, baseDir)
     val cur = currentVersion(spark, baseDir).getOrElse(-1L)
+    // each sidecar is typed with the key schema AT ITS PURGE TIME, which
+    // can differ from the feed's: a key column whose type later widened
+    // (schema evolution), or a purge issued on an entirely different key
+    // set. Project + cast every sidecar to the REQUESTED keys with the
+    // feed's dtypes before unioning — a dtype drift is absorbed by the
+    // cast; a purge whose subjects cannot be expressed in the feed's
+    // keys fails with a targeted message naming the version (silently
+    // skipping it would hide an erasure signal from a compliance feed;
+    // blindly unioning it would fail the whole read with an unkeyed
+    // schema error)
+    val keyCols = keys.map(k => k -> schema(k).dataType)
     val purged = ((fromVersion + 1) to math.min(toVersion, cur))
       .flatMap { v =>
         val p = new Path(versionPath(new Path(baseDir), v), PurgedName)
-        if (f.exists(p)) Some(spark.read.parquet(p.toString)) else None
+        if (!f.exists(p)) None
+        else {
+          val sidecar = spark.read.parquet(p.toString)
+          val missing = keys.filterNot(sidecar.columns.contains)
+          if (missing.nonEmpty)
+            throw new IllegalStateException(
+              s"purge commit v$v of $baseDir retracts key columns " +
+                s"[${sidecar.columns.mkString(", ")}], which cannot be " +
+                s"projected onto the feed's keys [${keys.mkString(", ")}] " +
+                s"(missing: ${missing.mkString(", ")}) — consume the " +
+                "change feed with the purge's key columns, or start the " +
+                s"range at v$v or later")
+          Some(sidecar.select(
+            keyCols.map { case (k, dt) => col(k).cast(dt).as(k) }: _*))
+        }
       }
     purged.reduceOption(_ unionByName _).map { subjects =>
       subjects.distinct()
@@ -2166,8 +2231,7 @@ object VersionedSnapshot {
       throw new IllegalStateException(
         s"injected crash before pointer commit ($CrashBeforeCommitConf)")
     // spec-only conflict-window widener
-    spark.conf.getOption(TestDelayBeforeCommitConf).flatMap(_.toLongOption)
-      .foreach(Thread.sleep)
+    specDelay(spark, TestDelayBeforeCommitConf)
     val lock = new Path(base, CommitLockName)
     val lockStaleMs = confMs(CommitLockStaleMsConf, DefaultCommitLockStaleMs)
     val deadline = System.currentTimeMillis() + math.max(30000L, 2 * lockStaleMs)
@@ -2217,18 +2281,8 @@ object VersionedSnapshot {
       if (!lockToken().contains(token))
         throw new ConcurrentSnapshotUpdate(base.toString, expected, cur)
       // spec-only post-fence stall: the rename backend's residual
-      // double-flip window sits exactly here. Value "<ms>" stalls every
-      // committer; "<ms>:<substr>" stalls only threads whose name
-      // contains the tag — lets a spec pin WHICH writer stalls instead
-      // of racing on conf set/unset timing
-      spark.conf.getOption(TestDelayAfterFenceConf).foreach { v =>
-        val (ms, tag) = v.split(":", 2) match {
-          case Array(m, t) => (m.toLongOption, Some(t))
-          case arr => (arr.headOption.flatMap(_.toLongOption), None)
-        }
-        if (tag.forall(Thread.currentThread().getName.contains(_)))
-          ms.foreach(Thread.sleep)
-      }
+      // double-flip window sits exactly here
+      specDelay(spark, TestDelayAfterFenceConf)
       val store = pointerStoreFor(spark)
       if (store.conditional) {
         // conditional backend: the store re-checks `rawCur` atomically

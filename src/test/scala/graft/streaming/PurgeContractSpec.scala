@@ -1,0 +1,163 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.streaming.VersionedSnapshot._
+import org.apache.spark.sql.functions._
+
+/** r14 purge-contract pins: the linearization loop's saturation bound
+  * (the loud give-up under sustained writer contention is TESTED, not
+  * just coded), the opt-in retraction-only commit for no-match purges,
+  * the retraction feed's robustness to sidecars whose key schema
+  * differs from the feed's (type evolution is cast through; a foreign
+  * key set fails with a targeted message instead of a schema error for
+  * the whole range), and the retention×purge interplay (aggressive
+  * retention right after a purge retires rewritten history but never
+  * the retraction record; a range whose from-side fell past the
+  * horizon reads as None — an explicit resync signal — never as a feed
+  * that silently dropped the purge). */
+class PurgeContractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(base: String): Set[Long] =
+    read(spark, base).get.select("k").collect().map(_.getLong(0)).toSet
+
+  test("sustained writer contention saturates the linearization loop into " +
+      "its loud error (the 8-pass bound is real, with a documented answer)") {
+    val base = Files.createTempDirectory("graft-sat").resolve("t").toString
+    mergeInto(base, (1L to 40L).map(k => (k, k)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed")
+    // only the purge thread stalls before ITS commit CAS; the writer
+    // commits unimpeded every few hundred ms — so every linearization
+    // attempt finds the pointer moved (or loses its CAS) and re-passes,
+    // exactly the "writers committing faster than passes complete" regime
+    spark.conf.set(TestDelayBeforeCommitConf, "1200:graft-purge-sat")
+    @volatile var stop = false
+    @volatile var purgeOutcome: Option[Throwable] = None
+    val writer = new Thread(() => {
+      var r = 0L
+      while (!stop) {
+        try retryOnConflict(attempts = 20, backoffMs = 20L) {
+          mergeInto(base, Seq((7L, 1000L + r)).toDF("k", "v"), Seq("k"),
+            UpdateMatched, insertUnmatched = false, marker = s"hot-$r"); ()
+        } catch { case _: Throwable => () } // loop again; liveness is the purge thread's assert
+        r += 1
+      }
+    }, "graft-sat-writer")
+    val purger = new Thread(() => {
+      purgeOutcome =
+        try { purgeKeys(spark, base, Seq("k"), Seq(Seq(13L))); None }
+        catch { case e: Throwable => Some(e) }
+    }, "graft-purge-sat")
+    try {
+      writer.start(); purger.start()
+      purger.join(300000)
+      assert(!purger.isAlive, "purge thread never returned")
+    } finally {
+      stop = true
+      writer.join(60000)
+      spark.conf.unset(TestDelayBeforeCommitConf)
+    }
+    purgeOutcome match {
+      case Some(e: IllegalStateException) =>
+        assert(e.getMessage.contains("could not linearize") &&
+          e.getMessage.contains("quiesce"),
+          s"the give-up must name the operational answer, got: ${e.getMessage}")
+      case Some(other) => fail(s"expected the loud linearization error, got $other")
+      case None =>
+        // pathological scheduling let the purge slip between commits —
+        // possible but vanishingly unlikely with the 1.2 s purge-side
+        // stall; treat as a real failure so we notice if the seam breaks
+        fail("purge linearized despite sustained contention — the " +
+          "purge-side stall seam is not firing")
+    }
+    // the operational answer works: quiesce (writer stopped) + retry
+    assert(purgeKeys(spark, base, Seq("k"), Seq(Seq(13L))) > 0)
+    assert(!ids(base).contains(13L))
+  }
+
+  test("a purge whose subjects all matched nothing commits no bump by default") {
+    val base = Files.createTempDirectory("graft-nomatch").resolve("t").toString
+    mergeInto(base, Seq((1L, 1L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed")
+    val v0 = currentVersion(spark, base).get
+    assert(purgeKeys(spark, base, Seq("k"), Seq(Seq(99L))) == 0)
+    assert(currentVersion(spark, base).contains(v0), "no bump on no match")
+    assert(purgedKeys(spark, base, v0).isEmpty)
+  }
+
+  test("retractUnmatched commits a retraction-only bump so the erasure " +
+      "signal reaches CDF consumers that ingested the subject pre-delete") {
+    val base = Files.createTempDirectory("graft-retract").resolve("t").toString
+    mergeInto(base, Seq((1L, 1L), (2L, 2L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed")
+    val v0 = currentVersion(spark, base).get
+    // subject 99 was never (or no longer) in the table
+    assert(purgeKeys(spark, base, Seq("k"), Seq(Seq(99L)),
+      retractUnmatched = true) == 0)
+    val v1 = currentVersion(spark, base).get
+    assert(v1 == v0 + 1, "retractUnmatched must commit a bump")
+    val subj = purgedKeys(spark, base, v1).get.collect().map(_.getLong(0)).toSet
+    assert(subj == Set(99L))
+    // the feed over the bump carries the retraction and nothing else
+    val feed = changesWithPurges(spark, base, v0, v1, Seq("k")).get.collect()
+    assert(feed.length == 1 && feed.head.getAs[String]("op") == "purge" &&
+      feed.head.getAs[Long]("k") == 99L)
+    // and the table itself is unchanged
+    assert(ids(base) == Set(1L, 2L))
+  }
+
+  test("a sidecar with a foreign key set fails the feed with a targeted " +
+      "message naming the version; a matching range still reads") {
+    val base = Files.createTempDirectory("graft-fkeys").resolve("t").toString
+    mergeInto(base, Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", retain = 10)
+    val v0 = currentVersion(spark, base).get
+    assert(purgeKeys(spark, base, Seq("k"), Seq(Seq(2L))) > 0)
+    val vP = currentVersion(spark, base).get
+    // a feed keyed by a column the sidecar does not carry: targeted error
+    val e = intercept[IllegalStateException] {
+      changesWithPurges(spark, base, v0, vP, Seq("v")).get.collect()
+    }
+    assert(e.getMessage.contains(s"v$vP") && e.getMessage.contains("[k]")
+      && e.getMessage.contains("missing: v"),
+      s"error must name the version and both key sets, got: ${e.getMessage}")
+    // the same range keyed correctly still reads, with the retraction
+    val feed = changesWithPurges(spark, base, v0, vP, Seq("k")).get
+    assert(feed.filter(col("op") === "purge").collect()
+      .map(_.getAs[Long]("k")).toSet == Set(2L))
+  }
+
+  test("retention immediately after a purge retires rewritten history but " +
+      "never the retraction; a from-side past the horizon reads None") {
+    val base = Files.createTempDirectory("graft-pret").resolve("t").toString
+    // v0 seed, v1+v2 updates, purge -> v3 (basis v2), merge v4 retain=2
+    mergeInto(base, (1L to 30L).map(k => (k, k)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", retain = 10)
+    mergeInto(base, Seq((5L, 500L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "u1", retain = 10)
+    val vBasis = mergeInto(base, Seq((6L, 600L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "u2", retain = 10)
+    assert(purgeKeys(spark, base, Seq("k"), Seq(Seq(9L))) > 0)
+    val vP = currentVersion(spark, base).get
+    assert(vP == vBasis + 1)
+    // aggressive retention: retain=2 keeps only (vP, v4) — the basis and
+    // everything the in-place pass rewrote below it are retired
+    val v4 = mergeInto(base, Seq((8L, 800L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "u3", retain = 2)
+    assert(readVersion(spark, base, vBasis).isEmpty, "basis must be retired")
+    // the retraction record itself survives on the retained purge commit
+    assert(purgedKeys(spark, base, vP).get.collect()
+      .map(_.getLong(0)).toSet == Set(9L))
+    // a consumer whose from-side fell past the horizon gets an EXPLICIT
+    // None (resync signal), never a feed that silently dropped the purge
+    assert(changesWithPurges(spark, base, vBasis, v4, Seq("k")).isEmpty)
+    // a consumer reading from the purge commit forward is already
+    // post-erasure: clean diff, no spurious rows
+    val feed = changesWithPurges(spark, base, vP, v4, Seq("k")).get.collect()
+    assert(feed.map(r => (r.getAs[String]("op"), r.getAs[Long]("k"))).toSet ==
+      Set(("update", 8L)))
+    assert(!ids(base).contains(9L))
+  }
+}
