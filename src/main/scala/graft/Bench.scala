@@ -51,11 +51,14 @@ object Bench {
     // Methodology revision, emitted in the JSON artifact: rev 1 = cold
     // start (r1-r7), rev 2 = page-cache + codegen/JIT pre-warm (r8),
     // rev 3 = rev 2 + model-stage (blocklist/bigram-LM/DSIR) warm-up
-    // (r9), rev 4 = rev 3 + the >3×-outlier re-measure pass (r13) —
-    // rev-4 totals differ from rev 3 only by removed phantom inflation.
+    // (r9), rev 4 = rev 3 + the >3×-outlier re-measure pass (r13),
+    // rev 5 = rev 4 + rolling-min comparison base + unconditional top-5
+    // re-measure + seeded random order + race-seam exclusion (r14) —
+    // rev-5 totals differ from rev 4 by removed phantom inflation and
+    // by ~0.8 s of deliberate race-window sleep no longer counted.
     // Totals are only comparable within a revision; set
     // SPARK_GRAFT_NO_PREWARM=1 to reproduce the rev-1 cold protocol.
-    val benchRev = if (sys.env.contains("SPARK_GRAFT_NO_PREWARM")) 1 else 4
+    val benchRev = if (sys.env.contains("SPARK_GRAFT_NO_PREWARM")) 1 else 5
     val prewarm = benchRev > 1
     // machine calibration sample BEFORE any Spark/page-cache work — the
     // paired post-suite sample closes the bracket around the timed sweep
