@@ -685,16 +685,16 @@ private[graft] object CurationSnapshotQueries {
       val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
       val base = tempSnapshotBase("graft-pret")
       VS.mergeInto(base, docs, Seq("doc_id"), VS.UpdateMatched,
-        insertUnmatched = true, marker = "seed", retain = 10)
+        insertUnmatched = true, marker = "seed", retain = 10, numBuckets = 8)
       VS.mergeInto(base,
         docs.filter(col("doc_id") % 4 === 0)
           .withColumn("n_chars", col("n_chars") + 2000),
         Seq("doc_id"), VS.UpdateMatched, insertUnmatched = false,
-        marker = "u1", retain = 10)
+        marker = "u1", retain = 10, numBuckets = 8)
       val vBasis = VS.mergeInto(base,
         docs.filter(col("doc_id") % 6 === 0).withColumn("lang", lit("qq")),
         Seq("doc_id"), VS.UpdateMatched, insertUnmatched = false,
-        marker = "u2", retain = 10)
+        marker = "u2", retain = 10, numBuckets = 8)
       val subjects = docs.filter(col("doc_id") % 5 =!= 0)
         .select("doc_id").orderBy("doc_id").limit(3)
         .collect().map(r => Seq[Any](r.getLong(0))).toSeq
@@ -707,7 +707,7 @@ private[graft] object CurationSnapshotQueries {
         docs.filter(col("doc_id") % 9 === 0)
           .withColumn("n_chars", col("n_chars") + 111),
         Seq("doc_id"), VS.UpdateMatched, insertUnmatched = false,
-        marker = "u3", retain = 3)
+        marker = "u3", retain = 3, numBuckets = 8)
       VS.changesWithPurges(s, base, vBasis, vEnd, Seq("doc_id")).get
         .select("op", "doc_id", "n_chars", "lang")
     }),
