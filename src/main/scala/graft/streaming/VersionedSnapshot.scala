@@ -118,6 +118,23 @@ object VersionedSnapshot {
   // ---- optimistic-concurrency plumbing (r11) ----
   private val ClaimsDirName = "_claims"      // one file per UNCOMMITTED claimed version
   private val CommitLockName = "_COMMIT_LOCK" // serializes the pointer CAS only
+  /** Serializes whole purges per table (r14). Purge-vs-MERGE is handled
+    * by the linearization loop (any straddling writer loses its CAS and
+    * re-passes), but purge-vs-PURGE is not CAS-detectable: two in-place
+    * passes read-modify-write the same version manifests and allocate
+    * from the same fresh `data/p*` namespace, so an interleaving can
+    * silently undo one purge's erasure with the other's stale manifest
+    * write (found by the r14 linearizability fuzz under the cas
+    * backend: subject 28's purge resurrected by a concurrent purge of
+    * 25). Purges are rare admin operations; full mutual exclusion is
+    * the correct price. The lock is fenced + HEARTBEATED: the holder
+    * re-stamps its token per pass and per version dir, so a LIVE
+    * long-running purge (a 100 TB pass can exceed any fixed horizon)
+    * is never stale-broken, while a dead holder's lock goes stale
+    * within the horizon and the next purge breaks it by identity. */
+  private val PurgeLockName = "_PURGE_LOCK"
+  private[graft] val PurgeLockStaleMsConf = "graft.snapshot.purgeLockStaleMs"
+  private val DefaultPurgeLockStaleMs = 10L * 60 * 1000
   /** Claims older than this are a dead writer's: swept with their staging
     * by any later publish (session conf, ms). */
   private[graft] val StaleClaimMsConf = "graft.snapshot.staleClaimMs"
@@ -1561,6 +1578,20 @@ object VersionedSnapshot {
   def purgeKeys(spark: SparkSession, baseDir: String, keys: Seq[String],
       keyRows: Seq[Seq[Any]], marker: String = "purge-commit",
       retractUnmatched: Boolean = false): Int = {
+    // Purge-vs-PURGE exclusion (r14): the CAS protocol below linearizes
+    // this purge against MERGES, but a concurrent purge's in-place pass
+    // races this one's manifest read-modify-writes and `data/p*` name
+    // allocation — silently undoing erasures (see PurgeLockName). The
+    // whole operation therefore holds the per-table fenced purge lock,
+    // heartbeated per pass so a live long pass is never stale-broken.
+    val fLock = fs(spark, baseDir)
+    val basePath = new Path(baseDir)
+    if (!fLock.exists(basePath)) return 0
+    val purgeLock = new Path(basePath, PurgeLockName)
+    val lockStale = confMs(PurgeLockStaleMsConf, DefaultPurgeLockStaleMs)
+    val lockToken = acquireFencedLock(fLock, purgeLock, lockStale,
+      deadlineMs = math.max(60000L, 2 * lockStale), what = "purge")
+    try {
     // Linearization loop (r13). The in-place pass alone is NOT safe
     // against concurrent writers: a merge that CLAIMED and staged before
     // this purge (its staged files were rewritten from pre-purge reads)
@@ -1578,6 +1609,8 @@ object VersionedSnapshot {
     var total = 0
     var attempts = 8
     while (attempts > 0) {
+      // heartbeat: a live purge must never look stale to the next purge
+      writeSmallFile(fLock, purgeLock, lockToken)
       attempts -= 1
       val basis = currentVersion(spark, baseDir) match {
         case Some(v) => v
@@ -1591,7 +1624,8 @@ object VersionedSnapshot {
       // attempt); with the pointer unmoved the fault is real and
       // propagates — same reasoning as purgeCommit's withBasis guard
       total +=
-        (try purgeKeysPass(spark, baseDir, keys, keyRows)
+        (try purgeKeysPass(spark, baseDir, keys, keyRows,
+          heartbeat = () => writeSmallFile(fLock, purgeLock, lockToken))
         catch {
           case _: Throwable
               if currentVersion(spark, baseDir).getOrElse(-1L) != basis => 0
@@ -1626,6 +1660,7 @@ object VersionedSnapshot {
     throw new IllegalStateException(
       s"purge of $baseDir could not linearize under sustained writer " +
         "contention — quiesce writers or retry")
+    } finally releaseFencedLock(fLock, purgeLock, lockToken)
   }
 
   /** The purge linearization commit: republish version `basis`'s (just
@@ -1821,7 +1856,7 @@ object VersionedSnapshot {
     * see [[purgeKeys]] for the linearization wrapper that makes this safe
     * under concurrent writers. */
   private[graft] def purgeKeysPass(spark: SparkSession, baseDir: String, keys: Seq[String],
-      keyRows: Seq[Seq[Any]]): Int = {
+      keyRows: Seq[Seq[Any]], heartbeat: () => Unit = () => ()): Int = {
     require(keys.nonEmpty, "purge needs at least one key column")
     require(keyRows.nonEmpty, "purge needs at least one key tuple")
     require(keyRows.size <= MaxPushdownKeys,
@@ -1964,6 +1999,7 @@ object VersionedSnapshot {
     })
 
     vdirs.zipWithIndex.foreach { case (vdir, vi) =>
+      heartbeat() // a 100 TB pass iterates many versions: stay un-stale
       // power-loss window: the first retained version's sidecars already
       // point at purged rewrites, later versions still reference the
       // un-purged files — the documented rerun-completes contract
@@ -2186,6 +2222,48 @@ object VersionedSnapshot {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case _: org.apache.hadoop.fs.PathExistsException => false
       }
+
+  /** Acquire a fenced exclusive lock file (the commit-lock pattern,
+    * reusable): ownership is only ever proven by reading the stamped
+    * token back, a lock measured older than `staleMs` is a dead
+    * holder's and is broken by identity (re-read equals the measured
+    * value), and the acquire gives up loudly past `deadlineMs`.
+    * Returns the token; pair with [[releaseFencedLock]]. */
+  private def acquireFencedLock(f: FileSystem, lock: Path, staleMs: Long,
+      deadlineMs: Long, what: String): String = {
+    val token = java.util.UUID.randomUUID().toString
+    def lockToken(): Option[String] =
+      try Some(readSmallFile(f, lock).trim) catch { case _: Throwable => None }
+    val deadline = System.currentTimeMillis() + deadlineMs
+    var held = false
+    while (!held) {
+      if (tryCreateNew(f, lock)) {
+        writeSmallFile(f, lock, token)
+        held = lockToken().contains(token)
+      } else {
+        val seen = lockToken()
+        val age = try System.currentTimeMillis() -
+          f.getFileStatus(lock).getModificationTime
+          catch { case _: Throwable => -1L } // raced away: retry create
+        if (age > staleMs && seen.isDefined && lockToken() == seen) {
+          try f.delete(lock, false) catch { case _: Throwable => () }
+        }
+        else if (System.currentTimeMillis() > deadline)
+          sys.error(s"could not acquire $what lock $lock — " +
+            "another holder is live (or quiesce and retry)")
+        else Thread.sleep(20L)
+      }
+    }
+    token
+  }
+
+  /** Identity-checked release: never deletes a lock that changed hands. */
+  private def releaseFencedLock(f: FileSystem, lock: Path, token: String): Unit =
+    try {
+      val cur = try Some(readSmallFile(f, lock).trim)
+        catch { case _: Throwable => None }
+      if (cur.contains(token)) { f.delete(lock, false); () }
+    } catch { case _: Throwable => () }
 
   /** The commit: crash-injection seam, then the optimistic-concurrency
     * CAS — under a short `_COMMIT_LOCK` critical section, re-read the

@@ -232,8 +232,14 @@ class CrashRecoverySpec extends SparkSpec {
       marker = "v1", retain = 3)
     crashChild(tmp, Seq("purge", base, "mid-purge", "3"))
     // v0 is already purged, v1 not yet — rerun must find ONLY the
-    // remaining matches and finish
-    val n = VersionedSnapshot.purgeKeys(spark, base, Seq("k"), Seq(Seq(3L)))
+    // remaining matches and finish. The dead child still holds the
+    // fenced _PURGE_LOCK (halt skips finally blocks); the rerun breaks
+    // it once it ages past the staleness horizon — shortened here so
+    // the test doesn't sit out the operational default
+    spark.conf.set(VersionedSnapshot.PurgeLockStaleMsConf, "200")
+    val n =
+      try VersionedSnapshot.purgeKeys(spark, base, Seq("k"), Seq(Seq(3L)))
+      finally spark.conf.unset(VersionedSnapshot.PurgeLockStaleMsConf)
     assert(n >= 1, "the rerun purge should still find un-purged refs")
     Seq(0L, 1L).foreach { v =>
       val d = VersionedSnapshot.readVersion(spark, base, v)

@@ -25,6 +25,15 @@ class CrossProcessMergeSpec extends SparkSpec {
   ).flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
 
   test("two OS processes race mergeInto on one table: claims + fenced CAS hold across JVMs") {
+    raceAcrossProcesses(backend = None)
+  }
+
+  test("the same two-process race through the cas-file conditional put: " +
+      "its FileLock serialization is an OS lock, proven across JVMs") {
+    raceAcrossProcesses(backend = Some(VersionedSnapshot.CasFilePointerStore.name))
+  }
+
+  private def raceAcrossProcesses(backend: Option[String]): Unit = {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-xjvm")
     val base = tmp.resolve("snap").toString
@@ -42,7 +51,8 @@ class CrossProcessMergeSpec extends SparkSpec {
       "-Dspark.ui.enabled=false",
       "-cp", sys.props("java.class.path"),
       "graft.streaming.CrossJvmMergeMain",
-      base, ready.toString, gate.toString, "50", "100", "7", "1500")
+      base, ready.toString, gate.toString, "50", "100", "7", "1500") ++
+      backend.toSeq
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     pb.redirectOutput(childLog.toFile)
@@ -61,6 +71,7 @@ class CrossProcessMergeSpec extends SparkSpec {
       // commit window, released together with the child by the gate
       val srcA = (0L until 50L).map(k => (k, k * 10 + 1000)).toDF("k", "v")
       spark.conf.set(VersionedSnapshot.TestDelayBeforeCommitConf, "1500")
+      backend.foreach(spark.conf.set(VersionedSnapshot.PointerStoreConf, _))
       try {
         Files.createFile(gate)
         VersionedSnapshot.retryOnConflict() {
@@ -69,7 +80,10 @@ class CrossProcessMergeSpec extends SparkSpec {
             marker = "in-jvm-writer")
         }
         ()
-      } finally spark.conf.unset(VersionedSnapshot.TestDelayBeforeCommitConf)
+      } finally {
+        spark.conf.unset(VersionedSnapshot.TestDelayBeforeCommitConf)
+        backend.foreach(_ => spark.conf.unset(VersionedSnapshot.PointerStoreConf))
+      }
       assert(proc.waitFor(240, TimeUnit.SECONDS),
         "child JVM did not exit — " + tailOf(childLog))
       assert(proc.exitValue == 0,

@@ -77,6 +77,51 @@ class PurgeContractSpec extends SparkSpec {
     assert(!ids(base).contains(13L))
   }
 
+  test("concurrent purges of distinct subjects serialize through the purge " +
+      "lock — no erasure is silently undone by a sibling's stale manifest write") {
+    // the r14 fuzz-found hazard, pinned: two in-place passes racing on
+    // the same version manifests could restore each other's pre-purge
+    // refs (read-modify-write lost update) and collide on fresh data/p*
+    // names. With the fenced _PURGE_LOCK the passes serialize, so every
+    // subject must be gone from EVERY retained version and each purge
+    // must carry its own retraction record.
+    val base = Files.createTempDirectory("graft-ppx").resolve("t").toString
+    mergeInto(base, (1L to 40L).map(k => (k, k)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed", retain = 10,
+      numBuckets = 4)
+    mergeInto(base, (1L to 40L).filter(_ % 4 == 0).map(k => (k, k * 100)).toDF("k", "v"),
+      Seq("k"), UpdateMatched, insertUnmatched = false, marker = "u1",
+      retain = 10, numBuckets = 4)
+    val subjects = Seq(7L, 11L, 23L)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = subjects.map { s =>
+      val t = new Thread(() => {
+        try { purgeKeys(spark, base, Seq("k"), Seq(Seq(s))); () }
+        catch { case e: Throwable => errs.add(e); () }
+      }, s"graft-ppx-$s")
+      t.start(); t
+    }
+    threads.foreach(_.join(300000))
+    assert(errs.isEmpty, s"every purge must land, got $errs")
+    val retained = history(spark, base).select("version").collect().map(_.getLong(0))
+    assert(retained.length >= 5, s"expected >=5 retained versions, got ${retained.length}")
+    retained.foreach { v =>
+      readVersion(spark, base, v).foreach { df =>
+        val present = df.filter(col("k").isin(subjects: _*)).count()
+        assert(present == 0,
+          s"purged subject resurrected in retained v$v ($present rows)")
+      }
+    }
+    // each purge commit carries its own subject's retraction record
+    val sidecarSubjects = retained.flatMap(v =>
+      purgedKeys(spark, base, v).map(_.collect().map(_.getLong(0)).toSeq))
+      .flatten.toSet
+    assert(sidecarSubjects == subjects.toSet,
+      s"every purge needs its retraction record, got $sidecarSubjects")
+    // and the lock is released: a follow-up purge acquires immediately
+    assert(purgeKeys(spark, base, Seq("k"), Seq(Seq(30L))) > 0)
+  }
+
   test("a purge whose subjects all matched nothing commits no bump by default") {
     val base = Files.createTempDirectory("graft-nomatch").resolve("t").toString
     mergeInto(base, Seq((1L, 1L)).toDF("k", "v"), Seq("k"),

@@ -31,6 +31,17 @@ class SnapshotLinearizabilitySpec extends SparkSpec {
       rows: Map[Long, Long], subjects: Seq[Long])
 
   test("racing overlapping writers + purges fold to one committed history") {
+    fuzz()
+  }
+
+  test("the same fuzz through the cas-file conditional-put backend") {
+    spark.conf.set(VersionedSnapshot.PointerStoreConf,
+      VersionedSnapshot.CasFilePointerStore.name)
+    try fuzz()
+    finally spark.conf.unset(VersionedSnapshot.PointerStoreConf)
+  }
+
+  private def fuzz(): Unit = {
     import spark.implicits._
     (1 to 2).foreach { scenario =>
       val rnd = new scala.util.Random(7700L + scenario)
