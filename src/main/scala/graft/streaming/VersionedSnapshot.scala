@@ -1604,8 +1604,9 @@ object VersionedSnapshot {
     // pass processed. Any straddling writer then loses its CAS and
     // retries against the purged manifests; any writer that committed
     // mid-pass moves the pointer first, which sends THIS loop back around
-    // to purge the interloper's version too. Bounded attempts: sustained
-    // contention surfaces as an error, not a livelock.
+    // to purge the interloper's version too. Bounded optimistic attempts,
+    // then ESCALATION under the commit lock (below): sustained contention
+    // costs writers a short stall, never the erasure.
     var total = 0
     var attempts = 8
     while (attempts > 0) {
@@ -1657,9 +1658,38 @@ object VersionedSnapshot {
       // interloper's version may reference pre-purge files — run another
       // pass over the fresh listing
     }
-    throw new IllegalStateException(
-      s"purge of $baseDir could not linearize under sustained writer " +
-        "contention — quiesce writers or retry")
+    // ESCALATION (r14): the optimistic attempts are exhausted — writers
+    // are committing faster than passes complete, and an erasure that
+    // errors out under routine load is not a compliance story (at
+    // 1000 executors the writers never quiesce). Take the COMMIT lock
+    // itself for one final round: no writer can flip the pointer while
+    // it is held, so the pass runs against a frozen current and the
+    // linearization commit cannot lose its CAS. Writers block on the
+    // lock for the (bounded) escalated round — already-purged versions
+    // re-probe to nothing, so the round covers only the interlopers'
+    // recent versions; a rare seconds-long writer stall is the price of
+    // a purge that always lands. Lock order is strictly purge-lock →
+    // commit-lock (writers take only the commit lock): no cycle.
+    writeSmallFile(fLock, purgeLock, lockToken)
+    val commitLock = new Path(basePath, CommitLockName)
+    val cStale = confMs(CommitLockStaleMsConf, DefaultCommitLockStaleMs)
+    val cTok = acquireFencedLock(fLock, commitLock, cStale,
+      deadlineMs = math.max(30000L, 2 * cStale),
+      what = "snapshot commit (purge escalation)")
+    try {
+      val basis = currentVersion(spark, baseDir) match {
+        case Some(v) => v
+        case None => return total
+      }
+      total += purgeKeysPass(spark, baseDir, keys, keyRows,
+        heartbeat = () => writeSmallFile(fLock, purgeLock, lockToken))
+      if (total == 0 && !retractUnmatched) return 0
+      withBasis(spark, baseDir, basis) {
+        purgeCommit(spark, baseDir, basis, marker, keys, keyRows,
+          heldLockToken = Some(cTok))
+      }
+      total
+    } finally releaseFencedLock(fLock, commitLock, cTok)
     } finally releaseFencedLock(fLock, purgeLock, lockToken)
   }
 
@@ -1669,7 +1699,8 @@ object VersionedSnapshot {
     * have moved to an unpurged interloper. Retention is intentionally not
     * applied: purge must never age out history. */
   private def purgeCommit(spark: SparkSession, baseDir: String, basis: Long,
-      marker: String, keys: Seq[String], keyRows: Seq[Seq[Any]]): Unit = {
+      marker: String, keys: Seq[String], keyRows: Seq[Seq[Any]],
+      heldLockToken: Option[String] = None): Unit = {
     val f = fs(spark, baseDir)
     val base = new Path(baseDir)
     val src = versionPath(base, basis)
@@ -1714,14 +1745,16 @@ object VersionedSnapshot {
       // the bucketed branch: a purge commit must never exist without
       // its retraction record.
       val next = prepareNext(f, base, basis)
-      republishMeta(spark, f, base, next, outMarker, expected = basis) { target =>
+      republishMeta(spark, f, base, next, outMarker, expected = basis,
+          heldLockToken = heldLockToken) { target =>
         versionFrame(spark, baseDir, basis)
           .write.mode("overwrite").parquet(target.toString)
         writePurged(target)
       }
     } else {
       val next = prepareNext(f, base, basis)
-      republishMeta(spark, f, base, next, outMarker, expected = basis) { target =>
+      republishMeta(spark, f, base, next, outMarker, expected = basis,
+          heldLockToken = heldLockToken) { target =>
         Seq(BucketsName, DeltasName, ZonesName, BloomsName).foreach { name =>
           val p = new Path(src, name)
           if (f.exists(p)) writeSmallFile(f, new Path(target, name), readSmallFile(f, p))
@@ -1738,14 +1771,16 @@ object VersionedSnapshot {
     * CAS-commit against `expected`. Keeping the shell in ONE place means
     * a future sidecar is threaded through one copy path, not several. */
   private def republishMeta(spark: SparkSession, f: FileSystem, base: Path,
-      next: Long, marker: String, expected: Long)(stage: Path => Unit): Unit =
+      next: Long, marker: String, expected: Long,
+      heldLockToken: Option[String] = None)(stage: Path => Unit): Unit =
     guardStaged(f, base, next) {
       val target = versionPath(base, next)
       f.mkdirs(target)
       stage(target)
       writeSmallFile(f, new Path(target, MarkerName), marker)
       writeManifest(f, base, target)
-      commitPointer(spark, f, base, next, expected = expected)
+      commitPointer(spark, f, base, next, expected = expected,
+        heldLockToken = heldLockToken)
     }
 
   /** The key tuples a purge's linearization commit erased — the
@@ -2301,7 +2336,8 @@ object VersionedSnapshot {
     * post-fence stall through both backends and shows the rename
     * backend double-flip and the CAS backend refusal. */
   private def commitPointer(spark: SparkSession, f: FileSystem, base: Path,
-      next: Long, expected: Long): Unit = {
+      next: Long, expected: Long,
+      heldLockToken: Option[String] = None): Unit = {
     // crash-consistency fault-injection point (spec-only): a crash HERE
     // must leave readers on the previous version and be healed by the
     // next publish — VersionedSnapshotSpec drives this seam.
@@ -2312,36 +2348,16 @@ object VersionedSnapshot {
     specDelay(spark, TestDelayBeforeCommitConf)
     val lock = new Path(base, CommitLockName)
     val lockStaleMs = confMs(CommitLockStaleMsConf, DefaultCommitLockStaleMs)
-    val deadline = System.currentTimeMillis() + math.max(30000L, 2 * lockStaleMs)
-    val token = java.util.UUID.randomUUID().toString
     def lockToken(): Option[String] =
       try Some(readSmallFile(f, lock).trim) catch { case _: Throwable => None }
-    var held = false
-    while (!held) {
-      if (tryCreateNew(f, lock)) {
-        // stamp, then read back: if a stale-breaker deleted this fresh
-        // lock and a third writer re-created it in between, the token
-        // mismatch sends us back around the loop instead of into a
-        // section two writers believe they hold
-        writeSmallFile(f, lock, token)
-        held = lockToken().contains(token)
-      } else {
-        // a lock this old is a dead committer's (the section is ms-long).
-        // Identity-checked break: re-read the token after the age check
-        // and only delete the exact lock measured stale — never a
-        // different writer's just-created one.
-        val seen = lockToken()
-        val age = try System.currentTimeMillis() -
-          f.getFileStatus(lock).getModificationTime
-          catch { case _: Throwable => -1L } // raced away: retry create
-        if (age > lockStaleMs && seen.isDefined && lockToken() == seen) {
-          try f.delete(lock, false) catch { case _: Throwable => () }
-        }
-        else if (System.currentTimeMillis() > deadline)
-          sys.error(s"could not acquire snapshot commit lock $lock")
-        else Thread.sleep(20L)
-      }
-    }
+    // `heldLockToken`: the caller (purge escalation) already owns the
+    // commit lock and keeps it across this call — verify ownership
+    // instead of re-acquiring, and leave release to the holder
+    val token = heldLockToken.getOrElse(
+      acquireFencedLock(f, lock, lockStaleMs,
+        deadlineMs = math.max(30000L, 2 * lockStaleMs), what = "snapshot commit"))
+    if (heldLockToken.isDefined && !lockToken().contains(token))
+      throw new ConcurrentSnapshotUpdate(base.toString, expected, -1L)
     try {
       // spec-only mid-section pause: models a GC/object-store stall long
       // enough for this writer's lock to be broken and taken over
@@ -2381,9 +2397,10 @@ object VersionedSnapshot {
       haltPoint("post-flip")
       releaseClaim(f, base, next)
     } finally {
-      // identity-checked release: never delete a lock that changed hands
-      try { if (lockToken().contains(token)) { f.delete(lock, false); () } }
-      catch { case _: Throwable => () }
+      // identity-checked release: never delete a lock that changed
+      // hands; an externally-held lock is the holder's to release
+      if (heldLockToken.isEmpty)
+        releaseFencedLock(f, lock, token)
     }
   }
 

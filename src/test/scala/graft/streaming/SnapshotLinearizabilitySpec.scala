@@ -41,9 +41,18 @@ class SnapshotLinearizabilitySpec extends SparkSpec {
     finally spark.conf.unset(VersionedSnapshot.PointerStoreConf)
   }
 
+  /** Default depth keeps the suite fast; GRAFT_FUZZ_SCENARIOS /
+    * GRAFT_FUZZ_THREADS deepen the hunt (the r14 purge-vs-purge lost
+    * update fell out of exactly this harness at depth 2 — deeper runs
+    * are the cheapest way to shake out the next interleaving bug). */
+  private val nScenarios = sys.env.get("GRAFT_FUZZ_SCENARIOS")
+    .flatMap(_.toIntOption).getOrElse(2)
+  private val nThreads = sys.env.get("GRAFT_FUZZ_THREADS")
+    .flatMap(_.toIntOption).getOrElse(2)
+
   private def fuzz(): Unit = {
     import spark.implicits._
-    (1 to 2).foreach { scenario =>
+    (1 to nScenarios).foreach { scenario =>
       val rnd = new scala.util.Random(7700L + scenario)
       val base = Files.createTempDirectory(s"graft-linz$scenario").resolve("t").toString
       val seed = (0L until 30L).map(k => (k, k)).toDF("k", "v")
@@ -68,7 +77,7 @@ class SnapshotLinearizabilitySpec extends SparkSpec {
             Op(marker, "merge-u", up, Nil)
         }
       }
-      val opsByThread = Seq(mkOps(1), mkOps(2))
+      val opsByThread = (1 to nThreads).map(mkOps)
       val allOps = opsByThread.flatten.map(o => o.marker -> o).toMap
 
       val errs = new ConcurrentLinkedQueue[Throwable]()
