@@ -64,7 +64,16 @@ class SnapshotLinearizabilitySpec extends SparkSpec {
       // seed); markers are globally unique so history() identifies them
       def mkOps(tid: Int): Seq[Op] = (1 to 5).map { i =>
         val marker = s"op-t$tid-$i"
-        rnd.nextInt(5) match {
+        rnd.nextInt(8) match {
+          case 7 => // r14: maintenance racing everything else
+            Op(marker, "compact", Map.empty, Nil)
+          case 6 => // r14: merge-on-read delete overlay
+            val del = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(30).toLong).distinct
+            Op(marker, "overlay-d", del.map(_ -> 0L).toMap, Nil)
+          case 5 => // r14: merge-on-read blind-upsert overlay
+            val up = Seq.fill(1 + rnd.nextInt(4))(
+              rnd.nextInt(35).toLong -> rnd.nextLong(100000L)).toMap
+            Op(marker, "overlay-u", up, Nil)
           case 4 =>
             val subj = Seq.fill(1 + rnd.nextInt(2))(rnd.nextInt(30).toLong).distinct
             Op(marker, "purge", Map.empty, subj)
@@ -105,6 +114,28 @@ class SnapshotLinearizabilitySpec extends SparkSpec {
                     marker = op.marker, retain = 60)
                 }
                 ()
+              case "overlay-u" =>
+                VersionedSnapshot.retryOnConflict(attempts = 20, backoffMs = 60L) {
+                  VersionedSnapshot.stageDelta(base,
+                    op.rows.toSeq.toDF("k", "v"), Seq("k"),
+                    VersionedSnapshot.UpdateMatched,
+                    marker = op.marker, retain = 60)
+                }
+                ()
+              case "overlay-d" =>
+                VersionedSnapshot.retryOnConflict(attempts = 20, backoffMs = 60L) {
+                  VersionedSnapshot.stageDelta(base,
+                    op.rows.toSeq.toDF("k", "v"), Seq("k"),
+                    VersionedSnapshot.DeleteMatched,
+                    marker = op.marker, retain = 60)
+                }
+                ()
+              case "compact" =>
+                VersionedSnapshot.retryOnConflict(attempts = 20, backoffMs = 60L) {
+                  VersionedSnapshot.compact(spark, base, Seq("k"),
+                    marker = op.marker, retain = 60)
+                }
+                ()
             }
           } catch { case e: Throwable => errs.add(e); () }
         }, s"graft-linz-w$ti")
@@ -115,16 +146,25 @@ class SnapshotLinearizabilitySpec extends SparkSpec {
       if (!errs.isEmpty) throw errs.peek()
 
       // ---- reconstruct the committed order and fold the model ----
-      // merge commits carry their op marker verbatim; purge linearization
-      // commits carry "<op marker>:v<basis>" — strip the suffix so every
-      // committed op (and ONLY committed ops: a purge that matched
-      // nothing commits no version and correctly never enters the fold)
-      // is attributed exactly
+      // merge/overlay/compact commits carry their op marker verbatim;
+      // purge linearization commits carry "<op marker>:v<basis>"; a
+      // merge that had to fold overlays first ALSO commits an
+      // intermediate "<op marker>:pre-merge-compact" version, which is
+      // content-preserving maintenance — attributing the op's effects
+      // to it would apply them one (or many) versions early, so only
+      // the verbatim marker and the purge ":v<basis>" suffix map to the
+      // op (a purge that matched nothing commits no version and
+      // correctly never enters the fold)
       val hist = VersionedSnapshot.history(spark, base)
         .select("version", "marker").collect()
         .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
       val opAtVersion: Map[Long, Op] = hist.flatMap { case (v, m) =>
-        allOps.get(m.split(':').head).map(v -> _)
+        val opMarker = m.split(':').toList match {
+          case h :: s :: Nil if s.matches("v\\d+") => Some(h) // purge commit
+          case _ :: _ :: _ => None // pre-merge-compact etc.: content-preserving
+          case _ => Some(m)        // verbatim op marker
+        }
+        opMarker.flatMap(allOps.get).map(v -> _)
       }.toMap
 
       // model fold in commit order
@@ -134,9 +174,10 @@ class SnapshotLinearizabilitySpec extends SparkSpec {
         if (m == "op-seed") content = (0L until 30L).map(k => k -> k).toMap
         else opAtVersion.get(v).foreach { op =>
           op.kind match {
-            case "merge-u" => content = content ++ op.rows
-            case "merge-d" => content = content -- op.rows.keys
+            case "merge-u" | "overlay-u" => content = content ++ op.rows
+            case "merge-d" | "overlay-d" => content = content -- op.rows.keys
             case "purge"   => content = content -- op.subjects
+            case "compact" => () // content-preserving maintenance
           }
         }
         // compacts and other non-op commits keep content unchanged
@@ -167,7 +208,9 @@ class SnapshotLinearizabilitySpec extends SparkSpec {
             .map(r => r.getLong(0) -> r.getLong(1)).toMap
           assert(gv == expectedAt(v),
             s"scenario $scenario v$v diverged from its committed prefix\n" +
-              s"  got:  ${gv.toSeq.sorted}\n  want: ${expectedAt(v).toSeq.sorted}")
+              s"  got:  ${gv.toSeq.sorted}\n  want: ${expectedAt(v).toSeq.sorted}\n" +
+              s"  history: ${hist.mkString(", ")}\n" +
+              s"  ops: ${opAtVersion.toSeq.sortBy(_._1).mkString("\n       ")}")
           checked += 1
         }
       }
