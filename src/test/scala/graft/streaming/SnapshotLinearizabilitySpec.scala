@@ -64,7 +64,9 @@ class SnapshotLinearizabilitySpec extends SparkSpec {
       // seed); markers are globally unique so history() identifies them
       def mkOps(tid: Int): Seq[Op] = (1 to 5).map { i =>
         val marker = s"op-t$tid-$i"
-        rnd.nextInt(8) match {
+        rnd.nextInt(9) match {
+          case 8 => // r14: roll back to a recent version mid-storm
+            Op(marker, "restore", Map.empty, Nil)
           case 7 => // r14: maintenance racing everything else
             Op(marker, "compact", Map.empty, Nil)
           case 6 => // r14: merge-on-read delete overlay
@@ -136,6 +138,19 @@ class SnapshotLinearizabilitySpec extends SparkSpec {
                     marker = op.marker, retain = 60)
                 }
                 ()
+              case "restore" =>
+                VersionedSnapshot.retryOnConflict(attempts = 20, backoffMs = 60L) {
+                  // roll back up to two committed versions — the engine
+                  // stamps "<marker>:v<target>", so the model reads the
+                  // ACTUAL target from history (retry-safe: a re-run
+                  // recomputes against the fresh listing)
+                  val hv = VersionedSnapshot.history(spark, base)
+                    .select("version").collect().map(_.getLong(0)).sorted
+                  val target = hv.takeRight(3).head
+                  VersionedSnapshot.restore(spark, base, target,
+                    marker = op.marker, retain = 60)
+                }
+                ()
             }
           } catch { case e: Throwable => errs.add(e); () }
         }, s"graft-linz-w$ti")
@@ -158,25 +173,36 @@ class SnapshotLinearizabilitySpec extends SparkSpec {
       val hist = VersionedSnapshot.history(spark, base)
         .select("version", "marker").collect()
         .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
-      val opAtVersion: Map[Long, Op] = hist.flatMap { case (v, m) =>
-        val opMarker = m.split(':').toList match {
-          case h :: s :: Nil if s.matches("v\\d+") => Some(h) // purge commit
+      // (op, vNN-suffix): purge commits stamp "<marker>:v<basis>", restore
+      // commits stamp "<marker>:v<target>" — the suffix tells the model a
+      // restore's ACTUAL target with no side channel
+      val opAtVersion: Map[Long, (Op, Option[Long])] = hist.flatMap { case (v, m) =>
+        m.split(':').toList match {
+          case h :: s :: Nil if s.matches("v\\d+") =>
+            allOps.get(h).map(op => v -> (op, s.drop(1).toLongOption))
           case _ :: _ :: _ => None // pre-merge-compact etc.: content-preserving
-          case _ => Some(m)        // verbatim op marker
+          case _ => allOps.get(m).map(op => v -> (op, None))
         }
-        opMarker.flatMap(allOps.get).map(v -> _)
       }.toMap
 
       // model fold in commit order
       var content = Map.empty[Long, Long]
       var prefixes = Map.empty[Long, Map[Long, Long]] // version -> folded state
+      var purgedSoFar = Set.empty[Long]
       hist.foreach { case (v, m) =>
         if (m == "op-seed") content = (0L until 30L).map(k => k -> k).toMap
-        else opAtVersion.get(v).foreach { op =>
+        else opAtVersion.get(v).foreach { case (op, vSuffix) =>
           op.kind match {
             case "merge-u" | "overlay-u" => content = content ++ op.rows
             case "merge-d" | "overlay-d" => content = content -- op.rows.keys
-            case "purge"   => content = content -- op.subjects
+            case "purge" =>
+              content = content -- op.subjects
+              purgedSoFar ++= op.subjects
+            case "restore" =>
+              // the restored state is the target's CURRENT on-disk
+              // content: its fold-time prefix minus every purge that has
+              // since rewritten history in place
+              content = prefixes(vSuffix.get) -- purgedSoFar
             case "compact" => () // content-preserving maintenance
           }
         }
@@ -185,6 +211,7 @@ class SnapshotLinearizabilitySpec extends SparkSpec {
       }
       // purge erases from EARLIER retained versions too
       val purgesByVersion = opAtVersion.toSeq
+        .map { case (v, (op, _)) => v -> op }
         .filter(_._2.kind == "purge").sortBy(_._1)
       def expectedAt(v: Long): Map[Long, Long] = {
         val later = purgesByVersion.filter(_._1 > v).flatMap(_._2.subjects).toSet
