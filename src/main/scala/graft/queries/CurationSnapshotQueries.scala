@@ -465,7 +465,7 @@ private[graft] object CurationSnapshotQueries {
       graft.streaming.VersionedSnapshot.mergeInto(
         base, docs.filter(col("doc_id") % 10 =!= 0), Seq("doc_id"),
         graft.streaming.VersionedSnapshot.UpdateMatched,
-        insertUnmatched = true, marker = "seed")
+        insertUnmatched = true, marker = "seed", numBuckets = 8)
       graft.streaming.VersionedSnapshot.mergeInto(
         base,
         docs.filter(col("doc_id") % 5 === 0)
@@ -518,7 +518,7 @@ private[graft] object CurationSnapshotQueries {
       val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
       val base = tempSnapshotBase("graft-cmerge")
       VS.mergeInto(base, docs, Seq("doc_id"), VS.UpdateMatched,
-        insertUnmatched = true, marker = "seed")
+        insertUnmatched = true, marker = "seed", numBuckets = 8)
       val srcA = docs.filter(col("doc_id") < 50)
         .withColumn("n_chars", col("n_chars") + 5000)
       val srcB = docs.filter(col("doc_id") >= 50 && col("doc_id") % 7 === 0)
@@ -562,7 +562,7 @@ private[graft] object CurationSnapshotQueries {
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       try {
         VS.mergeInto(base, docs, Seq("doc_id"), VS.UpdateMatched,
-          insertUnmatched = true, marker = "seed")
+          insertUnmatched = true, marker = "seed", numBuckets = 8)
         val srcA = docs.filter(col("doc_id") < 50)
           .withColumn("n_chars", col("n_chars") + 5000)
         val srcB = docs.filter(col("doc_id") >= 50 && col("doc_id") % 7 === 0)
@@ -598,7 +598,7 @@ private[graft] object CurationSnapshotQueries {
       val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
       val base = tempSnapshotBase("graft-heal")
       VS.mergeInto(base, docs, Seq("doc_id"), VS.UpdateMatched,
-        insertUnmatched = true, marker = "seed")
+        insertUnmatched = true, marker = "seed", numBuckets = 8)
       val upd = docs.filter(col("doc_id") % 3 === 0)
         .withColumn("n_chars", col("n_chars") + 7000)
       s.conf.set(VS.CrashBeforeCommitConf, "true")
@@ -629,7 +629,7 @@ private[graft] object CurationSnapshotQueries {
       VS.mergeInto(base, docs.filter(col("doc_id") % 2 === 0)
           .select("doc_id", "n_chars"),
         Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
-        marker = "seed", retain = 5)
+        marker = "seed", retain = 5, numBuckets = 8)
       VS.mergeInto(base,
         docs.filter(col("doc_id") % 3 === 0)
           .withColumn("n_chars", col("n_chars") + 500),
@@ -650,7 +650,7 @@ private[graft] object CurationSnapshotQueries {
       val base = tempSnapshotBase("graft-cdfp")
       val v0 = VS.mergeInto(base, docs.filter(col("doc_id") % 10 =!= 0),
         Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
-        marker = "seed", retain = 10)
+        marker = "seed", retain = 10, numBuckets = 8)
       VS.mergeInto(base,
         docs.filter(col("doc_id") % 5 === 0)
           .withColumn("n_chars", col("n_chars") + 1000),
@@ -723,7 +723,7 @@ private[graft] object CurationSnapshotQueries {
       val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
       val base = tempSnapshotBase("graft-restore")
       val v0 = VS.mergeInto(base, docs, Seq("doc_id"), VS.UpdateMatched,
-        insertUnmatched = true, marker = "seed", retain = 5)
+        insertUnmatched = true, marker = "seed", retain = 5, numBuckets = 8)
       VS.mergeInto(base,
         docs.filter(col("doc_id") % 5 === 0)
           .withColumn("n_chars", col("n_chars") + 1000),
@@ -779,7 +779,7 @@ private[graft] object CurationSnapshotQueries {
       val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
       val base = tempSnapshotBase("graft-purge")
       val v0 = VS.mergeInto(base, docs.filter(col("doc_id") % 10 =!= 0),
-        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true, marker = "seed")
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true, marker = "seed", numBuckets = 8)
       VS.mergeInto(base,
         docs.filter(col("doc_id") % 5 === 0)
           .withColumn("n_chars", col("n_chars") + 1000),
@@ -874,14 +874,14 @@ private[graft] object CurationSnapshotQueries {
       graft.streaming.VersionedSnapshot.mergeInto(
         base, docs.filter(col("doc_id") % 10 =!= 0), Seq("doc_id"),
         graft.streaming.VersionedSnapshot.UpdateMatched,
-        insertUnmatched = true, marker = "seed")
+        insertUnmatched = true, marker = "seed", numBuckets = 8)
       graft.streaming.VersionedSnapshot.mergeInto(
         base,
         docs.filter(col("doc_id") % 3 === 0)
           .withColumn("n_chars", col("n_chars") + 1000),
         Seq("doc_id"),
         graft.streaming.VersionedSnapshot.UpdateMatched,
-        insertUnmatched = true, marker = "full-sync",
+        insertUnmatched = true, marker = "full-sync", numBuckets = 8,
         deleteUnmatchedBySource = Some(col("n_chars") < 500))
       graft.streaming.VersionedSnapshot.read(s, base).get
         .select("doc_id", "n_chars", "lang")
@@ -899,7 +899,7 @@ private[graft] object CurationSnapshotQueries {
       graft.streaming.VersionedSnapshot.mergeInto(
         base, docs, Seq("doc_id"),
         graft.streaming.VersionedSnapshot.UpdateMatched,
-        insertUnmatched = true, marker = "seed")
+        insertUnmatched = true, marker = "seed", numBuckets = 8)
       graft.streaming.VersionedSnapshot.mergeInto(
         base,
         docs.filter(col("doc_id") % 4 === 0)
@@ -919,7 +919,7 @@ private[graft] object CurationSnapshotQueries {
       graft.streaming.VersionedSnapshot.mergeInto(
         base, docs.filter(col("doc_id") % 10 =!= 0), Seq("doc_id"),
         graft.streaming.VersionedSnapshot.UpdateMatched,
-        insertUnmatched = true, marker = "seed")
+        insertUnmatched = true, marker = "seed", numBuckets = 8)
       graft.streaming.VersionedSnapshot.mergeInto(
         base, docs.filter(col("doc_id") % 5 === 0), Seq("doc_id"),
         graft.streaming.VersionedSnapshot.DeleteMatched,

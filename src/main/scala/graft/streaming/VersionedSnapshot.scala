@@ -1070,14 +1070,22 @@ object VersionedSnapshot {
     * (NaN/Infinity) — the column then records no stats for that file. */
   private def renderZoneVal(tag: String, v: Any): Option[String] = {
     if (v == null) return None
-    val s = v.toString
-    val ok = tag match {
-      case "f" => try { new java.math.BigDecimal(s); true }
-        catch { case _: NumberFormatException => false }
-      case _ => true
+    val s0 = v.toString
+    val s = tag match {
+      case "f" =>
+        try {
+          // canonicalize signed zero: parquet footer statistics store a
+          // 0.0-containing column's min as -0.0 (conservative IEEE
+          // bound), the scan aggregate returns 0.0 — identical under
+          // the consult path's BigDecimal compare, so render ONE form
+          // and the two stats builders stay bit-identical
+          if (new java.math.BigDecimal(s0).signum() == 0 && s0.startsWith("-"))
+            s0.substring(1)
+          else s0
+        } catch { case _: NumberFormatException => return None }
+      case _ => s0
     }
-    if (!ok) None
-    else Some(java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8")))
+    Some(java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8")))
   }
 
   /** a < b under the tag's ordering; both sides arrive in the zonemap's
@@ -1276,8 +1284,149 @@ object VersionedSnapshot {
   }
 
   /** Per-file (count, min/max per key) stats for the files a publish just
-    * wrote under `gDir` — one narrow aggregate over the delta only. */
+    * wrote under `gDir`. Fast path: the parquet FOOTERS of those files
+    * already carry exact per-row-group statistics, so for every
+    * cleanly-mappable type the stats are METADATA-priced — O(files)
+    * footer reads instead of a second O(delta) scan of everything the
+    * publish just wrote (at 100 TB that second scan, not the manifest
+    * writes, is the dominant zonemap cost). Any file or column the
+    * footer path cannot map EXACTLY (unexpected physical type,
+    * stats-less chunk, NaN-dropped float stats, decimals) falls the
+    * whole call back to the scan aggregate, so the zonemap artifact is
+    * bit-identical either way — ZoneStatsParitySpec pins the
+    * equivalence per type, including the null/all-null shapes. */
   private def freshZoneStats(spark: SparkSession, gDir: Path, gName: String,
+      statCols: Seq[String], schema: org.apache.spark.sql.types.StructType)
+      : Seq[(String, Long, Seq[Option[(String, String)]])] =
+    footerZoneStats(spark, Seq(gDir), statCols, schema)
+      .getOrElse(scanZoneStats(spark, gDir, gName, statCols, schema))
+
+  private def isMicrosTimestamp(
+      chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean =
+    chunk.getPrimitiveType.getLogicalTypeAnnotation match {
+      case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+      case _ => false
+    }
+
+  /** Footer fast path of [[freshZoneStats]] (and of the purge pass's
+    * zones regeneration): None = fall back to the scan (never guesses —
+    * a partially-mappable layout is all-or-nothing, because a MISSING
+    * stat must mean "no stats recorded", not "footer unreadable").
+    * `padMissingColumns`: a stat column absent from a file's schema
+    * records None (the purge-regen semantic for pre-evolution files)
+    * instead of bailing. */
+  private[graft] def footerZoneStats(spark: SparkSession, dirs: Seq[Path],
+      statCols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      padMissingColumns: Boolean = false)
+      : Option[Seq[(String, Long, Seq[Option[(String, String)]])]] = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    // a stat column absent from the union schema itself (possible under
+    // padMissingColumns with pre-evolution dirs) tags "x" → no stats,
+    // matching the scan path's padding
+    val tags = statCols.map(k =>
+      schema.fields.find(_.name == k).map(f => zoneTag(f.dataType)).getOrElse("x"))
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val files: Seq[(Path, String)] = dirs.flatMap { dir =>
+        val f = dir.getFileSystem(conf)
+        if (!f.exists(dir)) Nil
+        else {
+          val marker = s"/$DataDirName/${dir.getName}/"
+          val it = f.listFiles(dir, true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Path, String)]
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+              val uri = st.getPath.toUri.toString
+              val idx = uri.lastIndexOf(marker)
+              if (idx < 0) return None
+              buf += st.getPath -> uri.substring(idx + 1)
+            }
+          }
+          buf.toSeq
+        }
+      }
+      val out = files.map { case (p, rel) =>
+        val footer = {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter finally r.close()
+        }
+        val blocks = footer.getBlocks.asScala.toSeq
+        val n = blocks.map(_.getRowCount).sum
+        val ranges = statCols.zip(tags).map { case (k, tag) =>
+          if (tag == "x") None
+          else if (padMissingColumns &&
+              blocks.forall(!_.getColumns.asScala.exists(_.getPath.toDotString == k)))
+            None // pre-evolution file: column absent everywhere → no stats
+          else {
+            val chunks = blocks.map(b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == k)
+                .getOrElse(return None))
+            val stats = chunks.map(_.getStatistics)
+            // exactness gate: every chunk must carry fully-set stats
+            // (null count AND, when non-null rows exist, min/max)
+            if (stats.exists(s => s == null || !s.isNumNullsSet)) return None
+            val nulls = stats.map(_.getNumNulls).sum
+            if (nulls > 0) None // scan path: any null key row → no stats
+            else if (n == 0) None
+            else {
+              if (stats.exists(s => !s.hasNonNullValue)) return None
+              // merge across row groups with the column's own comparator
+              val merged = stats.reduce { (a, b) =>
+                a.asInstanceOf[org.apache.parquet.column.statistics.Statistics[_]]
+                  .mergeStatistics(
+                    b.asInstanceOf[org.apache.parquet.column.statistics.Statistics[_]])
+                a
+              }
+              val primitive = chunks.head.getPrimitiveType.getPrimitiveTypeName
+              // map (Spark dtype, parquet primitive) → the SAME normalized
+              // value the scan path's zoneNormExpr produces; anything
+              // unexpected bails the whole fast path
+              def norm(v: Any): Option[Any] = (schema(k).dataType, primitive) match {
+                case (BooleanType, BOOLEAN) =>
+                  Some(if (v.asInstanceOf[Boolean]) 1L else 0L)
+                case (ByteType | ShortType | IntegerType, INT32) =>
+                  Some(v.asInstanceOf[Int].toLong)
+                case (LongType, INT64) => Some(v.asInstanceOf[Long])
+                case (DateType, INT32) => Some(v.asInstanceOf[Int]) // days, = unix_date
+                case (TimestampType, INT64) if isMicrosTimestamp(chunks.head) =>
+                  Some(v.asInstanceOf[Long]) // micros, = unix_micros
+                case (FloatType, FLOAT) =>
+                  val x = v.asInstanceOf[Float]
+                  if (x.isNaN) None else Some(x)
+                case (DoubleType, DOUBLE) =>
+                  val x = v.asInstanceOf[Double]
+                  if (x.isNaN) None else Some(x)
+                case (StringType, BINARY) =>
+                  Some(new String(
+                    v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes, "UTF-8"))
+                case _ => None
+              }
+              (for {
+                lo <- norm(merged.genericGetMin()).flatMap(renderZoneVal(tag, _))
+                hi <- norm(merged.genericGetMax()).flatMap(renderZoneVal(tag, _))
+              } yield (lo, hi)) match {
+                case some @ Some(_) => some
+                case None => return None // unmappable ≠ "no stats": bail
+              }
+            }
+          }
+        }
+        (rel, n, ranges)
+      }
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Scan fallback of [[freshZoneStats]] — one narrow aggregate over the
+    * delta only (the pre-r14 path, and the semantics the footer path
+    * must reproduce exactly). */
+  private[graft] def scanZoneStats(spark: SparkSession, gDir: Path, gName: String,
       statCols: Seq[String], schema: org.apache.spark.sql.types.StructType)
       : Seq[(String, Long, Seq[Option[(String, String)]])] = {
     import org.apache.spark.sql.functions.{count => fCount, input_file_name, max => fMax, min => fMin}
@@ -2078,7 +2227,11 @@ object VersionedSnapshot {
             bucketUpdates.keySet.exists(r =>
               if (isFileRef(r)) frel == r else frel.startsWith(r + "/"))
           }.map { case (rel2, (n, rs)) => (rel2, n, rs) }
-          val fresh: Seq[(String, Long, Seq[Option[(String, String)]])] = {
+          val fresh: Seq[(String, Long, Seq[Option[(String, String)]])] =
+            footerZoneStats(spark, newRels.map(r => new Path(base, r)),
+                statCols, spark.read.parquet(newPaths: _*).schema,
+                padMissingColumns = true)
+              .getOrElse {
             import org.apache.spark.sql.functions.{count => fCount, input_file_name, max => fMax, min => fMin}
             val d = spark.read.parquet(newPaths: _*)
             val sch = d.schema
