@@ -101,6 +101,17 @@ object VersionedSnapshot {
       s"snapshot $baseDir moved to v$found while this publish was staged " +
         s"against v$expected — re-run the merge against the new current")
 
+  /** A fenced lock this operation held changed hands mid-flight (a
+    * breaker judged it stale and re-acquired). Continuing without the
+    * lock would reintroduce the exact race the lock exists to close, so
+    * the holder aborts loudly. Retryable by re-running the whole
+    * operation — deliberately NOT absorbed by any internal retry loop,
+    * which would keep mutating without the exclusion it assumes. */
+  final class FencedLockLost(val what: String, val lock: String)
+    extends RuntimeException(
+      s"$what lock $lock changed hands mid-operation (stale-broken by " +
+        "another holder) — aborting; re-run the operation")
+
   private val PointerName = "_CURRENT"
   private val MarkerName = "_LAST_BATCH" // leading _: invisible to parquet reads
   private val ManifestName = "_MANIFEST" // data-file inventory, written pre-commit
@@ -153,6 +164,18 @@ object VersionedSnapshot {
     * stalled-committer specs that prove a conditional-put backend closes
     * the window the fenced rename cannot. */
   private[graft] val TestDelayAfterFenceConf = "graft.snapshot.test.delayAfterFenceMs"
+  /** Spec-only seam: stall a committer between its pointer flip and its
+    * retention deletions — the real window in which a purge pass can
+    * list a committed version that retention then retires mid-pass
+    * (writers apply retention AFTER releasing the commit lock, so the
+    * deletions stay in flight even under the purge escalation's frozen
+    * pointer). */
+  private[graft] val TestDelayBeforeRetentionConf = "graft.snapshot.test.delayBeforeRetentionMs"
+  /** Spec-only seam: stall a purge pass between its committed-version
+    * listing and its first read — pins the retention-collateral
+    * absorption deterministically (delete a listed vdir while the pass
+    * sleeps) instead of relying on suite load to land the race. */
+  private[graft] val TestDelayAfterPurgeListingConf = "graft.snapshot.test.delayAfterPurgeListingMs"
   /** Spec-only power-loss seam: when the active session's conf names one
     * of the seam points, the JVM halts outright — `Runtime.halt` skips
     * finally blocks, [[guardStaged]]'s abort, and shutdown hooks,
@@ -1760,7 +1783,7 @@ object VersionedSnapshot {
     var attempts = 8
     while (attempts > 0) {
       // heartbeat: a live purge must never look stale to the next purge
-      writeSmallFile(fLock, purgeLock, lockToken)
+      heartbeatFencedLock(fLock, purgeLock, lockToken, "purge")
       attempts -= 1
       val basis = currentVersion(spark, baseDir) match {
         case Some(v) => v
@@ -1775,9 +1798,14 @@ object VersionedSnapshot {
       // propagates — same reasoning as purgeCommit's withBasis guard
       total +=
         (try purgeKeysPass(spark, baseDir, keys, keyRows,
-          heartbeat = () => writeSmallFile(fLock, purgeLock, lockToken))
+          heartbeat = () => heartbeatFencedLock(fLock, purgeLock, lockToken, "purge"))
         catch {
-          case _: Throwable
+          // lock loss must propagate (re-passing without the exclusion it
+          // assumes IS the purge-vs-purge race), and so must fatal errors
+          // (OOM, interrupt, linkage) — only NON-fatal collateral of a
+          // moved pointer is absorbable
+          case e: FencedLockLost => throw e
+          case scala.util.control.NonFatal(_)
               if currentVersion(spark, baseDir).getOrElse(-1L) != basis => 0
         })
       val now = currentVersion(spark, baseDir).getOrElse(-1L)
@@ -1796,6 +1824,10 @@ object VersionedSnapshot {
         // the retryable conflict they are, so the loop re-passes instead
         // of failing a compliance erasure hard
         try {
+          // re-verify purge-lock ownership as the last act before the
+          // linearization commit: a zombie that lost the lock mid-pass
+          // must abort here, not publish over the breaker's passes
+          heartbeatFencedLock(fLock, purgeLock, lockToken, "purge")
           withBasis(spark, baseDir, basis) {
             purgeCommit(spark, baseDir, basis, marker, keys, keyRows)
           }
@@ -1819,7 +1851,7 @@ object VersionedSnapshot {
     // recent versions; a rare seconds-long writer stall is the price of
     // a purge that always lands. Lock order is strictly purge-lock →
     // commit-lock (writers take only the commit lock): no cycle.
-    writeSmallFile(fLock, purgeLock, lockToken)
+    heartbeatFencedLock(fLock, purgeLock, lockToken, "purge")
     val commitLock = new Path(basePath, CommitLockName)
     val cStale = confMs(CommitLockStaleMsConf, DefaultCommitLockStaleMs)
     val cTok = acquireFencedLock(fLock, commitLock, cStale,
@@ -1830,9 +1862,23 @@ object VersionedSnapshot {
         case Some(v) => v
         case None => return total
       }
+      // the escalated pass runs under BOTH locks — heartbeat both.
+      // DefaultCommitLockStaleMs (60 s) is shorter than a large table's
+      // pass, so a purge-lock-only heartbeat would get the commit lock
+      // stale-broken by the blocked writers mid-pass, a writer would
+      // commit a pre-purge-staged version, and the final commit would
+      // fence-fail — the escalation erroring under exactly the sustained
+      // contention it exists to survive
+      val bothLocks = () => {
+        heartbeatFencedLock(fLock, purgeLock, lockToken, "purge")
+        heartbeatFencedLock(fLock, commitLock, cTok,
+          "snapshot commit (purge escalation)")
+      }
       total += purgeKeysPass(spark, baseDir, keys, keyRows,
-        heartbeat = () => writeSmallFile(fLock, purgeLock, lockToken))
+        heartbeat = bothLocks)
       if (total == 0 && !retractUnmatched) return 0
+      // last-act ownership proof on both locks before the commit
+      bothLocks()
       withBasis(spark, baseDir, basis) {
         purgeCommit(spark, baseDir, basis, marker, keys, keyRows,
           heldLockToken = Some(cTok))
@@ -2071,18 +2117,35 @@ object VersionedSnapshot {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
       .filter(_.getPath.getName.drop(1).toLongOption.exists(_ <= cur0))
       .map(_.getPath).sortBy(_.getName)
+    specDelay(spark, TestDelayAfterPurgeListingConf)
+
+    // RETENTION COLLATERAL (r15): writers apply retention AFTER releasing
+    // the commit lock (publish/mergeInto/restore all do), so a version
+    // listed above can be deleted by an already-committed writer's
+    // in-flight retention at ANY later point of this pass — even under
+    // the escalation's frozen pointer, where the caller's moved-pointer
+    // absorption can never fire (the pointer provably does not move).
+    // Only retention deletes committed version dirs, and a retired
+    // version needs no purging (no reader can resolve it anymore), so
+    // listed-then-vanished is absorbable collateral everywhere below,
+    // never a fault.
+    def retired(vdir: Path): Boolean = !f.exists(vdir)
 
     // fail fast: a flat version holding a purged key cannot be rewritten
     // atomically — raise before ANY mutation so the purge is all-or-nothing
     vdirs.foreach { vdir =>
-      if (parseBuckets(f, vdir).isEmpty) {
-        val d = spark.read.parquet(vdir.toString)
-        if (keys.forall(d.columns.contains) &&
-            d.filter(matchCond()).limit(1).count() > 0)
-          throw new IllegalStateException(
-            s"purge requires the bucketed layout, but flat version " +
-              s"${vdir.getName} contains matching rows — one mergeInto " +
-              "migrates the table")
+      try {
+        if (parseBuckets(f, vdir).isEmpty && !retired(vdir)) {
+          val d = spark.read.parquet(vdir.toString)
+          if (keys.forall(d.columns.contains) &&
+              d.filter(matchCond()).limit(1).count() > 0)
+            throw new IllegalStateException(
+              s"purge requires the bucketed layout, but flat version " +
+                s"${vdir.getName} contains matching rows — one mergeInto " +
+                "migrates the table")
+        }
+      } catch { // retired between the check and the read: nothing to purge
+        case scala.util.control.NonFatal(_) if retired(vdir) => ()
       }
     }
 
@@ -2094,7 +2157,10 @@ object VersionedSnapshot {
     import scala.jdk.CollectionConverters._
     val keysDf = spark.createDataFrame(
       keyRows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, keySchema)
-    val nbs = vdirs.flatMap(vd => parseBuckets(f, vd).map(_._1)).toSet
+    val nbs = vdirs.flatMap(vd =>
+      (try parseBuckets(f, vd)
+       catch { case scala.util.control.NonFatal(_) if retired(vd) => None })
+        .map(_._1)).toSet
     val hitBuckets: Map[Int, Set[Int]] = nbs.map { nb =>
       nb -> keysDf.select(bucketOf(keys, nb).as("__b"))
         .distinct().collect().map(_.getInt(0)).toSet
@@ -2123,14 +2189,20 @@ object VersionedSnapshot {
     // form pays ~V·B job-scheduling constants, which dominates wall time
     // long before any real I/O does.
     val candidateRels: Seq[String] = vdirs.flatMap { vdir =>
-      val bucketRels = parseBuckets(f, vdir) match {
-        case Some((nb, entries)) =>
-          val hits = hitBuckets(nb)
-          entries.toSeq.collect { case (b, rels) if hits(b) => rels }.flatten
-        case None => Nil
-      }
-      bucketRels ++ parseDeltas(f, vdir).map(_._2).getOrElse(Nil)
+      try {
+        val bucketRels = parseBuckets(f, vdir) match {
+          case Some((nb, entries)) =>
+            val hits = hitBuckets(nb)
+            entries.toSeq.collect { case (b, rels) if hits(b) => rels }.flatten
+          case None => Nil
+        }
+        bucketRels ++ parseDeltas(f, vdir).map(_._2).getOrElse(Nil)
+      } catch { case scala.util.control.NonFatal(_) if retired(vdir) => Nil }
     }.distinct
+      // a data ref held ONLY by retired versions is swept by their
+      // retention's orphan gc mid-pass — drop vanished candidates here
+      // (any still-live version's refs exist, by gcDataDirs' contract)
+      .filter(rel => f.exists(new Path(base, rel)))
     // FILE-level match set (no dir truncation): a manifest ref matches if
     // it IS a matched file (file ref) or contains one (dir/overlay ref) —
     // the schema-drift fallback adds whole manifest rels, which the exact
@@ -2149,12 +2221,18 @@ object VersionedSnapshot {
           .select(input_file_name().as("__f")).distinct()
           .collect().map(r => relOf(r.getString(0))).toSet
       } catch {
-        // schema drift across candidate generations: probe per ref instead
+        // schema drift across candidate generations (or a candidate swept
+        // between the filter above and the batched read): probe per ref
         case scala.util.control.NonFatal(_) =>
           candidateRels.filter { rel =>
-            val d = spark.read.parquet(new Path(base, rel).toString)
-            keys.forall(d.columns.contains) &&
-              d.filter(matchCond()).limit(1).count() > 0
+            val p = new Path(base, rel)
+            try f.exists(p) && {
+              val d = spark.read.parquet(p.toString)
+              keys.forall(d.columns.contains) &&
+                d.filter(matchCond()).limit(1).count() > 0
+            } catch { // swept mid-probe: every holder is retired
+              case scala.util.control.NonFatal(_) if !f.exists(p) => false
+            }
           }.toSet
       }
     def matched(rel: String): Boolean =
@@ -2166,7 +2244,7 @@ object VersionedSnapshot {
     val memo = scala.collection.mutable.Map.empty[String, Option[String]]
     def rewritten(rel: String): Option[String] = memo.getOrElseUpdate(rel, {
       if (!matched(rel)) None
-      else {
+      else try {
         val d = spark.read.parquet(new Path(base, rel).toString)
         val gName = allocName()
         val comps = rel.split('/').toSeq
@@ -2179,15 +2257,13 @@ object VersionedSnapshot {
         d.filter(!matchCond()).coalesce(1)
           .write.mode("overwrite").parquet(new Path(base, newRel).toString)
         Some(newRel)
+      } catch { // ref swept mid-rewrite: every referencing version retired
+        case scala.util.control.NonFatal(_)
+            if !f.exists(new Path(base, rel)) => None
       }
     })
 
-    vdirs.zipWithIndex.foreach { case (vdir, vi) =>
-      heartbeat() // a 100 TB pass iterates many versions: stay un-stale
-      // power-loss window: the first retained version's sidecars already
-      // point at purged rewrites, later versions still reference the
-      // un-purged files — the documented rerun-completes contract
-      if (vi == 1) haltPoint("mid-purge")
+    def updateSidecars(vdir: Path): Unit = {
       val bucketUpdates: Map[String, String] = parseBuckets(f, vdir) match {
         case Some((nb, entries)) =>
           val hits = hitBuckets(nb)
@@ -2308,6 +2384,24 @@ object VersionedSnapshot {
         atomicSmallFile(new Path(vdir, ManifestName),
           inventory(f, base, vdir).map { case (n, l) => s"$n:$l" }
             .mkString("\n"))
+    }
+    vdirs.zipWithIndex.foreach { case (vdir, vi) =>
+      heartbeat() // a 100 TB pass iterates many versions: stay un-stale
+      // power-loss window: the first retained version's sidecars already
+      // point at purged rewrites, later versions still reference the
+      // un-purged files — the documented rerun-completes contract
+      if (vi == 1) haltPoint("mid-purge")
+      if (!retired(vdir)) try updateSidecars(vdir) catch {
+        case scala.util.control.NonFatal(_) if retired(vdir) =>
+          // retired mid-update: a sidecar write into a recursively-deleted
+          // dir can partially resurrect it (create() re-creates parent
+          // dirs on local FS) — sweep our own litter. Only ours can be
+          // there: staged versions are numbered ABOVE the pointer and
+          // version numbers are never reused, so nothing live shares the
+          // retired dir's name.
+          try { f.delete(vdir, true); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
     memo.values.count(_.isDefined)
   }
@@ -2445,6 +2539,25 @@ object VersionedSnapshot {
     token
   }
 
+  /** Verify-then-stamp heartbeat: re-stamping keeps a live holder's lock
+    * from ever looking stale, but a blind overwrite is a zombie hazard —
+    * a holder stalled PAST the stale horizon gets legitimately broken,
+    * and its next blind stamp would re-take the lock from the breaker,
+    * leaving BOTH sides believing they hold it (the dual-ownership race
+    * the fence exists to close). So the heartbeat proves ownership first
+    * (token read-back, mirroring commitPointer's fence) and aborts the
+    * whole operation via [[FencedLockLost]] when the lock changed hands.
+    * The read→stamp gap is not atomic, but it shrinks the dual-ownership
+    * window from "forever after a break" to one heartbeat's milliseconds,
+    * and the callers re-verify immediately before their commit. */
+  private def heartbeatFencedLock(f: FileSystem, lock: Path, token: String,
+      what: String): Unit = {
+    val cur = try Some(readSmallFile(f, lock).trim)
+      catch { case scala.util.control.NonFatal(_) => None }
+    if (!cur.contains(token)) throw new FencedLockLost(what, lock.toString)
+    writeSmallFile(f, lock, token)
+  }
+
   /** Identity-checked release: never deletes a lock that changed hands. */
   private def releaseFencedLock(f: FileSystem, lock: Path, token: String): Unit =
     try {
@@ -2561,6 +2674,12 @@ object VersionedSnapshot {
     * unreferenced data dirs. */
   private def applyRetention(f: FileSystem, base: Path, current: Long,
       next: Long, retain: Int): Unit = {
+    // retention runs AFTER the commit lock is released (deliberately: the
+    // deletes are not part of the critical section), so its deletions can
+    // land mid-flight in any concurrent purge pass — the seam widens that
+    // window deterministically for the collateral-absorption specs
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(specDelay(_, TestDelayBeforeRetentionConf))
     // numeric parse, no length guard (see prepareNext): retention must
     // keep aging out versions past v99999 or the table leaks history
     def versionOf(name: String): Option[Long] =
