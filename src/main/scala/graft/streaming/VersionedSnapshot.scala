@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, assert_true, coalesce, col, count, explode, lit, pmod, when, xxhash64}
+import org.apache.spark.sql.functions.{array, assert_true, coalesce, col, count, explode, expr, lit, pmod, when, xxhash64}
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 
 /** Reader-atomic, multi-version snapshot publication — the transactional
@@ -1270,7 +1270,9 @@ object VersionedSnapshot {
       .agg(bloomAgg(h1, h2).as("__bloom"))
       .collect().toSeq.map { r =>
         val uri = r.getAs[String]("__f")
-        (uri.substring(uri.indexOf(marker) + 1), r.getAs[Array[Byte]]("__bloom"))
+        // lastIndexOf, matching footerZoneStats: a base path that itself
+        // contains /data/<name>/ must not shift the rel boundary
+        (uri.substring(uri.lastIndexOf(marker) + 1), r.getAs[Array[Byte]]("__bloom"))
       }
   }
 
@@ -1314,10 +1316,14 @@ object VersionedSnapshot {
     * publish just wrote (at 100 TB that second scan, not the manifest
     * writes, is the dominant zonemap cost). Any file or column the
     * footer path cannot map EXACTLY (unexpected physical type,
-    * stats-less chunk, NaN-dropped float stats, decimals) falls the
+    * stats-less chunk, NaN-dropped float stats, INT96 timestamps, a
+    * decimal whose parquet scale differs from the column's) falls the
     * whole call back to the scan aggregate, so the zonemap artifact is
     * bit-identical either way — ZoneStatsParitySpec pins the
-    * equivalence per type, including the null/all-null shapes. */
+    * equivalence per type, including the null/all-null and empty-file
+    * shapes. Snapshot writes pin TIMESTAMP_MICROS (see
+    * [[withMicrosTimestamps]]) precisely so timestamp-bearing tables
+    * stay on this path instead of silently paying the scan forever. */
   private def freshZoneStats(spark: SparkSession, gDir: Path, gName: String,
       statCols: Seq[String], schema: org.apache.spark.sql.types.StructType)
       : Seq[(String, Long, Seq[Option[(String, String)]])] =
@@ -1373,7 +1379,7 @@ object VersionedSnapshot {
           buf.toSeq
         }
       }
-      val out = files.map { case (p, rel) =>
+      val out = files.flatMap { case (p, rel) =>
         val footer = {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -1381,6 +1387,10 @@ object VersionedSnapshot {
         }
         val blocks = footer.getBlocks.asScala.toSeq
         val n = blocks.map(_.getRowCount).sum
+        // a 0-row part file produces NO row group for the scan path's
+        // groupBy(input_file_name) to see, so the scan artifact omits it
+        // entirely — omit it here too or the bit-identical contract breaks
+        if (n == 0) None else {
         val ranges = statCols.zip(tags).map { case (k, tag) =>
           if (tag == "x") None
           else if (padMissingColumns &&
@@ -1396,7 +1406,6 @@ object VersionedSnapshot {
             if (stats.exists(s => s == null || !s.isNumNullsSet)) return None
             val nulls = stats.map(_.getNumNulls).sum
             if (nulls > 0) None // scan path: any null key row → no stats
-            else if (n == 0) None
             else {
               if (stats.exists(s => !s.hasNonNullValue)) return None
               // merge across row groups with the column's own comparator
@@ -1428,6 +1437,28 @@ object VersionedSnapshot {
                 case (StringType, BINARY) =>
                   Some(new String(
                     v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes, "UTF-8"))
+                case (dt: DecimalType, prim) =>
+                  // decimal min/max are exactly mappable: the stats value
+                  // is the UNSCALED integer (INT32/INT64) or its
+                  // big-endian two's-complement bytes (FLBA/BINARY);
+                  // rescaling with the column's own annotation reproduces
+                  // the scan path's java.math.BigDecimal toString form
+                  chunks.head.getPrimitiveType.getLogicalTypeAnnotation match {
+                    case d: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation
+                        if d.getScale == dt.scale =>
+                      prim match {
+                        case INT32 => Some(java.math.BigDecimal.valueOf(
+                          v.asInstanceOf[Int].toLong, dt.scale))
+                        case INT64 => Some(java.math.BigDecimal.valueOf(
+                          v.asInstanceOf[Long], dt.scale))
+                        case FIXED_LEN_BYTE_ARRAY | BINARY =>
+                          Some(new java.math.BigDecimal(new java.math.BigInteger(
+                            v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes),
+                            dt.scale))
+                        case _ => None
+                      }
+                    case _ => None // foreign scale/annotation: bail to scan
+                  }
                 case _ => None
               }
               (for {
@@ -1440,7 +1471,8 @@ object VersionedSnapshot {
             }
           }
         }
-        (rel, n, ranges)
+        Some((rel, n, ranges))
+        }
       }
       Some(out)
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -1469,7 +1501,8 @@ object VersionedSnapshot {
       .agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.map { r =>
         val uri = r.getAs[String]("__f")
-        val rel = uri.substring(uri.indexOf(marker) + 1)
+        // lastIndexOf, matching footerZoneStats' rel resolution exactly
+        val rel = uri.substring(uri.lastIndexOf(marker) + 1)
         val n = r.getAs[Long]("__n")
         val ranges = statCols.zip(tags).map { case (k, tag) =>
           if (tag == "x") None
@@ -1910,10 +1943,12 @@ object VersionedSnapshot {
       val keySchema = org.apache.spark.sql.types.StructType(
         keys.map(k => curSchema(k)))
       import scala.jdk.CollectionConverters._
-      spark.createDataFrame(
-          keyRows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, keySchema)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(new Path(target, PurgedName).toString)
+      withMicrosTimestamps(spark) {
+        spark.createDataFrame(
+            keyRows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, keySchema)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new Path(target, PurgedName).toString)
+      }
     }
     // LINEAGE PRESERVATION: overwriting a streaming lineage marker
     // ("tag:batchId") with the purge marker would make lastApplied
@@ -1942,8 +1977,10 @@ object VersionedSnapshot {
       val next = prepareNext(f, base, basis)
       republishMeta(spark, f, base, next, outMarker, expected = basis,
           heldLockToken = heldLockToken) { target =>
-        versionFrame(spark, baseDir, basis)
-          .write.mode("overwrite").parquet(target.toString)
+        withMicrosTimestamps(spark) {
+          versionFrame(spark, baseDir, basis)
+            .write.mode("overwrite").parquet(target.toString)
+        }
         writePurged(target)
       }
     } else {
@@ -2068,6 +2105,26 @@ object VersionedSnapshot {
                 s"(missing: ${missing.mkString(", ")}) — consume the " +
                 "change feed with the purge's key columns, or start the " +
                 s"range at v$v or later")
+          // dtype drift that cannot be CAST (e.g. string subjects onto a
+          // bigint feed key) must fail like the missing-column case does —
+          // a silent null-ing cast would corrupt retraction subjects in a
+          // compliance feed into null rows. try_cast-probe only when the
+          // dtypes actually differ (zero extra work on the common path);
+          // sidecars are point-sized, so the probe is one tiny job.
+          val drifted = keys.filter { k =>
+            val dt = schema(k).dataType
+            sidecar.schema(k).dataType != dt &&
+              sidecar.filter(col(k).isNotNull &&
+                  expr(s"try_cast(`$k` AS ${dt.sql})").isNull)
+                .limit(1).count() > 0
+          }
+          if (drifted.nonEmpty)
+            throw new IllegalStateException(
+              s"purge commit v$v of $baseDir carries retraction subjects " +
+                s"in key column(s) [${drifted.mkString(", ")}] that cannot " +
+                s"be cast to the feed's dtypes — refusing to corrupt a " +
+                "compliance feed's retraction subjects into NULLs; consume " +
+                s"the range with matching key dtypes, or start at v$v or later")
           Some(sidecar.select(
             keyCols.map { case (k, dt) => col(k).cast(dt).as(k) }: _*))
         }
@@ -2254,8 +2311,10 @@ object VersionedSnapshot {
         val newRel =
           if (tail.isEmpty) s"$DataDirName/$gName"
           else s"$DataDirName/$gName/$tail"
-        d.filter(!matchCond()).coalesce(1)
-          .write.mode("overwrite").parquet(new Path(base, newRel).toString)
+        withMicrosTimestamps(spark) {
+          d.filter(!matchCond()).coalesce(1)
+            .write.mode("overwrite").parquet(new Path(base, newRel).toString)
+        }
         Some(newRel)
       } catch { // ref swept mid-rewrite: every referencing version retired
         case scala.util.control.NonFatal(_)
@@ -2672,6 +2731,24 @@ object VersionedSnapshot {
 
   /** Drop committed versions older than the newest `retain`, then sweep
     * unreferenced data dirs. */
+  /** Snapshot data writes pin `spark.sql.parquet.outputTimestampType` to
+    * TIMESTAMP_MICROS for the write's duration. Spark's INT96 default
+    * carries no usable footer statistics (deprecated in the format), so
+    * any timestamp-bearing table would silently demote EVERY publish's
+    * zonemap build from the O(files) footer read to the O(delta) second
+    * scan. Concurrent snapshot writers all set the same value; the
+    * restore race with a foreign conf value is benign — a write that
+    * lands as INT96 merely bails that build back to the scan path. */
+  private def withMicrosTimestamps[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def applyRetention(f: FileSystem, base: Path, current: Long,
       next: Long, retain: Int): Unit = {
     // retention runs AFTER the commit lock is released (deliberately: the
@@ -2715,7 +2792,9 @@ object VersionedSnapshot {
     val next = prepareNext(f, base, current)
     guardStaged(f, base, next) {
       val target = versionPath(base, next)
-      df.write.mode("overwrite").parquet(target.toString)
+      withMicrosTimestamps(spark) {
+        df.write.mode("overwrite").parquet(target.toString)
+      }
       writeSmallFile(f, new Path(target, MarkerName), marker)
       writeManifest(f, base, target)
       haltPoint("staged-sidecars")
@@ -2842,9 +2921,11 @@ object VersionedSnapshot {
         .sortWithinPartitions(
           (BucketCol +: (if (clusterBy.nonEmpty) clusterBy else keys)).map(col): _*)
         .write.mode("overwrite").partitionBy(BucketCol)
-      (if (maxRecordsPerFile > 0L)
-         writer.option("maxRecordsPerFile", maxRecordsPerFile)
-       else writer).parquet(gDir.toString)
+      withMicrosTimestamps(df.sparkSession) {
+        (if (maxRecordsPerFile > 0L)
+           writer.option("maxRecordsPerFile", maxRecordsPerFile)
+         else writer).parquet(gDir.toString)
+      }
       haltPoint("staged-data")
       // which buckets actually produced files (a bucket whose merge result
       // is empty writes no partition dir — it must vanish from the manifest)
@@ -2871,7 +2952,9 @@ object VersionedSnapshot {
       if (manifest.isEmpty) {
         // nothing anywhere (e.g. a full delete): flat empty dir keeps schema
         f.delete(gDir, true)
-        df.limit(0).write.mode("overwrite").parquet(target.toString)
+        withMicrosTimestamps(df.sparkSession) {
+          df.limit(0).write.mode("overwrite").parquet(target.toString)
+        }
       } else {
         f.mkdirs(target)
         val lines = s"buckets=$numBuckets" +:
@@ -3475,8 +3558,10 @@ object VersionedSnapshot {
           val dRel = s"$DataDirName/$dName"
           // one file per overlay: a delta is batch-sized by definition, and
           // overlay count — not file count per overlay — is the read cost
-          overlayRows.coalesce(1).write.mode("overwrite")
-            .parquet(new Path(base, dRel).toString)
+          withMicrosTimestamps(overlayRows.sparkSession) {
+            overlayRows.coalesce(1).write.mode("overwrite")
+              .parquet(new Path(base, dRel).toString)
+          }
           haltPoint("staged-overlay")
           val target = versionPath(base, next)
           f.mkdirs(target)

@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * for the null shapes (some-null column → no stats for that file,
   * all-null column, multiple files, multiple row groups) the two paths
   * must produce BIT-IDENTICAL (rel, rowCount, ranges) triples — the
-  * zonemap artifact may never depend on which path built it. Also pins
-  * the bail-to-scan contract for a type the footer path does not map
-  * (decimal). */
+  * zonemap artifact may never depend on which path built it. r15 adds
+  * decimals (all three physical encodings + legacy format), the
+  * empty-part-file omission contract, and the TIMESTAMP_MICROS pin on
+  * snapshot writes; INT96 remains the pinned bail-to-scan case. */
 class ZoneStatsParitySpec extends SparkSpec {
   import spark.implicits._
 
@@ -92,16 +93,60 @@ class ZoneStatsParitySpec extends SparkSpec {
     assert(footer.get.sortBy(_._1) == scan)
   }
 
-  test("an unmappable type (decimal) bails the footer path; the public " +
-      "freshZoneStats contract is served by the scan") {
+  test("decimal footer stats are exactly mappable (r15): INT32/INT64 and " +
+      "FIXED_LEN_BYTE_ARRAY physicals all match the scan bit-for-bit") {
+    // precision ≤9 → INT32, ≤18 → INT64, >18 → FLBA under Spark's
+    // default (non-legacy) writer; negative values exercise the
+    // two's-complement unscaled decode
     val df = spark.range(50).select(col("id").as("k"),
-      (col("id") * 100).cast("decimal(12,2)").as("money"))
+      ((col("id") - 25) * 100).cast("decimal(8,2)").as("m32"),
+      ((col("id") - 25) * 100).cast("decimal(12,2)").as("m64"),
+      ((col("id") - 25) * 1000000L).cast("decimal(25,4)").as("mbig"))
     val (gDir, gName) = stage("dec") { dir =>
       df.coalesce(1).write.parquet(dir)
     }
+    val cols = Seq("k", "m32", "m64", "mbig")
+    val (footer, scan) = both(gDir, gName, cols, df.schema)
+    assert(footer.isDefined, "decimals must ride the footer fast path now")
+    assert(footer.get.sortBy(_._1) == scan,
+      s"footer and scan decimal stats must be identical\n footer: ${footer.get}\n scan: $scan")
+    assert(scan.head._3.forall(_.isDefined))
+  }
+
+  test("legacy-format decimals (all FLBA) still match the scan") {
+    val df = spark.range(30).select(col("id").as("k"),
+      ((col("id") - 15) * 7).cast("decimal(10,3)").as("money"))
+    val (gDir, gName) = stage("declegacy") { dir =>
+      spark.conf.set("spark.sql.parquet.writeLegacyFormat", "true")
+      try df.coalesce(1).write.parquet(dir)
+      finally spark.conf.unset("spark.sql.parquet.writeLegacyFormat")
+    }
     val (footer, scan) = both(gDir, gName, Seq("k", "money"), df.schema)
-    assert(footer.isEmpty, "decimals must bail to the scan, not guess")
-    assert(scan.nonEmpty && scan.head._3(0).isDefined)
+    assert(footer.isDefined)
+    assert(footer.get.sortBy(_._1) == scan)
+  }
+
+  test("a 0-row part file is omitted by BOTH paths — the scan's groupBy " +
+      "never sees it, so the footer path must not invent an entry (r15)") {
+    val df = spark.range(40).select(col("id").as("k"),
+      (col("id") * 2).as("v"))
+    val (gDir, gName) = stage("empty") { dir =>
+      df.coalesce(1).write.parquet(dir)
+      // plant a genuinely empty part file next to the real one, the shape
+      // a writer task with zero rows can produce
+      val tmp = Files.createTempDirectory("graft-zps-empty-src").toString
+      df.limit(0).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(src.toPath,
+        java.nio.file.Paths.get(dir, "part-empty.parquet"))
+      ()
+    }
+    val (footer, scan) = both(gDir, gName, Seq("k", "v"), df.schema)
+    assert(footer.isDefined)
+    assert(footer.get.sortBy(_._1) == scan)
+    assert(footer.get.size == 1, "the empty file must not appear")
+    assert(!footer.get.exists(_._1.contains("part-empty")))
   }
 
   test("INT96 timestamps (the Spark default) bail to the scan — their " +
@@ -115,6 +160,39 @@ class ZoneStatsParitySpec extends SparkSpec {
     assert(footer.isEmpty, "INT96 stats must never be trusted")
     assert(scan.nonEmpty && scan.head._3.forall(_.isDefined),
       "the scan path still produces full timestamp stats")
+  }
+
+  test("a timestamp-bearing snapshot table builds zones via footers (r15): " +
+      "snapshot writes pin TIMESTAMP_MICROS, so the default table shape " +
+      "no longer pays the O(delta) fallback scan on every publish") {
+    assert(spark.conf.get("spark.sql.parquet.outputTimestampType") == "INT96",
+      "precondition: the session default must still be Spark's INT96")
+    val docs = spark.range(120).select(col("id").as("k"),
+      timestamp_micros(col("id") * 1000000L + 5).as("ts"),
+      (col("id") * 2).as("v"))
+    val base = Files.createTempDirectory("graft-zps-ts").resolve("t").toString
+    VersionedSnapshot.mergeInto(base, docs, Seq("k"),
+      VersionedSnapshot.UpdateMatched, insertUnmatched = true,
+      marker = "seed", numBuckets = 4)
+    // the committed _ZONES must carry full ts ranges...
+    val zm = VersionedSnapshot.zoneManifest(spark, base)
+    assert(zm.isDefined)
+    val (zkeys, _, entries) = zm.get
+    assert(zkeys == Seq("k") && entries.nonEmpty)
+    assert(entries.values.forall { case (n, ranges) =>
+      n > 0 && ranges.forall(_.isDefined)
+    }, s"ts stats must be recorded for every file, got $entries")
+    // ...and the staged files must be footer-mappable, i.e. the write
+    // landed as MICROS and the scan path was provably NOT required
+    val dataRoot = java.nio.file.Paths.get(base, "data")
+    val gDir = java.nio.file.Files.list(dataRoot).iterator().next()
+    val footer = VersionedSnapshot.footerZoneStats(spark,
+      Seq(new Path(gDir.toString)), Seq("k", "ts", "v"), docs.schema)
+    assert(footer.isDefined,
+      "snapshot-written timestamps must ride the footer fast path")
+    assert(footer.get.forall(_._3.forall(_.isDefined)))
+    // session conf is untouched after the write (set-and-restore)
+    assert(spark.conf.get("spark.sql.parquet.outputTimestampType") == "INT96")
   }
 
   test("the committed zonemap of a real publish is footer-built yet " +
