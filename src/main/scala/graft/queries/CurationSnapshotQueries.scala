@@ -670,6 +670,62 @@ private[graft] object CurationSnapshotQueries {
         .select("op", "doc_id", "n_chars", "lang")
     }),
 
+    // ---- streaming CDF source (r15): tail the table's version history
+    // as micro-batches driving an IVM mart replica. The mart bootstraps
+    // from the seed version, then changesStream (one version per
+    // micro-batch, durable offset in the checkpoint, purge retractions
+    // included) applies each batch's upserts and deletes/retractions via
+    // MERGE — the replica must converge to the source's current state,
+    // which the oracle recomputes closed-form. A second drain from the
+    // same checkpoint must deliver NOTHING (the offset survives), which
+    // the failing body pins ----
+    "snapshot_cdf_stream" -> ((s, dir) => {
+      val VS = graft.streaming.VersionedSnapshot
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = tempSnapshotBase("graft-cdfsrc")
+      val mart = tempSnapshotBase("graft-cdfmart")
+      val ckpt = tempSnapshotBase("graft-cdfckpt")
+      val v0 = VS.mergeInto(base, docs.filter(col("doc_id") % 10 =!= 0),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
+        marker = "seed", retain = 10, numBuckets = 8)
+      VS.mergeInto(mart, VS.readVersion(s, base, v0).get, Seq("doc_id"),
+        VS.UpdateMatched, insertUnmatched = true, marker = "bootstrap",
+        retain = 4, numBuckets = 8)
+      // v0+1 upserts, +2 deletes, +3 purge (erasure must reach the mart)
+      VS.mergeInto(base, docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
+        marker = "upsert", retain = 10)
+      VS.mergeInto(base, docs.filter(col("doc_id") % 7 === 0),
+        Seq("doc_id"), VS.DeleteMatched, insertUnmatched = false,
+        marker = "delete", retain = 10)
+      // derived subjects (see snapshot_changes_purged): the two smallest
+      // ids outside every merge source, so engine and oracle always
+      // purge the same existing keys at any scale factor
+      val subjects = docs.filter(col("doc_id") % 5 =!= 0 &&
+          col("doc_id") % 7 =!= 0 && col("doc_id") % 10 =!= 0)
+        .select("doc_id").orderBy("doc_id").limit(2)
+        .collect().map(r => Seq[Any](r.getLong(0))).toSeq
+      VS.purgeKeys(s, base, Seq("doc_id"), subjects)
+      VS.changesStream(s, base, Seq("doc_id"), ckpt,
+          startVersion = Some(v0)) { (feed, _, to) =>
+        VS.mergeInto(mart,
+          feed.filter(col("op").isin("insert", "update")).drop("op"),
+          Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
+          marker = s"cdf-up-v$to", retain = 4)
+        VS.mergeInto(mart,
+          feed.filter(col("op").isin("delete", "purge")).drop("op"),
+          Seq("doc_id"), VS.DeleteMatched, insertUnmatched = false,
+          marker = s"cdf-del-v$to", retain = 4)
+        ()
+      }
+      VS.changesStream(s, base, Seq("doc_id"), ckpt) { (_, _, _) =>
+        sys.error("durable offset violated: batch re-delivered after a " +
+          "completed drain")
+      }
+      VS.read(s, mart).get.select("doc_id", "n_chars", "lang")
+    }),
+
     // ---- retention × purge interplay (r14): an aggressive retention
     // IMMEDIATELY after a purge retires the history the in-place pass
     // rewrote — but the purge commit's _PURGED retraction record rides

@@ -2070,6 +2070,86 @@ object VersionedSnapshot {
         diff.schema).map(diff.unionByName).getOrElse(diff)
     }
 
+  // ------------------------------------------------- streaming CDF source
+
+  private val CdfOffsetName = "_CDF_OFFSET" // durable last-delivered version
+
+  /** Tail a snapshot table's version history as a STREAM of row-level
+    * changes — the `readChangeFeed` streaming-source analog, and the
+    * read-side twin of [[mergeSink]]/[[deltaSink]]. Each call drains to
+    * quiescence (`Trigger.AvailableNow` semantics): while the pointer is
+    * ahead of the durable offset, the next micro-batch is the CDF of
+    * `(last, min(last + maxVersionsPerBatch, current)]` — purge
+    * retractions included via [[changesWithPurges]] — handed to `body`
+    * as a LAZY, fully-distributed DataFrame (nothing is collected
+    * driver-side; at 100 TB the per-batch cost is one endpoint diff,
+    * zone/bucket-pruned, regardless of how many intermediate versions
+    * the range spans, because [[changes]] diffs the range's ENDPOINT
+    * frames — intermediate versions may even be retired already).
+    *
+    * Offsets: `<checkpoint>/_CDF_OFFSET` holds the last DELIVERED
+    * version and advances only after `body` returns, so a crash between
+    * the two re-delivers that batch on restart — at-least-once,
+    * effectively-once for idempotent/upserting handlers: exactly
+    * Structured Streaming's foreachBatch contract, and the same lineage
+    * discipline the write-side sinks use (`tag:batchId` markers). One
+    * consumer per checkpoint, as with any streaming query.
+    *
+    * Bootstrap: with no prior offset the stream starts at
+    * `startVersion` (the version the consumer batch-bootstrapped from)
+    * or, absent that, at the CURRENT version — future changes only. A
+    * range whose from-side fell past the retention horizon raises an
+    * explicit resync signal (mirroring the batch feed's `None`
+    * contract): the consumer must re-bootstrap from a batch read, never
+    * silently skip an erasure. Size retention generously against the
+    * slowest consumer's lag — the Delta/vacuum deployment rule.
+    *
+    * Returns the number of micro-batches delivered this drain. */
+  def changesStream(spark: SparkSession, baseDir: String, keys: Seq[String],
+      checkpoint: String, startVersion: Option[Long] = None,
+      maxVersionsPerBatch: Long = 1L, includePurges: Boolean = true)
+      (body: (DataFrame, Long, Long) => Unit): Long = {
+    require(maxVersionsPerBatch >= 1L, "a micro-batch spans at least one version")
+    val f = fs(spark, checkpoint)
+    val ckpt = new Path(checkpoint)
+    f.mkdirs(ckpt)
+    val off = new Path(ckpt, CdfOffsetName)
+    def readOffset(): Option[Long] =
+      if (!f.exists(off)) None
+      else readSmallFile(f, off).trim.toLongOption
+    var last: Long = readOffset().getOrElse {
+      val start = startVersion
+        .orElse(currentVersion(spark, baseDir))
+        .getOrElse(throw new IllegalStateException(
+          s"cannot start a CDF stream on $baseDir: no committed version " +
+            "and no explicit startVersion"))
+      // record the bootstrap durably before delivering anything, so a
+      // crash right here restarts from the same position
+      atomicOverwrite(spark, f, off, start.toString)
+      start
+    }
+    var delivered = 0L
+    var cur = currentVersion(spark, baseDir).getOrElse(last)
+    while (last < cur) {
+      val to = math.min(last + maxVersionsPerBatch, cur)
+      val feed =
+        (if (includePurges) changesWithPurges(spark, baseDir, last, to, keys)
+         else changes(spark, baseDir, last, to, keys))
+          .getOrElse(throw new IllegalStateException(
+            s"CDF stream range (v$last, v$to] of $baseDir fell past the " +
+              "retention horizon — resync: re-bootstrap the consumer from " +
+              "a batch read of the current version (this signal is loud " +
+              "by design; silently skipping it would drop erasures)"))
+      body(feed, last, to)
+      // the offset advances only AFTER the handler returns (see scaladoc)
+      atomicOverwrite(spark, f, off, to.toString)
+      last = to
+      delivered += 1
+      cur = currentVersion(spark, baseDir).getOrElse(cur)
+    }
+    delivered
+  }
+
   /** `op = "purge"` retraction rows (keys set, every other column null)
     * for the purge commits in `(fromVersion, min(toVersion, current)]`,
     * projected to the feed's `schema`. One pointer read for the whole
