@@ -354,8 +354,15 @@ object VersionedSnapshot {
     *    deploying there is implementing this 2-method trait over the
     *    store SDK and registering it — no protocol change.
     *
+    * Third shipped backend (r15): [[EtagPointerStore]] — the S3A/ABFS
+    * deployment face over Hadoop's public conditional-write API (HTTP
+    * If-Match / If-None-Match via FS_OPTION_CREATE_CONDITIONAL_OVERWRITE*
+    * builder keys, hadoop 3.4.2+), certified in-repo against an
+    * etag-exposing local double.
+    *
     * Select per session with conf `graft.snapshot.pointerStore` =
-    * `rename` | `cas-file` | a [[registerPointerStore]]'d name. */
+    * `rename` | `cas-file` | `etag-cas` | a [[registerPointerStore]]'d
+    * name. */
   trait PointerStore {
     /** Backend name (the conf value that selects it). */
     def name: String
@@ -446,6 +453,98 @@ object VersionedSnapshot {
     }
   }
 
+  /** Conditional-put backend over Hadoop's PUBLIC conditional-write API
+    * (HADOOP-19256, hadoop-client-api 3.4.2+) — the DEPLOYMENT store for
+    * object stores whose `FileStatus` carries ETags (S3A with
+    * `fs.s3a.create.conditional.enabled`, ABFS): the S3 put-if-match
+    * integration face that closes the double-flip window with zero
+    * custom SDK code, selected with `graft.snapshot.pointerStore =
+    * etag-cas`.
+    *
+    *  - `expected = Some(x)`: read the pointer's status (must be an
+    *    [[org.apache.hadoop.fs.EtagSource]]) and content; verify content
+    *    == x; then replace via `createFile(ptr).overwrite(true)
+    *    .must(FS_OPTION_CREATE_CONDITIONAL_OVERWRITE_ETAG, etag)` — the
+    *    store accepts the PUT at close() iff the object still carries
+    *    that etag (HTTP `If-Match`). A committer stalled ARBITRARILY
+    *    long between its reads and the put loses: a successor's flip
+    *    changed the etag, the PUT 412s, `putIfMatch` returns false. The
+    *    two driver-side reads need no atomicity — any drift either fails
+    *    the content check or fails the etag precondition server-side.
+    *  - `expected = None`: create-if-absent via `overwrite(false)` +
+    *    `must(FS_OPTION_CREATE_CONDITIONAL_OVERWRITE, true)` (HTTP
+    *    `If-None-Match: *`) — the STORE decides, never a racy listing.
+    *
+    * Precondition failures surface store-specifically — S3A raises
+    * `RemoteFileChangedException` at close(), create-if-absent losers
+    * get [[org.apache.hadoop.fs.FileAlreadyExistsException]], proxies
+    * may wrap a bare 412 — so the failure mapping walks the cause chain
+    * for any of those shapes and maps them to `false`; everything else
+    * propagates. A filesystem without ETags fails loudly with the
+    * supported alternatives (a store that IGNORED the mandatory etag
+    * key would write unconditionally — which is exactly what the
+    * [[PointerStore]] contract laws 3/4 catch at certification time, so
+    * run `PointerStoreContract` against the target store before
+    * flipping the conf; the in-repo certification runs these laws over
+    * an etag-exposing local double). */
+  object EtagPointerStore extends PointerStore {
+    val name = "etag-cas"
+    val conditional = true
+    // Options.CreateFileOptionKeys statics (hadoop 3.4.2+)
+    private val CondOverwriteKey =
+      org.apache.hadoop.fs.Options.CreateFileOptionKeys.FS_OPTION_CREATE_CONDITIONAL_OVERWRITE
+    private val CondEtagKey =
+      org.apache.hadoop.fs.Options.CreateFileOptionKeys.FS_OPTION_CREATE_CONDITIONAL_OVERWRITE_ETAG
+    private def isPreconditionFailure(e: Throwable): Boolean = {
+      var c: Throwable = e
+      while (c != null) {
+        if (c.getClass.getSimpleName == "RemoteFileChangedException") return true
+        if (c.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException]) return true
+        val m = Option(c.getMessage).getOrElse("").toLowerCase(java.util.Locale.ROOT)
+        if (m.contains("precondition") || m.contains("if-match") ||
+            m.contains("if-none-match") || m.contains("at version") ||
+            m.contains(" 412")) return true
+        c = if (c.getCause eq c) null else c.getCause
+      }
+      false
+    }
+    private def putConditional(f: FileSystem, ptr: Path, value: String,
+        mustKey: String, mustVal: String, overwrite: Boolean): Boolean =
+      try {
+        val b = f.createFile(ptr).overwrite(overwrite)
+        val out = (mustVal match {
+          case "" => b.must(mustKey, true)
+          case v => b.must(mustKey, v)
+        }).build()
+        // the conditional PUT happens at close() (object-store semantics:
+        // the whole object uploads, the precondition gates the final PUT)
+        try out.write(value.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case e: Exception if isPreconditionFailure(e) => false }
+    def putIfMatch(spark: SparkSession, f: FileSystem, ptr: Path,
+        value: String, expected: Option[String]): Boolean = expected match {
+      case None =>
+        putConditional(f, ptr, value,
+          mustKey = CondOverwriteKey, mustVal = "", overwrite = false)
+      case Some(exp) =>
+        val st =
+          try f.getFileStatus(ptr)
+          catch { case _: java.io.FileNotFoundException => return false }
+        val etag = st match {
+          case e: org.apache.hadoop.fs.EtagSource
+              if e.getEtag != null && e.getEtag.nonEmpty => e.getEtag
+          case _ => sys.error(
+            s"$name requires a FileSystem whose FileStatus carries ETags " +
+              s"(S3A/ABFS — EtagSource); scheme '${f.getScheme}' does not. " +
+              "Use 'rename' (fenced-lock protocol), 'cas-file' (local), " +
+              "or registerPointerStore a store-native backend")
+        }
+        if (readSmallFile(f, ptr).trim != exp.trim) false
+        else putConditional(f, ptr, value,
+          mustKey = CondEtagKey, mustVal = etag, overwrite = true)
+    }
+  }
+
   @volatile private var customPointerStores: Map[String, PointerStore] = Map.empty
 
   /** Register a deployment backend (e.g. an S3 put-if-match
@@ -458,9 +557,11 @@ object VersionedSnapshot {
     spark.conf.getOption(PointerStoreConf).getOrElse(RenamePointerStore.name) match {
       case RenamePointerStore.name => RenamePointerStore
       case CasFilePointerStore.name => CasFilePointerStore
+      case EtagPointerStore.name => EtagPointerStore
       case other => customPointerStores.getOrElse(other,
         sys.error(s"unknown $PointerStoreConf '$other' — registered: " +
-          (Seq(RenamePointerStore.name, CasFilePointerStore.name) ++
+          (Seq(RenamePointerStore.name, CasFilePointerStore.name,
+            EtagPointerStore.name) ++
             customPointerStores.keys).mkString(", ")))
     }
 

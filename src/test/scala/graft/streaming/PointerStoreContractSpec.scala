@@ -139,3 +139,104 @@ class CasFilePointerStoreContractSpec extends PointerStoreContract {
   * which is why [[VersionedSnapshot.commitPointer]] keeps that lock
   * protocol for non-conditional stores. No subclass on purpose. */
 object RenameStoreIsNotCertified
+
+/** r15 certification of [[VersionedSnapshot.EtagPointerStore]] — the
+  * S3A/ABFS deployment face over Hadoop's public conditional-write API
+  * — against the etag-exposing local double. Laws 3/4 are precisely
+  * what a store that silently IGNORED the mandatory etag key would
+  * fail, which is why certification gates the conf flip. */
+class EtagPointerStoreContractSpec extends PointerStoreContract {
+  protected def store: VersionedSnapshot.PointerStore =
+    VersionedSnapshot.EtagPointerStore
+  protected def freshPointer(tag: String): Path = {
+    spark.sparkContext.hadoopConfiguration.set("fs.etagfs.impl",
+      classOf[EtagCasTestFileSystem].getName)
+    val d = Files.createTempDirectory(s"graft-epsc-$tag")
+    new Path("etagfs://" + d.resolve("_CURRENT"))
+  }
+
+  test("etag-cas refuses a FileSystem without conditional-write support " +
+      "instead of writing unconditionally") {
+    val d = Files.createTempDirectory("graft-epsc-noetag")
+    val ptr = new Path(d.resolve("_CURRENT").toString) // plain file: scheme
+    val f = fsFor(ptr)
+    // create-if-absent: the mandatory conditional key is UNKNOWN to a
+    // plain local FS, and Hadoop's must() contract fails the build —
+    // loud, never a silent unconditional write
+    val e1 = intercept[IllegalArgumentException] {
+      store.putIfMatch(spark, f, ptr, "0", None)
+    }
+    assert(e1.getMessage.toLowerCase.contains("mandatory"),
+      s"must() must reject the unknown conditional key, got: ${e1.getMessage}")
+    // compare-exchange: refused earlier still — the status carries no etag
+    java.nio.file.Files.write(d.resolve("_CURRENT"), "0".getBytes("UTF-8"))
+    val e2 = intercept[RuntimeException] {
+      store.putIfMatch(spark, f, ptr, "1", Some("0"))
+    }
+    assert(e2.getMessage.contains("EtagSource"),
+      s"must name the missing capability, got: ${e2.getMessage}")
+  }
+}
+
+/** End-to-end: the whole snapshot life cycle committing through
+  * conditional puts on the etag store — merges, a CAS-losing concurrent
+  * writer, purge linearization — with `graft.snapshot.pointerStore =
+  * etag-cas`, proving the deployment face is a conf, not a port. */
+class EtagBackendEndToEndSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import VersionedSnapshot._
+
+  test("merge / concurrent race / purge cycle on an etagfs:// table " +
+      "through the etag-cas backend") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.etagfs.impl", classOf[EtagCasTestFileSystem].getName)
+    hc.set("fs.AbstractFileSystem.etagfs.impl", classOf[EtagCasAbstractFs].getName)
+    val tmp = Files.createTempDirectory("graft-etag-e2e")
+    val base = s"etagfs://$tmp/t"
+    val f = new Path(base).getFileSystem(hc)
+    assert(f.getScheme == "etagfs")
+    spark.conf.set(PointerStoreConf, EtagPointerStore.name)
+    try {
+      mergeInto(base, (0L until 40L).map(k => (k, k)).toDF("k", "v"),
+        Seq("k"), UpdateMatched, insertUnmatched = true, marker = "seed",
+        retain = 10, numBuckets = 4)
+      // two writers race on disjoint keys: every pointer flip is a
+      // conditional put; the loser's 412 surfaces as the retryable
+      // conflict and the retry lands it
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = Seq(("a", 1L), ("b", 2L)).map { case (tag, off) =>
+        val t = new Thread(() => {
+          try (1 to 3).foreach { i =>
+            retryOnConflict(attempts = 30, backoffMs = 30L) {
+              mergeInto(base,
+                Seq((off * 100 + i, 1000L + i)).toDF("k", "v"), Seq("k"),
+                UpdateMatched, insertUnmatched = true,
+                marker = s"w-$tag-$i", retain = 10)
+            }
+            ()
+          } catch { case e: Throwable => errs.add(e); () }
+        }, s"graft-etag-w$tag")
+        t.start(); t
+      }
+      ts.foreach(_.join(120000))
+      assert(errs.isEmpty, s"racing writers must both land: ${errs.peek}")
+      val ks = read(spark, base).get.select("k").collect().map(_.getLong(0)).toSet
+      assert((1 to 3).forall(i => ks(100L + i) && ks(200L + i)),
+        s"a conditional-put loser's merge was dropped: $ks")
+      // purge linearizes through the same conditional commit
+      assert(purgeKeys(spark, base, Seq("k"), Seq(Seq(7L))) > 0)
+      assert(!read(spark, base).get.select("k").collect()
+        .map(_.getLong(0)).toSet.contains(7L))
+      // and the stream face reads the erasure back out
+      val ckpt = Files.createTempDirectory("graft-etag-ck").toString
+      var purgeSeen = false
+      changesStream(spark, base, Seq("k"), ckpt,
+          startVersion = Some(currentVersion(spark, base).get - 1)) {
+        (feed, _, _) =>
+          purgeSeen = feed.filter(org.apache.spark.sql.functions.col("op") === "purge")
+            .count() > 0
+      }
+      assert(purgeSeen, "the purge retraction must flow on the etag backend")
+    } finally spark.conf.unset(PointerStoreConf)
+  }
+}

@@ -34,10 +34,15 @@ class SnapshotStalledCommitterSpec extends SparkSpec {
   /** Run the interleaving once; None = inconclusive scheduling (A woke
     * before the successor committed), retried by [[scenario]]. Some =
     * (v0, A's outcome, successor's version, final pointer, base). */
-  private def runScenario(backend: Option[String], tag: String):
+  private def runScenario(backend: Option[String], tag: String,
+      schemePrefix: String = ""):
       Option[(Long, Option[Throwable], Long, Long, String)] = {
     import spark.implicits._
-    val base = Files.createTempDirectory(s"graft-stall-$tag").resolve("snap").toString
+    // schemePrefix routes the TABLE through a non-file FileSystem (the
+    // etag double) while the spec's own white-box reads stay on the
+    // underlying local path
+    val localBase = Files.createTempDirectory(s"graft-stall-$tag").resolve("snap").toString
+    val base = schemePrefix + localBase
     VersionedSnapshot.publish(Seq((1L, 1L)).toDF("k", "v"), base, "seed", retain = 5)
     val v0 = VersionedSnapshot.currentVersion(spark, base).get
     backend.foreach(spark.conf.set(VersionedSnapshot.PointerStoreConf, _))
@@ -57,7 +62,7 @@ class SnapshotStalledCommitterSpec extends SparkSpec {
       a.start()
       // wait until A holds the commit lock (token stamped) — it passes
       // its CAS + fence within milliseconds after and parks at the seam
-      val lockFile = new java.io.File(base, "_COMMIT_LOCK")
+      val lockFile = new java.io.File(localBase, "_COMMIT_LOCK")
       val deadline = System.currentTimeMillis() + 60000
       var tok = ""
       while (tok.length != 36 && System.currentTimeMillis() < deadline) {
@@ -79,7 +84,7 @@ class SnapshotStalledCommitterSpec extends SparkSpec {
       a.join(120000)
       assert(!a.isAlive, "writer A never finished")
       val ptrFinal = Files.readString(
-        new java.io.File(base, "_CURRENT").toPath).trim
+        new java.io.File(localBase, "_CURRENT").toPath).trim
       Some((v0, aOutcome, vSucc, ptrFinal.toLong, base))
     } finally {
       spark.conf.unset(VersionedSnapshot.TestDelayAfterFenceConf)
@@ -88,9 +93,10 @@ class SnapshotStalledCommitterSpec extends SparkSpec {
     }
   }
 
-  private def scenario(backend: Option[String], tag: String):
+  private def scenario(backend: Option[String], tag: String,
+      schemePrefix: String = ""):
       (Long, Option[Throwable], Long, Long, String) = {
-    val r = (1 to 3).iterator.map(i => runScenario(backend, s"$tag$i"))
+    val r = (1 to 3).iterator.map(i => runScenario(backend, s"$tag$i", schemePrefix))
       .collectFirst { case Some(x) => x }
     assert(r.nonEmpty,
       "A kept waking before the successor committed across 3 attempts")
@@ -128,6 +134,26 @@ class SnapshotStalledCommitterSpec extends SparkSpec {
         "retried", retain = 5); ()
     }
     assert(VersionedSnapshot.currentVersion(spark, base).exists(_ > vSucc))
+    val _ = v0
+  }
+
+  test("etag-cas backend: the identical stall LOSES server-side — the " +
+      "successor's flip changed the etag, the late conditional PUT 412s, " +
+      "and the stalled committer aborts retryably (r15)") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.etagfs.impl", classOf[EtagCasTestFileSystem].getName)
+    hc.set("fs.AbstractFileSystem.etagfs.impl", classOf[EtagCasAbstractFs].getName)
+    val (v0, aOutcome, vSucc, ptrFinal, base) =
+      scenario(Some("etag-cas"), "etag", "etagfs://")
+    assert(ptrFinal == vSucc,
+      s"the successor's commit must survive the stalled committer's wake " +
+        s"(ptr=$ptrFinal, successor=$vSucc)")
+    aOutcome match {
+      case Some(_: VersionedSnapshot.ConcurrentSnapshotUpdate) => ()
+      case other => fail(s"the stalled committer must abort with the retryable " +
+        s"ConcurrentSnapshotUpdate, got $other")
+    }
+    assert(claimsIn(base).isEmpty, s"no claim survives, saw ${claimsIn(base)}")
     val _ = v0
   }
 }
