@@ -691,33 +691,39 @@ private[graft] object CurationSnapshotQueries {
       VS.mergeInto(mart, VS.readVersion(s, base, v0).get, Seq("doc_id"),
         VS.UpdateMatched, insertUnmatched = true, marker = "bootstrap",
         retain = 4, numBuckets = 8)
-      // v0+1 upserts, +2 deletes, +3 purge (erasure must reach the mart)
+      // v0+1 upserts, +2 purge (the erasure retraction must reach the
+      // mart); stream-fed DELETEs are covered by StreamingCdfSpec — this
+      // row stays commit-constant-lean (every version is ~1s of commit
+      // constants at any SF)
       VS.mergeInto(base, docs.filter(col("doc_id") % 5 === 0)
           .withColumn("n_chars", col("n_chars") + 1000),
         Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
         marker = "upsert", retain = 10)
-      VS.mergeInto(base, docs.filter(col("doc_id") % 7 === 0),
-        Seq("doc_id"), VS.DeleteMatched, insertUnmatched = false,
-        marker = "delete", retain = 10)
       // derived subjects (see snapshot_changes_purged): the two smallest
       // ids outside every merge source, so engine and oracle always
       // purge the same existing keys at any scale factor
       val subjects = docs.filter(col("doc_id") % 5 =!= 0 &&
-          col("doc_id") % 7 =!= 0 && col("doc_id") % 10 =!= 0)
+          col("doc_id") % 10 =!= 0)
         .select("doc_id").orderBy("doc_id").limit(2)
         .collect().map(r => Seq[Any](r.getLong(0))).toSeq
       VS.purgeKeys(s, base, Seq("doc_id"), subjects)
       VS.changesStream(s, base, Seq("doc_id"), ckpt,
           startVersion = Some(v0)) { (feed, _, to) =>
-        VS.mergeInto(mart,
-          feed.filter(col("op").isin("insert", "update")).drop("op"),
-          Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
-          marker = s"cdf-up-v$to", retain = 4)
-        VS.mergeInto(mart,
-          feed.filter(col("op").isin("delete", "purge")).drop("op"),
-          Seq("doc_id"), VS.DeleteMatched, insertUnmatched = false,
-          marker = s"cdf-del-v$to", retain = 4)
-        ()
+        // one diff computation per batch (cache), and a mart commit only
+        // for the non-empty sides — commit constants, not data, dominate
+        // this scenario's cost
+        feed.cache()
+        try {
+          val ups = feed.filter(col("op").isin("insert", "update")).drop("op")
+          val dels = feed.filter(col("op").isin("delete", "purge")).drop("op")
+          if (ups.limit(1).count() > 0)
+            VS.mergeInto(mart, ups, Seq("doc_id"), VS.UpdateMatched,
+              insertUnmatched = true, marker = s"cdf-up-v$to", retain = 4)
+          if (dels.limit(1).count() > 0)
+            VS.mergeInto(mart, dels, Seq("doc_id"), VS.DeleteMatched,
+              insertUnmatched = false, marker = s"cdf-del-v$to", retain = 4)
+          ()
+        } finally { feed.unpersist(); () }
       }
       VS.changesStream(s, base, Seq("doc_id"), ckpt) { (_, _, _) =>
         sys.error("durable offset violated: batch re-delivered after a " +
@@ -885,6 +891,28 @@ private[graft] object CurationSnapshotQueries {
     // oracle gate (the _ZONES value stats decide which files bind; the
     // exact predicate re-applies and pushes into the surviving scans).
     // Oracle: the closed-form final state filtered to the range ----
+    // ---- OPTIMIZE ZORDER BY (r15): full-table compact clustered along a
+    // Morton curve of two dimensions, then a 2-D box read through the
+    // curve-tightened zonemap. The oracle recomputes the box closed-form
+    // (the compact is content-preserving by contract); the pruning
+    // superiority itself — a trailing-dimension predicate binds files on
+    // the curve layout and nothing on a lexicographic one — is pinned in
+    // SnapshotZorderSpec ----
+    "snapshot_zorder_compact" -> ((s, dir) => {
+      val VS = graft.streaming.VersionedSnapshot
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = tempSnapshotBase("graft-zoc")
+      VS.mergeInto(base, docs, Seq("doc_id"), VS.UpdateMatched,
+        insertUnmatched = true, marker = "seed", retain = 4, numBuckets = 8)
+      VS.compact(s, base, Seq("doc_id"), marker = "optimize-zorder",
+        retain = 4, valueStatsCols = Some(Seq("n_chars")),
+        maxRecordsPerFile = 2000L, zorderBy = Seq("n_chars", "doc_id")).get
+      VS.readWhere(s, base, Map(
+          "n_chars" -> (Some(250L), Some(1250L)),
+          "doc_id" -> (None, Some(400L)))).get
+        .select("doc_id", "n_chars", "lang")
+    }),
+
     "snapshot_read_where" -> ((s, dir) => {
       val (base, _, _) = cdfWindowFor(s, dir) // session pin, see scaladoc
       graft.streaming.VersionedSnapshot.readWhere(s, base,

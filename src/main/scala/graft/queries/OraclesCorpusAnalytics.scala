@@ -432,20 +432,26 @@ private[graft] object OraclesCorpusAnalytics {
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE doc_id % 10 <> 0 AND doc_id % 5 <> 0""".stripMargin,
 
+    // the zorder compact is content-preserving, so the 2-D box reads
+    // straight off the raw table
+    "snapshot_zorder_compact" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+        |WHERE n_chars BETWEEN 250 AND 1250 AND doc_id <= 400""".stripMargin,
+
     // the CDF-stream-maintained mart must equal the source's final state:
-    // (seeded %10<>0 ∪ upserted %5=0 at +1000) minus deleted %7=0 minus
-    // the two derived purge subjects
+    // (seeded %10<>0 ∪ upserted %5=0 at +1000) minus the two derived
+    // purge subjects
     "snapshot_cdf_stream" ->
       """WITH subj AS (
         |  SELECT doc_id FROM documents
-        |  WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0 AND doc_id % 10 <> 0
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 10 <> 0
         |  ORDER BY doc_id LIMIT 2)
         |SELECT doc_id, n_chars, lang FROM documents
-        |WHERE doc_id % 10 <> 0 AND doc_id % 5 <> 0 AND doc_id % 7 <> 0
+        |WHERE doc_id % 10 <> 0 AND doc_id % 5 <> 0
         |  AND doc_id NOT IN (SELECT doc_id FROM subj)
         |UNION ALL
         |SELECT doc_id, n_chars + 1000 AS n_chars, lang FROM documents
-        |WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0""".stripMargin,
+        |WHERE doc_id % 5 = 0""".stripMargin,
 
     // partial MERGE in closed form: every row survives (update-only
     // merge), the narrow key window takes the shifted n_chars

@@ -3058,7 +3058,8 @@ object VersionedSnapshot {
       retain: Int, expected: Long, valueStatsCols: Option[Seq[String]] = None,
       clusterBy: Seq[String] = Nil, maxRecordsPerFile: Long = 0L,
       keyBlooms: Boolean = false,
-      carryFiles: Map[Int, Seq[String]] = Map.empty): Long = {
+      carryFiles: Map[Int, Seq[String]] = Map.empty,
+      clusterExprs: Seq[Column] = Nil): Long = {
     require(retain >= 1, "retain must keep at least the current version")
     require(numBuckets >= 1, "numBuckets must be >= 1")
     require(!df.columns.contains(BucketCol), s"column name $BucketCol is reserved")
@@ -3097,10 +3098,14 @@ object VersionedSnapshot {
       // value predicates below bucket level (at the documented cost of
       // looser key row-group locality in the rewritten files). Task-local
       // sort over the delta only, no extra exchange either way.
+      // clusterExprs (compact's zorderBy) takes precedence: a computed
+      // space-filling-curve key instead of a lexicographic column list
+      val clusterCols: Seq[Column] =
+        if (clusterExprs.nonEmpty) clusterExprs
+        else (if (clusterBy.nonEmpty) clusterBy else keys).map(col)
       val writer = df.withColumn(BucketCol, bucketOf(keys, numBuckets))
         .repartition(col(BucketCol))
-        .sortWithinPartitions(
-          (BucketCol +: (if (clusterBy.nonEmpty) clusterBy else keys)).map(col): _*)
+        .sortWithinPartitions(col(BucketCol) +: clusterCols: _*)
         .write.mode("overwrite").partitionBy(BucketCol)
       withMicrosTimestamps(df.sparkSession) {
         (if (maxRecordsPerFile > 0L)
@@ -3242,7 +3247,12 @@ object VersionedSnapshot {
       clusterBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L,
       newNumBuckets: Option[Int] = None,
-      keyBlooms: Boolean = false): Option[Long] =
+      keyBlooms: Boolean = false,
+      zorderBy: Seq[String] = Nil): Option[Long] = {
+    require(zorderBy.isEmpty || zorderBy.size == 2,
+      s"zorderBy interleaves exactly two numeric dimensions, got $zorderBy " +
+        "(for one dimension use clusterBy; for more, compose curve keys " +
+        "with graft.io.Layout.zorder yourself)")
     currentVersion(spark, baseDir).flatMap { basis =>
       // basis pinning (see mergeInto): the manifest and the frame must
       // come from the SAME version the commit CAS will verify
@@ -3250,6 +3260,29 @@ object VersionedSnapshot {
       parseBuckets(fs(spark, baseDir),
         versionPath(new Path(baseDir), basis)).map { case (nb, _) =>
         val current = versionFrame(spark, baseDir, basis)
+        // OPTIMIZE ZORDER BY (r15): cluster each bucket's rewrite along a
+        // Morton curve of the two dimensions, so per-file `_ZONES` ranges
+        // are tight on BOTH — a lexicographic clusterBy only serves its
+        // leading column. The curve's bounding box costs one narrow agg
+        // (four driver scalars) over the same pinned frame the rewrite
+        // reads; nulls in a dimension sort first (null curve key).
+        val zorderExprs: Seq[Column] =
+          if (zorderBy.isEmpty) Nil
+          else {
+            import org.apache.spark.sql.functions.{max => fMax, min => fMin}
+            val Seq(a, b) = zorderBy
+            val r = current.agg(
+              fMin(col(a).cast("double")), fMax(col(a).cast("double")),
+              fMin(col(b).cast("double")), fMax(col(b).cast("double"))).head()
+            def lo(i: Int) = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+            def hi(i: Int, l: Double) =
+              if (r.isNullAt(i)) l + 1.0
+              else math.max(r.getDouble(i), l + 1e-9) // degenerate range: constant column
+            val (aLo, bLo) = (lo(0), lo(2))
+            Seq(graft.io.Layout.zorder(
+              graft.io.Layout.bucketize(col(a), aLo, hi(1, aLo)),
+              graft.io.Layout.bucketize(col(b), bLo, hi(3, bLo))))
+          }
         // bucket-count EVOLUTION: a table sized for 1 TB needs more buckets
         // at 100 TB (one bucket must fit an executor). The bucket count is
         // committed per version, so publishing this full rewrite under a
@@ -3261,10 +3294,11 @@ object VersionedSnapshot {
           inherited = Map.empty, retain = retain, expected = basis,
           valueStatsCols = valueStatsCols,
           clusterBy = clusterBy, maxRecordsPerFile = maxRecordsPerFile,
-          keyBlooms = keyBlooms)
+          keyBlooms = keyBlooms, clusterExprs = zorderExprs)
       }
       }
     }
+  }
 
   /** Maintenance policy: compact the CURRENT snapshot when its metadata
     * says the read path has degraded past the thresholds —
