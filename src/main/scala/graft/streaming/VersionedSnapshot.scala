@@ -3319,7 +3319,7 @@ object VersionedSnapshot {
   def maintain(spark: SparkSession, baseDir: String, keys: Seq[String],
       marker: String, maxOverlays: Int = 4, maxGenerations: Int = 8,
       retain: Int = 2, clusterBy: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): Option[Long] =
+      maxRecordsPerFile: Long = 0L, zorderBy: Seq[String] = Nil): Option[Long] =
     bucketManifest(spark, baseDir).flatMap { case (_, entries) =>
       val overlays = deltaManifest(spark, baseDir).size
       val generations = entries.values.flatten.map(_.split('/')(1)).toSet.size
@@ -3327,12 +3327,13 @@ object VersionedSnapshot {
         // marker passes through VERBATIM: streaming callers hand the
         // "tag:batchId" lineage marker, and annotating it here would
         // corrupt the replay-skip parse (batchId is the last ':' segment)
-        // clusterBy/maxRecordsPerFile pass through so scheduled
-        // maintenance of a value-clustered table keeps its layout
-        // instead of silently de-clustering it (key blooms are sticky on
-        // their own)
+        // clusterBy/zorderBy/maxRecordsPerFile pass through so scheduled
+        // maintenance of a value- or curve-clustered table keeps its
+        // layout instead of silently de-clustering it (key blooms are
+        // sticky on their own)
         compact(spark, baseDir, keys, marker = marker, retain = retain,
-          clusterBy = clusterBy, maxRecordsPerFile = maxRecordsPerFile)
+          clusterBy = clusterBy, maxRecordsPerFile = maxRecordsPerFile,
+          zorderBy = zorderBy)
       else None
     }
 
