@@ -2157,6 +2157,21 @@ object VersionedSnapshot {
         diff.schema).map(diff.unionByName).getOrElse(diff)
     }
 
+  /** [[changesWithPurges]] restricted by value-range predicates on the
+    * DIFF rows (the zone-pruned [[changes]] overload) — purge
+    * retractions are deliberately NOT filtered: a purged subject's
+    * values are gone by design, so a range can never be evaluated
+    * against them, and an erasure signal filtered out of a compliance
+    * feed would be silently dropped. A range-keyed consumer treats any
+    * retraction conservatively (drop the key if held). */
+  def changesWithPurges(spark: SparkSession, baseDir: String, fromVersion: Long,
+      toVersion: Long, keys: Seq[String],
+      ranges: Map[String, (Option[Any], Option[Any])]): Option[DataFrame] =
+    changes(spark, baseDir, fromVersion, toVersion, keys, ranges).map { diff =>
+      purgeRetractionRows(spark, baseDir, fromVersion, toVersion, keys,
+        diff.schema).map(diff.unionByName).getOrElse(diff)
+    }
+
   /** [[changesPrePost]] plus purge retractions — the purge-aware face of
     * the retraction-IVM feed. Same `op = "purge"` rows as
     * [[changesWithPurges]] (keys set, values null): a keyed mart drops
@@ -2208,7 +2223,8 @@ object VersionedSnapshot {
     * Returns the number of micro-batches delivered this drain. */
   def changesStream(spark: SparkSession, baseDir: String, keys: Seq[String],
       checkpoint: String, startVersion: Option[Long] = None,
-      maxVersionsPerBatch: Long = 1L, includePurges: Boolean = true)
+      maxVersionsPerBatch: Long = 1L, includePurges: Boolean = true,
+      ranges: Map[String, (Option[Any], Option[Any])] = Map.empty)
       (body: (DataFrame, Long, Long) => Unit): Long = {
     require(maxVersionsPerBatch >= 1L, "a micro-batch spans at least one version")
     val f = fs(spark, checkpoint)
@@ -2233,9 +2249,16 @@ object VersionedSnapshot {
     var cur = currentVersion(spark, baseDir).getOrElse(last)
     while (last < cur) {
       val to = math.min(last + maxVersionsPerBatch, cur)
+      // `ranges` makes this a PREDICATED feed (a filtered-mart consumer
+      // reads only zone-surviving files per batch); purge retractions
+      // still flow unfiltered — see the predicated changesWithPurges
       val feed =
-        (if (includePurges) changesWithPurges(spark, baseDir, last, to, keys)
-         else changes(spark, baseDir, last, to, keys))
+        ((includePurges, ranges.isEmpty) match {
+          case (true, true) => changesWithPurges(spark, baseDir, last, to, keys)
+          case (true, false) => changesWithPurges(spark, baseDir, last, to, keys, ranges)
+          case (false, true) => changes(spark, baseDir, last, to, keys)
+          case (false, false) => changes(spark, baseDir, last, to, keys, ranges)
+        })
           .getOrElse(throw new IllegalStateException(
             s"CDF stream range (v$last, v$to] of $baseDir fell past the " +
               "retention horizon — resync: re-bootstrap the consumer from " +

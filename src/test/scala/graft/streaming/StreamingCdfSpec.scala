@@ -130,6 +130,38 @@ class StreamingCdfSpec extends SparkSpec {
     assert(seen == Seq(Set(2L)))
   }
 
+  test("a predicated stream (ranges) delivers only in-range diff rows — " +
+      "but purge retractions ALWAYS flow, filtered marts included") {
+    val base = Files.createTempDirectory("graft-cdfs6").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft-cdfs6-ck").toString
+    seedTable(base) // v = k for k in 1..20
+    // pre-stream: k=5 already sits OUTSIDE the consumer's range
+    mergeInto(base, Seq((5L, 5000L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "pre", retain = 10)
+    val v0 = currentVersion(spark, base).get
+    // streamed window: one in-range update; one whose OLD value (3, in
+    // range) leaves the range — the RETRACTION shape a filtered mart
+    // needs; one invisible to the range on both sides (k=5); one purge
+    mergeInto(base,
+      Seq((2L, 50L), (3L, 5000L), (5L, 6000L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "up", retain = 10)
+    assert(purgeKeys(spark, base, Seq("k"), Seq(Seq(9L))) > 0)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[(String, Long)]]
+    val n = changesStream(spark, base, Seq("k"), ckpt,
+        startVersion = Some(v0),
+        ranges = Map("v" -> (Some(1L), Some(100L)))) { (feed, _, _) =>
+      got += feed.select("op", "k").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    assert(n == 2L)
+    // k=2 in-range; k=3 flows BECAUSE its old side was in range (the
+    // mart must drop it); k=5 — out of range on both sides — must not
+    assert(got(0) == Set(("update", 2L), ("update", 3L)),
+      s"old-OR-new in range flows, both-sides-out does not; got ${got(0)}")
+    assert(got(1) == Set(("purge", 9L)),
+      s"the retraction must flow regardless of any range, got ${got(1)}")
+  }
+
   test("a catching-up consumer folds many versions into one endpoint-diff " +
       "batch (maxVersionsPerBatch), even when intermediates were retired") {
     val base = Files.createTempDirectory("graft-cdfs5").resolve("t").toString
