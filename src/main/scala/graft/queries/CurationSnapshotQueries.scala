@@ -891,6 +891,26 @@ private[graft] object CurationSnapshotQueries {
     // oracle gate (the _ZONES value stats decide which files bind; the
     // exact predicate re-applies and pushes into the surviving scans).
     // Oracle: the closed-form final state filtered to the range ----
+    // ---- TIMESTAMP AS OF time travel (r15): resolve the seed commit's
+    // instant (history's committed_at) back to the seed content after a
+    // later upsert moved current — the oracle recomputes the seed
+    // selection closed-form ----
+    "snapshot_asof_read" -> ((s, dir) => {
+      val VS = graft.streaming.VersionedSnapshot
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = tempSnapshotBase("graft-asof")
+      val v0 = VS.mergeInto(base, docs.filter(col("doc_id") % 10 =!= 0),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
+        marker = "seed", retain = 10, numBuckets = 8)
+      VS.mergeInto(base, docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
+        marker = "upsert", retain = 10)
+      val t0 = VS.history(s, base).filter(col("version") === v0)
+        .select("committed_at").collect().head.getLong(0)
+      VS.readAsOf(s, base, t0).get.select("doc_id", "n_chars", "lang")
+    }),
+
     // ---- OPTIMIZE ZORDER BY (r15): full-table compact clustered along a
     // Morton curve of two dimensions, then a 2-D box read through the
     // curve-tightened zonemap. The oracle recomputes the box closed-form

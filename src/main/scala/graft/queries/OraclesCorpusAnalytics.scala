@@ -432,6 +432,11 @@ private[graft] object OraclesCorpusAnalytics {
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE doc_id % 10 <> 0 AND doc_id % 5 <> 0""".stripMargin,
 
+    // timestamp travel back to the seed commit = the seed selection
+    "snapshot_asof_read" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+        |WHERE doc_id % 10 <> 0""".stripMargin,
+
     // the zorder compact is content-preserving, so the 2-D box reads
     // straight off the raw table
     "snapshot_zorder_compact" ->

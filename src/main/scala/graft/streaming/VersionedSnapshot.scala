@@ -1755,7 +1755,7 @@ object VersionedSnapshot {
   def history(spark: SparkSession, baseDir: String): DataFrame = {
     import spark.implicits._
     val cur = currentVersion(spark, baseDir)
-    val rows: Seq[(Long, String, String, Option[Int], Long, Long, Int, Boolean)] =
+    val rows: Seq[(Long, String, String, Option[Int], Long, Long, Int, Boolean, Long)] =
       cur match {
         case None => Nil
         case Some(c) =>
@@ -1793,12 +1793,44 @@ object VersionedSnapshot {
                     entries.map(l => l.substring(l.lastIndexOf(':') + 1).toLong).sum)
                 }
               }
-              (v, marker, layout, buckets.map(_._1), nFiles, bytes, overlays, v == c)
+              // commit time ≈ the marker file's mtime: staged milliseconds
+              // before the pointer CAS, never rewritten afterwards (purge's
+              // in-place passes leave markers verbatim — lineage contract).
+              // The same approximation Delta's timestamp travel makes with
+              // its commit-file mtimes.
+              val committedAt = {
+                val m = new Path(vdir, MarkerName)
+                try { if (f.exists(m)) f.getFileStatus(m).getModificationTime else 0L }
+                catch { case scala.util.control.NonFatal(_) => 0L }
+              }
+              (v, marker, layout, buckets.map(_._1), nFiles, bytes, overlays,
+                v == c, committedAt)
             }
       }
     rows.toDF("version", "marker", "layout", "num_buckets",
-      "n_files", "bytes", "n_overlays", "is_current")
+      "n_files", "bytes", "n_overlays", "is_current", "committed_at")
   }
+
+  /** Timestamp time travel (the Delta `TIMESTAMP AS OF` analog): the
+    * NEWEST retained version whose commit time is ≤ `tsMillis` — commit
+    * times come from [[history]]'s `committed_at` (marker mtimes), and
+    * like Delta the choice takes the max VERSION among qualifying ones,
+    * so a clock wobble between two adjacent commits cannot select a
+    * version that an already-qualifying later version supersedes. None
+    * when every retained version committed after `tsMillis` (the
+    * requested instant predates retained history — resync/bootstrap
+    * territory, same contract as a retired CDF from-side). */
+  def versionAsOf(spark: SparkSession, baseDir: String, tsMillis: Long): Option[Long] = {
+    val h = history(spark, baseDir)
+      .select("version", "committed_at").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    h.filter(_._2 <= tsMillis).map(_._1).maxOption
+  }
+
+  /** [[versionAsOf]] composed with [[readVersion]]. */
+  def readAsOf(spark: SparkSession, baseDir: String, tsMillis: Long): Option[DataFrame] =
+    versionAsOf(spark, baseDir, tsMillis)
+      .flatMap(v => readVersion(spark, baseDir, v))
 
   /** Roll the table back (or forward within retention) to `version` — the
     * Delta `RESTORE` analog. The restored state commits as a NEW version
