@@ -2221,6 +2221,7 @@ object VersionedSnapshot {
   // ------------------------------------------------- streaming CDF source
 
   private val CdfOffsetName = "_CDF_OFFSET" // durable last-delivered version
+  private val CdfLockName = "_CDF_LOCK"     // one drain per checkpoint at a time
 
   /** Tail a snapshot table's version history as a STREAM of row-level
     * changes — the `readChangeFeed` streaming-source analog, and the
@@ -2241,7 +2242,9 @@ object VersionedSnapshot {
     * effectively-once for idempotent/upserting handlers: exactly
     * Structured Streaming's foreachBatch contract, and the same lineage
     * discipline the write-side sinks use (`tag:batchId` markers). One
-    * consumer per checkpoint, as with any streaming query.
+    * consumer per checkpoint, as with any streaming query — ENFORCED by
+    * a fenced heartbeated drain lock: concurrent drains serialize, the
+    * loser wakes to the winner's advanced offset and delivers nothing.
     *
     * Bootstrap: with no prior offset the stream starts at
     * `startVersion` (the version the consumer batch-bootstrapped from)
@@ -2262,6 +2265,17 @@ object VersionedSnapshot {
     val f = fs(spark, checkpoint)
     val ckpt = new Path(checkpoint)
     f.mkdirs(ckpt)
+    // one consumer per checkpoint is the streaming contract; ENFORCE it —
+    // two concurrent drains would both read the same offset and deliver
+    // the same batch twice in parallel (a double-apply even an
+    // idempotent-per-batch handler cannot dedupe while both are mid-
+    // flight). Same fenced + heartbeated discipline as the purge lock;
+    // a crashed drain's lock goes stale and the next drain breaks it.
+    val drainLock = new Path(ckpt, CdfLockName)
+    val lockStale = confMs(PurgeLockStaleMsConf, DefaultPurgeLockStaleMs)
+    val lockToken = acquireFencedLock(f, drainLock, lockStale,
+      deadlineMs = math.max(60000L, 2 * lockStale), what = "CDF drain")
+    try {
     val off = new Path(ckpt, CdfOffsetName)
     def readOffset(): Option[Long] =
       if (!f.exists(off)) None
@@ -2297,6 +2311,9 @@ object VersionedSnapshot {
               "a batch read of the current version (this signal is loud " +
               "by design; silently skipping it would drop erasures)"))
       body(feed, last, to)
+      // re-prove drain ownership before acking: a zombie drain whose lock
+      // was stale-broken must not advance the successor's offset
+      heartbeatFencedLock(f, drainLock, lockToken, "CDF drain")
       // the offset advances only AFTER the handler returns (see scaladoc)
       atomicOverwrite(spark, f, off, to.toString)
       last = to
@@ -2304,6 +2321,7 @@ object VersionedSnapshot {
       cur = currentVersion(spark, baseDir).getOrElse(cur)
     }
     delivered
+    } finally releaseFencedLock(f, drainLock, lockToken)
   }
 
   /** `op = "purge"` retraction rows (keys set, every other column null)
@@ -2972,16 +2990,35 @@ object VersionedSnapshot {
     * carries no usable footer statistics (deprecated in the format), so
     * any timestamp-bearing table would silently demote EVERY publish's
     * zonemap build from the O(files) footer read to the O(delta) second
-    * scan. Concurrent snapshot writers all set the same value; the
-    * restore race with a foreign conf value is benign — a write that
-    * lands as INT96 merely bails that build back to the scan path. */
+    * scan.
+    *
+    * The set/restore is REFCOUNTED per session: concurrent snapshot
+    * writers overlap (the concurrency batteries do it constantly), and
+    * naive save/restore pairs race — writer B saves writer A's
+    * "TIMESTAMP_MICROS" as the value to restore, and whichever finishes
+    * last leaks MICROS into the session, silently flipping every later
+    * non-snapshot timestamp write to tz-aware micros (caught as dtype
+    * drift in the round-15 full verify). The outermost enter saves the
+    * user's value; only the outermost exit restores it. */
+  private final class MicrosGuard { var depth = 0; var saved: Option[String] = None }
+  private val microsGuards =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, MicrosGuard]()
   private def withMicrosTimestamps[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.parquet.outputTimestampType"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try body finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    val g = microsGuards.computeIfAbsent(spark, _ => new MicrosGuard)
+    g.synchronized {
+      if (g.depth == 0) {
+        g.saved = spark.conf.getOption(key)
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+      }
+      g.depth += 1
+    }
+    try body finally g.synchronized {
+      g.depth -= 1
+      if (g.depth == 0) g.saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
 

@@ -162,6 +162,33 @@ class StreamingCdfSpec extends SparkSpec {
       s"the retraction must flow regardless of any range, got ${got(1)}")
   }
 
+  test("concurrent drains on one checkpoint serialize through the drain " +
+      "lock — a batch is never delivered twice in parallel") {
+    val base = Files.createTempDirectory("graft-cdfs7").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft-cdfs7-ck").toString
+    val v0 = seedTable(base)
+    mergeInto(base, Seq((1L, 100L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "u1", retain = 10)
+    val delivered = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val drains = (1 to 2).map { i =>
+      val t = new Thread(() => {
+        try changesStream(spark, base, Seq("k"), ckpt,
+            startVersion = Some(v0)) { (_, _, _) =>
+          delivered.incrementAndGet()
+          Thread.sleep(400) // hold the drain so the sibling provably waits
+        }
+        catch { case e: Throwable => errs.add(e); () }
+      }, s"graft-cdf-drain-$i")
+      t.start(); t
+    }
+    drains.foreach(_.join(120000))
+    assert(errs.isEmpty, s"both drains must complete: ${errs.peek}")
+    assert(delivered.get == 1,
+      s"the single new version must be delivered exactly once across " +
+        s"concurrent drains, got ${delivered.get}")
+  }
+
   test("a catching-up consumer folds many versions into one endpoint-diff " +
       "batch (maxVersionsPerBatch), even when intermediates were retired") {
     val base = Files.createTempDirectory("graft-cdfs5").resolve("t").toString
