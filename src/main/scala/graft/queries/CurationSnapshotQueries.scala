@@ -732,6 +732,33 @@ private[graft] object CurationSnapshotQueries {
       VS.read(s, mart).get.select("doc_id", "n_chars", "lang")
     }),
 
+    // ---- zero-copy table clone (r15): shallow clone = one METADATA-ONLY
+    // commit borrowing the source version's files through external refs
+    // (the Delta CLONE analog — instant dev/test branch of a 100 TB
+    // table). The clone then diverges with an O(delta) update-only merge
+    // (untouched buckets stay borrowed by ref); reading BOTH tables pins
+    // isolation both ways — a leak of the divergence into the source, or
+    // a clone that missed rows, each breaks exactly one union side ----
+    "snapshot_clone" -> ((s, dir) => {
+      val VS = graft.streaming.VersionedSnapshot
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = tempSnapshotBase("graft-clone-src")
+      val mart = tempSnapshotBase("graft-clone-dst")
+      VS.mergeInto(base, docs, Seq("doc_id"), VS.UpdateMatched,
+        insertUnmatched = true, marker = "seed", retain = 10, numBuckets = 8)
+      VS.cloneTo(s, base, mart)
+      VS.mergeInto(mart,
+        docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("n_chars", col("n_chars") + 500),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = false,
+        marker = "diverge", retain = 10)
+      VS.read(s, base).get
+        .select(lit("src").as("side"), col("doc_id"), col("n_chars"), col("lang"))
+        .unionByName(VS.read(s, mart).get
+          .select(lit("clone").as("side"), col("doc_id"), col("n_chars"),
+            col("lang")))
+    }),
+
     // ---- retention × purge interplay (r14): an aggressive retention
     // IMMEDIATELY after a purge retires the history the in-place pass
     // rewrote — but the purge commit's _PURGED retraction record rides

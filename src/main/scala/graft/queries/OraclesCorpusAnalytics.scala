@@ -458,6 +458,18 @@ private[graft] object OraclesCorpusAnalytics {
         |SELECT doc_id, n_chars + 1000 AS n_chars, lang FROM documents
         |WHERE doc_id % 5 = 0""".stripMargin,
 
+    // zero-copy clone in closed form: the source side is the seed
+    // verbatim (divergence must NOT leak across the borrowed files);
+    // the clone side applies exactly the update-only merge
+    "snapshot_clone" ->
+      """SELECT 'src' AS side, doc_id, n_chars, lang FROM documents
+        |UNION ALL
+        |SELECT 'clone' AS side, doc_id,
+        |       CASE WHEN doc_id % 7 = 0 THEN n_chars + 500
+        |            ELSE n_chars END AS n_chars,
+        |       lang
+        |FROM documents""".stripMargin,
+
     // partial MERGE in closed form: every row survives (update-only
     // merge), the narrow key window takes the shifted n_chars
     "snapshot_merge_partial" ->

@@ -750,7 +750,7 @@ object VersionedSnapshot {
                   case _ => Seq(rel)
                 }
             }
-          }.map(rel => new Path(base, rel).toString)
+          }.map(rel => resolveRef(base, rel).toString)
           if (paths.nonEmpty) {
             val scan = spark.read.parquet(paths: _*)
             // row-group pushdown: literal-sized key sets become an IN
@@ -874,7 +874,7 @@ object VersionedSnapshot {
               }.sorted
             case None => Seq(rel) // pre-zonemap version
           }
-        }.map(rel => new Path(base, rel).toString)
+        }.map(rel => resolveRef(base, rel).toString)
         if (paths.nonEmpty) spark.read.parquet(paths: _*)
         else
           spark.createDataFrame(
@@ -1020,7 +1020,7 @@ object VersionedSnapshot {
     val baseFrame = parseBuckets(f, vdir) match {
       case Some((_, entries)) =>
         val paths = entries.toSeq.sortBy(_._1)
-          .flatMap(_._2).map(rel => new Path(base, rel).toString)
+          .flatMap(_._2).map(rel => resolveRef(base, rel).toString)
         spark.read.parquet(paths: _*)
       case None => spark.read.parquet(vdir.toString)
     }
@@ -1035,7 +1035,7 @@ object VersionedSnapshot {
     parseDeltas(f, vdir) match {
       case Some((keys, overlays)) if overlays.nonEmpty =>
         val tagged = overlays.zipWithIndex.map { case (rel, i) =>
-          spark.read.parquet(new Path(base, rel).toString)
+          spark.read.parquet(resolveRef(base, rel).toString)
             .withColumn("__seq", lit(i))
         }.reduce(_ unionByName _)
         val w = org.apache.spark.sql.expressions.Window
@@ -1079,6 +1079,39 @@ object VersionedSnapshot {
     * bucket directory — the only files the manifest ever references are
     * parquet, and directory names never carry the extension. */
   private def isFileRef(rel: String): Boolean = rel.endsWith(".parquet")
+
+  /** Prefix of an EXTERNAL manifest ref — an absolute URI into another
+    * table's data tree, written only by shallow [[cloneTo]]. Every other
+    * ref is base-relative. External refs are read-only borrows: reads,
+    * zone/bloom pruning, CDF diffs and file-carry treat them like any
+    * ref, while every path that WRITES data (merge rewrite, compact,
+    * purge) writes fresh LOCAL files and drops the borrow — so the
+    * source table's bytes are never mutated through a clone. */
+  private[graft] val ExtRefPrefix = "ext:"
+
+  private def isExternalRef(rel: String): Boolean = rel.startsWith(ExtRefPrefix)
+
+  /** Resolve a manifest data ref to its path: base-relative by default,
+    * as-is for an `ext:` ref. Single seam — every read of a ref goes
+    * through here so cloned tables resolve uniformly. */
+  private def resolveRef(base: Path, rel: String): Path =
+    if (isExternalRef(rel)) new Path(rel.substring(ExtRefPrefix.length))
+    else new Path(base, rel)
+
+  /** The ref's components AFTER its generation dir (`g/d/pNNNNN…`):
+    * `"__gbucket=K"` for bucket dirs (and files within one, the file
+    * name dropped), `""` for overlay dirs. Works for local and external
+    * refs alike — the generation dir is located by NAME SHAPE from the
+    * right, so a base path that itself contains `data/` segments can
+    * never shift the boundary. */
+  private def refTail(rel: String): String = {
+    val comps =
+      (if (isFileRef(rel)) rel.split('/').dropRight(1) else rel.split('/')).toSeq
+    val gIdx = comps.lastIndexWhere(c => c.length >= 6 &&
+      (c.head == 'g' || c.head == 'd' || c.head == 'p') &&
+      c.tail.forall(_.isDigit))
+    if (gIdx < 0) "" else comps.drop(gIdx + 1).mkString("/")
+  }
 
   /** Parse a version dir's `_BUCKETS` manifest: (numBuckets,
     * bucket → base-relative data refs). A ref is either a bucket data
@@ -1660,12 +1693,15 @@ object VersionedSnapshot {
       .flatMap { case (_, entries) =>
         // "data/gNNNNN/__gbucket=K[/file]" → shared granularity is the
         // g-dir; a dir lives while ANY version references it or a file in
-        // it (file refs keep the whole dir — conservative, documented)
-        entries.values.flatten.map(_.split('/')(1))
+        // it (file refs keep the whole dir — conservative, documented).
+        // External refs (shallow clones) live in ANOTHER table's tree —
+        // they protect nothing here and this sweep can never reach them.
+        entries.values.flatten.filterNot(isExternalRef).map(_.split('/')(1))
       } ++ vdirs
       // merge-on-read overlays ("data/dNNNNN") are shared the same way
       .flatMap(st => safeScan(parseDeltas(f, st.getPath)).toSeq)
-      .flatMap { case (_, overlays) => overlays.map(_.split('/')(1)) }).toSet
+      .flatMap { case (_, overlays) =>
+        overlays.filterNot(isExternalRef).map(_.split('/')(1)) }).toSet
     f.listStatus(dataRoot).foreach { st =>
       val name = st.getPath.getName
       val claimedLive = name.drop(1).toLongOption.exists(liveClaims.contains)
@@ -1694,14 +1730,14 @@ object VersionedSnapshot {
       case Some((_, entries)) =>
         entries.toSeq.sortBy(_._1).flatMap(_._2).flatMap { rel =>
           if (isFileRef(rel))
-            Seq((rel, f.getFileStatus(new Path(base, rel)).getLen))
+            Seq((rel, f.getFileStatus(resolveRef(base, rel)).getLen))
           else
-            dataFiles(f, new Path(base, rel)).map { case (name, len) => (s"$rel/$name", len) }
+            dataFiles(f, resolveRef(base, rel)).map { case (name, len) => (s"$rel/$name", len) }
         }
       case None => dataFiles(f, vdir)
     }
     val deltaFiles = parseDeltas(f, vdir).map(_._2).getOrElse(Nil).flatMap { rel =>
-      dataFiles(f, new Path(base, rel)).map { case (name, len) => (s"$rel/$name", len) }
+      dataFiles(f, resolveRef(base, rel)).map { case (name, len) => (s"$rel/$name", len) }
     }
     (baseFiles ++ deltaFiles).sortBy(_._1)
   }
@@ -1737,7 +1773,13 @@ object VersionedSnapshot {
           val cut = line.lastIndexOf(':')
           (line.substring(0, cut), line.substring(cut + 1).toLong)
         }
-        expected == inventory(f, base, dir)
+        // a referenced dir/file that VANISHED (partial copy, swept source
+        // of a shallow clone) is exactly the drift this check exists to
+        // report — "invalid", never an exception out of the listing
+        val actual =
+          try Some(inventory(f, base, dir))
+          catch { case _: java.io.FileNotFoundException => None }
+        actual.contains(expected)
       }
     }
 
@@ -1873,6 +1915,211 @@ object VersionedSnapshot {
           applyRetention(f, base, current, next, retain)
           Some(next)
       }
+    }
+  }
+
+  /** Clone a snapshot table — the Delta `CLONE` / Iceberg snapshot-ref
+    * analog, in both depths:
+    *
+    *  - '''Shallow (default)''': the new table's first version is a
+    *    METADATA-ONLY copy. Its `_BUCKETS`/`_DELTAS` manifests reference
+    *    the source version's data files through `ext:`-prefixed absolute
+    *    URIs, and the `_ZONES`/`_BLOOMS` sidecars carry over with
+    *    re-keyed entries, so reads, key/value pruning, CDF diffs and
+    *    file-carrying merges all work at full quality from second zero —
+    *    O(metadata) regardless of table size, the instant dev/test/branch
+    *    copy of a 100 TB table. Writes against the clone follow the
+    *    copy-on-write discipline everywhere: a merge rewrites only
+    *    touched buckets locally (untouched external refs carry), a
+    *    [[compact]] fully localizes the table, and a [[purgeKeys]]
+    *    rewrites affected files into the CLONE's own tree — the source
+    *    table's bytes are never mutated through a clone.
+    *
+    *    CAVEATS (the same ones Delta documents for shallow clones): the
+    *    clone remains valid only while the source's referenced data dirs
+    *    live — the SOURCE table's retention/orphan-gc does not know about
+    *    borrowers, so age-out there breaks the clone (loud: reads fail on
+    *    missing files and [[validateCurrent]] reports the drift; compact
+    *    the clone to sever the dependency before aging the source). And a
+    *    GDPR purge of the CLONE erases only the clone's view — the
+    *    source (and any other clone) must be purged separately.
+    *
+    *  - '''Deep (`deep = true`)''': byte-for-byte copy of exactly the
+    *    files the source version references (not its whole history),
+    *    executed as one DISTRIBUTED Spark job over the file list (the
+    *    DistCp shape — O(bytes) spread across the cluster, never a
+    *    driver-side loop), then committed locally with re-keyed
+    *    manifests. Fully independent of the source from the first read;
+    *    copy completeness is verified file-by-file (name + byte length)
+    *    before the pointer commit.
+    *
+    * `version` picks a retained source version (time-travel clone);
+    * default = current. The target must not be an existing table. The
+    * clone's history starts fresh at its own v0 with marker
+    * `clone:<src>@v<N>` — [[history]], [[changes]] and retention on the
+    * clone are independent of the source's. Returns the committed
+    * version number (0 for a fresh target).
+    *
+    * Shallow requires the bucketed layout (a flat version has no
+    * manifest to borrow through — one [[mergeInto]] migrates it) and both
+    * tables on the same filesystem; deep supports flat sources and any
+    * same-scheme pair. */
+  def cloneTo(spark: SparkSession, srcBase: String, dstBase: String,
+      version: Option[Long] = None, deep: Boolean = false,
+      marker: String = ""): Long = {
+    val sf = fs(spark, srcBase)
+    val df0 = fs(spark, dstBase)
+    val src = new Path(srcBase)
+    val dst = new Path(dstBase)
+    require(sf.makeQualified(src) != df0.makeQualified(dst),
+      "clone target must differ from the source")
+    require(sf.getUri.getScheme == df0.getUri.getScheme,
+      s"clone requires one filesystem: ${sf.getUri} vs ${df0.getUri}")
+    val srcCur = currentVersion(spark, srcBase).getOrElse(
+      sys.error(s"clone source $srcBase has no committed version"))
+    val v = version.getOrElse(srcCur)
+    require(v <= srcCur && sf.exists(versionPath(src, v)),
+      s"clone source version $v of $srcBase is not retained (current $srcCur)")
+    require(currentVersion(spark, dstBase).isEmpty,
+      s"clone target $dstBase already has a committed version — " +
+        "clone CREATES tables; merge/restore evolve them")
+    val srcVdir = versionPath(src, v)
+    val bucketsOpt = parseBuckets(sf, srcVdir)
+    val deltasOpt = parseDeltas(sf, srcVdir)
+    val cloneMarker = if (marker.nonEmpty) marker else s"clone:$srcBase@v$v"
+    df0.mkdirs(dst)
+    val next = prepareNext(df0, dst, -1L)
+
+    // old ref → new ref, applied uniformly to manifests and to the
+    // zone/bloom sidecars' per-FILE entry keys (longest-prefix remap for
+    // files living under a remapped dir ref)
+    def remapKey(refMap: Map[String, String])(key: String): String =
+      refMap.getOrElse(key,
+        refMap.collectFirst {
+          case (o, n) if !isFileRef(o) && key.startsWith(o + "/") =>
+            n + key.substring(o.length)
+        }.getOrElse(key))
+
+    def stageManifests(target: Path, refMap: Map[String, String]): Unit = {
+      bucketsOpt.foreach { case (nb, entries) =>
+        val lines = s"buckets=$nb" +: entries.toSeq.sortBy(_._1).map {
+          case (b, rels) => s"$b:${rels.map(refMap).mkString(";")}"
+        }
+        writeSmallFile(df0, new Path(target, BucketsName), lines.mkString("\n"))
+      }
+      deltasOpt.foreach { case (dkeys, overlays) =>
+        writeSmallFile(df0, new Path(target, DeltasName),
+          (s"keys=${dkeys.mkString(",")}" +:
+            overlays.map(refMap)).mkString("\n"))
+      }
+      val km = remapKey(refMap) _
+      parseZones(sf, srcVdir).foreach { z =>
+        val zLines = Seq(s"keys=${z.keys.mkString(",")}",
+          s"tags=${z.tags.mkString(",")}",
+          s"cols=${z.vcols.mkString(",")}",
+          s"ctags=${z.vtags.mkString(",")}") ++
+          z.entries.toSeq.map { case (rel, (n, rs)) => (km(rel), n, rs) }
+            .sortBy(_._1).map { case (r2, n, rs) => zoneLine(r2, n, rs) }
+        writeSmallFile(df0, new Path(target, ZonesName), zLines.mkString("\n"))
+      }
+      parseBlooms(sf, srcVdir).foreach { case (bkeys, bm) =>
+        writeBlooms(df0, target, bkeys,
+          bm.toSeq.map { case (rel, b) => km(rel) -> b })
+      }
+    }
+
+    if (!deep) {
+      require(bucketsOpt.isDefined,
+        s"shallow clone requires the bucketed layout, but $srcBase@v$v is " +
+          "flat — one mergeInto migrates it (or pass deep = true)")
+      // ext-ify: fully-qualified absolute URI into the source tree; a ref
+      // that is ALREADY external (clone of a clone) stays one hop deep
+      def extify(rel: String): String =
+        if (isExternalRef(rel)) rel
+        else ExtRefPrefix + sf.makeQualified(new Path(src, rel)).toString
+      val allRefs = bucketsOpt.toSeq.flatMap(_._2.values.flatten) ++
+        deltasOpt.toSeq.flatMap(_._2)
+      val refMap = allRefs.distinct.map(r => r -> extify(r)).toMap
+      republishMeta(spark, df0, dst, next, cloneMarker, expected = -1L) {
+        target => stageManifests(target, refMap)
+      }
+      next
+    } else {
+      // deep: one fresh local generation dir per distinct source ref,
+      // preserving the ref's bucket tail so layout conventions carry
+      val bucketRefs = bucketsOpt.toSeq.flatMap(_._2.values.flatten).distinct
+      val overlayRefs = deltasOpt.toSeq.flatMap(_._2).distinct
+      var gSeq = -1L
+      def allocGen(prefix: Char): String = {
+        gSeq += 1
+        s"$prefix" + "%05d".formatLocal(java.util.Locale.ROOT, gSeq)
+      }
+      val refMap: Map[String, String] =
+        (bucketRefs.map { r =>
+          val tail = refTail(r)
+          val gen = allocGen('g')
+          val dir = if (tail.isEmpty) s"$DataDirName/$gen"
+                    else s"$DataDirName/$gen/$tail"
+          r -> (if (isFileRef(r)) s"$dir/${r.split('/').last}" else dir)
+        } ++ overlayRefs.map(r => r -> s"$DataDirName/${allocGen('d')}")).toMap
+      // expand refs to (srcFile, dstFile) pairs — driver does LISTINGS
+      // only; the bytes move in one distributed job below
+      val pairs: Seq[(String, String)] =
+        if (bucketsOpt.isEmpty)
+          // flat source: its data files ARE the version dir's content
+          dataFiles(sf, srcVdir).map { case (name, _) =>
+            (new Path(srcVdir, name).toString,
+              new Path(versionPath(dst, next), name).toString)
+          }
+        else refMap.toSeq.flatMap { case (o, n) =>
+          val from = resolveRef(src, o)
+          if (isFileRef(o)) Seq((from.toString, new Path(dst, n).toString))
+          else dataFiles(sf, from).map { case (name, _) =>
+            (new Path(from, name).toString, new Path(dst, s"$n/$name").toString)
+          }
+        }
+      guardStaged(df0, dst, next) {
+        val target = versionPath(dst, next)
+        df0.mkdirs(target)
+        if (pairs.nonEmpty) {
+          // serialize the Hadoop conf as plain pairs (Configuration is not
+          // serializable); each task re-opens the filesystems it needs
+          val confKv = {
+            val it = spark.sparkContext.hadoopConfiguration.iterator()
+            val b = Seq.newBuilder[(String, String)]
+            while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+            b.result()
+          }
+          val slices = math.min(pairs.size,
+            math.max(1, spark.sparkContext.defaultParallelism))
+          spark.sparkContext.parallelize(pairs, slices).foreachPartition { it =>
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confKv.foreach { case (k, vl) => conf.set(k, vl) }
+            it.foreach { case (s, d) =>
+              val sp = new Path(s); val dp = new Path(d)
+              val sfs = sp.getFileSystem(conf); val dfs = dp.getFileSystem(conf)
+              dfs.mkdirs(dp.getParent)
+              if (!org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp,
+                  false, true, conf))
+                sys.error(s"clone copy failed: $s -> $d")
+            }
+          }
+        }
+        // completeness fence before any commit: every pair landed with the
+        // source's exact byte length (the classic partial-copy failure)
+        pairs.foreach { case (s, d) =>
+          val want = sf.getFileStatus(new Path(s)).getLen
+          val got = try Some(df0.getFileStatus(new Path(d)).getLen)
+                    catch { case _: java.io.FileNotFoundException => None }
+          require(got.contains(want),
+            s"deep clone incomplete: $d has $got bytes, want $want")
+        }
+        stageManifests(target, refMap)
+        writeSmallFile(df0, new Path(target, MarkerName), cloneMarker)
+        writeManifest(df0, dst, target)
+        commitPointer(spark, df0, dst, next, expected = -1L)
+      }
+      next
     }
   }
 
@@ -2513,21 +2760,41 @@ object VersionedSnapshot {
       // a data ref held ONLY by retired versions is swept by their
       // retention's orphan gc mid-pass — drop vanished candidates here
       // (any still-live version's refs exist, by gcDataDirs' contract)
-      .filter(rel => f.exists(new Path(base, rel)))
+      .filter(rel => f.exists(resolveRef(base, rel)))
     // FILE-level match set (no dir truncation): a manifest ref matches if
-    // it IS a matched file (file ref) or contains one (dir/overlay ref) —
-    // the schema-drift fallback adds whole manifest rels, which the exact
-    // clause covers
+    // it IS a matched file (file ref) or contains one (dir/overlay ref).
+    // A scanned file URI maps back to its manifest ref by RESOLVED-PATH
+    // prefix against the candidate list. Both sides normalize to the
+    // URI's PATH component (scheme/authority spellings differ between a
+    // caller-supplied base and input_file_name's qualified URIs, and all
+    // of a table's refs live on its own filesystem) — never by string
+    // surgery on the URI, which cannot express an external (cloned) ref
+    // and mis-cuts when the source base itself contains `/data/`
+    // segments. The schema-drift fallback adds whole manifest rels,
+    // which the exact clause covers.
+    val candidateByPath: Seq[(String, String)] = candidateRels.map { rel =>
+      resolveRef(base, rel).toUri.getPath -> rel
+    }
     def relOf(uri: String): String = {
-      val idx = uri.lastIndexOf(s"/$DataDirName/")
-      uri.substring(idx + 1)
+      val norm = new Path(uri).toUri.getPath
+      candidateByPath.collectFirst {
+        case (p, rel) if norm == p => rel // file ref scanned directly
+        case (p, rel) if norm.startsWith(p + "/") =>
+          // dir/overlay ref: the matched FILE's ref, in the same
+          // namespace as the manifest/zones (ext-prefixed iff the dir is)
+          rel + norm.substring(p.length)
+      }.getOrElse {
+        // not under any candidate (cannot happen for rows of this scan) —
+        // keep the legacy local surgery as a conservative fallback
+        uri.substring(uri.lastIndexOf(s"/$DataDirName/") + 1)
+      }
     }
     val matchedFiles: Set[String] =
       if (candidateRels.isEmpty) Set.empty
       else try {
         import org.apache.spark.sql.functions.input_file_name
         spark.read
-          .parquet(candidateRels.map(r => new Path(base, r).toString): _*)
+          .parquet(candidateRels.map(r => resolveRef(base, r).toString): _*)
           .filter(matchCond())
           .select(input_file_name().as("__f")).distinct()
           .collect().map(r => relOf(r.getString(0))).toSet
@@ -2536,7 +2803,7 @@ object VersionedSnapshot {
         // between the filter above and the batched read): probe per ref
         case scala.util.control.NonFatal(_) =>
           candidateRels.filter { rel =>
-            val p = new Path(base, rel)
+            val p = resolveRef(base, rel)
             try f.exists(p) && {
               val d = spark.read.parquet(p.toString)
               keys.forall(d.columns.contains) &&
@@ -2556,12 +2823,13 @@ object VersionedSnapshot {
     def rewritten(rel: String): Option[String] = memo.getOrElseUpdate(rel, {
       if (!matched(rel)) None
       else try {
-        val d = spark.read.parquet(new Path(base, rel).toString)
+        val d = spark.read.parquet(resolveRef(base, rel).toString)
         val gName = allocName()
-        val comps = rel.split('/').toSeq
-        // "" for overlays; file refs rewrite into their bucket subdir
-        val tail = (if (isFileRef(rel)) comps.dropRight(1) else comps)
-          .drop(2).mkString("/")
+        // "" for overlays; file refs rewrite into their bucket subdir.
+        // refTail (not a fixed component drop) so an external ref from a
+        // shallow clone rewrites into the right LOCAL bucket subdir —
+        // purging a clone must never touch the source table's bytes.
+        val tail = refTail(rel)
         val newRel =
           if (tail.isEmpty) s"$DataDirName/$gName"
           else s"$DataDirName/$gName/$tail"
@@ -2572,7 +2840,7 @@ object VersionedSnapshot {
         Some(newRel)
       } catch { // ref swept mid-rewrite: every referencing version retired
         case scala.util.control.NonFatal(_)
-            if !f.exists(new Path(base, rel)) => None
+            if !f.exists(resolveRef(base, rel)) => None
       }
     })
 
@@ -3724,7 +3992,7 @@ object VersionedSnapshot {
                 Map.empty[Int, Seq[String]])
           }
         val touchedPaths = touchedRels
-          .map(rel => new Path(new Path(baseDir), rel).toString)
+          .map(rel => resolveRef(new Path(baseDir), rel).toString)
         val touchedTarget =
           if (entries.isEmpty) target // flat: no pruning available
           else if (touchedPaths.nonEmpty) spark.read.parquet(touchedPaths: _*)
@@ -3868,7 +4136,7 @@ object VersionedSnapshot {
           // overlay count — not file count per overlay — is the read cost
           withMicrosTimestamps(overlayRows.sparkSession) {
             overlayRows.coalesce(1).write.mode("overwrite")
-              .parquet(new Path(base, dRel).toString)
+              .parquet(resolveRef(base, dRel).toString)
           }
           haltPoint("staged-overlay")
           val target = versionPath(base, next)
