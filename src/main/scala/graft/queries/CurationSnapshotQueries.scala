@@ -759,6 +759,32 @@ private[graft] object CurationSnapshotQueries {
             col("lang")))
     }),
 
+    // ---- column mapping (r15): rename + drop as METADATA commits —
+    // physical parquet names frozen at birth, the per-version _COLMAP
+    // presents the logical view (the Delta column-mapping analog: a
+    // rename on a 100 TB table costs the same one small-file commit as
+    // on an empty one). The scenario proves the whole loop: rename both
+    // value columns, MERGE under the new names against files written
+    // under the old ones (O(delta), untouched buckets inherited), then
+    // drop a column view-level — the read must show exactly the renamed,
+    // merged, narrowed table ----
+    "snapshot_rename" -> ((s, dir) => {
+      val VS = graft.streaming.VersionedSnapshot
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = tempSnapshotBase("graft-cmap")
+      VS.mergeInto(base, docs, Seq("doc_id"), VS.UpdateMatched,
+        insertUnmatched = true, marker = "seed", retain = 10, numBuckets = 8)
+      VS.renameColumns(s, base, Map("n_chars" -> "length", "lang" -> "language"))
+      VS.mergeInto(base,
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), (col("n_chars") + 100).as("length"),
+            col("lang").as("language")),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = false,
+        marker = "post-rename-up", retain = 10)
+      VS.dropColumns(s, base, Seq("language"))
+      VS.read(s, base).get.select("doc_id", "length")
+    }),
+
     // ---- retention × purge interplay (r14): an aggressive retention
     // IMMEDIATELY after a purge retires the history the in-place pass
     // rewrote — but the purge commit's _PURGED retraction record rides

@@ -470,6 +470,15 @@ private[graft] object OraclesCorpusAnalytics {
         |       lang
         |FROM documents""".stripMargin,
 
+    // column-mapping loop in closed form: the rename is pure metadata, so
+    // the data is the seed with the post-rename merge applied, minus the
+    // dropped column, under the new names
+    "snapshot_rename" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN n_chars + 100
+        |            ELSE n_chars END AS length
+        |FROM documents""".stripMargin,
+
     // partial MERGE in closed form: every row survives (update-only
     // merge), the narrow key window takes the shifted n_chars
     "snapshot_merge_partial" ->

@@ -639,12 +639,19 @@ object VersionedSnapshot {
     * prune; the predicated [[changes]] overload reads both of its
     * versions through this. */
   private def readForKeysAt(spark: SparkSession, baseDir: String, v: Long,
-      keyRows: DataFrame): DataFrame = {
+      keyRows: DataFrame, viewV: Long = -1L): DataFrame = {
       import org.apache.spark.sql.functions.{collect_set, max => fMax, min => fMin}
       val base = new Path(baseDir)
       val f = fs(spark, baseDir)
       val vdir = versionPath(base, v)
-      val keyCols = keyRows.columns.toSeq
+      // the caller speaks the VIEW version's logical names (default: the
+      // read version's own); everything below — zone keys, bloom headers,
+      // file scans — speaks frozen physical names, so the probe frame is
+      // translated once here and the result aliased once at the end
+      val cm = colMapOf(spark, baseDir, if (viewV < 0) v else viewV)
+      val keyCols = keyRows.columns.toSeq.map(cm.toPhysical)
+      val keyRowsP = keyRows.select(keyRows.columns.toIndexedSeq.map(c =>
+        col(c).as(cm.toPhysical(c))): _*)
       // probe dtypes must match the TABLE's key dtypes before any hashing:
       // bucketOf and the bloom pair are xxhash64 over the TYPED columns,
       // so an IntegerType probe against a LongType table hashes
@@ -653,14 +660,14 @@ object VersionedSnapshot {
       // exactly this reason). One select; a no-op when dtypes agree. A
       // probe column the table doesn't have passes through untouched and
       // fails loudly downstream instead of mis-pruning here.
-      val tableSchema = versionFrame(spark, baseDir, v).schema
-      val aligned = keyRows.select(keyCols.map { c =>
+      val tableSchema = versionFrameRaw(spark, baseDir, v).schema
+      val aligned = keyRowsP.select(keyCols.map { c =>
         // case-insensitive lookup: Spark analysis resolves 'ID' against a
         // table column 'id' by default, so the dtype alignment must too —
         // a case-only mismatch would skip the cast and re-enter the
         // mis-hash/mis-prune path this alignment exists to close
         tableSchema.find(_.name.equalsIgnoreCase(c)) match {
-          case Some(fld) if fld.dataType != keyRows.schema(c).dataType =>
+          case Some(fld) if fld.dataType != keyRowsP.schema(c).dataType =>
             col(c).cast(fld.dataType).as(c)
           case _ => col(c)
         }
@@ -774,11 +781,11 @@ object VersionedSnapshot {
             // file, defeating the point of reading zero of them
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              versionFrame(spark, baseDir, v).schema)
+              tableSchema)
         case None => spark.read.parquet(vdir.toString)
       }
-      reconcileOverlays(spark, base, f, vdir, baseFrame)
-        .join(wanted, keyCols, "left_semi")
+      presentLogical(reconcileOverlays(spark, base, f, vdir, baseFrame)
+        .join(wanted, keyCols, "left_semi"), cm)
   }
 
   // ------------------------------------- value-range pruned reads (r9)
@@ -840,10 +847,15 @@ object VersionedSnapshot {
       .map(v => readWhereAt(spark, baseDir, v, ranges))
 
   private def readWhereAt(spark: SparkSession, baseDir: String, v: Long,
-      ranges: Map[String, (Option[Any], Option[Any])]): DataFrame = {
+      rangesL: Map[String, (Option[Any], Option[Any])],
+      viewV: Long = -1L): DataFrame = {
     val base = new Path(baseDir)
     val f = fs(spark, baseDir)
     val vdir = versionPath(base, v)
+    // predicate columns arrive in the view's logical names; the `_ZONES`
+    // stat headers below are physical — translate once, alias at the end
+    val cm = colMapOf(spark, baseDir, if (viewV < 0) v else viewV)
+    val ranges = rangesL.map { case (c, b) => cm.toPhysical(c) -> b }
     val baseFrame = parseBuckets(f, vdir) match {
       case Some((_, entries)) =>
         val zones = parseZones(f, vdir)
@@ -879,11 +891,13 @@ object VersionedSnapshot {
         else
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            versionFrame(spark, baseDir, v).schema)
+            versionFrameRaw(spark, baseDir, v).schema)
       case None => spark.read.parquet(vdir.toString)
     }
-    val reconciled = reconcileOverlays(spark, base, f, vdir, baseFrame)
-    ranges.foldLeft(reconciled) { case (df, (c, (lo, hi))) =>
+    val reconciled = presentLogical(
+      reconcileOverlays(spark, base, f, vdir, baseFrame), cm)
+    // the exact re-filter runs on the LOGICAL frame with the caller's names
+    rangesL.foldLeft(reconciled) { case (df, (c, (lo, hi))) =>
       (lo.map(l => col(c) >= lit(l)).toSeq ++ hi.map(h => col(c) <= lit(h)))
         .foldLeft(df)((d, cond) => d.filter(cond))
     }
@@ -908,9 +922,15 @@ object VersionedSnapshot {
   def changes(spark: SparkSession, baseDir: String, fromVersion: Long,
       toVersion: Long, keys: Seq[String]): Option[DataFrame] =
     for {
-      a <- readVersion(spark, baseDir, fromVersion)
+      _ <- readVersion(spark, baseDir, fromVersion)
       b <- readVersion(spark, baseDir, toVersion)
-    } yield diffFrames(a, b, keys)
+    } yield
+      // the FROM side is presented through the TO version's logical view
+      // (physical names are frozen, so the aliasing is exact): a feed
+      // spanning a rename boundary diffs instead of erroring, and `keys`
+      // is always interpreted in the newer view
+      diffFrames(versionFrameAs(spark, baseDir, fromVersion, toVersion),
+        b, keys)
 
   /** [[changes]] restricted by value-column range predicates — the CDF
     * read that no longer scans every in-bucket file when the predicate
@@ -931,13 +951,14 @@ object VersionedSnapshot {
       _ <- readVersion(spark, baseDir, fromVersion)
       _ <- readVersion(spark, baseDir, toVersion)
     } yield {
-      val candA = readWhereAt(spark, baseDir, fromVersion, ranges)
+      val candA = readWhereAt(spark, baseDir, fromVersion, ranges,
+          viewV = toVersion)
         .select(keys.map(col): _*)
       val candB = readWhereAt(spark, baseDir, toVersion, ranges)
         .select(keys.map(col): _*)
       val cand = candA.unionByName(candB).distinct()
       diffFrames(
-        readForKeysAt(spark, baseDir, fromVersion, cand),
+        readForKeysAt(spark, baseDir, fromVersion, cand, viewV = toVersion),
         readForKeysAt(spark, baseDir, toVersion, cand), keys)
     }
 
@@ -961,9 +982,11 @@ object VersionedSnapshot {
   def changesPrePost(spark: SparkSession, baseDir: String, fromVersion: Long,
       toVersion: Long, keys: Seq[String]): Option[DataFrame] =
     for {
-      a <- readVersion(spark, baseDir, fromVersion)
+      _ <- readVersion(spark, baseDir, fromVersion)
       b <- readVersion(spark, baseDir, toVersion)
     } yield {
+      // from-side through the TO view — see [[changes]]
+      val a = versionFrameAs(spark, baseDir, fromVersion, toVersion)
       val nonKeys = b.columns.toSeq.filterNot(keys.contains)
       val aSide = a.select(
         (keys.map(col) :+ lit(true).as("__in_a")) ++
@@ -1011,9 +1034,24 @@ object VersionedSnapshot {
             .otherwise(col(s"__b_$c")).as(c)): _*)
   }
 
-  /** The committed frame of one version: its bucket (or flat) files with
-    * any merge-on-read overlays reconciled. */
-  private def versionFrame(spark: SparkSession, baseDir: String, v: Long): DataFrame = {
+  /** The committed frame of one version in its own logical view: its
+    * bucket (or flat) files with any merge-on-read overlays reconciled,
+    * presented through the version's `_COLMAP`. */
+  private def versionFrame(spark: SparkSession, baseDir: String, v: Long): DataFrame =
+    versionFrameAs(spark, baseDir, v, v)
+
+  /** The version's frame presented through ANOTHER retained version's
+    * logical view. Physical names are frozen at column birth, so any
+    * version's files alias exactly under any other version's colmap —
+    * this is what lets [[changes]] diff across a rename boundary instead
+    * of erroring on mismatched column names. */
+  private def versionFrameAs(spark: SparkSession, baseDir: String, v: Long,
+      viewV: Long): DataFrame =
+    presentLogical(versionFrameRaw(spark, baseDir, v),
+      colMapOf(spark, baseDir, viewV))
+
+  /** The version's frame under PHYSICAL (at-rest) column names. */
+  private def versionFrameRaw(spark: SparkSession, baseDir: String, v: Long): DataFrame = {
     val base = new Path(baseDir)
     val f = fs(spark, baseDir)
     val vdir = versionPath(base, v)
@@ -1172,6 +1210,75 @@ object VersionedSnapshot {
       parseDeltas(fs(spark, baseDir), versionPath(new Path(baseDir), v))
         .map(_._2).getOrElse(Nil)
     }
+
+  // ------------------------------------- logical column mapping (_COLMAP)
+  // Rename/drop a column on a 100 TB table as ONE metadata commit — the
+  // Delta column-mapping idea reduced to this format's plain-text +
+  // pointer machinery. The invariant that makes it safe: a column's
+  // PHYSICAL (parquet) name is frozen at birth and every data file of a
+  // table generation carries the full physical column set, so renames
+  // never touch data, every at-rest artifact (data files, `_ZONES` /
+  // `_BLOOMS` headers and `_DELTAS` keys, `_PURGED` sidecars) speaks
+  // physical names, and every in-memory frame a caller sees speaks the
+  // version's LOGICAL view. Drops are view-level (the bytes remain until
+  // the next [[compact]], which also NORMALIZES physical := logical —
+  // exactly Delta's "DROP COLUMN is metadata; REORG TABLE purges" split).
+
+  private val ColMapName = "_COLMAP"
+
+  /** `renames`: physical → logical, only where they differ; `dropped`:
+    * physical names removed from the logical view (bytes pending a
+    * reifying compact). */
+  private final case class ColMap(renames: Map[String, String],
+      dropped: Set[String]) {
+    private val inverse: Map[String, String] = renames.map(_.swap)
+    def toLogical(phys: String): String = renames.getOrElse(phys, phys)
+    def toPhysical(logical: String): String = inverse.getOrElse(logical, logical)
+    def isIdentity: Boolean = renames.isEmpty && dropped.isEmpty
+  }
+  private val IdentityColMap = ColMap(Map.empty, Set.empty)
+
+  /** Malformed content THROWS (unlike the pruning sidecars, which degrade
+    * to never-prune): a misparsed colmap would silently expose physical
+    * column names — wrong answers, not just slower ones. Missing file =
+    * identity, so every pre-colmap version reads unchanged. */
+  private def parseColMap(f: FileSystem, vdir: Path): ColMap = {
+    val p = new Path(vdir, ColMapName)
+    if (!f.exists(p)) IdentityColMap
+    else {
+      val lines = readSmallFile(f, p).split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+      require(lines.nonEmpty && lines.head.startsWith("map="),
+        s"corrupt $ColMapName in $vdir")
+      val renames = lines.head.stripPrefix("map=").split(',').toSeq
+        .filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf(':')
+          require(i > 0 && i < kv.length - 1, s"corrupt $ColMapName entry '$kv' in $vdir")
+          kv.substring(0, i) -> kv.substring(i + 1)
+        }.toMap
+      val dropped = lines.find(_.startsWith("dropped="))
+        .map(_.stripPrefix("dropped=").split(',').toSeq.filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String])
+      ColMap(renames, dropped)
+    }
+  }
+
+  private def writeColMap(f: FileSystem, target: Path, cm: ColMap): Unit =
+    if (!cm.isIdentity)
+      writeSmallFile(f, new Path(target, ColMapName), Seq(
+        "map=" + cm.renames.toSeq.sortBy(_._1)
+          .map { case (p, l) => s"$p:$l" }.mkString(","),
+        "dropped=" + cm.dropped.toSeq.sorted.mkString(",")).mkString("\n"))
+
+  private def colMapOf(spark: SparkSession, baseDir: String, v: Long): ColMap =
+    parseColMap(fs(spark, baseDir), versionPath(new Path(baseDir), v))
+
+  /** A PHYSICAL frame in `cm`'s logical view: dropped physical columns
+    * vanish, renamed ones alias; internal columns (never in a colmap)
+    * pass through. One projection — free under codegen. */
+  private def presentLogical(df: DataFrame, cm: ColMap): DataFrame =
+    if (cm.isIdentity) df
+    else df.select(df.columns.toIndexedSeq.filterNot(cm.dropped.contains)
+      .map(c => col(c).as(cm.toLogical(c))): _*)
 
   // --------------------------------------------- per-file zonemaps (_ZONES)
   // The data-skipping layer production table formats keep in their file
@@ -1907,10 +2014,11 @@ object VersionedSnapshot {
           val next = prepareNext(f, base, current)
           republishMeta(spark, f, base, next, s"$marker:v$version",
             expected = current) { target =>
-            Seq(BucketsName, DeltasName, ZonesName, BloomsName).foreach { name =>
-              val p = new Path(src, name)
-              if (f.exists(p)) writeSmallFile(f, new Path(target, name), readSmallFile(f, p))
-            }
+            Seq(BucketsName, DeltasName, ZonesName, BloomsName, ColMapName)
+              .foreach { name =>
+                val p = new Path(src, name)
+                if (f.exists(p)) writeSmallFile(f, new Path(target, name), readSmallFile(f, p))
+              }
           }
           applyRetention(f, base, current, next, retain)
           Some(next)
@@ -2026,6 +2134,10 @@ object VersionedSnapshot {
         writeBlooms(df0, target, bkeys,
           bm.toSeq.map { case (rel, b) => km(rel) -> b })
       }
+      // the logical column view travels with the clone (no refs inside)
+      val cmP = new Path(srcVdir, ColMapName)
+      if (sf.exists(cmP))
+        writeSmallFile(df0, new Path(target, ColMapName), readSmallFile(sf, cmP))
     }
 
     if (!deep) {
@@ -2121,6 +2233,99 @@ object VersionedSnapshot {
       }
       next
     }
+  }
+
+  /** Rename columns as ONE metadata commit — no data rewritten, on a
+    * 100 TB table exactly as cheap as on an empty one (the Delta
+    * column-mapping `RENAME COLUMN`). A column's PHYSICAL parquet name is
+    * frozen at birth; this commit only changes the per-version `_COLMAP`
+    * that presents the logical view, so:
+    *
+    *  - every retained version keeps ITS OWN names under time travel
+    *    (reading v_old shows the old names);
+    *  - [[changes]]/CDF across the rename boundary keeps working — the
+    *    from-side is presented through the to-side's view;
+    *  - merge keys, zone pruning, blooms and purge all keep working (they
+    *    speak physical names internally, translated at the API boundary);
+    *  - the next [[compact]] NORMALIZES the layout (physical := logical).
+    *
+    * `renames` maps current logical names to new ones; swaps and chains
+    * are applied simultaneously over the current view. Key columns may be
+    * renamed freely — later calls just pass the new names. Retention is
+    * deliberately not applied (a metadata commit must never age out
+    * history). Returns the committed version. */
+  def renameColumns(spark: SparkSession, baseDir: String,
+      renames: Map[String, String], marker: String = "rename-columns"): Long = {
+    require(renames.nonEmpty, "renameColumns needs at least one mapping")
+    val basis = currentVersion(spark, baseDir).getOrElse(
+      sys.error(s"$baseDir has no committed version"))
+    val cm0 = colMapOf(spark, baseDir, basis)
+    val logical = versionFrame(spark, baseDir, basis).columns.toSeq
+    renames.keys.foreach(k => require(logical.contains(k),
+      s"unknown column $k (have ${logical.mkString(", ")})"))
+    renames.values.foreach { n =>
+      require(n.nonEmpty && !n.exists(ch => ch == ':' || ch == ',' || ch == '\n'),
+        s"invalid column name '$n'")
+      require(!n.startsWith("__"), s"column name '$n' is reserved")
+    }
+    val newLogical = logical.map(c => renames.getOrElse(c, c))
+    require(newLogical.distinct.size == newLogical.size,
+      s"renames collide: resulting columns ${newLogical.mkString(", ")}")
+    val live = versionFrameRaw(spark, baseDir, basis).columns.toSeq
+      .filterNot(cm0.dropped.contains)
+    val newRenames = live.flatMap { ph =>
+      val l1 = renames.getOrElse(cm0.toLogical(ph), cm0.toLogical(ph))
+      if (l1 != ph) Some(ph -> l1) else None
+    }.toMap
+    commitColMap(spark, baseDir, basis, ColMap(newRenames, cm0.dropped), marker)
+  }
+
+  /** Drop columns as ONE metadata commit — the view-level half of the
+    * Delta `DROP COLUMN` contract. The columns vanish from every read of
+    * this and later versions, but their BYTES remain in the data files
+    * until the next [[compact]] physically reifies the drop — so for a
+    * compliance-grade erasure of the column's values, follow with a
+    * compact (the row-level analog of [[purgeKeys]]'s in-place rewrite).
+    * Dropping a column frees its LOGICAL name immediately, but its
+    * physical slot stays occupied until that compact (re-adding a
+    * same-named column before then is refused loudly). Returns the
+    * committed version. */
+  def dropColumns(spark: SparkSession, baseDir: String, cols: Seq[String],
+      marker: String = "drop-columns"): Long = {
+    require(cols.nonEmpty, "dropColumns needs at least one column")
+    val basis = currentVersion(spark, baseDir).getOrElse(
+      sys.error(s"$baseDir has no committed version"))
+    val cm0 = colMapOf(spark, baseDir, basis)
+    val logical = versionFrame(spark, baseDir, basis).columns.toSeq
+    cols.foreach(c => require(logical.contains(c),
+      s"unknown column $c (have ${logical.mkString(", ")})"))
+    require((logical.toSet -- cols).nonEmpty, "cannot drop every column")
+    val physDropped = cols.map(cm0.toPhysical).toSet
+    commitColMap(spark, baseDir, basis,
+      ColMap(cm0.renames.filterNot { case (ph, _) => physDropped.contains(ph) },
+        cm0.dropped ++ physDropped), marker)
+  }
+
+  /** Shared metadata commit of a new `_COLMAP`: every data manifest and
+    * pruning sidecar of the basis carries verbatim (nothing about the
+    * FILES changed), CAS-pinned to the basis. */
+  private def commitColMap(spark: SparkSession, baseDir: String, basis: Long,
+      newCm: ColMap, marker: String): Long = {
+    val f = fs(spark, baseDir)
+    val base = new Path(baseDir)
+    val src = versionPath(base, basis)
+    require(parseBuckets(f, src).isDefined,
+      "column mapping requires the bucketed layout — one mergeInto migrates " +
+        "a flat table")
+    val next = prepareNext(f, base, basis)
+    republishMeta(spark, f, base, next, marker, expected = basis) { target =>
+      Seq(BucketsName, DeltasName, ZonesName, BloomsName).foreach { name =>
+        val p = new Path(src, name)
+        if (f.exists(p)) writeSmallFile(f, new Path(target, name), readSmallFile(f, p))
+      }
+      writeColMap(f, target, newCm)
+    }
+    next
   }
 
   /** Right-to-be-forgotten: physically remove every row matching
@@ -2319,9 +2524,12 @@ object VersionedSnapshot {
     // without this a downstream consumer that already ingested the
     // subject would hold it forever.
     def writePurged(target: Path): Unit = {
+      // retraction sidecars are at-rest artifacts: PHYSICAL key names,
+      // dtypes from the logical view (renames never change a type)
+      val cmB = colMapOf(spark, baseDir, basis)
       val curSchema = versionFrame(spark, baseDir, basis).schema
       val keySchema = org.apache.spark.sql.types.StructType(
-        keys.map(k => curSchema(k)))
+        keys.map(k => curSchema(k).copy(name = cmB.toPhysical(k))))
       import scala.jdk.CollectionConverters._
       withMicrosTimestamps(spark) {
         spark.createDataFrame(
@@ -2367,10 +2575,11 @@ object VersionedSnapshot {
       val next = prepareNext(f, base, basis)
       republishMeta(spark, f, base, next, outMarker, expected = basis,
           heldLockToken = heldLockToken) { target =>
-        Seq(BucketsName, DeltasName, ZonesName, BloomsName).foreach { name =>
-          val p = new Path(src, name)
-          if (f.exists(p)) writeSmallFile(f, new Path(target, name), readSmallFile(f, p))
-        }
+        Seq(BucketsName, DeltasName, ZonesName, BloomsName, ColMapName)
+          .foreach { name =>
+            val p = new Path(src, name)
+            if (f.exists(p)) writeSmallFile(f, new Path(target, name), readSmallFile(f, p))
+          }
         writePurged(target)
       }
     }
@@ -2412,7 +2621,8 @@ object VersionedSnapshot {
     val f = fs(spark, baseDir)
     val p = new Path(versionPath(new Path(baseDir), version), PurgedName)
     if (currentVersion(spark, baseDir).exists(version <= _) && f.exists(p))
-      Some(spark.read.parquet(p.toString))
+      Some(presentLogical(spark.read.parquet(p.toString),
+        colMapOf(spark, baseDir, version)))
     else None
   }
 
@@ -2591,12 +2801,16 @@ object VersionedSnapshot {
     // blindly unioning it would fail the whole read with an unkeyed
     // schema error)
     val keyCols = keys.map(k => k -> schema(k).dataType)
+    // sidecars store frozen PHYSICAL key names; the feed speaks the TO
+    // version's logical view — alias each sidecar into it before the
+    // name/dtype projection below
+    val cmView = colMapOf(spark, baseDir, math.min(toVersion, cur))
     val purged = ((fromVersion + 1) to math.min(toVersion, cur))
       .flatMap { v =>
         val p = new Path(versionPath(new Path(baseDir), v), PurgedName)
         if (!f.exists(p)) None
         else {
-          val sidecar = spark.read.parquet(p.toString)
+          val sidecar = presentLogical(spark.read.parquet(p.toString), cmView)
           val missing = keys.filterNot(sidecar.columns.contains)
           if (missing.nonEmpty)
             throw new IllegalStateException(
@@ -2658,11 +2872,17 @@ object VersionedSnapshot {
       case None => return 0
     }
 
+    // subjects arrive in the CURRENT version's logical names; every probe
+    // and rewrite below reads raw files (physical). Physical names are
+    // frozen, so ONE translation serves every retained version.
+    val pcm = colMapOf(spark, baseDir, cur0)
+    val pKeys = keys.map(pcm.toPhysical)
+
     def matchCond(): Column =
-      if (keys.size == 1)
-        coalesce(col(keys.head).isin(keyRows.map(_.head): _*), lit(false))
+      if (pKeys.size == 1)
+        coalesce(col(pKeys.head).isin(keyRows.map(_.head): _*), lit(false))
       else keyRows.map(t =>
-        keys.zip(t).map { case (k, v) => col(k) <=> lit(v) }.reduce(_ && _))
+        pKeys.zip(t).map { case (k, v) => col(k) <=> lit(v) }.reduce(_ && _))
         .reduce(_ || _)
 
     // COMMITTED versions only (<= the pointer at listing): a concurrent
@@ -2695,7 +2915,7 @@ object VersionedSnapshot {
       try {
         if (parseBuckets(f, vdir).isEmpty && !retired(vdir)) {
           val d = spark.read.parquet(vdir.toString)
-          if (keys.forall(d.columns.contains) &&
+          if (pKeys.forall(d.columns.contains) &&
               d.filter(matchCond()).limit(1).count() > 0)
             throw new IllegalStateException(
               s"purge requires the bucketed layout, but flat version " +
@@ -2711,7 +2931,7 @@ object VersionedSnapshot {
     // with the TABLE's key dtypes so write- and probe-side hashing agree
     val curSchema = read(spark, baseDir).get.schema
     val keySchema = org.apache.spark.sql.types.StructType(
-      keys.map(k => curSchema(k)))
+      keys.map(k => curSchema(k).copy(name = pcm.toPhysical(k))))
     import scala.jdk.CollectionConverters._
     val keysDf = spark.createDataFrame(
       keyRows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, keySchema)
@@ -2720,7 +2940,7 @@ object VersionedSnapshot {
        catch { case scala.util.control.NonFatal(_) if retired(vd) => None })
         .map(_._1)).toSet
     val hitBuckets: Map[Int, Set[Int]] = nbs.map { nb =>
-      nb -> keysDf.select(bucketOf(keys, nb).as("__b"))
+      nb -> keysDf.select(bucketOf(pKeys, nb).as("__b"))
         .distinct().collect().map(_.getInt(0)).toSet
     }.toMap
 
@@ -2806,7 +3026,7 @@ object VersionedSnapshot {
             val p = resolveRef(base, rel)
             try f.exists(p) && {
               val d = spark.read.parquet(p.toString)
-              keys.forall(d.columns.contains) &&
+              pKeys.forall(d.columns.contains) &&
                 d.filter(matchCond()).limit(1).count() > 0
             } catch { // swept mid-probe: every holder is retired
               case scala.util.control.NonFatal(_) if !f.exists(p) => false
@@ -3419,7 +3639,8 @@ object VersionedSnapshot {
       clusterBy: Seq[String] = Nil, maxRecordsPerFile: Long = 0L,
       keyBlooms: Boolean = false,
       carryFiles: Map[Int, Seq[String]] = Map.empty,
-      clusterExprs: Seq[Column] = Nil): Long = {
+      clusterExprs: Seq[Column] = Nil,
+      cm: ColMap = IdentityColMap): Long = {
     require(retain >= 1, "retain must keep at least the current version")
     require(numBuckets >= 1, "numBuckets must be >= 1")
     require(!df.columns.contains(BucketCol), s"column name $BucketCol is reserved")
@@ -3463,10 +3684,32 @@ object VersionedSnapshot {
       val clusterCols: Seq[Column] =
         if (clusterExprs.nonEmpty) clusterExprs
         else (if (clusterBy.nonEmpty) clusterBy else keys).map(col)
-      val writer = df.withColumn(BucketCol, bucketOf(keys, numBuckets))
-        .repartition(col(BucketCol))
-        .sortWithinPartitions(col(BucketCol) +: clusterCols: _*)
-        .write.mode("overwrite").partitionBy(BucketCol)
+      // bucketing and clustering run in LOGICAL space (hashes and sorts
+      // are over values, and the caller's cluster exprs reference logical
+      // names); the final projection renames to the frozen PHYSICAL
+      // at-rest names and pads dropped columns as typed nulls — every
+      // file of every generation carries the full physical column set,
+      // which is what keeps multi-path reads schema-uniform
+      val pKeys = keys.map(cm.toPhysical)
+      val toPhysical: DataFrame => DataFrame = d =>
+        if (cm.isIdentity) d
+        else {
+          val renamed = d.columns.toIndexedSeq.map(c => col(c).as(cm.toPhysical(c)))
+          val padded =
+            if (cm.dropped.isEmpty || current < 0) Nil
+            else {
+              val raw = versionFrameRaw(d.sparkSession, baseDir, current).schema
+              cm.dropped.toSeq.sorted.flatMap(dc =>
+                raw.fields.find(_.name == dc)
+                  .map(fl => lit(null).cast(fl.dataType).as(dc)))
+            }
+          d.select(renamed ++ padded: _*)
+        }
+      val physDf = toPhysical(
+        df.withColumn(BucketCol, bucketOf(keys, numBuckets))
+          .repartition(col(BucketCol))
+          .sortWithinPartitions(col(BucketCol) +: clusterCols: _*))
+      val writer = physDf.write.mode("overwrite").partitionBy(BucketCol)
       withMicrosTimestamps(df.sparkSession) {
         (if (maxRecordsPerFile > 0L)
            writer.option("maxRecordsPerFile", maxRecordsPerFile)
@@ -3497,10 +3740,13 @@ object VersionedSnapshot {
       }
       if (manifest.isEmpty) {
         // nothing anywhere (e.g. a full delete): flat empty dir keeps schema
+        // (the PHYSICAL schema — the colmap still presents the logical view)
         f.delete(gDir, true)
         withMicrosTimestamps(df.sparkSession) {
-          df.limit(0).write.mode("overwrite").parquet(target.toString)
+          physDf.drop(BucketCol).limit(0)
+            .write.mode("overwrite").parquet(target.toString)
         }
+        writeColMap(f, target, cm)
       } else {
         f.mkdirs(target)
         val lines = s"buckets=$numBuckets" +:
@@ -3523,10 +3769,15 @@ object VersionedSnapshot {
           .filterNot(_ == BucketCol)
           .take(math.max(0, MaxStatsCols - keys.size))
         val vtags = vcols.map(c => zoneTag(df.schema(c).dataType))
-        val statCols = keys ++ vcols
+        // sidecar headers and stats jobs speak the at-rest PHYSICAL names
+        // (the written files' own); tags/types are name-independent
+        val pVcols = vcols.map(cm.toPhysical)
+        val statCols = pKeys ++ pVcols
+        val physSchema = org.apache.spark.sql.types.StructType(
+          physDf.schema.fields.filterNot(_.name == BucketCol))
         val fresh =
           if (written.isEmpty) Nil
-          else freshZoneStats(spark, gDir, gName, statCols, df.schema)
+          else freshZoneStats(spark, gDir, gName, statCols, physSchema)
         // a previous version's per-FILE stats entry carries iff its file is
         // still referenced: inside a wholly-inherited dir ref, named by an
         // inherited file ref (an earlier partial merge), or named by this
@@ -3540,8 +3791,8 @@ object VersionedSnapshot {
         val carried: Seq[(String, Long, Seq[Option[(String, String)]])] =
           (if (current < 0) None
            else parseZones(f, versionPath(base, current))) match {
-            case Some(z) if z.keys == keys && z.tags == tags &&
-                z.vcols == vcols && z.vtags == vtags =>
+            case Some(z) if z.keys == pKeys && z.tags == tags &&
+                z.vcols == pVcols && z.vtags == vtags =>
               z.entries.toSeq.collect {
                 case (rel, (n, ranges)) if stillReferenced(rel) =>
                   (rel, n, ranges)
@@ -3550,15 +3801,15 @@ object VersionedSnapshot {
             // KEY prefix of matching entries and pad the value columns with
             // no-stats — key pruning keeps working, value pruning starts
             // fresh from this publish's files
-            case Some(z) if z.keys == keys && z.tags == tags =>
+            case Some(z) if z.keys == pKeys && z.tags == tags =>
               z.entries.toSeq.collect {
                 case (rel, (n, ranges)) if stillReferenced(rel) =>
                   (rel, n, ranges.take(keys.size).padTo(statCols.size, None))
               }
             case _ => Nil
           }
-        val zLines = Seq(s"keys=${keys.mkString(",")}", s"tags=${tags.mkString(",")}",
-          s"cols=${vcols.mkString(",")}", s"ctags=${vtags.mkString(",")}") ++
+        val zLines = Seq(s"keys=${pKeys.mkString(",")}", s"tags=${tags.mkString(",")}",
+          s"cols=${pVcols.mkString(",")}", s"ctags=${vtags.mkString(",")}") ++
           (carried ++ fresh).sortBy(_._1).map { case (rel, n, rs) => zoneLine(rel, n, rs) }
         writeSmallFile(f, new Path(target, ZonesName), zLines.mkString("\n"))
         // key blooms: sticky once enabled (a bloom-indexed table keeps its
@@ -3566,16 +3817,17 @@ object VersionedSnapshot {
         // files this publish wrote, carried for inherited files
         val prevBlooms =
           if (current < 0) None
-          else parseBlooms(f, versionPath(base, current)).filter(_._1 == keys)
+          else parseBlooms(f, versionPath(base, current)).filter(_._1 == pKeys)
         if (keyBlooms || prevBlooms.isDefined) {
           val freshB =
             if (written.isEmpty) Nil
-            else freshBloomStats(spark, gDir, gName, keys)
+            else freshBloomStats(spark, gDir, gName, pKeys)
           val carriedB = prevBlooms.map(_._2.toSeq.filter { case (rel, _) =>
             stillReferenced(rel)
           }).getOrElse(Nil)
-          writeBlooms(f, target, keys, carriedB ++ freshB)
+          writeBlooms(f, target, pKeys, carriedB ++ freshB)
         }
+        writeColMap(f, target, cm)
       }
       writeSmallFile(f, new Path(target, MarkerName), marker)
       writeManifest(f, base, target)
@@ -3649,12 +3901,24 @@ object VersionedSnapshot {
         // new count re-buckets atomically — readers flip with the pointer,
         // and every later merge adopts the committed count automatically
         // (mergeInto always reads the manifest's bucket count).
+        //
+        // Column-mapping NORMALIZATION rides the same full rewrite: the
+        // new generation is written under the LOGICAL names (physical :=
+        // logical, identity colmap, no sidecar) and dropped columns'
+        // bytes are physically reified away — the REORG half of the
+        // rename/drop-as-metadata contract. The sticky-bloom contract is
+        // preserved across it by probing the basis sidecar under the
+        // basis's PHYSICAL key names.
+        val basisCm = colMapOf(spark, baseDir, basis)
+        val stickyBlooms = parseBlooms(fs(spark, baseDir),
+            versionPath(new Path(baseDir), basis))
+          .exists(_._1 == keys.map(basisCm.toPhysical))
         publishBucketed(current, baseDir, marker, keys,
           newNumBuckets.getOrElse(nb),
           inherited = Map.empty, retain = retain, expected = basis,
           valueStatsCols = valueStatsCols,
           clusterBy = clusterBy, maxRecordsPerFile = maxRecordsPerFile,
-          keyBlooms = keyBlooms, clusterExprs = zorderExprs)
+          keyBlooms = keyBlooms || stickyBlooms, clusterExprs = zorderExprs)
       }
       }
     }
@@ -3819,6 +4083,11 @@ object VersionedSnapshot {
       case Some(basis) => withBasis(spark, baseDir, basis) {
         val target0 = versionFrame(spark, baseDir, basis)
         val basisDir = versionPath(new Path(baseDir), basis)
+        // callers and frames speak the basis version's LOGICAL names; the
+        // `_ZONES` headers and raw file scans below speak frozen physical
+        // names — translate at exactly those two boundaries
+        val cm = colMapOf(spark, baseDir, basis)
+        val pKeys = keys.map(cm.toPhysical)
         // pending merge-on-read overlays would be silently dropped by
         // bucket inheritance (overlay rows live outside the bucket files)
         // — fold them into fresh buckets first, then re-run against the
@@ -3858,6 +4127,21 @@ object VersionedSnapshot {
           (tT.keySet & sT.keySet).foreach { c =>
             require(tT(c) == sT(c),
               s"column $c type drift: snapshot ${tT(c)} vs source ${sT(c)}")
+          }
+          // a NEW logical column is born with physical name == its own —
+          // which must not collide with a physical name the colmap still
+          // occupies (a renamed-away original, or a dropped column whose
+          // bytes await a reifying compact): the multi-generation read
+          // would silently conflate the two
+          if (!cm.isIdentity) {
+            val rawPhysical = versionFrameRaw(spark, baseDir, basis)
+              .columns.toSet
+            (sT.keySet -- tT.keySet).foreach { c =>
+              require(!rawPhysical.contains(c),
+                s"cannot add column $c: its physical name is still " +
+                  "occupied by a renamed or dropped column — run compact " +
+                  "to normalize the layout first")
+            }
           }
         }
         // unified frame pair: snapshot columns first, new source columns
@@ -3927,7 +4211,7 @@ object VersionedSnapshot {
             deleteUnmatchedBySource.isDefined ||
             updateUnmatchedBySource.isDefined) None
           else parseZones(fs(spark, baseDir), basisDir)
-            .filter(z => z.keys == keys && z.tags == srcTags)
+            .filter(z => z.keys == pKeys && z.tags == srcTags)
         val srcRange: Map[Int, Seq[Option[(String, String)]]] = bRows.map { r =>
           r.getAs[Int]("__b") -> keys.zip(srcTags).map { case (k, tag) =>
             if (tag == "x") None
@@ -3995,7 +4279,8 @@ object VersionedSnapshot {
           .map(rel => resolveRef(new Path(baseDir), rel).toString)
         val touchedTarget =
           if (entries.isEmpty) target // flat: no pruning available
-          else if (touchedPaths.nonEmpty) spark.read.parquet(touchedPaths: _*)
+          else if (touchedPaths.nonEmpty)
+            presentLogical(spark.read.parquet(touchedPaths: _*), cm)
           else target.limit(0)
         val unmatchedTarget = touchedTarget
           .join(src.select(keys.map(col): _*), keys, "left_anti")
@@ -4039,7 +4324,7 @@ object VersionedSnapshot {
         publishBucketed(untouched.unionByName(fromSource), baseDir, marker,
           keys, nb, inherited = entries -- touched, retain = retain,
           expected = basis, valueStatsCols = valueStatsCols,
-          keyBlooms = keyBlooms, carryFiles = carry)
+          keyBlooms = keyBlooms, carryFiles = carry, cm = cm)
       }
     }
   }
@@ -4091,6 +4376,8 @@ object VersionedSnapshot {
         // basis pinning (see mergeInto): one pointer read serves the
         // schema frame, the carried manifests, and the commit CAS
         val current = versionFrame(spark, baseDir, cur)
+        val cm = colMapOf(spark, baseDir, cur)
+        val pKeys = keys.map(cm.toPhysical)
         val f = fs(spark, baseDir)
         val base = new Path(baseDir)
         val curDir = versionPath(base, cur)
@@ -4123,11 +4410,25 @@ object VersionedSnapshot {
         }
         val priorOverlays = parseDeltas(f, curDir) match {
           case Some((pk, dirs)) =>
-            require(pk == keys,
+            require(pk == pKeys,
               s"overlay keys $pk do not match this delta's keys $keys")
             dirs
           case None => Nil
         }
+        // overlay files speak physical names and carry the full physical
+        // set (dropped columns pad as typed nulls) — reconciliation unions
+        // overlay epochs and the bucket files under ONE schema
+        val overlayRowsP =
+          if (cm.isIdentity) overlayRows
+          else {
+            val renamed = overlayRows.columns.toIndexedSeq.map(c =>
+              col(c).as(cm.toPhysical(c)))
+            val raw = versionFrameRaw(spark, baseDir, cur).schema
+            val padded = cm.dropped.toSeq.sorted.flatMap(dc =>
+              raw.fields.find(_.name == dc)
+                .map(fl => lit(null).cast(fl.dataType).as(dc)))
+            overlayRows.select(renamed ++ padded: _*)
+          }
         val next = prepareNext(f, base, cur)
         guardStaged(f, base, next) {
           val dName = "d" + "%05d".formatLocal(java.util.Locale.ROOT, next)
@@ -4135,7 +4436,7 @@ object VersionedSnapshot {
           // one file per overlay: a delta is batch-sized by definition, and
           // overlay count — not file count per overlay — is the read cost
           withMicrosTimestamps(overlayRows.sparkSession) {
-            overlayRows.coalesce(1).write.mode("overwrite")
+            overlayRowsP.coalesce(1).write.mode("overwrite")
               .parquet(resolveRef(base, dRel).toString)
           }
           haltPoint("staged-overlay")
@@ -4156,7 +4457,8 @@ object VersionedSnapshot {
               writeSmallFile(f, new Path(target, BloomsName), readSmallFile(f, bp))
           }
           writeSmallFile(f, new Path(target, DeltasName),
-            (s"keys=${keys.mkString(",")}" +: (priorOverlays :+ dRel)).mkString("\n"))
+            (s"keys=${pKeys.mkString(",")}" +: (priorOverlays :+ dRel)).mkString("\n"))
+          writeColMap(f, target, cm)
           writeSmallFile(f, new Path(target, MarkerName), marker)
           writeManifest(f, base, target)
           commitPointer(spark, f, base, next, expected = cur)
