@@ -1774,9 +1774,17 @@ object VersionedSnapshot {
     * version dirs were just pruned) and after retention (frees data only
     * aged-out versions referenced). Safe under the single-writer
     * assumption: nothing is mid-staging at either point. */
-  private def gcDataDirs(f: FileSystem, base: Path): Unit = {
+  private def gcDataDirs(f: FileSystem, base: Path): Unit =
+    orphanDataDirs(f, base).foreach(p =>
+      try { f.delete(p, true); () } catch { case _: Throwable => () })
+
+  /** The data dirs the orphan sweep would reclaim RIGHT NOW — shared by
+    * [[gcDataDirs]] (publish-time sweep) and the explicit [[vacuum]]
+    * face. Empty on a partial manifest scan (deleting on incomplete
+    * knowledge could sweep live generations — defer instead). */
+  private def orphanDataDirs(f: FileSystem, base: Path): Seq[Path] = {
     val dataRoot = new Path(base, DataDirName)
-    if (!f.exists(dataRoot)) return
+    if (!f.exists(dataRoot)) return Nil
     // a LIVE claim's staging (data/g<n> or data/d<n>, named by the
     // claimed version) is a concurrent writer mid-publish, not garbage
     val now = System.currentTimeMillis()
@@ -1809,7 +1817,7 @@ object VersionedSnapshot {
       .flatMap(st => safeScan(parseDeltas(f, st.getPath)).toSeq)
       .flatMap { case (_, overlays) =>
         overlays.filterNot(isExternalRef).map(_.split('/')(1)) }).toSet
-    f.listStatus(dataRoot).foreach { st =>
+    f.listStatus(dataRoot).toSeq.flatMap { st =>
       val name = st.getPath.getName
       val claimedLive = name.drop(1).toLongOption.exists(liveClaims.contains)
       // age horizon (Iceberg/Delta orphan-cleanup discipline): our claim
@@ -1823,8 +1831,37 @@ object VersionedSnapshot {
       // alone decide, the pre-horizon behavior.)
       val young = now - st.getModificationTime <= staleMs
       if (scanComplete && !referenced.contains(name) && !claimedLive && !young)
-        f.delete(st.getPath, true)
+        Some(st.getPath)
+      else None
     }
+  }
+
+  /** Explicit orphan reclaim — the `VACUUM` face of the publish-time
+    * sweep, for operators who want to SEE (and price) what a table is
+    * leaking before anything is deleted. Returns one row per reclaimable
+    * data directory: `path`, `bytes` (−1 when the store cannot summarize),
+    * `reclaimed`. `dryRun = true` (default) deletes NOTHING; `false`
+    * deletes exactly the listed dirs. Same safety envelope as the
+    * automatic sweep: live claims, young dirs (the point-in-time-scan
+    * horizon) and partially-scanned manifests are never touched, and a
+    * shallow clone's borrowed (external) files are out of scope by
+    * construction — they live in the source table's tree. O(metadata):
+    * listings plus one content summary per orphan. */
+  def vacuum(spark: SparkSession, baseDir: String,
+      dryRun: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, baseDir)
+    val base = new Path(baseDir)
+    val orphans = if (!f.exists(base)) Nil else orphanDataDirs(f, base)
+    val rows = orphans.map { p =>
+      val bytes =
+        try f.getContentSummary(p).getLength
+        catch { case scala.util.control.NonFatal(_) => -1L }
+      (p.toString, bytes)
+    }
+    if (!dryRun) orphans.foreach(p =>
+      try { f.delete(p, true); () } catch { case _: Throwable => () })
+    rows.toDF("path", "bytes").withColumn("reclaimed", lit(!dryRun))
   }
 
   // ------------------------------------------------------ integrity manifest
