@@ -2740,6 +2740,14 @@ object VersionedSnapshot {
     * a fenced heartbeated drain lock: concurrent drains serialize, the
     * loser wakes to the winner's advanced offset and delivers nothing.
     *
+    * Column renames and the stream: each batch interprets `keys` in its
+    * TO version's logical view (diffs therefore span rename boundaries of
+    * NON-key columns transparently — the batch simply arrives under the
+    * new names). Renaming a KEY column mid-stream fails the next drain
+    * loudly (the old key name no longer resolves); the offset is not
+    * advanced, so the consumer restarts the drain with the new key name
+    * and loses nothing.
+    *
     * Bootstrap: with no prior offset the stream starts at
     * `startVersion` (the version the consumer batch-bootstrapped from)
     * or, absent that, at the CURRENT version — future changes only. A

@@ -207,6 +207,46 @@ class SnapshotCloneSpec extends SparkSpec {
     assert(rows(c) == want)
   }
 
+  test("deep clone of a table WITH merge-on-read overlays: the overlay " +
+      "dirs copy under fresh d-names and reconcile identically") {
+    val src = tmp("graft-clsrc10"); val dst = tmp("graft-cldst10")
+    seed(src)
+    stageDelta(src, Seq((2L, 222L, "o2")).toDF("k", "v", "s"), Seq("k"),
+      UpdateMatched, marker = "ov1", retain = 10)
+    stageDelta(src, Seq((5L, 0L, "x")).toDF("k", "v", "s"), Seq("k"),
+      DeleteMatched, marker = "ov2", retain = 10)
+    val want = rows(src)
+    cloneTo(spark, src, dst, deep = true)
+    org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(src), true)
+    assert(rows(dst) == want,
+      "overlays must reconcile on the deep clone with the source gone")
+    assert(validateCurrent(spark, dst))
+    // folding them works against the copied dirs too
+    compact(spark, dst, Seq("k"), marker = "fold", retain = 1)
+    assert(rows(dst) == want)
+  }
+
+  test("clone of a COLUMN-MAPPED table: the view travels, merges under " +
+      "the renamed key work through the borrow, and a purge of the " +
+      "clone under the new names leaves the source intact") {
+    val src = tmp("graft-clsrc11"); val dst = tmp("graft-cldst11")
+    seed(src)
+    renameColumns(spark, src, Map("k" -> "id", "v" -> "value"))
+    val before = read(spark, src).get.select("id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    cloneTo(spark, src, dst)
+    mergeInto(dst, Seq((1L, 111L, "c")).toDF("id", "value", "s"), Seq("id"),
+      UpdateMatched, insertUnmatched = false, marker = "c-up", retain = 10)
+    assert(purgeKeys(spark, dst, Seq("id"), Seq(Seq(9L))) > 0)
+    val got = read(spark, dst).get.select("id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == before.filterNot(t => t._1 == 1L || t._1 == 9L) + ((1L, 111L)))
+    assert(read(spark, src).get.select("id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == before,
+      "the source keeps its content AND its renamed view")
+  }
+
   test("CDF works across a clone's own history: changes since clone-v0 " +
       "report exactly the clone's divergence") {
     val src = tmp("graft-clsrc9"); val dst = tmp("graft-cldst9")
