@@ -81,14 +81,37 @@ class SnapshotLinearizabilitySpec extends SparkSpec {
       val base = Files.createTempDirectory(s"graft-rstorm$scenario").resolve("t").toString
       val seedRows = (0L until 30L).map(k => (k, k)) ++
         (100L to 105L).map(k => (k, k))
-      VersionedSnapshot.mergeInto(base, seedRows.toDF("k", "v"), Seq("k"),
-        VersionedSnapshot.UpdateMatched, insertUnmatched = true,
+      // a third column that RENAME ops flip between tag/tag2 mid-storm —
+      // the model reads only (k, v), which no op ever renames, so content
+      // checking is name-stable while the colmap machinery churns under
+      // merges, overlays, compact-normalizations, restores and purges
+      VersionedSnapshot.mergeInto(base,
+        seedRows.map { case (k, v) => (k, v, s"t$k") }.toDF("k", "v", "tag"),
+        Seq("k"), VersionedSnapshot.UpdateMatched, insertUnmatched = true,
         marker = "op-seed", numBuckets = 4, retain = 60)
       val seedV = VersionedSnapshot.currentVersion(spark, base).get
+      // the live name of the renameable column at this instant
+      def tagName(): String =
+        if (VersionedSnapshot.read(spark, base).get.columns.contains("tag2")) "tag2"
+        else "tag"
+      // a writer whose source speaks a just-renamed view gets the loud
+      // schema-parity error — the real-writer contract is re-read and
+      // retry, which this wrapper applies around the whole attempt
+      def withSchemaRetry[A](body: => A): A = {
+        var last: Throwable = null
+        var i = 0
+        while (i < 60) {
+          i += 1
+          try return body
+          catch { case e: IllegalArgumentException => last = e; Thread.sleep(20) }
+        }
+        throw last
+      }
 
       def mkOps(tid: Int): Seq[Op] = (1 to 6).map { i =>
         val marker = s"rop-t$tid-$i"
-        rnd.nextInt(8) match {
+        rnd.nextInt(9) match {
+          case 8 => Op(marker, "rename", Map.empty, Nil)
           case 7 => Op(marker, "restore", Map.empty, Nil)
           case 6 | 5 => // the storm's reason to exist: aggressive retention
             Op(marker, "retain", Map.empty, Nil)
@@ -126,29 +149,43 @@ class SnapshotLinearizabilitySpec extends SparkSpec {
                   op.subjects.map(Seq[Any](_)), marker = op.marker)
                 op.subjects.foreach(purgedAll.add)
               case "merge-u" =>
-                val v = VersionedSnapshot.retryOnConflict(attempts = 30, backoffMs = 40L) {
+                val v = withSchemaRetry(VersionedSnapshot.retryOnConflict(attempts = 30, backoffMs = 40L) {
                   VersionedSnapshot.mergeInto(base,
-                    op.rows.toSeq.toDF("k", "v"), Seq("k"),
+                    op.rows.toSeq.map { case (k, vv) => (k, vv, s"m$k") }
+                      .toDF("k", "v", tagName()), Seq("k"),
                     VersionedSnapshot.UpdateMatched, insertUnmatched = true,
                     marker = op.marker, retain = 60)
-                }
+                })
                 recorded.put(v, (op, None)); ()
               case "merge-d" =>
-                val v = VersionedSnapshot.retryOnConflict(attempts = 30, backoffMs = 40L) {
+                val v = withSchemaRetry(VersionedSnapshot.retryOnConflict(attempts = 30, backoffMs = 40L) {
                   VersionedSnapshot.mergeInto(base,
-                    op.rows.toSeq.toDF("k", "v"), Seq("k"),
+                    op.rows.toSeq.map { case (k, vv) => (k, vv, "x") }
+                      .toDF("k", "v", tagName()), Seq("k"),
                     VersionedSnapshot.DeleteMatched, insertUnmatched = false,
                     marker = op.marker, retain = 60)
-                }
+                })
                 recorded.put(v, (op, None)); ()
               case "overlay-u" =>
-                val v = VersionedSnapshot.retryOnConflict(attempts = 30, backoffMs = 40L) {
+                val v = withSchemaRetry(VersionedSnapshot.retryOnConflict(attempts = 30, backoffMs = 40L) {
                   VersionedSnapshot.stageDelta(base,
-                    op.rows.toSeq.toDF("k", "v"), Seq("k"),
+                    op.rows.toSeq.map { case (k, vv) => (k, vv, s"o$k") }
+                      .toDF("k", "v", tagName()), Seq("k"),
                     VersionedSnapshot.UpdateMatched,
                     marker = op.marker, retain = 60)
-                }
+                })
                 recorded.put(v, (op, None)); ()
+              case "rename" =>
+                // flip the renameable column's name; a concurrent flip or
+                // a restore resurrecting the other view loses the name
+                // race (unknown column) — absorbed like any schema drift
+                withSchemaRetry(VersionedSnapshot.retryOnConflict(attempts = 30, backoffMs = 40L) {
+                  val from = tagName()
+                  val to = if (from == "tag") "tag2" else "tag"
+                  VersionedSnapshot.renameColumns(spark, base,
+                    Map(from -> to), marker = op.marker)
+                })
+                ()
               case "retain" =>
                 // content-preserving compact whose retention retires
                 // almost everything — no fold effect, pure hazard
