@@ -1997,6 +1997,58 @@ object VersionedSnapshot {
       "n_files", "bytes", "n_overlays", "is_current", "committed_at")
   }
 
+  /** One-row operational summary of the CURRENT version — the `DESCRIBE
+    * DETAIL` analog, O(metadata) like [[history]] with three table-health
+    * columns history cannot show: `n_external_refs` (borrowed files of a
+    * shallow [[cloneTo]] — 0 means self-contained, anything else means
+    * the table depends on its clone source until a compact localizes),
+    * `renamed_columns`/`dropped_columns` (the live `_COLMAP` — a nonzero
+    * dropped count means bytes are awaiting a reifying compact), and the
+    * active `pointer_store` backend. Empty frame when the table has never
+    * committed. */
+  def detail(spark: SparkSession, baseDir: String): DataFrame = {
+    import spark.implicits._
+    val rows: Seq[(Long, String, String, Option[Int], Long, Long, Int, Long,
+        Seq[String], Seq[String], String)] =
+      currentVersion(spark, baseDir).toSeq.map { c =>
+        val f = fs(spark, baseDir)
+        val vdir = versionPath(new Path(baseDir), c)
+        val marker = {
+          val m = new Path(vdir, MarkerName)
+          if (f.exists(m)) readSmallFile(f, m).trim else ""
+        }
+        val buckets = parseBuckets(f, vdir)
+        val deltas = parseDeltas(f, vdir)
+        val overlays = deltas.map(_._2.size).getOrElse(0)
+        val layout = (buckets, overlays) match {
+          case (None, _) => "flat"
+          case (Some(_), 0) => "bucketed"
+          case (Some(_), _) => "bucketed+mor"
+        }
+        val (nFiles, bytes) = {
+          val m = new Path(vdir, ManifestName)
+          if (!f.exists(m)) (0L, 0L)
+          else {
+            val entries = readSmallFile(f, m).split('\n').toSeq.filter(_.nonEmpty)
+            (entries.size.toLong,
+              entries.map(l => l.substring(l.lastIndexOf(':') + 1).toLong).sum)
+          }
+        }
+        val nExternal =
+          (buckets.toSeq.flatMap(_._2.values.flatten) ++
+            deltas.toSeq.flatMap(_._2)).count(isExternalRef).toLong
+        val cm = parseColMap(f, vdir)
+        (c, marker, layout, buckets.map(_._1), nFiles, bytes, overlays,
+          nExternal,
+          cm.renames.toSeq.sortBy(_._1).map { case (p, l) => s"$p->$l" },
+          cm.dropped.toSeq.sorted,
+          pointerStoreFor(spark).name)
+      }
+    rows.toDF("version", "marker", "layout", "num_buckets", "n_files",
+      "bytes", "n_overlays", "n_external_refs", "renamed_columns",
+      "dropped_columns", "pointer_store")
+  }
+
   /** Timestamp time travel (the Delta `TIMESTAMP AS OF` analog): the
     * NEWEST retained version whose commit time is ≤ `tsMillis` — commit
     * times come from [[history]]'s `committed_at` (marker mtimes), and
