@@ -414,6 +414,30 @@ private[graft] object OraclesDedupText {
          |  CAST(ap_num60 * 1000000 // nullif(60 * least(ls.r_total, $AnnK), 0) AS BIGINT)
          |    AS ap_e6
          |FROM p JOIN ls ON p.q_label = ls.label""".stripMargin,
+    // nDCG@k over the same run — frozen e6 log2 discounts (see the Spark
+    // side), binary-relevance ideal = the discount prefix sum at
+    // min(r_total, k); integer end to end
+    "retrieval_ndcg" ->
+      s"""WITH run AS (${binaryTopKOracle()}),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |ls AS (SELECT label, count(*) - 1 AS r_total FROM lab GROUP BY 1),
+         |f AS (SELECT r.query_id, ql.label AS q_label,
+         |        CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel,
+         |        CASE r."rank" WHEN 1 THEN 1000000 WHEN 2 THEN 630929
+         |             WHEN 3 THEN 500000 WHEN 4 THEN 430676
+         |             ELSE 386852 END AS disc
+         |      FROM run r JOIN lab ql ON r.query_id = ql.vec_id
+         |                 JOIN lab nl ON r.neighbor_id = nl.vec_id),
+         |p AS (SELECT query_id, q_label,
+         |        CAST(sum(rel) AS BIGINT) AS n_rel_topk,
+         |        sum(rel * disc) AS dcg_e6
+         |      FROM f GROUP BY 1, 2)
+         |SELECT query_id, n_rel_topk,
+         |  CAST(dcg_e6 * 1000000 // (CASE least(ls.r_total, $AnnK)
+         |         WHEN 1 THEN 1000000 WHEN 2 THEN 1630929
+         |         WHEN 3 THEN 2130929 WHEN 4 THEN 2561605
+         |         WHEN 5 THEN 2948457 END) AS BIGINT) AS ndcg_e6
+         |FROM p JOIN ls ON p.q_label = ls.label""".stripMargin,
     "vocab_growth" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok

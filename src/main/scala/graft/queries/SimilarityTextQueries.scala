@@ -160,6 +160,42 @@ private[graft] object SimilarityTextQueries {
             "AS BIGINT)").as("ap_e6"))
     }),
 
+    // ---- graded-ranking eval: nDCG@k of the same binary-tier run. The
+    // log2 discounts are FROZEN e6 literals (the ab_mde frozen-constant
+    // discipline — k=5 needs exactly five, so no cross-engine libm trust
+    // is spent): DCG_e6 = Σ_hits d(rank); the binary-relevance ideal is
+    // the discount prefix sum at min(R_total, k); ndcg_e6 = DCG·1e6 div
+    // IDCG, every intermediate an exact integer. Queries whose label has
+    // no other member yield NULL (no ideal ranking exists) ----
+    "retrieval_ndcg" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val run = graft.operators.Quantize.binaryTopK(emb, "vec_id", "embedding",
+        dim = Dim, panelSize = RecallPanel, k = AnnK)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val labelSizes = labels.groupBy("label").agg(count(lit(1)).as("n_label"))
+      val disc = expr(
+        "CASE rank WHEN 1 THEN 1000000L WHEN 2 THEN 630929L " +
+          "WHEN 3 THEN 500000L WHEN 4 THEN 430676L ELSE 386852L END")
+      val idcg = expr(
+        s"CASE least(r_total, $AnnK) WHEN 1 THEN 1000000L " +
+          "WHEN 2 THEN 1630929L WHEN 3 THEN 2130929L " +
+          "WHEN 4 THEN 2561605L WHEN 5 THEN 2948457L END")
+      run
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("label").as("q_label")), Seq("query_id"))
+        .join(labels.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nb_label")), Seq("neighbor_id"))
+        .withColumn("rel", (col("q_label") === col("nb_label")).cast("long"))
+        .groupBy("query_id", "q_label")
+        .agg(sum(col("rel")).as("n_rel_topk"),
+          sum(col("rel") * disc).as("dcg_e6"))
+        .join(broadcast(labelSizes.select(col("label").as("q_label"),
+          (col("n_label") - 1).as("r_total"))), Seq("q_label"))
+        .withColumn("idcg_e6", idcg)
+        .select(col("query_id"), col("n_rel_topk"),
+          expr("CAST(dcg_e6 * 1000000 div idcg_e6 AS BIGINT)").as("ndcg_e6"))
+    }),
+
     // ---- late-interaction retrieval: consecutive-id vector groups act
     // as multi-vector documents; a hash-sampled query-doc panel ranks the
     // corpus by MaxSim (Σ per-query-token best cosine). Panel broadcast ×
