@@ -2878,6 +2878,77 @@ object VersionedSnapshot {
     } finally releaseFencedLock(f, drainLock, lockToken)
   }
 
+  /** One-call incremental replication of a snapshot table — the
+    * DR-mirror / downstream-mart primitive packaged from the CDF stream:
+    * each call bootstraps the target from the source's current version if
+    * it has never replicated, then drains every newer source version as
+    * one endpoint-diff micro-batch applied to the target via MERGE
+    * (upserts + deletes; purge retractions arrive as deletes, so an
+    * erasure reaches the replica's CURRENT state on the very next sync).
+    * Effectively-once under crash/restart: the drain rides
+    * [[changesStream]]'s durable offset and batch-atomic merges, and
+    * re-delivered batches are content-idempotent. Returns the number of
+    * batches applied (0 = already in sync).
+    *
+    * Scale shape: bootstrap is one O(table) merge; every later call is
+    * O(changed rows since the last sync) regardless of table size — the
+    * replica never rescans the source. Schedule it like any maintenance
+    * tick; run the target's own [[compact]]/retention on its own cadence.
+    *
+    * Compliance note: a source purge deletes the subject from the
+    * replica's current state, but the REPLICA's retained history and the
+    * replica's own time travel keep their copies until its retention ages
+    * them out — for a full downstream erasure run [[purgeKeys]] on the
+    * replica too (the same contract as any CDF consumer). A source
+    * column RENAME changes the feed's column names mid-stream: the next
+    * merge fails loudly on schema parity; apply the same
+    * [[renameColumns]] to the replica and re-call. */
+  def replicateTo(spark: SparkSession, srcBase: String, dstBase: String,
+      keys: Seq[String], checkpoint: String, retain: Int = 2,
+      numBuckets: Int = 32, maxVersionsPerBatch: Long = 1L): Long = {
+    val bootstrapped =
+      currentVersion(spark, dstBase).isDefined ||
+        fs(spark, checkpoint).exists(
+          new Path(new Path(checkpoint), CdfOffsetName))
+    val startV: Option[Long] =
+      if (bootstrapped) None
+      else currentVersion(spark, srcBase).map { v =>
+        mergeInto(dstBase, readVersion(spark, srcBase, v).get, keys,
+          UpdateMatched, insertUnmatched = true,
+          marker = s"replicate-bootstrap-v$v", retain = retain,
+          numBuckets = numBuckets)
+        v
+      }
+    if (!bootstrapped && startV.isEmpty) return 0L // source never committed
+    changesStream(spark, srcBase, keys, checkpoint,
+        startVersion = startV,
+        maxVersionsPerBatch = maxVersionsPerBatch) { (feed, _, to) =>
+      feed.cache()
+      try {
+        // the changesWithPurges consumption contract: retractions FIRST
+        // (forget the key wholesale), then the diff rows — a subject
+        // purged and legitimately re-inserted inside one endpoint window
+        // must survive as its re-inserted row
+        val purges = feed.filter(col("op") === "purge").drop("op")
+        val dels = feed.filter(col("op") === "delete").drop("op")
+        val ups = feed.filter(col("op").isin("insert", "update")).drop("op")
+        if (purges.limit(1).count() > 0)
+          mergeInto(dstBase, purges, keys, DeleteMatched,
+            insertUnmatched = false, marker = s"replicate-purge-v$to",
+            retain = retain, numBuckets = numBuckets)
+        if (dels.limit(1).count() > 0)
+          mergeInto(dstBase, dels, keys, DeleteMatched,
+            insertUnmatched = false, marker = s"replicate-del-v$to",
+            retain = retain, numBuckets = numBuckets)
+        if (ups.limit(1).count() > 0)
+          mergeInto(dstBase, ups, keys, UpdateMatched,
+            insertUnmatched = true, marker = s"replicate-up-v$to",
+            retain = retain, numBuckets = numBuckets)
+        ()
+      } finally { feed.unpersist(); () }
+    }
+  }
+
   /** `op = "purge"` retraction rows (keys set, every other column null)
     * for the purge commits in `(fromVersion, min(toVersion, current)]`,
     * projected to the feed's `schema`. One pointer read for the whole

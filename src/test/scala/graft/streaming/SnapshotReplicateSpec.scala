@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.streaming.VersionedSnapshot._
+import org.apache.spark.sql.functions._
+
+/** The one-call replication face ([[VersionedSnapshot.replicateTo]]):
+  * bootstrap-then-tail a snapshot table into a replica via the CDF
+  * stream. Pins: bootstrap equivalence; O(delta) incremental syncs that
+  * converge through upserts, deletes AND purge retractions; the
+  * retraction-first consumption order (a subject purged and re-inserted
+  * inside one folded catch-up window survives as its re-inserted row);
+  * idempotent re-calls; and durable-offset restart safety. */
+class SnapshotReplicateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  private def rows(base: String): Set[(Long, Long)] =
+    read(spark, base).get.select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("bootstrap + incremental syncs converge through upserts, deletes " +
+      "and purge retractions; a re-call is a no-op") {
+    val src = tmp("graft-repl1"); val dst = tmp("graft-repl1d")
+    val ckpt = Files.createTempDirectory("graft-repl1-ck").toString
+    mergeInto(src, (1L to 30L).map(k => (k, k * 10)).toDF("k", "v"),
+      Seq("k"), UpdateMatched, insertUnmatched = true, marker = "seed",
+      retain = 10, numBuckets = 4)
+    assert(replicateTo(spark, src, dst, Seq("k"), ckpt, retain = 10) == 0L,
+      "bootstrap applies the current version; no newer batches yet")
+    assert(rows(dst) == rows(src), "bootstrap equivalence")
+
+    mergeInto(src, Seq((2L, 222L), (99L, 990L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "up", retain = 10)
+    mergeInto(src, Seq((3L, 0L)).toDF("k", "v"), Seq("k"),
+      DeleteMatched, insertUnmatched = false, marker = "del", retain = 10)
+    assert(purgeKeys(spark, src, Seq("k"), Seq(Seq(5L))) > 0)
+    assert(replicateTo(spark, src, dst, Seq("k"), ckpt, retain = 10) == 3L,
+      "three source versions -> three batches")
+    assert(rows(dst) == rows(src), "incremental convergence")
+    assert(!rows(dst).exists(_._1 == 5L),
+      "the erasure reached the replica's current state")
+    assert(replicateTo(spark, src, dst, Seq("k"), ckpt, retain = 10) == 0L,
+      "in sync: nothing re-delivered, nothing re-applied")
+  }
+
+  test("retraction-first order inside one folded catch-up window: a " +
+      "subject purged then re-inserted survives as the re-inserted row") {
+    val src = tmp("graft-repl2"); val dst = tmp("graft-repl2d")
+    val ckpt = Files.createTempDirectory("graft-repl2-ck").toString
+    mergeInto(src, (1L to 10L).map(k => (k, k)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed",
+      retain = 10, numBuckets = 2)
+    replicateTo(spark, src, dst, Seq("k"), ckpt, retain = 10)
+    // purge 7, then re-insert it — BOTH land in one folded batch
+    assert(purgeKeys(spark, src, Seq("k"), Seq(Seq(7L))) > 0)
+    mergeInto(src, Seq((7L, 777L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "reinsert", retain = 10)
+    val n = replicateTo(spark, src, dst, Seq("k"), ckpt, retain = 10,
+      maxVersionsPerBatch = 10L)
+    assert(n == 1L, s"the catch-up folds to ONE endpoint batch, got $n")
+    assert(rows(dst) == rows(src))
+    assert(rows(dst).contains((7L, 777L)),
+      "purge-then-reinsert must survive as the re-inserted row")
+  }
+
+  test("restart safety: a fresh call on the same checkpoint resumes from " +
+      "the durable offset, never re-bootstrapping over the replica") {
+    val src = tmp("graft-repl3"); val dst = tmp("graft-repl3d")
+    val ckpt = Files.createTempDirectory("graft-repl3-ck").toString
+    mergeInto(src, (1L to 10L).map(k => (k, k)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed",
+      retain = 10, numBuckets = 2)
+    replicateTo(spark, src, dst, Seq("k"), ckpt, retain = 10)
+    val h0 = history(spark, dst).count()
+    mergeInto(src, Seq((1L, 100L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "up", retain = 10)
+    assert(replicateTo(spark, src, dst, Seq("k"), ckpt, retain = 10) == 1L)
+    assert(rows(dst) == rows(src))
+    assert(history(spark, dst).count() == h0 + 1,
+      "exactly one replica commit per synced batch — no re-bootstrap")
+  }
+}
