@@ -2906,20 +2906,50 @@ object VersionedSnapshot {
   def replicateTo(spark: SparkSession, srcBase: String, dstBase: String,
       keys: Seq[String], checkpoint: String, retain: Int = 2,
       numBuckets: Int = 32, maxVersionsPerBatch: Long = 1L): Long = {
-    val bootstrapped =
-      currentVersion(spark, dstBase).isDefined ||
-        fs(spark, checkpoint).exists(
-          new Path(new Path(checkpoint), CdfOffsetName))
+    val hasOffset = fs(spark, checkpoint).exists(
+      new Path(new Path(checkpoint), CdfOffsetName))
+    // every replica commit's marker records the SOURCE version it applied
+    // ("replicate-*-v<N>"); the newest one is the replica's true sync
+    // position when the checkpoint cannot speak for it
+    def markerPosition(): Option[Long] =
+      if (currentVersion(spark, dstBase).isEmpty) None
+      else history(spark, dstBase).select("marker").collect().toSeq
+        .flatMap { r =>
+          val m = r.getString(0)
+          if (m.startsWith("replicate-"))
+            m.substring(m.lastIndexOf("-v") + 2).takeWhile(_.isDigit).toLongOption
+          else None
+        }.maxOption
     val startV: Option[Long] =
-      if (bootstrapped) None
-      else currentVersion(spark, srcBase).map { v =>
-        mergeInto(dstBase, readVersion(spark, srcBase, v).get, keys,
-          UpdateMatched, insertUnmatched = true,
-          marker = s"replicate-bootstrap-v$v", retain = retain,
-          numBuckets = numBuckets)
-        v
+      if (hasOffset) None
+      else markerPosition() match {
+        case Some(pos) =>
+          // the checkpoint never recorded an offset but the replica's own
+          // markers pin the position — the crash window between the
+          // bootstrap merge (or a moved checkpoint) and the first offset
+          // write. Resume from the marker; the overlap replays
+          // content-idempotently.
+          Some(pos)
+        case None =>
+          // a COMMITTED target without replicate markers is the
+          // silent-divergence trap: bootstrapping the stream at the
+          // source's CURRENT version would skip every change between the
+          // target's actual content and now. Refuse loudly.
+          require(currentVersion(spark, dstBase).isEmpty,
+            s"$dstBase already has commits but neither checkpoint " +
+              s"$checkpoint nor the target's markers record a sync " +
+              "position — replicating over a foreign table would " +
+              "silently skip the gap to the source's current version; " +
+              "use a fresh target or the original checkpoint")
+          currentVersion(spark, srcBase).map { v =>
+            mergeInto(dstBase, readVersion(spark, srcBase, v).get, keys,
+              UpdateMatched, insertUnmatched = true,
+              marker = s"replicate-bootstrap-v$v", retain = retain,
+              numBuckets = numBuckets)
+            v
+          }
       }
-    if (!bootstrapped && startV.isEmpty) return 0L // source never committed
+    if (!hasOffset && startV.isEmpty) return 0L // source never committed
     changesStream(spark, srcBase, keys, checkpoint,
         startVersion = startV,
         maxVersionsPerBatch = maxVersionsPerBatch) { (feed, _, to) =>

@@ -68,6 +68,37 @@ class SnapshotReplicateSpec extends SparkSpec {
       "purge-then-reinsert must survive as the re-inserted row")
   }
 
+  test("lost-checkpoint recovery: the replica's own markers pin the sync " +
+      "position, so a vanished offset resumes instead of diverging; a " +
+      "FOREIGN committed target is refused loudly") {
+    val src = tmp("graft-repl4"); val dst = tmp("graft-repl4d")
+    val ckpt = Files.createTempDirectory("graft-repl4-ck").toString
+    mergeInto(src, (1L to 10L).map(k => (k, k)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed",
+      retain = 10, numBuckets = 2)
+    replicateTo(spark, src, dst, Seq("k"), ckpt, retain = 10)
+    mergeInto(src, Seq((4L, 444L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "up", retain = 10)
+    // simulate the crash window / a lost checkpoint: the offset vanishes
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt, "_CDF_OFFSET"), false)
+    val ckpt2 = Files.createTempDirectory("graft-repl4-ck2").toString
+    assert(replicateTo(spark, src, dst, Seq("k"), ckpt2, retain = 10) >= 1L,
+      "marker-pinned resume must deliver the missed window")
+    assert(rows(dst) == rows(src), "recovered without divergence")
+    // a committed target with NO replicate markers refuses
+    val foreign = tmp("graft-repl4f")
+    mergeInto(foreign, Seq((1L, 1L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "not-a-replica",
+      retain = 10, numBuckets = 2)
+    val ckpt3 = Files.createTempDirectory("graft-repl4-ck3").toString
+    val ex = intercept[IllegalArgumentException] {
+      replicateTo(spark, src, foreign, Seq("k"), ckpt3, retain = 10)
+    }
+    assert(ex.getMessage.contains("foreign table"), ex.getMessage)
+  }
+
   test("restart safety: a fresh call on the same checkpoint resumes from " +
       "the durable offset, never re-bootstrapping over the replica") {
     val src = tmp("graft-repl3"); val dst = tmp("graft-repl3d")
