@@ -176,6 +176,14 @@ object VersionedSnapshot {
     * absorption deterministically (delete a listed vdir while the pass
     * sleeps) instead of relying on suite load to land the race. */
   private[graft] val TestDelayAfterPurgeListingConf = "graft.snapshot.test.delayAfterPurgeListingMs"
+  /** Spec-only crash seam: throw immediately before [[replicateTo]]'s
+    * upsert merge — models a drain that dies between a batch's
+    * retraction merges and its upsert merge, the exact window where
+    * marker-pinned recovery (lost checkpoint) must NOT treat the batch
+    * as applied. Value is the tag to match against the thread name
+    * ("*" = always). */
+  private[graft] val TestFailBeforeReplicateUpsertConf =
+    "graft.snapshot.test.failBeforeReplicateUpsert"
   /** Spec-only power-loss seam: when the active session's conf names one
     * of the seam points, the JVM halts outright — `Runtime.halt` skips
     * finally blocks, [[guardStaged]]'s abort, and shutdown hooks,
@@ -2952,7 +2960,7 @@ object VersionedSnapshot {
     if (!hasOffset && startV.isEmpty) return 0L // source never committed
     changesStream(spark, srcBase, keys, checkpoint,
         startVersion = startV,
-        maxVersionsPerBatch = maxVersionsPerBatch) { (feed, _, to) =>
+        maxVersionsPerBatch = maxVersionsPerBatch) { (feed, from, to) =>
       feed.cache()
       try {
         // the changesWithPurges consumption contract: retractions FIRST
@@ -2962,17 +2970,33 @@ object VersionedSnapshot {
         val purges = feed.filter(col("op") === "purge").drop("op")
         val dels = feed.filter(col("op") === "delete").drop("op")
         val ups = feed.filter(col("op").isin("insert", "update")).drop("op")
-        if (purges.limit(1).count() > 0)
+        val hasPurges = purges.limit(1).count() > 0
+        val hasDels = dels.limit(1).count() > 0
+        val hasUps = ups.limit(1).count() > 0
+        // Only the batch's FINAL merge stamps the endpoint v$to; earlier
+        // merges stamp the batch start v$from. A drain that dies between
+        // merges with a lost checkpoint then resumes from `from` and
+        // replays the whole batch content-idempotently — stamping every
+        // merge v$to would let markerPosition() report the batch as
+        // applied while its upsert tail never ran (silent divergence).
+        def marker(op: String, isFinal: Boolean): String =
+          s"replicate-$op-v${if (isFinal) to else from}"
+        if (hasPurges)
           mergeInto(dstBase, purges, keys, DeleteMatched,
-            insertUnmatched = false, marker = s"replicate-purge-v$to",
+            insertUnmatched = false,
+            marker = marker("purge", !hasDels && !hasUps),
             retain = retain, numBuckets = numBuckets)
-        if (dels.limit(1).count() > 0)
+        if (hasDels)
           mergeInto(dstBase, dels, keys, DeleteMatched,
-            insertUnmatched = false, marker = s"replicate-del-v$to",
+            insertUnmatched = false, marker = marker("del", !hasUps),
             retain = retain, numBuckets = numBuckets)
-        if (ups.limit(1).count() > 0)
+        spark.conf.getOption(TestFailBeforeReplicateUpsertConf)
+          .filter(t => t == "*" || Thread.currentThread().getName.contains(t))
+          .foreach(_ => throw new IllegalStateException(
+            "spec seam: drain killed before the upsert merge"))
+        if (hasUps)
           mergeInto(dstBase, ups, keys, UpdateMatched,
-            insertUnmatched = true, marker = s"replicate-up-v$to",
+            insertUnmatched = true, marker = marker("up", isFinal = true),
             retain = retain, numBuckets = numBuckets)
         ()
       } finally { feed.unpersist(); () }

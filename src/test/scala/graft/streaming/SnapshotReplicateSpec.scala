@@ -99,6 +99,45 @@ class SnapshotReplicateSpec extends SparkSpec {
     assert(ex.getMessage.contains("foreign table"), ex.getMessage)
   }
 
+  test("mid-batch crash + lost checkpoint: a drain killed between a " +
+      "batch's delete merge and its upsert merge must NOT pin the marker " +
+      "at the batch endpoint — recovery replays the unapplied upserts") {
+    val src = tmp("graft-repl5"); val dst = tmp("graft-repl5d")
+    val ckpt = Files.createTempDirectory("graft-repl5-ck").toString
+    mergeInto(src, (1L to 10L).map(k => (k, k)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed",
+      retain = 10, numBuckets = 2)
+    replicateTo(spark, src, dst, Seq("k"), ckpt, retain = 10)
+    // one folded window holding BOTH a delete and an upsert — the batch
+    // needs two replica merges, so the crash seam lands between them
+    mergeInto(src, Seq((3L, 0L)).toDF("k", "v"), Seq("k"),
+      DeleteMatched, insertUnmatched = false, marker = "del", retain = 10)
+    mergeInto(src, Seq((8L, 888L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "up", retain = 10)
+    spark.conf.set(VersionedSnapshot.TestFailBeforeReplicateUpsertConf, "*")
+    try {
+      val ex = intercept[IllegalStateException] {
+        replicateTo(spark, src, dst, Seq("k"), ckpt, retain = 10,
+          maxVersionsPerBatch = 10L)
+      }
+      assert(ex.getMessage.contains("spec seam"), ex.getMessage)
+    } finally spark.conf.unset(VersionedSnapshot.TestFailBeforeReplicateUpsertConf)
+    // the delete merge DID land on the replica, the upsert merge did not
+    assert(!rows(dst).exists(_._1 == 3L), "delete merge applied pre-crash")
+    assert(rows(dst).contains((8L, 8L)), "upsert merge NOT applied yet")
+    // the exact ADVICE window: the checkpoint offset is lost too, so
+    // recovery has only the replica's markers to pin the position — a
+    // non-final merge stamped with the batch ENDPOINT would skip the
+    // unapplied upserts silently
+    val ckpt2 = Files.createTempDirectory("graft-repl5-ck2").toString
+    assert(replicateTo(spark, src, dst, Seq("k"), ckpt2, retain = 10,
+      maxVersionsPerBatch = 10L) >= 1L,
+      "marker-pinned recovery must replay the half-applied batch")
+    assert(rows(dst) == rows(src), "no silent divergence")
+    assert(rows(dst).contains((8L, 888L)),
+      "the batch's unapplied upsert tail reached the replica")
+  }
+
   test("restart safety: a fresh call on the same checkpoint resumes from " +
       "the durable offset, never re-bootstrapping over the replica") {
     val src = tmp("graft-repl3"); val dst = tmp("graft-repl3d")
