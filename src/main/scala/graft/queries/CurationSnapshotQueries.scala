@@ -732,6 +732,62 @@ private[graft] object CurationSnapshotQueries {
       VS.read(s, mart).get.select("doc_id", "n_chars", "lang")
     }),
 
+    // ---- one-call replication (r16): replicateTo = bootstrap merge +
+    // endpoint-diff CDF tail. The scenario drives the full DR loop:
+    // bootstrap, one incremental sync, then a source delete + purge +
+    // upsert land while the replica's CHECKPOINT IS LOST — recovery has
+    // only the replica's own markers to pin the sync position, and the
+    // recovered drain folds all three ops into ONE batch (retraction
+    // first, upsert tail last: the exact multi-merge window of the
+    // marker-stamping fix). The replica must equal the source's final
+    // state, which the oracle recomputes closed-form ----
+    "snapshot_replicate" -> ((s, dir) => {
+      val VS = graft.streaming.VersionedSnapshot
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars", "lang")
+      val base = tempSnapshotBase("graft-repl-src")
+      val replica = tempSnapshotBase("graft-repl-dst")
+      val ckpt = tempSnapshotBase("graft-repl-ck")
+      VS.mergeInto(base, docs.filter(col("doc_id") % 10 =!= 0),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
+        marker = "seed", retain = 10, numBuckets = 8)
+      require(VS.replicateTo(s, base, replica, Seq("doc_id"), ckpt,
+        retain = 10, numBuckets = 8) == 0L, "bootstrap delivers no batches")
+      VS.mergeInto(base, docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
+        marker = "upsert", retain = 10)
+      require(VS.replicateTo(s, base, replica, Seq("doc_id"), ckpt,
+        retain = 10) == 1L, "one incremental sync batch")
+      // source moves on while the replica's checkpoint is lost: a keyed
+      // delete, an erasure (subjects DERIVED from the table — smallest
+      // ids outside every merge/delete source, so engine and oracle purge
+      // the same existing keys at any SF), and an upsert that also
+      // re-inserts previously deleted %3-keys
+      VS.mergeInto(base, docs.filter(col("doc_id") % 7 === 0),
+        Seq("doc_id"), VS.DeleteMatched, insertUnmatched = false,
+        marker = "del", retain = 10)
+      val subjects = docs.filter(col("doc_id") % 5 =!= 0 &&
+          col("doc_id") % 10 =!= 0 && col("doc_id") % 7 =!= 0 &&
+          col("doc_id") % 3 =!= 0)
+        .select("doc_id").orderBy("doc_id").limit(2)
+        .collect().map(r => Seq[Any](r.getLong(0))).toSeq
+      VS.purgeKeys(s, base, Seq("doc_id"), subjects)
+      VS.mergeInto(base, docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("n_chars", col("n_chars") + 111),
+        Seq("doc_id"), VS.UpdateMatched, insertUnmatched = true,
+        marker = "upsert2", retain = 10)
+      // checkpoint-loss recovery: a FRESH checkpoint models total loss;
+      // the replica's markers alone must pin the position, and the three
+      // pending versions fold into one endpoint batch
+      val ckpt2 = tempSnapshotBase("graft-repl-ck2")
+      require(VS.replicateTo(s, base, replica, Seq("doc_id"), ckpt2,
+        retain = 10, maxVersionsPerBatch = 10L) == 1L,
+        "marker-pinned recovery folds the pending window into one batch")
+      require(VS.replicateTo(s, base, replica, Seq("doc_id"), ckpt2,
+        retain = 10) == 0L, "in sync: a re-call is a no-op")
+      VS.read(s, replica).get.select("doc_id", "n_chars", "lang")
+    }),
+
     // ---- zero-copy table clone (r15): shallow clone = one METADATA-ONLY
     // commit borrowing the source version's files through external refs
     // (the Delta CLONE analog — instant dev/test branch of a 100 TB

@@ -458,6 +458,27 @@ private[graft] object OraclesCorpusAnalytics {
         |SELECT doc_id, n_chars + 1000 AS n_chars, lang FROM documents
         |WHERE doc_id % 5 = 0""".stripMargin,
 
+    // the replicateTo-maintained replica must equal the source's final
+    // state: all %3-keys carry the last upsert (+111, re-inserting any
+    // %3-keys the delete removed), surviving %5-keys carry +1000, the
+    // %7-delete and the two derived purge subjects are gone
+    "snapshot_replicate" ->
+      """WITH subj AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 5 <> 0 AND doc_id % 10 <> 0 AND doc_id % 7 <> 0
+        |    AND doc_id % 3 <> 0
+        |  ORDER BY doc_id LIMIT 2)
+        |SELECT doc_id, n_chars + 111 AS n_chars, lang FROM documents
+        |WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, n_chars + 1000 AS n_chars, lang FROM documents
+        |WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0 AND doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id, n_chars, lang FROM documents
+        |WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0 AND doc_id % 10 <> 0
+        |  AND doc_id % 7 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM subj)""".stripMargin,
+
     // zero-copy clone in closed form: the source side is the seed
     // verbatim (divergence must NOT leak across the borrowed files);
     // the clone side applies exactly the update-only merge
