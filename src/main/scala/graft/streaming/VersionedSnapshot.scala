@@ -112,6 +112,19 @@ object VersionedSnapshot {
       s"$what lock $lock changed hands mid-operation (stale-broken by " +
         "another holder) — aborting; re-run the operation")
 
+  /** A CDF consumer's next range fell past the retention horizon: the
+    * diff can no longer be computed, and silently skipping it would drop
+    * erasures. Typed so consumers can catch-and-resync without message
+    * matching; extends IllegalStateException to keep the historical
+    * contract for callers that caught that. */
+  final class CdfHorizonLost(val baseDir: String, val from: Long,
+      val to: Long)
+    extends IllegalStateException(
+      s"CDF stream range (v$from, v$to] of $baseDir fell past the " +
+        "retention horizon — resync: re-bootstrap the consumer from " +
+        "a batch read of the current version (this signal is loud " +
+        "by design; silently skipping it would drop erasures)")
+
   private val PointerName = "_CURRENT"
   private val MarkerName = "_LAST_BATCH" // leading _: invisible to parquet reads
   private val ManifestName = "_MANIFEST" // data-file inventory, written pre-commit
@@ -1246,36 +1259,64 @@ object VersionedSnapshot {
   }
   private val IdentityColMap = ColMap(Map.empty, Set.empty)
 
+  private def parseColMapContent(content: String, where: String): ColMap = {
+    val lines = content.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    require(lines.nonEmpty && lines.head.startsWith("map="),
+      s"corrupt $ColMapName in $where")
+    val renames = lines.head.stripPrefix("map=").split(',').toSeq
+      .filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf(':')
+        require(i > 0 && i < kv.length - 1, s"corrupt $ColMapName entry '$kv' in $where")
+        kv.substring(0, i) -> kv.substring(i + 1)
+      }.toMap
+    val dropped = lines.find(_.startsWith("dropped="))
+      .map(_.stripPrefix("dropped=").split(',').toSeq.filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    ColMap(renames, dropped)
+  }
+
+  private def serializeColMap(cm: ColMap): String = Seq(
+    "map=" + cm.renames.toSeq.sortBy(_._1)
+      .map { case (p, l) => s"$p:$l" }.mkString(","),
+    "dropped=" + cm.dropped.toSeq.sorted.mkString(",")).mkString("\n")
+
+  /** Committed version dirs are IMMUTABLE under the commit protocol:
+    * `_COLMAP` is staged before the pointer flip, renames/drops commit
+    * NEW versions, and purge rewrites only data files — so a vdir's
+    * colmap (including its absence) can be cached forever, across
+    * writers and JVMs. This kills the per-version small-file probe on
+    * the CDF path (every sync/IVM tick paid it, on tables that never
+    * renamed most of all). Bounded: cleared wholesale past 8192 entries
+    * (a colmap is a few dozen bytes; the cap is paranoia, not need). */
+  private val colMapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ColMap]()
+
   /** Malformed content THROWS (unlike the pruning sidecars, which degrade
     * to never-prune): a misparsed colmap would silently expose physical
     * column names — wrong answers, not just slower ones. Missing file =
     * identity, so every pre-colmap version reads unchanged. */
   private def parseColMap(f: FileSystem, vdir: Path): ColMap = {
-    val p = new Path(vdir, ColMapName)
-    if (!f.exists(p)) IdentityColMap
+    val key = vdir.toString
+    val hit = colMapCache.get(key)
+    if (hit != null) hit
     else {
-      val lines = readSmallFile(f, p).split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
-      require(lines.nonEmpty && lines.head.startsWith("map="),
-        s"corrupt $ColMapName in $vdir")
-      val renames = lines.head.stripPrefix("map=").split(',').toSeq
-        .filter(_.nonEmpty).map { kv =>
-          val i = kv.indexOf(':')
-          require(i > 0 && i < kv.length - 1, s"corrupt $ColMapName entry '$kv' in $vdir")
-          kv.substring(0, i) -> kv.substring(i + 1)
-        }.toMap
-      val dropped = lines.find(_.startsWith("dropped="))
-        .map(_.stripPrefix("dropped=").split(',').toSeq.filter(_.nonEmpty).toSet)
-        .getOrElse(Set.empty[String])
-      ColMap(renames, dropped)
+      val p = new Path(vdir, ColMapName)
+      val cm =
+        if (!f.exists(p)) IdentityColMap
+        else parseColMapContent(readSmallFile(f, p), vdir.toString)
+      // only cache vdirs that are fully committed (their _COLMAP can no
+      // longer change); a staged dir probed mid-publish stays uncached
+      if (f.exists(new Path(vdir, ManifestName))) {
+        if (colMapCache.size() > 8192) colMapCache.clear()
+        colMapCache.put(key, cm)
+      }
+      cm
     }
   }
 
   private def writeColMap(f: FileSystem, target: Path, cm: ColMap): Unit =
     if (!cm.isIdentity)
-      writeSmallFile(f, new Path(target, ColMapName), Seq(
-        "map=" + cm.renames.toSeq.sortBy(_._1)
-          .map { case (p, l) => s"$p:$l" }.mkString(","),
-        "dropped=" + cm.dropped.toSeq.sorted.mkString(",")).mkString("\n"))
+      writeSmallFile(f, new Path(target, ColMapName), serializeColMap(cm))
 
   private def colMapOf(spark: SparkSession, baseDir: String, v: Long): ColMap =
     parseColMap(fs(spark, baseDir), versionPath(new Path(baseDir), v))
@@ -2776,6 +2817,10 @@ object VersionedSnapshot {
 
   private val CdfOffsetName = "_CDF_OFFSET" // durable last-delivered version
   private val CdfLockName = "_CDF_LOCK"     // one drain per checkpoint at a time
+  // the source colmap whose LOGICAL view the replica currently speaks —
+  // replicateTo's durable schema position (survives checkpoint loss with
+  // the replica itself; rewritten only when the source view drifts)
+  private val ReplicaSrcMapName = "_REPLICA_SRCMAP"
 
   /** Tail a snapshot table's version history as a STREAM of row-level
     * changes — the `readChangeFeed` streaming-source analog, and the
@@ -2867,11 +2912,7 @@ object VersionedSnapshot {
           case (false, true) => changes(spark, baseDir, last, to, keys)
           case (false, false) => changes(spark, baseDir, last, to, keys, ranges)
         })
-          .getOrElse(throw new IllegalStateException(
-            s"CDF stream range (v$last, v$to] of $baseDir fell past the " +
-              "retention horizon — resync: re-bootstrap the consumer from " +
-              "a batch read of the current version (this signal is loud " +
-              "by design; silently skipping it would drop erasures)"))
+          .getOrElse(throw new CdfHorizonLost(baseDir, last, to))
       body(feed, last, to)
       // re-prove drain ownership before acking: a zombie drain whose lock
       // was stale-broken must not advance the successor's offset
@@ -2907,15 +2948,72 @@ object VersionedSnapshot {
     * replica's current state, but the REPLICA's retained history and the
     * replica's own time travel keep their copies until its retention ages
     * them out — for a full downstream erasure run [[purgeKeys]] on the
-    * replica too (the same contract as any CDF consumer). A source
-    * column RENAME changes the feed's column names mid-stream: the next
-    * merge fails loudly on schema parity; apply the same
-    * [[renameColumns]] to the replica and re-call. */
+    * replica too (the same contract as any CDF consumer).
+    *
+    * Source column renames/drops propagate AUTOMATICALLY
+    * (`propagateSchema`, default on): the replica records the source
+    * colmap whose logical view it currently speaks (`_REPLICA_SRCMAP`,
+    * updated only when it changes — zero cost on the steady path), and a
+    * sync whose feed arrives under new names first applies the same
+    * metadata-only [[renameColumns]]/[[dropColumns]] to the replica.
+    * Renaming a KEY column still fails loudly (the caller's `keys` no
+    * longer resolve — restart with the new key names); pass
+    * `propagateSchema = false` for the historical loud behavior on any
+    * schema drift.
+    *
+    * A sync window that fell past the source's retention horizon raises
+    * [[CdfHorizonLost]] (the replica lagged behind retention). With
+    * `resyncOnHorizonLoss = true` the call instead REBASES the replica:
+    * one full-sync merge of the source's current version (upsert all +
+    * delete unmatched — erasures still land, through the rebase rather
+    * than a retraction) and the tail resumes from there. Off by default:
+    * a rebase is O(table), and a silent one would hide that the
+    * replica's cadence lost to retention. */
   def replicateTo(spark: SparkSession, srcBase: String, dstBase: String,
       keys: Seq[String], checkpoint: String, retain: Int = 2,
-      numBuckets: Int = 32, maxVersionsPerBatch: Long = 1L): Long = {
-    val hasOffset = fs(spark, checkpoint).exists(
-      new Path(new Path(checkpoint), CdfOffsetName))
+      numBuckets: Int = 32, maxVersionsPerBatch: Long = 1L,
+      propagateSchema: Boolean = true,
+      resyncOnHorizonLoss: Boolean = false): Long = {
+    val ckptF = fs(spark, checkpoint)
+    val offPath = new Path(new Path(checkpoint), CdfOffsetName)
+    val dstF = fs(spark, dstBase)
+    val srcMapPath = new Path(new Path(dstBase), ReplicaSrcMapName)
+    def spokenMap(): ColMap =
+      if (!dstF.exists(srcMapPath)) IdentityColMap
+      else parseColMapContent(readSmallFile(dstF, srcMapPath),
+        srcMapPath.toString)
+    def recordSpoken(cm: ColMap): Unit =
+      atomicOverwrite(spark, dstF, srcMapPath, serializeColMap(cm))
+    // apply the source's rename/drop drift (spoken view → view at `toV`)
+    // to the replica as the same metadata-only commits, stamped with the
+    // batch START so a crash mid-propagation replays idempotently (the
+    // replica-has-from / lacks-to guards absorb the replay)
+    def propagate(fromStamp: Long, toV: Long): Unit = {
+      val spoken = spokenMap()
+      val cmTo = colMapOf(spark, srcBase, toV)
+      if (spoken != cmTo) {
+        if (currentVersion(spark, dstBase).nonEmpty) {
+          val cols0 = read(spark, dstBase).get.columns.toSet
+          val drops = (cmTo.dropped -- spoken.dropped).toSeq
+            .map(spoken.toLogical).filter(cols0.contains)
+          if (drops.nonEmpty)
+            dropColumns(spark, dstBase, drops,
+              marker = s"replicate-schema-v$fromStamp")
+          val cols = cols0 -- drops
+          val renames = (spoken.renames.keySet ++ cmTo.renames.keySet
+            -- cmTo.dropped -- spoken.dropped).flatMap { p =>
+            val a = spoken.toLogical(p); val b = cmTo.toLogical(p)
+            if (a != b && cols.contains(a) && !cols.contains(b)) Some(a -> b)
+            else None
+          }.toMap
+          if (renames.nonEmpty)
+            renameColumns(spark, dstBase, renames,
+              marker = s"replicate-schema-v$fromStamp")
+        }
+        recordSpoken(cmTo)
+      }
+    }
+    val hasOffset = ckptF.exists(offPath)
     // every replica commit's marker records the SOURCE version it applied
     // ("replicate-*-v<N>"); the newest one is the replica's true sync
     // position when the checkpoint cannot speak for it
@@ -2954,13 +3052,16 @@ object VersionedSnapshot {
               UpdateMatched, insertUnmatched = true,
               marker = s"replicate-bootstrap-v$v", retain = retain,
               numBuckets = numBuckets)
+            recordSpoken(colMapOf(spark, srcBase, v))
             v
           }
       }
     if (!hasOffset && startV.isEmpty) return 0L // source never committed
-    changesStream(spark, srcBase, keys, checkpoint,
-        startVersion = startV,
+    def drain(sv: Option[Long]): Long =
+      changesStream(spark, srcBase, keys, checkpoint,
+        startVersion = sv,
         maxVersionsPerBatch = maxVersionsPerBatch) { (feed, from, to) =>
+      if (propagateSchema) propagate(from, to)
       feed.cache()
       try {
         // the changesWithPurges consumption contract: retractions FIRST
@@ -3001,6 +3102,43 @@ object VersionedSnapshot {
         ()
       } finally { feed.unpersist(); () }
     }
+    var total = 0L
+    var sv = startV
+    var attempts = 0
+    var pending = true
+    while (pending) {
+      try { total += drain(sv); pending = false }
+      catch {
+        case e: CdfHorizonLost if resyncOnHorizonLoss =>
+          // the replica lagged past the source's retention: REBASE — one
+          // full-sync merge of the source's current version replaces the
+          // unfoldable diff window (erasures land through the rebase's
+          // delete-unmatched side). Delete the dead offset FIRST: a crash
+          // anywhere after leaves the markers pinning a pre-rebase
+          // position, and the next call walks this same path again.
+          attempts += 1
+          if (attempts > 15) throw e
+          ckptF.delete(offPath, false)
+          val posStamp = markerPosition().getOrElse(0L)
+          currentVersion(spark, srcBase)
+            .flatMap(v => readVersion(spark, srcBase, v).map(v -> _)) match {
+            case Some((v, df)) =>
+              if (propagateSchema) propagate(posStamp, v)
+              mergeInto(dstBase, df, keys, UpdateMatched,
+                insertUnmatched = true,
+                deleteUnmatchedBySource = Some(lit(true)),
+                marker = s"replicate-resync-v$v", retain = retain,
+                numBuckets = numBuckets)
+              total += 1
+              sv = Some(v)
+            case None =>
+              // the current version moved/retired mid-rebase — retry the
+              // whole loop from the marker-pinned position
+              sv = markerPosition()
+          }
+      }
+    }
+    total
   }
 
   /** `op = "purge"` retraction rows (keys set, every other column null)

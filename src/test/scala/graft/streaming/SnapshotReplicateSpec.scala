@@ -138,6 +138,81 @@ class SnapshotReplicateSpec extends SparkSpec {
       "the batch's unapplied upsert tail reached the replica")
   }
 
+  test("source renames/drops propagate automatically: the replica applies " +
+      "the same metadata commits and the sync converges under the new " +
+      "names; propagateSchema=false keeps the loud behavior") {
+    val src = tmp("graft-repl6"); val dst = tmp("graft-repl6d")
+    val ckpt = Files.createTempDirectory("graft-repl6-ck").toString
+    mergeInto(src, (1L to 10L).map(k => (k, k, s"t$k")).toDF("k", "v", "tag"),
+      Seq("k"), UpdateMatched, insertUnmatched = true, marker = "seed",
+      retain = 10, numBuckets = 2)
+    replicateTo(spark, src, dst, Seq("k"), ckpt, retain = 10)
+    // rename a non-key column, then a data change under the new name
+    renameColumns(spark, src, Map("v" -> "val"))
+    mergeInto(src, Seq((2L, 222L, "x")).toDF("k", "val", "tag"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "up", retain = 10)
+    assert(replicateTo(spark, src, dst, Seq("k"), ckpt, retain = 10,
+      maxVersionsPerBatch = 10L) == 1L)
+    val dstDf = read(spark, dst).get
+    assert(dstDf.columns.toSet == Set("k", "val", "tag"),
+      s"rename did not propagate: ${dstDf.columns.mkString(",")}")
+    assert(dstDf.filter(col("k") === 2L).select("val").head().getLong(0) == 222L)
+    // a drop propagates the same way
+    dropColumns(spark, src, Seq("tag"))
+    mergeInto(src, Seq((3L, 333L)).toDF("k", "val"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "up2", retain = 10)
+    assert(replicateTo(spark, src, dst, Seq("k"), ckpt, retain = 10,
+      maxVersionsPerBatch = 10L) == 1L)
+    val dstDf2 = read(spark, dst).get
+    assert(dstDf2.columns.toSet == Set("k", "val"),
+      s"drop did not propagate: ${dstDf2.columns.mkString(",")}")
+    assert(read(spark, src).get.select("k", "val").collect().toSet ==
+      dstDf2.select("k", "val").collect().toSet)
+    // opt-out: a fresh replica with propagateSchema=false hits the loud
+    // schema-parity error when the source renames mid-stream
+    val dst2 = tmp("graft-repl6e")
+    val ckpt2 = Files.createTempDirectory("graft-repl6-ck2").toString
+    replicateTo(spark, src, dst2, Seq("k"), ckpt2, retain = 10,
+      propagateSchema = false)
+    renameColumns(spark, src, Map("val" -> "v2"))
+    mergeInto(src, Seq((4L, 4444L)).toDF("k", "v2"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "up3", retain = 10)
+    intercept[Exception] {
+      replicateTo(spark, src, dst2, Seq("k"), ckpt2, retain = 10,
+        propagateSchema = false, maxVersionsPerBatch = 10L)
+    }
+  }
+
+  test("horizon loss: a replica that lagged past source retention raises " +
+      "CdfHorizonLost by default; resyncOnHorizonLoss rebases with one " +
+      "full-sync merge (deletes included) and the tail resumes") {
+    val src = tmp("graft-repl7"); val dst = tmp("graft-repl7d")
+    val ckpt = Files.createTempDirectory("graft-repl7-ck").toString
+    mergeInto(src, (1L to 12L).map(k => (k, k)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = true, marker = "seed",
+      retain = 2, numBuckets = 2)
+    replicateTo(spark, src, dst, Seq("k"), ckpt, retain = 10)
+    // churn far past retain=2: the replica's offset version is retired
+    mergeInto(src, Seq((5L, 0L)).toDF("k", "v"), Seq("k"),
+      DeleteMatched, insertUnmatched = false, marker = "del", retain = 2)
+    (1 to 3).foreach { i =>
+      mergeInto(src, Seq((1L, i * 100L)).toDF("k", "v"), Seq("k"),
+        UpdateMatched, insertUnmatched = false, marker = s"u$i", retain = 2)
+    }
+    intercept[CdfHorizonLost] {
+      replicateTo(spark, src, dst, Seq("k"), ckpt, retain = 10)
+    }
+    assert(replicateTo(spark, src, dst, Seq("k"), ckpt, retain = 10,
+      resyncOnHorizonLoss = true) >= 1L)
+    assert(rows(dst) == rows(src), "rebase must converge, deletes included")
+    assert(!rows(dst).exists(_._1 == 5L))
+    // and the tail keeps flowing incrementally after the rebase
+    mergeInto(src, Seq((2L, 22L)).toDF("k", "v"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "after", retain = 4)
+    assert(replicateTo(spark, src, dst, Seq("k"), ckpt, retain = 10) == 1L)
+    assert(rows(dst) == rows(src))
+  }
+
   test("restart safety: a fresh call on the same checkpoint resumes from " +
       "the durable offset, never re-bootstrapping over the replica") {
     val src = tmp("graft-repl3"); val dst = tmp("graft-repl3d")
