@@ -667,9 +667,10 @@ object VersionedSnapshot {
       val vdir = versionPath(base, v)
       // the caller speaks the VIEW version's logical names (default: the
       // read version's own); everything below — zone keys, bloom headers,
-      // file scans — speaks frozen physical names, so the probe frame is
-      // translated once here and the result aliased once at the end
-      val cm = colMapOf(spark, baseDir, if (viewV < 0) v else viewV)
+      // file scans — speaks THIS version's physical names, so the probe
+      // frame is translated once here (birth-joined across any
+      // normalization) and the result aliased once at the end
+      val cm = crossColMap(spark, baseDir, v, if (viewV < 0) v else viewV)
       val keyCols = keyRows.columns.toSeq.map(cm.toPhysical)
       val keyRowsP = keyRows.select(keyRows.columns.toIndexedSeq.map(c =>
         col(c).as(cm.toPhysical(c))): _*)
@@ -874,8 +875,9 @@ object VersionedSnapshot {
     val f = fs(spark, baseDir)
     val vdir = versionPath(base, v)
     // predicate columns arrive in the view's logical names; the `_ZONES`
-    // stat headers below are physical — translate once, alias at the end
-    val cm = colMapOf(spark, baseDir, if (viewV < 0) v else viewV)
+    // stat headers below are THIS version's physical — translate once
+    // (birth-joined across any normalization), alias at the end
+    val cm = crossColMap(spark, baseDir, v, if (viewV < 0) v else viewV)
     val ranges = rangesL.map { case (c, b) => cm.toPhysical(c) -> b }
     val baseFrame = parseBuckets(f, vdir) match {
       case Some((_, entries)) =>
@@ -1069,7 +1071,7 @@ object VersionedSnapshot {
   private def versionFrameAs(spark: SparkSession, baseDir: String, v: Long,
       viewV: Long): DataFrame =
     presentLogical(versionFrameRaw(spark, baseDir, v),
-      colMapOf(spark, baseDir, viewV))
+      crossColMap(spark, baseDir, v, viewV))
 
   /** The version's frame under PHYSICAL (at-rest) column names. */
   private def versionFrameRaw(spark: SparkSession, baseDir: String, v: Long): DataFrame = {
@@ -1249,15 +1251,66 @@ object VersionedSnapshot {
 
   /** `renames`: physical → logical, only where they differ; `dropped`:
     * physical names removed from the logical view (bytes pending a
-    * reifying compact). */
+    * reifying compact); `origin`: current-physical → BIRTH-physical,
+    * only where they differ — the column's stable identity (the Delta
+    * column-id analog). Physical names are frozen at birth EXCEPT across
+    * a normalize-compact, which re-freezes physical := logical; `origin`
+    * records that lineage so any two versions of a table can still be
+    * joined column-for-column ([[crossColMap]]) — without it, a CDF diff
+    * or purge probe across a normalization boundary would mis-align
+    * renamed columns. */
   private final case class ColMap(renames: Map[String, String],
-      dropped: Set[String]) {
+      dropped: Set[String], origin: Map[String, String] = Map.empty) {
     private val inverse: Map[String, String] = renames.map(_.swap)
+    private lazy val byBirth: Map[String, String] = origin.map(_.swap)
     def toLogical(phys: String): String = renames.getOrElse(phys, phys)
     def toPhysical(logical: String): String = inverse.getOrElse(logical, logical)
-    def isIdentity: Boolean = renames.isEmpty && dropped.isEmpty
+    def originOf(phys: String): String = origin.getOrElse(phys, phys)
+    def physOfBirth(birth: String): String = byBirth.getOrElse(birth, birth)
+    def isIdentity: Boolean =
+      renames.isEmpty && dropped.isEmpty && origin.isEmpty
   }
   private val IdentityColMap = ColMap(Map.empty, Set.empty)
+
+  /** The colmap presenting VERSION `v`'s physical frame in VIEW version
+    * `viewV`'s logical names — the cross-version translation every
+    * endpoint-diff ([[changes]]), view-pinned point read
+    * ([[readForKeysAt]]/[[readWhereAt]]) and cross-version purge probe
+    * needs. Columns are joined on BIRTH identity (`origin` lineage), so
+    * the result is exact even when a normalize-compact re-froze physical
+    * names between the two versions. Synthetic (origin empty): used only
+    * to translate/present, never persisted. */
+  private def crossColMap(spark: SparkSession, baseDir: String, v: Long,
+      viewV: Long): ColMap = {
+    val cmV = colMapOf(spark, baseDir, v)
+    if (viewV == v) cmV
+    else {
+      val cmW = colMapOf(spark, baseDir, viewV)
+      if (cmV == cmW) cmV // steady state: no schema drift in between
+      else composeColMaps(cmV, cmW)
+    }
+  }
+
+  /** The synthetic colmap presenting a frame whose names live in `cmV`'s
+    * PHYSICAL space under `cmW`'s LOGICAL view, columns joined on birth
+    * identity. Shared by [[crossColMap]] and replica schema
+    * propagation. */
+  private def composeColMaps(cmV: ColMap, cmW: ColMap): ColMap = {
+    // candidate v-physicals: every name either side mentions, pulled
+    // back to v's physical space through birth identity (a name
+    // mentioned nowhere is identity end-to-end and needs no entry)
+    val cands = cmV.renames.keySet ++ cmV.dropped ++ cmV.origin.keySet ++
+      (cmW.renames.keySet ++ cmW.dropped ++ cmW.origin.keySet)
+        .map(q => cmV.physOfBirth(cmW.originOf(q)))
+    val entries = cands.toSeq.map { p =>
+      val q = cmW.physOfBirth(cmV.originOf(p))
+      if (cmV.dropped.contains(p) || cmW.dropped.contains(q)) p -> None
+      else p -> Some(cmW.toLogical(q))
+    }
+    ColMap(
+      entries.collect { case (p, Some(l)) if p != l => p -> l }.toMap,
+      entries.collect { case (p, None) => p }.toSet)
+  }
 
   private def parseColMapContent(content: String, where: String): ColMap = {
     val lines = content.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
@@ -1272,13 +1325,24 @@ object VersionedSnapshot {
     val dropped = lines.find(_.startsWith("dropped="))
       .map(_.stripPrefix("dropped=").split(',').toSeq.filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
-    ColMap(renames, dropped)
+    val origin = lines.find(_.startsWith("origin="))
+      .map(_.stripPrefix("origin=").split(',').toSeq
+        .filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf(':')
+          require(i > 0 && i < kv.length - 1,
+            s"corrupt $ColMapName origin entry '$kv' in $where")
+          kv.substring(0, i) -> kv.substring(i + 1)
+        }.toMap)
+      .getOrElse(Map.empty[String, String])
+    ColMap(renames, dropped, origin)
   }
 
   private def serializeColMap(cm: ColMap): String = Seq(
     "map=" + cm.renames.toSeq.sortBy(_._1)
       .map { case (p, l) => s"$p:$l" }.mkString(","),
-    "dropped=" + cm.dropped.toSeq.sorted.mkString(",")).mkString("\n")
+    "dropped=" + cm.dropped.toSeq.sorted.mkString(","),
+    "origin=" + cm.origin.toSeq.sortBy(_._1)
+      .map { case (p, b) => s"$p:$b" }.mkString(",")).mkString("\n")
 
   /** Committed version dirs are IMMUTABLE under the commit protocol:
     * `_COLMAP` is staged before the pointer flip, renames/drops commit
@@ -2415,7 +2479,8 @@ object VersionedSnapshot {
       val l1 = renames.getOrElse(cm0.toLogical(ph), cm0.toLogical(ph))
       if (l1 != ph) Some(ph -> l1) else None
     }.toMap
-    commitColMap(spark, baseDir, basis, ColMap(newRenames, cm0.dropped), marker)
+    commitColMap(spark, baseDir, basis,
+      ColMap(newRenames, cm0.dropped, cm0.origin), marker)
   }
 
   /** Drop columns as ONE metadata commit — the view-level half of the
@@ -2441,7 +2506,7 @@ object VersionedSnapshot {
     val physDropped = cols.map(cm0.toPhysical).toSet
     commitColMap(spark, baseDir, basis,
       ColMap(cm0.renames.filterNot { case (ph, _) => physDropped.contains(ph) },
-        cm0.dropped ++ physDropped), marker)
+        cm0.dropped ++ physDropped, cm0.origin), marker)
   }
 
   /** Shared metadata commit of a new `_COLMAP`: every data manifest and
@@ -2993,19 +3058,22 @@ object VersionedSnapshot {
       val cmTo = colMapOf(spark, srcBase, toV)
       if (spoken != cmTo) {
         if (currentVersion(spark, dstBase).nonEmpty) {
+          // spoken-physical → to-logical, joined on birth identity (exact
+          // across source normalize-compacts); the replica's columns are
+          // the SPOKEN-logical names, so each fate maps through both
+          val composed = composeColMaps(spoken, cmTo)
           val cols0 = read(spark, dstBase).get.columns.toSet
-          val drops = (cmTo.dropped -- spoken.dropped).toSeq
+          val drops = composed.dropped.toSeq
             .map(spoken.toLogical).filter(cols0.contains)
           if (drops.nonEmpty)
             dropColumns(spark, dstBase, drops,
               marker = s"replicate-schema-v$fromStamp")
           val cols = cols0 -- drops
-          val renames = (spoken.renames.keySet ++ cmTo.renames.keySet
-            -- cmTo.dropped -- spoken.dropped).flatMap { p =>
-            val a = spoken.toLogical(p); val b = cmTo.toLogical(p)
+          val renames = composed.renames.flatMap { case (p, b) =>
+            val a = spoken.toLogical(p)
             if (a != b && cols.contains(a) && !cols.contains(b)) Some(a -> b)
             else None
-          }.toMap
+          }
           if (renames.nonEmpty)
             renameColumns(spark, dstBase, renames,
               marker = s"replicate-schema-v$fromStamp")
@@ -3161,16 +3229,18 @@ object VersionedSnapshot {
     // blindly unioning it would fail the whole read with an unkeyed
     // schema error)
     val keyCols = keys.map(k => k -> schema(k).dataType)
-    // sidecars store frozen PHYSICAL key names; the feed speaks the TO
-    // version's logical view — alias each sidecar into it before the
-    // name/dtype projection below
-    val cmView = colMapOf(spark, baseDir, math.min(toVersion, cur))
+    // sidecars store the purge version's PHYSICAL key names; the feed
+    // speaks the TO version's logical view — alias each sidecar into it
+    // (birth-joined across any normalization) before the name/dtype
+    // projection below
+    val viewVersion = math.min(toVersion, cur)
     val purged = ((fromVersion + 1) to math.min(toVersion, cur))
       .flatMap { v =>
         val p = new Path(versionPath(new Path(baseDir), v), PurgedName)
         if (!f.exists(p)) None
         else {
-          val sidecar = presentLogical(spark.read.parquet(p.toString), cmView)
+          val sidecar = presentLogical(spark.read.parquet(p.toString),
+            crossColMap(spark, baseDir, v, viewVersion))
           val missing = keys.filterNot(sidecar.columns.contains)
           if (missing.nonEmpty)
             throw new IllegalStateException(
@@ -3234,15 +3304,23 @@ object VersionedSnapshot {
 
     // subjects arrive in the CURRENT version's logical names; every probe
     // and rewrite below reads raw files (physical). Physical names are
-    // frozen, so ONE translation serves every retained version.
+    // frozen WITHIN a generation, but a normalize-compact re-freezes
+    // them — so older retained versions (and the data refs only they
+    // hold) can speak DIFFERENT physical names than the current one.
+    // Each probe therefore translates per version through the birth
+    // lineage ([[crossColMap]]); a single current-names translation
+    // would silently skip matches in pre-normalize files — a missed
+    // erasure, the one failure mode a purge must never have.
     val pcm = colMapOf(spark, baseDir, cur0)
     val pKeys = keys.map(pcm.toPhysical)
+    def physKeysAt(v: Long): Seq[String] =
+      keys.map(crossColMap(spark, baseDir, v, cur0).toPhysical)
 
-    def matchCond(): Column =
-      if (pKeys.size == 1)
-        coalesce(col(pKeys.head).isin(keyRows.map(_.head): _*), lit(false))
+    def matchCondFor(pk: Seq[String]): Column =
+      if (pk.size == 1)
+        coalesce(col(pk.head).isin(keyRows.map(_.head): _*), lit(false))
       else keyRows.map(t =>
-        pKeys.zip(t).map { case (k, v) => col(k) <=> lit(v) }.reduce(_ && _))
+        pk.zip(t).map { case (k, v) => col(k) <=> lit(v) }.reduce(_ && _))
         .reduce(_ || _)
 
     // COMMITTED versions only (<= the pointer at listing): a concurrent
@@ -3274,9 +3352,10 @@ object VersionedSnapshot {
     vdirs.foreach { vdir =>
       try {
         if (parseBuckets(f, vdir).isEmpty && !retired(vdir)) {
+          val pkV = physKeysAt(vdir.getName.drop(1).toLong)
           val d = spark.read.parquet(vdir.toString)
-          if (pKeys.forall(d.columns.contains) &&
-              d.filter(matchCond()).limit(1).count() > 0)
+          if (pkV.forall(d.columns.contains) &&
+              d.filter(matchCondFor(pkV)).limit(1).count() > 0)
             throw new IllegalStateException(
               s"purge requires the bucketed layout, but flat version " +
                 s"${vdir.getName} contains matching rows — one mergeInto " +
@@ -3326,21 +3405,29 @@ object VersionedSnapshot {
     // than one job per dir — with V versions × B hit buckets the per-dir
     // form pays ~V·B job-scheduling constants, which dominates wall time
     // long before any real I/O does.
-    val candidateRels: Seq[String] = vdirs.flatMap { vdir =>
+    // every candidate carries the PHYSICAL key names of the version(s)
+    // referencing it: refs are never shared across a normalize boundary
+    // (the normalize is a full rewrite), and metadata-only commits
+    // (rename/drop) share refs without changing physicals — so a ref's
+    // key naming is well-defined even when versions disagree logically
+    val relKeys: Map[String, Seq[String]] = vdirs.flatMap { vdir =>
       try {
+        val pkV = physKeysAt(vdir.getName.drop(1).toLong)
         val bucketRels = parseBuckets(f, vdir) match {
           case Some((nb, entries)) =>
             val hits = hitBuckets(nb)
             entries.toSeq.collect { case (b, rels) if hits(b) => rels }.flatten
           case None => Nil
         }
-        bucketRels ++ parseDeltas(f, vdir).map(_._2).getOrElse(Nil)
+        (bucketRels ++ parseDeltas(f, vdir).map(_._2).getOrElse(Nil))
+          .map(_ -> pkV)
       } catch { case scala.util.control.NonFatal(_) if retired(vdir) => Nil }
-    }.distinct
+    }.groupBy(_._1).map { case (rel, ps) => rel -> ps.head._2 }
       // a data ref held ONLY by retired versions is swept by their
       // retention's orphan gc mid-pass — drop vanished candidates here
       // (any still-live version's refs exist, by gcDataDirs' contract)
-      .filter(rel => f.exists(resolveRef(base, rel)))
+      .filter { case (rel, _) => f.exists(resolveRef(base, rel)) }
+    val candidateRels: Seq[String] = relKeys.keys.toSeq
     // FILE-level match set (no dir truncation): a manifest ref matches if
     // it IS a matched file (file ref) or contains one (dir/overlay ref).
     // A scanned file URI maps back to its manifest ref by RESOLVED-PATH
@@ -3370,29 +3457,34 @@ object VersionedSnapshot {
       }
     }
     val matchedFiles: Set[String] =
-      if (candidateRels.isEmpty) Set.empty
-      else try {
-        import org.apache.spark.sql.functions.input_file_name
-        spark.read
-          .parquet(candidateRels.map(r => resolveRef(base, r).toString): _*)
-          .filter(matchCond())
-          .select(input_file_name().as("__f")).distinct()
-          .collect().map(r => relOf(r.getString(0))).toSet
-      } catch {
-        // schema drift across candidate generations (or a candidate swept
-        // between the filter above and the batched read): probe per ref
-        case scala.util.control.NonFatal(_) =>
-          candidateRels.filter { rel =>
-            val p = resolveRef(base, rel)
-            try f.exists(p) && {
-              val d = spark.read.parquet(p.toString)
-              pKeys.forall(d.columns.contains) &&
-                d.filter(matchCond()).limit(1).count() > 0
-            } catch { // swept mid-probe: every holder is retired
-              case scala.util.control.NonFatal(_) if !f.exists(p) => false
+      // one batched job per key-naming GROUP (normally one; two while
+      // retained history straddles a normalize-compact)
+      relKeys.groupBy(_._2).flatMap { case (pkV, group) =>
+        val rels = group.keys.toSeq
+        try {
+          import org.apache.spark.sql.functions.input_file_name
+          spark.read
+            .parquet(rels.map(r => resolveRef(base, r).toString): _*)
+            .filter(matchCondFor(pkV))
+            .select(input_file_name().as("__f")).distinct()
+            .collect().toSeq.map(r => relOf(r.getString(0)))
+        } catch {
+          // schema drift across candidate generations (or a candidate
+          // swept between the filter above and the batched read): probe
+          // per ref
+          case scala.util.control.NonFatal(_) =>
+            rels.filter { rel =>
+              val p = resolveRef(base, rel)
+              try f.exists(p) && {
+                val d = spark.read.parquet(p.toString)
+                pkV.forall(d.columns.contains) &&
+                  d.filter(matchCondFor(pkV)).limit(1).count() > 0
+              } catch { // swept mid-probe: every holder is retired
+                case scala.util.control.NonFatal(_) if !f.exists(p) => false
+              }
             }
-          }.toSet
-      }
+        }
+      }.toSet
     def matched(rel: String): Boolean =
       matchedFiles.contains(rel) ||
         (!isFileRef(rel) && matchedFiles.exists(_.startsWith(rel + "/")))
@@ -3403,6 +3495,11 @@ object VersionedSnapshot {
     def rewritten(rel: String): Option[String] = memo.getOrElseUpdate(rel, {
       if (!matched(rel)) None
       else try {
+        // the ref's own key naming (dir refs and their file-level
+        // children share a generation, hence a naming)
+        val pkV = relKeys.getOrElse(rel, relKeys.collectFirst {
+          case (r, pk) if rel.startsWith(r + "/") || r.startsWith(rel + "/") => pk
+        }.getOrElse(pKeys))
         val d = spark.read.parquet(resolveRef(base, rel).toString)
         val gName = allocName()
         // "" for overlays; file refs rewrite into their bucket subdir.
@@ -3414,7 +3511,7 @@ object VersionedSnapshot {
           if (tail.isEmpty) s"$DataDirName/$gName"
           else s"$DataDirName/$gName/$tail"
         withMicrosTimestamps(spark) {
-          d.filter(!matchCond()).coalesce(1)
+          d.filter(!matchCondFor(pkV)).coalesce(1)
             .write.mode("overwrite").parquet(new Path(base, newRel).toString)
         }
         Some(newRel)
@@ -4273,12 +4370,26 @@ object VersionedSnapshot {
         val stickyBlooms = parseBlooms(fs(spark, baseDir),
             versionPath(new Path(baseDir), basis))
           .exists(_._1 == keys.map(basisCm.toPhysical))
+        // normalization re-freezes physical := logical; the ORIGIN
+        // lineage (new physical → birth physical) rides the colmap so
+        // cross-version reads (CDF diffs, view-pinned probes, purges of
+        // older retained versions) keep joining columns on their stable
+        // birth identity across the re-freeze
+        val normalizedCm = ColMap(Map.empty, Set.empty,
+          versionFrameRaw(spark, baseDir, basis).columns.toSeq
+            .filterNot(basisCm.dropped.contains)
+            .flatMap { p =>
+              val birth = basisCm.originOf(p)
+              val newPhys = basisCm.toLogical(p)
+              if (newPhys != birth) Some(newPhys -> birth) else None
+            }.toMap)
         publishBucketed(current, baseDir, marker, keys,
           newNumBuckets.getOrElse(nb),
           inherited = Map.empty, retain = retain, expected = basis,
           valueStatsCols = valueStatsCols,
           clusterBy = clusterBy, maxRecordsPerFile = maxRecordsPerFile,
-          keyBlooms = keyBlooms || stickyBlooms, clusterExprs = zorderExprs)
+          keyBlooms = keyBlooms || stickyBlooms, clusterExprs = zorderExprs,
+          cm = normalizedCm)
       }
       }
     }

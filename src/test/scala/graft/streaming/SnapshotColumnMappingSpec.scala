@@ -159,6 +159,49 @@ class SnapshotColumnMappingSpec extends SparkSpec {
       .select("w").head().getLong(0) == 11L)
   }
 
+  test("CDF diff ACROSS a normalize-compact boundary: origin lineage " +
+      "joins the re-frozen physicals, so renamed columns still align") {
+    val base = tmp("graft-cmap5b")
+    val v0 = seed(base)
+    renameColumns(spark, base, Map("v" -> "w"))
+    // normalization re-freezes physical := logical (files now carry 'w')
+    compact(spark, base, Seq("k"), marker = "normalize", retain = 10)
+    mergeInto(base, Seq((2L, 222L, "u2")).toDF("k", "w", "s"), Seq("k"),
+      UpdateMatched, insertUnmatched = false, marker = "up", retain = 10)
+    val cur = currentVersion(spark, base).get
+    // pre-fix this threw UNRESOLVED_COLUMN: the from-side (physical 'v')
+    // was presented through the to-version's IDENTITY colmap
+    val feed = changes(spark, base, v0, cur, Seq("k")).get
+    assert(feed.columns.toSet == Set("op", "k", "w", "s"))
+    val rows = feed.collect().map(r => (r.getAs[String]("op"),
+      r.getAs[Long]("k"), r.getAs[Long]("w"))).toSet
+    assert(rows == Set(("update", 2L, 222L)),
+      s"exactly the one update must diff across the boundary, got ${rows.toSeq}")
+    // and the other direction: a post-normalize version read AS the
+    // pre-normalize view keeps the OLD names
+    assert(readVersion(spark, base, v0).get.columns.toSeq == Seq("k", "v", "s"))
+  }
+
+  test("GDPR purge across a normalize-compact boundary with a renamed " +
+      "key: pre-normalize files speak the OLD physical name and must " +
+      "still be erased (a current-names-only probe silently misses them)") {
+    val base = tmp("graft-cmap5c")
+    val v0 = seed(base)
+    renameColumns(spark, base, Map("k" -> "id", "v" -> "w"))
+    // keep generous retention so PRE-normalize versions stay retained —
+    // their files carry physical 'k', the post-normalize ones 'id'
+    compact(spark, base, Seq("id"), marker = "normalize", retain = 10)
+    mergeInto(base, Seq((70L, 700L, "n70")).toDF("id", "w", "s"), Seq("id"),
+      UpdateMatched, insertUnmatched = true, marker = "up", retain = 10)
+    assert(purgeKeys(spark, base, Seq("id"), Seq(Seq(9L))) > 0)
+    assert(read(spark, base).get.filter(col("id") === 9L).count() == 0)
+    // the erasure reached the PRE-normalize retained versions too
+    assert(readVersion(spark, base, v0).get.filter(col("k") === 9L).count() == 0,
+      "subject must be erased from pre-normalize retained history")
+    // and the pre-normalize generation's OTHER rows survived the rewrite
+    assert(readVersion(spark, base, v0).get.count() == 39)
+  }
+
   test("merge-on-read overlays after a rename: the staged delta speaks " +
       "the new names and reconciles against pre-rename bucket files") {
     val base = tmp("graft-cmap6")

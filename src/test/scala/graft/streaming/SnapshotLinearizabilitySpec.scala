@@ -54,6 +54,20 @@ class SnapshotLinearizabilitySpec extends SparkSpec {
     finally spark.conf.unset(VersionedSnapshot.PointerStoreConf)
   }
 
+  test("retention storm with a live replica (r16): replicateTo races " +
+      "merges, renames, restores, purges and aggressive retention — " +
+      "absorbs transient collateral, rebases on horizon loss, propagates " +
+      "renames, and converges to the source's quiesced state") {
+    retentionStorm(withReplica = true)
+  }
+
+  test("the same replica storm through the cas-file backend") {
+    spark.conf.set(VersionedSnapshot.PointerStoreConf,
+      VersionedSnapshot.CasFilePointerStore.name)
+    try retentionStorm(withReplica = true)
+    finally spark.conf.unset(VersionedSnapshot.PointerStoreConf)
+  }
+
   /** r15: both judge-visible r14 races (the fixed purge-vs-purge lost
     * update AND the escalation's retention collateral) involved RETENTION
     * interleavings, which the main fuzz deliberately avoids (retain=60
@@ -74,7 +88,7 @@ class SnapshotLinearizabilitySpec extends SparkSpec {
     * absorbed, the r15 contract; (2) current == recorded fold minus
     * purged subjects; (3) every SURVIVING version == its fold prefix
     * minus purged subjects. */
-  private def retentionStorm(): Unit = {
+  private def retentionStorm(withReplica: Boolean = false): Unit = {
     import spark.implicits._
     (1 to nScenarios).foreach { scenario =>
       val rnd = new scala.util.Random(9100L + scenario)
@@ -212,10 +226,65 @@ class SnapshotLinearizabilitySpec extends SparkSpec {
           } catch { case e: Throwable => errs.add(e); () }
         }, s"graft-rstorm-w$ti")
       }
+      // the replica letter: a DR mirror syncing CONTINUOUSLY while the
+      // storm rages. During the storm every failure is absorbed-and-
+      // retried (vanishing version dirs are the normal state here;
+      // horizon losses rebase via resyncOnHorizonLoss) — what must hold
+      // is the QUIESCED final sync and exact convergence afterward
+      val replicaBase = Files.createTempDirectory(
+        s"graft-rstormrep$scenario").resolve("t").toString
+      val replicaCkpt = Files.createTempDirectory(
+        s"graft-rstormck$scenario").toString
+      val stormDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val replicaErrs = new ConcurrentLinkedQueue[Throwable]()
+      def syncOnce(): Unit = {
+        VersionedSnapshot.replicateTo(spark, base, replicaBase, Seq("k"),
+          replicaCkpt, retain = 3, numBuckets = 4,
+          maxVersionsPerBatch = 10L, resyncOnHorizonLoss = true)
+        ()
+      }
+      val replicaThread = if (!withReplica) None else Some(new Thread(() => {
+        try while (!stormDone.get()) {
+          try syncOnce()
+          catch { case scala.util.control.NonFatal(_) => () }
+          Thread.sleep(50)
+        } catch { case e: Throwable => replicaErrs.add(e); () }
+      }, "graft-rstorm-replica"))
+      replicaThread.foreach(_.start())
       threads.foreach(_.start())
       threads.foreach(_.join(300000))
       assert(threads.forall(!_.isAlive), "storm threads wedged")
+      stormDone.set(true)
+      replicaThread.foreach(_.join(300000))
+      replicaThread.foreach(t => assert(!t.isAlive, "replica thread wedged"))
       if (!errs.isEmpty) throw errs.peek()
+      if (withReplica) {
+        if (!replicaErrs.isEmpty) throw replicaErrs.peek()
+        // quiesced: the final syncs must succeed without absorption (a
+        // couple of attempts only because the last storm op may have
+        // left a rebase-worthy horizon)
+        var ok = false; var tries = 0; var last: Throwable = null
+        while (!ok && tries < 10) {
+          tries += 1
+          try { syncOnce(); ok = true }
+          catch { case scala.util.control.NonFatal(e) => last = e; Thread.sleep(50) }
+        }
+        if (!ok) throw last
+        val srcDf = VersionedSnapshot.read(spark, base).get
+        val repDf = VersionedSnapshot.read(spark, replicaBase).get
+        assert(repDf.columns.sorted.toSeq == srcDf.columns.sorted.toSeq,
+          s"scenario $scenario: replica schema diverged — " +
+            s"src ${srcDf.columns.mkString(",")} vs " +
+            s"replica ${repDf.columns.mkString(",")}")
+        val srcKv = srcDf.select("k", "v").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val repKv = repDf.select("k", "v").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(repKv == srcKv,
+          s"scenario $scenario: replica diverged from quiesced source\n" +
+            s"  src:     ${srcKv.toSeq.sorted}\n" +
+            s"  replica: ${repKv.toSeq.sorted}")
+      }
 
       // fold the recorded commits in version order
       import scala.jdk.CollectionConverters._
