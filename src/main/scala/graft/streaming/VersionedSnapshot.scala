@@ -516,15 +516,27 @@ object VersionedSnapshot {
       org.apache.hadoop.fs.Options.CreateFileOptionKeys.FS_OPTION_CREATE_CONDITIONAL_OVERWRITE
     private val CondEtagKey =
       org.apache.hadoop.fs.Options.CreateFileOptionKeys.FS_OPTION_CREATE_CONDITIONAL_OVERWRITE_ETAG
+    // CONCRETE shapes only — a broad message-substring match would remap
+    // unrelated infrastructure errors (whose text merely mentions
+    // "precondition" or "412") to a silent lost-CAS retry instead of
+    // surfacing the real failure. Matched: the S3A RemoteFileChanged
+    // type, the generic FileAlreadyExists type, and any store exception
+    // EXPOSING an HTTP status field equal to 412 (ABFS
+    // AbfsRestOperationException.getStatusCode, AWS SDK statusCode),
+    // walked down the cause chain.
     private def isPreconditionFailure(e: Throwable): Boolean = {
+      def status412(c: Throwable): Boolean =
+        Seq("getStatusCode", "statusCode").exists { m =>
+          try c.getClass.getMethod(m).invoke(c) match {
+            case i: Integer => i.intValue == 412
+            case _ => false
+          } catch { case _: ReflectiveOperationException => false }
+        }
       var c: Throwable = e
       while (c != null) {
         if (c.getClass.getSimpleName == "RemoteFileChangedException") return true
         if (c.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException]) return true
-        val m = Option(c.getMessage).getOrElse("").toLowerCase(java.util.Locale.ROOT)
-        if (m.contains("precondition") || m.contains("if-match") ||
-            m.contains("if-none-match") || m.contains("at version") ||
-            m.contains(" 412")) return true
+        if (status412(c)) return true
         c = if (c.getCause eq c) null else c.getCause
       }
       false
@@ -1966,15 +1978,19 @@ object VersionedSnapshot {
     val f = fs(spark, baseDir)
     val base = new Path(baseDir)
     val orphans = if (!f.exists(base)) Nil else orphanDataDirs(f, base)
+    // `reclaimed` reports the ACTUAL per-directory delete outcome — a
+    // swallowed delete failure must not claim space it did not free
     val rows = orphans.map { p =>
       val bytes =
         try f.getContentSummary(p).getLength
         catch { case scala.util.control.NonFatal(_) => -1L }
-      (p.toString, bytes)
+      val reclaimed = !dryRun && {
+        try f.delete(p, true) || !f.exists(p)
+        catch { case scala.util.control.NonFatal(_) => !f.exists(p) }
+      }
+      (p.toString, bytes, reclaimed)
     }
-    if (!dryRun) orphans.foreach(p =>
-      try { f.delete(p, true); () } catch { case _: Throwable => () })
-    rows.toDF("path", "bytes").withColumn("reclaimed", lit(!dryRun))
+    rows.toDF("path", "bytes", "reclaimed")
   }
 
   // ------------------------------------------------------ integrity manifest
@@ -2175,7 +2191,12 @@ object VersionedSnapshot {
     val h = history(spark, baseDir)
       .select("version", "committed_at").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    h.filter(_._2 <= tsMillis).map(_._1).maxOption
+    // committed_at == 0 is history()'s unknown-commit-time sentinel (a
+    // marker mtime that could not be read). Such a version must NOT
+    // qualify — 0 would qualify for ANY timestamp, letting a ts that
+    // predates all retained history resolve to it instead of returning
+    // the contractual None (the resync signal).
+    h.filter { case (_, at) => at > 0L && at <= tsMillis }.map(_._1).maxOption
   }
 
   /** [[versionAsOf]] composed with [[readVersion]]. */
@@ -3945,24 +3966,46 @@ object VersionedSnapshot {
     * non-snapshot timestamp write to tz-aware micros (caught as dtype
     * drift in the round-15 full verify). The outermost enter saves the
     * user's value; only the outermost exit restores it. */
-  private final class MicrosGuard { var depth = 0; var saved: Option[String] = None }
+  private final class MicrosGuard {
+    var depth = 0; var saved: Option[String] = None
+    // set when the guard is evicted from the map at depth 0 — a thread
+    // that raced computeIfAbsent against the eviction must retry on a
+    // fresh guard instead of entering a detached one (two live guards
+    // for one session would race the conf save/restore)
+    var dead = false
+  }
+  // keyed per SparkSession, EVICTED when the outermost scope exits —
+  // without eviction a long-lived driver that creates many sessions
+  // would accumulate a strong reference per stopped session forever
   private val microsGuards =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, MicrosGuard]()
   private def withMicrosTimestamps[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.parquet.outputTimestampType"
-    val g = microsGuards.computeIfAbsent(spark, _ => new MicrosGuard)
-    g.synchronized {
-      if (g.depth == 0) {
-        g.saved = spark.conf.getOption(key)
-        spark.conf.set(key, "TIMESTAMP_MICROS")
+    var g: MicrosGuard = null
+    var entered = false
+    while (!entered) {
+      g = microsGuards.computeIfAbsent(spark, _ => new MicrosGuard)
+      g.synchronized {
+        if (!g.dead) {
+          if (g.depth == 0) {
+            g.saved = spark.conf.getOption(key)
+            spark.conf.set(key, "TIMESTAMP_MICROS")
+          }
+          g.depth += 1
+          entered = true
+        }
       }
-      g.depth += 1
     }
     try body finally g.synchronized {
       g.depth -= 1
-      if (g.depth == 0) g.saved match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+      if (g.depth == 0) {
+        g.saved match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+        g.dead = true
+        microsGuards.remove(spark, g)
+        ()
       }
     }
   }
