@@ -709,19 +709,16 @@ private[graft] object CurationSnapshotQueries {
       VS.purgeKeys(s, base, Seq("doc_id"), subjects)
       VS.changesStream(s, base, Seq("doc_id"), ckpt,
           startVersion = Some(v0)) { (feed, _, to) =>
-        // one diff computation per batch (cache), and a mart commit only
-        // for the non-empty sides — commit constants, not data, dominate
-        // this scenario's cost
+        // one diff computation per batch (cache), applied as ONE
+        // per-row-action merge (r16 applyChanges — upserts and
+        // retractions in a single commit) — commit constants, not data,
+        // dominate this scenario's cost, so one commit per batch instead
+        // of two is the honest optimization
         feed.cache()
         try {
-          val ups = feed.filter(col("op").isin("insert", "update")).drop("op")
-          val dels = feed.filter(col("op").isin("delete", "purge")).drop("op")
-          if (ups.limit(1).count() > 0)
-            VS.mergeInto(mart, ups, Seq("doc_id"), VS.UpdateMatched,
-              insertUnmatched = true, marker = s"cdf-up-v$to", retain = 4)
-          if (dels.limit(1).count() > 0)
-            VS.mergeInto(mart, dels, Seq("doc_id"), VS.DeleteMatched,
-              insertUnmatched = false, marker = s"cdf-del-v$to", retain = 4)
+          if (feed.limit(1).count() > 0)
+            VS.applyChanges(mart, feed, Seq("doc_id"),
+              marker = s"cdf-apply-v$to", retain = 4)
           ()
         } finally { feed.unpersist(); () }
       }

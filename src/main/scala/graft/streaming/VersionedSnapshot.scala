@@ -310,6 +310,51 @@ object VersionedSnapshot {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Read parquet `paths` (files and/or directories) as one frame under
+    * the publish contract that every data file of a version carries the
+    * identical physical schema. A bare multi-path `spark.read.parquet`
+    * pays a schema-inference pass (footer reads via a scheduled Spark
+    * job) on EVERY call — a per-read constant that multiplies across
+    * version-frame reads, CDF diffs and merge scans. Here the schema
+    * comes from ONE footer opened driver-side; any surprise (no leaf
+    * file, unconvertible type) falls back to the inference path, so
+    * behavior is identical when the contract cannot be proven cheap.
+    * NOT for cross-generation unions whose schemas may legitimately
+    * drift (purge's batched probe keeps inference + its drift fallback). */
+  private def readUniform(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val one = try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      def leafParquet(p: Path): Option[Path] = {
+        val f = p.getFileSystem(conf)
+        val st = f.getFileStatus(p)
+        if (st.isFile) Some(p).filter(_.getName.endsWith(".parquet"))
+        else {
+          val it = f.listFiles(p, true)
+          var found: Option[Path] = None
+          while (found.isEmpty && it.hasNext) {
+            val s = it.next()
+            val n = s.getPath.getName
+            if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+                !n.startsWith("."))
+              found = Some(s.getPath)
+          }
+          found
+        }
+      }
+      paths.view.flatMap(p => leafParquet(new Path(p))).headOption.map { fp =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(fp, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val msg = try r.getFooter.getFileMetaData.getSchema finally r.close()
+        new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter(spark.sessionState.conf).convert(msg)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    one match {
+      case Some(schema) => spark.read.schema(schema).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+  }
+
   /** Overwrite a small metadata file ATOMICALLY for concurrent readers —
     * the primitive under the pointer flip and purge's in-place manifest
     * rewrites. On `file:` this is one NIO `ATOMIC_MOVE` with no checksum
@@ -793,7 +838,7 @@ object VersionedSnapshot {
             }
           }.map(rel => resolveRef(base, rel).toString)
           if (paths.nonEmpty) {
-            val scan = spark.read.parquet(paths: _*)
+            val scan = readUniform(spark, paths)
             // row-group pushdown: literal-sized key sets become an IN
             // filter the parquet reader can evaluate against row-group
             // stats/dictionaries. Per-column (a superset on composite
@@ -816,7 +861,7 @@ object VersionedSnapshot {
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               tableSchema)
-        case None => spark.read.parquet(vdir.toString)
+        case None => readUniform(spark, Seq(vdir.toString))
       }
       presentLogical(reconcileOverlays(spark, base, f, vdir, baseFrame)
         .join(wanted, keyCols, "left_semi"), cm)
@@ -922,12 +967,12 @@ object VersionedSnapshot {
             case None => Seq(rel) // pre-zonemap version
           }
         }.map(rel => resolveRef(base, rel).toString)
-        if (paths.nonEmpty) spark.read.parquet(paths: _*)
+        if (paths.nonEmpty) readUniform(spark, paths)
         else
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             versionFrameRaw(spark, baseDir, v).schema)
-      case None => spark.read.parquet(vdir.toString)
+      case None => readUniform(spark, Seq(vdir.toString))
     }
     val reconciled = presentLogical(
       reconcileOverlays(spark, base, f, vdir, baseFrame), cm)
@@ -1094,8 +1139,8 @@ object VersionedSnapshot {
       case Some((_, entries)) =>
         val paths = entries.toSeq.sortBy(_._1)
           .flatMap(_._2).map(rel => resolveRef(base, rel).toString)
-        spark.read.parquet(paths: _*)
-      case None => spark.read.parquet(vdir.toString)
+        readUniform(spark, paths)
+      case None => readUniform(spark, Seq(vdir.toString))
     }
     reconcileOverlays(spark, base, f, vdir, baseFrame)
   }
@@ -1108,7 +1153,7 @@ object VersionedSnapshot {
     parseDeltas(f, vdir) match {
       case Some((keys, overlays)) if overlays.nonEmpty =>
         val tagged = overlays.zipWithIndex.map { case (rel, i) =>
-          spark.read.parquet(resolveRef(base, rel).toString)
+          readUniform(spark, Seq(resolveRef(base, rel).toString))
             .withColumn("__seq", lit(i))
         }.reduce(_ unionByName _)
         val w = org.apache.spark.sql.expressions.Window
@@ -1631,7 +1676,7 @@ object VersionedSnapshot {
         org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
     val (h1, h2) = bloomHashCols(keys)
     val marker = s"/$DataDirName/$gName/"
-    spark.read.parquet(gDir.toString)
+    readUniform(spark, Seq(gDir.toString))
       .groupBy(input_file_name().as("__f"))
       .agg(bloomAgg(h1, h2).as("__bloom"))
       .collect().toSeq.map { r =>
@@ -1862,7 +1907,7 @@ object VersionedSnapshot {
         }
       }
     val marker = s"/$DataDirName/$gName/"
-    spark.read.parquet(gDir.toString)
+    readUniform(spark, Seq(gDir.toString))
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.map { r =>
@@ -2845,7 +2890,7 @@ object VersionedSnapshot {
     val f = fs(spark, baseDir)
     val p = new Path(versionPath(new Path(baseDir), version), PurgedName)
     if (currentVersion(spark, baseDir).exists(version <= _) && f.exists(p))
-      Some(presentLogical(spark.read.parquet(p.toString),
+      Some(presentLogical(readUniform(spark, Seq(p.toString)),
         colMapOf(spark, baseDir, version)))
     else None
   }
@@ -3153,41 +3198,21 @@ object VersionedSnapshot {
       if (propagateSchema) propagate(from, to)
       feed.cache()
       try {
-        // the changesWithPurges consumption contract: retractions FIRST
-        // (forget the key wholesale), then the diff rows — a subject
-        // purged and legitimately re-inserted inside one endpoint window
-        // must survive as its re-inserted row
-        val purges = feed.filter(col("op") === "purge").drop("op")
-        val dels = feed.filter(col("op") === "delete").drop("op")
-        val ups = feed.filter(col("op").isin("insert", "update")).drop("op")
-        val hasPurges = purges.limit(1).count() > 0
-        val hasDels = dels.limit(1).count() > 0
-        val hasUps = ups.limit(1).count() > 0
-        // Only the batch's FINAL merge stamps the endpoint v$to; earlier
-        // merges stamp the batch start v$from. A drain that dies between
-        // merges with a lost checkpoint then resumes from `from` and
-        // replays the whole batch content-idempotently — stamping every
-        // merge v$to would let markerPosition() report the batch as
-        // applied while its upsert tail never ran (silent divergence).
-        def marker(op: String, isFinal: Boolean): String =
-          s"replicate-$op-v${if (isFinal) to else from}"
-        if (hasPurges)
-          mergeInto(dstBase, purges, keys, DeleteMatched,
-            insertUnmatched = false,
-            marker = marker("purge", !hasDels && !hasUps),
-            retain = retain, numBuckets = numBuckets)
-        if (hasDels)
-          mergeInto(dstBase, dels, keys, DeleteMatched,
-            insertUnmatched = false, marker = marker("del", !hasUps),
-            retain = retain, numBuckets = numBuckets)
+        // ONE per-row-action merge per batch (r16, was purge + delete +
+        // upsert as up to three sequential merges): [[applyChanges]]
+        // folds retractions and upserts into a single commit — a third
+        // of the per-batch commit constants, and the r15 multi-merge
+        // marker-stamping window no longer exists: the batch applies
+        // entirely (marker v$to) or not at all (recovery resumes from
+        // `from` and replays content-idempotently).
         spark.conf.getOption(TestFailBeforeReplicateUpsertConf)
           .filter(t => t == "*" || Thread.currentThread().getName.contains(t))
           .foreach(_ => throw new IllegalStateException(
-            "spec seam: drain killed before the upsert merge"))
-        if (hasUps)
-          mergeInto(dstBase, ups, keys, UpdateMatched,
-            insertUnmatched = true, marker = marker("up", isFinal = true),
-            retain = retain, numBuckets = numBuckets)
+            "spec seam: drain killed before the apply merge"))
+        if (feed.limit(1).count() > 0)
+          applyChanges(dstBase, feed, keys,
+            marker = s"replicate-apply-v$to", retain = retain,
+            numBuckets = numBuckets)
         ()
       } finally { feed.unpersist(); () }
     }
@@ -3260,7 +3285,7 @@ object VersionedSnapshot {
         val p = new Path(versionPath(new Path(baseDir), v), PurgedName)
         if (!f.exists(p)) None
         else {
-          val sidecar = presentLogical(spark.read.parquet(p.toString),
+          val sidecar = presentLogical(readUniform(spark, Seq(p.toString)),
             crossColMap(spark, baseDir, v, viewVersion))
           val missing = keys.filterNot(sidecar.columns.contains)
           if (missing.nonEmpty)
@@ -3374,7 +3399,7 @@ object VersionedSnapshot {
       try {
         if (parseBuckets(f, vdir).isEmpty && !retired(vdir)) {
           val pkV = physKeysAt(vdir.getName.drop(1).toLong)
-          val d = spark.read.parquet(vdir.toString)
+          val d = readUniform(spark, Seq(vdir.toString))
           if (pkV.forall(d.columns.contains) &&
               d.filter(matchCondFor(pkV)).limit(1).count() > 0)
             throw new IllegalStateException(
@@ -3521,7 +3546,7 @@ object VersionedSnapshot {
         val pkV = relKeys.getOrElse(rel, relKeys.collectFirst {
           case (r, pk) if rel.startsWith(r + "/") || r.startsWith(rel + "/") => pk
         }.getOrElse(pKeys))
-        val d = spark.read.parquet(resolveRef(base, rel).toString)
+        val d = readUniform(spark, Seq(resolveRef(base, rel).toString))
         val gName = allocName()
         // "" for overlays; file refs rewrite into their bucket subdir.
         // refTail (not a fixed component drop) so an external ref from a
@@ -3584,11 +3609,11 @@ object VersionedSnapshot {
           }.map { case (rel2, (n, rs)) => (rel2, n, rs) }
           val fresh: Seq[(String, Long, Seq[Option[(String, String)]])] =
             footerZoneStats(spark, newRels.map(r => new Path(base, r)),
-                statCols, spark.read.parquet(newPaths: _*).schema,
+                statCols, readUniform(spark, newPaths).schema,
                 padMissingColumns = true)
               .getOrElse {
             import org.apache.spark.sql.functions.{count => fCount, input_file_name, max => fMax, min => fMin}
-            val d = spark.read.parquet(newPaths: _*)
+            val d = readUniform(spark, newPaths)
             val sch = d.schema
             val present = statCols.filter(sch.fieldNames.contains)
             val tags = present.map(k => zoneTag(sch(k).dataType))
@@ -3640,7 +3665,7 @@ object VersionedSnapshot {
                 org.apache.spark.sql.Encoders.scalaLong,
                 org.apache.spark.sql.Encoders.scalaLong))
             val (h1, h2) = bloomHashCols(bkeys)
-            spark.read.parquet(newPaths: _*)
+            readUniform(spark, newPaths)
               .groupBy(input_file_name().as("__f"))
               .agg(bloomAgg(h1, h2).as("__bloom"))
               .collect().toSeq.map { r =>
@@ -4557,6 +4582,39 @@ object VersionedSnapshot {
       deleteUnmatchedBySource, updateUnmatchedBySource,
       preCompactAttempts = 3)
 
+  /** Apply a CDF-shaped change batch — per-row upserts AND deletes — as
+    * ONE MERGE commit. `changes` carries `opCol` ∈ {insert, update,
+    * delete, purge}; rows fold to one action per key (an upsert beats a
+    * retraction, so a subject purged and legitimately re-inserted inside
+    * one endpoint window survives as its re-inserted row), then commit as
+    * a single bucketed publish: matched keys with a delete/purge action
+    * drop, every insert/update row lands, untouched buckets inherit.
+    *
+    * This replaces the up-to-three SEQUENTIAL merges (purge, delete,
+    * upsert) a CDF consumer otherwise pays per batch: one commit's
+    * constants instead of three (each merge is a stats job + a write job
+    * + sidecar/manifest writes + a pointer CAS + a retention sweep — at
+    * any scale the batch data cost is unchanged but the constant floor
+    * drops 3×), and the multi-merge marker-stamping window is GONE — the
+    * batch applies entirely or not at all, under one marker. */
+  def applyChanges(baseDir: String, changes: DataFrame, keys: Seq[String],
+      marker: String, opCol: String = "op", retain: Int = 2,
+      numBuckets: Int = 32): Long = {
+    require(keys.nonEmpty, "applyChanges needs at least one key column")
+    val ups = changes.filter(col(opCol).isin("insert", "update")).drop(opCol)
+    val retracts = changes.filter(col(opCol).isin("delete", "purge"))
+      .select(keys.map(col): _*).distinct()
+    // retraction-first fold, declaratively: a key with both a retraction
+    // and an upsert row keeps the upsert (the re-insert semantics the
+    // sequential purge→delete→upsert order provided)
+    val delOnly = retracts.join(ups.select(keys.map(col): _*), keys, "left_anti")
+    mergeIntoAttempt(baseDir, ups, keys, UpdateMatched,
+      insertUnmatched = true, marker, retain, numBuckets,
+      evolveSchema = false, valueStatsCols = None, keyBlooms = false,
+      deleteUnmatchedBySource = None, updateUnmatchedBySource = None,
+      preCompactAttempts = 3, extraDeleteKeys = Some(delOnly))
+  }
+
   /** [[mergeInto]] body with a BOUNDED pre-merge-compact budget: the
     * overlay fold below re-enters the merge after compacting, and a
     * concurrent writer continually staging fresh overlays could
@@ -4572,17 +4630,20 @@ object VersionedSnapshot {
       keyBlooms: Boolean,
       deleteUnmatchedBySource: Option[Column],
       updateUnmatchedBySource: Option[(Column, Seq[(String, Column)])],
-      preCompactAttempts: Int): Long = {
+      preCompactAttempts: Int,
+      extraDeleteKeys: Option[DataFrame] = None): Long = {
     require(keys.nonEmpty, "MERGE needs at least one key column")
     val spark = source.sparkSession
-    // reject multi-match sources: count per key via one window over the
-    // (typically batch-sized) source, fail the job on any duplicate
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
-    val uniqueSource = source
-      .withColumn("__kn", count(lit(1)).over(w))
-      .withColumn("__chk", assert_true(col("__kn") === 1,
-        lit(s"MERGE source has multiple rows for a (${keys.mkString(",")}) key")))
-      .filter(col("__chk").isNull).drop("__kn", "__chk")
+    // multi-match rejection moved OUT of the row stream (r16): it used to
+    // ride a count-over-window on the source, which re-materialized in
+    // EVERY downstream job as an extra full-row exchange of the delta —
+    // the write path paid (window shuffle + bucket repartition) where one
+    // exchange suffices. The check now rides the key-level pre-aggregate
+    // of the bucket-stats job below (Some branch) or a dedicated
+    // key-columns-only job (seed branch): the same fail-before-staging
+    // guarantee, shuffling key columns instead of whole rows (guide §2.3
+    // "shuffle fewer bytes" / §2.4 "remove shuffles outright").
+    val dupMsg = s"MERGE source has multiple rows for a (${keys.mkString(",")}) key"
     // the transaction's BASIS: one pointer read pins the version every
     // frame, manifest, and zonemap below derives from, and travels to the
     // commit CAS as `expected`. Re-resolving the pointer per read opened
@@ -4590,7 +4651,14 @@ object VersionedSnapshot {
     // the CAS read made the CAS vacuous (stress-spec-observed).
     currentVersion(spark, baseDir) match {
       case None =>
-        val result = if (insertUnmatched) uniqueSource else uniqueSource.limit(0)
+        // seed publish: the bucket-stats job doesn't exist on this path,
+        // so the uniqueness proof is its own narrow job (keys only) —
+        // still strictly before anything is staged
+        if (insertUnmatched &&
+            source.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__kn"))
+              .filter(col("__kn") > 1).limit(1).count() > 0)
+          sys.error(dupMsg)
+        val result = if (insertUnmatched) source else source.limit(0)
         publishBucketed(result, baseDir, marker, keys, numBuckets,
           inherited = Map.empty, retain = retain, expected = -1L,
           valueStatsCols = valueStatsCols, keyBlooms = keyBlooms)
@@ -4618,7 +4686,7 @@ object VersionedSnapshot {
           return mergeIntoAttempt(baseDir, source, keys, whenMatched,
             insertUnmatched, marker, retain, numBuckets, evolveSchema,
             valueStatsCols, keyBlooms, deleteUnmatchedBySource,
-            updateUnmatchedBySource, preCompactAttempts - 1)
+            updateUnmatchedBySource, preCompactAttempts - 1, extraDeleteKeys)
         }
         // name AND type parity: a name-only check would let a type-drifted
         // source slide into a confusing analysis error (or a silently
@@ -4667,7 +4735,7 @@ object VersionedSnapshot {
         val src = {
           val missing = target.schema.fields.toSeq
             .filterNot(f => source.columns.contains(f.name))
-          missing.foldLeft(uniqueSource)((d, f) =>
+          missing.foldLeft(source)((d, f) =>
             d.withColumn(f.name, lit(null).cast(f.dataType)))
             .select(target.columns.map(col).toIndexedSeq: _*)
         }
@@ -4683,9 +4751,28 @@ object VersionedSnapshot {
         // bucket pruning: the source's bucket set (≤ nb rows) plus its
         // per-bucket key value ranges, in ONE small job — the multi-match
         // assert rides this first action, failing a bad source before
-        // anything is staged
+        // anything is staged. Two-level shape (r16): a key-level
+        // pre-aggregate carries the per-key count for the assert, then
+        // re-aggregates to bucket level — min/max/null of the KEY columns
+        // are identical whether taken over rows or over distinct keys, so
+        // the stats are unchanged while the job shuffles only key columns
+        // and the write path no longer carries a count-over-window.
         import org.apache.spark.sql.functions.{max => fMax, min => fMin}
         val srcTags = keys.map(k => zoneTag(src.schema(k).dataType))
+        // the key universe this merge touches: the source's keys plus —
+        // for the per-row-action apply path — the keys it deletes. Both
+        // the bucket/zonemap stats and the target's anti-join are keyed
+        // off this frame, so deleted keys rewrite their buckets exactly
+        // like updated ones.
+        val srcKeysFrame = extraDeleteKeys match {
+          case Some(dk) => src.select(keys.map(col): _*)
+            .unionByName(dk.select(keys.map(col): _*))
+          case None => src.select(keys.map(col): _*)
+        }
+        val keyLevel = srcKeysFrame.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__kn"))
+          .withColumn("__chk", assert_true(col("__kn") === 1, lit(dupMsg)))
+          .filter(col("__chk").isNull).drop("__kn", "__chk")
         val statAggs = keys.zip(srcTags).flatMap { case (k, tag) =>
           if (tag == "x") Nil
           else {
@@ -4694,7 +4781,7 @@ object VersionedSnapshot {
               fMax(col(k).isNull.cast("int")).as(s"__null_$k"))
           }
         }
-        val grouped = src.groupBy(bucketOf(keys, nb).as("__b"))
+        val grouped = keyLevel.groupBy(bucketOf(keys, nb).as("__b"))
         val bRows = (if (statAggs.isEmpty) grouped.agg(count(lit(1)).as("__n"))
                      else grouped.agg(statAggs.head, statAggs.tail: _*)).collect()
         val touchedAll: Set[Int] =
@@ -4794,10 +4881,10 @@ object VersionedSnapshot {
         val touchedTarget =
           if (entries.isEmpty) target // flat: no pruning available
           else if (touchedPaths.nonEmpty)
-            presentLogical(spark.read.parquet(touchedPaths: _*), cm)
+            presentLogical(readUniform(spark, touchedPaths), cm)
           else target.limit(0)
         val unmatchedTarget = touchedTarget
-          .join(src.select(keys.map(col): _*), keys, "left_anti")
+          .join(srcKeysFrame, keys, "left_anti")
         val afterBySourceDelete = deleteUnmatchedBySource match {
           // WHEN NOT MATCHED BY SOURCE AND cond THEN DELETE — null cond
           // keeps the row (SQL WHERE semantics)

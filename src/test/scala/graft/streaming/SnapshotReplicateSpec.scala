@@ -99,17 +99,19 @@ class SnapshotReplicateSpec extends SparkSpec {
     assert(ex.getMessage.contains("foreign table"), ex.getMessage)
   }
 
-  test("mid-batch crash + lost checkpoint: a drain killed between a " +
-      "batch's delete merge and its upsert merge must NOT pin the marker " +
-      "at the batch endpoint — recovery replays the unapplied upserts") {
+  test("mid-batch crash + lost checkpoint: a batch is applied entirely " +
+      "or not at all (single applyChanges merge), and recovery replays " +
+      "an unapplied batch from the replica's markers") {
     val src = tmp("graft-repl5"); val dst = tmp("graft-repl5d")
     val ckpt = Files.createTempDirectory("graft-repl5-ck").toString
     mergeInto(src, (1L to 10L).map(k => (k, k)).toDF("k", "v"), Seq("k"),
       UpdateMatched, insertUnmatched = true, marker = "seed",
       retain = 10, numBuckets = 2)
     replicateTo(spark, src, dst, Seq("k"), ckpt, retain = 10)
-    // one folded window holding BOTH a delete and an upsert — the batch
-    // needs two replica merges, so the crash seam lands between them
+    // one folded window holding BOTH a delete and an upsert — under the
+    // r15 three-merge drain the crash seam could land between them
+    // (half-applied batch); the r16 single per-row-action merge closes
+    // that window structurally: the seam now fires BEFORE the only merge
     mergeInto(src, Seq((3L, 0L)).toDF("k", "v"), Seq("k"),
       DeleteMatched, insertUnmatched = false, marker = "del", retain = 10)
     mergeInto(src, Seq((8L, 888L)).toDF("k", "v"), Seq("k"),
@@ -122,20 +124,19 @@ class SnapshotReplicateSpec extends SparkSpec {
       }
       assert(ex.getMessage.contains("spec seam"), ex.getMessage)
     } finally spark.conf.unset(VersionedSnapshot.TestFailBeforeReplicateUpsertConf)
-    // the delete merge DID land on the replica, the upsert merge did not
-    assert(!rows(dst).exists(_._1 == 3L), "delete merge applied pre-crash")
-    assert(rows(dst).contains((8L, 8L)), "upsert merge NOT applied yet")
-    // the exact ADVICE window: the checkpoint offset is lost too, so
-    // recovery has only the replica's markers to pin the position — a
-    // non-final merge stamped with the batch ENDPOINT would skip the
-    // unapplied upserts silently
+    // NOTHING of the batch landed: no torn delete-without-upsert state
+    assert(rows(dst).contains((3L, 3L)), "batch not applied: delete absent")
+    assert(rows(dst).contains((8L, 8L)), "batch not applied: upsert absent")
+    // checkpoint offset lost too: recovery has only the replica's
+    // markers to pin the position — the unapplied batch must replay
     val ckpt2 = Files.createTempDirectory("graft-repl5-ck2").toString
     assert(replicateTo(spark, src, dst, Seq("k"), ckpt2, retain = 10,
       maxVersionsPerBatch = 10L) >= 1L,
-      "marker-pinned recovery must replay the half-applied batch")
+      "marker-pinned recovery must replay the unapplied batch")
     assert(rows(dst) == rows(src), "no silent divergence")
+    assert(!rows(dst).exists(_._1 == 3L), "the batch's delete reached the replica")
     assert(rows(dst).contains((8L, 888L)),
-      "the batch's unapplied upsert tail reached the replica")
+      "the batch's upsert reached the replica")
   }
 
   test("source renames/drops propagate automatically: the replica applies " +
