@@ -1003,14 +1003,67 @@ object VersionedSnapshot {
       toVersion: Long, keys: Seq[String]): Option[DataFrame] =
     for {
       _ <- readVersion(spark, baseDir, fromVersion)
-      b <- readVersion(spark, baseDir, toVersion)
-    } yield
+      _ <- readVersion(spark, baseDir, toVersion)
+    } yield {
       // the FROM side is presented through the TO version's logical view
       // (physical names are frozen, so the aliasing is exact): a feed
       // spanning a rename boundary diffs instead of erroring, and `keys`
       // is always interpreted in the newer view
-      diffFrames(versionFrameAs(spark, baseDir, fromVersion, toVersion),
-        b, keys)
+      val (a, b) = diffInputs(spark, baseDir, fromVersion, toVersion)
+      diffFrames(a, b, keys)
+    }
+
+  /** The two endpoint frames a CDF diff joins, PRUNED to the data refs
+    * that can actually contribute diff rows. Version immutability gives
+    * the invariant: a ref carried by BOTH endpoint manifests names
+    * byte-identical rows on both sides (merges carry untouched
+    * buckets/files by reference; purge's in-place rewrite swaps the ref
+    * in EVERY retained manifest at once, so a rewritten dir either stays
+    * shared or diverges explicitly), a key lives in exactly one ref per
+    * version, and metadata-only commits (rename/drop/clone/purge-bump)
+    * share every ref verbatim. Keys confined to shared refs therefore
+    * diff to nothing, and dropping shared refs from BOTH sides leaves
+    * the diff unchanged — O(changed data) per diff instead of O(2 ×
+    * table), which is what lets a consumer tail a 100 TB table without
+    * rescanning it per sync (a purge-bump or rename endpoint diff now
+    * binds ZERO data files). Falls back to the full frames whenever the
+    * invariant can't be proven from metadata alone: flat versions,
+    * differing bucket counts, or merge-on-read overlays on either side
+    * (overlay rows live outside the bucket manifests). */
+  private def diffInputs(spark: SparkSession, baseDir: String,
+      fromVersion: Long, toVersion: Long): (DataFrame, DataFrame) = {
+    val base = new Path(baseDir)
+    val f = fs(spark, baseDir)
+    val aDir = versionPath(base, fromVersion)
+    val bDir = versionPath(base, toVersion)
+    def full() =
+      (versionFrameAs(spark, baseDir, fromVersion, toVersion),
+        versionFrame(spark, baseDir, toVersion))
+    def overlaid(d: Path) = parseDeltas(f, d).exists(_._2.nonEmpty)
+    (parseBuckets(f, aDir), parseBuckets(f, bDir)) match {
+      case (Some((nbA, eA)), Some((nbB, eB)))
+          if nbA == nbB && !overlaid(aDir) && !overlaid(bDir) =>
+        val refsA = eA.values.flatten.toSet
+        val refsB = eB.values.flatten.toSet
+        val shared = refsA intersect refsB
+        if (shared.isEmpty) full()
+        else {
+          def pruned(v: Long, entries: Map[Int, Seq[String]], viewV: Long) = {
+            val paths = entries.toSeq.sortBy(_._1)
+              .flatMap(_._2).filterNot(shared)
+              .map(rel => resolveRef(base, rel).toString)
+            val raw =
+              if (paths.nonEmpty) readUniform(spark, paths)
+              else spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                versionFrameRaw(spark, baseDir, v).schema)
+            presentLogical(raw, crossColMap(spark, baseDir, v, viewV))
+          }
+          (pruned(fromVersion, eA, toVersion), pruned(toVersion, eB, toVersion))
+        }
+      case _ => full()
+    }
+  }
 
   /** [[changes]] restricted by value-column range predicates — the CDF
     * read that no longer scans every in-bucket file when the predicate
@@ -1063,10 +1116,10 @@ object VersionedSnapshot {
       toVersion: Long, keys: Seq[String]): Option[DataFrame] =
     for {
       _ <- readVersion(spark, baseDir, fromVersion)
-      b <- readVersion(spark, baseDir, toVersion)
+      _ <- readVersion(spark, baseDir, toVersion)
     } yield {
-      // from-side through the TO view — see [[changes]]
-      val a = versionFrameAs(spark, baseDir, fromVersion, toVersion)
+      // from-side through the TO view, shared-ref pruned — see [[changes]]
+      val (a, b) = diffInputs(spark, baseDir, fromVersion, toVersion)
       val nonKeys = b.columns.toSeq.filterNot(keys.contains)
       val aSide = a.select(
         (keys.map(col) :+ lit(true).as("__in_a")) ++
