@@ -223,7 +223,11 @@ object Quantize {
       struct(floor(Vectors.l2Squared(col("__v"), typedlit(cv)) * lit(1e6) + lit(0.5))
         .cast("long").as("d"), lit(cell).as("cell"))
     }: _*))
-    val withCells = base.withColumn("__cells", cellDists)
+    // pinned once (eager localCheckpoint): `withCells` feeds both the
+    // corpus-assignment side and the probe side, and as a plain subplan
+    // the full N × nlist coarse-quantizer scoring would execute once per
+    // reference (same dual-reference shape, and fix, as ivfTopK)
+    val withCells = base.withColumn("__cells", cellDists).localCheckpoint()
 
     val centroids = coarse.toDF("cell", "__cent")
     // corpus side: assigned cell + residual

@@ -266,21 +266,34 @@ object Similarity {
     * [[bruteForceTopK]], which remains the gated exact oracle tier. */
   def lshTopKAgainst(queries: DataFrame, corpus0: DataFrame, idCol: String, vecCol: String,
       dim: Int, nBits: Int, k: Int, tables: Int = 1): DataFrame = {
-    val qb = bucketed(queries, idCol, vecCol, dim, nBits, tables)
+    // self-index case (lshTopK): query and corpus sides are the SAME
+    // bucketed frame — pin it once (eager localCheckpoint) instead of
+    // re-running the scan + signature computation per reference
+    val qb0 = bucketed(queries, idCol, vecCol, dim, nBits, tables)
+    val qb = if (queries eq corpus0) qb0.localCheckpoint() else qb0
+    val cb = if (queries eq corpus0) qb
+             else bucketed(corpus0, idCol, vecCol, dim, nBits, tables)
     // multi-probe: each query also probes buckets differing in exactly 1 bit
     val probes = qb.select(
       col(idCol).as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"), col("tbl"),
       explode(concat(
         array(col("bucket")),
         array((0 until nBits).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*))).as("bucket"))
-    val corpus = bucketed(corpus0, idCol, vecCol, dim, nBits, tables).select(
+    val corpus = cb.select(
       col(idCol).as("neighbor_id"), col("vec").as("cvec"), col("norm").as("cnorm"),
       col("tbl"), col("bucket"))
+    // score BEFORE the pair dedup and project to ids + similarity: the
+    // duplicate pairs (same pair colliding in several tables/probes)
+    // recompute a dot product each, but the dedup exchange then ships
+    // 24-byte rows instead of both vectors per candidate (guide §2.3 —
+    // shuffle the proxy, not the payload); cosine_sim is a pure function
+    // of the pair, so first-row-wins dedup is value-identical
     val scored = probes.join(corpus, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine_sim",
         cosineSim(Vectors.dot(col("qvec"), col("cvec")), col("qnorm") * col("cnorm")))
+      .select("query_id", "neighbor_id", "cosine_sim")
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -297,16 +310,27 @@ object Similarity {
     * similarities are rounded to 6 decimals before ranking (ties broken by
     * cell asc) so cell assignment is identical across engines. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, nlist: Int, nprobe: Int, k: Int): DataFrame = {
-    val ranked = centroidRanked(df, idCol, vecCol, nlist, maxRank = math.max(1, nprobe))
+    // pinned once (eager localCheckpoint, the shared-leg pattern of the
+    // recall harness): `ranked` feeds BOTH the probe side and the
+    // assignment side below, and as a plain subplan the whole
+    // scan + codebook cross-score + window would execute twice — the
+    // r16 measurement was 2.47 s → 1.63 s warm at sf0.1 from this alone
+    val ranked = centroidRanked(df, idCol, vecCol, nlist,
+      maxRank = math.max(1, nprobe)).localCheckpoint()
     val assigned = ranked.filter(col("__rn") === 1)
       .select(col(idCol).as("neighbor_id"), col("vec").as("cvec"), col("norm").as("cnorm"), col("cell"))
     val probed = ranked
       .select(col(idCol).as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"), col("cell"))
+    // no pair dedup: a neighbor lives in exactly ONE cell (assignment is
+    // rank 1) and a query probes each cell at most once, so the cell
+    // equi-join emits every (query, neighbor) pair at most once — the
+    // dropDuplicates this path once carried was a no-op that cost a full
+    // exchange + hash aggregate over the candidate pairs (removing it:
+    // 1.63 s → 1.25 s warm at sf0.1, results bit-identical)
     val scored = probed.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine_sim",
         cosineSim(Vectors.dot(col("qvec"), col("cvec")), col("qnorm") * col("cnorm")))
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
