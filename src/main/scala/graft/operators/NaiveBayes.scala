@@ -102,20 +102,36 @@ object NaiveBayes {
   def uncertainMargins(train: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, labelCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val perClass = classScores(train, docs, idCol, textCol, labelCol)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("score_e6").desc, col("__lab").asc)
-    val ranked = perClass.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= 2)
-    val top1 = ranked.filter(col("__rn") === 1)
-      .select(col(idCol), col("__lab").as("pred_label"), col("score_e6").as("__s1"))
-    val top2 = ranked.filter(col("__rn") === 2)
-      .select(col(idCol).as("__id2"), col("score_e6").as("__s2"))
-    val margins = top1.join(top2, col(idCol) === col("__id2"))
+    val margins = top2Margins(train, docs, idCol, textCol, labelCol)
       .select(col(idCol), col("pred_label"),
         (col("__s1") - col("__s2")).as("margin_e6"))
     val bottomK = margins.orderBy(col("margin_e6").asc, col(idCol).asc).limit(k)
     val wr = Window.orderBy(col("margin_e6").asc, col(idCol).asc)
     bottomK.withColumn("unc_rank", row_number().over(wr).cast("int"))
+  }
+
+  /** (idCol, pred_label, __s1, __s2): top-1 class + score and top-2 score
+    * per doc, in ONE pass over the posterior surface. The rank-≤2 window
+    * rows pivot through a per-doc aggregate instead of the historical
+    * top1 ⋈ top2 SELF-join, which executed the whole train-and-score
+    * subtree once per side (the dual-reference shape r16 also removed
+    * from ivfTopK) and paid a join where a same-key aggregate suffices —
+    * the aggregate rides the window's existing hash partitioning on
+    * idCol, adding no exchange. Docs with a single scored class are
+    * dropped (`__s2` null), preserving the self-join's inner semantics. */
+  private def top2Margins(train: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, labelCol: String): DataFrame = {
+    val perClass = classScores(train, docs, idCol, textCol, labelCol)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score_e6").desc, col("__lab").asc)
+    perClass.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("__rn") === 1, struct(col("score_e6"), col("__lab")))).as("__t1"),
+        max(when(col("__rn") === 2, col("score_e6"))).as("__s2"))
+      .filter(col("__s2").isNotNull)
+      .select(col(idCol), col("__t1.__lab").as("pred_label"),
+        col("__t1.score_e6").as("__s1"), col("__s2"))
   }
 
   /** Label-noise audit (the confident-learning signal, Northcutt et al.
@@ -132,16 +148,8 @@ object NaiveBayes {
   def confidentErrors(train: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, labelCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val perClass = classScores(train, docs, idCol, textCol, labelCol)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("score_e6").desc, col("__lab").asc)
-    val ranked = perClass.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= 2)
-    val top1 = ranked.filter(col("__rn") === 1)
-      .select(col(idCol), col("__lab").as("pred_label"), col("score_e6").as("__s1"))
-    val top2 = ranked.filter(col("__rn") === 2)
-      .select(col(idCol).as("__id2"), col("score_e6").as("__s2"))
     val labeled = docs.select(col(idCol).as("__idl"), col(labelCol))
-    val margins = top1.join(top2, col(idCol) === col("__id2"))
+    val margins = top2Margins(train, docs, idCol, textCol, labelCol)
       .join(labeled, col(idCol) === col("__idl"))
       .where(col("pred_label") =!= col(labelCol))
       .select(col(idCol), col(labelCol), col("pred_label"),
@@ -170,16 +178,8 @@ object NaiveBayes {
   def calibrationCurve(train: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, labelCol: String, buckets: Int): DataFrame = {
     require(buckets >= 2, "need at least two calibration buckets")
-    val perClass = classScores(train, docs, idCol, textCol, labelCol)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("score_e6").desc, col("__lab").asc)
-    val ranked = perClass.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= 2)
-    val top1 = ranked.filter(col("__rn") === 1)
-      .select(col(idCol), col("__lab").as("pred_label"), col("score_e6").as("__s1"))
-    val top2 = ranked.filter(col("__rn") === 2)
-      .select(col(idCol).as("__id2"), col("score_e6").as("__s2"))
     val labeled = docs.select(col(idCol).as("__idl"), col(labelCol))
-    val margins = top1.join(top2, col(idCol) === col("__id2"))
+    val margins = top2Margins(train, docs, idCol, textCol, labelCol)
       .join(labeled, col(idCol) === col("__idl"))
       .select(col(idCol),
         (col("__s1") - col("__s2")).as("__margin_e6"),
