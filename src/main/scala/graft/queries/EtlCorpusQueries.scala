@@ -890,13 +890,17 @@ private[graft] object EtlCorpusQueries {
     // so the audit runs corpus-wide at any scale ----
     "lsh_pr_audit" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // both pair sets feed TWO consumers each (the hit semi-join and
+      // their own count) — pin them once (eager localCheckpoint, the
+      // shared-leg pattern) or the full shingle-join subtree executes
+      // twice per side (r16: 2.6 s → ~1.5 s in-sweep)
       val truth = Dedup.jaccardPairs(docs, "doc_id", "text",
           n = 3, threshold = PrThreshold)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b").localCheckpoint()
       val pred = Dedup.minHashLshPairs(docs, "doc_id", "text",
           n = 3, numHashes = MhHashes, bands = MhBands, threshold = PrThreshold,
           portable = true)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b").localCheckpoint()
       val hit = truth.join(pred, Seq("id_a", "id_b"), "left_semi")
       truth.agg(count(lit(1)).as("n_true"))
         .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
@@ -916,12 +920,17 @@ private[graft] object EtlCorpusQueries {
     // corpus-scale dedup run) ----
     "minhash_accuracy" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // pairs feeds the intersection derivation AND the final projection,
+      // shingles feed both sides of the intersection join and the size
+      // aggregate — pin each once (eager localCheckpoint) instead of
+      // re-running the signature/shingle subtrees per reference
       val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text",
           n = 3, numHashes = MhHashes, bands = MhBands, threshold = MhThreshold,
           portable = true)
         .select(col("id_a"), col("id_b"),
           floor(col("est_jaccard") * lit(1e6) + lit(0.5)).cast("long").as("est_e6"))
-      val sh = Dedup.shingles(docs, "doc_id", "text", n = 3)
+        .localCheckpoint()
+      val sh = Dedup.shingles(docs, "doc_id", "text", n = 3).localCheckpoint()
       val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("__sz"))
       val inter = pairs.select("id_a", "id_b")
         .join(sh.select(col("doc_id").as("id_a"), col("gram")), Seq("id_a"))
