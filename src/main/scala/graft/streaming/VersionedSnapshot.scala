@@ -3591,16 +3591,14 @@ object VersionedSnapshot {
     // shared-ref memo: rewrite each matching data ref exactly once, no
     // matter how many retained versions reference it
     val memo = scala.collection.mutable.Map.empty[String, Option[String]]
-    def rewritten(rel: String): Option[String] = memo.getOrElseUpdate(rel, {
-      if (!matched(rel)) None
-      else try {
+    def rewriteRef(rel: String, gName: String): Option[String] =
+      try {
         // the ref's own key naming (dir refs and their file-level
         // children share a generation, hence a naming)
         val pkV = relKeys.getOrElse(rel, relKeys.collectFirst {
           case (r, pk) if rel.startsWith(r + "/") || r.startsWith(rel + "/") => pk
         }.getOrElse(pKeys))
         val d = readUniform(spark, Seq(resolveRef(base, rel).toString))
-        val gName = allocName()
         // "" for overlays; file refs rewrite into their bucket subdir.
         // refTail (not a fixed component drop) so an external ref from a
         // shallow clone rewrites into the right LOCAL bucket subdir —
@@ -3618,7 +3616,38 @@ object VersionedSnapshot {
         case scala.util.control.NonFatal(_)
             if !f.exists(resolveRef(base, rel)) => None
       }
-    })
+    def rewritten(rel: String): Option[String] = memo.getOrElseUpdate(rel,
+      if (!matched(rel)) None else rewriteRef(rel, allocName()))
+    // rewrite every matched ref CONCURRENTLY, before any sidecar update
+    // (guide §2.6 — overlap independent jobs): the per-ref filtered
+    // writes go to disjoint fresh dirs and share no state beyond the
+    // pre-allocated names, so running them sequentially paid one
+    // job-scheduling constant per ref where a small in-flight window
+    // keeps the executor busy. Names are allocated on THIS thread; the
+    // memo is fully populated before updateSidecars reads it, so the
+    // sequential fallback path above only ever sees unmatched refs.
+    locally {
+      val toRewrite = candidateRels.filter(matched).sorted
+      if (toRewrite.sizeIs > 1) {
+        val named = toRewrite.map(rel => rel -> allocName())
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(4, toRewrite.size))
+        try {
+          val futs = named.map { case (rel, g) =>
+            rel -> pool.submit(new java.util.concurrent.Callable[Option[String]] {
+              def call(): Option[String] = rewriteRef(rel, g)
+            })
+          }
+          futs.foreach { case (rel, fut) =>
+            memo.update(rel,
+              try fut.get()
+              catch { case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+              })
+          }
+        } finally { pool.shutdown(); () }
+      }
+    }
 
     def updateSidecars(vdir: Path): Unit = {
       val bucketUpdates: Map[String, String] = parseBuckets(f, vdir) match {
