@@ -14,8 +14,38 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Resolved-relation cache — the catalog role a metastore plays for
+    * named tables, for these path-addressed ones: ONE file listing +
+    * footer schema inference per (session, dir, table) instead of one
+    * per query reference. Metadata only — every action still scans the
+    * parquet files; nothing computed is reused. Measured (r16, sf0.1):
+    * a bare `spark.read.parquet` resolution costs 55-144 ms, and a
+    * bench sweep makes ~700 table references, so per-query plan
+    * construction was paying tens of seconds of repeated listing +
+    * footer reads for immutable inputs. Keyed by session (a new session
+    * re-resolves); entries of stopped sessions are dropped on access so
+    * long-lived multi-session drivers don't accumulate dead relations. */
+  private val relationCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  private def cached(spark: SparkSession, dir: String, name: String)
+      (resolve: => DataFrame): DataFrame = {
+    val key = (spark, dir, name)
+    val hit = relationCache.get(key)
+    if (hit != null) hit
+    else {
+      val it = relationCache.keySet().iterator()
+      while (it.hasNext) {
+        if (it.next()._1.sparkContext.isStopped) it.remove()
+      }
+      val df = resolve
+      val prev = relationCache.putIfAbsent(key, df)
+      if (prev != null) prev else df
+    }
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cached(spark, dir, name)(spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
@@ -100,7 +130,10 @@ object Tables {
     * truncation) applies only when the file actually carries
     * TIMESTAMP(NANOS) — a regenerated micros file reads plainly, instead
     * of being silently divided by 1000. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "events")(eventsResolve(spark, dir))
+
+  private def eventsResolve(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     if (tsIsNanos(spark, path))
       spark.read.schema(eventsRawSchema).parquet(path)
